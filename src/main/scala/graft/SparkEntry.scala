@@ -1,13 +1,28 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.queries._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in `queries` has a matching DuckDB `oracleSql` unless the op is
+  * not SQL-expressible; column names and values are engineered to hash-match
+  * (exact-integer arithmetic, deterministic ORDER BY — see
+  * [[graft.functions.Portable]]).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: reference wordcount + point lookup (reference main.c:59-71 —
+    * trailing CLI arg is the search term; here a filter on the aggregate).
+    * Runs on sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("wordcount")(spark, "/root/testdata/sf0.001")
+      .where(col("word").isin("spark", "data", "the", "batch"))
+
+  def queries: Map[String, Q] =
+    TextQueries.queries
+
+  def oracleSql: Map[String, String] =
+    TextQueries.oracles
 }

@@ -1,0 +1,66 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Column helpers whose values are bit-for-bit reproducible in DuckDB, so the
+  * driver's hash-compare (Spark result vs oracle SQL) can succeed on floating
+  * point outputs.
+  *
+  * Discipline: all aggregation happens on exact integers (money → cents,
+  * embeddings → micro-scaled longs, hashes → md5-derived 60-bit longs);
+  * doubles only ever appear as the *final* step via a formula written
+  * identically on both sides. Integer sums are order-independent, so shuffle /
+  * parallelism nondeterminism (the reference's own hazard, see
+  * reference mapreduce.c:69-73 — unstable qsort ⇒ unspecified value order)
+  * cannot perturb results.
+  */
+object Portable {
+
+  /** Exact integer cents from a 2-decimal double.
+    * DuckDB mirror: `CAST(round(x*100) AS BIGINT)`. */
+  def cents(c: Column): Column = round(c * lit(100)).cast(LongType)
+
+  /** Order-independent money sum, exposed as double.
+    * DuckDB mirror: `CAST(SUM(CAST(round(x*100) AS BIGINT)) AS DOUBLE)/100.0`. */
+  def moneySum(c: Column): Column = sum(cents(c)).cast(DoubleType) / lit(100.0)
+
+  /** Portable 60-bit hash: first 15 hex digits of md5 as a non-negative long.
+    * DuckDB mirror: `CAST(('0x' || substr(md5(x),1,15)) AS BIGINT)`. */
+  def md5Long(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+
+  /** float[] embedding → exact micro-scaled long[] (|x| ≤ ~2 ⇒ ≤ 2e6; a
+    * 64-dim dot product then stays ≪ 2^63).
+    * DuckDB mirror: `list_transform(v, x -> CAST(round(x*1000000) AS BIGINT))`. */
+  def intVec(c: Column): Column =
+    transform(c, x => round(x.cast(DoubleType) * lit(1000000)).cast(LongType))
+
+  /** Exact long dot product of two equal-length long arrays.
+    * DuckDB mirror: `list_sum(list_transform(list_zip(a,b), z -> z[1]*z[2]))`. */
+  def dotL(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** Cosine from an exact integer dot product + squared norms; identical
+    * double formula on the DuckDB side:
+    * `CAST(dot AS DOUBLE)/sqrt(CAST(na AS DOUBLE)*CAST(nb AS DOUBLE))`. */
+  def cosine(dot: Column, na: Column, nb: Column): Column =
+    dot.cast(DoubleType) / sqrt(na.cast(DoubleType) * nb.cast(DoubleType))
+
+  /** Reference tokenization: split on `" \t\n\r"` (reference main.c:22),
+    * dropping empty tokens (main.c:23-24). Applied to a lowercased column.
+    * DuckDB mirror: `list_filter(string_split_regex(lower(x),'[ \t\r\n]+'),
+    * t -> t <> '')`. */
+  def tokens(c: Column): Column =
+    filter(split(lower(c), "[ \\t\\r\\n]+"), t => t =!= "")
+
+  // ---- SQL-side fragments (single source of truth for the oracle strings) ----
+
+  def CENTS(x: String): String = s"CAST(round(($x)*100) AS BIGINT)"
+  def MONEY(x: String): String = s"(CAST(SUM(${CENTS(x)}) AS DOUBLE)/100.0)"
+  def MD5LONG(x: String): String = s"CAST(('0x' || substr(md5($x),1,15)) AS BIGINT)"
+  def INTVEC(x: String): String = s"list_transform($x, x -> CAST(round(x*1000000) AS BIGINT))"
+  def TOKENS(x: String): String =
+    s"list_filter(string_split_regex(lower($x), '[ \\t\\r\\n]+'), t -> t <> '')"
+}

@@ -1,0 +1,177 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.functions.Portable._
+import graft.functions.RollingHash31
+import org.apache.spark.sql.functions._
+
+/** Wordcount flagship + text-analysis operators over `documents`.
+  *
+  * Wordcount is the reference's whole client capability: tokenize
+  * (reference main.c:20-27) → emit (word,"1") (main.c:26) → count per key
+  * (main.c:33-43). Spark-first form is explode+groupBy.count, which gets the
+  * map-side partial aggregation the reference lacks (mapreduce.c:75-86 ships
+  * one pair per token occurrence across the shuffle; HashAggregateExec ships
+  * one partial count per distinct word per partition — the difference between
+  * O(tokens) and O(vocab·partitions) shuffle bytes at 100 TB).
+  */
+object TextQueries {
+
+  // Stopword lists for the language-ID heuristic (tiny, deterministic).
+  private val stops: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is", "to", "in"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "zu", "ein"),
+    "es" -> Seq("el", "la", "de", "y", "es", "que", "un"),
+    "fr" -> Seq("le", "la", "de", "et", "est", "que", "un"))
+
+  private def sqlList(xs: Seq[String]): String =
+    xs.map(x => s"'$x'").mkString("[", ", ", "]")
+
+  def queries: Map[String, Q] = Map(
+    "wordcount" -> { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(explode(tokens(col("text"))).as("word"))
+        .groupBy("word")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("word")
+    },
+
+    "wordcount_topk" -> { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(explode(tokens(col("text"))).as("word"))
+        .groupBy("word")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("word"))
+        .limit(20)
+    },
+
+    "text_langid" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("t"))
+      val scored = stops.foldLeft(docs) { case (df, (lang, words)) =>
+        df.withColumn(
+          s"s_$lang",
+          size(filter(col("t"), tk => tk.isInCollection(words))).cast("long"))
+      }
+      val Seq(en, de, es, fr) = stops.map { case (l, _) => col(s"s_$l") }
+      scored
+        .withColumn(
+          "pred_lang",
+          when(en + de + es + fr === 0, lit("unknown"))
+            .when(en >= de && en >= es && en >= fr, lit("en"))
+            .when(de >= es && de >= fr, lit("de"))
+            .when(es >= fr, lit("es"))
+            .otherwise(lit("fr")))
+        .select(col("doc_id"), col("pred_lang"),
+          col("s_en"), col("s_de"), col("s_es"), col("s_fr"))
+        .orderBy("doc_id")
+    },
+
+    "text_quality" -> { (s, dir) =>
+      val en = stops.head._2
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"), tokens(col("text")).as("t"))
+        .select(
+          col("doc_id"),
+          length(col("text")).cast("long").as("n_chars"),
+          size(col("t")).cast("long").as("n_tokens"),
+          size(array_distinct(col("t"))).cast("long").as("n_distinct"),
+          aggregate(col("t"), lit(0L), (acc, tk) => acc + length(tk)).as("sum_tok_len"),
+          size(filter(col("t"), tk => tk.isInCollection(en))).cast("long").as("n_stop"),
+          size(filter(col("t"), tk => tk.rlike("^[a-z]+$"))).cast("long").as("n_alpha"))
+        .withColumn("avg_tok_len",
+          col("sum_tok_len").cast("double") / col("n_tokens").cast("double"))
+        .withColumn("stop_ratio",
+          col("n_stop").cast("double") / col("n_tokens").cast("double"))
+        .withColumn("quality_score",
+          col("n_distinct").cast("double") / col("n_tokens").cast("double") * lit(0.5)
+            + col("n_alpha").cast("double") / col("n_tokens").cast("double") * lit(0.3)
+            + col("n_stop").cast("double") / col("n_tokens").cast("double") * lit(0.2))
+        .orderBy("doc_id")
+    },
+
+    "text_tokencount" -> { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          size(tokens(col("text"))).cast("long").as("n_ws_tokens"),
+          size(regexp_extract_all(col("text"),
+            lit("[a-zA-Z0-9]+|[^a-zA-Z0-9 \\t\\r\\n]"), lit(0)))
+            .cast("long").as("n_bpe_tokens"),
+          size(array_distinct(tokens(col("text")))).cast("long").as("n_vocab"))
+        .orderBy("doc_id")
+    },
+
+    "text_fingerprint" -> { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          RollingHash31.column(col("text")).as("fp31"),
+          md5(regexp_replace(trim(lower(col("text"))), "[ \\t\\r\\n]+", " "))
+            .as("fp_md5"))
+        .orderBy("doc_id")
+    })
+
+  private val tokFrom =
+    s"SELECT doc_id, ${TOKENS("text")} AS t FROM documents"
+
+  def oracles: Map[String, String] = Map(
+    "wordcount" ->
+      s"""SELECT word, count(*) AS cnt
+         |FROM (SELECT unnest(t) AS word FROM ($tokFrom))
+         |GROUP BY word ORDER BY word""".stripMargin,
+
+    "wordcount_topk" ->
+      s"""SELECT word, count(*) AS cnt
+         |FROM (SELECT unnest(t) AS word FROM ($tokFrom))
+         |GROUP BY word ORDER BY cnt DESC, word LIMIT 20""".stripMargin,
+
+    "text_langid" -> {
+      val scoreCols = stops.map { case (l, ws) =>
+        s"CAST(len(list_filter(t, tk -> list_contains(${sqlList(ws)}, tk))) AS BIGINT) AS s_$l"
+      }.mkString(",\n  ")
+      s"""SELECT doc_id,
+         |  CASE WHEN s_en + s_de + s_es + s_fr = 0 THEN 'unknown'
+         |       WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+         |       WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+         |       WHEN s_es >= s_fr THEN 'es'
+         |       ELSE 'fr' END AS pred_lang,
+         |  s_en, s_de, s_es, s_fr
+         |FROM (SELECT doc_id, $scoreCols FROM ($tokFrom))
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "text_quality" ->
+      s"""WITH b AS (
+         |  SELECT doc_id,
+         |    CAST(length(text) AS BIGINT) AS n_chars,
+         |    CAST(len(t) AS BIGINT) AS n_tokens,
+         |    CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct,
+         |    CAST(list_sum(list_transform(t, tk -> CAST(length(tk) AS BIGINT))) AS BIGINT) AS sum_tok_len,
+         |    CAST(len(list_filter(t, tk -> list_contains(${sqlList(stops.head._2)}, tk))) AS BIGINT) AS n_stop,
+         |    CAST(len(list_filter(t, tk -> regexp_full_match(tk, '[a-z]+'))) AS BIGINT) AS n_alpha
+         |  FROM (SELECT doc_id, text, ${TOKENS("text")} AS t FROM documents))
+         |SELECT doc_id, n_chars, n_tokens, n_distinct, sum_tok_len, n_stop, n_alpha,
+         |  CAST(sum_tok_len AS DOUBLE)/CAST(n_tokens AS DOUBLE) AS avg_tok_len,
+         |  CAST(n_stop AS DOUBLE)/CAST(n_tokens AS DOUBLE) AS stop_ratio,
+         |  CAST(n_distinct AS DOUBLE)/CAST(n_tokens AS DOUBLE)*0.5
+         |    + CAST(n_alpha AS DOUBLE)/CAST(n_tokens AS DOUBLE)*0.3
+         |    + CAST(n_stop AS DOUBLE)/CAST(n_tokens AS DOUBLE)*0.2 AS quality_score
+         |FROM b ORDER BY doc_id""".stripMargin,
+
+    "text_tokencount" ->
+      s"""SELECT doc_id,
+         |  CAST(len(${TOKENS("text")}) AS BIGINT) AS n_ws_tokens,
+         |  CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9 \\t\\r\\n]')) AS BIGINT) AS n_bpe_tokens,
+         |  CAST(len(list_distinct(${TOKENS("text")})) AS BIGINT) AS n_vocab
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_fingerprint" ->
+      s"""SELECT doc_id,
+         |  CAST(list_reduce(
+         |    list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+         |    (a, b) -> (a*31 + b) % 2147483647) AS BIGINT) AS fp31,
+         |  md5(regexp_replace(trim(lower(text)), '[ \\t\\r\\n]+', ' ', 'g')) AS fp_md5
+         |FROM documents ORDER BY doc_id""".stripMargin)
+}
