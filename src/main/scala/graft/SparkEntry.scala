@@ -21,8 +21,8 @@ object SparkEntry {
       .where(col("word").isin("spark", "data", "the", "batch"))
 
   def queries: Map[String, Q] =
-    TextQueries.queries
+    TextQueries.queries ++ Relational.queries
 
   def oracleSql: Map[String, String] =
-    TextQueries.oracles
+    TextQueries.oracles ++ Relational.oracles
 }

@@ -48,6 +48,12 @@ object Portable {
   def cosine(dot: Column, na: Column, nb: Column): Column =
     dot.cast(DoubleType) / sqrt(na.cast(DoubleType) * nb.cast(DoubleType))
 
+  /** Epoch microseconds as BIGINT. Parquet ms/ns timestamps surface as
+    * TIMESTAMP_NTZ in Spark 4; the session zone is pinned to UTC so casting to
+    * TIMESTAMP is value-preserving. DuckDB mirror: `epoch_us(x)`. */
+  def epochUs(c: Column): Column =
+    unix_micros(c.cast(org.apache.spark.sql.types.TimestampType))
+
   /** Reference tokenization: split on `" \t\n\r"` (reference main.c:22),
     * dropping empty tokens (main.c:23-24). Applied to a lowercased column.
     * DuckDB mirror: `list_filter(string_split_regex(lower(x),'[ \t\r\n]+'),

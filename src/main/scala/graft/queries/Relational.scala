@@ -1,0 +1,317 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.functions.Portable._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator set over the TPC-H-ish star schema.
+  *
+  * The reference has no joins, windows, sorts, or set ops (its entire public
+  * surface is MR_Emit/MR_Run/MR_DefaultHashPartition, reference
+  * mapreduce.h:14-21); these queries are the SURVEY §2.2 engine plan: the
+  * capability generalization a user of a MapReduce library upgrades into.
+  *
+  * Scale notes (100 TB design intent, verified via .explain on local runs):
+  * - dimension joins (region/nation/customer-side lookups) are explicit
+  *   `broadcast()`s — no shuffle of the fact table;
+  * - fact-fact joins shuffle on the join key once and reuse that exchange;
+  * - aggregates are algebraic (sum/count over exact integers) so
+  *   HashAggregateExec runs partial→final with map-side combine;
+  * - every filter is a plain column predicate that pushes to the parquet scan.
+  */
+object Relational {
+
+  private def ts(d: String) = lit(d).cast("timestamp")
+
+  def queries: Map[String, Q] = Map(
+    // TPC-H Q1 shape: scan-side filter + algebraic agg on exact cents.
+    "q1_agg" -> { (s, dir) =>
+      val li = Tables(s, dir, "lineitem")
+      li.where(col("l_shipdate") <= ts("2001-09-01"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          moneySum(col("l_quantity")).as("sum_qty"),
+          moneySum(col("l_extendedprice")).as("sum_base_price"),
+          (sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+            .cast("double") / lit(10000.0)).as("sum_disc_price"),
+          (sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))
+            * (lit(100L) + cents(col("l_tax"))))
+            .cast("double") / lit(1000000.0)).as("sum_charge"),
+          (sum(cents(col("l_quantity"))).cast("double") / lit(100.0) / count(lit(1)))
+            .as("avg_qty"),
+          (sum(cents(col("l_extendedprice"))).cast("double") / lit(100.0) / count(lit(1)))
+            .as("avg_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // Projection+predicate pushdown demo: only 4 of 11 lineitem columns read.
+    "q_filter_project" -> { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .where(col("l_shipdate").between(ts("1997-01-01"), ts("1997-03-31"))
+          && col("l_quantity") > 45)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          cents(col("l_extendedprice")).as("price_cents"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // TPC-H Q3 shape: broadcast dim filter + shuffle join + top-k by revenue.
+    "q3_join_topk" -> { (s, dir) =>
+      val c = Tables(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+      val o = Tables(s, dir, "orders")
+      val l = Tables(s, dir, "lineitem")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"), "left_semi")
+        .groupBy(col("l_orderkey"), epochUs(o("o_orderdate")).as("odate_us"))
+        .agg((sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+          .cast("double") / lit(10000.0)).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+
+    // Star lookup: two broadcast joins, zero shuffles of the fact side
+    // before the final 5-group aggregate.
+    "q_broadcast_join" -> { (s, dir) =>
+      val c = Tables(s, dir, "customer")
+      val n = Tables(s, dir, "nation")
+      val r = Tables(s, dir, "region")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_cust"), moneySum(col("c_acctbal")).as("acctbal_sum"))
+        .orderBy("r_name")
+    },
+
+    // EXISTS → left_semi: never materializes order columns.
+    "q_semi_join" -> { (s, dir) =>
+      val c = Tables(s, dir, "customer")
+      val o = Tables(s, dir, "orders").where(col("o_orderstatus") === "F")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_cust"), moneySum(col("c_acctbal")).as("acct_sum"))
+        .orderBy("c_nationkey")
+    },
+
+    // NOT EXISTS → left_anti.
+    "q_anti_join" -> { (s, dir) =>
+      val c = Tables(s, dir, "customer")
+      val o = Tables(s, dir, "orders").where(col("o_orderstatus") === "P")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .orderBy("c_custkey")
+    },
+
+    // distinct aggregates (expand-based two-phase distinct agg in Spark).
+    "q_agg_distinct" -> { (s, dir) =>
+      Tables(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          countDistinct(col("o_custkey")).as("n_cust"),
+          countDistinct(year(col("o_orderdate"))).as("n_years"))
+        .orderBy("o_orderpriority")
+    },
+
+    // approx_count_distinct (HLL++): sketch-based distinct for 100 TB scale.
+    // No DuckDB oracle — sketch estimates are engine-specific (rows-only check).
+    "q_approx_distinct" -> { (s, dir) =>
+      Tables(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          approx_count_distinct(col("o_custkey")).as("apx_cust"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority")
+    },
+
+    // rollup + grouping(): hierarchical totals in one pass.
+    "q_rollup" -> { (s, dir) =>
+      val c = Tables(s, dir, "customer")
+      val n = Tables(s, dir, "nation")
+      val r = Tables(s, dir, "region")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(
+          grouping(col("r_name")).cast("long").as("gr"),
+          grouping(col("n_name")).cast("long").as("gn"),
+          count(lit(1)).as("n_cust"),
+          moneySum(col("c_acctbal")).as("acct_sum"))
+        .orderBy(col("gr"), col("gn"),
+          col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+    },
+
+    // top-k per group via ranking window (SURVEY §2.2 window row).
+    "q_topk_window" -> { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"),
+          cents(col("o_totalprice")).as("total_cents"), col("rn").cast("long").as("rn"))
+        .orderBy("o_custkey", "rn")
+    },
+
+    // analytic windows: lag + running sum (exact cents) + rank.
+    "q_window_analytic" -> { (s, dir) =>
+      val base = Tables(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          epochUs(col("o_orderdate")).as("odate_us"),
+          cents(col("o_totalprice")).as("total_cents"))
+      val byDate = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("odate_us"), col("o_orderkey"))
+      val byPrice = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("total_cents").desc, col("o_orderkey"))
+      base
+        .withColumn("prev_total_cents", lag(col("total_cents"), 1).over(byDate))
+        .withColumn("run_cents", sum(col("total_cents"))
+          .over(byDate.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("price_rank", rank().over(byPrice).cast("long"))
+        .orderBy("o_custkey", "odate_us", "o_orderkey")
+    },
+
+    // set operations: UNION / INTERSECT / EXCEPT (distinct variants).
+    "q_setops" -> { (s, dir) =>
+      val c = Tables(s, dir, "customer")
+      val o = Tables(s, dir, "orders")
+      val bigSpenders = o.where(col("o_totalprice") > 400000)
+        .select(col("o_custkey").as("ck"))
+      val positive = c.where(col("c_acctbal") > 0).select(col("c_custkey").as("ck"))
+      val building = c.where(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("ck"))
+      bigSpenders.intersect(positive).except(building)
+        .union(c.where(col("c_acctbal") < -900).select(col("c_custkey").as("ck")))
+        .distinct()
+        .orderBy("ck")
+    },
+
+    // scalar function surface: date/string/math over a group-by.
+    "q_scalar_funcs" -> { (s, dir) =>
+      Tables(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).cast("long").as("yr"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(when(col("o_orderpriority").startsWith("1"), 1L).otherwise(0L))
+            .as("n_urgent"),
+          max(upper(concat(col("o_orderstatus"), lit("-"),
+            substring(col("o_orderpriority"), 1, 1)))).as("max_tag"),
+          min(length(col("o_orderpriority")).cast("long")).as("min_pri_len"),
+          sum(dayofmonth(col("o_orderdate")).cast("long")).as("sum_dom"),
+          sum(floor(col("o_totalprice")).cast("long")).as("sum_floor_price"))
+        .orderBy("yr")
+    })
+
+  private val revenueExpr =
+    s"(CAST(SUM(${CENTS("l_extendedprice")} * (100 - ${CENTS("l_discount")})) AS DOUBLE)/10000.0)"
+
+  def oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${MONEY("l_quantity")} AS sum_qty,
+         |  ${MONEY("l_extendedprice")} AS sum_base_price,
+         |  $revenueExpr AS sum_disc_price,
+         |  (CAST(SUM(${CENTS("l_extendedprice")} * (100 - ${CENTS("l_discount")})
+         |     * (100 + ${CENTS("l_tax")})) AS DOUBLE)/1000000.0) AS sum_charge,
+         |  CAST(SUM(${CENTS("l_quantity")}) AS DOUBLE)/100.0/COUNT(*) AS avg_qty,
+         |  CAST(SUM(${CENTS("l_extendedprice")}) AS DOUBLE)/100.0/COUNT(*) AS avg_price,
+         |  COUNT(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_filter_project" ->
+      s"""SELECT l_orderkey, l_linenumber, ${CENTS("l_extendedprice")} AS price_cents
+         |FROM lineitem
+         |WHERE l_shipdate BETWEEN TIMESTAMP '1997-01-01 00:00:00'
+         |  AND TIMESTAMP '1997-03-31 00:00:00' AND l_quantity > 45
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q3_join_topk" ->
+      s"""SELECT l_orderkey, epoch_us(o_orderdate) AS odate_us, $revenueExpr AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |WHERE EXISTS (SELECT 1 FROM customer
+         |  WHERE c_custkey = o_custkey AND c_mktsegment = 'BUILDING')
+         |GROUP BY l_orderkey, epoch_us(o_orderdate)
+         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q_broadcast_join" ->
+      s"""SELECT r_name, COUNT(*) AS n_cust, ${MONEY("c_acctbal")} AS acctbal_sum
+         |FROM customer JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "q_semi_join" ->
+      s"""SELECT c_nationkey, COUNT(*) AS n_cust, ${MONEY("c_acctbal")} AS acct_sum
+         |FROM customer
+         |WHERE EXISTS (SELECT 1 FROM orders
+         |  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "q_anti_join" ->
+      s"""SELECT c_custkey, c_name, c_mktsegment
+         |FROM customer
+         |WHERE NOT EXISTS (SELECT 1 FROM orders
+         |  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+         |ORDER BY c_custkey""".stripMargin,
+
+    "q_agg_distinct" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n_orders,
+         |  COUNT(DISTINCT o_custkey) AS n_cust,
+         |  COUNT(DISTINCT year(o_orderdate)) AS n_years
+         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_rollup" ->
+      s"""SELECT r_name, n_name,
+         |  CAST(GROUPING(r_name) AS BIGINT) AS gr, CAST(GROUPING(n_name) AS BIGINT) AS gn,
+         |  COUNT(*) AS n_cust, ${MONEY("c_acctbal")} AS acct_sum
+         |FROM customer JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY ROLLUP(r_name, n_name)
+         |ORDER BY gr, gn, r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+
+    "q_topk_window" ->
+      s"""SELECT o_custkey, o_orderkey, ${CENTS("o_totalprice")} AS total_cents,
+         |  CAST(rn AS BIGINT) AS rn
+         |FROM (SELECT *, row_number() OVER
+         |    (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+         |  FROM orders)
+         |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "q_window_analytic" ->
+      s"""WITH base AS (
+         |  SELECT o_custkey, o_orderkey, epoch_us(o_orderdate) AS odate_us,
+         |    ${CENTS("o_totalprice")} AS total_cents
+         |  FROM orders)
+         |SELECT o_custkey, o_orderkey, odate_us, total_cents,
+         |  lag(total_cents, 1) OVER w AS prev_total_cents,
+         |  CAST(SUM(total_cents) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    AS BIGINT) AS run_cents,
+         |  CAST(rank() OVER (PARTITION BY o_custkey
+         |    ORDER BY total_cents DESC, o_orderkey) AS BIGINT) AS price_rank
+         |FROM base
+         |WINDOW w AS (PARTITION BY o_custkey ORDER BY odate_us, o_orderkey)
+         |ORDER BY o_custkey, odate_us, o_orderkey""".stripMargin,
+
+    "q_setops" ->
+      s"""SELECT ck FROM (
+         |  (SELECT o_custkey AS ck FROM orders WHERE o_totalprice > 400000
+         |   INTERSECT
+         |   SELECT c_custkey FROM customer WHERE c_acctbal > 0)
+         |  EXCEPT
+         |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+         |  UNION
+         |  SELECT c_custkey FROM customer WHERE c_acctbal < -900
+         |) ORDER BY ck""".stripMargin,
+
+    "q_scalar_funcs" ->
+      s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, COUNT(*) AS n_orders,
+         |  CAST(SUM(CASE WHEN o_orderpriority LIKE '1%' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_urgent,
+         |  max(upper(o_orderstatus || '-' || substr(o_orderpriority, 1, 1))) AS max_tag,
+         |  CAST(min(length(o_orderpriority)) AS BIGINT) AS min_pri_len,
+         |  CAST(SUM(day(o_orderdate)) AS BIGINT) AS sum_dom,
+         |  CAST(SUM(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS sum_floor_price
+         |FROM orders GROUP BY yr ORDER BY yr""".stripMargin)
+}
