@@ -21,8 +21,8 @@ object SparkEntry {
       .where(col("word").isin("spark", "data", "the", "batch"))
 
   def queries: Map[String, Q] =
-    TextQueries.queries ++ Relational.queries
+    TextQueries.queries ++ Relational.queries ++ EventQueries.queries
 
   def oracleSql: Map[String, String] =
-    TextQueries.oracles ++ Relational.oracles
+    TextQueries.oracles ++ Relational.oracles ++ EventQueries.oracles
 }

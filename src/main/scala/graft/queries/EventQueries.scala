@@ -1,0 +1,132 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.functions.Portable._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-time processing over the `events` table (batch form; the streaming
+  * twin of sessionize lives in [[graft.streaming.StreamingOps]]).
+  *
+  * The reference is strictly batch with one hard barrier (reference
+  * mapreduce.c:211-214) and has no notion of time; these are the SURVEY §2.2
+  * "streaming" row's engine plan, expressed as event-time windowing that runs
+  * identically over a bounded table and (with a watermark) over a stream.
+  */
+object EventQueries {
+
+  /** events with ts normalized: parquet TIMESTAMP(NANOS) is read as a nanos
+    * long (see nanosAsLong config in Verify/Bench); expose both epoch-micros
+    * (`ts_us`, matches DuckDB `epoch_us(CAST(ts AS TIMESTAMP))` — both
+    * truncate ns→us for positive epochs) and a proper TIMESTAMP (`ts_t`). */
+  private def events(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables(s, dir, "events")
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("ts_t", timestamp_micros(col("ts_us")))
+
+  def queries: Map[String, Q] = Map(
+    // tumbling 1-hour windows — Spark's window() operator; the aggregate is
+    // algebraic (count + exact-cents sum) so it needs one shuffle.
+    "q_event_tumbling" -> { (s, dir) =>
+      events(s, dir)
+        .groupBy(window(col("ts_t"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), moneySum(col("value")).as("val_sum"))
+        .select(epochUs(col("window.start")).as("ws_us"), col("event_type"),
+          col("n"), col("val_sum"))
+        .orderBy("ws_us", "event_type")
+    },
+
+    // sliding 1h-every-30min windows: each event lands in exactly 2 windows.
+    "q_event_sliding" -> { (s, dir) =>
+      events(s, dir)
+        .groupBy(window(col("ts_t"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), moneySum(col("value")).as("val_sum"))
+        .select(epochUs(col("window.start")).as("ws_us"), col("event_type"),
+          col("n"), col("val_sum"))
+        .orderBy("ws_us", "event_type")
+    },
+
+    // 30-minute-gap sessionization per user: the classic stateful op, here in
+    // its batch window-function form (lag → new-session flag → running sum).
+    // One shuffle on user_id; both windows share that partitioning.
+    "q_sessionize" -> { (s, dir) =>
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          cents(col("value")).as("val_cents"))
+        .withColumn("new_sess",
+          when(col("ts_us") - lag(col("ts_us"), 1).over(byUser) > 1800000000L
+            || lag(col("ts_us"), 1).over(byUser).isNull, 1L).otherwise(0L))
+        .withColumn("sess_id", sum(col("new_sess"))
+          .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("sess_id"))
+        .agg(
+          min(col("ts_us")).as("sess_start_us"),
+          max(col("ts_us")).as("sess_end_us"),
+          count(lit(1)).as("n_events"),
+          (sum(col("val_cents")).cast("double") / lit(100.0)).as("val_sum"))
+        .orderBy("user_id", "sess_id")
+    },
+
+    // JSON column surface: parse props, bucket, aggregate exact ints.
+    "q_json_extract" -> { (s, dir) =>
+      events(s, dir)
+        .select(from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.IntegerType)))).getField("k").as("k"),
+          col("event_type"))
+        .groupBy(pmod(col("k"), lit(10)).cast("long").as("k_bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("k")).cast("long").as("k_sum"),
+          max(col("k")).cast("long").as("k_max"),
+          countDistinct(col("event_type")).as("n_types"))
+        .orderBy("k_bucket")
+    })
+
+  def oracles: Map[String, String] = Map(
+    "q_event_tumbling" ->
+      s"""SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS ws_us,
+         |  event_type, COUNT(*) AS n, ${MONEY("\"value\"")} AS val_sum
+         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_event_sliding" ->
+      s"""WITH x AS (
+         |  SELECT time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)) AS tb,
+         |    event_type, "value" FROM events),
+         |w AS (
+         |  SELECT tb AS ws, event_type, "value" FROM x
+         |  UNION ALL
+         |  SELECT tb - INTERVAL '30 minutes' AS ws, event_type, "value" FROM x)
+         |SELECT epoch_us(ws) AS ws_us, event_type, COUNT(*) AS n,
+         |  ${MONEY("\"value\"")} AS val_sum
+         |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_sessionize" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+         |    ${CENTS("\"value\"")} AS val_cents
+         |  FROM events),
+         |f AS (
+         |  SELECT *, CASE WHEN ts_us - lag(ts_us, 1) OVER w > 1800000000
+         |    OR lag(ts_us, 1) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         |g AS (
+         |  SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id
+         |    ORDER BY ts_us, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
+         |  FROM f)
+         |SELECT user_id, sess_id, min(ts_us) AS sess_start_us,
+         |  max(ts_us) AS sess_end_us, COUNT(*) AS n_events,
+         |  CAST(SUM(val_cents) AS DOUBLE)/100.0 AS val_sum
+         |FROM g GROUP BY user_id, sess_id ORDER BY user_id, sess_id""".stripMargin,
+
+    "q_json_extract" ->
+      s"""WITH e AS (
+         |  SELECT CAST(json_extract_string(props, '$$.k') AS INT) AS k, event_type
+         |  FROM events)
+         |SELECT CAST(k % 10 AS BIGINT) AS k_bucket, COUNT(*) AS n,
+         |  CAST(SUM(k) AS BIGINT) AS k_sum, CAST(max(k) AS BIGINT) AS k_max,
+         |  COUNT(DISTINCT event_type) AS n_types
+         |FROM e GROUP BY 1 ORDER BY 1""".stripMargin)
+}
