@@ -21,8 +21,10 @@ object SparkEntry {
       .where(col("word").isin("spark", "data", "the", "batch"))
 
   def queries: Map[String, Q] =
-    TextQueries.queries ++ Relational.queries ++ EventQueries.queries
+    TextQueries.queries ++ Relational.queries ++ EventQueries.queries ++
+      DedupQueries.queries ++ SimilarityQueries.queries
 
   def oracleSql: Map[String, String] =
-    TextQueries.oracles ++ Relational.oracles ++ EventQueries.oracles
+    TextQueries.oracles ++ Relational.oracles ++ EventQueries.oracles ++
+      DedupQueries.oracles ++ SimilarityQueries.oracles
 }

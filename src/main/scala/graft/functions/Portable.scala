@@ -66,7 +66,11 @@ object Portable {
   def CENTS(x: String): String = s"CAST(round(($x)*100) AS BIGINT)"
   def MONEY(x: String): String = s"(CAST(SUM(${CENTS(x)}) AS DOUBLE)/100.0)"
   def MD5LONG(x: String): String = s"CAST(('0x' || substr(md5($x),1,15)) AS BIGINT)"
-  def INTVEC(x: String): String = s"list_transform($x, x -> CAST(round(x*1000000) AS BIGINT))"
+  // NB: the inner CAST to DOUBLE is load-bearing — DuckDB would otherwise
+  // multiply in single precision (FLOAT*INT → FLOAT) and round differently
+  // than Spark's double-promoted arithmetic.
+  def INTVEC(x: String): String =
+    s"list_transform($x, x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT))"
   def TOKENS(x: String): String =
     s"list_filter(string_split_regex(lower($x), '[ \\t\\r\\n]+'), t -> t <> '')"
 }

@@ -1,0 +1,173 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.functions.Portable._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (64-dim float vectors).
+  *
+  * All scoring uses exact integer arithmetic (micro-scaled vectors, long dot
+  * products) so cosine values — and therefore rankings and the DuckDB oracle
+  * hash — are bit-deterministic regardless of partitioning or SIMD summation
+  * order. See [[graft.functions.Portable.intVec]].
+  *
+  * Scale design:
+  * - brute-force top-k broadcasts the (small) query set and makes one pass
+  *   over the corpus: embarrassingly parallel, no shuffle until the per-query
+  *   top-k (a tiny window over ≤ |Q|·k rows after per-partition pruning via
+  *   AQE; for huge k·|Q| a TypedImperativeAggregate heap would replace it).
+  * - IVF is the scale path: centroid set broadcasts, every vector is assigned
+  *   to its nearest cell in one map pass, queries probe nProbe cells, and the
+  *   candidate join hits only |probed cells| of the corpus — the classic
+  *   inverted-file trade of recall for a ~cells/nProbe scan reduction.
+  */
+object SimilarityQueries {
+
+  private val NCells = 16
+  private val NProbe = 4
+  private val TopK = 5
+
+  /** vec_id, label, int vector, exact squared norm. */
+  private def vecs(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), intVec(col("embedding")).as("iv"))
+      .withColumn("nrm", dotL(col("iv"), col("iv")))
+
+  private def l2(a: String, b: String) =
+    aggregate(zip_with(col(a), col(b), (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, x) => acc + x)
+
+  def queries: Map[String, Q] = Map(
+    // exact cosine top-k for each query vector (vec_id < 10) — the baseline.
+    "sim_topk" -> { (s, dir) =>
+      val v = vecs(s, dir)
+      val q = v.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("iv").as("qiv"), col("nrm").as("qnrm"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      v.crossJoin(broadcast(q))
+        .where(col("vec_id") =!= col("qid"))
+        .withColumn("cos", cosine(dotL(col("qiv"), col("iv")), col("qnrm"), col("nrm")))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .where(col("rnk") <= TopK)
+        .select(col("qid"), col("vec_id").as("nbr_id"), col("rnk"), col("cos"))
+        .orderBy("qid", "rnk")
+    },
+
+    // IVF-style ANN: nearest-of-16-centroids cells, probe 4, search in-cell.
+    "sim_ann_ivf" -> { (s, dir) =>
+      val v = vecs(s, dir)
+      val cents = v.where(col("vec_id") < NCells)
+        .select(col("vec_id").as("cid"), col("iv").as("civ"))
+      val byDist = Window.partitionBy(col("vec_id"))
+        .orderBy(col("dist"), col("cid"))
+      // one map pass: assign every vector to its nearest centroid cell.
+      val assigned = v.crossJoin(broadcast(cents))
+        .withColumn("dist", l2("iv", "civ"))
+        .withColumn("arn", row_number().over(byDist))
+        .where(col("arn") === 1)
+        .select(col("vec_id"), col("label"), col("iv"), col("nrm"), col("cid"))
+      // queries probe their nProbe nearest cells.
+      val probes = v.where(col("vec_id") < 10).crossJoin(broadcast(cents))
+        .withColumn("dist", l2("iv", "civ"))
+        .withColumn("prn", row_number().over(byDist))
+        .where(col("prn") <= NProbe)
+        .select(col("vec_id").as("qid"), col("iv").as("qiv"),
+          col("nrm").as("qnrm"), col("cid"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("nbr_id"))
+      probes.join(assigned, "cid")
+        .where(col("vec_id") =!= col("qid"))
+        .withColumn("cos", cosine(dotL(col("qiv"), col("iv")), col("qnrm"), col("nrm")))
+        .select(col("qid"), col("vec_id").as("nbr_id"), col("cos"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .where(col("rnk") <= TopK)
+        .orderBy("qid", "rnk")
+    },
+
+    // embedding-cosine near-dup pairs, blocked by label.
+    "sim_neardup" -> { (s, dir) =>
+      val v = vecs(s, dir)
+      val a = v.select(col("label"), col("vec_id").as("vec_a"),
+        col("iv").as("ia"), col("nrm").as("na"))
+      val b = v.select(col("label"), col("vec_id").as("vec_b"),
+        col("iv").as("ib"), col("nrm").as("nb"))
+      a.join(b, Seq("label"))
+        .where(col("vec_a") < col("vec_b"))
+        .withColumn("cos", cosine(dotL(col("ia"), col("ib")), col("na"), col("nb")))
+        .where(col("cos") >= 0.35)
+        .select(col("label").cast("long").as("label"),
+          col("vec_a"), col("vec_b"), col("cos"))
+        .orderBy("vec_a", "vec_b")
+    })
+
+  private val vecSql =
+    s"""SELECT vec_id, label, ${INTVEC("embedding")} AS iv FROM embeddings"""
+
+  private val normSql =
+    s"""SELECT vec_id, label, iv,
+       |  CAST(list_sum(list_transform(iv, x -> x*x)) AS BIGINT) AS nrm
+       |FROM ($vecSql)""".stripMargin
+
+  private def dotSql(a: String, b: String) =
+    s"CAST(list_sum(list_transform(list_zip($a, $b), z -> z[1]*z[2])) AS BIGINT)"
+
+  private def cosSql(dot: String, na: String, nb: String) =
+    s"CAST($dot AS DOUBLE)/sqrt(CAST($na AS DOUBLE)*CAST($nb AS DOUBLE))"
+
+  private def l2Sql(a: String, b: String) =
+    s"CAST(list_sum(list_transform(list_zip($a, $b), z -> (z[1]-z[2])*(z[1]-z[2]))) AS BIGINT)"
+
+  def oracles: Map[String, String] = Map(
+    "sim_topk" ->
+      s"""WITH n AS ($normSql),
+         |s AS (
+         |  SELECT q.vec_id AS qid, e.vec_id AS nbr_id,
+         |    ${cosSql(dotSql("q.iv", "e.iv"), "q.nrm", "e.nrm")} AS cos
+         |  FROM n q JOIN n e ON q.vec_id < 10 AND e.vec_id <> q.vec_id),
+         |r AS (
+         |  SELECT qid, nbr_id, cos, CAST(row_number() OVER
+         |    (PARTITION BY qid ORDER BY cos DESC, nbr_id) AS BIGINT) AS rnk
+         |  FROM s)
+         |SELECT qid, nbr_id, rnk, cos FROM r WHERE rnk <= $TopK
+         |ORDER BY qid, rnk""".stripMargin,
+
+    "sim_ann_ivf" ->
+      s"""WITH n AS ($normSql),
+         |c AS (SELECT vec_id AS cid, iv AS civ FROM n WHERE vec_id < $NCells),
+         |asg AS (
+         |  SELECT vec_id, iv, nrm, cid FROM (
+         |    SELECT n.vec_id, n.iv, n.nrm, c.cid, row_number() OVER
+         |      (PARTITION BY n.vec_id
+         |       ORDER BY ${l2Sql("n.iv", "c.civ")}, c.cid) AS arn
+         |    FROM n, c)
+         |  WHERE arn = 1),
+         |probes AS (
+         |  SELECT qid, qiv, qnrm, cid FROM (
+         |    SELECT n.vec_id AS qid, n.iv AS qiv, n.nrm AS qnrm, c.cid,
+         |      row_number() OVER (PARTITION BY n.vec_id
+         |        ORDER BY ${l2Sql("n.iv", "c.civ")}, c.cid) AS prn
+         |    FROM n, c WHERE n.vec_id < 10)
+         |  WHERE prn <= $NProbe),
+         |s AS (
+         |  SELECT p.qid, a.vec_id AS nbr_id,
+         |    ${cosSql(dotSql("p.qiv", "a.iv"), "p.qnrm", "a.nrm")} AS cos
+         |  FROM probes p JOIN asg a ON p.cid = a.cid AND a.vec_id <> p.qid),
+         |r AS (
+         |  SELECT qid, nbr_id, cos, CAST(row_number() OVER
+         |    (PARTITION BY qid ORDER BY cos DESC, nbr_id) AS BIGINT) AS rnk
+         |  FROM s)
+         |SELECT qid, nbr_id, rnk, cos FROM r WHERE rnk <= $TopK
+         |ORDER BY qid, rnk""".stripMargin,
+
+    "sim_neardup" ->
+      s"""WITH n AS ($normSql)
+         |SELECT CAST(a.label AS BIGINT) AS label, a.vec_id AS vec_a,
+         |  b.vec_id AS vec_b,
+         |  ${cosSql(dotSql("a.iv", "b.iv"), "a.nrm", "b.nrm")} AS cos
+         |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE ${cosSql(dotSql("a.iv", "b.iv"), "a.nrm", "b.nrm")} >= 0.35
+         |ORDER BY vec_a, vec_b""".stripMargin)
+}
