@@ -22,9 +22,11 @@ object SparkEntry {
 
   def queries: Map[String, Q] =
     TextQueries.queries ++ Relational.queries ++ EventQueries.queries ++
-      DedupQueries.queries ++ SimilarityQueries.queries
+      DedupQueries.queries ++ SimilarityQueries.queries ++
+      MrQueries.queries ++ MultimodalQueries.queries
 
   def oracleSql: Map[String, String] =
     TextQueries.oracles ++ Relational.oracles ++ EventQueries.oracles ++
-      DedupQueries.oracles ++ SimilarityQueries.oracles
+      DedupQueries.oracles ++ SimilarityQueries.oracles ++
+      MrQueries.oracles ++ MultimodalQueries.oracles
 }
