@@ -1,0 +1,29 @@
+package graft
+
+import graft.operators.MediaPipeline
+import org.apache.spark.sql.functions._
+
+class MediaPipelineSpec extends SparkTestBase {
+
+  test("decodeAll: deterministic features, partitioning-invariant") {
+    val payloads = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val a = MediaPipeline.decodeAll(payloads.repartition(1), MediaPipeline.FakeDecoder)
+      .collect().map(m => (m.doc_id, m.byte_len, m.width, m.height, m.n_frames,
+        m.features.toSeq)).toSet
+    val b = MediaPipeline.decodeAll(payloads.repartition(7), MediaPipeline.FakeDecoder)
+      .collect().map(m => (m.doc_id, m.byte_len, m.width, m.height, m.n_frames,
+        m.features.toSeq)).toSet
+    assert(a == b)
+    assert(a.nonEmpty)
+    a.foreach { case (_, len, w, h, nf, feats) =>
+      assert(w >= 16 && h >= 16 && nf >= 1 && nf <= 8 && feats.size == 8 && len > 0)
+    }
+  }
+
+  test("frameOffsets: evenly spaced, in-range") {
+    val offs = MediaPipeline.frameOffsets(1000, 4)
+    assert(offs == Seq(0L, 250L, 500L, 750L))
+    assert(MediaPipeline.frameOffsets(3, 8).forall(_ >= 0))
+  }
+}
