@@ -9,16 +9,22 @@ import org.apache.spark.sql.functions._
   * Jaccard, MinHash+LSH, SimHash — each designed for the 100 TB shape.
   *
   * Scale design notes:
-  * - Exact dedup is a hash groupBy on a normalized key: one shuffle, map-side
-  *   partial agg, no driver-side state.
-  * - n-gram Jaccard uses an *inverted-index join* (pairs meet on shared
-  *   grams), never an O(n²) cross join: cost is Σ freq(gram)² — bounded in
-  *   real corpora by vocabulary size; a df-cutoff on pathological hot grams is
-  *   the standard mitigation and composes as one extra filter.
+  * - Exact dedup shuffles only a 32-byte md5 of the normalized text, never the
+  *   text itself: one narrow shuffle, map-side partial agg, no driver state.
+  * - n-gram Jaccard uses *prefix filtering* (AllPairs/PPJoin, Bayardo et al.,
+  *   WWW'07): each doc's grams are ordered by ascending global document
+  *   frequency and only the first ⌊n·(1−t)⌋+1 participate in the inverted-
+  *   index join (plus a length-ratio prune). Lossless for Jaccard ≥ t — the
+  *   globally-rarest common gram of any qualifying pair provably lands in both
+  *   prefixes — while hot grams ("of the") stop driving Σ df² join blowup.
   * - MinHash+LSH is the classic shingle → signature → band-bucket join: the
   *   only shuffles are the band groupBy and the candidate verification join.
-  *   Parameters r=3, b=42 ⇒ P(miss | J≥0.85) < 1e-17, so LSH output equals
-  *   the exact-Jaccard oracle on any realistic near-dup distribution.
+  *   Parameters r=3, b=42 ⇒ P(miss | J≥0.7) < 3e-8, so LSH output equals
+  *   the exact-Jaccard oracle on any realistic near-dup distribution. The
+  *   126-hash signature is computed in a typed flatMap (raw JVM loops): it is
+  *   internal — every candidate is verified with exact Jaccard — and Catalyst
+  *   higher-order functions are interpreted per-element, ~50× slower than
+  *   codegen for this shape.
   * - SimHash blocks by 4×15-bit bands; by pigeonhole, hamming ≤ 3 guarantees
   *   an exact band match, so the blocked join is *lossless* vs the O(n²)
   *   oracle while scaling as Σ bucket².
@@ -49,78 +55,188 @@ object DedupQueries {
         i => concat_ws(" ", element_at(col("t"), i),
           element_at(col("t"), i + 1), element_at(col("t"), i + 2)))).as("s"))
 
-  /** Exact Jaccard ≥ threshold over distinct gram sets via inverted-index
-    * join; shared shape of dedup_ngram (bigrams) and the minhash verifier. */
-  private def jaccardPairs(grams: DataFrame, threshold: Double): DataFrame = {
-    val e = grams.select(col("doc_id"), size(col("s")).cast("long").as("ng"),
-      explode(col("s")).as("gram"))
-    e.as("a").join(e.as("b"),
-        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.ng").as("na"), col("b.ng").as("nb"))
-      .agg(count(lit(1)).as("common"))
+  /** FNV-1a 64-bit over UTF-8 bytes, folded into [0, P). Only used for the
+    * internal MinHash signature — never surfaces in query output, so it needs
+    * determinism, not oracle portability. */
+  private def fnvModP(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < bytes.length) { h ^= bytes(i) & 0xffL; h *= 0x100000001b3L; i += 1 }
+    ((h % P) + P) % P
+  }
+
+  /** Sorted-int-array merge intersection size — the PPJoin verification step.
+    * Raw loop on dictionary-encoded gram ids: exact (dense ids, no hashing),
+    * and ~100 integer ops per pair vs interpreted `array_intersect` building a
+    * hash set of strings per row. */
+  private val intersectSize = udf { (a: Seq[Int], b: Seq[Int]) =>
+    // iterator merge, not indexed access — the Seq Spark hands a UDF has no
+    // O(1) apply guarantee, and an indexed walk goes quadratic per pair.
+    val ia = a.iterator; val ib = b.iterator
+    var c = 0L
+    if (ia.hasNext && ib.hasNext) {
+      var x = ia.next(); var y = ib.next()
+      var done = false
+      while (!done) {
+        if (x == y) {
+          c += 1
+          if (ia.hasNext && ib.hasNext) { x = ia.next(); y = ib.next() }
+          else done = true
+        } else if (x < y) {
+          if (ia.hasNext) x = ia.next() else done = true
+        } else {
+          if (ib.hasNext) y = ib.next() else done = true
+        }
+      }
+    }
+    c
+  }
+
+  /** Exact Jaccard-join ≥ t over distinct gram sets: PPJoin (Xiao et al.,
+    * WWW'08) on a dictionary-encoded corpus. `e` must have columns
+    * (doc_id, ng, gram) — one row per distinct gram per doc, ng = set size.
+    *
+    * 1. Gram dictionary ordered by ascending document frequency — gid order
+    *    IS the rarity order. The dictionary is vocabulary-sized (a dimension
+    *    table), so its global row_number window is not a scale hazard.
+    * 2. The dictionary-encoded corpus `eg` is localCheckpoint-materialized:
+    *    it feeds four plan branches (2× prefix self-join, 2× verify arrays)
+    *    and is ~1% the width of the raw text — the 100 TB analogue is writing
+    *    the encoded corpus once before the join, never re-tokenizing.
+    * 3. Candidates: inverted-index join restricted to each doc's prefix
+    *    (first |X| − ⌈t·|X|⌉ + 1 gids — the globally-smallest common gram of
+    *    any qualifying pair provably lands in both prefixes), with
+    *    length-ratio (t·max ≤ min) and PPJoin positional pruning
+    *    (1 + min(na−pa, nb−pb) ≥ ⌈t/(1+t)·(na+nb)⌉, valid because the first
+    *    common gram has no common predecessors). Lossless for J ≥ t.
+    * 4. Verify: candidates pick up each side's sorted gid array — a table of
+    *    one compact row per doc that AQE broadcast-joins at bench scale and
+    *    gracefully shuffle-joins beyond — and exact Jaccard via merge
+    *    intersection. The document text/grams themselves never cross a
+    *    shuffle after dictionary encoding.
+    */
+  private def jaccardJoin(e: DataFrame, t: Double): DataFrame = {
+    val dict = e.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .withColumn("gid", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("df"), col("gram"))))
+      .select(col("gram"), col("gid"))
+    val eg = e.join(dict, "gram")
+      .withColumn("pos", row_number().over(org.apache.spark.sql.expressions
+        .Window.partitionBy(col("doc_id")).orderBy(col("gid"))))
+      .select(col("doc_id"), col("ng"), col("gid"), col("pos"))
+      .localCheckpoint()
+    val ids = eg.groupBy(col("doc_id"), col("ng"))
+      .agg(sort_array(collect_list(col("gid"))).as("ids"))
+    val prefix = eg.where(col("pos") <= col("ng") - ceil(col("ng") * lit(t)) + 1)
+    val minOverlap = ceil((col("a.ng") + col("b.ng")) * lit(t / (1.0 + t)))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.gid") === col("b.gid") && col("a.doc_id") < col("b.doc_id")
+          && col("a.ng") <= (col("b.ng") / t).cast("long")
+          && col("b.ng") <= (col("a.ng") / t).cast("long")
+          && lit(1) + least(col("a.ng") - col("a.pos"),
+            col("b.ng") - col("b.pos")) >= minOverlap)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(ids.select(col("doc_id").as("doc_a"), col("ng").as("na"),
+        col("ids").as("ia")), "doc_a")
+      .join(ids.select(col("doc_id").as("doc_b"), col("ng").as("nb"),
+        col("ids").as("ib")), "doc_b")
+      .withColumn("common", intersectSize(col("ia"), col("ib")))
       .withColumn("jac", col("common").cast("double")
         / (col("na") + col("nb") - col("common")).cast("double"))
+      .where(col("jac") >= t)
+      .select(col("doc_a"), col("doc_b"), col("jac"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Exact-Jaccard verification of candidate (doc_a, doc_b) pairs against the
+    * full distinct gram sets; emits pairs with jac ≥ threshold. */
+  private def verifyJaccard(cand: DataFrame, grams: DataFrame,
+      threshold: Double): DataFrame =
+    cand
+      .join(grams.select(col("doc_id").as("doc_a"), col("s").as("sa")), "doc_a")
+      .join(grams.select(col("doc_id").as("doc_b"), col("s").as("sb")), "doc_b")
+      .withColumn("common", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("jac", col("common").cast("double")
+        / (size(col("sa")).cast("long") + size(col("sb")).cast("long")
+          - col("common")).cast("double"))
       .where(col("jac") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jac"))
-  }
+      .orderBy("doc_a", "doc_b")
 
   def queries: Map[String, Q] = Map(
     // Exact dedup on whitespace-normalized text: keep min doc_id per group.
+    // Groups on md5(norm), not norm — the shuffle carries 32 bytes per row
+    // instead of the document body (the 100 TB-critical choice).
     "dedup_exact" -> { (s, dir) =>
       Tables(s, dir, "documents")
         .select(col("doc_id"),
-          regexp_replace(trim(lower(col("text"))), "[ \\t\\r\\n]+", " ").as("norm"))
-        .groupBy(col("norm"))
+          md5(regexp_replace(trim(lower(col("text"))), "[ \\t\\r\\n]+", " "))
+            .as("norm_md5"))
+        .groupBy(col("norm_md5"))
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
-        .select(col("keep_id"), col("n_copies"), md5(col("norm")).as("norm_md5"))
+        .select(col("keep_id"), col("n_copies"), col("norm_md5"))
         .orderBy("keep_id")
     },
 
-    // Word-bigram Jaccard near-dup pairs via inverted-index join.
+    // Word-bigram Jaccard near-dup pairs: PPJoin candidate generation
+    // (lossless, see jaccardJoin) + exact merge-intersect verification.
+    // Gram extraction runs as a typed flatMap — same tokenizer as the proven
+    // MR layer (reference main.c:22 semantics) — because interpreted Catalyst
+    // HOF chains cost ~50× codegen for this per-row shape.
     "dedup_ngram" -> { (s, dir) =>
-      val grams = Tables(s, dir, "documents")
-        .select(col("doc_id"), tokens(col("text")).as("t"))
-        .where(size(col("t")) >= 2)
-        .select(col("doc_id"), array_distinct(transform(
-          sequence(lit(1), size(col("t")) - 1),
-          i => concat_ws(" ", element_at(col("t"), i), element_at(col("t"), i + 1))))
-          .as("s"))
-      jaccardPairs(grams, 0.5).orderBy("doc_a", "doc_b")
+      import s.implicits._
+      val e = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .flatMap { case (id, text) =>
+          val t = text.toLowerCase.split("[ \t\r\n]+").filter(_.nonEmpty)
+          val set = scala.collection.mutable.LinkedHashSet.empty[String]
+          var i = 0
+          while (i < t.length - 1) { set.add(t(i) + " " + t(i + 1)); i += 1 }
+          val ng = set.size.toLong
+          set.iterator.map(g => (id, ng, g))
+        }.toDF("doc_id", "ng", "gram")
+      jaccardJoin(e, 0.5)
     },
 
     // MinHash + LSH banding, then exact-Jaccard verification of candidates.
     "dedup_minhash" -> { (s, dir) =>
+      import s.implicits._
       val sh = shingles(s, dir)
-      val aLit = typedLit(hashA.toSeq)
-      val bLit = typedLit(hashB.toSeq)
-      // 126 min-hashes per doc: min over shingles of (a_j * h32(x) + b_j) mod P.
-      val sig = sh.select(col("doc_id"),
-        transform(sequence(lit(0), lit(NumHashes - 1)), j =>
-          array_min(transform(col("s"), x =>
-            pmod(element_at(aLit, j + 1) * pmod(xxhash64(x), lit(P)) +
-              element_at(bLit, j + 1), lit(P))))).as("sig"))
-      // band hash = xxhash64 of the band's r signature values.
-      val bands = sig.select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), lit(B - 1)), b =>
-          xxhash64(slice(col("sig"), b * R + 1, lit(R))))))
-        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
+      // 126 min-hashes + 42 band hashes per doc in one raw-JVM pass
+      // (O(|s|·126) long multiplies — the typed flatMap beats interpreted
+      // Catalyst HOFs ~50× here and emits only (doc_id, band, bh)).
+      val bands = sh.select(col("doc_id"), col("s")).as[(Long, Seq[String])]
+        .flatMap { case (id, gs) =>
+          val hs = gs.iterator.map(fnvModP).toArray
+          val sig = new Array[Long](NumHashes)
+          var j = 0
+          while (j < NumHashes) {
+            val a = hashA(j); val b = hashB(j)
+            var mn = Long.MaxValue
+            var k = 0
+            while (k < hs.length) {
+              val v = (a * hs(k) + b) % P
+              if (v < mn) mn = v
+              k += 1
+            }
+            sig(j) = mn; j += 1
+          }
+          (0 until B).iterator.map { b =>
+            var h = 0xcbf29ce484222325L
+            var r = 0
+            while (r < R) { h = (h ^ sig(b * R + r)) * 0x100000001b3L; r += 1 }
+            (id, b, h)
+          }
+        }.toDF("doc_id", "band", "bh")
       val cand = bands.as("x").join(bands.as("y"),
           col("x.band") === col("y.band") && col("x.bh") === col("y.bh")
             && col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
         .distinct()
-      // verify candidates with exact Jaccard on the shingle sets.
-      val withSets = cand
-        .join(sh.select(col("doc_id").as("doc_a"), col("s").as("sa")), "doc_a")
-        .join(sh.select(col("doc_id").as("doc_b"), col("s").as("sb")), "doc_b")
-        .withColumn("common", size(array_intersect(col("sa"), col("sb"))).cast("long"))
-        .withColumn("jac", col("common").cast("double")
-          / (size(col("sa")).cast("long") + size(col("sb")).cast("long")
-            - col("common")).cast("double"))
-      withSets.where(col("jac") >= 0.7)
-        .select(col("doc_a"), col("doc_b"), col("jac"))
-        .orderBy("doc_a", "doc_b")
+      verifyJaccard(cand, sh, 0.7)
     },
 
     // SimHash (60-bit, portable md5-based token hash), hamming ≤ 3 pairs via
