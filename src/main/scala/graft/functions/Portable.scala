@@ -31,6 +31,18 @@ object Portable {
   def md5Long(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
 
+  /** JVM twin of [[md5Long]] for typed (Dataset) hot paths: bit-identical to
+    * the Column form — first 15 hex digits = digest bytes 0-6 plus the high
+    * nibble of byte 7. */
+  def md5Long60(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v << 4) | ((d(7) & 0xf0L) >> 4)
+  }
+
   /** float[] embedding → exact micro-scaled long[] (|x| ≤ ~2 ⇒ ≤ 2e6; a
     * 64-dim dot product then stays ≪ 2^63).
     * DuckDB mirror: `list_transform(v, x -> CAST(round(x*1000000) AS BIGINT))`. */

@@ -137,6 +137,9 @@ object DedupQueries {
           && lit(1) + least(col("a.ng") - col("a.pos"),
             col("b.ng") - col("b.pos")) >= minOverlap)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      // distinct BEFORE verification: each surviving pair would otherwise
+      // re-join its gid arrays once per shared prefix gram — the narrow
+      // 16-byte pair shuffle is cheaper than ~1.7× array materialization.
       .distinct()
     cand
       .join(ids.select(col("doc_id").as("doc_a"), col("ng").as("na"),
@@ -204,7 +207,8 @@ object DedupQueries {
     // MinHash + LSH banding, then exact-Jaccard verification of candidates.
     "dedup_minhash" -> { (s, dir) =>
       import s.implicits._
-      val sh = shingles(s, dir)
+      // materialized once: feeds the signature pass plus both verify joins.
+      val sh = shingles(s, dir).localCheckpoint()
       // 126 min-hashes + 42 band hashes per doc in one raw-JVM pass
       // (O(|s|·126) long multiplies — the typed flatMap beats interpreted
       // Catalyst HOFs ~50× here and emits only (doc_id, band, bh)).
@@ -240,22 +244,32 @@ object DedupQueries {
     },
 
     // SimHash (60-bit, portable md5-based token hash), hamming ≤ 3 pairs via
-    // lossless 4×15-bit band blocking.
+    // lossless 4×15-bit band blocking. The per-doc signature is one typed map
+    // (token tf → 60 weighted bit-sums → sign bits) in raw JVM arithmetic —
+    // identical integer math to the oracle SQL, ~60× fewer shuffled rows than
+    // the explode(sequence(0,59)) formulation.
     "dedup_simhash" -> { (s, dir) =>
-      val tf = Tables(s, dir, "documents")
-        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-        .groupBy(col("doc_id"), col("tok"))
-        .agg(count(lit(1)).as("tf"))
-        .withColumn("h", md5Long(col("tok")))
-      val sim = tf
-        .select(col("doc_id"), col("tf"), col("h"),
-          explode(sequence(lit(0), lit(59))).as("i"))
-        .withColumn("contrib", col("tf") * (expr("shiftright(h, i) & 1") * 2 - 1))
-        .groupBy(col("doc_id"), col("i"))
-        .agg(sum(col("contrib")).as("bsum"))
-        .groupBy(col("doc_id"))
-        .agg(sum(when(col("bsum") > 0, expr("shiftleft(CAST(1 AS BIGINT), i)"))
-          .otherwise(0L)).as("simhash"))
+      import s.implicits._
+      val sim = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          val tf = scala.collection.mutable.HashMap.empty[String, Long]
+          text.toLowerCase.split("[ \t\r\n]+").foreach { w =>
+            if (w.nonEmpty) tf.update(w, tf.getOrElse(w, 0L) + 1L)
+          }
+          val bsum = new Array[Long](60)
+          tf.foreach { case (tok, n) =>
+            val h = md5Long60(tok)
+            var i = 0
+            while (i < 60) {
+              bsum(i) += n * (((h >>> i) & 1L) * 2L - 1L); i += 1
+            }
+          }
+          var sig = 0L
+          var i = 0
+          while (i < 60) { if (bsum(i) > 0) sig |= 1L << i; i += 1 }
+          (id, sig)
+        }.toDF("doc_id", "simhash")
       val bands = sim.select(col("doc_id"), col("simhash"),
           explode(sequence(lit(0), lit(3))).as("j"))
         .withColumn("bh", expr("shiftright(simhash, 15 * j) & 32767"))

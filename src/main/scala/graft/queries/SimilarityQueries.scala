@@ -29,15 +29,31 @@ object SimilarityQueries {
   private val NProbe = 4
   private val TopK = 5
 
+  // Iterator-merge UDFs for the hot pairwise scoring paths: identical long
+  // arithmetic to the Catalyst zip_with/aggregate forms (so oracle hashes are
+  // unchanged) but raw JVM loops instead of interpreted per-element lambdas —
+  // higher-order functions are not codegen'd and cost ~an order of magnitude
+  // more per pair.
+  private val dotU = udf { (a: Seq[Long], b: Seq[Long]) =>
+    val ia = a.iterator; val ib = b.iterator
+    var s = 0L
+    while (ia.hasNext && ib.hasNext) s += ia.next() * ib.next()
+    s
+  }
+  private val l2U = udf { (a: Seq[Long], b: Seq[Long]) =>
+    val ia = a.iterator; val ib = b.iterator
+    var s = 0L
+    while (ia.hasNext && ib.hasNext) { val d = ia.next() - ib.next(); s += d * d }
+    s
+  }
+
   /** vec_id, label, int vector, exact squared norm. */
   private def vecs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")
       .select(col("vec_id"), col("label"), intVec(col("embedding")).as("iv"))
-      .withColumn("nrm", dotL(col("iv"), col("iv")))
+      .withColumn("nrm", dotU(col("iv"), col("iv")))
 
-  private def l2(a: String, b: String) =
-    aggregate(zip_with(col(a), col(b), (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, x) => acc + x)
+  private def l2(a: String, b: String) = l2U(col(a), col(b))
 
   def queries: Map[String, Q] = Map(
     // exact cosine top-k for each query vector (vec_id < 10) — the baseline.
@@ -49,7 +65,7 @@ object SimilarityQueries {
         .orderBy(col("cos").desc, col("vec_id"))
       v.crossJoin(broadcast(q))
         .where(col("vec_id") =!= col("qid"))
-        .withColumn("cos", cosine(dotL(col("qiv"), col("iv")), col("qnrm"), col("nrm")))
+        .withColumn("cos", cosine(dotU(col("qiv"), col("iv")), col("qnrm"), col("nrm")))
         .withColumn("rnk", row_number().over(w).cast("long"))
         .where(col("rnk") <= TopK)
         .select(col("qid"), col("vec_id").as("nbr_id"), col("rnk"), col("cos"))
@@ -80,7 +96,7 @@ object SimilarityQueries {
         .orderBy(col("cos").desc, col("nbr_id"))
       probes.join(assigned, "cid")
         .where(col("vec_id") =!= col("qid"))
-        .withColumn("cos", cosine(dotL(col("qiv"), col("iv")), col("qnrm"), col("nrm")))
+        .withColumn("cos", cosine(dotU(col("qiv"), col("iv")), col("qnrm"), col("nrm")))
         .select(col("qid"), col("vec_id").as("nbr_id"), col("cos"))
         .withColumn("rnk", row_number().over(w).cast("long"))
         .where(col("rnk") <= TopK)
@@ -96,7 +112,7 @@ object SimilarityQueries {
         col("iv").as("ib"), col("nrm").as("nb"))
       a.join(b, Seq("label"))
         .where(col("vec_a") < col("vec_b"))
-        .withColumn("cos", cosine(dotL(col("ia"), col("ib")), col("na"), col("nb")))
+        .withColumn("cos", cosine(dotU(col("ia"), col("ib")), col("na"), col("nb")))
         .where(col("cos") >= 0.35)
         .select(col("label").cast("long").as("label"),
           col("vec_a"), col("vec_b"), col("cos"))
