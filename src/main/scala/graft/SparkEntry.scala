@@ -21,12 +21,12 @@ object SparkEntry {
       .where(col("word").isin("spark", "data", "the", "batch"))
 
   def queries: Map[String, Q] =
-    TextQueries.queries ++ Relational.queries ++ EventQueries.queries ++
-      DedupQueries.queries ++ SimilarityQueries.queries ++
-      MrQueries.queries ++ MultimodalQueries.queries
+    TextQueries.queries ++ Relational.queries ++ AdvancedQueries.queries ++
+      EventQueries.queries ++ DedupQueries.queries ++
+      SimilarityQueries.queries ++ MrQueries.queries ++ MultimodalQueries.queries
 
   def oracleSql: Map[String, String] =
-    TextQueries.oracles ++ Relational.oracles ++ EventQueries.oracles ++
-      DedupQueries.oracles ++ SimilarityQueries.oracles ++
-      MrQueries.oracles ++ MultimodalQueries.oracles
+    TextQueries.oracles ++ Relational.oracles ++ AdvancedQueries.oracles ++
+      EventQueries.oracles ++ DedupQueries.oracles ++
+      SimilarityQueries.oracles ++ MrQueries.oracles ++ MultimodalQueries.oracles
 }

@@ -1,0 +1,219 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.functions.Portable._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
+
+/** Second relational slice: the SURVEY §2.2 charter rows that go beyond the
+  * first operator set — multidimensional aggregation (cube / grouping sets),
+  * the MR-idiomatic co-group join, temporal joins Spark has no single operator
+  * for (as-of, range) composed the scalable way, and non-parquet connectors.
+  *
+  * Scale notes:
+  * - cube/grouping sets are one Expand + one hash aggregate — no extra
+  *   shuffles vs a plain groupBy; partial aggregation still applies.
+  * - the as-of join is the union + partition-sort + running-last composition:
+  *   one shuffle on the join key, no per-row subqueries, no skew beyond the
+  *   key's own distribution — the standard way to do as-of at 100 TB.
+  * - the range join buckets the time axis so the self-join is equi-key on
+  *   (user, bucket) — candidates are bounded by bucket width, never O(n²) per
+  *   user; the exact interval predicate filters after the equi-join.
+  * - the connector roundtrip proves csv/json read/write against the same
+  *   oracle as the parquet path (readers get explicit schemas — no sampling
+  *   pass, which matters when the source is 100k files).
+  */
+object AdvancedQueries {
+
+  def queries: Map[String, Q] = Map(
+    // CUBE over two dimensions + grouping flags (SURVEY §2.2 "grouping
+    // sets/cube/rollup" row; rollup lives in Relational.q_rollup).
+    "q_cube" -> { (s, dir) =>
+      Tables(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(
+          grouping(col("o_orderstatus")).cast("long").as("gs"),
+          grouping(col("o_orderpriority")).cast("long").as("gp"),
+          count(lit(1)).as("n_orders"),
+          moneySum(col("o_totalprice")).as("total_sum"))
+        .orderBy(col("gs"), col("gp"),
+          col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+    },
+
+    // GROUPING SETS through the spark.sql surface — the engine's ANSI SQL
+    // entry point; the oracle is the *same* SQL text, proving dialect parity.
+    "q_grouping_sets" -> { (s, dir) =>
+      Tables(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(groupingSetsSql)
+    },
+
+    // Co-group join (SURVEY §2.2 joins row): tag-union two keyed datasets,
+    // group once, reduce both value streams — the MR-idiomatic join shape,
+    // via KeyValueGroupedDataset.cogroup. One shuffle per side, no broadcast.
+    "q_cogroup_join" -> { (s, dir) =>
+      import s.implicits._
+      val cust = Tables(s, dir, "customer")
+        .select(col("c_nationkey").cast("int"), cents(col("c_acctbal")))
+        .as[(Int, Long)]
+      val supp = Tables(s, dir, "supplier")
+        .select(col("s_nationkey").cast("int"), cents(col("s_acctbal")))
+        .as[(Int, Long)]
+      cust.groupByKey(_._1).cogroup(supp.groupByKey(_._1)) { (k, ci, si) =>
+        var nc = 0L; var cc = 0L
+        ci.foreach { t => nc += 1; cc += t._2 }
+        var ns = 0L; var sc = 0L
+        si.foreach { t => ns += 1; sc += t._2 }
+        Iterator((k.toLong, nc, cc / 100.0, ns, sc / 100.0))
+      }.toDF("nationkey", "n_cust", "cust_acct_sum", "n_supp", "supp_acct_sum")
+        .orderBy("nationkey")
+    },
+
+    // As-of join: each purchase event picks the latest same-user click with
+    // click.ts <= purchase.ts. Composed as union + one partition-sort window +
+    // running last_value(ignoreNulls) — the shuffle-once as-of pattern (no
+    // per-row lookup; DuckDB's native ASOF JOIN is the semantic reference).
+    "q_asof_join" -> { (s, dir) =>
+      val e = Tables(s, dir, "events")
+        .withColumn("ts_us", expr("ts div 1000"))
+        .select(col("user_id"), col("event_id"), col("ts_us"), col("event_type"))
+      val clicks = e.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts_us"), lit(0).as("tag"),
+          col("event_id").as("cid"), lit(null).cast("long").as("pid"))
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us"), lit(1).as("tag"),
+          lit(null).cast("long").as("cid"), col("event_id").as("pid"))
+      // tag orders clicks before purchases at equal ts (<= semantics); cid in
+      // the sort key makes the equal-ts click choice the max event_id.
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("tag"), col("cid"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      clicks.union(purchases)
+        .withColumn("click_id", last(col("cid"), ignoreNulls = true).over(w))
+        .withColumn("click_ts_us",
+          last(when(col("tag") === 0, col("ts_us")), ignoreNulls = true).over(w))
+        .where(col("tag") === 1)
+        .select(col("pid").as("event_id"), col("user_id"), col("ts_us"),
+          col("click_id"), (col("ts_us") - col("click_ts_us")).as("gap_us"))
+        .orderBy("event_id")
+    },
+
+    // Range join: per event, how many same-user events fall in the next five
+    // minutes. The successor side is exploded into its own and the previous
+    // 5-minute bucket, so the join is pure equi-key on (user, bucket); the
+    // exact (t, t+300s] predicate filters the bounded candidate set.
+    "q_range_join" -> { (s, dir) =>
+      val e = Tables(s, dir, "events")
+        .withColumn("ts_us", expr("ts div 1000"))
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      val W = 300000000L // 5 min in micros
+      val left = e.withColumn("b", expr(s"ts_us div $W"))
+      val succ = e.select(col("user_id").as("u2"), col("ts_us").as("ts2"),
+          explode(array(expr(s"ts_us div $W"), expr(s"ts_us div $W - 1"))).as("b"))
+      val counts = left.join(succ,
+          left("user_id") === col("u2") && left("b") === succ("b")
+            && col("ts2") > col("ts_us") && col("ts2") <= col("ts_us") + W)
+        .groupBy(col("event_id")).agg(count(lit(1)).as("n"))
+      e.join(counts, Seq("event_id"), "left")
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          coalesce(col("n"), lit(0L)).as("n_next_5min"))
+        .orderBy("event_id")
+    },
+
+    // Connector surface: nation → CSV, region → JSON (explicit schemas on
+    // read), then the same broadcast-join aggregate as the parquet path.
+    "q_multiformat" -> { (s, dir) =>
+      val tmp = s"/root/repo/target/tmp/multiformat-${new java.io.File(dir).getName}"
+      Tables(s, dir, "nation").write.mode("overwrite")
+        .option("header", "true").csv(s"$tmp/nation_csv")
+      Tables(s, dir, "region").write.mode("overwrite").json(s"$tmp/region_json")
+      val nationSchema = StructType(Seq(
+        StructField("n_nationkey", IntegerType), StructField("n_name", StringType),
+        StructField("n_regionkey", IntegerType)))
+      val regionSchema = StructType(Seq(
+        StructField("r_regionkey", IntegerType), StructField("r_name", StringType)))
+      val n = s.read.schema(nationSchema).option("header", "true")
+        .csv(s"$tmp/nation_csv")
+      val r = s.read.schema(regionSchema).json(s"$tmp/region_json")
+      n.join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_nations"),
+          max(col("n_name")).as("max_nation"))
+        .orderBy("r_name")
+    })
+
+  /** Shared verbatim by the Spark query and the DuckDB oracle. */
+  private val groupingSetsSql =
+    s"""SELECT yr, o_orderpriority,
+       |  CAST(GROUPING(yr) AS BIGINT) AS g_yr,
+       |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_pri,
+       |  COUNT(*) AS n_orders,
+       |  ${MONEY("o_totalprice")} AS total_sum
+       |FROM (SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, o_orderpriority,
+       |        o_totalprice FROM orders)
+       |GROUP BY GROUPING SETS ((yr), (o_orderpriority), ())
+       |ORDER BY g_yr, g_pri, yr NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+    "q_cube" ->
+      s"""SELECT o_orderstatus, o_orderpriority,
+         |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS gs,
+         |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS gp,
+         |  COUNT(*) AS n_orders, ${MONEY("o_totalprice")} AS total_sum
+         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+         |ORDER BY gs, gp, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q_grouping_sets" -> groupingSetsSql,
+
+    "q_cogroup_join" ->
+      s"""WITH c AS (SELECT c_nationkey AS k, COUNT(*) AS n_cust,
+         |    SUM(${CENTS("c_acctbal")}) AS cc FROM customer GROUP BY 1),
+         |s AS (SELECT s_nationkey AS k, COUNT(*) AS n_supp,
+         |    SUM(${CENTS("s_acctbal")}) AS sc FROM supplier GROUP BY 1)
+         |SELECT CAST(COALESCE(c.k, s.k) AS BIGINT) AS nationkey,
+         |  COALESCE(n_cust, 0) AS n_cust,
+         |  CAST(COALESCE(cc, 0) AS DOUBLE)/100.0 AS cust_acct_sum,
+         |  COALESCE(n_supp, 0) AS n_supp,
+         |  CAST(COALESCE(sc, 0) AS DOUBLE)/100.0 AS supp_acct_sum
+         |FROM c FULL OUTER JOIN s ON c.k = s.k ORDER BY nationkey""".stripMargin,
+
+    "q_asof_join" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+         |    event_type FROM events),
+         |u AS (
+         |  SELECT user_id, ts_us, 0 AS tag, event_id AS cid,
+         |    CAST(NULL AS BIGINT) AS pid FROM e WHERE event_type = 'click'
+         |  UNION ALL
+         |  SELECT user_id, ts_us, 1, CAST(NULL AS BIGINT), event_id
+         |  FROM e WHERE event_type = 'purchase'),
+         |w AS (
+         |  SELECT *,
+         |    last_value(cid IGNORE NULLS) OVER win AS click_id,
+         |    last_value(CASE WHEN tag = 0 THEN ts_us END IGNORE NULLS)
+         |      OVER win AS click_ts_us
+         |  FROM u
+         |  WINDOW win AS (PARTITION BY user_id ORDER BY ts_us, tag, cid
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |SELECT pid AS event_id, user_id, ts_us, click_id,
+         |  ts_us - click_ts_us AS gap_us
+         |FROM w WHERE tag = 1 ORDER BY event_id""".stripMargin,
+
+    "q_range_join" ->
+      s"""WITH e AS (
+         |  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+         |  FROM events),
+         |c AS (
+         |  SELECT a.event_id, COUNT(*) AS n
+         |  FROM e a JOIN e b ON a.user_id = b.user_id
+         |    AND b.ts_us > a.ts_us AND b.ts_us <= a.ts_us + 300000000
+         |  GROUP BY 1)
+         |SELECT e.event_id, e.user_id, e.ts_us,
+         |  CAST(COALESCE(c.n, 0) AS BIGINT) AS n_next_5min
+         |FROM e LEFT JOIN c USING (event_id) ORDER BY event_id""".stripMargin,
+
+    "q_multiformat" ->
+      """SELECT r_name, COUNT(*) AS n_nations, max(n_name) AS max_nation
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin)
+}
