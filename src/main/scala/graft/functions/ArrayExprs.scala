@@ -1,0 +1,168 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpectsInputTypes, ExpressionInfo}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** Native Catalyst expressions for the engine's hot array kernels.
+  *
+  * These replace Scala UDFs on the pairwise scoring paths (similarity dot /
+  * L2, dedup set-intersection). A UDF pays per-row CatalystConverter
+  * boxing (ArrayData → Seq[Long]) and breaks whole-stage codegen; these
+  * expressions read `ArrayData` primitives in place and emit a plain Java
+  * loop via `doGenCode`, so the join/filter stage they sit in stays one
+  * codegen'd pipeline. Preference order per the engine charter: builtin
+  * functions > native Expression > UDF; these kernels have no builtin.
+  *
+  * The reference engine has no expression language at all (its only scalar
+  * op is strcmp, reference mapreduce.c:62); this is the §2.2 "scalar
+  * functions" engine plan applied to the LLM-pipeline extension columns.
+  */
+object ArrayExprs {
+
+  sealed abstract class LongArrayFold extends BinaryExpression
+      with ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] =
+      Seq(ArrayType(LongType), ArrayType(LongType))
+    override def dataType: DataType = LongType
+    override def nullIntolerant: Boolean = true
+    /** Java statement folding element i of arrays `a`,`b` into long acc `s`. */
+    protected def foldJava(a: String, b: String): String
+    protected def foldScala(x: Long, y: Long): Long
+
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val n = math.min(a.numElements(), b.numElements())
+      var s = 0L
+      var i = 0
+      while (i < n) { s += foldScala(a.getLong(i), b.getLong(i)); i += 1 }
+      s
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val s = ctx.freshName("s")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |long $s = 0L;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  ${foldJava(s"$a.getLong($i)", s"$b.getLong($i)").replace("ACC", s)}
+           |}
+           |${ev.value} = $s;
+         """.stripMargin
+      })
+  }
+
+  /** Exact dot product of two long arrays (micro-scaled embeddings). */
+  case class LongArrayDot(left: Expression, right: Expression)
+      extends LongArrayFold {
+    override def prettyName: String = "graft_dot"
+    override protected def foldJava(x: String, y: String): String =
+      s"ACC += $x * $y;"
+    override protected def foldScala(x: Long, y: Long): Long = x * y
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** Exact squared L2 distance of two long arrays. */
+  case class LongArrayL2Sq(left: Expression, right: Expression)
+      extends LongArrayFold {
+    override def prettyName: String = "graft_l2sq"
+    override protected def foldJava(x: String, y: String): String =
+      s"long d = $x - $y; ACC += d * d;"
+    override protected def foldScala(x: Long, y: Long): Long = {
+      val d = x - y; d * d
+    }
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** |A ∩ B| for two SORTED int arrays (dictionary-encoded gram sets) via
+    * merge walk — the PPJoin verification kernel. */
+  case class SortedIntIntersectSize(left: Expression, right: Expression)
+      extends BinaryExpression with ExpectsInputTypes {
+    override def prettyName: String = "graft_intersect_size"
+    override def inputTypes: Seq[DataType] =
+      Seq(ArrayType(IntegerType), ArrayType(IntegerType))
+    override def dataType: DataType = LongType
+    override def nullIntolerant: Boolean = true
+
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val na = a.numElements(); val nb = b.numElements()
+      var i = 0; var j = 0; var c = 0L
+      while (i < na && j < nb) {
+        val x = a.getInt(i); val y = b.getInt(j)
+        if (x == y) { c += 1; i += 1; j += 1 }
+        else if (x < y) i += 1
+        else j += 1
+      }
+      c
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+        val i = ctx.freshName("i"); val j = ctx.freshName("j")
+        val c = ctx.freshName("c")
+        val x = ctx.freshName("x"); val y = ctx.freshName("y")
+        s"""
+           |int $na = $a.numElements(); int $nb = $b.numElements();
+           |int $i = 0; int $j = 0; long $c = 0L;
+           |while ($i < $na && $j < $nb) {
+           |  int $x = $a.getInt($i); int $y = $b.getInt($j);
+           |  if ($x == $y) { $c++; $i++; $j++; }
+           |  else if ($x < $y) { $i++; } else { $j++; }
+           |}
+           |${ev.value} = $c;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  // ---- Column wrappers (the library's public algebra) ----
+
+  def dot(a: Column, b: Column): Column =
+    ColumnBridge(LongArrayDot(ColumnBridge.expr(a), ColumnBridge.expr(b)))
+
+  def l2sq(a: Column, b: Column): Column =
+    ColumnBridge(LongArrayL2Sq(ColumnBridge.expr(a), ColumnBridge.expr(b)))
+
+  def intersectSize(a: Column, b: Column): Column =
+    ColumnBridge(SortedIntIntersectSize(ColumnBridge.expr(a), ColumnBridge.expr(b)))
+}
+
+/** SQL-surface registration: `spark.sql.extensions=graft.functions.GraftExtensions`
+  * (or `.withExtensions(new GraftExtensions)`) makes the kernels available as
+  * `graft_dot`, `graft_l2sq`, `graft_intersect_size` in any SQL text. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import ArrayExprs._
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    def info(name: String, usage: String) =
+      new ExpressionInfo(classOf[ArrayExprs.type].getName, null, name, usage, "")
+    ext.injectFunction((FunctionIdentifier("graft_dot"),
+      info("graft_dot", "graft_dot(a, b) - exact dot product of long arrays"),
+      (cs: Seq[Expression]) => LongArrayDot(cs(0), cs(1))))
+    ext.injectFunction((FunctionIdentifier("graft_l2sq"),
+      info("graft_l2sq", "graft_l2sq(a, b) - exact squared L2 distance"),
+      (cs: Seq[Expression]) => LongArrayL2Sq(cs(0), cs(1))))
+    ext.injectFunction((FunctionIdentifier("graft_intersect_size"),
+      info("graft_intersect_size",
+        "graft_intersect_size(a, b) - |A∩B| of sorted int arrays"),
+      (cs: Seq[Expression]) => SortedIntIntersectSize(cs(0), cs(1))))
+  }
+}

@@ -70,28 +70,12 @@ object DedupQueries {
     * Raw loop on dictionary-encoded gram ids: exact (dense ids, no hashing),
     * and ~100 integer ops per pair vs interpreted `array_intersect` building a
     * hash set of strings per row. */
-  private val intersectSize = udf { (a: Seq[Int], b: Seq[Int]) =>
-    // iterator merge, not indexed access — the Seq Spark hands a UDF has no
-    // O(1) apply guarantee, and an indexed walk goes quadratic per pair.
-    val ia = a.iterator; val ib = b.iterator
-    var c = 0L
-    if (ia.hasNext && ib.hasNext) {
-      var x = ia.next(); var y = ib.next()
-      var done = false
-      while (!done) {
-        if (x == y) {
-          c += 1
-          if (ia.hasNext && ib.hasNext) { x = ia.next(); y = ib.next() }
-          else done = true
-        } else if (x < y) {
-          if (ia.hasNext) x = ia.next() else done = true
-        } else {
-          if (ib.hasNext) y = ib.next() else done = true
-        }
-      }
-    }
-    c
-  }
+  /** PPJoin verification kernel: |A∩B| of sorted gid arrays as a native
+    * codegen'd expression (see [[graft.functions.ArrayExprs]]) — the merge
+    * walk reads ArrayData primitives in place inside whole-stage codegen. */
+  private def intersectSize(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column) =
+    graft.functions.ArrayExprs.intersectSize(a, b)
 
   /** Exact Jaccard-join ≥ t over distinct gram sets: PPJoin (Xiao et al.,
     * WWW'08) on a dictionary-encoded corpus. `e` must have columns

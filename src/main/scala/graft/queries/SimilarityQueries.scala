@@ -29,23 +29,15 @@ object SimilarityQueries {
   private val NProbe = 4
   private val TopK = 5
 
-  // Iterator-merge UDFs for the hot pairwise scoring paths: identical long
-  // arithmetic to the Catalyst zip_with/aggregate forms (so oracle hashes are
-  // unchanged) but raw JVM loops instead of interpreted per-element lambdas —
-  // higher-order functions are not codegen'd and cost ~an order of magnitude
-  // more per pair.
-  private val dotU = udf { (a: Seq[Long], b: Seq[Long]) =>
-    val ia = a.iterator; val ib = b.iterator
-    var s = 0L
-    while (ia.hasNext && ib.hasNext) s += ia.next() * ib.next()
-    s
-  }
-  private val l2U = udf { (a: Seq[Long], b: Seq[Long]) =>
-    val ia = a.iterator; val ib = b.iterator
-    var s = 0L
-    while (ia.hasNext && ib.hasNext) { val d = ia.next() - ib.next(); s += d * d }
-    s
-  }
+  // Native codegen'd kernels for the hot pairwise scoring paths: identical
+  // long arithmetic to the Catalyst zip_with/aggregate forms (so oracle
+  // hashes are unchanged), but the whole scoring stage stays inside
+  // whole-stage codegen — no per-row ArrayData→Seq conversion, no
+  // interpreted per-element lambdas. See [[graft.functions.ArrayExprs]].
+  private def dotU(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    graft.functions.ArrayExprs.dot(a, b)
+  private def l2U(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    graft.functions.ArrayExprs.l2sq(a, b)
 
   /** vec_id, label, int vector, exact squared norm. */
   private def vecs(s: SparkSession, dir: String): DataFrame =
