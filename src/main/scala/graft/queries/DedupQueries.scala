@@ -84,10 +84,11 @@ object DedupQueries {
     * 1. Gram dictionary ordered by ascending document frequency — gid order
     *    IS the rarity order. The dictionary is vocabulary-sized (a dimension
     *    table), so its global row_number window is not a scale hazard.
-    * 2. The dictionary-encoded corpus `eg` is localCheckpoint-materialized:
-    *    it feeds four plan branches (2× prefix self-join, 2× verify arrays)
-    *    and is ~1% the width of the raw text — the 100 TB analogue is writing
-    *    the encoded corpus once before the join, never re-tokenizing.
+    * 2. The dictionary-encoded corpus (one sorted gid array per doc) is
+    *    localCheckpoint-materialized: it feeds four plan branches (2× prefix
+    *    self-join, 2× verify arrays) and is ~1% the width of the raw text —
+    *    the 100 TB analogue is writing the encoded corpus once before the
+    *    join, never re-tokenizing.
     * 3. Candidates: inverted-index join restricted to each doc's prefix
     *    (first |X| − ⌈t·|X|⌉ + 1 gids — the globally-smallest common gram of
     *    any qualifying pair provably lands in both prefixes), with
@@ -105,14 +106,20 @@ object DedupQueries {
       .withColumn("gid", row_number().over(
         org.apache.spark.sql.expressions.Window.orderBy(col("df"), col("gram"))))
       .select(col("gram"), col("gid"))
-    val eg = e.join(dict, "gram")
-      .withColumn("pos", row_number().over(org.apache.spark.sql.expressions
-        .Window.partitionBy(col("doc_id")).orderBy(col("gid"))))
-      .select(col("doc_id"), col("ng"), col("gid"), col("pos"))
-      .localCheckpoint()
-    val ids = eg.groupBy(col("doc_id"), col("ng"))
+    // one row per doc: the sorted gid array. This is the only materialized
+    // intermediate (localCheckpoint) — compact (ints, not grams) and it feeds
+    // the prefix explode AND both verification joins.
+    val ids = e.join(dict, "gram")
+      .groupBy(col("doc_id"), col("ng"))
       .agg(sort_array(collect_list(col("gid"))).as("ids"))
-    val prefix = eg.where(col("pos") <= col("ng") - ceil(col("ng") * lit(t)) + 1)
+      .localCheckpoint()
+    // the prefix IS the head of the sorted array, so positions come from
+    // posexplode of a slice — no window, no extra shuffle.
+    val prefix = ids.select(col("doc_id"), col("ng"),
+        posexplode(slice(col("ids"), lit(1),
+          (col("ng") - ceil(col("ng") * lit(t)) + 1).cast("int"))))
+      .select(col("doc_id"), col("ng"), (col("pos") + 1).as("pos"),
+        col("col").as("gid"))
     val minOverlap = ceil((col("a.ng") + col("b.ng")) * lit(t / (1.0 + t)))
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.gid") === col("b.gid") && col("a.doc_id") < col("b.doc_id")

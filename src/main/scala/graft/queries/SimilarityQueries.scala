@@ -39,11 +39,16 @@ object SimilarityQueries {
   private def l2U(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
     graft.functions.ArrayExprs.l2sq(a, b)
 
-  /** vec_id, label, int vector, exact squared norm. */
+  /** vec_id, label, int vector, exact squared norm. Materialized once per
+    * query (localCheckpoint): the float→micro-int encode is an interpreted
+    * higher-order transform, and every similarity query fans the table into
+    * 2-3 plan branches — the 100 TB analogue is writing the quantized
+    * vectors once and scanning those. */
   private def vecs(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")
       .select(col("vec_id"), col("label"), intVec(col("embedding")).as("iv"))
       .withColumn("nrm", dotU(col("iv"), col("iv")))
+      .localCheckpoint()
 
   private def l2(a: String, b: String) = l2U(col(a), col(b))
 
@@ -69,15 +74,20 @@ object SimilarityQueries {
       val v = vecs(s, dir)
       val cents = v.where(col("vec_id") < NCells)
         .select(col("vec_id").as("cid"), col("iv").as("civ"))
-      val byDist = Window.partitionBy(col("vec_id"))
-        .orderBy(col("dist"), col("cid"))
       // one map pass: assign every vector to its nearest centroid cell.
+      // argmin as min_by over a hash aggregate — partial aggregation combines
+      // the 16 candidate cells map-side, where a ranking window would shuffle
+      // and sort the full |corpus|×|cells| candidate set.
       val assigned = v.crossJoin(broadcast(cents))
         .withColumn("dist", l2("iv", "civ"))
-        .withColumn("arn", row_number().over(byDist))
-        .where(col("arn") === 1)
-        .select(col("vec_id"), col("label"), col("iv"), col("nrm"), col("cid"))
-      // queries probe their nProbe nearest cells.
+        .groupBy(col("vec_id"))
+        .agg(min_by(struct(col("label"), col("iv"), col("nrm"), col("cid")),
+          struct(col("dist"), col("cid"))).as("m"))
+        .select(col("vec_id"), col("m.label").as("label"), col("m.iv").as("iv"),
+          col("m.nrm").as("nrm"), col("m.cid").as("cid"))
+      // queries probe their nProbe nearest cells (tiny side: |Q|×|cells|).
+      val byDist = Window.partitionBy(col("vec_id"))
+        .orderBy(col("dist"), col("cid"))
       val probes = v.where(col("vec_id") < 10).crossJoin(broadcast(cents))
         .withColumn("dist", l2("iv", "civ"))
         .withColumn("prn", row_number().over(byDist))
