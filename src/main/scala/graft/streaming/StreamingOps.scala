@@ -68,6 +68,20 @@ object StreamingOps {
       }
   }
 
+  /** Streaming exact dedup: first-seen row per normalized-text hash — the
+    * incremental twin of the batch `dedup_exact` query. State is the set of
+    * seen 32-byte keys; with the watermark, keys older than the delay are
+    * dropped from state, which is the standard bounded-state trade for
+    * unbounded streams (exactly-once within the watermark horizon). */
+  def dedupStream(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("norm_md5",
+        md5(regexp_replace(trim(lower(col("text"))), "[ \\t\\r\\n]+", " ")))
+      .withColumn("arrival", current_timestamp())
+      .withWatermark("arrival", "1 hour")
+      .dropDuplicates("norm_md5")
+      .select(col("doc_id"), col("norm_md5"))
+
   /** Bounded parquet dir → streaming DataFrame with the events schema
     * normalized the same way as the batch path (nanos long → micros). */
   def eventStream(spark: SparkSession, dir: String): DataFrame = {

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Physical-plan assertions: the properties that make the queries scale are
+  * pinned here so a refactor can't silently lose them (filter/column
+  * pushdown, broadcast vs shuffle joins, partial aggregation, no cartesian
+  * products). These are the .explain checks the 100 TB design notes promise.
+  *
+  * Codegen spans render as `*(n)` node prefixes; AQE plans only carry them
+  * after execution, so plans are collected first.
+  */
+class PlanQualitySpec extends SparkTestBase {
+
+  /** Final (post-AQE) physical plan, with untruncated scan metadata. */
+  private def planOf(df: DataFrame): String = {
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    df.collect()
+    df.queryExecution.executedPlan.toString()
+  }
+
+  test("q_filter_project: predicates and projection reach the parquet scan") {
+    val p = planOf(SparkEntry.queries("q_filter_project")(spark, sf))
+    assert(p.contains("PushedFilters: ["), s"no pushed filters in:\n$p")
+    assert(p.contains("GreaterThan(l_quantity,45.0)"), "quantity predicate not pushed")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), "date range not pushed")
+    // column pruning: the 11-column lineitem scan reads only the 5 needed
+    assert(!p.contains("l_partkey"), "unused column not pruned from scan")
+  }
+
+  test("q_broadcast_join: dimension joins broadcast, fact side never shuffles early") {
+    val p = planOf(SparkEntry.queries("q_broadcast_join")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), "expected broadcast joins")
+    assert(!p.contains("SortMergeJoin"), "dimension join degraded to SMJ")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("aggregates run partial then final (map-side combine)") {
+    for (q <- Seq("wordcount", "q1_agg")) {
+      val p = planOf(SparkEntry.queries(q)(spark, sf))
+      assert(p.contains("partial_"), s"$q lost map-side partial aggregation")
+    }
+  }
+
+  test("wordcount: whole-stage codegen covers the scan->agg pipeline") {
+    val p = planOf(SparkEntry.queries("wordcount")(spark, sf))
+    assert(p.contains("*("), s"no codegen spans in:\n$p")
+  }
+
+  test("native graft_dot kernel stays inside a codegen span") {
+    val df = Tables(spark, sf, "embeddings")
+      .select(graft.functions.Portable.intVec(col("embedding")).as("iv"))
+      .select(graft.functions.ArrayExprs.dot(col("iv"), col("iv")).as("d"))
+      .filter(col("d") >= 0)
+    val p = planOf(df)
+    // the projection evaluating graft_dot must be a codegen'd (starred) node;
+    // the upstream transform() HOF is expectedly interpreted.
+    assert("""\*\(\d+\) (Project|Filter) \[?graft_dot""".r.findFirstIn(p).isDefined,
+      s"graft_dot fell out of codegen:\n$p")
+  }
+
+  test("no unintended cartesian products anywhere in the query set") {
+    // sim_topk/sim_ann_ivf intentionally cross-join against broadcast
+    // centroid/query sets; everything else must be key-joined.
+    val exempt = Set("sim_topk", "sim_ann_ivf")
+    for ((name, fn) <- SparkEntry.queries if !exempt(name)) {
+      val p = planOf(fn(spark, sf))
+      assert(!p.contains("CartesianProduct"), s"$name has a cartesian product")
+    }
+  }
+}

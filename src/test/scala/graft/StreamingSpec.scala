@@ -22,6 +22,22 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming dedup keeps one row per normalized text") {
+    val schema = spark.read.parquet(s"$sf/documents.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .parquet(s"$sf/documents.parquet*")
+    val q = StreamingOps.dedupStream(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("dedup_out")
+      val batchDistinct = SparkEntry.queries("dedup_exact")(spark, sf).count()
+      assert(got.count() == batchDistinct)
+      assert(got.select("norm_md5").distinct().count() == batchDistinct)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionization matches batch q_sessionize") {
     val evs = Tables(spark, sf, "events")
       .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ts_us"),
