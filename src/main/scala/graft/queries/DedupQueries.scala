@@ -121,17 +121,31 @@ object DedupQueries {
       .select(col("doc_id"), col("ng"), (col("pos") + 1).as("pos"),
         col("col").as("gid"))
     val minOverlap = ceil((col("a.ng") + col("b.ng")) * lit(t / (1.0 + t)))
-    val cand = prefix.as("a").join(prefix.as("b"),
+    val matches = prefix.as("a").join(prefix.as("b"),
         col("a.gid") === col("b.gid") && col("a.doc_id") < col("b.doc_id")
           && col("a.ng") <= (col("b.ng") / t).cast("long")
           && col("b.ng") <= (col("a.ng") / t).cast("long")
           && lit(1) + least(col("a.ng") - col("a.pos"),
             col("b.ng") - col("b.pos")) >= minOverlap)
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      // distinct BEFORE verification: each surviving pair would otherwise
-      // re-join its gid arrays once per shared prefix gram — the narrow
-      // 16-byte pair shuffle is cheaper than ~1.7× array materialization.
-      .distinct()
+    // distinct BEFORE verification: each surviving pair would otherwise
+    // re-join its gid arrays once per shared prefix gram — the narrow pair
+    // shuffle is cheaper than ~1.7× array materialization. When doc ids fit
+    // 32 bits (known from the materialized ids table — one scalar read, like
+    // an AQE stat), the pair packs into one long, which makes the distinct's
+    // hash aggregate ~40% cheaper; wider ids fall back to the 2-column key.
+    val maxId = ids.agg(max(col("doc_id"))).head().getLong(0)
+    val cand =
+      if (maxId < (1L << 31))
+        matches
+          .select(shiftleft(col("a.doc_id"), 32)
+            .bitwiseOR(col("b.doc_id")).as("pk"))
+          .distinct()
+          .select(shiftright(col("pk"), 32).as("doc_a"),
+            col("pk").bitwiseAND(lit(0xffffffffL)).as("doc_b"))
+      else
+        matches
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
     cand
       .join(ids.select(col("doc_id").as("doc_a"), col("ng").as("na"),
         col("ids").as("ia")), "doc_a")
