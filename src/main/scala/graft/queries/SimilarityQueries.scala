@@ -75,16 +75,17 @@ object SimilarityQueries {
       val cents = v.where(col("vec_id") < NCells)
         .select(col("vec_id").as("cid"), col("iv").as("civ"))
       // one map pass: assign every vector to its nearest centroid cell.
-      // argmin as min_by over a hash aggregate — partial aggregation combines
-      // the 16 candidate cells map-side, where a ranking window would shuffle
-      // and sort the full |corpus|×|cells| candidate set.
-      val assigned = v.crossJoin(broadcast(cents))
+      // argmin as min(struct(dist, cid)) over a hash aggregate — partial
+      // aggregation combines the 16 candidate cells map-side, and the
+      // aggregate carries only 12 bytes per vector (not the vector itself);
+      // the (vec_id, cid) assignment then joins back to the corpus, which
+      // AQE broadcast-joins at this scale and co-partitions beyond.
+      val cellOf = v.crossJoin(broadcast(cents))
         .withColumn("dist", l2("iv", "civ"))
         .groupBy(col("vec_id"))
-        .agg(min_by(struct(col("label"), col("iv"), col("nrm"), col("cid")),
-          struct(col("dist"), col("cid"))).as("m"))
-        .select(col("vec_id"), col("m.label").as("label"), col("m.iv").as("iv"),
-          col("m.nrm").as("nrm"), col("m.cid").as("cid"))
+        .agg(min(struct(col("dist"), col("cid"))).as("m"))
+        .select(col("vec_id"), col("m.cid").as("cid"))
+      val assigned = v.join(cellOf, "vec_id")
       // queries probe their nProbe nearest cells (tiny side: |Q|×|cells|).
       val byDist = Window.partitionBy(col("vec_id"))
         .orderBy(col("dist"), col("cid"))
