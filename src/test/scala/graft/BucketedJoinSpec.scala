@@ -1,0 +1,54 @@
+package graft
+
+
+import org.apache.spark.sql.functions._
+
+/** Bucketing: the 100 TB fact-fact join strategy (SURVEY §7.1 slice 4 /
+  * charter "co-located joins via bucketing"). Both facts are written
+  * bucketed by the join key; the join then needs NO exchange of either side
+  * — the property this spec pins by inspecting the physical plan.
+  */
+class BucketedJoinSpec extends SparkTestBase {
+
+  test("join of two tables bucketed on the key runs without a shuffle") {
+    // managed tables land in the default spark-warehouse dir and are dropped
+    // (files included) in the finally block
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    try {
+      Tables(spark, sf, "orders")
+        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable("orders_b")
+      Tables(spark, sf, "lineitem")
+        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable("lineitem_b")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      val joined = spark.table("lineitem_b")
+        .join(spark.table("orders_b"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString()
+      // co-located: no Exchange below the join (the only exchange allowed is
+      // the final single-aggregation shuffle on o_orderpriority)
+      val joinPart = p.substring(p.indexOf("SortMergeJoin"))
+      assert(!joinPart.contains("Exchange hashpartitioning(l_orderkey")
+        && !joinPart.contains("Exchange hashpartitioning(o_orderkey"),
+        s"bucketed join still shuffles a side:\n$p")
+      // cross-check the result against the plain parquet join
+      val want = Tables(spark, sf, "lineitem")
+        .join(Tables(spark, sf, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .collect().map(_.toString).sorted.toSeq
+      assert(joined.collect().map(_.toString).sorted.toSeq == want)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    }
+  }
+}
