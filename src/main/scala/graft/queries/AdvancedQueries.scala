@@ -120,6 +120,27 @@ object AdvancedQueries {
         .orderBy("event_id")
     },
 
+    // TPC-H Q14 shape over the part dimension: promo revenue share per
+    // ship month. part broadcasts (a dimension); revenue stays exact-integer
+    // until the final ratio, whose formula is identical on the oracle side.
+    "q_promo_share" -> { (s, dir) =>
+      val l = Tables(s, dir, "lineitem")
+      val p = Tables(s, dir, "part")
+      l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        .groupBy(date_trunc("month", col("l_shipdate")).as("mon"))
+        .agg(
+          sum(when(col("p_type") === "PROMO",
+            cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+            .otherwise(0L)).as("promo_rev"),
+          sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+            .as("total_rev"))
+        .select(epochUs(col("mon")).as("mon_us"),
+          (col("promo_rev").cast("double") * lit(100.0)
+            / col("total_rev").cast("double")).as("promo_pct"),
+          (col("total_rev").cast("double") / lit(10000.0)).as("revenue"))
+        .orderBy("mon_us")
+    },
+
     // Connector surface: nation → CSV, region → JSON (explicit schemas on
     // read), then the same broadcast-join aggregate as the parquet path.
     "q_multiformat" -> { (s, dir) =>
@@ -211,6 +232,21 @@ object AdvancedQueries {
          |SELECT e.event_id, e.user_id, e.ts_us,
          |  CAST(COALESCE(c.n, 0) AS BIGINT) AS n_next_5min
          |FROM e LEFT JOIN c USING (event_id) ORDER BY event_id""".stripMargin,
+
+    "q_promo_share" ->
+      s"""WITH m AS (
+         |  SELECT date_trunc('month', l_shipdate) AS mon,
+         |    CAST(SUM(CASE WHEN p_type = 'PROMO'
+         |      THEN ${CENTS("l_extendedprice")} * (100 - ${CENTS("l_discount")})
+         |      ELSE 0 END) AS BIGINT) AS promo_rev,
+         |    CAST(SUM(${CENTS("l_extendedprice")} * (100 - ${CENTS("l_discount")}))
+         |      AS BIGINT) AS total_rev
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  GROUP BY 1)
+         |SELECT epoch_us(mon) AS mon_us,
+         |  CAST(promo_rev AS DOUBLE)*100.0/CAST(total_rev AS DOUBLE) AS promo_pct,
+         |  CAST(total_rev AS DOUBLE)/10000.0 AS revenue
+         |FROM m ORDER BY mon_us""".stripMargin,
 
     "q_multiformat" ->
       """SELECT r_name, COUNT(*) AS n_nations, max(n_name) AS max_nation
