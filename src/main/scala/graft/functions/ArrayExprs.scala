@@ -152,6 +152,8 @@ object ArrayExprs {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import ArrayExprs._
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // custom whole-operator semantics: the native as-of join planner rule
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     def info(name: String, usage: String) =
       new ExpressionInfo(classOf[ArrayExprs.type].getName, null, name, usage, "")
     ext.injectFunction((FunctionIdentifier("graft_dot"),

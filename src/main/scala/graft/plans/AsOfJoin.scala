@@ -1,0 +1,151 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.graftbridge.{ColumnBridge, DatasetBridge}
+
+/** Native as-of join: for every left row, the single right row with the same
+  * key and the greatest timestamp ≤ the left timestamp (ties broken by the
+  * greatest `rightTie`), or nulls if none — LEFT OUTER as-of semantics.
+  *
+  * This is the charter's custom-operator ladder rung (c): Spark has no as-of
+  * operator, and while the union+window composition (AdvancedQueries
+  * "q_asof_join") expresses the semantics, a dedicated operator does it with
+  * one sort-merge pass and no union blow-up. The pieces are the standard
+  * extension points: a [[AsOfJoinPlan]] logical node, [[AsOfJoinStrategy]]
+  * injected through SparkSessionExtensions (GraftExtensions), and a
+  * [[AsOfJoinExec]] physical operator that declares ClusteredDistribution +
+  * (key, ts) ordering requirements so EnsureRequirements plans exactly the
+  * same exchanges/sorts a sort-merge join would get — one shuffle per side,
+  * streaming merge, no state beyond one buffered row.
+  */
+object AsOfJoin {
+
+  /** leftOn/rightOn: equality key; leftTs/rightTs: the as-of axis;
+    * rightTie: unique tiebreaker for equal timestamps (determinism). */
+  def apply(left: DataFrame, right: DataFrame,
+      leftOn: Column, rightOn: Column,
+      leftTs: Column, rightTs: Column, rightTie: Column): DataFrame = {
+    val plan = AsOfJoinPlan(
+      ColumnBridge.expr(leftOn), ColumnBridge.expr(rightOn),
+      ColumnBridge.expr(leftTs), ColumnBridge.expr(rightTs),
+      ColumnBridge.expr(rightTie),
+      planOf(left), planOf(right))
+    DatasetBridge.ofRows(left.sparkSession, plan)
+  }
+
+  private def planOf(df: DataFrame): LogicalPlan =
+    df.queryExecution.analyzed
+}
+
+case class AsOfJoinPlan(
+    leftKey: Expression, rightKey: Expression,
+    leftTs: Expression, rightTs: Expression, rightTie: Expression,
+    left: LogicalPlan, right: LogicalPlan) extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): LogicalPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans AsOfJoinPlan → AsOfJoinExec; injected via
+  * `ext.injectPlannerStrategy(_ => AsOfJoinStrategy)`. */
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinPlan(lk, rk, lts, rts, rtie, l, r) =>
+      AsOfJoinExec(lk, rk, lts, rts, rtie, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsOfJoinExec(
+    leftKey: Expression, rightKey: Expression,
+    leftTs: Expression, rightTs: Expression, rightTie: Expression,
+    left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKey :: Nil) ::
+      ClusteredDistribution(rightKey :: Nil) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, Ascending),
+      SortOrder(rightTie, Ascending)))
+
+  override def outputOrdering: Seq[SortOrder] =
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    // capture only serializable pieces; projections/orderings are
+    // constructed per partition on the executor (codegen happens there,
+    // exactly like SortMergeJoinExec)
+    val lKeyExpr = leftKey; val lTsExpr = leftTs
+    val rKeyExpr = rightKey; val rTsExpr = rightTs
+    val lOut = left.output; val rOut = right.output
+    val keyType = leftKey.dataType
+    val tsTypeL = leftTs.dataType
+    val rightArity = right.output.length
+    val outAttrs = output
+    left.execute().zipPartitions(right.execute()) { (li, ri) =>
+      val lKeyProj = UnsafeProjection.create(Seq(lKeyExpr, lTsExpr), lOut)
+      val rKeyProj = UnsafeProjection.create(Seq(rKeyExpr, rTsExpr), rOut)
+      val keyOrd = TypeUtils.getInterpretedOrdering(keyType)
+      val tsOrd = TypeUtils.getInterpretedOrdering(tsTypeL)
+      val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
+      val nullRight = new GenericInternalRow(rightArity)
+      val joined = new JoinedRow
+      val rBuf = ri.buffered
+      new Iterator[InternalRow] {
+        private var matchKey: Any = null
+        private var matchRow: InternalRow = null
+        override def hasNext: Boolean = li.hasNext
+        override def next(): InternalRow = {
+          val l = li.next()
+          val lk = lKeyProj(l)
+          val lKey = lk.get(0, keyType)
+          val lTs = lk.get(1, tsTypeL)
+          if (lKey == null) {
+            resultProj(joined(l, nullRight))
+          } else {
+            // advance the right side past everything (key < lKey) and absorb
+            // rows of lKey with ts <= lTs as the running best match
+            var advancing = true
+            while (advancing && rBuf.hasNext) {
+              val rk = rKeyProj(rBuf.head)
+              val rKey = rk.get(0, keyType)
+              val cmp = if (rKey == null) -1 else keyOrd.compare(rKey, lKey)
+              if (cmp < 0) { rBuf.next() }
+              else if (cmp == 0 &&
+                  tsOrd.compare(rk.get(1, tsTypeL), lTs) <= 0) {
+                // defensive copy for reference-typed keys (the projection
+                // buffer is reused across rows)
+                matchKey = lKey match {
+                  case s: org.apache.spark.unsafe.types.UTF8String => s.clone()
+                  case x => x
+                }
+                matchRow = rBuf.next().copy()
+              } else advancing = false
+            }
+            val ok = matchRow != null && matchKey != null &&
+              keyOrd.compare(matchKey, lKey) == 0
+            resultProj(joined(l, if (ok) matchRow else nullRight))
+          }
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): SparkPlan =
+    copy(left = newLeft, right = newRight)
+}

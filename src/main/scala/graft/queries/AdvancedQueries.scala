@@ -98,6 +98,27 @@ object AdvancedQueries {
         .orderBy("event_id")
     },
 
+    // The SAME as-of semantics through the native operator
+    // (graft.plans.AsOfJoin: logical node + injected strategy + sort-merge
+    // physical plan). Shares q_asof_join's oracle — the driver's gate proves
+    // the custom operator against DuckDB, and the two asof paths against
+    // each other.
+    "q_asof_native" -> { (s, dir) =>
+      val e = Tables(s, dir, "events")
+        .withColumn("ts_us", expr("ts div 1000"))
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      val clicks = e.where(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts_us").as("click_ts_us"),
+          col("event_id").as("click_id"))
+      graft.plans.AsOfJoin(purchases, clicks,
+          purchases("user_id"), clicks("c_user"),
+          purchases("ts_us"), clicks("click_ts_us"), clicks("click_id"))
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("click_id"), (col("ts_us") - col("click_ts_us")).as("gap_us"))
+        .orderBy("event_id")
+    },
+
     // Range join: per event, how many same-user events fall in the next five
     // minutes. The successor side is exploded into its own and the previous
     // 5-minute bucket, so the join is pure equi-key on (user, bucket); the
@@ -163,6 +184,31 @@ object AdvancedQueries {
         .orderBy("r_name")
     })
 
+  /** Shared by q_asof_join (union+window composition) and q_asof_native (the
+    * custom operator) — one semantic contract, two implementations, both
+    * driver-verified against DuckDB. */
+  private val asofOracle =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+       |    event_type FROM events),
+       |u AS (
+       |  SELECT user_id, ts_us, 0 AS tag, event_id AS cid,
+       |    CAST(NULL AS BIGINT) AS pid FROM e WHERE event_type = 'click'
+       |  UNION ALL
+       |  SELECT user_id, ts_us, 1, CAST(NULL AS BIGINT), event_id
+       |  FROM e WHERE event_type = 'purchase'),
+       |w AS (
+       |  SELECT *,
+       |    last_value(cid IGNORE NULLS) OVER win AS click_id,
+       |    last_value(CASE WHEN tag = 0 THEN ts_us END IGNORE NULLS)
+       |      OVER win AS click_ts_us
+       |  FROM u
+       |  WINDOW win AS (PARTITION BY user_id ORDER BY ts_us, tag, cid
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+       |SELECT pid AS event_id, user_id, ts_us, click_id,
+       |  ts_us - click_ts_us AS gap_us
+       |FROM w WHERE tag = 1 ORDER BY event_id""".stripMargin
+
   /** Shared verbatim by the Spark query and the DuckDB oracle. */
   private val groupingSetsSql =
     s"""SELECT yr, o_orderpriority,
@@ -198,27 +244,9 @@ object AdvancedQueries {
          |  CAST(COALESCE(sc, 0) AS DOUBLE)/100.0 AS supp_acct_sum
          |FROM c FULL OUTER JOIN s ON c.k = s.k ORDER BY nationkey""".stripMargin,
 
-    "q_asof_join" ->
-      s"""WITH e AS (
-         |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
-         |    event_type FROM events),
-         |u AS (
-         |  SELECT user_id, ts_us, 0 AS tag, event_id AS cid,
-         |    CAST(NULL AS BIGINT) AS pid FROM e WHERE event_type = 'click'
-         |  UNION ALL
-         |  SELECT user_id, ts_us, 1, CAST(NULL AS BIGINT), event_id
-         |  FROM e WHERE event_type = 'purchase'),
-         |w AS (
-         |  SELECT *,
-         |    last_value(cid IGNORE NULLS) OVER win AS click_id,
-         |    last_value(CASE WHEN tag = 0 THEN ts_us END IGNORE NULLS)
-         |      OVER win AS click_ts_us
-         |  FROM u
-         |  WINDOW win AS (PARTITION BY user_id ORDER BY ts_us, tag, cid
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-         |SELECT pid AS event_id, user_id, ts_us, click_id,
-         |  ts_us - click_ts_us AS gap_us
-         |FROM w WHERE tag = 1 ORDER BY event_id""".stripMargin,
+    "q_asof_join" -> asofOracle,
+
+    "q_asof_native" -> asofOracle,
 
     "q_range_join" ->
       s"""WITH e AS (
