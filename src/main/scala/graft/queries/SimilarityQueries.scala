@@ -29,6 +29,15 @@ object SimilarityQueries {
   private val NProbe = 4
   private val TopK = 5
 
+  // Random-hyperplane LSH: 6 deterministic integer hyperplanes (seed fixed)
+  // → 64 sign-buckets. Integer coefficients keep the signature exact on both
+  // the Spark and DuckDB sides.
+  private val NPlanes = 6
+  private val planes: Seq[Seq[Long]] = {
+    val rng = new scala.util.Random(7)
+    Seq.fill(NPlanes)(Seq.fill(64)((rng.nextInt(19) - 9).toLong))
+  }
+
   // Native codegen'd kernels for the hot pairwise scoring paths: identical
   // long arithmetic to the Catalyst zip_with/aggregate forms (so oracle
   // hashes are unchanged), but the whole scoring stage stays inside
@@ -98,6 +107,31 @@ object SimilarityQueries {
       val w = Window.partitionBy(col("qid"))
         .orderBy(col("cos").desc, col("nbr_id"))
       probes.join(assigned, "cid")
+        .where(col("vec_id") =!= col("qid"))
+        .withColumn("cos", cosine(dotU(col("qiv"), col("iv")), col("qnrm"), col("nrm")))
+        .select(col("qid"), col("vec_id").as("nbr_id"), col("cos"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .where(col("rnk") <= TopK)
+        .orderBy("qid", "rnk")
+    },
+
+    // Random-hyperplane LSH ANN: sign-bit bucket per vector (6 codegen'd
+    // graft_dot projections), candidates = same bucket, exact cosine top-k.
+    // The scale shape: one map pass computes buckets, the only join is
+    // per-bucket — the classic cosine-LSH trade of recall for ~1/|buckets|
+    // of the corpus scanned per query.
+    "sim_lsh" -> { (s, dir) =>
+      val v = vecs(s, dir)
+      val bucket = planes.zipWithIndex.map { case (p, j) =>
+        when(dotU(col("iv"), typedLit(p)) > 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      val withSig = v.withColumn("bucket", bucket)
+      val q = withSig.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("iv").as("qiv"),
+          col("nrm").as("qnrm"), col("bucket"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("nbr_id"))
+      withSig.join(broadcast(q), "bucket")
         .where(col("vec_id") =!= col("qid"))
         .withColumn("cos", cosine(dotU(col("qiv"), col("iv")), col("qnrm"), col("nrm")))
         .select(col("qid"), col("vec_id").as("nbr_id"), col("cos"))
@@ -180,6 +214,26 @@ object SimilarityQueries {
          |  FROM s)
          |SELECT qid, nbr_id, rnk, cos FROM r WHERE rnk <= $TopK
          |ORDER BY qid, rnk""".stripMargin,
+
+    "sim_lsh" -> {
+      val bucketSql = planes.zipWithIndex.map { case (p, j) =>
+        val lit = p.mkString("[", ", ", "]")
+        s"(CASE WHEN ${dotSql("iv", lit)} > 0 THEN ${1L << j} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH n AS ($normSql),
+         |b AS (SELECT vec_id, iv, nrm, $bucketSql AS bucket FROM n),
+         |s AS (
+         |  SELECT q.vec_id AS qid, e.vec_id AS nbr_id,
+         |    ${cosSql(dotSql("q.iv", "e.iv"), "q.nrm", "e.nrm")} AS cos
+         |  FROM b q JOIN b e ON q.vec_id < 10 AND e.bucket = q.bucket
+         |    AND e.vec_id <> q.vec_id),
+         |r AS (
+         |  SELECT qid, nbr_id, cos, CAST(row_number() OVER
+         |    (PARTITION BY qid ORDER BY cos DESC, nbr_id) AS BIGINT) AS rnk
+         |  FROM s)
+         |SELECT qid, nbr_id, rnk, cos FROM r WHERE rnk <= $TopK
+         |ORDER BY qid, rnk""".stripMargin
+    },
 
     "sim_neardup" ->
       s"""WITH n AS ($normSql)
