@@ -43,17 +43,27 @@ object DedupQueries {
     (a, b)
   }
 
-  /** doc_id + distinct word-trigram shingle set. */
-  private def shingles(s: SparkSession, dir: String): DataFrame =
+  /** doc_id + distinct word-trigram shingle set. Typed flatMap (same proven
+    * tokenizer as the MR layer) — the nested-HOF Catalyst form pays the
+    * interpreted-lambda tax on every pass. Docs too short to shingle can
+    * never pair, so they are dropped (matches the oracle's empty range). */
+  private def shingles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     Tables(s, dir, "documents")
-      .select(col("doc_id"), tokens(col("text")).as("t"))
-      // guard: Spark sequence(1, n) with n<1 counts *down*; DuckDB range is
-      // empty. Docs too short to shingle can never pair, so drop them.
-      .where(size(col("t")) >= 3)
-      .select(col("doc_id"), array_distinct(transform(
-        sequence(lit(1), size(col("t")) - 2),
-        i => concat_ws(" ", element_at(col("t"), i),
-          element_at(col("t"), i + 1), element_at(col("t"), i + 2)))).as("s"))
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val t = text.toLowerCase.split("[ \t\r\n]+").filter(_.nonEmpty)
+        if (t.length < 3) Iterator.empty
+        else {
+          val set = scala.collection.mutable.LinkedHashSet.empty[String]
+          var i = 0
+          while (i < t.length - 2) {
+            set.add(t(i) + " " + t(i + 1) + " " + t(i + 2)); i += 1
+          }
+          Iterator((id, set.toSeq))
+        }
+      }.toDF("doc_id", "s")
+  }
 
   /** FNV-1a 64-bit over UTF-8 bytes, folded into [0, P). Only used for the
     * internal MinHash signature — never surfaces in query output, so it needs
