@@ -29,6 +29,24 @@ class MrSpec extends SparkTestBase {
     assert(one == many)
   }
 
+  test("O1 source shape: text files as an argv-style path list (reference main.c:13-18)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-txt")
+    val f1 = dir.resolve("basic.txt")
+    val f2 = dir.resolve("extra.txt")
+    java.nio.file.Files.writeString(f1,
+      "one\ntwo two\nthree three three\nfour four four four\n")
+    java.nio.file.Files.writeString(f2, "five five five five five\n")
+    def wc(paths: String*): Map[String, Long] = {
+      val lines = spark.read.textFile(paths: _*)
+      MR.wordcount(spark, lines, numPartitions = 3).collect().toMap
+    }
+    val got = wc(f1.toString, f2.toString)
+    assert(got == Map("one" -> 1L, "two" -> 2L, "three" -> 3L,
+      "four" -> 4L, "five" -> 5L))
+    // argv order must not matter (reference mapreduce.c:177 round-robin)
+    assert(wc(f2.toString, f1.toString) == got)
+  }
+
   test("runSorted visits keys in ascending order within each partition") {
     val lines = Seq("d a c b", "b d a a").toDS()
     val seen = MR.runSorted[String, String, (Int, String)](
