@@ -112,10 +112,20 @@ object DedupQueries {
     *    shuffle after dictionary encoding.
     */
   private def jaccardJoin(e: DataFrame, t: Double): DataFrame = {
-    val dict = e.groupBy(col("gram")).agg(count(lit(1)).as("df"))
-      .withColumn("gid", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("df"), col("gram"))))
-      .select(col("gram"), col("gid"))
+    // dense gid in global (df asc, gram) rarity order via distributed sort +
+    // zipWithIndex — NOT a single-partition ranking window, which would
+    // serialize on one task at web-corpus vocabulary sizes. Int gids cover
+    // vocabularies to 2^31 (a long-gid kernel is the swap beyond that).
+    val dict = {
+      val spark = e.sparkSession
+      import spark.implicits._
+      e.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+        .orderBy(col("df"), col("gram"))
+        .select(col("gram")).as[String]
+        .rdd.zipWithIndex()
+        .map { case (g, i) => (g, (i + 1).toInt) }
+        .toDF("gram", "gid")
+    }
     // one row per doc: the sorted gid array. This is the only materialized
     // intermediate (localCheckpoint) — compact (ints, not grams) and it feeds
     // the prefix explode AND both verification joins.
