@@ -34,6 +34,29 @@ object MultimodalQueries {
         .withColumn("frame_stride", expr("byte_len div n_frames"))
         .drop("h1", "h2")
         .orderBy("doc_id")
+    },
+
+    // Frame sampling: one row per evenly-strided frame offset — the shape a
+    // video sampler emits (graft.operators.MediaPipeline.frameOffsets),
+    // derived with the same stub decode as mm_features. posexplode keeps the
+    // whole expansion inside one narrow projection (no shuffle until the
+    // final order).
+    "mm_frames" -> { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .select(col("doc_id"), length(col("payload")).cast("long").as("byte_len"),
+          sha2(col("payload"), 256).as("sha"))
+        .withColumn("h1", conv(substring(col("sha"), 1, 8), 16, 10).cast("long"))
+        .withColumn("h2", conv(substring(col("sha"), 9, 8), 16, 10).cast("long"))
+        .withColumn("n_frames", lit(1L) + pmod(col("h1") + col("h2"), lit(8L)))
+        .withColumn("stride",
+          greatest(expr("byte_len div n_frames"), lit(1L)))
+        .select(col("doc_id"), col("n_frames"),
+          posexplode(expr("array_repeat(stride, CAST(n_frames AS INT))")))
+        .select(col("doc_id"), col("n_frames"),
+          col("pos").cast("long").as("frame_idx"),
+          (col("pos") * col("col")).as("frame_offset"))
+        .orderBy("doc_id", "frame_idx")
     })
 
   def oracles: Map[String, String] = Map(
@@ -51,5 +74,24 @@ object MultimodalQueries {
         |  16 + (h2 % 720) AS fake_height,
         |  1 + ((h1 + h2) % 8) AS n_frames,
         |  byte_len // (1 + ((h1 + h2) % 8)) AS frame_stride
-        |FROM h ORDER BY doc_id""".stripMargin)
+        |FROM h ORDER BY doc_id""".stripMargin,
+
+    "mm_frames" ->
+      """WITH m AS (
+        |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |    sha256(text) AS sha
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, byte_len,
+        |    1 + ((CAST(('0x' || substr(sha, 1, 8)) AS BIGINT)
+        |        + CAST(('0x' || substr(sha, 9, 8)) AS BIGINT)) % 8) AS n_frames
+        |  FROM m),
+        |f AS (
+        |  SELECT doc_id, n_frames,
+        |    greatest(byte_len // n_frames, 1) AS stride,
+        |    unnest(range(n_frames)) AS frame_idx
+        |  FROM h)
+        |SELECT doc_id, n_frames, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |  CAST(frame_idx * stride AS BIGINT) AS frame_offset
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin)
 }

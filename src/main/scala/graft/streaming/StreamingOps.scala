@@ -68,6 +68,16 @@ object StreamingOps {
       }
   }
 
+  /** Streaming wordcount: the flagship query incremental. Complete-mode
+    * aggregate state is one row per distinct word (vocabulary-bounded, not
+    * stream-bounded), updated with the same partial→final hash aggregation
+    * as the batch plan. */
+  def wordcountStream(docs: DataFrame): DataFrame =
+    docs
+      .select(explode(graft.functions.Portable.tokens(col("text"))).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("cnt"))
+
   /** Streaming exact dedup: first-seen row per normalized-text hash — the
     * incremental twin of the batch `dedup_exact` query. State is the set of
     * seen 32-byte keys; with the watermark, keys older than the delay are

@@ -22,6 +22,22 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming wordcount matches the batch flagship") {
+    val schema = spark.read.parquet(s"$sf/documents.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .parquet(s"$sf/documents.parquet*")
+    val q = StreamingOps.wordcountStream(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("wc_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("wc_out").as[(String, Long)].collect().toMap
+      val want = SparkEntry.queries("wordcount")(spark, sf)
+        .as[(String, Long)].collect().toMap
+      assert(got == want)
+    } finally q.stop()
+  }
+
   test("streaming dedup keeps one row per normalized text") {
     val schema = spark.read.parquet(s"$sf/documents.parquet").schema
     val stream = spark.readStream.schema(schema)
