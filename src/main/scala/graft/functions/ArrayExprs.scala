@@ -153,7 +153,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import ArrayExprs._
   override def apply(ext: SparkSessionExtensions): Unit = {
     // custom whole-operator semantics: the native as-of join planner rule
+    // plus the predicate-pushdown optimizer rule for its logical node
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsOf)
     def info(name: String, usage: String) =
       new ExpressionInfo(classOf[ArrayExprs.type].getName, null, name, usage, "")
     ext.injectFunction((FunctionIdentifier("graft_dot"),

@@ -55,6 +55,33 @@ case class AsOfJoinPlan(
     copy(left = newLeft, right = newRight)
 }
 
+/** Optimizer extension for the custom node: Catalyst's PushDownPredicates
+  * stops at operators it doesn't know, so a Filter above an as-of join would
+  * otherwise evaluate post-join and the parquet scan would read every left
+  * row. Left-side conjuncts are safe to push — each left row produces exactly
+  * one output row regardless of the others — so they migrate below the join
+  * (and from there Catalyst continues down to the scan's PushedFilters).
+  * Right-side predicates must NOT push: the operator's "latest eligible right
+  * row" selection depends on right rows a predicate might remove, and
+  * unmatched lefts emit nulls (outer semantics). Deterministic-only, like the
+  * builtin rule. Injected via `ext.injectOptimizerRule`. */
+object PushFilterThroughAsOf
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+  import org.apache.spark.sql.catalyst.expressions.And
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+  override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
+    case f @ Filter(cond, j: AsOfJoinPlan) =>
+      val (pushable, kept) = splitConjunctivePredicates(cond)
+        .partition(p => p.deterministic && p.references.subsetOf(j.left.outputSet))
+      if (pushable.isEmpty) f
+      else {
+        val pushed = j.copy(left = Filter(pushable.reduce(And), j.left))
+        if (kept.isEmpty) pushed else Filter(kept.reduce(And), pushed)
+      }
+  }
+}
+
 /** Plans AsOfJoinPlan → AsOfJoinExec; injected via
   * `ext.injectPlannerStrategy(_ => AsOfJoinStrategy)`. */
 object AsOfJoinStrategy extends SparkStrategy {

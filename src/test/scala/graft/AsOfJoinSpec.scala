@@ -31,6 +31,27 @@ class AsOfJoinSpec extends SparkTestBase {
       s"expected one sort per side:\n$p")
   }
 
+  test("optimizer rule pushes left-side filters below the as-of node") {
+    val df = SparkEntry.queries("q_asof_native")(spark, sf)
+      .where(col("user_id") < 10 && col("click_id").isNotNull)
+    val opt = df.queryExecution.optimizedPlan.toString()
+    // user_id < 10 references only left output → must sit BELOW AsOfJoinPlan;
+    // click_id is right-side output → must stay above.
+    val asofIdx = opt.indexOf("AsOfJoinPlan")
+    assert(asofIdx >= 0, opt)
+    val below = opt.substring(asofIdx)
+    assert(below.contains("user_id") && "(?s)< 10".r.findFirstIn(below).isDefined,
+      s"left filter not pushed below the join:\n$opt")
+    assert(!opt.substring(asofIdx).contains("isnotnull(click_id"),
+      s"right-side filter wrongly pushed:\n$opt")
+    // and pushed filters survive to the scan
+    df.collect()
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    val phys = df.queryExecution.executedPlan.toString()
+    assert(phys.contains("LessThan(user_id,10)"),
+      s"filter did not reach the parquet scan:\n$phys")
+  }
+
   test("unmatched left rows carry nulls (left-outer as-of)") {
     val df = SparkEntry.queries("q_asof_native")(spark, sf)
     // purchases before any click of that user exist in the fixture
