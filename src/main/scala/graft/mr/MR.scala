@@ -89,10 +89,13 @@ object MR {
               def hasNext: Boolean = buf.hasNext && buf.head._1 == k
               def next(): V = buf.next()._2
             }
-            val out = reducer(k, run).iterator
+            // materialize BEFORE draining: a lazy reducer output built over
+            // `run` (e.g. vs.map(...)) would otherwise read an exhausted
+            // iterator and silently emit nothing. Per-key output is bounded.
+            val out = reducer(k, run).iterator.toVector
             // drain-on-return (the reference livelocks here; we define it away)
             while (run.hasNext) run.next()
-            out
+            out.iterator
           }
         }.flatten
       }

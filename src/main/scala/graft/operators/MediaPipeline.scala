@@ -47,20 +47,23 @@ object MediaPipeline {
   }
 
   /** payload column (binary) + id column → decoded features, one decoder
-    * lifecycle per partition. */
+    * lifecycle per partition. close() runs exactly once, via the task
+    * completion listener — an iterator-side close would double-fire on
+    * repeated end-of-iterator hasNext() calls and never fire at all when a
+    * limit/take (or task failure) abandons the iterator mid-partition. */
   def decodeAll(df: DataFrame, decoder: Decoder): Dataset[MediaFeatures] = {
     import df.sparkSession.implicits._
     df.select(col("doc_id").cast("long"), col("payload").cast("binary"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         decoder.open()
-        val out = it.map { case (id, payload) =>
+        var closed = false
+        def closeOnce(): Unit = if (!closed) { closed = true; decoder.close() }
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
+        it.map { case (id, payload) =>
           val (w, h, nf, feats) = decoder.decode(payload)
           MediaFeatures(id, payload.length.toLong, w, h, nf, feats)
-        }
-        new Iterator[MediaFeatures] {
-          def hasNext: Boolean = { val n = out.hasNext; if (!n) decoder.close(); n }
-          def next(): MediaFeatures = out.next()
         }
       }
   }

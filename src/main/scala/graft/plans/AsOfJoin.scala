@@ -97,6 +97,13 @@ case class AsOfJoinExec(
     leftTs: Expression, rightTs: Expression, rightTie: Expression,
     left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
 
+  // the merge reads right-side slots with the LEFT side's data types — a
+  // silent-garbage hazard unless the types genuinely agree, so fail loudly
+  require(leftKey.dataType == rightKey.dataType,
+    s"as-of key types differ: ${leftKey.dataType} vs ${rightKey.dataType}")
+  require(leftTs.dataType == rightTs.dataType,
+    s"as-of timestamp types differ: ${leftTs.dataType} vs ${rightTs.dataType}")
+
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
 

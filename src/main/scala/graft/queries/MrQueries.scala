@@ -27,8 +27,12 @@ object MrQueries {
       val lines = Tables(s, dir, "documents")
         .select(concat_ws("|", col("lang"), col("source")).as("l")).as[String]
       val mapper = (line: String) => {
-        val Array(lang, source) = line.split('|')
-        Iterator((lang, source))
+        // indexOf, not split: split('|') drops a trailing empty source and
+        // would MatchError; first-separator semantics also survive a '|' in
+        // the source field.
+        val i = line.indexOf('|')
+        if (i < 0) Iterator.empty
+        else Iterator((line.substring(0, i), line.substring(i + 1)))
       }
       val reducer = (lang: String, vs: Iterator[String]) =>
         Iterator((lang, vs.toSet.size.toLong))

@@ -16,7 +16,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingOps {
 
-  case class Ev(user_id: Long, event_id: Long, ts_us: Long, val_cents: Long)
+  /** ts_t duplicates ts_us as a Timestamp: the watermark column must remain
+    * in the Dataset feeding flatMapGroupsWithState for event-time timeouts. */
+  case class Ev(user_id: Long, event_id: Long, ts_us: Long, val_cents: Long,
+      ts_t: Timestamp)
   case class SessionState(startUs: Long, lastUs: Long, n: Long, cents: Long)
   case class SessionOut(user_id: Long, sess_start_us: Long, sess_end_us: Long,
       n_events: Long, val_sum: Double)
@@ -34,37 +37,52 @@ object StreamingOps {
       .select(unix_micros(col("window.start")).as("ws_us"), col("event_type"),
         col("n"), col("val_sum"))
 
-  /** Gap-based sessionization with explicit state — the streaming twin of the
-    * batch window-function form in EventQueries ("q_sessionize").
+  /** Gap-based sessionization with real cross-batch state — the streaming
+    * twin of the batch window-function form in EventQueries ("q_sessionize").
     *
-    * ProcessingTimeTimeout + a final `complete=true` flush marker are not
-    * needed for the parity test because the source is bounded; in production
-    * the same function runs with EventTimeTimeout against the watermark.
-    */
+    * Per user the state is the one OPEN session. Each batch's events merge
+    * into it (sorted by (ts, id) like the batch ORDER BY); sessions closed by
+    * a gap emit immediately, the trailing session stays in state with an
+    * event-time timeout at last + gap — when the watermark passes that point
+    * no extension can arrive (late data bound = watermark delay), so the
+    * timeout callback emits it and clears state. Input must carry a watermark
+    * (see [[eventStream]] / StreamingSpec). */
   def sessionize(events: Dataset[Ev]): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[List[SessionState], SessionOut](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (userId: Long, evs: Iterator[Ev], state: GroupState[List[SessionState]]) =>
-          // bounded-source parity mode: all of a user's events arrive in one
-          // group; sort by (ts, id) like the batch ORDER BY and emit sessions.
-          val sorted = evs.toSeq.sortBy(e => (e.ts_us, e.event_id))
-          val sessions = scala.collection.mutable.ListBuffer.empty[SessionState]
-          var cur: SessionState = null
-          sorted.foreach { e =>
-            if (cur == null || e.ts_us - cur.lastUs > GapUs) {
-              if (cur != null) sessions += cur
-              cur = SessionState(e.ts_us, e.ts_us, 1L, e.val_cents)
-            } else {
-              cur = SessionState(cur.startUs, e.ts_us, cur.n + 1, cur.cents + e.val_cents)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, evs: Iterator[Ev], state: GroupState[SessionState]) =>
+          def out(st: SessionState): SessionOut =
+            SessionOut(userId, st.startUs, st.lastUs, st.n, st.cents / 100.0)
+          if (state.hasTimedOut) {
+            val open = state.get
+            state.remove()
+            Iterator(out(open))
+          } else {
+            val sorted = evs.toSeq.sortBy(e => (e.ts_us, e.event_id))
+            val closed = scala.collection.mutable.ListBuffer.empty[SessionState]
+            var cur: SessionState = state.getOption.orNull
+            sorted.foreach { e =>
+              if (cur == null || e.ts_us - cur.lastUs > GapUs) {
+                if (cur != null) closed += cur
+                cur = SessionState(e.ts_us, e.ts_us, 1L, e.val_cents)
+              } else {
+                cur = SessionState(cur.startUs, math.max(cur.lastUs, e.ts_us),
+                  cur.n + 1, cur.cents + e.val_cents)
+              }
             }
+            if (cur != null) {
+              state.update(cur)
+              // flush when the watermark proves no extension can arrive;
+              // must stay ahead of the current watermark or Spark rejects it
+              state.setTimeoutTimestamp(math.max(
+                cur.lastUs / 1000 + GapUs / 1000,
+                state.getCurrentWatermarkMs() + 1))
+            }
+            closed.iterator.map(out)
           }
-          if (cur != null) sessions += cur
-          state.update(Nil)
-          sessions.iterator.map(st =>
-            SessionOut(userId, st.startUs, st.lastUs, st.n, st.cents / 100.0))
       }
   }
 
@@ -79,17 +97,20 @@ object StreamingOps {
       .agg(count(lit(1)).as("cnt"))
 
   /** Streaming exact dedup: first-seen row per normalized-text hash — the
-    * incremental twin of the batch `dedup_exact` query. State is the set of
-    * seen 32-byte keys; with the watermark, keys older than the delay are
-    * dropped from state, which is the standard bounded-state trade for
-    * unbounded streams (exactly-once within the watermark horizon). */
+    * incremental twin of the batch `dedup_exact` query.
+    * `dropDuplicatesWithinWatermark` is the bounded-state form: plain
+    * `dropDuplicates("norm_md5")` would never evict (the watermark column is
+    * not a dedup key), growing state forever; within-watermark dedup keeps a
+    * key only until the watermark passes it — the standard trade of
+    * exactly-once-forever for exactly-once-within-horizon on unbounded
+    * streams. */
   def dedupStream(docs: DataFrame): DataFrame =
     docs
       .withColumn("norm_md5",
         md5(regexp_replace(trim(lower(col("text"))), "[ \\t\\r\\n]+", " ")))
       .withColumn("arrival", current_timestamp())
       .withWatermark("arrival", "1 hour")
-      .dropDuplicates("norm_md5")
+      .dropDuplicatesWithinWatermark("norm_md5")
       .select(col("doc_id"), col("norm_md5"))
 
   /** Bounded parquet dir → streaming DataFrame with the events schema

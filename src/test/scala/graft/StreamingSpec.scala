@@ -54,17 +54,55 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
-  test("flatMapGroupsWithState sessionization matches batch q_sessionize") {
-    val evs = Tables(spark, sf, "events")
-      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ts_us"),
-        round(col("value") * lit(100)).cast("long").as("val_cents"))
+  test("stateful sessionization across batches matches batch q_sessionize") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft-sess").toString
+    val ev = Tables(spark, sf, "events")
+    val schema = ev.schema
+    // split the stream mid-timeline so many sessions SPAN the batch boundary
+    // — this exercises the open-session state merge, not just within-batch
+    // sessionization
+    val median = ev
+      .selectExpr("CAST(percentile_cont(0.5) WITHIN GROUP (ORDER BY ts) AS BIGINT)")
+      .head().getLong(0)
+    val maxTs = ev.agg(max(col("ts"))).head().getLong(0)
+    def sentinel(uid: Long, ts: Long) =
+      spark.range(1).select(lit(uid).as("event_id"), lit(ts).as("ts"),
+        lit(uid).as("user_id"), lit("click").as("event_type"),
+        lit(0.0).as("value"), lit("{}").as("props"))
+
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/*.parquet")
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("ts_t", timestamp_micros(col("ts_us")))
+      .withWatermark("ts_t", "1 second")
+      .withColumn("val_cents", round(col("value") * lit(100)).cast("long"))
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("val_cents"),
+        col("ts_t"))
       .as[StreamingOps.Ev]
-    val got = StreamingOps.sessionize(evs)
-      .collect().map(s => (s.user_id, s.sess_start_us, s.sess_end_us, s.n_events, s.val_sum))
-      .toSet
-    val want = SparkEntry.queries("q_sessionize")(spark, sf)
-      .select("user_id", "sess_start_us", "sess_end_us", "n_events", "val_sum")
-      .as[(Long, Long, Long, Long, Double)].collect().toSet
-    assert(got == want)
+    val q = StreamingOps.sessionize(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+    try {
+      ev.where(col("ts") <= median).write.parquet(s"$dir/b1.parquet")
+      q.processAllAvailable()
+      ev.where(col("ts") > median).write.parquet(s"$dir/b2.parquet")
+      q.processAllAvailable()
+      // two far-future sentinels: the first advances the watermark past every
+      // open session's last+gap; the second runs a data batch afterwards so
+      // the event-time timeouts actually fire and flush the opens
+      sentinel(-1L, maxTs + 3600L * 1000 * 1000 * 1000)
+        .write.parquet(s"$dir/b3.parquet")
+      q.processAllAvailable()
+      sentinel(-2L, maxTs + 7200L * 1000 * 1000 * 1000)
+        .write.parquet(s"$dir/b4.parquet")
+      q.processAllAvailable()
+      val got = spark.table("sess_out").where(col("user_id") >= 0)
+        .select("user_id", "sess_start_us", "sess_end_us", "n_events", "val_sum")
+        .as[(Long, Long, Long, Long, Double)].collect().toSet
+      val want = SparkEntry.queries("q_sessionize")(spark, sf)
+        .select("user_id", "sess_start_us", "sess_end_us", "n_events", "val_sum")
+        .as[(Long, Long, Long, Long, Double)].collect().toSet
+      assert(got == want)
+    } finally q.stop()
   }
 }
