@@ -141,6 +141,20 @@ object AdvancedQueries {
         .orderBy("event_id")
     },
 
+    // Skew-safe top-k as a first-class query: the salted two-phase ranking
+    // (graft.operators.Salting) produces EXACTLY the single-window result,
+    // so the oracle is the plain ranking-window SQL — the gate proves the
+    // decomposition lossless while a hot key's rows fan across nSalts tasks.
+    "q_salted_topk" -> { (s, dir) =>
+      graft.operators.Salting.topKByKey(
+          Tables(s, dir, "orders"), col("o_custkey"),
+          Seq(col("o_totalprice").desc, col("o_orderkey")), k = 3,
+          nSalts = 16, saltOn = col("o_orderkey"))
+        .select(col("o_custkey"), col("o_orderkey"),
+          cents(col("o_totalprice")).as("total_cents"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
     // TPC-H Q14 shape over the part dimension: promo revenue share per
     // ship month. part broadcasts (a dimension); revenue stays exact-integer
     // until the final ratio, whose formula is identical on the oracle side.
@@ -260,6 +274,13 @@ object AdvancedQueries {
          |SELECT e.event_id, e.user_id, e.ts_us,
          |  CAST(COALESCE(c.n, 0) AS BIGINT) AS n_next_5min
          |FROM e LEFT JOIN c USING (event_id) ORDER BY event_id""".stripMargin,
+
+    "q_salted_topk" ->
+      s"""SELECT o_custkey, o_orderkey, ${CENTS("o_totalprice")} AS total_cents
+         |FROM (SELECT *, row_number() OVER
+         |    (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+         |  FROM orders)
+         |WHERE rn <= 3 ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "q_promo_share" ->
       s"""WITH m AS (
