@@ -69,6 +69,23 @@ object EventQueries {
         .orderBy("user_id", "sess_id")
     },
 
+    // Same gap sessions through Spark's BUILTIN session_window operator —
+    // the merging-window aggregate form (one shuffle, partial merge of
+    // overlapping windows) vs q_sessionize's window-function form; both are
+    // checked against the same session semantics in the oracle.
+    "q_session_window" -> { (s, dir) =>
+      events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts_t"), "30 minutes"))
+        .agg(
+          min(col("ts_us")).as("sess_start_us"),
+          max(col("ts_us")).as("sess_end_us"),
+          count(lit(1)).as("n_events"),
+          moneySum(col("value")).as("val_sum"))
+        .select(col("user_id"), col("sess_start_us"), col("sess_end_us"),
+          col("n_events"), col("val_sum"))
+        .orderBy("user_id", "sess_start_us")
+    },
+
     // JSON column surface: parse props, bucket, aggregate exact ints.
     "q_json_extract" -> { (s, dir) =>
       events(s, dir)
@@ -120,6 +137,26 @@ object EventQueries {
          |  max(ts_us) AS sess_end_us, COUNT(*) AS n_events,
          |  CAST(SUM(val_cents) AS DOUBLE)/100.0 AS val_sum
          |FROM g GROUP BY user_id, sess_id ORDER BY user_id, sess_id""".stripMargin,
+
+    // same gap-session CTE chain as q_sessionize, re-aggregated without the
+    // session ordinal (session_window carries no sess_id).
+    "q_session_window" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+         |    ${CENTS("\"value\"")} AS val_cents
+         |  FROM events),
+         |f AS (
+         |  SELECT *, CASE WHEN ts_us - lag(ts_us, 1) OVER w > 1800000000
+         |    OR lag(ts_us, 1) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         |g AS (
+         |  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
+         |    ORDER BY ts_us, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+         |  FROM f)
+         |SELECT user_id, min(ts_us) AS sess_start_us, max(ts_us) AS sess_end_us,
+         |  COUNT(*) AS n_events, CAST(SUM(val_cents) AS DOUBLE)/100.0 AS val_sum
+         |FROM g GROUP BY user_id, sess_id ORDER BY user_id, sess_start_us""".stripMargin,
 
     "q_json_extract" ->
       s"""WITH e AS (

@@ -102,6 +102,31 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // The training-data user story end-to-end: quality filter → exact dedup
+    // (keep lowest doc_id per normalized text) → per-language corpus stats.
+    // Every stage is one of the engine's operators composed declaratively;
+    // only the 32-byte norm hash and small aggregates cross shuffles.
+    "q_pipeline_clean" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val scored = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"), tokens(col("text")).as("t"))
+        .withColumn("n_tokens", size(col("t")).cast("long"))
+        .withColumn("n_distinct", size(array_distinct(col("t"))).cast("long"))
+        .where(col("n_tokens") >= 10 &&
+          col("n_distinct").cast("double") / col("n_tokens").cast("double") >= 0.3)
+      val deduped = scored
+        .withColumn("norm_md5",
+          md5(regexp_replace(trim(lower(col("text"))), "[ \\t\\r\\n]+", " ")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("norm_md5")).orderBy(col("doc_id"))))
+        .where(col("rn") === 1)
+      deduped.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          sum(col("n_distinct")).as("total_distinct"))
+        .orderBy("lang")
+    },
+
     "text_fingerprint" -> { (s, dir) =>
       Tables(s, dir, "documents")
         .select(
@@ -165,6 +190,26 @@ object TextQueries {
          |  CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9 \\t\\r\\n]')) AS BIGINT) AS n_bpe_tokens,
          |  CAST(len(list_distinct(${TOKENS("text")})) AS BIGINT) AS n_vocab
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_pipeline_clean" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, lang, text, ${TOKENS("text")} AS t FROM documents),
+         |q AS (
+         |  SELECT doc_id, lang, text,
+         |    CAST(len(t) AS BIGINT) AS n_tokens,
+         |    CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct
+         |  FROM d
+         |  WHERE CAST(len(t) AS BIGINT) >= 10
+         |    AND CAST(len(list_distinct(t)) AS DOUBLE)/CAST(len(t) AS DOUBLE) >= 0.3),
+         |r AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY md5(regexp_replace(trim(lower(text)), '[ \\t\\r\\n]+', ' ', 'g'))
+         |    ORDER BY doc_id) AS rn
+         |  FROM q)
+         |SELECT lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         |  CAST(SUM(n_distinct) AS BIGINT) AS total_distinct
+         |FROM r WHERE rn = 1 GROUP BY lang ORDER BY lang""".stripMargin,
 
     "text_fingerprint" ->
       s"""SELECT doc_id,
