@@ -69,9 +69,13 @@ object MediaPipeline {
   }
 
   /** Deterministic frame-sample offsets for a payload: evenly-spaced strides,
-    * the shape a real video sampler would produce. */
-  def frameOffsets(byteLen: Long, nFrames: Int): Seq[Long] = {
-    val stride = math.max(byteLen / math.max(nFrames, 1), 1L)
-    (0 until nFrames).map(i => i * stride)
-  }
+    * the shape a real video sampler would produce. Offsets are always within
+    * the payload — when nFrames exceeds byteLen the sample is truncated
+    * rather than pointing a reader past the end. */
+  def frameOffsets(byteLen: Long, nFrames: Int): Seq[Long] =
+    if (byteLen <= 0 || nFrames <= 0) Seq.empty
+    else {
+      val stride = math.max(byteLen / nFrames, 1L)
+      (0 until nFrames).map(_ * stride).filter(_ < byteLen)
+    }
 }

@@ -9,18 +9,17 @@ import org.apache.spark.sql.functions._
   */
 class AdvancedQueriesSpec extends SparkTestBase {
 
-  private def rows(name: String, parts: String = "8"): Seq[String] = {
-    spark.conf.set("spark.sql.shuffle.partitions", parts)
-    try SparkEntry.queries(name)(spark, sf).collect().toSeq.map(_.toString)
-    finally spark.conf.set("spark.sql.shuffle.partitions", "8")
-  }
+  private def rows(name: String, parts: String = "8"): Seq[String] =
+    withShufflePartitions(parts) {
+      SparkEntry.queries(name)(spark, sf).collect().toSeq.map(_.toString)
+    }
 
   test("as-of join: every matched click precedes its purchase") {
     val df = SparkEntry.queries("q_asof_join")(spark, sf)
     assert(df.count() > 0)
     assert(df.where(col("gap_us") < 0).isEmpty, "click after purchase")
     // unmatched purchases keep null click_id (left-as-of semantics)
-    assert(df.schema.fieldNames.contains("click_id"))
+    assert(df.where(col("click_id").isNull).count() > 0)
   }
 
   test("range join: counts are non-negative and bounded by user event count") {

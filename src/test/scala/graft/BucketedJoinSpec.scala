@@ -29,10 +29,11 @@ class BucketedJoinSpec extends SparkTestBase {
           col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n"))
-      joined.collect()
+      val result = joined.collect()
       val p = joined.queryExecution.executedPlan.toString()
       // co-located: no Exchange below the join (the only exchange allowed is
       // the final single-aggregation shuffle on o_orderpriority)
+      assert(p.contains("SortMergeJoin"), s"join strategy changed:\n$p")
       val joinPart = p.substring(p.indexOf("SortMergeJoin"))
       assert(!joinPart.contains("Exchange hashpartitioning(l_orderkey")
         && !joinPart.contains("Exchange hashpartitioning(o_orderkey"),
@@ -44,9 +45,10 @@ class BucketedJoinSpec extends SparkTestBase {
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n"))
         .collect().map(_.toString).sorted.toSeq
-      assert(joined.collect().map(_.toString).sorted.toSeq == want)
+      assert(result.map(_.toString).sorted.toSeq == want)
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
       spark.sql("DROP TABLE IF EXISTS orders_b")
       spark.sql("DROP TABLE IF EXISTS lineitem_b")
     }

@@ -6,11 +6,10 @@ package graft
   * (SURVEY §5 parallelism-sweep axiom applied to the heaviest operators). */
 class DedupInvarianceSpec extends SparkTestBase {
 
-  private def run(name: String, parts: String): Seq[String] = {
-    spark.conf.set("spark.sql.shuffle.partitions", parts)
-    try SparkEntry.queries(name)(spark, sf).collect().toSeq.map(_.toString)
-    finally spark.conf.set("spark.sql.shuffle.partitions", "8")
-  }
+  private def run(name: String, parts: String): Seq[String] =
+    withShufflePartitions(parts) {
+      SparkEntry.queries(name)(spark, sf).collect().toSeq.map(_.toString)
+    }
 
   for (q <- Seq("dedup_exact", "dedup_ngram", "dedup_minhash", "dedup_simhash")) {
     test(s"$q: identical results under shuffle partitions 1 vs 8") {

@@ -21,9 +21,17 @@ class MediaPipelineSpec extends SparkTestBase {
     }
   }
 
-  test("frameOffsets: evenly spaced, in-range") {
+  test("frameOffsets: evenly spaced, strictly in-range, degenerate-safe") {
     val offs = MediaPipeline.frameOffsets(1000, 4)
     assert(offs == Seq(0L, 250L, 500L, 750L))
-    assert(MediaPipeline.frameOffsets(3, 8).forall(_ >= 0))
+    // more frames than bytes: truncate, never point past the payload
+    assert(MediaPipeline.frameOffsets(3, 8) == Seq(0L, 1L, 2L))
+    assert(MediaPipeline.frameOffsets(0, 4).isEmpty)
+    assert(MediaPipeline.frameOffsets(10, 0).isEmpty)
+    for (len <- Seq(1L, 7L, 1000L); nf <- Seq(1, 3, 8)) {
+      val o = MediaPipeline.frameOffsets(len, nf)
+      assert(o.forall(x => x >= 0 && x < len), s"len=$len nf=$nf -> $o")
+      assert(o == o.sorted && o.distinct == o)
+    }
   }
 }

@@ -65,7 +65,9 @@ class PlanQualitySpec extends SparkTestBase {
     // centroid/query sets; everything else must be key-joined.
     val exempt = Set("sim_topk", "sim_ann_ivf")
     for ((name, fn) <- SparkEntry.queries if !exempt(name)) {
-      val p = planOf(fn(spark, sf))
+      // plan-only: AQE cannot introduce a CartesianProduct at runtime, so
+      // skip the (expensive) execution planOf does for codegen markers
+      val p = fn(spark, sf).queryExecution.executedPlan.toString()
       assert(!p.contains("CartesianProduct"), s"$name has a cartesian product")
     }
   }

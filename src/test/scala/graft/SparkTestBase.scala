@@ -22,4 +22,12 @@ object SparkTestBase {
 trait SparkTestBase extends AnyFunSuite {
   lazy val spark: SparkSession = SparkTestBase.spark
   def sf: String = SparkTestBase.sf
+
+  /** Run `body` under a specific shuffle-partition count, restoring whatever
+    * value the shared session had before (not a hardcoded constant). */
+  def withShufflePartitions[T](parts: String)(body: => T): T = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", parts)
+    try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
 }
