@@ -87,6 +87,27 @@ object DedupQueries {
       b: org.apache.spark.sql.Column) =
     graft.functions.ArrayExprs.intersectSize(a, b)
 
+  /** Word-bigram exact Jaccard self-join over a (doc_id, text) relation.
+    * Gram extraction runs as a typed flatMap — same tokenizer as the proven
+    * MR layer (reference main.c:22 semantics) — because interpreted Catalyst
+    * HOF chains cost ~50× codegen for this per-row shape. Public so the
+    * PPJoin losslessness property (JaccardPropertySpec) can drive it with
+    * arbitrary generated corpora. */
+  def ngramJaccardJoin(docs: DataFrame, t: Double): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val e = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val tk = text.toLowerCase.split("[ \t\r\n]+").filter(_.nonEmpty)
+        val set = scala.collection.mutable.LinkedHashSet.empty[String]
+        var i = 0
+        while (i < tk.length - 1) { set.add(tk(i) + " " + tk(i + 1)); i += 1 }
+        val ng = set.size.toLong
+        set.iterator.map(g => (id, ng, g))
+      }.toDF("doc_id", "ng", "gram")
+    jaccardJoin(e, t)
+  }
+
   /** Exact Jaccard-join ≥ t over distinct gram sets: PPJoin (Xiao et al.,
     * WWW'08) on a dictionary-encoded corpus. `e` must have columns
     * (doc_id, ng, gram) — one row per distinct gram per doc, ng = set size.
@@ -211,22 +232,9 @@ object DedupQueries {
 
     // Word-bigram Jaccard near-dup pairs: PPJoin candidate generation
     // (lossless, see jaccardJoin) + exact merge-intersect verification.
-    // Gram extraction runs as a typed flatMap — same tokenizer as the proven
-    // MR layer (reference main.c:22 semantics) — because interpreted Catalyst
-    // HOF chains cost ~50× codegen for this per-row shape.
     "dedup_ngram" -> { (s, dir) =>
-      import s.implicits._
-      val e = Tables(s, dir, "documents")
-        .select(col("doc_id"), col("text")).as[(Long, String)]
-        .flatMap { case (id, text) =>
-          val t = text.toLowerCase.split("[ \t\r\n]+").filter(_.nonEmpty)
-          val set = scala.collection.mutable.LinkedHashSet.empty[String]
-          var i = 0
-          while (i < t.length - 1) { set.add(t(i) + " " + t(i + 1)); i += 1 }
-          val ng = set.size.toLong
-          set.iterator.map(g => (id, ng, g))
-        }.toDF("doc_id", "ng", "gram")
-      jaccardJoin(e, 0.5)
+      ngramJaccardJoin(Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text")), 0.5)
     },
 
     // MinHash + LSH banding, then exact-Jaccard verification of candidates.
