@@ -76,10 +76,6 @@ object DedupQueries {
     ((h % P) + P) % P
   }
 
-  /** Sorted-int-array merge intersection size — the PPJoin verification step.
-    * Raw loop on dictionary-encoded gram ids: exact (dense ids, no hashing),
-    * and ~100 integer ops per pair vs interpreted `array_intersect` building a
-    * hash set of strings per row. */
   /** PPJoin verification kernel: |A∩B| of sorted gid arrays as a native
     * codegen'd expression (see [[graft.functions.ArrayExprs]]) — the merge
     * walk reads ArrayData primitives in place inside whole-stage codegen. */
@@ -282,8 +278,17 @@ object DedupQueries {
     // identical integer math to the oracle SQL, ~60× fewer shuffled rows than
     // the explode(sequence(0,59)) formulation.
     "dedup_simhash" -> { (s, dir) =>
+      simhashJoin(Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text")))
+    })
+
+  /** SimHash hamming<=3 self-join over a (doc_id, text) relation. The 4x15-bit
+    * band blocking is lossless by pigeonhole (<=3 differing bits cannot touch
+    * all 4 bands), asserted against brute force in SimhashPropertySpec. */
+  def simhashJoin(docs: DataFrame): DataFrame = {
+      val s = docs.sparkSession
       import s.implicits._
-      val sim = Tables(s, dir, "documents")
+      val sim = docs
         .select(col("doc_id"), col("text")).as[(Long, String)]
         .map { case (id, text) =>
           val tf = scala.collection.mutable.HashMap.empty[String, Long]
@@ -316,7 +321,7 @@ object DedupQueries {
         .where(col("hamming") <= 3)
         .select(col("doc_a"), col("doc_b"), col("hamming"))
         .orderBy("doc_a", "doc_b")
-    })
+  }
 
   private def gramSql(n: Int): String = {
     val parts = (0 until n).map(k => s"t[i+$k]").mkString(" || ' ' || ")
