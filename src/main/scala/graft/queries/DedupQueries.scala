@@ -47,9 +47,10 @@ object DedupQueries {
     * tokenizer as the MR layer) — the nested-HOF Catalyst form pays the
     * interpreted-lambda tax on every pass. Docs too short to shingle can
     * never pair, so they are dropped (matches the oracle's empty range). */
-  private def shingles(s: SparkSession, dir: String): DataFrame = {
+  private def shingles(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
-    Tables(s, dir, "documents")
+    docs
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .flatMap { case (id, text) =>
         val t = text.toLowerCase.split("[ \t\r\n]+").filter(_.nonEmpty)
@@ -235,9 +236,28 @@ object DedupQueries {
 
     // MinHash + LSH banding, then exact-Jaccard verification of candidates.
     "dedup_minhash" -> { (s, dir) =>
+      minhashJoin(Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text")), 0.7)
+    },
+
+    // SimHash (60-bit, portable md5-based token hash), hamming ≤ 3 pairs via
+    // lossless 4×15-bit band blocking. The per-doc signature is one typed map
+    // (token tf → 60 weighted bit-sums → sign bits) in raw JVM arithmetic —
+    // identical integer math to the oracle SQL, ~60× fewer shuffled rows than
+    // the explode(sequence(0,59)) formulation.
+    "dedup_simhash" -> { (s, dir) =>
+      simhashJoin(Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text")))
+    })
+
+  /** MinHash+LSH trigram-Jaccard self-join over a (doc_id, text) relation,
+    * with exact-Jaccard verification of every banded candidate (so false
+    * positives are impossible; recall properties in MinhashPropertySpec). */
+  def minhashJoin(docs: DataFrame, t: Double): DataFrame = {
+      val s = docs.sparkSession
       import s.implicits._
       // materialized once: feeds the signature pass plus both verify joins.
-      val sh = shingles(s, dir).localCheckpoint()
+      val sh = shingles(docs).localCheckpoint()
       // 126 min-hashes + 42 band hashes per doc in one raw-JVM pass
       // (O(|s|·126) long multiplies — the typed flatMap beats interpreted
       // Catalyst HOFs ~50× here and emits only (doc_id, band, bh)).
@@ -269,18 +289,8 @@ object DedupQueries {
             && col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
         .distinct()
-      verifyJaccard(cand, sh, 0.7)
-    },
-
-    // SimHash (60-bit, portable md5-based token hash), hamming ≤ 3 pairs via
-    // lossless 4×15-bit band blocking. The per-doc signature is one typed map
-    // (token tf → 60 weighted bit-sums → sign bits) in raw JVM arithmetic —
-    // identical integer math to the oracle SQL, ~60× fewer shuffled rows than
-    // the explode(sequence(0,59)) formulation.
-    "dedup_simhash" -> { (s, dir) =>
-      simhashJoin(Tables(s, dir, "documents")
-        .select(col("doc_id"), col("text")))
-    })
+      verifyJaccard(cand, sh, t)
+  }
 
   /** SimHash hamming<=3 self-join over a (doc_id, text) relation. The 4x15-bit
     * band blocking is lossless by pigeonhole (<=3 differing bits cannot touch
