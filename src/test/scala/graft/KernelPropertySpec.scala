@@ -1,0 +1,67 @@
+package graft
+
+import graft.functions.{ArrayExprs, TopKAggregator}
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Randomized checks for the small pure kernels:
+  * - TopKAggregator's buffer ops must form a commutative monoid over row
+  *   batches (Spark may split/merge partial buffers in any order) and agree
+  *   with the obvious sort-take model.
+  * - The native array expressions must agree with plain Scala arithmetic
+  *   over one bulk DataFrame of random rows (negatives, empties, unequal
+  *   lengths included). */
+class KernelPropertySpec extends SparkTestBase {
+  import SparkTestBase.spark.implicits._
+
+  private val rowsGen: Gen[List[(Long, Long)]] =
+    Gen.chooseNum(0, 25).flatMap(n => Gen.listOfN(n,
+      for { s <- Gen.chooseNum(-50L, 50L); id <- Gen.chooseNum(0L, 30L) }
+        yield (s, id)))
+
+  private def byAgg(agg: TopKAggregator, batches: Seq[Seq[(Long, Long)]]): Seq[Long] = {
+    val partials = batches.map(_.foldLeft(agg.zero)(agg.reduce))
+    agg.finish(partials.foldLeft(agg.zero)(agg.merge))
+  }
+
+  private def model(rows: Seq[(Long, Long)], k: Int): Seq[Long] =
+    rows.sortBy { case (s, id) => (-s, id) }.map(_._2).take(k)
+
+  test("TopKAggregator: split-order invariance and model agreement") {
+    val agg = new TopKAggregator(3)
+    val prop = Prop.forAll(rowsGen, Gen.chooseNum(1, 4)) { (rows, nSplits) =>
+      val batches = rows.grouped(math.max(1, rows.length / nSplits + 1)).toSeq
+      val a = byAgg(agg, batches)
+      val b = byAgg(agg, batches.reverse)
+      a == b && a == model(rows, 3)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.toString)
+  }
+
+  test("native kernels agree with Scala arithmetic on bulk random rows") {
+    val rng = new scala.util.Random(11)
+    def arr(n: Int) = Array.fill(n)(rng.nextLong() % 1000)
+    val rows = Seq.tabulate(120) { i =>
+      (arr(rng.nextInt(8)), arr(rng.nextInt(8)),
+        Array.fill(rng.nextInt(8))(rng.nextInt(40)).sorted,
+        Array.fill(rng.nextInt(8))(rng.nextInt(40)).sorted)
+    }
+    val df = rows.toDF("a", "b", "x", "y")
+    val got = df.select(ArrayExprs.dot($"a", $"b"), ArrayExprs.l2sq($"a", $"b"),
+        ArrayExprs.intersectSize($"x", $"y"))
+      .as[(Long, Long, Long)].collect().toSeq
+    val want = rows.map { case (a, b, x, y) =>
+      val n = math.min(a.length, b.length)
+      val dot = (0 until n).map(i => a(i) * b(i)).sum
+      val l2 = (0 until n).map(i => { val d = a(i) - b(i); d * d }).sum
+      // sorted-array intersection with duplicate multiplicity (merge walk)
+      var i = 0; var j = 0; var c = 0L
+      while (i < x.length && j < y.length) {
+        if (x(i) == y(j)) { c += 1; i += 1; j += 1 }
+        else if (x(i) < y(j)) i += 1 else j += 1
+      }
+      (dot, l2, c)
+    }
+    assert(got == want)
+  }
+}
