@@ -17,6 +17,16 @@ import org.apache.spark.sql.functions._
   *   index join (plus a length-ratio prune). Lossless for Jaccard ≥ t — the
   *   globally-rarest common gram of any qualifying pair provably lands in both
   *   prefixes — while hot grams ("of the") stop driving Σ df² join blowup.
+  *
+  *   REGIME BOUNDARY (measured, local[32]): prefix filtering is selective
+  *   when vocabulary grows with the corpus (natural text, Heaps' law). On a
+  *   vocabulary-DENSE corpus (this synthetic fixture: 931 bigrams total) no
+  *   gram is rare, so candidates grow ~quadratically: a 5× corpus (25k docs)
+  *   cost 40× (8s → 311s) for the exact join, while minhashJoin took 2.4×
+  *   (5.6s) and found the same near-dup mass at its threshold. At 100 TB the
+  *   engine's guidance is: ngramJaccardJoin for exact-threshold semantics on
+  *   natural corpora; minhashJoin (LSH candidates + exact verification) when
+  *   the gram distribution is dense or the threshold is high.
   * - MinHash+LSH is the classic shingle → signature → band-bucket join: the
   *   only shuffles are the band groupBy and the candidate verification join.
   *   Parameters r=3, b=42 ⇒ P(miss | J≥0.7) < 3e-8, so LSH output equals
