@@ -45,3 +45,47 @@ class TopKAggregator(k: Int)
   override def outputEncoder: Encoder[Seq[Long]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
 }
+
+/** Double-scored variant used by the similarity queries' gated top-k: emits
+  * the ordered (score, id) pairs (best first) so callers can posexplode into
+  * (rnk, cos, nbr_id) with the exact values the ranking-window form produced.
+  *
+  * Ordering is Spark's own descending double sort (java.lang.Double.compare:
+  * NaN greatest, -0.0 < 0.0), ties broken by ascending id — bit-identical to
+  * `Window.orderBy(score.desc, id)` + `row_number`, which is what the DuckDB
+  * oracle expresses. Registered through `functions.udaf` it runs as an
+  * ObjectHashAggregate partial→final, so each map task shuffles at most k
+  * pairs per key instead of the key's full candidate set — the fix for the
+  * per-query ranking window that serialized the whole scored corpus onto
+  * |Q| tasks.
+  */
+class TopKPairsAggregator(k: Int)
+    extends Aggregator[(Double, Long), List[(Double, Long)], Seq[(Double, Long)]] {
+
+  // a ranks strictly before b under (score desc, id asc)
+  private def before(a: (Double, Long), b: (Double, Long)): Boolean = {
+    val c = java.lang.Double.compare(a._1, b._1)
+    c > 0 || (c == 0 && a._2 < b._2)
+  }
+
+  private def insert(buf: List[(Double, Long)], e: (Double, Long)): List[(Double, Long)] = {
+    val (hi, lo) = buf.span(b => before(b, e))
+    (hi ::: e :: lo).take(k)
+  }
+
+  override def zero: List[(Double, Long)] = Nil
+
+  override def reduce(buf: List[(Double, Long)], row: (Double, Long)): List[(Double, Long)] =
+    insert(buf, row)
+
+  override def merge(a: List[(Double, Long)], b: List[(Double, Long)]): List[(Double, Long)] =
+    b.foldLeft(a)(insert)
+
+  override def finish(buf: List[(Double, Long)]): Seq[(Double, Long)] = buf
+
+  override def bufferEncoder: Encoder[List[(Double, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[(Double, Long)]]()
+
+  override def outputEncoder: Encoder[Seq[(Double, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
+}

@@ -15,9 +15,12 @@ import org.apache.spark.sql.functions._
   *
   * Scale design:
   * - brute-force top-k broadcasts the (small) query set and makes one pass
-  *   over the corpus: embarrassingly parallel, no shuffle until the per-query
-  *   top-k (a tiny window over ≤ |Q|·k rows after per-partition pruning via
-  *   AQE; for huge k·|Q| a TypedImperativeAggregate heap would replace it).
+  *   over the corpus: embarrassingly parallel. The per-query top-k runs
+  *   through [[graft.functions.TopKPairsAggregator]] (ObjectHashAggregate,
+  *   partial→final): each map task keeps at most k pairs per query id, so the
+  *   shuffle carries ≤ k·partitions rows per query — NOT a ranking window,
+  *   which would move the entire scored corpus onto |Q| tasks and sort it
+  *   there (the round-1 scale-killer this replaced).
   * - IVF is the scale path: centroid set broadcasts, every vector is assigned
   *   to its nearest cell in one map pass, queries probe nProbe cells, and the
   *   candidate join hits only |probed cells| of the corpus — the classic
@@ -61,21 +64,34 @@ object SimilarityQueries {
 
   private def l2(a: String, b: String) = l2U(col(a), col(b))
 
+  /** (qid, nbr_id, cos) → exact per-qid top-k as (qid, nbr_id, rnk, cos),
+    * best first, via the bounded partial→final aggregator. Output is
+    * bit-identical to `row_number over (partition by qid order by cos desc,
+    * nbr_id) <= k` — the form the DuckDB oracles keep expressing — but the
+    * shuffle carries at most k pairs per (qid, map task). */
+  private def topkByQid(scored: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    val tk = udaf(new graft.functions.TopKPairsAggregator(TopK),
+      ExpressionEncoder[(Double, Long)]())
+    scored
+      .groupBy(col("qid"))
+      .agg(tk(col("cos"), col("nbr_id")).as("tk"))
+      .select(col("qid"), posexplode(col("tk")))
+      .select(col("qid"), col("col._2").as("nbr_id"),
+        (col("pos") + 1).cast("long").as("rnk"), col("col._1").as("cos"))
+      .orderBy("qid", "rnk")
+  }
+
   def queries: Map[String, Q] = Map(
     // exact cosine top-k for each query vector (vec_id < 10) — the baseline.
     "sim_topk" -> { (s, dir) =>
       val v = vecs(s, dir)
       val q = v.where(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("iv").as("qiv"), col("nrm").as("qnrm"))
-      val w = Window.partitionBy(col("qid"))
-        .orderBy(col("cos").desc, col("vec_id"))
-      v.crossJoin(broadcast(q))
+      topkByQid(v.crossJoin(broadcast(q))
         .where(col("vec_id") =!= col("qid"))
         .withColumn("cos", cosine(dotU(col("qiv"), col("iv")), col("qnrm"), col("nrm")))
-        .withColumn("rnk", row_number().over(w).cast("long"))
-        .where(col("rnk") <= TopK)
-        .select(col("qid"), col("vec_id").as("nbr_id"), col("rnk"), col("cos"))
-        .orderBy("qid", "rnk")
+        .select(col("qid"), col("vec_id").as("nbr_id"), col("cos")))
     },
 
     // IVF-style ANN: nearest-of-16-centroids cells, probe 4, search in-cell.
@@ -95,7 +111,9 @@ object SimilarityQueries {
         .agg(min(struct(col("dist"), col("cid"))).as("m"))
         .select(col("vec_id"), col("m.cid").as("cid"))
       val assigned = v.join(cellOf, "vec_id")
-      // queries probe their nProbe nearest cells (tiny side: |Q|×|cells|).
+      // queries probe their nProbe nearest cells. This window is NOT the
+      // scale hazard the final ranking was: its partitions are bounded at
+      // NCells rows each (one per centroid), whatever |Q| or corpus size.
       val byDist = Window.partitionBy(col("vec_id"))
         .orderBy(col("dist"), col("cid"))
       val probes = v.where(col("vec_id") < 10).crossJoin(broadcast(cents))
@@ -104,15 +122,10 @@ object SimilarityQueries {
         .where(col("prn") <= NProbe)
         .select(col("vec_id").as("qid"), col("iv").as("qiv"),
           col("nrm").as("qnrm"), col("cid"))
-      val w = Window.partitionBy(col("qid"))
-        .orderBy(col("cos").desc, col("nbr_id"))
-      probes.join(assigned, "cid")
+      topkByQid(probes.join(assigned, "cid")
         .where(col("vec_id") =!= col("qid"))
         .withColumn("cos", cosine(dotU(col("qiv"), col("iv")), col("qnrm"), col("nrm")))
-        .select(col("qid"), col("vec_id").as("nbr_id"), col("cos"))
-        .withColumn("rnk", row_number().over(w).cast("long"))
-        .where(col("rnk") <= TopK)
-        .orderBy("qid", "rnk")
+        .select(col("qid"), col("vec_id").as("nbr_id"), col("cos")))
     },
 
     // Random-hyperplane LSH ANN: sign-bit bucket per vector (6 codegen'd
@@ -129,15 +142,10 @@ object SimilarityQueries {
       val q = withSig.where(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("iv").as("qiv"),
           col("nrm").as("qnrm"), col("bucket"))
-      val w = Window.partitionBy(col("qid"))
-        .orderBy(col("cos").desc, col("nbr_id"))
-      withSig.join(broadcast(q), "bucket")
+      topkByQid(withSig.join(broadcast(q), "bucket")
         .where(col("vec_id") =!= col("qid"))
         .withColumn("cos", cosine(dotU(col("qiv"), col("iv")), col("qnrm"), col("nrm")))
-        .select(col("qid"), col("vec_id").as("nbr_id"), col("cos"))
-        .withColumn("rnk", row_number().over(w).cast("long"))
-        .where(col("rnk") <= TopK)
-        .orderBy("qid", "rnk")
+        .select(col("qid"), col("vec_id").as("nbr_id"), col("cos")))
     },
 
     // embedding-cosine near-dup pairs, blocked by label.

@@ -60,6 +60,23 @@ class PlanQualitySpec extends SparkTestBase {
       s"graft_dot fell out of codegen:\n$p")
   }
 
+  test("sim_* final top-k is a bounded partial aggregate, not a qid ranking window") {
+    // A row_number window over qid moves every scored candidate onto |Q|
+    // tasks and sorts them there; the TopKPairsAggregator form shuffles at
+    // most k pairs per (qid, map task). Pin that no refactor brings the
+    // window back (the probe-selection window in sim_ann_ivf partitions by
+    // the query's own vec_id over ≤ NCells rows — bounded, and not over qid).
+    for (q <- Seq("sim_topk", "sim_ann_ivf", "sim_lsh")) {
+      val p = planOf(SparkEntry.queries(q)(spark, sf))
+      assert(!p.contains("windowspecdefinition(qid"),
+        s"$q ranks through a per-qid window again:\n$p")
+      assert(p.contains("ObjectHashAggregate"),
+        s"$q lost the typed top-k aggregate:\n$p")
+      assert(p.contains("partial_topkpairsaggregator"),
+        s"$q top-k aggregate lost its partial (map-side) phase:\n$p")
+    }
+  }
+
   test("no unintended cartesian products anywhere in the query set") {
     // sim_topk/sim_ann_ivf intentionally cross-join against broadcast
     // centroid/query sets; everything else must be key-joined.
