@@ -32,6 +32,63 @@ object SimilarityQueries {
   private val NProbe = 4
   private val TopK = 5
 
+  // k-means training schedule for the IVF centroids. Everything is pinned so
+  // the DuckDB oracle can replay it exactly: the sample is vec_id % 4 == 0,
+  // the 16 seeds are the sampled vectors below 64 (cid = vec_id/4), and two
+  // Lloyd iterations run in exact long arithmetic with floored-double means.
+  private val KmSampleMod = 4
+  private val KmSeedBound = NCells * KmSampleMod // 16 seeds: sampled ids < 64
+  private val KmIters = 2
+
+  /** Driver-side Lloyd fit over a deterministic sample, for broadcast.
+    *
+    * Deliberately a driver loop: the sample is metadata-sized (|corpus|/4
+    * vectors of 64 longs here; at 100 TB you'd cap it with a fixed-rate
+    * deterministic sample the same way), while the per-vector ASSIGNMENT of
+    * the full corpus stays distributed. Tie-breaks (equal l2 → smaller cid)
+    * and floored means mirror the oracle SQL term for term; empty cells keep
+    * their previous centroid. */
+  private[graft] def trainCentroids(v: DataFrame): Seq[(Int, Seq[Long])] = {
+    val sample = v.where(pmod(col("vec_id"), lit(KmSampleMod)) === 0)
+      .select(col("vec_id"), col("iv"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+      .sortBy(_._1)
+    var cents: Array[(Int, Array[Long])] = sample
+      .filter(_._1 < KmSeedBound)
+      .map { case (id, iv) => ((id / KmSampleMod).toInt, iv) }
+    var it = 0
+    while (it < KmIters) {
+      val sums = scala.collection.mutable.HashMap.empty[Int, (Array[Long], Long)]
+      sample.foreach { case (_, iv) =>
+        var best = -1
+        var bd = Long.MaxValue
+        var j = 0
+        while (j < cents.length) { // cents ascend by cid; strict < keeps ties on the smaller cid
+          val civ = cents(j)._2
+          var d = 0L
+          var i = 0
+          while (i < iv.length) { val t = iv(i) - civ(i); d += t * t; i += 1 }
+          if (d < bd) { bd = d; best = cents(j)._1 }
+          j += 1
+        }
+        val (acc, n) = sums.getOrElseUpdate(best, (new Array[Long](iv.length), 0L))
+        var i = 0
+        while (i < iv.length) { acc(i) += iv(i); i += 1 }
+        sums.update(best, (acc, n + 1))
+      }
+      cents = cents.map { case (cid, old) =>
+        sums.get(cid) match {
+          case Some((acc, n)) =>
+            (cid, acc.map(x => math.floor(x.toDouble / n.toDouble).toLong))
+          case None => (cid, old)
+        }
+      }
+      it += 1
+    }
+    cents.map { case (cid, civ) => (cid, civ.toSeq) }.toSeq
+  }
+
   // Random-hyperplane LSH: 6 deterministic integer hyperplanes (seed fixed)
   // → 64 sign-buckets. Integer coefficients keep the signature exact on both
   // the Spark and DuckDB sides.
@@ -94,11 +151,11 @@ object SimilarityQueries {
         .select(col("qid"), col("vec_id").as("nbr_id"), col("cos")))
     },
 
-    // IVF-style ANN: nearest-of-16-centroids cells, probe 4, search in-cell.
+    // IVF ANN: k-means-trained 16-cell inverted file, probe 4, search in-cell.
     "sim_ann_ivf" -> { (s, dir) =>
+      import s.implicits._
       val v = vecs(s, dir)
-      val cents = v.where(col("vec_id") < NCells)
-        .select(col("vec_id").as("cid"), col("iv").as("civ"))
+      val cents = trainCentroids(v).toDF("cid", "civ")
       // one map pass: assign every vector to its nearest centroid cell.
       // argmin as min(struct(dist, cid)) over a hash aggregate — partial
       // aggregation combines the 16 candidate cells map-side, and the
@@ -148,14 +205,35 @@ object SimilarityQueries {
         .select(col("qid"), col("vec_id").as("nbr_id"), col("cos")))
     },
 
-    // embedding-cosine near-dup pairs, blocked by label.
+    // embedding-cosine near-dup pairs, blocked by label, grid-distributed.
+    //
+    // Exact all-pairs within a label is inherently Σ per-label² work — no
+    // lossless pruning exists at cosine ≥ 0.35 (a hyperplane-LSH block at
+    // this threshold keeps only ~5% recall per bucket, so bucketing cannot
+    // preserve the exact oracle). What CAN be fixed is the skew: a bare join
+    // on `label` lands a hot label's entire quadratic block on ONE task. The
+    // 2-D grid decomposition below splits it across m² tasks: each side
+    // chunks by hash(vec_id) mod m, each row replicates to its m grid
+    // blocks, and the join key (label, bi, bj) gives every chunk_i × chunk_j
+    // sub-block its own reduce key. Work is unchanged — every ordered pair
+    // meets exactly once (A in grid row bi=its chunk, B in grid column
+    // bj=its chunk) — and the straggler is gone at m× replication of the
+    // compact int vectors. REGIME BOUNDARY: the exact form is for bounded
+    // label groups; unbounded corpora should generate candidates with
+    // sim_lsh's bucketing (recall tunable via OR-ed tables) and verify
+    // exactly, as dedup_minhash does for Jaccard.
     "sim_neardup" -> { (s, dir) =>
+      val m = 4 // grid width: a hot label spreads across m² = 16 tasks
       val v = vecs(s, dir)
-      val a = v.select(col("label"), col("vec_id").as("vec_a"),
-        col("iv").as("ia"), col("nrm").as("na"))
-      val b = v.select(col("label"), col("vec_id").as("vec_b"),
-        col("iv").as("ib"), col("nrm").as("nb"))
-      a.join(b, Seq("label"))
+        .withColumn("ck", pmod(xxhash64(col("vec_id")), lit(m)).cast("int"))
+      val grid = explode(sequence(lit(0), lit(m - 1)))
+      val a = v.select(col("label"), col("ck").as("bi"), col("vec_id").as("vec_a"),
+          col("iv").as("ia"), col("nrm").as("na"))
+        .withColumn("bj", grid)
+      val b = v.select(col("label"), col("ck").as("bj"), col("vec_id").as("vec_b"),
+          col("iv").as("ib"), col("nrm").as("nb"))
+        .withColumn("bi", grid)
+      a.join(b, Seq("label", "bi", "bj"))
         .where(col("vec_a") < col("vec_b"))
         .withColumn("cos", cosine(dotU(col("ia"), col("ib")), col("na"), col("nb")))
         .where(col("cos") >= 0.35)
@@ -181,6 +259,41 @@ object SimilarityQueries {
   private def l2Sql(a: String, b: String) =
     s"CAST(list_sum(list_transform(list_zip($a, $b), z -> (z[1]-z[2])*(z[1]-z[2]))) AS BIGINT)"
 
+  /** One Lloyd iteration as CTEs: assign sample to nearest `prev` centroid
+    * (l2 asc, cid asc — the argmin tie-break trainCentroids uses), then
+    * per-(cid, dim) floored-double means rebuilt into 64-lists, empty cells
+    * carrying the previous centroid. Mirrors trainCentroids term for term. */
+  private def kmIterSql(prev: String, a: String, m: String, next: String): String =
+    s"""$a AS (
+       |  SELECT vec_id, iv, cid FROM (
+       |    SELECT s.vec_id, s.iv, c.cid, row_number() OVER
+       |      (PARTITION BY s.vec_id ORDER BY ${l2Sql("s.iv", "c.civ")}, c.cid) AS rn
+       |    FROM samp s, $prev c)
+       |  WHERE rn = 1),
+       |$m AS (
+       |  SELECT cid, list(cv ORDER BY i) AS civ FROM (
+       |    SELECT a.cid, r.i,
+       |      CAST(floor(CAST(SUM(list_extract(a.iv, r.i + 1)) AS DOUBLE)
+       |        / CAST(COUNT(*) AS DOUBLE)) AS BIGINT) AS cv
+       |    FROM $a a, range(64) r(i) GROUP BY a.cid, r.i)
+       |  GROUP BY cid),
+       |$next AS (
+       |  SELECT c.cid, COALESCE(u.civ, c.civ) AS civ
+       |  FROM $prev c LEFT JOIN $m u ON c.cid = u.cid)""".stripMargin
+
+  /** samp/c0/…/cf CTE chain reproducing trainCentroids; `cf` is the trained
+    * centroid set (cid, civ). */
+  private def kmeansSql: String = {
+    val iters = (1 to KmIters).map { k =>
+      kmIterSql(if (k == 1) "c0" else s"c${k - 1}", s"a$k", s"m$k", s"c$k")
+    }.mkString(",\n")
+    s"""samp AS (SELECT vec_id, iv FROM n WHERE vec_id % $KmSampleMod = 0),
+       |c0 AS (SELECT CAST(vec_id // $KmSampleMod AS INTEGER) AS cid, iv AS civ
+       |  FROM samp WHERE vec_id < $KmSeedBound),
+       |$iters,
+       |cf AS (SELECT cid, civ FROM c$KmIters)""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
     "sim_topk" ->
       s"""WITH n AS ($normSql),
@@ -197,20 +310,20 @@ object SimilarityQueries {
 
     "sim_ann_ivf" ->
       s"""WITH n AS ($normSql),
-         |c AS (SELECT vec_id AS cid, iv AS civ FROM n WHERE vec_id < $NCells),
+         |$kmeansSql,
          |asg AS (
          |  SELECT vec_id, iv, nrm, cid FROM (
          |    SELECT n.vec_id, n.iv, n.nrm, c.cid, row_number() OVER
          |      (PARTITION BY n.vec_id
          |       ORDER BY ${l2Sql("n.iv", "c.civ")}, c.cid) AS arn
-         |    FROM n, c)
+         |    FROM n, cf c)
          |  WHERE arn = 1),
          |probes AS (
          |  SELECT qid, qiv, qnrm, cid FROM (
          |    SELECT n.vec_id AS qid, n.iv AS qiv, n.nrm AS qnrm, c.cid,
          |      row_number() OVER (PARTITION BY n.vec_id
          |        ORDER BY ${l2Sql("n.iv", "c.civ")}, c.cid) AS prn
-         |    FROM n, c WHERE n.vec_id < 10)
+         |    FROM n, cf c WHERE n.vec_id < 10)
          |  WHERE prn <= $NProbe),
          |s AS (
          |  SELECT p.qid, a.vec_id AS nbr_id,
