@@ -177,23 +177,14 @@ object DedupQueries {
             col("b.ng") - col("b.pos")) >= minOverlap)
     // distinct BEFORE verification: each surviving pair would otherwise
     // re-join its gid arrays once per shared prefix gram — the narrow pair
-    // shuffle is cheaper than ~1.7× array materialization. When doc ids fit
-    // 32 bits (known from the materialized ids table — one scalar read, like
-    // an AQE stat), the pair packs into one long, which makes the distinct's
-    // hash aggregate ~40% cheaper; wider ids fall back to the 2-column key.
-    val maxId = ids.agg(max(col("doc_id"))).head().getLong(0)
-    val cand =
-      if (maxId < (1L << 31))
-        matches
-          .select(shiftleft(col("a.doc_id"), 32)
-            .bitwiseOR(col("b.doc_id")).as("pk"))
-          .distinct()
-          .select(shiftright(col("pk"), 32).as("doc_a"),
-            col("pk").bitwiseAND(lit(0xffffffffL)).as("doc_b"))
-      else
-        matches
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .distinct()
+    // shuffle is cheaper than ~1.7× array materialization. Unconditional
+    // 2-column key: the earlier packed-long variant needed a max(doc_id)
+    // scalar read that serialized an extra full pass over the ids table into
+    // every run (a real job at 100 TB) to buy ~40% off just this hash
+    // aggregate — the wrong trade, per round-1 review.
+    val cand = matches
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
     cand
       .join(ids.select(col("doc_id").as("doc_a"), col("ng").as("na"),
         col("ids").as("ia")), "doc_a")
@@ -310,23 +301,29 @@ object DedupQueries {
       import s.implicits._
       val sim = docs
         .select(col("doc_id"), col("text")).as[(Long, String)]
-        .map { case (id, text) =>
+        .flatMap { case (id, text) =>
           val tf = scala.collection.mutable.HashMap.empty[String, Long]
           text.toLowerCase.split("[ \t\r\n]+").foreach { w =>
             if (w.nonEmpty) tf.update(w, tf.getOrElse(w, 0L) + 1L)
           }
-          val bsum = new Array[Long](60)
-          tf.foreach { case (tok, n) =>
-            val h = md5Long60(tok)
-            var i = 0
-            while (i < 60) {
-              bsum(i) += n * (((h >>> i) & 1L) * 2L - 1L); i += 1
+          // token-free docs have no signature: the oracle's per-token unnest
+          // drops them, and an all-zero sig would otherwise pair every pair
+          // of empty docs (round-1 advice).
+          if (tf.isEmpty) Iterator.empty
+          else {
+            val bsum = new Array[Long](60)
+            tf.foreach { case (tok, n) =>
+              val h = md5Long60(tok)
+              var i = 0
+              while (i < 60) {
+                bsum(i) += n * (((h >>> i) & 1L) * 2L - 1L); i += 1
+              }
             }
+            var sig = 0L
+            var i = 0
+            while (i < 60) { if (bsum(i) > 0) sig |= 1L << i; i += 1 }
+            Iterator((id, sig))
           }
-          var sig = 0L
-          var i = 0
-          while (i < 60) { if (bsum(i) > 0) sig |= 1L << i; i += 1 }
-          (id, sig)
         }.toDF("doc_id", "simhash")
       val bands = sim.select(col("doc_id"), col("simhash"),
           explode(sequence(lit(0), lit(3))).as("j"))

@@ -45,48 +45,68 @@ object TextQueries {
         .limit(20)
     },
 
+    // One typed map per doc (raw JVM loops): the earlier Catalyst
+    // filter-lambda form paid the interpreted-HOF tax (~50× codegen, see
+    // CLAUDE.md) on every token of every doc. A single flat pass computes
+    // all four language scores at once.
     "text_langid" -> { (s, dir) =>
-      val docs = Tables(s, dir, "documents")
-        .select(col("doc_id"), tokens(col("text")).as("t"))
-      val scored = stops.foldLeft(docs) { case (df, (lang, words)) =>
-        df.withColumn(
-          s"s_$lang",
-          size(filter(col("t"), tk => tk.isInCollection(words))).cast("long"))
-      }
-      val Seq(en, de, es, fr) = stops.map { case (l, _) => col(s"s_$l") }
-      scored
-        .withColumn(
-          "pred_lang",
-          when(en + de + es + fr === 0, lit("unknown"))
-            .when(en >= de && en >= es && en >= fr, lit("en"))
-            .when(de >= es && de >= fr, lit("de"))
-            .when(es >= fr, lit("es"))
-            .otherwise(lit("fr")))
-        .select(col("doc_id"), col("pred_lang"),
-          col("s_en"), col("s_de"), col("s_es"), col("s_fr"))
+      import s.implicits._
+      val stopSets = stops.map { case (l, ws) => (l, ws.toSet) }
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          val t = text.toLowerCase.split("[ \t\r\n]+").filter(_.nonEmpty)
+          val Seq(en, de, es, fr) =
+            stopSets.map { case (_, ws) => t.count(ws.contains).toLong }
+          val pred =
+            if (en + de + es + fr == 0) "unknown"
+            else if (en >= de && en >= es && en >= fr) "en"
+            else if (de >= es && de >= fr) "de"
+            else if (es >= fr) "es"
+            else "fr"
+          (id, pred, en, de, es, fr)
+        }
+        .toDF("doc_id", "pred_lang", "s_en", "s_de", "s_es", "s_fr")
         .orderBy("doc_id")
     },
 
+    // All six per-doc stats in one typed map. Lengths count code points
+    // (the JVM mirror of Spark/DuckDB length()); the ratio formulas keep the
+    // exact double evaluation order of the oracle SQL, and token-free docs
+    // emit zeros on both sides (oracle COALESCE/CASE guards) instead of the
+    // NULL/NaN divergence flagged in round-1 advice.
     "text_quality" -> { (s, dir) =>
-      val en = stops.head._2
+      import s.implicits._
+      val stopSet = stops.head._2.toSet
+      val alpha = java.util.regex.Pattern.compile("[a-z]+")
       Tables(s, dir, "documents")
-        .select(col("doc_id"), col("text"), tokens(col("text")).as("t"))
-        .select(
-          col("doc_id"),
-          length(col("text")).cast("long").as("n_chars"),
-          size(col("t")).cast("long").as("n_tokens"),
-          size(array_distinct(col("t"))).cast("long").as("n_distinct"),
-          aggregate(col("t"), lit(0L), (acc, tk) => acc + length(tk)).as("sum_tok_len"),
-          size(filter(col("t"), tk => tk.isInCollection(en))).cast("long").as("n_stop"),
-          size(filter(col("t"), tk => tk.rlike("^[a-z]+$"))).cast("long").as("n_alpha"))
-        .withColumn("avg_tok_len",
-          col("sum_tok_len").cast("double") / col("n_tokens").cast("double"))
-        .withColumn("stop_ratio",
-          col("n_stop").cast("double") / col("n_tokens").cast("double"))
-        .withColumn("quality_score",
-          col("n_distinct").cast("double") / col("n_tokens").cast("double") * lit(0.5)
-            + col("n_alpha").cast("double") / col("n_tokens").cast("double") * lit(0.3)
-            + col("n_stop").cast("double") / col("n_tokens").cast("double") * lit(0.2))
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          val t = text.toLowerCase.split("[ \t\r\n]+").filter(_.nonEmpty)
+          val nChars = text.codePointCount(0, text.length).toLong
+          val nTokens = t.length.toLong
+          val nDistinct = t.distinct.length.toLong
+          var sumTokLen = 0L
+          var nStop = 0L
+          var nAlpha = 0L
+          t.foreach { tk =>
+            sumTokLen += tk.codePointCount(0, tk.length)
+            if (stopSet.contains(tk)) nStop += 1
+            if (alpha.matcher(tk).matches()) nAlpha += 1
+          }
+          val (avgTokLen, stopRatio, quality) =
+            if (nTokens == 0) (0.0, 0.0, 0.0)
+            else (
+              sumTokLen.toDouble / nTokens.toDouble,
+              nStop.toDouble / nTokens.toDouble,
+              nDistinct.toDouble / nTokens.toDouble * 0.5
+                + nAlpha.toDouble / nTokens.toDouble * 0.3
+                + nStop.toDouble / nTokens.toDouble * 0.2)
+          (id, nChars, nTokens, nDistinct, sumTokLen, nStop, nAlpha,
+            avgTokLen, stopRatio, quality)
+        }
+        .toDF("doc_id", "n_chars", "n_tokens", "n_distinct", "sum_tok_len",
+          "n_stop", "n_alpha", "avg_tok_len", "stop_ratio", "quality_score")
         .orderBy("doc_id")
     },
 
@@ -172,16 +192,20 @@ object TextQueries {
          |    CAST(length(text) AS BIGINT) AS n_chars,
          |    CAST(len(t) AS BIGINT) AS n_tokens,
          |    CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct,
-         |    CAST(list_sum(list_transform(t, tk -> CAST(length(tk) AS BIGINT))) AS BIGINT) AS sum_tok_len,
+         |    CAST(COALESCE(list_sum(list_transform(t,
+         |      tk -> CAST(length(tk) AS BIGINT))), 0) AS BIGINT) AS sum_tok_len,
          |    CAST(len(list_filter(t, tk -> list_contains(${sqlList(stops.head._2)}, tk))) AS BIGINT) AS n_stop,
          |    CAST(len(list_filter(t, tk -> regexp_full_match(tk, '[a-z]+'))) AS BIGINT) AS n_alpha
          |  FROM (SELECT doc_id, text, ${TOKENS("text")} AS t FROM documents))
          |SELECT doc_id, n_chars, n_tokens, n_distinct, sum_tok_len, n_stop, n_alpha,
-         |  CAST(sum_tok_len AS DOUBLE)/CAST(n_tokens AS DOUBLE) AS avg_tok_len,
-         |  CAST(n_stop AS DOUBLE)/CAST(n_tokens AS DOUBLE) AS stop_ratio,
-         |  CAST(n_distinct AS DOUBLE)/CAST(n_tokens AS DOUBLE)*0.5
+         |  CASE WHEN n_tokens = 0 THEN 0.0 ELSE
+         |    CAST(sum_tok_len AS DOUBLE)/CAST(n_tokens AS DOUBLE) END AS avg_tok_len,
+         |  CASE WHEN n_tokens = 0 THEN 0.0 ELSE
+         |    CAST(n_stop AS DOUBLE)/CAST(n_tokens AS DOUBLE) END AS stop_ratio,
+         |  CASE WHEN n_tokens = 0 THEN 0.0 ELSE
+         |    CAST(n_distinct AS DOUBLE)/CAST(n_tokens AS DOUBLE)*0.5
          |    + CAST(n_alpha AS DOUBLE)/CAST(n_tokens AS DOUBLE)*0.3
-         |    + CAST(n_stop AS DOUBLE)/CAST(n_tokens AS DOUBLE)*0.2 AS quality_score
+         |    + CAST(n_stop AS DOUBLE)/CAST(n_tokens AS DOUBLE)*0.2 END AS quality_score
          |FROM b ORDER BY doc_id""".stripMargin,
 
     "text_tokencount" ->
