@@ -114,13 +114,23 @@ object Relational {
     },
 
     // approx_count_distinct (HLL++): sketch-based distinct for 100 TB scale.
-    // No DuckDB oracle — sketch estimates are engine-specific (rows-only check).
+    // The sketch VALUE is engine-specific, so it never surfaces in the gated
+    // output; instead the query emits the exact distinct alongside a
+    // deterministic error-bound check (HLL++ with default rsd 0.05 lands
+    // ~1-3% on these cardinalities; the 10% gate is 2x headroom above the
+    // worst measured SF, and the sketch hash is seedless so the deviation is
+    // a constant of the dataset, not a flake source). The oracle asserts the
+    // exact count and literal TRUE — a real hash gate for the sketch path.
     "q_approx_distinct" -> { (s, dir) =>
       Tables(s, dir, "orders")
         .groupBy(col("o_orderpriority"))
         .agg(
-          approx_count_distinct(col("o_custkey")).as("apx_cust"),
+          approx_count_distinct(col("o_custkey")).as("apx"),
+          countDistinct(col("o_custkey")).as("n_cust_exact"),
           count(lit(1)).as("n_orders"))
+        .select(col("o_orderpriority"), col("n_orders"), col("n_cust_exact"),
+          (abs(col("apx").cast("double") - col("n_cust_exact").cast("double"))
+            <= col("n_cust_exact").cast("double") * lit(0.1)).as("apx_ok"))
         .orderBy("o_orderpriority")
     },
 
@@ -260,6 +270,14 @@ object Relational {
       s"""SELECT o_orderpriority, COUNT(*) AS n_orders,
          |  COUNT(DISTINCT o_custkey) AS n_cust,
          |  COUNT(DISTINCT year(o_orderdate)) AS n_years
+         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // asserts the exact count AND that the engine's HLL++ estimate stayed
+    // within the 10% bound (the Spark side computes apx_ok; TRUE here means
+    // a drifting sketch now FAILS the hash gate instead of going ungated).
+    "q_approx_distinct" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n_orders,
+         |  COUNT(DISTINCT o_custkey) AS n_cust_exact, TRUE AS apx_ok
          |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q_rollup" ->

@@ -147,6 +147,26 @@ object TextQueries {
         .orderBy("lang")
     },
 
+    // The reference's literal input shape: a LIST of text files passed like
+    // argv[1..] (reference main.c:13-18, mapreduce.c:177-189), tokenized and
+    // counted. The corpus round-trips through multi-file line-oriented text
+    // (write text → explicit multi-path spark.read.textFile), and the oracle
+    // is the parquet wordcount SQL: whitespace tokenization is invariant to
+    // how the writer splits rows across lines and files.
+    "q_text_source" -> { (s, dir) =>
+      val tmp = s"/root/repo/target/tmp/textsrc-${new java.io.File(dir).getName}"
+      Tables(s, dir, "documents").select(col("text"))
+        .repartition(4) // several part files, so the read is genuinely multi-path
+        .write.mode("overwrite").text(tmp)
+      val parts = new java.io.File(tmp).listFiles()
+        .filter(_.getName.startsWith("part-")).map(_.getPath).sorted
+      s.read.textFile(parts.toIndexedSeq: _*)
+        .select(explode(tokens(col("value"))).as("word"))
+        .groupBy("word")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("word")
+    },
+
     "text_fingerprint" -> { (s, dir) =>
       Tables(s, dir, "documents")
         .select(
@@ -170,6 +190,13 @@ object TextQueries {
       s"""SELECT word, count(*) AS cnt
          |FROM (SELECT unnest(t) AS word FROM ($tokFrom))
          |GROUP BY word ORDER BY cnt DESC, word LIMIT 20""".stripMargin,
+
+    // identical corpus whether read from parquet or the text round-trip:
+    // tokenization collapses line/file boundaries.
+    "q_text_source" ->
+      s"""SELECT word, count(*) AS cnt
+         |FROM (SELECT unnest(t) AS word FROM ($tokFrom))
+         |GROUP BY word ORDER BY word""".stripMargin,
 
     "text_langid" -> {
       val scoreCols = stops.map { case (l, ws) =>
