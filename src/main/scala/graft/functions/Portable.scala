@@ -66,8 +66,12 @@ object Portable {
   def epochUs(c: Column): Column =
     unix_micros(c.cast(org.apache.spark.sql.types.TimestampType))
 
-  /** Reference tokenization: split on `" \t\n\r"` (reference main.c:22),
-    * dropping empty tokens (main.c:23-24). Applied to a lowercased column.
+  /** Reference-shaped tokenization: split on `" \t\n\r"` (reference
+    * main.c:22), lowercased, empties dropped. NB the reference `break`s at
+    * the first EMPTY strsep token (main.c:23-24) — truncating the line —
+    * rather than filtering; because the regex collapses separator runs, an
+    * empty token can only arise at the line edges, where the two behaviors
+    * coincide. The engine standardizes on filter semantics.
     * DuckDB mirror: `list_filter(string_split_regex(lower(x),'[ \t\r\n]+'),
     * t -> t <> '')`. */
   def tokens(c: Column): Column =

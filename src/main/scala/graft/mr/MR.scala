@@ -34,7 +34,11 @@ import org.apache.spark.sql.{Dataset, Encoder, SparkSession}
 object MR {
 
   /** djb2 (hash·33 + c) over UTF-8 bytes, mod n — value-compatible with the
-    * reference's MR_DefaultHashPartition (reference mapreduce.c:88-94). */
+    * reference's MR_DefaultHashPartition (reference mapreduce.c:88-94) for
+    * ASCII keys. Non-ASCII bytes differ: the reference iterates C `char`
+    * (signed on common ABIs), so bytes ≥ 0x80 enter its hash negative, while
+    * this implementation uses the unsigned value. Partitioning is an
+    * execution detail either way — it never changes query output. */
   def defaultHashPartition(key: String, numPartitions: Int): Int = {
     var hash = 5381L
     key.getBytes(java.nio.charset.StandardCharsets.UTF_8)

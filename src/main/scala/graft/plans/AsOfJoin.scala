@@ -104,6 +104,24 @@ case class AsOfJoinExec(
   require(leftTs.dataType == rightTs.dataType,
     s"as-of timestamp types differ: ${leftTs.dataType} vs ${rightTs.dataType}")
 
+  // the merge carries the previous match across left rows via a shallow copy
+  // that is only safe for atomic types (UTF8String cloned explicitly,
+  // fixed-width primitives copied by value). A nested (array/struct/map) key
+  // would alias the reused projection buffer and silently corrupt matches —
+  // reject until a caller needs one (then: InternalRow.copyValue).
+  private def atomic(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case _: org.apache.spark.sql.types.ArrayType => false
+    case _: org.apache.spark.sql.types.MapType => false
+    case _: org.apache.spark.sql.types.StructType => false
+    case _: org.apache.spark.sql.types.UserDefinedType[_] => false
+    case org.apache.spark.sql.types.NullType => false
+    case _ => true
+  }
+  require(atomic(leftKey.dataType),
+    s"as-of join key must be an atomic type, got ${leftKey.dataType}")
+  require(atomic(leftTs.dataType),
+    s"as-of timestamp must be an atomic type, got ${leftTs.dataType}")
+
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
 
@@ -148,7 +166,8 @@ case class AsOfJoinExec(
           val lk = lKeyProj(l)
           val lKey = lk.get(0, keyType)
           val lTs = lk.get(1, tsTypeL)
-          if (lKey == null) {
+          if (lKey == null || lTs == null) {
+            // no right row satisfies ts <= NULL; null keys never match
             resultProj(joined(l, nullRight))
           } else {
             // advance the right side past everything (key < lKey) and absorb
@@ -159,6 +178,11 @@ case class AsOfJoinExec(
               val rKey = rk.get(0, keyType)
               val cmp = if (rKey == null) -1 else keyOrd.compare(rKey, lKey)
               if (cmp < 0) { rBuf.next() }
+              else if (cmp == 0 && rk.isNullAt(1)) {
+                // null-ts rows sort first within the key run and can never
+                // match — skip, don't hand null to the interpreted ordering
+                rBuf.next()
+              }
               else if (cmp == 0 &&
                   tsOrd.compare(rk.get(1, tsTypeL), lTs) <= 0) {
                 // defensive copy for reference-typed keys (the projection

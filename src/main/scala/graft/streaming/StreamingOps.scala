@@ -69,7 +69,12 @@ object StreamingOps {
                 if (cur != null) closed += cur
                 cur = SessionState(e.ts_us, e.ts_us, 1L, e.val_cents)
               } else {
-                cur = SessionState(cur.startUs, math.max(cur.lastUs, e.ts_us),
+                // a late cross-batch event inside the watermark can precede
+                // the open session's start: widen both ends, so emitted
+                // bounds match the batch q_sessionize result for
+                // out-of-order arrivals (round-1 advice)
+                cur = SessionState(math.min(cur.startUs, e.ts_us),
+                  math.max(cur.lastUs, e.ts_us),
                   cur.n + 1, cur.cents + e.val_cents)
               }
             }

@@ -58,4 +58,27 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(df.where(col("click_id").isNull).count() > 0)
     assert(df.where(col("gap_us") < 0).isEmpty)
   }
+
+  test("null timestamps never match and never NPE; nested keys are rejected") {
+    import spark.implicits._
+    val l = Seq((1L, Some(10L), 100L), (1L, None, 101L), (2L, Some(5L), 102L))
+      .toDF("k", "ts", "lid")
+    val r = Seq((1L, Some(8L), 201L), (1L, None, 202L), (2L, Some(9L), 203L))
+      .toDF("k", "rts", "rid")
+    val out = graft.plans.AsOfJoin(l, r, l("k"), r("k"), l("ts"), r("rts"), r("rid"))
+      .select(col("lid"), col("rid"))
+      .collect().map(x => (x.getLong(0), if (x.isNullAt(1)) -1L else x.getLong(1)))
+      .toMap
+    // lid 100 (ts 10) matches rid 201 (ts 8); the null-ts left row and the
+    // ts-5 left row (only right ts is 9 > 5) match nothing; null-ts right
+    // rows are skipped, not compared
+    assert(out == Map(100L -> 201L, 101L -> -1L, 102L -> -1L))
+    val nested = intercept[Exception] {
+      val la = l.withColumn("ak", array(col("k")))
+      val ra = r.withColumn("ak", array(col("k")))
+      graft.plans.AsOfJoin(la, ra, la("ak"), ra("ak"), la("ts"), ra("rts"), ra("rid"))
+        .collect()
+    }
+    assert(nested.getMessage.contains("atomic"), nested.getMessage)
+  }
 }
