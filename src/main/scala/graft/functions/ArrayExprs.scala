@@ -87,15 +87,20 @@ object ArrayExprs {
       copy(left = newLeft, right = newRight)
   }
 
-  /** |A ∩ B| for two SORTED int arrays (dictionary-encoded gram sets) via
-    * merge walk — the PPJoin verification kernel. */
-  case class SortedIntIntersectSize(left: Expression, right: Expression)
-      extends BinaryExpression with ExpectsInputTypes {
-    override def prettyName: String = "graft_intersect_size"
+  /** |A ∩ B| for two SORTED primitive arrays via merge walk — the PPJoin
+    * verification kernel. One base, two element widths: int gids cover
+    * vocabularies to 2^31; the long variant is the swap beyond that (the
+    * web-corpus regime DedupQueries documents). */
+  sealed abstract class SortedIntersectBase extends BinaryExpression
+      with ExpectsInputTypes {
+    protected def elem: DataType
     override def inputTypes: Seq[DataType] =
-      Seq(ArrayType(IntegerType), ArrayType(IntegerType))
+      Seq(ArrayType(elem), ArrayType(elem))
     override def dataType: DataType = LongType
     override def nullIntolerant: Boolean = true
+
+    private def at(a: ArrayData, i: Int): Long =
+      if (elem == IntegerType) a.getInt(i).toLong else a.getLong(i)
 
     override def nullSafeEval(l: Any, r: Any): Any = {
       val a = l.asInstanceOf[ArrayData]
@@ -103,7 +108,7 @@ object ArrayExprs {
       val na = a.numElements(); val nb = b.numElements()
       var i = 0; var j = 0; var c = 0L
       while (i < na && j < nb) {
-        val x = a.getInt(i); val y = b.getInt(j)
+        val x = at(a, i); val y = at(b, j)
         if (x == y) { c += 1; i += 1; j += 1 }
         else if (x < y) i += 1
         else j += 1
@@ -113,6 +118,8 @@ object ArrayExprs {
 
     override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, (a, b) => {
+        val (jt, getter) =
+          if (elem == IntegerType) ("int", "getInt") else ("long", "getLong")
         val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
         val i = ctx.freshName("i"); val j = ctx.freshName("j")
         val c = ctx.freshName("c")
@@ -121,14 +128,28 @@ object ArrayExprs {
            |int $na = $a.numElements(); int $nb = $b.numElements();
            |int $i = 0; int $j = 0; long $c = 0L;
            |while ($i < $na && $j < $nb) {
-           |  int $x = $a.getInt($i); int $y = $b.getInt($j);
+           |  $jt $x = $a.$getter($i); $jt $y = $b.$getter($j);
            |  if ($x == $y) { $c++; $i++; $j++; }
            |  else if ($x < $y) { $i++; } else { $j++; }
            |}
            |${ev.value} = $c;
          """.stripMargin
       })
+  }
 
+  case class SortedIntIntersectSize(left: Expression, right: Expression)
+      extends SortedIntersectBase {
+    override def prettyName: String = "graft_intersect_size"
+    override protected def elem: DataType = IntegerType
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  case class SortedLongIntersectSize(left: Expression, right: Expression)
+      extends SortedIntersectBase {
+    override def prettyName: String = "graft_intersect_size_l"
+    override protected def elem: DataType = LongType
     override protected def withNewChildrenInternal(
         newLeft: Expression, newRight: Expression): Expression =
       copy(left = newLeft, right = newRight)
@@ -144,6 +165,9 @@ object ArrayExprs {
 
   def intersectSize(a: Column, b: Column): Column =
     ColumnBridge(SortedIntIntersectSize(ColumnBridge.expr(a), ColumnBridge.expr(b)))
+
+  def intersectSizeLong(a: Column, b: Column): Column =
+    ColumnBridge(SortedLongIntersectSize(ColumnBridge.expr(a), ColumnBridge.expr(b)))
 }
 
 /** SQL-surface registration: `spark.sql.extensions=graft.functions.GraftExtensions`
@@ -168,5 +192,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_intersect_size",
         "graft_intersect_size(a, b) - |A∩B| of sorted int arrays"),
       (cs: Seq[Expression]) => SortedIntIntersectSize(cs(0), cs(1))))
+    ext.injectFunction((FunctionIdentifier("graft_intersect_size_l"),
+      info("graft_intersect_size_l",
+        "graft_intersect_size_l(a, b) - |A∩B| of sorted long arrays"),
+      (cs: Seq[Expression]) => SortedLongIntersectSize(cs(0), cs(1))))
   }
 }

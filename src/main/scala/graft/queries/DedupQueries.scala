@@ -100,7 +100,8 @@ object DedupQueries {
     * HOF chains cost ~50× codegen for this per-row shape. Public so the
     * PPJoin losslessness property (JaccardPropertySpec) can drive it with
     * arbitrary generated corpora. */
-  def ngramJaccardJoin(docs: DataFrame, t: Double): DataFrame = {
+  def ngramJaccardJoin(docs: DataFrame, t: Double,
+      wideGids: Boolean = false): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val e = docs.select(col("doc_id"), col("text")).as[(Long, String)]
@@ -112,7 +113,7 @@ object DedupQueries {
         val ng = set.size.toLong
         set.iterator.map(g => (id, ng, g))
       }.toDF("doc_id", "ng", "gram")
-    jaccardJoin(e, t)
+    jaccardJoin(e, t, wideGids)
   }
 
   /** Exact Jaccard-join ≥ t over distinct gram sets: PPJoin (Xiao et al.,
@@ -139,20 +140,26 @@ object DedupQueries {
     *    intersection. The document text/grams themselves never cross a
     *    shuffle after dictionary encoding.
     */
-  private def jaccardJoin(e: DataFrame, t: Double): DataFrame = {
+  private def jaccardJoin(e: DataFrame, t: Double,
+      wideGids: Boolean = false): DataFrame = {
     // dense gid in global (df asc, gram) rarity order via distributed sort +
     // zipWithIndex — NOT a single-partition ranking window, which would
     // serialize on one task at web-corpus vocabulary sizes. Int gids cover
-    // vocabularies to 2^31 (a long-gid kernel is the swap beyond that).
+    // vocabularies to 2^31; wideGids switches to long gids (offset past
+    // 2^32, so the long kernel is genuinely exercised) for corpora beyond —
+    // identical output either way (the offset preserves rarity order),
+    // property-tested in JaccardPropertySpec.
     val dict = {
       val spark = e.sparkSession
       import spark.implicits._
-      e.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      val ranked = e.groupBy(col("gram")).agg(count(lit(1)).as("df"))
         .orderBy(col("df"), col("gram"))
         .select(col("gram")).as[String]
         .rdd.zipWithIndex()
-        .map { case (g, i) => (g, (i + 1).toInt) }
-        .toDF("gram", "gid")
+      if (wideGids)
+        ranked.map { case (g, i) => (g, (1L << 32) + i + 1) }.toDF("gram", "gid")
+      else
+        ranked.map { case (g, i) => (g, (i + 1).toInt) }.toDF("gram", "gid")
     }
     // one row per doc: the sorted gid array. This is the only materialized
     // intermediate (localCheckpoint) — compact (ints, not grams) and it feeds
@@ -190,7 +197,9 @@ object DedupQueries {
         col("ids").as("ia")), "doc_a")
       .join(ids.select(col("doc_id").as("doc_b"), col("ng").as("nb"),
         col("ids").as("ib")), "doc_b")
-      .withColumn("common", intersectSize(col("ia"), col("ib")))
+      .withColumn("common",
+        if (wideGids) graft.functions.ArrayExprs.intersectSizeLong(col("ia"), col("ib"))
+        else intersectSize(col("ia"), col("ib")))
       .withColumn("jac", col("common").cast("double")
         / (col("na") + col("nb") - col("common")).cast("double"))
       .where(col("jac") >= t)

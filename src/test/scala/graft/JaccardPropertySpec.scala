@@ -34,10 +34,11 @@ class JaccardPropertySpec extends SparkTestBase {
     } yield (ia, ib, jac)).toSet
   }
 
-  private def engine(docs: Seq[String], t: Double): Set[(Long, Long, Double)] = {
+  private def engine(docs: Seq[String], t: Double,
+      wideGids: Boolean = false): Set[(Long, Long, Double)] = {
     val df = docs.zipWithIndex.map { case (d, i) => (i.toLong, d) }
       .toDF("doc_id", "text")
-    DedupQueries.ngramJaccardJoin(df, t)
+    DedupQueries.ngramJaccardJoin(df, t, wideGids)
       .as[(Long, Long, Double)].collect().toSet
   }
 
@@ -60,5 +61,16 @@ class JaccardPropertySpec extends SparkTestBase {
   test("identical docs always pair with jac == 1.0") {
     val got = engine(Seq("a b c a b", "a b c a b", "f f f"), 0.5)
     assert(got == Set((0L, 1L, 1.0)))
+  }
+
+  test("long-gid path (gids forced past 2^32) == brute force and == int path") {
+    // the >2^31-vocabulary regime: gids offset beyond int range exercise the
+    // SortedLongIntersectSize kernel and the long prefix/positional pipeline
+    val prop = Prop.forAll(corpusGen) { docs =>
+      val wide = engine(docs, 0.5, wideGids = true)
+      wide == model(docs, 0.5) && wide == engine(docs, 0.5)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.toString)
   }
 }

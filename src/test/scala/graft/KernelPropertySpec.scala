@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{ArrayExprs, TopKAggregator}
+import graft.functions.{ArrayExprs, TopKAggregator, TopKPairsAggregator}
 import org.scalacheck.{Gen, Prop, Test => SCTest}
 
 /** Randomized checks for the small pure kernels:
@@ -36,6 +36,49 @@ class KernelPropertySpec extends SparkTestBase {
     }
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
     assert(res.passed, res.toString)
+  }
+
+  test("TopKPairsAggregator: split-order invariance, window-model agreement") {
+    val agg = new TopKPairsAggregator(3)
+    val pairsGen: Gen[List[(Double, Long)]] =
+      Gen.chooseNum(0, 25).flatMap(n => Gen.listOfN(n,
+        for { s <- Gen.chooseNum(-5, 5); id <- Gen.chooseNum(0L, 30L) }
+          yield (s / 3.0, id)))
+    def byAgg(batches: Seq[Seq[(Double, Long)]]): Seq[(Double, Long)] = {
+      val partials = batches.map(_.foldLeft(agg.zero)(agg.reduce))
+      agg.finish(partials.foldLeft(agg.zero)(agg.merge))
+    }
+    val prop = Prop.forAll(pairsGen, Gen.chooseNum(1, 4)) { (rows, nSplits) =>
+      val batches = rows.grouped(math.max(1, rows.length / nSplits + 1)).toSeq
+      val a = byAgg(batches)
+      val b = byAgg(batches.reverse)
+      // the model IS the ranking-window ordering the oracle SQL expresses
+      val m = rows.sortBy { case (s, id) => (-s, id) }.take(3)
+      a == b && a == m
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.toString)
+  }
+
+  test("long intersect kernel handles gids past int range") {
+    val base = 1L << 32
+    val rng = new scala.util.Random(13)
+    val rows = Seq.tabulate(80) { _ =>
+      (Array.fill(rng.nextInt(8))(base + rng.nextInt(40)).sorted,
+        Array.fill(rng.nextInt(8))(base + rng.nextInt(40)).sorted)
+    }
+    val got = rows.toDF("x", "y")
+      .select(ArrayExprs.intersectSizeLong($"x", $"y"))
+      .as[Long].collect().toSeq
+    val want = rows.map { case (x, y) =>
+      var i = 0; var j = 0; var c = 0L
+      while (i < x.length && j < y.length) {
+        if (x(i) == y(j)) { c += 1; i += 1; j += 1 }
+        else if (x(i) < y(j)) i += 1 else j += 1
+      }
+      c
+    }
+    assert(got == want)
   }
 
   test("native kernels agree with Scala arithmetic on bulk random rows") {
