@@ -176,6 +176,28 @@ object AdvancedQueries {
         .orderBy("mon_us")
     },
 
+    // Bucketed sink + co-located fact-fact join (SURVEY §7.1 slice 4): both
+    // facts are WRITTEN bucketed+sorted by the join key, so the join needs no
+    // exchange of either side — at 100 TB this converts every downstream
+    // key-join into a scan-local merge (BucketedJoinSpec pins the
+    // exchange-free plan; this query gates the write→read→join result).
+    "q_bucketed_join" -> { (s, dir) =>
+      val suf = new java.io.File(dir).getName.replace('.', '_')
+      val ob = s"orders_bk_$suf"
+      val lb = s"lineitem_bk_$suf"
+      Tables(s, dir, "orders")
+        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable(ob)
+      Tables(s, dir, "lineitem")
+        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable(lb)
+      s.table(lb).join(s.table(ob), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          moneySum(col("l_extendedprice")).as("rev"))
+        .orderBy("o_orderpriority")
+    },
+
     // Connector surface: nation → CSV, region → JSON (explicit schemas on
     // read), then the same broadcast-join aggregate as the parquet path.
     "q_multiformat" -> { (s, dir) =>
@@ -296,6 +318,11 @@ object AdvancedQueries {
          |  CAST(promo_rev AS DOUBLE)*100.0/CAST(total_rev AS DOUBLE) AS promo_pct,
          |  CAST(total_rev AS DOUBLE)/10000.0 AS revenue
          |FROM m ORDER BY mon_us""".stripMargin,
+
+    "q_bucketed_join" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n_items, ${MONEY("l_extendedprice")} AS rev
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q_multiformat" ->
       """SELECT r_name, COUNT(*) AS n_nations, max(n_name) AS max_nation

@@ -39,6 +39,14 @@ class WordcountSpec extends SparkTestBase {
     assert(wc.where($"word" === "absent").isEmpty)
   }
 
+  test("KvSink.collectAsMap: MapPut/MapGet parity with the distributed filter") {
+    val m = graft.operators.KvSink.collectAsMap(
+      SparkEntry.queries("wordcount")(spark, goldenDir).as[(String, Long)])
+    assert(m == Map("one" -> 1L, "two" -> 2L, "three" -> 3L, "four" -> 4L))
+    assert(graft.operators.KvSink.get(m, "four").contains(4L)) // "Found four 4 times"
+    assert(graft.operators.KvSink.get(m, "absent").isEmpty) // "Word not found!"
+  }
+
   test("invariance: identical results under shuffle partitions 1 vs 8") {
     def run(parts: String): Seq[(String, Long)] = {
       spark.conf.set("spark.sql.shuffle.partitions", parts)
