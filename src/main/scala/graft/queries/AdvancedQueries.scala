@@ -185,6 +185,15 @@ object AdvancedQueries {
       val suf = new java.io.File(dir).getName.replace('.', '_')
       val ob = s"orders_bk_$suf"
       val lb = s"lineitem_bk_$suf"
+      // a previous JVM's managed-table directory survives in the warehouse
+      // while the in-memory catalog forgets it, turning overwrite into a
+      // CREATE against an existing location — drop both layers first
+      val wh = new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir"))
+      val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+      Seq(ob, lb).foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        fs.delete(new org.apache.hadoop.fs.Path(wh, t), true)
+      }
       Tables(s, dir, "orders")
         .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
         .mode("overwrite").saveAsTable(ob)
