@@ -125,9 +125,12 @@ object TextQueries {
     // The training-data user story end-to-end: quality filter → exact dedup
     // (keep lowest doc_id per normalized text) → per-language corpus stats.
     // Every stage is one of the engine's operators composed declaratively;
-    // only the 32-byte norm hash and small aggregates cross shuffles.
+    // only the 32-byte norm hash and small aggregates cross shuffles. The
+    // keep-first step is min_by (a partial→final hash aggregate), NOT a
+    // ranking window over norm_md5: a boilerplate page duplicated millions
+    // of times at 100 TB would put its whole group on one window task,
+    // while min_by folds it map-side to one row per partition.
     "q_pipeline_clean" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
       val scored = Tables(s, dir, "documents")
         .select(col("doc_id"), col("lang"), col("text"), tokens(col("text")).as("t"))
         .withColumn("n_tokens", size(col("t")).cast("long"))
@@ -137,9 +140,12 @@ object TextQueries {
       val deduped = scored
         .withColumn("norm_md5",
           md5(regexp_replace(trim(lower(col("text"))), "[ \\t\\r\\n]+", " ")))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("norm_md5")).orderBy(col("doc_id"))))
-        .where(col("rn") === 1)
+        .groupBy(col("norm_md5"))
+        .agg(min_by(
+          struct(col("lang"), col("n_tokens"), col("n_distinct")),
+          col("doc_id")).as("keep"))
+        .select(col("keep.lang").as("lang"), col("keep.n_tokens").as("n_tokens"),
+          col("keep.n_distinct").as("n_distinct"))
       deduped.groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).as("total_tokens"),

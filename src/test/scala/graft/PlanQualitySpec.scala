@@ -43,6 +43,15 @@ class PlanQualitySpec extends SparkTestBase {
     }
   }
 
+  test("q_pipeline_clean dedups via partial aggregate, not a norm_md5 window") {
+    // a boilerplate doc duplicated millions of times must fold map-side,
+    // not sort its whole group on one window task
+    val p = planOf(SparkEntry.queries("q_pipeline_clean")(spark, sf))
+    assert(!p.contains("windowspecdefinition(norm_md5"),
+      s"keep-first went back to a ranking window:\n$p")
+    assert(p.contains("partial_min_by"), s"min_by lost its partial phase:\n$p")
+  }
+
   test("wordcount: whole-stage codegen covers the scan->agg pipeline") {
     val p = planOf(SparkEntry.queries("wordcount")(spark, sf))
     assert(p.contains("*("), s"no codegen spans in:\n$p")
