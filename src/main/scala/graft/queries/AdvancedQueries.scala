@@ -207,6 +207,28 @@ object AdvancedQueries {
         .orderBy("o_orderpriority")
     },
 
+    // Partitioned sink + pruned scan: events written hive-partitioned by
+    // event_type, read back with a partition predicate. At 100 TB the
+    // predicate never touches non-matching partition directories (the scan's
+    // PartitionFilters — pinned in PlanQualitySpec along with the dynamic
+    // partition pruning variant); the oracle aggregates the same rows from
+    // the unpartitioned parquet.
+    "q_partitioned_scan" -> { (s, dir) =>
+      val tmp = s"/root/repo/target/tmp/events_part-${new java.io.File(dir).getName}"
+      Tables(s, dir, "events")
+        .withColumn("ts_us", expr("ts div 1000"))
+        .select(col("event_id"), col("user_id"), col("ts_us"), col("value"),
+          col("event_type"))
+        .write.partitionBy("event_type").mode("overwrite").parquet(tmp)
+      s.read.parquet(tmp)
+        .where(col("event_type").isin("click", "purchase"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          moneySum(col("value")).as("val_sum"))
+        .orderBy("event_type")
+    },
+
     // Connector surface: nation → CSV, region → JSON (explicit schemas on
     // read), then the same broadcast-join aggregate as the parquet path.
     "q_multiformat" -> { (s, dir) =>
@@ -332,6 +354,12 @@ object AdvancedQueries {
       s"""SELECT o_orderpriority, COUNT(*) AS n_items, ${MONEY("l_extendedprice")} AS rev
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_partitioned_scan" ->
+      s"""SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users,
+         |  ${MONEY("\"value\"")} AS val_sum
+         |FROM events WHERE event_type IN ('click', 'purchase')
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_multiformat" ->
       """SELECT r_name, COUNT(*) AS n_nations, max(n_name) AS max_nation

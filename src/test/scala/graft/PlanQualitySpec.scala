@@ -86,6 +86,38 @@ class PlanQualitySpec extends SparkTestBase {
     }
   }
 
+  test("q_partitioned_scan: partition predicate prunes at the directory level") {
+    val p = planOf(SparkEntry.queries("q_partitioned_scan")(spark, sf))
+    assert(p.contains("PartitionFilters: ["), s"no partition filters in:\n$p")
+    assert("PartitionFilters: \\[[^\\]]*event_type".r.findFirstIn(p).isDefined,
+      s"event_type predicate not applied as a partition filter:\n$p")
+    // the predicate must NOT degrade to a post-scan data filter
+    assert(!p.contains("PushedFilters: [In(event_type"),
+      s"partition column wrongly handled as a data filter:\n$p")
+  }
+
+  test("dynamic partition pruning: dim filter prunes the partitioned fact scan") {
+    // the 100 TB star-join pattern: the fact side is partitioned on the join
+    // key, the dim filter's values are only known at runtime — DPP turns
+    // them into partition filters instead of scanning every partition
+    import spark.implicits._
+    val tmp = s"/root/repo/target/tmp/events_part-${new java.io.File(sf).getName}"
+    SparkEntry.queries("q_partitioned_scan")(spark, sf).collect() // materialize the partitioned copy
+    // the dim must be a real source with a runtime filter — a LocalRelation
+    // constant-folds the predicate away and DPP sees no selective filter
+    val dimPath = s"$tmp-dim"
+    Seq(("click", 1L), ("view", 2L), ("purchase", 3L)).toDF("et", "flag")
+      .write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath).where(col("flag") === 1L)
+    val joined = spark.read.parquet(tmp)
+      .join(dim, col("event_type") === col("et"))
+      .groupBy(col("et")).agg(count(lit(1)).as("n"))
+    joined.collect()
+    val p = joined.queryExecution.executedPlan.toString()
+    assert(p.contains("dynamicpruning"),
+      s"no dynamic partition pruning on the fact scan:\n$p")
+  }
+
   test("no unintended cartesian products anywhere in the query set") {
     // sim_topk/sim_ann_ivf intentionally cross-join against broadcast
     // centroid/query sets; everything else must be key-joined.
