@@ -2,8 +2,8 @@ package graft
 
 /** Partition-count invariance for the dedup pipelines — guards the moving
   * parts a refactor could silently break: zipWithIndex dictionary ids, the
-  * adaptive packed-key distinct, LSH banding, typed flatMap extraction
-  * (SURVEY §5 parallelism-sweep axiom applied to the heaviest operators). */
+  * pair distinct, LSH banding, typed flatMap extraction (SURVEY §5
+  * parallelism-sweep axiom applied to the heaviest operators). */
 class DedupInvarianceSpec extends SparkTestBase {
 
   private def run(name: String, parts: String): Seq[String] =
