@@ -1,0 +1,221 @@
+package graft.operators
+
+import graft.functions.Portable._
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Reusable similarity-search operators over embedding columns — the public
+  * library surface behind the gated `sim_*` queries (which bind them to the
+  * fixture's query set; a user binds them to theirs).
+  *
+  * All scoring uses exact integer arithmetic (micro-scaled vectors, long dot
+  * products via the codegen'd [[graft.functions.ArrayExprs]] kernels) so
+  * cosine values are bit-deterministic regardless of partitioning or
+  * summation order.
+  *
+  * Scale design:
+  * - every per-query top-k runs through [[graft.functions.TopKPairsAggregator]]
+  *   (ObjectHashAggregate, partial→final): each map task keeps at most k
+  *   pairs per query id, so the shuffle carries ≤ k·partitions rows per
+  *   query — never a ranking window, which would move the entire scored
+  *   candidate set onto |Q| tasks and sort it there;
+  * - brute force broadcasts the (small) query set and makes one corpus pass;
+  * - IVF assigns each corpus vector to its nearest trained cell in one map
+  *   pass (the aggregate carries 12 bytes per vector), queries probe nProbe
+  *   cells, and the candidate join touches only the probed cells' vectors;
+  * - hyperplane LSH buckets both sides by sign-pattern and joins per bucket;
+  * - exact near-dup blocks by a label column and grid-distributes each
+  *   block so one hot label spans gridWidth² tasks.
+  */
+object SimilarityOps {
+
+  /** (vec_id, label, embedding float[]) → (vec_id, label, iv, nrm):
+    * micro-scaled long vector + exact squared norm, localCheckpoint-
+    * materialized because the encode is an interpreted higher-order
+    * transform and every search fans the table into 2-3 plan branches —
+    * the 100 TB analogue is writing the quantized vectors once. */
+  def encode(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("vec_id"), col("label"), intVec(col("embedding")).as("iv"))
+      .withColumn("nrm", graft.functions.ArrayExprs.dot(col("iv"), col("iv")))
+      .localCheckpoint()
+
+  /** Rename an encoded subset to the query-side schema (qid, qiv, qnrm). */
+  def asQueries(encoded: DataFrame): DataFrame =
+    encoded.select(col("vec_id").as("qid"), col("iv").as("qiv"),
+      col("nrm").as("qnrm"))
+
+  /** (qid, nbr_id, cos) → exact per-qid top-k as (qid, nbr_id, rnk, cos),
+    * best first, via the bounded partial→final aggregator. Output is
+    * bit-identical to `row_number over (partition by qid order by cos desc,
+    * nbr_id) <= k` — the form oracle SQL expresses — but the shuffle
+    * carries at most k pairs per (qid, map task). */
+  def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val tk = udaf(new graft.functions.TopKPairsAggregator(k),
+      ExpressionEncoder[(Double, Long)]())
+    scored
+      .groupBy(col("qid"))
+      .agg(tk(col("cos"), col("nbr_id")).as("tk"))
+      .select(col("qid"), posexplode(col("tk")))
+      .select(col("qid"), col("col._2").as("nbr_id"),
+        (col("pos") + 1).cast("long").as("rnk"), col("col._1").as("cos"))
+      .orderBy("qid", "rnk")
+  }
+
+  private def scoreCos(df: DataFrame): DataFrame =
+    df.withColumn("cos",
+      cosine(graft.functions.ArrayExprs.dot(col("qiv"), col("iv")),
+        col("qnrm"), col("nrm")))
+
+  /** Exact cosine top-k of `corpus` for each row of `queries` (one broadcast
+    * corpus pass; self-matches on vec_id == qid excluded). */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
+    topKPerQuery(
+      scoreCos(corpus.crossJoin(broadcast(queries))
+        .where(col("vec_id") =!= col("qid")))
+        .select(col("qid"), col("vec_id").as("nbr_id"), col("cos")), k)
+
+  /** Driver-side Lloyd fit over a deterministic sample, for broadcast.
+    *
+    * Deliberately a driver loop: the sample is metadata-sized (1/sampleMod
+    * of the corpus here; at larger scale raise sampleMod so the sampled
+    * count stays bounded — the mechanism is unchanged), while the
+    * per-vector ASSIGNMENT of the full corpus stays distributed. Seeds are
+    * the sampled ids below seedBound (cid = id/sampleMod); ties (equal l2)
+    * keep the smaller cid; means are floored doubles; empty cells keep the
+    * previous centroid. Fully replayable in SQL — see the sim_ann_ivf
+    * oracle's CTE chain. */
+  def trainCentroids(encoded: DataFrame, sampleMod: Int, seedBound: Int,
+      iters: Int): Seq[(Int, Seq[Long])] = {
+    val sample = encoded.where(pmod(col("vec_id"), lit(sampleMod)) === 0)
+      .select(col("vec_id"), col("iv"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+      .sortBy(_._1)
+    var cents: Array[(Int, Array[Long])] = sample
+      .filter(_._1 < seedBound)
+      .map { case (id, iv) => ((id / sampleMod).toInt, iv) }
+    var it = 0
+    while (it < iters) {
+      val sums = scala.collection.mutable.HashMap.empty[Int, (Array[Long], Long)]
+      sample.foreach { case (_, iv) =>
+        var best = -1
+        var bd = Long.MaxValue
+        var j = 0
+        while (j < cents.length) { // cents ascend by cid; strict < keeps ties on the smaller cid
+          val civ = cents(j)._2
+          var d = 0L
+          var i = 0
+          while (i < iv.length) { val t = iv(i) - civ(i); d += t * t; i += 1 }
+          if (d < bd) { bd = d; best = cents(j)._1 }
+          j += 1
+        }
+        val (acc, n) = sums.getOrElseUpdate(best, (new Array[Long](iv.length), 0L))
+        var i = 0
+        while (i < iv.length) { acc(i) += iv(i); i += 1 }
+        sums.update(best, (acc, n + 1))
+      }
+      cents = cents.map { case (cid, old) =>
+        sums.get(cid) match {
+          case Some((acc, n)) =>
+            (cid, acc.map(x => math.floor(x.toDouble / n.toDouble).toLong))
+          case None => (cid, old)
+        }
+      }
+      it += 1
+    }
+    cents.map { case (cid, civ) => (cid, civ.toSeq) }.toSeq
+  }
+
+  /** IVF probe search: assign every corpus vector to its nearest centroid
+    * (argmin as min(struct) — a hash aggregate carrying 12 bytes/vector),
+    * probe each query's nProbe nearest cells, score only those cells'
+    * vectors, top-k through the bounded aggregator. `centroids` must have
+    * (cid, civ) — typically [[trainCentroids]] broadcast via toDF. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+      k: Int, nProbe: Int): DataFrame = {
+    def l2(a: String, b: String) =
+      graft.functions.ArrayExprs.l2sq(col(a), col(b))
+    val cellOf = corpus.crossJoin(broadcast(centroids))
+      .withColumn("dist", l2("iv", "civ"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("dist"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cid"))
+    val assigned = corpus.join(cellOf, "vec_id")
+    // probe-selection window: partitions are bounded at |centroids| rows
+    // each (one per cell), whatever |Q| or corpus size — not a scale hazard
+    // (ranked under a renamed key so plan assertions can pin that no window
+    // ever partitions the SCORED set by qid)
+    val byDist = Window.partitionBy(col("pq")).orderBy(col("dist"), col("cid"))
+    val probes = queries
+      .select(col("qid").as("pq"), col("qiv"), col("qnrm"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("dist",
+        graft.functions.ArrayExprs.l2sq(col("qiv"), col("civ")))
+      .withColumn("prn", row_number().over(byDist))
+      .where(col("prn") <= nProbe)
+      .select(col("pq").as("qid"), col("qiv"), col("qnrm"), col("cid"))
+    topKPerQuery(
+      scoreCos(probes.join(assigned, "cid")
+        .where(col("vec_id") =!= col("qid")))
+        .select(col("qid"), col("vec_id").as("nbr_id"), col("cos")), k)
+  }
+
+  /** Sign-pattern bucket of a long-vector column against integer
+    * hyperplanes (integer coefficients keep the signature exact and
+    * oracle-portable). */
+  def lshBucket(v: Column, planes: Seq[Seq[Long]]): Column =
+    planes.zipWithIndex.map { case (p, j) =>
+      when(graft.functions.ArrayExprs.dot(v, typedLit(p)) > 0,
+        lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Random-hyperplane LSH search: bucket both sides, join per bucket,
+    * exact cosine within the bucket, bounded top-k — the classic trade of
+    * recall for ~1/|buckets| of the corpus scanned per query. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, planes: Seq[Seq[Long]],
+      k: Int): DataFrame = {
+    val withSig = corpus.withColumn("bucket", lshBucket(col("iv"), planes))
+    val qb = queries.withColumn("bucket", lshBucket(col("qiv"), planes))
+    topKPerQuery(
+      scoreCos(withSig.join(broadcast(qb), "bucket")
+        .where(col("vec_id") =!= col("qid")))
+        .select(col("qid"), col("vec_id").as("nbr_id"), col("cos")), k)
+  }
+
+  /** Exact cosine near-dup pairs within `blockCol` groups, grid-distributed.
+    *
+    * Exact all-pairs within a block is inherently Σ per-block² work — no
+    * lossless pruning exists at low thresholds (a hyperplane-LSH block at
+    * cos ≥ 0.35 keeps only ~5% recall per bucket). What CAN be fixed is the
+    * skew: both sides chunk by hash(vec_id) mod m and replicate to their m
+    * grid blocks, so the join key (block, bi, bj) spreads a hot block
+    * across m² tasks with every ordered pair met exactly once, at m×
+    * replication of the compact int vectors. REGIME BOUNDARY: for unbounded
+    * block sizes, generate candidates with LSH bucketing (recall tunable
+    * via OR-ed tables) and verify exactly, as dedup_minhash does. */
+  def nearDupPairs(encoded: DataFrame, minCos: Double, blockCol: String,
+      gridWidth: Int): DataFrame = {
+    val m = gridWidth
+    val v = encoded
+      .withColumn("ck", pmod(xxhash64(col("vec_id")), lit(m)).cast("int"))
+    val grid = explode(sequence(lit(0), lit(m - 1)))
+    val a = v.select(col(blockCol), col("ck").as("bi"), col("vec_id").as("vec_a"),
+        col("iv").as("ia"), col("nrm").as("na"))
+      .withColumn("bj", grid)
+    val b = v.select(col(blockCol), col("ck").as("bj"), col("vec_id").as("vec_b"),
+        col("iv").as("ib"), col("nrm").as("nb"))
+      .withColumn("bi", grid)
+    a.join(b, Seq(blockCol, "bi", "bj"))
+      .where(col("vec_a") < col("vec_b"))
+      .withColumn("cos",
+        cosine(graft.functions.ArrayExprs.dot(col("ia"), col("ib")),
+          col("na"), col("nb")))
+      .where(col("cos") >= minCos)
+      .select(col(blockCol).cast("long").as(blockCol),
+        col("vec_a"), col("vec_b"), col("cos"))
+      .orderBy("vec_a", "vec_b")
+  }
+}

@@ -2,30 +2,16 @@ package graft.queries
 
 import graft.{Q, Tables}
 import graft.functions.Portable._
+import graft.operators.SimilarityOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Similarity search over the `embeddings` table (64-dim float vectors).
-  *
-  * All scoring uses exact integer arithmetic (micro-scaled vectors, long dot
-  * products) so cosine values — and therefore rankings and the DuckDB oracle
-  * hash — are bit-deterministic regardless of partitioning or SIMD summation
-  * order. See [[graft.functions.Portable.intVec]].
-  *
-  * Scale design:
-  * - brute-force top-k broadcasts the (small) query set and makes one pass
-  *   over the corpus: embarrassingly parallel. The per-query top-k runs
-  *   through [[graft.functions.TopKPairsAggregator]] (ObjectHashAggregate,
-  *   partial→final): each map task keeps at most k pairs per query id, so the
-  *   shuffle carries ≤ k·partitions rows per query — NOT a ranking window,
-  *   which would move the entire scored corpus onto |Q| tasks and sort it
-  *   there (the round-1 scale-killer this replaced).
-  * - IVF is the scale path: centroid set broadcasts, every vector is assigned
-  *   to its nearest cell in one map pass, queries probe nProbe cells, and the
-  *   candidate join hits only |probed cells| of the corpus — the classic
-  *   inverted-file trade of recall for a ~cells/nProbe scan reduction.
-  */
+/** The gated similarity queries: bindings of the reusable
+  * [[graft.operators.SimilarityOps]] operators (encode / brute-force top-k /
+  * trained-IVF / hyperplane-LSH / grid-distributed near-dup) to the fixture
+  * query set (vec_id < 10), with the DuckDB oracle SQL that replays each
+  * operator — including the k-means training — term for term. Scale design
+  * notes live on the operators themselves. */
 object SimilarityQueries {
 
   private val NCells = 16
@@ -40,54 +26,10 @@ object SimilarityQueries {
   private val KmSeedBound = NCells * KmSampleMod // 16 seeds: sampled ids < 64
   private val KmIters = 2
 
-  /** Driver-side Lloyd fit over a deterministic sample, for broadcast.
-    *
-    * Deliberately a driver loop: the sample is metadata-sized (|corpus|/4
-    * vectors of 64 longs here; at 100 TB you'd cap it with a fixed-rate
-    * deterministic sample the same way), while the per-vector ASSIGNMENT of
-    * the full corpus stays distributed. Tie-breaks (equal l2 → smaller cid)
-    * and floored means mirror the oracle SQL term for term; empty cells keep
-    * their previous centroid. */
-  private[graft] def trainCentroids(v: DataFrame): Seq[(Int, Seq[Long])] = {
-    val sample = v.where(pmod(col("vec_id"), lit(KmSampleMod)) === 0)
-      .select(col("vec_id"), col("iv"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
-      .sortBy(_._1)
-    var cents: Array[(Int, Array[Long])] = sample
-      .filter(_._1 < KmSeedBound)
-      .map { case (id, iv) => ((id / KmSampleMod).toInt, iv) }
-    var it = 0
-    while (it < KmIters) {
-      val sums = scala.collection.mutable.HashMap.empty[Int, (Array[Long], Long)]
-      sample.foreach { case (_, iv) =>
-        var best = -1
-        var bd = Long.MaxValue
-        var j = 0
-        while (j < cents.length) { // cents ascend by cid; strict < keeps ties on the smaller cid
-          val civ = cents(j)._2
-          var d = 0L
-          var i = 0
-          while (i < iv.length) { val t = iv(i) - civ(i); d += t * t; i += 1 }
-          if (d < bd) { bd = d; best = cents(j)._1 }
-          j += 1
-        }
-        val (acc, n) = sums.getOrElseUpdate(best, (new Array[Long](iv.length), 0L))
-        var i = 0
-        while (i < iv.length) { acc(i) += iv(i); i += 1 }
-        sums.update(best, (acc, n + 1))
-      }
-      cents = cents.map { case (cid, old) =>
-        sums.get(cid) match {
-          case Some((acc, n)) =>
-            (cid, acc.map(x => math.floor(x.toDouble / n.toDouble).toLong))
-          case None => (cid, old)
-        }
-      }
-      it += 1
-    }
-    cents.map { case (cid, civ) => (cid, civ.toSeq) }.toSeq
-  }
+  /** The pinned training schedule bound to [[SimilarityOps.trainCentroids]]
+    * (the oracle SQL below replays exactly these parameters). */
+  private[graft] def trainCentroids(v: DataFrame): Seq[(Int, Seq[Long])] =
+    SimilarityOps.trainCentroids(v, KmSampleMod, KmSeedBound, KmIters)
 
   // Random-hyperplane LSH: 6 deterministic integer hyperplanes (seed fixed)
   // → 64 sign-buckets. Integer coefficients keep the signature exact on both
@@ -98,148 +40,46 @@ object SimilarityQueries {
     Seq.fill(NPlanes)(Seq.fill(64)((rng.nextInt(19) - 9).toLong))
   }
 
-  // Native codegen'd kernels for the hot pairwise scoring paths: identical
-  // long arithmetic to the Catalyst zip_with/aggregate forms (so oracle
-  // hashes are unchanged), but the whole scoring stage stays inside
-  // whole-stage codegen — no per-row ArrayData→Seq conversion, no
-  // interpreted per-element lambdas. See [[graft.functions.ArrayExprs]].
-  private def dotU(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-    graft.functions.ArrayExprs.dot(a, b)
-  private def l2U(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-    graft.functions.ArrayExprs.l2sq(a, b)
-
-  /** vec_id, label, int vector, exact squared norm. Materialized once per
-    * query (localCheckpoint): the float→micro-int encode is an interpreted
-    * higher-order transform, and every similarity query fans the table into
-    * 2-3 plan branches — the 100 TB analogue is writing the quantized
-    * vectors once and scanning those. */
+  /** Encoded corpus: vec_id, label, int vector, exact squared norm
+    * ([[SimilarityOps.encode]], localCheckpoint-materialized). */
   private def vecs(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "embeddings")
-      .select(col("vec_id"), col("label"), intVec(col("embedding")).as("iv"))
-      .withColumn("nrm", dotU(col("iv"), col("iv")))
-      .localCheckpoint()
-
-  private def l2(a: String, b: String) = l2U(col(a), col(b))
-
-  /** (qid, nbr_id, cos) → exact per-qid top-k as (qid, nbr_id, rnk, cos),
-    * best first, via the bounded partial→final aggregator. Output is
-    * bit-identical to `row_number over (partition by qid order by cos desc,
-    * nbr_id) <= k` — the form the DuckDB oracles keep expressing — but the
-    * shuffle carries at most k pairs per (qid, map task). */
-  private def topkByQid(scored: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
-    val tk = udaf(new graft.functions.TopKPairsAggregator(TopK),
-      ExpressionEncoder[(Double, Long)]())
-    scored
-      .groupBy(col("qid"))
-      .agg(tk(col("cos"), col("nbr_id")).as("tk"))
-      .select(col("qid"), posexplode(col("tk")))
-      .select(col("qid"), col("col._2").as("nbr_id"),
-        (col("pos") + 1).cast("long").as("rnk"), col("col._1").as("cos"))
-      .orderBy("qid", "rnk")
-  }
+    SimilarityOps.encode(Tables(s, dir, "embeddings"))
 
   def queries: Map[String, Q] = Map(
     // exact cosine top-k for each query vector (vec_id < 10) — the baseline.
     "sim_topk" -> { (s, dir) =>
       val v = vecs(s, dir)
-      val q = v.where(col("vec_id") < 10)
-        .select(col("vec_id").as("qid"), col("iv").as("qiv"), col("nrm").as("qnrm"))
-      topkByQid(v.crossJoin(broadcast(q))
-        .where(col("vec_id") =!= col("qid"))
-        .withColumn("cos", cosine(dotU(col("qiv"), col("iv")), col("qnrm"), col("nrm")))
-        .select(col("qid"), col("vec_id").as("nbr_id"), col("cos")))
+      SimilarityOps.bruteForceTopK(v,
+        SimilarityOps.asQueries(v.where(col("vec_id") < 10)), TopK)
     },
 
-    // IVF ANN: k-means-trained 16-cell inverted file, probe 4, search in-cell.
+    // IVF ANN: k-means-trained 16-cell inverted file, probe 4, search
+    // in-cell. Training runs driver-side on the pinned sample (see
+    // SimilarityOps.trainCentroids) and broadcasts; assignment of the full
+    // corpus is one distributed map pass.
     "sim_ann_ivf" -> { (s, dir) =>
       import s.implicits._
       val v = vecs(s, dir)
       val cents = trainCentroids(v).toDF("cid", "civ")
-      // one map pass: assign every vector to its nearest centroid cell.
-      // argmin as min(struct(dist, cid)) over a hash aggregate — partial
-      // aggregation combines the 16 candidate cells map-side, and the
-      // aggregate carries only 12 bytes per vector (not the vector itself);
-      // the (vec_id, cid) assignment then joins back to the corpus, which
-      // AQE broadcast-joins at this scale and co-partitions beyond.
-      val cellOf = v.crossJoin(broadcast(cents))
-        .withColumn("dist", l2("iv", "civ"))
-        .groupBy(col("vec_id"))
-        .agg(min(struct(col("dist"), col("cid"))).as("m"))
-        .select(col("vec_id"), col("m.cid").as("cid"))
-      val assigned = v.join(cellOf, "vec_id")
-      // queries probe their nProbe nearest cells. This window is NOT the
-      // scale hazard the final ranking was: its partitions are bounded at
-      // NCells rows each (one per centroid), whatever |Q| or corpus size.
-      val byDist = Window.partitionBy(col("vec_id"))
-        .orderBy(col("dist"), col("cid"))
-      val probes = v.where(col("vec_id") < 10).crossJoin(broadcast(cents))
-        .withColumn("dist", l2("iv", "civ"))
-        .withColumn("prn", row_number().over(byDist))
-        .where(col("prn") <= NProbe)
-        .select(col("vec_id").as("qid"), col("iv").as("qiv"),
-          col("nrm").as("qnrm"), col("cid"))
-      topkByQid(probes.join(assigned, "cid")
-        .where(col("vec_id") =!= col("qid"))
-        .withColumn("cos", cosine(dotU(col("qiv"), col("iv")), col("qnrm"), col("nrm")))
-        .select(col("qid"), col("vec_id").as("nbr_id"), col("cos")))
+      SimilarityOps.ivfTopK(v,
+        SimilarityOps.asQueries(v.where(col("vec_id") < 10)),
+        cents, TopK, NProbe)
     },
 
     // Random-hyperplane LSH ANN: sign-bit bucket per vector (6 codegen'd
     // graft_dot projections), candidates = same bucket, exact cosine top-k.
-    // The scale shape: one map pass computes buckets, the only join is
-    // per-bucket — the classic cosine-LSH trade of recall for ~1/|buckets|
-    // of the corpus scanned per query.
     "sim_lsh" -> { (s, dir) =>
       val v = vecs(s, dir)
-      val bucket = planes.zipWithIndex.map { case (p, j) =>
-        when(dotU(col("iv"), typedLit(p)) > 0, lit(1L << j)).otherwise(lit(0L))
-      }.reduce(_ + _)
-      val withSig = v.withColumn("bucket", bucket)
-      val q = withSig.where(col("vec_id") < 10)
-        .select(col("vec_id").as("qid"), col("iv").as("qiv"),
-          col("nrm").as("qnrm"), col("bucket"))
-      topkByQid(withSig.join(broadcast(q), "bucket")
-        .where(col("vec_id") =!= col("qid"))
-        .withColumn("cos", cosine(dotU(col("qiv"), col("iv")), col("qnrm"), col("nrm")))
-        .select(col("qid"), col("vec_id").as("nbr_id"), col("cos")))
+      SimilarityOps.lshTopK(v,
+        SimilarityOps.asQueries(v.where(col("vec_id") < 10)), planes, TopK)
     },
 
-    // embedding-cosine near-dup pairs, blocked by label, grid-distributed.
-    //
-    // Exact all-pairs within a label is inherently Σ per-label² work — no
-    // lossless pruning exists at cosine ≥ 0.35 (a hyperplane-LSH block at
-    // this threshold keeps only ~5% recall per bucket, so bucketing cannot
-    // preserve the exact oracle). What CAN be fixed is the skew: a bare join
-    // on `label` lands a hot label's entire quadratic block on ONE task. The
-    // 2-D grid decomposition below splits it across m² tasks: each side
-    // chunks by hash(vec_id) mod m, each row replicates to its m grid
-    // blocks, and the join key (label, bi, bj) gives every chunk_i × chunk_j
-    // sub-block its own reduce key. Work is unchanged — every ordered pair
-    // meets exactly once (A in grid row bi=its chunk, B in grid column
-    // bj=its chunk) — and the straggler is gone at m× replication of the
-    // compact int vectors. REGIME BOUNDARY: the exact form is for bounded
-    // label groups; unbounded corpora should generate candidates with
-    // sim_lsh's bucketing (recall tunable via OR-ed tables) and verify
-    // exactly, as dedup_minhash does for Jaccard.
+    // embedding-cosine near-dup pairs, blocked by label, grid-distributed
+    // (a hot label spreads across gridWidth² = 16 tasks; exactness and the
+    // regime boundary are documented on SimilarityOps.nearDupPairs).
     "sim_neardup" -> { (s, dir) =>
-      val m = 4 // grid width: a hot label spreads across m² = 16 tasks
-      val v = vecs(s, dir)
-        .withColumn("ck", pmod(xxhash64(col("vec_id")), lit(m)).cast("int"))
-      val grid = explode(sequence(lit(0), lit(m - 1)))
-      val a = v.select(col("label"), col("ck").as("bi"), col("vec_id").as("vec_a"),
-          col("iv").as("ia"), col("nrm").as("na"))
-        .withColumn("bj", grid)
-      val b = v.select(col("label"), col("ck").as("bj"), col("vec_id").as("vec_b"),
-          col("iv").as("ib"), col("nrm").as("nb"))
-        .withColumn("bi", grid)
-      a.join(b, Seq("label", "bi", "bj"))
-        .where(col("vec_a") < col("vec_b"))
-        .withColumn("cos", cosine(dotU(col("ia"), col("ib")), col("na"), col("nb")))
-        .where(col("cos") >= 0.35)
-        .select(col("label").cast("long").as("label"),
-          col("vec_a"), col("vec_b"), col("cos"))
-        .orderBy("vec_a", "vec_b")
+      SimilarityOps.nearDupPairs(vecs(s, dir), minCos = 0.35,
+        blockCol = "label", gridWidth = 4)
     })
 
   private val vecSql =
