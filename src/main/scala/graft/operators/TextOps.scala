@@ -1,0 +1,137 @@
+package graft.operators
+
+import graft.functions.Portable._
+import graft.functions.RollingHash31
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Reusable text-analysis operators over a (doc_id, text, …) relation — the
+  * public library surface behind the gated text queries (which bind them to
+  * the fixture's `documents` table and stopword lists).
+  *
+  * Hot per-token loops run as single typed maps (raw JVM), never interpreted
+  * Catalyst higher-order functions (~50× codegen for this shape — see the
+  * repo's hard-won rules); pure column arithmetic stays declarative so
+  * Catalyst keeps pushdown/pruning.
+  */
+object TextOps {
+
+  /** Reference-tokenizer wordcount: explode + hash aggregate. Partial→final
+    * aggregation ships one count per distinct word per partition instead of
+    * one pair per token occurrence — the engine's core win over the
+    * reference shuffle (reference mapreduce.c:75-86). */
+  def wordcount(docs: DataFrame): DataFrame =
+    docs
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Stopword-overlap language ID. One typed map computes every language's
+    * score in a single token pass; prediction is argmax with earlier
+    * languages winning ties, `unknown` when nothing matches. Output:
+    * (doc_id, pred_lang, s_<lang>…), one score column per input language. */
+  def langId(docs: DataFrame, stops: Seq[(String, Seq[String])]): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val sets = stops.map { case (l, ws) => (l, ws.toSet) }
+    val scored = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val t = text.toLowerCase.split("[ \t\r\n]+").filter(_.nonEmpty)
+        val scores = sets.map { case (_, ws) => t.count(ws.contains).toLong }
+        val pred =
+          if (scores.sum == 0) "unknown"
+          else sets(scores.zipWithIndex.maxBy { case (v, i) => (v, -i) }._2)._1
+        (id, pred, scores)
+      }.toDF("doc_id", "pred_lang", "scores")
+    stops.zipWithIndex.foldLeft(scored) { case (df, ((l, _), i)) =>
+      df.withColumn(s"s_$l", col("scores").getItem(i))
+    }.drop("scores")
+  }
+
+  /** Per-doc quality stats in one typed map: code-point lengths (the JVM
+    * mirror of Spark/DuckDB length()), distinct/stopword/alpha token counts,
+    * and ratio scores whose double evaluation order matches the oracle SQL;
+    * token-free docs emit zeros (not NULL/NaN). */
+  def quality(docs: DataFrame, stopwords: Set[String]): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val alpha = java.util.regex.Pattern.compile("[a-z]+")
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val t = text.toLowerCase.split("[ \t\r\n]+").filter(_.nonEmpty)
+        val nChars = text.codePointCount(0, text.length).toLong
+        val nTokens = t.length.toLong
+        val nDistinct = t.distinct.length.toLong
+        var sumTokLen = 0L
+        var nStop = 0L
+        var nAlpha = 0L
+        t.foreach { tk =>
+          sumTokLen += tk.codePointCount(0, tk.length)
+          if (stopwords.contains(tk)) nStop += 1
+          if (alpha.matcher(tk).matches()) nAlpha += 1
+        }
+        val (avgTokLen, stopRatio, quality) =
+          if (nTokens == 0) (0.0, 0.0, 0.0)
+          else (
+            sumTokLen.toDouble / nTokens.toDouble,
+            nStop.toDouble / nTokens.toDouble,
+            nDistinct.toDouble / nTokens.toDouble * 0.5
+              + nAlpha.toDouble / nTokens.toDouble * 0.3
+              + nStop.toDouble / nTokens.toDouble * 0.2)
+        (id, nChars, nTokens, nDistinct, sumTokLen, nStop, nAlpha,
+          avgTokLen, stopRatio, quality)
+      }
+      .toDF("doc_id", "n_chars", "n_tokens", "n_distinct", "sum_tok_len",
+        "n_stop", "n_alpha", "avg_tok_len", "stop_ratio", "quality_score")
+  }
+
+  /** Whitespace-token, BPE-ish regex-token, and distinct-vocab counts —
+    * pure column functions (codegen'd, pruned to the two needed columns). */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_ws_tokens"),
+      size(regexp_extract_all(col("text"),
+        lit("[a-zA-Z0-9]+|[^a-zA-Z0-9 \\t\\r\\n]"), lit(0)))
+        .cast("long").as("n_bpe_tokens"),
+      size(array_distinct(tokens(col("text")))).cast("long").as("n_vocab"))
+
+  /** Rolling-hash (31-base mod 2³¹−1, native codegen'd expression) and
+    * normalized-md5 document fingerprints. */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      RollingHash31.column(col("text")).as("fp31"),
+      md5(regexp_replace(trim(lower(col("text"))), "[ \\t\\r\\n]+", " "))
+        .as("fp_md5"))
+
+  /** The training-data pipeline: token/distinct quality filter → exact
+    * dedup keeping the lowest doc_id per normalized text → per-language
+    * corpus stats. The keep-first step is min_by (partial→final hash
+    * aggregate), never a ranking window over the norm hash: a boilerplate
+    * page duplicated millions of times folds map-side instead of sorting
+    * its whole group on one task. */
+  def cleanPipeline(docs: DataFrame, minTokens: Long,
+      minDistinctRatio: Double): DataFrame = {
+    val scored = docs
+      .select(col("doc_id"), col("lang"), col("text"), tokens(col("text")).as("t"))
+      .withColumn("n_tokens", size(col("t")).cast("long"))
+      .withColumn("n_distinct", size(array_distinct(col("t"))).cast("long"))
+      .where(col("n_tokens") >= minTokens &&
+        col("n_distinct").cast("double") / col("n_tokens").cast("double")
+          >= minDistinctRatio)
+    scored
+      .withColumn("norm_md5",
+        md5(regexp_replace(trim(lower(col("text"))), "[ \\t\\r\\n]+", " ")))
+      .groupBy(col("norm_md5"))
+      .agg(min_by(
+        struct(col("lang"), col("n_tokens"), col("n_distinct")),
+        col("doc_id")).as("keep"))
+      .select(col("keep.lang").as("lang"), col("keep.n_tokens").as("n_tokens"),
+        col("keep.n_distinct").as("n_distinct"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("n_distinct")).as("total_distinct"))
+  }
+}

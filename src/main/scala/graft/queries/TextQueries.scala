@@ -2,18 +2,17 @@ package graft.queries
 
 import graft.{Q, Tables}
 import graft.functions.Portable._
-import graft.functions.RollingHash31
+import graft.operators.TextOps
 import org.apache.spark.sql.functions._
 
-/** Wordcount flagship + text-analysis operators over `documents`.
+/** The gated text queries: bindings of the reusable
+  * [[graft.operators.TextOps]] operators (wordcount, langId, quality,
+  * tokenCounts, fingerprint, cleanPipeline) to the fixture's `documents`
+  * table and stopword lists, plus the text-file-source round-trip.
   *
   * Wordcount is the reference's whole client capability: tokenize
   * (reference main.c:20-27) → emit (word,"1") (main.c:26) → count per key
-  * (main.c:33-43). Spark-first form is explode+groupBy.count, which gets the
-  * map-side partial aggregation the reference lacks (mapreduce.c:75-86 ships
-  * one pair per token occurrence across the shuffle; HashAggregateExec ships
-  * one partial count per distinct word per partition — the difference between
-  * O(tokens) and O(vocab·partitions) shuffle bytes at 100 TB).
+  * (main.c:33-43); design notes on the operators themselves.
   */
 object TextQueries {
 
@@ -29,128 +28,33 @@ object TextQueries {
 
   def queries: Map[String, Q] = Map(
     "wordcount" -> { (s, dir) =>
-      Tables(s, dir, "documents")
-        .select(explode(tokens(col("text"))).as("word"))
-        .groupBy("word")
-        .agg(count(lit(1)).as("cnt"))
-        .orderBy("word")
+      TextOps.wordcount(Tables(s, dir, "documents")).orderBy("word")
     },
 
     "wordcount_topk" -> { (s, dir) =>
-      Tables(s, dir, "documents")
-        .select(explode(tokens(col("text"))).as("word"))
-        .groupBy("word")
-        .agg(count(lit(1)).as("cnt"))
+      TextOps.wordcount(Tables(s, dir, "documents"))
         .orderBy(col("cnt").desc, col("word"))
         .limit(20)
     },
 
-    // One typed map per doc (raw JVM loops): the earlier Catalyst
-    // filter-lambda form paid the interpreted-HOF tax (~50× codegen, see
-    // CLAUDE.md) on every token of every doc. A single flat pass computes
-    // all four language scores at once.
     "text_langid" -> { (s, dir) =>
-      import s.implicits._
-      val stopSets = stops.map { case (l, ws) => (l, ws.toSet) }
-      Tables(s, dir, "documents")
-        .select(col("doc_id"), col("text")).as[(Long, String)]
-        .map { case (id, text) =>
-          val t = text.toLowerCase.split("[ \t\r\n]+").filter(_.nonEmpty)
-          val Seq(en, de, es, fr) =
-            stopSets.map { case (_, ws) => t.count(ws.contains).toLong }
-          val pred =
-            if (en + de + es + fr == 0) "unknown"
-            else if (en >= de && en >= es && en >= fr) "en"
-            else if (de >= es && de >= fr) "de"
-            else if (es >= fr) "es"
-            else "fr"
-          (id, pred, en, de, es, fr)
-        }
-        .toDF("doc_id", "pred_lang", "s_en", "s_de", "s_es", "s_fr")
-        .orderBy("doc_id")
+      TextOps.langId(Tables(s, dir, "documents"), stops).orderBy("doc_id")
     },
 
-    // All six per-doc stats in one typed map. Lengths count code points
-    // (the JVM mirror of Spark/DuckDB length()); the ratio formulas keep the
-    // exact double evaluation order of the oracle SQL, and token-free docs
-    // emit zeros on both sides (oracle COALESCE/CASE guards) instead of the
-    // NULL/NaN divergence flagged in round-1 advice.
     "text_quality" -> { (s, dir) =>
-      import s.implicits._
-      val stopSet = stops.head._2.toSet
-      val alpha = java.util.regex.Pattern.compile("[a-z]+")
-      Tables(s, dir, "documents")
-        .select(col("doc_id"), col("text")).as[(Long, String)]
-        .map { case (id, text) =>
-          val t = text.toLowerCase.split("[ \t\r\n]+").filter(_.nonEmpty)
-          val nChars = text.codePointCount(0, text.length).toLong
-          val nTokens = t.length.toLong
-          val nDistinct = t.distinct.length.toLong
-          var sumTokLen = 0L
-          var nStop = 0L
-          var nAlpha = 0L
-          t.foreach { tk =>
-            sumTokLen += tk.codePointCount(0, tk.length)
-            if (stopSet.contains(tk)) nStop += 1
-            if (alpha.matcher(tk).matches()) nAlpha += 1
-          }
-          val (avgTokLen, stopRatio, quality) =
-            if (nTokens == 0) (0.0, 0.0, 0.0)
-            else (
-              sumTokLen.toDouble / nTokens.toDouble,
-              nStop.toDouble / nTokens.toDouble,
-              nDistinct.toDouble / nTokens.toDouble * 0.5
-                + nAlpha.toDouble / nTokens.toDouble * 0.3
-                + nStop.toDouble / nTokens.toDouble * 0.2)
-          (id, nChars, nTokens, nDistinct, sumTokLen, nStop, nAlpha,
-            avgTokLen, stopRatio, quality)
-        }
-        .toDF("doc_id", "n_chars", "n_tokens", "n_distinct", "sum_tok_len",
-          "n_stop", "n_alpha", "avg_tok_len", "stop_ratio", "quality_score")
+      TextOps.quality(Tables(s, dir, "documents"), stops.head._2.toSet)
         .orderBy("doc_id")
     },
 
     "text_tokencount" -> { (s, dir) =>
-      Tables(s, dir, "documents")
-        .select(
-          col("doc_id"),
-          size(tokens(col("text"))).cast("long").as("n_ws_tokens"),
-          size(regexp_extract_all(col("text"),
-            lit("[a-zA-Z0-9]+|[^a-zA-Z0-9 \\t\\r\\n]"), lit(0)))
-            .cast("long").as("n_bpe_tokens"),
-          size(array_distinct(tokens(col("text")))).cast("long").as("n_vocab"))
-        .orderBy("doc_id")
+      TextOps.tokenCounts(Tables(s, dir, "documents")).orderBy("doc_id")
     },
 
-    // The training-data user story end-to-end: quality filter → exact dedup
-    // (keep lowest doc_id per normalized text) → per-language corpus stats.
-    // Every stage is one of the engine's operators composed declaratively;
-    // only the 32-byte norm hash and small aggregates cross shuffles. The
-    // keep-first step is min_by (a partial→final hash aggregate), NOT a
-    // ranking window over norm_md5: a boilerplate page duplicated millions
-    // of times at 100 TB would put its whole group on one window task,
-    // while min_by folds it map-side to one row per partition.
+    // The training-data user story end-to-end (TextOps.cleanPipeline):
+    // quality filter → exact min_by dedup → per-language corpus stats.
     "q_pipeline_clean" -> { (s, dir) =>
-      val scored = Tables(s, dir, "documents")
-        .select(col("doc_id"), col("lang"), col("text"), tokens(col("text")).as("t"))
-        .withColumn("n_tokens", size(col("t")).cast("long"))
-        .withColumn("n_distinct", size(array_distinct(col("t"))).cast("long"))
-        .where(col("n_tokens") >= 10 &&
-          col("n_distinct").cast("double") / col("n_tokens").cast("double") >= 0.3)
-      val deduped = scored
-        .withColumn("norm_md5",
-          md5(regexp_replace(trim(lower(col("text"))), "[ \\t\\r\\n]+", " ")))
-        .groupBy(col("norm_md5"))
-        .agg(min_by(
-          struct(col("lang"), col("n_tokens"), col("n_distinct")),
-          col("doc_id")).as("keep"))
-        .select(col("keep.lang").as("lang"), col("keep.n_tokens").as("n_tokens"),
-          col("keep.n_distinct").as("n_distinct"))
-      deduped.groupBy(col("lang"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_tokens")).as("total_tokens"),
-          sum(col("n_distinct")).as("total_distinct"))
-        .orderBy("lang")
+      TextOps.cleanPipeline(Tables(s, dir, "documents"),
+        minTokens = 10, minDistinctRatio = 0.3).orderBy("lang")
     },
 
     // The reference's literal input shape: a LIST of text files passed like
@@ -166,21 +70,13 @@ object TextQueries {
         .write.mode("overwrite").text(tmp)
       val parts = new java.io.File(tmp).listFiles()
         .filter(_.getName.startsWith("part-")).map(_.getPath).sorted
-      s.read.textFile(parts.toIndexedSeq: _*)
-        .select(explode(tokens(col("value"))).as("word"))
-        .groupBy("word")
-        .agg(count(lit(1)).as("cnt"))
+      TextOps.wordcount(
+        s.read.textFile(parts.toIndexedSeq: _*).select(col("value").as("text")))
         .orderBy("word")
     },
 
     "text_fingerprint" -> { (s, dir) =>
-      Tables(s, dir, "documents")
-        .select(
-          col("doc_id"),
-          RollingHash31.column(col("text")).as("fp31"),
-          md5(regexp_replace(trim(lower(col("text"))), "[ \\t\\r\\n]+", " "))
-            .as("fp_md5"))
-        .orderBy("doc_id")
+      TextOps.fingerprint(Tables(s, dir, "documents")).orderBy("doc_id")
     })
 
   private val tokFrom =
