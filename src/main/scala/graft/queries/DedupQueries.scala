@@ -222,19 +222,22 @@ object DedupQueries {
       .select(col("doc_a"), col("doc_b"), col("jac"))
       .orderBy("doc_a", "doc_b")
 
+  /** Exact dedup on whitespace-normalized text: keep min doc_id per group.
+    * Groups on md5(norm), not norm — the shuffle carries 32 bytes per row
+    * instead of the document body (the 100 TB-critical choice). Public like
+    * the fuzzy joins: (doc_id, text) in, (keep_id, n_copies, norm_md5) out. */
+  def exactDedup(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        md5(regexp_replace(trim(lower(col("text"))), "[ \\t\\r\\n]+", " "))
+          .as("norm_md5"))
+      .groupBy(col("norm_md5"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"), col("norm_md5"))
+
   def queries: Map[String, Q] = Map(
-    // Exact dedup on whitespace-normalized text: keep min doc_id per group.
-    // Groups on md5(norm), not norm — the shuffle carries 32 bytes per row
-    // instead of the document body (the 100 TB-critical choice).
     "dedup_exact" -> { (s, dir) =>
-      Tables(s, dir, "documents")
-        .select(col("doc_id"),
-          md5(regexp_replace(trim(lower(col("text"))), "[ \\t\\r\\n]+", " "))
-            .as("norm_md5"))
-        .groupBy(col("norm_md5"))
-        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
-        .select(col("keep_id"), col("n_copies"), col("norm_md5"))
-        .orderBy("keep_id")
+      exactDedup(Tables(s, dir, "documents")).orderBy("keep_id")
     },
 
     // Word-bigram Jaccard near-dup pairs: PPJoin candidate generation
