@@ -185,6 +185,29 @@ object SimilarityOps {
         .select(col("qid"), col("vec_id").as("nbr_id"), col("cos")), k)
   }
 
+  /** OR-amplified LSH search over several independent hyperplane tables:
+    * a pair is a candidate if it collides in ANY table, so recall rises as
+    * 1-(1-p^b)^L while each table's bucket join stays ~1/|buckets| of the
+    * corpus. Candidates dedup on the narrow (qid, vec_id) pair before ONE
+    * exact scoring pass — the standard recall/cost dial for
+    * high-recall ANN at scale. */
+  def lshTopKMulti(corpus: DataFrame, queries: DataFrame,
+      planesTables: Seq[Seq[Seq[Long]]], k: Int): DataFrame = {
+    val cands = planesTables.map { planes =>
+      corpus.withColumn("bucket", lshBucket(col("iv"), planes))
+        .join(broadcast(
+          queries.withColumn("bucket", lshBucket(col("qiv"), planes))
+            .select(col("qid"), col("bucket"))), "bucket")
+        .where(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"))
+    }.reduce(_ union _).distinct()
+    topKPerQuery(
+      scoreCos(cands
+        .join(corpus.select(col("vec_id"), col("iv"), col("nrm")), "vec_id")
+        .join(broadcast(queries), "qid"))
+        .select(col("qid"), col("vec_id").as("nbr_id"), col("cos")), k)
+  }
+
   /** Exact cosine near-dup pairs within `blockCol` groups, grid-distributed.
     *
     * Exact all-pairs within a block is inherently Σ per-block² work — no

@@ -31,14 +31,20 @@ object SimilarityQueries {
   private[graft] def trainCentroids(v: DataFrame): Seq[(Int, Seq[Long])] =
     SimilarityOps.trainCentroids(v, KmSampleMod, KmSeedBound, KmIters)
 
-  // Random-hyperplane LSH: 6 deterministic integer hyperplanes (seed fixed)
-  // → 64 sign-buckets. Integer coefficients keep the signature exact on both
-  // the Spark and DuckDB sides.
+  // Random-hyperplane LSH: deterministic integer hyperplanes → sign-bit
+  // buckets; integer coefficients keep the signature exact on both the
+  // Spark and DuckDB sides. The single-table query uses 6 planes (64
+  // buckets, cheap and selective); the OR-amplified variant trades cost for
+  // recall with 4 independent SHORTER tables (4 planes → 16 buckets each):
+  // per-table collision p^4 instead of p^6, recall 1-(1-p^4)^4.
   private val NPlanes = 6
-  private val planes: Seq[Seq[Long]] = {
-    val rng = new scala.util.Random(7)
-    Seq.fill(NPlanes)(Seq.fill(64)((rng.nextInt(19) - 9).toLong))
+  private def planesFor(seed: Int, n: Int = NPlanes): Seq[Seq[Long]] = {
+    val rng = new scala.util.Random(seed)
+    Seq.fill(n)(Seq.fill(64)((rng.nextInt(19) - 9).toLong))
   }
+  private val planes: Seq[Seq[Long]] = planesFor(7)
+  private val multiTables: Seq[Seq[Seq[Long]]] =
+    Seq(7, 11, 13, 17).map(planesFor(_, 4))
 
   /** Encoded corpus: vec_id, label, int vector, exact squared norm
     * ([[SimilarityOps.encode]], localCheckpoint-materialized). */
@@ -74,6 +80,17 @@ object SimilarityQueries {
         SimilarityOps.asQueries(v.where(col("vec_id") < 10)), planes, TopK)
     },
 
+    // OR-amplified LSH over four independent short hyperplane tables: a
+    // candidate collides in ANY table (recall 1-(1-p^4)^4 vs the single
+    // table's p^6), deduped on the narrow pair before one exact scoring
+    // pass — the high-recall dial the single-table docs promise, gated.
+    "sim_lsh_multi" -> { (s, dir) =>
+      val v = vecs(s, dir)
+      SimilarityOps.lshTopKMulti(v,
+        SimilarityOps.asQueries(v.where(col("vec_id") < 10)),
+        multiTables, TopK)
+    },
+
     // embedding-cosine near-dup pairs, blocked by label, grid-distributed
     // (a hot label spreads across gridWidth² = 16 tasks; exactness and the
     // regime boundary are documented on SimilarityOps.nearDupPairs).
@@ -98,6 +115,12 @@ object SimilarityQueries {
 
   private def l2Sql(a: String, b: String) =
     s"CAST(list_sum(list_transform(list_zip($a, $b), z -> (z[1]-z[2])*(z[1]-z[2]))) AS BIGINT)"
+
+  private def bucketSqlFor(ps: Seq[Seq[Long]]): String =
+    ps.zipWithIndex.map { case (p, j) =>
+      val lit = p.mkString("[", ", ", "]")
+      s"(CASE WHEN ${dotSql("iv", lit)} > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
 
   /** One Lloyd iteration as CTEs: assign sample to nearest `prev` centroid
     * (l2 asc, cid asc — the argmin tie-break trainCentroids uses), then
@@ -176,18 +199,40 @@ object SimilarityQueries {
          |SELECT qid, nbr_id, rnk, cos FROM r WHERE rnk <= $TopK
          |ORDER BY qid, rnk""".stripMargin,
 
-    "sim_lsh" -> {
-      val bucketSql = planes.zipWithIndex.map { case (p, j) =>
-        val lit = p.mkString("[", ", ", "]")
-        s"(CASE WHEN ${dotSql("iv", lit)} > 0 THEN ${1L << j} ELSE 0 END)"
-      }.mkString(" + ")
+    "sim_lsh" ->
       s"""WITH n AS ($normSql),
-         |b AS (SELECT vec_id, iv, nrm, $bucketSql AS bucket FROM n),
+         |b AS (SELECT vec_id, iv, nrm, ${bucketSqlFor(planes)} AS bucket FROM n),
          |s AS (
          |  SELECT q.vec_id AS qid, e.vec_id AS nbr_id,
          |    ${cosSql(dotSql("q.iv", "e.iv"), "q.nrm", "e.nrm")} AS cos
          |  FROM b q JOIN b e ON q.vec_id < 10 AND e.bucket = q.bucket
          |    AND e.vec_id <> q.vec_id),
+         |r AS (
+         |  SELECT qid, nbr_id, cos, CAST(row_number() OVER
+         |    (PARTITION BY qid ORDER BY cos DESC, nbr_id) AS BIGINT) AS rnk
+         |  FROM s)
+         |SELECT qid, nbr_id, rnk, cos FROM r WHERE rnk <= $TopK
+         |ORDER BY qid, rnk""".stripMargin,
+
+    // candidate = same-bucket in ANY table (UNION dedups the pair), then
+    // one exact scoring pass + ranking — mirrors lshTopKMulti exactly.
+    "sim_lsh_multi" -> {
+      val tableCtes = multiTables.zipWithIndex.map { case (ps, i) =>
+        s"b$i AS (SELECT vec_id, ${bucketSqlFor(ps)} AS bucket FROM n)"
+      }.mkString(",\n")
+      val unions = multiTables.indices.map { i =>
+        s"""SELECT q.vec_id AS qid, e.vec_id AS nbr_id
+           |  FROM b$i q JOIN b$i e ON q.vec_id < 10 AND e.bucket = q.bucket
+           |    AND e.vec_id <> q.vec_id""".stripMargin
+      }.mkString("\n  UNION\n  ")
+      s"""WITH n AS ($normSql),
+         |$tableCtes,
+         |c AS (
+         |  $unions),
+         |s AS (
+         |  SELECT c.qid, c.nbr_id,
+         |    ${cosSql(dotSql("q.iv", "e.iv"), "q.nrm", "e.nrm")} AS cos
+         |  FROM c JOIN n q ON q.vec_id = c.qid JOIN n e ON e.vec_id = c.nbr_id),
          |r AS (
          |  SELECT qid, nbr_id, cos, CAST(row_number() OVER
          |    (PARTITION BY qid ORDER BY cos DESC, nbr_id) AS BIGINT) AS rnk

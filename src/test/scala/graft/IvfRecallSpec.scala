@@ -34,6 +34,19 @@ class IvfRecallSpec extends SparkTestBase {
     assert(moved >= 8, s"training barely moved the seeds ($moved/16 changed)")
   }
 
+  test("OR-amplified LSH recall dominates the single-table recall") {
+    val exact = topkSets("sim_topk")
+    val single = topkSets("sim_lsh")
+    val multi = topkSets("sim_lsh_multi")
+    def recall(ann: Map[Long, Set[Long]]): Double =
+      exact.map { case (q, e) =>
+        ann.getOrElse(q, Set.empty).intersect(e).size.toDouble / e.size
+      }.sum / exact.size
+    val (rs, rm) = (recall(single), recall(multi))
+    assert(rm >= rs, s"second table LOST recall: single=$rs multi=$rm")
+    assert(rm > 0.3, s"multi-table recall collapsed: $rm")
+  }
+
   test("IVF probe search keeps recall vs exact brute-force top-k") {
     val exact = topkSets("sim_topk")
     val ivf = topkSets("sim_ann_ivf")

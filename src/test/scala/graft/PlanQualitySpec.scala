@@ -75,7 +75,7 @@ class PlanQualitySpec extends SparkTestBase {
     // most k pairs per (qid, map task). Pin that no refactor brings the
     // window back (the probe-selection window in sim_ann_ivf partitions by
     // the query's own vec_id over ≤ NCells rows — bounded, and not over qid).
-    for (q <- Seq("sim_topk", "sim_ann_ivf", "sim_lsh")) {
+    for (q <- Seq("sim_topk", "sim_ann_ivf", "sim_lsh", "sim_lsh_multi")) {
       val p = planOf(SparkEntry.queries(q)(spark, sf))
       assert(!p.contains("windowspecdefinition(qid"),
         s"$q ranks through a per-qid window again:\n$p")
