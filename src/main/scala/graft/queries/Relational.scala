@@ -134,6 +134,27 @@ object Relational {
         .orderBy("o_orderpriority")
     },
 
+    // approx_percentile (KLL-style sketch): the quantile twin of
+    // q_approx_distinct's gate pattern. The sketch value never surfaces;
+    // the output carries the EXACT interpolated median (on integer cents
+    // both engines' linear interpolation is bit-identical — all doubles
+    // involved are exact at this magnitude) plus a boolean asserting the
+    // sketch landed within 2% of it. At 100 TB the sketch is the scan
+    // path (bounded memory, partial-mergeable); the exact form is the gate.
+    "q_approx_quantile" -> { (s, dir) =>
+      Tables(s, dir, "orders")
+        .withColumn("total_cents", cents(col("o_totalprice")))
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          percentile_approx(col("total_cents"), lit(0.5), lit(1000)).as("apx"),
+          expr("percentile(total_cents, 0.5D)").as("med_cents"),
+          count(lit(1)).as("n_orders"))
+        .select(col("o_orderpriority"), col("n_orders"), col("med_cents"),
+          (abs(col("apx").cast("double") - col("med_cents"))
+            <= col("med_cents") * lit(0.02)).as("apx_ok"))
+        .orderBy("o_orderpriority")
+    },
+
     // rollup + grouping(): hierarchical totals in one pass.
     "q_rollup" -> { (s, dir) =>
       val c = Tables(s, dir, "customer")
@@ -270,6 +291,14 @@ object Relational {
       s"""SELECT o_orderpriority, COUNT(*) AS n_orders,
          |  COUNT(DISTINCT o_custkey) AS n_cust,
          |  COUNT(DISTINCT year(o_orderdate)) AS n_years
+         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // exact interpolated median on cents + literal TRUE: the Spark side's
+    // sketch-error boolean must come back true or the hash gate fails.
+    "q_approx_quantile" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n_orders,
+         |  quantile_cont(${CENTS("o_totalprice")}, 0.5) AS med_cents,
+         |  TRUE AS apx_ok
          |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     // asserts the exact count AND that the engine's HLL++ estimate stayed
