@@ -105,6 +105,19 @@ object TextOps {
       md5(regexp_replace(trim(lower(col("text"))), "[ \\t\\r\\n]+", " "))
         .as("fp_md5"))
 
+  /** Deterministic train/holdout split by portable key hash: bucket =
+    * md5-derived 60-bit hash of the key's string form mod nBuckets, rows in
+    * buckets [0, trainBuckets) are "train". Hash-based splitting is the
+    * 100 TB-correct assignment — stable under reruns, repartitioning, and
+    * incremental arrivals (a row's split never depends on what else is in
+    * the dataset), and the md5 discipline makes it exactly replayable by
+    * any engine (see Portable.MD5LONG). */
+  def hashSplit(df: DataFrame, keyCol: String, nBuckets: Int,
+      trainBuckets: Int): DataFrame =
+    df.withColumn("split",
+      when(pmod(md5Long(col(keyCol).cast("string")), lit(nBuckets))
+        < trainBuckets, "train").otherwise("holdout"))
+
   /** The training-data pipeline: token/distinct quality filter → exact
     * dedup keeping the lowest doc_id per normalized text → per-language
     * corpus stats. The keep-first step is min_by (partial→final hash

@@ -57,6 +57,19 @@ object TextQueries {
         minTokens = 10, minDistinctRatio = 0.3).orderBy("lang")
     },
 
+    // Deterministic 80/20 train-holdout split by portable doc_id hash
+    // (TextOps.hashSplit) — stable under reruns/repartitioning/appends and
+    // exactly replayed by the oracle, so the per-split stats hash-gate.
+    "q_hash_split" -> { (s, dir) =>
+      TextOps.hashSplit(Tables(s, dir, "documents"), "doc_id",
+          nBuckets = 10, trainBuckets = 8)
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars").cast("long")).as("total_chars"),
+          countDistinct(col("lang")).as("n_langs"))
+        .orderBy("split")
+    },
+
     // The reference's literal input shape: a LIST of text files passed like
     // argv[1..] (reference main.c:13-18, mapreduce.c:177-189), tokenized and
     // counted. The corpus round-trips through multi-file line-oriented text
@@ -99,6 +112,14 @@ object TextQueries {
       s"""SELECT word, count(*) AS cnt
          |FROM (SELECT unnest(t) AS word FROM ($tokFrom))
          |GROUP BY word ORDER BY word""".stripMargin,
+
+    "q_hash_split" ->
+      s"""SELECT CASE WHEN ${MD5LONG("CAST(doc_id AS VARCHAR)")} % 10 < 8
+         |    THEN 'train' ELSE 'holdout' END AS split,
+         |  COUNT(*) AS n_docs,
+         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         |  COUNT(DISTINCT lang) AS n_langs
+         |FROM documents GROUP BY 1 ORDER BY split""".stripMargin,
 
     "text_langid" -> {
       val scoreCols = stops.map { case (l, ws) =>
