@@ -47,9 +47,15 @@ object SimilarityQueries {
     Seq(7, 11, 13, 17).map(planesFor(_, 4))
 
   /** Encoded corpus: vec_id, label, int vector, exact squared norm
-    * ([[SimilarityOps.encode]], localCheckpoint-materialized). */
+    * ([[SimilarityOps.encode]], localCheckpoint-materialized). Memoized per
+    * (session, dir): five sim queries share one encode+checkpoint instead
+    * of re-quantizing the corpus each — the in-process form of the 100 TB
+    * story (write the quantized vectors once, scan them many times). */
+  private val vecsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   private def vecs(s: SparkSession, dir: String): DataFrame =
-    SimilarityOps.encode(Tables(s, dir, "embeddings"))
+    vecsCache.computeIfAbsent((s, dir),
+      _ => SimilarityOps.encode(Tables(s, dir, "embeddings")))
 
   def queries: Map[String, Q] = Map(
     // exact cosine top-k for each query vector (vec_id < 10) — the baseline.
