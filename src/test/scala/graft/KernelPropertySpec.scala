@@ -40,23 +40,38 @@ class KernelPropertySpec extends SparkTestBase {
 
   test("TopKPairsAggregator: split-order invariance, window-model agreement") {
     val agg = new TopKPairsAggregator(3)
+    // include the pathological doubles: the aggregator must order exactly
+    // like Spark's descending double sort (Double.compare: NaN greatest,
+    // -0.0 < 0.0), or a refactor to the window form would change output
+    val score: Gen[Double] = Gen.frequency(
+      8 -> Gen.chooseNum(-5, 5).map(_ / 3.0),
+      1 -> Gen.oneOf(Double.NaN, Double.PositiveInfinity,
+        Double.NegativeInfinity, 0.0, -0.0))
     val pairsGen: Gen[List[(Double, Long)]] =
       Gen.chooseNum(0, 25).flatMap(n => Gen.listOfN(n,
-        for { s <- Gen.chooseNum(-5, 5); id <- Gen.chooseNum(0L, 30L) }
-          yield (s / 3.0, id)))
+        for { s <- score; id <- Gen.chooseNum(0L, 30L) } yield (s, id)))
     def byAgg(batches: Seq[Seq[(Double, Long)]]): Seq[(Double, Long)] = {
       val partials = batches.map(_.foldLeft(agg.zero)(agg.reduce))
       agg.finish(partials.foldLeft(agg.zero)(agg.merge))
     }
+    implicit val sparkDescOrd: Ordering[(Double, Long)] =
+      Ordering.fromLessThan { (a, b) =>
+        val c = java.lang.Double.compare(a._1, b._1)
+        c > 0 || (c == 0 && a._2 < b._2)
+      }
     val prop = Prop.forAll(pairsGen, Gen.chooseNum(1, 4)) { (rows, nSplits) =>
       val batches = rows.grouped(math.max(1, rows.length / nSplits + 1)).toSeq
       val a = byAgg(batches)
       val b = byAgg(batches.reverse)
       // the model IS the ranking-window ordering the oracle SQL expresses
-      val m = rows.sortBy { case (s, id) => (-s, id) }.take(3)
-      a == b && a == m
+      val m = rows.sorted(sparkDescOrd).take(3)
+      def same(x: Seq[(Double, Long)], y: Seq[(Double, Long)]): Boolean =
+        x.size == y.size && x.zip(y).forall { case (p, q) =>
+          java.lang.Double.compare(p._1, q._1) == 0 && p._2 == q._2
+        }
+      same(a, b) && same(a, m)
     }
-    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300), prop)
     assert(res.passed, res.toString)
   }
 
