@@ -2,7 +2,6 @@ package graft.queries
 
 import graft.{Q, Tables}
 import graft.functions.Portable._
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Event-time processing over the `events` table (batch form; the streaming
@@ -24,48 +23,30 @@ object EventQueries {
       .withColumn("ts_us", expr("ts div 1000"))
       .withColumn("ts_t", timestamp_micros(col("ts_us")))
 
+  /** Normalized relation the [[graft.operators.EventOps]] operators take:
+    * ts_us (epoch micros) + exact val_cents. */
+  private def normalized(s: org.apache.spark.sql.SparkSession, dir: String) =
+    events(s, dir).withColumn("val_cents", cents(col("value")))
+
   def queries: Map[String, Q] = Map(
-    // tumbling 1-hour windows — Spark's window() operator; the aggregate is
-    // algebraic (count + exact-cents sum) so it needs one shuffle.
+    // tumbling 1-hour windows (EventOps.windowed): one algebraic hash
+    // aggregate (count + exact-cents sum), one shuffle.
     "q_event_tumbling" -> { (s, dir) =>
-      events(s, dir)
-        .groupBy(window(col("ts_t"), "1 hour"), col("event_type"))
-        .agg(count(lit(1)).as("n"), moneySum(col("value")).as("val_sum"))
-        .select(epochUs(col("window.start")).as("ws_us"), col("event_type"),
-          col("n"), col("val_sum"))
+      graft.operators.EventOps.windowed(normalized(s, dir), "1 hour")
         .orderBy("ws_us", "event_type")
     },
 
     // sliding 1h-every-30min windows: each event lands in exactly 2 windows.
     "q_event_sliding" -> { (s, dir) =>
-      events(s, dir)
-        .groupBy(window(col("ts_t"), "1 hour", "30 minutes"), col("event_type"))
-        .agg(count(lit(1)).as("n"), moneySum(col("value")).as("val_sum"))
-        .select(epochUs(col("window.start")).as("ws_us"), col("event_type"),
-          col("n"), col("val_sum"))
+      graft.operators.EventOps
+        .windowed(normalized(s, dir), "1 hour", Some("30 minutes"))
         .orderBy("ws_us", "event_type")
     },
 
-    // 30-minute-gap sessionization per user: the classic stateful op, here in
-    // its batch window-function form (lag → new-session flag → running sum).
-    // One shuffle on user_id; both windows share that partitioning.
+    // 30-minute-gap sessionization per user (EventOps.sessionize), batch
+    // window-function form.
     "q_sessionize" -> { (s, dir) =>
-      val byUser = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts_us"), col("event_id"))
-      events(s, dir)
-        .select(col("user_id"), col("event_id"), col("ts_us"),
-          cents(col("value")).as("val_cents"))
-        .withColumn("new_sess",
-          when(col("ts_us") - lag(col("ts_us"), 1).over(byUser) > 1800000000L
-            || lag(col("ts_us"), 1).over(byUser).isNull, 1L).otherwise(0L))
-        .withColumn("sess_id", sum(col("new_sess"))
-          .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .groupBy(col("user_id"), col("sess_id"))
-        .agg(
-          min(col("ts_us")).as("sess_start_us"),
-          max(col("ts_us")).as("sess_end_us"),
-          count(lit(1)).as("n_events"),
-          (sum(col("val_cents")).cast("double") / lit(100.0)).as("val_sum"))
+      graft.operators.EventOps.sessionize(normalized(s, dir), 1800000000L)
         .orderBy("user_id", "sess_id")
     },
 
