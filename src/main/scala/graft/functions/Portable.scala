@@ -77,6 +77,21 @@ object Portable {
   def tokens(c: Column): Column =
     filter(split(lower(c), "[ \\t\\r\\n]+"), t => t =!= "")
 
+  /** JVM twin of [[tokens]] for typed hot loops (langId/quality/dedup
+    * shingles/simhash): ONE definition so the five call sites cannot drift,
+    * and Locale.ROOT so the lowercasing matches Spark/DuckDB `lower()`
+    * regardless of the JVM default locale (a Turkish-locale JVM would
+    * otherwise map I→ı and break the oracle hashes). */
+  def tokensJvm(s: String): Array[String] =
+    s.toLowerCase(java.util.Locale.ROOT).split("[ \t\r\n]+").filter(_.nonEmpty)
+
+  /** Whitespace-normalized md5 of a text column — the exact-dedup /
+    * fingerprint key. One definition keeps dedup_exact, q_pipeline_clean,
+    * text_fingerprint, and the streaming dedup in lockstep.
+    * DuckDB mirror: [[NORMMD5]]. */
+  def normMd5(c: Column): Column =
+    md5(regexp_replace(trim(lower(c)), "[ \\t\\r\\n]+", " "))
+
   // ---- SQL-side fragments (single source of truth for the oracle strings) ----
 
   def CENTS(x: String): String = s"CAST(round(($x)*100) AS BIGINT)"
@@ -89,4 +104,6 @@ object Portable {
     s"list_transform($x, x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT))"
   def TOKENS(x: String): String =
     s"list_filter(string_split_regex(lower($x), '[ \\t\\r\\n]+'), t -> t <> '')"
+  def NORMMD5(x: String): String =
+    s"md5(regexp_replace(trim(lower($x)), '[ \\t\\r\\n]+', ' ', 'g'))"
 }

@@ -111,8 +111,7 @@ object MR {
       numPartitions: Int): Dataset[(String, Long)] = {
     import spark.implicits._
     val mapper = (line: String) =>
-      line.toLowerCase.split("[ \t\r\n]+").iterator
-        .filter(_.nonEmpty).map(w => (w, "1"))
+      graft.functions.Portable.tokensJvm(line).iterator.map(w => (w, "1"))
     val reducer = (k: String, vs: Iterator[String]) => Iterator((k, vs.size.toLong))
     runSorted(lines.rdd, mapper, reducer, numPartitions,
       (k: String, n: Int) => defaultHashPartition(k, n)).toDS()

@@ -36,7 +36,7 @@ object TextOps {
     val sets = stops.map { case (l, ws) => (l, ws.toSet) }
     val scored = docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) =>
-        val t = text.toLowerCase.split("[ \t\r\n]+").filter(_.nonEmpty)
+        val t = tokensJvm(text)
         val scores = sets.map { case (_, ws) => t.count(ws.contains).toLong }
         val pred =
           if (scores.sum == 0) "unknown"
@@ -58,7 +58,7 @@ object TextOps {
     val alpha = java.util.regex.Pattern.compile("[a-z]+")
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) =>
-        val t = text.toLowerCase.split("[ \t\r\n]+").filter(_.nonEmpty)
+        val t = tokensJvm(text)
         val nChars = text.codePointCount(0, text.length).toLong
         val nTokens = t.length.toLong
         val nDistinct = t.distinct.length.toLong
@@ -102,7 +102,7 @@ object TextOps {
     docs.select(
       col("doc_id"),
       RollingHash31.column(col("text")).as("fp31"),
-      md5(regexp_replace(trim(lower(col("text"))), "[ \\t\\r\\n]+", " "))
+      normMd5(col("text"))
         .as("fp_md5"))
 
   /** Deterministic train/holdout split by portable key hash: bucket =
@@ -135,7 +135,7 @@ object TextOps {
           >= minDistinctRatio)
     scored
       .withColumn("norm_md5",
-        md5(regexp_replace(trim(lower(col("text"))), "[ \\t\\r\\n]+", " ")))
+        normMd5(col("text")))
       .groupBy(col("norm_md5"))
       .agg(min_by(
         struct(col("lang"), col("n_tokens"), col("n_distinct")),

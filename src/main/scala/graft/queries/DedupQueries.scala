@@ -63,7 +63,7 @@ object DedupQueries {
     docs
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .flatMap { case (id, text) =>
-        val t = text.toLowerCase.split("[ \t\r\n]+").filter(_.nonEmpty)
+        val t = tokensJvm(text)
         if (t.length < 3) Iterator.empty
         else {
           val set = scala.collection.mutable.LinkedHashSet.empty[String]
@@ -106,7 +106,7 @@ object DedupQueries {
     import spark.implicits._
     val e = docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .flatMap { case (id, text) =>
-        val tk = text.toLowerCase.split("[ \t\r\n]+").filter(_.nonEmpty)
+        val tk = tokensJvm(text)
         val set = scala.collection.mutable.LinkedHashSet.empty[String]
         var i = 0
         while (i < tk.length - 1) { set.add(tk(i) + " " + tk(i + 1)); i += 1 }
@@ -229,7 +229,7 @@ object DedupQueries {
   def exactDedup(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"),
-        md5(regexp_replace(trim(lower(col("text"))), "[ \\t\\r\\n]+", " "))
+        normMd5(col("text"))
           .as("norm_md5"))
       .groupBy(col("norm_md5"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
@@ -315,8 +315,8 @@ object DedupQueries {
         .select(col("doc_id"), col("text")).as[(Long, String)]
         .flatMap { case (id, text) =>
           val tf = scala.collection.mutable.HashMap.empty[String, Long]
-          text.toLowerCase.split("[ \t\r\n]+").foreach { w =>
-            if (w.nonEmpty) tf.update(w, tf.getOrElse(w, 0L) + 1L)
+          tokensJvm(text).foreach { w =>
+            tf.update(w, tf.getOrElse(w, 0L) + 1L)
           }
           // token-free docs have no signature: the oracle's per-token unnest
           // drops them, and an all-zero sig would otherwise pair every pair

@@ -42,20 +42,38 @@ object SimilarityQueries {
     val rng = new scala.util.Random(seed)
     Seq.fill(n)(Seq.fill(64)((rng.nextInt(19) - 9).toLong))
   }
+  // multi-table seeds are DISJOINT from the single-table seed 7: reusing it
+  // would make table 0 a prefix-coarsening of the 6-plane signature and the
+  // recall-dominance spec tautological (round-2 review finding)
   private val planes: Seq[Seq[Long]] = planesFor(7)
   private val multiTables: Seq[Seq[Seq[Long]]] =
-    Seq(7, 11, 13, 17).map(planesFor(_, 4))
+    Seq(19, 11, 13, 17).map(planesFor(_, 4))
 
   /** Encoded corpus: vec_id, label, int vector, exact squared norm
     * ([[SimilarityOps.encode]], localCheckpoint-materialized). Memoized per
-    * (session, dir): five sim queries share one encode+checkpoint instead
-    * of re-quantizing the corpus each — the in-process form of the 100 TB
-    * story (write the quantized vectors once, scan them many times). */
+    * (session, dir): the sim queries share one encode+checkpoint instead of
+    * re-quantizing the corpus each — the in-process form of the 100 TB
+    * story (write the quantized vectors once, scan them many times). LRU-
+    * bounded so a long-lived process cycling sessions/dirs cannot pin
+    * stopped sessions or their checkpoint blocks forever (evicted entries
+    * become unreachable and the ContextCleaner reclaims the blocks). */
   private val vecsCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    new java.util.LinkedHashMap[(SparkSession, String), DataFrame](8, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(SparkSession, String), DataFrame]): Boolean =
+        size() > 4
+    }
   private def vecs(s: SparkSession, dir: String): DataFrame =
-    vecsCache.computeIfAbsent((s, dir),
-      _ => SimilarityOps.encode(Tables(s, dir, "embeddings")))
+    vecsCache.synchronized {
+      val k = (s, dir)
+      val hit = vecsCache.get(k)
+      if (hit != null) hit
+      else {
+        val v = SimilarityOps.encode(Tables(s, dir, "embeddings"))
+        vecsCache.put(k, v)
+        v
+      }
+    }
 
   def queries: Map[String, Q] = Map(
     // exact cosine top-k for each query vector (vec_id < 10) — the baseline.

@@ -177,7 +177,7 @@ object TextQueries {
          |    AND CAST(len(list_distinct(t)) AS DOUBLE)/CAST(len(t) AS DOUBLE) >= 0.3),
          |r AS (
          |  SELECT *, row_number() OVER (
-         |    PARTITION BY md5(regexp_replace(trim(lower(text)), '[ \\t\\r\\n]+', ' ', 'g'))
+         |    PARTITION BY ${NORMMD5("text")}
          |    ORDER BY doc_id) AS rn
          |  FROM q)
          |SELECT lang, COUNT(*) AS n_docs,
@@ -191,6 +191,6 @@ object TextQueries {
          |    list_prepend(CAST(0 AS BIGINT),
          |      list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
          |    (a, b) -> (a*31 + b) % 2147483647) AS BIGINT) AS fp31,
-         |  md5(regexp_replace(trim(lower(text)), '[ \\t\\r\\n]+', ' ', 'g')) AS fp_md5
+         |  ${NORMMD5("text")} AS fp_md5
          |FROM documents ORDER BY doc_id""".stripMargin)
 }

@@ -61,32 +61,37 @@ object StreamingOps {
             state.remove()
             Iterator(out(open))
           } else {
-            val sorted = evs.toSeq.sortBy(e => (e.ts_us, e.event_id))
-            val closed = scala.collection.mutable.ListBuffer.empty[SessionState]
-            var cur: SessionState = state.getOption.orNull
-            sorted.foreach { e =>
-              if (cur == null || e.ts_us - cur.lastUs > GapUs) {
-                if (cur != null) closed += cur
-                cur = SessionState(e.ts_us, e.ts_us, 1L, e.val_cents)
-              } else {
-                // a late cross-batch event inside the watermark can precede
-                // the open session's start: widen both ends, so emitted
-                // bounds match the batch q_sessionize result for
-                // out-of-order arrivals (round-1 advice)
-                cur = SessionState(math.min(cur.startUs, e.ts_us),
-                  math.max(cur.lastUs, e.ts_us),
-                  cur.n + 1, cur.cents + e.val_cents)
-              }
+            // Merge the batch's events WITH the open session as time
+            // intervals, in start order: a late cross-batch event inside
+            // the watermark that precedes the open session by MORE than the
+            // gap now forms its own earlier session (as the batch query
+            // would) instead of being absorbed; one within gap widens the
+            // open session's bounds. Residual append-mode limit: an event
+            // older than a session emitted in a PRIOR batch cannot merge
+            // into it — exactness is bounded by the watermark delay, which
+            // is the contract of any append-mode stream.
+            val items = (state.getOption.toSeq ++
+              evs.toSeq.sortBy(e => (e.ts_us, e.event_id))
+                .map(e => SessionState(e.ts_us, e.ts_us, 1L, e.val_cents)))
+              .sortBy(st => (st.startUs, st.lastUs))
+            val merged = scala.collection.mutable.ListBuffer.empty[SessionState]
+            items.foreach { it =>
+              if (merged.nonEmpty && it.startUs - merged.last.lastUs <= GapUs) {
+                val m = merged.last
+                merged(merged.length - 1) = SessionState(m.startUs,
+                  math.max(m.lastUs, it.lastUs), m.n + it.n, m.cents + it.cents)
+              } else merged += it
             }
-            if (cur != null) {
-              state.update(cur)
+            if (merged.nonEmpty) {
+              val open = merged.last
+              state.update(open)
               // flush when the watermark proves no extension can arrive;
               // must stay ahead of the current watermark or Spark rejects it
               state.setTimeoutTimestamp(math.max(
-                cur.lastUs / 1000 + GapUs / 1000,
+                open.lastUs / 1000 + GapUs / 1000,
                 state.getCurrentWatermarkMs() + 1))
             }
-            closed.iterator.map(out)
+            merged.dropRight(1).iterator.map(out)
           }
       }
   }
@@ -112,7 +117,7 @@ object StreamingOps {
   def dedupStream(docs: DataFrame): DataFrame =
     docs
       .withColumn("norm_md5",
-        md5(regexp_replace(trim(lower(col("text"))), "[ \\t\\r\\n]+", " ")))
+        graft.functions.Portable.normMd5(col("text")))
       .withColumn("arrival", current_timestamp())
       .withWatermark("arrival", "1 hour")
       .dropDuplicatesWithinWatermark("norm_md5")

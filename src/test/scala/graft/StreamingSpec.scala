@@ -54,6 +54,48 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("out-of-order event older than the open session forms its own session") {
+    // round-2 review: an event that precedes the open session's START by
+    // more than the gap (but is still inside the watermark) must become a
+    // separate earlier session — the old merge absorbed it into the open
+    // session, diverging from the batch result
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft-sess-ooo").toString
+    val schema = Tables(spark, sf, "events").schema
+    val H = 3600L * 1000 * 1000 // 1h in micros
+    val S = 1000L * 1000 // 1s in micros: stays strictly above the watermark floor
+    def one(uid: Long, eid: Long, tsUs: Long) =
+      spark.range(1).select(lit(eid).as("event_id"), lit(tsUs * 1000).as("ts"),
+        lit(uid).as("user_id"), lit("click").as("event_type"),
+        lit(1.0).as("value"), lit("{}").as("props"))
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/*.parquet")
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("ts_t", timestamp_micros(col("ts_us")))
+      .withWatermark("ts_t", "400 hours") // keep the deep-late event in scope
+      .withColumn("val_cents", round(col("value") * lit(100)).cast("long"))
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("val_cents"),
+        col("ts_t"))
+      .as[StreamingOps.Ev]
+    val q = StreamingOps.sessionize(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_ooo_out").start()
+    try {
+      one(1L, 10L, H).write.parquet(s"$dir/b1.parquet") // open session at 1h
+      q.processAllAvailable()
+      one(1L, 11L, S).write.parquet(s"$dir/b2.parquet") // deep-late event
+      q.processAllAvailable()
+      one(-1L, 12L, 500 * H).write.parquet(s"$dir/b3.parquet") // advance watermark
+      q.processAllAvailable()
+      one(-2L, 13L, 600 * H).write.parquet(s"$dir/b4.parquet") // fire timeouts
+      q.processAllAvailable()
+      val got = spark.table("sess_ooo_out").where(col("user_id") === 1L)
+        .select("sess_start_us", "sess_end_us", "n_events", "val_sum")
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(got == Set((S, S, 1L, 1.0), (H, H, 1L, 1.0)),
+        s"late event merged across a > gap distance: $got")
+    } finally q.stop()
+  }
+
   test("stateful sessionization across batches matches batch q_sessionize") {
     import java.nio.file.Files
     val dir = Files.createTempDirectory("graft-sess").toString
