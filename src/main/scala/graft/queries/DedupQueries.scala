@@ -297,10 +297,27 @@ object DedupQueries {
             (id, b, h)
           }
         }.toDF("doc_id", "band", "bh")
-      val cand = bands.as("x").join(bands.as("y"),
-          col("x.band") === col("y.band") && col("x.bh") === col("y.bh")
-            && col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      // grid-distributed bucket self-join: web corpora have mass-duplicate
+      // clusters whose band bucket would otherwise generate its quadratic
+      // candidate set on ONE task. Each side chunks by hash(doc_id) mod m
+      // and replicates to its m grid blocks, so the join key
+      // (band, bh, bi, bj) spreads a hot bucket across m² tasks with every
+      // ordered pair met exactly once (same decomposition as
+      // SimilarityOps.nearDupPairs); the rows are 28 bytes, so the m×
+      // replication is noise.
+      val m = 4
+      val ch = bands
+        .withColumn("ck", pmod(xxhash64(col("doc_id")), lit(m)).cast("int"))
+      val grid = explode(sequence(lit(0), lit(m - 1)))
+      val x = ch.select(col("band"), col("bh"), col("ck").as("bi"),
+          col("doc_id").as("doc_a"))
+        .withColumn("bj", grid)
+      val y = ch.select(col("band"), col("bh"), col("ck").as("bj"),
+          col("doc_id").as("doc_b"))
+        .withColumn("bi", grid)
+      val cand = x.join(y, Seq("band", "bh", "bi", "bj"))
+        .where(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"))
         .distinct()
       verifyJaccard(cand, sh, t)
   }
@@ -340,11 +357,21 @@ object DedupQueries {
       val bands = sim.select(col("doc_id"), col("simhash"),
           explode(sequence(lit(0), lit(3))).as("j"))
         .withColumn("bh", expr("shiftright(simhash, 15 * j) & 32767"))
-      bands.as("x").join(bands.as("y"),
-          col("x.j") === col("y.j") && col("x.bh") === col("y.bh")
-            && col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-          col("x.simhash").as("sa"), col("y.simhash").as("sb"))
+      // grid-distributed band self-join (see minhashJoin): a mass-duplicate
+      // cluster's shared band value spreads across m² tasks instead of one
+      val m = 4
+      val ch = bands
+        .withColumn("ck", pmod(xxhash64(col("doc_id")), lit(m)).cast("int"))
+      val grid = explode(sequence(lit(0), lit(m - 1)))
+      val x = ch.select(col("j"), col("bh"), col("ck").as("bi"),
+          col("doc_id").as("doc_a"), col("simhash").as("sa"))
+        .withColumn("bj", grid)
+      val y = ch.select(col("j"), col("bh"), col("ck").as("bj"),
+          col("doc_id").as("doc_b"), col("simhash").as("sb"))
+        .withColumn("bi", grid)
+      x.join(y, Seq("j", "bh", "bi", "bj"))
+        .where(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("sa"), col("sb"))
         .distinct()
         .withColumn("hamming", expr("bit_count(sa ^ sb)").cast("long"))
         .where(col("hamming") <= 3)
