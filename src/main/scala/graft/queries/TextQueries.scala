@@ -78,9 +78,11 @@ object TextQueries {
     // how the writer splits rows across lines and files.
     "q_text_source" -> { (s, dir) =>
       val tmp = s"/root/repo/target/tmp/textsrc-${new java.io.File(dir).getName}"
-      Tables(s, dir, "documents").select(col("text"))
-        .repartition(4) // several part files, so the read is genuinely multi-path
-        .write.mode("overwrite").text(tmp)
+      graft.sources.Sinks.ensureDir(s, tmp) {
+        Tables(s, dir, "documents").select(col("text"))
+          .repartition(4) // several part files, so the read is genuinely multi-path
+          .write.mode("overwrite").text(tmp)
+      }
       val parts = new java.io.File(tmp).listFiles()
         .filter(_.getName.startsWith("part-")).map(_.getPath).sorted
       TextOps.wordcount(

@@ -53,4 +53,55 @@ class BucketedJoinSpec extends SparkTestBase {
       spark.sql("DROP TABLE IF EXISTS lineitem_b")
     }
   }
+
+  test("re-registered external table over existing bucket files keeps bucketing") {
+    // the cross-JVM scenario Sinks.ensureBucketedTable handles: bucket files
+    // survive in the warehouse, the fresh in-memory catalog has no entry —
+    // the helper must re-register WITHOUT rewriting and the re-registered
+    // table must still join exchange-free against a co-bucketed side
+    import org.apache.hadoop.fs.{FileUtil, Path}
+    val wh = new Path(spark.conf.get("spark.sql.warehouse.dir"))
+    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val names = Seq("orders_rb", "lineitem_rb", "orders_rb2", "lineitem_rb2")
+    names.foreach { t => spark.sql(s"DROP TABLE IF EXISTS $t")
+      fs.delete(new Path(wh, t), true) }
+    try {
+      graft.sources.Sinks.ensureBucketedTable(spark, "orders_rb",
+        Tables(spark, sf, "orders"), "o_orderkey", 8)
+      graft.sources.Sinks.ensureBucketedTable(spark, "lineitem_rb",
+        Tables(spark, sf, "lineitem"), "l_orderkey", 8)
+      // simulate the fresh JVM: same files at a location the catalog has
+      // never seen (a literal catalog drop would delete managed-table files)
+      FileUtil.copy(fs, new Path(wh, "orders_rb"), fs, new Path(wh, "orders_rb2"),
+        false, spark.sparkContext.hadoopConfiguration)
+      FileUtil.copy(fs, new Path(wh, "lineitem_rb"), fs, new Path(wh, "lineitem_rb2"),
+        false, spark.sparkContext.hadoopConfiguration)
+      graft.sources.Sinks.ensureBucketedTable(spark, "orders_rb2",
+        Tables(spark, sf, "orders"), "o_orderkey", 8)
+      graft.sources.Sinks.ensureBucketedTable(spark, "lineitem_rb2",
+        Tables(spark, sf, "lineitem"), "l_orderkey", 8)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("lineitem_rb2")
+        .join(spark.table("orders_rb2"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+      val got = joined.collect().map(_.toString).sorted.toSeq
+      val p = joined.queryExecution.executedPlan.toString()
+      assert(p.contains("SortMergeJoin"), s"join strategy changed:\n$p")
+      val joinPart = p.substring(p.indexOf("SortMergeJoin"))
+      assert(!joinPart.contains("Exchange hashpartitioning(l_orderkey")
+        && !joinPart.contains("Exchange hashpartitioning(o_orderkey"),
+        s"re-registered bucketed join shuffles a side:\n$p")
+      val want = spark.table("lineitem_rb")
+        .join(spark.table("orders_rb"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .collect().map(_.toString).sorted.toSeq
+      assert(got == want)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      names.foreach { t => spark.sql(s"DROP TABLE IF EXISTS $t")
+        fs.delete(new Path(wh, t), true) }
+    }
+  }
 }
