@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed graph primitives for the dedup pipeline.
+  *
+  * Near-dup pair generation (minhash / simhash joins) yields EDGES; production
+  * dedup needs the transitive closure — every document labeled with its
+  * near-dup CLUSTER so one canonical doc per cluster survives. The reference
+  * has nothing iterative at all (one map, one reduce, reference
+  * mapreduce.c:207-252); this is the §2.2 capability-generalization layer.
+  */
+object GraphOps {
+
+  /** Connected components by min-label flooding.
+    *
+    * `edges` = (src, dst) undirected pairs (any column names; first two
+    * columns are used). Returns (id, comp) for every endpoint, comp = the
+    * smallest node id in its component — the canonical cluster id.
+    *
+    * Scale design:
+    * - each round is one equi-join of the edge list with the label table and
+    *   one min-aggregate: partial (map-side) aggregation applies, and the
+    *   shuffled rows are two longs wide. No adjacency lists are ever
+    *   collected; nothing is driver-resident but the one convergence scalar.
+    * - labels only decrease, so Σ comp is a monotone convergence witness:
+    *   one exact decimal sum per round (overflow-safe at any id range)
+    *   instead of a changed-row join.
+    * - every round localCheckpoints the label table: the iteration otherwise
+    *   stacks lineage and re-executes all prior rounds per action.
+    * - rounds needed = component diameter. Near-dup clusters are
+    *   shallow (mass duplication is star-shaped: many copies of one
+    *   original), so flooding converges in a handful of rounds at any corpus
+    *   size. For adversarially deep graphs (long chains) swap in the
+    *   alternating large-star/small-star contraction (Kiveris et al., "
+    *   Connected Components in MapReduce and Beyond", SoCC'14), which is
+    *   O(log n) rounds of the same join+min shape.
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    val cols = edges.columns
+    val e0 = edges.select(col(cols(0)).cast("long").as("u"),
+      col(cols(1)).cast("long").as("v"))
+    // undirected: keep both orientations; distinct so multi-edges (a pair
+    // found by several band tables) don't multiply the message volume
+    val e = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+      .distinct().localCheckpoint()
+    var labels = e.select(col("u").as("id")).distinct()
+      .select(col("id"), col("id").as("comp")).localCheckpoint()
+    def compSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("comp").cast("decimal(38,0)"))).head().getDecimal(0)
+    var prevSum = compSum(labels)
+    var converged = false
+    var it = 0
+    while (it < maxIter && !converged) {
+      val msgs = e.join(labels, e("v") === labels("id"))
+        .select(e("u").as("id"), col("comp"))
+      labels = labels.union(msgs)
+        .groupBy(col("id")).agg(min(col("comp")).as("comp"))
+        .localCheckpoint()
+      val s = compSum(labels)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
+      it += 1
+    }
+    labels
+  }
+}

@@ -261,6 +261,22 @@ object DedupQueries {
     "dedup_simhash" -> { (s, dir) =>
       simhashJoin(Tables(s, dir, "documents")
         .select(col("doc_id"), col("text")))
+    },
+
+    // Near-dup CLUSTERS: the transitive closure of the simhash pair graph —
+    // the production dedup step (pairs alone under-delete: a↔b and b↔c must
+    // collapse to ONE kept doc). Min-label flooding in GraphOps; cluster_id
+    // is the smallest member doc_id, so "keep" = (doc_id == cluster_id).
+    "dedup_cluster" -> { (s, dir) =>
+      val pairs = simhashJoin(Tables(s, dir, "documents")
+          .select(col("doc_id"), col("text")))
+        .select(col("doc_a"), col("doc_b"))
+      val cc = graft.operators.GraphOps.connectedComponents(pairs)
+      val sizes = cc.groupBy(col("comp")).agg(count(lit(1)).as("n_members"))
+      cc.join(sizes, "comp")
+        .select(col("id").as("doc_id"), col("comp").as("cluster_id"),
+          col("n_members"))
+        .orderBy("doc_id")
     })
 
   /** MinHash+LSH trigram-Jaccard self-join over a (doc_id, text) relation,
@@ -417,22 +433,50 @@ object DedupQueries {
     "dedup_minhash" -> jaccardSql(gramSql(3), "0.7"),
 
     "dedup_simhash" ->
-      s"""WITH tok AS (
-         |  SELECT doc_id, unnest(${TOKENS("text")}) AS tok FROM documents),
-         |tf AS (
-         |  SELECT doc_id, tok, COUNT(*) AS tf, ${MD5LONG("tok")} AS h
-         |  FROM tok GROUP BY doc_id, tok),
-         |bits AS (
-         |  SELECT doc_id, i.i AS i,
-         |    CAST(SUM(tf * (((h >> i.i) & 1) * 2 - 1)) AS BIGINT) AS bsum
-         |  FROM tf, range(60) i(i) GROUP BY doc_id, i.i),
-         |sh AS (
-         |  SELECT doc_id, CAST(SUM(CASE WHEN bsum > 0
-         |    THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS simhash
-         |  FROM bits GROUP BY doc_id)
+      s"""WITH $simhashShCtes
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
          |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
-         |ORDER BY doc_a, doc_b""".stripMargin)
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // transitive closure of the same pair graph by recursive min-label
+    // propagation: walk floods each node with every reachable id; the MIN is
+    // the component's canonical (smallest) member.
+    "dedup_cluster" ->
+      s"""WITH RECURSIVE $simhashShCtes,
+         |pr AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+         |e AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM pr
+         |  UNION SELECT doc_b, doc_a FROM pr),
+         |walk(id, comp) AS (
+         |  SELECT u, u FROM (SELECT DISTINCT u FROM e)
+         |  UNION
+         |  SELECT e.u, walk.comp FROM e JOIN walk ON e.v = walk.id),
+         |lab AS (SELECT id, MIN(comp) AS comp FROM walk GROUP BY id)
+         |SELECT l.id AS doc_id, l.comp AS cluster_id,
+         |  CAST(sz.n AS BIGINT) AS n_members
+         |FROM lab l JOIN (SELECT comp, COUNT(*) AS n FROM lab GROUP BY comp) sz
+         |  USING (comp)
+         |ORDER BY doc_id""".stripMargin)
+
+  /** Shared CTE chain producing `sh(doc_id, simhash)` — single source of
+    * truth for the dedup_simhash and dedup_cluster oracles. */
+  private val simhashShCtes =
+    s"""tok AS (
+       |  SELECT doc_id, unnest(${TOKENS("text")}) AS tok FROM documents),
+       |tf AS (
+       |  SELECT doc_id, tok, COUNT(*) AS tf, ${MD5LONG("tok")} AS h
+       |  FROM tok GROUP BY doc_id, tok),
+       |bits AS (
+       |  SELECT doc_id, i.i AS i,
+       |    CAST(SUM(tf * (((h >> i.i) & 1) * 2 - 1)) AS BIGINT) AS bsum
+       |  FROM tf, range(60) i(i) GROUP BY doc_id, i.i),
+       |sh AS (
+       |  SELECT doc_id, CAST(SUM(CASE WHEN bsum > 0
+       |    THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS simhash
+       |  FROM bits GROUP BY doc_id)""".stripMargin
 }

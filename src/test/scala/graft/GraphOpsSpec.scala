@@ -1,0 +1,58 @@
+package graft
+
+import graft.operators.GraphOps
+
+/** Connected components (the dedup-cluster kernel) vs a driver union-find
+  * model, over random graph shapes including the hostile ones: long chains
+  * (maximum diameter for the flooding rounds) and star-heavy duplication
+  * (the realistic near-dup shape).
+  */
+class GraphOpsSpec extends SparkTestBase {
+
+  private def model(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent.update(x, r); r }
+    }
+    edges.foreach { case (a, b) =>
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent.update(math.max(ra, rb), math.min(ra, rb))
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  private def check(edges: Seq[(Long, Long)]): Unit = {
+    import spark.implicits._
+    val got = GraphOps.connectedComponents(edges.toDF("u", "v"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == model(edges), s"edges=$edges")
+  }
+
+  test("random graphs match union-find") {
+    val rng = new scala.util.Random(7)
+    (1 to 5).foreach { _ =>
+      val n = 40
+      val edges = Seq.fill(30)(
+        (rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      check(edges)
+    }
+  }
+
+  test("chain graph (worst-case diameter) converges to one component") {
+    val chain = (0L until 30L).sliding(2).map(s => (s(1), s(0))).toSeq
+    check(chain)
+    import spark.implicits._
+    val comps = GraphOps.connectedComponents(chain.toDF("a", "b"))
+      .select("comp").distinct().collect()
+    assert(comps.length == 1 && comps.head.getLong(0) == 0L)
+  }
+
+  test("star clusters and multi-edges") {
+    // two stars sharing no nodes, duplicate edges in both orientations
+    val star1 = (1L to 8L).map(i => (0L, i))
+    val star2 = (101L to 105L).map(i => (100L, i))
+    check(star1 ++ star2 ++ star1.map(_.swap) ++ Seq((0L, 5L), (0L, 5L)))
+  }
+}
