@@ -23,10 +23,12 @@ object SparkEntry {
   def queries: Map[String, Q] =
     TextQueries.queries ++ Relational.queries ++ AdvancedQueries.queries ++
       EventQueries.queries ++ DedupQueries.queries ++
-      SimilarityQueries.queries ++ MrQueries.queries ++ MultimodalQueries.queries
+      SimilarityQueries.queries ++ MrQueries.queries ++
+      MultimodalQueries.queries ++ StatsQueries.queries
 
   def oracleSql: Map[String, String] =
     TextQueries.oracles ++ Relational.oracles ++ AdvancedQueries.oracles ++
       EventQueries.oracles ++ DedupQueries.oracles ++
-      SimilarityQueries.oracles ++ MrQueries.oracles ++ MultimodalQueries.oracles
+      SimilarityQueries.oracles ++ MrQueries.oracles ++
+      MultimodalQueries.oracles ++ StatsQueries.oracles
 }

@@ -1,0 +1,169 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.functions.Portable._
+import org.apache.spark.sql.functions._
+
+/** Reshaping + statistics slice of the §2.2 charter: pivot/unpivot, exact
+  * correlation/covariance statistics, deterministic stratified sampling, and
+  * the manually-salted skew join.
+  *
+  * Scale notes:
+  * - pivot with an explicit value list is ONE hash aggregate (no second pass
+  *   to discover the pivot domain — at 100 TB the domain scan would be a
+  *   full extra job; the engine takes the domain as an argument);
+  * - unpivot is a generate-side expand, no shuffle at all;
+  * - the correlation is computed from algebraic integer sums (n, Σx, Σy,
+  *   Σx², Σy², Σxy as exact decimals) in one partial→final aggregate — the
+  *   textbook one-pass parallel form; doubles appear only in the final
+  *   scalar formula, written identically in the oracle so the hash gate
+  *   holds bit-exactly;
+  * - the stratified sample filters on a portable md5-derived hash of the
+  *   row key, so membership is a pure per-row predicate: pushes to the scan,
+  *   nothing shuffles, and the SAME rows are selected on any cluster layout
+  *   (and by the DuckDB oracle);
+  * - the skew join replicates the dimension side S× and salts the fact side
+  *   by a deterministic row hash, spreading one hot join key over S tasks.
+  *   (AQE's runtime skew-split covers sort-merge joins; the manual salt is
+  *   the pattern for the cases AQE cannot see, e.g. pre-AQE engines or
+  *   skewed aggregations — its result is provably the plain join's.)
+  */
+object StatsQueries {
+
+  private val SkewSalts = 8
+
+  def queries: Map[String, Q] = Map(
+    // PIVOT: order counts per year × status, explicit domain (F/O/P).
+    "q_pivot" -> { (s, dir) =>
+      Tables(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).cast("long").as("yr"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("yr"),
+          coalesce(col("F"), lit(0L)).as("n_f"),
+          coalesce(col("O"), lit(0L)).as("n_o"),
+          coalesce(col("P"), lit(0L)).as("n_p"))
+        .orderBy("yr")
+    },
+
+    // UNPIVOT (melt): wide per-nation metrics back to long (metric, value)
+    // rows — the inverse reshape, expand-only.
+    "q_unpivot" -> { (s, dir) =>
+      Tables(s, dir, "customer")
+        .groupBy(col("c_nationkey").cast("long").as("nationkey"))
+        .agg(count(lit(1)).as("n_cust"),
+          sum(cents(col("c_acctbal"))).as("acct_cents"))
+        .unpivot(Array(col("nationkey")),
+          Array(col("n_cust"), col("acct_cents")), "metric", "value")
+        .orderBy("nationkey", "metric")
+    },
+
+    // Pearson correlation + sample stddev per group from one pass of exact
+    // integer sums (decimal accumulators; cents² × 100 TB row counts
+    // overflow a long, decimal(38,0) does not).
+    "q_corr_stats" -> { (s, dir) =>
+      val qc = cents(col("l_quantity"))
+      val pc = cents(col("l_extendedprice"))
+      val dec = "decimal(38,0)"
+      val a = Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(qc.cast(dec)).as("sx"),
+          sum(pc.cast(dec)).as("sy"),
+          sum((qc * qc).cast(dec)).as("sxx"),
+          sum((pc * pc).cast(dec)).as("syy"),
+          sum((qc * pc).cast(dec)).as("sxy"))
+      a.select(col("l_returnflag"), col("n"),
+          ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+              * sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
+            .as("corr_qty_price"),
+          (sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+            / (col("n") * (col("n") - lit(1L))).cast("double")) / lit(100.0))
+            .as("stddev_price"))
+        .orderBy("l_returnflag")
+    },
+
+    // Deterministic stratified sample: per-stratum rates (BUILDING 50%,
+    // others 20%) via a portable hash predicate on the row key — same rows
+    // on any engine, any partitioning.
+    "q_stratified_sample" -> { (s, dir) =>
+      val rate = when(col("c_mktsegment") === "BUILDING", lit(5)).otherwise(lit(2))
+      Tables(s, dir, "customer")
+        .where(pmod(md5Long(col("c_custkey").cast("string")), lit(10)) < rate)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_sampled"),
+          moneySum(col("c_acctbal")).as("acct_sum"))
+        .orderBy("c_mktsegment")
+    },
+
+    // Salted fact-dim join: dimension replicated SkewSalts×, fact salted by
+    // a deterministic row hash — a hot o_orderkey's lineitems spread across
+    // SkewSalts tasks. Result == the plain join (the oracle).
+    "q_skew_join" -> { (s, dir) =>
+      val l = Tables(s, dir, "lineitem")
+        .withColumn("salt",
+          pmod(xxhash64(col("l_orderkey"), col("l_linenumber")),
+            lit(SkewSalts)).cast("int"))
+      val o = Tables(s, dir, "orders")
+        .withColumn("salt",
+          explode(sequence(lit(0), lit(SkewSalts - 1))))
+      l.join(o, l("l_orderkey") === o("o_orderkey")
+          && l("salt") === o("salt"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_items"),
+          moneySum(col("l_extendedprice")).as("rev"))
+        .orderBy("o_orderstatus")
+    })
+
+  def oracles: Map[String, String] = Map(
+    "q_pivot" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+        |FROM orders GROUP BY yr ORDER BY yr""".stripMargin,
+
+    "q_unpivot" ->
+      s"""WITH w AS (
+         |  SELECT CAST(c_nationkey AS BIGINT) AS nationkey, COUNT(*) AS n_cust,
+         |    CAST(SUM(${CENTS("c_acctbal")}) AS BIGINT) AS acct_cents
+         |  FROM customer GROUP BY 1)
+         |SELECT nationkey, 'n_cust' AS metric, n_cust AS value FROM w
+         |UNION ALL
+         |SELECT nationkey, 'acct_cents' AS metric, acct_cents AS value FROM w
+         |ORDER BY nationkey, metric""".stripMargin,
+
+    "q_corr_stats" ->
+      s"""WITH a AS (
+         |  SELECT l_returnflag, COUNT(*) AS n,
+         |    SUM(CAST(qc AS HUGEINT)) AS sx, SUM(CAST(pc AS HUGEINT)) AS sy,
+         |    SUM(CAST(qc AS HUGEINT) * qc) AS sxx,
+         |    SUM(CAST(pc AS HUGEINT) * pc) AS syy,
+         |    SUM(CAST(qc AS HUGEINT) * pc) AS sxy
+         |  FROM (SELECT l_returnflag, ${CENTS("l_quantity")} AS qc,
+         |      ${CENTS("l_extendedprice")} AS pc FROM lineitem)
+         |  GROUP BY l_returnflag)
+         |SELECT l_returnflag, n,
+         |  CAST(n*sxy - sx*sy AS DOUBLE)
+         |    / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+         |      * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) AS corr_qty_price,
+         |  sqrt(CAST(n*syy - sy*sy AS DOUBLE)
+         |    / CAST(n*(n-1) AS DOUBLE)) / 100.0 AS stddev_price
+         |FROM a ORDER BY l_returnflag""".stripMargin,
+
+    "q_stratified_sample" ->
+      s"""SELECT c_mktsegment, COUNT(*) AS n_sampled,
+         |  ${MONEY("c_acctbal")} AS acct_sum
+         |FROM customer
+         |WHERE ${MD5LONG("CAST(c_custkey AS VARCHAR)")} % 10 <
+         |  CASE WHEN c_mktsegment = 'BUILDING' THEN 5 ELSE 2 END
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_skew_join" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS n_items,
+         |  ${MONEY("l_extendedprice")} AS rev
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+}
