@@ -202,6 +202,22 @@ object Relational {
         .orderBy("o_custkey", "odate_us", "o_orderkey")
     },
 
+    // distribution windows: ntile / percent_rank / cume_dist — the ranking
+    // family beyond row_number/rank. Partitioned by o_custkey (many small
+    // groups); their double outputs are exact integer ratios, identical in
+    // both engines.
+    "q_window_ranks" -> { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("total_cents"), col("o_orderkey"))
+      Tables(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          cents(col("o_totalprice")).as("total_cents"))
+        .withColumn("qtile", ntile(4).over(w).cast("long"))
+        .withColumn("pct_rank", percent_rank().over(w))
+        .withColumn("cume", cume_dist().over(w))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
     // set operations: UNION / INTERSECT / EXCEPT (distinct variants).
     "q_setops" -> { (s, dir) =>
       val c = Tables(s, dir, "customer")
@@ -340,6 +356,18 @@ object Relational {
          |FROM base
          |WINDOW w AS (PARTITION BY o_custkey ORDER BY odate_us, o_orderkey)
          |ORDER BY o_custkey, odate_us, o_orderkey""".stripMargin,
+
+    "q_window_ranks" ->
+      s"""WITH base AS (
+         |  SELECT o_custkey, o_orderkey, ${CENTS("o_totalprice")} AS total_cents
+         |  FROM orders)
+         |SELECT o_custkey, o_orderkey, total_cents,
+         |  CAST(ntile(4) OVER w AS BIGINT) AS qtile,
+         |  percent_rank() OVER w AS pct_rank,
+         |  cume_dist() OVER w AS cume
+         |FROM base
+         |WINDOW w AS (PARTITION BY o_custkey ORDER BY total_cents, o_orderkey)
+         |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "q_setops" ->
       s"""SELECT ck FROM (

@@ -92,6 +92,27 @@ object TextQueries {
 
     "text_fingerprint" -> { (s, dir) =>
       TextOps.fingerprint(Tables(s, dir, "documents")).orderBy("doc_id")
+    },
+
+    // Inverted index: per-word document frequency, total term frequency and
+    // the 10 smallest posting doc_ids (as a joined string — arrays don't
+    // survive the oracle's column-sorted frame compare). The posting head
+    // runs through the salted top-k, NEVER a collect over the full posting
+    // list: a stopword's postings are corpus-sized at 100 TB, and a ranking
+    // window over `word` would sort them on one task.
+    "text_inverted_index" -> { (s, dir) =>
+      val tok = Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+      val stats = tok.groupBy(col("word"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("tf_total"))
+      val head = graft.operators.Salting
+        .topKByKey(tok.distinct(), col("word"), Seq(col("doc_id")), k = 10,
+          nSalts = 16, saltOn = col("doc_id"))
+        .groupBy(col("word"))
+        .agg(concat_ws(",", array_sort(collect_list(col("doc_id"))))
+          .as("postings_head"))
+      stats.join(head, "word").orderBy("word")
     })
 
   private val tokFrom =
@@ -122,6 +143,21 @@ object TextQueries {
          |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
          |  COUNT(DISTINCT lang) AS n_langs
          |FROM documents GROUP BY 1 ORDER BY split""".stripMargin,
+
+    "text_inverted_index" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(t) AS word FROM ($tokFrom)),
+         |stats AS (
+         |  SELECT word, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS tf_total
+         |  FROM tok GROUP BY word),
+         |dp AS (SELECT DISTINCT word, doc_id FROM tok),
+         |hd AS (
+         |  SELECT word,
+         |    array_to_string(list_sort(list(doc_id)), ',') AS postings_head
+         |  FROM (SELECT word, doc_id, row_number()
+         |      OVER (PARTITION BY word ORDER BY doc_id) AS rn FROM dp)
+         |  WHERE rn <= 10 GROUP BY word)
+         |SELECT word, n_docs, tf_total, postings_head
+         |FROM stats JOIN hd USING (word) ORDER BY word""".stripMargin,
 
     "text_langid" -> {
       val scoreCols = stops.map { case (l, ws) =>
