@@ -45,8 +45,12 @@ object GraphOps {
     // found by several band tables) don't multiply the message volume
     val e = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
       .distinct().localCheckpoint()
-    var labels = e.select(col("u").as("id")).distinct()
-      .select(col("id"), col("id").as("comp")).localCheckpoint()
+    // fold the first hop into initialization: comp₀ = min(id, min neighbor)
+    // — one round fewer than starting from comp₀ = id (star-shaped dup
+    // clusters then converge in a single confirming round)
+    var labels = e.groupBy(col("u")).agg(min(col("v")).as("mn"))
+      .select(col("u").as("id"), least(col("u"), col("mn")).as("comp"))
+      .localCheckpoint()
     def compSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("comp").cast("decimal(38,0)"))).head().getDecimal(0)
     var prevSum = compSum(labels)
