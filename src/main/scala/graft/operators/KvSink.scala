@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions.{coalesce, col}
 
 /** O12 parity surface: the reference's terminal store is a concurrent
   * hashmap the driver point-looks-up after the run (reference hashmap.c
@@ -21,4 +22,23 @@ object KvSink {
 
   /** MapGet: None plays the reference's "Word not found!" branch. */
   def get[K, V](m: scala.collection.Map[K, V], key: K): Option[V] = m.get(key)
+
+  /** Distributed MapPut: apply a batch of updates to a keyed snapshot,
+    * update-wins per key (the reference's in-place overwrite, hashmap.c:39-46,
+    * as a snapshot→snapshot transform — Spark data is immutable, so "mutate
+    * the store" becomes "produce the next version").
+    *
+    * Both relations are (key, value) two-column tables, like the reference
+    * hashmap; `updates` must be unique per key (pre-aggregate if not —
+    * within-batch ordering is the caller's semantic, not the engine's).
+    * One full-outer equi-join: each side shuffles once on the key, or not at
+    * all when both snapshots are bucketed on it (Sinks.ensureBucketedTable),
+    * which is the 100 TB shape: a bucketed base, bucketed deltas, exchange-
+    * free merge per version. */
+  def upsert(base: DataFrame, updates: DataFrame): DataFrame = {
+    val Array(k, v) = base.columns
+    val u = updates.toDF(k, "_update_value")
+    base.join(u, Seq(k), "full_outer")
+      .select(col(k), coalesce(col("_update_value"), col(v)).as(v))
+  }
 }

@@ -98,6 +98,21 @@ object StatsQueries {
         .orderBy("c_mktsegment")
     },
 
+    // Distributed MapPut (KvSink.upsert): a keyed balance snapshot upserted
+    // with a batch of per-customer totals — update-wins rows, untouched base
+    // rows, and pure inserts (custkeys excluded from the base) all in one
+    // full-outer join. The literal O12 store semantics at snapshot scale.
+    "q_upsert" -> { (s, dir) =>
+      val base = Tables(s, dir, "customer")
+        .where(col("c_acctbal") >= 0)
+        .select(col("c_custkey").cast("long").as("key"),
+          cents(col("c_acctbal")).as("val_cents"))
+      val upd = Tables(s, dir, "orders")
+        .groupBy(col("o_custkey").cast("long").as("key"))
+        .agg(sum(cents(col("o_totalprice"))).as("val_cents"))
+      graft.operators.KvSink.upsert(base, upd).orderBy("key")
+    },
+
     // Salted fact-dim join: dimension replicated SkewSalts×, fact salted by
     // a deterministic row hash — a hot o_orderkey's lineitems spread across
     // SkewSalts tasks. Result == the plain join (the oracle).
@@ -160,6 +175,19 @@ object StatsQueries {
          |WHERE ${MD5LONG("CAST(c_custkey AS VARCHAR)")} % 10 <
          |  CASE WHEN c_mktsegment = 'BUILDING' THEN 5 ELSE 2 END
          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_upsert" ->
+      s"""WITH base AS (
+         |  SELECT CAST(c_custkey AS BIGINT) AS key, ${CENTS("c_acctbal")} AS val_cents
+         |  FROM customer WHERE c_acctbal >= 0),
+         |upd AS (
+         |  SELECT CAST(o_custkey AS BIGINT) AS key,
+         |    CAST(SUM(${CENTS("o_totalprice")}) AS BIGINT) AS val_cents
+         |  FROM orders GROUP BY 1)
+         |SELECT COALESCE(u.key, b.key) AS key,
+         |  COALESCE(u.val_cents, b.val_cents) AS val_cents
+         |FROM base b FULL OUTER JOIN upd u ON b.key = u.key
+         |ORDER BY key""".stripMargin,
 
     "q_skew_join" ->
       s"""SELECT o_orderstatus, COUNT(*) AS n_items,

@@ -118,6 +118,33 @@ class PlanQualitySpec extends SparkTestBase {
       s"no dynamic partition pruning on the fact scan:\n$p")
   }
 
+  test("q_corr_stats: moment sums fold map-side (partial aggregation)") {
+    // one pass of algebraic integer sums is the whole point — losing the
+    // partial phase would shuffle every lineitem row to the final aggregate
+    val p = planOf(SparkEntry.queries("q_corr_stats")(spark, sf))
+    assert(p.contains("partial_"), s"corr moments lost map-side combine:\n$p")
+  }
+
+  test("q_pivot: pivot with explicit domain is one partial+final aggregate") {
+    val p = planOf(SparkEntry.queries("q_pivot")(spark, sf))
+    assert(p.contains("partial_"), s"pivot lost map-side combine:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"pivot should be a pure aggregate, no joins:\n$p")
+  }
+
+  test("text_inverted_index: posting head ranks within (word, salt), not bare word") {
+    // phase-1 ranking must carry the salt so a stopword's postings spread
+    // across nSalts tasks; the phase-2 window sees ≤ k·nSalts rows per word
+    val p = planOf(SparkEntry.queries("text_inverted_index")(spark, sf))
+    assert("""windowspecdefinition\(word#\d+, _salt""".r.findFirstIn(p).isDefined,
+      s"salted local ranking phase missing:\n$p")
+  }
+
+  test("q_upsert: snapshot merge is a single full-outer key join") {
+    val p = planOf(SparkEntry.queries("q_upsert")(spark, sf))
+    assert(p.contains("FullOuter"), s"upsert lost its full-outer merge:\n$p")
+  }
+
   test("no unintended cartesian products anywhere in the query set") {
     // sim_topk/sim_ann_ivf intentionally cross-join against broadcast
     // centroid/query sets; everything else must be key-joined.
