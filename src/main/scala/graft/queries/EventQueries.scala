@@ -67,6 +67,26 @@ object EventQueries {
         .orderBy("user_id", "sess_start_us")
     },
 
+    // Attribution interval join: every click within the hour BEFORE each
+    // same-user purchase (all candidates, vs q_asof's latest-only). Batch
+    // twin of StreamingOps.attributionJoin — the watermarked stream-stream
+    // join; StreamingSpec asserts the two produce identical rows. One
+    // equi-shuffle on user_id; the time predicate bounds candidates per pair.
+    "q_event_attrib" -> { (s, dir) =>
+      val e = events(s, dir)
+      val p = e.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      val c = e.where(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+          col("ts_us").as("click_ts_us"))
+      p.join(c, col("user_id") === col("c_user")
+          && col("click_ts_us") <= col("ts_us")
+          && col("click_ts_us") >= col("ts_us") - lit(3600000000L))
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("click_id"), col("click_ts_us"))
+        .orderBy("event_id", "click_id")
+    },
+
     // JSON column surface: parse props, bucket, aggregate exact ints.
     "q_json_extract" -> { (s, dir) =>
       events(s, dir)
@@ -138,6 +158,17 @@ object EventQueries {
          |SELECT user_id, min(ts_us) AS sess_start_us, max(ts_us) AS sess_end_us,
          |  COUNT(*) AS n_events, CAST(SUM(val_cents) AS DOUBLE)/100.0 AS val_sum
          |FROM g GROUP BY user_id, sess_id ORDER BY user_id, sess_start_us""".stripMargin,
+
+    "q_event_attrib" ->
+      s"""WITH e AS (
+         |  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+         |    event_type FROM events)
+         |SELECT p.event_id, p.user_id, p.ts_us,
+         |  c.event_id AS click_id, c.ts_us AS click_ts_us
+         |FROM e p JOIN e c ON p.user_id = c.user_id
+         |  AND p.event_type = 'purchase' AND c.event_type = 'click'
+         |  AND c.ts_us <= p.ts_us AND c.ts_us >= p.ts_us - 3600000000
+         |ORDER BY p.event_id, click_id""".stripMargin,
 
     "q_json_extract" ->
       s"""WITH e AS (

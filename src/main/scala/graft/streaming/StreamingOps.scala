@@ -106,6 +106,35 @@ object StreamingOps {
       .groupBy(col("word"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** Watermarked stream-stream attribution join: every click within the hour
+    * before each same-user purchase — the streaming twin of the batch
+    * `q_event_attrib` query (identical output columns; parity asserted in
+    * StreamingSpec).
+    *
+    * Both sides carry a watermark and the join condition bounds the event-
+    * time distance, so Spark derives a state-retention horizon: a buffered
+    * click is dropped once the watermark proves no future purchase can reach
+    * back to it (c_t + 1h + delay), and a purchase emits as soon as its
+    * clicks are present. Without the time bound the click state would grow
+    * with the stream — the unbounded-state hazard this operator's contract
+    * rules out. `events` must provide ts_us + event_type (see
+    * [[eventStream]]). */
+  def attributionJoin(events: DataFrame): DataFrame = {
+    val ev = events.withColumn("ts_t", timestamp_micros(col("ts_us")))
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("ts_t").as("p_t"))
+      .withWatermark("p_t", "1 second")
+    val c = ev.where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts_us").as("click_ts_us"), col("ts_t").as("c_t"))
+      .withWatermark("c_t", "1 second")
+    p.join(c, col("user_id") === col("c_user")
+        && col("c_t") <= col("p_t")
+        && col("c_t") >= col("p_t") - expr("INTERVAL 1 HOUR"))
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("click_id"), col("click_ts_us"))
+  }
+
   /** Streaming exact dedup: first-seen row per normalized-text hash — the
     * incremental twin of the batch `dedup_exact` query.
     * `dropDuplicatesWithinWatermark` is the bounded-state form: plain

@@ -96,6 +96,33 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-stream attribution join matches batch q_event_attrib") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft-attrib").toString
+    val ev = Tables(spark, sf, "events")
+    // split mid-timeline: clicks buffered in batch-1 state must still match
+    // purchases arriving in batch 2 (the cross-batch join-state path)
+    val median = ev
+      .selectExpr("CAST(percentile_cont(0.5) WITHIN GROUP (ORDER BY ts) AS BIGINT)")
+      .head().getLong(0)
+    val stream = spark.readStream.schema(ev.schema).parquet(s"$dir/*.parquet")
+      .withColumn("ts_us", expr("ts div 1000"))
+    val q = StreamingOps.attributionJoin(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("attrib_out").start()
+    try {
+      ev.where(col("ts") <= median).write.parquet(s"$dir/b1.parquet")
+      q.processAllAvailable()
+      ev.where(col("ts") > median).write.parquet(s"$dir/b2.parquet")
+      q.processAllAvailable()
+      val got = spark.table("attrib_out")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      val want = SparkEntry.queries("q_event_attrib")(spark, sf)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(got == want)
+    } finally q.stop()
+  }
+
   test("stateful sessionization across batches matches batch q_sessionize") {
     import java.nio.file.Files
     val dir = Files.createTempDirectory("graft-sess").toString
