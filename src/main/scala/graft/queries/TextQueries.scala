@@ -94,6 +94,30 @@ object TextQueries {
       TextOps.fingerprint(Tables(s, dir, "documents")).orderBy("doc_id")
     },
 
+    // Heavy hitters: single-pass frequent-items sketch (Spark's builtin
+    // Karp/Misra-Gries-family freqItems — bounded counters per partition,
+    // mergeable, no full groupBy needed at 100 TB) gated by the
+    // exact-companion pattern: the output rows are the EXACT words above the
+    // support threshold, plus a boolean asserting each one was present in
+    // the sketch — the sketch's one-sided guarantee (no false negatives
+    // above support), so the oracle pins TRUE. The sketch itself is
+    // driver-sized by construction (≤ 1/support items), so collecting it is
+    // metadata, not data.
+    "q_freq_items" -> { (s, dir) =>
+      val words = Tables(s, dir, "documents")
+        .select(explode(tokens(col("text"))).as("word"))
+      val support = 0.03
+      val sketch: Seq[String] = words.stat.freqItems(Array("word"), support)
+        .head().getSeq[String](0)
+      val counts = words.groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      val total = words.agg(count(lit(1)).as("total"))
+      counts.join(broadcast(total))
+        .where(col("cnt").cast("double") > lit(support) * col("total").cast("double"))
+        .select(col("word"), col("cnt"),
+          array_contains(typedlit(sketch), col("word")).as("in_sketch"))
+        .orderBy("word")
+    },
+
     // Inverted index: per-word document frequency, total term frequency and
     // the 10 smallest posting doc_ids (as a joined string — arrays don't
     // survive the oracle's column-sorted frame compare). The posting head
@@ -143,6 +167,14 @@ object TextQueries {
          |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
          |  COUNT(DISTINCT lang) AS n_langs
          |FROM documents GROUP BY 1 ORDER BY split""".stripMargin,
+
+    "q_freq_items" ->
+      s"""WITH w AS (SELECT unnest(t) AS word FROM ($tokFrom)),
+         |c AS (SELECT word, COUNT(*) AS cnt FROM w GROUP BY word),
+         |t AS (SELECT COUNT(*) AS total FROM w)
+         |SELECT word, cnt, TRUE AS in_sketch FROM c, t
+         |WHERE CAST(cnt AS DOUBLE) > 0.03 * CAST(total AS DOUBLE)
+         |ORDER BY word""".stripMargin,
 
     "text_inverted_index" ->
       s"""WITH tok AS (SELECT doc_id, unnest(t) AS word FROM ($tokFrom)),
