@@ -67,6 +67,30 @@ object EventQueries {
         .orderBy("user_id", "sess_start_us")
     },
 
+    // Resample + gap fill: per-user hourly buckets from the user's first to
+    // last event, empty hours zero-filled — the time-series densification
+    // step feature pipelines need before windowed models. The bucket grid is
+    // generated per user (sequence+explode bounded by the user's own span,
+    // never a global calendar cross join) and the fill is one equi-join on
+    // (user, bucket).
+    "q_resample" -> { (s, dir) =>
+      val H = 3600000000L
+      val e = normalized(s, dir)
+        .select(col("user_id"), col("ts_us"), col("val_cents"))
+        .withColumn("hb", expr(s"ts_us div $H"))
+      val grid = e.groupBy(col("user_id"))
+        .agg(min(col("hb")).as("b0"), max(col("hb")).as("b1"))
+        .select(col("user_id"), explode(sequence(col("b0"), col("b1"))).as("hb"))
+      val agg = e.groupBy(col("user_id"), col("hb"))
+        .agg(count(lit(1)).as("n"), sum(col("val_cents")).as("cents"))
+      grid.join(agg, Seq("user_id", "hb"), "left")
+        .select(col("user_id"), (col("hb") * lit(H)).as("hour_us"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          (coalesce(col("cents"), lit(0L)).cast("double") / lit(100.0))
+            .as("val_sum"))
+        .orderBy("user_id", "hour_us")
+    },
+
     // Attribution interval join: every click within the hour BEFORE each
     // same-user purchase (all candidates, vs q_asof's latest-only). Batch
     // twin of StreamingOps.attributionJoin — the watermarked stream-stream
@@ -158,6 +182,22 @@ object EventQueries {
          |SELECT user_id, min(ts_us) AS sess_start_us, max(ts_us) AS sess_end_us,
          |  COUNT(*) AS n_events, CAST(SUM(val_cents) AS DOUBLE)/100.0 AS val_sum
          |FROM g GROUP BY user_id, sess_id ORDER BY user_id, sess_start_us""".stripMargin,
+
+    "q_resample" ->
+      s"""WITH e AS (
+         |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hb,
+         |    ${CENTS("\"value\"")} AS val_cents
+         |  FROM events),
+         |b AS (SELECT user_id, MIN(hb) AS b0, MAX(hb) AS b1 FROM e GROUP BY 1),
+         |g AS (SELECT user_id, unnest(range(b0, b1 + 1)) AS hb FROM b),
+         |a AS (SELECT user_id, hb, COUNT(*) AS n,
+         |    CAST(SUM(val_cents) AS BIGINT) AS cents
+         |  FROM e GROUP BY 1, 2)
+         |SELECT g.user_id, g.hb * 3600000000 AS hour_us,
+         |  COALESCE(a.n, 0) AS n,
+         |  CAST(COALESCE(a.cents, 0) AS DOUBLE)/100.0 AS val_sum
+         |FROM g LEFT JOIN a USING (user_id, hb)
+         |ORDER BY user_id, hour_us""".stripMargin,
 
     "q_event_attrib" ->
       s"""WITH e AS (
