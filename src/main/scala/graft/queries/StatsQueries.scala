@@ -98,6 +98,24 @@ object StatsQueries {
         .orderBy("c_mktsegment")
     },
 
+    // Entity-resolution fuzzy match: edit-distance pairs under first-letter
+    // BLOCKING — the scale-honest shape (an unblocked distance join is a
+    // cartesian product; blocking turns it into an equi-join whose work is
+    // Σ per-block², with the block key chosen so true matches share it).
+    "q_fuzzy_match" -> { (s, dir) =>
+      def side(k: String, n: String) = Tables(s, dir, "nation")
+        .select(col("n_nationkey").cast("long").as(k), col("n_name").as(n),
+          substring(col("n_name"), 1, 1).as("blk"))
+      side("k1", "name1").join(side("k2", "name2"), Seq("blk"))
+        .where(col("k1") < col("k2"))
+        .withColumn("edit_dist",
+          levenshtein(col("name1"), col("name2")).cast("long"))
+        .where(col("edit_dist") <= 6)
+        .select(col("k1"), col("k2"), col("name1"), col("name2"),
+          col("edit_dist"))
+        .orderBy("k1", "k2")
+    },
+
     // Distributed MapPut (KvSink.upsert): a keyed balance snapshot upserted
     // with a batch of per-customer totals — update-wins rows, untouched base
     // rows, and pure inserts (custkeys excluded from the base) all in one
@@ -175,6 +193,17 @@ object StatsQueries {
          |WHERE ${MD5LONG("CAST(c_custkey AS VARCHAR)")} % 10 <
          |  CASE WHEN c_mktsegment = 'BUILDING' THEN 5 ELSE 2 END
          |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_fuzzy_match" ->
+      """WITH a AS (SELECT CAST(n_nationkey AS BIGINT) AS k1, n_name AS name1,
+        |    substr(n_name, 1, 1) AS blk FROM nation),
+        |b AS (SELECT CAST(n_nationkey AS BIGINT) AS k2, n_name AS name2,
+        |    substr(n_name, 1, 1) AS blk FROM nation)
+        |SELECT k1, k2, name1, name2,
+        |  CAST(levenshtein(name1, name2) AS BIGINT) AS edit_dist
+        |FROM a JOIN b USING (blk)
+        |WHERE k1 < k2 AND levenshtein(name1, name2) <= 6
+        |ORDER BY k1, k2""".stripMargin,
 
     "q_upsert" ->
       s"""WITH base AS (

@@ -68,9 +68,9 @@ class WordcountSpec extends SparkTestBase {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("every query has an oracle or is explicitly oracle-free") {
+  test("queries and oracles cover each other exactly (no ungated query ships)") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
-    assert(o.subsetOf(q), s"orphan oracles: ${o.diff(q)}")
+    assert(q == o, s"ungated queries: ${q.diff(o)}; orphan oracles: ${o.diff(q)}")
   }
 }
