@@ -36,6 +36,11 @@ object GraphOps {
     *   alternating large-star/small-star contraction (Kiveris et al., "
     *   Connected Components in MapReduce and Beyond", SoCC'14), which is
     *   O(log n) rounds of the same join+min shape.
+    * - exhausting `maxIter` without the convergence sum stabilizing THROWS:
+    *   a partially-flooded labeling is silently wrong (two docs of one
+    *   component keep different cluster ids), and no test-scale gate would
+    *   catch it downstream. Fail loudly; callers with >maxIter-diameter
+    *   graphs must raise the budget or use star contraction.
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
     val cols = edges.columns
@@ -67,6 +72,11 @@ object GraphOps {
       prevSum = s
       it += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within maxIter=$maxIter rounds " +
+          "(component diameter exceeds the budget); raise maxIter or use " +
+          "large-star/small-star contraction for deep graphs")
     labels
   }
 }

@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Dataset}
-import org.apache.spark.sql.functions.{coalesce, col}
+import org.apache.spark.sql.functions.{col, concat, lit, raise_error, when}
 
 /** O12 parity surface: the reference's terminal store is a concurrent
   * hashmap the driver point-looks-up after the run (reference hashmap.c
@@ -29,16 +29,35 @@ object KvSink {
     * the store" becomes "produce the next version").
     *
     * Both relations are (key, value) two-column tables, like the reference
-    * hashmap; `updates` must be unique per key (pre-aggregate if not —
-    * within-batch ordering is the caller's semantic, not the engine's).
+    * hashmap (enforced — anything else is a contract violation, rejected
+    * loudly instead of a bare MatchError); `updates` must be unique per key
+    * (pre-aggregate if not — within-batch ordering is the caller's semantic,
+    * not the engine's). A NULL update VALUE is rejected at execution time
+    * (`raise_error` inside codegen, no extra pass): the reference store has
+    * MapPut but no MapDelete (reference hashmap.h:21-26), so null-set/delete
+    * is unrepresentable here by design — rejecting beats silently degrading
+    * to keep-base, which is what a bare `coalesce` would do.
     * One full-outer equi-join: each side shuffles once on the key, or not at
     * all when both snapshots are bucketed on it (Sinks.ensureBucketedTable),
     * which is the 100 TB shape: a bucketed base, bucketed deltas, exchange-
     * free merge per version. */
   def upsert(base: DataFrame, updates: DataFrame): DataFrame = {
+    require(base.columns.length == 2,
+      s"upsert base must be a (key, value) 2-column table; got ${base.columns.mkString("(", ",", ")")}")
+    require(updates.columns.length == 2,
+      s"upsert updates must be a (key, value) 2-column table; got ${updates.columns.mkString("(", ",", ")")}")
     val Array(k, v) = base.columns
-    val u = updates.toDF(k, "_update_value")
+    // _upd marks "an update row matched this key": a non-null marker with a
+    // null value is a violating update, distinguishable from no-update
+    val u = updates.toDF(k, "_update_value").withColumn("_upd", lit(true))
     base.join(u, Seq(k), "full_outer")
-      .select(col(k), coalesce(col("_update_value"), col(v)).as(v))
+      .select(col(k),
+        when(col("_upd").isNotNull,
+          when(col("_update_value").isNull,
+            raise_error(concat(lit("upsert: NULL update value for key "),
+              col(k).cast("string"),
+              lit(" (deletes are unrepresentable; reference hashmap has no MapDelete)"))))
+            .otherwise(col("_update_value")))
+          .otherwise(col(v)).as(v))
   }
 }

@@ -206,7 +206,8 @@ object AdvancedQueries {
     // the unpartitioned parquet.
     "q_partitioned_scan" -> { (s, dir) =>
       val tmp = s"/root/repo/target/tmp/events_part-${new java.io.File(dir).getName}"
-      graft.sources.Sinks.ensureDir(s, tmp) {
+      graft.sources.Sinks.ensureDir(s, tmp,
+        "v1:event_id,user_id,ts_us,value/partitionBy=event_type") {
         Tables(s, dir, "events")
           .withColumn("ts_us", expr("ts div 1000"))
           .select(col("event_id"), col("user_id"), col("ts_us"), col("value"),
@@ -226,11 +227,11 @@ object AdvancedQueries {
     // read), then the same broadcast-join aggregate as the parquet path.
     "q_multiformat" -> { (s, dir) =>
       val tmp = s"/root/repo/target/tmp/multiformat-${new java.io.File(dir).getName}"
-      graft.sources.Sinks.ensureDir(s, s"$tmp/nation_csv") {
+      graft.sources.Sinks.ensureDir(s, s"$tmp/nation_csv", "v1:nation,csv,header") {
         Tables(s, dir, "nation").write.mode("overwrite")
           .option("header", "true").csv(s"$tmp/nation_csv")
       }
-      graft.sources.Sinks.ensureDir(s, s"$tmp/region_json") {
+      graft.sources.Sinks.ensureDir(s, s"$tmp/region_json", "v1:region,json") {
         Tables(s, dir, "region").write.mode("overwrite").json(s"$tmp/region_json")
       }
       val nationSchema = StructType(Seq(

@@ -60,7 +60,12 @@ object StatsQueries {
 
     // Pearson correlation + sample stddev per group from one pass of exact
     // integer sums (decimal accumulators; cents² × 100 TB row counts
-    // overflow a long, decimal(38,0) does not).
+    // overflow a long, decimal(38,0) does not: sxy ≤ n·maxq·maxp ≈ 10²³ at
+    // 10¹² rows). The SUMS are exact; the final scalar uses mean-centered
+    // DOUBLE arithmetic (sxy/n − mx·my etc.) because raw cross products
+    // like n·sxy or sx·sy reach ~10³⁵⁺ and would NULL out a decimal(38,0)
+    // under non-ANSI overflow — the oracle mirrors the identical IEEE
+    // expression tree so the hash gate stays bit-exact.
     "q_corr_stats" -> { (s, dir) =>
       val qc = cents(col("l_quantity"))
       val pc = cents(col("l_extendedprice"))
@@ -74,14 +79,16 @@ object StatsQueries {
           sum((qc * qc).cast(dec)).as("sxx"),
           sum((pc * pc).cast(dec)).as("syy"),
           sum((qc * pc).cast(dec)).as("sxy"))
+      val nD = col("n").cast("double")
+      val mx = col("sx").cast("double") / nD
+      val my = col("sy").cast("double") / nD
       a.select(col("l_returnflag"), col("n"),
-          ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
-            / (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
-              * sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
+          (((col("sxy").cast("double") / nD) - mx * my)
+            / (sqrt((col("sxx").cast("double") / nD) - mx * mx)
+              * sqrt((col("syy").cast("double") / nD) - my * my)))
             .as("corr_qty_price"),
-          (sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double")
-            / (col("n") * (col("n") - lit(1L))).cast("double")) / lit(100.0))
-            .as("stddev_price"))
+          (sqrt((col("syy").cast("double") - nD * my * my) / (nD - lit(1.0)))
+            / lit(100.0)).as("stddev_price"))
         .orderBy("l_returnflag")
     },
 
@@ -177,14 +184,20 @@ object StatsQueries {
          |    SUM(CAST(qc AS HUGEINT) * pc) AS sxy
          |  FROM (SELECT l_returnflag, ${CENTS("l_quantity")} AS qc,
          |      ${CENTS("l_extendedprice")} AS pc FROM lineitem)
-         |  GROUP BY l_returnflag)
+         |  GROUP BY l_returnflag),
+         |d AS (
+         |  SELECT l_returnflag, n, CAST(n AS DOUBLE) AS nd,
+         |    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mx,
+         |    CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS my,
+         |    CAST(sxx AS DOUBLE) AS sxxd, CAST(syy AS DOUBLE) AS syyd,
+         |    CAST(sxy AS DOUBLE) AS sxyd
+         |  FROM a)
          |SELECT l_returnflag, n,
-         |  CAST(n*sxy - sx*sy AS DOUBLE)
-         |    / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
-         |      * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) AS corr_qty_price,
-         |  sqrt(CAST(n*syy - sy*sy AS DOUBLE)
-         |    / CAST(n*(n-1) AS DOUBLE)) / 100.0 AS stddev_price
-         |FROM a ORDER BY l_returnflag""".stripMargin,
+         |  (sxyd / nd - mx * my)
+         |    / (sqrt(sxxd / nd - mx * mx)
+         |      * sqrt(syyd / nd - my * my)) AS corr_qty_price,
+         |  sqrt((syyd - nd * my * my) / (nd - 1.0)) / 100.0 AS stddev_price
+         |FROM d ORDER BY l_returnflag""".stripMargin,
 
     "q_stratified_sample" ->
       s"""SELECT c_mktsegment, COUNT(*) AS n_sampled,

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Write-once sink registration.
@@ -15,32 +15,66 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (re-registering the catalog entry when the in-memory catalog of a fresh
   * JVM has forgotten the table).
   *
-  * Inputs under `/root/testdata` are immutable, so marker presence implies
-  * the derived sink is current; a crashed partial write leaves no `_SUCCESS`
-  * and is rewritten.
+  * Reuse is keyed on `_SUCCESS` AND a `_GRAFT_TAG` sidecar recording the
+  * producing transform's version: inputs under `/root/testdata` are
+  * immutable, but the producing CODE is not — editing a sink query's
+  * projection must invalidate the files, not silently reuse them across
+  * JVMs. A crashed partial write leaves neither marker and is rewritten.
   */
 object Sinks {
 
+  private def readSidecar(fs: FileSystem, f: Path): Option[String] =
+    if (!fs.exists(f)) None
+    else {
+      val len = fs.getFileStatus(f).getLen.toInt
+      val buf = new Array[Byte](len)
+      val in = fs.open(f)
+      try { in.readFully(buf); Some(new String(buf, "UTF-8")) }
+      finally in.close()
+    }
+
+  private def writeSidecar(fs: FileSystem, f: Path, content: String): Unit = {
+    val out = fs.create(f, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+  }
+
   /** Run `write` (which must produce `dir` via a Hadoop committer) unless a
-    * previous successful write already committed it. */
-  def ensureDir(spark: SparkSession, dir: String)(write: => Unit): Unit = {
+    * previous successful write already committed it WITH the same `tag`.
+    * `tag` names the producing transform's content version (column list,
+    * format options, an explicit bump on logic edits) — a committed dir whose
+    * recorded tag differs is stale output of older code and is rewritten. */
+  def ensureDir(spark: SparkSession, dir: String, tag: String = "v1")(
+      write: => Unit): Unit = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new Path(p, "_SUCCESS"))) write
+    val tagFile = new Path(p, "_GRAFT_TAG")
+    val fresh = fs.exists(new Path(p, "_SUCCESS")) &&
+      readSidecar(fs, tagFile).contains(tag)
+    if (fresh) return
+    fs.delete(p, true)
+    write
+    writeSidecar(fs, tagFile, tag)
   }
 
   /** Ensure a bucketed+sorted managed table exists for `df`. Fresh files are
     * written at most once per warehouse; a fresh JVM whose in-memory catalog
     * lost the entry re-registers an external table over the existing bucket
-    * files (Spark recovers bucket ids from the `_0000N` file-name suffix). */
+    * files (Spark recovers bucket ids from the `_0000N` file-name suffix) —
+    * but ONLY after a `_GRAFT_BUCKET_SPEC` sidecar confirms the files were
+    * bucketed with the same key/count/schema. Registering `INTO N BUCKETS`
+    * metadata over files bucketed differently would silently misjoin rows
+    * (co-located joins trust the metadata); a spec mismatch rewrites. */
   def ensureBucketedTable(spark: SparkSession, table: String, df: => DataFrame,
       key: String, nBuckets: Int): Unit = {
     if (spark.catalog.tableExists(table)) return
     val wh = new Path(spark.conf.get("spark.sql.warehouse.dir"))
     val loc = new Path(wh, table)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new Path(loc, "_SUCCESS"))) {
-      val schemaDdl = df.schema.toDDL
+    val specFile = new Path(loc, "_GRAFT_BUCKET_SPEC")
+    val schemaDdl = df.schema.toDDL
+    val spec = s"key=$key;n=$nBuckets;schema=$schemaDdl"
+    if (fs.exists(new Path(loc, "_SUCCESS")) &&
+        readSidecar(fs, specFile).contains(spec)) {
       spark.sql(
         s"""CREATE TABLE $table ($schemaDdl) USING PARQUET
            |CLUSTERED BY ($key) SORTED BY ($key) INTO $nBuckets BUCKETS
@@ -53,6 +87,7 @@ object Sinks {
       fs.delete(loc, true)
       df.write.bucketBy(nBuckets, key).sortBy(key)
         .mode("overwrite").saveAsTable(table)
+      writeSidecar(fs, specFile, spec)
     }
   }
 }
