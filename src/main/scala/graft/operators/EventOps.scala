@@ -26,6 +26,58 @@ object EventOps {
         col("n"), col("val_sum"))
   }
 
+  /** Windowed conversion funnel: how many users progressed through `stages`
+    * in order, each hop within `windowUs` of the previous stage's timestamp.
+    * Stage 1's time is the user's EARLIEST stage-1 event; each later stage
+    * binds to the earliest qualifying event strictly after the previous
+    * bind and within its window (the standard product-analytics funnel
+    * semantics — greedy-earliest is well-defined and replayable in SQL as
+    * nested conditional mins).
+    *
+    * Scale shape: ONE shuffle on user_id, then a per-user sorted scan with
+    * O(#stages) state — no self-joins (the SQL form's k-stage cascade
+    * re-shuffles the event table k times; this does it once), no windows,
+    * nothing driver-resident. Per-user event lists sort in memory like
+    * sessionize's; a pathological user is one task's work, not a plan
+    * change. Output: (stage, lvl, n_users) — the classic funnel report. */
+  def funnel(events: DataFrame, stages: Seq[String], windowUs: Long): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val stagesB = stages.toArray
+    val levels = events
+      .select(col("user_id").cast("long"), col("event_type"), col("ts_us"))
+      .as[(Long, String, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (uid, it) =>
+        val evs = it.toArray.sortBy(_._3)
+        var lvl = 0
+        var tPrev = Long.MinValue
+        var bound = Long.MaxValue // stage 1 is unconstrained
+        var advanced = true
+        while (advanced && lvl < stagesB.length) {
+          val st = stagesB(lvl)
+          var found = -1L
+          var i = 0
+          while (found < 0 && i < evs.length) {
+            val e = evs(i)
+            if (e._2 == st && e._3 > tPrev && e._3 <= bound) found = e._3
+            i += 1
+          }
+          if (found >= 0) { lvl += 1; tPrev = found; bound = found + windowUs }
+          else advanced = false
+        }
+        (uid, lvl)
+      }.toDF("user_id", "lvl")
+    val counts = levels.groupBy(col("lvl")).agg(count(lit(1)).as("n"))
+    // users at level L reached every stage ≤ L: cumulative sum, tiny domain
+    val stageDf = stagesB.zipWithIndex
+      .map { case (st, i) => (st, (i + 1).toLong) }.toSeq
+      .toDF("stage", "lvl_req")
+    stageDf.join(counts, col("lvl") >= col("lvl_req"), "left")
+      .groupBy(col("stage"), col("lvl_req").as("lvl"))
+      .agg(coalesce(sum(col("n")), lit(0L)).as("n_users"))
+  }
+
   /** Gap-based sessionization, batch window-function form: lag → new-session
     * flag → running session ordinal → per-session aggregate. One shuffle on
     * user_id; both windows and the final aggregate share that partitioning.

@@ -118,6 +118,90 @@ object TextOps {
       when(pmod(md5Long(col(keyCol).cast("string")), lit(nBuckets))
         < trainBuckets, "train").otherwise("holdout"))
 
+  /** Adjacent-token bigrams, one row per occurrence, in a single typed
+    * flatMap (the hot per-token loop stays raw JVM per the repo rule — a
+    * nested `transform`+`slice` HOF chain would be interpreted). Feed the
+    * result to a wordcount-shaped aggregate: partial→final combine ships one
+    * count per distinct bigram per partition, and the n-gram domain grows
+    * sub-linearly in the corpus, so the shuffle stays narrow at 100 TB. */
+  def bigrams(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select(col("text")).as[String]
+      .flatMap { text =>
+        val t = tokensJvm(text)
+        if (t.length < 2) Iterator.empty
+        else (0 until t.length - 1).iterator.map(i => t(i) + " " + t(i + 1))
+      }.toDF("bigram")
+  }
+
+  /** Ordered PII-style regex scrub. `rules` = (name, pattern, replacement),
+    * applied left→right; each rule's match count (`n_<name>`) is taken on
+    * the text AS THAT RULE SEES IT — after the earlier rules' replacements —
+    * so e.g. digits inside an already-redacted email are not double-counted.
+    * Patterns must stay in the RE2-compatible subset (character classes,
+    * quantifiers — no backrefs/lookahead) so any engine replays them
+    * identically; pure codegen'd column ops, one projection, no shuffle. */
+  def redact(docs: DataFrame, rules: Seq[(String, String, String)]): DataFrame = {
+    val scrubbed = rules.foldLeft(docs.withColumn("_cur", col("text"))) {
+      case (df, (name, pat, rep)) =>
+        df.withColumn(s"n_$name", regexp_count(col("_cur"), lit(pat)).cast("long"))
+          .withColumn("_cur", regexp_replace(col("_cur"), pat, rep))
+    }
+    scrubbed.select(col("doc_id") +: col("_cur").as("clean")
+      +: rules.map { case (name, _, _) => col(s"n_$name") }: _*)
+  }
+
+  /** BM25 ranking of `docs` against a fixed term list (k1/b are the
+    * classic Robertson constants; idf = ln((N−df+0.5)/(df+0.5)+1), the
+    * Lucene non-negative form).
+    *
+    * Scale shape: per-doc term frequencies come from ONE typed map over the
+    * token stream (no interpreted HOFs, no per-term scans); the corpus
+    * statistics (N, Σdl, per-term df) are a single-row aggregate that
+    * broadcasts; only docs matching ≥1 term survive into scoring, so the
+    * scored set is query-selectivity-sized, not corpus-sized. Score doubles
+    * are summed in FIXED term order (left-assoc) so an oracle replaying the
+    * same expression tree is bit-identical. */
+  def bm25(docs: DataFrame, terms: Seq[String], k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val termIdx = terms.zipWithIndex.toMap
+    val nTerms = terms.length
+    val perDoc = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val t = tokensJvm(text)
+        val tf = new Array[Long](nTerms)
+        t.foreach { tk => termIdx.get(tk) match {
+          case Some(i) => tf(i) += 1
+          case None =>
+        } }
+        (id, t.length.toLong, tf)
+      }.toDF("doc_id", "dlen", "tf")
+    val wide = perDoc.select(
+      col("doc_id") +: col("dlen") +:
+        terms.indices.map(i => col("tf").getItem(i).as(s"tf_$i")): _*)
+    val stats = wide.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("dlen")).as("sum_dl")
+        +: terms.indices.map(i =>
+          sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i")): _*)
+    val hit = terms.indices.map(i => col(s"tf_$i") > 0).reduce(_ || _)
+    val j = wide.where(hit).crossJoin(broadcast(stats))
+    val nD = col("n_docs").cast("double")
+    val avgdl = col("sum_dl").cast("double") / nD
+    def termScore(i: Int) = {
+      val tfD = col(s"tf_$i").cast("double")
+      val dfD = col(s"df_$i").cast("double")
+      val idf = log((nD - dfD + lit(0.5)) / (dfD + lit(0.5)) + lit(1.0))
+      idf * (tfD * lit(k1 + 1.0)) /
+        (tfD + lit(k1) * (lit(1.0 - b) + lit(b) * col("dlen").cast("double") / avgdl))
+    }
+    j.select(col("doc_id"), col("dlen"),
+      terms.indices.map(termScore).reduce(_ + _).as("score"))
+  }
+
   /** The training-data pipeline: token/distinct quality filter → exact
     * dedup keeping the lowest doc_id per normalized text → per-language
     * corpus stats. The keep-first step is min_by (partial→final hash

@@ -247,6 +247,24 @@ object AdvancedQueries {
         .agg(count(lit(1)).as("n_nations"),
           max(col("n_name")).as("max_nation"))
         .orderBy("r_name")
+    },
+
+    // ORC connector round-trip: the columnar alternative to parquet (same
+    // pushdown/pruning machinery — predicate and projection reach the ORC
+    // scan exactly as they do the parquet one). lineitem goes out ORC
+    // (write-once) and comes back filtered+aggregated; the oracle runs the
+    // same aggregate over the original parquet.
+    "q_orc_source" -> { (s, dir) =>
+      val tmp = s"/root/repo/target/tmp/lineitem_orc-${new java.io.File(dir).getName}"
+      graft.sources.Sinks.ensureDir(s, tmp, "v1:lineitem,orc") {
+        Tables(s, dir, "lineitem").write.mode("overwrite").orc(tmp)
+      }
+      s.read.orc(tmp)
+        .where(col("l_quantity") > 30)
+        .groupBy(col("l_linestatus"))
+        .agg(count(lit(1)).as("n_items"),
+          moneySum(col("l_extendedprice")).as("rev"))
+        .orderBy("l_linestatus")
     })
 
   /** Shared by q_asof_join (union+window composition) and q_asof_native (the
@@ -362,5 +380,11 @@ object AdvancedQueries {
     "q_multiformat" ->
       """SELECT r_name, COUNT(*) AS n_nations, max(n_name) AS max_nation
         |FROM nation JOIN region ON n_regionkey = r_regionkey
-        |GROUP BY r_name ORDER BY r_name""".stripMargin)
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "q_orc_source" ->
+      s"""SELECT l_linestatus, COUNT(*) AS n_items,
+         |  ${MONEY("l_extendedprice")} AS rev
+         |FROM lineitem WHERE l_quantity > 30
+         |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)
 }

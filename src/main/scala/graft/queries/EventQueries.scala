@@ -124,6 +124,16 @@ object EventQueries {
           max(col("k")).cast("long").as("k_max"),
           countDistinct(col("event_type")).as("n_types"))
         .orderBy("k_bucket")
+    },
+
+    // Conversion funnel (EventOps.funnel): view → click → purchase, each hop
+    // within 24h of the previous bind. One shuffle + per-user state machine
+    // vs the oracle's 3-join cascade — same greedy-earliest semantics.
+    "q_funnel" -> { (s, dir) =>
+      graft.operators.EventOps.funnel(
+          events(s, dir).select(col("user_id"), col("event_type"), col("ts_us")),
+          Seq("view", "click", "purchase"), windowUs = 86400000000L)
+        .orderBy("lvl")
     })
 
   def oracles: Map[String, String] = Map(
@@ -217,5 +227,27 @@ object EventQueries {
          |SELECT CAST(k % 10 AS BIGINT) AS k_bucket, COUNT(*) AS n,
          |  CAST(SUM(k) AS BIGINT) AS k_sum, CAST(max(k) AS BIGINT) AS k_max,
          |  COUNT(DISTINCT event_type) AS n_types
-         |FROM e GROUP BY 1 ORDER BY 1""".stripMargin)
+         |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // nested conditional mins = the funnel's greedy-earliest binds: each
+    // stage joins on the previous stage's bind time and keeps the earliest
+    // qualifying event within the window.
+    "q_funnel" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+         |  FROM events),
+         |s1 AS (SELECT user_id, min(ts_us) AS t1 FROM e
+         |  WHERE event_type = 'view' GROUP BY 1),
+         |s2 AS (SELECT e.user_id, min(ts_us) AS t2 FROM e JOIN s1 USING(user_id)
+         |  WHERE event_type = 'click' AND ts_us > t1
+         |    AND ts_us <= t1 + 86400000000 GROUP BY 1),
+         |s3 AS (SELECT e.user_id, min(ts_us) AS t3 FROM e JOIN s2 USING(user_id)
+         |  WHERE event_type = 'purchase' AND ts_us > t2
+         |    AND ts_us <= t2 + 86400000000 GROUP BY 1)
+         |SELECT stage, lvl, n_users FROM (
+         |  SELECT 'view' AS stage, CAST(1 AS BIGINT) AS lvl,
+         |    (SELECT COUNT(*) FROM s1) AS n_users
+         |  UNION ALL SELECT 'click', 2, (SELECT COUNT(*) FROM s2)
+         |  UNION ALL SELECT 'purchase', 3, (SELECT COUNT(*) FROM s3))
+         |ORDER BY lvl""".stripMargin)
 }

@@ -247,6 +247,59 @@ object Relational {
           sum(dayofmonth(col("o_orderdate")).cast("long")).as("sum_dom"),
           sum(floor(col("o_totalprice")).cast("long")).as("sum_floor_price"))
         .orderBy("yr")
+    },
+
+    // RANGE-frame window (the time-based frame q_window_analytic's ROWS
+    // frames don't cover): per-customer 7-day rolling revenue. RANGE frames
+    // include order-value peers, so same-day orders share one frame sum —
+    // deterministic with NO within-day tiebreak needed. Partitioned by
+    // customer: at 100 TB each partition is one customer's order history
+    // (bounded), never a hot global sort.
+    "q_rolling_window" -> { (s, dir) =>
+      val day = datediff(col("o_orderdate").cast("date"),
+        lit("1970-01-01").cast("date")).cast("long")
+      val w = Window.partitionBy("custkey").orderBy("day").rangeBetween(-6, 0)
+      Tables(s, dir, "orders")
+        .select(col("o_custkey").cast("long").as("custkey"), day.as("day"),
+          col("o_orderkey").cast("long").as("orderkey"),
+          cents(col("o_totalprice")).as("total_cents"))
+        .withColumn("roll7_cents", sum(col("total_cents")).over(w))
+        .orderBy("custkey", "day", "orderkey")
+    },
+
+    // collect_set surface: per-nation sorted distinct-segment roster. The
+    // collected set is bounded by the SEGMENT DOMAIN (5 values), not the row
+    // count — the regime where collect_set is safe at any scale. Unbounded-
+    // domain collects (e.g. per-nation custkey lists) are the anti-pattern:
+    // one giant array per group blows the row size; that shape belongs in
+    // the inverted-index/top-k operators instead. Emitted as a joined string
+    // (the oracle compare cannot sort list cells).
+    "q_collect_set" -> { (s, dir) =>
+      Tables(s, dir, "customer")
+        .groupBy(col("c_nationkey").cast("long").as("nationkey"))
+        .agg(
+          array_join(array_sort(collect_set(col("c_mktsegment"))), ",")
+            .as("segments"),
+          countDistinct(col("c_mktsegment")).as("n_seg"))
+        .orderBy("nationkey")
+    },
+
+    // Exact per-group mode with a deterministic tiebreak: count per (group,
+    // value) — one algebraic partial→final aggregate — then argmax by
+    // (count desc, value asc) via max_by on an ordering struct: no ranking
+    // window, ≤1 row per group per task survives the final shuffle. The
+    // builtin `mode()` is tie-UNSPECIFIED, so it can never sit behind a
+    // hash gate; this form can.
+    "q_mode" -> { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), cents(col("l_quantity")).as("qc"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          max_by(col("qc"), struct(col("n"), (-col("qc")).as("negqc")))
+            .as("mode_qc"),
+          max(col("n")).as("mode_n"))
+        .orderBy("l_returnflag")
     })
 
   private val revenueExpr =
@@ -388,5 +441,31 @@ object Relational {
          |  CAST(min(length(o_orderpriority)) AS BIGINT) AS min_pri_len,
          |  CAST(SUM(day(o_orderdate)) AS BIGINT) AS sum_dom,
          |  CAST(SUM(CAST(floor(o_totalprice) AS BIGINT)) AS BIGINT) AS sum_floor_price
-         |FROM orders GROUP BY yr ORDER BY yr""".stripMargin)
+         |FROM orders GROUP BY yr ORDER BY yr""".stripMargin,
+
+    "q_rolling_window" ->
+      s"""SELECT CAST(o_custkey AS BIGINT) AS custkey,
+         |  CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+         |  CAST(o_orderkey AS BIGINT) AS orderkey,
+         |  ${CENTS("o_totalprice")} AS total_cents,
+         |  CAST(SUM(${CENTS("o_totalprice")}) OVER (
+         |    PARTITION BY o_custkey
+         |    ORDER BY CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
+         |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll7_cents
+         |FROM orders ORDER BY custkey, day, orderkey""".stripMargin,
+
+    "q_collect_set" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+        |  string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segments,
+        |  COUNT(DISTINCT c_mktsegment) AS n_seg
+        |FROM customer GROUP BY 1 ORDER BY nationkey""".stripMargin,
+
+    "q_mode" ->
+      s"""WITH cnt AS (
+         |  SELECT l_returnflag, ${CENTS("l_quantity")} AS qc, COUNT(*) AS n
+         |  FROM lineitem GROUP BY 1, 2)
+         |SELECT l_returnflag, qc AS mode_qc, n AS mode_n FROM cnt
+         |QUALIFY row_number() OVER (
+         |  PARTITION BY l_returnflag ORDER BY n DESC, qc ASC) = 1
+         |ORDER BY l_returnflag""".stripMargin)
 }

@@ -137,7 +137,49 @@ object TextQueries {
         .agg(concat_ws(",", array_sort(collect_list(col("doc_id"))))
           .as("postings_head"))
       stats.join(head, "word").orderBy("word")
+    },
+
+    // Top-20 bigrams (TextOps.bigrams): the n-gram generalization of
+    // wordcount — typed flatMap producing adjacent pairs, algebraic count,
+    // global top-k via TakeOrdered (per-partition heads merge on the driver;
+    // no global sort materializes).
+    "q_bigram_topk" -> { (s, dir) =>
+      graft.operators.TextOps.bigrams(Tables(s, dir, "documents"))
+        .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram"))
+        .limit(20)
+    },
+
+    // PII scrub (TextOps.redact): the corpus is synthetic word salad with no
+    // PII, so each doc gets a deterministic dirty suffix (fake email + phone,
+    // mirrored verbatim in the oracle) — the redaction genuinely fires
+    // instead of vacuously matching nothing. Rules are RE2-safe regexes;
+    // counts are per-rule on the text as that rule sees it.
+    "text_redact" -> { (s, dir) =>
+      val dirty = Tables(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or call 555-0"), col("doc_id").cast("string"))
+          .as("text"))
+      graft.operators.TextOps.redact(dirty, redactRules).orderBy("doc_id")
+    },
+
+    // BM25 top-20 (TextOps.bm25): fixed query terms, per-doc tf from one
+    // typed map, single-row corpus stats broadcast, score-matched docs only.
+    "text_bm25" -> { (s, dir) =>
+      graft.operators.TextOps.bm25(Tables(s, dir, "documents"), bmTerms)
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(20)
     })
+
+  /** RE2-compatible scrub rules shared by text_redact and its oracle. */
+  private val emailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+"
+  private val numPat = "[0-9][0-9-]+"
+  private val redactRules = Seq(
+    ("email", emailPat, "<EMAIL>"),
+    ("num", numPat, "<NUM>"))
+
+  /** BM25 query terms; constants k1=1.2, b=0.75 (TextOps.bm25 defaults). */
+  private val bmTerms = Seq("spark", "merge", "vector")
 
   private val tokFrom =
     s"SELECT doc_id, ${TOKENS("text")} AS t FROM documents"
@@ -262,5 +304,66 @@ object TextQueries {
          |      list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
          |    (a, b) -> (a*31 + b) % 2147483647) AS BIGINT) AS fp31,
          |  ${NORMMD5("text")} AS fp_md5
-         |FROM documents ORDER BY doc_id""".stripMargin)
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_bigram_topk" ->
+      s"""WITH pos AS (
+         |  SELECT doc_id, unnest(t) AS tokn, generate_subscripts(t, 1) AS i
+         |  FROM ($tokFrom)),
+         |pairs AS (
+         |  SELECT tokn || ' ' || lead(tokn) OVER w AS bigram,
+         |    lead(tokn) OVER w AS nxt
+         |  FROM pos WINDOW w AS (PARTITION BY doc_id ORDER BY i))
+         |SELECT bigram, COUNT(*) AS n FROM pairs WHERE nxt IS NOT NULL
+         |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
+
+    "text_redact" ->
+      s"""WITH dirty AS (
+         |  SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR)
+         |    || '@example.com or call 555-0' || CAST(doc_id AS VARCHAR) AS d
+         |  FROM documents),
+         |e AS (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_extract_all(d, '$emailPat')) AS BIGINT) AS n_email,
+         |    regexp_replace(d, '$emailPat', '<EMAIL>', 'g') AS d2
+         |  FROM dirty)
+         |SELECT doc_id,
+         |  regexp_replace(d2, '$numPat', '<NUM>', 'g') AS clean,
+         |  n_email,
+         |  CAST(len(regexp_extract_all(d2, '$numPat')) AS BIGINT) AS n_num
+         |FROM e ORDER BY doc_id""".stripMargin,
+
+    "text_bm25" -> {
+      // constants interpolated from the SAME Scala doubles TextOps.bm25
+      // uses, so both engines parse the identical IEEE values
+      val k1 = 1.2; val b = 0.75
+      val tfCols = bmTerms.zipWithIndex.map { case (t, i) =>
+        s"CAST(len(list_filter(t, x -> x = '$t')) AS BIGINT) AS tf_$i"
+      }.mkString(",\n  ")
+      val dfCols = bmTerms.indices.map(i =>
+        s"CAST(SUM(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$i")
+        .mkString(",\n  ")
+      val hit = bmTerms.indices.map(i => s"tf_$i > 0").mkString(" OR ")
+      val score = bmTerms.indices.map { i =>
+        s"""ln((CAST(n_docs AS DOUBLE) - CAST(df_$i AS DOUBLE) + 0.5)
+           |    / (CAST(df_$i AS DOUBLE) + 0.5) + 1.0)
+           |  * (CAST(tf_$i AS DOUBLE) * ${k1 + 1.0})
+           |  / (CAST(tf_$i AS DOUBLE) + $k1 * (${1.0 - b}
+           |    + $b * CAST(dlen AS DOUBLE)
+           |      / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))""".stripMargin
+      }.mkString("\n  + ")
+      s"""WITH wide AS (
+         |  SELECT doc_id, CAST(len(t) AS BIGINT) AS dlen,
+         |  $tfCols
+         |  FROM ($tokFrom)),
+         |st AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(dlen) AS BIGINT) AS sum_dl,
+         |  $dfCols
+         |  FROM wide)
+         |SELECT doc_id, dlen,
+         |  $score AS score
+         |FROM wide, st WHERE $hit
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+    })
 }
