@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpectsInputTypes, ExpressionInfo}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, IntegerType, LongType}
 import org.apache.spark.sql.SparkSessionExtensions
 
 /** Native Catalyst expressions for the engine's hot array kernels.
@@ -155,6 +155,49 @@ object ArrayExprs {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Signed-int8 dot product of two BinaryType columns — the scoring kernel
+    * for scalar-quantized embeddings (4× smaller than the int-array form;
+    * at 100 TB the embedding table is usually the biggest table there is,
+    * so byte-packed vectors are the difference between an in-memory scan
+    * and a spilling one). Bytes sign-extend; products fit int; the
+    * accumulator is long (64 dims × 127² ≪ 2⁶³). */
+  case class ByteArrayDot(left: Expression, right: Expression)
+      extends BinaryExpression with ExpectsInputTypes {
+    override def prettyName: String = "graft_dot_i8"
+    override def inputTypes: Seq[DataType] = Seq(BinaryType, BinaryType)
+    override def dataType: DataType = LongType
+    override def nullIntolerant: Boolean = true
+
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[Array[Byte]]
+      val b = r.asInstanceOf[Array[Byte]]
+      val n = math.min(a.length, b.length)
+      var s = 0L
+      var i = 0
+      while (i < n) { s += a(i).toLong * b(i); i += 1 }
+      s
+    }
+
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val s = ctx.freshName("s")
+        s"""
+           |int $n = java.lang.Math.min($a.length, $b.length);
+           |long $s = 0L;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $s += (long) $a[$i] * $b[$i];
+           |}
+           |${ev.value} = $s;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   // ---- Column wrappers (the library's public algebra) ----
 
   def dot(a: Column, b: Column): Column =
@@ -168,6 +211,9 @@ object ArrayExprs {
 
   def intersectSizeLong(a: Column, b: Column): Column =
     ColumnBridge(SortedLongIntersectSize(ColumnBridge.expr(a), ColumnBridge.expr(b)))
+
+  def dotI8(a: Column, b: Column): Column =
+    ColumnBridge(ByteArrayDot(ColumnBridge.expr(a), ColumnBridge.expr(b)))
 }
 
 /** SQL-surface registration: `spark.sql.extensions=graft.functions.GraftExtensions`
@@ -196,5 +242,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_intersect_size_l",
         "graft_intersect_size_l(a, b) - |A∩B| of sorted long arrays"),
       (cs: Seq[Expression]) => SortedLongIntersectSize(cs(0), cs(1))))
+    ext.injectFunction((FunctionIdentifier("graft_dot_i8"),
+      info("graft_dot_i8",
+        "graft_dot_i8(a, b) - signed-int8 dot product of binary columns"),
+      (cs: Seq[Expression]) => ByteArrayDot(cs(0), cs(1))))
   }
 }

@@ -163,6 +163,46 @@ object SimilarityOps {
         .select(col("qid"), col("vec_id").as("nbr_id"), col("cos")), k)
   }
 
+  /** Symmetric int8 scalar quantization of the encoded corpus: per vector,
+    * scale = max|component|, q_i = round(iv_i·127/scale) ∈ [−127, 127],
+    * packed as a BinaryType byte array — 4× smaller than the int-array form
+    * (the difference between an in-memory embedding scan and a spilling one
+    * at 100 TB). The per-vector scale cancels out of the quantized COSINE
+    * (dot8/√(nq_a·nq_b)), so ranking needs no dequantization at all; it is
+    * kept anyway for callers that need approximate absolute dots. One typed
+    * map (iterate, never index — Seq has no O(1) apply), no shuffle. */
+  def quantizeI8(encoded: DataFrame): DataFrame = {
+    val s = encoded.sparkSession
+    import s.implicits._
+    encoded.select(col("vec_id"), col("iv")).as[(Long, Seq[Long])]
+      .map { case (id, iv) =>
+        var mx = 1L
+        iv.foreach { v => val a = math.abs(v); if (a > mx) mx = a }
+        val q = new Array[Byte](iv.length)
+        var i = 0
+        iv.foreach { v =>
+          q(i) = math.round(v * 127.0 / mx).toByte
+          i += 1
+        }
+        var nq = 0L
+        q.foreach(x => nq += x.toLong * x)
+        (id, q, mx, nq)
+      }.toDF("vec_id", "qv", "qscale", "qnrm")
+  }
+
+  /** Approximate cosine top-k over the int8-quantized corpus: the byte-dot
+    * kernel scores candidates (whole-stage codegen, 1 byte/dim), bounded
+    * top-k per query. Same plan shape as bruteForceTopK at a quarter of the
+    * scan bytes — the scale path when even the int-vector scan is too big. */
+  def quantizedTopK(qCorpus: DataFrame, qQueries: DataFrame, k: Int): DataFrame =
+    topKPerQuery(
+      qCorpus.crossJoin(broadcast(qQueries))
+        .where(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("nbr_id"),
+          (graft.functions.ArrayExprs.dotI8(col("q_qv"), col("qv")).cast("double")
+            / sqrt(col("q_qnrm").cast("double") * col("qnrm").cast("double")))
+            .as("cos")), k)
+
   /** Sign-pattern bucket of a long-vector column against integer
     * hyperplanes (integer coefficients keep the signature exact and
     * oracle-portable). */

@@ -121,6 +121,40 @@ object SimilarityQueries {
     "sim_neardup" -> { (s, dir) =>
       SimilarityOps.nearDupPairs(vecs(s, dir), minCos = 0.35,
         blockCol = "label", gridWidth = 4)
+    },
+
+    // int8 scalar-quantized search, gated by the exact-companion pattern
+    // (like q_approx_distinct): the OUTPUT rows are the exact brute-force
+    // top-k the oracle replays; the quantized path (byte-packed vectors,
+    // native graft_dot_i8 kernel — a 4× scan-byte cut at 100 TB) re-ranks
+    // the same queries and the appended boolean asserts its min per-query
+    // recall@k stayed ≥ 0.6 — a drifting quantizer now FAILS the hash gate
+    // instead of going unmeasured. (Measured min recall@5 on the fixtures is
+    // 0.8 — near-tie flips, the one error class int8 rounding introduces —
+    // so 0.6 leaves one more flip of slack without accepting a broken
+    // quantizer, which scores ~0 recall.)
+    "sim_quantized" -> { (s, dir) =>
+      val v = vecs(s, dir)
+      // exact fans into three branches (hits, per-qid k, output rows):
+      // checkpoint the 50-row result instead of recomputing the corpus pass
+      val exact = SimilarityOps.bruteForceTopK(v,
+        SimilarityOps.asQueries(v.where(col("vec_id") < 10)), TopK)
+        .localCheckpoint()
+      val qz = SimilarityOps.quantizeI8(v).localCheckpoint()
+      val qzq = qz.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("qv").as("q_qv"),
+          col("qnrm").as("q_qnrm"))
+      val qtop = SimilarityOps.quantizedTopK(qz, qzq, TopK)
+        .select(col("qid"), col("nbr_id"))
+      val hits = exact.select(col("qid"), col("nbr_id"))
+        .join(qtop, Seq("qid", "nbr_id"))
+        .groupBy(col("qid")).agg(count(lit(1)).as("nhit"))
+      val ok = exact.groupBy(col("qid")).agg(count(lit(1)).as("nk"))
+        .join(hits, Seq("qid"), "left")
+        .agg(min(coalesce(col("nhit"), lit(0L)).cast("double")
+          / col("nk").cast("double")).as("min_recall"))
+        .select((col("min_recall") >= lit(0.6)).as("quant_ok"))
+      exact.crossJoin(broadcast(ok)).orderBy("qid", "rnk")
     })
 
   private val vecSql =
@@ -272,5 +306,20 @@ object SimilarityQueries {
          |  ${cosSql(dotSql("a.iv", "b.iv"), "a.nrm", "b.nrm")} AS cos
          |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
          |WHERE ${cosSql(dotSql("a.iv", "b.iv"), "a.nrm", "b.nrm")} >= 0.35
-         |ORDER BY vec_a, vec_b""".stripMargin)
+         |ORDER BY vec_a, vec_b""".stripMargin,
+
+    // exact top-k + literal TRUE: the Spark side's quantized-recall boolean
+    // must come back true or the hash gate fails.
+    "sim_quantized" ->
+      s"""WITH n AS ($normSql),
+         |s AS (
+         |  SELECT q.vec_id AS qid, e.vec_id AS nbr_id,
+         |    ${cosSql(dotSql("q.iv", "e.iv"), "q.nrm", "e.nrm")} AS cos
+         |  FROM n q JOIN n e ON q.vec_id < 10 AND e.vec_id <> q.vec_id),
+         |r AS (
+         |  SELECT qid, nbr_id, cos, CAST(row_number() OVER
+         |    (PARTITION BY qid ORDER BY cos DESC, nbr_id) AS BIGINT) AS rnk
+         |  FROM s)
+         |SELECT qid, nbr_id, rnk, cos, TRUE AS quant_ok FROM r WHERE rnk <= $TopK
+         |ORDER BY qid, rnk""".stripMargin)
 }

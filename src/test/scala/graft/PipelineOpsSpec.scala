@@ -1,6 +1,7 @@
 package graft
 
-import graft.operators.{EventOps, TextOps}
+import graft.functions.ArrayExprs
+import graft.operators.{EventOps, SimilarityOps, TextOps}
 import org.apache.spark.sql.functions._
 import org.scalacheck.{Gen, Prop, Test => SCTest}
 
@@ -102,6 +103,74 @@ class PipelineOpsSpec extends SparkTestBase {
     // the email's own digits are gone before the num rule runs: no double count
     assert(got(0) == ((1L, "reach me at <EMAIL> or <NUM> ext <NUM>", 1L, 2L)))
     assert(got(1) == ((2L, "no pii here at all", 0L, 0L)))
+  }
+
+  // ---- int8 quantization ----
+
+  test("graft_dot_i8 equals the JVM model (codegen path)") {
+    check("dot-i8", Prop.forAll(
+      Gen.listOfN(16, Gen.chooseNum(-127, 127)),
+      Gen.listOfN(16, Gen.chooseNum(-127, 127))) { (a, b) =>
+      val got = Seq((a.map(_.toByte).toArray, b.map(_.toByte).toArray))
+        .toDF("a", "b")
+        .select(ArrayExprs.dotI8(col("a"), col("b"))).as[Long].head()
+      got == a.zip(b).map { case (x, y) => x.toLong * y }.sum
+    })
+  }
+
+  test("quantizeI8 matches the round-scale model and bounds cosine error") {
+    val vecs = Seq(
+      (0L, 0, Array(0.5f, -1.0f, 0.25f, 0.125f)),
+      (1L, 0, Array(0.5f, -0.99f, 0.3f, 0.1f)),
+      (2L, 0, Array(-1.5f, 0.2f, 1.9f, -0.7f))).toDF("vec_id", "label", "embedding")
+    val enc = SimilarityOps.encode(vecs)
+    val qz = SimilarityOps.quantizeI8(enc)
+      .as[(Long, Array[Byte], Long, Long)].collect().sortBy(_._1).toSeq
+    // model: scale = max|micro|, q = round(micro*127/scale)
+    val iv0 = Array(500000L, -1000000L, 250000L, 125000L)
+    assert(qz.head._3 == 1000000L)
+    assert(qz.head._2.toSeq == iv0.map(v =>
+      math.round(v * 127.0 / 1000000L).toByte).toSeq)
+    // quantized cosine within 2% of exact for each pair (64-dim headroom is
+    // even better; 4-dim is the worst case for rounding error)
+    def cosQ(a: Array[Byte], b: Array[Byte]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toLong * y }.sum
+      val na = a.map(x => x.toLong * x).sum; val nb = b.map(x => x.toLong * x).sum
+      d / math.sqrt(na.toDouble * nb.toDouble)
+    }
+    def cosE(a: Array[Long], b: Array[Long]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = a.map(x => x * x).sum; val nb = b.map(x => x * x).sum
+      d / math.sqrt(na.toDouble * nb.toDouble)
+    }
+    val ivs = Map(
+      0L -> iv0,
+      1L -> Array(500000L, -990000L, 300000L, 100000L),
+      2L -> Array(-1500000L, 200000L, 1900000L, -700000L))
+    for (i <- Seq(0L, 1L, 2L); j <- Seq(0L, 1L, 2L) if i < j) {
+      val qa = qz(i.toInt)._2; val qb = qz(j.toInt)._2
+      val err = math.abs(cosQ(qa, qb) - cosE(ivs(i), ivs(j)))
+      assert(err < 0.02, s"pair ($i,$j) cos error $err")
+    }
+  }
+
+  test("quantized top-k recall vs exact on the sf0.001 fixture") {
+    val v = SimilarityOps.encode(
+      spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"))
+    val qs = SimilarityOps.asQueries(v.where(col("vec_id") < 10))
+    val exact = SimilarityOps.bruteForceTopK(v, qs, 5)
+      .select("qid", "nbr_id").as[(Long, Long)].collect().toSet
+    val qz = SimilarityOps.quantizeI8(v)
+    val qzq = qz.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("qv").as("q_qv"),
+        col("qnrm").as("q_qnrm"))
+    val quant = SimilarityOps.quantizedTopK(qz, qzq, 5)
+      .select("qid", "nbr_id").as[(Long, Long)].collect().toSet
+    val perQ = exact.groupBy(_._1).map { case (q, es) =>
+      es.count(quant.contains).toDouble / es.size
+    }
+    assert(perQ.min >= 0.6, s"min recall ${perQ.min}")
+    info(s"min per-query recall@5: ${perQ.min}")
   }
 
   // ---- bm25 ----
