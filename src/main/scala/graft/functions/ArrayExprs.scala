@@ -246,5 +246,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_dot_i8",
         "graft_dot_i8(a, b) - signed-int8 dot product of binary columns"),
       (cs: Seq[Expression]) => ByteArrayDot(cs(0), cs(1))))
+    // SQL surface for Spark's internal runtime-filter bloom expressions:
+    // lets a query express the manual semi-join prefilter pattern
+    // (`graft_might_contain((SELECT graft_bloom_agg(xxhash64(k)) FROM dim
+    // WHERE ...), xxhash64(fact_key))`) — the scalar subquery satisfies
+    // BloomFilterMightContain's foldable-or-subquery input contract, so the
+    // filter materializes once and broadcasts like Spark's own injected
+    // runtime filters.
+    ext.injectFunction((FunctionIdentifier("graft_bloom_agg"),
+      info("graft_bloom_agg",
+        "graft_bloom_agg(xxhash64(k)[, est_items]) - bloom filter of a key set"),
+      (cs: Seq[Expression]) => cs match {
+        case Seq(c) =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate
+            .BloomFilterAggregate(c)
+        case Seq(c, n) =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate
+            .BloomFilterAggregate(c, n)
+        case _ => throw new IllegalArgumentException(
+          "graft_bloom_agg takes 1 or 2 arguments")
+      }))
+    ext.injectFunction((FunctionIdentifier("graft_might_contain"),
+      info("graft_might_contain",
+        "graft_might_contain(bloom, xxhash64(k)) - bloom membership probe"),
+      (cs: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions
+          .BloomFilterMightContain(cs(0), cs(1))))
   }
 }

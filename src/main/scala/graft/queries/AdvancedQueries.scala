@@ -249,6 +249,36 @@ object AdvancedQueries {
         .orderBy("r_name")
     },
 
+    // Manual runtime-filter semi join: a bloom filter built over the URGENT
+    // order keys (scalar subquery — materialized once, broadcast like
+    // Spark's own injected runtime filters) prefilters the lineitem scan
+    // BEFORE the shuffle, then the exact semi join removes the bloom's false
+    // positives. At 100 TB this is the difference between shuffling the
+    // whole fact table into the join and shuffling ~the matching fraction:
+    // bloom has no false negatives, so the result is exactly the plain
+    // semi join the oracle runs. Uses the graft_bloom_agg /
+    // graft_might_contain SQL surface (GraftExtensions wraps Spark's
+    // internal BloomFilterAggregate/BloomFilterMightContain).
+    "q_bloom_semi" -> { (s, dir) =>
+      val suf = new java.io.File(dir).getName.replace('.', '_')
+      Tables(s, dir, "orders").createOrReplaceTempView(s"orders_bf_$suf")
+      Tables(s, dir, "lineitem").createOrReplaceTempView(s"lineitem_bf_$suf")
+      s.sql(
+        s"""WITH pre AS (
+           |  SELECT l_orderkey, l_extendedprice FROM lineitem_bf_$suf
+           |  WHERE graft_might_contain(
+           |    (SELECT graft_bloom_agg(xxhash64(o_orderkey)) FROM orders_bf_$suf
+           |     WHERE o_orderpriority = '1-URGENT'),
+           |    xxhash64(l_orderkey))),
+           |u AS (SELECT o_orderkey FROM orders_bf_$suf
+           |      WHERE o_orderpriority = '1-URGENT')
+           |SELECT l_orderkey, COUNT(*) AS n_items,
+           |  (CAST(SUM(CAST(round((l_extendedprice)*100) AS BIGINT)) AS DOUBLE)
+           |    / 100.0) AS rev
+           |FROM pre LEFT SEMI JOIN u ON l_orderkey = o_orderkey
+           |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin)
+    },
+
     // ORC connector round-trip: the columnar alternative to parquet (same
     // pushdown/pruning machinery — predicate and projection reach the ORC
     // scan exactly as they do the parquet one). lineitem goes out ORC
@@ -386,5 +416,15 @@ object AdvancedQueries {
       s"""SELECT l_linestatus, COUNT(*) AS n_items,
          |  ${MONEY("l_extendedprice")} AS rev
          |FROM lineitem WHERE l_quantity > 30
-         |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)
+         |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    // the bloom prefilter is invisible in the result (no false negatives;
+    // false positives die in the semi join) — the oracle is the plain form.
+    "q_bloom_semi" ->
+      s"""SELECT l_orderkey, COUNT(*) AS n_items,
+         |  ${MONEY("l_extendedprice")} AS rev
+         |FROM lineitem
+         |WHERE l_orderkey IN
+         |  (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+         |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin)
 }

@@ -258,19 +258,14 @@ object DedupQueries {
     // (token tf → 60 weighted bit-sums → sign bits) in raw JVM arithmetic —
     // identical integer math to the oracle SQL, ~60× fewer shuffled rows than
     // the explode(sequence(0,59)) formulation.
-    "dedup_simhash" -> { (s, dir) =>
-      simhashJoin(Tables(s, dir, "documents")
-        .select(col("doc_id"), col("text")))
-    },
+    "dedup_simhash" -> { (s, dir) => simhashPairs(s, dir) },
 
     // Near-dup CLUSTERS: the transitive closure of the simhash pair graph —
     // the production dedup step (pairs alone under-delete: a↔b and b↔c must
     // collapse to ONE kept doc). Min-label flooding in GraphOps; cluster_id
     // is the smallest member doc_id, so "keep" = (doc_id == cluster_id).
     "dedup_cluster" -> { (s, dir) =>
-      val pairs = simhashJoin(Tables(s, dir, "documents")
-          .select(col("doc_id"), col("text")))
-        .select(col("doc_a"), col("doc_b"))
+      val pairs = simhashPairs(s, dir).select(col("doc_a"), col("doc_b"))
       val cc = graft.operators.GraphOps.connectedComponents(pairs)
       val sizes = cc.groupBy(col("comp")).agg(count(lit(1)).as("n_members"))
       cc.join(sizes, "comp")
@@ -337,6 +332,33 @@ object DedupQueries {
         .distinct()
       verifyJaccard(cand, sh, t)
   }
+
+  /** SimHash pair graph, memoized per (session, dir) and checkpointed: the
+    * pair result is tiny (near-dup pairs, not the corpus) and feeds BOTH
+    * dedup_simhash and dedup_cluster — computing it once is the in-process
+    * form of the 100 TB story (materialize the pair graph once, run the
+    * pair report AND the transitive closure over it). LRU-bounded like the
+    * similarity encode cache so stopped sessions are not pinned. */
+  private val pairsCache =
+    new java.util.LinkedHashMap[(org.apache.spark.sql.SparkSession, String),
+        DataFrame](8, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(org.apache.spark.sql.SparkSession, String),
+            DataFrame]): Boolean = size() > 4
+    }
+  private def simhashPairs(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    pairsCache.synchronized {
+      val k = (s, dir)
+      val hit = pairsCache.get(k)
+      if (hit != null) hit
+      else {
+        val v = simhashJoin(Tables(s, dir, "documents")
+          .select(col("doc_id"), col("text"))).localCheckpoint()
+        pairsCache.put(k, v)
+        v
+      }
+    }
 
   /** SimHash hamming<=3 self-join over a (doc_id, text) relation. The 4x15-bit
     * band blocking is lossless by pigeonhole (<=3 differing bits cannot touch

@@ -75,7 +75,8 @@ class PlanQualitySpec extends SparkTestBase {
     // most k pairs per (qid, map task). Pin that no refactor brings the
     // window back (the probe-selection window in sim_ann_ivf partitions by
     // the query's own vec_id over ≤ NCells rows — bounded, and not over qid).
-    for (q <- Seq("sim_topk", "sim_ann_ivf", "sim_lsh", "sim_lsh_multi")) {
+    for (q <- Seq("sim_topk", "sim_ann_ivf", "sim_lsh", "sim_lsh_multi",
+        "sim_quantized")) {
       val p = planOf(SparkEntry.queries(q)(spark, sf))
       assert(!p.contains("windowspecdefinition(qid"),
         s"$q ranks through a per-qid window again:\n$p")
@@ -138,6 +139,16 @@ class PlanQualitySpec extends SparkTestBase {
     val p = planOf(SparkEntry.queries("text_inverted_index")(spark, sf))
     assert("""windowspecdefinition\(word#\d+, _salt""".r.findFirstIn(p).isDefined,
       s"salted local ranking phase missing:\n$p")
+  }
+
+  test("q_bloom_semi: the bloom probe prefilters the fact scan") {
+    // the manual runtime filter must survive planning as a real predicate on
+    // the lineitem side, BEFORE the semi join — losing it silently reverts
+    // to shuffling the whole fact table into the join
+    val p = planOf(SparkEntry.queries("q_bloom_semi")(spark, sf))
+    assert(p.contains("might_contain"),
+      s"bloom membership probe vanished from the plan:\n$p")
+    assert(p.contains("LeftSemi"), s"exact semi join missing:\n$p")
   }
 
   test("q_upsert: snapshot merge is a single full-outer key join") {
