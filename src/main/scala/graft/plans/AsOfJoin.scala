@@ -13,6 +13,11 @@ import org.apache.spark.sql.graftbridge.{ColumnBridge, DatasetBridge}
 /** Native as-of join: for every left row, the single right row with the same
   * key and the greatest timestamp ≤ the left timestamp (ties broken by the
   * greatest `rightTie`), or nulls if none — LEFT OUTER as-of semantics.
+  * With `forward = true` the direction flips: the SMALLEST right timestamp
+  * ≥ the left timestamp (ties → smallest `rightTie`) — "the next reading at
+  * or after this event". The forward merge is strictly simpler than the
+  * backward one: the eligible row is the right cursor's head after advancing
+  * past everything earlier, so it is peeked, never buffered.
   *
   * This is the charter's custom-operator ladder rung (c): Spark has no as-of
   * operator, and while the union+window composition (AdvancedQueries
@@ -31,11 +36,12 @@ object AsOfJoin {
     * rightTie: unique tiebreaker for equal timestamps (determinism). */
   def apply(left: DataFrame, right: DataFrame,
       leftOn: Column, rightOn: Column,
-      leftTs: Column, rightTs: Column, rightTie: Column): DataFrame = {
+      leftTs: Column, rightTs: Column, rightTie: Column,
+      forward: Boolean = false): DataFrame = {
     val plan = AsOfJoinPlan(
       ColumnBridge.expr(leftOn), ColumnBridge.expr(rightOn),
       ColumnBridge.expr(leftTs), ColumnBridge.expr(rightTs),
-      ColumnBridge.expr(rightTie),
+      ColumnBridge.expr(rightTie), forward,
       planOf(left), planOf(right))
     DatasetBridge.ofRows(left.sparkSession, plan)
   }
@@ -47,6 +53,7 @@ object AsOfJoin {
 case class AsOfJoinPlan(
     leftKey: Expression, rightKey: Expression,
     leftTs: Expression, rightTs: Expression, rightTie: Expression,
+    forward: Boolean,
     left: LogicalPlan, right: LogicalPlan) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -86,8 +93,9 @@ object PushFilterThroughAsOf
   * `ext.injectPlannerStrategy(_ => AsOfJoinStrategy)`. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(lk, rk, lts, rts, rtie, l, r) =>
-      AsOfJoinExec(lk, rk, lts, rts, rtie, planLater(l), planLater(r)) :: Nil
+    case AsOfJoinPlan(lk, rk, lts, rts, rtie, fwd, l, r) =>
+      AsOfJoinExec(lk, rk, lts, rts, rtie, fwd,
+        planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -95,6 +103,7 @@ object AsOfJoinStrategy extends SparkStrategy {
 case class AsOfJoinExec(
     leftKey: Expression, rightKey: Expression,
     leftTs: Expression, rightTs: Expression, rightTie: Expression,
+    forward: Boolean,
     left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
 
   // the merge reads right-side slots with the LEFT side's data types — a
@@ -143,6 +152,7 @@ case class AsOfJoinExec(
     // exactly like SortMergeJoinExec)
     val lKeyExpr = leftKey; val lTsExpr = leftTs
     val rKeyExpr = rightKey; val rTsExpr = rightTs
+    val fwd = forward
     val lOut = left.output; val rOut = right.output
     val keyType = leftKey.dataType
     val tsTypeL = leftTs.dataType
@@ -169,6 +179,30 @@ case class AsOfJoinExec(
           if (lKey == null || lTs == null) {
             // no right row satisfies ts <= NULL; null keys never match
             resultProj(joined(l, nullRight))
+          } else if (fwd) {
+            // FORWARD: consume everything strictly before the boundary —
+            // (key < lKey), null-ts rows, or (key == lKey && ts < lTs); the
+            // boundary is monotone across left rows (keys then ts ascend),
+            // so consumed rows can never be a later left row's match. The
+            // match, if any, is then the un-consumed head: smallest
+            // (ts, tie) ≥ lTs within the key, by the right sort order.
+            var advancing = true
+            while (advancing && rBuf.hasNext) {
+              val rk = rKeyProj(rBuf.head)
+              val rKey = rk.get(0, keyType)
+              val cmp = if (rKey == null) -1 else keyOrd.compare(rKey, lKey)
+              if (cmp < 0) { rBuf.next() }
+              else if (cmp == 0 && rk.isNullAt(1)) { rBuf.next() }
+              else if (cmp == 0 &&
+                  tsOrd.compare(rk.get(1, tsTypeL), lTs) < 0) { rBuf.next() }
+              else advancing = false
+            }
+            val ok = rBuf.hasNext && {
+              val rk = rKeyProj(rBuf.head)
+              val rKey = rk.get(0, keyType)
+              rKey != null && keyOrd.compare(rKey, lKey) == 0
+            }
+            resultProj(joined(l, if (ok) rBuf.head else nullRight))
           } else {
             // advance the right side past everything (key < lKey) and absorb
             // rows of lKey with ts <= lTs as the running best match

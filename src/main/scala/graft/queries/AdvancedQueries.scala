@@ -119,6 +119,29 @@ object AdvancedQueries {
         .orderBy("event_id")
     },
 
+    // FORWARD as-of through the same custom operator: for each purchase, the
+    // FIRST click at or after it (smallest ts ≥, tie → smallest click id) —
+    // "next reading after the event". Same one-shuffle-per-side streaming
+    // merge; the forward direction peeks the right cursor's head instead of
+    // buffering a running match. Unmatched purchases keep outer-null rows.
+    "q_asof_forward" -> { (s, dir) =>
+      val e = Tables(s, dir, "events")
+        .withColumn("ts_us", expr("ts div 1000"))
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      val clicks = e.where(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts_us").as("click_ts_us"),
+          col("event_id").as("click_id"))
+      graft.plans.AsOfJoin(purchases, clicks,
+          purchases("user_id"), clicks("c_user"),
+          purchases("ts_us"), clicks("click_ts_us"), clicks("click_id"),
+          forward = true)
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("click_id").as("next_click_id"),
+          (col("click_ts_us") - col("ts_us")).as("gap_us"))
+        .orderBy("event_id")
+    },
+
     // Range join: per event, how many same-user events fall in the next five
     // minutes. The successor side is exploded into its own and the previous
     // 5-minute bucket, so the join is pure equi-key on (user, bucket); the
@@ -360,6 +383,32 @@ object AdvancedQueries {
     "q_asof_join" -> asofOracle,
 
     "q_asof_native" -> asofOracle,
+
+    // forward mirror of asofOracle: purchases sort BEFORE clicks at equal ts
+    // (tag 0 < 1) so a same-ts click is inside the CURRENT ROW..FOLLOWING
+    // frame — the operator's inclusive ts >= bound; first_value picks the
+    // smallest (ts, click id), the forward tie rule.
+    "q_asof_forward" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+         |    event_type FROM events),
+         |u AS (
+         |  SELECT user_id, ts_us, 1 AS tag, event_id AS cid,
+         |    CAST(NULL AS BIGINT) AS pid FROM e WHERE event_type = 'click'
+         |  UNION ALL
+         |  SELECT user_id, ts_us, 0, CAST(NULL AS BIGINT), event_id
+         |  FROM e WHERE event_type = 'purchase'),
+         |w AS (
+         |  SELECT *,
+         |    first_value(cid IGNORE NULLS) OVER win AS next_click_id,
+         |    first_value(CASE WHEN tag = 1 THEN ts_us END IGNORE NULLS)
+         |      OVER win AS click_ts_us
+         |  FROM u
+         |  WINDOW win AS (PARTITION BY user_id ORDER BY ts_us, tag, cid
+         |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         |SELECT pid AS event_id, user_id, ts_us, next_click_id,
+         |  click_ts_us - ts_us AS gap_us
+         |FROM w WHERE tag = 0 ORDER BY event_id""".stripMargin,
 
     "q_range_join" ->
       s"""WITH e AS (

@@ -26,21 +26,39 @@ class AsOfPropertySpec extends SparkTestBase {
       (lid, lk, m.map(_._1))
     }.toSet
 
+  /** forward model: min ts ≥ left ts, ties broken by MIN id. */
+  private def modelFwd(left: Seq[(Long, Long, Long)], right: Seq[(Long, Long, Long)])
+      : Set[(Long, Long, Option[Long])] =
+    left.map { case (lid, lk, lts) =>
+      val m = right.filter(r => r._2 == lk && r._3 >= lts)
+        .sortBy(r => (r._3, r._1)).headOption
+      (lid, lk, m.map(_._1))
+    }.toSet
+
+  private def run(ls: List[(Long, Long)], rs: List[(Long, Long)],
+      fwd: Boolean): Boolean = {
+    val left = ls.zipWithIndex.map { case ((k, ts), i) => (i.toLong, k, ts) }
+    val right = rs.zipWithIndex.map { case ((k, ts), i) => (i.toLong, k, ts) }
+    val lDf = left.toDF("lid", "lk", "lts")
+    val rDf = right.toDF("rid", "rk", "rts")
+    val got = AsOfJoin(lDf, rDf, lDf("lk"), rDf("rk"),
+        lDf("lts"), rDf("rts"), rDf("rid"), forward = fwd)
+      .select(col("lid"), col("lk"), col("rid"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      .toSet
+    got == (if (fwd) modelFwd(left, right) else model(left, right))
+  }
+
   test("native as-of == model for arbitrary keyed event sets") {
-    val prop = Prop.forAll(sideGen, sideGen) { (ls, rs) =>
-      val left = ls.zipWithIndex.map { case ((k, ts), i) => (i.toLong, k, ts) }
-      val right = rs.zipWithIndex.map { case ((k, ts), i) => (i.toLong, k, ts) }
-      val lDf = left.toDF("lid", "lk", "lts")
-      val rDf = right.toDF("rid", "rk", "rts")
-      val got = AsOfJoin(lDf, rDf, lDf("lk"), rDf("rk"),
-          lDf("lts"), rDf("rts"), rDf("rid"))
-        .select(col("lid"), col("lk"), col("rid"))
-        .collect()
-        .map(r => (r.getLong(0), r.getLong(1),
-          if (r.isNullAt(2)) None else Some(r.getLong(2))))
-        .toSet
-      got == model(left, right)
-    }
+    val prop = Prop.forAll(sideGen, sideGen) { (ls, rs) => run(ls, rs, fwd = false) }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, res.toString)
+  }
+
+  test("native FORWARD as-of == model (min ts >= left ts, min-id ties)") {
+    val prop = Prop.forAll(sideGen, sideGen) { (ls, rs) => run(ls, rs, fwd = true) }
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
     assert(res.passed, res.toString)
   }
