@@ -26,6 +26,30 @@ object EventOps {
         col("n"), col("val_sum"))
   }
 
+  /** SCD2 (slowly-changing-dimension type 2) intervals from a change
+    * stream: per key, each run of equal attribute values becomes one
+    * versioned row (attr, valid_from, valid_to), open-ended (`valid_to`
+    * NULL + is_current) for the latest version — the standard temporal-
+    * dimension build step (the reference store's MapPut keeps only
+    * last-writer state, reference hashmap.c:39-46; SCD2 is the
+    * keep-the-history generalization).
+    *
+    * Scale shape: ONE shuffle on the key; the change filter (lag) and the
+    * interval close (lead over the filtered set) share that partitioning,
+    * so Catalyst plans a single exchange with two window passes. Ordering
+    * ties break on `idCol` — deterministic under any arrival order. */
+  def scd2(changes: DataFrame, keyCol: String, attrCol: String,
+      tsCol: String, idCol: String): DataFrame = {
+    val byKey = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
+    changes
+      .withColumn("_prev", lag(col(attrCol), 1).over(byKey))
+      .where(col("_prev").isNull || col("_prev") =!= col(attrCol))
+      .withColumn("valid_from_us", col(tsCol))
+      .withColumn("valid_to_us", lead(col(tsCol), 1).over(byKey))
+      .select(col(keyCol), col(attrCol), col("valid_from_us"),
+        col("valid_to_us"), col("valid_to_us").isNull.as("is_current"))
+  }
+
   /** Windowed conversion funnel: how many users progressed through `stages`
     * in order, each hop within `windowUs` of the previous stage's timestamp.
     * Stage 1's time is the user's EARLIEST stage-1 event; each later stage

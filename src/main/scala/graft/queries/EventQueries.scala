@@ -134,6 +134,18 @@ object EventQueries {
           events(s, dir).select(col("user_id"), col("event_type"), col("ts_us")),
           Seq("view", "click", "purchase"), windowUs = 86400000000L)
         .orderBy("lvl")
+    },
+
+    // SCD2 temporal dimension (EventOps.scd2): each user's props.k change
+    // stream becomes versioned validity intervals — one exchange, lag-filter
+    // + lead-close sharing it. The latest version stays open (is_current).
+    "q_scd2" -> { (s, dir) =>
+      val ch = events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+      graft.operators.EventOps
+        .scd2(ch, "user_id", "k", "ts_us", "event_id")
+        .orderBy("user_id", "valid_from_us")
     })
 
   def oracles: Map[String, String] = Map(
@@ -249,5 +261,25 @@ object EventQueries {
          |    (SELECT COUNT(*) FROM s1) AS n_users
          |  UNION ALL SELECT 'click', 2, (SELECT COUNT(*) FROM s2)
          |  UNION ALL SELECT 'purchase', 3, (SELECT COUNT(*) FROM s3))
-         |ORDER BY lvl""".stripMargin)
+         |ORDER BY lvl""".stripMargin,
+
+    "q_scd2" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+         |    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
+         |  FROM events),
+         |ch AS (
+         |  SELECT * FROM (
+         |    SELECT user_id, event_id, ts_us, k,
+         |      lag(k) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS pk
+         |    FROM e)
+         |  WHERE pk IS NULL OR pk <> k),
+         |iv AS (
+         |  SELECT user_id, k, ts_us AS valid_from_us,
+         |    lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+         |      AS valid_to_us
+         |  FROM ch)
+         |SELECT user_id, k, valid_from_us, valid_to_us,
+         |  (valid_to_us IS NULL) AS is_current
+         |FROM iv ORDER BY user_id, valid_from_us""".stripMargin)
 }

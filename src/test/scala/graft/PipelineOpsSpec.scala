@@ -89,6 +89,48 @@ class PipelineOpsSpec extends SparkTestBase {
     })
   }
 
+  // ---- scd2 ----
+
+  test("scd2 builds closed-open version intervals with run collapsing") {
+    val ch = Seq(
+      (1L, 10L, 100L, "a"), (1L, 11L, 200L, "a"), // equal run collapses
+      (1L, 12L, 300L, "b"), (1L, 13L, 400L, "a"), // value may recur
+      (2L, 20L, 50L, "x")).toDF("user_id", "event_id", "ts_us", "v")
+    val got = EventOps.scd2(ch, "user_id", "v", "ts_us", "event_id")
+      .as[(Long, String, Long, Option[Long], Boolean)].collect()
+      .sortBy(r => (r._1, r._3)).toSeq
+    assert(got == Seq(
+      (1L, "a", 100L, Some(300L), false),
+      (1L, "b", 300L, Some(400L), false),
+      (1L, "a", 400L, None, true),
+      (2L, "x", 50L, None, true)))
+  }
+
+  test("scd2 intervals tile each key's timeline: no gaps, no overlaps") {
+    check("scd2-tiling", Prop.forAll(
+      Gen.chooseNum(1, 25).flatMap(n => Gen.listOfN(n, for {
+        u <- Gen.chooseNum(1L, 3L)
+        ts <- Gen.chooseNum(0L, 40L)
+        v <- Gen.oneOf("a", "b", "c")
+      } yield (u, ts, v)))) { rows =>
+      // unique (user, ts) so the change stream is well-defined without ties
+      val uniq = rows.groupBy(r => (r._1, r._2)).map(_._2.head).toSeq
+        .zipWithIndex.map { case ((u, ts, v), i) => (u, i.toLong, ts, v) }
+      val got = EventOps.scd2(uniq.toDF("user_id", "event_id", "ts_us", "v"),
+          "user_id", "v", "ts_us", "event_id")
+        .as[(Long, String, Long, Option[Long], Boolean)].collect()
+      got.groupBy(_._1).forall { case (u, ivs) =>
+        val s = ivs.sortBy(_._3)
+        val times = uniq.filter(_._1 == u).map(_._3).sorted
+        s.head._3 == times.head && // first version opens at the first event
+          s.last._4.isEmpty && s.last._5 && // exactly one open version
+          s.init.forall(!_._5) &&
+          s.zip(s.tail).forall { case (a, b) => a._4.contains(b._3) } && // tiling
+          s.zip(s.tail).forall { case (a, b) => a._2 != b._2 } // runs collapsed
+      }
+    })
+  }
+
   // ---- redact ----
 
   test("redact scrubs in rule order and counts per-rule hits") {
