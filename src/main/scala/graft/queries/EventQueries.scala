@@ -146,6 +146,31 @@ object EventQueries {
       graft.operators.EventOps
         .scd2(ch, "user_id", "k", "ts_us", "event_id")
         .orderBy("user_id", "valid_from_us")
+    },
+
+    // Point-in-time lookup: each purchase joined to the SCD2 version active
+    // AT ITS TIMESTAMP — the composition the temporal dimension exists for,
+    // and exactly the native as-of operator's backward semantics (greatest
+    // valid_from ≤ ts per key; version opens tile the timeline, so the
+    // greatest open ≤ ts IS the active interval — no BETWEEN range join,
+    // one streaming merge). rightTie = valid_from itself (unique per user:
+    // the change stream has no (user, ts) collisions).
+    "q_pit_join" -> { (s, dir) =>
+      val e = events(s, dir)
+      val ch = e.select(col("user_id"), col("event_id"), col("ts_us"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      val dim = graft.operators.EventOps
+        .scd2(ch, "user_id", "k", "ts_us", "event_id")
+        .select(col("user_id").as("d_user"), col("k"),
+          col("valid_from_us"))
+      val p = e.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      graft.plans.AsOfJoin(p, dim,
+          p("user_id"), dim("d_user"),
+          p("ts_us"), dim("valid_from_us"), dim("valid_from_us"))
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("k").as("k_at_purchase"))
+        .orderBy("event_id")
     })
 
   def oracles: Map[String, String] = Map(
@@ -281,5 +306,26 @@ object EventQueries {
          |  FROM ch)
          |SELECT user_id, k, valid_from_us, valid_to_us,
          |  (valid_to_us IS NULL) AS is_current
-         |FROM iv ORDER BY user_id, valid_from_us""".stripMargin)
+         |FROM iv ORDER BY user_id, valid_from_us""".stripMargin,
+
+    "q_pit_join" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, event_type,
+         |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+         |    CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
+         |  FROM events),
+         |ch AS (
+         |  SELECT * FROM (
+         |    SELECT user_id, event_id, ts_us, k,
+         |      lag(k) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS pk
+         |    FROM e)
+         |  WHERE pk IS NULL OR pk <> k),
+         |p AS (SELECT event_id, user_id, ts_us FROM e
+         |      WHERE event_type = 'purchase')
+         |SELECT event_id, user_id, ts_us, k AS k_at_purchase FROM (
+         |  SELECT p.event_id, p.user_id, p.ts_us, ch.k,
+         |    row_number() OVER (PARTITION BY p.event_id
+         |      ORDER BY ch.ts_us DESC) AS rn
+         |  FROM p JOIN ch ON p.user_id = ch.user_id AND ch.ts_us <= p.ts_us)
+         |WHERE rn = 1 ORDER BY event_id""".stripMargin)
 }
