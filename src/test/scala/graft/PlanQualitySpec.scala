@@ -151,6 +151,37 @@ class PlanQualitySpec extends SparkTestBase {
     assert(p.contains("LeftSemi"), s"exact semi join missing:\n$p")
   }
 
+  test("q_scd2: lag filter and lead close share ONE exchange") {
+    // the operator's scale claim: both window passes cluster on the key
+    // with the same (ts, id) ordering, so Catalyst plans a single shuffle
+    // count in the final-plan section only: the AQE plan string repeats
+    // every node under "== Initial Plan ==", doubling naive counts
+    val p = planOf(SparkEntry.queries("q_scd2")(spark, sf))
+      .split("== Initial Plan ==")(0)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"scd2 should shuffle once, saw $exchanges:\n$p")
+  }
+
+  test("q_funnel: per-user state machine runs off ONE event shuffle") {
+    // the k-stage SQL cascade re-shuffles the event table k times; the
+    // mapGroups form must shuffle the events exactly once (the final
+    // stage/level report re-aggregates a 150-row table — that exchange is
+    // over per-user levels, not events)
+    val p = planOf(SparkEntry.queries("q_funnel")(spark, sf))
+      .split("== Initial Plan ==")(0)
+    val appends = "MapGroups".r.findAllIn(p).length
+    assert(appends == 1, s"funnel should have one MapGroups pass:\n$p")
+    assert(!p.contains("SortMergeJoin Inner"), // level join is broadcast-NLJ
+      s"funnel's level report degraded to a shuffled join:\n$p")
+  }
+
+  test("text_bm25: corpus stats broadcast; scoring aggregates fold map-side") {
+    val p = planOf(SparkEntry.queries("text_bm25")(spark, sf))
+    assert(p.contains("partial_"), s"bm25 stats lost map-side combine:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"bm25 single-row stats should broadcast:\n$p")
+  }
+
   test("q_upsert: snapshot merge is a single full-outer key join") {
     val p = planOf(SparkEntry.queries("q_upsert")(spark, sf))
     assert(p.contains("FullOuter"), s"upsert lost its full-outer merge:\n$p")
