@@ -96,6 +96,57 @@ object StreamingOps {
       }
   }
 
+  case class FunnelEv(user_id: Long, event_type: String, ts_us: Long,
+      ts_t: Timestamp)
+  case class FunnelState(evs: List[(String, Long)])
+  case class FunnelOut(user_id: Long, lvl: Long)
+
+  /** Streaming conversion funnel — the incremental twin of
+    * [[graft.operators.EventOps.funnel]]. Update-mode: after each batch the
+    * user's CURRENT level is emitted; with in-order arrival the level is
+    * monotone non-decreasing, so the latest (= max) emission equals the
+    * batch result (asserted in StreamingSpec).
+    *
+    * State is the user's buffered STAGE events only (irrelevant event types
+    * are filtered before the shuffle), and the greedy-earliest machine
+    * reruns over the buffer each batch: funnel binds are not incrementally
+    * updatable — a late stage-1 event earlier than the current bind rewrites
+    * every downstream window, so the buffer is the honest minimal state.
+    * Production contract: funnels are cohort-windowed (a campaign horizon),
+    * so the buffer is horizon-bounded per user; an unbounded funnel with
+    * unbounded lateness would need unbounded state in ANY engine. */
+  def funnelStream(events: Dataset[FunnelEv], stages: Seq[String],
+      windowUs: Long): Dataset[FunnelOut] = {
+    import events.sparkSession.implicits._
+    val stageSet = stages.toSet
+    val stagesArr = stages.toArray
+    events
+      .filter(e => stageSet.contains(e.event_type))
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[FunnelEv], state: GroupState[FunnelState]) =>
+          val prev = state.getOption.map(_.evs).getOrElse(Nil)
+          val evs = (prev ++ it.map(e => (e.event_type, e.ts_us)))
+            .sortBy(_._2)
+          state.update(FunnelState(evs))
+          var lvl = 0
+          var tPrev = Long.MinValue
+          var bound = Long.MaxValue
+          var advanced = true
+          while (advanced && lvl < stagesArr.length) {
+            val st = stagesArr(lvl)
+            val found = evs.collectFirst {
+              case (t, ts) if t == st && ts > tPrev && ts <= bound => ts }
+            found match {
+              case Some(ts) => lvl += 1; tPrev = ts; bound = ts + windowUs
+              case None => advanced = false
+            }
+          }
+          Iterator(FunnelOut(uid, lvl.toLong))
+      }
+  }
+
   /** Streaming wordcount: the flagship query incremental. Complete-mode
     * aggregate state is one row per distinct word (vocabulary-bounded, not
     * stream-bounded), updated with the same partial→final hash aggregation

@@ -123,6 +123,45 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming funnel levels across batches match batch EventOps.funnel") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft-funnel").toString
+    val ev = Tables(spark, sf, "events")
+    val stages = Seq("view", "click", "purchase")
+    val W = 86400000000L
+    // ordered mid-timeline split: a user's chain can span the boundary, so
+    // batch-2 recomputation must extend batch-1 buffered state
+    val median = ev
+      .selectExpr("CAST(percentile_cont(0.5) WITHIN GROUP (ORDER BY ts) AS BIGINT)")
+      .head().getLong(0)
+    val stream = spark.readStream.schema(ev.schema).parquet(s"$dir/*.parquet")
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("ts_t", timestamp_micros(col("ts_us")))
+      .select(col("user_id"), col("event_type"), col("ts_us"), col("ts_t"))
+      .as[StreamingOps.FunnelEv]
+    val q = StreamingOps.funnelStream(stream, stages, W)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("funnel_out").start()
+    try {
+      ev.where(col("ts") <= median).write.parquet(s"$dir/b1.parquet")
+      q.processAllAvailable()
+      ev.where(col("ts") > median).write.parquet(s"$dir/b2.parquet")
+      q.processAllAvailable()
+      // in-order arrival ⇒ per-user level is monotone: latest == max
+      val lvls = spark.table("funnel_out")
+        .groupBy("user_id").agg(max("lvl").as("lvl"))
+        .as[(Long, Long)].collect()
+      val gotCounts = stages.indices
+        .map(i => stages(i) -> lvls.count(_._2 >= i + 1).toLong).toMap
+      val want = graft.operators.EventOps.funnel(
+          ev.withColumn("ts_us", expr("ts div 1000"))
+            .select(col("user_id"), col("event_type"), col("ts_us")),
+          stages, W)
+        .select("stage", "n_users").as[(String, Long)].collect().toMap
+      assert(gotCounts == want, s"stream $gotCounts vs batch $want")
+    } finally q.stop()
+  }
+
   test("stateful sessionization across batches matches batch q_sessionize") {
     import java.nio.file.Files
     val dir = Files.createTempDirectory("graft-sess").toString
