@@ -118,6 +118,26 @@ object TextOps {
       when(pmod(md5Long(col(keyCol).cast("string")), lit(nBuckets))
         < trainBuckets, "train").otherwise("holdout"))
 
+  /** Token-length histogram per language: fixed-width integer buckets
+    * (`bucket_lo = n_tokens − n_tokens mod width`) — corpus telemetry every
+    * training-data pipeline tracks (length filtering thresholds, truncation
+    * budgets). Bucketing is pure integer arithmetic (portable to any engine,
+    * no float log2 edge cases) and the aggregate is partial→final over
+    * (lang, bucket) — a domain of a few hundred cells, so the shuffle is
+    * metadata-sized at 100 TB. The per-doc token count runs in the same
+    * single typed map the other text stats use (no interpreted HOFs). */
+  def tokenHist(docs: DataFrame, width: Long = 10): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select(col("lang"), col("text")).as[(String, String)]
+      .map { case (lang, text) => (lang, tokensJvm(text).length.toLong) }
+      .toDF("lang", "n_tokens")
+      .groupBy(col("lang"),
+        (col("n_tokens") - pmod(col("n_tokens"), lit(width))).as("bucket_lo"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"))
+  }
+
   /** Adjacent-token bigrams, one row per occurrence, in a single typed
     * flatMap (the hot per-token loop stays raw JVM per the repo rule — a
     * nested `transform`+`slice` HOF chain would be interpreted). Feed the

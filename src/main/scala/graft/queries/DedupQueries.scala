@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{Q, Tables}
 import graft.functions.Portable._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deduplication family for the LLM-data-pipeline layer: exact, n-gram
@@ -235,9 +235,80 @@ object DedupQueries {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .select(col("keep_id"), col("n_copies"), col("norm_md5"))
 
+  /** Chunk-level (paragraph/line) dedup — the RefinedWeb/C4-style pass that
+    * finds boilerplate REPEATED ACROSS documents rather than whole-document
+    * copies. Text splits into fixed `chunkTokens`-token chunks (this corpus
+    * has no line structure, so chunking stands in for line splits; a real
+    * corpus would pass pre-split lines), each keyed by the portable 60-bit
+    * md5 hash so the self-aggregation shuffles 16 bytes per chunk, never
+    * chunk text. A chunk is duplicated when it occurs in ≥ 2 distinct docs;
+    * output is per-doc chunk counts for docs carrying ≥ 1 duplicated chunk.
+    * Both shuffles (per-chash distinct-doc count, per-doc rollup) are
+    * partial→final hash aggregates; the compact (doc_id, chash) stream is
+    * localCheckpoint'ed once because it feeds both the dup-set build and the
+    * rollup join (fan-out rule). Hash groups equal string groups up to
+    * 60-bit md5 collisions — the oracle hashes identically, so both sides
+    * agree even then. */
+  def chunkDedup(docs: DataFrame, chunkTokens: Int = 20): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val chunks = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        tokensJvm(text).grouped(chunkTokens)
+          .map(c => (id, md5Long60(c.mkString(" "))))
+      }.toDF("doc_id", "chash")
+      .localCheckpoint()
+    val dup = chunks.groupBy(col("chash"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .where(col("nd") >= 2)
+      .select(col("chash"), lit(1L).as("is_dup"))
+    chunks.join(dup, Seq("chash"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(coalesce(col("is_dup"), lit(0L))).as("n_dup_chunks"))
+      .where(col("n_dup_chunks") > 0)
+  }
+
+  /** Benchmark decontamination check: flags corpus docs sharing ≥ `minShared`
+    * distinct word `n`-grams with any document in the benchmark partition
+    * (`benchPred`) — the standard eval-leakage scan run before training. Both
+    * sides reduce to distinct (doc_id, 60-bit gram hash) pairs, so the
+    * shuffle is 16 bytes per gram occurrence; the benchmark gram set is
+    * benchmark-sized (MBs against a 100 TB corpus), so its distinct set
+    * BROADCASTS and the probe is a map-side semi join — the corpus never
+    * reshuffles on gram. The oracle hashes grams identically, so hash
+    * collisions (if any) cannot split the two engines. */
+  def contaminationCheck(docs: DataFrame, benchPred: Column, n: Int = 5,
+      minShared: Long = 3): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    def grams(d: DataFrame): DataFrame =
+      d.select(col("doc_id"), col("text")).as[(Long, String)]
+        .flatMap { case (id, text) =>
+          tokensJvm(text).sliding(n).filter(_.length == n)
+            .map(g => (id, md5Long60(g.mkString(" "))))
+        }.toDF("doc_id", "gram").distinct()
+    val bench = grams(docs.where(benchPred)).select(col("gram")).distinct()
+    grams(docs.where(!benchPred))
+      .join(broadcast(bench), Seq("gram"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   def queries: Map[String, Q] = Map(
     "dedup_exact" -> { (s, dir) =>
       exactDedup(Tables(s, dir, "documents")).orderBy("keep_id")
+    },
+
+    // Cross-document repeated-chunk (paragraph) dedup; see chunkDedup.
+    "dedup_chunk" -> { (s, dir) =>
+      chunkDedup(Tables(s, dir, "documents")).orderBy("doc_id")
+    },
+
+    // Eval-set contamination scan: every 97th doc plays the benchmark.
+    "dedup_contaminate" -> { (s, dir) =>
+      contaminationCheck(Tables(s, dir, "documents"),
+        pmod(col("doc_id"), lit(97L)) === 0).orderBy("doc_id")
     },
 
     // Word-bigram Jaccard near-dup pairs: PPJoin candidate generation
@@ -446,6 +517,42 @@ object DedupQueries {
          |  FROM documents)
          |SELECT min(doc_id) AS keep_id, COUNT(*) AS n_copies, md5(norm) AS norm_md5
          |FROM n GROUP BY norm ORDER BY keep_id""".stripMargin,
+
+    // chunks = successive 20-token slices (incl. the partial tail), hashed
+    // with the same 60-bit md5 form the engine shuffles.
+    "dedup_chunk" ->
+      s"""WITH d AS (SELECT doc_id, ${TOKENS("text")} AS t FROM documents),
+         |c AS (
+         |  SELECT doc_id,
+         |    ${MD5LONG("array_to_string(list_slice(t, i*20+1, i*20+20), ' ')")} AS chash
+         |  FROM d, LATERAL (SELECT unnest(range(CAST(ceil(len(t)/20.0) AS BIGINT))) AS i)),
+         |dup AS (SELECT chash FROM c GROUP BY chash
+         |        HAVING COUNT(DISTINCT doc_id) >= 2)
+         |SELECT doc_id, COUNT(*) AS n_chunks,
+         |  CAST(SUM(CASE WHEN chash IN (SELECT chash FROM dup)
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks
+         |FROM c GROUP BY doc_id HAVING n_dup_chunks > 0
+         |ORDER BY doc_id""".stripMargin,
+
+    // 5-grams via lead() windows per doc; grams hashed with the identical
+    // 60-bit md5 so both engines agree even under (negligible) collisions.
+    "dedup_contaminate" ->
+      s"""WITH d AS (SELECT doc_id, ${TOKENS("text")} AS t FROM documents),
+         |pos AS (SELECT doc_id, unnest(t) AS tokn,
+         |        generate_subscripts(t, 1) AS i FROM d),
+         |g AS (
+         |  SELECT doc_id,
+         |    tokn || ' ' || lead(tokn,1) OVER w || ' ' || lead(tokn,2) OVER w
+         |      || ' ' || lead(tokn,3) OVER w || ' ' || lead(tokn,4) OVER w AS gram,
+         |    lead(tokn,4) OVER w AS l4
+         |  FROM pos WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+         |gg AS (SELECT DISTINCT doc_id, ${MD5LONG("gram")} AS gh
+         |       FROM g WHERE l4 IS NOT NULL),
+         |bench AS (SELECT DISTINCT gh FROM gg WHERE doc_id % 97 = 0)
+         |SELECT doc_id, COUNT(*) AS n_shared
+         |FROM gg WHERE doc_id % 97 <> 0 AND gh IN (SELECT gh FROM bench)
+         |GROUP BY doc_id HAVING COUNT(*) >= 3
+         |ORDER BY doc_id""".stripMargin,
 
     "dedup_ngram" -> jaccardSql(gramSql(2), "0.5"),
 

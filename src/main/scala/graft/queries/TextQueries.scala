@@ -94,6 +94,13 @@ object TextQueries {
       TextOps.fingerprint(Tables(s, dir, "documents")).orderBy("doc_id")
     },
 
+    // Token-length histogram (TextOps.tokenHist): decade buckets per lang —
+    // the corpus-telemetry aggregate behind length-filter thresholds.
+    "text_token_hist" -> { (s, dir) =>
+      TextOps.tokenHist(Tables(s, dir, "documents"))
+        .orderBy("lang", "bucket_lo")
+    },
+
     // Heavy hitters: single-pass frequent-items sketch (Spark's builtin
     // Karp/Misra-Gries-family freqItems — bounded counters per partition,
     // mergeable, no full groupBy needed at 100 TB) gated by the
@@ -305,6 +312,16 @@ object TextQueries {
          |    (a, b) -> (a*31 + b) % 2147483647) AS BIGINT) AS fp31,
          |  ${NORMMD5("text")} AS fp_md5
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_token_hist" ->
+      s"""WITH d AS (
+         |  SELECT lang, CAST(len(${TOKENS("text")}) AS BIGINT) AS n_tokens
+         |  FROM documents)
+         |SELECT lang, n_tokens - (n_tokens % 10) AS bucket_lo,
+         |  COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+         |FROM d GROUP BY lang, bucket_lo
+         |ORDER BY lang, bucket_lo""".stripMargin,
 
     "q_bigram_topk" ->
       s"""WITH pos AS (

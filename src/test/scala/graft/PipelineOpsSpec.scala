@@ -89,6 +89,58 @@ class PipelineOpsSpec extends SparkTestBase {
     })
   }
 
+  // ---- chunk dedup / contamination / token hist ----
+
+  private val corpusGen: Gen[List[(Long, String)]] =
+    Gen.chooseNum(1, 12).flatMap(n => Gen.listOfN(n,
+      Gen.chooseNum(2, 50).flatMap(m => Gen.listOfN(m,
+        Gen.oneOf("aa", "bb", "cc", "dd")).map(_.mkString(" ")))))
+      .map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+
+  test("chunkDedup equals the in-memory repeated-chunk model") {
+    check("chunk-model", Prop.forAll(corpusGen) { docs =>
+      val got = graft.queries.DedupQueries
+        .chunkDedup(docs.toDF("doc_id", "text"), chunkTokens = 3)
+        .as[(Long, Long, Long)].collect()
+        .map { case (id, n, d) => id -> ((n, d)) }.toMap
+      val chunks = docs.flatMap { case (id, t) =>
+        graft.functions.Portable.tokensJvm(t).grouped(3)
+          .map(c => (id, c.mkString(" "))) }
+      val dupSet = chunks.groupBy(_._2)
+        .filter(_._2.map(_._1).distinct.size >= 2).keySet
+      val want = chunks.groupBy(_._1).view.mapValues { cs =>
+        (cs.size.toLong, cs.count(c => dupSet(c._2)).toLong)
+      }.filter(_._2._2 > 0).toMap
+      got == want
+    })
+  }
+
+  test("contaminationCheck equals the shared-distinct-gram model") {
+    check("contam-model", Prop.forAll(corpusGen) { docs =>
+      val bench = (id: Long) => id % 3 == 0
+      val got = graft.queries.DedupQueries
+        .contaminationCheck(docs.toDF("doc_id", "text"),
+          pmod(col("doc_id"), lit(3L)) === 0, n = 2, minShared = 2)
+        .as[(Long, Long)].collect().toMap
+      def grams(t: String) = graft.functions.Portable.tokensJvm(t)
+        .sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSet
+      val benchGrams = docs.filter(d => bench(d._1)).flatMap(d => grams(d._2)).toSet
+      val want = docs.filterNot(d => bench(d._1))
+        .map { case (id, t) => id -> grams(t).count(benchGrams).toLong }
+        .filter(_._2 >= 2).toMap
+      got == want
+    })
+  }
+
+  test("tokenHist buckets by decade and sums token counts") {
+    val docs = Seq(("en", "a b c"), ("en", "a b c d e f g h i j k l"),
+      ("de", "x y"), ("en", "p q r s")).toDF("lang", "text")
+    val got = TextOps.tokenHist(docs)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got == Set(("en", 0L, 2L, 7L), ("en", 10L, 1L, 12L),
+      ("de", 0L, 1L, 2L)))
+  }
+
   // ---- scd2 ----
 
   test("scd2 builds closed-open version intervals with run collapsing") {
