@@ -302,6 +302,21 @@ object AdvancedQueries {
            |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin)
     },
 
+    // Triangle census of the co-purchase graph (parts sharing an order),
+    // via GraphOps.triangleCount — the degree-ordered wedge algorithm whose
+    // work is O(m^1.5) regardless of hub skew. The per-order self-join is
+    // bounded by order size (≤7 items in TPC-H shape), so edge generation
+    // never explodes either.
+    "q_triangles" -> { (s, dir) =>
+      val pr = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val edges = pr.as("a").join(pr.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("u"), col("b.pk").as("v")).distinct()
+      graft.operators.GraphOps.triangleCount(edges)
+    },
+
     // ORC connector round-trip: the columnar alternative to parquet (same
     // pushdown/pruning machinery — predicate and projection reach the ORC
     // scan exactly as they do the parquet one). lineitem goes out ORC
@@ -460,6 +475,23 @@ object AdvancedQueries {
       """SELECT r_name, COUNT(*) AS n_nations, max(n_name) AS max_nation
         |FROM nation JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    // brute-force closure: one triangle per (u<v<w) triple via the two-hop
+    // join — tractable at oracle scale, exactly the engine's count.
+    "q_triangles" ->
+      s"""WITH pr AS (
+         |  SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem GROUP BY 1, 2),
+         |e AS (
+         |  SELECT a.pk AS u, b.pk AS v FROM pr a
+         |  JOIN pr b ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2),
+         |nd AS (SELECT COUNT(DISTINCT x) AS n_nodes FROM
+         |  (SELECT u AS x FROM e UNION ALL SELECT v FROM e)),
+         |ne AS (SELECT COUNT(*) AS n_edges FROM e),
+         |tr AS (
+         |  SELECT COUNT(*) AS n_triangles
+         |  FROM e e1 JOIN e e2 ON e1.v = e2.u
+         |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+         |SELECT n_nodes, n_edges, n_triangles FROM nd, ne, tr""".stripMargin,
 
     "q_orc_source" ->
       s"""SELECT l_linestatus, COUNT(*) AS n_items,

@@ -55,4 +55,45 @@ class GraphOpsSpec extends SparkTestBase {
     val star2 = (101L to 105L).map(i => (100L, i))
     check(star1 ++ star2 ++ star1.map(_.swap) ++ Seq((0L, 5L), (0L, 5L)))
   }
+
+  // ---- triangle counting ----
+
+  private def triModel(edges: Set[(Long, Long)]): (Long, Long, Long) = {
+    val adj = edges.flatMap(e => Seq(e, e.swap))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val nodes = adj.keys.toSeq.sorted
+    // iterator counting, NOT a Set comprehension (which would dedupe the
+    // yielded units and undercount)
+    val tris = nodes.iterator.map { u =>
+      val nu = adj(u)
+      nu.iterator.filter(_ > u).map { v =>
+        adj(v).iterator.count(w => w > v && nu(w)).toLong
+      }.sum
+    }.sum
+    (nodes.size.toLong, edges.size.toLong, tris)
+  }
+
+  test("triangleCount matches brute force on random graphs incl. hubs") {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    (1 to 4).foreach { round =>
+      val n = 25
+      // round 4 wires a hub (the "last reducer" shape the orientation fixes)
+      val base = Seq.fill(60)((rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+      val hub = if (round == 4) (1L until n).map(i => (0L, i)) else Seq.empty
+      val edges = (base ++ hub).collect {
+        case (a, b) if a != b => (math.min(a, b), math.max(a, b)) }.toSet
+      val got = GraphOps.triangleCount(
+        edges.toSeq.toDF("u", "v")).as[(Long, Long, Long)].head()
+      assert(got == triModel(edges), s"round=$round")
+    }
+  }
+
+  test("triangleCount on a triangle-free bipartite graph is zero") {
+    import spark.implicits._
+    val edges = for (a <- 0L to 4L; b <- 10L to 14L) yield (a, b)
+    val got = GraphOps.triangleCount(edges.toDF("u", "v"))
+      .as[(Long, Long, Long)].head()
+    assert(got == ((10L, 25L, 0L)))
+  }
 }
