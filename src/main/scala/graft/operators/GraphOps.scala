@@ -80,8 +80,8 @@ object GraphOps {
     labels
   }
 
-  /** Global triangle count by the degree-ordered node-iterator (the
-    * MapReduce-classic of Suri & Vassilvitskii, "Counting Triangles and the
+  /** Global triangle count by degree-ordered adjacency intersection (the
+    * compact form of Suri & Vassilvitskii, "Counting Triangles and the
     * Curse of the Last Reducer", WWW'11).
     *
     * `edges` = distinct undirected (u, v) with u < v (first two columns).
@@ -89,13 +89,22 @@ object GraphOps {
     *
     * Scale design: the naive wedge join explodes on hubs (Σ deg² with a
     * celebrity vertex = the "last reducer" problem). Orienting every edge
-    * from its lower-(degree, id) endpoint caps out-degree at O(√m), so
-    * wedges = Σ outdeg² ≤ O(m^{3/2}) REGARDLESS of skew — a hub's million
-    * neighbors each claim the wedge work instead. Each triangle survives
-    * exactly once (unique minimum-order apex). The closing-edge probe is a
-    * semi join against the id-canonical edge list on (both) join keys, so
-    * every step is a plain shuffle join of two-long rows; the oriented edge
-    * list is localCheckpoint'ed once because it fans into both wedge sides. */
+    * from its lower-(degree, id) endpoint caps out-degree at O(√m), so total
+    * intersection work is Σ outdeg² ≤ O(m^{3/2}) REGARDLESS of skew — a
+    * hub's million neighbors each claim the wedge work instead. In the
+    * resulting DAG each triangle has exactly one source vertex with edges to
+    * the other two, so summing |N⁺(s) ∩ N⁺(t)| over oriented edges (s, t)
+    * counts it exactly once (via its source→middle edge).
+    *
+    * The intersections run over SORTED per-node out-neighbor arrays with the
+    * native merge-walk kernel (ArrayExprs.intersectSizeLong, codegen'd) —
+    * unlike the explicit wedge join, the Σ outdeg² candidate wedges are
+    * never materialized or shuffled; the only shuffled rows are the m
+    * oriented edges and the n adjacency arrays (total payload m longs).
+    * Adjacency arrays are capped at O(√m) entries by the orientation, so no
+    * row ever exceeds ~8·√m bytes even on a celebrity graph. The oriented
+    * edge list is localCheckpoint'ed once because it feeds the adjacency
+    * build and the edge probe. */
   def triangleCount(edges: DataFrame): DataFrame = {
     val cols = edges.columns
     val e0 = edges.select(col(cols(0)).cast("long").as("u"),
@@ -111,16 +120,16 @@ object GraphOps {
         .otherwise(struct(col("v").as("s"), col("u").as("t"))).as("st"))
       .select(col("st.s").as("s"), col("st.t").as("t"))
       .localCheckpoint()
-    // wedges (s; a, b): both spokes leave the minimum-order apex; a < b by id
-    // makes the closing probe key canonical (the id-ordered input edge form).
-    val wedges = oriented.as("e1")
-      .join(oriented.as("e2"), col("e1.s") === col("e2.s")
-        && col("e1.t") < col("e2.t"))
-      .select(col("e1.t").as("a"), col("e2.t").as("b"))
-    val tri = wedges
-      .join(e0.select(col("u").as("a"), col("v").as("b")), Seq("a", "b"),
-        "left_semi")
-      .agg(count(lit(1)).as("n_triangles"))
+    val adj = oriented.groupBy(col("s"))
+      .agg(sort_array(collect_list(col("t"))).as("nbrs"))
+    // inner joins are exact: s always has an out-list (it sources this very
+    // edge), and a t with no out-list contributes an empty intersection.
+    val tri = oriented
+      .join(adj.select(col("s"), col("nbrs").as("ns")), Seq("s"))
+      .join(adj.select(col("s").as("t"), col("nbrs").as("nt")), Seq("t"))
+      .agg(coalesce(sum(
+        graft.functions.ArrayExprs.intersectSizeLong(col("ns"), col("nt"))),
+        lit(0L)).as("n_triangles"))
     val sizes = und.agg(
       (countDistinct(col("u"))).as("n_nodes"),
       (count(lit(1)) / 2).cast("long").as("n_edges"))
