@@ -11,6 +11,11 @@ object Bench {
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // stale localCheckpoint blocks from completed queries are only freed
+      // when their RDD objects get GC'd (ContextCleaner is weak-ref driven);
+      // with a 100+-query run in one large-heap JVM, full GCs are rare and
+      // dead blocks otherwise squeeze execution memory for later queries.
+      .config("spark.cleaner.periodicGC.interval", "2min")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -21,6 +26,7 @@ object Bench {
     // EliminateSorts drop each query's final global orderBy under the
     // aggregate, timing less work than the Verify path pays.
     val failed = scala.collection.mutable.ListBuffer.empty[String]
+    var sinceGc = 0
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -31,7 +37,13 @@ object Bench {
           failed += name
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // between-query (untimed) GC nudge: lets the ContextCleaner reclaim
+      // checkpoint blocks queries left behind, so a long run measures each
+      // query against a clean block manager, not its predecessors' garbage
+      sinceGc += 1
+      if (sinceGc >= 8) { sinceGc = 0; System.gc() }
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

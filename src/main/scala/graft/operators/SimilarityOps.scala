@@ -163,6 +163,28 @@ object SimilarityOps {
         .select(col("qid"), col("vec_id").as("nbr_id"), col("cos")), k)
   }
 
+  /** Per-cluster statistics of a k-means assignment: every corpus vector to
+    * its nearest centroid (argmin as a min(struct) hash aggregate — the
+    * shuffle carries 20 bytes per vector: id, distance, cid), then cell
+    * sizes and EXACT integer inertia (Σ L2² in the micro-scaled int domain,
+    * summed as decimal(38,0) so a 100 TB corpus of 64·(2²¹)² per-vector
+    * distances cannot overflow). Centroids broadcast; the corpus is read
+    * once; empty cells are absent (consistent with any replaying engine).
+    * This is the clustering COUNTERPART of ivfTopK's assignment step,
+    * surfaced as its own operator: cluster-balance telemetry is how an IVF
+    * index is tuned (a fat cell = a slow probe) and how corpus topic mix is
+    * monitored in training-data pipelines. */
+  def kmeansStats(corpus: DataFrame, centroids: DataFrame): DataFrame =
+    corpus.crossJoin(broadcast(centroids))
+      .withColumn("dist",
+        graft.functions.ArrayExprs.l2sq(col("iv"), col("civ")))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("dist"), col("cid"))).as("m"))
+      .select(col("m.cid").as("cid"), col("m.dist").as("dist"))
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("dist").cast("decimal(38,0)")).as("inertia"))
+
   /** Symmetric int8 scalar quantization of the encoded corpus: per vector,
     * scale = max|component|, q_i = round(iv_i·127/scale) ∈ [−127, 127],
     * packed as a BinaryType byte array — 4× smaller than the int-array form

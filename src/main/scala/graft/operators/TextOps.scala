@@ -85,6 +85,52 @@ object TextOps {
         "n_stop", "n_alpha", "avg_tok_len", "stop_ratio", "quality_score")
   }
 
+  /** Gopher/MassiveText-style repetition stats — the quality filter that
+    * catches degenerate generation loops and boilerplate (Rae et al.,
+    * "Scaling Language Models: ... Gopher", 2021, Table A1): the fraction of
+    * the document claimed by its single most frequent bigram, and the
+    * distinct ratio of its 5-gram stream. Everything per-doc happens in ONE
+    * typed map over raw JVM collections (a groupBy over exploded n-grams
+    * would shuffle the whole corpus re-keyed by gram text; per-doc stats
+    * never need to leave the row). Integer counts first, doubles derived by
+    * formulas written identically in the oracle SQL. Thresholds follow the
+    * Gopher appendix (top-2-gram fraction > 0.20, duplicate-5-gram fraction
+    * > 0.15 → flagged). */
+  def repetition(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val t = tokensJvm(text)
+        val n = t.length.toLong
+        val bc = scala.collection.mutable.HashMap.empty[String, Long]
+        var i = 0
+        while (i < t.length - 1) {
+          val bg = t(i) + " " + t(i + 1)
+          bc.update(bg, bc.getOrElse(bg, 0L) + 1L)
+          i += 1
+        }
+        val top2 = if (bc.isEmpty) 0L else bc.valuesIterator.max
+        val g5 = scala.collection.mutable.HashSet.empty[String]
+        var n5 = 0L
+        i = 0
+        while (i + 4 < t.length) {
+          g5.add(t(i) + " " + t(i + 1) + " " + t(i + 2) + " " + t(i + 3)
+            + " " + t(i + 4))
+          n5 += 1
+          i += 1
+        }
+        val top2Frac =
+          if (n == 0) 0.0 else (2L * top2).toDouble / n.toDouble
+        val dup5Frac =
+          if (n5 == 0) 0.0 else (n5 - g5.size).toDouble / n5.toDouble
+        (id, n, top2, top2Frac, n5, g5.size.toLong, dup5Frac,
+          top2Frac > 0.2 || dup5Frac > 0.15)
+      }
+      .toDF("doc_id", "n_tokens", "top2_cnt", "top2_frac", "n_5grams",
+        "n_uniq_5grams", "dup5_frac", "is_repetitive")
+  }
+
   /** Whitespace-token, BPE-ish regex-token, and distinct-vocab counts —
     * pure column functions (codegen'd, pruned to the two needed columns). */
   def tokenCounts(docs: DataFrame): DataFrame =

@@ -123,6 +123,17 @@ object SimilarityQueries {
         blockCol = "label", gridWidth = 4)
     },
 
+    // k-means clustering surfaced directly (SimilarityOps.kmeansStats): the
+    // pinned-schedule centroids, full-corpus assignment, per-cell size +
+    // exact integer inertia — the cluster-balance telemetry an IVF index
+    // and a topic-mix monitor both read.
+    "sim_kmeans" -> { (s, dir) =>
+      import s.implicits._
+      val v = vecs(s, dir)
+      SimilarityOps.kmeansStats(v, trainCentroids(v).toDF("cid", "civ"))
+        .orderBy("cid")
+    },
+
     // int8 scalar-quantized search, gated by the exact-companion pattern
     // (like q_approx_distinct): the OUTPUT rows are the exact brute-force
     // top-k the oracle replays; the quantized path (byte-packed vectors,
@@ -298,6 +309,23 @@ object SimilarityQueries {
          |SELECT qid, nbr_id, rnk, cos FROM r WHERE rnk <= $TopK
          |ORDER BY qid, rnk""".stripMargin
     },
+
+    // same kmeansSql CTE chain; the assignment argmin (l2 asc, cid asc)
+    // mirrors the min(struct) aggregate; inertia summed as DECIMAL(38,0)
+    // to match the Spark side's overflow-safe decimal sum.
+    "sim_kmeans" ->
+      s"""WITH n AS ($normSql),
+         |$kmeansSql,
+         |asg AS (
+         |  SELECT vec_id, l2, cid FROM (
+         |    SELECT n.vec_id, c.cid, ${l2Sql("n.iv", "c.civ")} AS l2,
+         |      row_number() OVER (PARTITION BY n.vec_id
+         |        ORDER BY ${l2Sql("n.iv", "c.civ")}, c.cid) AS arn
+         |    FROM n, cf c)
+         |  WHERE arn = 1)
+         |SELECT cid, COUNT(*) AS n_members,
+         |  CAST(SUM(l2) AS DECIMAL(38,0)) AS inertia
+         |FROM asg GROUP BY cid ORDER BY cid""".stripMargin,
 
     "sim_neardup" ->
       s"""WITH n AS ($normSql)

@@ -94,6 +94,13 @@ object TextQueries {
       TextOps.fingerprint(Tables(s, dir, "documents")).orderBy("doc_id")
     },
 
+    // Gopher-style repetition filter (TextOps.repetition): top-bigram
+    // fraction + duplicate-5-gram fraction per doc, flagged at the published
+    // thresholds — all per-doc, one typed map, nothing shuffled by gram.
+    "text_repetition" -> { (s, dir) =>
+      TextOps.repetition(Tables(s, dir, "documents")).orderBy("doc_id")
+    },
+
     // Token-length histogram (TextOps.tokenHist): decade buckets per lang —
     // the corpus-telemetry aggregate behind length-filter thresholds.
     "text_token_hist" -> { (s, dir) =>
@@ -312,6 +319,48 @@ object TextQueries {
          |    (a, b) -> (a*31 + b) % 2147483647) AS BIGINT) AS fp31,
          |  ${NORMMD5("text")} AS fp_md5
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // lead() windows per doc replay the bigram/5-gram streams; fractions are
+    // the identical CAST-to-DOUBLE formulas the typed map computes.
+    "text_repetition" ->
+      s"""WITH pos AS (
+         |  SELECT doc_id, unnest(t) AS tokn, generate_subscripts(t, 1) AS i
+         |  FROM ($tokFrom)),
+         |n AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens
+         |      FROM ($tokFrom)),
+         |bg AS (
+         |  SELECT doc_id, tokn || ' ' || lead(tokn) OVER w AS bigram,
+         |    lead(tokn) OVER w AS nxt
+         |  FROM pos WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+         |bc AS (SELECT doc_id, bigram, COUNT(*) AS c FROM bg
+         |       WHERE nxt IS NOT NULL GROUP BY doc_id, bigram),
+         |t2 AS (SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top2_cnt
+         |       FROM bc GROUP BY doc_id),
+         |g5 AS (
+         |  SELECT doc_id,
+         |    tokn || ' ' || lead(tokn,1) OVER w || ' ' || lead(tokn,2) OVER w
+         |      || ' ' || lead(tokn,3) OVER w || ' ' || lead(tokn,4) OVER w AS gram,
+         |    lead(tokn,4) OVER w AS l4
+         |  FROM pos WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+         |f5 AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n5,
+         |         CAST(COUNT(DISTINCT gram) AS BIGINT) AS nu5
+         |       FROM g5 WHERE l4 IS NOT NULL GROUP BY doc_id)
+         |SELECT doc_id, n_tokens, top2_cnt, top2_frac, n_5grams,
+         |  n_uniq_5grams, dup5_frac,
+         |  (top2_frac > 0.2 OR dup5_frac > 0.15) AS is_repetitive
+         |FROM (
+         |  SELECT n.doc_id, n.n_tokens,
+         |    CAST(COALESCE(t2.top2_cnt, 0) AS BIGINT) AS top2_cnt,
+         |    CASE WHEN n.n_tokens = 0 THEN 0.0
+         |      ELSE CAST(2*COALESCE(t2.top2_cnt, 0) AS DOUBLE)
+         |        / CAST(n.n_tokens AS DOUBLE) END AS top2_frac,
+         |    CAST(COALESCE(f5.n5, 0) AS BIGINT) AS n_5grams,
+         |    CAST(COALESCE(f5.nu5, 0) AS BIGINT) AS n_uniq_5grams,
+         |    CASE WHEN COALESCE(f5.n5, 0) = 0 THEN 0.0
+         |      ELSE CAST(f5.n5 - f5.nu5 AS DOUBLE)
+         |        / CAST(f5.n5 AS DOUBLE) END AS dup5_frac
+         |  FROM n LEFT JOIN t2 USING (doc_id) LEFT JOIN f5 USING (doc_id))
+         |ORDER BY doc_id""".stripMargin,
 
     "text_token_hist" ->
       s"""WITH d AS (

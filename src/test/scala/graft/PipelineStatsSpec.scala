@@ -1,0 +1,87 @@
+package graft
+
+import graft.operators.{SimilarityOps, TextOps}
+import org.apache.spark.sql.functions._
+
+/** Property tests for the round-5 pipeline-telemetry operators:
+  * TextOps.repetition vs a brute-force per-doc model (including degenerate
+  * loop-generation shapes), and SimilarityOps.kmeansStats vs a driver-side
+  * assignment model on the real fixture vectors. */
+class PipelineStatsSpec extends SparkTestBase {
+
+  // ---- repetition ----
+
+  private def repModel(text: String): (Long, Long, Long, Long) = {
+    val t = graft.functions.Portable.tokensJvm(text)
+    val bigrams = t.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+    val top2 =
+      if (bigrams.isEmpty) 0L
+      else bigrams.groupBy(identity).values.map(_.size).max.toLong
+    val g5 = t.sliding(5).filter(_.length == 5).map(_.mkString(" ")).toSeq
+    (t.length.toLong, top2, g5.length.toLong, g5.distinct.length.toLong)
+  }
+
+  test("repetition counts match brute force on random and degenerate docs") {
+    import spark.implicits._
+    val rng = new scala.util.Random(3)
+    val vocab = Vector("a", "bb", "ccc", "dd", "e", "repeat", "loop")
+    val docs: Seq[(Long, String)] =
+      (1L to 30L).map { id =>
+        id -> Seq.fill(rng.nextInt(40))(vocab(rng.nextInt(vocab.size)))
+          .mkString(" ")
+      } ++ Seq(
+        100L -> "",                       // empty
+        101L -> "single",                 // no bigrams, no 5-grams
+        102L -> Array.fill(50)("spam spam").mkString(" "),   // pure loop
+        103L -> "a b c d e f g h i j")    // all distinct
+    val got = TextOps.repetition(docs.toDF("doc_id", "text"))
+      .select("doc_id", "n_tokens", "top2_cnt", "n_5grams", "n_uniq_5grams")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    docs.foreach { case (id, text) =>
+      assert(got(id) == repModel(text), s"doc $id: '$text'")
+    }
+  }
+
+  test("repetition flags the loop doc and not the distinct doc") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, Array.fill(50)("spam").mkString(" ")),
+      (2L, (1 to 50).map("w" + _).mkString(" ")))
+    val flags = TextOps.repetition(docs.toDF("doc_id", "text"))
+      .select("doc_id", "is_repetitive").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(flags(1L) && !flags(2L))
+  }
+
+  // ---- kmeansStats ----
+
+  test("kmeansStats matches a driver-side assignment model on fixtures") {
+    import spark.implicits._
+    val v = SimilarityOps.encode(Tables(spark, sf, "embeddings"))
+      .localCheckpoint()
+    val cents = SimilarityOps.trainCentroids(v, 4, 64, 2)
+    val got = SimilarityOps.kmeansStats(v, cents.toDF("cid", "civ"))
+      .collect()
+      .map(r => r.getInt(0) ->
+        (r.getLong(1), r.getDecimal(2).toBigInteger.longValueExact()))
+      .toMap
+
+    val vecs = v.select(col("vec_id"), col("iv")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+    val model = scala.collection.mutable.HashMap.empty[Int, (Long, Long)]
+    vecs.foreach { case (_, iv) =>
+      var best = -1; var bd = Long.MaxValue
+      cents.foreach { case (cid, civ) =>
+        var d = 0L; var i = 0
+        while (i < iv.length) { val t = iv(i) - civ(i); d += t * t; i += 1 }
+        if (d < bd) { bd = d; best = cid } // strict <: ties keep smaller cid
+      }
+      val (n, s) = model.getOrElse(best, (0L, 0L))
+      model.update(best, (n + 1, s + bd))
+    }
+    assert(got == model.toMap)
+    assert(got.values.map(_._1).sum == vecs.length.toLong)
+  }
+}
