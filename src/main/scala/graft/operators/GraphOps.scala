@@ -80,6 +80,49 @@ object GraphOps {
     labels
   }
 
+  /** PageRank over an undirected edge list in EXACT scaled-integer
+    * arithmetic: rank₀ = `scale` per node; each round every node splits
+    * floor(rank/deg) along its edges and re-collects
+    * base + floor(85·Σ/100) with base = floor(15·scale/100) — the classic
+    * damping 0.85 with every division a floor in the integer domain, so the
+    * result is bit-identical on ANY engine (float PageRank would diverge
+    * across summation orders and hash-mismatch a replaying oracle).
+    *
+    * Scale design: per round one equi-join of the (u, v, deg) edge table
+    * with the rank table and one partial→final sum — rows are three longs;
+    * no adjacency lists, no driver state. The degree-annotated edge table is
+    * the loop invariant and is localCheckpoint'ed once; each round's rank
+    * table is checkpointed to cut lineage (iteration rule). Fixed `iters`
+    * (pinned, replayable) rather than convergence detection: rank telemetry
+    * pipelines run a budgeted number of sweeps.
+    *
+    * Overflow: Σ floor(rank/deg) over a node's in-neighbors ≤ deg·scale ≤
+    * 2m·scale; ×85 stays < 2⁶³ for any m·scale < 10¹⁷ — at web scale
+    * (m = 10¹²) use scale = 10⁴, same semantics. */
+  def pageRank(edges: DataFrame, iters: Int = 5,
+      scale: Long = 1000000L): DataFrame = {
+    val cols = edges.columns
+    val e0 = edges.select(col(cols(0)).cast("long").as("u"),
+      col(cols(1)).cast("long").as("v"))
+    val e = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+    val deg = e.groupBy(col("u")).agg(count(lit(1)).as("d"))
+    val ed = e.join(deg, "u").localCheckpoint()
+    val base = 15L * scale / 100L
+    var r = deg.select(col("u").as("node"), lit(scale).as("rnk"))
+    var it = 0
+    while (it < iters) {
+      r = ed.join(r, ed("u") === r("node"))
+        .select(ed("v").as("v"), expr("rnk DIV d").as("c"))
+        .groupBy(col("v"))
+        .agg(sum(col("c")).as("s"))
+        .select(col("v").as("node"),
+          (lit(base) + expr("(85 * s) DIV 100")).as("rnk"))
+        .localCheckpoint()
+      it += 1
+    }
+    r
+  }
+
   /** Global triangle count by degree-ordered adjacency intersection (the
     * compact form of Suri & Vassilvitskii, "Counting Triangles and the
     * Curse of the Last Reducer", WWW'11).

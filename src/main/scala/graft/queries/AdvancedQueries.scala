@@ -317,6 +317,22 @@ object AdvancedQueries {
       graft.operators.GraphOps.triangleCount(edges)
     },
 
+    // PageRank (GraphOps.pageRank) on the same co-purchase graph: 5 sweeps
+    // of exact scaled-integer damping — bit-replayable by any engine — with
+    // the top-100 parts by rank as the output. Complements q_triangles'
+    // census with the other classic iterative graph kernel.
+    "q_pagerank" -> { (s, dir) =>
+      val pr = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val edges = pr.as("a").join(pr.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("u"), col("b.pk").as("v")).distinct()
+      graft.operators.GraphOps.pageRank(edges, iters = 5)
+        .orderBy(col("rnk").desc, col("node"))
+        .limit(100)
+    },
+
     // ORC connector round-trip: the columnar alternative to parquet (same
     // pushdown/pruning machinery — predicate and projection reach the ORC
     // scan exactly as they do the parquet one). lineitem goes out ORC
@@ -492,6 +508,32 @@ object AdvancedQueries {
          |  FROM e e1 JOIN e e2 ON e1.v = e2.u
          |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
          |SELECT n_nodes, n_edges, n_triangles FROM nd, ne, tr""".stripMargin,
+
+    // the 5 sweeps unroll as chained CTEs (like the k-means oracle): every
+    // division is integer (// in DuckDB, DIV in Spark — identical floors on
+    // the positive domain), so rank values replay bit-exactly.
+    "q_pagerank" -> {
+      val base = 15L * 1000000L / 100L
+      val iter = (k: Int) => {
+        val prev = s"r${k - 1}"
+        s"""r$k AS (
+           |  SELECT ed.v AS node,
+           |    CAST($base + (85 * SUM(r.rnk // ed.d)) // 100 AS BIGINT) AS rnk
+           |  FROM ed JOIN $prev r ON ed.u = r.node GROUP BY ed.v)""".stripMargin
+      }
+      s"""WITH pr AS (
+         |  SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem GROUP BY 1, 2),
+         |ep AS (
+         |  SELECT a.pk AS u, b.pk AS v FROM pr a
+         |  JOIN pr b ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2),
+         |e AS (SELECT u, v FROM ep UNION ALL SELECT v, u FROM ep),
+         |deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY u),
+         |ed AS (SELECT e.u, e.v, deg.d FROM e JOIN deg ON e.u = deg.u),
+         |r0 AS (SELECT u AS node, CAST(1000000 AS BIGINT) AS rnk FROM deg),
+         |${(1 to 5).map(iter).mkString(",\n")}
+         |SELECT node, rnk FROM r5
+         |ORDER BY rnk DESC, node LIMIT 100""".stripMargin
+    },
 
     "q_orc_source" ->
       s"""SELECT l_linestatus, COUNT(*) AS n_items,

@@ -56,6 +56,50 @@ class GraphOpsSpec extends SparkTestBase {
     check(star1 ++ star2 ++ star1.map(_.swap) ++ Seq((0L, 5L), (0L, 5L)))
   }
 
+  // ---- pagerank ----
+
+  private def prModel(edges: Seq[(Long, Long)], iters: Int,
+      scale: Long): Map[Long, Long] = {
+    val und = edges.flatMap(e => Seq(e, e.swap))
+    val deg = und.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val base = 15L * scale / 100L
+    var r = deg.keys.map(_ -> scale).toMap
+    (1 to iters).foreach { _ =>
+      val in = und.groupBy(_._2).view.mapValues(
+        _.map { case (u, _) => r(u) / deg(u) }.sum).toMap
+      r = deg.keys.map(n => n -> (base + 85L * in(n) / 100L)).toMap
+    }
+    r
+  }
+
+  test("pageRank matches the integer model incl. hubs and multi-component") {
+    import spark.implicits._
+    val rng = new scala.util.Random(5)
+    (1 to 3).foreach { round =>
+      val n = 20
+      val base = Seq.fill(35)((rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+        .collect { case (a, b) if a != b => (math.min(a, b), math.max(a, b)) }
+        .distinct
+      // round 3 adds a hub plus a disconnected pair (separate component)
+      val extra = if (round == 3)
+        (1L until n).map(i => (0L, i)).toSeq ++ Seq((100L, 101L))
+      else Seq.empty
+      val edges = (base ++ extra).distinct
+      val got = GraphOps.pageRank(edges.toDF("u", "v"), iters = 4)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == prModel(edges, 4, 1000000L), s"round=$round")
+    }
+  }
+
+  test("pageRank mass conservation bound: ranks stay positive, hub ranks highest") {
+    import spark.implicits._
+    val edges = (1L to 9L).map(i => (0L, i)) ++ Seq((1L, 2L))
+    val got = GraphOps.pageRank(edges.toDF("u", "v"), iters = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.values.forall(_ > 0))
+    assert(got(0L) == got.values.max)
+  }
+
   // ---- triangle counting ----
 
   private def triModel(edges: Set[(Long, Long)]): (Long, Long, Long) = {
