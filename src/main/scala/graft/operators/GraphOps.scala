@@ -91,10 +91,16 @@ object GraphOps {
     * Scale design: per round one equi-join of the (u, v, deg) edge table
     * with the rank table and one partial→final sum — rows are three longs;
     * no adjacency lists, no driver state. The degree-annotated edge table is
-    * the loop invariant and is localCheckpoint'ed once; each round's rank
-    * table is checkpointed to cut lineage (iteration rule). Fixed `iters`
-    * (pinned, replayable) rather than convergence detection: rank telemetry
-    * pipelines run a budgeted number of sweeps.
+    * the loop invariant: it is hash-partitioned by `u` ONCE and
+    * localCheckpoint'ed (checkpoint preserves the physical partitioning), so
+    * every sweep's join re-shuffles only the node-sized rank table into the
+    * edges — the edge table never moves again. The rank side is the SHJ
+    * build (per-partition hash map of node-count/parallelism rows); a
+    * sort-merge join would re-sort the whole edge table per sweep for no
+    * benefit. Each round's rank table is checkpointed to cut lineage
+    * (iteration rule). Fixed `iters` (pinned, replayable) rather than
+    * convergence detection: rank telemetry pipelines run a budgeted number
+    * of sweeps.
     *
     * Overflow: Σ floor(rank/deg) over a node's in-neighbors ≤ deg·scale ≤
     * 2m·scale; ×85 stays < 2⁶³ for any m·scale < 10¹⁷ — at web scale
@@ -106,12 +112,12 @@ object GraphOps {
       col(cols(1)).cast("long").as("v"))
     val e = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
     val deg = e.groupBy(col("u")).agg(count(lit(1)).as("d"))
-    val ed = e.join(deg, "u").localCheckpoint()
+    val ed = e.join(deg, "u").repartition(col("u")).localCheckpoint()
     val base = 15L * scale / 100L
     var r = deg.select(col("u").as("node"), lit(scale).as("rnk"))
     var it = 0
     while (it < iters) {
-      r = ed.join(r, ed("u") === r("node"))
+      r = ed.join(r.hint("SHUFFLE_HASH"), ed("u") === r("node"))
         .select(ed("v").as("v"), expr("rnk DIV d").as("c"))
         .groupBy(col("v"))
         .agg(sum(col("c")).as("s"))
