@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Data-layout operators: Z-order (Morton) clustering for multi-column scan
+  * pruning.
+  *
+  * At 100 TB the scan is the query: a table range-partitioned and sorted by
+  * ONE column prunes beautifully on that column and not at all on any other.
+  * Interleaving the bits of two filter columns into one Morton key and
+  * laying the table out by THAT key gives every participating column
+  * locality ∝ 2^(-bits/2) per file — the standard lakehouse ZORDER BY. The
+  * engine's form: [[zValue]] computes the key as pure integer column math
+  * (portable — any engine replays it bit-exactly), [[zorderWrite]] lays out
+  * parquet by Morton range, and the per-bucket min/max extents (what a
+  * file-skipping reader consults) are an ordinary aggregate any engine can
+  * audit — gated as q_zorder.
+  */
+object Layout {
+
+  /** The 2×21-bit Morton interleave as a SQL expression TEMPLATE — the exact
+    * same text is compiled by Spark (expr) and pasted into the DuckDB oracle,
+    * so bit-parity is by construction. Inputs must be in [0, 2²¹); the
+    * classic shift-or-mask spreading (Morton 1966; the magic constants are
+    * the textbook 64-bit bit-spread sequence) is 12 integer ops per column —
+    * codegen keeps it in the scan's projection, no UDF. */
+  def zSql(x: String, y: String): String = {
+    def spread(c: String): String = {
+      // 21 significant bits spread to even positions of a 42-bit lane;
+      // shifts written as power-of-two multiplies so the one template parses
+      // identically in Spark SQL and DuckDB (no overflow: every factor is
+      // applied to a just-masked value, peak magnitude < 2⁶³)
+      val s1 = s"(($c | ($c * 65536)) & 281470681808895)" // 0x0000FFFF0000FFFF
+      val s2 = s"(($s1 | ($s1 * 256)) & 71777214294589695)" // 0x00FF00FF00FF00FF
+      val s3 = s"(($s2 | ($s2 * 16)) & 1085102592571150095)" // 0x0F0F0F0F0F0F0F0F
+      val s4 = s"(($s3 | ($s3 * 4)) & 3689348814741910323)" // 0x3333333333333333
+      s"(($s4 | ($s4 * 2)) & 6148914691236517205)" // 0x5555555555555555
+    }
+    s"(${spread(x)} | (${spread(y)} * 2))"
+  }
+
+  /** Attach the Morton key as `zv` to `df` (columns must already exist). */
+  def withZ(df: DataFrame, xCol: String, yCol: String): DataFrame =
+    df.withColumn("zv", expr(zSql(s"CAST($xCol AS BIGINT)",
+      s"CAST($yCol AS BIGINT)")))
+
+  /** Write `df` parquet laid out by Morton range: range-repartition on the
+    * key then sort within partitions, so each output file covers one tight
+    * Morton rectangle and a min/max-skipping reader prunes on BOTH columns.
+    * (The layout affects file boundaries, never row content — downstream
+    * queries stay deterministic even though range sampling is not.) */
+  def zorderWrite(df: DataFrame, xCol: String, yCol: String, path: String,
+      nFiles: Int = 32): Unit =
+    withZ(df, xCol, yCol)
+      .repartitionByRange(nFiles, col("zv"))
+      .sortWithinPartitions(col("zv"))
+      .write.mode("overwrite").parquet(path)
+
+  /** Per-Z-bucket extents — the file-skipping index a lakehouse reader
+    * consults, surfaced as a relation: bucket = zv >> shift, with each
+    * bucket's row count and min/max of both source columns. Tight extents ⇔
+    * effective pruning; the aggregate is partial→final over a bounded bucket
+    * domain (metadata-sized shuffle at any corpus size). */
+  def zExtents(df: DataFrame, xCol: String, yCol: String,
+      shift: Int): DataFrame =
+    withZ(df, xCol, yCol)
+      .groupBy(shiftright(col("zv"), shift).as("z_bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col(xCol)).as("x_min"), max(col(xCol)).as("x_max"),
+        min(col(yCol)).as("y_min"), max(col(yCol)).as("y_max"))
+}

@@ -357,6 +357,19 @@ object AdvancedQueries {
         .limit(100)
     },
 
+    // Z-order layout audit (Layout.zExtents): Morton key over
+    // (l_partkey, l_suppkey), per-bucket row counts and min/max extents of
+    // BOTH columns — the file-skipping index a lakehouse reader consults,
+    // proving the interleave gives each filter column locality. The Morton
+    // formula is one SQL template compiled by Spark and pasted into the
+    // oracle: bit-parity by construction.
+    "q_zorder" -> { (s, dir) =>
+      graft.operators.Layout.zExtents(
+        Tables(s, dir, "lineitem").select(col("l_partkey"), col("l_suppkey")),
+        "l_partkey", "l_suppkey", shift = 12)
+        .orderBy("z_bucket")
+    },
+
     // ORC connector round-trip: the columnar alternative to parquet (same
     // pushdown/pruning machinery — predicate and projection reach the ORC
     // scan exactly as they do the parquet one). lineitem goes out ORC
@@ -557,6 +570,18 @@ object AdvancedQueries {
          |${(1 to 5).map(iter).mkString(",\n")}
          |SELECT node, rnk FROM r5
          |ORDER BY rnk DESC, node LIMIT 100""".stripMargin
+    },
+
+    // the SAME zSql template text the Spark side compiled; >> is the only
+    // per-engine spelling difference (DuckDB >>, Spark shiftright).
+    "q_zorder" -> {
+      val z = graft.operators.Layout.zSql(
+        "CAST(l_partkey AS BIGINT)", "CAST(l_suppkey AS BIGINT)")
+      s"""SELECT (z >> 12) AS z_bucket, COUNT(*) AS n_rows,
+         |  MIN(l_partkey) AS x_min, MAX(l_partkey) AS x_max,
+         |  MIN(l_suppkey) AS y_min, MAX(l_suppkey) AS y_max
+         |FROM (SELECT l_partkey, l_suppkey, $z AS z FROM lineitem)
+         |GROUP BY 1 ORDER BY z_bucket""".stripMargin
     },
 
     "q_orc_source" ->
