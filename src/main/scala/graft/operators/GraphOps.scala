@@ -112,7 +112,19 @@ object GraphOps {
       col(cols(1)).cast("long").as("v"))
     val e = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
     val deg = e.groupBy(col("u")).agg(count(lit(1)).as("d"))
-    val ed = e.join(deg, "u").repartition(col("u")).localCheckpoint()
+    // materialize the partitioned edge table with AQE OFF: an adaptive plan
+    // reports UnknownPartitioning to the checkpoint (AdaptiveSparkPlanExec is
+    // a leaf to the partitioning propagation), so under AQE the checkpoint
+    // would silently lose hash(u) and every sweep would reshuffle the edges
+    // — the exact cost this layout exists to avoid (pinned in
+    // PlanQualitySpec "pagerank sweep").
+    val ss = edges.sparkSession
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqePrev = ss.conf.get(aqeKey)
+    val ed = try {
+      ss.conf.set(aqeKey, "false")
+      e.join(deg, "u").repartition(col("u")).localCheckpoint()
+    } finally ss.conf.set(aqeKey, aqePrev)
     val base = 15L * scale / 100L
     var r = deg.select(col("u").as("node"), lit(scale).as("rnk"))
     var it = 0

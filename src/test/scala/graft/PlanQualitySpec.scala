@@ -187,6 +187,44 @@ class PlanQualitySpec extends SparkTestBase {
     assert(p.contains("FullOuter"), s"upsert lost its full-outer merge:\n$p")
   }
 
+  test("q_triangles: counting runs through the native intersect kernel, no wedge join") {
+    val p = planOf(SparkEntry.queries("q_triangles")(spark, sf))
+    assert(p.contains("graft_intersect_size_l"),
+      s"adjacency intersection kernel missing:\n$p")
+    assert(p.contains("partial_sum"), s"triangle sum lost map-side combine:\n$p")
+  }
+
+  test("pagerank sweep: checkpoint keeps edge partitioning; only ranks shuffle") {
+    // the loop invariant GraphOps.pageRank relies on: a localCheckpoint
+    // preserves the physical hash-partitioning, so the per-sweep join plans
+    // ZERO exchange on the (big) edge side and an SHJ build on the (small)
+    // rank side. If a Spark upgrade stops propagating partitioning through
+    // checkpoints, every sweep silently reshuffles the edges — caught here.
+    import spark.implicits._
+    // checkpoint with AQE off, exactly as the operator does — an adaptive
+    // physical plan hands the checkpoint UnknownPartitioning
+    val ed = try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      (1L to 1000L).map(i => (i % 50, i % 97, 3L)).toDF("u", "v", "d")
+        .repartition(col("u")).localCheckpoint()
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val r = (0L until 50L).map(i => (i, 1000000L)).toDF("node", "rnk")
+    val sweep = ed.join(r.hint("SHUFFLE_HASH"), ed("u") === r("node"))
+      .groupBy(col("v")).agg(sum(expr("rnk DIV d")).as("s"))
+    val p = planOf(sweep).split("== Initial Plan ==")(0)
+    assert(p.contains("ShuffledHashJoin"), s"sweep join not SHJ:\n$p")
+    // exchanges: rank side into the join + the groupBy(v) — never the edges
+    val perEdgeExchanges = "Exchange hashpartitioning\\(u#".r.findAllIn(p).length
+    assert(perEdgeExchanges == 0, s"edge side reshuffled in the sweep:\n$p")
+  }
+
+  test("q_zorder: Morton key projection is codegen'd; extents fold map-side") {
+    val p = planOf(SparkEntry.queries("q_zorder")(spark, sf))
+    assert(p.contains("partial_"), s"extent aggregate lost map-side combine:\n$p")
+    assert("""\*\(\d+\) HashAggregate""".r.findFirstIn(p).isDefined,
+      s"z-bucket aggregate fell out of codegen:\n$p")
+  }
+
   test("no unintended cartesian products anywhere in the query set") {
     // sim_topk/sim_ann_ivf intentionally cross-join against broadcast
     // centroid/query sets; everything else must be key-joined.
