@@ -131,6 +131,47 @@ object TextOps {
         "n_uniq_5grams", "dup5_frac", "is_repetitive")
   }
 
+  /** Greedy sequence packing — the "example packing" pass that assembles
+    * training sequences from variable-length documents without splitting
+    * them: within each (lang, shard), docs in doc_id order fill a
+    * `budget`-token bin until the next doc would overflow, which starts a
+    * new bin (an oversized doc gets a bin alone). Packing is inherently
+    * sequential, so the corpus is SHARDED by a portable hash of doc_id and
+    * packed per shard: one shuffle on (lang, shard), per-group sorted
+    * iterator state machine via flatMapSortedGroups — embarrassingly
+    * parallel, deterministic, and independent of input partitioning. At
+    * 100 TB raise `nShards` to the write parallelism you want; real
+    * pipelines pack per output shard anyway. Returns one row per bin:
+    * (lang, shard, bin, n_docs, bin_tokens). */
+  def packBins(docs: DataFrame, budget: Long = 2048,
+      nShards: Int = 16): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val d = docs.select(col("doc_id"), col("lang"), col("text"))
+      .as[(Long, String, String)]
+      .map { case (id, lang, text) =>
+        (id, lang, tokensJvm(text).length.toLong,
+          math.floorMod(md5Long60(id.toString), nShards.toLong))
+      }
+    d.groupByKey { case (_, lang, _, shard) => (lang, shard) }
+      .flatMapSortedGroups($"_1") { case ((lang, shard), it) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long, Long, Long)]
+        var bin = 0L; var fill = 0L; var nDocs = 0L; var first = true
+        def flush(): Unit =
+          if (!first) out += ((lang, shard, bin, nDocs, fill))
+        it.foreach { case (_, _, n, _) =>
+          if (first) { fill = n; nDocs = 1; first = false }
+          else if (fill + n > budget) {
+            out += ((lang, shard, bin, nDocs, fill))
+            bin += 1; fill = n; nDocs = 1
+          } else { fill += n; nDocs += 1 }
+        }
+        flush()
+        out.iterator
+      }
+      .toDF("lang", "shard", "bin", "n_docs", "bin_tokens")
+  }
+
   /** Whitespace-token, BPE-ish regex-token, and distinct-vocab counts —
     * pure column functions (codegen'd, pruned to the two needed columns). */
   def tokenCounts(docs: DataFrame): DataFrame =

@@ -94,6 +94,14 @@ object TextQueries {
       TextOps.fingerprint(Tables(s, dir, "documents")).orderBy("doc_id")
     },
 
+    // Greedy sequence packing (TextOps.packBins): 2048-token training bins
+    // per (lang, portable-hash shard), one sorted-group state machine per
+    // shard — the example-packing pass of a pretraining pipeline.
+    "q_pack_bins" -> { (s, dir) =>
+      TextOps.packBins(Tables(s, dir, "documents"))
+        .orderBy("lang", "shard", "bin")
+    },
+
     // Gopher-style repetition filter (TextOps.repetition): top-bigram
     // fraction + duplicate-5-gram fraction per doc, flagged at the published
     // thresholds — all per-doc, one typed map, nothing shuffled by gram.
@@ -319,6 +327,33 @@ object TextQueries {
          |    (a, b) -> (a*31 + b) % 2147483647) AS BIGINT) AS fp31,
          |  ${NORMMD5("text")} AS fp_md5
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the packing state machine replays as a recursive CTE walking each
+    // (lang, shard) in doc_id order, carrying (bin, fill) exactly like the
+    // sorted-group iterator.
+    "q_pack_bins" ->
+      s"""WITH RECURSIVE d0 AS (
+         |  SELECT doc_id, lang, CAST(len(${TOKENS("text")}) AS BIGINT) AS n_tokens,
+         |    ${MD5LONG("CAST(doc_id AS VARCHAR)")} % 16 AS shard
+         |  FROM documents),
+         |d AS (
+         |  SELECT *, row_number() OVER
+         |    (PARTITION BY lang, shard ORDER BY doc_id) AS rn
+         |  FROM d0),
+         |w(lang, shard, rn, bin, fill, n) AS (
+         |  SELECT lang, shard, rn, CAST(0 AS BIGINT), n_tokens, n_tokens
+         |  FROM d WHERE rn = 1
+         |  UNION ALL
+         |  SELECT d.lang, d.shard, d.rn,
+         |    CASE WHEN w.fill + d.n_tokens > 2048 THEN w.bin + 1 ELSE w.bin END,
+         |    CASE WHEN w.fill + d.n_tokens > 2048 THEN d.n_tokens
+         |         ELSE w.fill + d.n_tokens END,
+         |    d.n_tokens
+         |  FROM d JOIN w ON d.lang = w.lang AND d.shard = w.shard
+         |    AND d.rn = w.rn + 1)
+         |SELECT lang, shard, bin, COUNT(*) AS n_docs,
+         |  CAST(SUM(n) AS BIGINT) AS bin_tokens
+         |FROM w GROUP BY 1, 2, 3 ORDER BY lang, shard, bin""".stripMargin,
 
     // lead() windows per doc replay the bigram/5-gram streams; fractions are
     // the identical CAST-to-DOUBLE formulas the typed map computes.
