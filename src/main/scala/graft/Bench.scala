@@ -45,11 +45,15 @@ object Bench {
       if (sinceGc >= 8) { sinceGc = 0; System.gc() }
       name -> dt
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Per-query times at 3 decimals, and the headline fields LAST: the
+    // driver keeps only the final ~2000 bytes of output, so the end of this
+    // (long) line must carry metric/value/failed/sf even when the head of
+    // the queries map is truncated away.
+    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
     val fj = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fj,"sf":"$sfDir"}""")
+    println(s"""{"unit":"sec","sf":"$sfDir","queries":$qs,"failed":$fj,"n_queries":${results.size},"metric":"total","value":$total}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

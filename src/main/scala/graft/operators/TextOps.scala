@@ -309,6 +309,88 @@ object TextOps {
       terms.indices.map(termScore).reduce(_ + _).as("score"))
   }
 
+  /** Unigram self-information scoring — the perplexity-shaped quality
+    * signal of a pretraining pipeline: fit a unigram LM over the corpus
+    * (token → count), then score each doc by its total information content
+    * under that LM. To keep the oracle hash-exact, information is measured
+    * in WHOLE BITS via integer bit width (`length(bin(x))`, identical in
+    * DuckDB): info(token) = bits(T) − bits(cnt) ≈ ⌈log₂(T/cnt)⌉ — a rare
+    * token scores high, "the" scores ~0. Production would use real
+    * `ln(cnt/T)` doubles with a tolerance gate; the plan is identical.
+    *
+    * Scale shape: one explode → (doc, token, tf) partial→final aggregate;
+    * the LM is a second partial aggregate OVER the pairs (never re-reading
+    * text); pairs⋈LM is a shuffle join on token (zipfian — AQE skew-split
+    * handles "the", whose pair rows spread across docs); the single-row
+    * total broadcasts. The pairs subtree fans into both the LM and the
+    * probe, so it is localCheckpoint'ed once (repo rule: fanned subtrees
+    * recompute per branch). Output: (doc_id, dlen, score_bits, avg_bits)
+    * with avg_bits the only double, formed by one final division. */
+  def infoScore(docs: DataFrame): DataFrame = {
+    val pairs = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val lm = pairs.groupBy("token").agg(sum("tf").as("cnt"))
+    val tot = lm.agg(sum("cnt").as("t"))
+    val bitsT = length(bin(col("t"))).cast("long")
+    val bitsCnt = length(bin(col("cnt"))).cast("long")
+    pairs
+      .join(lm, "token")
+      .crossJoin(broadcast(tot))
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("dlen"),
+        sum(col("tf") * (bitsT - bitsCnt)).as("score_bits"))
+      .select(col("doc_id"), col("dlen"), col("score_bits"),
+        (col("score_bits").cast("double") / col("dlen").cast("double"))
+          .as("avg_bits"))
+  }
+
+  /** Token-budget mixture sampling — the data-mixing pass that downsamples
+    * each language (domain) to hit target mixture weights within an overall
+    * token budget. Census: one narrow aggregate (lang → token total). The
+    * per-lang sampling rate, in ppm, is min(1, weight·budget / lang_tokens)
+    * — computed with plain IEEE double arithmetic written identically in
+    * the oracle (bit-deterministic; no transcendentals). Membership is the
+    * portable md5 predicate on doc_id: partition-independent, re-runnable,
+    * append-stable — never `rand()`. The narrow (lang, doc_id, n_tokens)
+    * projection feeds both the census and the sampling pass, so it is
+    * localCheckpoint'ed once; at 100 TB n_tokens would be a precomputed
+    * column and the checkpoint a real table. Rates (|langs| rows) broadcast
+    * back onto the corpus. `weightsPpt` are thousandths and must cover every
+    * lang (missing langs get 0 → sampled out). `budgetShare` scales the
+    * corpus total into the global token budget. */
+  def mixBudgetSample(docs: DataFrame, weightsPpt: Map[String, Long],
+      budgetShare: Double = 0.5): DataFrame = {
+    val base = docs
+      .select(col("lang"), col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .localCheckpoint()
+    val census = base.groupBy("lang")
+      .agg(sum(col("n_tokens")).as("lang_tokens"))
+    val tot = base.agg(
+      floor(sum(col("n_tokens")).cast("double") * lit(budgetShare))
+        .cast("long").as("budget"))
+    val w = weightsPpt.foldLeft(lit(0L)) { case (acc, (l, ppt)) =>
+      when(col("lang") === l, lit(ppt)).otherwise(acc)
+    }
+    val target = floor(col("budget").cast("double") * w.cast("double")
+      / lit(1000.0))
+    val rates = census.crossJoin(broadcast(tot))
+      .select(col("lang"), col("lang_tokens"),
+        least(lit(1000000L),
+          floor(target * lit(1000000.0) / col("lang_tokens").cast("double"))
+            .cast("long")).as("rate_ppm"))
+    base
+      .join(broadcast(rates), "lang")
+      .where(pmod(md5Long(col("doc_id").cast("string")), lit(1000000L))
+        < col("rate_ppm"))
+      .groupBy(col("lang"), col("lang_tokens"), col("rate_ppm"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sampled_tokens"))
+  }
+
   /** The training-data pipeline: token/distinct quality filter → exact
     * dedup keeping the lowest doc_id per normalized text → per-language
     * corpus stats. The keep-first step is min_by (partial→final hash

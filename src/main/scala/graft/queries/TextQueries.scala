@@ -102,6 +102,23 @@ object TextQueries {
         .orderBy("lang", "shard", "bin")
     },
 
+    // Unigram self-information scoring (TextOps.infoScore): corpus unigram
+    // LM → per-doc information content in exact whole bits — the
+    // perplexity-shaped quality signal, hash-gateable because the bit-width
+    // form is pure integer arithmetic until one final division.
+    "text_infoscore" -> { (s, dir) =>
+      TextOps.infoScore(Tables(s, dir, "documents")).orderBy("doc_id")
+    },
+
+    // Token-budget mixture sampling (TextOps.mixBudgetSample): census →
+    // per-lang ppm rates toward 40/15/15/15/15 weights at a 50% token
+    // budget → portable-hash sampling — the data-mixing pass.
+    "q_mix_budget" -> { (s, dir) =>
+      TextOps.mixBudgetSample(Tables(s, dir, "documents"),
+        Map("en" -> 400L, "fr" -> 150L, "es" -> 150L, "zh" -> 150L,
+          "de" -> 150L)).orderBy("lang")
+    },
+
     // Gopher-style repetition filter (TextOps.repetition): top-bigram
     // fraction + duplicate-5-gram fraction per doc, flagged at the published
     // thresholds — all per-doc, one typed map, nothing shuffled by gram.
@@ -327,6 +344,52 @@ object TextQueries {
          |    (a, b) -> (a*31 + b) % 2147483647) AS BIGINT) AS fp31,
          |  ${NORMMD5("text")} AS fp_md5
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the unigram LM and the per-doc bit sums replay as plain aggregates;
+    // bits(x) = len(bin(x)) is identical integer bit width on both sides.
+    "text_infoscore" ->
+      s"""WITH pairs AS (
+         |  SELECT doc_id, t.token, COUNT(*) AS tf
+         |  FROM (SELECT doc_id, unnest(${TOKENS("text")}) AS token
+         |        FROM documents) t
+         |  GROUP BY doc_id, t.token),
+         |lm AS (SELECT token, CAST(SUM(tf) AS BIGINT) AS cnt
+         |       FROM pairs GROUP BY token),
+         |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM lm)
+         |SELECT p.doc_id, CAST(SUM(p.tf) AS BIGINT) AS dlen,
+         |  CAST(SUM(p.tf * (len(bin(tot.t)) - len(bin(lm.cnt)))) AS BIGINT)
+         |    AS score_bits,
+         |  CAST(SUM(p.tf * (len(bin(tot.t)) - len(bin(lm.cnt)))) AS DOUBLE)
+         |    / CAST(SUM(p.tf) AS DOUBLE) AS avg_bits
+         |FROM pairs p JOIN lm USING (token), tot
+         |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin,
+
+    // census / budget / ppm-rate arithmetic written as the identical IEEE
+    // double formula (floor + literals only — bit-deterministic), then the
+    // same md5-ppm membership predicate as the Spark side.
+    "q_mix_budget" ->
+      s"""WITH base AS (
+         |  SELECT lang, doc_id, CAST(len(${TOKENS("text")}) AS BIGINT)
+         |    AS n_tokens FROM documents),
+         |census AS (SELECT lang, CAST(SUM(n_tokens) AS BIGINT)
+         |  AS lang_tokens FROM base GROUP BY lang),
+         |tot AS (SELECT CAST(floor(CAST(SUM(n_tokens) AS DOUBLE) * 0.5)
+         |  AS BIGINT) AS budget FROM base),
+         |rates AS (
+         |  SELECT lang, lang_tokens,
+         |    LEAST(1000000, CAST(floor(
+         |      floor(CAST(budget AS DOUBLE) *
+         |        CAST(CASE WHEN lang = 'en' THEN 400 ELSE 150 END AS DOUBLE)
+         |        / 1000.0)
+         |      * 1000000.0 / CAST(lang_tokens AS DOUBLE)) AS BIGINT))
+         |      AS rate_ppm
+         |  FROM census, tot)
+         |SELECT b.lang, r.lang_tokens, r.rate_ppm,
+         |  COUNT(*) AS n_docs, CAST(SUM(b.n_tokens) AS BIGINT)
+         |    AS sampled_tokens
+         |FROM base b JOIN rates r USING (lang)
+         |WHERE ${MD5LONG("CAST(b.doc_id AS VARCHAR)")} % 1000000 < r.rate_ppm
+         |GROUP BY 1, 2, 3 ORDER BY b.lang""".stripMargin,
 
     // the packing state machine replays as a recursive CTE walking each
     // (lang, shard) in doc_id order, carrying (bin, fill) exactly like the
