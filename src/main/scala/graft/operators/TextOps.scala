@@ -309,6 +309,27 @@ object TextOps {
       terms.indices.map(termScore).reduce(_ + _).as("score"))
   }
 
+  /** First-iteration BPE pair statistics — the tokenizer-training pass:
+    * adjacent character-pair frequencies over the corpus, which is exactly
+    * what one merge round of byte-pair encoding maximizes. Scale shape: the
+    * corpus tokenizes ONCE into a wordcount (partial→final aggregate), and
+    * the per-character work then runs over the DISTINCT vocabulary weighted
+    * by word frequency — vocab-sized (~10⁶ rows at 100 TB), never
+    * corpus-sized. Pairs are UTF-16 code-unit bigrams (= character bigrams
+    * on BMP text; the fixture has none beyond). Returns (pair, cnt), one
+    * row per distinct adjacent pair. */
+  def bpePairCounts(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    wordcount(docs).as[(String, Long)]
+      .flatMap { case (w, c) =>
+        (0 until w.length - 1).iterator.map(i => (w.substring(i, i + 2), c))
+      }
+      .toDF("pair", "w_cnt")
+      .groupBy("pair")
+      .agg(sum(col("w_cnt")).as("cnt"))
+  }
+
   /** Unigram self-information scoring — the perplexity-shaped quality
     * signal of a pretraining pipeline: fit a unigram LM over the corpus
     * (token → count), then score each doc by its total information content

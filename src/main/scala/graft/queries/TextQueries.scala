@@ -102,6 +102,15 @@ object TextQueries {
         .orderBy("lang", "shard", "bin")
     },
 
+    // First BPE merge-round statistics (TextOps.bpePairCounts): top-20
+    // adjacent char pairs by corpus frequency — tokenizer training's
+    // argmax, computed vocab-sized (over the wordcount, not the corpus).
+    "q_bpe_pairs" -> { (s, dir) =>
+      TextOps.bpePairCounts(Tables(s, dir, "documents"))
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(20)
+    },
+
     // Unigram self-information scoring (TextOps.infoScore): corpus unigram
     // LM → per-doc information content in exact whole bits — the
     // perplexity-shaped quality signal, hash-gateable because the bit-width
@@ -344,6 +353,20 @@ object TextQueries {
          |    (a, b) -> (a*31 + b) % 2147483647) AS BIGINT) AS fp31,
          |  ${NORMMD5("text")} AS fp_md5
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // char-pair expansion replays as a lateral unnest over 1-based substr
+    // positions on the same wordcount CTE.
+    "q_bpe_pairs" ->
+      s"""WITH wc AS (
+         |  SELECT t.word, COUNT(*) AS wcnt
+         |  FROM (SELECT unnest(${TOKENS("text")}) AS word FROM documents) t
+         |  GROUP BY t.word),
+         |pairs AS (
+         |  SELECT substr(word, CAST(i AS INT), 2) AS pair, wcnt
+         |  FROM wc, unnest(range(1, len(word))) AS u(i))
+         |SELECT pair, CAST(SUM(wcnt) AS BIGINT) AS cnt
+         |FROM pairs GROUP BY pair
+         |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
 
     // the unigram LM and the per-doc bit sums replay as plain aggregates;
     // bits(x) = len(bin(x)) is identical integer bit width on both sides.

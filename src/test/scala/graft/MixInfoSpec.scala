@@ -66,6 +66,21 @@ class MixInfoSpec extends SparkTestBase {
     got.foreach { case (l, (lt, _, _, st)) => assert(st <= lt, l) }
   }
 
+  test("bpePairCounts matches the in-memory pair model") {
+    val model = scala.collection.mutable.Map.empty[String, Long]
+    corpus.foreach { case (_, _, t) =>
+      Portable.tokensJvm(t).foreach { w =>
+        (0 until w.length - 1).foreach { i =>
+          val p = w.substring(i, i + 2)
+          model(p) = model.getOrElse(p, 0L) + 1
+        }
+      }
+    }
+    val got = TextOps.bpePairCounts(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === model.toMap)
+  }
+
   test("mixBudgetSample is invariant to input partitioning") {
     val w = Map("en" -> 400L, "fr" -> 150L, "es" -> 150L, "zh" -> 150L,
       "de" -> 150L)
