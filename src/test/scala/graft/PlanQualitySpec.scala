@@ -225,6 +225,39 @@ class PlanQualitySpec extends SparkTestBase {
       s"z-bucket aggregate fell out of codegen:\n$p")
   }
 
+  test("q_pack_bins: packing runs off ONE grouping shuffle") {
+    // the (lang, shard) groupByKey is the only hash exchange; the trailing
+    // orderBy (range exchange) is presentation-only
+    // AQE plan strings repeat the tree under "== Initial Plan ==" — count
+    // only the executed (final) section
+    val p = planOf(SparkEntry.queries("q_pack_bins")(spark, sf))
+      .split("== Initial Plan ==")(0)
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx === 1, s"packing grew extra shuffles:\n$p")
+  }
+
+  test("q_mix_budget: rates broadcast back onto the corpus, never SMJ") {
+    val p = planOf(SparkEntry.queries("q_mix_budget")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"rates join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"rates join degraded to SMJ:\n$p")
+  }
+
+  test("text_infoscore: pairs checkpoint feeds both branches — no re-tokenize") {
+    // the explode/tokenize (Generate) must happen once, at checkpoint
+    // materialization — not once per branch of the LM/probe fan-out
+    val p = planOf(SparkEntry.queries("text_infoscore")(spark, sf))
+    assert(!p.contains("Generate"), s"doc text re-exploded per branch:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"single-row total not broadcast:\n$p")
+  }
+
+  test("q_bpe_pairs: both aggregation levels fold map-side") {
+    val p = planOf(SparkEntry.queries("q_bpe_pairs")(spark, sf))
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"wordcount lost its partial phase:\n$p")
+    assert(p.contains("partial_sum"), s"pair counts lost partial phase:\n$p")
+  }
+
   test("no unintended cartesian products anywhere in the query set") {
     // sim_topk/sim_ann_ivf intentionally cross-join against broadcast
     // centroid/query sets; everything else must be key-joined.
