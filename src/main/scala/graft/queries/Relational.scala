@@ -70,6 +70,30 @@ object Relational {
         .limit(10)
     },
 
+    // TPC-H Q10 shape: returned-item revenue per customer — the 4-table
+    // star. Scale plan: the two FACT tables join on orderkey and aggregate
+    // down to custkey BEFORE touching the customer dimension (the dim-join
+    // input shrinks from lineitem rows to distinct custkeys), nation
+    // broadcasts, and revenue stays exact cents until the final division.
+    "q_star_returns" -> { (s, dir) =>
+      val l = Tables(s, dir, "lineitem").where(col("l_returnflag") === "R")
+      val o = Tables(s, dir, "orders")
+        .where(col("o_orderdate") >= ts("1996-01-01")
+          && col("o_orderdate") < ts("1996-07-01"))
+      val rev = l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(sum(cents(col("l_extendedprice"))
+          * (lit(100L) - cents(col("l_discount")))).as("rev_c"))
+      val c = Tables(s, dir, "customer")
+      val n = Tables(s, dir, "nation")
+      rev.join(c, rev("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .select(col("c_custkey"), col("c_name"), col("n_name"),
+          (col("rev_c").cast("double") / lit(10000.0)).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
+
     // Star lookup: two broadcast joins, zero shuffles of the fact side
     // before the final 5-group aggregate.
     "q_broadcast_join" -> { (s, dir) =>
@@ -335,6 +359,22 @@ object Relational {
          |  WHERE c_custkey = o_custkey AND c_mktsegment = 'BUILDING')
          |GROUP BY l_orderkey, epoch_us(o_orderdate)
          |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q_star_returns" ->
+      s"""WITH rev AS (
+         |  SELECT o_custkey,
+         |    CAST(SUM(${CENTS("l_extendedprice")} * (100 - ${CENTS("l_discount")}))
+         |      AS BIGINT) AS rev_c
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  WHERE l_returnflag = 'R'
+         |    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |    AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+         |  GROUP BY o_custkey)
+         |SELECT c_custkey, c_name, n_name,
+         |  CAST(rev_c AS DOUBLE)/10000.0 AS revenue
+         |FROM rev JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
 
     "q_broadcast_join" ->
       s"""SELECT r_name, COUNT(*) AS n_cust, ${MONEY("c_acctbal")} AS acctbal_sum

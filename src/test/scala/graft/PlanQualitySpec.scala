@@ -258,6 +258,19 @@ class PlanQualitySpec extends SparkTestBase {
     assert(p.contains("partial_sum"), s"pair counts lost partial phase:\n$p")
   }
 
+  test("q_star_returns: revenue aggregates to custkey before the dim join") {
+    val p = planOf(SparkEntry.queries("q_star_returns")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"nation join not broadcast:\n$p")
+    assert(p.contains("partial_sum"), s"revenue agg lost partial phase:\n$p")
+    // the customer join must consume the aggregated custkey revenue, so the
+    // aggregate sits BELOW the c_custkey join in the final plan
+    val fin = p.split("== Initial Plan ==")(0)
+    val aggAt = fin.indexOf("partial_sum")
+    val custAt = fin.indexOf("c_custkey")
+    assert(aggAt > custAt, // plans print top-down: deeper = later offset
+      s"aggregate-before-join inverted:\n$fin")
+  }
+
   test("no unintended cartesian products anywhere in the query set") {
     // sim_topk/sim_ann_ivf intentionally cross-join against broadcast
     // centroid/query sets; everything else must be key-joined.
