@@ -41,6 +41,40 @@ object KvSink {
     * all when both snapshots are bucketed on it (Sinks.ensureBucketedTable),
     * which is the 100 TB shape: a bucketed base, bucketed deltas, exchange-
     * free merge per version. */
+  /** CDC snapshot diff — the inverse of [[upsert]]: given two versions of a
+    * keyed snapshot, emit exactly the change rows that turn `prev` into
+    * `next`, tagged `op` ∈ I (key only in next), U (key in both, value
+    * changed), D (key only in prev). Unchanged keys are dropped, so the
+    * output is change-sized, not snapshot-sized — the shape that feeds an
+    * incremental downstream (a delta feed per version) instead of
+    * re-shipping 100 TB of snapshot.
+    *
+    * Membership is decided by presence markers, not value nullity, so a
+    * legitimately-NULL value can never masquerade as an insert/delete, and
+    * value comparison is null-safe (`<=>`). One full-outer equi-join: each
+    * snapshot shuffles once on the key, or not at all when both versions are
+    * bucketed on it (Sinks.ensureBucketedTable) — the 100 TB shape, same as
+    * [[upsert]]'s. Law (tested): applying the diff to `prev` (upsert the
+    * I/U rows, anti-join the D keys) reconstructs `next` exactly. */
+  def diff(prev: DataFrame, next: DataFrame): DataFrame = {
+    require(prev.columns.length == 2,
+      s"diff prev must be a (key, value) 2-column table; got ${prev.columns.mkString("(", ",", ")")}")
+    require(next.columns.length == 2,
+      s"diff next must be a (key, value) 2-column table; got ${next.columns.mkString("(", ",", ")")}")
+    val Array(k, v) = prev.columns
+    val p = prev.toDF(k, "_old_value").withColumn("_in_prev", lit(true))
+    val n = next.toDF(k, "_new_value").withColumn("_in_next", lit(true))
+    p.join(n, Seq(k), "full_outer")
+      .where(col("_in_prev").isNull || col("_in_next").isNull ||
+        !(col("_old_value") <=> col("_new_value")))
+      .select(col(k),
+        when(col("_in_prev").isNull, lit("I"))
+          .when(col("_in_next").isNull, lit("D"))
+          .otherwise(lit("U")).as("op"),
+        col("_old_value").as(s"old_$v"),
+        col("_new_value").as(s"new_$v"))
+  }
+
   def upsert(base: DataFrame, updates: DataFrame): DataFrame = {
     require(base.columns.length == 2,
       s"upsert base must be a (key, value) 2-column table; got ${base.columns.mkString("(", ",", ")")}")

@@ -138,6 +138,23 @@ object StatsQueries {
       graft.operators.KvSink.upsert(base, upd).orderBy("key")
     },
 
+    // CDC snapshot diff (KvSink.diff, the inverse of q_upsert's MapPut):
+    // per-customer spend snapshots over two sliding year windows. Customers
+    // whose orders all fall in the overlap (1993-94) have identical sums and
+    // are dropped as unchanged; window-edge customers produce I/U/D rows.
+    // Output is change-sized — the delta-feed shape, not a snapshot reship.
+    "q_cdc_diff" -> { (s, dir) =>
+      def snap(yrLo: Int, yrHi: Int) = Tables(s, dir, "orders")
+        .where(year(col("o_orderdate")).between(yrLo, yrHi))
+        .groupBy(col("o_custkey").cast("long").as("key"))
+        .agg(sum(cents(col("o_totalprice"))).as("spend_cents"))
+      graft.operators.KvSink.diff(snap(1992, 1994), snap(1993, 1995))
+        .select(col("key"), col("op"),
+          coalesce(col("old_spend_cents"), lit(-1L)).as("old_cents"),
+          coalesce(col("new_spend_cents"), lit(-1L)).as("new_cents"))
+        .orderBy("key")
+    },
+
     // Salted fact-dim join: dimension replicated SkewSalts×, fact salted by
     // a deterministic row hash — a hot o_orderkey's lineitems spread across
     // SkewSalts tasks. Result == the plain join (the oracle).
@@ -229,6 +246,25 @@ object StatsQueries {
          |SELECT COALESCE(u.key, b.key) AS key,
          |  COALESCE(u.val_cents, b.val_cents) AS val_cents
          |FROM base b FULL OUTER JOIN upd u ON b.key = u.key
+         |ORDER BY key""".stripMargin,
+
+    "q_cdc_diff" ->
+      s"""WITH prev AS (
+         |  SELECT CAST(o_custkey AS BIGINT) AS key,
+         |    CAST(SUM(${CENTS("o_totalprice")}) AS BIGINT) AS c
+         |  FROM orders WHERE year(o_orderdate) BETWEEN 1992 AND 1994
+         |  GROUP BY 1),
+         |nxt AS (
+         |  SELECT CAST(o_custkey AS BIGINT) AS key,
+         |    CAST(SUM(${CENTS("o_totalprice")}) AS BIGINT) AS c
+         |  FROM orders WHERE year(o_orderdate) BETWEEN 1993 AND 1995
+         |  GROUP BY 1)
+         |SELECT COALESCE(p.key, n.key) AS key,
+         |  CASE WHEN p.key IS NULL THEN 'I'
+         |       WHEN n.key IS NULL THEN 'D' ELSE 'U' END AS op,
+         |  COALESCE(p.c, -1) AS old_cents, COALESCE(n.c, -1) AS new_cents
+         |FROM prev p FULL OUTER JOIN nxt n ON p.key = n.key
+         |WHERE p.key IS NULL OR n.key IS NULL OR p.c <> n.c
          |ORDER BY key""".stripMargin,
 
     "q_skew_join" ->
