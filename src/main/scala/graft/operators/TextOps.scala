@@ -441,4 +441,86 @@ object TextOps {
         sum(col("n_tokens")).as("total_tokens"),
         sum(col("n_distinct")).as("total_distinct"))
   }
+
+  /** Hashed-linear text-classifier INFERENCE — the fasttext-shaped quality
+    * gate every web-scale corpus passes through (keep/drop by a linear score
+    * over hashed token features). The model here is the hashing trick taken
+    * to its portable extreme: weight(token) = portable 60-bit md5 hash mod
+    * `buckets`, recentered to a signed range — i.e. a frozen random-weight
+    * model, so inference is exactly replayable by ANY engine (the oracle
+    * recomputes it in SQL) while exercising the real production plan: a
+    * weight LOOKUP per token occurrence and a per-doc sum.
+    *
+    * Scale shape: ONE typed map over (doc_id, text) — tokenize, hash, sum —
+    * zero shuffles, no weight-table join (the "table" is the hash function;
+    * a learned model would broadcast its weight array into the same loop).
+    * Integer weights make the per-doc score exact (no float-order drift);
+    * `keep` is the downstream filter predicate. Token-free docs score 0. */
+  def classify(docs: DataFrame, buckets: Int = 2001, bias: Long = 0L): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val half = (buckets - 1) / 2
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val ts = tokensJvm(text)
+        var score = 0L
+        var i = 0
+        while (i < ts.length) {
+          score += md5Long60(ts(i)) % buckets - half
+          i += 1
+        }
+        (id, ts.length.toLong, score)
+      }
+      .toDF("doc_id", "n_tokens", "score")
+      .withColumn("keep", col("score") > lit(bias))
+  }
+
+  /** Deterministic exact-k uniform sample per group (the "carve 10k eval
+    * docs per language" op): rank = portable md5 hash of the key, keep the k
+    * SMALLEST per group. Runs through the bounded [[graft.functions
+    * .TopKAggregator]] (score = −hash, partial→final), so each map task
+    * ships ≤ k ids per group — never a ranking window over the group (a
+    * 100 TB language would sort corpus-sized partitions on one task) and,
+    * unlike rate-based sampling (`q_stratified_sample`), the output size is
+    * EXACTLY k. Hash-ranking is re-runnable and append-stable: a doc's rank
+    * never depends on what else arrived. */
+  def sampleK(docs: DataFrame, groupCol: String, k: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val tk = udaf(new graft.functions.TopKAggregator(k),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Long)]())
+    docs
+      .select(col(groupCol).as("grp"),
+        (-md5Long(col("doc_id").cast("string"))).as("neg_rank"),
+        col("doc_id"))
+      .groupBy(col("grp"))
+      .agg(tk(col("neg_rank"), col("doc_id")).as("ids"))
+      .select(col("grp"), posexplode(col("ids")))
+      .select(col("grp").as(groupCol), (col("pos") + 1).cast("long").as("rnk"),
+        col("col").as("doc_id"))
+      .orderBy(groupCol, "rnk")
+  }
+
+  /** Per-domain document cap — the crawl-pipeline guard against one host
+    * flooding the corpus: keep the top `k` docs per `source` by quality
+    * (here n_chars desc, doc_id asc tiebreak), drop the rest. Same bounded
+    * partial→final aggregator discipline as [[sampleK]] but through the
+    * (Double, id) pairs variant so the ranking score survives into the
+    * output without a join-back. A hot domain (the 100 TB failure mode —
+    * one SEO farm with 10⁹ pages) folds to ≤ k rows per map task instead of
+    * sorting its whole group on one task. */
+  def domainCap(docs: DataFrame, k: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val tk = udaf(new graft.functions.TopKPairsAggregator(k),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Double, Long)]())
+    docs
+      .select(col("source"), col("n_chars").cast("double").as("sc"), col("doc_id"))
+      .groupBy(col("source"))
+      .agg(tk(col("sc"), col("doc_id")).as("tk"))
+      .select(col("source"), posexplode(col("tk")))
+      .select(col("source"), (col("pos") + 1).cast("long").as("rnk"),
+        col("col._2").as("doc_id"), col("col._1").cast("long").as("n_chars"))
+      .orderBy("source", "rnk")
+  }
 }

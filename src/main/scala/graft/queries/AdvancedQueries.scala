@@ -386,6 +386,34 @@ object AdvancedQueries {
         .agg(count(lit(1)).as("n_items"),
           moneySum(col("l_extendedprice")).as("rev"))
         .orderBy("l_linestatus")
+    },
+
+    // Schema drift across ingest batches — the 100 TB reality that a corpus
+    // accumulated over years does NOT have one schema: early batches lack
+    // columns later ones carry. Two parquet batches (v1 without `priority`,
+    // v2 with it) are read in ONE multi-path scan with mergeSchema: Spark
+    // reconciles footers per file and null-fills the missing column, so old
+    // data needs no rewrite (at 100 TB, rewriting history per schema change
+    // is the anti-pattern). Filter/pruning still push into both batches.
+    "q_schema_evolution" -> { (s, dir) =>
+      val tmp = s"/root/repo/target/tmp/schema_evo-${new java.io.File(dir).getName}"
+      val cut = "1995-01-01"
+      graft.sources.Sinks.ensureDir(s, s"$tmp/b1", "v1:okey,price") {
+        Tables(s, dir, "orders").where(col("o_orderdate") < lit(cut))
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .write.mode("overwrite").parquet(s"$tmp/b1")
+      }
+      graft.sources.Sinks.ensureDir(s, s"$tmp/b2", "v1:okey,price,priority") {
+        Tables(s, dir, "orders").where(col("o_orderdate") >= lit(cut))
+          .select(col("o_orderkey"), col("o_totalprice"),
+            col("o_orderpriority").as("priority"))
+          .write.mode("overwrite").parquet(s"$tmp/b2")
+      }
+      s.read.option("mergeSchema", "true").parquet(s"$tmp/b1", s"$tmp/b2")
+        .groupBy(coalesce(col("priority"), lit("(pre-schema)")).as("priority"))
+        .agg(count(lit(1)).as("n_orders"),
+          moneySum(col("o_totalprice")).as("rev"))
+        .orderBy("priority")
     })
 
   /** Shared by q_asof_join (union+window composition) and q_asof_native (the
@@ -517,6 +545,12 @@ object AdvancedQueries {
       s"""SELECT o_orderpriority, COUNT(*) AS n_items, ${MONEY("l_extendedprice")} AS rev
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_schema_evolution" ->
+      s"""SELECT CASE WHEN o_orderdate >= DATE '1995-01-01' THEN o_orderpriority
+         |    ELSE '(pre-schema)' END AS priority,
+         |  COUNT(*) AS n_orders, ${MONEY("o_totalprice")} AS rev
+         |FROM orders GROUP BY 1 ORDER BY priority""".stripMargin,
 
     "q_partitioned_scan" ->
       s"""SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users,

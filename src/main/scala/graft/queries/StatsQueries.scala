@@ -158,6 +158,34 @@ object StatsQueries {
     // Salted fact-dim join: dimension replicated SkewSalts×, fact salted by
     // a deterministic row hash — a hot o_orderkey's lineitems spread across
     // SkewSalts tasks. Result == the plain join (the oracle).
+    // Group-wise z-score normalization — the feature-scaling pass every
+    // training pipeline runs before mixing scores across strata. Two-phase:
+    // (1) one partial→final aggregate collapses each segment to exact
+    // integer moments (n, Σx, Σx² in cents — the same algebraic-sum
+    // discipline as q_corr_stats, so 100 TB row counts can't drift a
+    // float); (2) the metadata-sized stats table (|segments| rows) joins
+    // back BROADCAST, so the fact side never reshuffles — at 100 TB the
+    // normalization costs one scan plus one aggregate, not a repartition.
+    // Doubles only in the final per-row formula, mirrored in the oracle;
+    // population variance (÷n) keeps the formula total for 1-row groups.
+    "q_zscore" -> { (s, dir) =>
+      val c = Tables(s, dir, "customer")
+        .select(col("c_custkey").cast("long").as("custkey"),
+          col("c_mktsegment").as("segment"), cents(col("c_acctbal")).as("xc"))
+      val dec = "decimal(38,0)"
+      val st = c.groupBy(col("segment"))
+        .agg(count(lit(1)).as("n"), sum(col("xc").cast(dec)).as("sx"),
+          sum((col("xc") * col("xc")).cast(dec)).as("sxx"))
+      val nD = col("n").cast("double")
+      val mean = col("sx").cast("double") / nD
+      val sd = sqrt(col("sxx").cast("double") / nD - mean * mean)
+      val stats = st.select(col("segment"), mean.as("mean_c"), sd.as("sd_c"))
+      c.join(broadcast(stats), "segment")
+        .select(col("custkey"), col("segment"),
+          ((col("xc").cast("double") - col("mean_c")) / col("sd_c")).as("z"))
+        .orderBy("custkey")
+    },
+
     "q_skew_join" -> { (s, dir) =>
       val l = Tables(s, dir, "lineitem")
         .withColumn("salt",
@@ -267,8 +295,32 @@ object StatsQueries {
          |WHERE p.key IS NULL OR n.key IS NULL OR p.c <> n.c
          |ORDER BY key""".stripMargin,
 
+    // identical IEEE expression tree: mean once in a CTE, reused — so the
+    // double z values hash bit-exactly.
+    "q_zscore" ->
+      s"""WITH c AS (
+         |  SELECT CAST(c_custkey AS BIGINT) AS custkey,
+         |    c_mktsegment AS segment, ${CENTS("c_acctbal")} AS xc
+         |  FROM customer),
+         |st AS (
+         |  SELECT segment, COUNT(*) AS n,
+         |    SUM(CAST(xc AS HUGEINT)) AS sx,
+         |    SUM(CAST(xc AS HUGEINT) * xc) AS sxx
+         |  FROM c GROUP BY segment),
+         |m AS (
+         |  SELECT segment,
+         |    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_c,
+         |    sqrt(CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+         |      - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+         |        * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) AS sd_c
+         |  FROM st)
+         |SELECT c.custkey, c.segment,
+         |  (CAST(c.xc AS DOUBLE) - m.mean_c) / m.sd_c AS z
+         |FROM c JOIN m USING (segment)
+         |ORDER BY custkey""".stripMargin,
+
     "q_skew_join" ->
-      s"""SELECT o_orderstatus, COUNT(*) AS n_items,
+s"""SELECT o_orderstatus, COUNT(*) AS n_items,
          |  ${MONEY("l_extendedprice")} AS rev
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)

@@ -128,6 +128,27 @@ object TextQueries {
           "de" -> 150L)).orderBy("lang")
     },
 
+    // Hashed-linear classifier inference (TextOps.classify): the
+    // quality-gate shape — per-token weight lookup + per-doc sum, one typed
+    // map, zero shuffles; frozen md5 weights keep it oracle-replayable.
+    "text_classify" -> { (s, dir) =>
+      TextOps.classify(Tables(s, dir, "documents")).orderBy("doc_id")
+    },
+
+    // Deterministic exact-k per-language sample (TextOps.sampleK): bounded
+    // partial→final min-k by portable hash — eval-set carving without a
+    // ranking window over the language.
+    "q_sample_k" -> { (s, dir) =>
+      TextOps.sampleK(Tables(s, dir, "documents"), "lang", 7)
+    },
+
+    // Per-domain cap (TextOps.domainCap): top-k docs per source by
+    // (n_chars desc, doc_id) through the pairs aggregator — the hot-host
+    // guard; a flooding domain folds to ≤ k rows per map task.
+    "q_domain_cap" -> { (s, dir) =>
+      TextOps.domainCap(Tables(s, dir, "documents"), 5)
+    },
+
     // Gopher-style repetition filter (TextOps.repetition): top-bigram
     // fraction + duplicate-5-gram fraction per doc, flagged at the published
     // thresholds — all per-doc, one typed map, nothing shuffled by gram.
@@ -482,6 +503,39 @@ object TextQueries {
          |        / CAST(f5.n5 AS DOUBLE) END AS dup5_frac
          |  FROM n LEFT JOIN t2 USING (doc_id) LEFT JOIN f5 USING (doc_id))
          |ORDER BY doc_id""".stripMargin,
+
+    // the frozen hashed-weight model replayed per token occurrence; SUM of
+    // BIGINT is HUGEINT in DuckDB, so the final CASTs pin the schema.
+    "text_classify" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, unnest(${TOKENS("text")}) AS tok FROM documents),
+         |s AS (
+         |  SELECT doc_id, COUNT(*) AS n_tokens,
+         |    SUM(${MD5LONG("tok")} % 2001 - 1000) AS score
+         |  FROM t GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CAST(COALESCE(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+         |  CAST(COALESCE(s.score, 0) AS BIGINT) AS score,
+         |  CAST(COALESCE(s.score, 0) AS BIGINT) > 0 AS keep
+         |FROM documents d LEFT JOIN s USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    // the row_number form the bounded min-k aggregator is proven equal to
+    "q_sample_k" ->
+      s"""SELECT lang, rnk, doc_id FROM (
+         |  SELECT lang, doc_id,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY ${MD5LONG("CAST(doc_id AS VARCHAR)")}, doc_id) AS rnk
+         |  FROM documents)
+         |WHERE rnk <= 7 ORDER BY lang, rnk""".stripMargin,
+
+    "q_domain_cap" ->
+      s"""SELECT source, rnk, doc_id, n_chars FROM (
+         |  SELECT source, doc_id, n_chars,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY n_chars DESC, doc_id) AS rnk
+         |  FROM documents)
+         |WHERE rnk <= 5 ORDER BY source, rnk""".stripMargin,
 
     "text_token_hist" ->
       s"""WITH d AS (
