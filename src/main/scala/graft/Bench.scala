@@ -27,7 +27,15 @@ object Bench {
     // aggregate, timing less work than the Verify path pays.
     val failed = scala.collection.mutable.ListBuffer.empty[String]
     var sinceGc = 0
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // dev-loop filter: SPARK_GRAFT_ONLY=q1,q2 times just those queries.
+    // The driver never sets it, so the contract output is unchanged.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
+      case None => SparkEntry.queries
+    }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch {

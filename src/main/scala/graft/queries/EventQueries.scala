@@ -139,6 +139,31 @@ object EventQueries {
     // SCD2 temporal dimension (EventOps.scd2): each user's props.k change
     // stream becomes versioned validity intervals — one exchange, lag-filter
     // + lead-close sharing it. The latest version stays open (is_current).
+    // Cohort retention — the other canonical event-analytics aggregate
+    // (alongside funnel/sessionize): users bucketed by first-seen week,
+    // counted per weeks-since-cohort offset. Scale shape: (1) per-user
+    // first-touch MIN folds partial→final; (2) active (user, week) cells
+    // come from a partial→final distinct — both shuffles are keyed on
+    // user_id, so AQE plans ONE co-partitioned join between them (no
+    // broadcast needed: both sides are user-cardinality, which at 100 TB is
+    // billions — the equi-join on the shared key is the right plan); (3)
+    // the final (cohort, offset) aggregate lands on a weeks² domain —
+    // metadata-sized. Week arithmetic is integer division on micros (no
+    // calendar/timezone edge cases to drift between engines).
+    "q_retention" -> { (s, dir) =>
+      val e = events(s, dir).select(col("user_id"), col("ts_us"))
+      val first = e.groupBy(col("user_id"))
+        .agg(min(col("ts_us")).as("first_us"))
+        .select(col("user_id"),
+          expr("first_us div 604800000000").as("cohort_wk"))
+      val active = e.select(col("user_id"),
+        expr("ts_us div 604800000000").as("wk")).distinct()
+      active.join(first, "user_id")
+        .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("offset_wk"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_wk", "offset_wk")
+    },
+
     "q_scd2" -> { (s, dir) =>
       val ch = events(s, dir)
         .select(col("user_id"), col("event_id"), col("ts_us"),
@@ -287,6 +312,18 @@ object EventQueries {
          |  UNION ALL SELECT 'click', 2, (SELECT COUNT(*) FROM s2)
          |  UNION ALL SELECT 'purchase', 3, (SELECT COUNT(*) FROM s3))
          |ORDER BY lvl""".stripMargin,
+
+    "q_retention" ->
+      s"""WITH e AS (
+         |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+         |f AS (
+         |  SELECT user_id, MIN(ts_us) // 604800000000 AS cohort_wk
+         |  FROM e GROUP BY user_id),
+         |a AS (SELECT DISTINCT user_id, ts_us // 604800000000 AS wk FROM e)
+         |SELECT f.cohort_wk, a.wk - f.cohort_wk AS offset_wk,
+         |  COUNT(*) AS n_users
+         |FROM a JOIN f USING (user_id)
+         |GROUP BY 1, 2 ORDER BY cohort_wk, offset_wk""".stripMargin,
 
     "q_scd2" ->
       s"""WITH e AS (

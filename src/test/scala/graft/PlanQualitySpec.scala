@@ -271,6 +271,34 @@ class PlanQualitySpec extends SparkTestBase {
       s"aggregate-before-join inverted:\n$fin")
   }
 
+  test("text_classify: inference is map-only — no aggregation shuffle at all") {
+    // the classifier is a per-doc map (tokenize, hash, sum); the only
+    // exchange allowed is the final presentation sort's range partitioning
+    val p = planOf(SparkEntry.queries("text_classify")(spark, sf))
+    assert(!p.contains("hashpartitioning"),
+      s"classifier inference gained a shuffle:\n$p")
+  }
+
+  test("q_zscore: stats join back broadcast; moment sums fold map-side") {
+    val p = planOf(SparkEntry.queries("q_zscore")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-group stats not broadcast back:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"normalization join degraded to SMJ (fact reshuffle):\n$p")
+    assert(p.contains("partial_sum"), s"moments lost partial phase:\n$p")
+  }
+
+  test("q_sample_k / q_domain_cap rank via bounded aggregates, not windows") {
+    for ((q, agg) <- Seq("q_sample_k" -> "partial_topkaggregator",
+        "q_domain_cap" -> "partial_topkpairsaggregator")) {
+      val p = planOf(SparkEntry.queries(q)(spark, sf))
+      assert(!p.contains("windowspecdefinition"),
+        s"$q ranks through a window (hot group -> one task):\n$p")
+      assert(p.toLowerCase.contains(agg),
+        s"$q lost its bounded partial top-k phase:\n$p")
+    }
+  }
+
   test("no unintended cartesian products anywhere in the query set") {
     // sim_topk/sim_ann_ivf intentionally cross-join against broadcast
     // centroid/query sets; everything else must be key-joined.
