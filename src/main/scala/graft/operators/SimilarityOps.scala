@@ -270,6 +270,40 @@ object SimilarityOps {
         .select(col("qid"), col("vec_id").as("nbr_id"), col("cos")), k)
   }
 
+  /** Global most-similar pairs across the corpus — the "show me the most
+    * redundant content overall" report, not a per-query search. Candidates
+    * are single-table LSH bucket collisions: an unordered pair can meet in
+    * exactly one bucket (its shared signature), so no dedup pass is needed;
+    * scoring is the exact integer-dot cosine. The global top-k reduces via
+    * TakeOrdered — every partition keeps only its k best pairs and the
+    * driver merges partitions·k rows — so nothing pair-sized is ever
+    * globally sorted or shuffled. Bucket skew has the same Σ bucket² regime
+    * as every bucket self-join here (grid-distribute via [[nearDupPairs]]'
+    * pattern if a bucket goes hot). Pair ids must fit 31 bits (packed
+    * tiebreak); ranking ties break on (vec_a, vec_b). */
+  def globalTopPairs(encoded: DataFrame, planes: Seq[Seq[Long]],
+      k: Int): DataFrame = {
+    val b = encoded.withColumn("bucket", lshBucket(col("iv"), planes))
+    val l = b.select(col("bucket"), col("vec_id").as("vec_a"),
+      col("iv").as("ia"), col("nrm").as("na"))
+    val r = b.select(col("bucket"), col("vec_id").as("vec_b"),
+      col("iv").as("ib"), col("nrm").as("nb"))
+    val scored = l.join(r, Seq("bucket"))
+      .where(col("vec_a") < col("vec_b"))
+      .withColumn("cos",
+        cosine(graft.functions.ArrayExprs.dot(col("ia"), col("ib")),
+          col("na"), col("nb")))
+      .select(col("vec_a"), col("vec_b"), col("cos"))
+    val top = scored
+      .orderBy(col("cos").desc, col("vec_a"), col("vec_b")).limit(k)
+    // rank annotation runs over the already-reduced k rows only
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cos").desc, col("vec_a"), col("vec_b"))
+    top.withColumn("rnk", row_number().over(w).cast("long"))
+      .select(col("rnk"), col("vec_a"), col("vec_b"), col("cos"))
+      .orderBy("rnk")
+  }
+
   /** Exact cosine near-dup pairs within `blockCol` groups, grid-distributed.
     *
     * Exact all-pairs within a block is inherently Σ per-block² work — no

@@ -442,6 +442,44 @@ object TextOps {
         sum(col("n_distinct")).as("total_distinct"))
   }
 
+  /** Per-doc tf-idf keyword extraction: the top `k` most characteristic
+    * terms of every document — the feature every search/tagging/clustering
+    * pipeline derives first. Idf uses the whole-BIT discipline of
+    * [[infoScore]] (idf_bits = bits(N) − bits(df), bits = `length(bin x)` =
+    * ⌊log₂⌋+1): the score tf·idf_bits stays an exact INTEGER, so ranking is
+    * bit-replayable by any engine — no ln()/float-idf drift, identical plan
+    * shape to the real thing.
+    *
+    * Scale shape: the (doc_id, token, tf) pairs aggregate is checkpointed
+    * once and feeds BOTH the df table and the scoring join (never
+    * re-tokenize). The df join is token-keyed (AQE skew-split absorbs
+    * stopwords); N is a single-row broadcast. The final ranking window
+    * partitions by doc_id — corpus-cardinality keys whose partitions are
+    * bounded by a DOC's distinct-term count, so there is no hot partition
+    * by construction (unlike a window over a low-cardinality key, which
+    * the repo bans). */
+  def tfidfTopTerms(docs: DataFrame, k: Int): DataFrame = {
+    val pairs = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val df = pairs.groupBy("token").agg(count(lit(1)).as("df"))
+    val nd = docs.agg(count(lit(1)).as("nd"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("token"))
+    pairs.join(df, "token")
+      .crossJoin(broadcast(nd))
+      .withColumn("score",
+        col("tf") * (length(bin(col("nd"))) - length(bin(col("df")))).cast("long"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+      .select(col("doc_id"), col("rnk"), col("token"), col("tf"),
+        col("df"), col("score"))
+      .orderBy("doc_id", "rnk")
+  }
+
   /** Hashed-linear text-classifier INFERENCE — the fasttext-shaped quality
     * gate every web-scale corpus passes through (keep/drop by a linear score
     * over hashed token features). The model here is the hashing trick taken

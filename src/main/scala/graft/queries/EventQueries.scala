@@ -139,6 +139,27 @@ object EventQueries {
     // SCD2 temporal dimension (EventOps.scd2): each user's props.k change
     // stream becomes versioned validity intervals — one exchange, lag-filter
     // + lead-close sharing it. The latest version stays open (is_current).
+    // Incremental re-aggregation — the append-only-metrics pattern at
+    // 100 TB: per-day PARTIAL aggregates (count + exact cents sum — both
+    // algebraic, hence mergeable without raw data) are persisted write-once
+    // per ingest day; the weekly report merges day-sized partials and never
+    // rescans events. Late data re-derives only its day's partial.
+    "q_reaggregate" -> { (s, dir) =>
+      val tmp =
+        s"/root/repo/target/tmp/daily_partials-${new java.io.File(dir).getName}"
+      graft.sources.Sinks.ensureDir(s, tmp, "v1:day,event_type,n,cents") {
+        events(s, dir)
+          .groupBy(expr("ts_us div 86400000000").as("day"), col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("c"))
+          .write.mode("overwrite").parquet(tmp)
+      }
+      s.read.parquet(tmp)
+        .groupBy(expr("day div 7").as("wk"), col("event_type"))
+        .agg(sum(col("n")).as("n_events"),
+          (sum(col("c")).cast("double") / lit(100.0)).as("val_sum"))
+        .orderBy("wk", "event_type")
+    },
+
     // Cohort retention — the other canonical event-analytics aggregate
     // (alongside funnel/sessionize): users bucketed by first-seen week,
     // counted per weeks-since-cohort offset. Scale shape: (1) per-user
@@ -312,6 +333,15 @@ object EventQueries {
          |  UNION ALL SELECT 'click', 2, (SELECT COUNT(*) FROM s2)
          |  UNION ALL SELECT 'purchase', 3, (SELECT COUNT(*) FROM s3))
          |ORDER BY lvl""".stripMargin,
+
+    "q_reaggregate" ->
+      s"""WITH e AS (
+         |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+         |    event_type, ${CENTS("\"value\"")} AS c
+         |  FROM events)
+         |SELECT day // 7 AS wk, event_type, COUNT(*) AS n_events,
+         |  CAST(SUM(c) AS DOUBLE) / 100.0 AS val_sum
+         |FROM e GROUP BY 1, 2 ORDER BY wk, event_type""".stripMargin,
 
     "q_retention" ->
       s"""WITH e AS (

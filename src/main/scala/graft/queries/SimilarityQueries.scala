@@ -104,6 +104,13 @@ object SimilarityQueries {
         SimilarityOps.asQueries(v.where(col("vec_id") < 10)), planes, TopK)
     },
 
+    // Global most-similar pairs (SimilarityOps.globalTopPairs): corpus-wide
+    // redundancy report off the same LSH buckets — TakeOrdered global
+    // top-k, nothing pair-sized sorted.
+    "sim_global_topk" -> { (s, dir) =>
+      SimilarityOps.globalTopPairs(vecs(s, dir), planes, 20)
+    },
+
     // OR-amplified LSH over four independent short hyperplane tables: a
     // candidate collides in ANY table (recall 1-(1-p^4)^4 vs the single
     // table's p^6), deduped on the narrow pair before one exact scoring
@@ -267,6 +274,19 @@ object SimilarityQueries {
          |  FROM s)
          |SELECT qid, nbr_id, rnk, cos FROM r WHERE rnk <= $TopK
          |ORDER BY qid, rnk""".stripMargin,
+
+    "sim_global_topk" ->
+      s"""WITH n AS ($normSql),
+         |b AS (SELECT vec_id, iv, nrm, ${bucketSqlFor(planes)} AS bucket FROM n),
+         |s AS (
+         |  SELECT a.vec_id AS vec_a, e.vec_id AS vec_b,
+         |    ${cosSql(dotSql("a.iv", "e.iv"), "a.nrm", "e.nrm")} AS cos
+         |  FROM b a JOIN b e ON a.bucket = e.bucket AND a.vec_id < e.vec_id)
+         |SELECT rnk, vec_a, vec_b, cos FROM (
+         |  SELECT *, CAST(row_number() OVER
+         |    (ORDER BY cos DESC, vec_a, vec_b) AS BIGINT) AS rnk
+         |  FROM s)
+         |WHERE rnk <= 20 ORDER BY rnk""".stripMargin,
 
     "sim_lsh" ->
       s"""WITH n AS ($normSql),

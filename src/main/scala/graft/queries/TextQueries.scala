@@ -128,6 +128,13 @@ object TextQueries {
           "de" -> 150L)).orderBy("lang")
     },
 
+    // tf-idf keyword extraction (TextOps.tfidfTopTerms): top-5 terms per
+    // doc by exact integer tf·idf_bits — the whole-bit idf keeps ranking
+    // engine-portable; window partitions are bounded by doc vocabulary.
+    "text_tfidf" -> { (s, dir) =>
+      TextOps.tfidfTopTerms(Tables(s, dir, "documents"), 5)
+    },
+
     // Hashed-linear classifier inference (TextOps.classify): the
     // quality-gate shape — per-token weight lookup + per-doc sum, one typed
     // map, zero shuffles; frozen md5 weights keep it oracle-replayable.
@@ -503,6 +510,24 @@ object TextQueries {
          |        / CAST(f5.n5 AS DOUBLE) END AS dup5_frac
          |  FROM n LEFT JOIN t2 USING (doc_id) LEFT JOIN f5 USING (doc_id))
          |ORDER BY doc_id""".stripMargin,
+
+    "text_tfidf" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, unnest(${TOKENS("text")}) AS token FROM documents),
+         |p AS (SELECT doc_id, token, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+         |d AS (SELECT token, COUNT(*) AS df FROM p GROUP BY token),
+         |n AS (SELECT COUNT(*) AS nd FROM documents),
+         |s AS (
+         |  SELECT p.doc_id, p.token, CAST(p.tf AS BIGINT) AS tf,
+         |    CAST(d.df AS BIGINT) AS df,
+         |    CAST(p.tf * (length(bin(n.nd)) - length(bin(d.df))) AS BIGINT)
+         |      AS score
+         |  FROM p JOIN d USING (token) CROSS JOIN n)
+         |SELECT doc_id, rnk, token, tf, df, score FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY score DESC, token) AS rnk
+         |  FROM s)
+         |WHERE rnk <= 5 ORDER BY doc_id, rnk""".stripMargin,
 
     // the frozen hashed-weight model replayed per token occurrence; SUM of
     // BIGINT is HUGEINT in DuckDB, so the final CASTs pin the schema.

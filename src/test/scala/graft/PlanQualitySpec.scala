@@ -299,6 +299,22 @@ class PlanQualitySpec extends SparkTestBase {
     }
   }
 
+  test("sim_global_topk: global top-k is TakeOrdered, never a full sort") {
+    // per-partition k-row heads merged on the driver — a global Sort of the
+    // pair-sized candidate set would shuffle and order Σ bucket² rows
+    val p = planOf(SparkEntry.queries("sim_global_topk")(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"global top-k lost its bounded TakeOrdered form:\n$p")
+  }
+
+  test("q_reaggregate: the weekly merge reads partials, not raw events") {
+    val p = planOf(SparkEntry.queries("q_reaggregate")(spark, sf))
+    assert(p.contains("daily_partials-"),
+      s"weekly merge not reading the persisted partial sink:\n$p")
+    assert(!p.contains("events.parquet"),
+      s"weekly merge rescans raw events:\n$p")
+  }
+
   test("no unintended cartesian products anywhere in the query set") {
     // sim_topk/sim_ann_ivf intentionally cross-join against broadcast
     // centroid/query sets; everything else must be key-joined.
