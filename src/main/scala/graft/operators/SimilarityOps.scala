@@ -304,6 +304,55 @@ object SimilarityOps {
       .orderBy("rnk")
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al., "SemDeDup: Data-efficient
+    * learning at web-scale through semantic deduplication", arXiv:2303.09540):
+    * k-means cells bound the quadratic pair search. Every vector is assigned
+    * to its nearest trained centroid (the same 12-byte-per-vector argmin
+    * aggregate as [[kmeansStats]]), and exact cosine pairs are generated
+    * only WITHIN a cell via [[nearDupPairs]]' grid-distributed self-join
+    * (a hot cell spans gridWidth² tasks). Verdict per vector: `keep` = no
+    * same-cell duplicate (cos ≥ minCos) with a smaller vec_id — the
+    * deterministic keep-lowest-id rule (the paper keeps the member closest
+    * to the centroid; lowest-id is the hash-gateable equivalent with the
+    * same dedup factor) — plus the duplicate-neighbor count as telemetry.
+    *
+    * Scale: pair work is Σ cell², the regime the clustering exists to
+    * bound — at 100 TB raise k so cells stay bounded (the paper runs
+    * k ≈ √n); assignment and both verdict aggregates are partial→final;
+    * nothing corpus-sized is sorted or windowed. The cell table is
+    * localCheckpoint'ed because it fans into the pair join (twice, as both
+    * sides) and the final roster. */
+  def semDedup(encoded: DataFrame, centroids: DataFrame, minCos: Double,
+      gridWidth: Int): DataFrame = {
+    val asg = encoded.crossJoin(broadcast(centroids))
+      .withColumn("dist",
+        graft.functions.ArrayExprs.l2sq(col("iv"), col("civ")))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("dist"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cid"))
+    val cells = encoded.select(col("vec_id"), col("iv"), col("nrm"))
+      .join(asg, "vec_id")
+      .select(col("cid").cast("long").as("cell"), col("vec_id"), col("iv"),
+        col("nrm"))
+      .localCheckpoint()
+    // dup-pair graph is near-dup-sized (tiny vs the corpus); checkpoint it
+    // once — it fans into the neighbor count and the drop set
+    val pairs = nearDupPairs(cells, minCos, "cell", gridWidth)
+      .select(col("vec_a"), col("vec_b")).localCheckpoint()
+    val nbr = pairs.select(col("vec_a").as("vec_id"))
+      .union(pairs.select(col("vec_b").as("vec_id")))
+      .groupBy(col("vec_id")).agg(count(lit(1)).as("n_dup_nbrs"))
+    val dropped = pairs.select(col("vec_b").as("vec_id")).distinct()
+      .withColumn("_drop", lit(true))
+    cells.select(col("vec_id"), col("cell"))
+      .join(nbr, Seq("vec_id"), "left")
+      .join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("n_dup_nbrs"), lit(0L)).as("n_dup_nbrs"),
+        col("_drop").isNull.as("keep"))
+      .orderBy("vec_id")
+  }
+
   /** Exact cosine near-dup pairs within `blockCol` groups, grid-distributed.
     *
     * Exact all-pairs within a block is inherently Σ per-block² work — no

@@ -130,6 +130,17 @@ object SimilarityQueries {
         blockCol = "label", gridWidth = 4)
     },
 
+    // SemDeDup: semantic dedup bounded by the trained k-means cells
+    // (SimilarityOps.semDedup) — assignment bounds the pair search to
+    // Σ cell², within-cell pairs reuse the grid-distributed exact join,
+    // keep = no smaller-id duplicate at cos ≥ 0.3 in the cell.
+    "sim_semdedup" -> { (s, dir) =>
+      import s.implicits._
+      val v = vecs(s, dir)
+      SimilarityOps.semDedup(v, trainCentroids(v).toDF("cid", "civ"),
+        minCos = 0.3, gridWidth = 4)
+    },
+
     // k-means clustering surfaced directly (SimilarityOps.kmeansStats): the
     // pinned-schedule centroids, full-corpus assignment, per-cell size +
     // exact integer inertia — the cluster-balance telemetry an IVF index
@@ -329,6 +340,33 @@ object SimilarityQueries {
          |SELECT qid, nbr_id, rnk, cos FROM r WHERE rnk <= $TopK
          |ORDER BY qid, rnk""".stripMargin
     },
+
+    // same kmeansSql CTE chain as sim_ann_ivf/sim_kmeans; pairs are the
+    // within-cell cos ≥ 0.3 join (vec_a < vec_b), keep = never a vec_b.
+    "sim_semdedup" ->
+      s"""WITH n AS ($normSql),
+         |$kmeansSql,
+         |asg AS (
+         |  SELECT vec_id, iv, nrm, cid FROM (
+         |    SELECT n.vec_id, n.iv, n.nrm, c.cid, row_number() OVER
+         |      (PARTITION BY n.vec_id
+         |       ORDER BY ${l2Sql("n.iv", "c.civ")}, c.cid) AS arn
+         |    FROM n, cf c)
+         |  WHERE arn = 1),
+         |p AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |  WHERE ${cosSql(dotSql("a.iv", "b.iv"), "a.nrm", "b.nrm")} >= 0.3),
+         |cnt AS (
+         |  SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_dup_nbrs FROM (
+         |    SELECT vec_a AS vec_id FROM p
+         |    UNION ALL SELECT vec_b AS vec_id FROM p)
+         |  GROUP BY vec_id)
+         |SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cell,
+         |  COALESCE(c.n_dup_nbrs, 0) AS n_dup_nbrs,
+         |  a.vec_id NOT IN (SELECT vec_b FROM p) AS keep
+         |FROM asg a LEFT JOIN cnt c ON a.vec_id = c.vec_id
+         |ORDER BY a.vec_id""".stripMargin,
 
     // same kmeansSql CTE chain; the assignment argmin (l2 asc, cid asc)
     // mirrors the min(struct) aggregate; inertia summed as DECIMAL(38,0)

@@ -47,6 +47,56 @@ class IvfRecallSpec extends SparkTestBase {
     assert(rm > 0.3, s"multi-table recall collapsed: $rm")
   }
 
+  test("semDedup matches the in-memory model (assign, pair, keep-lowest-id)") {
+    val rows = Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), intVec(col("embedding")).as("iv"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+      .sortBy(_._1)
+    val cents = graft.queries.SimilarityQueries.trainCentroids(
+      Tables(spark, sf, "embeddings")
+        .select(col("vec_id"), intVec(col("embedding")).as("iv")))
+      .map { case (cid, civ) => (cid, civ.toArray) }
+    // assign: argmin l2, tie -> smaller cid (cents ascend by cid, strict <)
+    def cellOf(iv: Array[Long]): Int = {
+      var best = -1; var bd = Long.MaxValue
+      cents.foreach { case (cid, civ) =>
+        var d = 0L; var i = 0
+        while (i < iv.length) { val t = iv(i) - civ(i); d += t * t; i += 1 }
+        if (d < bd) { bd = d; best = cid }
+      }
+      best
+    }
+    val byCell = rows.groupBy { case (_, iv) => cellOf(iv) }
+    def nrm(a: Array[Long]): Long = a.map(x => x * x).sum
+    val expDropped = scala.collection.mutable.Set.empty[Long]
+    val expNbrs = scala.collection.mutable.Map.empty[Long, Long]
+    byCell.values.foreach { vs =>
+      for (i <- vs.indices; j <- (i + 1) until vs.length) {
+        val (ida, ia) = vs(i); val (idb, ib) = vs(j)
+        var d = 0L; var k = 0
+        while (k < ia.length) { d += ia(k) * ib(k); k += 1 }
+        val cos = d.toDouble / math.sqrt(nrm(ia).toDouble * nrm(ib).toDouble)
+        if (cos >= 0.3) {
+          val (lo, hi) = if (ida < idb) (ida, idb) else (idb, ida)
+          expDropped += hi
+          expNbrs.update(lo, expNbrs.getOrElse(lo, 0L) + 1L)
+          expNbrs.update(hi, expNbrs.getOrElse(hi, 0L) + 1L)
+        }
+      }
+    }
+    val got = SparkEntry.queries("sim_semdedup")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(got.length == rows.length)
+    got.foreach { case (id, cell, nDup, keep) =>
+      val iv = rows.find(_._1 == id).get._2
+      assert(cell == cellOf(iv).toLong, s"vec $id wrong cell")
+      assert(nDup == expNbrs.getOrElse(id, 0L), s"vec $id wrong n_dup_nbrs")
+      assert(keep == !expDropped.contains(id), s"vec $id wrong keep verdict")
+    }
+    assert(expDropped.nonEmpty, "fixture produced no drops — test is vacuous")
+  }
+
   test("IVF probe search keeps recall vs exact brute-force top-k") {
     val exact = topkSets("sim_topk")
     val ivf = topkSets("sim_ann_ivf")
