@@ -368,6 +368,69 @@ object TextOps {
           .as("avg_bits"))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al., "CCNet: Extracting
+    * high-quality monolingual datasets from web crawl data", LREC 2020):
+    * per-language head/middle/tail terciles of the unigram self-information
+    * score — the split CCNet uses to keep the head and drop or down-weight
+    * the tail. Per-doc score is [[infoScore]]'s exact whole-bit form,
+    * quantized to integer CENTIBITS-per-token (floor(score/dlen·100) —
+    * one IEEE division+multiply written identically in the oracle).
+    *
+    * The tercile thresholds come from a BOUNDED (lang, centibit) histogram
+    * — never a corpus-sized ranking window (ntile over a lang partition
+    * would put each language's whole corpus on one task): the histogram is
+    * ≤ a few thousand bins per language, its cumulative window runs over
+    * histogram rows only, and the two thresholds per language (smallest bin
+    * with 3·cum ≥ n, resp. ≥ 2n — exact integer comparisons, no ceil)
+    * broadcast back onto the corpus. Docs sharing a threshold bin share a
+    * bucket (peer rows), which keeps the split deterministic on any engine.
+    * Output: per (lang, bucket) doc/token totals and the bucket's centibit
+    * extent.
+    *
+    * On the synthetic fixture the vocabulary is near-uniform (one count
+    * octave), so most docs share the exact 5.00-bits/token bin and the
+    * middle tercile is empty — the ties-share-a-bucket semantics, not a
+    * defect; a Zipf-distributed real corpus spreads across octaves. */
+  def pplBuckets(docs: DataFrame): DataFrame = {
+    val pairs = docs
+      .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "lang", "token")
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val lm = pairs.groupBy("token").agg(sum("tf").as("cnt"))
+    val tot = lm.agg(sum("cnt").as("t"))
+    val bitsT = length(bin(col("t"))).cast("long")
+    val bitsCnt = length(bin(col("cnt"))).cast("long")
+    // checkpointed: fans into the histogram and the bucket assignment
+    val perDoc = pairs.join(lm, "token").crossJoin(broadcast(tot))
+      .groupBy("doc_id", "lang")
+      .agg(sum(col("tf")).as("dlen"),
+        sum(col("tf") * (bitsT - bitsCnt)).as("score_bits"))
+      .select(col("doc_id"), col("lang"), col("dlen"),
+        floor(col("score_bits").cast("double") / col("dlen").cast("double")
+          * lit(100.0)).cast("long").as("cb"))
+      .localCheckpoint()
+    val hist = perDoc.groupBy(col("lang"), col("cb"))
+      .agg(count(lit(1)).as("nh"))
+    val wcum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("cb"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val th = hist.withColumn("cum", sum(col("nh")).over(wcum))
+      .join(hist.groupBy(col("lang")).agg(sum(col("nh")).as("n")), "lang")
+      .groupBy(col("lang"))
+      .agg(min(when(col("cum") * 3 >= col("n"), col("cb"))).as("t1"),
+        min(when(col("cum") * 3 >= col("n") * 2, col("cb"))).as("t2"))
+    perDoc.join(broadcast(th), "lang")
+      .select(col("lang"), col("dlen"), col("cb"),
+        ((col("cb") > col("t1")).cast("long")
+          + (col("cb") > col("t2")).cast("long")).as("ppl_bucket"))
+      .groupBy(col("lang"), col("ppl_bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dlen")).as("tok_sum"),
+        min(col("cb")).as("cb_min"), max(col("cb")).as("cb_max"))
+      .orderBy("lang", "ppl_bucket")
+  }
+
   /** Token-budget mixture sampling — the data-mixing pass that downsamples
     * each language (domain) to hit target mixture weights within an overall
     * token budget. Census: one narrow aggregate (lang → token total). The

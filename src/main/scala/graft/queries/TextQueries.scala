@@ -119,6 +119,13 @@ object TextQueries {
       TextOps.infoScore(Tables(s, dir, "documents")).orderBy("doc_id")
     },
 
+    // CCNet-style head/middle/tail perplexity split (TextOps.pplBuckets):
+    // per-lang terciles of the centibit-quantized info score via bounded
+    // histogram thresholds — never a corpus-sized ranking window.
+    "text_ppl_bucket" -> { (s, dir) =>
+      TextOps.pplBuckets(Tables(s, dir, "documents"))
+    },
+
     // Token-budget mixture sampling (TextOps.mixBudgetSample): census →
     // per-lang ppm rates toward 40/15/15/15/15 weights at a 50% token
     // budget → portable-hash sampling — the data-mixing pass.
@@ -414,6 +421,46 @@ object TextQueries {
          |    / CAST(SUM(p.tf) AS DOUBLE) AS avg_bits
          |FROM pairs p JOIN lm USING (token), tot
          |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin,
+
+    // same LM CTEs as text_infoscore; the tercile thresholds replay the
+    // bounded-histogram cumulative (3·cum ≥ n / ≥ 2n integer comparisons)
+    // and the centibit quantization is the identical IEEE floor formula.
+    "text_ppl_bucket" ->
+      s"""WITH pairs AS (
+         |  SELECT doc_id, lang, t.token, COUNT(*) AS tf
+         |  FROM (SELECT doc_id, lang, unnest(${TOKENS("text")}) AS token
+         |        FROM documents) t
+         |  GROUP BY doc_id, lang, t.token),
+         |lm AS (SELECT token, CAST(SUM(tf) AS BIGINT) AS cnt
+         |       FROM pairs GROUP BY token),
+         |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t FROM lm),
+         |perdoc AS (
+         |  SELECT doc_id, p.lang, CAST(SUM(p.tf) AS BIGINT) AS dlen,
+         |    CAST(floor(
+         |      CAST(SUM(p.tf * (len(bin(tot.t)) - len(bin(lm.cnt)))) AS DOUBLE)
+         |      / CAST(SUM(p.tf) AS DOUBLE) * 100.0) AS BIGINT) AS cb
+         |  FROM pairs p JOIN lm USING (token), tot
+         |  GROUP BY doc_id, p.lang),
+         |hist AS (SELECT lang, cb, COUNT(*) AS nh FROM perdoc GROUP BY lang, cb),
+         |cum AS (SELECT lang, cb,
+         |    SUM(nh) OVER (PARTITION BY lang ORDER BY cb) AS cum
+         |  FROM hist),
+         |nl AS (SELECT lang, COUNT(*) AS n FROM perdoc GROUP BY lang),
+         |th AS (
+         |  SELECT c.lang,
+         |    MIN(CASE WHEN c.cum * 3 >= nl.n THEN c.cb END) AS t1,
+         |    MIN(CASE WHEN c.cum * 3 >= nl.n * 2 THEN c.cb END) AS t2
+         |  FROM cum c JOIN nl USING (lang) GROUP BY c.lang)
+         |SELECT lang, ppl_bucket, COUNT(*) AS n_docs,
+         |  CAST(SUM(dlen) AS BIGINT) AS tok_sum,
+         |  MIN(cb) AS cb_min, MAX(cb) AS cb_max
+         |FROM (
+         |  SELECT p.lang, p.dlen, p.cb,
+         |    CAST((CASE WHEN p.cb > th.t1 THEN 1 ELSE 0 END)
+         |      + (CASE WHEN p.cb > th.t2 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS ppl_bucket
+         |  FROM perdoc p JOIN th USING (lang))
+         |GROUP BY lang, ppl_bucket ORDER BY lang, ppl_bucket""".stripMargin,
 
     // census / budget / ppm-rate arithmetic written as the identical IEEE
     // double formula (floor + literals only — bit-deterministic), then the

@@ -40,6 +40,54 @@ class MixInfoSpec extends SparkTestBase {
     }
   }
 
+  test("pplBuckets matches the in-memory histogram-tercile model") {
+    val lm = scala.collection.mutable.Map.empty[String, Long]
+    corpus.foreach { case (_, _, t) =>
+      Portable.tokensJvm(t).foreach(w => lm(w) = lm.getOrElse(w, 0L) + 1) }
+    val total = lm.values.sum
+    def bits(x: Long) = (64 - java.lang.Long.numberOfLeadingZeros(x)).toLong
+    val perDoc = corpus.flatMap { case (_, lang, t) =>
+      val toks = Portable.tokensJvm(t)
+      if (toks.isEmpty) None
+      else {
+        val dlen = toks.length.toLong
+        val score = toks.map(w => bits(total) - bits(lm(w))).sum
+        Some((lang, dlen,
+          math.floor(score.toDouble / dlen.toDouble * 100.0).toLong))
+      }
+    }
+    val expect = perDoc.groupBy(_._1).flatMap { case (lang, xs) =>
+      val n = xs.size.toLong
+      val hist = xs.groupBy(_._3).view.mapValues(_.size.toLong)
+        .toSeq.sortBy(_._1)
+      var cum = 0L
+      var t1 = Long.MaxValue; var t2 = Long.MaxValue
+      hist.foreach { case (cb, nh) =>
+        cum += nh
+        if (t1 == Long.MaxValue && cum * 3 >= n) t1 = cb
+        if (t2 == Long.MaxValue && cum * 3 >= 2 * n) t2 = cb
+      }
+      xs.groupBy { case (_, _, cb) =>
+        (if (cb > t1) 1L else 0L) + (if (cb > t2) 1L else 0L)
+      }.map { case (b, ys) =>
+        (lang, b) -> (ys.size.toLong, ys.map(_._2).sum,
+          ys.map(_._3).min, ys.map(_._3).max)
+      }
+    }
+    val got = TextOps.pplBuckets(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got === expect)
+    // buckets are score-ordered: extents never overlap within a language
+    got.keys.map(_._1).toSet.foreach { (l: String) =>
+      val bs = got.filter(_._1._1 == l).toSeq.sortBy(_._1._2)
+      bs.sliding(2).foreach {
+        case Seq((_, lo), (_, hi)) => assert(lo._4 < hi._3, s"$l overlap")
+        case _ =>
+      }
+    }
+  }
+
   test("mixBudgetSample matches the in-memory census/rate/membership model") {
     val w = Map("en" -> 400L, "fr" -> 150L, "es" -> 150L, "zh" -> 150L,
       "de" -> 150L)
