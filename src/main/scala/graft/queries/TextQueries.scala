@@ -201,6 +201,35 @@ object TextQueries {
         .orderBy("word")
     },
 
+    // Count-min sketch: the OTHER classic mergeable frequency sketch (point
+    // estimates for any key in fixed memory — d·w counters — where
+    // freqItems keeps only the heavy set). Built distributed (Spark's
+    // treeAggregate-backed stat.countMinSketch, seed pinned), probed
+    // driver-side over the metadata-sized heavy-word set. Gated by the
+    // exact-companion pattern: output rows are the exact counts of words
+    // above support; the boolean asserts BOTH sketch bounds per word —
+    // est ≥ exact (always true, the CMS one-sided guarantee) and
+    // est ≤ exact + ⌊eps·total⌋ (the error bound; deterministic here since
+    // data and seed are pinned). A drifting sketch fails the hash gate.
+    "q_countmin" -> { (s, dir) =>
+      val words = Tables(s, dir, "documents")
+        .select(explode(tokens(col("text"))).as("word"))
+      val eps = 0.001
+      val cms = words.stat.countMinSketch(col("word"), eps, 0.99, 42)
+      val est = udf((w: String) => cms.estimateCount(w))
+      val support = 0.03
+      val counts = words.groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      val total = words.agg(count(lit(1)).as("total"))
+      counts.join(broadcast(total))
+        .where(col("cnt").cast("double") > lit(support) * col("total").cast("double"))
+        .select(col("word"), col("cnt"),
+          (est(col("word")) >= col("cnt") &&
+            est(col("word")) <= col("cnt")
+              + floor(lit(eps) * col("total").cast("double")).cast("long"))
+            .as("cms_ok"))
+        .orderBy("word")
+    },
+
     // Inverted index: per-word document frequency, total term frequency and
     // the 10 smallest posting doc_ids (as a joined string — arrays don't
     // survive the oracle's column-sorted frame compare). The posting head
@@ -298,6 +327,16 @@ object TextQueries {
          |c AS (SELECT word, COUNT(*) AS cnt FROM w GROUP BY word),
          |t AS (SELECT COUNT(*) AS total FROM w)
          |SELECT word, cnt, TRUE AS in_sketch FROM c, t
+         |WHERE CAST(cnt AS DOUBLE) > 0.03 * CAST(total AS DOUBLE)
+         |ORDER BY word""".stripMargin,
+
+    // exact heavy words + literal TRUE: the Spark side's per-word CMS bound
+    // booleans must all come back true or the hash gate fails.
+    "q_countmin" ->
+      s"""WITH w AS (SELECT unnest(t) AS word FROM ($tokFrom)),
+         |c AS (SELECT word, COUNT(*) AS cnt FROM w GROUP BY word),
+         |t AS (SELECT COUNT(*) AS total FROM w)
+         |SELECT word, cnt, TRUE AS cms_ok FROM c, t
          |WHERE CAST(cnt AS DOUBLE) > 0.03 * CAST(total AS DOUBLE)
          |ORDER BY word""".stripMargin,
 
