@@ -257,6 +257,64 @@ object Relational {
         .orderBy("ck")
     },
 
+    // Correlated scalar subqueries — the SQL surface every analyst writes
+    // and Catalyst DECORRELATES: the two per-row subqueries (the customer's
+    // order count and order-value sum) rewrite into one aggregate per
+    // custkey joined back, so the plan runs ONE shuffle over orders instead
+    // of two point queries per row (at 100 TB the naive form is 2n index
+    // lookups that don't exist). "Above the customer's average" compares by
+    // exact integer cross-multiplication (cents·n > Σcents) — no division,
+    // no doubles, so the oracle replays it bit-exactly.
+    "q_correlated" -> { (s, dir) =>
+      val suf = new java.io.File(dir).getName.replace('.', '_')
+      Tables(s, dir, "orders").createOrReplaceTempView(s"orders_cs_$suf")
+      s.sql(
+        s"""SELECT o_orderpriority, COUNT(*) AS n_above,
+           |  (CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)
+           |    / 100.0) AS rev_above
+           |FROM orders_cs_$suf o
+           |WHERE CAST(round(o_totalprice*100) AS BIGINT) *
+           |    (SELECT COUNT(*) FROM orders_cs_$suf i
+           |     WHERE i.o_custkey = o.o_custkey)
+           |  > (SELECT SUM(CAST(round(o_totalprice*100) AS BIGINT))
+           |     FROM orders_cs_$suf i WHERE i.o_custkey = o.o_custkey)
+           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    },
+
+    // GDPR-style erase cascade audit: a deterministic erase list (portable
+    // md5 predicate on custkey — in production, the regulatory request
+    // batch) cascades customer → orders → lineitem, and the report counts
+    // erased/kept rows per table. Scale shape: the erase list is
+    // request-batch-sized, so it BROADCASTS into the orders semi join; the
+    // deleted-order keys (bounded by the batch's order fan-out) broadcast
+    // into the lineitem semi join — the fact tables are never shuffled, and
+    // each is scanned exactly once (the erased/kept split is one
+    // conditional aggregate per table, not two scans).
+    "q_erase_cascade" -> { (s, dir) =>
+      val erased = Tables(s, dir, "customer")
+        .where(pmod(md5Long(col("c_custkey").cast("string")), lit(97)) === 3)
+        .select(col("c_custkey").as("ek"))
+      val o = Tables(s, dir, "orders")
+      val oFlag = o.join(broadcast(erased), o("o_custkey") === col("ek"),
+          "left_outer")
+        .select(col("o_orderkey"), col("ek").isNotNull.as("del"))
+      val oDelKeys = oFlag.where(col("del")).select(col("o_orderkey").as("dk"))
+      val l = Tables(s, dir, "lineitem")
+      val lFlag = l.join(broadcast(oDelKeys), l("l_orderkey") === col("dk"),
+          "left_outer")
+        .select(col("dk").isNotNull.as("del"))
+      val c = Tables(s, dir, "customer")
+        .select((pmod(md5Long(col("c_custkey").cast("string")), lit(97)) === 3)
+          .as("del"))
+      def audit(df: org.apache.spark.sql.DataFrame, tbl: String) =
+        df.agg(sum(when(col("del"), 1L).otherwise(0L)).as("n_erased"),
+          sum(when(col("del"), 0L).otherwise(1L)).as("n_kept"))
+          .select(lit(tbl).as("tbl"), col("n_erased"), col("n_kept"))
+      audit(c, "customer").union(audit(oFlag, "orders"))
+        .union(audit(lFlag, "lineitem"))
+        .orderBy("tbl")
+    },
+
     // scalar function surface: date/string/math over a group-by.
     "q_scalar_funcs" -> { (s, dir) =>
       Tables(s, dir, "orders")
@@ -472,6 +530,47 @@ object Relational {
          |  UNION
          |  SELECT c_custkey FROM customer WHERE c_acctbal < -900
          |) ORDER BY ck""".stripMargin,
+
+    // the IDENTICAL correlated-subquery text: DuckDB decorrelates it the
+    // same way, and the integer cross-multiplication keeps it bit-exact.
+    "q_correlated" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n_above,
+         |  (CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)
+         |    / 100.0) AS rev_above
+         |FROM orders o
+         |WHERE CAST(round(o_totalprice*100) AS BIGINT) *
+         |    (SELECT COUNT(*) FROM orders i WHERE i.o_custkey = o.o_custkey)
+         |  > (SELECT SUM(CAST(round(o_totalprice*100) AS BIGINT))
+         |     FROM orders i WHERE i.o_custkey = o.o_custkey)
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_erase_cascade" ->
+      s"""WITH e AS (SELECT c_custkey FROM customer
+         |  WHERE ${MD5LONG("CAST(c_custkey AS VARCHAR)")} % 97 = 3),
+         |od AS (SELECT o_orderkey FROM orders
+         |  WHERE o_custkey IN (SELECT c_custkey FROM e))
+         |SELECT tbl, n_erased, n_kept FROM (
+         |  SELECT 'customer' AS tbl,
+         |    CAST(SUM(CASE WHEN c_custkey IN (SELECT c_custkey FROM e)
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_erased,
+         |    CAST(SUM(CASE WHEN c_custkey IN (SELECT c_custkey FROM e)
+         |      THEN 0 ELSE 1 END) AS BIGINT) AS n_kept
+         |  FROM customer
+         |  UNION ALL
+         |  SELECT 'orders',
+         |    CAST(SUM(CASE WHEN o_custkey IN (SELECT c_custkey FROM e)
+         |      THEN 1 ELSE 0 END) AS BIGINT),
+         |    CAST(SUM(CASE WHEN o_custkey IN (SELECT c_custkey FROM e)
+         |      THEN 0 ELSE 1 END) AS BIGINT)
+         |  FROM orders
+         |  UNION ALL
+         |  SELECT 'lineitem',
+         |    CAST(SUM(CASE WHEN l_orderkey IN (SELECT o_orderkey FROM od)
+         |      THEN 1 ELSE 0 END) AS BIGINT),
+         |    CAST(SUM(CASE WHEN l_orderkey IN (SELECT o_orderkey FROM od)
+         |      THEN 0 ELSE 1 END) AS BIGINT)
+         |  FROM lineitem)
+         |ORDER BY tbl""".stripMargin,
 
     "q_scalar_funcs" ->
       s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, COUNT(*) AS n_orders,

@@ -315,6 +315,21 @@ class PlanQualitySpec extends SparkTestBase {
       s"weekly merge rescans raw events:\n$p")
   }
 
+  test("q_correlated: scalar subqueries decorrelate into one aggregate join") {
+    val p = planOf(SparkEntry.queries("q_correlated")(spark, sf))
+    // Catalyst rewrites both correlated subqueries into aggregates joined
+    // back on the correlation key — per-row subquery execution would show
+    // as a Subquery/ScalarSubquery node in the physical plan
+    assert(!p.contains("ScalarSubquery"), s"subquery not decorrelated:\n$p")
+    assert(p.contains("partial_"), "decorrelated aggregate lost map-side phase")
+  }
+
+  test("q_erase_cascade: erase batch broadcasts; facts are never shuffled") {
+    val p = planOf(SparkEntry.queries("q_erase_cascade")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), "erase list not broadcast")
+    assert(!p.contains("SortMergeJoin"), "fact table shuffled for the erase join")
+  }
+
   test("no unintended cartesian products anywhere in the query set") {
     // sim_topk/sim_ann_ivf intentionally cross-join against broadcast
     // centroid/query sets; everything else must be key-joined.
