@@ -88,12 +88,22 @@ object SimilarityOps {
     * previous centroid. Fully replayable in SQL — see the sim_ann_ivf
     * oracle's CTE chain. */
   def trainCentroids(encoded: DataFrame, sampleMod: Int, seedBound: Int,
-      iters: Int): Seq[(Int, Seq[Long])] = {
-    val sample = encoded.where(pmod(col("vec_id"), lit(sampleMod)) === 0)
+      iters: Int): Seq[(Int, Seq[Long])] =
+    lloydFit(collectSample(encoded, sampleMod), sampleMod, seedBound, iters)
+
+  /** One deterministic sample pass, shared by [[trainCentroids]] and
+    * [[trainPqCodebooks]] (the PQ fit slices this ONE collected sample per
+    * subspace instead of re-scanning the corpus nSub times). */
+  private def collectSample(encoded: DataFrame,
+      sampleMod: Int): Array[(Long, Array[Long])] =
+    encoded.where(pmod(col("vec_id"), lit(sampleMod)) === 0)
       .select(col("vec_id"), col("iv"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
       .sortBy(_._1)
+
+  private def lloydFit(sample: Array[(Long, Array[Long])], sampleMod: Int,
+      seedBound: Int, iters: Int): Seq[(Int, Seq[Long])] = {
     var cents: Array[(Int, Array[Long])] = sample
       .filter(_._1 < seedBound)
       .map { case (id, iv) => ((id / sampleMod).toInt, iv) }
@@ -385,5 +395,143 @@ object SimilarityOps {
       .select(col(blockCol).cast("long").as(blockCol),
         col("vec_a"), col("vec_b"), col("cos"))
       .orderBy("vec_a", "vec_b")
+  }
+
+  /** Product-quantization codebooks (Jégou, Douze, Schmid, "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011): the d-dim
+    * vector splits into nSub contiguous subspaces and each subspace gets
+    * its own k-means codebook, fit with the SAME deterministic driver-side
+    * Lloyd schedule as [[trainCentroids]] — one sample pass collected once
+    * and sliced per subspace (not nSub corpus scans). Codeword ids are the
+    * positions in the cid-ascending codebook, so codes are dense
+    * [0, |book|). */
+  def trainPqCodebooks(encoded: DataFrame, nSub: Int, sampleMod: Int,
+      seedBound: Int, iters: Int): Seq[Seq[Seq[Long]]] = {
+    val sample = collectSample(encoded, sampleMod)
+    val w = sample.head._2.length / nSub
+    (0 until nSub).map { s =>
+      lloydFit(sample.map { case (id, iv) =>
+          (id, java.util.Arrays.copyOfRange(iv, s * w, (s + 1) * w)) },
+        sampleMod, seedBound, iters)
+        .sortBy(_._1).map(_._2)
+    }
+  }
+
+  /** PQ-encode the corpus: per vector, per subspace, the nearest codeword's
+    * index (ties keep the smaller index — the [[trainCentroids]] argmin
+    * rule), plus the exact squared norm of the RECONSTRUCTION (subspaces
+    * concatenate orthogonally, so it is the sum of the chosen codewords'
+    * squared norms). One typed map, no shuffle; the output is nSub small
+    * ints + a long per vector — at 100 TB this (not the raw embedding
+    * table) is what the search scans: 64 dims × 8 B compress to 8 codes,
+    * the difference between a spilling scan and an in-memory one. */
+  def pqEncode(encoded: DataFrame, books: Seq[Seq[Seq[Long]]]): DataFrame = {
+    val s = encoded.sparkSession
+    import s.implicits._
+    val arr: Array[Array[Array[Long]]] =
+      books.map(_.map(_.toArray).toArray).toArray
+    val nSub = arr.length
+    encoded.select(col("vec_id"), col("iv")).as[(Long, Seq[Long])]
+      .map { case (id, ivSeq) =>
+        val iv = ivSeq.toArray
+        val w = iv.length / nSub
+        val codes = new Array[Int](nSub)
+        var pn = 0L
+        var sub = 0
+        while (sub < nSub) {
+          val cb = arr(sub)
+          var best = 0
+          var bd = Long.MaxValue
+          var c = 0
+          while (c < cb.length) {
+            val cw = cb(c)
+            var d = 0L
+            var i = 0
+            while (i < w) { val t = iv(sub * w + i) - cw(i); d += t * t; i += 1 }
+            if (d < bd) { bd = d; best = c }
+            c += 1
+          }
+          codes(sub) = best
+          val cw = cb(best)
+          var i = 0
+          while (i < w) { pn += cw(i) * cw(i); i += 1 }
+          sub += 1
+        }
+        (id, codes.toSeq, pn)
+      }.toDF("vec_id", "codes", "pnrm")
+  }
+
+  /** Asymmetric-distance (ADC) top-k over the PQ-encoded corpus: each query
+    * precomputes one lookup table lut(sub)(code) = ⟨q_sub, codeword⟩ (exact
+    * longs), so scoring a corpus vector is nSub ADDS instead of d
+    * multiplies — ⟨q, reconstruction(x)⟩ exactly, by linearity of the dot
+    * product over concatenated subspaces. Queries are metadata-sized and
+    * close over the tasks (the typed twin of bruteForceTopK's broadcast);
+    * the scan reads only codes+norm; top-k reduces through the bounded
+    * aggregator. Approximation error comes solely from quantizing the
+    * CORPUS side — the query side is never quantized (that asymmetry is
+    * the paper's point). */
+  def pqTopK(pqCorpus: DataFrame, queries: DataFrame,
+      books: Seq[Seq[Seq[Long]]], k: Int): DataFrame = {
+    val s = pqCorpus.sparkSession
+    import s.implicits._
+    val qs: Array[(Long, Array[Long], Long)] = queries
+      .select(col("qid"), col("qiv"), col("qnrm"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2)))
+      .sortBy(_._1)
+    val arr: Array[Array[Array[Long]]] =
+      books.map(_.map(_.toArray).toArray).toArray
+    val nSub = arr.length
+    // lut(q)(sub)(code): exact subspace dot products, built once per task
+    val luts: Array[Array[Array[Long]]] = qs.map { case (_, qiv, _) =>
+      val w = qiv.length / nSub
+      Array.tabulate(nSub) { sub =>
+        arr(sub).map { cw =>
+          var d = 0L
+          var i = 0
+          while (i < w) { d += qiv(sub * w + i) * cw(i); i += 1 }
+          d
+        }
+      }
+    }
+    val scored = pqCorpus.select(col("vec_id"), col("codes"), col("pnrm"))
+      .as[(Long, Seq[Int], Long)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, codesSeq, pn) =>
+          val codes = codesSeq.toArray
+          qs.indices.iterator.collect {
+            case qi if qs(qi)._1 != id =>
+              val lut = luts(qi)
+              var adc = 0L
+              var sub = 0
+              while (sub < nSub) { adc += lut(sub)(codes(sub)); sub += 1 }
+              (qs(qi)._1, id,
+                adc.toDouble / math.sqrt(qs(qi)._3.toDouble * pn.toDouble))
+          }
+        }
+      }.toDF("qid", "nbr_id", "cos")
+    topKPerQuery(scored, k)
+  }
+
+  /** Full PQ search: ADC shortlist over the compressed scan, then ONE exact
+    * scoring pass over only the shortlisted candidates (|Q|·shortlist rows
+    * — metadata-sized next to the corpus) and the bounded final top-k. This
+    * is the standard two-stage ANN shape (compressed scan recalls, exact
+    * re-rank orders): ADC alone cannot separate near-tie cosines once
+    * quantization error exceeds the rank-k margins, but it only has to KEEP
+    * the true neighbors in a shortlist 10·k deep, which it does at a
+    * fraction of the corpus scan bytes. Same candidate-then-verify plan
+    * shape as [[lshTopKMulti]]. */
+  def pqSearch(corpus: DataFrame, pqCorpus: DataFrame, queries: DataFrame,
+      books: Seq[Seq[Seq[Long]]], k: Int, shortlist: Int): DataFrame = {
+    val cand = pqTopK(pqCorpus, queries, books, shortlist)
+      .select(col("qid"), col("nbr_id"))
+    topKPerQuery(
+      scoreCos(cand
+        .join(corpus.select(col("vec_id").as("nbr_id"), col("iv"),
+          col("nrm")), "nbr_id")
+        .join(broadcast(queries), "qid"))
+        .select(col("qid"), col("nbr_id"), col("cos")), k)
   }
 }

@@ -3,6 +3,7 @@ package graft.queries
 import graft.{Q, Tables}
 import graft.functions.Portable._
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication family for the LLM-data-pipeline layer: exact, n-gram
@@ -269,6 +270,50 @@ object DedupQueries {
       .where(col("n_dup_chunks") > 0)
   }
 
+  /** Maximal duplicated token SPANS — the ExactSubstr form of dedup (Lee et
+    * al., "Deduplicating Training Data Makes Language Models Better", ACL
+    * 2022, which removes repeated substrings rather than whole near-dup
+    * docs). The suffix-array construction the paper uses is single-machine;
+    * the distributed equivalent here is sliding `w`-token shingles: a
+    * position is "duplicated" when its shingle occurs in ≥ 2 distinct docs,
+    * and RUNS of consecutive duplicated positions merge into maximal spans
+    * ([start, start+len) covers every token of the shared substring). A
+    * shared substring of L ≥ w tokens duplicates exactly its L-w+1 shingle
+    * positions, so span_len recovers L exactly — no approximation at
+    * span granularity.
+    *
+    * Scale: the shingle stream shuffles 16-byte (pos, hash) pairs, never
+    * gram text; the dup-set test is min(doc)<max(doc) (algebraic,
+    * partial→final — countDistinct would shuffle doc ids); the run-merge
+    * window partitions by doc_id, bounded by tokens-per-doc, never
+    * corpus-keyed. The stream checkpoints once (fans into dup-set + probe). */
+  def substringSpans(docs: DataFrame, w: Int = 10,
+      minLen: Int = 15): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val sh = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val t = tokensJvm(text)
+        (0 to t.length - w).iterator.map { i =>
+          (id, i.toLong, md5Long60(t.slice(i, i + w).mkString(" ")))
+        }
+      }.toDF("doc_id", "pos", "gh")
+      .localCheckpoint()
+    val dup = sh.groupBy(col("gh"))
+      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      .where(col("mn") < col("mx"))
+      .select(col("gh"))
+    val wnd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    sh.join(dup, Seq("gh"), "left_semi")
+      .withColumn("isl", col("pos") - row_number().over(wnd).cast("long"))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) - min(col("pos")) + w).as("span_len"))
+      .where(col("span_len") >= minLen)
+      .select(col("doc_id"), col("span_start"), col("span_len"))
+      .orderBy("doc_id", "span_start")
+  }
+
   /** Benchmark decontamination check: flags corpus docs sharing ≥ `minShared`
     * distinct word `n`-grams with any document in the benchmark partition
     * (`benchPred`) — the standard eval-leakage scan run before training. Both
@@ -303,6 +348,11 @@ object DedupQueries {
     // Cross-document repeated-chunk (paragraph) dedup; see chunkDedup.
     "dedup_chunk" -> { (s, dir) =>
       chunkDedup(Tables(s, dir, "documents")).orderBy("doc_id")
+    },
+
+    // Maximal duplicated token spans (ExactSubstr-style); see substringSpans.
+    "dedup_substring" -> { (s, dir) =>
+      substringSpans(Tables(s, dir, "documents"))
     },
 
     // Eval-set contamination scan: every 97th doc plays the benchmark.
@@ -533,6 +583,26 @@ object DedupQueries {
          |    THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks
          |FROM c GROUP BY doc_id HAVING n_dup_chunks > 0
          |ORDER BY doc_id""".stripMargin,
+
+    // sliding 10-token shingles via list_slice over a position range; runs
+    // of duplicated positions merge via the pos - row_number island trick.
+    "dedup_substring" ->
+      s"""WITH d AS (SELECT doc_id, ${TOKENS("text")} AS t FROM documents),
+         |c AS (
+         |  SELECT doc_id, i,
+         |    ${MD5LONG("array_to_string(list_slice(t, i+1, i+10), ' ')")} AS gh
+         |  FROM d, LATERAL (SELECT unnest(range(len(t) - 9)) AS i)
+         |  WHERE len(t) >= 10),
+         |dup AS (SELECT gh FROM c GROUP BY gh HAVING min(doc_id) < max(doc_id)),
+         |m AS (
+         |  SELECT doc_id, i,
+         |    i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS isl
+         |  FROM c WHERE gh IN (SELECT gh FROM dup)),
+         |s AS (
+         |  SELECT doc_id, min(i) AS span_start, max(i) - min(i) + 10 AS span_len
+         |  FROM m GROUP BY doc_id, isl)
+         |SELECT doc_id, span_start, span_len FROM s WHERE span_len >= 15
+         |ORDER BY doc_id, span_start""".stripMargin,
 
     // 5-grams via lead() windows per doc; grams hashed with the identical
     // 60-bit md5 so both engines agree even under (negligible) collisions.

@@ -25,11 +25,22 @@ object SimilarityQueries {
   private val KmSampleMod = 4
   private val KmSeedBound = NCells * KmSampleMod // 16 seeds: sampled ids < 64
   private val KmIters = 2
+  // PQ: 16 subspaces of 4 dims, 16 codewords each (same Lloyd schedule per
+  // subspace) — 16 small codes (1 bit/dim) per vector in place of 64 longs;
+  // ADC shortlists 10·k candidates per query for the exact re-rank.
+  private val PqSub = 16
+  private val PqShortlist = 10 * TopK
 
   /** The pinned training schedule bound to [[SimilarityOps.trainCentroids]]
     * (the oracle SQL below replays exactly these parameters). */
   private[graft] def trainCentroids(v: DataFrame): Seq[(Int, Seq[Long])] =
     SimilarityOps.trainCentroids(v, KmSampleMod, KmSeedBound, KmIters)
+
+  /** The pinned PQ training schedule bound to
+    * [[SimilarityOps.trainPqCodebooks]] (16 subspaces, same Lloyd schedule
+    * per subspace as the IVF fit). */
+  private[graft] def trainPq(v: DataFrame): Seq[Seq[Seq[Long]]] =
+    SimilarityOps.trainPqCodebooks(v, PqSub, KmSampleMod, KmSeedBound, KmIters)
 
   // Random-hyperplane LSH: deterministic integer hyperplanes → sign-bit
   // buckets; integer coefficients keep the signature exact on both the
@@ -183,6 +194,40 @@ object SimilarityQueries {
         .agg(min(coalesce(col("nhit"), lit(0L)).cast("double")
           / col("nk").cast("double")).as("min_recall"))
         .select((col("min_recall") >= lit(0.6)).as("quant_ok"))
+      exact.crossJoin(broadcast(ok)).orderBy("qid", "rnk")
+    },
+
+    // Product-quantization ANN (SimilarityOps.trainPqCodebooks / pqEncode /
+    // pqSearch: ADC shortlist over the 16-codes-per-vector compressed scan,
+    // exact re-rank of the shortlist only), gated by the same
+    // exact-companion pattern as sim_quantized: output rows are the exact
+    // brute-force top-k the oracle replays, and the appended boolean
+    // asserts the PQ path's min per-query recall@k stayed ≥ 0.4. PQ is the
+    // aggressive end of the compression spectrum (16 codes/vector vs int8's
+    // 64 bytes — 32× fewer scan bytes than the long-vector form), so its
+    // gate is looser than int8's 0.6: measured min recall@5 on the fixtures
+    // is 0.6 (mean 0.82) at shortlist 10·k; 0.4 leaves one flip of slack
+    // while a broken codebook (shortlist ≈ random, recall ~0.1) still
+    // fails the hash.
+    "sim_pq" -> { (s, dir) =>
+      val v = vecs(s, dir)
+      val exact = SimilarityOps.bruteForceTopK(v,
+        SimilarityOps.asQueries(v.where(col("vec_id") < 10)), TopK)
+        .localCheckpoint()
+      val books = trainPq(v)
+      val codes = SimilarityOps.pqEncode(v, books)
+      val ptop = SimilarityOps.pqSearch(v, codes,
+        SimilarityOps.asQueries(v.where(col("vec_id") < 10)), books,
+        TopK, PqShortlist)
+        .select(col("qid"), col("nbr_id"))
+      val hits = exact.select(col("qid"), col("nbr_id"))
+        .join(ptop, Seq("qid", "nbr_id"))
+        .groupBy(col("qid")).agg(count(lit(1)).as("nhit"))
+      val ok = exact.groupBy(col("qid")).agg(count(lit(1)).as("nk"))
+        .join(hits, Seq("qid"), "left")
+        .agg(min(coalesce(col("nhit"), lit(0L)).cast("double")
+          / col("nk").cast("double")).as("min_recall"))
+        .select((col("min_recall") >= lit(0.4)).as("pq_ok"))
       exact.crossJoin(broadcast(ok)).orderBy("qid", "rnk")
     })
 
@@ -407,5 +452,20 @@ object SimilarityQueries {
          |    (PARTITION BY qid ORDER BY cos DESC, nbr_id) AS BIGINT) AS rnk
          |  FROM s)
          |SELECT qid, nbr_id, rnk, cos, TRUE AS quant_ok FROM r WHERE rnk <= $TopK
+         |ORDER BY qid, rnk""".stripMargin,
+
+    // exact top-k + literal TRUE, as sim_quantized: the Spark side's
+    // PQ/ADC recall boolean must come back true or the hash gate fails.
+    "sim_pq" ->
+      s"""WITH n AS ($normSql),
+         |s AS (
+         |  SELECT q.vec_id AS qid, e.vec_id AS nbr_id,
+         |    ${cosSql(dotSql("q.iv", "e.iv"), "q.nrm", "e.nrm")} AS cos
+         |  FROM n q JOIN n e ON q.vec_id < 10 AND e.vec_id <> q.vec_id),
+         |r AS (
+         |  SELECT qid, nbr_id, cos, CAST(row_number() OVER
+         |    (PARTITION BY qid ORDER BY cos DESC, nbr_id) AS BIGINT) AS rnk
+         |  FROM s)
+         |SELECT qid, nbr_id, rnk, cos, TRUE AS pq_ok FROM r WHERE rnk <= $TopK
          |ORDER BY qid, rnk""".stripMargin)
 }
