@@ -26,6 +26,37 @@ object TextOps {
       .groupBy("word")
       .agg(count(lit(1)).as("cnt"))
 
+  /** RAG-style overlapping token-window chunking: each document splits into
+    * `width`-token chunks every `stride` tokens (stride < width ⇒ adjacent
+    * chunks overlap by width−stride tokens, so a retrieval hit near a chunk
+    * boundary still carries its context). Chunk count is
+    * 1 if len ≤ width else ⌈(len−width)/stride⌉+1 — the last chunk is the
+    * first whose window reaches the document end, so no token is uncovered
+    * and no start position begins past the end (a tail start whose tokens
+    * are already fully covered by the previous chunk is never emitted).
+    *
+    * One typed flatMap, no shuffle: output is (doc_id, chunk_idx, n_tokens,
+    * chunk_text), ~len/stride rows per doc. At 100 TB this is the map-only
+    * pre-pass of an embedding/indexing pipeline — the chunk stream feeds
+    * straight into encode/write without ever aggregating. */
+  def chunk(docs: DataFrame, width: Int = 30, stride: Int = 20): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val t = tokensJvm(text)
+        val n =
+          if (t.length <= width) 1
+          else (t.length - width + stride - 1) / stride + 1
+        (0 until n).iterator.map { i =>
+          val start = i * stride
+          val take = math.min(width, t.length - start)
+          (id, i.toLong, take.toLong,
+            t.slice(start, start + take).mkString(" "))
+        }
+      }.toDF("doc_id", "chunk_idx", "n_tokens", "chunk_text")
+  }
+
   /** Stopword-overlap language ID. One typed map computes every language's
     * score in a single token pass; prediction is argmax with earlier
     * languages winning ties, `unknown` when nothing matches. Output:

@@ -186,6 +186,41 @@ object StatsQueries {
         .orderBy("custkey")
     },
 
+    // Robust outlier detection: per-group exact median + MAD (median
+    // absolute deviation), flag rows with |x − med| > k·MAD — the
+    // data-quality screen that, unlike the z-score, is not itself dragged
+    // by the outliers it hunts. Exact grouped medians are domain-bounded,
+    // not corpus-bounded: Spark's percentile aggregate buffers a
+    // counts-map keyed by DISTINCT cents values (partial→final mergeable),
+    // so a 100 TB fact with a bounded price domain folds map-side — the
+    // same bounded-domain argument as q_collect_set; for genuinely
+    // unbounded domains the approx_percentile twin of the q_approx_quantile
+    // gate is the scale path. The two metadata-sized stats tables
+    // (|priorities| rows) broadcast back; the fact side never reshuffles.
+    // The deviation join is RECOMPUTED for the MAD pass rather than
+    // checkpointed: one extra scan + broadcast join beats materializing a
+    // fact-sized intermediate at 100 TB. Doubles appear only where the
+    // oracle writes the identical expression (interpolated halves/quarters
+    // of exact cents — every value exactly representable).
+    "q_outliers" -> { (s, dir) =>
+      val o = Tables(s, dir, "orders").select(
+        col("o_orderkey").cast("long").as("orderkey"),
+        col("o_orderpriority").as("priority"),
+        cents(col("o_totalprice")).as("price_c"))
+      val med = o.groupBy(col("priority"))
+        .agg(percentile(col("price_c"), lit(0.5)).as("med_c"))
+      val dev = o.join(broadcast(med), "priority")
+        .withColumn("adev",
+          abs(col("price_c").cast("double") - col("med_c")))
+      val mad = dev.groupBy(col("priority"))
+        .agg(percentile(col("adev"), lit(0.5)).as("mad_c"))
+      dev.join(broadcast(mad), "priority")
+        .where(col("adev") > lit(2.0) * col("mad_c"))
+        .select(col("orderkey"), col("priority"), col("price_c"),
+          col("med_c"), col("mad_c"))
+        .orderBy("orderkey")
+    },
+
     "q_skew_join" -> { (s, dir) =>
       val l = Tables(s, dir, "lineitem")
         .withColumn("salt",
@@ -294,6 +329,29 @@ object StatsQueries {
          |FROM prev p FULL OUTER JOIN nxt n ON p.key = n.key
          |WHERE p.key IS NULL OR n.key IS NULL OR p.c <> n.c
          |ORDER BY key""".stripMargin,
+
+    // quantile_cont mirrors Spark's exact interpolated percentile: both
+    // interpolate halves/quarters of exact cents, so every double is
+    // exactly representable and the hash holds bit-exactly.
+    "q_outliers" ->
+      s"""WITH o AS (
+         |  SELECT CAST(o_orderkey AS BIGINT) AS orderkey,
+         |    o_orderpriority AS priority, ${CENTS("o_totalprice")} AS price_c
+         |  FROM orders),
+         |med AS (
+         |  SELECT priority,
+         |    quantile_cont(CAST(price_c AS DOUBLE), 0.5) AS med_c
+         |  FROM o GROUP BY priority),
+         |dev AS (
+         |  SELECT o.orderkey, o.priority, o.price_c, m.med_c,
+         |    abs(CAST(o.price_c AS DOUBLE) - m.med_c) AS adev
+         |  FROM o JOIN med m USING (priority)),
+         |mad AS (SELECT priority, quantile_cont(adev, 0.5) AS mad_c
+         |        FROM dev GROUP BY priority)
+         |SELECT d.orderkey, d.priority, d.price_c, d.med_c, m.mad_c
+         |FROM dev d JOIN mad m USING (priority)
+         |WHERE d.adev > 2.0 * m.mad_c
+         |ORDER BY d.orderkey""".stripMargin,
 
     // identical IEEE expression tree: mean once in a CTE, reused — so the
     // double z values hash bit-exactly.

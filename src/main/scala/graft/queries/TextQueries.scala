@@ -170,6 +170,13 @@ object TextQueries {
       TextOps.repetition(Tables(s, dir, "documents")).orderBy("doc_id")
     },
 
+    // RAG-style overlapping chunking (TextOps.chunk): 30-token windows
+    // every 20 tokens, map-only — the embedding-pipeline pre-pass.
+    "text_chunks" -> { (s, dir) =>
+      TextOps.chunk(Tables(s, dir, "documents"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+
     // Token-length histogram (TextOps.tokenHist): decade buckets per lang —
     // the corpus-telemetry aggregate behind length-filter thresholds.
     "text_token_hist" -> { (s, dir) =>
@@ -554,6 +561,21 @@ object TextQueries {
          |SELECT lang, shard, bin, COUNT(*) AS n_docs,
          |  CAST(SUM(n) AS BIGINT) AS bin_tokens
          |FROM w GROUP BY 1, 2, 3 ORDER BY lang, shard, bin""".stripMargin,
+
+    // chunk starts via a range() lateral bounded by the same
+    // 1-or-ceil((len-30)/20)+1 count formula; slices via list_slice.
+    "text_chunks" ->
+      s"""WITH d AS ($tokFrom),
+         |c AS (
+         |  SELECT doc_id, i AS chunk_idx,
+         |    CAST(least(30, len(t) - i*20) AS BIGINT) AS n_tokens,
+         |    array_to_string(list_slice(t, i*20 + 1, i*20 + 30), ' ')
+         |      AS chunk_text
+         |  FROM d, LATERAL (SELECT unnest(range(
+         |    CASE WHEN len(t) <= 30 THEN 1
+         |         ELSE CAST(ceil((len(t) - 30)/20.0) AS BIGINT) + 1 END)) AS i))
+         |SELECT doc_id, chunk_idx, n_tokens, chunk_text FROM c
+         |ORDER BY doc_id, chunk_idx""".stripMargin,
 
     // lead() windows per doc replay the bigram/5-gram streams; fractions are
     // the identical CAST-to-DOUBLE formulas the typed map computes.
