@@ -80,6 +80,59 @@ object GraphOps {
     labels
   }
 
+  /** Multi-source BFS levels: exact hop distance from a SEED SET over an
+    * undirected edge list — the quality/trust-propagation primitive ("how
+    * many hops from curated seeds is this item") and the crawl-frontier
+    * depth measure. Same min-label flooding discipline as
+    * [[connectedComponents]]: per round one equi-join of the checkpointed
+    * edge list with the reached-node table and one min-aggregate; only
+    * nodes REACHED so far carry rows (the frontier table starts seed-sized,
+    * never node-padded), so early rounds shuffle frontier-sized data, not
+    * graph-sized. Convergence witness is the (count, Σdist) pair of exact
+    * decimal scalars — a round that neither reaches a new node nor lowers a
+    * distance is a fixpoint (labels only ever decrease or appear; Σ alone
+    * could stay flat while a row appears, so BOTH scalars gate). Throws on
+    * maxIter exhaustion like connectedComponents — a silent cap would
+    * return wrong (too-large) distances. Seeds outside the graph surface as
+    * isolated dist-0 rows (they ARE at distance 0 from themselves). */
+  def bfsLevels(edges: DataFrame, sources: DataFrame,
+      maxIter: Int = 50): DataFrame = {
+    val cols = edges.columns
+    val e0 = edges.select(col(cols(0)).cast("long").as("u"),
+      col(cols(1)).cast("long").as("v"))
+    val e = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+      .distinct().localCheckpoint()
+    var labels = sources
+      .select(col(sources.columns(0)).cast("long").as("id"))
+      .distinct()
+      .select(col("id"), lit(0L).as("dist"))
+      .localCheckpoint()
+    def witness(df: DataFrame): (java.math.BigDecimal, java.math.BigDecimal) = {
+      val r = df.agg(count(lit(1)).cast("decimal(38,0)").as("c"),
+        sum(col("dist").cast("decimal(38,0)")).as("s")).head()
+      (r.getDecimal(0), r.getDecimal(1))
+    }
+    var prev = witness(labels)
+    var converged = false
+    var it = 0
+    while (it < maxIter && !converged) {
+      val msgs = e.join(labels, e("v") === labels("id"))
+        .select(e("u").as("id"), (col("dist") + 1L).as("dist"))
+      labels = labels.union(msgs)
+        .groupBy(col("id")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+      val w = witness(labels)
+      converged = w == prev
+      prev = w
+      it += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"bfsLevels did not converge within maxIter=$maxIter rounds " +
+          "(eccentricity exceeds the budget); raise maxIter")
+    labels.select(col("id").as("node"), col("dist"))
+  }
+
   /** PageRank over an undirected edge list in EXACT scaled-integer
     * arithmetic: rank₀ = `scale` per node; each round every node splits
     * floor(rank/deg) along its edges and re-collects

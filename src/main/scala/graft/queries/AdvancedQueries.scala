@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{Q, Tables}
 import graft.functions.Portable._
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
@@ -395,6 +396,24 @@ object AdvancedQueries {
         .limit(100)
     },
 
+    // Multi-source BFS (GraphOps.bfsLevels) on the same co-purchase graph:
+    // exact hop distance from the seed parts (partkey % 97 == 0) — the
+    // trust/quality-propagation distance every curation pipeline scores
+    // ("how far from vetted seeds"). Seeds not in any order surface as
+    // isolated dist-0 rows. Output is the per-distance census (node lists
+    // would be fixture-sized); the reached-node table itself is the
+    // operator's real product.
+    "q_bfs_levels" -> { (s, dir) =>
+      val seeds = Tables(s, dir, "part")
+        .where(pmod(col("p_partkey"), lit(97)) === 0)
+        .select(col("p_partkey").cast("long").as("id"))
+      graft.operators.GraphOps.bfsLevels(coPurchaseEdges(s, dir), seeds)
+        .groupBy(col("dist"))
+        .agg(count(lit(1)).as("n_nodes"), min(col("node")).as("min_node"),
+          max(col("node")).as("max_node"))
+        .orderBy("dist")
+    },
+
     // Z-order layout audit (Layout.zExtents): Morton key over
     // (l_partkey, l_suppkey), per-bucket row counts and min/max extents of
     // BOTH columns — the file-skipping index a lakehouse reader consults,
@@ -452,6 +471,48 @@ object AdvancedQueries {
         .agg(count(lit(1)).as("n_orders"),
           moneySum(col("o_totalprice")).as("rev"))
         .orderBy("priority")
+    },
+
+    // Data-quality constraint gate — the dbt-test / Deequ-style validation
+    // report every ingest pipeline runs before promoting a batch: PK
+    // uniqueness, FK orphans, range, enum-domain, and null checks, one row
+    // per constraint. All per-table checks for one table fold into ONE
+    // partial→final aggregate pass (conditional sums — six constraints cost
+    // one scan, not six); the FK orphan check is the one join, a left-anti
+    // on the key (at 100 TB, prefilter with the q_bloom_semi bloom before
+    // the anti join — same recipe, inverted). The one-row aggregates are
+    // localCheckpoint'ed because each fans into several report rows.
+    "q_quality_gate" -> { (s, dir) =>
+      val o = Tables(s, dir, "orders")
+      val c = Tables(s, dir, "customer")
+      val l = Tables(s, dir, "lineitem")
+      val os = o.agg(count(lit(1)).as("n"),
+          sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("vprice"),
+          sum(when(!col("o_orderstatus").isin("F", "O", "P"), 1L)
+            .otherwise(0L)).as("vstatus"),
+          (count(lit(1)) - countDistinct(col("o_orderkey"))).as("vdup"))
+        .localCheckpoint()
+      val ls = l.agg(count(lit(1)).as("n"),
+          sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L)
+            .otherwise(0L)).as("vqty"),
+          sum(when(col("l_shipdate").isNull, 1L).otherwise(0L)).as("vnull"))
+        .localCheckpoint()
+      val orph = o.select(col("o_custkey"))
+        .join(c.select(col("c_custkey")),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("v"))
+      def row(name: String, from: DataFrame, n: Column, v: Column) =
+        from.select(lit(name).as("check_name"), n.cast("long").as("n_checked"),
+          v.cast("long").as("n_violations"))
+      row("enum_orderstatus", os, col("n"), col("vstatus"))
+        .unionAll(row("fk_orders_customer", os.crossJoin(orph), col("n"),
+          col("v")))
+        .unionAll(row("null_shipdate", ls, col("n"), col("vnull")))
+        .unionAll(row("pk_orders_unique", os, col("n"), col("vdup")))
+        .unionAll(row("range_quantity", ls, col("n"), col("vqty")))
+        .unionAll(row("range_totalprice_pos", os, col("n"), col("vprice")))
+        .withColumn("ok", col("n_violations") === 0L)
+        .orderBy("check_name")
     })
 
   /** Shared by q_asof_join (union+window composition) and q_asof_native (the
@@ -590,6 +651,39 @@ object AdvancedQueries {
          |  COUNT(*) AS n_orders, ${MONEY("o_totalprice")} AS rev
          |FROM orders GROUP BY 1 ORDER BY priority""".stripMargin,
 
+    // each engine-side one-row aggregate becomes a CTE; counts cast to
+    // BIGINT on both sides (DuckDB SUM(int) is HUGEINT).
+    "q_quality_gate" ->
+      s"""WITH os AS (
+         |  SELECT COUNT(*) AS n,
+         |    CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS vprice,
+         |    CAST(SUM(CASE WHEN o_orderstatus NOT IN ('F','O','P')
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS vstatus,
+         |    COUNT(*) - COUNT(DISTINCT o_orderkey) AS vdup
+         |  FROM orders),
+         |ls AS (
+         |  SELECT COUNT(*) AS n,
+         |    CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS vqty,
+         |    CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS vnull
+         |  FROM lineitem),
+         |orph AS (
+         |  SELECT COUNT(*) AS v FROM orders
+         |  WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)),
+         |r AS (
+         |  SELECT 'enum_orderstatus' AS check_name, n AS n_checked,
+         |    vstatus AS n_violations FROM os
+         |  UNION ALL SELECT 'fk_orders_customer', os.n, orph.v FROM os, orph
+         |  UNION ALL SELECT 'null_shipdate', n, vnull FROM ls
+         |  UNION ALL SELECT 'pk_orders_unique', n, vdup FROM os
+         |  UNION ALL SELECT 'range_quantity', n, vqty FROM ls
+         |  UNION ALL SELECT 'range_totalprice_pos', n, vprice FROM os)
+         |SELECT check_name, n_checked, n_violations,
+         |  n_violations = 0 AS ok
+         |FROM r ORDER BY check_name""".stripMargin,
+
     "q_partitioned_scan" ->
       s"""SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users,
          |  ${MONEY("\"value\"")} AS val_sum
@@ -617,6 +711,29 @@ object AdvancedQueries {
          |  FROM e e1 JOIN e e2 ON e1.v = e2.u
          |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
          |SELECT n_nodes, n_edges, n_triangles FROM nd, ne, tr""".stripMargin,
+
+    // recursive closure bounded by d < 50 (the engine's maxIter budget):
+    // UNION-distinct on (id, d) pairs terminates because d is capped; the
+    // MIN collapse recovers exact hop distances for any cap ≥ diameter.
+    "q_bfs_levels" ->
+      s"""WITH RECURSIVE pr AS (
+         |  SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem GROUP BY 1, 2),
+         |pe AS (
+         |  SELECT a.pk AS u, b.pk AS v FROM pr a
+         |  JOIN pr b ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2),
+         |e AS (SELECT u, v FROM pe UNION SELECT v, u FROM pe),
+         |seeds AS (
+         |  SELECT CAST(p_partkey AS BIGINT) AS id FROM part
+         |  WHERE p_partkey % 97 = 0),
+         |walk(id, d) AS (
+         |  SELECT id, CAST(0 AS BIGINT) FROM seeds
+         |  UNION
+         |  SELECT e.u, walk.d + 1 FROM e JOIN walk ON e.v = walk.id
+         |  WHERE walk.d < 50),
+         |lab AS (SELECT id, MIN(d) AS dist FROM walk GROUP BY id)
+         |SELECT dist, COUNT(*) AS n_nodes, MIN(id) AS min_node,
+         |  MAX(id) AS max_node
+         |FROM lab GROUP BY dist ORDER BY dist""".stripMargin,
 
     // the 5 sweeps unroll as chained CTEs (like the k-means oracle): every
     // division is integer (// in DuckDB, DIV in Spark — identical floors on

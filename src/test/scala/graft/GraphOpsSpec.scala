@@ -72,6 +72,46 @@ class GraphOpsSpec extends SparkTestBase {
     r
   }
 
+  test("bfsLevels matches driver BFS on random graphs, chains, isolated seeds") {
+    import spark.implicits._
+    def bfsModel(edges: Seq[(Long, Long)],
+        seeds: Seq[Long]): Map[Long, Long] = {
+      val adj = scala.collection.mutable.HashMap
+        .empty[Long, scala.collection.mutable.Set[Long]]
+      edges.foreach { case (a, b) =>
+        adj.getOrElseUpdate(a, scala.collection.mutable.Set.empty) += b
+        adj.getOrElseUpdate(b, scala.collection.mutable.Set.empty) += a
+      }
+      val dist = scala.collection.mutable.HashMap[Long, Long](
+        seeds.map(_ -> 0L): _*)
+      var frontier = seeds.toSet
+      var d = 0L
+      while (frontier.nonEmpty) {
+        d += 1
+        frontier = frontier.flatMap(x => adj.getOrElse(x, Set.empty))
+          .filterNot(dist.contains)
+        frontier.foreach(dist.update(_, d))
+      }
+      dist.toMap
+    }
+    def run(edges: Seq[(Long, Long)], seeds: Seq[Long]): Map[Long, Long] =
+      GraphOps.bfsLevels(edges.toDF("u", "v"), seeds.toDF("id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rng = new scala.util.Random(11)
+    (1 to 4).foreach { _ =>
+      val n = 30
+      val edges = Seq.fill(25)(
+        (rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val seeds = Seq(0L, 5L, 100L) // 100 is isolated: dist-0 row, no spread
+      assert(run(edges, seeds) == bfsModel(edges, seeds), s"edges=$edges")
+    }
+    // chain: worst-case eccentricity, exact level per link
+    val chain = (0L until 20L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val got = run(chain, Seq(0L))
+    assert(got == (0L until 20L).map(i => i -> i).toMap)
+  }
+
   test("pageRank matches the integer model incl. hubs and multi-component") {
     import spark.implicits._
     val rng = new scala.util.Random(5)
