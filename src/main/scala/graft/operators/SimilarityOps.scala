@@ -514,6 +514,63 @@ object SimilarityOps {
     topKPerQuery(scored, k)
   }
 
+  /** Exact integer Gram matrix Xᵀ X (upper triangle) of the encoded corpus —
+    * the d×d second-moment table that PCA / whitening / covariance
+    * estimation starts from. Each task folds its rows into ONE local
+    * d(d+1)/2 accumulator (the classic outer-product accumulation: work is
+    * corpus-sized, STATE is dimension-sized), emits the triangle, and the
+    * final aggregate merges triangles — the shuffle carries
+    * ~2080·partitions rows for d = 64, independent of corpus size. Local
+    * accumulators flush every 2²⁰ rows so the long partials cannot overflow
+    * (micro-scaled components ≤ ~2²² ⇒ products ≤ 2⁴⁴; 2²⁰ of them ≤ 2⁶⁴ᐨ)
+    * and the global merge sums as decimal(38,0), which a 100 TB corpus
+    * cannot overflow. Bit-deterministic under any partitioning: integer
+    * adds commute. */
+  def gramMatrix(encoded: DataFrame, flushEvery: Int = 1 << 20): DataFrame = {
+    val s = encoded.sparkSession
+    import s.implicits._
+    encoded.select(col("iv")).as[Seq[Long]]
+      .mapPartitions { it =>
+        var d = 0
+        var acc: Array[Long] = null
+        var n = 0
+        def drain(): Iterator[(Int, Int, Long)] = {
+          if (acc == null) Iterator.empty
+          else {
+            val snap = acc
+            acc = null
+            n = 0
+            val dd = d
+            Iterator.tabulate(snap.length) { k =>
+              // invert k -> (i, j): walk is row-major over the triangle
+              var i = 0
+              var base = 0
+              while (base + (dd - i) <= k) { base += dd - i; i += 1 }
+              (i, i + (k - base), snap(k))
+            }
+          }
+        }
+        val flushed = it.flatMap { ivSeq =>
+          val iv = ivSeq.toArray
+          if (acc == null) { d = iv.length; acc = new Array[Long](d * (d + 1) / 2) }
+          var k = 0
+          var i = 0
+          while (i < d) {
+            val a = iv(i)
+            var j = i
+            while (j < d) { acc(k) += a * iv(j); k += 1; j += 1 }
+            i += 1
+          }
+          n += 1
+          if (n >= flushEvery) drain() else Iterator.empty
+        }
+        flushed ++ drain()
+      }.toDF("i", "j", "partial")
+      .groupBy(col("i").cast("long").as("i"), col("j").cast("long").as("j"))
+      .agg(sum(col("partial").cast("decimal(38,0)")).as("gram"))
+      .orderBy("i", "j")
+  }
+
   /** Full PQ search: ADC shortlist over the compressed scan, then ONE exact
     * scoring pass over only the shortlisted candidates (|Q|·shortlist rows
     * — metadata-sized next to the corpus) and the bounded final top-k. This

@@ -229,6 +229,14 @@ object SimilarityQueries {
           / col("nk").cast("double")).as("min_recall"))
         .select((col("min_recall") >= lit(0.4)).as("pq_ok"))
       exact.crossJoin(broadcast(ok)).orderBy("qid", "rnk")
+    },
+
+    // Exact integer Gram matrix of the embedding corpus
+    // (SimilarityOps.gramMatrix): dimension-sized state per task, one
+    // corpus scan, a 2080-row shuffle — the PCA/whitening second-moment
+    // pass at its scale-honest shape.
+    "sim_gram" -> { (s, dir) =>
+      SimilarityOps.gramMatrix(vecs(s, dir))
     })
 
   private val vecSql =
@@ -467,5 +475,16 @@ object SimilarityQueries {
          |    (PARTITION BY qid ORDER BY cos DESC, nbr_id) AS BIGINT) AS rnk
          |  FROM s)
          |SELECT qid, nbr_id, rnk, cos, TRUE AS pq_ok FROM r WHERE rnk <= $TopK
-         |ORDER BY qid, rnk""".stripMargin)
+         |ORDER BY qid, rnk""".stripMargin,
+
+    // the i<=j pair expansion is oracle-scale brute force (n·d² rows); the
+    // engine never materializes it — its state is one triangle per task.
+    "sim_gram" ->
+      s"""WITH n AS ($vecSql),
+         |p AS (
+         |  SELECT i.i AS i, j.j AS j,
+         |    list_extract(iv, i.i + 1) * list_extract(iv, j.j + 1) AS prod
+         |  FROM n, range(64) i(i), range(64) j(j) WHERE i.i <= j.j)
+         |SELECT i, j, CAST(SUM(prod) AS DECIMAL(38,0)) AS gram
+         |FROM p GROUP BY i, j ORDER BY i, j""".stripMargin)
 }
