@@ -514,6 +514,20 @@ object SimilarityOps {
     topKPerQuery(scored, k)
   }
 
+  /** Sparse random projection (Achlioptas, "Database-friendly random
+    * projections", PODS 2001): project the d-dim integer vectors onto k
+    * deterministic rows with entries in {−1, 0, +1} (density 1/3) — the
+    * Johnson–Lindenstrauss dimensionality reduction that preserves pairwise
+    * L2 distances to 1±ε at k = O(log n / ε²). Integer entries keep the
+    * projection EXACT (a float Gaussian matrix would hash-diverge across
+    * engines): each output coordinate is one codegen'd `graft_dot` against
+    * a literal row, so the whole projection is a narrow map-only
+    * projection — the 100 TB shape for shrinking an embedding table 4×
+    * before an index build. */
+  def randomProject(encoded: DataFrame, mat: Seq[Seq[Long]]): DataFrame =
+    encoded.withColumn("pv", array(mat.map(row =>
+      graft.functions.ArrayExprs.dot(col("iv"), typedLit(row))): _*))
+
   /** Exact integer Gram matrix Xᵀ X (upper triangle) of the encoded corpus —
     * the d×d second-moment table that PCA / whitening / covariance
     * estimation starts from. Each task folds its rows into ONE local

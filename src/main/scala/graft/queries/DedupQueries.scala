@@ -208,6 +208,87 @@ object DedupQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** (doc_id, band, bh) LSH band stream off the shingle relation: 126
+    * min-hashes + 42 band hashes per doc in one raw-JVM pass (O(|s|·126)
+    * long multiplies — the typed flatMap beats interpreted Catalyst HOFs
+    * ~50× here and emits only 28-byte rows). Shared by the corpus-wide
+    * self-join and the incremental batch probe. */
+  private def bandStream(sh: DataFrame): DataFrame = {
+    val s = sh.sparkSession
+    import s.implicits._
+    sh.select(col("doc_id"), col("s")).as[(Long, Seq[String])]
+      .flatMap { case (id, gs) =>
+        val hs = gs.iterator.map(fnvModP).toArray
+        val sig = new Array[Long](NumHashes)
+        var j = 0
+        while (j < NumHashes) {
+          val a = hashA(j); val b = hashB(j)
+          var mn = Long.MaxValue
+          var k = 0
+          while (k < hs.length) {
+            val v = (a * hs(k) + b) % P
+            if (v < mn) mn = v
+            k += 1
+          }
+          sig(j) = mn; j += 1
+        }
+        (0 until B).iterator.map { b =>
+          var h = 0xcbf29ce484222325L
+          var r = 0
+          while (r < R) { h = (h ^ sig(b * R + r)) * 0x100000001b3L; r += 1 }
+          (id, b, h)
+        }
+      }.toDF("doc_id", "band", "bh")
+  }
+
+  /** Incremental (ingest-time) MinHash dedup: only the NEW batch
+    * (`batchPred` docs) is deduplicated — each batch doc LSH-probes the
+    * full band table and keeps candidates with a SMALLER id (the stored
+    * corpus, or an earlier doc of the same batch), exact-verified like
+    * minhashJoin. This is the production shape for a corpus that grows:
+    * the corpus side's bands are the persisted index (here recomputed off
+    * the checkpointed shingles; at 100 TB they are the written signature
+    * table), the probe side is batch-sized, and NOTHING corpus×corpus ever
+    * joins — per ingest the candidate work is batch-driven, so daily cost
+    * tracks the batch, not the archive. Verdict per batch doc:
+    * dup_of = smallest verified near-dup id (−1 if none), classified
+    * `dup_corpus` / `dup_batch` by which side that canonical doc is on. */
+  def minhashIncremental(docs: DataFrame, batchPred: Column,
+      t: Double): DataFrame = {
+    val sh = shingles(docs).localCheckpoint()
+    val bands = bandStream(sh)
+    val m = 4
+    val ch = bands
+      .withColumn("ck", pmod(xxhash64(col("doc_id")), lit(m)).cast("int"))
+    val grid = explode(sequence(lit(0), lit(m - 1)))
+    val x = ch.select(col("band"), col("bh"), col("ck").as("bi"),
+        col("doc_id").as("doc_a"))
+      .withColumn("bj", grid)
+    val y = ch.where(batchPred)
+      .select(col("band"), col("bh"), col("ck").as("bj"),
+        col("doc_id").as("doc_b"))
+      .withColumn("bi", grid)
+    val cand = x.join(y, Seq("band", "bh", "bi", "bj"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    val best = verifyJaccard(cand, sh, t)
+      .groupBy(col("doc_b").as("doc_id"))
+      .agg(min(col("doc_a")).as("dup_of"))
+      // classify the canonical doc by MEMBERSHIP (a join against the batch
+      // predicate evaluated on its own id), not by re-deriving the caller's
+      // predicate shape here
+      .join(docs.select(col("doc_id").as("dup_of"),
+        batchPred.as("dup_in_batch")), Seq("dup_of"))
+    docs.where(batchPred).select(col("doc_id"))
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("dup_of"), lit(-1L)).as("dup_of"),
+        when(col("dup_of").isNull, "new")
+          .when(col("dup_in_batch"), "dup_batch")
+          .otherwise("dup_corpus").as("status"))
+      .orderBy("doc_id")
+  }
+
   /** Exact-Jaccard verification of candidate (doc_a, doc_b) pairs against the
     * full distinct gram sets; emits pairs with jac ≥ threshold. */
   private def verifyJaccard(cand: DataFrame, grams: DataFrame,
@@ -374,6 +455,14 @@ object DedupQueries {
         .select(col("doc_id"), col("text")), 0.7)
     },
 
+    // Incremental ingest-time dedup: every 5th doc plays the new batch,
+    // probed against the rest (the stored corpus) + earlier batch docs.
+    "dedup_incremental" -> { (s, dir) =>
+      minhashIncremental(Tables(s, dir, "documents")
+          .select(col("doc_id"), col("text")),
+        pmod(col("doc_id"), lit(5L)) === 0, 0.7)
+    },
+
     // SimHash (60-bit, portable md5-based token hash), hamming ≤ 3 pairs via
     // lossless 4×15-bit band blocking. The per-doc signature is one typed map
     // (token tf → 60 weighted bit-sums → sign bits) in raw JVM arithmetic —
@@ -403,32 +492,7 @@ object DedupQueries {
       import s.implicits._
       // materialized once: feeds the signature pass plus both verify joins.
       val sh = shingles(docs).localCheckpoint()
-      // 126 min-hashes + 42 band hashes per doc in one raw-JVM pass
-      // (O(|s|·126) long multiplies — the typed flatMap beats interpreted
-      // Catalyst HOFs ~50× here and emits only (doc_id, band, bh)).
-      val bands = sh.select(col("doc_id"), col("s")).as[(Long, Seq[String])]
-        .flatMap { case (id, gs) =>
-          val hs = gs.iterator.map(fnvModP).toArray
-          val sig = new Array[Long](NumHashes)
-          var j = 0
-          while (j < NumHashes) {
-            val a = hashA(j); val b = hashB(j)
-            var mn = Long.MaxValue
-            var k = 0
-            while (k < hs.length) {
-              val v = (a * hs(k) + b) % P
-              if (v < mn) mn = v
-              k += 1
-            }
-            sig(j) = mn; j += 1
-          }
-          (0 until B).iterator.map { b =>
-            var h = 0xcbf29ce484222325L
-            var r = 0
-            while (r < R) { h = (h ^ sig(b * R + r)) * 0x100000001b3L; r += 1 }
-            (id, b, h)
-          }
-        }.toDF("doc_id", "band", "bh")
+      val bands = bandStream(sh)
       // grid-distributed bucket self-join: web corpora have mass-duplicate
       // clusters whose band bucket would otherwise generate its quadratic
       // candidate set on ONE task. Each side chunks by hash(doc_id) mod m
@@ -630,6 +694,31 @@ object DedupQueries {
     // this corpus (pair similarity is bimodal: ≥0.85 or ≤0.15), so the
     // banded+verified output equals the exact-Jaccard result.
     "dedup_minhash" -> jaccardSql(gramSql(3), "0.7"),
+
+    // same exact-Jaccard pair base (recall note above), restricted to pairs
+    // whose LARGER id is a batch doc; verdict = smallest matched id.
+    "dedup_incremental" ->
+      s"""WITH g AS (${gramSql(3)}),
+         |e AS (SELECT doc_id, CAST(len(s) AS BIGINT) AS ng, unnest(s) AS gram
+         |      FROM g),
+         |p AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    any_value(a.ng) AS na, any_value(b.ng) AS nb, COUNT(*) AS common
+         |  FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id
+         |  WHERE b.doc_id % 5 = 0
+         |  GROUP BY 1, 2),
+         |v AS (
+         |  SELECT doc_a, doc_b FROM p
+         |  WHERE CAST(common AS DOUBLE)/CAST(na + nb - common AS DOUBLE) >= 0.7),
+         |best AS (SELECT doc_b AS doc_id, MIN(doc_a) AS dup_of
+         |         FROM v GROUP BY doc_b)
+         |SELECT d.doc_id, COALESCE(b.dup_of, -1) AS dup_of,
+         |  CASE WHEN b.dup_of IS NULL THEN 'new'
+         |       WHEN b.dup_of % 5 = 0 THEN 'dup_batch'
+         |       ELSE 'dup_corpus' END AS status
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
+         |LEFT JOIN best b USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
 
     "dedup_simhash" ->
       s"""WITH $simhashShCtes

@@ -31,6 +31,17 @@ object SimilarityQueries {
   private val PqSub = 16
   private val PqShortlist = 10 * TopK
 
+  // JL projection: 16 deterministic Achlioptas rows (entries −1/0/+1 at
+  // density 1/3, seed 23) — integer-exact on both engines.
+  private val JlK = 16
+  private val jlMat: Seq[Seq[Long]] = {
+    val rng = new scala.util.Random(23)
+    Seq.fill(JlK)(Seq.fill(64) {
+      val r = rng.nextInt(6)
+      if (r == 0) 1L else if (r == 1) -1L else 0L
+    })
+  }
+
   /** The pinned training schedule bound to [[SimilarityOps.trainCentroids]]
     * (the oracle SQL below replays exactly these parameters). */
   private[graft] def trainCentroids(v: DataFrame): Seq[(Int, Seq[Long])] =
@@ -237,6 +248,35 @@ object SimilarityQueries {
     // pass at its scale-honest shape.
     "sim_gram" -> { (s, dir) =>
       SimilarityOps.gramMatrix(vecs(s, dir))
+    },
+
+    // JL random projection (SimilarityOps.randomProject): 64 → 16 dims via
+    // a deterministic ±1/0 Achlioptas matrix, all-integer so the oracle
+    // replays it bit-exactly. Output is the distance-distortion telemetry
+    // over a deterministic pair sample: original vs projected exact squared
+    // L2 plus the normalized ratio (×3/k corrects the density-1/3 entry
+    // variance; expectation 1 under JL). The ratios ARE the gate — a wrong
+    // projection shows as wildly dispersed ratios and hash-fails.
+    "sim_project" -> { (s, dir) =>
+      val v = vecs(s, dir)
+      val p = SimilarityOps.randomProject(v, jlMat)
+        .select(col("vec_id"), col("iv"), col("pv"))
+      val q = p.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("iv").as("qiv"),
+          col("pv").as("qpv"))
+      val c = p.where(col("vec_id") >= 10
+        && pmod(col("vec_id"), lit(11L)) === 0)
+      c.crossJoin(broadcast(q))
+        .withColumn("d2_orig",
+          graft.functions.ArrayExprs.l2sq(col("qiv"), col("iv")))
+        .withColumn("d2_proj",
+          graft.functions.ArrayExprs.l2sq(col("qpv"), col("pv")))
+        .where(col("d2_orig") > 0)
+        .select(col("qid"), col("vec_id").as("nbr_id"), col("d2_orig"),
+          col("d2_proj"),
+          ((col("d2_proj").cast("double") * lit(3.0))
+            / (col("d2_orig").cast("double") * lit(16.0))).as("ratio"))
+        .orderBy("qid", "nbr_id")
     })
 
   private val vecSql =
@@ -476,6 +516,27 @@ object SimilarityQueries {
          |  FROM s)
          |SELECT qid, nbr_id, rnk, cos, TRUE AS pq_ok FROM r WHERE rnk <= $TopK
          |ORDER BY qid, rnk""".stripMargin,
+
+    // the projection rows paste in as list literals (same trick as
+    // bucketSqlFor); distances and the ratio are the identical expressions.
+    "sim_project" -> {
+      val pvSql = jlMat.map { row =>
+        dotSql("iv", row.mkString("[", ", ", "]"))
+      }.mkString("[", ",\n    ", "]")
+      s"""WITH n AS ($vecSql),
+         |pj AS (SELECT vec_id, iv, $pvSql AS pv FROM n),
+         |pairs AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS nbr_id,
+         |    ${l2Sql("q.iv", "c.iv")} AS d2_orig,
+         |    ${l2Sql("q.pv", "c.pv")} AS d2_proj
+         |  FROM pj c JOIN pj q ON q.vec_id < 10
+         |  WHERE c.vec_id >= 10 AND c.vec_id % 11 = 0)
+         |SELECT qid, nbr_id, d2_orig, d2_proj,
+         |  (CAST(d2_proj AS DOUBLE) * 3.0) / (CAST(d2_orig AS DOUBLE) * 16.0)
+         |    AS ratio
+         |FROM pairs WHERE d2_orig > 0
+         |ORDER BY qid, nbr_id""".stripMargin
+    },
 
     // the i<=j pair expansion is oracle-scale brute force (n·d² rows); the
     // engine never materializes it — its state is one triangle per task.
