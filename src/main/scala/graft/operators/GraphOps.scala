@@ -80,6 +80,86 @@ object GraphOps {
     labels
   }
 
+  /** Connected components by alternating large-star / small-star
+    * contraction (Kiveris, Lattanzi, Mirrokni, Rastogi, Vassilvitskii,
+    * "Connected Components in MapReduce and Beyond", SoCC 2014) — the
+    * DEEP-GRAPH path [[connectedComponents]]' docs promise: min-label
+    * flooding needs diameter-many rounds (a 10⁶-node chain at 100 TB would
+    * blow any round budget), star contraction converges in O(log² n)
+    * rounds regardless of diameter because each round rewires whole
+    * neighborhoods to their minimum, not just adjacent nodes.
+    *
+    * large-star: every node points its LARGER neighbors at min(Γ(u) ∪ u);
+    * small-star: edges orient high→low, every node points its ≤ neighbors
+    * (and itself) at the minimum. Both are one groupBy(min) + one
+    * re-emission — partial→final aggregates and narrow 16-byte rows, same
+    * shuffle discipline as the flooding form. Fixpoint = the (count, Σu+v)
+    * witness pair of the edge set is stable across a full large+small
+    * round (edges only ever rewire downward; the pair detects both
+    * rewiring and contraction). Output matches [[connectedComponents]]:
+    * (id, comp) for every node that appears in `edges`. */
+  def connectedComponentsStar(edges: DataFrame, maxIter: Int = 30): DataFrame = {
+    val cols = edges.columns
+    var e = edges.select(col(cols(0)).cast("long").as("u"),
+        col(cols(1)).cast("long").as("v"))
+      .where(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      .distinct().localCheckpoint()
+    // every node of the input graph — the output contract (component minima
+    // and isolated-by-contraction nodes drop out of the edge set)
+    val nodes = e.select(col("u").as("id"))
+      .union(e.select(col("v").as("id"))).distinct().localCheckpoint()
+    def witness(df: DataFrame): (java.math.BigDecimal, java.math.BigDecimal) = {
+      val r = df.agg(count(lit(1)).cast("decimal(38,0)").as("c"),
+        sum((col("u") + col("v")).cast("decimal(38,0)")).as("s")).head()
+      (r.getDecimal(0), r.getDecimal(1))
+    }
+    def largeStar(ed: DataFrame): DataFrame = {
+      val nb = ed.union(ed.select(col("v").as("u"), col("u").as("v")))
+      val mins = nb.groupBy(col("u"))
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      nb.join(mins, "u")
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .where(col("u") =!= col("v"))
+        .distinct()
+    }
+    def smallStar(ed: DataFrame): DataFrame = {
+      // edges already orient u ≥ v after largeStar's (v > u → (v, m)) emit
+      val or = ed.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      val mins = or.groupBy(col("u")).agg(min(col("v")).as("m"))
+      or.join(mins, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(or.select(col("u"), col("v")).join(mins, "u")
+          .select(col("u"), col("m").as("v")))
+        .where(col("u") =!= col("v"))
+        .select(greatest(col("u"), col("v")).as("u"),
+          least(col("u"), col("v")).as("v"))
+        .distinct()
+    }
+    var prev = witness(e)
+    var converged = false
+    var it = 0
+    while (it < maxIter && !converged) {
+      e = smallStar(largeStar(e)).localCheckpoint()
+      val w = witness(e)
+      converged = w == prev
+      prev = w
+      it += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponentsStar did not converge within maxIter=$maxIter " +
+          "alternation rounds")
+    // at fixpoint e is a star forest: (node, componentMin); minima and
+    // fully-contracted singletons label themselves
+    nodes.join(e.select(col("u").as("id"), col("v").as("comp")),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+  }
+
   /** Multi-source BFS levels: exact hop distance from a SEED SET over an
     * undirected edge list — the quality/trust-propagation primitive ("how
     * many hops from curated seeds is this item") and the crawl-frontier

@@ -475,14 +475,27 @@ object DedupQueries {
     // collapse to ONE kept doc). Min-label flooding in GraphOps; cluster_id
     // is the smallest member doc_id, so "keep" = (doc_id == cluster_id).
     "dedup_cluster" -> { (s, dir) =>
-      val pairs = simhashPairs(s, dir).select(col("doc_a"), col("doc_b"))
-      val cc = graft.operators.GraphOps.connectedComponents(pairs)
-      val sizes = cc.groupBy(col("comp")).agg(count(lit(1)).as("n_members"))
-      cc.join(sizes, "comp")
-        .select(col("id").as("doc_id"), col("comp").as("cluster_id"),
-          col("n_members"))
-        .orderBy("doc_id")
+      clusterReport(graft.operators.GraphOps.connectedComponents(
+        simhashPairs(s, dir).select(col("doc_a"), col("doc_b"))))
+    },
+
+    // Same clusters via Kiveris large-star/small-star contraction — the
+    // deep-graph CC path (O(log² n) rounds regardless of diameter, where
+    // flooding needs diameter-many). Two algorithms, one oracle: the
+    // component labeling is unique, so both must hash identically.
+    "dedup_cluster_star" -> { (s, dir) =>
+      clusterReport(graft.operators.GraphOps.connectedComponentsStar(
+        simhashPairs(s, dir).select(col("doc_a"), col("doc_b"))))
     })
+
+  /** (id, comp) labels → the gated cluster report (doc, cluster, size). */
+  private def clusterReport(cc: DataFrame): DataFrame = {
+    val sizes = cc.groupBy(col("comp")).agg(count(lit(1)).as("n_members"))
+    cc.join(sizes, "comp")
+      .select(col("id").as("doc_id"), col("comp").as("cluster_id"),
+        col("n_members"))
+      .orderBy("doc_id")
+  }
 
   /** MinHash+LSH trigram-Jaccard self-join over a (doc_id, text) relation,
     * with exact-Jaccard verification of every banded candidate (so false
@@ -730,8 +743,12 @@ object DedupQueries {
 
     // transitive closure of the same pair graph by recursive min-label
     // propagation: walk floods each node with every reachable id; the MIN is
-    // the component's canonical (smallest) member.
-    "dedup_cluster" ->
+    // the component's canonical (smallest) member. Shared verbatim by the
+    // star-contraction twin — unique labeling, one oracle.
+    "dedup_cluster" -> clusterSql,
+    "dedup_cluster_star" -> clusterSql)
+
+  private lazy val clusterSql =
       s"""WITH RECURSIVE $simhashShCtes,
          |pr AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -749,7 +766,7 @@ object DedupQueries {
          |  CAST(sz.n AS BIGINT) AS n_members
          |FROM lab l JOIN (SELECT comp, COUNT(*) AS n FROM lab GROUP BY comp) sz
          |  USING (comp)
-         |ORDER BY doc_id""".stripMargin)
+         |ORDER BY doc_id""".stripMargin
 
   /** Shared CTE chain producing `sh(doc_id, simhash)` — single source of
     * truth for the dedup_simhash and dedup_cluster oracles. */

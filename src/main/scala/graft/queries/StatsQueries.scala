@@ -140,7 +140,7 @@ object StatsQueries {
 
     // CDC snapshot diff (KvSink.diff, the inverse of q_upsert's MapPut):
     // per-customer spend snapshots over two sliding year windows. Customers
-    // whose orders all fall in the overlap (1993-94) have identical sums and
+    // whose orders all fall in the overlap (1996-97) have identical sums and
     // are dropped as unchanged; window-edge customers produce I/U/D rows.
     // Output is change-sized — the delta-feed shape, not a snapshot reship.
     "q_cdc_diff" -> { (s, dir) =>
@@ -148,7 +148,7 @@ object StatsQueries {
         .where(year(col("o_orderdate")).between(yrLo, yrHi))
         .groupBy(col("o_custkey").cast("long").as("key"))
         .agg(sum(cents(col("o_totalprice"))).as("spend_cents"))
-      graft.operators.KvSink.diff(snap(1992, 1994), snap(1993, 1995))
+      graft.operators.KvSink.diff(snap(1995, 1997), snap(1996, 1998))
         .select(col("key"), col("op"),
           coalesce(col("old_spend_cents"), lit(-1L)).as("old_cents"),
           coalesce(col("new_spend_cents"), lit(-1L)).as("new_cents"))
@@ -219,6 +219,34 @@ object StatsQueries {
         .select(col("orderkey"), col("priority"), col("price_c"),
           col("med_c"), col("mad_c"))
         .orderBy("orderkey")
+    },
+
+    // Distribution-drift monitor: the order-priority mix of 1996 vs 2000 as
+    // exact parts-per-million, with the total-variation distance
+    // (Σ|p_a − p_b| / 2) stamped on every row — the category-mix drift
+    // check a training-data pipeline runs between corpus snapshots before
+    // retraining. One fact scan: both periods fold in ONE conditional
+    // partial→final aggregate; everything after is category-domain-sized
+    // (broadcast totals, broadcast TVD). All integer floor arithmetic
+    // (ppm = n·10⁶ div total), so the hash gate needs no double discipline.
+    "q_drift" -> { (s, dir) =>
+      val yr = year(col("o_orderdate"))
+      val f = Tables(s, dir, "orders")
+        .where(yr.isin(1996, 2000))
+        .groupBy(col("o_orderpriority").as("priority"))
+        .agg(sum(when(yr === 1996, 1L).otherwise(0L)).as("n_a"),
+          sum(when(yr === 2000, 1L).otherwise(0L)).as("n_b"))
+        .localCheckpoint() // 5 rows; fans into totals + the scored output
+      val tot = f.agg(sum(col("n_a")).as("ta"), sum(col("n_b")).as("tb"))
+      val scored = f.crossJoin(broadcast(tot))
+        .withColumn("p_a_ppm", expr("(n_a * 1000000) div ta"))
+        .withColumn("p_b_ppm", expr("(n_b * 1000000) div tb"))
+        .withColumn("diff_ppm", abs(col("p_a_ppm") - col("p_b_ppm")))
+      val tvd = scored.agg(expr("sum(diff_ppm) div 2").as("tvd_ppm"))
+      scored.crossJoin(broadcast(tvd))
+        .select(col("priority"), col("n_a"), col("n_b"), col("p_a_ppm"),
+          col("p_b_ppm"), col("diff_ppm"), col("tvd_ppm"))
+        .orderBy("priority")
     },
 
     "q_skew_join" -> { (s, dir) =>
@@ -315,12 +343,12 @@ object StatsQueries {
       s"""WITH prev AS (
          |  SELECT CAST(o_custkey AS BIGINT) AS key,
          |    CAST(SUM(${CENTS("o_totalprice")}) AS BIGINT) AS c
-         |  FROM orders WHERE year(o_orderdate) BETWEEN 1992 AND 1994
+         |  FROM orders WHERE year(o_orderdate) BETWEEN 1995 AND 1997
          |  GROUP BY 1),
          |nxt AS (
          |  SELECT CAST(o_custkey AS BIGINT) AS key,
          |    CAST(SUM(${CENTS("o_totalprice")}) AS BIGINT) AS c
-         |  FROM orders WHERE year(o_orderdate) BETWEEN 1993 AND 1995
+         |  FROM orders WHERE year(o_orderdate) BETWEEN 1996 AND 1998
          |  GROUP BY 1)
          |SELECT COALESCE(p.key, n.key) AS key,
          |  CASE WHEN p.key IS NULL THEN 'I'
@@ -329,6 +357,29 @@ object StatsQueries {
          |FROM prev p FULL OUTER JOIN nxt n ON p.key = n.key
          |WHERE p.key IS NULL OR n.key IS NULL OR p.c <> n.c
          |ORDER BY key""".stripMargin,
+
+    // all-integer ppm mirror (// is DuckDB floor division on BIGINTs).
+    "q_drift" ->
+      s"""WITH f AS (
+         |  SELECT o_orderpriority AS priority,
+         |    CAST(SUM(CASE WHEN year(o_orderdate) = 1996 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_a,
+         |    CAST(SUM(CASE WHEN year(o_orderdate) = 2000 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_b
+         |  FROM orders WHERE year(o_orderdate) IN (1996, 2000)
+         |  GROUP BY 1),
+         |t AS (SELECT CAST(SUM(n_a) AS BIGINT) AS ta,
+         |             CAST(SUM(n_b) AS BIGINT) AS tb FROM f),
+         |sc AS (
+         |  SELECT priority, n_a, n_b,
+         |    CAST((n_a * 1000000) // ta AS BIGINT) AS p_a_ppm,
+         |    CAST((n_b * 1000000) // tb AS BIGINT) AS p_b_ppm,
+         |    CAST(abs((n_a * 1000000) // ta - (n_b * 1000000) // tb)
+         |      AS BIGINT) AS diff_ppm
+         |  FROM f, t)
+         |SELECT priority, n_a, n_b, p_a_ppm, p_b_ppm, diff_ppm,
+         |  (SELECT CAST(SUM(diff_ppm) // 2 AS BIGINT) FROM sc) AS tvd_ppm
+         |FROM sc ORDER BY priority""".stripMargin,
 
     // quantile_cont mirrors Spark's exact interpolated percentile: both
     // interpolate halves/quarters of exact cents, so every double is

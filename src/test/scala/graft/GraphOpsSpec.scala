@@ -72,6 +72,39 @@ class GraphOpsSpec extends SparkTestBase {
     r
   }
 
+  test("star-contraction CC == union-find on random/star/multi-edge graphs") {
+    import spark.implicits._
+    val rng = new scala.util.Random(19)
+    (1 to 4).foreach { _ =>
+      val n = 35
+      val edges = Seq.fill(28)(
+        (rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val got = GraphOps.connectedComponentsStar(edges.toDF("u", "v"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == model(edges), s"edges=$edges")
+    }
+    // star + duplicate multi-edges (the near-dup cluster shape)
+    val star = (1L to 12L).map(v => (0L, v)) ++ Seq((5L, 0L), (0L, 7L))
+    val got = GraphOps.connectedComponentsStar(star.toDF("u", "v"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == model(star))
+  }
+
+  test("star-contraction CC converges on a 400-node chain (flooding cannot)") {
+    import spark.implicits._
+    val chain = (0L until 400L).sliding(2).map(s => (s(0), s(1))).toSeq
+    // min-label flooding would need ~400 rounds — over its budget by design
+    intercept[IllegalStateException] {
+      GraphOps.connectedComponents(chain.toDF("u", "v"), maxIter = 20)
+    }
+    // star contraction needs O(log^2 n) alternations
+    val labels = GraphOps.connectedComponentsStar(chain.toDF("u", "v"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(labels.length == 400)
+    assert(labels.forall(_._2 == 0L), "chain must collapse to component 0")
+  }
+
   test("bfsLevels matches driver BFS on random graphs, chains, isolated seeds") {
     import spark.implicits._
     def bfsModel(edges: Seq[(Long, Long)],
