@@ -330,6 +330,40 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin"), "fact table shuffled for the erase join")
   }
 
+  test("sim_gram: triangle merge is a partial aggregate, no window, no sort-join") {
+    val p = planOf(SparkEntry.queries("sim_gram")(spark, sf))
+    assert(p.contains("partial_sum"), s"gram merge lost its partial phase:\n$p")
+    assert(!p.contains("Window"), s"corpus-keyed window crept into gram:\n$p")
+  }
+
+  test("q_drift: both periods fold in ONE fact scan") {
+    // the binding checkpoints the category table (it fans into totals +
+    // output), which cuts lineage in the executed plan — so pin the
+    // pre-checkpoint aggregate shape it materializes
+    val yr = year(col("o_orderdate"))
+    val f = Tables(spark, sf, "orders")
+      .where(yr.isin(1996, 2000))
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(sum(when(yr === 1996, 1L).otherwise(0L)).as("n_a"),
+        sum(when(yr === 2000, 1L).otherwise(0L)).as("n_b"))
+    val p = planOf(f).split("== Initial Plan ==")(0)
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected 1 orders scan, saw $scans:\n$p")
+    assert(p.contains("partial_sum"), "period counts lost map-side combine")
+  }
+
+  test("text_chunks: chunking is expand-only — no aggregate anywhere") {
+    val p = planOf(SparkEntry.queries("text_chunks")(spark, sf))
+    assert(!p.contains("Aggregate"), s"chunker grew an aggregate:\n$p")
+    assert(!p.contains("Window"), s"chunker grew a window:\n$p")
+  }
+
+  test("q_outliers: stats join back broadcast; fact side never reshuffles") {
+    val p = planOf(SparkEntry.queries("q_outliers")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), "stats joins lost broadcast")
+    assert(!p.contains("SortMergeJoin"), "deviation join degraded to SMJ")
+  }
+
   test("no unintended cartesian products anywhere in the query set") {
     // sim_topk/sim_ann_ivf intentionally cross-join against broadcast
     // centroid/query sets; everything else must be key-joined.
