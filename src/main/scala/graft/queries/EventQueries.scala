@@ -36,6 +36,24 @@ object EventQueries {
         .orderBy("ws_us", "event_type")
     },
 
+    // Percentile bands per hour (P50/P95/P99 of the value column) — the
+    // latency-dashboard shape. Exact interpolated percentiles on cents
+    // share q_outliers' bounded-domain argument: the aggregate buffers a
+    // counts-map keyed by distinct cent values (partial→final), so the
+    // per-hour group folds map-side regardless of event volume; the
+    // approx_percentile twin is the unbounded-domain fallback. Interpolated
+    // halves/quarters of integers are exactly representable, so the three
+    // doubles hash bit-exactly against quantile_cont.
+    "q_event_bands" -> { (s, dir) =>
+      normalized(s, dir)
+        .groupBy(expr("ts_us div 3600000000").as("hour_id"))
+        .agg(count(lit(1)).as("n"),
+          percentile(col("val_cents"), lit(0.5)).as("p50_c"),
+          percentile(col("val_cents"), lit(0.95)).as("p95_c"),
+          percentile(col("val_cents"), lit(0.99)).as("p99_c"))
+        .orderBy("hour_id")
+    },
+
     // sliding 1h-every-30min windows: each event lands in exactly 2 windows.
     "q_event_sliding" -> { (s, dir) =>
       graft.operators.EventOps
@@ -224,6 +242,14 @@ object EventQueries {
       s"""SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS ws_us,
          |  event_type, COUNT(*) AS n, ${MONEY("\"value\"")} AS val_sum
          |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_event_bands" ->
+      s"""SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hour_id,
+         |  COUNT(*) AS n,
+         |  quantile_cont(CAST(${CENTS("\"value\"")} AS DOUBLE), 0.5) AS p50_c,
+         |  quantile_cont(CAST(${CENTS("\"value\"")} AS DOUBLE), 0.95) AS p95_c,
+         |  quantile_cont(CAST(${CENTS("\"value\"")} AS DOUBLE), 0.99) AS p99_c
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_event_sliding" ->
       s"""WITH x AS (

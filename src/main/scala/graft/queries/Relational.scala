@@ -257,6 +257,24 @@ object Relational {
         .orderBy("ck")
     },
 
+    // Duplicate-PRESERVING set ops (bag semantics): a customer with two
+    // >300k orders keeps two rows through INTERSECT ALL, and EXCEPT ALL
+    // subtracts occurrence counts rather than membership — the semantics
+    // SQL defines and Spark implements via a count-annotated aggregate +
+    // generate (no row-by-row anti join). Counted output keeps the gate
+    // deterministic without inventing a row order for equal rows.
+    "q_setops_all" -> { (s, dir) =>
+      val o = Tables(s, dir, "orders")
+      val big = o.where(col("o_totalprice") > 300000)
+        .select(col("o_custkey").as("ck"))
+      val urgent = o.where(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("ck"))
+      big.intersectAll(urgent).exceptAll(
+          o.where(col("o_orderstatus") === "F").select(col("o_custkey").as("ck")))
+        .groupBy(col("ck")).agg(count(lit(1)).as("n_occurrences"))
+        .orderBy("ck")
+    },
+
     // Correlated scalar subqueries — the SQL surface every analyst writes
     // and Catalyst DECORRELATES: the two per-row subqueries (the customer's
     // order count and order-value sum) rewrite into one aggregate per
@@ -530,6 +548,15 @@ object Relational {
          |  UNION
          |  SELECT c_custkey FROM customer WHERE c_acctbal < -900
          |) ORDER BY ck""".stripMargin,
+
+    "q_setops_all" ->
+      s"""SELECT ck, COUNT(*) AS n_occurrences FROM (
+         |  (SELECT o_custkey AS ck FROM orders WHERE o_totalprice > 300000
+         |   INTERSECT ALL
+         |   SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+         |  EXCEPT ALL
+         |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+         |) GROUP BY ck ORDER BY ck""".stripMargin,
 
     // the IDENTICAL correlated-subquery text: DuckDB decorrelates it the
     // same way, and the integer cross-multiplication keeps it bit-exact.
