@@ -26,6 +26,54 @@ object TextOps {
       .groupBy("word")
       .agg(count(lit(1)).as("cnt"))
 
+  /** Frozen-BPE tokenizer APPLICATION — the ingest-time half of the BPE
+    * story ([[bpePairCounts]] is the training half): every distinct word is
+    * segmented against a pinned, priority-ordered merge table by the
+    * canonical algorithm — repeatedly take the highest-priority merge whose
+    * pair occurs in the current segmentation and fuse its LEFTMOST
+    * occurrence, until no merge applies. One-at-a-time leftmost fusion is
+    * the semantics a replaying engine can state exactly (and equals
+    * batch-per-pair fusion for non-self-overlapping pairs).
+    *
+    * Runs over the WORDCOUNT relation, not the corpus: tokenizing a 100 TB
+    * corpus is a vocab-sized job + a broadcast join back, never per-token
+    * work per occurrence — the same vocab-sized discipline as
+    * bpePairCounts. One typed map; steps per word ≤ word length. */
+  def bpeApply(wordcounts: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    val s = wordcounts.sparkSession
+    import s.implicits._
+    val ms = merges.toArray
+    wordcounts.select(col("word"), col("cnt")).as[(String, Long)]
+      .map { case (w, cnt) =>
+        var syms: Array[String] = w.map(_.toString).toArray
+        var done = false
+        while (!done) {
+          var mi = -1
+          var pos = -1
+          var m = 0
+          while (m < ms.length && mi < 0) {
+            val (a, b) = ms(m)
+            var i = 0
+            while (i < syms.length - 1 && mi < 0) {
+              if (syms(i) == a && syms(i + 1) == b) { mi = m; pos = i }
+              i += 1
+            }
+            m += 1
+          }
+          if (mi < 0) done = true
+          else {
+            val nn = new Array[String](syms.length - 1)
+            Array.copy(syms, 0, nn, 0, pos)
+            nn(pos) = syms(pos) + syms(pos + 1)
+            Array.copy(syms, pos + 2, nn, pos + 1, syms.length - pos - 2)
+            syms = nn
+          }
+        }
+        (w, cnt, syms.mkString(" "), syms.length.toLong)
+      }.toDF("word", "cnt", "tokens", "n_tokens")
+  }
+
   /** RAG-style overlapping token-window chunking: each document splits into
     * `width`-token chunks every `stride` tokens (stride < width ⇒ adjacent
     * chunks overlap by width−stride tokens, so a retrieval hit near a chunk

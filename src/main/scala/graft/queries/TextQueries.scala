@@ -170,6 +170,16 @@ object TextQueries {
       TextOps.repetition(Tables(s, dir, "documents")).orderBy("doc_id")
     },
 
+    // Frozen-BPE tokenizer application (TextOps.bpeApply): the pinned
+    // 6-merge table segments the vocabulary — multi-level merges (t+h,
+    // th+e, o+r, or+t) compose, so "the" collapses to one token and "sort"
+    // to "s ort". Vocab-sized work; the oracle replays the merge loop as a
+    // recursive CTE.
+    "q_bpe_apply" -> { (s, dir) =>
+      TextOps.bpeApply(TextOps.wordcount(Tables(s, dir, "documents")),
+        bpeMerges).orderBy("word")
+    },
+
     // RAG-style overlapping chunking (TextOps.chunk): 30-token windows
     // every 20 tokens, map-only — the embedding-pipeline pre-pass.
     "text_chunks" -> { (s, dir) =>
@@ -302,6 +312,24 @@ object TextQueries {
 
   private val tokFrom =
     s"SELECT doc_id, ${TOKENS("text")} AS t FROM documents"
+
+  // Pinned BPE merge table, priority-ordered; single source of truth for
+  // the Spark loop and the oracle's recursive CTE. Later merges reference
+  // earlier outputs (th+e, or+t) to exercise multi-level composition.
+  private val bpeMerges: Seq[(String, String)] = Seq(
+    "e" -> "r", "o" -> "r", "a" -> "t", "t" -> "h", "th" -> "e", "or" -> "t")
+
+  /** One BPE step over a ' '-delimited symbol string: the highest-priority
+    * merge present fuses its leftmost occurrence; identity at fixpoint. */
+  private def bpeStepSql(x: String): String = {
+    val whens = bpeMerges.map { case (a, b) =>
+      val patt = s" $a $b "
+      s"""WHEN strpos($x, '$patt') > 0 THEN
+         |    substr($x, 1, strpos($x, '$patt') - 1) || ' $a$b ' ||
+         |    substr($x, strpos($x, '$patt') + ${patt.length})""".stripMargin
+    }.mkString("\n  ")
+    s"CASE $whens\n  ELSE $x END"
+  }
 
   def oracles: Map[String, String] = Map(
     "wordcount" ->
@@ -561,6 +589,27 @@ object TextQueries {
          |SELECT lang, shard, bin, COUNT(*) AS n_docs,
          |  CAST(SUM(n) AS BIGINT) AS bin_tokens
          |FROM w GROUP BY 1, 2, 3 ORDER BY lang, shard, bin""".stripMargin,
+
+    // recursive CTE replays the one-merge-per-step loop: rows recurse while
+    // a merge applies; the fixpoint filter keeps each word's final row.
+    "q_bpe_apply" ->
+      s"""WITH RECURSIVE wc AS (
+         |  SELECT word, COUNT(*) AS cnt
+         |  FROM (SELECT unnest(${TOKENS("text")}) AS word FROM documents)
+         |  GROUP BY word),
+         |init AS (
+         |  SELECT word, cnt,
+         |    ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS s
+         |  FROM wc),
+         |walk(word, cnt, s) AS (
+         |  SELECT word, cnt, s FROM init
+         |  UNION ALL
+         |  SELECT word, cnt, ${bpeStepSql("s")}
+         |  FROM walk WHERE ${bpeStepSql("s")} <> s)
+         |SELECT word, cnt, trim(s) AS tokens,
+         |  CAST(len(string_split(trim(s), ' ')) AS BIGINT) AS n_tokens
+         |FROM walk WHERE ${bpeStepSql("s")} = s
+         |ORDER BY word""".stripMargin,
 
     // chunk starts via a range() lateral bounded by the same
     // 1-or-ceil((len-30)/20)+1 count formula; slices via list_slice.

@@ -129,6 +129,27 @@ class MixInfoSpec extends SparkTestBase {
     assert(got === model.toMap)
   }
 
+  test("bpeApply: golden segmentations incl. multi-level merges and priority") {
+    import spark.implicits._
+    val merges = Seq("e" -> "r", "o" -> "r", "a" -> "t", "t" -> "h",
+      "th" -> "e", "or" -> "t")
+    val wc = Seq(("the", 3L), ("sort", 2L), ("order", 1L), ("data", 1L),
+      ("thether", 1L), ("xyz", 1L)).toDF("word", "cnt")
+    val got = graft.operators.TextOps.bpeApply(wc, merges)
+      .collect().map(r => r.getString(0) -> (r.getString(2), r.getLong(3)))
+      .toMap
+    // th+e composes over t+h; or+t over o+r; priority e+r beats t+h in
+    // "thether" ONLY until e r is exhausted (leftmost-highest-priority)
+    assert(got("the") == ("the", 1L))
+    assert(got("sort") == ("s ort", 2L))
+    assert(got("order") == ("or d er", 3L))
+    assert(got("data") == ("d at a", 3L))
+    // thether: chars t h e t h e r -> (e,r) at 5-6 first: t h e t h er;
+    // then (t,h) leftmost: th e t h er; (th,e): the t h er; (t,h): the th er
+    assert(got("thether") == ("the th er", 3L))
+    assert(got("xyz") == ("x y z", 3L)) // no merge applies
+  }
+
   test("mixBudgetSample is invariant to input partitioning") {
     val w = Map("en" -> 400L, "fr" -> 150L, "es" -> 150L, "zh" -> 150L,
       "de" -> 150L)
