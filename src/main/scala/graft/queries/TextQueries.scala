@@ -57,6 +57,49 @@ object TextQueries {
         minTokens = 10, minDistinctRatio = 0.3).orderBy("lang")
     },
 
+    // Pipeline YIELD funnel — the ops report beside q_pipeline_clean's end
+    // state: docs/tokens surviving each cleaning stage (raw → length →
+    // distinct-ratio → dedup-keep). All stage counts fold in ONE
+    // conditional aggregate over one scan (stages are cumulative flags on
+    // the same row — no per-stage rescans); the only shuffle is the
+    // dedup-keep min per norm-md5 among stage-2 survivors. At 100 TB this
+    // is the yield telemetry every ingest run logs: cost one pass, not
+    // one pass per stage.
+    "q_pipeline_yield" -> { (s, dir) =>
+      val d = Tables(s, dir, "documents")
+        .select(col("doc_id"), normMd5(col("text")).as("m"),
+          tokens(col("text")).as("t"))
+        .select(col("doc_id"), col("m"),
+          size(col("t")).cast("long").as("n_tokens"),
+          size(array_distinct(col("t"))).cast("long").as("n_distinct"))
+      val f = d
+        .withColumn("s1", col("n_tokens") >= 10)
+        .withColumn("s2", col("s1") &&
+          col("n_distinct").cast("double") / col("n_tokens").cast("double")
+            >= 0.3)
+      val keep = f.where(col("s2")).groupBy(col("m"))
+        .agg(min(col("doc_id")).as("keep_id"))
+      val g = f.join(keep, Seq("m"), "left")
+        .withColumn("s3", col("s2") && col("doc_id") === col("keep_id"))
+      val a = g.agg(
+        count(lit(1)).as("d0"), sum(col("n_tokens")).as("t0"),
+        sum(when(col("s1"), 1L).otherwise(0L)).as("d1"),
+        sum(when(col("s1"), col("n_tokens")).otherwise(0L)).as("t1"),
+        sum(when(col("s2"), 1L).otherwise(0L)).as("d2"),
+        sum(when(col("s2"), col("n_tokens")).otherwise(0L)).as("t2"),
+        sum(when(col("s3"), 1L).otherwise(0L)).as("d3"),
+        sum(when(col("s3"), col("n_tokens")).otherwise(0L)).as("t3"))
+        .localCheckpoint() // one row; fans into the four stage rows
+      def stage(id: Int, name: String, dc: String, tc: String) =
+        a.select(lit(id.toLong).as("stage_id"), lit(name).as("stage"),
+          col(dc).as("n_docs"), col(tc).as("n_tokens"))
+      stage(0, "raw", "d0", "t0")
+        .unionAll(stage(1, "min_length", "d1", "t1"))
+        .unionAll(stage(2, "distinct_ratio", "d2", "t2"))
+        .unionAll(stage(3, "dedup_keep", "d3", "t3"))
+        .orderBy("stage_id")
+    },
+
     // Deterministic 80/20 train-holdout split by portable doc_id hash
     // (TextOps.hashSplit) — stable under reruns/repartitioning/appends and
     // exactly replayed by the oracle, so the per-split stats hash-gate.
@@ -433,6 +476,40 @@ object TextQueries {
          |  CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9 \\t\\r\\n]')) AS BIGINT) AS n_bpe_tokens,
          |  CAST(len(list_distinct(${TOKENS("text")})) AS BIGINT) AS n_vocab
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // same cumulative flags; DuckDB SUMs cast back to BIGINT.
+    "q_pipeline_yield" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, ${NORMMD5("text")} AS m, ${TOKENS("text")} AS t
+         |  FROM documents),
+         |f AS (
+         |  SELECT doc_id, m,
+         |    CAST(len(t) AS BIGINT) AS n_tokens,
+         |    CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct,
+         |    CAST(len(t) AS BIGINT) >= 10 AS s1,
+         |    CAST(len(t) AS BIGINT) >= 10 AND
+         |      CAST(len(list_distinct(t)) AS DOUBLE)/CAST(len(t) AS DOUBLE)
+         |        >= 0.3 AS s2
+         |  FROM d),
+         |k AS (SELECT m, MIN(doc_id) AS keep_id FROM f WHERE s2 GROUP BY m),
+         |g AS (
+         |  SELECT f.*, f.s2 AND f.doc_id = k.keep_id AS s3
+         |  FROM f LEFT JOIN k USING (m)),
+         |a AS (
+         |  SELECT COUNT(*) AS d0, CAST(SUM(n_tokens) AS BIGINT) AS t0,
+         |    CAST(SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+         |    CAST(SUM(CASE WHEN s1 THEN n_tokens ELSE 0 END) AS BIGINT) AS t1,
+         |    CAST(SUM(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+         |    CAST(SUM(CASE WHEN s2 THEN n_tokens ELSE 0 END) AS BIGINT) AS t2,
+         |    CAST(SUM(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS d3,
+         |    CAST(SUM(CASE WHEN s3 THEN n_tokens ELSE 0 END) AS BIGINT) AS t3
+         |  FROM g)
+         |SELECT CAST(0 AS BIGINT) AS stage_id, 'raw' AS stage,
+         |  d0 AS n_docs, t0 AS n_tokens FROM a
+         |UNION ALL SELECT 1, 'min_length', d1, t1 FROM a
+         |UNION ALL SELECT 2, 'distinct_ratio', d2, t2 FROM a
+         |UNION ALL SELECT 3, 'dedup_keep', d3, t3 FROM a
+         |ORDER BY stage_id""".stripMargin,
 
     "q_pipeline_clean" ->
       s"""WITH d AS (
