@@ -160,6 +160,50 @@ object GraphOps {
       .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
   }
 
+  /** k-core decomposition by iterative peel: repeatedly delete nodes of
+    * degree < k until every surviving node has ≥ k surviving neighbors —
+    * the standard density filter (community cores, spam/quality screens:
+    * an item connected only via low-engagement neighbors peels away even
+    * when its raw degree is high). Per round: one degree aggregate over
+    * the edge list + two anti joins against the (small) peel set; the edge
+    * list is the only big relation and it only ever SHRINKS. Convergence
+    * witness is the edge COUNT — peeling strictly removes edges, so a
+    * stable count means the peel set was empty (nodes without surviving
+    * edges are not in the degree table at all). Loud failure on round
+    * exhaustion, as the other iterative kernels. Output: surviving nodes
+    * with their within-core degree (≥ k by construction). */
+  def kCore(edges: DataFrame, k: Int, maxIter: Int = 50): DataFrame = {
+    val cols = edges.columns
+    var e = edges.select(col(cols(0)).cast("long").as("u"),
+        col(cols(1)).cast("long").as("v"))
+      .where(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+      .distinct().localCheckpoint()
+    var prevCnt = -1L
+    var cnt = e.count()
+    var it = 0
+    while (cnt != prevCnt && it < maxIter) {
+      val deg = e.select(col("u").as("x")).union(e.select(col("v").as("x")))
+        .groupBy(col("x")).agg(count(lit(1)).as("d"))
+      val bad = deg.where(col("d") < k).select(col("x"))
+        .localCheckpoint() // peel set fans into both anti joins
+      e = e.join(bad.select(col("x").as("u")), Seq("u"), "left_anti")
+        .join(bad.select(col("x").as("v")), Seq("v"), "left_anti")
+        .select(col("u"), col("v"))
+        .localCheckpoint()
+      prevCnt = cnt
+      cnt = e.count()
+      it += 1
+    }
+    if (cnt != prevCnt)
+      throw new IllegalStateException(
+        s"kCore did not converge within maxIter=$maxIter peel rounds")
+    e.select(col("u").as("node")).union(e.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+      .orderBy("node")
+  }
+
   /** Multi-source BFS levels: exact hop distance from a SEED SET over an
     * undirected edge list — the quality/trust-propagation primitive ("how
     * many hops from curated seeds is this item") and the crawl-frontier

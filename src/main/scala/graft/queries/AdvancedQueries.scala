@@ -414,6 +414,22 @@ object AdvancedQueries {
         .orderBy("dist")
     },
 
+    // k-core of the co-purchase graph (GraphOps.kCore, k=80): the density
+    // screen — parts whose co-purchase neighborhoods stay mutually dense
+    // after low-degree peel. Survivor census per within-core degree keeps
+    // the output compact; the oracle unrolls 8 peel rounds (measured: 5 at
+    // sf0.01/sf0.1, 3 at sf0.001; extra unrolled rounds are no-ops once
+    // the peel set is empty, and the engine's own convergence witness is
+    // authoritative — a corpus needing more rounds would hash-mismatch the
+    // stale bound LOUDLY, not silently).
+    "q_kcore" -> { (s, dir) =>
+      graft.operators.GraphOps.kCore(coPurchaseEdges(s, dir), 80)
+        .groupBy(col("degree"))
+        .agg(count(lit(1)).as("n_nodes"), min(col("node")).as("min_node"),
+          max(col("node")).as("max_node"))
+        .orderBy("degree")
+    },
+
     // Z-order layout audit (Layout.zExtents): Morton key over
     // (l_partkey, l_suppkey), per-bucket row counts and min/max extents of
     // BOTH columns — the file-skipping index a lakehouse reader consults,
@@ -711,6 +727,35 @@ object AdvancedQueries {
          |  FROM e e1 JOIN e e2 ON e1.v = e2.u
          |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
          |SELECT n_nodes, n_edges, n_triangles FROM nd, ne, tr""".stripMargin,
+
+    // unrolled peel chain (8 rounds, see the binding's bound note); each
+    // round = degree census, sub-k peel set, edge filter.
+    "q_kcore" -> {
+      val rounds = (1 to 8).map { i =>
+        val p = s"e${i - 1}"
+        s"""d$i AS MATERIALIZED (
+           |  SELECT x, COUNT(*) AS d FROM (
+           |    SELECT u AS x FROM $p UNION ALL SELECT v FROM $p) GROUP BY x),
+           |b$i AS MATERIALIZED (SELECT x FROM d$i WHERE d < 80),
+           |e$i AS MATERIALIZED (
+           |  SELECT u, v FROM $p
+           |  WHERE u NOT IN (SELECT x FROM b$i)
+           |    AND v NOT IN (SELECT x FROM b$i))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pr AS MATERIALIZED (
+         |  SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem GROUP BY 1, 2),
+         |e0 AS MATERIALIZED (
+         |  SELECT CAST(a.pk AS BIGINT) AS u, CAST(b.pk AS BIGINT) AS v
+         |  FROM pr a JOIN pr b ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2),
+         |$rounds,
+         |lab AS (
+         |  SELECT node, COUNT(*) AS degree FROM (
+         |    SELECT u AS node FROM e8 UNION ALL SELECT v FROM e8)
+         |  GROUP BY node)
+         |SELECT degree, COUNT(*) AS n_nodes, MIN(node) AS min_node,
+         |  MAX(node) AS max_node
+         |FROM lab GROUP BY degree ORDER BY degree""".stripMargin
+    },
 
     // recursive closure bounded by d < 50 (the engine's maxIter budget):
     // UNION-distinct on (id, d) pairs terminates because d is capped; the

@@ -145,6 +145,43 @@ class GraphOpsSpec extends SparkTestBase {
     assert(got == (0L until 20L).map(i => i -> i).toMap)
   }
 
+  test("kCore matches the iterative-peel model; cascades fully") {
+    import spark.implicits._
+    def peelModel(edges: Seq[(Long, Long)], k: Int): Map[Long, Long] = {
+      val adj = scala.collection.mutable.HashMap
+        .empty[Long, scala.collection.mutable.Set[Long]]
+      edges.filter(e => e._1 != e._2).foreach { case (a, b) =>
+        adj.getOrElseUpdate(a, scala.collection.mutable.Set.empty) += b
+        adj.getOrElseUpdate(b, scala.collection.mutable.Set.empty) += a
+      }
+      var changed = true
+      while (changed) {
+        val bad = adj.collect { case (x, s) if s.size < k => x }.toSeq
+        changed = bad.nonEmpty
+        bad.foreach { x =>
+          adj(x).foreach(y => adj(y) -= x)
+          adj.remove(x)
+        }
+      }
+      adj.map { case (x, s) => x -> s.size.toLong }.toMap
+    }
+    def run(edges: Seq[(Long, Long)], k: Int): Map[Long, Long] =
+      GraphOps.kCore(edges.toDF("u", "v"), k)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rng = new scala.util.Random(23)
+    (1 to 3).foreach { _ =>
+      val edges = Seq.fill(60)(
+        (rng.nextInt(20).toLong, rng.nextInt(20).toLong))
+      for (k <- Seq(2, 3, 4))
+        assert(run(edges, k) == peelModel(edges, k), s"k=$k edges=$edges")
+    }
+    // chain + triangle: the chain cascades away round by round, the
+    // triangle survives at k=2
+    val g = (0L until 8L).sliding(2).map(s => (s(0), s(1))).toSeq ++
+      Seq((100L, 101L), (101L, 102L), (102L, 100L))
+    assert(run(g, 2) == Map(100L -> 2L, 101L -> 2L, 102L -> 2L))
+  }
+
   test("pageRank matches the integer model incl. hubs and multi-component") {
     import spark.implicits._
     val rng = new scala.util.Random(5)
