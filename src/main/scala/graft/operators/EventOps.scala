@@ -102,6 +102,31 @@ object EventOps {
       .agg(coalesce(sum(col("n")), lit(0L)).as("n_users"))
   }
 
+  /** Journey (path) mining: each user's first `k` event types in time
+    * order, joined with '>' — the "what do users actually do first"
+    * report behind funnel design. ONE shuffle on user_id and a per-user
+    * sorted prefix scan (same discipline as [[funnel]]); the journey table
+    * that comes back is |users| rows of short strings, and the census
+    * aggregate on it is journey-domain-sized. Ties at equal timestamps
+    * break on event_id, so the path string is deterministic. */
+  def journeys(events: DataFrame, k: Int): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    events
+      .select(col("user_id").cast("long"), col("ts_us"),
+        col("event_id").cast("long"), col("event_type"))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .mapGroups { (uid, it) =>
+        val head = it.toArray.sortBy(e => (e._2, e._3)).take(k)
+        (uid, head.map(_._4).mkString(">"))
+      }.toDF("user_id", "journey")
+      .groupBy(col("journey"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("journey"))
+      .limit(20)
+  }
+
   /** Gap-based sessionization, batch window-function form: lag → new-session
     * flag → running session ordinal → per-session aggregate. One shuffle on
     * user_id; both windows and the final aggregate share that partitioning.

@@ -36,6 +36,12 @@ object EventQueries {
         .orderBy("ws_us", "event_type")
     },
 
+    // Journey mining (EventOps.journeys): top first-5-event paths per user
+    // — one user_id shuffle + a journey-domain-sized census.
+    "q_journeys" -> { (s, dir) =>
+      graft.operators.EventOps.journeys(normalized(s, dir), 5)
+    },
+
     // Percentile bands per hour (P50/P95/P99 of the value column) — the
     // latency-dashboard shape. Exact interpolated percentiles on cents
     // share q_outliers' bounded-domain argument: the aggregate buffers a
@@ -242,6 +248,22 @@ object EventQueries {
       s"""SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS ws_us,
          |  event_type, COUNT(*) AS n, ${MONEY("\"value\"")} AS val_sum
          |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // string_agg ordered by (ts, event_id) over the row_number<=5 prefix
+    // mirrors the sorted-prefix map; top-20 with the same (n desc, journey)
+    // tiebreak.
+    "q_journeys" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_type,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS rn
+         |  FROM events),
+         |j AS (
+         |  SELECT user_id,
+         |    string_agg(event_type, '>' ORDER BY rn) AS journey
+         |  FROM e WHERE rn <= 5 GROUP BY user_id)
+         |SELECT journey, COUNT(*) AS n_users FROM j GROUP BY journey
+         |ORDER BY n_users DESC, journey LIMIT 20""".stripMargin,
 
     "q_event_bands" ->
       s"""SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hour_id,

@@ -221,6 +221,37 @@ object StatsQueries {
         .orderBy("orderkey")
     },
 
+    // Winsorization — q_outliers' transform-side counterpart: instead of
+    // flagging tail rows, CLIP them to per-group percentile bounds (the
+    // feature-robustification pass before regression/normalization).
+    // Bounds snap to integers (ceil of P05, floor of P95), so the clipped
+    // values and their sums stay EXACT longs — no double-summation order
+    // hazard; the only doubles are the bound derivations, mirrored in the
+    // oracle. Same scale shape as q_zscore: one domain-bounded percentile
+    // aggregate, metadata-sized bounds broadcast back, fact never
+    // reshuffles; one final partial→final rollup.
+    "q_winsorize" -> { (s, dir) =>
+      val o = Tables(s, dir, "orders").select(
+        col("o_orderpriority").as("priority"),
+        cents(col("o_totalprice")).as("price_c"))
+      val st = o.groupBy(col("priority")).agg(
+        ceil(percentile(col("price_c"), lit(0.05))).cast("long").as("lo_c"),
+        floor(percentile(col("price_c"), lit(0.95))).cast("long").as("hi_c"))
+      o.join(broadcast(st), "priority")
+        .withColumn("w_c",
+          least(greatest(col("price_c"), col("lo_c")), col("hi_c")))
+        .groupBy(col("priority"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("price_c") < col("lo_c"), 1L).otherwise(0L))
+            .as("n_clip_lo"),
+          sum(when(col("price_c") > col("hi_c"), 1L).otherwise(0L))
+            .as("n_clip_hi"),
+          min(col("lo_c")).as("lo_c"), min(col("hi_c")).as("hi_c"),
+          sum(col("price_c")).as("sum_raw_c"),
+          sum(col("w_c")).as("sum_wins_c"))
+        .orderBy("priority")
+    },
+
     // Distribution-drift monitor: the order-priority mix of 1996 vs 2000 as
     // exact parts-per-million, with the total-variation distance
     // (Σ|p_a − p_b| / 2) stamped on every row — the category-mix drift
@@ -357,6 +388,33 @@ object StatsQueries {
          |FROM prev p FULL OUTER JOIN nxt n ON p.key = n.key
          |WHERE p.key IS NULL OR n.key IS NULL OR p.c <> n.c
          |ORDER BY key""".stripMargin,
+
+    // bound derivation mirrored (quantile_cont == Spark's exact
+    // interpolated percentile; ceil/floor snap to BIGINT), clipped sums
+    // all-integer on both sides.
+    "q_winsorize" ->
+      s"""WITH o AS (
+         |  SELECT o_orderpriority AS priority,
+         |    ${CENTS("o_totalprice")} AS price_c
+         |  FROM orders),
+         |st AS (
+         |  SELECT priority,
+         |    CAST(ceil(quantile_cont(CAST(price_c AS DOUBLE), 0.05))
+         |      AS BIGINT) AS lo_c,
+         |    CAST(floor(quantile_cont(CAST(price_c AS DOUBLE), 0.95))
+         |      AS BIGINT) AS hi_c
+         |  FROM o GROUP BY priority)
+         |SELECT o.priority, COUNT(*) AS n,
+         |  CAST(SUM(CASE WHEN o.price_c < st.lo_c THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_clip_lo,
+         |  CAST(SUM(CASE WHEN o.price_c > st.hi_c THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_clip_hi,
+         |  MIN(st.lo_c) AS lo_c, MIN(st.hi_c) AS hi_c,
+         |  CAST(SUM(o.price_c) AS BIGINT) AS sum_raw_c,
+         |  CAST(SUM(least(greatest(o.price_c, st.lo_c), st.hi_c))
+         |    AS BIGINT) AS sum_wins_c
+         |FROM o JOIN st USING (priority)
+         |GROUP BY o.priority ORDER BY o.priority""".stripMargin,
 
     // all-integer ppm mirror (// is DuckDB floor division on BIGINTs).
     "q_drift" ->
