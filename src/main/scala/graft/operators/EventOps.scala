@@ -102,6 +102,40 @@ object EventOps {
       .agg(coalesce(sum(col("n")), lit(0L)).as("n_users"))
   }
 
+  /** Peak concurrent sessions per hour — the capacity-planning sweep line,
+    * in the DISTRIBUTED PREFIX-SUM shape: a naive sweep is one global
+    * running sum over every boundary event (a single-partition window —
+    * the classic scale trap). Instead: boundary points (+1 at start, −1 at
+    * end+1, exclusive) bucket by hour; each bucket computes its own
+    * running-sum max and total (window bounded by the hour's points); then
+    * ONE window over the BUCKET TABLE — hours-in-corpus rows, telemetry-
+    * sized, not event-sized — turns bucket totals into carry-ins. Peak in
+    * an hour = max(carry at hour start, carry + within max); tie order
+    * inside equal (t, delta) groups cannot change either max (equal deltas
+    * commute). Hours with no boundary points carry silently (a session
+    * spanning a silent hour peaks at its endpoints' hours). */
+  def peakConcurrency(intervals: DataFrame): DataFrame = {
+    val pts = intervals
+      .select(col("sess_start_us").as("t"), lit(1L).as("delta"))
+      .unionAll(intervals
+        .select((col("sess_end_us") + 1L).as("t"), lit(-1L).as("delta")))
+      .withColumn("bucket", expr("t div 3600000000"))
+    val wIn = Window.partitionBy(col("bucket"))
+      .orderBy(col("t"), col("delta"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val perBucket = pts.withColumn("run", sum(col("delta")).over(wIn))
+      .groupBy(col("bucket"))
+      .agg(max(col("run")).as("in_max"), sum(col("delta")).as("tot"))
+    val wB = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perBucket
+      .withColumn("carry", sum(col("tot")).over(wB) - col("tot"))
+      .select(col("bucket").as("hour_id"),
+        greatest(col("carry"), col("carry") + col("in_max"))
+          .as("peak_concurrent"))
+      .orderBy("hour_id")
+  }
+
   /** Journey (path) mining: each user's first `k` event types in time
     * order, joined with '>' — the "what do users actually do first"
     * report behind funnel design. ONE shuffle on user_id and a per-user

@@ -42,6 +42,16 @@ object EventQueries {
       graft.operators.EventOps.journeys(normalized(s, dir), 5)
     },
 
+    // Peak concurrent sessions per hour (EventOps.peakConcurrency) over the
+    // 30-minute-gap sessions: the sweep line as a distributed prefix sum —
+    // per-hour windows over boundary points, then one telemetry-sized
+    // window over bucket totals (never a global event-ordered window).
+    "q_concurrency" -> { (s, dir) =>
+      graft.operators.EventOps.peakConcurrency(
+        graft.operators.EventOps.sessionize(normalized(s, dir),
+          gapUs = 1800000000L))
+    },
+
     // Percentile bands per hour (P50/P95/P99 of the value column) — the
     // latency-dashboard shape. Exact interpolated percentiles on cents
     // share q_outliers' bounded-domain argument: the aggregate buffers a
@@ -248,6 +258,48 @@ object EventQueries {
       s"""SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS ws_us,
          |  event_type, COUNT(*) AS n, ${MONEY("\"value\"")} AS val_sum
          |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // session intervals replay q_sessionize's CTE chain; the two-phase
+    // prefix sum mirrors the engine expression for expression.
+    "q_concurrency" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+         |  FROM events),
+         |f AS (
+         |  SELECT *, CASE WHEN ts_us - lag(ts_us, 1) OVER w > 1800000000
+         |    OR lag(ts_us, 1) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         |g AS (
+         |  SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id
+         |    ORDER BY ts_us, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS sess_id
+         |  FROM f),
+         |sess AS (
+         |  SELECT min(ts_us) AS s0, max(ts_us) AS s1
+         |  FROM g GROUP BY user_id, sess_id),
+         |pts AS (
+         |  SELECT s0 AS t, CAST(1 AS BIGINT) AS delta FROM sess
+         |  UNION ALL SELECT s1 + 1, -1 FROM sess),
+         |pb AS (SELECT t, delta, t // 3600000000 AS bucket FROM pts),
+         |run AS (
+         |  SELECT bucket, delta, SUM(delta) OVER (PARTITION BY bucket
+         |    ORDER BY t, delta
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+         |  FROM pb),
+         |per AS (
+         |  SELECT bucket, CAST(MAX(run) AS BIGINT) AS in_max,
+         |    CAST(SUM(delta) AS BIGINT) AS tot
+         |  FROM run GROUP BY bucket),
+         |cr AS (
+         |  SELECT bucket, in_max,
+         |    CAST(SUM(tot) OVER (ORDER BY bucket
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      - tot AS carry
+         |  FROM per)
+         |SELECT bucket AS hour_id,
+         |  greatest(carry, carry + in_max) AS peak_concurrent
+         |FROM cr ORDER BY hour_id""".stripMargin,
 
     // string_agg ordered by (ts, event_id) over the row_number<=5 prefix
     // mirrors the sorted-prefix map; top-20 with the same (n desc, journey)
