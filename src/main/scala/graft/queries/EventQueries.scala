@@ -52,6 +52,28 @@ object EventQueries {
           gapUs = 1800000000L))
     },
 
+    // Event-type transition matrix (the journeys' Markov counterpart):
+    // adjacent (from → to) pairs per user stream, counted corpus-wide,
+    // with exact-ppm row-conditional probabilities. The lead window
+    // partitions by user (bounded); everything after the pair aggregate is
+    // |event_types|²-sized, so the ppm window runs over telemetry rows.
+    "q_transitions" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      val pairs = normalized(s, dir)
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          col("event_type"))
+        .withColumn("nxt", lead(col("event_type"), 1).over(w))
+        .where(col("nxt").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("nxt").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      pairs
+        .withColumn("p_ppm",
+          expr("(n * 1000000) div sum(n) over (partition by from_type)"))
+        .select(col("from_type"), col("to_type"), col("n"), col("p_ppm"))
+        .orderBy("from_type", "to_type")
+    },
+
     // Percentile bands per hour (P50/P95/P99 of the value column) — the
     // latency-dashboard shape. Exact interpolated percentiles on cents
     // share q_outliers' bounded-domain argument: the aggregate buffers a
@@ -258,6 +280,25 @@ object EventQueries {
       s"""SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS ws_us,
          |  event_type, COUNT(*) AS n, ${MONEY("\"value\"")} AS val_sum
          |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // lead per user mirrors the engine window; ppm is integer floor math.
+    "q_transitions" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, event_type,
+         |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+         |  FROM events),
+         |p AS (
+         |  SELECT event_type AS from_type,
+         |    lead(event_type, 1) OVER (PARTITION BY user_id
+         |      ORDER BY ts_us, event_id) AS to_type
+         |  FROM e),
+         |c AS (
+         |  SELECT from_type, to_type, COUNT(*) AS n FROM p
+         |  WHERE to_type IS NOT NULL GROUP BY 1, 2)
+         |SELECT from_type, to_type, n,
+         |  CAST((n * 1000000) // SUM(n) OVER (PARTITION BY from_type)
+         |    AS BIGINT) AS p_ppm
+         |FROM c ORDER BY from_type, to_type""".stripMargin,
 
     // session intervals replay q_sessionize's CTE chain; the two-phase
     // prefix sum mirrors the engine expression for expression.
