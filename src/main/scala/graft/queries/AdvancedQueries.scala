@@ -396,6 +396,53 @@ object AdvancedQueries {
         .limit(100)
     },
 
+    // As-of NEAREST: the third mode users ask of an as-of join — the
+    // temporally closest match in EITHER direction (sensor alignment,
+    // nearest-quote joins). Composed from the native operator's two
+    // directional passes joined on the probe key; ties at equal absolute
+    // gap keep the backward match (the past is the safer default — it was
+    // observable at probe time). Each directional pass is the operator's
+    // one streaming merge; the composition join is probe-sized.
+    "q_asof_nearest" -> { (s, dir) =>
+      val e = Tables(s, dir, "events")
+        .withColumn("ts_us", expr("ts div 1000"))
+      def purchases = e.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      def clicks = e.where(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts_us").as("click_ts_us"),
+          col("event_id").as("click_id"))
+      def side(forward: Boolean) = {
+        val p = purchases
+        val c = clicks
+        graft.plans.AsOfJoin(p, c, p("user_id"), c("c_user"),
+          p("ts_us"), c("click_ts_us"), c("click_id"), forward = forward)
+      }
+      val b = side(forward = false)
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("click_id").as("b_id"),
+          (col("ts_us") - col("click_ts_us")).as("b_gap"))
+      val f = side(forward = true)
+        .select(col("event_id").as("f_event_id"),
+          col("click_id").as("f_id"),
+          (col("click_ts_us") - col("ts_us")).as("f_gap"))
+      b.join(f, col("event_id") === col("f_event_id"))
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          when(col("b_id").isNull && col("f_id").isNull, "none")
+            .when(col("f_id").isNull, "backward")
+            .when(col("b_id").isNull, "forward")
+            .when(col("b_gap") <= col("f_gap"), "backward")
+            .otherwise("forward").as("dir"),
+          when(col("f_id").isNull, col("b_id"))
+            .when(col("b_id").isNull, col("f_id"))
+            .when(col("b_gap") <= col("f_gap"), col("b_id"))
+            .otherwise(col("f_id")).as("near_click_id"),
+          when(col("f_id").isNull, col("b_gap"))
+            .when(col("b_id").isNull, col("f_gap"))
+            .when(col("b_gap") <= col("f_gap"), col("b_gap"))
+            .otherwise(col("f_gap")).as("near_gap_us"))
+        .orderBy("event_id")
+    },
+
     // Multi-source BFS (GraphOps.bfsLevels) on the same co-purchase graph:
     // exact hop distance from the seed parts (partkey % 97 == 0) — the
     // trust/quality-propagation distance every curation pipeline scores
@@ -599,6 +646,63 @@ object AdvancedQueries {
     // (tag 0 < 1) so a same-ts click is inside the CURRENT ROW..FOLLOWING
     // frame — the operator's inclusive ts >= bound; first_value picks the
     // smallest (ts, click id), the forward tie rule.
+    // both directional window passes in one chain; the nearest CASE is the
+    // identical expression tree the engine writes.
+    "q_asof_nearest" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+         |    event_type FROM events),
+         |ub AS (
+         |  SELECT user_id, ts_us, 0 AS tag, event_id AS cid,
+         |    CAST(NULL AS BIGINT) AS pid FROM e WHERE event_type = 'click'
+         |  UNION ALL
+         |  SELECT user_id, ts_us, 1, CAST(NULL AS BIGINT), event_id
+         |  FROM e WHERE event_type = 'purchase'),
+         |wb AS (
+         |  SELECT *,
+         |    last_value(cid IGNORE NULLS) OVER win AS b_id,
+         |    last_value(CASE WHEN tag = 0 THEN ts_us END IGNORE NULLS)
+         |      OVER win AS b_ts
+         |  FROM ub
+         |  WINDOW win AS (PARTITION BY user_id ORDER BY ts_us, tag, cid
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |b AS (
+         |  SELECT pid AS event_id, user_id, ts_us, b_id, ts_us - b_ts AS b_gap
+         |  FROM wb WHERE tag = 1),
+         |uf AS (
+         |  SELECT user_id, ts_us, 1 AS tag, event_id AS cid,
+         |    CAST(NULL AS BIGINT) AS pid FROM e WHERE event_type = 'click'
+         |  UNION ALL
+         |  SELECT user_id, ts_us, 0, CAST(NULL AS BIGINT), event_id
+         |  FROM e WHERE event_type = 'purchase'),
+         |wf AS (
+         |  SELECT *,
+         |    first_value(cid IGNORE NULLS) OVER win AS f_id,
+         |    first_value(CASE WHEN tag = 1 THEN ts_us END IGNORE NULLS)
+         |      OVER win AS f_ts
+         |  FROM uf
+         |  WINDOW win AS (PARTITION BY user_id ORDER BY ts_us, tag, cid
+         |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+         |f AS (
+         |  SELECT pid AS event_id, f_id, f_ts - ts_us AS f_gap
+         |  FROM wf WHERE tag = 0)
+         |SELECT b.event_id, b.user_id, b.ts_us,
+         |  CASE WHEN b.b_id IS NULL AND f.f_id IS NULL THEN 'none'
+         |       WHEN f.f_id IS NULL THEN 'backward'
+         |       WHEN b.b_id IS NULL THEN 'forward'
+         |       WHEN b.b_gap <= f.f_gap THEN 'backward'
+         |       ELSE 'forward' END AS dir,
+         |  CASE WHEN f.f_id IS NULL THEN b.b_id
+         |       WHEN b.b_id IS NULL THEN f.f_id
+         |       WHEN b.b_gap <= f.f_gap THEN b.b_id
+         |       ELSE f.f_id END AS near_click_id,
+         |  CASE WHEN f.f_id IS NULL THEN b.b_gap
+         |       WHEN b.b_id IS NULL THEN f.f_gap
+         |       WHEN b.b_gap <= f.f_gap THEN b.b_gap
+         |       ELSE f.f_gap END AS near_gap_us
+         |FROM b JOIN f USING (event_id)
+         |ORDER BY b.event_id""".stripMargin,
+
     "q_asof_forward" ->
       s"""WITH e AS (
          |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
