@@ -191,7 +191,11 @@ object GraphOps {
       e = e.join(bad.select(col("x").as("u")), Seq("u"), "left_anti")
         .join(bad.select(col("x").as("v")), Seq("v"), "left_anti")
         .select(col("u"), col("v"))
-        .localCheckpoint()
+      // lineage cut every SECOND round: a round adds two anti joins — cheap
+      // to recompute once, but unbounded stacking would re-run the whole
+      // peel history inside every later job (same cadence reasoning as
+      // pageRank's every-6th-sweep checkpoint)
+      if (it % 2 == 1) e = e.localCheckpoint()
       prevCnt = cnt
       cnt = e.count()
       it += 1
