@@ -99,6 +99,67 @@ object EventQueries {
         .orderBy("ws_us", "event_type")
     },
 
+    // The STREAMING path, oracle-gated (not just parity-tested): the same
+    // 30-minute sessions produced by the cross-batch
+    // flatMapGroupsWithState pipeline (StreamingOps.sessionize) over a
+    // file stream split mid-timeline — sessions genuinely span the batch
+    // boundary, open sessions flush via event-time timeouts when two
+    // far-future sentinel batches advance the watermark. The result table
+    // hash-matches the SAME session semantics the batch oracle replays —
+    // a driver-checked streaming execution, with the multi-batch machinery
+    // otherwise only StreamingSpec exercises.
+    "q_stream_sessions" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables(s, dir, "events")
+      val schema = ev.schema
+      val tmp = new java.io.File(
+        s"/root/repo/target/tmp/stream_sess-${new java.io.File(dir).getName}")
+      // a real stream runs fresh each call: clear prior batch files
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(): Unit
+      }
+      if (tmp.exists) rm(tmp)
+      tmp.mkdirs()
+      val median = ev
+        .selectExpr(
+          "CAST(percentile_cont(0.5) WITHIN GROUP (ORDER BY ts) AS BIGINT)")
+        .head().getLong(0)
+      val maxTs = ev.agg(max(col("ts"))).head().getLong(0)
+      def sentinel(uid: Long, ts: Long) =
+        s.range(1).select(lit(uid).as("event_id"), lit(ts).as("ts"),
+          lit(uid).as("user_id"), lit("click").as("event_type"),
+          lit(0.0).as("value"), lit("{}").as("props"))
+      val stream = s.readStream.schema(schema).parquet(s"$tmp/*.parquet")
+        .withColumn("ts_us", expr("ts div 1000"))
+        .withColumn("ts_t", timestamp_micros(col("ts_us")))
+        .withWatermark("ts_t", "1 second")
+        .withColumn("val_cents", round(col("value") * lit(100)).cast("long"))
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          col("val_cents"), col("ts_t"))
+        .as[graft.streaming.StreamingOps.Ev]
+      val qn = s"q_stream_sessions_${System.nanoTime()}"
+      val q = graft.streaming.StreamingOps.sessionize(stream)
+        .writeStream.outputMode("append")
+        .format("memory").queryName(qn).start()
+      try {
+        ev.where(col("ts") <= median).write.parquet(s"$tmp/b1.parquet")
+        q.processAllAvailable()
+        ev.where(col("ts") > median).write.parquet(s"$tmp/b2.parquet")
+        q.processAllAvailable()
+        sentinel(-1L, maxTs + 3600L * 1000 * 1000 * 1000)
+          .write.parquet(s"$tmp/b3.parquet")
+        q.processAllAvailable()
+        sentinel(-2L, maxTs + 7200L * 1000 * 1000 * 1000)
+          .write.parquet(s"$tmp/b4.parquet")
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table(qn).where(col("user_id") >= 0)
+        .select(col("user_id"), col("sess_start_us"), col("sess_end_us"),
+          col("n_events"), col("val_sum"))
+        .orderBy("user_id", "sess_start_us")
+    },
+
     // 30-minute-gap sessionization per user (EventOps.sessionize), batch
     // window-function form.
     "q_sessionize" -> { (s, dir) =>
@@ -377,6 +438,30 @@ object EventQueries {
          |SELECT epoch_us(ws) AS ws_us, event_type, COUNT(*) AS n,
          |  ${MONEY("\"value\"")} AS val_sum
          |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // the batch session oracle minus the per-user ordinal (a stream has no
+    // stable sess_id); per-user sessions are disjoint so (user, start) is a
+    // unique deterministic order.
+    "q_stream_sessions" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+         |    ${CENTS("\"value\"")} AS val_cents
+         |  FROM events),
+         |f AS (
+         |  SELECT *, CASE WHEN ts_us - lag(ts_us, 1) OVER w > 1800000000
+         |    OR lag(ts_us, 1) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         |g AS (
+         |  SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id
+         |    ORDER BY ts_us, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS sess_id
+         |  FROM f)
+         |SELECT user_id, min(ts_us) AS sess_start_us,
+         |  max(ts_us) AS sess_end_us, COUNT(*) AS n_events,
+         |  CAST(SUM(val_cents) AS DOUBLE)/100.0 AS val_sum
+         |FROM g GROUP BY user_id, sess_id
+         |ORDER BY user_id, sess_start_us""".stripMargin,
 
     "q_sessionize" ->
       s"""WITH e AS (
