@@ -364,6 +364,13 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin"), "deviation join degraded to SMJ")
   }
 
+  test("q_transitions: lead window partitions by user; census folds map-side") {
+    val p = planOf(SparkEntry.queries("q_transitions")(spark, sf))
+    assert(p.contains("windowspecdefinition(user_id"),
+      s"lead window lost its user partitioning:\n$p")
+    assert(p.contains("partial_count"), "pair census lost map-side combine")
+  }
+
   test("no unintended cartesian products anywhere in the query set") {
     // sim_topk/sim_ann_ivf intentionally cross-join against broadcast
     // centroid/query sets; everything else must be key-joined.
