@@ -160,6 +160,45 @@ object GraphOps {
       .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
   }
 
+  /** Seeded label propagation: a FIXED number of synchronous rounds in
+    * which every still-unlabeled node adopts the majority label among its
+    * already-labeled neighbors (count desc, label asc on ties — the
+    * deterministic argmin-struct form), seeds and previously-adopted
+    * labels frozen. The semi-supervised labeling pass of a training-data
+    * pipeline: a small curated seed set (domains, topics, quality tiers)
+    * spreads over a similarity/co-occurrence graph. Fixed rounds rather
+    * than convergence detection: adoption is monotone (labeled nodes never
+    * change), so each round is a frontier expansion and the round budget
+    * IS the propagation radius — replayable by any engine, no oracle-
+    * hostile stopping rule. Per round: one edge-label join, one
+    * (node, label) count aggregate, one argmax aggregate, one anti join —
+    * all partial→final; the label table only grows by the new frontier. */
+  def labelPropagation(edges: DataFrame, seeds: DataFrame,
+      rounds: Int): DataFrame = {
+    val cols = edges.columns
+    val e0 = edges.select(col(cols(0)).cast("long").as("u"),
+      col(cols(1)).cast("long").as("v"))
+    val e = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+      .distinct().localCheckpoint()
+    var lab = seeds
+      .select(col(seeds.columns(0)).cast("long").as("id"),
+        col(seeds.columns(1)).cast("string").as("label"))
+      .distinct().localCheckpoint()
+    var r = 0
+    while (r < rounds) {
+      val adopted = e.join(lab, e("v") === lab("id"))
+        .select(e("u").as("id"), col("label"))
+        .join(lab.select(col("id")), Seq("id"), "left_anti")
+        .groupBy(col("id"), col("label")).agg(count(lit(1)).as("c"))
+        .groupBy(col("id"))
+        .agg(min(struct((-col("c")).as("nc"), col("label"))).as("m"))
+        .select(col("id"), col("m.label").as("label"))
+      lab = lab.union(adopted).localCheckpoint()
+      r += 1
+    }
+    lab
+  }
+
   /** k-core decomposition by iterative peel: repeatedly delete nodes of
     * degree < k until every surviving node has ≥ k surviving neighbors —
     * the standard density filter (community cores, spam/quality screens:

@@ -477,6 +477,34 @@ object AdvancedQueries {
         .orderBy("degree")
     },
 
+    // Seeded label propagation (GraphOps.labelPropagation) on the
+    // co-purchase graph: every 10th part seeds its brand, 3 synchronous
+    // majority rounds spread labels to neighbors — the semi-supervised
+    // topic/quality labeling pass. Output is the per-label census plus an
+    // explicit '(unlabeled)' row (graph nodes no round reached).
+    "q_label_prop" -> { (s, dir) =>
+      val seeds = Tables(s, dir, "part")
+        .where(pmod(col("p_partkey"), lit(10)) === 0)
+        .select(col("p_partkey").cast("long").as("id"),
+          col("p_brand").as("label"))
+      val e = coPurchaseEdges(s, dir)
+      val lab = graft.operators.GraphOps.labelPropagation(e, seeds, 3)
+        .localCheckpoint() // fans into the census and the unlabeled probe
+      val nodes = e.select(col("u").as("id"))
+        .union(e.select(col("v").as("id"))).distinct()
+      val un = nodes.join(lab.select(col("id")), Seq("id"), "left_anti")
+        .agg(count(lit(1)).as("n_nodes"),
+          coalesce(min(col("id")), lit(-1L)).as("min_node"),
+          coalesce(max(col("id")), lit(-1L)).as("max_node"))
+        .select(lit("(unlabeled)").as("label"), col("n_nodes"),
+          col("min_node"), col("max_node"))
+      lab.groupBy(col("label"))
+        .agg(count(lit(1)).as("n_nodes"), min(col("id")).as("min_node"),
+          max(col("id")).as("max_node"))
+        .unionAll(un)
+        .orderBy("label")
+    },
+
     // Z-order layout audit (Layout.zExtents): Morton key over
     // (l_partkey, l_suppkey), per-bucket row counts and min/max extents of
     // BOTH columns — the file-skipping index a lakehouse reader consults,
@@ -831,6 +859,48 @@ object AdvancedQueries {
          |  FROM e e1 JOIN e e2 ON e1.v = e2.u
          |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
          |SELECT n_nodes, n_edges, n_triangles FROM nd, ne, tr""".stripMargin,
+
+    // 3 unrolled majority rounds (MATERIALIZED — same inlining hazard as
+    // q_kcore); argmax = row_number(c desc, label) mirroring min(struct).
+    "q_label_prop" -> {
+      val rounds = (1 to 3).map { i =>
+        val p = s"l${i - 1}"
+        s"""c$i AS MATERIALIZED (
+           |  SELECT e.u AS id, l.label, COUNT(*) AS c
+           |  FROM e JOIN $p l ON e.v = l.id
+           |  WHERE e.u NOT IN (SELECT id FROM $p)
+           |  GROUP BY 1, 2),
+           |a$i AS MATERIALIZED (
+           |  SELECT id, label FROM (
+           |    SELECT id, label, row_number() OVER (PARTITION BY id
+           |      ORDER BY c DESC, label) AS rn
+           |    FROM c$i)
+           |  WHERE rn = 1),
+           |l$i AS MATERIALIZED (
+           |  SELECT * FROM $p UNION ALL SELECT * FROM a$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pr AS MATERIALIZED (
+         |  SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem GROUP BY 1, 2),
+         |pe AS MATERIALIZED (
+         |  SELECT CAST(a.pk AS BIGINT) AS u, CAST(b.pk AS BIGINT) AS v
+         |  FROM pr a JOIN pr b ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2),
+         |e AS MATERIALIZED (SELECT u, v FROM pe UNION SELECT v, u FROM pe),
+         |l0 AS MATERIALIZED (
+         |  SELECT CAST(p_partkey AS BIGINT) AS id, p_brand AS label
+         |  FROM part WHERE p_partkey % 10 = 0),
+         |$rounds,
+         |nodes AS (SELECT DISTINCT u AS id FROM e),
+         |un AS (
+         |  SELECT '(unlabeled)' AS label, COUNT(*) AS n_nodes,
+         |    COALESCE(MIN(id), -1) AS min_node,
+         |    COALESCE(MAX(id), -1) AS max_node
+         |  FROM nodes WHERE id NOT IN (SELECT id FROM l3))
+         |SELECT label, COUNT(*) AS n_nodes, MIN(id) AS min_node,
+         |  MAX(id) AS max_node
+         |FROM l3 GROUP BY label
+         |UNION ALL SELECT * FROM un
+         |ORDER BY label""".stripMargin
+    },
 
     // unrolled peel chain (8 rounds, see the binding's bound note); each
     // round = degree census, sub-k peel set, edge filter.

@@ -145,6 +145,55 @@ class GraphOpsSpec extends SparkTestBase {
     assert(got == (0L until 20L).map(i => i -> i).toMap)
   }
 
+  test("labelPropagation matches the synchronous majority model") {
+    import spark.implicits._
+    def lpModel(edges: Seq[(Long, Long)], seeds: Map[Long, String],
+        rounds: Int): Map[Long, String] = {
+      val adj = scala.collection.mutable.HashMap
+        .empty[Long, scala.collection.mutable.Set[Long]]
+      edges.foreach { case (a, b) =>
+        adj.getOrElseUpdate(a, scala.collection.mutable.Set.empty) += b
+        adj.getOrElseUpdate(b, scala.collection.mutable.Set.empty) += a
+      }
+      var lab = seeds
+      (1 to rounds).foreach { _ =>
+        val adopted = adj.keys.filterNot(lab.contains).flatMap { u =>
+          val votes = adj(u).toSeq.flatMap(lab.get)
+            .groupBy(identity).map { case (l, vs) => (l, vs.size) }
+          if (votes.isEmpty) None
+          else Some(u -> votes.toSeq.minBy { case (l, c) => (-c, l) }._1)
+        }.toMap
+        lab = lab ++ adopted
+      }
+      lab
+    }
+    val rng = new scala.util.Random(29)
+    (1 to 3).foreach { _ =>
+      val edges = Seq.fill(30)(
+        (rng.nextInt(25).toLong, rng.nextInt(25).toLong))
+        .filter { case (a, b) => a != b }
+      val seeds = Map(1L -> "a", 2L -> "b", 3L -> "a", 24L -> "c")
+      for (rounds <- Seq(1, 3)) {
+        val got = GraphOps.labelPropagation(edges.toDF("u", "v"),
+            seeds.toSeq.toDF("id", "label"), rounds)
+          .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+        assert(got == lpModel(edges, seeds, rounds),
+          s"rounds=$rounds edges=$edges")
+      }
+    }
+    // chain: label radius == round budget, ties at equidistant nodes break
+    // on the smaller label
+    val chain = (0L until 7L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val got = GraphOps.labelPropagation(chain.toDF("u", "v"),
+        Seq((0L, "z"), (6L, "a")).toDF("id", "label"), 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // synchronous rounds read the PREVIOUS round's labels: node 3's
+    // neighbors (2 and 4) are only labeled DURING round 2, so after two
+    // rounds the middle node is still unreached — radius is exactly 2
+    assert(got == Map(0L -> "z", 1L -> "z", 2L -> "z",
+      4L -> "a", 5L -> "a", 6L -> "a"), s"got $got")
+  }
+
   test("kCore matches the iterative-peel model; cascades fully") {
     import spark.implicits._
     def peelModel(edges: Seq[(Long, Long)], k: Int): Map[Long, Long] = {
