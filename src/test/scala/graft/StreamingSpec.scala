@@ -162,6 +162,68 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("sessionization RECOVERS from a checkpoint restart mid-stream") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft-restart").toString
+    val ckpt = Files.createTempDirectory("graft-restart-ckpt").toString
+    val ev = Tables(spark, sf, "events")
+    val schema = ev.schema
+    val median = ev
+      .selectExpr("CAST(percentile_cont(0.5) WITHIN GROUP (ORDER BY ts) AS BIGINT)")
+      .head().getLong(0)
+    val maxTs = ev.agg(max(col("ts"))).head().getLong(0)
+    def sentinel(uid: Long, ts: Long) =
+      spark.range(1).select(lit(uid).as("event_id"), lit(ts).as("ts"),
+        lit(uid).as("user_id"), lit("click").as("event_type"),
+        lit(0.0).as("value"), lit("{}").as("props"))
+    def startQ(name: String) = {
+      val stream = spark.readStream.schema(schema).parquet(s"$dir/*.parquet")
+        .withColumn("ts_us", expr("ts div 1000"))
+        .withColumn("ts_t", timestamp_micros(col("ts_us")))
+        .withWatermark("ts_t", "1 second")
+        .withColumn("val_cents", round(col("value") * lit(100)).cast("long"))
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          col("val_cents"), col("ts_t"))
+        .as[StreamingOps.Ev]
+      StreamingOps.sessionize(stream)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .format("memory").queryName(name).start()
+    }
+    def rows(t: String): Set[(Long, Long, Long, Long, Double)] =
+      spark.table(t).where(col("user_id") >= 0)
+        .select("user_id", "sess_start_us", "sess_end_us", "n_events",
+          "val_sum")
+        .as[(Long, Long, Long, Long, Double)].collect().toSet
+    // phase 1: half the timeline, then STOP — many sessions are open in the
+    // state store at the stop point
+    val q1 = startQ("restart_p1")
+    ev.where(col("ts") <= median).write.parquet(s"$dir/b1.parquet")
+    q1.processAllAvailable()
+    val phase1 = rows("restart_p1")
+    q1.stop()
+    // phase 2: a NEW query object resumes from the same checkpoint — source
+    // offsets AND the open-session state must both come back
+    val q2 = startQ("restart_p2")
+    try {
+      ev.where(col("ts") > median).write.parquet(s"$dir/b2.parquet")
+      q2.processAllAvailable()
+      sentinel(-1L, maxTs + 3600L * 1000 * 1000 * 1000)
+        .write.parquet(s"$dir/b3.parquet")
+      q2.processAllAvailable()
+      sentinel(-2L, maxTs + 7200L * 1000 * 1000 * 1000)
+        .write.parquet(s"$dir/b4.parquet")
+      q2.processAllAvailable()
+      val got = phase1 ++ rows("restart_p2")
+      val want = SparkEntry.queries("q_sessionize")(spark, sf)
+        .select("user_id", "sess_start_us", "sess_end_us", "n_events",
+          "val_sum")
+        .as[(Long, Long, Long, Long, Double)].collect().toSet
+      assert(got == want,
+        s"restart lost/duplicated sessions: got ${got.size}, want ${want.size}")
+    } finally q2.stop()
+  }
+
   test("stateful sessionization across batches matches batch q_sessionize") {
     import java.nio.file.Files
     val dir = Files.createTempDirectory("graft-sess").toString
