@@ -160,6 +160,57 @@ object GraphOps {
       .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
   }
 
+  /** Widest (maximum-bottleneck) paths from a seed set: bneck(u) = the
+    * maximum over seed-paths of the minimum edge weight along the path —
+    * the MAX-MIN path semiring, completing the kernel trio next to
+    * [[bfsLevels]] (min-plus) and [[pageRank]] (sum-times). With
+    * co-purchase counts as weights this is connection-STRENGTH
+    * propagation: "how strong is the strongest chain linking this item to
+    * the curated seeds" — hop distance alone calls a chain of one-off
+    * co-purchases as close as a chain of thousands. Same flooding
+    * discipline as bfsLevels: labels only ever increase or appear
+    * (monotone in the max-min lattice, so the (count, Σ) witness pair is a
+    * sound fixpoint test), frontier-sized rounds, loud maxIter failure.
+    * Seeds carry Long.MaxValue (⊤ of the lattice: an unconstrained path to
+    * themselves). */
+  def widestPaths(edges: DataFrame, sources: DataFrame,
+      maxIter: Int = 50): DataFrame = {
+    val cols = edges.columns
+    val e0 = edges.select(col(cols(0)).cast("long").as("u"),
+      col(cols(1)).cast("long").as("v"), col(cols(2)).cast("long").as("w"))
+    val e = e0.union(e0.select(col("v").as("u"), col("u").as("v"), col("w")))
+      .groupBy(col("u"), col("v")).agg(max(col("w")).as("w"))
+      .localCheckpoint()
+    var lab = sources
+      .select(col(sources.columns(0)).cast("long").as("id"))
+      .distinct()
+      .select(col("id"), lit(Long.MaxValue).as("bneck"))
+      .localCheckpoint()
+    def witness(df: DataFrame): (java.math.BigDecimal, java.math.BigDecimal) = {
+      val r = df.agg(count(lit(1)).cast("decimal(38,0)").as("c"),
+        sum(col("bneck").cast("decimal(38,0)")).as("s")).head()
+      (r.getDecimal(0), r.getDecimal(1))
+    }
+    var prev = witness(lab)
+    var converged = false
+    var it = 0
+    while (it < maxIter && !converged) {
+      val msgs = e.join(lab, e("v") === lab("id"))
+        .select(e("u").as("id"), least(col("bneck"), col("w")).as("bneck"))
+      lab = lab.union(msgs)
+        .groupBy(col("id")).agg(max(col("bneck")).as("bneck"))
+        .localCheckpoint()
+      val w = witness(lab)
+      converged = w == prev
+      prev = w
+      it += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"widestPaths did not converge within maxIter=$maxIter rounds")
+    lab.select(col("id").as("node"), col("bneck"))
+  }
+
   /** Seeded label propagation: a FIXED number of synchronous rounds in
     * which every still-unlabeled node adopts the majority label among its
     * already-labeled neighbors (count desc, label asc on ties — the

@@ -477,6 +477,36 @@ object AdvancedQueries {
         .orderBy("degree")
     },
 
+    // Widest paths (GraphOps.widestPaths) from the BFS seed set over the
+    // WEIGHTED co-purchase graph (edge weight = shared-order count):
+    // max-min connection strength per part, censused per bottleneck value.
+    // The weighted edge table persists write-once beside the other graph
+    // layers. Seeds report Long.MaxValue (the lattice top), exact on both
+    // engines.
+    "q_widest_paths" -> { (s, dir) =>
+      val tmp =
+        s"/root/repo/target/tmp/copurchase_w-${new java.io.File(dir).getName}"
+      graft.sources.Sinks.ensureDir(s, tmp, "v1:copurchase,weighted") {
+        val pr = Tables(s, dir, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        pr.as("a").join(pr.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+          .groupBy(col("a.pk").cast("long").as("u"),
+            col("b.pk").cast("long").as("v"))
+          .agg(count(lit(1)).as("w"))
+          .write.mode("overwrite").parquet(tmp)
+      }
+      val seeds = Tables(s, dir, "part")
+        .where(pmod(col("p_partkey"), lit(97)) === 0)
+        .select(col("p_partkey").cast("long").as("id"))
+      graft.operators.GraphOps.widestPaths(s.read.parquet(tmp), seeds)
+        .groupBy(col("bneck"))
+        .agg(count(lit(1)).as("n_nodes"), min(col("node")).as("min_node"),
+          max(col("node")).as("max_node"))
+        .orderBy("bneck")
+    },
+
     // Seeded label propagation (GraphOps.labelPropagation) on the
     // co-purchase graph: every 10th part seeds its brand, 3 synchronous
     // majority rounds spread labels to neighbors — the semi-supervised
@@ -859,6 +889,29 @@ object AdvancedQueries {
          |  FROM e e1 JOIN e e2 ON e1.v = e2.u
          |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
          |SELECT n_nodes, n_edges, n_triangles FROM nd, ne, tr""".stripMargin,
+
+    // recursive max-min closure: (id, bottleneck) pairs draw from the
+    // finite weight set so UNION-distinct terminates without a round cap.
+    "q_widest_paths" ->
+      s"""WITH RECURSIVE pr AS MATERIALIZED (
+         |  SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem GROUP BY 1, 2),
+         |ew AS MATERIALIZED (
+         |  SELECT CAST(a.pk AS BIGINT) AS u, CAST(b.pk AS BIGINT) AS v,
+         |    COUNT(*) AS w
+         |  FROM pr a JOIN pr b ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2),
+         |e AS MATERIALIZED (
+         |  SELECT u, v, w FROM ew UNION ALL SELECT v, u, w FROM ew),
+         |seeds AS (
+         |  SELECT CAST(p_partkey AS BIGINT) AS id FROM part
+         |  WHERE p_partkey % 97 = 0),
+         |walk(id, b) AS (
+         |  SELECT id, CAST(9223372036854775807 AS BIGINT) FROM seeds
+         |  UNION
+         |  SELECT e.u, LEAST(walk.b, e.w) FROM e JOIN walk ON e.v = walk.id),
+         |lab AS (SELECT id, MAX(b) AS bneck FROM walk GROUP BY id)
+         |SELECT bneck, COUNT(*) AS n_nodes, MIN(id) AS min_node,
+         |  MAX(id) AS max_node
+         |FROM lab GROUP BY bneck ORDER BY bneck""".stripMargin,
 
     // 3 unrolled majority rounds (MATERIALIZED — same inlining hazard as
     // q_kcore); argmax = row_number(c desc, label) mirroring min(struct).

@@ -145,6 +145,52 @@ class GraphOpsSpec extends SparkTestBase {
     assert(got == (0L until 20L).map(i => i -> i).toMap)
   }
 
+  test("widestPaths matches brute-force max-min on random weighted graphs") {
+    import spark.implicits._
+    def wpModel(edges: Seq[(Long, Long, Long)],
+        seeds: Seq[Long]): Map[Long, Long] = {
+      val adj = scala.collection.mutable.HashMap
+        .empty[Long, scala.collection.mutable.Map[Long, Long]]
+      edges.foreach { case (a, b, w) =>
+        val ma = adj.getOrElseUpdate(a, scala.collection.mutable.Map.empty)
+        ma(b) = math.max(ma.getOrElse(b, Long.MinValue), w)
+        val mb = adj.getOrElseUpdate(b, scala.collection.mutable.Map.empty)
+        mb(a) = math.max(mb.getOrElse(a, Long.MinValue), w)
+      }
+      val bn = scala.collection.mutable.HashMap[Long, Long](
+        seeds.map(_ -> Long.MaxValue): _*)
+      var changed = true
+      while (changed) {
+        changed = false
+        bn.toSeq.foreach { case (x, b) =>
+          adj.getOrElse(x, Map.empty).foreach { case (y, w) =>
+            val cand = math.min(b, w)
+            if (cand > bn.getOrElse(y, Long.MinValue)) {
+              bn(y) = cand; changed = true
+            }
+          }
+        }
+      }
+      bn.toMap
+    }
+    val rng = new scala.util.Random(37)
+    (1 to 4).foreach { _ =>
+      val edges = Seq.fill(30)((rng.nextInt(18).toLong,
+        rng.nextInt(18).toLong, (1 + rng.nextInt(9)).toLong))
+        .filter(e => e._1 != e._2)
+      val seeds = Seq(0L, 17L, 99L) // 99 isolated: stays at lattice top
+      val got = GraphOps.widestPaths(edges.toDF("u", "v", "w"),
+          seeds.toDF("id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == wpModel(edges, seeds), s"edges=$edges")
+    }
+    // bottleneck chain: the narrowest link caps everything beyond it
+    val chain = Seq((0L, 1L, 9L), (1L, 2L, 2L), (2L, 3L, 7L))
+    val got = GraphOps.widestPaths(chain.toDF("u", "v", "w"), Seq(0L).toDF("id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> Long.MaxValue, 1L -> 9L, 2L -> 2L, 3L -> 2L))
+  }
+
   test("labelPropagation matches the synchronous majority model") {
     import spark.implicits._
     def lpModel(edges: Seq[(Long, Long)], seeds: Map[Long, String],
