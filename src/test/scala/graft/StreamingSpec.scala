@@ -176,7 +176,11 @@ class StreamingSpec extends SparkTestBase {
       spark.range(1).select(lit(uid).as("event_id"), lit(ts).as("ts"),
         lit(uid).as("user_id"), lit("click").as("event_type"),
         lit(0.0).as("value"), lit("{}").as("props"))
-    def startQ(name: String) = {
+    // memory sinks refuse checkpoint recovery; foreachBatch + parquet is
+    // the recoverable, idempotent-enough sink (set compare absorbs a
+    // replayed batch)
+    val outDir = Files.createTempDirectory("graft-restart-out").toString
+    def startQ() = {
       val stream = spark.readStream.schema(schema).parquet(s"$dir/*.parquet")
         .withColumn("ts_us", expr("ts div 1000"))
         .withColumn("ts_t", timestamp_micros(col("ts_us")))
@@ -188,23 +192,26 @@ class StreamingSpec extends SparkTestBase {
       StreamingOps.sessionize(stream)
         .writeStream.outputMode("append")
         .option("checkpointLocation", ckpt)
-        .format("memory").queryName(name).start()
+        .foreachBatch {
+          (df: org.apache.spark.sql.Dataset[StreamingOps.SessionOut],
+              _: Long) =>
+            df.write.mode("append").parquet(outDir)
+        }.start()
     }
-    def rows(t: String): Set[(Long, Long, Long, Long, Double)] =
-      spark.table(t).where(col("user_id") >= 0)
+    def sunk(): Set[(Long, Long, Long, Long, Double)] =
+      spark.read.parquet(outDir).where(col("user_id") >= 0)
         .select("user_id", "sess_start_us", "sess_end_us", "n_events",
           "val_sum")
         .as[(Long, Long, Long, Long, Double)].collect().toSet
     // phase 1: half the timeline, then STOP — many sessions are open in the
     // state store at the stop point
-    val q1 = startQ("restart_p1")
+    val q1 = startQ()
     ev.where(col("ts") <= median).write.parquet(s"$dir/b1.parquet")
     q1.processAllAvailable()
-    val phase1 = rows("restart_p1")
     q1.stop()
     // phase 2: a NEW query object resumes from the same checkpoint — source
     // offsets AND the open-session state must both come back
-    val q2 = startQ("restart_p2")
+    val q2 = startQ()
     try {
       ev.where(col("ts") > median).write.parquet(s"$dir/b2.parquet")
       q2.processAllAvailable()
@@ -214,7 +221,7 @@ class StreamingSpec extends SparkTestBase {
       sentinel(-2L, maxTs + 7200L * 1000 * 1000 * 1000)
         .write.parquet(s"$dir/b4.parquet")
       q2.processAllAvailable()
-      val got = phase1 ++ rows("restart_p2")
+      val got = sunk()
       val want = SparkEntry.queries("q_sessionize")(spark, sf)
         .select("user_id", "sess_start_us", "sess_end_us", "n_events",
           "val_sum")
