@@ -178,7 +178,9 @@ object SimilarityOps {
     * shuffle carries 20 bytes per vector: id, distance, cid), then cell
     * sizes and EXACT integer inertia (Σ L2² in the micro-scaled int domain,
     * summed as decimal(38,0) so a 100 TB corpus of 64·(2²¹)² per-vector
-    * distances cannot overflow). Centroids broadcast; the corpus is read
+    * distances cannot overflow; the FINAL column casts to double — ≤ ~5e13
+    * « 2⁵³ at test scale, and the driver's hash gate canonicalizes doubles
+    * but not decimals). Centroids broadcast; the corpus is read
     * once; empty cells are absent (consistent with any replaying engine).
     * This is the clustering COUNTERPART of ivfTopK's assignment step,
     * surfaced as its own operator: cluster-balance telemetry is how an IVF
@@ -193,7 +195,8 @@ object SimilarityOps {
       .select(col("m.cid").as("cid"), col("m.dist").as("dist"))
       .groupBy(col("cid"))
       .agg(count(lit(1)).as("n_members"),
-        sum(col("dist").cast("decimal(38,0)")).as("inertia"))
+        sum(col("dist").cast("decimal(38,0)"))
+          .cast("double").as("inertia"))
 
   /** Symmetric int8 scalar quantization of the encoded corpus: per vector,
     * scale = max|component|, q_i = round(iv_i·127/scale) ∈ [−127, 127],
@@ -408,7 +411,14 @@ object SimilarityOps {
   def trainPqCodebooks(encoded: DataFrame, nSub: Int, sampleMod: Int,
       seedBound: Int, iters: Int): Seq[Seq[Seq[Long]]] = {
     val sample = collectSample(encoded, sampleMod)
-    val w = sample.head._2.length / nSub
+    require(sample.nonEmpty,
+      s"trainPqCodebooks: deterministic sample is empty — corpus too small " +
+        s"for sampleMod=$sampleMod")
+    val dim = sample.head._2.length
+    require(dim % nSub == 0,
+      s"trainPqCodebooks: dim=$dim is not a multiple of nSub=$nSub " +
+        "(subspace split would silently truncate)")
+    val w = dim / nSub
     (0 until nSub).map { s =>
       lloydFit(sample.map { case (id, iv) =>
           (id, java.util.Arrays.copyOfRange(iv, s * w, (s + 1) * w)) },
@@ -535,12 +545,14 @@ object SimilarityOps {
     * corpus-sized, STATE is dimension-sized), emits the triangle, and the
     * final aggregate merges triangles — the shuffle carries
     * ~2080·partitions rows for d = 64, independent of corpus size. Local
-    * accumulators flush every 2²⁰ rows so the long partials cannot overflow
-    * (micro-scaled components ≤ ~2²² ⇒ products ≤ 2⁴⁴; 2²⁰ of them ≤ 2⁶⁴ᐨ)
-    * and the global merge sums as decimal(38,0), which a 100 TB corpus
-    * cannot overflow. Bit-deterministic under any partitioning: integer
-    * adds commute. */
-  def gramMatrix(encoded: DataFrame, flushEvery: Int = 1 << 20): DataFrame = {
+    * accumulators flush every 2¹⁸ rows so the long partials cannot overflow
+    * (micro-scaled components ≤ ~2²² ⇒ products ≤ 2⁴⁴; 2¹⁸ of them ≤ 2⁶²,
+    * safely under Long.MaxValue = 2⁶³−1) and the global merge sums as
+    * decimal(38,0), which a 100 TB corpus cannot overflow. The FINAL column
+    * casts to double — values stay ≤ ~5e13 « 2⁵³, exactly representable,
+    * and the driver's hash gate canonicalizes doubles but not decimals.
+    * Bit-deterministic under any partitioning: integer adds commute. */
+  def gramMatrix(encoded: DataFrame, flushEvery: Int = 1 << 18): DataFrame = {
     val s = encoded.sparkSession
     import s.implicits._
     encoded.select(col("iv")).as[Seq[Long]]
@@ -581,7 +593,8 @@ object SimilarityOps {
         flushed ++ drain()
       }.toDF("i", "j", "partial")
       .groupBy(col("i").cast("long").as("i"), col("j").cast("long").as("j"))
-      .agg(sum(col("partial").cast("decimal(38,0)")).as("gram"))
+      .agg(sum(col("partial").cast("decimal(38,0)"))
+        .cast("double").as("gram"))
       .orderBy("i", "j")
   }
 

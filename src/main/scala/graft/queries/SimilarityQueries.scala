@@ -463,7 +463,9 @@ object SimilarityQueries {
 
     // same kmeansSql CTE chain; the assignment argmin (l2 asc, cid asc)
     // mirrors the min(struct) aggregate; inertia summed as DECIMAL(38,0)
-    // to match the Spark side's overflow-safe decimal sum.
+    // to match the Spark side's overflow-safe decimal sum, then cast to
+    // DOUBLE at the boundary (values ≤ ~5e13, exactly representable) —
+    // decimal output columns fail the driver's hash canonicalization.
     "sim_kmeans" ->
       s"""WITH n AS ($normSql),
          |$kmeansSql,
@@ -475,7 +477,7 @@ object SimilarityQueries {
          |    FROM n, cf c)
          |  WHERE arn = 1)
          |SELECT cid, COUNT(*) AS n_members,
-         |  CAST(SUM(l2) AS DECIMAL(38,0)) AS inertia
+         |  CAST(CAST(SUM(l2) AS DECIMAL(38,0)) AS DOUBLE) AS inertia
          |FROM asg GROUP BY cid ORDER BY cid""".stripMargin,
 
     "sim_neardup" ->
@@ -546,6 +548,6 @@ object SimilarityQueries {
          |  SELECT i.i AS i, j.j AS j,
          |    list_extract(iv, i.i + 1) * list_extract(iv, j.j + 1) AS prod
          |  FROM n, range(64) i(i), range(64) j(j) WHERE i.i <= j.j)
-         |SELECT i, j, CAST(SUM(prod) AS DECIMAL(38,0)) AS gram
+         |SELECT i, j, CAST(CAST(SUM(prod) AS DECIMAL(38,0)) AS DOUBLE) AS gram
          |FROM p GROUP BY i, j ORDER BY i, j""".stripMargin)
 }

@@ -25,8 +25,12 @@ class GramSpec extends SparkTestBase {
     for (flush <- Seq(1, 3, 1 << 20); parts <- Seq(1, 5)) {
       val got = SimilarityOps.gramMatrix(df.repartition(parts), flush)
         .collect()
-        .map(r => (r.getLong(0), r.getLong(1)) ->
-          BigInt(r.getDecimal(2).toBigInteger))
+        .map { r =>
+          val g = r.getDouble(2)
+          assert(g == math.rint(g) && math.abs(g) < (1L << 53).toDouble,
+            s"gram value $g not an exactly-representable integer")
+          (r.getLong(0), r.getLong(1)) -> BigInt(g.toLong)
+        }
         .toMap
       assert(got == expect, s"flush=$flush parts=$parts")
     }
@@ -37,7 +41,7 @@ class GramSpec extends SparkTestBase {
       Tables(spark, sf, "embeddings")
         .select(col("vec_id"), col("label"), col("embedding")))
     val g = SimilarityOps.gramMatrix(v).where(col("i") === col("j"))
-      .agg(sum(col("gram"))).head().getDecimal(0)
+      .agg(sum(col("gram").cast("decimal(38,0)"))).head().getDecimal(0)
     val n = v.agg(sum(col("nrm").cast("decimal(38,0)"))).head().getDecimal(0)
     assert(g.compareTo(n) == 0, s"trace(G)=$g vs sum(nrm)=$n")
   }

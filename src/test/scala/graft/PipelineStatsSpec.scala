@@ -64,8 +64,12 @@ class PipelineStatsSpec extends SparkTestBase {
     val cents = SimilarityOps.trainCentroids(v, 4, 64, 2)
     val got = SimilarityOps.kmeansStats(v, cents.toDF("cid", "civ"))
       .collect()
-      .map(r => r.getInt(0) ->
-        (r.getLong(1), r.getDecimal(2).toBigInteger.longValueExact()))
+      .map { r =>
+        val in = r.getDouble(2)
+        assert(in == math.rint(in) && math.abs(in) < (1L << 53).toDouble,
+          s"inertia $in not an exactly-representable integer")
+        r.getInt(0) -> (r.getLong(1), in.toLong)
+      }
       .toMap
 
     val vecs = v.select(col("vec_id"), col("iv")).collect()

@@ -371,15 +371,40 @@ class PlanQualitySpec extends SparkTestBase {
     assert(p.contains("partial_count"), "pair census lost map-side combine")
   }
 
+  // Built once and shared by the whole-surface sweeps below: some query
+  // constructions are not free (streaming gates execute on construction).
+  private lazy val allQueryDfs: Seq[(String, DataFrame)] =
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .map { case (name, fn) => name -> fn(spark, sf) }
+
   test("no unintended cartesian products anywhere in the query set") {
     // sim_topk/sim_ann_ivf intentionally cross-join against broadcast
     // centroid/query sets; everything else must be key-joined.
     val exempt = Set("sim_topk", "sim_ann_ivf")
-    for ((name, fn) <- SparkEntry.queries if !exempt(name)) {
+    for ((name, df) <- allQueryDfs if !exempt(name)) {
       // plan-only: AQE cannot introduce a CartesianProduct at runtime, so
       // skip the (expensive) execution planOf does for codegen markers
-      val p = fn(spark, sf).queryExecution.executedPlan.toString()
+      val p = df.queryExecution.executedPlan.toString()
       assert(!p.contains("CartesianProduct"), s"$name has a cartesian product")
     }
+  }
+
+  test("output schemas are hash-gate safe: no decimal/float/array/map/binary") {
+    // The driver's correctness gate hash-canonicalizes double/long/int/
+    // string/boolean/date/timestamp but NOT DecimalType (sim_gram and
+    // sim_kmeans went red in r5 on value-identical decimal outputs), and
+    // its pandas sort cannot order list/map/struct cells (CLAUDE.md).
+    // Decimals are fine INTERNALLY (overflow-safe sums) — they must be
+    // cast to double (or split into longs) in the final select, mirrored
+    // in the oracle SQL.
+    import org.apache.spark.sql.types._
+    val allowed: Set[DataType] = Set(StringType, BooleanType, ByteType,
+      ShortType, IntegerType, LongType, DoubleType, DateType, TimestampType,
+      TimestampNTZType)
+    for ((name, df) <- allQueryDfs; f <- df.schema.fields)
+      assert(allowed.contains(f.dataType),
+        s"$name output column '${f.name}' has hash-gate-unsafe type " +
+          s"${f.dataType.simpleString} — cast it at the output boundary " +
+          "(decimal→double, array→concat_ws) and mirror in the oracle SQL")
   }
 }
