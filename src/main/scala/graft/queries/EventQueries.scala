@@ -160,6 +160,49 @@ object EventQueries {
         .orderBy("user_id", "sess_start_us")
     },
 
+    // The STREAMING stream-stream join, oracle-gated (the q_stream_sessions
+    // recipe): the watermarked attribution join
+    // (StreamingOps.attributionJoin) runs over a file stream split
+    // mid-timeline, so purchase-click matches genuinely cross the batch
+    // boundary through both sides' buffered join state. Inner-join matches
+    // emit as they are found (the watermark bounds STATE retention, not
+    // emission), so no sentinel flush batches are needed; the result table
+    // hash-matches the same interval-join semantics the batch q_event_attrib
+    // oracle replays.
+    "q_stream_attrib" -> { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+      val schema = ev.schema
+      val tmp = new java.io.File(
+        s"/root/repo/target/tmp/stream_attrib-${new java.io.File(dir).getName}")
+      // a real stream runs fresh each call: clear prior batch files
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(): Unit
+      }
+      if (tmp.exists) rm(tmp)
+      tmp.mkdirs()
+      val median = ev
+        .selectExpr(
+          "CAST(percentile_cont(0.5) WITHIN GROUP (ORDER BY ts) AS BIGINT)")
+        .head().getLong(0)
+      val stream = s.readStream.schema(schema).parquet(s"$tmp/*.parquet")
+        .withColumn("ts_us", expr("ts div 1000"))
+      val qn = s"q_stream_attrib_${System.nanoTime()}"
+      val q = graft.streaming.StreamingOps.attributionJoin(stream)
+        .writeStream.outputMode("append")
+        .format("memory").queryName(qn).start()
+      try {
+        ev.where(col("ts") <= median).write.parquet(s"$tmp/b1.parquet")
+        q.processAllAvailable()
+        ev.where(col("ts") > median).write.parquet(s"$tmp/b2.parquet")
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table(qn)
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("click_id"), col("click_ts_us"))
+        .orderBy("event_id", "click_id")
+    },
+
     // 30-minute-gap sessionization per user (EventOps.sessionize), batch
     // window-function form.
     "q_sessionize" -> { (s, dir) =>
@@ -519,6 +562,19 @@ object EventQueries {
          |ORDER BY user_id, hour_us""".stripMargin,
 
     "q_event_attrib" ->
+      s"""WITH e AS (
+         |  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+         |    event_type FROM events)
+         |SELECT p.event_id, p.user_id, p.ts_us,
+         |  c.event_id AS click_id, c.ts_us AS click_ts_us
+         |FROM e p JOIN e c ON p.user_id = c.user_id
+         |  AND p.event_type = 'purchase' AND c.event_type = 'click'
+         |  AND c.ts_us <= p.ts_us AND c.ts_us >= p.ts_us - 3600000000
+         |ORDER BY p.event_id, click_id""".stripMargin,
+
+    // identical interval-join semantics as q_event_attrib: a correct
+    // streaming execution must emit exactly the batch join's rows.
+    "q_stream_attrib" ->
       s"""WITH e AS (
          |  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
          |    event_type FROM events)
