@@ -409,6 +409,69 @@ object TextOps {
       .agg(sum(col("w_cnt")).as("cnt"))
   }
 
+  /** BPE merge-TRAINING loop (Sennrich, Haddow, Birch, "Neural Machine
+    * Translation of Rare Words with Subword Units", ACL 2016 — the canonical
+    * BPE trainer; [[bpePairCounts]] is one round's statistics,
+    * [[bpeApply]] the frozen-table consumer): for `rounds` iterations,
+    * count adjacent symbol pairs over the current segmentation (weighted by
+    * word frequency), take the argmax pair (count desc, then (left, right)
+    * asc — a deterministic tiebreak both engines replay), and fuse its
+    * occurrences left-to-right in every word. Returns the LEARNED MERGE
+    * TABLE (round, lft, rgt, pair_cnt) — the artifact a tokenizer ships.
+    *
+    * Scale shape: state is the segmented VOCABULARY (never the corpus —
+    * ~10⁶ rows at 100 TB), each round is one partial→final pair aggregate
+    * plus a metadata-sized argmax collect (the merge table is driver-side
+    * by nature, like [[graft.operators.SimilarityOps.trainCentroids]]), and
+    * the re-segmentation is a map over the vocab. The segmentation is
+    * localCheckpoint'ed every round: two actions consume it (argmax + next
+    * round's pair scan) and lineage would otherwise re-tokenize per round.
+    *
+    * Left-to-right single-pass fusion equals iterated leftmost fusion for a
+    * single pair (the fused symbol a+b is strictly longer than a, so a
+    * fusion can never create a new (a,b) adjacency), which is exactly the
+    * recursive-CTE walk the oracle replays. */
+  def bpeTrain(wordcounts: DataFrame, rounds: Int): DataFrame = {
+    val sp = wordcounts.sparkSession
+    import sp.implicits._
+    var seg: org.apache.spark.sql.Dataset[(String, Long)] =
+      wordcounts.select(col("word"), col("cnt")).as[(String, Long)]
+        .map { case (w, c) => (w.map(_.toString).mkString(" "), c) }
+        .localCheckpoint()
+    val learned = Seq.newBuilder[(Long, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val top = seg.flatMap { case (str, c) =>
+          val syms = str.split(' ')
+          (0 until syms.length - 1).iterator
+            .map(i => (syms(i), syms(i + 1), c))
+        }.toDF("lft", "rgt", "w")
+        .groupBy("lft", "rgt").agg(sum(col("w")).as("pcnt"))
+        .orderBy(col("pcnt").desc, col("lft"), col("rgt"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val a = top(0).getString(0)
+        val b = top(0).getString(1)
+        learned += ((r.toLong, a, b, top(0).getLong(2)))
+        seg = seg.map { case (str, cnt) =>
+          val syms = str.split(' ')
+          val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+              out += (a + b); i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          (out.mkString(" "), cnt)
+        }.localCheckpoint()
+      }
+      r += 1
+    }
+    learned.result().toDF("round", "lft", "rgt", "pair_cnt")
+  }
+
   /** Unigram self-information scoring — the perplexity-shaped quality
     * signal of a pretraining pipeline: fit a unigram LM over the corpus
     * (token → count), then score each doc by its total information content

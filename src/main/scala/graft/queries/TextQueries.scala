@@ -223,6 +223,18 @@ object TextQueries {
         bpeMerges).orderBy("word")
     },
 
+    // BPE merge-TRAINING loop (TextOps.bpeTrain): 8 rounds of pair-count →
+    // argmax (cnt desc, pair asc) → left-to-right re-segment, all
+    // vocab-sized; the output IS the learned merge table. The oracle
+    // unrolls the 8 rounds, each with its own recursive leftmost-fusion
+    // walk (the q_bpe_apply CTE shape), every round CTE MATERIALIZED
+    // (default inlining would copy each round into its consumers — the
+    // k-core lesson).
+    "q_bpe_train" -> { (s, dir) =>
+      TextOps.bpeTrain(TextOps.wordcount(Tables(s, dir, "documents")),
+        BpeTrainRounds).orderBy("round")
+    },
+
     // RAG-style overlapping chunking (TextOps.chunk): 30-token windows
     // every 20 tokens, map-only — the embedding-pipeline pre-pass.
     "text_chunks" -> { (s, dir) =>
@@ -361,6 +373,53 @@ object TextQueries {
   // earlier outputs (th+e, or+t) to exercise multi-level composition.
   private val bpeMerges: Seq[(String, String)] = Seq(
     "e" -> "r", "o" -> "r", "a" -> "t", "t" -> "h", "th" -> "e", "or" -> "t")
+
+  private val BpeTrainRounds = 8
+
+  /** Unrolled BPE-training oracle: per round, pair stats over the previous
+    * segmentation, a LIMIT-1 argmax, and a recursive walk fusing the chosen
+    * pair's leftmost occurrence per step (one fusion never creates a new
+    * occurrence of the same pair, so the fixpoint equals the engine's
+    * left-to-right pass). The padded ' a b c ' string form makes every
+    * occurrence carry its flanking spaces, and the replacement re-supplies
+    * them, so chained occurrences stay well-formed. */
+  private def bpeTrainSql(rounds: Int): String = {
+    val init =
+      s"""wc AS MATERIALIZED (
+         |  SELECT word, COUNT(*) AS cnt
+         |  FROM (SELECT unnest(${TOKENS("text")}) AS word FROM documents)
+         |  GROUP BY word),
+         |seg0 AS MATERIALIZED (
+         |  SELECT ' ' || array_to_string(string_split(word, ''), ' ') || ' '
+         |    AS s, cnt
+         |  FROM wc)""".stripMargin
+    val roundCtes = (1 to rounds).map { r =>
+      s"""p$r AS MATERIALIZED (
+         |  SELECT list_extract(l, u.i) AS lft, list_extract(l, u.i + 1) AS rgt,
+         |    CAST(SUM(cnt) AS BIGINT) AS pcnt
+         |  FROM (SELECT string_split(trim(s), ' ') AS l, cnt FROM seg${r - 1}),
+         |    unnest(range(1, len(l))) AS u(i)
+         |  GROUP BY 1, 2),
+         |m$r AS MATERIALIZED (
+         |  SELECT lft, rgt, pcnt,
+         |    ' ' || lft || ' ' || rgt || ' ' AS patt,
+         |    ' ' || lft || rgt || ' ' AS rep
+         |  FROM p$r ORDER BY pcnt DESC, lft, rgt LIMIT 1),
+         |w$r(s, cnt) AS (
+         |  SELECT s, cnt FROM seg${r - 1}
+         |  UNION ALL
+         |  SELECT substr(s, 1, strpos(s, m.patt) - 1) || m.rep ||
+         |      substr(s, strpos(s, m.patt) + len(m.patt)), cnt
+         |  FROM w$r, m$r m WHERE strpos(s, m.patt) > 0),
+         |seg$r AS MATERIALIZED (
+         |  SELECT s, cnt FROM w$r
+         |  WHERE strpos(s, (SELECT patt FROM m$r)) = 0)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to rounds).map { r =>
+      s"SELECT CAST($r AS BIGINT) AS round, lft, rgt, pcnt AS pair_cnt FROM m$r"
+    }.mkString("\nUNION ALL ")
+    s"WITH RECURSIVE $init,\n$roundCtes\n$out\nORDER BY round"
+  }
 
   /** One BPE step over a ' '-delimited symbol string: the highest-priority
     * merge present fuses its leftmost occurrence; identity at fixpoint. */
@@ -687,6 +746,8 @@ object TextQueries {
          |  CAST(len(string_split(trim(s), ' ')) AS BIGINT) AS n_tokens
          |FROM walk WHERE ${bpeStepSql("s")} = s
          |ORDER BY word""".stripMargin,
+
+    "q_bpe_train" -> bpeTrainSql(BpeTrainRounds),
 
     // chunk starts via a range() lateral bounded by the same
     // 1-or-ceil((len-30)/20)+1 count formula; slices via list_slice.

@@ -55,6 +55,65 @@ class PipelineStatsSpec extends SparkTestBase {
     assert(flags(1L) && !flags(2L))
   }
 
+  // ---- bpeTrain ----
+
+  /** In-memory BPE trainer: same argmax tiebreak and left-to-right fusion. */
+  private def bpeModel(wc: Map[String, Long],
+      rounds: Int): Seq[(Long, String, String, Long)] = {
+    var seg: Map[List[String], Long] =
+      wc.map { case (w, c) => w.map(_.toString).toList -> c }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    for (r <- 1 to rounds) {
+      val pc = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      seg.foreach { case (syms, c) =>
+        syms.sliding(2).foreach {
+          case List(a, b) => pc((a, b)) = pc.getOrElse((a, b), 0L) + c
+          case _ =>
+        }
+      }
+      if (pc.nonEmpty) {
+        val ((a, b), c) = pc.minBy { case ((x, y), n) => (-n, x, y) }
+        out += ((r.toLong, a, b, c))
+        seg = seg.groupMapReduce { case (syms, _) =>
+          val o = scala.collection.mutable.ListBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+              o += (a + b); i += 2
+            } else { o += syms(i); i += 1 }
+          }
+          o.toList
+        }(_._2)(_ + _)
+      }
+    }
+    out.toSeq
+  }
+
+  test("bpeTrain matches an in-memory trainer on random corpora") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    // alphabet of 3 chars forces heavy pair collisions, self-pairs ("aa"),
+    // and ties the (cnt desc, pair asc) tiebreak must break identically
+    val words = Seq.fill(60)(
+      (1 to (1 + rng.nextInt(6))).map(_ => ('a' + rng.nextInt(3)).toChar)
+        .mkString)
+    val wc = words.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = TextOps.bpeTrain(
+        wc.toSeq.toDF("word", "cnt"), 6)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq.sortBy(_._1)
+    assert(got == bpeModel(wc, 6))
+  }
+
+  test("bpeTrain stops when no pairs remain") {
+    import spark.implicits._
+    val wc = Seq(("ab", 3L), ("a", 2L))   // one merge possible, then dry
+    val got = TextOps.bpeTrain(wc.toDF("word", "cnt"), 5).collect()
+    assert(got.length == 1 &&
+      got(0).getString(1) == "a" && got(0).getString(2) == "b")
+  }
+
   // ---- kmeansStats ----
 
   test("kmeansStats matches a driver-side assignment model on fixtures") {
