@@ -8,10 +8,13 @@ import org.apache.spark.sql.functions._
   * pandas-batch UDF: per-partition setup/teardown amortized across rows,
   * output as typed columns.
   *
-  * The actual byte→pixels/samples step is STUBBED (`FakeDecoder`) because the
-  * container ships no codec libraries; the distributed plumbing — schema,
-  * per-partition decoder lifecycle, batch shape, deterministic frame
-  * sampling — is real and tested (MediaPipelineSpec).
+  * Two decoders ship: [[FakeDecoder]], a hash stub standing in for codecs
+  * the container doesn't have (JPEG/ffmpeg), and [[PgmDecoder]], a REAL
+  * dependency-free binary-PGM parser proving the seam end-to-end — header
+  * parse, payload validation, pixel reduction (gated by `mm_decode`). The
+  * distributed plumbing — schema, per-partition decoder lifecycle, batch
+  * shape, deterministic frame sampling — is real and tested
+  * (MediaPipelineSpec).
   */
 object MediaPipeline {
 
@@ -78,4 +81,61 @@ object MediaPipeline {
       val stride = math.max(byteLen / nFrames, 1L)
       (0 until nFrames).map(_ * stride).filter(_ < byteLen)
     }
+
+  /** Encode a binary PGM (netpbm P5) image: `"P5 <w> <h> 255\n"` + raw
+    * 8-bit pixel rows. The one raster format simple enough to carry no
+    * dependency yet real enough to have a parseable header and a defined
+    * on-disk pixel layout. */
+  def pgmPayload(w: Int, h: Int, pixels: Array[Byte]): Array[Byte] = {
+    require(pixels.length == w * h,
+      s"pgmPayload: ${pixels.length} pixels for ${w}x$h")
+    s"P5 $w $h 255\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++
+      pixels
+  }
+
+  /** A REAL decoder through the [[Decoder]] seam — not the hash fake: parses
+    * the binary-PGM header (magic, ASCII dimensions, maxval, single
+    * whitespace terminator), validates the pixel payload length, and reduces
+    * the raster to (sum, min, max) features over the unsigned pixel values.
+    * Exercises exactly the contract a JPEG/ffmpeg decoder would plug into:
+    * bytes in, dimensions + per-image features out, loud failure on a
+    * malformed payload. Feature floats are exact: sums are ≤ 255·w·h « 2²⁴
+    * at the fixture sizes. */
+  object PgmDecoder extends Decoder {
+    override def decode(payload: Array[Byte]): (Int, Int, Int, Array[Float]) = {
+      var pos = 0
+      def readToken(): String = {
+        while (pos < payload.length && payload(pos).toChar.isWhitespace)
+          pos += 1
+        val start = pos
+        while (pos < payload.length && !payload(pos).toChar.isWhitespace)
+          pos += 1
+        require(pos > start, s"PgmDecoder: truncated header at byte $start")
+        new String(payload, start, pos - start,
+          java.nio.charset.StandardCharsets.US_ASCII)
+      }
+      val magic = readToken()
+      require(magic == "P5", s"PgmDecoder: bad magic '$magic'")
+      val w = readToken().toInt
+      val h = readToken().toInt
+      val maxval = readToken().toInt
+      require(w > 0 && h > 0, s"PgmDecoder: bad dimensions ${w}x$h")
+      require(maxval == 255, s"PgmDecoder: unsupported maxval $maxval")
+      pos += 1 // the single whitespace byte terminating the header
+      require(payload.length - pos == w * h,
+        s"PgmDecoder: ${payload.length - pos} pixel bytes for ${w}x$h")
+      var sum = 0L
+      var mn = 256
+      var mx = -1
+      var i = pos
+      while (i < payload.length) {
+        val v = payload(i) & 0xff
+        sum += v
+        if (v < mn) mn = v
+        if (v > mx) mx = v
+        i += 1
+      }
+      (w, h, 1, Array(sum.toFloat, mn.toFloat, mx.toFloat))
+    }
+  }
 }

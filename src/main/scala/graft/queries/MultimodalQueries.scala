@@ -36,6 +36,41 @@ object MultimodalQueries {
         .orderBy("doc_id")
     },
 
+    // REAL decode through the Decoder seam (MediaPipeline.PgmDecoder): each
+    // doc's md5 digest bytes become the raster of a genuine binary-PGM
+    // image (dimensions 2-4 derived from the first two digest bytes), the
+    // payload is synthesized with the real header, and the decoder PARSES
+    // it back — magic, ASCII dims, maxval, pixel-length validation — then
+    // reduces the raster to exact stats. The oracle replays the pixel
+    // values from the same md5 hex pairs, so a decoder that misparses the
+    // header or misindexes the raster hash-fails. One decoder lifecycle per
+    // partition via decodeAll — the mapInPandas-batch shape.
+    "mm_decode" -> { (s, dir) =>
+      import s.implicits._
+      val payloads = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          val d = java.security.MessageDigest.getInstance("MD5")
+            .digest(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          val w = 2 + (d(0) & 0xff) % 3
+          val h = 2 + (d(1) & 0xff) % 3
+          (id, graft.operators.MediaPipeline.pgmPayload(w, h,
+            java.util.Arrays.copyOfRange(d, 0, w * h)))
+        }.toDF("doc_id", "payload")
+      graft.operators.MediaPipeline
+        .decodeAll(payloads, graft.operators.MediaPipeline.PgmDecoder)
+        .toDF()
+        .select(col("doc_id"), col("byte_len"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          element_at(col("features"), 1).cast("long").as("px_sum"),
+          element_at(col("features"), 2).cast("long").as("px_min"),
+          element_at(col("features"), 3).cast("long").as("px_max"),
+          (element_at(col("features"), 1).cast("double")
+            / (col("width") * col("height")).cast("double")).as("px_mean"))
+        .orderBy("doc_id")
+    },
+
     // Frame sampling: one row per evenly-strided frame offset — the shape a
     // video sampler emits (graft.operators.MediaPipeline.frameOffsets),
     // derived with the same stub decode as mm_features. posexplode keeps the
@@ -75,6 +110,31 @@ object MultimodalQueries {
         |  1 + ((h1 + h2) % 8) AS n_frames,
         |  byte_len // (1 + ((h1 + h2) % 8)) AS frame_stride
         |FROM h ORDER BY doc_id""".stripMargin,
+
+    // pixel values replay from the same md5 hex pairs the payload was
+    // synthesized from; header length is 11 ("P5 w h 255\n", single-digit
+    // dims) so byte_len = 11 + w*h.
+    "mm_decode" ->
+      """WITH m AS (
+        |  SELECT doc_id, md5(text) AS hx FROM documents),
+        |d AS (
+        |  SELECT doc_id, hx,
+        |    2 + (CAST(('0x' || substr(hx, 1, 2)) AS BIGINT) % 3) AS w,
+        |    2 + (CAST(('0x' || substr(hx, 3, 2)) AS BIGINT) % 3) AS h
+        |  FROM m),
+        |px AS (
+        |  SELECT doc_id, w, h,
+        |    CAST(('0x' || substr(hx, CAST(1 + 2*u.i AS INT), 2)) AS BIGINT)
+        |      AS pv
+        |  FROM d, unnest(range(w*h)) AS u(i))
+        |SELECT doc_id, CAST(11 + w*h AS BIGINT) AS byte_len,
+        |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(SUM(pv) AS BIGINT) AS px_sum,
+        |  CAST(MIN(pv) AS BIGINT) AS px_min,
+        |  CAST(MAX(pv) AS BIGINT) AS px_max,
+        |  CAST(SUM(pv) AS DOUBLE) / CAST(w*h AS DOUBLE) AS px_mean
+        |FROM px GROUP BY doc_id, w, h
+        |ORDER BY doc_id""".stripMargin,
 
     "mm_frames" ->
       """WITH m AS (

@@ -21,6 +21,61 @@ class MediaPipelineSpec extends SparkTestBase {
     }
   }
 
+  test("PgmDecoder: encode/decode round-trip matches pixel stats") {
+    val rng = new scala.util.Random(11)
+    for (_ <- 1 to 50) {
+      val w = 1 + rng.nextInt(40)
+      val h = 1 + rng.nextInt(30)
+      val px = Array.fill(w * h)(rng.nextInt(256).toByte)
+      val (gw, gh, nf, feats) =
+        MediaPipeline.PgmDecoder.decode(MediaPipeline.pgmPayload(w, h, px))
+      val uv = px.map(_ & 0xff)
+      assert((gw, gh, nf) == (w, h, 1))
+      assert(feats.toSeq ==
+        Seq(uv.map(_.toLong).sum.toFloat, uv.min.toFloat, uv.max.toFloat))
+    }
+  }
+
+  test("PgmDecoder: loud failure on malformed payloads") {
+    val ok = MediaPipeline.pgmPayload(2, 2, Array[Byte](1, 2, 3, 4))
+    intercept[IllegalArgumentException] {
+      MediaPipeline.PgmDecoder.decode("P6 2 2 255\n1234".getBytes)
+    }
+    intercept[IllegalArgumentException] {   // truncated raster
+      MediaPipeline.PgmDecoder.decode(ok.dropRight(1))
+    }
+    intercept[IllegalArgumentException] {   // trailing junk
+      MediaPipeline.PgmDecoder.decode(ok :+ 9.toByte)
+    }
+    intercept[IllegalArgumentException] {   // header cut mid-token
+      MediaPipeline.PgmDecoder.decode("P5 2".getBytes)
+    }
+    intercept[IllegalArgumentException] {   // unsupported maxval
+      MediaPipeline.PgmDecoder.decode("P5 2 2 65535\n1234".getBytes)
+    }
+  }
+
+  test("PgmDecoder through decodeAll: distributed decode, any partitioning") {
+    import spark.implicits._
+    val rng = new scala.util.Random(5)
+    val rows = (1L to 40L).map { id =>
+      val w = 1 + rng.nextInt(6)
+      val h = 1 + rng.nextInt(6)
+      id -> MediaPipeline.pgmPayload(w, h,
+        Array.fill(w * h)(rng.nextInt(256).toByte))
+    }
+    val df = rows.toDF("doc_id", "payload")
+    for (parts <- Seq(1, 7)) {
+      val got = MediaPipeline.decodeAll(df.repartition(parts),
+          MediaPipeline.PgmDecoder)
+        .collect().map(m => m.doc_id -> (m.width.toLong * m.height)).toMap
+      rows.foreach { case (id, payload) =>
+        assert(got(id) == payload.length - 11,
+          s"doc $id raster size mismatch under parts=$parts")
+      }
+    }
+  }
+
   test("frameOffsets: evenly spaced, strictly in-range, degenerate-safe") {
     val offs = MediaPipeline.frameOffsets(1000, 4)
     assert(offs == Seq(0L, 250L, 500L, 750L))
