@@ -203,6 +203,59 @@ object EventQueries {
         .orderBy("event_id", "click_id")
     },
 
+    // The STREAMING watermarked windowed aggregate, oracle-gated (same
+    // recipe): StreamingOps.tumblingCounts over the mid-timeline file-stream
+    // split. Append mode holds each window's partial state across batches
+    // and emits it FINAL only once the watermark passes window end + delay —
+    // the time-ordered split guarantees a window never emits before all its
+    // events arrived, and two far-future sentinel batches (a reserved
+    // event_type, filtered from the output) advance the watermark so the
+    // trailing windows flush. Hash-matches the batch q_event_tumbling
+    // oracle.
+    "q_stream_tumbling" -> { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+      val schema = ev.schema
+      val tmp = new java.io.File(
+        s"/root/repo/target/tmp/stream_tumb-${new java.io.File(dir).getName}")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(): Unit
+      }
+      if (tmp.exists) rm(tmp)
+      tmp.mkdirs()
+      val median = ev
+        .selectExpr(
+          "CAST(percentile_cont(0.5) WITHIN GROUP (ORDER BY ts) AS BIGINT)")
+        .head().getLong(0)
+      val maxTs = ev.agg(max(col("ts"))).head().getLong(0)
+      def sentinel(uid: Long, ts: Long) =
+        s.range(1).select(lit(uid).as("event_id"), lit(ts).as("ts"),
+          lit(uid).as("user_id"), lit("_sentinel").as("event_type"),
+          lit(0.0).as("value"), lit("{}").as("props"))
+      val stream = s.readStream.schema(schema).parquet(s"$tmp/*.parquet")
+        .withColumn("ts_us", expr("ts div 1000"))
+        .withColumn("val_cents", round(col("value") * lit(100)).cast("long"))
+      val qn = s"q_stream_tumbling_${System.nanoTime()}"
+      val q = graft.streaming.StreamingOps.tumblingCounts(stream)
+        .writeStream.outputMode("append")
+        .format("memory").queryName(qn).start()
+      try {
+        ev.where(col("ts") <= median).write.parquet(s"$tmp/b1.parquet")
+        q.processAllAvailable()
+        ev.where(col("ts") > median).write.parquet(s"$tmp/b2.parquet")
+        q.processAllAvailable()
+        sentinel(-1L, maxTs + 3600L * 1000 * 1000 * 1000)
+          .write.parquet(s"$tmp/b3.parquet")
+        q.processAllAvailable()
+        sentinel(-2L, maxTs + 7200L * 1000 * 1000 * 1000)
+          .write.parquet(s"$tmp/b4.parquet")
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table(qn).where(col("event_type") =!= "_sentinel")
+        .select(col("ws_us"), col("event_type"), col("n"), col("val_sum"))
+        .orderBy("ws_us", "event_type")
+    },
+
     // 30-minute-gap sessionization per user (EventOps.sessionize), batch
     // window-function form.
     "q_sessionize" -> { (s, dir) =>
@@ -381,6 +434,13 @@ object EventQueries {
 
   def oracles: Map[String, String] = Map(
     "q_event_tumbling" ->
+      s"""SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS ws_us,
+         |  event_type, COUNT(*) AS n, ${MONEY("\"value\"")} AS val_sum
+         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // identical window semantics as q_event_tumbling: a correct streaming
+    // execution must emit exactly the batch aggregate's final windows.
+    "q_stream_tumbling" ->
       s"""SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS ws_us,
          |  event_type, COUNT(*) AS n, ${MONEY("\"value\"")} AS val_sum
          |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
