@@ -1,0 +1,21 @@
+package graft
+
+/** Partition-count invariance for the round-6 surfaces: the BPE training
+  * loop (distributed argmax ties must break identically under any partial
+  * aggregation), the real-decode media query (per-partition decoder
+  * lifecycle), and the driver-gated streaming executions (state movement
+  * across micro-batches must not depend on shuffle width). */
+class PipelineInvarianceSpec extends SparkTestBase {
+
+  private def run(name: String, parts: String): Seq[String] =
+    withShufflePartitions(parts) {
+      SparkEntry.queries(name)(spark, sf).collect().toSeq.map(_.toString)
+    }
+
+  for (q <- Seq("q_bpe_train", "mm_decode", "q_stream_tumbling",
+    "q_stream_attrib")) {
+    test(s"$q: identical results under shuffle partitions 1 vs 8") {
+      assert(run(q, "1") == run(q, "8"), s"$q not partition-invariant")
+    }
+  }
+}
