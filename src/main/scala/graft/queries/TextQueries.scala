@@ -37,6 +37,44 @@ object TextQueries {
         .limit(20)
     },
 
+    // The STREAMING flagship, oracle-gated in COMPLETE mode (the fourth
+    // streaming output shape beside the append-mode session/join/window
+    // gates): StreamingOps.wordcountStream over a two-batch file-stream
+    // split of the corpus. Complete mode keeps one row of state per
+    // distinct word (vocabulary-bounded, not stream-bounded) and the second
+    // batch's counts must ACCUMULATE onto the first's — a streaming
+    // aggregate that restarts its state between batches hash-fails. No
+    // watermark/sentinels needed: complete mode re-emits the whole table
+    // each batch.
+    "q_stream_wordcount" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val schema = docs.schema
+      val tmp = new java.io.File(
+        s"/root/repo/target/tmp/stream_wc-${new java.io.File(dir).getName}")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(): Unit
+      }
+      if (tmp.exists) rm(tmp)
+      tmp.mkdirs()
+      val median = docs
+        .selectExpr(
+          "CAST(percentile_cont(0.5) WITHIN GROUP (ORDER BY doc_id) AS BIGINT)")
+        .head().getLong(0)
+      val stream = s.readStream.schema(schema).parquet(s"$tmp/*.parquet")
+      val qn = s"q_stream_wordcount_${System.nanoTime()}"
+      val q = graft.streaming.StreamingOps.wordcountStream(stream)
+        .writeStream.outputMode("complete")
+        .format("memory").queryName(qn).start()
+      try {
+        docs.where(col("doc_id") <= median).write.parquet(s"$tmp/b1.parquet")
+        q.processAllAvailable()
+        docs.where(col("doc_id") > median).write.parquet(s"$tmp/b2.parquet")
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table(qn).select(col("word"), col("cnt")).orderBy("word")
+    },
+
     "text_langid" -> { (s, dir) =>
       TextOps.langId(Tables(s, dir, "documents"), stops).orderBy("doc_id")
     },
@@ -443,6 +481,13 @@ object TextQueries {
       s"""SELECT word, count(*) AS cnt
          |FROM (SELECT unnest(t) AS word FROM ($tokFrom))
          |GROUP BY word ORDER BY cnt DESC, word LIMIT 20""".stripMargin,
+
+    // identical count semantics as wordcount: a correct complete-mode
+    // streaming aggregate must converge to the batch table.
+    "q_stream_wordcount" ->
+      s"""SELECT word, count(*) AS cnt
+         |FROM (SELECT unnest(t) AS word FROM ($tokFrom))
+         |GROUP BY word ORDER BY word""".stripMargin,
 
     // identical corpus whether read from parquet or the text round-trip:
     // tokenization collapses line/file boundaries.

@@ -13,7 +13,7 @@ class PipelineInvarianceSpec extends SparkTestBase {
     }
 
   for (q <- Seq("q_bpe_train", "mm_decode", "q_stream_tumbling",
-    "q_stream_attrib")) {
+    "q_stream_attrib", "q_stream_wordcount")) {
     test(s"$q: identical results under shuffle partitions 1 vs 8") {
       assert(run(q, "1") == run(q, "8"), s"$q not partition-invariant")
     }
