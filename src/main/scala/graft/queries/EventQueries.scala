@@ -139,21 +139,23 @@ object EventQueries {
           col("val_cents"), col("ts_t"))
         .as[graft.streaming.StreamingOps.Ev]
       val qn = s"q_stream_sessions_${System.nanoTime()}"
-      val q = graft.streaming.StreamingOps.sessionize(stream)
-        .writeStream.outputMode("append")
-        .format("memory").queryName(qn).start()
-      try {
-        ev.where(col("ts") <= median).write.parquet(s"$tmp/b1.parquet")
-        q.processAllAvailable()
-        ev.where(col("ts") > median).write.parquet(s"$tmp/b2.parquet")
-        q.processAllAvailable()
-        sentinel(-1L, maxTs + 3600L * 1000 * 1000 * 1000)
-          .write.parquet(s"$tmp/b3.parquet")
-        q.processAllAvailable()
-        sentinel(-2L, maxTs + 7200L * 1000 * 1000 * 1000)
-          .write.parquet(s"$tmp/b4.parquet")
-        q.processAllAvailable()
-      } finally q.stop()
+      graft.streaming.StreamingOps.withStreamShuffle(s) {
+        val q = graft.streaming.StreamingOps.sessionize(stream)
+          .writeStream.outputMode("append")
+          .format("memory").queryName(qn).start()
+        try {
+          ev.where(col("ts") <= median).write.parquet(s"$tmp/b1.parquet")
+          q.processAllAvailable()
+          ev.where(col("ts") > median).write.parquet(s"$tmp/b2.parquet")
+          q.processAllAvailable()
+          sentinel(-1L, maxTs + 3600L * 1000 * 1000 * 1000)
+            .write.parquet(s"$tmp/b3.parquet")
+          q.processAllAvailable()
+          sentinel(-2L, maxTs + 7200L * 1000 * 1000 * 1000)
+            .write.parquet(s"$tmp/b4.parquet")
+          q.processAllAvailable()
+        } finally q.stop()
+      }
       s.table(qn).where(col("user_id") >= 0)
         .select(col("user_id"), col("sess_start_us"), col("sess_end_us"),
           col("n_events"), col("val_sum"))
@@ -188,15 +190,17 @@ object EventQueries {
       val stream = s.readStream.schema(schema).parquet(s"$tmp/*.parquet")
         .withColumn("ts_us", expr("ts div 1000"))
       val qn = s"q_stream_attrib_${System.nanoTime()}"
-      val q = graft.streaming.StreamingOps.attributionJoin(stream)
-        .writeStream.outputMode("append")
-        .format("memory").queryName(qn).start()
-      try {
-        ev.where(col("ts") <= median).write.parquet(s"$tmp/b1.parquet")
-        q.processAllAvailable()
-        ev.where(col("ts") > median).write.parquet(s"$tmp/b2.parquet")
-        q.processAllAvailable()
-      } finally q.stop()
+      graft.streaming.StreamingOps.withStreamShuffle(s) {
+        val q = graft.streaming.StreamingOps.attributionJoin(stream)
+          .writeStream.outputMode("append")
+          .format("memory").queryName(qn).start()
+        try {
+          ev.where(col("ts") <= median).write.parquet(s"$tmp/b1.parquet")
+          q.processAllAvailable()
+          ev.where(col("ts") > median).write.parquet(s"$tmp/b2.parquet")
+          q.processAllAvailable()
+        } finally q.stop()
+      }
       s.table(qn)
         .select(col("event_id"), col("user_id"), col("ts_us"),
           col("click_id"), col("click_ts_us"))
@@ -236,21 +240,23 @@ object EventQueries {
         .withColumn("ts_us", expr("ts div 1000"))
         .withColumn("val_cents", round(col("value") * lit(100)).cast("long"))
       val qn = s"q_stream_tumbling_${System.nanoTime()}"
-      val q = graft.streaming.StreamingOps.tumblingCounts(stream)
-        .writeStream.outputMode("append")
-        .format("memory").queryName(qn).start()
-      try {
-        ev.where(col("ts") <= median).write.parquet(s"$tmp/b1.parquet")
-        q.processAllAvailable()
-        ev.where(col("ts") > median).write.parquet(s"$tmp/b2.parquet")
-        q.processAllAvailable()
-        sentinel(-1L, maxTs + 3600L * 1000 * 1000 * 1000)
-          .write.parquet(s"$tmp/b3.parquet")
-        q.processAllAvailable()
-        sentinel(-2L, maxTs + 7200L * 1000 * 1000 * 1000)
-          .write.parquet(s"$tmp/b4.parquet")
-        q.processAllAvailable()
-      } finally q.stop()
+      graft.streaming.StreamingOps.withStreamShuffle(s) {
+        val q = graft.streaming.StreamingOps.tumblingCounts(stream)
+          .writeStream.outputMode("append")
+          .format("memory").queryName(qn).start()
+        try {
+          ev.where(col("ts") <= median).write.parquet(s"$tmp/b1.parquet")
+          q.processAllAvailable()
+          ev.where(col("ts") > median).write.parquet(s"$tmp/b2.parquet")
+          q.processAllAvailable()
+          sentinel(-1L, maxTs + 3600L * 1000 * 1000 * 1000)
+            .write.parquet(s"$tmp/b3.parquet")
+          q.processAllAvailable()
+          sentinel(-2L, maxTs + 7200L * 1000 * 1000 * 1000)
+            .write.parquet(s"$tmp/b4.parquet")
+          q.processAllAvailable()
+        } finally q.stop()
+      }
       s.table(qn).where(col("event_type") =!= "_sentinel")
         .select(col("ws_us"), col("event_type"), col("n"), col("val_sum"))
         .orderBy("ws_us", "event_type")

