@@ -102,7 +102,9 @@ object MediaPipeline {
     * malformed payload. Feature floats are exact: sums are ≤ 255·w·h « 2²⁴
     * at the fixture sizes. */
   object PgmDecoder extends Decoder {
-    override def decode(payload: Array[Byte]): (Int, Int, Int, Array[Float]) = {
+    /** Parse the P5 header and validate the raster: (width, height, offset
+      * of the first pixel byte). Loud failure on any malformation. */
+    def parseHeader(payload: Array[Byte]): (Int, Int, Int) = {
       var pos = 0
       def readToken(): String = {
         while (pos < payload.length && payload(pos).toChar.isWhitespace)
@@ -124,6 +126,11 @@ object MediaPipeline {
       pos += 1 // the single whitespace byte terminating the header
       require(payload.length - pos == w * h,
         s"PgmDecoder: ${payload.length - pos} pixel bytes for ${w}x$h")
+      (w, h, pos)
+    }
+
+    override def decode(payload: Array[Byte]): (Int, Int, Int, Array[Float]) = {
+      val (w, h, pos) = parseHeader(payload)
       var sum = 0L
       var mn = 256
       var mx = -1
@@ -137,5 +144,28 @@ object MediaPipeline {
       }
       (w, h, 1, Array(sum.toFloat, mn.toFloat, mx.toFloat))
     }
+  }
+
+  /** Nearest-neighbor downsample of a parsed PGM raster by an integer
+    * `factor`: keep the pixel at the top-left of each factor×factor cell
+    * (rows/cols ≡ 0 mod factor), so output dims are ⌈w/f⌉×⌈h/f⌉ — the
+    * classic zero-interpolation resize, bit-deterministic and replayable by
+    * an index-arithmetic oracle. Returns (w2, h2, resized pixels). */
+  def resizeNearest(payload: Array[Byte], factor: Int): (Int, Int, Array[Byte]) = {
+    require(factor >= 1, s"resizeNearest: factor $factor")
+    val (w, h, pos) = PgmDecoder.parseHeader(payload)
+    val w2 = (w + factor - 1) / factor
+    val h2 = (h + factor - 1) / factor
+    val out = new Array[Byte](w2 * h2)
+    var r = 0
+    while (r < h2) {
+      var c = 0
+      while (c < w2) {
+        out(r * w2 + c) = payload(pos + (r * factor) * w + c * factor)
+        c += 1
+      }
+      r += 1
+    }
+    (w2, h2, out)
   }
 }

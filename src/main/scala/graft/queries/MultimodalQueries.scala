@@ -71,6 +71,42 @@ object MultimodalQueries {
         .orderBy("doc_id")
     },
 
+    // REAL resize over decoded pixels (MediaPipeline.resizeNearest): the
+    // same synthesized PGM payloads as mm_decode, nearest-neighbor
+    // downsampled 2× (top-left pixel of each 2×2 cell, output ⌈w/2⌉×⌈h/2⌉),
+    // then reduced to exact stats of the RESIZED raster. The oracle replays
+    // the kept pixels by index arithmetic over the md5 hex pairs — a resize
+    // that samples the wrong cell corner or miscomputes output dims
+    // hash-fails. Map-only over the corpus, one parse+resize per row: the
+    // thumbnail/pre-embed downsample pass of a multimodal pipeline.
+    "mm_resize" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          val d = java.security.MessageDigest.getInstance("MD5")
+            .digest(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          val w = 2 + (d(0) & 0xff) % 3
+          val h = 2 + (d(1) & 0xff) % 3
+          val payload = graft.operators.MediaPipeline.pgmPayload(w, h,
+            java.util.Arrays.copyOfRange(d, 0, w * h))
+          val (w2, h2, px) =
+            graft.operators.MediaPipeline.resizeNearest(payload, 2)
+          var sum = 0L; var mn = 256; var mx = -1
+          px.foreach { b =>
+            val v = b & 0xff
+            sum += v
+            if (v < mn) mn = v
+            if (v > mx) mx = v
+          }
+          (id, w2.toLong, h2.toLong, sum, mn.toLong, mx.toLong,
+            sum.toDouble / (w2 * h2))
+        }
+        .toDF("doc_id", "width2", "height2", "px_sum", "px_min", "px_max",
+          "px_mean")
+        .orderBy("doc_id")
+    },
+
     // Frame sampling: one row per evenly-strided frame offset — the shape a
     // video sampler emits (graft.operators.MediaPipeline.frameOffsets),
     // derived with the same stub decode as mm_features. posexplode keeps the
@@ -134,6 +170,35 @@ object MultimodalQueries {
         |  CAST(MAX(pv) AS BIGINT) AS px_max,
         |  CAST(SUM(pv) AS DOUBLE) / CAST(w*h AS DOUBLE) AS px_mean
         |FROM px GROUP BY doc_id, w, h
+        |ORDER BY doc_id""".stripMargin,
+
+    // kept pixels are the top-left of each 2x2 cell: raster index
+    // (2*r2)*w + 2*c2 over r2 < ceil(h/2), c2 < ceil(w/2); hex pair i is
+    // at string position 1 + 2*i.
+    "mm_resize" ->
+      """WITH m AS (
+        |  SELECT doc_id, md5(text) AS hx FROM documents),
+        |d AS (
+        |  SELECT doc_id, hx,
+        |    2 + (CAST(('0x' || substr(hx, 1, 2)) AS BIGINT) % 3) AS w,
+        |    2 + (CAST(('0x' || substr(hx, 3, 2)) AS BIGINT) % 3) AS h
+        |  FROM m),
+        |g AS (
+        |  SELECT doc_id, hx, w, h,
+        |    (w + 1) // 2 AS w2, (h + 1) // 2 AS h2
+        |  FROM d),
+        |px AS (
+        |  SELECT doc_id, w2, h2,
+        |    CAST(('0x' || substr(hx,
+        |      CAST(1 + 2*((2*r.r2)*w + 2*c.c2) AS INT), 2)) AS BIGINT) AS pv
+        |  FROM g, unnest(range(h2)) AS r(r2), unnest(range(w2)) AS c(c2))
+        |SELECT doc_id,
+        |  CAST(w2 AS BIGINT) AS width2, CAST(h2 AS BIGINT) AS height2,
+        |  CAST(SUM(pv) AS BIGINT) AS px_sum,
+        |  CAST(MIN(pv) AS BIGINT) AS px_min,
+        |  CAST(MAX(pv) AS BIGINT) AS px_max,
+        |  CAST(SUM(pv) AS DOUBLE) / CAST(w2*h2 AS DOUBLE) AS px_mean
+        |FROM px GROUP BY doc_id, w2, h2
         |ORDER BY doc_id""".stripMargin,
 
     "mm_frames" ->

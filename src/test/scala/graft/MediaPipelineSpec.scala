@@ -76,6 +76,25 @@ class MediaPipelineSpec extends SparkTestBase {
     }
   }
 
+  test("resizeNearest: matches an index model, any factor, degenerate dims") {
+    val rng = new scala.util.Random(23)
+    for (_ <- 1 to 40) {
+      val w = 1 + rng.nextInt(12)
+      val h = 1 + rng.nextInt(12)
+      val px = Array.fill(w * h)(rng.nextInt(256).toByte)
+      val payload = MediaPipeline.pgmPayload(w, h, px)
+      for (f <- Seq(1, 2, 3, 20)) {   // 20 > dims: collapses to 1x1
+        val (w2, h2, out) = MediaPipeline.resizeNearest(payload, f)
+        assert(w2 == (w + f - 1) / f && h2 == (h + f - 1) / f)
+        val model = for (r <- 0 until h2; c <- 0 until w2)
+          yield px(r * f * w + c * f)
+        assert(out.toSeq == model, s"${w}x$h f=$f")
+      }
+      // factor 1 is the identity
+      assert(MediaPipeline.resizeNearest(payload, 1)._3.toSeq == px.toSeq)
+    }
+  }
+
   test("frameOffsets: evenly spaced, strictly in-range, degenerate-safe") {
     val offs = MediaPipeline.frameOffsets(1000, 4)
     assert(offs == Seq(0L, 250L, 500L, 750L))
