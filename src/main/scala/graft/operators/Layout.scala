@@ -69,4 +69,29 @@ object Layout {
       .agg(count(lit(1)).as("n_rows"),
         min(col(xCol)).as("x_min"), max(col(xCol)).as("x_max"),
         min(col(yCol)).as("y_min"), max(col(yCol)).as("y_max"))
+
+  /** Global ordinal assignment under a total order — the deterministic
+    * corpus-shuffle pass that fixes training example order (sort by a
+    * portable hash ⇒ a reproducible pseudo-random permutation).
+    *
+    * The tempting form — `row_number() OVER (ORDER BY …)` with no
+    * partitioning — funnels the ENTIRE corpus through one task (the same
+    * trap as a group-keyed ranking window, one worse). The scale shape is
+    * range-partitioned sort + `zipWithIndex`: Spark samples range bounds,
+    * sorts each partition independently, and zipWithIndex assigns ordinals
+    * with one extra metadata-sized job (counting per-partition sizes to
+    * compute offsets) — the corpus itself never converges on one node.
+    * Ordering columns must form a total order (pass a unique tiebreak) or
+    * ordinals within ties would be partitioning-dependent. */
+  def globalOrdinals(df: DataFrame, ord: Seq[org.apache.spark.sql.Column]):
+      DataFrame = {
+    val sorted = df.orderBy(ord: _*)
+    val schema = org.apache.spark.sql.types.StructType(sorted.schema.fields :+
+      org.apache.spark.sql.types.StructField("pos",
+        org.apache.spark.sql.types.LongType, nullable = false))
+    sorted.sparkSession.createDataFrame(
+      sorted.rdd.zipWithIndex().map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+      }, schema)
+  }
 }

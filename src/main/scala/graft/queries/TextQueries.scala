@@ -177,6 +177,21 @@ object TextQueries {
       TextOps.fingerprint(Tables(s, dir, "documents")).orderBy("doc_id")
     },
 
+    // Deterministic corpus shuffle (Layout.globalOrdinals): the global
+    // training-order pass — each doc's position is its rank under a
+    // portable-hash total order (md5 of the id, id tiebreak), assigned via
+    // range-partitioned sort + zipWithIndex, NEVER a partitionless ranking
+    // window (which funnels the whole corpus through one task). The
+    // permutation is reproducible on any engine: the oracle replays it as
+    // row_number over the same order.
+    "q_shuffle_order" -> { (s, dir) =>
+      val d = Tables(s, dir, "documents")
+        .select(col("doc_id"), md5(col("doc_id").cast("string")).as("hk"))
+      graft.operators.Layout.globalOrdinals(d, Seq(col("hk"), col("doc_id")))
+        .select(col("doc_id"), col("hk"), col("pos"))
+        .orderBy("pos")
+    },
+
     // Greedy sequence packing (TextOps.packBins): 2048-token training bins
     // per (lang, portable-hash shard), one sorted-group state machine per
     // shard — the example-packing pass of a pretraining pipeline.
@@ -490,6 +505,15 @@ object TextQueries {
       s"""SELECT word, count(*) AS cnt
          |FROM (SELECT unnest(t) AS word FROM ($tokFrom))
          |GROUP BY word ORDER BY word""".stripMargin,
+
+    // row_number over the same (hash, id) total order, 0-based like
+    // zipWithIndex.
+    "q_shuffle_order" ->
+      """SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hk,
+        |  CAST(row_number() OVER (
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS BIGINT)
+        |    AS pos
+        |FROM documents ORDER BY pos""".stripMargin,
 
     // identical corpus whether read from parquet or the text round-trip:
     // tokenization collapses line/file boundaries.

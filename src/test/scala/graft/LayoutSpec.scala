@@ -61,4 +61,22 @@ class LayoutSpec extends SparkTestBase {
       case _ =>
     }
   }
+
+  test("globalOrdinals: ranks match an in-memory sort, any partitioning") {
+    import spark.implicits._
+    val rng = new scala.util.Random(31)
+    // duplicate hash keys force the tiebreak column to carry the order
+    val rows = Seq.fill(300)((rng.nextInt(40).toLong, rng.nextLong()))
+      .zipWithIndex.map { case ((k, v), i) => (k, i.toLong, v) }
+    val expect = rows.sortBy(r => (r._1, r._2)).map(r => (r._2, r._1))
+      .zipWithIndex.map { case ((id, k), pos) => id -> pos.toLong }.toMap
+    for (parts <- Seq(1, 7)) {
+      val got = Layout.globalOrdinals(
+          rows.toDF("k", "id", "v").repartition(parts),
+          Seq(col("k"), col("id")))
+        .select(col("id"), col("pos"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expect, s"parts=$parts")
+    }
+  }
 }

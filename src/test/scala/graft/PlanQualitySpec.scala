@@ -358,6 +358,14 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!p.contains("Window"), s"chunker grew a window:\n$p")
   }
 
+  test("q_shuffle_order: global ordinals without a partitionless window") {
+    // the one-task trap: row_number() OVER (ORDER BY …) with no partition
+    // funnels the corpus through a single task — the op must stay on the
+    // range-sort + zipWithIndex path
+    val p = planOf(SparkEntry.queries("q_shuffle_order")(spark, sf))
+    assert(!p.contains("Window"), s"global ranking window crept in:\n$p")
+  }
+
   test("q_outliers: stats join back broadcast; fact side never reshuffles") {
     val p = planOf(SparkEntry.queries("q_outliers")(spark, sf))
     assert(p.contains("BroadcastHashJoin"), "stats joins lost broadcast")
