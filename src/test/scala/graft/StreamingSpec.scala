@@ -231,6 +231,50 @@ class StreamingSpec extends SparkTestBase {
     } finally q2.stop()
   }
 
+  test("stream-stream join RECOVERS its buffered state from a checkpoint restart") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft-attr-restart").toString
+    val ckpt = Files.createTempDirectory("graft-attr-ckpt").toString
+    val outDir = Files.createTempDirectory("graft-attr-out").toString
+    val ev = Tables(spark, sf, "events")
+    val schema = ev.schema
+    val median = ev
+      .selectExpr("CAST(percentile_cont(0.5) WITHIN GROUP (ORDER BY ts) AS BIGINT)")
+      .head().getLong(0)
+    def startQ() = {
+      val stream = spark.readStream.schema(schema).parquet(s"$dir/*.parquet")
+        .withColumn("ts_us", expr("ts div 1000"))
+      StreamingOps.attributionJoin(stream)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch {
+          (df: org.apache.spark.sql.DataFrame, _: Long) =>
+            df.write.mode("append").parquet(outDir)
+        }.start()
+    }
+    // phase 1: the early half of the timeline — clicks whose purchases are
+    // still to come sit in the join's buffered state at the stop point
+    val q1 = startQ()
+    ev.where(col("ts") <= median).write.parquet(s"$dir/b1.parquet")
+    q1.processAllAvailable()
+    q1.stop()
+    // phase 2: a NEW query resumes from the checkpoint — cross-boundary
+    // purchase-click matches require the RESTORED click buffer
+    val q2 = startQ()
+    try {
+      ev.where(col("ts") > median).write.parquet(s"$dir/b2.parquet")
+      q2.processAllAvailable()
+      val got = spark.read.parquet(outDir)
+        .select("event_id", "user_id", "ts_us", "click_id", "click_ts_us")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      val want = SparkEntry.queries("q_event_attrib")(spark, sf)
+        .select("event_id", "user_id", "ts_us", "click_id", "click_ts_us")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(got == want,
+        s"restart lost/duplicated matches: got ${got.size}, want ${want.size}")
+    } finally q2.stop()
+  }
+
   test("stateful sessionization across batches matches batch q_sessionize") {
     import java.nio.file.Files
     val dir = Files.createTempDirectory("graft-sess").toString
