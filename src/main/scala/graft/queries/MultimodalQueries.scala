@@ -107,6 +107,60 @@ object MultimodalQueries {
         .orderBy("doc_id")
     },
 
+    // The binaryFile SOURCE exercised end-to-end (the sixth connector beside
+    // parquet/csv/json/orc/text, and the one a real media corpus arrives
+    // through): the synthesized PGM payloads are laid out as one FILE per
+    // document (write-once, distributed writers), read back via
+    // spark.read.format("binaryFile") — path/length/content schema — with
+    // doc_id recovered from the file name, and decoded through the same
+    // PgmDecoder seam. Stats replay the mm_decode oracle, so a source that
+    // truncates content or misorders bytes hash-fails. At 100 TB this is
+    // the object-store ingest shape: listing parallelizes, each task reads
+    // its own files, no driver-side manifest.
+    "mm_binsource" -> { (s, dir) =>
+      import s.implicits._
+      val tmp =
+        s"/root/repo/target/tmp/pgm_files-${new java.io.File(dir).getName}"
+      graft.sources.Sinks.ensureDir(s, tmp, "v1:pgm,one file per doc") {
+        new java.io.File(tmp).mkdirs()
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+          .foreachPartition { (it: Iterator[(Long, String)]) =>
+            it.foreach { case (id, text) =>
+              val d = java.security.MessageDigest.getInstance("MD5")
+                .digest(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              val w = 2 + (d(0) & 0xff) % 3
+              val h = 2 + (d(1) & 0xff) % 3
+              java.nio.file.Files.write(
+                java.nio.file.Paths.get(tmp, s"doc_$id.pgm"),
+                graft.operators.MediaPipeline.pgmPayload(w, h,
+                  java.util.Arrays.copyOfRange(d, 0, w * h)))
+            }
+          }
+        // the write is bare files (no Spark committer), so drop the
+        // committer-shaped marker ensureDir's tag validation expects
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(tmp, "_SUCCESS"), Array.emptyByteArray)
+      }
+      val files = s.read.format("binaryFile").load(s"$tmp/*.pgm")
+        .select(
+          regexp_extract(col("path"), "doc_(\\d+)\\.pgm$", 1)
+            .cast("long").as("doc_id"),
+          col("content").as("payload"))
+      graft.operators.MediaPipeline
+        .decodeAll(files, graft.operators.MediaPipeline.PgmDecoder)
+        .toDF()
+        .select(col("doc_id"), col("byte_len"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          element_at(col("features"), 1).cast("long").as("px_sum"),
+          element_at(col("features"), 2).cast("long").as("px_min"),
+          element_at(col("features"), 3).cast("long").as("px_max"),
+          (element_at(col("features"), 1).cast("double")
+            / (col("width") * col("height")).cast("double")).as("px_mean"))
+        .orderBy("doc_id")
+    },
+
     // Frame sampling: one row per evenly-strided frame offset — the shape a
     // video sampler emits (graft.operators.MediaPipeline.frameOffsets),
     // derived with the same stub decode as mm_features. posexplode keeps the
@@ -151,6 +205,30 @@ object MultimodalQueries {
     // synthesized from; header length is 11 ("P5 w h 255\n", single-digit
     // dims) so byte_len = 11 + w*h.
     "mm_decode" ->
+      """WITH m AS (
+        |  SELECT doc_id, md5(text) AS hx FROM documents),
+        |d AS (
+        |  SELECT doc_id, hx,
+        |    2 + (CAST(('0x' || substr(hx, 1, 2)) AS BIGINT) % 3) AS w,
+        |    2 + (CAST(('0x' || substr(hx, 3, 2)) AS BIGINT) % 3) AS h
+        |  FROM m),
+        |px AS (
+        |  SELECT doc_id, w, h,
+        |    CAST(('0x' || substr(hx, CAST(1 + 2*u.i AS INT), 2)) AS BIGINT)
+        |      AS pv
+        |  FROM d, unnest(range(w*h)) AS u(i))
+        |SELECT doc_id, CAST(11 + w*h AS BIGINT) AS byte_len,
+        |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(SUM(pv) AS BIGINT) AS px_sum,
+        |  CAST(MIN(pv) AS BIGINT) AS px_min,
+        |  CAST(MAX(pv) AS BIGINT) AS px_max,
+        |  CAST(SUM(pv) AS DOUBLE) / CAST(w*h AS DOUBLE) AS px_mean
+        |FROM px GROUP BY doc_id, w, h
+        |ORDER BY doc_id""".stripMargin,
+
+    // same payload synthesis as mm_decode — the source format changes, the
+    // decoded truth does not.
+    "mm_binsource" ->
       """WITH m AS (
         |  SELECT doc_id, md5(text) AS hx FROM documents),
         |d AS (
