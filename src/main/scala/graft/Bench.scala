@@ -27,6 +27,9 @@ object Bench {
     // degree table) shared by six kernels — charging their one-time build to
     // whichever graph query happens to run first misattributes ~20s to it.
     graft.queries.AdvancedQueries.warmGraphLayers(spark, sfDir)
+    // the one-file-per-doc PGM corpus is likewise write-once input data,
+    // not query work
+    graft.queries.MultimodalQueries.pgmFilesLayer(spark, sfDir)
     // exercise the window-exec + global-sort + noop-commit paths once
     // untimed: their first execution in a JVM costs ~1-2s of codegen/JIT,
     // which otherwise lands on whichever window query runs first and makes
