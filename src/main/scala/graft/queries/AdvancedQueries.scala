@@ -604,6 +604,34 @@ object AdvancedQueries {
         .orderBy("l_linestatus")
     },
 
+    // Small-files compaction (graft.sources.Compaction) — the object-store
+    // hygiene op every 100 TB pipeline schedules (streaming sinks and
+    // per-document media ingest fragment tables; the mm_binsource corpus
+    // measured the scan tax directly). Input: a write-once 64-file fragment
+    // layout of events. The op itself runs FRESH each call (it IS the query
+    // under test): list → ceil(bytes/16MB) → one round-robin repartition
+    // rewrite. The gate checks content preservation (per-type stats read
+    // back from the COMPACTED files must match the oracle run on the source
+    // table) and pins the telemetry the op promises as booleans: fewer
+    // files out than in, and no more than the computed target count.
+    "q_compaction" -> { (s, dir) =>
+      val sf = new java.io.File(dir).getName
+      val smallDir = s"/root/repo/target/tmp/compact_in-$sf"
+      graft.sources.Sinks.ensureDir(s, smallDir, "v1:events,64files") {
+        Tables(s, dir, "events").repartition(64)
+          .write.mode("overwrite").parquet(smallDir)
+      }
+      val outDir = s"/root/repo/target/tmp/compact_out-$sf"
+      val rep = graft.sources.Compaction.compact(s, smallDir, outDir, 16L << 20)
+      s.read.parquet(outDir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(cents(col("value"))).as("val_cents"))
+        .withColumn("files_reduced", lit(rep.filesAfter < rep.filesBefore))
+        .withColumn("bound_ok", lit(rep.filesAfter <= rep.filesTarget))
+        .orderBy("event_type")
+    },
+
     // Schema drift across ingest batches — the 100 TB reality that a corpus
     // accumulated over years does NOT have one schema: early batches lack
     // columns later ones carry. Two parquet batches (v1 without `priority`,
@@ -1097,5 +1125,14 @@ object AdvancedQueries {
          |FROM lineitem
          |WHERE l_orderkey IN
          |  (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
-         |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin)
+         |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+
+    // content preservation through the rewrite: the compacted files must
+    // reproduce the source table's stats; the file-count telemetry rides as
+    // oracle-pinned TRUE booleans.
+    "q_compaction" ->
+      s"""SELECT event_type, COUNT(*) AS n,
+         |  CAST(SUM(${CENTS("value")}) AS BIGINT) AS val_cents,
+         |  TRUE AS files_reduced, TRUE AS bound_ok
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
 }

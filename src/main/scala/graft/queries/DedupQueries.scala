@@ -426,6 +426,52 @@ object DedupQueries {
       exactDedup(Tables(s, dir, "documents")).orderBy("keep_id")
     },
 
+    // The STREAMING exact dedup, oracle-gated (the q_stream_sessions
+    // recipe): StreamingOps.dedupStream — dropDuplicatesWithinWatermark
+    // keyed on the normalized-text md5 — runs over a mid-timeline
+    // file-stream split of the documents table. The cross-batch property
+    // is the point: a batch-2 duplicate of a batch-1 key must NOT re-emit,
+    // which only holds because the key state survives the micro-batch
+    // boundary (the 1-hour processing-time watermark horizon dwarfs the
+    // run). WHICH doc of a dup group emits first is batch-order dependent,
+    // so the gate pins the deterministic surface: the emitted KEY SET and
+    // the exactly-once emission count per key — n_emits = 1 is exactly the
+    // claim streaming state makes and a stateless re-run would break.
+    "q_stream_dedup" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val schema = docs.schema
+      val tmp = new java.io.File(
+        s"/root/repo/target/tmp/stream_dedup-${new java.io.File(dir).getName}")
+      // a real stream runs fresh each call: clear prior batch files
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(): Unit
+      }
+      if (tmp.exists) rm(tmp)
+      tmp.mkdirs()
+      val median = docs
+        .selectExpr(
+          "CAST(percentile_cont(0.5) WITHIN GROUP (ORDER BY doc_id) AS BIGINT)")
+        .head().getLong(0)
+      val stream = s.readStream.schema(schema).parquet(s"$tmp/*.parquet")
+      val qn = s"q_stream_dedup_${System.nanoTime()}"
+      graft.streaming.StreamingOps.withStreamShuffle(s) {
+        val q = graft.streaming.StreamingOps.dedupStream(stream)
+          .writeStream.outputMode("append")
+          .format("memory").queryName(qn).start()
+        try {
+          docs.where(col("doc_id") <= median).write.parquet(s"$tmp/b1.parquet")
+          q.processAllAvailable()
+          docs.where(col("doc_id") > median).write.parquet(s"$tmp/b2.parquet")
+          q.processAllAvailable()
+        } finally q.stop()
+      }
+      s.table(qn)
+        .groupBy(col("norm_md5"))
+        .agg(count(lit(1)).as("n_emits"))
+        .orderBy("norm_md5")
+    },
+
     // Cross-document repeated-chunk (paragraph) dedup; see chunkDedup.
     "dedup_chunk" -> { (s, dir) =>
       chunkDedup(Tables(s, dir, "documents")).orderBy("doc_id")
@@ -644,6 +690,12 @@ object DedupQueries {
          |  FROM documents)
          |SELECT min(doc_id) AS keep_id, COUNT(*) AS n_copies, md5(norm) AS norm_md5
          |FROM n GROUP BY norm ORDER BY keep_id""".stripMargin,
+
+    // one row per distinct normalized key, each emitted exactly once — the
+    // streaming-state claim the batch oracle can express.
+    "q_stream_dedup" ->
+      s"""SELECT ${NORMMD5("text")} AS norm_md5, CAST(1 AS BIGINT) AS n_emits
+         |FROM documents GROUP BY 1 ORDER BY norm_md5""".stripMargin,
 
     // chunks = successive 20-token slices (incl. the partial tail), hashed
     // with the same 60-bit md5 form the engine shuffles.

@@ -400,6 +400,40 @@ object Relational {
             .as("mode_qc"),
           max(col("n")).as("mode_n"))
         .orderBy("l_returnflag")
+    },
+
+    // TPC-H Q21 shape: suppliers who were the SOLE late supplier on a
+    // multi-supplier finished order (reference capability class: the
+    // double correlated EXISTS / NOT EXISTS self-join — the hardest join
+    // choreography in the TPC-H suite). The textbook form scans and
+    // shuffles lineitem THREE times (base + two correlated self-joins); at
+    // 100 TB that is the dominant cost. Here both EXISTS decorrelate into
+    // ONE grouped pass: aggregate lineitem to (order, supplier, late?),
+    // then an order-partitioned window counts suppliers and late suppliers
+    // per order — a supplier qualifies iff it is late, n_supp >= 2 and
+    // n_late = 1. Lineitem shuffles once on orderkey; the window
+    // partitions are order-sized (<= 7 lines), so no hot key; the
+    // supplier dim broadcasts. "Late" = shipped > 60 days after the order
+    // date (this schema has no commit/receipt dates). The oracle runs the
+    // textbook EXISTS form, proving the decorrelation semantics-preserving.
+    "q_waiting_supplier" -> { (s, dir) =>
+      val l = Tables(s, dir, "lineitem")
+      val o = Tables(s, dir, "orders").where(col("o_orderstatus") === "F")
+      val perSupp = l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(max(when(
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+          1L).otherwise(0L)).as("late"))
+      val perOrder = Window.partitionBy("l_orderkey")
+      val qual = perSupp
+        .withColumn("n_supp", count(lit(1)).over(perOrder))
+        .withColumn("n_late", sum(col("late")).over(perOrder))
+        .where(col("late") === 1L && col("n_supp") >= 2 && col("n_late") === 1L)
+      val sup = Tables(s, dir, "supplier")
+      qual.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_suppkey"), col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_suppkey"))
     })
 
   private val revenueExpr =
@@ -633,5 +667,27 @@ object Relational {
          |SELECT l_returnflag, qc AS mode_qc, n AS mode_n FROM cnt
          |QUALIFY row_number() OVER (
          |  PARTITION BY l_returnflag ORDER BY n DESC, qc ASC) = 1
-         |ORDER BY l_returnflag""".stripMargin)
+         |ORDER BY l_returnflag""".stripMargin,
+
+    // The textbook double-EXISTS form — deliberately NOT the engine's
+    // single-pass plan, so the hash gate proves the decorrelation.
+    "q_waiting_supplier" ->
+      """WITH lo AS (
+        |  SELECT l.l_orderkey, l.l_suppkey,
+        |    CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+        |      THEN 1 ELSE 0 END AS late
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE o.o_orderstatus = 'F'),
+        |ls AS (
+        |  SELECT l_orderkey, l_suppkey, MAX(late) AS late FROM lo GROUP BY 1, 2)
+        |SELECT s.s_suppkey, s.s_name, COUNT(*) AS numwait
+        |FROM ls l1 JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+        |WHERE l1.late = 1
+        |  AND EXISTS (SELECT 1 FROM ls l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM ls l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.late = 1)
+        |GROUP BY s.s_suppkey, s.s_name
+        |ORDER BY numwait DESC, s_suppkey""".stripMargin)
 }
