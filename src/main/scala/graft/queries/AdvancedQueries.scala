@@ -632,6 +632,39 @@ object AdvancedQueries {
         .orderBy("event_type")
     },
 
+    // Dynamic partition overwrite — the idempotent-daily-job pattern: a
+    // correction batch for a month window re-lands, and INSERT OVERWRITE in
+    // dynamic mode replaces exactly the partitions PRESENT in the batch,
+    // leaving history untouched. The two failure modes both break the gate:
+    // static overwrite would wipe every other month (missing rows), append
+    // would double the corrected months (doubled counts). At 100 TB this is
+    // how every partitioned table absorbs reruns and late data without
+    // rewriting history. Runs fresh each call — the overwrite IS the op.
+    "q_dynamic_overwrite" -> { (s, dir) =>
+      val base = s"/root/repo/target/tmp/dynpart-${new java.io.File(dir).getName}"
+      val df = Tables(s, dir, "orders")
+        .withColumn("mon", date_format(col("o_orderdate"), "yyyy-MM"))
+      // the partitioned table is write-once INPUT state (a re-run against a
+      // base whose H1-1996 was already corrected must land identically —
+      // that is the idempotence being claimed); the timed op is the
+      // dynamic-mode correction itself
+      graft.sources.Sinks.ensureDir(s, base, "v1:orders,mon") {
+        df.write.partitionBy("mon").mode("overwrite").parquet(base)
+      }
+      // the correction batch re-delivers H1-1996 under DYNAMIC overwrite
+      val prev = s.conf.get("spark.sql.sources.partitionOverwriteMode")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try
+        df.where(col("mon").between("1996-01", "1996-06"))
+          .write.partitionBy("mon").mode("overwrite").parquet(base)
+      finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+      s.read.parquet(base)
+        .groupBy(col("mon"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(cents(col("o_totalprice"))).as("price_cents"))
+        .orderBy("mon")
+    },
+
     // Schema drift across ingest batches — the 100 TB reality that a corpus
     // accumulated over years does NOT have one schema: early batches lack
     // columns later ones carry. Two parquet batches (v1 without `priority`,
@@ -1134,5 +1167,14 @@ object AdvancedQueries {
       s"""SELECT event_type, COUNT(*) AS n,
          |  CAST(SUM(${CENTS("value")}) AS BIGINT) AS val_cents,
          |  TRUE AS files_reduced, TRUE AS bound_ok
-         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // final state == the source table: the correction replayed identical
+    // content, so a correct dynamic overwrite is invisible in the data —
+    // while static mode would drop every non-1996-H1 month and append mode
+    // would double the corrected ones.
+    "q_dynamic_overwrite" ->
+      s"""SELECT strftime(o_orderdate, '%Y-%m') AS mon, COUNT(*) AS n_orders,
+         |  CAST(SUM(${CENTS("o_totalprice")}) AS BIGINT) AS price_cents
+         |FROM orders GROUP BY mon ORDER BY mon""".stripMargin)
 }

@@ -262,6 +262,64 @@ object EventQueries {
         .orderBy("ws_us", "event_type")
     },
 
+    // The STREAMING exactly-once file sink, oracle-gated: the raw event
+    // stream lands in parquet through foreachBatch + the epoch-directory
+    // writer (StreamingOps.epochSink) — the bronze-layer ingest every
+    // production pipeline runs. After the stream drains, the gate REPLAYS
+    // the highest epoch through the same writer (byte-identical to what a
+    // restarted query re-delivers after a crash between sink write and
+    // checkpoint commit) and asserts the sink is unchanged — the
+    // exactly-once claim, pinned as an oracle-checked boolean alongside
+    // content equality with the source table.
+    "q_stream_sink" -> { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+      val schema = ev.schema
+      val tmp = new java.io.File(
+        s"/root/repo/target/tmp/stream_sink-${new java.io.File(dir).getName}")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(): Unit
+      }
+      if (tmp.exists) rm(tmp)
+      tmp.mkdirs()
+      val in = s"$tmp/in"
+      val out = s"$tmp/out"
+      val median = ev
+        .selectExpr(
+          "CAST(percentile_cont(0.5) WITHIN GROUP (ORDER BY ts) AS BIGINT)")
+        .head().getLong(0)
+      val stream = s.readStream.schema(schema).parquet(s"$in/*.parquet")
+      graft.streaming.StreamingOps.withStreamShuffle(s) {
+        val q = stream.writeStream
+          .foreachBatch((b: org.apache.spark.sql.DataFrame, id: Long) =>
+            graft.streaming.StreamingOps.epochSink(out)(b, id))
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .start()
+        try {
+          ev.where(col("ts") <= median).write.parquet(s"$in/b1.parquet")
+          q.processAllAvailable()
+          ev.where(col("ts") > median).write.parquet(s"$in/b2.parquet")
+          q.processAllAvailable()
+        } finally q.stop()
+      }
+      def sinkStats() = s.read.parquet(out).drop("epoch")
+        .agg(count(lit(1)), sum(cents(col("value")))).head()
+      val before = sinkStats()
+      // redelivery: rewrite the highest epoch with its own committed content
+      val epochs = new java.io.File(out).listFiles
+        .filter(f => f.isDirectory && f.getName.startsWith("epoch="))
+        .map(_.getName.stripPrefix("epoch=").toLong)
+      val last = epochs.max
+      val lastDf = s.read.parquet(s"$out/epoch=$last").localCheckpoint()
+      graft.streaming.StreamingOps.epochSink(out)(lastDf, last)
+      val after = sinkStats()
+      s.read.parquet(out)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("val_cents"))
+        .withColumn("replay_idempotent", lit(before == after))
+        .orderBy("event_type")
+    },
+
     // 30-minute-gap sessionization per user (EventOps.sessionize), batch
     // window-function form.
     "q_sessionize" -> { (s, dir) =>
@@ -450,6 +508,14 @@ object EventQueries {
       s"""SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS ws_us,
          |  event_type, COUNT(*) AS n, ${MONEY("\"value\"")} AS val_sum
          |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // the sink must hold exactly the source table after the epoch replay —
+    // the exactly-once boolean rides as oracle-pinned TRUE.
+    "q_stream_sink" ->
+      s"""SELECT event_type, COUNT(*) AS n,
+         |  CAST(SUM(${CENTS("\"value\"")}) AS BIGINT) AS val_cents,
+         |  TRUE AS replay_idempotent
+         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // lead per user mirrors the engine window; ppm is integer floor math.
     "q_transitions" ->

@@ -203,6 +203,18 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark("norm_md5")
       .select(col("doc_id"), col("norm_md5"))
 
+  /** Exactly-once streaming parquet sink: each micro-batch commits to its
+    * own `epoch=<id>` directory with overwrite mode — the foreachBatch
+    * bronze-layer ingest pattern. Structured Streaming's contract is
+    * at-least-once delivery to foreachBatch (a crash between the sink write
+    * and the checkpoint commit re-delivers the SAME epochId with the SAME
+    * data on restart); keying the write on epochId and overwriting turns
+    * redelivery into a no-op, which is what upgrades the sink to
+    * exactly-once. Downstream readers see the union of epoch directories
+    * via ordinary partition discovery. */
+  def epochSink(dir: String)(batch: DataFrame, epochId: Long): Unit =
+    batch.write.mode("overwrite").parquet(s"$dir/epoch=$epochId")
+
   /** Run a gated streaming execution with stream-sized state: the number of
     * state-store instances per stateful operator equals
     * `spark.sql.shuffle.partitions` at query START, and each instance pays a
