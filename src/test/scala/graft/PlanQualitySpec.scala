@@ -379,6 +379,32 @@ class PlanQualitySpec extends SparkTestBase {
     assert(p.contains("partial_count"), "pair census lost map-side combine")
   }
 
+  test("q_waiting_supplier: decorrelated to one fact pass; supplier broadcasts") {
+    val p = planOf(SparkEntry.queries("q_waiting_supplier")(spark, sf))
+    // the textbook Q21 form would scan lineitem three times (base + two
+    // correlated EXISTS self-joins); the decorrelated plan scans it once.
+    // (An AQE plan string repeats itself under "== Initial Plan ==" —
+    // count scans in the final section only.)
+    val finalSection = p.split("== Initial Plan ==")(0)
+    assert("lineitem\\.parquet".r.findAllIn(finalSection).size == 1,
+      s"lineitem scanned more than once:\n$p")
+    assert(p.contains("BroadcastHashJoin [l_suppkey"),
+      "supplier dim join must broadcast")
+    // the per-order census window partitions by order — never partitionless
+    assert(p.contains("windowspecdefinition(l_orderkey"),
+      "order census window lost its partitioning")
+    // only 3 of 11 lineitem columns reach the scan
+    assert(!p.contains("l_extendedprice"), "unused lineitem column not pruned")
+  }
+
+  test("q_compaction: the rewrite reads the fragment files, not the source table") {
+    val p = planOf(SparkEntry.queries("q_compaction")(spark, sf))
+    assert(p.contains("compact_out"),
+      s"gate must read back the COMPACTED files:\n$p")
+    assert(!p.contains("events.parquet"),
+      "gate read the source table instead of the compacted output")
+  }
+
   // Built once and shared by the whole-surface sweeps below: some query
   // constructions are not free (streaming gates execute on construction).
   private lazy val allQueryDfs: Seq[(String, DataFrame)] =
