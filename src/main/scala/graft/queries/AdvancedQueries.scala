@@ -390,6 +390,43 @@ object AdvancedQueries {
         .orderBy("r_name")
     },
 
+    // Malformed-record-tolerant ingest — web-scale JSONL always carries
+    // broken lines, and aborting a 100 TB load on line 3 billion
+    // (FAILFAST) or silently dropping rows (DROPMALFORMED) are both wrong:
+    // production ingest runs PERMISSIVE with a corrupt-record column, so
+    // bad lines are COUNTED and quarantined while good lines flow. The
+    // write-once dirty fixture corrupts a deterministic 1/37 slice of the
+    // documents table (truncated JSON); the gate checks the parsed rows
+    // aggregate to exactly the clean complement and the quarantine row
+    // counts exactly the corrupted slice. The parsed frame fans into both
+    // branches, so it is localCheckpoint'ed once (also sidestepping the
+    // referencing-only-the-corrupt-column pruning restriction).
+    "q_corrupt_json" -> { (s, dir) =>
+      val tmp = s"/root/repo/target/tmp/dirty_json-${new java.io.File(dir).getName}"
+      graft.sources.Sinks.ensureDir(s, tmp, "v1:documents,dirty37") {
+        Tables(s, dir, "documents")
+          .select(when(pmod(col("doc_id"), lit(37L)) === 0,
+              concat(lit("{\"doc_id\":"), col("doc_id"), lit(",\"lang\":")))
+            .otherwise(to_json(struct(col("doc_id"), col("lang"), col("n_chars"))))
+            .as("value"))
+          .write.mode("overwrite").text(tmp)
+      }
+      val parsed = s.read
+        .schema("doc_id BIGINT, lang STRING, n_chars BIGINT, _bad STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .json(tmp)
+        .localCheckpoint()
+      val good = parsed.where(col("_bad").isNull)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars_sum"))
+      val quarantined = parsed.where(col("_bad").isNotNull)
+        .agg(count(lit(1)).as("n_docs"))
+        .select(lit("_corrupt").as("lang"), col("n_docs"),
+          lit(0L).as("chars_sum"))
+      good.unionAll(quarantined).orderBy("lang")
+    },
+
     // Manual runtime-filter semi join: a bloom filter built over the URGENT
     // order keys (scalar subquery — materialized once, broadcast like
     // Spark's own injected runtime filters) prefilters the lineitem scan
@@ -1176,5 +1213,15 @@ object AdvancedQueries {
     "q_dynamic_overwrite" ->
       s"""SELECT strftime(o_orderdate, '%Y-%m') AS mon, COUNT(*) AS n_orders,
          |  CAST(SUM(${CENTS("o_totalprice")}) AS BIGINT) AS price_cents
-         |FROM orders GROUP BY mon ORDER BY mon""".stripMargin)
+         |FROM orders GROUP BY mon ORDER BY mon""".stripMargin,
+
+    // parsed rows = the clean 36/37 complement; the quarantine row counts
+    // the deterministically corrupted slice.
+    "q_corrupt_json" ->
+      """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS chars_sum
+        |FROM documents WHERE doc_id % 37 <> 0 GROUP BY lang
+        |UNION ALL
+        |SELECT '_corrupt' AS lang, COUNT(*) AS n_docs, CAST(0 AS BIGINT) AS chars_sum
+        |FROM documents WHERE doc_id % 37 = 0
+        |ORDER BY lang""".stripMargin)
 }
