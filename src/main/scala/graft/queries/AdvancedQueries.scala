@@ -427,6 +427,30 @@ object AdvancedQueries {
       good.unionAll(quarantined).orderBy("lang")
     },
 
+    // Anti-entropy table checksum — how two replicas of a 100 TB table
+    // prove they hold the same rows without moving them: a per-row
+    // canonical fingerprint XOR-folded per table. XOR is commutative,
+    // associative, self-inverse and overflow-free, so the signature is
+    // partition- and order-independent, folds map-side (partial→final),
+    // and a replica diff localizes to whichever table (or, sharded by key
+    // range, whichever shard) disagrees. One narrow scan per table, one
+    // 8-byte result each.
+    "q_table_checksum" -> { (s, dir) =>
+      def sig(tbl: String, canon: org.apache.spark.sql.Column) =
+        Tables(s, dir, tbl)
+          .select(md5Long(canon).as("sig"))
+          .agg(count(lit(1)).as("n_rows"), expr("bit_xor(sig)").as("xor_sig"))
+          .select(lit(tbl).as("tbl"), col("n_rows"), col("xor_sig"))
+      sig("customer", concat_ws("|", col("c_custkey"), col("c_name"),
+          col("c_nationkey"), cents(col("c_acctbal"))))
+        .unionAll(sig("nation", concat_ws("|", col("n_nationkey"),
+          col("n_name"), col("n_regionkey"))))
+        .unionAll(sig("orders", concat_ws("|", col("o_orderkey"),
+          col("o_custkey"), col("o_orderstatus"), col("o_orderpriority"),
+          cents(col("o_totalprice")))))
+        .orderBy("tbl")
+    },
+
     // Manual runtime-filter semi join: a bloom filter built over the URGENT
     // order keys (scalar subquery — materialized once, broadcast like
     // Spark's own injected runtime filters) prefilters the lineitem scan
@@ -1214,6 +1238,24 @@ object AdvancedQueries {
       s"""SELECT strftime(o_orderdate, '%Y-%m') AS mon, COUNT(*) AS n_orders,
          |  CAST(SUM(${CENTS("o_totalprice")}) AS BIGINT) AS price_cents
          |FROM orders GROUP BY mon ORDER BY mon""".stripMargin,
+
+    // the same canonical concat + 60-bit md5 + XOR fold per table — any
+    // single differing row flips the signature.
+    "q_table_checksum" ->
+      s"""WITH c AS (SELECT COUNT(*) AS n_rows, bit_xor(${MD5LONG(
+             "concat_ws('|', c_custkey, c_name, c_nationkey, " +
+               CENTS("c_acctbal") + ")")}) AS xor_sig FROM customer),
+         |n AS (SELECT COUNT(*) AS n_rows, bit_xor(${MD5LONG(
+             "concat_ws('|', n_nationkey, n_name, n_regionkey)")}) AS xor_sig
+         |  FROM nation),
+         |o AS (SELECT COUNT(*) AS n_rows, bit_xor(${MD5LONG(
+             "concat_ws('|', o_orderkey, o_custkey, o_orderstatus, " +
+               "o_orderpriority, " + CENTS("o_totalprice") + ")")}) AS xor_sig
+         |  FROM orders)
+         |SELECT 'customer' AS tbl, n_rows, xor_sig FROM c
+         |UNION ALL SELECT 'nation', n_rows, xor_sig FROM n
+         |UNION ALL SELECT 'orders', n_rows, xor_sig FROM o
+         |ORDER BY tbl""".stripMargin,
 
     // parsed rows = the clean 36/37 complement; the quarantine row counts
     // the deterministically corrupted slice.

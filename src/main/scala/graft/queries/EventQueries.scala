@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{Q, Tables}
 import graft.functions.Portable._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Event-time processing over the `events` table (batch form; the streaming
@@ -40,6 +41,69 @@ object EventQueries {
     // — one user_id shuffle + a journey-domain-sized census.
     "q_journeys" -> { (s, dir) =>
       graft.operators.EventOps.journeys(normalized(s, dir), 5)
+    },
+
+    // Forward fill (last observation carried forward) — the telemetry
+    // gap-fill: a reading is only OBSERVED on purchase events, and every
+    // event carries its user's most recent observation. IGNORE NULLS
+    // last_value over a user-partitioned running frame: one user_id
+    // shuffle, per-user-sized window partitions (never a global window),
+    // -1 sentinel before the first observation (mirrored in the oracle so
+    // no NULL reaches the hash gate).
+    "q_forward_fill" -> { (s, dir) =>
+      val ev = normalized(s, dir)
+        .withColumn("obs_cents",
+          when(col("event_type") === "purchase", col("val_cents")))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts_us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.select(col("event_id"), col("user_id"), col("ts_us"),
+          coalesce(last(col("obs_cents"), ignoreNulls = true).over(w),
+            lit(-1L)).as("filled_cents"))
+        .orderBy("user_id", "ts_us", "event_id")
+    },
+
+    // STREAM-STATIC enrichment join, oracle-gated: the event stream joins
+    // the static customer dimension (the broadcast-state pattern — rules /
+    // dims / models enriching a stream without any join state, because the
+    // static side is re-planned per micro-batch) and accumulates a
+    // segment × event-type census in complete mode. The cross-batch claim:
+    // batch 2's events must land on batch 1's counts. Hash-checked against
+    // the batch join oracle.
+    "q_stream_enrich" -> { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+      val schema = ev.schema
+      val tmp = new java.io.File(
+        s"/root/repo/target/tmp/stream_enrich-${new java.io.File(dir).getName}")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(): Unit
+      }
+      if (tmp.exists) rm(tmp)
+      tmp.mkdirs()
+      val median = ev
+        .selectExpr(
+          "CAST(percentile_cont(0.5) WITHIN GROUP (ORDER BY ts) AS BIGINT)")
+        .head().getLong(0)
+      val cust = Tables(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val stream = s.readStream.schema(schema).parquet(s"$tmp/*.parquet")
+        .withColumn("val_cents", cents(col("value")))
+        .join(broadcast(cust), col("user_id") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("val_cents")).as("val_sum_cents"))
+      val qn = s"q_stream_enrich_${System.nanoTime()}"
+      graft.streaming.StreamingOps.withStreamShuffle(s) {
+        val q = stream.writeStream.outputMode("complete")
+          .format("memory").queryName(qn).start()
+        try {
+          ev.where(col("ts") <= median).write.parquet(s"$tmp/b1.parquet")
+          q.processAllAvailable()
+          ev.where(col("ts") > median).write.parquet(s"$tmp/b2.parquet")
+          q.processAllAvailable()
+        } finally q.stop()
+      }
+      s.table(qn).orderBy("c_mktsegment", "event_type")
     },
 
     // Peak concurrent sessions per hour (EventOps.peakConcurrency) over the
@@ -508,6 +572,26 @@ object EventQueries {
       s"""SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS ws_us,
          |  event_type, COUNT(*) AS n, ${MONEY("\"value\"")} AS val_sum
          |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_forward_fill" ->
+      s"""SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+         |  COALESCE(last_value(
+         |      CASE WHEN event_type = 'purchase' THEN ${CENTS("\"value\"")} END
+         |      IGNORE NULLS) OVER (
+         |    PARTITION BY user_id
+         |    ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1)
+         |    AS filled_cents
+         |FROM events
+         |ORDER BY user_id, ts_us, event_id""".stripMargin,
+
+    // a correct stream-static join + complete-mode census must finish at
+    // exactly the batch join's aggregate.
+    "q_stream_enrich" ->
+      s"""SELECT c_mktsegment, event_type, COUNT(*) AS n,
+         |  CAST(SUM(${CENTS("\"value\"")}) AS BIGINT) AS val_sum_cents
+         |FROM events JOIN customer ON user_id = c_custkey
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // the sink must hold exactly the source table after the epoch replay —
     // the exactly-once boolean rides as oracle-pinned TRUE.
