@@ -532,6 +532,27 @@ object DedupQueries {
     "dedup_cluster_star" -> { (s, dir) =>
       clusterReport(graft.operators.GraphOps.connectedComponentsStar(
         simhashPairs(s, dir).select(col("doc_a"), col("doc_b"))))
+    },
+
+    // Quality-aware canonical selection — the KEEP policy after clustering:
+    // production dedup keeps the BEST member of each near-dup cluster (here
+    // "longest, then lowest id" — the common keep-longest heuristic), not
+    // the arbitrary smallest id. One max_by over an ordering struct per
+    // cluster (≤1 row per cluster per task — never a ranking window over
+    // cluster_id, which a mass-duplicate cluster would serialize).
+    "dedup_keep_best" -> { (s, dir) =>
+      val cc = graft.operators.GraphOps.connectedComponents(
+        simhashPairs(s, dir).select(col("doc_a"), col("doc_b")))
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"))
+      cc.join(docs, cc("id") === docs("doc_id"))
+        .groupBy(col("comp").as("cluster_id"))
+        .agg(count(lit(1)).as("n_members"),
+          max_by(col("doc_id"),
+            struct(col("n_chars"), (-col("doc_id")).as("neg"))).as("keep_id"),
+          max(col("n_chars")).as("keep_chars"))
+        .withColumn("n_dropped", col("n_members") - 1)
+        .orderBy("cluster_id")
     })
 
   /** (id, comp) labels → the gated cluster report (doc, cluster, size). */
@@ -798,10 +819,29 @@ object DedupQueries {
     // the component's canonical (smallest) member. Shared verbatim by the
     // star-contraction twin — unique labeling, one oracle.
     "dedup_cluster" -> clusterSql,
+
+    // same labeling chain; keep = longest member, ties to the lowest id.
+    "dedup_keep_best" ->
+      s"""WITH RECURSIVE $ccLabCtes,
+         |m AS (
+         |  SELECT l.comp, l.id, d.n_chars
+         |  FROM lab l JOIN documents d ON l.id = d.doc_id),
+         |k AS (
+         |  SELECT comp, id AS keep_id, n_chars AS keep_chars FROM m
+         |  QUALIFY row_number() OVER (
+         |    PARTITION BY comp ORDER BY n_chars DESC, id ASC) = 1),
+         |sz AS (SELECT comp, COUNT(*) AS n FROM lab GROUP BY comp)
+         |SELECT sz.comp AS cluster_id, CAST(sz.n AS BIGINT) AS n_members,
+         |  k.keep_id, k.keep_chars, CAST(sz.n - 1 AS BIGINT) AS n_dropped
+         |FROM sz JOIN k USING (comp)
+         |ORDER BY cluster_id""".stripMargin,
     "dedup_cluster_star" -> clusterSql)
 
-  private lazy val clusterSql =
-      s"""WITH RECURSIVE $simhashShCtes,
+  /** Shared CC labeling chain over the simhash pair graph: `lab(id, comp)`.
+    * Single source of truth for the dedup_cluster(_star) and
+    * dedup_keep_best oracles. */
+  private lazy val ccLabCtes =
+      s"""$simhashShCtes,
          |pr AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
@@ -813,7 +853,10 @@ object DedupQueries {
          |  SELECT u, u FROM (SELECT DISTINCT u FROM e)
          |  UNION
          |  SELECT e.u, walk.comp FROM e JOIN walk ON e.v = walk.id),
-         |lab AS (SELECT id, MIN(comp) AS comp FROM walk GROUP BY id)
+         |lab AS (SELECT id, MIN(comp) AS comp FROM walk GROUP BY id)""".stripMargin
+
+  private lazy val clusterSql =
+      s"""WITH RECURSIVE $ccLabCtes
          |SELECT l.id AS doc_id, l.comp AS cluster_id,
          |  CAST(sz.n AS BIGINT) AS n_members
          |FROM lab l JOIN (SELECT comp, COUNT(*) AS n FROM lab GROUP BY comp) sz
