@@ -402,6 +402,48 @@ object Relational {
         .orderBy("l_returnflag")
     },
 
+    // Relational DIVISION — "customers who did ALL of it": users with at
+    // least one event of EVERY type that exists in the stream. The
+    // textbook form is the double-NOT-EXISTS (no event type exists for
+    // which this user has no event); the scale form is one distinct-count
+    // aggregate per user compared to the (broadcast single-row) global
+    // type count — the events table is scanned twice but shuffled once at
+    // user grain, with no correlated subquery cascade. The oracle runs the
+    // double negation, proving the aggregate rewrite.
+    "q_division" -> { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+      val nTypes = ev.agg(countDistinct(col("event_type")).as("nt"))
+      ev.groupBy(col("user_id"))
+        .agg(countDistinct(col("event_type")).as("n_types"),
+          count(lit(1)).as("n_events"))
+        .join(broadcast(nTypes), col("n_types") === col("nt"))
+        .select(col("user_id"), col("n_events"))
+        .orderBy("user_id")
+    },
+
+    // Per-group argmin with join-back (TPC-H Q2 shape): for every part,
+    // the supplier quoting the CHEAPEST lineitem price (ties → lowest
+    // suppkey). The textbook form re-runs a correlated MIN subquery per
+    // row; the engine folds group minimum AND witness into ONE partial→
+    // final min_by pass over a total ordering struct (≤1 row per part per
+    // task), then broadcasts the supplier dim for the name. The oracle
+    // runs the correlated form, proving the argmin decorrelation.
+    "q_min_cost" -> { (s, dir) =>
+      val l = Tables(s, dir, "lineitem")
+      val best = l
+        .groupBy(col("l_partkey"))
+        .agg(
+          min(cents(col("l_extendedprice"))).as("best_cents"),
+          min_by(col("l_suppkey"),
+            struct(cents(col("l_extendedprice")), col("l_suppkey")))
+            .as("best_supp"))
+      val sup = Tables(s, dir, "supplier")
+      best.join(broadcast(sup), col("best_supp") === col("s_suppkey"))
+        .select(col("l_partkey").as("partkey"), col("best_cents"),
+          col("best_supp"), col("s_name"))
+        .orderBy("partkey")
+    },
+
     // TPC-H Q21 shape: suppliers who were the SOLE late supplier on a
     // multi-supplier finished order (reference capability class: the
     // double correlated EXISTS / NOT EXISTS self-join — the hardest join
@@ -668,6 +710,34 @@ object Relational {
          |QUALIFY row_number() OVER (
          |  PARTITION BY l_returnflag ORDER BY n DESC, qc ASC) = 1
          |ORDER BY l_returnflag""".stripMargin,
+
+    // textbook relational division: no type exists that this user lacks.
+    "q_division" ->
+      """SELECT user_id, COUNT(*) AS n_events
+        |FROM events e1
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM (SELECT DISTINCT event_type FROM events) t
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM events e2
+        |    WHERE e2.user_id = e1.user_id
+        |      AND e2.event_type = t.event_type))
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // textbook correlated-MIN form; the witness tiebreak (lowest suppkey
+    // among the min-priced rows) mirrors the engine's ordering struct.
+    "q_min_cost" ->
+      s"""WITH best AS (
+         |  SELECT l1.l_partkey AS partkey,
+         |    ${CENTS("l1.l_extendedprice")} AS best_cents,
+         |    min(l1.l_suppkey) AS best_supp
+         |  FROM lineitem l1
+         |  WHERE ${CENTS("l1.l_extendedprice")} = (
+         |    SELECT min(${CENTS("l2.l_extendedprice")}) FROM lineitem l2
+         |    WHERE l2.l_partkey = l1.l_partkey)
+         |  GROUP BY 1, 2)
+         |SELECT partkey, best_cents, best_supp, s_name
+         |FROM best JOIN supplier ON best_supp = s_suppkey
+         |ORDER BY partkey""".stripMargin,
 
     // The textbook double-EXISTS form — deliberately NOT the engine's
     // single-pass plan, so the hash gate proves the decorrelation.
