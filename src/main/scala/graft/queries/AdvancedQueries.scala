@@ -427,6 +427,68 @@ object AdvancedQueries {
       good.unionAll(quarantined).orderBy("lang")
     },
 
+    // Mergeable distinct-count sketches — the reaggregation story for
+    // COUNT(DISTINCT): daily HLL sketches (Apache DataSketches via
+    // hll_sketch_agg) persist write-once as binary partials, and the
+    // weekly report merges SKETCHES (hll_union_agg) — raw events are never
+    // rescanned, which is the whole point at 100 TB (an exact distinct
+    // cannot be reaggregated from per-day exact counts; a sketch can).
+    // Gate: exact weekly distinct as companion + an integer-exact ±5%
+    // error-bound boolean the oracle pins TRUE (the q_approx_distinct
+    // pattern, extended to MERGED sketches).
+    "q_sketch_merge" -> { (s, dir) =>
+      val sketchDir =
+        s"/root/repo/target/tmp/hll_daily-${new java.io.File(dir).getName}"
+      val ev = Tables(s, dir, "events")
+        .select((expr("ts div 1000") divide lit(86400000000L))
+          .cast("long").as("day"), col("user_id"))
+      graft.sources.Sinks.ensureDir(s, sketchDir, "v1:events,hll-daily") {
+        ev.groupBy(col("day"))
+          .agg(hll_sketch_agg(col("user_id")).as("sk"))
+          .write.mode("overwrite").parquet(sketchDir)
+      }
+      val weekly = s.read.parquet(sketchDir)
+        .groupBy((col("day") / 7).cast("long").as("week"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      val exact = ev
+        .groupBy((col("day") / 7).cast("long").as("week"))
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      exact.join(weekly, "week")
+        // 5% = 1/20, kept integer-exact: |est - exact| * 20 <= exact
+        .select(col("week"), col("n_exact"),
+          (abs(col("est") - col("n_exact")) * 20 <= col("n_exact"))
+            .as("sketch_ok"))
+        .orderBy("week")
+    },
+
+    // ANALYZE-style column profile — the stats pass every warehouse runs
+    // (null fraction, NDV, min/max) feeding optimizers and quality
+    // dashboards. All four columns profile in ONE aggregate scan of orders
+    // (count-distincts expand map-side; no per-column rescans); the
+    // one-row result fans into four report rows, so it is
+    // localCheckpoint'ed first (CLAUDE.md fan-out rule). min/max surface
+    // as strings so one report schema carries any column type — numeric
+    // casts are exact for integers.
+    "q_profile" -> { (s, dir) =>
+      // min/max aggregate in the column's NATIVE order and only the scalar
+      // result casts to string ("999" > "1499" lexicographically — casting
+      // before the aggregate would profile the wrong extremes)
+      def prof(c: String) = Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+        countDistinct(col(c)).as(s"${c}_ndv"),
+        min(col(c)).cast("string").as(s"${c}_min"),
+        max(col(c)).cast("string").as(s"${c}_max"))
+      val cols = Seq("o_custkey", "o_orderstatus", "o_orderpriority")
+      val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(prof)
+      val one = Tables(s, dir, "orders")
+        .agg(aggs.head, aggs.tail: _*).localCheckpoint()
+      cols.map { c =>
+        one.select(lit(c).as("col_name"), col("n_rows"),
+          col(s"${c}_nulls").as("n_nulls"), col(s"${c}_ndv").as("ndv"),
+          col(s"${c}_min").as("min_s"), col(s"${c}_max").as("max_s"))
+      }.reduce(_ unionAll _).orderBy("col_name")
+    },
+
     // Anti-entropy table checksum — how two replicas of a 100 TB table
     // prove they hold the same rows without moving them: a per-row
     // canonical fingerprint XOR-folded per table. XOR is commutative,
@@ -1238,6 +1300,34 @@ object AdvancedQueries {
       s"""SELECT strftime(o_orderdate, '%Y-%m') AS mon, COUNT(*) AS n_orders,
          |  CAST(SUM(${CENTS("o_totalprice")}) AS BIGINT) AS price_cents
          |FROM orders GROUP BY mon ORDER BY mon""".stripMargin,
+
+    // exact weekly distincts; the merged-sketch bound rides as TRUE.
+    "q_sketch_merge" ->
+      s"""SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) // 7 AS week,
+         |  COUNT(DISTINCT user_id) AS n_exact, TRUE AS sketch_ok
+         |FROM events GROUP BY 1 ORDER BY week""".stripMargin,
+
+    // one row per profiled column; integer casts to string are exact.
+    "q_profile" ->
+      """WITH p AS (SELECT COUNT(*) AS n_rows,
+        |  SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS ck_nulls,
+        |  COUNT(DISTINCT o_custkey) AS ck_ndv,
+        |  CAST(MIN(o_custkey) AS VARCHAR) AS ck_min,
+        |  CAST(MAX(o_custkey) AS VARCHAR) AS ck_max,
+        |  SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS os_nulls,
+        |  COUNT(DISTINCT o_orderstatus) AS os_ndv,
+        |  MIN(o_orderstatus) AS os_min, MAX(o_orderstatus) AS os_max,
+        |  SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS op_nulls,
+        |  COUNT(DISTINCT o_orderpriority) AS op_ndv,
+        |  MIN(o_orderpriority) AS op_min, MAX(o_orderpriority) AS op_max
+        |  FROM orders)
+        |SELECT 'o_custkey' AS col_name, n_rows, CAST(ck_nulls AS BIGINT) AS n_nulls,
+        |  ck_ndv AS ndv, ck_min AS min_s, ck_max AS max_s FROM p
+        |UNION ALL SELECT 'o_orderstatus', n_rows, CAST(os_nulls AS BIGINT),
+        |  os_ndv, os_min, os_max FROM p
+        |UNION ALL SELECT 'o_orderpriority', n_rows, CAST(op_nulls AS BIGINT),
+        |  op_ndv, op_min, op_max FROM p
+        |ORDER BY col_name""".stripMargin,
 
     // the same canonical concat + 60-bit md5 + XOR fold per table — any
     // single differing row flips the signature.
