@@ -427,6 +427,40 @@ object AdvancedQueries {
       good.unionAll(quarantined).orderBy("lang")
     },
 
+    // VARIANT semi-structured ingestion — the binary-encoded JSON path
+    // (Spark 4 parse_json/variant_get): the 100 TB answer to schemaless
+    // event payloads, where parsing happens ONCE at ingest and typed
+    // extraction runs over the columnar-shredded encoding instead of
+    // re-tokenizing JSON text per query (the q_json_extract string path).
+    // The variant stays internal (VariantType is not hash-gateable);
+    // typed longs come out. Same values as the text path — the oracle
+    // replays with DuckDB's JSON extraction.
+    "q_variant" -> { (s, dir) =>
+      Tables(s, dir, "events")
+        .select(col("event_type"),
+          expr("variant_get(parse_json(props), '$.k', 'long')").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("k_sum"),
+          countDistinct(col("k")).as("k_ndv"))
+        .orderBy("event_type")
+    },
+
+    // Mergeable heavy-hitters sketch (approx_top_k, DataSketches
+    // frequent-items): the one-pass top-k the 100 TB regime runs when the
+    // key domain is too large for an exact census. Here the tracked-item
+    // budget (10k) exceeds the 5-type domain, so the sketch's counts are
+    // EXACT by its guarantee — which is what makes the gate deterministic:
+    // the exploded (item, count) rows must equal the exact top-3 census
+    // (no count ties at any SF, checked across sf0.001/0.01/0.1).
+    "q_approx_topk" -> { (s, dir) =>
+      Tables(s, dir, "events")
+        .agg(expr("approx_top_k(event_type, 3)").as("tk"))
+        .select(explode(col("tk")).as("e"))
+        .select(col("e.item").as("event_type"),
+          col("e.count").as("n"))
+        .orderBy(col("n").desc, col("event_type"))
+    },
+
     // Mergeable distinct-count sketches — the reaggregation story for
     // COUNT(DISTINCT): daily HLL sketches (Apache DataSketches via
     // hll_sketch_agg) persist write-once as binary partials, and the
@@ -1300,6 +1334,20 @@ object AdvancedQueries {
       s"""SELECT strftime(o_orderdate, '%Y-%m') AS mon, COUNT(*) AS n_orders,
          |  CAST(SUM(${CENTS("o_totalprice")}) AS BIGINT) AS price_cents
          |FROM orders GROUP BY mon ORDER BY mon""".stripMargin,
+
+    // DuckDB's JSON text extraction must agree with Spark's variant path.
+    "q_variant" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |    AS BIGINT) AS k_sum,
+        |  COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |    AS k_ndv
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // the sketch's exact-under-budget guarantee == the exact census.
+    "q_approx_topk" ->
+      """SELECT event_type, COUNT(*) AS n FROM events
+        |GROUP BY event_type ORDER BY n DESC, event_type LIMIT 3""".stripMargin,
 
     // exact weekly distincts; the merged-sketch bound rides as TRUE.
     "q_sketch_merge" ->

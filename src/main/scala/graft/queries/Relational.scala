@@ -402,6 +402,30 @@ object Relational {
         .orderBy("l_returnflag")
     },
 
+    // LATERAL correlated subquery — the SQL-surface form of per-group
+    // top-n (the third form beside the q_topk_window ranking window and
+    // the bounded TopK aggregators): each BUILDING customer's two
+    // priciest orders via a correlated ORDER BY ... LIMIT 2 subquery.
+    // Spark's decorrelation rewrites the lateral limit into a partitioned
+    // ranking under the hood — exactly the plan the window form writes by
+    // hand — and the oracle runs the IDENTICAL lateral SQL in DuckDB, so
+    // the gate pins the decorrelation semantics, not just the values.
+    "q_lateral_topn" -> { (s, dir) =>
+      val suf = java.util.UUID.randomUUID().toString.replace("-", "")
+      Tables(s, dir, "customer").createOrReplaceTempView(s"cust_lt_$suf")
+      Tables(s, dir, "orders").createOrReplaceTempView(s"ord_lt_$suf")
+      s.sql(
+        s"""SELECT c_custkey, t.o_orderkey,
+           |  CAST(round(t.o_totalprice * 100) AS BIGINT) AS price_cents
+           |FROM cust_lt_$suf,
+           |LATERAL (
+           |  SELECT o_orderkey, o_totalprice FROM ord_lt_$suf
+           |  WHERE o_custkey = c_custkey
+           |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+           |WHERE c_mktsegment = 'BUILDING'
+           |ORDER BY c_custkey, o_orderkey""".stripMargin)
+    },
+
     // Relational DIVISION — "customers who did ALL of it": users with at
     // least one event of EVERY type that exists in the stream. The
     // textbook form is the double-NOT-EXISTS (no event type exists for
@@ -710,6 +734,19 @@ object Relational {
          |QUALIFY row_number() OVER (
          |  PARTITION BY l_returnflag ORDER BY n DESC, qc ASC) = 1
          |ORDER BY l_returnflag""".stripMargin,
+
+    // the IDENTICAL lateral form — DuckDB and Spark must agree on the
+    // correlated-limit semantics row for row.
+    "q_lateral_topn" ->
+      """SELECT c_custkey, t.o_orderkey,
+        |  CAST(round(t.o_totalprice * 100) AS BIGINT) AS price_cents
+        |FROM customer,
+        |LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_custkey = c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        |WHERE c_mktsegment = 'BUILDING'
+        |ORDER BY c_custkey, o_orderkey""".stripMargin,
 
     // textbook relational division: no type exists that this user lacks.
     "q_division" ->
