@@ -397,6 +397,17 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!p.contains("l_extendedprice"), "unused lineitem column not pruned")
   }
 
+  test("q_lateral_topn: the lateral limit decorrelates to a bounded group limit") {
+    val p = planOf(SparkEntry.queries("q_lateral_topn")(spark, sf))
+    // Spark's rank-limit pushdown must bound the per-key rows MAP-SIDE
+    // (WindowGroupLimit Partial) before the shuffle — the same ≤k-rows-per-
+    // key-per-task guarantee the TopK aggregators give; without it a hot
+    // customer would sort its whole order history on one task
+    assert(p.contains("WindowGroupLimit"), s"lateral lost the group-limit:\n$p")
+    assert(p.contains("Partial"), "group limit lost its map-side partial phase")
+    assert(p.contains("BroadcastHashJoin"), "customer dim join must broadcast")
+  }
+
   test("q_compaction: the rewrite reads the fragment files, not the source table") {
     val p = planOf(SparkEntry.queries("q_compaction")(spark, sf))
     assert(p.contains("compact_out"),
