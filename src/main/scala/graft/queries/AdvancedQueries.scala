@@ -473,19 +473,21 @@ object AdvancedQueries {
     "q_sketch_merge" -> { (s, dir) =>
       val sketchDir =
         s"/root/repo/target/tmp/hll_daily-${new java.io.File(dir).getName}"
+      // integer `div` end to end (the oracle's `//`): float division then
+      // cast truncates the ROUNDED quotient, which can cross a bucket
+      // boundary when the true quotient sits within an ulp of an integer
       val ev = Tables(s, dir, "events")
-        .select((expr("ts div 1000") divide lit(86400000000L))
-          .cast("long").as("day"), col("user_id"))
-      graft.sources.Sinks.ensureDir(s, sketchDir, "v1:events,hll-daily") {
+        .select(expr("ts div 1000 div 86400000000").as("day"), col("user_id"))
+      graft.sources.Sinks.ensureDir(s, sketchDir, "v2:events,hll-daily,intdiv") {
         ev.groupBy(col("day"))
           .agg(hll_sketch_agg(col("user_id")).as("sk"))
           .write.mode("overwrite").parquet(sketchDir)
       }
       val weekly = s.read.parquet(sketchDir)
-        .groupBy((col("day") / 7).cast("long").as("week"))
+        .groupBy(expr("day div 7").as("week"))
         .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
       val exact = ev
-        .groupBy((col("day") / 7).cast("long").as("week"))
+        .groupBy(expr("day div 7").as("week"))
         .agg(countDistinct(col("user_id")).as("n_exact"))
       exact.join(weekly, "week")
         // 5% = 1/20, kept integer-exact: |est - exact| * 20 <= exact
