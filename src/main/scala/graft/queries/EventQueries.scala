@@ -326,6 +326,64 @@ object EventQueries {
         .orderBy("ws_us", "event_type")
     },
 
+    // STREAMING materialized-view maintenance, oracle-gated: each
+    // micro-batch folds into a keyed per-user-latest snapshot through
+    // KvSink.upsert (one full-outer merge per batch — the CDC-apply the
+    // batch q_upsert gates, now driven by a stream), writing a versioned
+    // snapshot per epoch. Within a batch the user's latest row wins via
+    // max_by over a total ordering; across batches the later epoch's
+    // upsert overwrites — so the final snapshot must equal the global
+    // per-user argmax the oracle computes from the raw table. The
+    // (ts, cents) payload rides the 2-column KvSink contract as one
+    // packed string, unpacked to typed longs at the output boundary.
+    "q_stream_upsert" -> { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+      val schema = ev.schema
+      val tmp = new java.io.File(
+        s"/root/repo/target/tmp/stream_upsert-${new java.io.File(dir).getName}")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(): Unit
+      }
+      if (tmp.exists) rm(tmp)
+      tmp.mkdirs()
+      val median = ev
+        .selectExpr(
+          "CAST(percentile_cont(0.5) WITHIN GROUP (ORDER BY ts) AS BIGINT)")
+        .head().getLong(0)
+      val stream = s.readStream.schema(schema).parquet(s"$tmp/in/*.parquet")
+        .withColumn("ts_us", expr("ts div 1000"))
+        .withColumn("val_cents", cents(col("value")))
+      @volatile var prevSnap: Option[String] = None
+      graft.streaming.StreamingOps.withStreamShuffle(s) {
+        val q = stream.writeStream
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+            val delta = b.groupBy(col("user_id"))
+              .agg(max_by(concat_ws("|", col("ts_us"), col("val_cents")),
+                struct(col("ts_us"), col("event_id"))).as("last"))
+            val base = prevSnap.map(p => s.read.parquet(p)).getOrElse(
+              s.range(0).select(col("id").as("user_id"), lit("").as("last")))
+            val out = s"$tmp/snap/e$id"
+            graft.operators.KvSink.upsert(base, delta)
+              .write.mode("overwrite").parquet(out)
+            prevSnap = Some(out)
+          }
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .start()
+        try {
+          ev.where(col("ts") <= median).write.parquet(s"$tmp/in/b1.parquet")
+          q.processAllAvailable()
+          ev.where(col("ts") > median).write.parquet(s"$tmp/in/b2.parquet")
+          q.processAllAvailable()
+        } finally q.stop()
+      }
+      s.read.parquet(prevSnap.get)
+        .select(col("user_id"),
+          split(col("last"), "\\|")(0).cast("long").as("last_ts_us"),
+          split(col("last"), "\\|")(1).cast("long").as("last_cents"))
+        .orderBy("user_id")
+    },
+
     // The STREAMING exactly-once file sink, oracle-gated: the raw event
     // stream lands in parquet through foreachBatch + the epoch-directory
     // writer (StreamingOps.epochSink) — the bronze-layer ingest every
@@ -584,6 +642,16 @@ object EventQueries {
          |    AS filled_cents
          |FROM events
          |ORDER BY user_id, ts_us, event_id""".stripMargin,
+
+    // the maintained snapshot must equal the global per-user argmax.
+    "q_stream_upsert" ->
+      s"""SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS last_ts_us,
+         |  ${CENTS("\"value\"")} AS last_cents
+         |FROM events
+         |QUALIFY row_number() OVER (
+         |  PARTITION BY user_id
+         |  ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) DESC, event_id DESC) = 1
+         |ORDER BY user_id""".stripMargin,
 
     // a correct stream-static join + complete-mode census must finish at
     // exactly the batch join's aggregate.
