@@ -74,12 +74,18 @@ object Bench {
     // Per-query times at 3 decimals, and the headline fields LAST: the
     // driver keeps only the final ~2000 bytes of output, so the end of this
     // (long) line must carry metric/value/failed/sf even when the head of
-    // the queries map is truncated away.
+    // the queries map is truncated away. A compact top-20-slowest summary
+    // sits just before the headline fields for the same reason — the
+    // heavies (graph kernels, streaming gates) are the ones worth tracking
+    // round-over-round, and alphabetical truncation would hide them.
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }
+      .mkString("{", ",", "}")
+    val top20 = results.toSeq.sortBy(-_._2).take(20)
+      .map { case (k, v) => f""""$k":$v%.2f""" }
       .mkString("{", ",", "}")
     val fj = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"unit":"sec","sf":"$sfDir","queries":$qs,"failed":$fj,"n_queries":${results.size},"metric":"total","value":$total}""")
+    println(s"""{"unit":"sec","sf":"$sfDir","queries":$qs,"top20_slowest":$top20,"failed":$fj,"n_queries":${results.size},"metric":"total","value":$total}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -450,10 +450,19 @@ object AdvancedQueries {
     // key domain is too large for an exact census. Here the tracked-item
     // budget (10k) exceeds the 5-type domain, so the sketch's counts are
     // EXACT by its guarantee — which is what makes the gate deterministic:
-    // the exploded (item, count) rows must equal the exact top-3 census
-    // (no count ties at any SF, checked across sf0.001/0.01/0.1).
+    // the exploded (item, count) rows must equal the exact top-3 census.
+    // The no-tie-at-the-boundary precondition is ASSERTED (domain-sized
+    // census, 5 types), not trusted: on a rank-3/rank-4 count tie the
+    // sketch's item pick and the oracle's ORDER BY could disagree.
     "q_approx_topk" -> { (s, dir) =>
-      Tables(s, dir, "events")
+      val ev = Tables(s, dir, "events")
+      val boundary = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("event_type")).limit(4)
+        .select(col("n")).collect().map(_.getLong(0))
+      require(boundary.length < 4 || boundary(2) != boundary(3),
+        s"q_approx_topk: count tie at the rank-3 boundary " +
+          s"(${boundary.mkString(",")}) — top-3 selection is nondeterministic")
+      ev
         .agg(expr("approx_top_k(event_type, 3)").as("tk"))
         .select(explode(col("tk")).as("e"))
         .select(col("e.item").as("event_type"),
@@ -810,13 +819,18 @@ object AdvancedQueries {
       graft.sources.Sinks.ensureDir(s, base, "v1:orders,mon") {
         df.write.partitionBy("mon").mode("overwrite").parquet(base)
       }
-      // the correction batch re-delivers H1-1996 under DYNAMIC overwrite
-      val prev = s.conf.get("spark.sql.sources.partitionOverwriteMode")
-      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      try
-        df.where(col("mon").between("1996-01", "1996-06"))
-          .write.partitionBy("mon").mode("overwrite").parquet(base)
-      finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+      // the correction batch re-delivers H1-1996 under DYNAMIC overwrite;
+      // the base's freshness tag is dropped for the duration so a crash
+      // mid-correction leaves it tag-less (rewritten next run), never
+      // half-corrected but still marked fresh
+      graft.sources.Sinks.withInvalidated(s, base, "v1:orders,mon") {
+        val prev = s.conf.get("spark.sql.sources.partitionOverwriteMode")
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try
+          df.where(col("mon").between("1996-01", "1996-06"))
+            .write.partitionBy("mon").mode("overwrite").parquet(base)
+        finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+      }
       s.read.parquet(base)
         .groupBy(col("mon"))
         .agg(count(lit(1)).as("n_orders"),

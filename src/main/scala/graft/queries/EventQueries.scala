@@ -347,9 +347,13 @@ object EventQueries {
       }
       if (tmp.exists) rm(tmp)
       tmp.mkdirs()
+      // Split on the MICROSECOND value (the payload granularity), not raw
+      // nanos: two events sharing a ts_us must land in the same batch, or
+      // the cross-epoch blind overwrite could pick the wrong side of an
+      // event_id tiebreak that straddles the boundary.
       val median = ev
         .selectExpr(
-          "CAST(percentile_cont(0.5) WITHIN GROUP (ORDER BY ts) AS BIGINT)")
+          "CAST(percentile_cont(0.5) WITHIN GROUP (ORDER BY ts div 1000) AS BIGINT)")
         .head().getLong(0)
       val stream = s.readStream.schema(schema).parquet(s"$tmp/in/*.parquet")
         .withColumn("ts_us", expr("ts div 1000"))
@@ -371,9 +375,11 @@ object EventQueries {
           .option("checkpointLocation", s"$tmp/ckpt")
           .start()
         try {
-          ev.where(col("ts") <= median).write.parquet(s"$tmp/in/b1.parquet")
+          ev.where(expr("ts div 1000") <= median)
+            .write.parquet(s"$tmp/in/b1.parquet")
           q.processAllAvailable()
-          ev.where(col("ts") > median).write.parquet(s"$tmp/in/b2.parquet")
+          ev.where(expr("ts div 1000") > median)
+            .write.parquet(s"$tmp/in/b2.parquet")
           q.processAllAvailable()
         } finally q.stop()
       }

@@ -56,6 +56,20 @@ object Sinks {
     writeSidecar(fs, tagFile, tag)
   }
 
+  /** Run an in-place mutation of a committed write-once dir safely: the tag
+    * sidecar is removed before `op` and restored only after it completes, so
+    * a crash mid-mutation leaves the dir tag-less (rewritten by the next
+    * `ensureDir`), never half-mutated but still marked fresh. */
+  def withInvalidated(spark: SparkSession, dir: String, tag: String)(
+      op: => Unit): Unit = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tagFile = new Path(p, "_GRAFT_TAG")
+    fs.delete(tagFile, false)
+    op
+    writeSidecar(fs, tagFile, tag)
+  }
+
   /** Ensure a bucketed+sorted managed table exists for `df`. Fresh files are
     * written at most once per warehouse; a fresh JVM whose in-memory catalog
     * lost the entry re-registers an external table over the existing bucket
