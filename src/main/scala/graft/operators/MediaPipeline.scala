@@ -8,12 +8,15 @@ import org.apache.spark.sql.functions._
   * pandas-batch UDF: per-partition setup/teardown amortized across rows,
   * output as typed columns.
   *
-  * Two decoders ship: [[FakeDecoder]], a hash stub standing in for codecs
-  * the container doesn't have (JPEG/ffmpeg), and [[PgmDecoder]], a REAL
-  * dependency-free binary-PGM parser proving the seam end-to-end — header
-  * parse, payload validation, pixel reduction (gated by `mm_decode`). The
-  * distributed plumbing — schema, per-partition decoder lifecycle, batch
-  * shape, deterministic frame sampling — is real and tested
+  * Every gated query runs a REAL decoder: [[PgmDecoder]] (dependency-free
+  * binary-PGM parse — header, payload validation, pixel reduction),
+  * [[PgmQuadDecoder]] (the pooled-feature descriptor over the same parse),
+  * and the multi-frame container walk ([[frameIndex]], concatenated P5
+  * images — the netpbm multi-image stream convention) behind `mm_frames`'
+  * sample-then-decode. The container has no JPEG/ffmpeg, so PGM is the
+  * codec; a production decoder drops in through the same [[Decoder]] seam.
+  * The distributed plumbing — schema, per-partition decoder lifecycle,
+  * batch shape, deterministic frame sampling — is real and tested
   * (MediaPipelineSpec).
   */
 object MediaPipeline {
@@ -30,23 +33,6 @@ object MediaPipeline {
     def decode(payload: Array[Byte]): (Int, Int, Int, Array[Float])
     /** Called once per partition after the last decode. */
     def close(): Unit = ()
-  }
-
-  /** ??? in spirit: a deterministic fake standing in for a real codec.
-    * Dimensions and features derive only from payload bytes, so results are
-    * partitioning-invariant. */
-  object FakeDecoder extends Decoder {
-    override def decode(payload: Array[Byte]): (Int, Int, Int, Array[Float]) = {
-      var h = 1469598103934665603L // FNV-1a offset basis, 64-bit
-      payload.foreach { b => h ^= (b & 0xffL); h *= 1099511628211L }
-      val w = 16 + java.lang.Long.remainderUnsigned(h, 1280L).toInt
-      val ht = 16 + java.lang.Long.remainderUnsigned(h >>> 17, 720L).toInt
-      val nf = 1 + java.lang.Long.remainderUnsigned(h >>> 31, 8L).toInt
-      val feats = Array.tabulate(8) { i =>
-        (java.lang.Long.remainderUnsigned(h >>> i, 1000L).toFloat / 1000f)
-      }
-      (w, ht, nf, feats)
-    }
   }
 
   /** payload column (binary) + id column → decoded features, one decoder
@@ -71,16 +57,35 @@ object MediaPipeline {
       }
   }
 
-  /** Deterministic frame-sample offsets for a payload: evenly-spaced strides,
-    * the shape a real video sampler would produce. Offsets are always within
-    * the payload — when nFrames exceeds byteLen the sample is truncated
-    * rather than pointing a reader past the end. */
-  def frameOffsets(byteLen: Long, nFrames: Int): Seq[Long] =
-    if (byteLen <= 0 || nFrames <= 0) Seq.empty
-    else {
-      val stride = math.max(byteLen / nFrames, 1L)
-      (0 until nFrames).map(_ * stride).filter(_ < byteLen)
+  /** One frame located inside a multi-frame payload: byte offset of its
+    * header, parsed dimensions, and the offset of its first pixel byte. */
+  case class FrameRef(offset: Long, w: Int, h: Int, pixStart: Int)
+
+  /** Walk a multi-frame payload (concatenated binary-PGM images — the
+    * netpbm multi-image stream convention) and index every frame by
+    * sequential REAL header parses: each frame's pixel length positions the
+    * next header. Loud failure on any malformed frame; an empty payload has
+    * zero frames. This is the container-demux step of a video pipeline —
+    * the sampler below decodes only the frames it keeps. */
+  def frameIndex(payload: Array[Byte]): IndexedSeq[FrameRef] = {
+    val out = IndexedSeq.newBuilder[FrameRef]
+    var pos = 0
+    while (pos < payload.length) {
+      val (w, h, pixStart) = PgmDecoder.parseFrameHeaderAt(payload, pos)
+      require(payload.length - pixStart >= w * h,
+        s"frameIndex: truncated frame at byte $pos (${w}x$h)")
+      out += FrameRef(pos.toLong, w, h, pixStart)
+      pos = pixStart + w * h
     }
+    out.result()
+  }
+
+  /** Evenly-spaced sample of `k` frame indices from `nFrames`
+    * (floor(i·n/k), the classic stride sample): deterministic, strictly
+    * increasing for k ≤ n, always in range. */
+  def sampleIndices(nFrames: Int, k: Int): Seq[Int] =
+    if (nFrames <= 0 || k <= 0) Seq.empty
+    else (0 until k).map(i => ((i.toLong * nFrames) / k).toInt)
 
   /** Encode a binary PGM (netpbm P5) image: `"P5 <w> <h> 255\n"` + raw
     * 8-bit pixel rows. The one raster format simple enough to carry no
@@ -102,10 +107,21 @@ object MediaPipeline {
     * malformed payload. Feature floats are exact: sums are ≤ 255·w·h « 2²⁴
     * at the fixture sizes. */
   object PgmDecoder extends Decoder {
-    /** Parse the P5 header and validate the raster: (width, height, offset
-      * of the first pixel byte). Loud failure on any malformation. */
+    /** Parse the P5 header and validate the raster fills the payload
+      * exactly: (width, height, offset of the first pixel byte). Loud
+      * failure on any malformation. */
     def parseHeader(payload: Array[Byte]): (Int, Int, Int) = {
-      var pos = 0
+      val (w, h, pos) = parseFrameHeaderAt(payload, 0)
+      require(payload.length - pos == w * h,
+        s"PgmDecoder: ${payload.length - pos} pixel bytes for ${w}x$h")
+      (w, h, pos)
+    }
+
+    /** Parse one P5 header starting at `start`, tolerating trailing bytes
+      * (the next frame of a multi-image stream): (width, height, offset of
+      * the first pixel byte). */
+    def parseFrameHeaderAt(payload: Array[Byte], start: Int): (Int, Int, Int) = {
+      var pos = start
       def readToken(): String = {
         while (pos < payload.length && payload(pos).toChar.isWhitespace)
           pos += 1
@@ -124,8 +140,6 @@ object MediaPipeline {
       require(w > 0 && h > 0, s"PgmDecoder: bad dimensions ${w}x$h")
       require(maxval == 255, s"PgmDecoder: unsupported maxval $maxval")
       pos += 1 // the single whitespace byte terminating the header
-      require(payload.length - pos == w * h,
-        s"PgmDecoder: ${payload.length - pos} pixel bytes for ${w}x$h")
       (w, h, pos)
     }
 
@@ -143,6 +157,31 @@ object MediaPipeline {
         i += 1
       }
       (w, h, 1, Array(sum.toFloat, mn.toFloat, mx.toFloat))
+    }
+  }
+
+  /** Feature EXTRACTION through the same real parse: 2×2 average-pool
+    * quadrant pixel sums (split at ⌈h/2⌉ rows / ⌈w/2⌉ cols — top-left,
+    * top-right, bottom-left, bottom-right), the pooled spatial descriptor a
+    * vision pipeline computes after decode. Sums are exact as floats: a
+    * quadrant holds < 2¹⁶ pixels of ≤255 at any fixture size « 2²⁴. */
+  object PgmQuadDecoder extends Decoder {
+    override def decode(payload: Array[Byte]): (Int, Int, Int, Array[Float]) = {
+      val (w, h, pos) = PgmDecoder.parseHeader(payload)
+      val hTop = (h + 1) / 2
+      val wLeft = (w + 1) / 2
+      val q = new Array[Long](4)
+      var r = 0
+      while (r < h) {
+        var c = 0
+        while (c < w) {
+          val v = payload(pos + r * w + c) & 0xff
+          q((if (r < hTop) 0 else 2) + (if (c < wLeft) 0 else 1)) += v
+          c += 1
+        }
+        r += 1
+      }
+      (w, h, 1, q.map(_.toFloat))
     }
   }
 

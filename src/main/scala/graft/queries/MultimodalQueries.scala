@@ -4,15 +4,17 @@ import graft.{Q, Tables}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: media as opaque `binary` payloads + typed
-  * metadata, with a deterministic stub decoder.
+  * metadata, every gated query decoding through a REAL parser.
   *
-  * The container has no codec libraries, so the decode step is a
-  * clearly-marked deterministic fake (hash-derived dimensions / frame
-  * geometry) — but the Spark-side plumbing is real: binary column, exact
-  * byte-length + content-hash metadata, per-row feature derivation that stays
-  * inside whole-stage codegen, and a deterministic frame-sampling stride. A
-  * production decoder drops in at [[graft.operators.MediaPipeline]] via
-  * mapPartitions without touching this schema.
+  * The container has no codec libraries (JPEG/ffmpeg), so binary PGM is the
+  * codec: each document's md5 digest bytes are synthesized into genuine P5
+  * payloads (single-image for decode/features/resize, concatenated
+  * multi-image streams for frame sampling) and parsed BACK by
+  * [[graft.operators.MediaPipeline.PgmDecoder]] — header, dimension, and
+  * raster-length validation included — so the oracle can replay pixel truth
+  * from the same hex pairs while the Spark side earns it by parsing. A
+  * production codec drops in through the same Decoder seam without touching
+  * these schemas.
   */
 object MultimodalQueries {
 
@@ -57,22 +59,39 @@ object MultimodalQueries {
   }
 
   def queries: Map[String, Q] = Map(
+    // REAL feature extraction through the Decoder seam: the same synthesized
+    // PGM payloads as mm_decode, parsed by PgmQuadDecoder and reduced to the
+    // 2×2 average-pool quadrant descriptor (split at ⌈h/2⌉/⌈w/2⌉) — the
+    // pooled spatial feature a vision pipeline computes after decode. The
+    // oracle replays each quadrant by row/col index arithmetic over the md5
+    // hex pairs, so a decoder that pools the wrong cells (or misparses the
+    // header that positions the raster) hash-fails. One decoder lifecycle
+    // per partition via decodeAll — the mapInPandas-batch shape.
     "mm_features" -> { (s, dir) =>
-      Tables(s, dir, "documents")
-        .select(col("doc_id"), col("text").cast("binary").as("payload"))
-        .select(
-          col("doc_id"),
-          length(col("payload")).cast("long").as("byte_len"),
-          sha2(col("payload"), 256).as("sha"))
-        // STUB DECODE: dimensions/frames derived from the content hash, not a
-        // real codec — deterministic and portable to the oracle.
-        .withColumn("h1", conv(substring(col("sha"), 1, 8), 16, 10).cast("long"))
-        .withColumn("h2", conv(substring(col("sha"), 9, 8), 16, 10).cast("long"))
-        .withColumn("fake_width", lit(16L) + pmod(col("h1"), lit(1280L)))
-        .withColumn("fake_height", lit(16L) + pmod(col("h2"), lit(720L)))
-        .withColumn("n_frames", lit(1L) + pmod(col("h1") + col("h2"), lit(8L)))
-        .withColumn("frame_stride", expr("byte_len div n_frames"))
-        .drop("h1", "h2")
+      import s.implicits._
+      val payloads = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          val d = java.security.MessageDigest.getInstance("MD5")
+            .digest(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          val w = 2 + (d(0) & 0xff) % 3
+          val h = 2 + (d(1) & 0xff) % 3
+          (id, graft.operators.MediaPipeline.pgmPayload(w, h,
+            java.util.Arrays.copyOfRange(d, 0, w * h)))
+        }.toDF("doc_id", "payload")
+      graft.operators.MediaPipeline
+        .decodeAll(payloads, graft.operators.MediaPipeline.PgmQuadDecoder)
+        .toDF()
+        .select(col("doc_id"), col("byte_len"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          element_at(col("features"), 1).cast("long").as("q_tl"),
+          element_at(col("features"), 2).cast("long").as("q_tr"),
+          element_at(col("features"), 3).cast("long").as("q_bl"),
+          element_at(col("features"), 4).cast("long").as("q_br"))
+        .withColumn("px_mean",
+          (col("q_tl") + col("q_tr") + col("q_bl") + col("q_br"))
+            .cast("double") / (col("width") * col("height")).cast("double"))
         .orderBy("doc_id")
     },
 
@@ -178,45 +197,80 @@ object MultimodalQueries {
         .orderBy("doc_id")
     },
 
-    // Frame sampling: one row per evenly-strided frame offset — the shape a
-    // video sampler emits (graft.operators.MediaPipeline.frameOffsets),
-    // derived with the same stub decode as mm_features. posexplode keeps the
-    // whole expansion inside one narrow projection (no shuffle until the
-    // final order).
+    // REAL frame sampling over a multi-frame container: each doc's payload
+    // is a concatenated P5 stream (1-4 frames, the netpbm multi-image
+    // convention; frame f's raster cycles the md5 digest from byte 7f).
+    // The query DEMUXES the container by sequential real header parses
+    // (MediaPipeline.frameIndex — each frame's pixel length positions the
+    // next header), keeps ≤3 evenly-spaced frames (floor(i·n/k), the video
+    // sampler's stride), and decodes ONLY the kept frames to pixel sums —
+    // sample-then-decode, the shape that matters at scale because decode
+    // dominates. The oracle replays frame offsets and pixel truth by
+    // arithmetic; a demux that mis-positions a header hash-fails.
     "mm_frames" -> { (s, dir) =>
+      import s.implicits._
       Tables(s, dir, "documents")
-        .select(col("doc_id"), col("text").cast("binary").as("payload"))
-        .select(col("doc_id"), length(col("payload")).cast("long").as("byte_len"),
-          sha2(col("payload"), 256).as("sha"))
-        .withColumn("h1", conv(substring(col("sha"), 1, 8), 16, 10).cast("long"))
-        .withColumn("h2", conv(substring(col("sha"), 9, 8), 16, 10).cast("long"))
-        .withColumn("n_frames", lit(1L) + pmod(col("h1") + col("h2"), lit(8L)))
-        .withColumn("stride",
-          greatest(expr("byte_len div n_frames"), lit(1L)))
-        .select(col("doc_id"), col("n_frames"),
-          posexplode(expr("array_repeat(stride, CAST(n_frames AS INT))")))
-        .select(col("doc_id"), col("n_frames"),
-          col("pos").cast("long").as("frame_idx"),
-          (col("pos") * col("col")).as("frame_offset"))
-        .orderBy("doc_id", "frame_idx")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .flatMap { case (id, text) =>
+          val d = java.security.MessageDigest.getInstance("MD5")
+            .digest(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          val w = 2 + (d(0) & 0xff) % 3
+          val h = 2 + (d(1) & 0xff) % 3
+          val nf = 1 + (d(2) & 0xff) % 4
+          val payload = (0 until nf).map { f =>
+            graft.operators.MediaPipeline.pgmPayload(w, h,
+              Array.tabulate(w * h)(i => d((f * 7 + i) % 16)))
+          }.reduce(_ ++ _)
+          val frames = graft.operators.MediaPipeline.frameIndex(payload)
+          val k = math.min(3, frames.length)
+          graft.operators.MediaPipeline.sampleIndices(frames.length, k)
+            .zipWithIndex.map { case (fi, sp) =>
+              val fr = frames(fi)
+              var sum = 0L
+              var i = fr.pixStart
+              while (i < fr.pixStart + fr.w * fr.h) {
+                sum += payload(i) & 0xff
+                i += 1
+              }
+              (id, frames.length.toLong, sp.toLong, fi.toLong, fr.offset, sum)
+            }
+        }
+        .toDF("doc_id", "n_frames", "sample_pos", "frame_idx",
+          "frame_offset", "px_sum")
+        .orderBy("doc_id", "sample_pos")
     })
 
   def oracles: Map[String, String] = Map(
+    // quadrant of pixel i: row i//w vs ceil(h/2), col i%w vs ceil(w/2);
+    // hex pair i sits at string position 1 + 2*i; header is 11 bytes
+    // ("P5 w h 255\n", single-digit dims) so byte_len = 11 + w*h.
     "mm_features" ->
       """WITH m AS (
-        |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
-        |    sha256(text) AS sha
-        |  FROM documents),
-        |h AS (
-        |  SELECT *, CAST(('0x' || substr(sha, 1, 8)) AS BIGINT) AS h1,
-        |    CAST(('0x' || substr(sha, 9, 8)) AS BIGINT) AS h2
-        |  FROM m)
-        |SELECT doc_id, byte_len, sha,
-        |  16 + (h1 % 1280) AS fake_width,
-        |  16 + (h2 % 720) AS fake_height,
-        |  1 + ((h1 + h2) % 8) AS n_frames,
-        |  byte_len // (1 + ((h1 + h2) % 8)) AS frame_stride
-        |FROM h ORDER BY doc_id""".stripMargin,
+        |  SELECT doc_id, md5(text) AS hx FROM documents),
+        |d AS (
+        |  SELECT doc_id, hx,
+        |    2 + (CAST(('0x' || substr(hx, 1, 2)) AS BIGINT) % 3) AS w,
+        |    2 + (CAST(('0x' || substr(hx, 3, 2)) AS BIGINT) % 3) AS h
+        |  FROM m),
+        |px AS (
+        |  SELECT doc_id, w, h,
+        |    u.i // w AS r, u.i % w AS c,
+        |    CAST(('0x' || substr(hx, CAST(1 + 2*u.i AS INT), 2)) AS BIGINT)
+        |      AS pv
+        |  FROM d, unnest(range(w*h)) AS u(i))
+        |SELECT doc_id, CAST(11 + w*h AS BIGINT) AS byte_len,
+        |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(SUM(CASE WHEN r < (h+1)//2 AND c < (w+1)//2 THEN pv ELSE 0 END)
+        |    AS BIGINT) AS q_tl,
+        |  CAST(SUM(CASE WHEN r < (h+1)//2 AND c >= (w+1)//2 THEN pv ELSE 0 END)
+        |    AS BIGINT) AS q_tr,
+        |  CAST(SUM(CASE WHEN r >= (h+1)//2 AND c < (w+1)//2 THEN pv ELSE 0 END)
+        |    AS BIGINT) AS q_bl,
+        |  CAST(SUM(CASE WHEN r >= (h+1)//2 AND c >= (w+1)//2 THEN pv ELSE 0 END)
+        |    AS BIGINT) AS q_br,
+        |  CAST(SUM(pv) AS DOUBLE) / CAST(w*h AS DOUBLE) AS px_mean
+        |FROM px GROUP BY doc_id, w, h
+        |ORDER BY doc_id""".stripMargin,
 
     // pixel values replay from the same md5 hex pairs the payload was
     // synthesized from; header length is 11 ("P5 w h 255\n", single-digit
@@ -297,22 +351,34 @@ object MultimodalQueries {
         |FROM px GROUP BY doc_id, w2, h2
         |ORDER BY doc_id""".stripMargin,
 
+    // frame f of the container starts at f*(11 + w*h) (equal-dim frames,
+    // 11-byte headers); its pixel i is digest byte (f*7 + i) mod 16, i.e.
+    // hex pair at position 1 + 2*((f*7 + i) % 16); the sampler keeps
+    // floor(i*n/k) for i < k = least(3, n).
     "mm_frames" ->
       """WITH m AS (
-        |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
-        |    sha256(text) AS sha
-        |  FROM documents),
-        |h AS (
-        |  SELECT doc_id, byte_len,
-        |    1 + ((CAST(('0x' || substr(sha, 1, 8)) AS BIGINT)
-        |        + CAST(('0x' || substr(sha, 9, 8)) AS BIGINT)) % 8) AS n_frames
+        |  SELECT doc_id, md5(text) AS hx FROM documents),
+        |d AS (
+        |  SELECT doc_id, hx,
+        |    2 + (CAST(('0x' || substr(hx, 1, 2)) AS BIGINT) % 3) AS w,
+        |    2 + (CAST(('0x' || substr(hx, 3, 2)) AS BIGINT) % 3) AS h,
+        |    1 + (CAST(('0x' || substr(hx, 5, 2)) AS BIGINT) % 4) AS nf
         |  FROM m),
-        |f AS (
-        |  SELECT doc_id, n_frames,
-        |    greatest(byte_len // n_frames, 1) AS stride,
-        |    unnest(range(n_frames)) AS frame_idx
-        |  FROM h)
-        |SELECT doc_id, n_frames, CAST(frame_idx AS BIGINT) AS frame_idx,
-        |  CAST(frame_idx * stride AS BIGINT) AS frame_offset
-        |FROM f ORDER BY doc_id, frame_idx""".stripMargin)
+        |sel AS (
+        |  SELECT doc_id, hx, w, h, nf, s.si AS sample_pos,
+        |    (s.si * nf) // least(3, nf) AS frame_idx
+        |  FROM d, unnest(range(least(3, nf))) AS s(si)),
+        |px AS (
+        |  SELECT doc_id, nf, sample_pos, frame_idx, w, h,
+        |    CAST(('0x' || substr(hx,
+        |      CAST(1 + 2*((frame_idx*7 + u.i) % 16) AS INT), 2)) AS BIGINT)
+        |      AS pv
+        |  FROM sel, unnest(range(w*h)) AS u(i))
+        |SELECT doc_id, CAST(nf AS BIGINT) AS n_frames,
+        |  CAST(sample_pos AS BIGINT) AS sample_pos,
+        |  CAST(frame_idx AS BIGINT) AS frame_idx,
+        |  CAST(frame_idx * (11 + w*h) AS BIGINT) AS frame_offset,
+        |  CAST(SUM(pv) AS BIGINT) AS px_sum
+        |FROM px GROUP BY doc_id, nf, sample_pos, frame_idx, w, h
+        |ORDER BY doc_id, sample_pos""".stripMargin)
 }

@@ -5,19 +5,21 @@ import org.apache.spark.sql.functions._
 
 class MediaPipelineSpec extends SparkTestBase {
 
-  test("decodeAll: deterministic features, partitioning-invariant") {
-    val payloads = Tables(spark, sf, "documents")
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
-    val a = MediaPipeline.decodeAll(payloads.repartition(1), MediaPipeline.FakeDecoder)
-      .collect().map(m => (m.doc_id, m.byte_len, m.width, m.height, m.n_frames,
-        m.features.toSeq)).toSet
-    val b = MediaPipeline.decodeAll(payloads.repartition(7), MediaPipeline.FakeDecoder)
-      .collect().map(m => (m.doc_id, m.byte_len, m.width, m.height, m.n_frames,
-        m.features.toSeq)).toSet
-    assert(a == b)
-    assert(a.nonEmpty)
-    a.foreach { case (_, len, w, h, nf, feats) =>
-      assert(w >= 16 && h >= 16 && nf >= 1 && nf <= 8 && feats.size == 8 && len > 0)
+  test("PgmQuadDecoder: quadrant sums match a row/col model") {
+    val rng = new scala.util.Random(31)
+    for (_ <- 1 to 50) {
+      val w = 1 + rng.nextInt(9)
+      val h = 1 + rng.nextInt(9)
+      val px = Array.fill(w * h)(rng.nextInt(256).toByte)
+      val (gw, gh, _, feats) =
+        MediaPipeline.PgmQuadDecoder.decode(MediaPipeline.pgmPayload(w, h, px))
+      assert((gw, gh) == (w, h))
+      val model = new Array[Long](4)
+      for (r <- 0 until h; c <- 0 until w)
+        model((if (r < (h + 1) / 2) 0 else 2) + (if (c < (w + 1) / 2) 0 else 1)) +=
+          (px(r * w + c) & 0xff)
+      assert(feats.toSeq == model.toSeq.map(_.toFloat), s"${w}x$h")
+      assert(model.sum == px.map(v => (v & 0xff).toLong).sum)
     }
   }
 
@@ -95,17 +97,47 @@ class MediaPipelineSpec extends SparkTestBase {
     }
   }
 
-  test("frameOffsets: evenly spaced, strictly in-range, degenerate-safe") {
-    val offs = MediaPipeline.frameOffsets(1000, 4)
-    assert(offs == Seq(0L, 250L, 500L, 750L))
-    // more frames than bytes: truncate, never point past the payload
-    assert(MediaPipeline.frameOffsets(3, 8) == Seq(0L, 1L, 2L))
-    assert(MediaPipeline.frameOffsets(0, 4).isEmpty)
-    assert(MediaPipeline.frameOffsets(10, 0).isEmpty)
-    for (len <- Seq(1L, 7L, 1000L); nf <- Seq(1, 3, 8)) {
-      val o = MediaPipeline.frameOffsets(len, nf)
-      assert(o.forall(x => x >= 0 && x < len), s"len=$len nf=$nf -> $o")
-      assert(o == o.sorted && o.distinct == o)
+  test("frameIndex: demuxes a concatenated P5 stream, mixed dims, loud on truncation") {
+    val rng = new scala.util.Random(47)
+    for (_ <- 1 to 30) {
+      val frames = (1 to 1 + rng.nextInt(6)).map { _ =>
+        val w = 1 + rng.nextInt(7)
+        val h = 1 + rng.nextInt(7)
+        (w, h, Array.fill(w * h)(rng.nextInt(256).toByte))
+      }
+      val payload = frames.map { case (w, h, px) =>
+        MediaPipeline.pgmPayload(w, h, px)
+      }.reduce(_ ++ _)
+      val idx = MediaPipeline.frameIndex(payload)
+      assert(idx.length == frames.length)
+      // offsets are the running sum of per-frame encoded lengths, and each
+      // frame's parsed dims round-trip
+      var expect = 0L
+      idx.zip(frames).foreach { case (fr, (w, h, px)) =>
+        assert(fr.offset == expect && fr.w == w && fr.h == h)
+        assert(java.util.Arrays.equals(
+          java.util.Arrays.copyOfRange(payload, fr.pixStart, fr.pixStart + w * h),
+          px))
+        expect += MediaPipeline.pgmPayload(w, h, px).length
+      }
+      intercept[IllegalArgumentException] {   // truncated final frame
+        MediaPipeline.frameIndex(payload.dropRight(1))
+      }
+    }
+    assert(MediaPipeline.frameIndex(Array.emptyByteArray).isEmpty)
+  }
+
+  test("sampleIndices: evenly spaced, in range, full coverage when k == n") {
+    assert(MediaPipeline.sampleIndices(4, 3) == Seq(0, 1, 2))
+    assert(MediaPipeline.sampleIndices(8, 4) == Seq(0, 2, 4, 6))
+    assert(MediaPipeline.sampleIndices(3, 3) == Seq(0, 1, 2))
+    assert(MediaPipeline.sampleIndices(1, 1) == Seq(0))
+    assert(MediaPipeline.sampleIndices(0, 3).isEmpty)
+    assert(MediaPipeline.sampleIndices(5, 0).isEmpty)
+    for (n <- 1 to 12; k <- 1 to n) {
+      val s = MediaPipeline.sampleIndices(n, k)
+      assert(s.length == k && s.forall(i => i >= 0 && i < n))
+      assert(s == s.sorted && s.distinct == s, s"n=$n k=$k -> $s")
     }
   }
 }
