@@ -718,6 +718,77 @@ object TextOps {
       .withColumn("keep", col("score") > lit(bias))
   }
 
+  /** Quality-classifier TRAINING loop — the learning half of the
+    * [[classify]] story (fastText-style linear model over hashed
+    * bag-of-words, here labeled by "is this doc English"): batch-perceptron
+    * rounds, the distributed-exact form of perceptron learning. Per round:
+    * score every doc under the current weights, and fold the summed update
+    * Σ y·x over MISCLASSIFIED docs (y·score ≤ 0) into the weights. All
+    * arithmetic is integer (counts, ±1 labels, long weights), so the loop
+    * is bit-replayable by the oracle's unrolled round CTEs — the
+    * q_bpe_train discipline applied to model training.
+    *
+    * Scale shape: the feature matrix (doc → `buckets` hashed token counts +
+    * bias) is built in ONE typed map and localCheckpoint'ed — every round
+    * rescans features, never text. Each round is one mapPartitions
+    * partial→final reduce emitting a MODEL-sized (buckets+1 longs +
+    * mistake count) update; weights broadcast read-only into the scoring
+    * loop ([[graft.operators.SimilarityOps]] Lloyd-fit shape). Rounds are
+    * driver-driven and few; corpus-sized state never leaves the executors.
+    * Output: the weight-table trajectory (round, bucket, w, n_mistakes) —
+    * the artifact a quality gate ships, and proof every round ran. */
+  def classifierTrain(docs: DataFrame, buckets: Int = 64,
+      rounds: Int = 4): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val dim = buckets + 1 // + intercept feature, constant 1 per doc
+    val feats = docs.select(col("doc_id"), col("text"), col("lang"))
+      .as[(Long, String, String)]
+      .map { case (_, text, lang) =>
+        val x = new Array[Long](dim)
+        tokensJvm(text).foreach { t =>
+          x((md5Long60(t) % buckets).toInt) += 1L
+        }
+        x(buckets) = 1L
+        (if (lang == "en") 1L else -1L, x)
+      }
+      .localCheckpoint()
+    var w = new Array[Long](dim)
+    val trajectory = Seq.newBuilder[(Long, Long, Long, Long)]
+    for (r <- 1 to rounds) {
+      val bw = s.sparkContext.broadcast(w)
+      val (nMistakes, grad) = feats
+        .mapPartitions { it =>
+          val g = new Array[Long](dim)
+          var n = 0L
+          it.foreach { case (y, x) =>
+            var score = 0L
+            var i = 0
+            while (i < dim) { score += bw.value(i) * x(i); i += 1 }
+            if (y * score <= 0L) {
+              n += 1L
+              i = 0
+              while (i < dim) { g(i) += y * x(i); i += 1 }
+            }
+          }
+          Iterator.single((n, g))
+        }
+        .reduce { (a, b) =>
+          val m = new Array[Long](dim)
+          var i = 0
+          while (i < dim) { m(i) = a._2(i) + b._2(i); i += 1 }
+          (a._1 + b._1, m)
+        }
+      w = Array.tabulate(dim)(i => w(i) + grad(i))
+      var b = 0
+      while (b < dim) {
+        trajectory += ((r.toLong, b.toLong, w(b), nMistakes))
+        b += 1
+      }
+    }
+    trajectory.result().toDF("round", "bucket", "w", "n_mistakes")
+  }
+
   /** Deterministic exact-k uniform sample per group (the "carve 10k eval
     * docs per language" op): rank = portable md5 hash of the key, keep the k
     * SMALLEST per group. Runs through the bounded [[graft.functions

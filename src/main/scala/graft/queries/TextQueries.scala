@@ -290,6 +290,17 @@ object TextQueries {
         BpeTrainRounds).orderBy("round")
     },
 
+    // Quality-classifier TRAINING loop (TextOps.classifierTrain): 4
+    // batch-perceptron rounds over 64 hashed bag-of-words features + bias,
+    // labeled is-English — the learning half of the text_classify story.
+    // Integer-exact throughout (count features, ±1 labels, long weights),
+    // so the oracle unrolls the rounds as MATERIALIZED score→mistake→
+    // gradient→weight CTEs and the full weight trajectory hash-matches.
+    "q_classify_train" -> { (s, dir) =>
+      TextOps.classifierTrain(Tables(s, dir, "documents"))
+        .orderBy("round", "bucket")
+    },
+
     // RAG-style overlapping chunking (TextOps.chunk): 30-token windows
     // every 20 tokens, map-only — the embedding-pipeline pre-pass.
     "text_chunks" -> { (s, dir) =>
@@ -474,6 +485,51 @@ object TextQueries {
       s"SELECT CAST($r AS BIGINT) AS round, lft, rgt, pcnt AS pair_cnt FROM m$r"
     }.mkString("\nUNION ALL ")
     s"WITH RECURSIVE $init,\n$roundCtes\n$out\nORDER BY round"
+  }
+
+  /** Unrolled batch-perceptron training oracle: per round, score every doc
+    * under the previous weights (feature⋈weight sum), count mistakes
+    * (y·score ≤ 0), fold Σ y·x over the mistakes into the weights. w0 is
+    * the explicit zero vector so round 1 is the all-docs update. Every
+    * round CTE is MATERIALIZED (k-core lesson: default inlining re-expands
+    * each round into all its consumers). */
+  private def classifierTrainSql(rounds: Int, buckets: Int): String = {
+    val dim = buckets + 1
+    val init =
+      s"""lab AS MATERIALIZED (
+         |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y
+         |  FROM documents),
+         |x AS MATERIALIZED (
+         |  SELECT t.doc_id, lab.y, t.b, COUNT(*) AS cnt
+         |  FROM (SELECT doc_id, ${MD5LONG("tok")} % $buckets AS b
+         |        FROM (SELECT doc_id, unnest(${TOKENS("text")}) AS tok
+         |              FROM documents)) t
+         |  JOIN lab USING (doc_id) GROUP BY 1, 2, 3
+         |  UNION ALL
+         |  SELECT doc_id, y, $buckets, 1 FROM lab),
+         |w0 AS (
+         |  SELECT CAST(r.range AS BIGINT) AS b, CAST(0 AS BIGINT) AS w
+         |  FROM range($dim) r)""".stripMargin
+    val roundCtes = (1 to rounds).map { r =>
+      s"""s$r AS MATERIALIZED (
+         |  SELECT x.doc_id, x.y, SUM(w.w * x.cnt) AS score
+         |  FROM x JOIN w${r - 1} w USING (b) GROUP BY 1, 2),
+         |n$r AS MATERIALIZED (
+         |  SELECT COUNT(*) AS nm FROM s$r WHERE y * score <= 0),
+         |g$r AS MATERIALIZED (
+         |  SELECT x.b, SUM(x.y * x.cnt) AS g
+         |  FROM x JOIN s$r USING (doc_id)
+         |  WHERE s$r.y * s$r.score <= 0 GROUP BY x.b),
+         |w$r AS MATERIALIZED (
+         |  SELECT w.b, w.w + COALESCE(g.g, 0) AS w
+         |  FROM w${r - 1} w LEFT JOIN g$r g USING (b))""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to rounds).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS round, b AS bucket,
+         |  CAST(w AS BIGINT) AS w, CAST(n$r.nm AS BIGINT) AS n_mistakes
+         |FROM w$r CROSS JOIN n$r""".stripMargin
+    }.mkString("\nUNION ALL ")
+    s"WITH $init,\n$roundCtes\n$out\nORDER BY round, bucket"
   }
 
   /** One BPE step over a ' '-delimited symbol string: the highest-priority
@@ -819,6 +875,8 @@ object TextQueries {
          |ORDER BY word""".stripMargin,
 
     "q_bpe_train" -> bpeTrainSql(BpeTrainRounds),
+
+    "q_classify_train" -> classifierTrainSql(4, 64),
 
     // chunk starts via a range() lateral bounded by the same
     // 1-or-ceil((len-30)/20)+1 count formula; slices via list_slice.

@@ -147,4 +147,57 @@ class PipelineStatsSpec extends SparkTestBase {
     assert(got == model.toMap)
     assert(got.values.map(_._1).sum == vecs.length.toLong)
   }
+
+  // ---- classifierTrain ----
+
+  /** In-memory batch perceptron: same features, labels, and update rule. */
+  private def perceptronModel(docs: Seq[(Long, String, String)], buckets: Int,
+      rounds: Int): Seq[(Long, Long, Long, Long)] = {
+    val dim = buckets + 1
+    val feats = docs.map { case (_, text, lang) =>
+      val x = new Array[Long](dim)
+      graft.functions.Portable.tokensJvm(text).foreach { t =>
+        x((graft.functions.Portable.md5Long60(t) % buckets).toInt) += 1L
+      }
+      x(buckets) = 1L
+      (if (lang == "en") 1L else -1L, x)
+    }
+    var w = new Array[Long](dim)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    for (r <- 1 to rounds) {
+      val bad = feats.filter { case (y, x) =>
+        y * w.zip(x).map { case (a, b) => a * b }.sum <= 0L
+      }
+      w = Array.tabulate(dim)(i => w(i) + bad.map { case (y, x) => y * x(i) }.sum)
+      for (b <- 0 until dim) out += ((r.toLong, b.toLong, w(b), bad.size.toLong))
+    }
+    out.toSeq
+  }
+
+  test("classifierTrain matches an in-memory perceptron, any partitioning") {
+    import spark.implicits._
+    val rng = new scala.util.Random(13)
+    val langs = Seq("en", "fr", "zh")
+    // skew vocab by label so the model has something to learn
+    val docs = (1L to 80L).map { id =>
+      val lang = langs(rng.nextInt(3))
+      val vocab = if (lang == "en") Seq("the", "and", "cat", "dog")
+        else Seq("le", "und", "chat", "hund")
+      val text = (1 to 3 + rng.nextInt(10))
+        .map(_ => vocab(rng.nextInt(vocab.length))).mkString(" ")
+      (id, text, lang)
+    }
+    val expect = perceptronModel(docs, 16, 5)
+    for (parts <- Seq(1, 7)) {
+      val got = TextOps.classifierTrain(
+          docs.toDF("doc_id", "text", "lang").repartition(parts),
+          buckets = 16, rounds = 5)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(t => (t._1, t._2))
+      assert(got.toSeq == expect, s"parts=$parts")
+    }
+    // round 1 scores under w0 = 0 misclassify every doc
+    assert(expect.head._4 == docs.length.toLong)
+  }
 }
