@@ -326,6 +326,59 @@ object EventQueries {
         .orderBy("ws_us", "event_type")
     },
 
+    // The STREAMING sliding-window path, oracle-gated: the same 1h/30m
+    // overlapping windows as batch q_event_sliding, executed incrementally
+    // (StreamingOps.slidingCounts) over a mid-timeline file-stream split.
+    // Every event updates TWO window states, so window partials genuinely
+    // overlap across micro-batches — the state shape tumbling can't
+    // exercise; trailing windows flush when the sentinel batches advance
+    // the watermark. Hash-matches the batch sliding oracle.
+    "q_stream_sliding" -> { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+      val schema = ev.schema
+      val tmp = new java.io.File(
+        s"/root/repo/target/tmp/stream_slide-${new java.io.File(dir).getName}")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(): Unit
+      }
+      if (tmp.exists) rm(tmp)
+      tmp.mkdirs()
+      val median = ev
+        .selectExpr(
+          "CAST(percentile_cont(0.5) WITHIN GROUP (ORDER BY ts) AS BIGINT)")
+        .head().getLong(0)
+      val maxTs = ev.agg(max(col("ts"))).head().getLong(0)
+      def sentinel(uid: Long, ts: Long) =
+        s.range(1).select(lit(uid).as("event_id"), lit(ts).as("ts"),
+          lit(uid).as("user_id"), lit("_sentinel").as("event_type"),
+          lit(0.0).as("value"), lit("{}").as("props"))
+      val stream = s.readStream.schema(schema).parquet(s"$tmp/*.parquet")
+        .withColumn("ts_us", expr("ts div 1000"))
+        .withColumn("val_cents", round(col("value") * lit(100)).cast("long"))
+      val qn = s"q_stream_sliding_${System.nanoTime()}"
+      graft.streaming.StreamingOps.withStreamShuffle(s) {
+        val q = graft.streaming.StreamingOps.slidingCounts(stream)
+          .writeStream.outputMode("append")
+          .format("memory").queryName(qn).start()
+        try {
+          ev.where(col("ts") <= median).write.parquet(s"$tmp/b1.parquet")
+          q.processAllAvailable()
+          ev.where(col("ts") > median).write.parquet(s"$tmp/b2.parquet")
+          q.processAllAvailable()
+          sentinel(-1L, maxTs + 3600L * 1000 * 1000 * 1000)
+            .write.parquet(s"$tmp/b3.parquet")
+          q.processAllAvailable()
+          sentinel(-2L, maxTs + 7200L * 1000 * 1000 * 1000)
+            .write.parquet(s"$tmp/b4.parquet")
+          q.processAllAvailable()
+        } finally q.stop()
+      }
+      s.table(qn).where(col("event_type") =!= "_sentinel")
+        .select(col("ws_us"), col("event_type"), col("n"), col("val_sum"))
+        .orderBy("ws_us", "event_type")
+    },
+
     // STREAMING materialized-view maintenance, oracle-gated: each
     // micro-batch folds into a keyed per-user-latest snapshot through
     // KvSink.upsert (one full-outer merge per batch — the CDC-apply the
@@ -629,6 +682,22 @@ object EventQueries {
       s"""SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS ws_us,
          |  event_type, COUNT(*) AS n, ${MONEY("\"value\"")} AS val_sum
          |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // identical window semantics as q_event_sliding: a correct streaming
+    // execution with overlapping window state must finish at exactly the
+    // batch sliding aggregate (each event lands in its bucket's window and
+    // the one 30 minutes earlier).
+    "q_stream_sliding" ->
+      s"""WITH x AS (
+         |  SELECT time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)) AS tb,
+         |    event_type, "value" FROM events),
+         |w AS (
+         |  SELECT tb AS ws, event_type, "value" FROM x
+         |  UNION ALL
+         |  SELECT tb - INTERVAL '30 minutes' AS ws, event_type, "value" FROM x)
+         |SELECT epoch_us(ws) AS ws_us, event_type, COUNT(*) AS n,
+         |  ${MONEY("\"value\"")} AS val_sum
+         |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // identical window semantics as q_event_tumbling: a correct streaming
     // execution must emit exactly the batch aggregate's final windows.

@@ -37,6 +37,22 @@ object StreamingOps {
       .select(unix_micros(col("window.start")).as("ws_us"), col("event_type"),
         col("n"), col("val_sum"))
 
+  /** Watermarked SLIDING 1h/30m window count+sum per event type — the
+    * overlapping-window state the tumbling form doesn't exercise: every
+    * event folds into TWO open window aggregates, and the watermark
+    * retires window states 30 minutes apart, so a correct execution must
+    * keep concurrent overlapping partials per (window, type) across
+    * micro-batches. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withColumn("ts_t", timestamp_micros(col("ts_us")))
+      .withWatermark("ts_t", "1 hour")
+      .groupBy(window(col("ts_t"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("val_cents")).cast("double") / lit(100.0)).as("val_sum"))
+      .select(unix_micros(col("window.start")).as("ws_us"), col("event_type"),
+        col("n"), col("val_sum"))
+
   /** Gap-based sessionization with real cross-batch state — the streaming
     * twin of the batch window-function form in EventQueries ("q_sessionize").
     *
