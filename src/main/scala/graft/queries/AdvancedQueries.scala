@@ -506,6 +506,72 @@ object AdvancedQueries {
         .orderBy("week")
     },
 
+    // Mergeable QUANTILE sketches — the percentile twin of q_sketch_merge:
+    // exact per-day percentiles cannot be reaggregated into a weekly
+    // percentile, but a fixed-bin histogram can (counts add under any
+    // partitioning). Daily $1-bin histograms of the event value persist
+    // write-once; the weekly report merges BUCKETS (one count-sum — raw
+    // events are never rescanned), then reads P50/P90 off the merged
+    // cumulative histogram at the lower-rank definition k = ceil(q·n). The
+    // exact companions recompute the same ranks from a value-level census,
+    // and the ±half-bucket bound booleans are TRUE BY CONSTRUCTION (the
+    // rank-k value lives in the bucket whose cumulative count crosses k) —
+    // so the oracle pins them, and a mis-merged histogram hash-fails.
+    // Cumulative windows partition per week over bucket/value censuses
+    // (bounded domains), never over events.
+    "q_quantile_merge" -> { (s, dir) =>
+      val histDir =
+        s"/root/repo/target/tmp/hist_daily-${new java.io.File(dir).getName}"
+      val ev = Tables(s, dir, "events")
+        .select(expr("ts div 1000 div 86400000000").as("day"),
+          cents(col("value")).as("cents"))
+      graft.sources.Sinks.ensureDir(s, histDir, "v1:events,cents-hist-100") {
+        ev.groupBy(col("day"), expr("cents div 100").as("bucket"))
+          .agg(count(lit(1)).as("n"))
+          .write.mode("overwrite").parquet(histDir)
+      }
+      val wHist = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("week")).orderBy(col("bucket"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val merged = s.read.parquet(histDir)
+        .groupBy(expr("day div 7").as("week"), col("bucket"))
+        .agg(sum(col("n")).as("n"))
+        .withColumn("cum", sum(col("n")).over(wHist))
+      val totals = merged.groupBy(col("week")).agg(sum(col("n")).as("total"))
+      val est = merged.join(totals, "week")
+        .groupBy(col("week"), col("total"))
+        .agg(
+          min(when(col("cum") * 2 >= col("total"), col("bucket"))).as("b50"),
+          min(when(col("cum") * 10 >= col("total") * 9, col("bucket")))
+            .as("b90"))
+        .select(col("week"), col("total").as("n_events"),
+          (col("b50") * 100 + 50).as("est_p50_cents"),
+          (col("b90") * 100 + 50).as("est_p90_cents"))
+      val wVal = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("week")).orderBy(col("cents"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val exact = ev
+        .groupBy(expr("day div 7").as("week"), col("cents"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("cum", sum(col("n")).over(wVal))
+        .join(totals, "week")
+        .groupBy(col("week"))
+        .agg(
+          min(when(col("cum") * 2 >= col("total"), col("cents")))
+            .as("exact_p50_cents"),
+          min(when(col("cum") * 10 >= col("total") * 9, col("cents")))
+            .as("exact_p90_cents"))
+      est.join(exact, "week")
+        .select(col("week"), col("n_events"),
+          col("est_p50_cents"), col("exact_p50_cents"),
+          col("est_p90_cents"), col("exact_p90_cents"),
+          (abs(col("est_p50_cents") - col("exact_p50_cents")) <= 50)
+            .as("p50_ok"),
+          (abs(col("est_p90_cents") - col("exact_p90_cents")) <= 50)
+            .as("p90_ok"))
+        .orderBy("week")
+    },
+
     // ANALYZE-style column profile — the stats pass every warehouse runs
     // (null fraction, NDV, min/max) feeding optimizers and quality
     // dashboards. All four columns profile in ONE aggregate scan of orders
@@ -1370,6 +1436,44 @@ object AdvancedQueries {
       s"""SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) // 7 AS week,
          |  COUNT(DISTINCT user_id) AS n_exact, TRUE AS sketch_ok
          |FROM events GROUP BY 1 ORDER BY week""".stripMargin,
+
+    // the merged-histogram read-off replayed at the same lower-rank
+    // definition k = ceil(q*n); the half-bucket bounds hold by
+    // construction, so the booleans pin TRUE.
+    "q_quantile_merge" ->
+      s"""WITH e AS (
+         |  SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) // 7
+         |    AS week, ${CENTS("\"value\"")} AS cents
+         |  FROM events),
+         |t AS (SELECT week, COUNT(*) AS total FROM e GROUP BY week),
+         |hb AS (SELECT week, cents // 100 AS bucket, COUNT(*) AS n
+         |  FROM e GROUP BY 1, 2),
+         |hc AS (SELECT week, bucket,
+         |  SUM(n) OVER (PARTITION BY week ORDER BY bucket) AS cum FROM hb),
+         |est AS (
+         |  SELECT hc.week,
+         |    MIN(CASE WHEN cum*2 >= total THEN bucket END)*100 + 50
+         |      AS est_p50_cents,
+         |    MIN(CASE WHEN cum*10 >= total*9 THEN bucket END)*100 + 50
+         |      AS est_p90_cents
+         |  FROM hc JOIN t USING (week) GROUP BY hc.week),
+         |vc AS (SELECT week, cents,
+         |  SUM(n) OVER (PARTITION BY week ORDER BY cents) AS cum
+         |  FROM (SELECT week, cents, COUNT(*) AS n FROM e GROUP BY 1, 2)),
+         |ex AS (
+         |  SELECT vc.week,
+         |    MIN(CASE WHEN cum*2 >= total THEN cents END) AS exact_p50_cents,
+         |    MIN(CASE WHEN cum*10 >= total*9 THEN cents END) AS exact_p90_cents
+         |  FROM vc JOIN t USING (week) GROUP BY vc.week)
+         |SELECT week, CAST(total AS BIGINT) AS n_events,
+         |  CAST(est_p50_cents AS BIGINT) AS est_p50_cents,
+         |  CAST(exact_p50_cents AS BIGINT) AS exact_p50_cents,
+         |  CAST(est_p90_cents AS BIGINT) AS est_p90_cents,
+         |  CAST(exact_p90_cents AS BIGINT) AS exact_p90_cents,
+         |  abs(est_p50_cents - exact_p50_cents) <= 50 AS p50_ok,
+         |  abs(est_p90_cents - exact_p90_cents) <= 50 AS p90_ok
+         |FROM est JOIN ex USING (week) JOIN t USING (week)
+         |ORDER BY week""".stripMargin,
 
     // one row per profiled column; integer casts to string are exact.
     "q_profile" ->

@@ -22,6 +22,22 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming sliding window agg matches the batch q_event_sliding") {
+    val stream = StreamingOps.eventStream(spark, sf)
+    val q = StreamingOps.slidingCounts(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("sliding_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("sliding_out")
+        .select("ws_us", "event_type", "n", "val_sum")
+        .as[(Long, String, Long, Double)].collect().toSet
+      val want = SparkEntry.queries("q_event_sliding")(spark, sf)
+        .as[(Long, String, Long, Double)].collect().toSet
+      assert(got == want)
+    } finally q.stop()
+  }
+
   test("streaming wordcount matches the batch flagship") {
     val schema = spark.read.parquet(s"$sf/documents.parquet").schema
     val stream = spark.readStream.schema(schema)
