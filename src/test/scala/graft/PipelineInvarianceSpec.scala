@@ -13,8 +13,10 @@ class PipelineInvarianceSpec extends SparkTestBase {
     }
 
   for (q <- Seq("q_bpe_train", "mm_decode", "mm_resize", "mm_binsource",
+    "mm_features", "mm_frames",
     "q_stream_tumbling", "q_stream_attrib", "q_stream_wordcount",
     "q_stream_dedup", "q_stream_sink", "q_stream_enrich", "q_stream_upsert",
+    "q_stream_sliding", "q_classify_train", "q_quantile_merge",
     "q_shuffle_order", "q_waiting_supplier", "q_compaction",
     "q_dynamic_overwrite", "q_corrupt_json", "q_forward_fill",
     "q_table_checksum", "dedup_keep_best", "q_division", "q_min_cost")) {
