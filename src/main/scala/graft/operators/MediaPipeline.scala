@@ -160,6 +160,97 @@ object MediaPipeline {
     }
   }
 
+  /** Encode a minimal canonical PCM WAV file: RIFF/WAVE header, one `fmt `
+    * chunk (PCM, mono, 16-bit), one `data` chunk of little-endian signed
+    * samples. 44 header bytes — the layout every audio tool writes. */
+  def wavPayload(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    bb.putInt(36 + dataLen)
+    bb.put("WAVE".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    bb.put("fmt ".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    bb.putInt(16)             // fmt chunk size
+    bb.putShort(1)            // PCM
+    bb.putShort(1)            // mono
+    bb.putInt(sampleRate)
+    bb.putInt(sampleRate * 2) // byte rate
+    bb.putShort(2)            // block align
+    bb.putShort(16)           // bits per sample
+    bb.put("data".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    bb.putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  /** A REAL audio decoder through the same [[Decoder]] seam: parses the
+    * RIFF/WAVE container (chunk walk — `fmt ` validated as 16-bit mono
+    * PCM, `data` located by id, unknown chunks skipped by their declared
+    * size, loud failure on malformation), then reduces the signed samples
+    * to exact integer features (sum, min, max). Returns (sampleRate,
+    * nSamples, 1, features) through the (w, h, frames, feats) slots. */
+  object WavDecoder extends Decoder {
+    /** Walk the RIFF chunks: (sampleRate, offset of first data byte,
+      * nSamples). */
+    def parseHeader(payload: Array[Byte]): (Int, Int, Int) = {
+      val bb = java.nio.ByteBuffer.wrap(payload)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def ascii(off: Int, n: Int) =
+        new String(payload, off, n, java.nio.charset.StandardCharsets.US_ASCII)
+      require(payload.length >= 44, s"WavDecoder: ${payload.length} bytes")
+      require(ascii(0, 4) == "RIFF" && ascii(8, 4) == "WAVE",
+        "WavDecoder: not a RIFF/WAVE container")
+      require(bb.getInt(4) == payload.length - 8,
+        s"WavDecoder: RIFF size ${bb.getInt(4)} for ${payload.length} bytes")
+      var pos = 12
+      var rate = -1
+      var dataOff = -1
+      var dataLen = -1
+      while (pos + 8 <= payload.length && (rate < 0 || dataOff < 0)) {
+        val id = ascii(pos, 4)
+        val sz = bb.getInt(pos + 4)
+        require(sz >= 0 && pos + 8 + sz <= payload.length,
+          s"WavDecoder: chunk '$id' of $sz bytes overruns the payload")
+        if (id == "fmt ") {
+          require(sz >= 16, s"WavDecoder: fmt chunk of $sz bytes")
+          require(bb.getShort(pos + 8) == 1, "WavDecoder: not PCM")
+          require(bb.getShort(pos + 10) == 1, "WavDecoder: not mono")
+          require(bb.getShort(pos + 22) == 16, "WavDecoder: not 16-bit")
+          rate = bb.getInt(pos + 12)
+          require(rate > 0, s"WavDecoder: sample rate $rate")
+        } else if (id == "data") {
+          require(rate > 0, "WavDecoder: data chunk before fmt")
+          require(sz % 2 == 0, s"WavDecoder: odd data length $sz")
+          dataOff = pos + 8
+          dataLen = sz
+        }
+        pos += 8 + sz + (sz & 1) // RIFF pads odd chunks
+      }
+      require(rate > 0 && dataOff >= 0, "WavDecoder: missing fmt /data chunk")
+      (rate, dataOff, dataLen / 2)
+    }
+
+    override def decode(payload: Array[Byte]): (Int, Int, Int, Array[Float]) = {
+      val (rate, dataOff, n) = parseHeader(payload)
+      val bb = java.nio.ByteBuffer.wrap(payload)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var sum = 0L
+      var mn = Int.MaxValue
+      var mx = Int.MinValue
+      var i = 0
+      while (i < n) {
+        val v: Int = bb.getShort(dataOff + 2 * i)
+        sum += v
+        if (v < mn) mn = v
+        if (v > mx) mx = v
+        i += 1
+      }
+      if (n == 0) { mn = 0; mx = 0 }
+      (rate, n, 1, Array(sum.toFloat, mn.toFloat, mx.toFloat))
+    }
+  }
+
   /** Feature EXTRACTION through the same real parse: 2×2 average-pool
     * quadrant pixel sums (split at ⌈h/2⌉ rows / ⌈w/2⌉ cols — top-left,
     * top-right, bottom-left, bottom-right), the pooled spatial descriptor a

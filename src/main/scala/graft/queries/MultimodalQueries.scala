@@ -197,6 +197,41 @@ object MultimodalQueries {
         .orderBy("doc_id")
     },
 
+    // REAL audio decode through the same Decoder seam — the third modality
+    // beside image (PGM) and the multi-frame container: each doc's md5
+    // digest becomes the 16-bit PCM samples of a genuine RIFF/WAVE file
+    // (44-byte canonical header), and WavDecoder parses it BACK — chunk
+    // walk, fmt validation (PCM/mono/16-bit), data location, little-endian
+    // signed sample reduction to exact integer stats. The oracle replays
+    // the samples from the same hex pairs (lo + 256·hi, two's complement),
+    // so an endianness or chunk-offset mistake hash-fails.
+    "mm_audio" -> { (s, dir) =>
+      import s.implicits._
+      val payloads = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          val d = java.security.MessageDigest.getInstance("MD5")
+            .digest(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          val rate = 8000 + 1000 * ((d(3) & 0xff) % 5)
+          val n = 4 + (d(4) & 0xff) % 5
+          val samples = Array.tabulate(n)(i =>
+            (((d(2 * i + 1) & 0xff) << 8) | (d(2 * i) & 0xff)).toShort)
+          (id, graft.operators.MediaPipeline.wavPayload(rate, samples))
+        }.toDF("doc_id", "payload")
+      graft.operators.MediaPipeline
+        .decodeAll(payloads, graft.operators.MediaPipeline.WavDecoder)
+        .toDF()
+        .select(col("doc_id"), col("byte_len"),
+          col("width").cast("long").as("sample_rate"),
+          col("height").cast("long").as("n_samples"),
+          element_at(col("features"), 1).cast("long").as("s_sum"),
+          element_at(col("features"), 2).cast("long").as("s_min"),
+          element_at(col("features"), 3).cast("long").as("s_max"))
+        .withColumn("mean_amp",
+          col("s_sum").cast("double") / col("n_samples").cast("double"))
+        .orderBy("doc_id")
+    },
+
     // REAL frame sampling over a multi-frame container: each doc's payload
     // is a concatenated P5 stream (1-4 frames, the netpbm multi-image
     // convention; frame f's raster cycles the md5 digest from byte 7f).
@@ -349,6 +384,35 @@ object MultimodalQueries {
         |  CAST(MAX(pv) AS BIGINT) AS px_max,
         |  CAST(SUM(pv) AS DOUBLE) / CAST(w2*h2 AS DOUBLE) AS px_mean
         |FROM px GROUP BY doc_id, w2, h2
+        |ORDER BY doc_id""".stripMargin,
+
+    // sample i is digest bytes (2i, 2i+1) little-endian: lo = hex pair 2i
+    // (pos 1+4i), hi = pair 2i+1 (pos 3+4i); two's complement at 32768.
+    // rate rides hex pair 3 (pos 7), n rides pair 4 (pos 9); the canonical
+    // WAV header is 44 bytes so byte_len = 44 + 2n.
+    "mm_audio" ->
+      """WITH m AS (
+        |  SELECT doc_id, md5(text) AS hx FROM documents),
+        |d AS (
+        |  SELECT doc_id, hx,
+        |    8000 + 1000 * (CAST(('0x' || substr(hx, 7, 2)) AS BIGINT) % 5)
+        |      AS rate,
+        |    4 + (CAST(('0x' || substr(hx, 9, 2)) AS BIGINT) % 5) AS n
+        |  FROM m),
+        |sm AS (
+        |  SELECT doc_id, rate, n,
+        |    CASE WHEN v >= 32768 THEN v - 65536 ELSE v END AS s
+        |  FROM (SELECT doc_id, rate, n,
+        |      CAST(('0x' || substr(hx, CAST(1 + 4*u.i AS INT), 2)) AS BIGINT)
+        |      + 256 * CAST(('0x' || substr(hx, CAST(3 + 4*u.i AS INT), 2))
+        |          AS BIGINT) AS v
+        |    FROM d, unnest(range(n)) AS u(i)))
+        |SELECT doc_id, CAST(44 + 2*n AS BIGINT) AS byte_len,
+        |  CAST(rate AS BIGINT) AS sample_rate, CAST(n AS BIGINT) AS n_samples,
+        |  CAST(SUM(s) AS BIGINT) AS s_sum, CAST(MIN(s) AS BIGINT) AS s_min,
+        |  CAST(MAX(s) AS BIGINT) AS s_max,
+        |  CAST(SUM(s) AS DOUBLE) / CAST(n AS DOUBLE) AS mean_amp
+        |FROM sm GROUP BY doc_id, rate, n
         |ORDER BY doc_id""".stripMargin,
 
     // frame f of the container starts at f*(11 + w*h) (equal-dim frames,

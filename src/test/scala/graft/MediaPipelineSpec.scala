@@ -78,6 +78,53 @@ class MediaPipelineSpec extends SparkTestBase {
     }
   }
 
+  test("WavDecoder: encode/decode round-trip matches sample stats") {
+    val rng = new scala.util.Random(59)
+    for (_ <- 1 to 50) {
+      val rate = 8000 + rng.nextInt(40000)
+      val n = rng.nextInt(64)
+      val samples = Array.fill(n)(rng.nextInt(65536).toShort)
+      val (gr, gn, nf, feats) = MediaPipeline.WavDecoder.decode(
+        MediaPipeline.wavPayload(rate, samples))
+      assert((gr, gn, nf) == (rate, n, 1))
+      val iv = samples.map(_.toInt)
+      val want =
+        if (n == 0) Seq(0f, 0f, 0f)
+        else Seq(iv.map(_.toLong).sum.toFloat, iv.min.toFloat, iv.max.toFloat)
+      assert(feats.toSeq == want)
+    }
+  }
+
+  test("WavDecoder: skips unknown chunks, loud on malformed containers") {
+    val samples = Array[Short](100, -200, 300)
+    val ok = MediaPipeline.wavPayload(8000, samples)
+    // splice an unknown 5-byte chunk (odd size → 1 pad byte) between fmt
+    // and data; RIFF size field must cover the insertion
+    val junk = "LIST".getBytes ++ Array[Byte](5, 0, 0, 0, 1, 2, 3, 4, 5, 0)
+    val spliced = ok.take(36) ++ junk ++ ok.drop(36)
+    val bb = java.nio.ByteBuffer.wrap(spliced)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(4, spliced.length - 8)
+    val (r2, n2, _, f2) = MediaPipeline.WavDecoder.decode(spliced)
+    assert((r2, n2) == (8000, 3) && f2.toSeq == Seq(200f, -200f, 300f))
+    intercept[IllegalArgumentException] {   // not RIFF
+      MediaPipeline.WavDecoder.decode("XIFF".getBytes ++ ok.drop(4))
+    }
+    intercept[IllegalArgumentException] {   // truncated data chunk
+      MediaPipeline.WavDecoder.decode(ok.dropRight(1))
+    }
+    intercept[IllegalArgumentException] {   // stereo
+      val bad = ok.clone()
+      bad(22) = 2
+      MediaPipeline.WavDecoder.decode(bad)
+    }
+    intercept[IllegalArgumentException] {   // non-PCM format code
+      val bad = ok.clone()
+      bad(20) = 3
+      MediaPipeline.WavDecoder.decode(bad)
+    }
+  }
+
   test("resizeNearest: matches an index model, any factor, degenerate dims") {
     val rng = new scala.util.Random(23)
     for (_ <- 1 to 40) {
