@@ -434,6 +434,24 @@ class PlanQualitySpec extends SparkTestBase {
     }
   }
 
+  test("q_quantile_merge: raw events scan exactly once (sketch-merge claim)") {
+    // the whole point of the mergeable histogram is that the weekly
+    // report reads SKETCH files, not events: the only events.parquet scan
+    // in the final plan is the exact-companion census
+    val p = planOf(SparkEntry.queries("q_quantile_merge")(spark, sf))
+      .split("== Initial Plan ==")(0)
+    val eventScans = "events.parquet".r.findAllIn(p).length
+    assert(eventScans == 1,
+      s"quantile merge should scan events once, saw $eventScans:\n$p")
+  }
+
+  test("mm_audio: map-only decode — no hash exchange before the final sort") {
+    val p = planOf(SparkEntry.queries("mm_audio")(spark, sf))
+      .split("== Initial Plan ==")(0)
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"audio decode should be map-only up to the output sort:\n$p")
+  }
+
   test("output schemas are hash-gate safe: no decimal/float/array/map/binary") {
     // The driver's correctness gate hash-canonicalizes double/long/int/
     // string/boolean/date/timestamp but NOT DecimalType (sim_gram and
