@@ -251,6 +251,27 @@ object MediaPipeline {
     }
   }
 
+  /** Nearest-sample decimation of a parsed WAV payload by an integer
+    * `factor`: keep every factor-th sample (indices ≡ 0 mod factor) and
+    * divide the clock to match — the zero-filter downsample (a production
+    * resampler adds an anti-alias filter in front of the same indexing),
+    * bit-deterministic and replayable by an index-arithmetic oracle.
+    * Returns (decimated rate, kept samples). */
+  def decimateWav(payload: Array[Byte], factor: Int): (Int, Array[Short]) = {
+    require(factor >= 1, s"decimateWav: factor $factor")
+    val (rate, dataOff, n) = WavDecoder.parseHeader(payload)
+    val bb = java.nio.ByteBuffer.wrap(payload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val n2 = if (n == 0) 0 else (n + factor - 1) / factor
+    val out = new Array[Short](n2)
+    var i = 0
+    while (i < n2) {
+      out(i) = bb.getShort(dataOff + 2 * i * factor)
+      i += 1
+    }
+    (rate / factor, out)
+  }
+
   /** Feature EXTRACTION through the same real parse: 2×2 average-pool
     * quadrant pixel sums (split at ⌈h/2⌉ rows / ⌈w/2⌉ cols — top-left,
     * top-right, bottom-left, bottom-right), the pooled spatial descriptor a

@@ -232,6 +232,43 @@ object MultimodalQueries {
         .orderBy("doc_id")
     },
 
+    // REAL audio resample over the same parsed payloads: 2× decimation
+    // (keep even-indexed samples, halve the clock) through
+    // MediaPipeline.decimateWav — the audio twin of mm_resize's
+    // nearest-neighbor image downsample. The oracle replays the kept
+    // samples by index arithmetic (original index 2i → hex pairs at
+    // 1+8i / 3+8i), so a resampler that keeps the wrong phase or
+    // miscomputes the output length hash-fails. Map-only per row.
+    "mm_audio_resample" -> { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, text) =>
+          val d = java.security.MessageDigest.getInstance("MD5")
+            .digest(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          val rate = 8000 + 1000 * ((d(3) & 0xff) % 5)
+          val n = 4 + (d(4) & 0xff) % 5
+          val samples = Array.tabulate(n)(i =>
+            (((d(2 * i + 1) & 0xff) << 8) | (d(2 * i) & 0xff)).toShort)
+          val payload = graft.operators.MediaPipeline.wavPayload(rate, samples)
+          val (rate2, kept) =
+            graft.operators.MediaPipeline.decimateWav(payload, 2)
+          var sum = 0L
+          var mn = Int.MaxValue
+          var mx = Int.MinValue
+          kept.foreach { v =>
+            sum += v
+            if (v < mn) mn = v.toInt
+            if (v > mx) mx = v.toInt
+          }
+          (id, rate2.toLong, kept.length.toLong, sum, mn.toLong, mx.toLong,
+            sum.toDouble / kept.length)
+        }
+        .toDF("doc_id", "sample_rate2", "n_samples2", "s_sum", "s_min",
+          "s_max", "mean_amp")
+        .orderBy("doc_id")
+    },
+
     // REAL frame sampling over a multi-frame container: each doc's payload
     // is a concatenated P5 stream (1-4 frames, the netpbm multi-image
     // convention; frame f's raster cycles the md5 digest from byte 7f).
@@ -413,6 +450,33 @@ object MultimodalQueries {
         |  CAST(MAX(s) AS BIGINT) AS s_max,
         |  CAST(SUM(s) AS DOUBLE) / CAST(n AS DOUBLE) AS mean_amp
         |FROM sm GROUP BY doc_id, rate, n
+        |ORDER BY doc_id""".stripMargin,
+
+    // kept sample i is original index 2i: lo = hex pair 4i (pos 1+8i),
+    // hi = pair 4i+1 (pos 3+8i); n2 = ceil(n/2), rate halves.
+    "mm_audio_resample" ->
+      """WITH m AS (
+        |  SELECT doc_id, md5(text) AS hx FROM documents),
+        |d AS (
+        |  SELECT doc_id, hx,
+        |    8000 + 1000 * (CAST(('0x' || substr(hx, 7, 2)) AS BIGINT) % 5)
+        |      AS rate,
+        |    4 + (CAST(('0x' || substr(hx, 9, 2)) AS BIGINT) % 5) AS n
+        |  FROM m),
+        |sm AS (
+        |  SELECT doc_id, rate, n, (n + 1) // 2 AS n2,
+        |    CASE WHEN v >= 32768 THEN v - 65536 ELSE v END AS s
+        |  FROM (SELECT doc_id, rate, n,
+        |      CAST(('0x' || substr(hx, CAST(1 + 8*u.i AS INT), 2)) AS BIGINT)
+        |      + 256 * CAST(('0x' || substr(hx, CAST(3 + 8*u.i AS INT), 2))
+        |          AS BIGINT) AS v
+        |    FROM d, unnest(range((n + 1) // 2)) AS u(i)))
+        |SELECT doc_id, CAST(rate // 2 AS BIGINT) AS sample_rate2,
+        |  CAST(n2 AS BIGINT) AS n_samples2,
+        |  CAST(SUM(s) AS BIGINT) AS s_sum, CAST(MIN(s) AS BIGINT) AS s_min,
+        |  CAST(MAX(s) AS BIGINT) AS s_max,
+        |  CAST(SUM(s) AS DOUBLE) / CAST(n2 AS DOUBLE) AS mean_amp
+        |FROM sm GROUP BY doc_id, rate, n2
         |ORDER BY doc_id""".stripMargin,
 
     // frame f of the container starts at f*(11 + w*h) (equal-dim frames,

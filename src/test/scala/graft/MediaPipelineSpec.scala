@@ -125,6 +125,23 @@ class MediaPipelineSpec extends SparkTestBase {
     }
   }
 
+  test("decimateWav: matches an index model, any factor, degenerate lengths") {
+    val rng = new scala.util.Random(67)
+    for (_ <- 1 to 40) {
+      val rate = 8000 + rng.nextInt(40000)
+      val n = rng.nextInt(30)
+      val samples = Array.fill(n)(rng.nextInt(65536).toShort)
+      val payload = MediaPipeline.wavPayload(rate, samples)
+      for (f <- Seq(1, 2, 3, 50)) {   // 50 > n: collapses to <=1 sample
+        val (r2, kept) = MediaPipeline.decimateWav(payload, f)
+        assert(r2 == rate / f)
+        val model = (0 until n by f).map(samples)
+        assert(kept.toSeq == model, s"n=$n f=$f")
+      }
+      assert(MediaPipeline.decimateWav(payload, 1)._2.toSeq == samples.toSeq)
+    }
+  }
+
   test("resizeNearest: matches an index model, any factor, degenerate dims") {
     val rng = new scala.util.Random(23)
     for (_ <- 1 to 40) {

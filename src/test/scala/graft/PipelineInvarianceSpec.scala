@@ -13,7 +13,7 @@ class PipelineInvarianceSpec extends SparkTestBase {
     }
 
   for (q <- Seq("q_bpe_train", "mm_decode", "mm_resize", "mm_binsource",
-    "mm_features", "mm_frames", "mm_audio",
+    "mm_features", "mm_frames", "mm_audio", "mm_audio_resample",
     "q_stream_tumbling", "q_stream_attrib", "q_stream_wordcount",
     "q_stream_dedup", "q_stream_sink", "q_stream_enrich", "q_stream_upsert",
     "q_stream_sliding", "q_classify_train", "q_quantile_merge",
