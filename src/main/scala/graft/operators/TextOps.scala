@@ -271,6 +271,74 @@ object TextOps {
       normMd5(col("text"))
         .as("fp_md5"))
 
+  /** Winnowing fingerprint selection (Schleimer/Wilkerson/Aiken, "Winnowing:
+    * Local Algorithms for Document Fingerprinting", SIGMOD 2003 — the MOSS
+    * algorithm): hash every k-char gram of the text (the [[graft.functions
+    * .RollingHash31]] polynomial, so the oracle replays each gram hash with
+    * the same list_reduce form), slide a w-window over the hash sequence,
+    * and select each window's MINIMUM hash, rightmost position on ties. The
+    * selected set is the document fingerprint, with the paper's guarantee:
+    * any substring shared between two docs of length ≥ w+k−1 contributes at
+    * least one common selected hash (WinnowSpec pins this on planted
+    * overlaps). Docs shorter than w grams winnow their single truncated
+    * window; gram-less docs emit zero counts.
+    *
+    * Scale shape: ONE typed map per doc, no shuffles before the per-doc
+    * summary — selection is local by design (that is the point of the
+    * paper: local algorithms give position-stable fingerprints under edits,
+    * so incremental re-ingest only re-fingerprints changed docs). Output is
+    * the per-doc summary (counts + order-independent sums over the distinct
+    * selected positions); the selected (hash, pos) pairs themselves would
+    * feed a dedup join exactly like [[graft.queries.DedupQueries]]' shingle
+    * tables. */
+  def winnow(docs: DataFrame, k: Int = 5, w: Int = 4): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val cps = text.codePoints().toArray
+        val g = math.max(cps.length - k + 1, 0)
+        val sel = winnowSelect(text, k, w)
+        (id, g.toLong, sel.length.toLong, sel.map(_._2).sum,
+          sel.map(_._1.toLong).sum)
+      }
+      .toDF("doc_id", "n_grams", "n_selected", "sel_hash_sum", "sel_pos_sum")
+  }
+
+  /** The pure selection underneath [[winnow]]: distinct (1-based position,
+    * gram hash) pairs chosen by rightmost-argmin windows over the code-point
+    * k-gram rolling hashes. Exposed so the SIGMOD-03 guarantee (shared
+    * substrings of ≥ w+k−1 chars share a fingerprint) is directly
+    * testable. */
+  def winnowSelect(text: String, k: Int, w: Int): IndexedSeq[(Int, Long)] = {
+    val cps = text.codePoints().toArray
+    val g = cps.length - k + 1
+    if (g <= 0) IndexedSeq.empty
+    else {
+      val h = new Array[Long](g)
+      var i = 0
+      while (i < g) {
+        var v = 0L
+        var j = 0
+        while (j < k) { v = (v * 31L + cps(i + j)) % 2147483647L; j += 1 }
+        h(i) = v
+        i += 1
+      }
+      val selected = scala.collection.mutable.SortedSet.empty[Int]
+      val nWin = math.max(1, g - w + 1)
+      var jw = 0
+      while (jw < nWin) {
+        val end = math.min(jw + w, g)
+        var best = jw
+        var p = jw + 1
+        while (p < end) { if (h(p) <= h(best)) best = p; p += 1 }
+        selected += best
+        jw += 1
+      }
+      selected.toIndexedSeq.map(p => (p + 1, h(p)))
+    }
+  }
+
   /** Deterministic train/holdout split by portable key hash: bucket =
     * md5-derived 60-bit hash of the key's string form mod nBuckets, rows in
     * buckets [0, trainBuckets) are "train". Hash-based splitting is the

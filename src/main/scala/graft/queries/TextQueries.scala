@@ -290,6 +290,17 @@ object TextQueries {
         BpeTrainRounds).orderBy("round")
     },
 
+    // Winnowing fingerprint selection (TextOps.winnow, the MOSS
+    // algorithm): per-window rightmost-argmin over 5-gram rolling hashes,
+    // w=4 — per-doc counts + order-independent sums over the distinct
+    // selected positions. The oracle replays gram hashes with the fp31
+    // list_reduce form and the window argmin as a join + MAX(pos) on the
+    // min hash — a selection that picks the wrong tie side or dedups
+    // positions wrongly hash-fails.
+    "text_winnow" -> { (s, dir) =>
+      TextOps.winnow(Tables(s, dir, "documents")).orderBy("doc_id")
+    },
+
     // Quality-classifier TRAINING loop (TextOps.classifierTrain): 4
     // batch-perceptron rounds over 64 hashed bag-of-words features + bias,
     // labeled is-English — the learning half of the text_classify story.
@@ -877,6 +888,47 @@ object TextQueries {
     "q_bpe_train" -> bpeTrainSql(BpeTrainRounds),
 
     "q_classify_train" -> classifierTrainSql(4, 64),
+
+    // grams at 1-based char positions (substr convention both sides);
+    // windows j in 1..max(1, G-3), window covers p in [j, j+4); rightmost
+    // tie = MAX(p) among the window-min hash; DISTINCT positions dedup
+    // multi-window selections.
+    "text_winnow" ->
+      """WITH g AS (
+        |  SELECT doc_id, u.i AS p,
+        |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(substr(text, CAST(u.i AS INT), 5), ''),
+        |        c -> CAST(ascii(c) AS BIGINT))),
+        |      (a, b) -> (a*31 + b) % 2147483647) AS BIGINT) AS h
+        |  FROM documents, unnest(range(1, len(text) - 3)) AS u(i)),
+        |n AS (SELECT doc_id, COUNT(*) AS ng FROM g GROUP BY doc_id),
+        |wj AS (
+        |  SELECT doc_id, u.j FROM n,
+        |    unnest(range(1, greatest(ng - 2, 2))) AS u(j)),
+        |wm AS (
+        |  SELECT wj.doc_id, wj.j, MIN(g.h) AS mh
+        |  FROM wj JOIN g ON g.doc_id = wj.doc_id
+        |    AND g.p >= wj.j AND g.p < wj.j + 4
+        |  GROUP BY 1, 2),
+        |sel AS (
+        |  SELECT wm.doc_id, wm.j, MAX(g.p) AS p
+        |  FROM wm JOIN g ON g.doc_id = wm.doc_id
+        |    AND g.p >= wm.j AND g.p < wm.j + 4 AND g.h = wm.mh
+        |  GROUP BY 1, 2),
+        |fp AS (SELECT DISTINCT doc_id, p FROM sel),
+        |agg AS (
+        |  SELECT fp.doc_id, COUNT(*) AS n_selected, SUM(g.h) AS hs,
+        |    SUM(fp.p) AS ps
+        |  FROM fp JOIN g ON g.doc_id = fp.doc_id AND g.p = fp.p
+        |  GROUP BY fp.doc_id)
+        |SELECT d.doc_id, CAST(COALESCE(n.ng, 0) AS BIGINT) AS n_grams,
+        |  CAST(COALESCE(a.n_selected, 0) AS BIGINT) AS n_selected,
+        |  CAST(COALESCE(a.hs, 0) AS BIGINT) AS sel_hash_sum,
+        |  CAST(COALESCE(a.ps, 0) AS BIGINT) AS sel_pos_sum
+        |FROM documents d
+        |LEFT JOIN n ON n.doc_id = d.doc_id
+        |LEFT JOIN agg a ON a.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     // chunk starts via a range() lateral bounded by the same
     // 1-or-ceil((len-30)/20)+1 count formula; slices via list_slice.
