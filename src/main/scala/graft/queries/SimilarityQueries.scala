@@ -118,6 +118,26 @@ object SimilarityQueries {
         cents, TopK, NProbe)
     },
 
+    // FILTERED ANN — the hybrid-search shape every production vector store
+    // serves: nearest neighbors constrained by a metadata predicate
+    // (label ≡ 0 mod 3 here, ~40% of the corpus). Pre-filtering composes
+    // exactly with IVF because cell assignment is per-row pure: filtering
+    // the corpus before assignment is value-identical to precomputing
+    // corpus-wide assignments and intersecting the probed cells with the
+    // predicate at query time (the index-layout form — at 100 TB the
+    // assignment IS a stored column and this query is one predicate+cell
+    // scan). Probes come from the FULL centroid geometry; the filter
+    // narrows candidates, never the probe selection. The oracle replays
+    // the filtered IVF end to end, k-means included.
+    "sim_filtered_ann" -> { (s, dir) =>
+      import s.implicits._
+      val v = vecs(s, dir)
+      val cents = trainCentroids(v).toDF("cid", "civ")
+      SimilarityOps.ivfTopK(v.where(pmod(col("label"), lit(3)) === 0),
+        SimilarityOps.asQueries(v.where(col("vec_id") < 10)),
+        cents, TopK, NProbe)
+    },
+
     // Random-hyperplane LSH ANN: sign-bit bucket per vector (6 codegen'd
     // graft_dot projections), candidates = same bucket, exact cosine top-k.
     "sim_lsh" -> { (s, dir) =>
@@ -360,6 +380,36 @@ object SimilarityQueries {
          |      (PARTITION BY n.vec_id
          |       ORDER BY ${l2Sql("n.iv", "c.civ")}, c.cid) AS arn
          |    FROM n, cf c)
+         |  WHERE arn = 1),
+         |probes AS (
+         |  SELECT qid, qiv, qnrm, cid FROM (
+         |    SELECT n.vec_id AS qid, n.iv AS qiv, n.nrm AS qnrm, c.cid,
+         |      row_number() OVER (PARTITION BY n.vec_id
+         |        ORDER BY ${l2Sql("n.iv", "c.civ")}, c.cid) AS prn
+         |    FROM n, cf c WHERE n.vec_id < 10)
+         |  WHERE prn <= $NProbe),
+         |s AS (
+         |  SELECT p.qid, a.vec_id AS nbr_id,
+         |    ${cosSql(dotSql("p.qiv", "a.iv"), "p.qnrm", "a.nrm")} AS cos
+         |  FROM probes p JOIN asg a ON p.cid = a.cid AND a.vec_id <> p.qid),
+         |r AS (
+         |  SELECT qid, nbr_id, cos, CAST(row_number() OVER
+         |    (PARTITION BY qid ORDER BY cos DESC, nbr_id) AS BIGINT) AS rnk
+         |  FROM s)
+         |SELECT qid, nbr_id, rnk, cos FROM r WHERE rnk <= $TopK
+         |ORDER BY qid, rnk""".stripMargin,
+
+    // the sim_ann_ivf replay with the candidate side filtered on the
+    // metadata predicate; probes and assignments keep the full geometry.
+    "sim_filtered_ann" ->
+      s"""WITH n AS ($normSql),
+         |$kmeansSql,
+         |asg AS (
+         |  SELECT vec_id, iv, nrm, cid FROM (
+         |    SELECT n.vec_id, n.iv, n.nrm, c.cid, row_number() OVER
+         |      (PARTITION BY n.vec_id
+         |       ORDER BY ${l2Sql("n.iv", "c.civ")}, c.cid) AS arn
+         |    FROM n, cf c WHERE n.label % 3 = 0)
          |  WHERE arn = 1),
          |probes AS (
          |  SELECT qid, qiv, qnrm, cid FROM (

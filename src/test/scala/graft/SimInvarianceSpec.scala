@@ -13,8 +13,9 @@ class SimInvarianceSpec extends SparkTestBase {
       SparkEntry.queries(name)(spark, sf).collect().toSeq.map(_.toString)
     }
 
-  for (q <- Seq("sim_topk", "sim_ann_ivf", "sim_lsh", "sim_lsh_multi",
-      "sim_neardup", "sim_semdedup", "sim_pq", "sim_gram", "sim_project")) {
+  for (q <- Seq("sim_topk", "sim_ann_ivf", "sim_filtered_ann", "sim_lsh",
+      "sim_lsh_multi", "sim_neardup", "sim_semdedup", "sim_pq", "sim_gram",
+      "sim_project")) {
     test(s"$q: identical results under shuffle partitions 1 vs 8") {
       assert(run(q, "1") == run(q, "8"), s"$q not partition-invariant")
     }
