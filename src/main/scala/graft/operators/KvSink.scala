@@ -94,4 +94,51 @@ object KvSink {
             .otherwise(col("_update_value")))
           .otherwise(col(v)).as(v))
   }
+
+  /** MERGE-apply — the forward direction of [[diff]] and the general form
+    * of [[upsert]] (SQL `MERGE INTO … WHEN MATCHED THEN UPDATE/DELETE,
+    * WHEN NOT MATCHED THEN INSERT`): apply a change feed tagged
+    * `op` ∈ I/U/D to a keyed snapshot in ONE full-outer equi-join — inserts
+    * add, updates replace, deletes drop, untouched keys pass through.
+    * Together with [[diff]] this closes the CDC loop: `applyChanges(prev,
+    * diff(prev, next)) == next` for any two snapshots (KvSinkSpec law;
+    * q_merge_apply gates it end-to-end against the oracle's direct build of
+    * `next`).
+    *
+    * `changes` is a (key, op, value) 3-column table. Contract violations
+    * fail LOUDLY at execution time (`raise_error`, no extra pass): an
+    * insert for a present key, an update/delete for an absent key, or an
+    * unknown op tag all indicate a corrupt feed — silently picking a side
+    * would hide exactly the drift CDC exists to prevent. Same shuffle shape
+    * as [[diff]]/[[upsert]]: each side once on the key, or exchange-free
+    * off bucketed snapshots (Sinks.ensureBucketedTable). */
+  def applyChanges(base: DataFrame, changes: DataFrame): DataFrame = {
+    require(base.columns.length == 2,
+      s"applyChanges base must be a (key, value) 2-column table; got ${base.columns.mkString("(", ",", ")")}")
+    require(changes.columns.length == 3,
+      s"applyChanges changes must be a (key, op, value) 3-column table; got ${changes.columns.mkString("(", ",", ")")}")
+    val Array(k, v) = base.columns
+    val c = changes.toDF(k, "_op", "_change_value")
+    val b = base.withColumnRenamed(v, "_base_value")
+      .withColumn("_in_base", lit(true))
+    b.join(c, Seq(k), "full_outer")
+      // violations raise inside the FILTER condition so they evaluate for
+      // every change row — a check only in the value projection would be
+      // skipped for D rows once the filter pushes below the project
+      .where(
+        when(col("_op").isNotNull && !col("_op").isin("I", "U", "D"),
+          raise_error(concat(lit("applyChanges: unknown op '"), col("_op"),
+            lit("' for key "), col(k).cast("string"))).cast("boolean"))
+          .when(col("_op") === "I" && col("_in_base").isNotNull,
+            raise_error(concat(lit("applyChanges: insert for present key "),
+              col(k).cast("string"))).cast("boolean"))
+          .when(col("_op").isin("U", "D") && col("_in_base").isNull,
+            raise_error(concat(
+              lit("applyChanges: update/delete for absent key "),
+              col(k).cast("string"))).cast("boolean"))
+          .otherwise(!(col("_op") <=> lit("D"))))
+      .select(col(k),
+        when(col("_op").isin("I", "U"), col("_change_value"))
+          .otherwise(col("_base_value")).as(v))
+  }
 }

@@ -155,6 +155,27 @@ object StatsQueries {
         .orderBy("key")
     },
 
+    // MERGE-apply (KvSink.applyChanges — SQL MERGE INTO with matched-
+    // update, matched-delete, and not-matched-insert in ONE full-outer
+    // join): the previous spend snapshot plus its CDC delta feed must
+    // reconstruct the next snapshot EXACTLY — the incremental-maintenance
+    // loop at 100 TB (ship change-sized deltas, never re-ship the
+    // snapshot). The engine runs diff → applyChanges end to end; the
+    // oracle builds the next snapshot directly from raw orders, so any
+    // drift in either direction of the CDC machinery hash-fails.
+    "q_merge_apply" -> { (s, dir) =>
+      def snap(yrLo: Int, yrHi: Int) = Tables(s, dir, "orders")
+        .where(year(col("o_orderdate")).between(yrLo, yrHi))
+        .groupBy(col("o_custkey").cast("long").as("key"))
+        .agg(sum(cents(col("o_totalprice"))).as("spend_cents"))
+      // prev fans into both the diff and the apply (repo rule: checkpoint
+      // fanned subtrees)
+      val prev = snap(1995, 1997).localCheckpoint()
+      val changes = graft.operators.KvSink.diff(prev, snap(1996, 1998))
+        .select(col("key"), col("op"), col("new_spend_cents"))
+      graft.operators.KvSink.applyChanges(prev, changes).orderBy("key")
+    },
+
     // Salted fact-dim join: dimension replicated SkewSalts×, fact salted by
     // a deterministic row hash — a hot o_orderkey's lineitems spread across
     // SkewSalts tasks. Result == the plain join (the oracle).
@@ -388,6 +409,13 @@ object StatsQueries {
          |FROM prev p FULL OUTER JOIN nxt n ON p.key = n.key
          |WHERE p.key IS NULL OR n.key IS NULL OR p.c <> n.c
          |ORDER BY key""".stripMargin,
+
+    // prev + delta must land exactly on the directly-built next snapshot.
+    "q_merge_apply" ->
+      s"""SELECT CAST(o_custkey AS BIGINT) AS key,
+         |  CAST(SUM(${CENTS("o_totalprice")}) AS BIGINT) AS spend_cents
+         |FROM orders WHERE year(o_orderdate) BETWEEN 1996 AND 1998
+         |GROUP BY 1 ORDER BY key""".stripMargin,
 
     // bound derivation mirrored (quantile_cont == Spark's exact
     // interpolated percentile; ceil/floor snap to BIGINT), clipped sums

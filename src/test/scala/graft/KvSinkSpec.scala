@@ -63,4 +63,44 @@ class KvSinkSpec extends SparkTestBase {
     intercept[IllegalArgumentException](KvSink.diff(bad, snap(1L -> "a")))
     intercept[IllegalArgumentException](KvSink.diff(snap(1L -> "a"), bad))
   }
+
+  test("applyChanges: MERGE law on random snapshot pairs") {
+    val rng = new scala.util.Random(83)
+    for (_ <- 1 to 20) {
+      def randSnap() = snap((1L to 12L).flatMap { k =>
+        if (rng.nextBoolean()) Some(k -> ("v" + rng.nextInt(3))) else None
+      }: _*)
+      val prev = randSnap()
+      val next = randSnap()
+      val changes = KvSink.diff(prev, next)
+        .select(col("key"), col("op"), col("new_value"))
+      assert(sorted(KvSink.applyChanges(prev, changes)) == sorted(next))
+    }
+  }
+
+  test("applyChanges fails loudly on corrupt feeds") {
+    val prev = snap(1L -> "a", 2L -> "b")
+    def changes(rows: (Long, String, String)*): DataFrame =
+      rows.toDF("key", "op", "value")
+    // insert for a present key
+    intercept[Exception] {
+      KvSink.applyChanges(prev, changes((1L, "I", "x"))).collect()
+    }
+    // update for an absent key
+    intercept[Exception] {
+      KvSink.applyChanges(prev, changes((9L, "U", "x"))).collect()
+    }
+    // delete for an absent key
+    intercept[Exception] {
+      KvSink.applyChanges(prev, changes((9L, "D", null))).collect()
+    }
+    // unknown op tag
+    intercept[Exception] {
+      KvSink.applyChanges(prev, changes((1L, "Z", "x"))).collect()
+    }
+    // a well-formed feed passes through the same checks
+    val ok = KvSink.applyChanges(prev,
+      changes((1L, "U", "x"), (2L, "D", null), (3L, "I", "c")))
+    assert(sorted(ok) == sorted(snap(1L -> "x", 3L -> "c")))
+  }
 }
