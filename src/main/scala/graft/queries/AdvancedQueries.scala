@@ -838,6 +838,26 @@ object AdvancedQueries {
         .orderBy("l_linestatus")
     },
 
+    // XML round-trip through Spark 4's built-in XML source (the seventh
+    // connector beside parquet/csv/json/orc/text/binaryFile): nation
+    // written once as row-tagged XML, read back with an explicit rowTag,
+    // aggregated against the base-table oracle. XML is the
+    // legacy-enterprise feed format a migration-target engine cannot skip;
+    // the gate pins that the round-trip preserves values and types.
+    "q_xml_source" -> { (s, dir) =>
+      val tmp =
+        s"/root/repo/target/tmp/nation_xml-${new java.io.File(dir).getName}"
+      graft.sources.Sinks.ensureDir(s, tmp, "v1:nation,xml") {
+        Tables(s, dir, "nation").write.mode("overwrite")
+          .format("xml").option("rowTag", "nation").save(tmp)
+      }
+      s.read.format("xml").option("rowTag", "nation").load(tmp)
+        .groupBy(col("n_regionkey").cast("long").as("regionkey"))
+        .agg(count(lit(1)).as("n_nations"),
+          sum(length(col("n_name"))).cast("long").as("name_chars"))
+        .orderBy("regionkey")
+    },
+
     // Small-files compaction (graft.sources.Compaction) — the object-store
     // hygiene op every 100 TB pipeline schedules (streaming sinks and
     // per-document media ingest fragment tables; the mm_binsource corpus
@@ -1382,6 +1402,13 @@ object AdvancedQueries {
          |FROM (SELECT l_partkey, l_suppkey, $z AS z FROM lineitem)
          |GROUP BY 1 ORDER BY z_bucket""".stripMargin
     },
+
+    // values must survive the XML round-trip bit-exactly.
+    "q_xml_source" ->
+      """SELECT CAST(n_regionkey AS BIGINT) AS regionkey,
+        |  COUNT(*) AS n_nations,
+        |  CAST(SUM(length(n_name)) AS BIGINT) AS name_chars
+        |FROM nation GROUP BY 1 ORDER BY regionkey""".stripMargin,
 
     "q_orc_source" ->
       s"""SELECT l_linestatus, COUNT(*) AS n_items,
