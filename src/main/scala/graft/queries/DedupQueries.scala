@@ -421,9 +421,86 @@ object DedupQueries {
       .where(col("n_shared") >= minShared)
   }
 
+  /** Ed-Join (Xiao, Wang & Lin, VLDB'08) edit-distance self-join over
+    * fixed-length ASCII document prefixes: all pairs (same lang) with
+    * levenshtein ≤ d on the first `prefixLen` characters.
+    *
+    * Blocking is LOSSLESS: each prefix's positional q-grams are ordered by
+    * ascending global document frequency, and only the q·d+1 rarest
+    * participate in the inverted-index join (an edit destroys at most q
+    * grams, so ≥ |G|−q·d gram occurrences survive with positions shifted at
+    * most d — by the prefix-filter lemma some position-compatible match
+    * lands in BOTH prefixes). Candidates therefore grow with rare-gram df,
+    * not Σ df²; |Δpos| ≤ d prunes accidental hot-gram collisions; exact
+    * levenshtein verifies survivors only. At 100 TB the gram dictionary is
+    * vocabulary-sized, the per-doc state is q·d+1 ints, and the 48-byte
+    * prefixes rejoin candidates via a compact one-row-per-doc table (AQE
+    * broadcast at bench scale, shuffle join beyond).
+    *
+    * ASCII restriction is load-bearing for the gate: Spark's levenshtein
+    * counts codepoint edits, DuckDB's counts BYTE edits — they agree exactly
+    * iff every character is single-byte, so the comparable universe is
+    * pinned to printable-ASCII prefixes on both sides (a normalization
+    * predicate, not an approximation). */
+  def editDistanceJoin(docs: DataFrame, d: Int = 3, prefixLen: Int = 48,
+      q: Int = 4): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = docs
+      .select(col("doc_id"), col("lang"),
+        substring(col("text"), 1, prefixLen).as("s"))
+      .where(length(col("s")) === prefixLen
+        && col("s").rlike("^[\\x20-\\x7E]+$"))
+    // positional q-grams in one raw-JVM pass (prep stage, one pass per doc)
+    val grams = base.as[(Long, String, String)]
+      .flatMap { case (id, lang, s) =>
+        (0 to s.length - q).iterator
+          .map(i => (id, lang, i, s.substring(i, i + q)))
+      }.toDF("doc_id", "lang", "pos", "gram")
+    // rarity dictionary: dense gid in (df asc, gram) order via distributed
+    // sort + zipWithIndex — vocabulary-sized, same shape as jaccardJoin's.
+    val dict = grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df"), col("gram")).select(col("gram")).as[String]
+      .rdd.zipWithIndex().map { case (g, i) => (g, (i + 1).toInt) }
+      .toDF("gram", "gid")
+    // each doc keeps only its q·d+1 rarest (gid, pos) entries — the Ed-Join
+    // prefix. Per-doc gram count is prefixLen−q+1 (tiny), so the sorted
+    // slice is in-row work, not a window.
+    val pref = grams.join(dict, "gram")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(slice(sort_array(collect_list(struct(col("gid"), col("pos")))),
+        1, q * d + 1).as("pg"))
+      .select(col("doc_id"), col("lang"), explode(col("pg")).as("g"))
+      .select(col("doc_id"), col("lang"),
+        col("g.gid").as("gid"), col("g.pos").as("pos"))
+    val cand = pref.as("a").join(pref.as("b"),
+        col("a.gid") === col("b.gid") && col("a.lang") === col("b.lang")
+          && col("a.doc_id") < col("b.doc_id")
+          && abs(col("a.pos") - col("b.pos")) <= d)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(base.select(col("doc_id").as("doc_a"), col("lang"),
+        col("s").as("sa")), "doc_a")
+      .join(base.select(col("doc_id").as("doc_b"), col("s").as("sb")),
+        "doc_b")
+      .withColumn("dist", levenshtein(col("sa"), col("sb")))
+      .where(col("dist") <= d)
+      .select(col("doc_a"), col("doc_b"), col("lang"),
+        col("dist").cast("long").as("dist"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   def queries: Map[String, Q] = Map(
     "dedup_exact" -> { (s, dir) =>
       exactDedup(Tables(s, dir, "documents")).orderBy("keep_id")
+    },
+
+    // Ed-Join edit-distance near-dup pairs (rarity-prefix blocked, exact
+    // levenshtein verified) — the typo/OCR-noise dedup regime where token-
+    // level Jaccard under-counts single-character damage.
+    "dedup_editdist" -> { (s, dir) =>
+      editDistanceJoin(Tables(s, dir, "documents"))
     },
 
     // The STREAMING exact dedup, oracle-gated (the q_stream_sessions
@@ -711,6 +788,19 @@ object DedupQueries {
          |  FROM documents)
          |SELECT min(doc_id) AS keep_id, COUNT(*) AS n_copies, md5(norm) AS norm_md5
          |FROM n GROUP BY norm ORDER BY keep_id""".stripMargin,
+
+    // brute force within lang blocks; DuckDB's byte-based levenshtein ==
+    // Spark's codepoint-based one on the ASCII-pinned universe.
+    "dedup_editdist" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, substr(text, 1, 48) AS s FROM documents
+        |  WHERE length(substr(text, 1, 48)) = 48
+        |    AND regexp_matches(substr(text, 1, 48), '^[ -~]+$'))
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang AS lang,
+        |       CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+        |FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.s, b.s) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
 
     // one row per distinct normalized key, each emitted exactly once — the
     // streaming-state claim the batch oracle can express.

@@ -299,6 +299,36 @@ object Relational {
            |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
     },
 
+    // Recursive CTE (SQL:1999 WITH RECURSIVE, Spark 4's UnionLoopExec):
+    // per-customer order chains — parent = previous order by
+    // (o_orderdate, o_orderkey) — walked anchor+step to a per-order chain
+    // depth, aggregated per depth. The recursion is the API surface being
+    // pinned (iterative graph sweeps live in GraphOps, which checkpoint and
+    // reuse bucketed layers); its scale shape is still sound: chains are
+    // linear (each row joins exactly one parent), so the frontier SHRINKS
+    // every round as chains terminate, and the round count is the max
+    // orders-per-customer (data-bound ~30, far under Spark's recursion
+    // guard of 100) — not corpus-size-bound. Exact integer aggregates; the
+    // unique (depth) group key is its own deterministic tiebreak.
+    "q_recursive_cte" -> { (s, dir) =>
+      Tables(s, dir, "orders").createOrReplaceTempView("graft_rcte_orders")
+      s.sql(
+        """WITH RECURSIVE parent AS (
+          |  SELECT o_orderkey AS okey,
+          |         lag(o_orderkey) OVER (PARTITION BY o_custkey
+          |                               ORDER BY o_orderdate, o_orderkey)
+          |           AS pkey
+          |  FROM graft_rcte_orders),
+          |chain AS (
+          |  SELECT okey, 1 AS depth FROM parent WHERE pkey IS NULL
+          |  UNION ALL
+          |  SELECT p.okey, c.depth + 1
+          |  FROM parent p JOIN chain c ON p.pkey = c.okey)
+          |SELECT CAST(depth AS BIGINT) AS depth, COUNT(*) AS n_orders,
+          |       CAST(SUM(okey % 1000) AS BIGINT) AS okey_mod_sum
+          |FROM chain GROUP BY depth ORDER BY depth""".stripMargin)
+    },
+
     // GDPR-style erase cascade audit: a deterministic erase list (portable
     // md5 predicate on custkey — in production, the regulatory request
     // batch) cascades customer → orders → lineitem, and the report counts
@@ -523,6 +553,25 @@ object Relational {
          |WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
          |GROUP BY l_returnflag, l_linestatus
          |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    // identical recursion on both engines: DuckDB iterates the working
+    // table exactly like UnionLoopExec, and the chain edges are a function
+    // of the deterministic (o_orderdate, o_orderkey) order.
+    "q_recursive_cte" ->
+      """WITH RECURSIVE parent AS (
+        |  SELECT o_orderkey AS okey,
+        |         lag(o_orderkey) OVER (PARTITION BY o_custkey
+        |                               ORDER BY o_orderdate, o_orderkey)
+        |           AS pkey
+        |  FROM orders),
+        |chain AS (
+        |  SELECT okey, 1 AS depth FROM parent WHERE pkey IS NULL
+        |  UNION ALL
+        |  SELECT p.okey, c.depth + 1
+        |  FROM parent p JOIN chain c ON p.pkey = c.okey)
+        |SELECT CAST(depth AS BIGINT) AS depth, COUNT(*) AS n_orders,
+        |       CAST(SUM(okey % 1000) AS BIGINT) AS okey_mod_sum
+        |FROM chain GROUP BY depth ORDER BY depth""".stripMargin,
 
     "q_filter_project" ->
       s"""SELECT l_orderkey, l_linenumber, ${CENTS("l_extendedprice")} AS price_cents

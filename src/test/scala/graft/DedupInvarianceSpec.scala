@@ -12,7 +12,8 @@ class DedupInvarianceSpec extends SparkTestBase {
     }
 
   for (q <- Seq("dedup_exact", "dedup_ngram", "dedup_minhash", "dedup_simhash",
-    "dedup_substring", "dedup_incremental", "dedup_cluster_star")) {
+    "dedup_substring", "dedup_incremental", "dedup_cluster_star",
+    "dedup_editdist")) {
     test(s"$q: identical results under shuffle partitions 1 vs 8") {
       assert(run(q, "1") == run(q, "8"), s"$q not partition-invariant")
     }

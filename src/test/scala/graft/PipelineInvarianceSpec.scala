@@ -19,7 +19,8 @@ class PipelineInvarianceSpec extends SparkTestBase {
     "q_stream_sliding", "q_classify_train", "q_quantile_merge",
     "q_shuffle_order", "q_waiting_supplier", "q_compaction",
     "q_dynamic_overwrite", "q_corrupt_json", "q_forward_fill",
-    "q_table_checksum", "dedup_keep_best", "q_division", "q_min_cost")) {
+    "q_table_checksum", "dedup_keep_best", "q_division", "q_min_cost",
+    "q_xml_source", "q_recursive_cte")) {
     test(s"$q: identical results under shuffle partitions 1 vs 8") {
       assert(run(q, "1") == run(q, "8"), s"$q not partition-invariant")
     }
