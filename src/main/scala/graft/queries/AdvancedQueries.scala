@@ -952,6 +952,94 @@ object AdvancedQueries {
         .orderBy("priority")
     },
 
+    // Incremental view maintenance of a JOIN view — the delta algebra
+    // (O∪ΔO)⋈(C∪ΔC) = O⋈C ∪ O⋈ΔC ∪ ΔO⋈C ∪ ΔO⋈ΔC applied to a per-nation
+    // revenue MV. The prior state agg(O⋈C) is persisted write-once (the
+    // materialized view — nation-sized, not fact-sized); a maintenance run
+    // computes only the three delta terms and merges partials. At 100 TB
+    // that is the whole point: refresh cost is O(Δ·dim + Δ²), never a
+    // rescan of the old fact table; ΔC is batch-sized so both ΔC terms
+    // BROADCAST, and ΔO⋈C broadcasts the customer dimension. The gate
+    // compares the incrementally-maintained view to the full-join oracle —
+    // the algebra must be exact, not approximately refreshed.
+    "q_ivm_join" -> { (s, dir) =>
+      val cut = "1997-01-01"
+      val cust = Tables(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"),
+          (pmod(md5Long(col("c_custkey").cast("string")), lit(13)) === 7)
+            .as("is_new"))
+      val cOld = cust.where(!col("is_new")).drop("is_new")
+      val cNew = cust.where(col("is_new")).drop("is_new")
+      val ords = Tables(s, dir, "orders")
+        .select(col("o_custkey"), col("o_totalprice"), col("o_orderdate"))
+      val oOld = ords.where(col("o_orderdate") < lit(cut))
+      val oNew = ords.where(col("o_orderdate") >= lit(cut))
+      def term(o: DataFrame, c: DataFrame, bcast: Boolean): DataFrame =
+        o.join(if (bcast) broadcast(c) else c,
+            col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_nationkey"))
+          .agg(count(lit(1)).as("n"), sum(cents(col("o_totalprice"))).as("rc"))
+      val stateDir =
+        s"/root/repo/target/tmp/ivm_state-${new java.io.File(dir).getName}"
+      graft.sources.Sinks.ensureDir(s, stateDir, "v1:nation,n,rc") {
+        term(oOld, cOld, bcast = false)
+          .write.mode("overwrite").parquet(stateDir)
+      }
+      s.read.parquet(stateDir)
+        .unionAll(term(oOld, cNew, bcast = true))
+        .unionAll(term(oNew, cOld, bcast = false))
+        .unionAll(term(oNew, cNew, bcast = true))
+        .groupBy(col("c_nationkey"))
+        .agg(sum(col("n")).as("n_orders"), sum(col("rc")).as("rc"))
+        .join(broadcast(Tables(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name"), col("n_orders"),
+          (col("rc").cast("double") / 100.0).as("rev"))
+        .orderBy("n_name")
+    },
+
+    // Snapshot time travel (graft.sources.SnapshotTable): three committed
+    // versions of an orders table — v1 base, v2 appends a delta dir that
+    // SHARES v1's files (manifest-only commit, O(delta) not O(table)), v3
+    // adds a merge-on-read delete file (erase-batch keys, broadcast
+    // anti-joined at scan; the data files are never rewritten). The gate
+    // reads all three versions through their manifests and pins each
+    // snapshot's aggregate — i.e. time travel returns exactly the rows the
+    // version was committed with, after later appends AND after deletes.
+    "q_time_travel" -> { (s, dir) =>
+      import graft.sources.{SnapshotTable => ST}
+      val base =
+        s"/root/repo/target/tmp/orders_tt-${new java.io.File(dir).getName}"
+      val cut = "1996-01-01"
+      graft.sources.Sinks.ensureDir(s, s"$base/data_v1", "v1:orders_pre") {
+        Tables(s, dir, "orders").where(col("o_orderdate") < lit(cut))
+          .write.mode("overwrite").parquet(s"$base/data_v1")
+      }
+      graft.sources.Sinks.ensureDir(s, s"$base/data_v2", "v1:orders_delta") {
+        Tables(s, dir, "orders").where(col("o_orderdate") >= lit(cut))
+          .write.mode("overwrite").parquet(s"$base/data_v2")
+      }
+      graft.sources.Sinks.ensureDir(s, s"$base/del_v3", "v1:erase_batch") {
+        Tables(s, dir, "orders")
+          .where(pmod(md5Long(col("o_orderkey").cast("string")), lit(11))
+            === 5)
+          .select(col("o_orderkey"))
+          .write.mode("overwrite").parquet(s"$base/del_v3")
+      }
+      ST.commit(s, base, 1, ST.Snapshot(Seq(s"$base/data_v1"), Nil))
+      ST.commit(s, base, 2,
+        ST.Snapshot(Seq(s"$base/data_v1", s"$base/data_v2"), Nil))
+      ST.commit(s, base, 3,
+        ST.Snapshot(Seq(s"$base/data_v1", s"$base/data_v2"),
+          Seq(s"$base/del_v3")))
+      (1 to 3).map { v =>
+        ST.readVersion(s, base, v, "o_orderkey")
+          .agg(count(lit(1)).as("n_orders"),
+            moneySum(col("o_totalprice")).as("rev"))
+          .select(lit(v.toLong).as("version"), col("n_orders"), col("rev"))
+      }.reduce(_.unionAll(_)).orderBy("version")
+    },
+
     // Data-quality constraint gate — the dbt-test / Deequ-style validation
     // report every ingest pipeline runs before promoting a batch: PK
     // uniqueness, FK orphans, range, enum-domain, and null checks, one row
@@ -1186,6 +1274,30 @@ object AdvancedQueries {
          |    ELSE '(pre-schema)' END AS priority,
          |  COUNT(*) AS n_orders, ${MONEY("o_totalprice")} AS rev
          |FROM orders GROUP BY 1 ORDER BY priority""".stripMargin,
+
+    // the oracle is the FULL recompute of the join view — equality proves
+    // the engine's delta algebra exact.
+    "q_ivm_join" ->
+      s"""SELECT n_name, COUNT(*) AS n_orders, ${MONEY("o_totalprice")} AS rev
+         |FROM orders
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    // v1 = pre-cut rows, v2 = all rows, v3 = all rows minus the md5 erase
+    // batch — the exact row sets each manifest commits.
+    "q_time_travel" ->
+      s"""SELECT CAST(1 AS BIGINT) AS version, COUNT(*) AS n_orders,
+         |  ${MONEY("o_totalprice")} AS rev
+         |FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT), COUNT(*), ${MONEY("o_totalprice")}
+         |FROM orders
+         |UNION ALL
+         |SELECT CAST(3 AS BIGINT), COUNT(*), ${MONEY("o_totalprice")}
+         |FROM orders
+         |WHERE ${MD5LONG("CAST(o_orderkey AS VARCHAR)")} % 11 <> 5
+         |ORDER BY version""".stripMargin,
 
     // each engine-side one-row aggregate becomes a CTE; counts cast to
     // BIGINT on both sides (DuckDB SUM(int) is HUGEINT).

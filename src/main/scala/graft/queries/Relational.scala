@@ -299,6 +299,35 @@ object Relational {
            |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
     },
 
+    // Skyline (Pareto frontier): the part sizes where no larger size sells
+    // for the same or less — maximize p_size, minimize price. Scale shape:
+    // one partial→final hash aggregate folds the fact table to a per-size
+    // (min-price) point set — DOMAIN-sized (≤ distinct sizes), not
+    // table-sized — and the dominance scan is a running-min window over
+    // that tiny aggregate (its single-task global sort is over ~50 rows by
+    // construction; the O(n²) NOT-EXISTS form the oracle uses would be the
+    // anti-pattern on the base table). n_parts counts the parts achieving
+    // each frontier point. Unique p_size group key = deterministic order.
+    "q_skyline" -> { (s, dir) =>
+      val part = Tables(s, dir, "part")
+      val perSize = part.groupBy(col("p_size"))
+        .agg(min(cents(col("p_retailprice"))).as("best_cents"))
+      val atPrice = part
+        .groupBy(col("p_size"), cents(col("p_retailprice")).as("best_cents"))
+        .agg(count(lit(1)).as("n_parts"))
+      val w = Window.orderBy(col("p_size").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      perSize
+        .withColumn("larger_min", min(col("best_cents")).over(w))
+        .where(col("larger_min").isNull
+          || col("best_cents") < col("larger_min"))
+        .join(atPrice, Seq("p_size", "best_cents"))
+        .select(col("p_size"),
+          (col("best_cents").cast("double") / 100.0).as("best_price"),
+          col("n_parts"))
+        .orderBy("p_size")
+    },
+
     // Recursive CTE (SQL:1999 WITH RECURSIVE, Spark 4's UnionLoopExec):
     // per-customer order chains — parent = previous order by
     // (o_orderdate, o_orderkey) — walked anchor+step to a per-order chain
@@ -553,6 +582,23 @@ object Relational {
          |WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
          |GROUP BY l_returnflag, l_linestatus
          |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    // declarative dominance (NOT EXISTS) — independently derived from the
+    // engine's running-min window rewrite, so it gates the rewrite itself.
+    "q_skyline" ->
+      s"""WITH ps AS (
+         |  SELECT p_size, MIN(${CENTS("p_retailprice")}) AS best_cents
+         |  FROM part GROUP BY p_size),
+         |cnt AS (
+         |  SELECT p_size, ${CENTS("p_retailprice")} AS c, COUNT(*) AS n
+         |  FROM part GROUP BY 1, 2)
+         |SELECT ps.p_size AS p_size,
+         |  CAST(ps.best_cents AS DOUBLE)/100.0 AS best_price,
+         |  cnt.n AS n_parts
+         |FROM ps JOIN cnt ON cnt.p_size = ps.p_size AND cnt.c = ps.best_cents
+         |WHERE NOT EXISTS (SELECT 1 FROM ps b
+         |  WHERE b.p_size > ps.p_size AND b.best_cents <= ps.best_cents)
+         |ORDER BY p_size""".stripMargin,
 
     // identical recursion on both engines: DuckDB iterates the working
     // table exactly like UnionLoopExec, and the chain edges are a function

@@ -1,0 +1,77 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{broadcast, col}
+
+/** Snapshot-versioned table: the lakehouse time-travel contract (Iceberg /
+  * Delta, distilled to its two load-bearing ideas) on plain parquet dirs.
+  *
+  * 1. Data files are IMMUTABLE and snapshots are manifests: version N is a
+  *    `_MANIFEST_vN` sidecar naming the data dirs it reads — an append
+  *    snapshot reuses every prior file and adds one delta dir, so committing
+  *    v2 costs O(delta), never a table rewrite. At 100 TB this is the only
+  *    viable version story: copy-on-write of the base is a full-table I/O
+  *    storm per commit.
+  * 2. Deletes are MERGE-ON-READ: a delete snapshot adds a key file (the
+  *    erased rows' keys, request-batch-sized), and the scan applies it as a
+  *    broadcast anti join — the fact files are untouched, readers of older
+  *    versions are unaffected, and compaction can fold the delete file in
+  *    later (see Compaction for the rewrite half).
+  *
+  * Time travel = read an old manifest. Manifests are written LAST (after
+  * their data dirs' `_SUCCESS` markers exist), so a crashed commit leaves no
+  * manifest and the previous version stays the readable head — the same
+  * commit-protocol shape as the reference sinks in [[Sinks]].
+  */
+object SnapshotTable {
+
+  final case class Snapshot(dataDirs: Seq[String], deleteDirs: Seq[String])
+
+  private def manifestPath(base: String, v: Int) =
+    new Path(s"$base/_MANIFEST_v$v")
+
+  /** Commit version `v`: data dirs must already be fully written (their
+    * `_SUCCESS` markers are the precondition the manifest asserts). */
+  def commit(spark: SparkSession, base: String, v: Int,
+      snap: Snapshot): Unit = {
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    for (d <- snap.dataDirs ++ snap.deleteDirs)
+      require(fs.exists(new Path(d, "_SUCCESS")),
+        s"snapshot v$v references uncommitted dir $d")
+    val body = s"data=${snap.dataDirs.mkString(",")}\n" +
+      s"delete=${snap.deleteDirs.mkString(",")}\n"
+    val out = fs.create(manifestPath(base, v), true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+  }
+
+  def manifest(spark: SparkSession, base: String, v: Int): Snapshot = {
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val p = manifestPath(base, v)
+    require(fs.exists(p), s"no committed snapshot v$v under $base")
+    val len = fs.getFileStatus(p).getLen.toInt
+    val buf = new Array[Byte](len)
+    val in = fs.open(p)
+    try in.readFully(buf) finally in.close()
+    val kv = new String(buf, "UTF-8").linesIterator
+      .map(_.split("=", 2)).map(a => a(0) -> a.lift(1).getOrElse(""))
+      .toMap
+    def dirs(k: String) = kv.getOrElse(k, "").split(",").filter(_.nonEmpty)
+    Snapshot(dirs("data").toSeq, dirs("delete").toSeq)
+  }
+
+  /** Scan of version `v`: union of its data dirs minus its delete keys.
+    * Delete files are erase-batch-sized, so the anti join is an explicit
+    * broadcast — the data files never reshuffle for a merge-on-read. */
+  def readVersion(spark: SparkSession, base: String, v: Int,
+      keyCol: String): DataFrame = {
+    val snap = manifest(spark, base, v)
+    val data = spark.read.parquet(snap.dataDirs: _*)
+    if (snap.deleteDirs.isEmpty) data
+    else {
+      val dels = spark.read.parquet(snap.deleteDirs: _*)
+        .select(col(keyCol)).distinct()
+      data.join(broadcast(dels), Seq(keyCol), "left_anti")
+    }
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.SnapshotTable
+import graft.sources.SnapshotTable.Snapshot
+
+/** Contract of the snapshot-versioned table: manifests name immutable data
+  * dirs, commits are refused for uncommitted dirs, deletes apply merge-on-read
+  * without touching data files, and a missing manifest (crashed commit) leaves
+  * the previous version as the readable head. */
+class SnapshotTableSpec extends SparkTestBase {
+
+  private def freshBase(): String =
+    Files.createTempDirectory("snaptab").toString
+
+  private def writeNums(dir: String, from: Int, until: Int): Unit = {
+    import spark.implicits._
+    (from until until).toDF("k").write.mode("overwrite").parquet(dir)
+  }
+
+  test("append snapshot shares prior files; old version is unaffected") {
+    val base = freshBase()
+    writeNums(s"$base/d1", 0, 10)
+    writeNums(s"$base/d2", 10, 15)
+    SnapshotTable.commit(spark, base, 1, Snapshot(Seq(s"$base/d1"), Nil))
+    SnapshotTable.commit(spark, base, 2,
+      Snapshot(Seq(s"$base/d1", s"$base/d2"), Nil))
+    assert(SnapshotTable.readVersion(spark, base, 1, "k").count() == 10)
+    assert(SnapshotTable.readVersion(spark, base, 2, "k").count() == 15)
+  }
+
+  test("delete snapshot is merge-on-read; earlier versions keep the rows") {
+    val base = freshBase()
+    writeNums(s"$base/d1", 0, 10)
+    writeNums(s"$base/del", 0, 3) // erase keys 0,1,2
+    SnapshotTable.commit(spark, base, 1, Snapshot(Seq(s"$base/d1"), Nil))
+    SnapshotTable.commit(spark, base, 2,
+      Snapshot(Seq(s"$base/d1"), Seq(s"$base/del")))
+    val v2 = SnapshotTable.readVersion(spark, base, 2, "k")
+    assert(v2.count() == 7)
+    assert(v2.agg(min(col("k"))).head().getInt(0) == 3)
+    // time travel to v1 still sees the erased rows
+    assert(SnapshotTable.readVersion(spark, base, 1, "k").count() == 10)
+  }
+
+  test("commit refuses a data dir without _SUCCESS") {
+    val base = freshBase()
+    Files.createDirectories(java.nio.file.Paths.get(s"$base/raw"))
+    intercept[IllegalArgumentException] {
+      SnapshotTable.commit(spark, base, 1, Snapshot(Seq(s"$base/raw"), Nil))
+    }
+  }
+
+  test("crashed commit (no manifest) leaves the previous head readable") {
+    val base = freshBase()
+    writeNums(s"$base/d1", 0, 5)
+    SnapshotTable.commit(spark, base, 1, Snapshot(Seq(s"$base/d1"), Nil))
+    // v2 was never committed: reading it must fail loudly...
+    intercept[IllegalArgumentException] {
+      SnapshotTable.readVersion(spark, base, 2, "k")
+    }
+    // ...and v1 stays fully readable.
+    assert(SnapshotTable.readVersion(spark, base, 1, "k").count() == 5)
+  }
+}
