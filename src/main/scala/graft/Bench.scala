@@ -83,9 +83,25 @@ object Bench {
     val top20 = results.toSeq.sortBy(-_._2).take(20)
       .map { case (k, v) => f""""$k":$v%.2f""" }
       .mkString("{", ",", "}")
+    // Regression tripwire: compare against the committed per-query baseline
+    // (scripts/update_bench_baseline.py refreshes it from a full run). A
+    // query regresses when it exceeds 2× its recorded time AND by more than
+    // 0.75 s absolute (sub-second queries jitter multiplicatively). Streaming
+    // gates are exempt: their timings carry ±2× machine-noise variance
+    // between runs (measured r7, documented in CLAUDE.md) — a tripwire on
+    // them would cry wolf. The field sits just before the headline tail so
+    // the driver's 2000-byte truncation can never hide a firing tripwire.
+    val regressions = results.toSeq.flatMap { case (k, v) =>
+      BenchBaseline.seconds.get(k) match {
+        case Some(base)
+            if !k.startsWith("q_stream_") && v > 2 * base && v - base > 0.75 =>
+          Some(f""""$k":{"sec":$v%.2f,"base":$base%.2f}""")
+        case _ => None
+      }
+    }.mkString("{", ",", "}")
     val fj = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"unit":"sec","sf":"$sfDir","queries":$qs,"top20_slowest":$top20,"failed":$fj,"n_queries":${results.size},"metric":"total","value":$total}""")
+    println(s"""{"unit":"sec","sf":"$sfDir","queries":$qs,"top20_slowest":$top20,"regressions":$regressions,"failed":$fj,"n_queries":${results.size},"metric":"total","value":$total}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }
