@@ -858,6 +858,32 @@ object AdvancedQueries {
         .orderBy("regionkey")
     },
 
+    // Custom DataSource V2 connector (graft.sources.KvTextSource): orders
+    // flattened write-once to the engine's tab-separated KV text format,
+    // read back through the V2 seam with a value predicate and a two-column
+    // projection that both PUSH INTO the reader (rows failing the filter
+    // never become InternalRows; unrequested columns are never allocated —
+    // KvTextSourceSpec pins both via the scan description). This is the
+    // connector story a 100 TB corpus in a homegrown format needs: split
+    // planning per file, driver touches only the listing, parsing runs
+    // inside the scan where Catalyst can see through it.
+    "q_dsv2_source" -> { (s, dir) =>
+      val tmp =
+        s"/root/repo/target/tmp/orders_kv-${new java.io.File(dir).getName}"
+      graft.sources.Sinks.ensureDir(s, tmp, "v1:orders,kvtext") {
+        Tables(s, dir, "orders")
+          .select(concat_ws("\t", col("o_orderpriority"),
+            cents(col("o_totalprice")).cast("string")).as("value"))
+          .write.mode("overwrite").text(tmp)
+      }
+      s.read.format(classOf[graft.sources.KvTextSource].getName).load(tmp)
+        .where(col("value") >= 20000000L)
+        .groupBy(col("key"))
+        .agg(count(lit(1)).as("n_orders"),
+          (sum(col("value")).cast("double") / 100.0).as("rev"))
+        .orderBy("key")
+    },
+
     // Small-files compaction (graft.sources.Compaction) — the object-store
     // hygiene op every 100 TB pipeline schedules (streaming sinks and
     // per-document media ingest fragment tables; the mm_binsource corpus
@@ -1527,6 +1553,15 @@ object AdvancedQueries {
          |  ${MONEY("l_extendedprice")} AS rev
          |FROM lineitem WHERE l_quantity > 30
          |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    // the KV text layer is a value-exact flattening of orders (priority,
+    // integer cents), so the oracle replays the filtered aggregate on the
+    // base table directly.
+    "q_dsv2_source" ->
+      s"""SELECT o_orderpriority AS key, COUNT(*) AS n_orders,
+         |  CAST(SUM(${CENTS("o_totalprice")}) AS DOUBLE)/100.0 AS rev
+         |FROM orders WHERE ${CENTS("o_totalprice")} >= 20000000
+         |GROUP BY 1 ORDER BY key""".stripMargin,
 
     // the bloom prefilter is invisible in the result (no false negatives;
     // false positives die in the semi join) — the oracle is the plain form.

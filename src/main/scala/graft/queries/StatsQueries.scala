@@ -301,6 +301,58 @@ object StatsQueries {
         .orderBy("priority")
     },
 
+    // EXACT quantiles (p25/p50/p75/p99) without a global sort — distributed
+    // two-phase selection. percentile_approx answers fast but approximately;
+    // the exact path most engines take (ORDER BY the fact table) is a full
+    // range-shuffle sort at 100 TB. This does it with TWO domain-sized
+    // aggregates instead: phase 1 folds the table to a high-bit histogram
+    // (v div 2¹⁶ — ~900 buckets for the cents domain; a partial→final agg
+    // whose partials are bucket-count-sized), the driver walks cumulative
+    // counts to locate each target rank's bucket (rank k = ⌈q·n⌉, the
+    // quantile_disc rule, computed as (p·n+99) div 100 in exact integers);
+    // phase 2 rescans ONLY the target buckets (the bucket predicate pushes
+    // to the scan) into a value-level histogram — ≤2¹⁶ distinct values per
+    // bucket, so both collects are bounded by construction, never
+    // fact-sized. Zero fact-sized shuffles, zero sorts of fact rows.
+    "q_exact_quantile" -> { (s, dir) =>
+      val ps = Seq(25, 50, 75, 99)
+      val vals = Tables(s, dir, "orders")
+        .select(cents(col("o_totalprice")).as("v"))
+      val hist = vals.groupBy(expr("v div 65536").as("b"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("b").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val n = hist.map(_._2).sum
+      // (p, k, bucket, rank-within-bucket) for each target quantile
+      val targets = ps.map { p =>
+        val k = (p * n + 99) / 100
+        var cum = 0L
+        var found = Option.empty[(Long, Long)]
+        for ((b, c) <- hist if found.isEmpty) {
+          if (k <= cum + c) found = Some((b, k - cum))
+          cum += c
+        }
+        val (b, r) = found.getOrElse(
+          throw new IllegalStateException(s"rank $k beyond n=$n"))
+        (p, k, b, r)
+      }
+      val needed = targets.map(_._3).distinct
+      val fine = vals.where(expr("v div 65536").isin(needed: _*))
+        .groupBy(expr("v div 65536").as("b"), col("v"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("b", "v").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val rows = targets.map { case (p, k, b, r) =>
+        var cum = 0L
+        val v = fine.collectFirst {
+          case (`b`, v, c) if { cum += c; r <= cum } => v
+        }.getOrElse(throw new IllegalStateException(s"rank $r missing in $b"))
+        (s"p$p", k, v.toDouble / 100.0)
+      }
+      import s.implicits._
+      rows.toDF("q", "k", "value").orderBy("q")
+    },
+
     "q_skew_join" -> { (s, dir) =>
       val l = Tables(s, dir, "lineitem")
         .withColumn("salt",
@@ -318,6 +370,26 @@ object StatsQueries {
     })
 
   def oracles: Map[String, String] = Map(
+    // quantile_disc IS the ⌈q·n⌉-rank rule the engine's two-phase selection
+    // implements (verified empirically across parities); k replayed as the
+    // same exact-integer ceiling.
+    "q_exact_quantile" ->
+      s"""WITH c AS (
+         |  SELECT ${CENTS("o_totalprice")} AS v FROM orders),
+         |t AS (SELECT COUNT(*) AS n FROM c)
+         |SELECT 'p25' AS q, (25*t.n+99)//100 AS k,
+         |  CAST(quantile_disc(v, 0.25) AS DOUBLE)/100.0 AS value FROM c, t GROUP BY t.n
+         |UNION ALL
+         |SELECT 'p50', (50*t.n+99)//100,
+         |  CAST(quantile_disc(v, 0.50) AS DOUBLE)/100.0 FROM c, t GROUP BY t.n
+         |UNION ALL
+         |SELECT 'p75', (75*t.n+99)//100,
+         |  CAST(quantile_disc(v, 0.75) AS DOUBLE)/100.0 FROM c, t GROUP BY t.n
+         |UNION ALL
+         |SELECT 'p99', (99*t.n+99)//100,
+         |  CAST(quantile_disc(v, 0.99) AS DOUBLE)/100.0 FROM c, t GROUP BY t.n
+         |ORDER BY q""".stripMargin,
+
     "q_pivot" ->
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
         |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
