@@ -884,6 +884,30 @@ object AdvancedQueries {
         .orderBy("key")
     },
 
+    // The connector's WRITE half: customer balances go OUT through the DSv2
+    // two-phase commit (tasks stage, driver commit renames + _SUCCESS —
+    // KvTextSinkSpec drives the duplicate-attempt and abort cases directly)
+    // and come back through the V2 read seam with a pushed negative-balance
+    // predicate. Write-once like every other derived layer; the gate proves
+    // the round trip is value-exact against the base table.
+    "q_dsv2_sink" -> { (s, dir) =>
+      val tmp =
+        s"/root/repo/target/tmp/cust_kv-${new java.io.File(dir).getName}"
+      val fmt = classOf[graft.sources.KvTextSource].getName
+      graft.sources.Sinks.ensureDir(s, tmp, "v1:customer,kvsink") {
+        Tables(s, dir, "customer")
+          .select(col("c_mktsegment").as("key"),
+            cents(col("c_acctbal")).as("value"))
+          .write.format(fmt).mode("overwrite").save(tmp)
+      }
+      s.read.format(fmt).load(tmp)
+        .where(col("value") < 0L)
+        .groupBy(col("key"))
+        .agg(count(lit(1)).as("n_debtors"),
+          (sum(col("value")).cast("double") / 100.0).as("owed"))
+        .orderBy("key")
+    },
+
     // Small-files compaction (graft.sources.Compaction) — the object-store
     // hygiene op every 100 TB pipeline schedules (streaming sinks and
     // per-document media ingest fragment tables; the mm_binsource corpus
@@ -1553,6 +1577,14 @@ object AdvancedQueries {
          |  ${MONEY("l_extendedprice")} AS rev
          |FROM lineitem WHERE l_quantity > 30
          |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    // the sink round trip is value-exact, so the oracle replays the
+    // filtered aggregate on the base table.
+    "q_dsv2_sink" ->
+      s"""SELECT c_mktsegment AS key, COUNT(*) AS n_debtors,
+         |  CAST(SUM(${CENTS("c_acctbal")}) AS DOUBLE)/100.0 AS owed
+         |FROM customer WHERE ${CENTS("c_acctbal")} < 0
+         |GROUP BY 1 ORDER BY key""".stripMargin,
 
     // the KV text layer is a value-exact flattening of orders (priority,
     // integer cents), so the oracle replays the filtered aggregate on the

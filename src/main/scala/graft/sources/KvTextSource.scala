@@ -9,9 +9,10 @@ import scala.collection.mutable.ArrayBuffer
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -40,9 +41,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *    allocates a key string per row.
   */
 object KvTextSource {
+  // nullable so arbitrary (never-actually-null) projections can write
+  // through the V2 seam without a nullability cast; the reader never
+  // produces nulls and the writer rejects them at the parse boundary
   val Schema: StructType = StructType(Seq(
-    StructField("key", StringType, nullable = false),
-    StructField("value", LongType, nullable = false)))
+    StructField("key", StringType, nullable = true),
+    StructField("value", LongType, nullable = true)))
 }
 
 class KvTextSource extends TableProvider {
@@ -54,16 +58,21 @@ class KvTextSource extends TableProvider {
     new KvTable(properties.get("path"))
 }
 
-final class KvTable(path: String) extends Table with SupportsRead {
+final class KvTable(path: String) extends Table
+    with SupportsRead with SupportsWrite {
   require(path != null, "graft KV source requires a single load(path)")
 
   override def name(): String = s"graft-kv:$path"
   override def schema(): StructType = KvTextSource.Schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new KvScanBuilder(path)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new KvWriteBuilder(path, info)
 }
 
 final class KvScanBuilder(path: String) extends ScanBuilder
@@ -184,3 +193,107 @@ final class KvPartitionReader(file: String, filters: Array[Filter],
   override def get(): InternalRow = row
   override def close(): Unit = in.close()
 }
+
+/** Write path: the two-phase commit every distributed sink needs. Tasks
+  * stream rows to STAGED files under `_staging/<queryId>/`, named by
+  * (partition, task) so speculative attempts never collide; each task's
+  * commit message names its staged file, and only the DRIVER commit renames
+  * message-named files into the table and finally writes `_SUCCESS` — so a
+  * duplicate attempt's orphan stage is swept, an aborted job leaves the
+  * table exactly as it was, and readers (whose split planning skips `_`
+  * prefixes) never observe a half-written state. Same protocol shape as the
+  * engine's file sinks ([[Sinks]]) and snapshot commits ([[SnapshotTable]]),
+  * here at the connector seam where Spark drives it.
+  */
+final class KvWriteBuilder(path: String, info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsTruncate {
+
+  private var doTruncate = false
+
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite =
+      new KvBatchWrite(path, info.queryId(), doTruncate,
+        info.schema().fieldNames.toSeq)
+  }
+}
+
+final class KvBatchWrite(path: String, queryId: String, truncate: Boolean,
+    fieldNames: Seq[String]) extends BatchWrite {
+  require(fieldNames == Seq("key", "value"),
+    s"graft-kv writes (key, value) rows, got ${fieldNames.mkString(",")}")
+
+  private def fs() = FileSystem.get(new java.net.URI(path), new Configuration())
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory =
+    new KvWriterFactory(path, queryId)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val f = fs()
+    val table = new Path(path)
+    if (truncate)
+      f.listStatus(table)
+        .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+        .foreach(s => f.delete(s.getPath, false))
+    messages.foreach { case KvCommitMessage(staged) =>
+      val src = new Path(staged)
+      f.rename(src, new Path(table, src.getName)): Unit
+    }
+    // orphaned speculative stages die with the staging dir; _SUCCESS last
+    sweepStaging(f)
+    val out = f.create(new Path(table, "_SUCCESS"), true)
+    out.close()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    sweepStaging(fs())
+
+  private def sweepStaging(f: FileSystem): Unit = {
+    f.delete(new Path(s"$path/_staging/$queryId"), true)
+    // non-recursive: only succeeds once no concurrent write is staging
+    try f.delete(new Path(s"$path/_staging"), false)
+    catch { case _: java.io.IOException => () }
+    ()
+  }
+}
+
+final class KvWriterFactory(path: String, queryId: String)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int,
+      taskId: Long): DataWriter[InternalRow] =
+    new KvDataWriter(path, queryId, partitionId, taskId)
+}
+
+final class KvDataWriter(path: String, queryId: String, partitionId: Int,
+    taskId: Long) extends DataWriter[InternalRow] {
+
+  private val staged =
+    new Path(s"$path/_staging/$queryId/part-$partitionId-$taskId.kv")
+  private val fsHandle = FileSystem.get(staged.toUri, new Configuration())
+  private val out = fsHandle.create(staged, true)
+
+  override def write(row: InternalRow): Unit = {
+    require(!row.isNullAt(0) && !row.isNullAt(1),
+      "graft-kv format has no null encoding")
+    val key = row.getUTF8String(0).toString
+    require(key.indexOf('\t') < 0, s"key may not contain a tab: $key")
+    out.write(s"$key\t${row.getLong(1)}\n".getBytes(StandardCharsets.UTF_8))
+  }
+
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    KvCommitMessage(staged.toString)
+  }
+
+  override def abort(): Unit = {
+    out.close()
+    fsHandle.delete(staged, false): Unit
+  }
+
+  override def close(): Unit = ()
+}
+
+final case class KvCommitMessage(stagedFile: String)
+    extends WriterCommitMessage

@@ -1,0 +1,97 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sources.{KvBatchWrite, KvWriterFactory}
+
+/** The DSv2 write path's exactly-once contract, driven both through Spark
+  * (round trip, truncate overwrite) and at the BatchWrite API directly
+  * (speculative duplicate attempts, job abort) — the failure cases Spark
+  * only produces under real task loss. */
+class KvTextSinkSpec extends SparkTestBase {
+
+  private val fmt = classOf[graft.sources.KvTextSource].getName
+
+  private def freshDir(): String = {
+    val d = Files.createTempDirectory("kvsink")
+    d.toString
+  }
+
+  private def writeKv(dir: String, rows: Seq[(String, Long)]): Unit = {
+    import spark.implicits._
+    rows.toDF("key", "value").repartition(2)
+      .write.format(fmt).mode("overwrite").save(dir)
+  }
+
+  test("round trip through the V2 write + read seams is value-exact") {
+    val dir = freshDir()
+    val rows = Seq(("a", 1L), ("b", -2L), ("c", 30L))
+    writeKv(dir, rows)
+    val back = spark.read.format(fmt).load(dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+    assert(back == rows.sorted)
+  }
+
+  test("overwrite truncates: second write fully replaces the first") {
+    val dir = freshDir()
+    writeKv(dir, Seq(("old", 1L), ("old", 2L)))
+    writeKv(dir, Seq(("new", 7L)))
+    val back = spark.read.format(fmt).load(dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(back == Seq(("new", 7L)))
+  }
+
+  private def row(k: String, v: Long): InternalRow =
+    InternalRow(UTF8String.fromString(k), java.lang.Long.valueOf(v))
+
+  test("speculative duplicate attempt: only the committed message lands") {
+    val dir = freshDir()
+    val bw = new KvBatchWrite(dir, "job1", truncate = false,
+      Seq("key", "value"))
+    val factory = new KvWriterFactory(dir, "job1")
+    // two attempts of partition 0 race; both stage, ONE commits
+    val winner = factory.createWriter(0, taskId = 100L)
+    val loser = factory.createWriter(0, taskId = 101L)
+    winner.write(row("w", 1L))
+    loser.write(row("l", 666L))
+    val msg = winner.commit()
+    // the losing attempt is killed without abort (executor lost) — its
+    // staged file survives until the driver commit sweeps staging
+    bw.commit(Array(msg))
+    val back = spark.read.format(fmt).load(dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(back == Seq(("w", 1L)), s"duplicate attempt leaked: $back")
+    assert(!new java.io.File(s"$dir/_staging").exists,
+      "staging not swept on commit")
+  }
+
+  test("job abort leaves the table exactly as it was") {
+    val dir = freshDir()
+    writeKv(dir, Seq(("keep", 5L)))
+    val bw = new KvBatchWrite(dir, "job2", truncate = true,
+      Seq("key", "value"))
+    val w = new KvWriterFactory(dir, "job2").createWriter(0, 200L)
+    w.write(row("doomed", 9L))
+    val msg = w.commit()
+    bw.abort(Array(msg))
+    val back = spark.read.format(fmt).load(dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(back == Seq(("keep", 5L)), s"abort corrupted the table: $back")
+    assert(!new java.io.File(s"$dir/_staging/job2").exists)
+  }
+
+  test("null rows are rejected at the write boundary") {
+    val dir = freshDir()
+    import spark.implicits._
+    val err = intercept[Exception] {
+      Seq(("a", 1L)).toDF("key", "value")
+        .select(lit(null).cast("string").as("key"), col("value"))
+        .write.format(fmt).mode("overwrite").save(dir)
+    }
+    assert(err.getMessage != null)
+  }
+}
