@@ -508,6 +508,39 @@ object EventQueries {
         .orderBy("user_id", "sess_id")
     },
 
+    // Interval-overlap merge (stabbing/coverage consolidation): each event
+    // opens a VARIABLE-length interval (60–659 s, derived from event_id so
+    // both engines replay it exactly), and overlapping intervals per user
+    // consolidate into islands. This is NOT gap sessionization: an early
+    // long interval can span several later short ones, so the island break
+    // tests ts against the RUNNING MAX of all preceding ends (an O(1)
+    // window frame), not the previous row's end — the lag-based rewrite is
+    // the classic wrong answer this gate would catch. One user-keyed
+    // exchange, constant per-row state: the sweep scales exactly like
+    // sessionize at 100 TB.
+    "q_interval_merge" -> { (s, dir) =>
+      val e = normalized(s, dir).select(col("user_id"), col("event_id"),
+        col("ts_us"),
+        (col("ts_us") + (pmod(col("event_id"), lit(600)) + 60) * 1000000L)
+          .as("end_us"))
+      val order = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val prevMax = max(col("end_us"))
+        .over(order.rowsBetween(Window.unboundedPreceding, -1))
+      val flagged = e.withColumn("new_island",
+        when(prevMax.isNull || col("ts_us") > prevMax, 1L).otherwise(0L))
+      flagged
+        .withColumn("island", sum(col("new_island"))
+          .over(order.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("island"))
+        .agg(min(col("ts_us")).as("start_us"), max(col("end_us")).as("end_us"),
+          count(lit(1)).as("n_events"))
+        .withColumn("covered_us", col("end_us") - col("start_us"))
+        .select(col("user_id"), col("island"), col("start_us"),
+          col("end_us"), col("covered_us"), col("n_events"))
+        .orderBy("user_id", "island")
+    },
+
     // Same gap sessions through Spark's BUILTIN session_window operator —
     // the merging-window aggregate form (one shuffle, partial merge of
     // overlapping windows) vs q_sessionize's window-function form; both are
@@ -883,6 +916,33 @@ object EventQueries {
          |  max(ts_us) AS sess_end_us, COUNT(*) AS n_events,
          |  CAST(SUM(val_cents) AS DOUBLE)/100.0 AS val_sum
          |FROM g GROUP BY user_id, sess_id ORDER BY user_id, sess_id""".stripMargin,
+
+    // running-max-of-ends island logic, replayed verbatim; the interval
+    // length is the same event_id-derived function on both engines.
+    "q_interval_merge" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        |    epoch_us(CAST(ts AS TIMESTAMP))
+        |      + ((event_id % 600) + 60) * 1000000 AS end_us
+        |  FROM events),
+        |f AS (
+        |  SELECT *, CASE WHEN max(end_us) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |    OR ts_us > max(end_us) OVER (PARTITION BY user_id
+        |      ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |    THEN 1 ELSE 0 END AS new_island
+        |  FROM e),
+        |g AS (
+        |  SELECT *, CAST(SUM(new_island) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS island
+        |  FROM f)
+        |SELECT user_id, island, MIN(ts_us) AS start_us, MAX(end_us) AS end_us,
+        |  MAX(end_us) - MIN(ts_us) AS covered_us, COUNT(*) AS n_events
+        |FROM g GROUP BY user_id, island ORDER BY user_id, island""".stripMargin,
 
     // same gap-session CTE chain as q_sessionize, re-aggregated without the
     // session ordinal (session_window carries no sess_id).

@@ -24,6 +24,24 @@ object Relational {
 
   private def ts(d: String) = lit(d).cast("timestamp")
 
+  /** Shared SQL text for q_not_in — the engine runs it verbatim on temp
+    * views, the oracle on the DuckDB base tables, so the three-valued-logic
+    * semantics under test cannot diverge by transcription. */
+  private def NotInSql(ord: String, cust: String): String =
+    s"""WITH nullable_never_null AS (
+       |  SELECT COUNT(*) AS n FROM $ord WHERE o_custkey NOT IN
+       |    (SELECT CASE WHEN c_acctbal < -999.99 THEN NULL ELSE c_custkey END
+       |     FROM $cust WHERE c_mktsegment = 'BUILDING')),
+       |null_poisoned AS (
+       |  SELECT COUNT(*) AS n FROM $ord WHERE o_custkey NOT IN
+       |    (SELECT CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_custkey END
+       |     FROM $cust)),
+       |plain_anti AS (
+       |  SELECT COUNT(*) AS n FROM $ord WHERE o_custkey NOT IN
+       |    (SELECT c_custkey FROM $cust WHERE c_mktsegment = 'BUILDING'))
+       |SELECT a.n AS n_not_in, b.n AS n_null_poisoned, c.n AS n_anti
+       |FROM nullable_never_null a, null_poisoned b, plain_anti c""".stripMargin
+
   def queries: Map[String, Q] = Map(
     // TPC-H Q1 shape: scan-side filter + algebraic agg on exact cents.
     "q1_agg" -> { (s, dir) =>
@@ -328,6 +346,22 @@ object Relational {
         .orderBy("p_size")
     },
 
+    // Three-valued NOT IN (null-aware anti join): the SQL trap every
+    // migration hits. Same SQL text runs on both engines. Branch 1: the
+    // subquery's CASE is nullable BY SCHEMA but never null IN DATA (acctbal
+    // floors at -999.99) — the planner cannot prove that, so Spark must run
+    // a null-AWARE anti join (single-column broadcast NAAJ, pinned in
+    // PlanQualitySpec — the nested-loop fallback would be the 100 TB
+    // disaster), yet the result equals the plain anti join. Branch 2: the
+    // subquery genuinely contains a NULL (custkey ≡ 0 mod 7, present at
+    // every SF), and ANSI three-valued logic makes NOT IN return ZERO rows —
+    // the count pins the semantics most hand-rolled rewrites get wrong.
+    "q_not_in" -> { (s, dir) =>
+      Tables(s, dir, "orders").createOrReplaceTempView("graft_ni_ord")
+      Tables(s, dir, "customer").createOrReplaceTempView("graft_ni_cust")
+      s.sql(NotInSql("graft_ni_ord", "graft_ni_cust"))
+    },
+
     // Recursive CTE (SQL:1999 WITH RECURSIVE, Spark 4's UnionLoopExec):
     // per-customer order chains — parent = previous order by
     // (o_orderdate, o_orderkey) — walked anchor+step to a per-order chain
@@ -582,6 +616,10 @@ object Relational {
          |WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
          |GROUP BY l_returnflag, l_linestatus
          |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    // identical text, DuckDB base tables; single output row, no ORDER BY
+    // needed.
+    "q_not_in" -> NotInSql("orders", "customer"),
 
     // declarative dominance (NOT EXISTS) — independently derived from the
     // engine's running-min window rewrite, so it gates the rewrite itself.

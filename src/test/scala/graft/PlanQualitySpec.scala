@@ -36,6 +36,17 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q_not_in: NOT IN plans as a null-AWARE broadcast anti join") {
+    val p = planOf(SparkEntry.queries("q_not_in")(spark, sf))
+    // the trailing `true` on the LeftAnti BHJ is isNullAwareAntiJoin; the
+    // disaster alternative for a nullable NOT IN is a nested-loop anti join
+    assert(p.contains("LeftAnti, BuildRight, true"),
+      s"NOT IN lost the single-column NAAJ:\n$p")
+    assert(!p.split("== Initial Plan ==")(0).matches(
+      "(?s).*NestedLoopJoin[^\\n]*LeftAnti.*"),
+      s"NOT IN degraded to a nested-loop anti join:\n$p")
+  }
+
   test("aggregates run partial then final (map-side combine)") {
     for (q <- Seq("wordcount", "q1_agg")) {
       val p = planOf(SparkEntry.queries(q)(spark, sf))
