@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Distributed graph primitives for the dedup pipeline.
@@ -432,6 +432,40 @@ object GraphOps {
       // while the checkpointed loop re-executes ONE compiled sweep shape
       // per round (codegen cache hit; measured ~40% faster at 5 sweeps)
       // and keeps lineage flat for any iteration budget.
+      it += 1
+    }
+    r
+  }
+
+  /** Personalized PageRank on the same prepared degree-annotated edge
+    * table as [[pageRankOn]] — identical sweep shape and cost (the edge
+    * side joins exchange-free off the bucketed scan; only the node-sized
+    * rank table moves), but the teleport mass restarts ONLY at seed nodes
+    * (node ≡ seedRes mod seedMod, a deterministic predicate both engines
+    * replay): rnk₀ = scale·[seed], rnkₖ₊₁(v) = base·[seed v] +
+    * (85·Σ rnkₖ(u) div d(u)) div 100. Exact integer arithmetic throughout,
+    * so the oracle's unrolled-CTE replay lands bit-identically. This is
+    * the query-time half of seed-biased ranking (recommendations,
+    * trust propagation) — at 100 TB the point is that a NEW seed set costs
+    * only the node-sized sweeps, never a graph rebuild. */
+  def personalizedPageRankOn(ed: DataFrame, iters: Int = 5,
+      scale: Long = 1000000L, seedMod: Int = 101,
+      seedRes: Int = 7): DataFrame = {
+    val base = 15L * scale / 100L
+    def seedBase(n: Column, amt: Long) =
+      when(pmod(n, lit(seedMod.toLong)) === lit(seedRes.toLong), lit(amt))
+        .otherwise(lit(0L))
+    var r = ed.select(col("u")).distinct()
+      .select(col("u").as("node"), seedBase(col("u"), scale).as("rnk"))
+    var it = 0
+    while (it < iters) {
+      r = ed.join(r.hint("SHUFFLE_HASH"), ed("u") === r("node"))
+        .select(ed("v").as("v"), expr("rnk DIV d").as("c"))
+        .groupBy(col("v"))
+        .agg(sum(col("c")).as("s"))
+        .select(col("v").as("node"),
+          (seedBase(col("v"), base) + expr("(85 * s) DIV 100")).as("rnk"))
+        .localCheckpoint() // same per-sweep checkpoint rule as pageRankOn
       it += 1
     }
     r

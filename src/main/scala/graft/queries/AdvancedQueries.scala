@@ -680,6 +680,19 @@ object AdvancedQueries {
         .limit(100)
     },
 
+    // Personalized PageRank off the SAME write-once bucketed edge layer —
+    // seed-restricted teleport (node ≡ 7 mod 101), proving a new seed set
+    // re-ranks the graph for only the node-sized sweep cost. Top-100 by
+    // rank with the node-id tiebreak; zero-rank tail excluded so the limit
+    // boundary can't land inside a run of rank-0 peers at any SF.
+    "q_ppr" -> { (s, dir) =>
+      graft.operators.GraphOps.personalizedPageRankOn(
+          s.table(degreeEdgeTable(s, dir)), iters = 5)
+        .where(col("rnk") > 0)
+        .orderBy(col("rnk").desc, col("node"))
+        .limit(100)
+    },
+
     // As-of NEAREST: the third mode users ask of an as-of join — the
     // temporally closest match in EITHER direction (sensor alignment,
     // nearest-quote joins). Composed from the native operator's two
@@ -1550,6 +1563,32 @@ object AdvancedQueries {
          |r0 AS (SELECT u AS node, CAST(1000000 AS BIGINT) AS rnk FROM deg),
          |${(1 to 5).map(iter).mkString(",\n")}
          |SELECT node, rnk FROM r5
+         |ORDER BY rnk DESC, node LIMIT 100""".stripMargin
+    },
+
+    // q_pagerank's unrolled replay with the seed-conditional teleport.
+    "q_ppr" -> {
+      val iter = (k: Int) => {
+        val prev = s"r${k - 1}"
+        s"""r$k AS (
+           |  SELECT ed.v AS node,
+           |    CAST(CASE WHEN ed.v % 101 = 7 THEN 150000 ELSE 0 END
+           |      + (85 * SUM(r.rnk // ed.d)) // 100 AS BIGINT) AS rnk
+           |  FROM ed JOIN $prev r ON ed.u = r.node GROUP BY ed.v)""".stripMargin
+      }
+      s"""WITH pr AS (
+         |  SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem GROUP BY 1, 2),
+         |ep AS (
+         |  SELECT a.pk AS u, b.pk AS v FROM pr a
+         |  JOIN pr b ON a.ok = b.ok AND a.pk < b.pk GROUP BY 1, 2),
+         |e AS (SELECT u, v FROM ep UNION ALL SELECT v, u FROM ep),
+         |deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY u),
+         |ed AS (SELECT e.u, e.v, deg.d FROM e JOIN deg ON e.u = deg.u),
+         |r0 AS (SELECT u AS node,
+         |  CAST(CASE WHEN u % 101 = 7 THEN 1000000 ELSE 0 END AS BIGINT) AS rnk
+         |  FROM deg),
+         |${(1 to 5).map(iter).mkString(",\n")}
+         |SELECT node, rnk FROM r5 WHERE rnk > 0
          |ORDER BY rnk DESC, node LIMIT 100""".stripMargin
     },
 

@@ -345,4 +345,37 @@ class GraphOpsSpec extends SparkTestBase {
       .as[(Long, Long, Long)].head()
     assert(got == ((10L, 25L, 0L)))
   }
+
+  /** Prepared (u, v, d) table for the *On sweep entry points: both edge
+    * orientations, degree-annotated. */
+  private def prepared(edges: Seq[(Long, Long)]) = {
+    import spark.implicits._
+    val e0 = edges.toDF("u", "v")
+    val e = e0.union(e0.select($"v".as("u"), $"u".as("v")))
+    val deg = e.groupBy($"u").agg(
+      org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("d"))
+    e.join(deg, "u")
+  }
+
+  test("personalized PageRank decays with distance from the seed") {
+    // path 0-1-2-...-9; only node 7 is a seed (7 mod 1000)
+    val path = (0L until 9L).map(i => (i, i + 1))
+    val ranks = GraphOps.personalizedPageRankOn(prepared(path), iters = 8,
+        seedMod = 1000, seedRes = 7)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ranks(7) > ranks(6) && ranks(6) > ranks(5) &&
+      ranks(5) > ranks(4), s"no decay away from the seed: $ranks")
+    // far end of the path holds (near-)zero mass; the seed holds the most
+    assert(ranks(0) < ranks(7) / 10, s"mass leaked to the far end: $ranks")
+    assert(ranks.maxBy(_._2)._1 == 7L || ranks.maxBy(_._2)._1 == 8L)
+  }
+
+  test("personalized PageRank with no seeds is identically zero") {
+    val path = (0L until 5L).map(i => (i, i + 1))
+    val ranks = GraphOps.personalizedPageRankOn(prepared(path), iters = 3,
+        seedMod = 1000, seedRes = 999)
+      .collect().map(_.getLong(1))
+    assert(ranks.forall(_ == 0L))
+  }
 }
