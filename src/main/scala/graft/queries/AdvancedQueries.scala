@@ -1061,6 +1061,45 @@ object AdvancedQueries {
         .orderBy("n_name")
     },
 
+    // IVM under DELETION — the retraction half of incremental maintenance
+    // (q_ivm_join covers inserts): count/sum aggregates are groups under ⊕,
+    // so a delete batch folds in as NEGATED partials (−n, −rc) and the view
+    // never rescans the surviving fact rows. The maintenance cost is
+    // O(Δ·dim): the deleted-keys batch semi-joins the fact table (at 100 TB
+    // the delete feed arrives as keys, and the key probe is a bloom/semi
+    // shape), the matched rows join the BROADCAST customer dimension, and
+    // nation-sized partials merge. Exactness gated against the full
+    // recompute-without-deleted oracle. MIN/MAX would NOT maintain this way
+    // (not invertible) — that boundary is the design note, and why the MV
+    // carries only group-invertible aggregates.
+    "q_ivm_delete" -> { (s, dir) =>
+      val cust = Tables(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      val ords = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      def agg(o: DataFrame, sign: Int): DataFrame =
+        o.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_nationkey"))
+          .agg((count(lit(1)) * sign).as("n"),
+            (sum(cents(col("o_totalprice"))) * sign).as("rc"))
+      val stateDir =
+        s"/root/repo/target/tmp/ivmdel_state-${new java.io.File(dir).getName}"
+      graft.sources.Sinks.ensureDir(s, stateDir, "v1:nation,n,rc") {
+        agg(ords, 1).write.mode("overwrite").parquet(stateDir)
+      }
+      val deleted = ords.where(
+        pmod(md5Long(col("o_orderkey").cast("string")), lit(13)) === 3)
+      s.read.parquet(stateDir)
+        .unionAll(agg(deleted, -1))
+        .groupBy(col("c_nationkey"))
+        .agg(sum(col("n")).as("n_orders"), sum(col("rc")).as("rc"))
+        .join(broadcast(Tables(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name"), col("n_orders"),
+          (col("rc").cast("double") / 100.0).as("rev"))
+        .orderBy("n_name")
+    },
+
     // Snapshot time travel (graft.sources.SnapshotTable): three committed
     // versions of an orders table — v1 base, v2 appends a delta dir that
     // SHARES v1's files (manifest-only commit, O(delta) not O(table)), v3
@@ -1345,6 +1384,16 @@ object AdvancedQueries {
          |FROM orders
          |JOIN customer ON o_custkey = c_custkey
          |JOIN nation ON c_nationkey = n_nationkey
+         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    // full recompute over the SURVIVING rows only — equality proves the
+    // negated-partials retraction exact.
+    "q_ivm_delete" ->
+      s"""SELECT n_name, COUNT(*) AS n_orders, ${MONEY("o_totalprice")} AS rev
+         |FROM orders
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |WHERE ${MD5LONG("CAST(o_orderkey AS VARCHAR)")} % 13 <> 3
          |GROUP BY n_name ORDER BY n_name""".stripMargin,
 
     // v1 = pre-cut rows, v2 = all rows, v3 = all rows minus the md5 erase

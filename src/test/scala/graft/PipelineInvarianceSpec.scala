@@ -22,7 +22,7 @@ class PipelineInvarianceSpec extends SparkTestBase {
     "q_table_checksum", "dedup_keep_best", "q_division", "q_min_cost",
     "q_xml_source", "q_recursive_cte", "q_skyline", "q_ivm_join",
     "q_time_travel", "q_dsv2_source", "q_dsv2_sink", "q_exact_quantile",
-    "q_not_in", "q_interval_merge", "q_ppr")) {
+    "q_not_in", "q_interval_merge", "q_ppr", "q_ivm_delete")) {
     test(s"$q: identical results under shuffle partitions 1 vs 8") {
       assert(run(q, "1") == run(q, "8"), s"$q not partition-invariant")
     }
