@@ -1,6 +1,5 @@
 package graft.sources
 
-import java.io.{BufferedReader, InputStreamReader}
 import java.nio.charset.StandardCharsets
 import java.util.{Map => JMap}
 
@@ -69,13 +68,15 @@ final class KvTable(path: String) extends Table
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new KvScanBuilder(path)
+    new KvScanBuilder(path,
+      options.getLong("maxSplitBytes", 128L * 1024 * 1024))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new KvWriteBuilder(path, info)
 }
 
-final class KvScanBuilder(path: String) extends ScanBuilder
+final class KvScanBuilder(path: String, maxSplitBytes: Long)
+    extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var pushed: Array[Filter] = Array.empty
@@ -102,11 +103,11 @@ final class KvScanBuilder(path: String) extends ScanBuilder
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new KvScan(path, pushed, required)
+  override def build(): Scan = new KvScan(path, pushed, required, maxSplitBytes)
 }
 
-final class KvScan(path: String, filters: Array[Filter], required: StructType)
-    extends Scan with Batch {
+final class KvScan(path: String, filters: Array[Filter], required: StructType,
+    maxSplitBytes: Long) extends Scan with Batch {
 
   override def readSchema(): StructType = required
 
@@ -117,41 +118,77 @@ final class KvScan(path: String, filters: Array[Filter], required: StructType)
 
   override def toBatch: Batch = this
 
+  /** Offset-range split planning: large files break into maxSplitBytes
+    * ranges (so ONE 100 GB file still fans across the cluster), with the
+    * TextInputFormat line protocol reconciling ranges to whole records —
+    * a reader owns every line whose first byte lies in [start, end], and a
+    * non-zero start discards its leading partial line because the previous
+    * range reads through it. The driver only lists; no content reads. */
   override def planInputPartitions(): Array[InputPartition] = {
     val fs = FileSystem.get(new java.net.URI(path), new Configuration())
     fs.listStatus(new Path(path))
       .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
         !s.getPath.getName.startsWith("."))
       .sortBy(_.getPath.getName)
-      .map(s => KvInputPartition(s.getPath.toString): InputPartition)
+      .flatMap { s =>
+        val len = s.getLen
+        val n = math.max(1L, (len + maxSplitBytes - 1) / maxSplitBytes)
+        (0L until n).map { k =>
+          KvInputPartition(s.getPath.toString, k * maxSplitBytes,
+            math.min((k + 1) * maxSplitBytes, len)): InputPartition
+        }
+      }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new KvReaderFactory(filters, required)
 }
 
-final case class KvInputPartition(file: String) extends InputPartition
+final case class KvInputPartition(file: String, start: Long, end: Long)
+    extends InputPartition
 
 final class KvReaderFactory(filters: Array[Filter], required: StructType)
     extends PartitionReaderFactory {
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new KvPartitionReader(p.asInstanceOf[KvInputPartition].file, filters,
-      required)
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val kp = p.asInstanceOf[KvInputPartition]
+    new KvPartitionReader(kp.file, kp.start, kp.end, filters, required)
+  }
 }
 
-/** Streams one file: parse → filter on primitives → project required
-  * columns. Rows failing a pushed predicate cost one line-parse and zero
-  * allocations beyond it. */
-final class KvPartitionReader(file: String, filters: Array[Filter],
-    required: StructType) extends PartitionReader[InternalRow] {
+/** Streams one [start, end) byte range of one file: raw byte lines (UTF-8
+  * never embeds 0x0A in a multi-byte sequence, so byte-splitting on \n is
+  * exact) → parse → filter on primitives → project required columns. Rows
+  * failing a pushed predicate cost one line-parse and zero allocations
+  * beyond it. Range protocol: a line belongs to the range holding its
+  * first byte (reading runs while lineStart <= end, so a line opening
+  * exactly at `end` is this range's); a non-zero start discards its
+  * leading (possibly partial) line — the preceding range finishes it. */
+final class KvPartitionReader(file: String, start: Long, end: Long,
+    filters: Array[Filter], required: StructType)
+    extends PartitionReader[InternalRow] {
 
   private val in = {
     val p = new Path(file)
     val fs = FileSystem.get(p.toUri, new Configuration())
-    new BufferedReader(
-      new InputStreamReader(fs.open(p), StandardCharsets.UTF_8))
+    val s = fs.open(p)
+    if (start > 0) s.seek(start)
+    new java.io.BufferedInputStream(s, 1 << 16)
   }
+  private var pos = start
   private var row: InternalRow = _
+
+  // read one raw line (consuming its trailing \n); null at EOF
+  private def readRawLine(): Array[Byte] = {
+    val buf = new java.io.ByteArrayOutputStream(64)
+    var b = in.read()
+    if (b < 0) return null
+    while (b >= 0 && b != '\n') { buf.write(b); b = in.read() }
+    pos += buf.size() + (if (b == '\n') 1 else 0)
+    buf.toByteArray
+  }
+
+  // a non-zero start discards the partial line the previous range finishes
+  if (start > 0) readRawLine()
 
   private def keep(key: String, value: Long): Boolean = filters.forall {
     case EqualTo("key", v) => key == v.asInstanceOf[String]
@@ -171,8 +208,10 @@ final class KvPartitionReader(file: String, filters: Array[Filter],
   }
 
   override def next(): Boolean = {
-    var line = in.readLine()
-    while (line != null) {
+    while (pos <= end) {
+      val bytes = readRawLine()
+      if (bytes == null) return false
+      val line = new String(bytes, StandardCharsets.UTF_8)
       val tab = line.indexOf('\t')
       require(tab >= 0, s"malformed KV line in $file: $line")
       val key = line.substring(0, tab)
@@ -185,7 +224,6 @@ final class KvPartitionReader(file: String, filters: Array[Filter],
         row = InternalRow.fromSeq(vals.toIndexedSeq)
         return true
       }
-      line = in.readLine()
     }
     false
   }

@@ -71,11 +71,46 @@ class KvTextSourceSpec extends SparkTestBase {
     assert(df.head().getLong(0) == 54321L)
   }
 
-  test("split planning: one partition per data file") {
+  test("split planning: one partition per data file at the default size") {
     val files = new java.io.File(dir).listFiles
       .count(f => f.isFile && !f.getName.startsWith("_") &&
         !f.getName.startsWith("."))
     assert(files == 3)
     assert(load().rdd.getNumPartitions == files)
+  }
+
+  test("offset-range splits: forced mid-line boundaries lose no rows") {
+    // tiny maxSplitBytes puts range boundaries inside lines; the
+    // TextInputFormat protocol must still read every line exactly once
+    val whole = load().collect().map(r => (r.getString(0), r.getLong(1)))
+      .toSeq.sorted
+    for (split <- Seq("1", "2", "3", "5", "7", "64")) {
+      val df = spark.read
+        .format(classOf[graft.sources.KvTextSource].getName)
+        .option("maxSplitBytes", split).load(dir)
+      val got = df.collect().map(r => (r.getString(0), r.getLong(1)))
+        .toSeq.sorted
+      assert(got == whole, s"split=$split lost or duplicated rows")
+    }
+    val tiny = spark.read
+      .format(classOf[graft.sources.KvTextSource].getName)
+      .option("maxSplitBytes", "4").load(dir)
+    assert(tiny.rdd.getNumPartitions > 3,
+      "tiny split size did not fan one file across ranges")
+  }
+
+  test("offset-range splits handle a file without a trailing newline") {
+    val d = Files.createTempDirectory("kvnoeol").toString
+    // hand-written file: last line unterminated
+    java.nio.file.Files.write(java.nio.file.Paths.get(d, "data.kv"),
+      "a\t1\nbb\t22\nccc\t333".getBytes("UTF-8"))
+    for (split <- Seq("1", "4", "1024")) {
+      val got = spark.read
+        .format(classOf[graft.sources.KvTextSource].getName)
+        .option("maxSplitBytes", split).load(d)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+      assert(got == Seq(("a", 1L), ("bb", 22L), ("ccc", 333L)),
+        s"split=$split: $got")
+    }
   }
 }
