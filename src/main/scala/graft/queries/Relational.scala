@@ -374,19 +374,23 @@ object Relational {
     // guard of 100) — not corpus-size-bound. Exact integer aggregates; the
     // unique (depth) group key is its own deterministic tiebreak.
     "q_recursive_cte" -> { (s, dir) =>
-      Tables(s, dir, "orders").createOrReplaceTempView("graft_rcte_orders")
+      // the parent edge table is MATERIALIZED before the recursion (the
+      // exact counterpart of the oracle's AS MATERIALIZED rule): inlined,
+      // UnionLoopExec re-evaluates the referenced CTE every iteration, so a
+      // depth-d recursion would pay d window sorts over orders instead of
+      // one — the same exponential-rescan trap the DuckDB side documents.
+      val parent = Tables(s, dir, "orders").selectExpr(
+          "o_orderkey AS okey",
+          "lag(o_orderkey) OVER (PARTITION BY o_custkey " +
+            "ORDER BY o_orderdate, o_orderkey) AS pkey")
+        .localCheckpoint()
+      parent.createOrReplaceTempView("graft_rcte_parent")
       s.sql(
-        """WITH RECURSIVE parent AS (
-          |  SELECT o_orderkey AS okey,
-          |         lag(o_orderkey) OVER (PARTITION BY o_custkey
-          |                               ORDER BY o_orderdate, o_orderkey)
-          |           AS pkey
-          |  FROM graft_rcte_orders),
-          |chain AS (
-          |  SELECT okey, 1 AS depth FROM parent WHERE pkey IS NULL
+        """WITH RECURSIVE chain AS (
+          |  SELECT okey, 1 AS depth FROM graft_rcte_parent WHERE pkey IS NULL
           |  UNION ALL
           |  SELECT p.okey, c.depth + 1
-          |  FROM parent p JOIN chain c ON p.pkey = c.okey)
+          |  FROM graft_rcte_parent p JOIN chain c ON p.pkey = c.okey)
           |SELECT CAST(depth AS BIGINT) AS depth, COUNT(*) AS n_orders,
           |       CAST(SUM(okey % 1000) AS BIGINT) AS okey_mod_sum
           |FROM chain GROUP BY depth ORDER BY depth""".stripMargin)
