@@ -271,6 +271,11 @@ final class KvBatchWrite(path: String, queryId: String, truncate: Boolean,
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val f = fs()
     val table = new Path(path)
+    // invalidate FIRST: a crash anywhere in the delete/rename sequence must
+    // leave the dir without _SUCCESS (unreadable-as-fresh), never a stale
+    // success marker over a half-committed mix — the same tag-invalidation
+    // rule the in-place correction sinks follow (Sinks.withInvalidated)
+    f.delete(new Path(table, "_SUCCESS"), false)
     if (truncate)
       f.listStatus(table)
         .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
