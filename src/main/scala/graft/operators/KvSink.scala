@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Dataset}
-import org.apache.spark.sql.functions.{col, concat, lit, raise_error, when}
+import org.apache.spark.sql.functions.{col, concat, count, first, lit, raise_error, when}
 
 /** O12 parity surface: the reference's terminal store is a concurrent
   * hashmap the driver point-looks-up after the run (reference hashmap.c
@@ -118,7 +118,15 @@ object KvSink {
     require(changes.columns.length == 3,
       s"applyChanges changes must be a (key, op, value) 3-column table; got ${changes.columns.mkString("(", ",", ")")}")
     val Array(k, v) = base.columns
+    // one key-grouped pass over the (batch-sized) feed: a feed carrying two
+    // changes for one key is corrupt (which applies first?) and must fail
+    // loudly, not fan the key out through the full-outer join; the groupBy
+    // pre-partitions on k, so the join reuses the exchange. first() is
+    // order-arbitrary but only survives when _n == 1.
     val c = changes.toDF(k, "_op", "_change_value")
+      .groupBy(col(k))
+      .agg(count(lit(1)).as("_n"), first(col("_op")).as("_op"),
+        first(col("_change_value")).as("_change_value"))
     val b = base.withColumnRenamed(v, "_base_value")
       .withColumn("_in_base", lit(true))
     b.join(c, Seq(k), "full_outer")
@@ -126,7 +134,10 @@ object KvSink {
       // every change row — a check only in the value projection would be
       // skipped for D rows once the filter pushes below the project
       .where(
-        when(col("_op").isNotNull && !col("_op").isin("I", "U", "D"),
+        when(col("_n") > 1,
+          raise_error(concat(lit("applyChanges: duplicate change rows for "),
+            lit("key "), col(k).cast("string"))).cast("boolean"))
+          .when(col("_op").isNotNull && !col("_op").isin("I", "U", "D"),
           raise_error(concat(lit("applyChanges: unknown op '"), col("_op"),
             lit("' for key "), col(k).cast("string"))).cast("boolean"))
           .when(col("_op") === "I" && col("_in_base").isNotNull,

@@ -72,10 +72,13 @@ object MediaPipeline {
     var pos = 0
     while (pos < payload.length) {
       val (w, h, pixStart) = PgmDecoder.parseFrameHeaderAt(payload, pos)
-      require(payload.length - pixStart >= w * h,
+      // Long arithmetic: a malformed header like 65536x65536 wraps w*h to 0
+      // in Int, which would pass the truncation guard and desync the walk
+      val px = w.toLong * h.toLong
+      require(px <= (payload.length.toLong - pixStart) && px <= Int.MaxValue,
         s"frameIndex: truncated frame at byte $pos (${w}x$h)")
       out += FrameRef(pos.toLong, w, h, pixStart)
-      pos = pixStart + w * h
+      pos = pixStart + px.toInt
     }
     out.result()
   }
@@ -112,7 +115,8 @@ object MediaPipeline {
       * failure on any malformation. */
     def parseHeader(payload: Array[Byte]): (Int, Int, Int) = {
       val (w, h, pos) = parseFrameHeaderAt(payload, 0)
-      require(payload.length - pos == w * h,
+      // Long product: Int w*h wraps for adversarial headers (65536x65536)
+      require(payload.length.toLong - pos == w.toLong * h.toLong,
         s"PgmDecoder: ${payload.length - pos} pixel bytes for ${w}x$h")
       (w, h, pos)
     }

@@ -446,17 +446,23 @@ object DedupQueries {
       q: Int = 4): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // base fans into three consumers (grams + both verify joins) and grams
+    // into two (dict + pref): checkpoint the compact intermediates so the
+    // scan and the per-doc gram explosion run once, not per branch
+    // (CLAUDE.md fan-out rule; both are prefixLen-bounded per doc)
     val base = docs
       .select(col("doc_id"), col("lang"),
         substring(col("text"), 1, prefixLen).as("s"))
       .where(length(col("s")) === prefixLen
         && col("s").rlike("^[\\x20-\\x7E]+$"))
+      .localCheckpoint()
     // positional q-grams in one raw-JVM pass (prep stage, one pass per doc)
     val grams = base.as[(Long, String, String)]
       .flatMap { case (id, lang, s) =>
         (0 to s.length - q).iterator
           .map(i => (id, lang, i, s.substring(i, i + q)))
       }.toDF("doc_id", "lang", "pos", "gram")
+      .localCheckpoint()
     // rarity dictionary: dense gid in (df asc, gram) order via distributed
     // sort + zipWithIndex — vocabulary-sized, same shape as jaccardJoin's.
     val dict = grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
@@ -473,6 +479,7 @@ object DedupQueries {
       .select(col("doc_id"), col("lang"), explode(col("pg")).as("g"))
       .select(col("doc_id"), col("lang"),
         col("g.gid").as("gid"), col("g.pos").as("pos"))
+      .localCheckpoint() // self-joined below: one dict join, not two
     val cand = pref.as("a").join(pref.as("b"),
         col("a.gid") === col("b.gid") && col("a.lang") === col("b.lang")
           && col("a.doc_id") < col("b.doc_id")

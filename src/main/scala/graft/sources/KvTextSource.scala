@@ -46,6 +46,31 @@ object KvTextSource {
   val Schema: StructType = StructType(Seq(
     StructField("key", StringType, nullable = true),
     StructField("value", LongType, nullable = true)))
+
+  /** The session's Hadoop configuration as a serializable map — captured on
+    * the driver (factories close over it) and rebuilt per task, so
+    * spark.hadoop.* settings (object-store credentials, fs.defaultFS)
+    * reach the connector's executor-side FileSystem calls. A bare
+    * `new Configuration()` would silently ignore the session's settings. */
+  private def sessionConf(): Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
+
+  def sessionConfMap(): Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    sessionConf().iterator().asScala.map(e => e.getKey -> e.getValue).toMap
+  }
+
+  private[sources] def confFrom(m: Map[String, String]): Configuration = {
+    val c = new Configuration(false)
+    m.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+
+  private[sources] def sessionFs(uri: java.net.URI): FileSystem =
+    FileSystem.get(uri, sessionConf())
 }
 
 class KvTextSource extends TableProvider {
@@ -125,7 +150,7 @@ final class KvScan(path: String, filters: Array[Filter], required: StructType,
     * non-zero start discards its leading partial line because the previous
     * range reads through it. The driver only lists; no content reads. */
   override def planInputPartitions(): Array[InputPartition] = {
-    val fs = FileSystem.get(new java.net.URI(path), new Configuration())
+    val fs = KvTextSource.sessionFs(new java.net.URI(path))
     fs.listStatus(new Path(path))
       .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
         !s.getPath.getName.startsWith("."))
@@ -141,17 +166,18 @@ final class KvScan(path: String, filters: Array[Filter], required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new KvReaderFactory(filters, required)
+    new KvReaderFactory(filters, required, KvTextSource.sessionConfMap())
 }
 
 final case class KvInputPartition(file: String, start: Long, end: Long)
     extends InputPartition
 
-final class KvReaderFactory(filters: Array[Filter], required: StructType)
-    extends PartitionReaderFactory {
+final class KvReaderFactory(filters: Array[Filter], required: StructType,
+    confMap: Map[String, String]) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val kp = p.asInstanceOf[KvInputPartition]
-    new KvPartitionReader(kp.file, kp.start, kp.end, filters, required)
+    new KvPartitionReader(kp.file, kp.start, kp.end, filters, required,
+      confMap)
   }
 }
 
@@ -164,12 +190,12 @@ final class KvReaderFactory(filters: Array[Filter], required: StructType)
   * exactly at `end` is this range's); a non-zero start discards its
   * leading (possibly partial) line — the preceding range finishes it. */
 final class KvPartitionReader(file: String, start: Long, end: Long,
-    filters: Array[Filter], required: StructType)
-    extends PartitionReader[InternalRow] {
+    filters: Array[Filter], required: StructType,
+    confMap: Map[String, String]) extends PartitionReader[InternalRow] {
 
   private val in = {
     val p = new Path(file)
-    val fs = FileSystem.get(p.toUri, new Configuration())
+    val fs = FileSystem.get(p.toUri, KvTextSource.confFrom(confMap))
     val s = fs.open(p)
     if (start > 0) s.seek(start)
     new java.io.BufferedInputStream(s, 1 << 16)
@@ -262,11 +288,12 @@ final class KvBatchWrite(path: String, queryId: String, truncate: Boolean,
   require(fieldNames == Seq("key", "value"),
     s"graft-kv writes (key, value) rows, got ${fieldNames.mkString(",")}")
 
-  private def fs() = FileSystem.get(new java.net.URI(path), new Configuration())
+  // commit/abort run on the driver, where the session is in scope
+  private def fs() = KvTextSource.sessionFs(new java.net.URI(path))
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
-    new KvWriterFactory(path, queryId)
+    new KvWriterFactory(path, queryId, KvTextSource.sessionConfMap())
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val f = fs()
@@ -282,7 +309,13 @@ final class KvBatchWrite(path: String, queryId: String, truncate: Boolean,
         .foreach(s => f.delete(s.getPath, false))
     messages.foreach { case KvCommitMessage(staged) =>
       val src = new Path(staged)
-      f.rename(src, new Path(table, src.getName)): Unit
+      // committed names carry the queryId so files from different jobs can
+      // never collide in append mode (task ids restart near 0 per JVM), and
+      // a false rename (existing destination on HDFS semantics, races)
+      // must abort the commit — ignoring it would stamp _SUCCESS over a
+      // table that silently lost this task's rows
+      val dst = new Path(table, s"$queryId-${src.getName}")
+      require(f.rename(src, dst), s"commit rename failed: $src -> $dst")
     }
     // orphaned speculative stages die with the staging dir; _SUCCESS last
     sweepStaging(f)
@@ -302,19 +335,21 @@ final class KvBatchWrite(path: String, queryId: String, truncate: Boolean,
   }
 }
 
-final class KvWriterFactory(path: String, queryId: String)
-    extends DataWriterFactory {
+final class KvWriterFactory(path: String, queryId: String,
+    confMap: Map[String, String]) extends DataWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =
-    new KvDataWriter(path, queryId, partitionId, taskId)
+    new KvDataWriter(path, queryId, partitionId, taskId, confMap)
 }
 
 final class KvDataWriter(path: String, queryId: String, partitionId: Int,
-    taskId: Long) extends DataWriter[InternalRow] {
+    taskId: Long, confMap: Map[String, String])
+    extends DataWriter[InternalRow] {
 
   private val staged =
     new Path(s"$path/_staging/$queryId/part-$partitionId-$taskId.kv")
-  private val fsHandle = FileSystem.get(staged.toUri, new Configuration())
+  private val fsHandle =
+    FileSystem.get(staged.toUri, KvTextSource.confFrom(confMap))
   private val out = fsHandle.create(staged, true)
 
   override def write(row: InternalRow): Unit = {

@@ -32,7 +32,14 @@ object SnapshotTable {
     new Path(s"$base/_MANIFEST_v$v")
 
   /** Commit version `v`: data dirs must already be fully written (their
-    * `_SUCCESS` markers are the precondition the manifest asserts). */
+    * `_SUCCESS` markers are the precondition the manifest asserts). The
+    * manifest body is written to a temp sibling and RENAMED into place, so
+    * the final path only ever holds a complete manifest — a crash mid-write
+    * leaves a `.tmp` orphan, never a truncated manifest that readVersion
+    * would trust (an empty/partial manifest silently resurrects deleted
+    * rows). Re-committing an existing version is a no-op when the content
+    * is identical (idempotent replay) and an ERROR when it differs:
+    * committed history is immutable. */
   def commit(spark: SparkSession, base: String, v: Int,
       snap: Snapshot): Unit = {
     val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
@@ -41,8 +48,16 @@ object SnapshotTable {
         s"snapshot v$v references uncommitted dir $d")
     val body = s"data=${snap.dataDirs.mkString(",")}\n" +
       s"delete=${snap.deleteDirs.mkString(",")}\n"
-    val out = fs.create(manifestPath(base, v), true)
+    val dst = manifestPath(base, v)
+    if (fs.exists(dst)) {
+      require(manifest(spark, base, v) == snap,
+        s"snapshot v$v already committed with different content")
+      return
+    }
+    val tmp = new Path(s"$dst.tmp")
+    val out = fs.create(tmp, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
+    require(fs.rename(tmp, dst), s"manifest commit rename failed for v$v")
   }
 
   def manifest(spark: SparkSession, base: String, v: Int): Snapshot = {

@@ -98,6 +98,11 @@ class KvSinkSpec extends SparkTestBase {
     intercept[Exception] {
       KvSink.applyChanges(prev, changes((1L, "Z", "x"))).collect()
     }
+    // duplicate change rows for one key (ambiguous apply order)
+    intercept[Exception] {
+      KvSink.applyChanges(prev,
+        changes((1L, "U", "x"), (1L, "U", "y"))).collect()
+    }
     // a well-formed feed passes through the same checks
     val ok = KvSink.applyChanges(prev,
       changes((1L, "U", "x"), (2L, "D", null), (3L, "I", "c")))

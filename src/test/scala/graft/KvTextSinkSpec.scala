@@ -52,7 +52,7 @@ class KvTextSinkSpec extends SparkTestBase {
     val dir = freshDir()
     val bw = new KvBatchWrite(dir, "job1", truncate = false,
       Seq("key", "value"))
-    val factory = new KvWriterFactory(dir, "job1")
+    val factory = new KvWriterFactory(dir, "job1", graft.sources.KvTextSource.sessionConfMap())
     // two attempts of partition 0 race; both stage, ONE commits
     val winner = factory.createWriter(0, taskId = 100L)
     val loser = factory.createWriter(0, taskId = 101L)
@@ -74,7 +74,7 @@ class KvTextSinkSpec extends SparkTestBase {
     writeKv(dir, Seq(("keep", 5L)))
     val bw = new KvBatchWrite(dir, "job2", truncate = true,
       Seq("key", "value"))
-    val w = new KvWriterFactory(dir, "job2").createWriter(0, 200L)
+    val w = new KvWriterFactory(dir, "job2", graft.sources.KvTextSource.sessionConfMap()).createWriter(0, 200L)
     w.write(row("doomed", 9L))
     val msg = w.commit()
     bw.abort(Array(msg))

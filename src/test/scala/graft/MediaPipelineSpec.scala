@@ -55,6 +55,12 @@ class MediaPipelineSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {   // unsupported maxval
       MediaPipeline.PgmDecoder.decode("P5 2 2 65535\n1234".getBytes)
     }
+    intercept[IllegalArgumentException] {   // w*h wraps Int to 0
+      MediaPipeline.PgmDecoder.decode("P5 65536 65536 255\n".getBytes)
+    }
+    intercept[IllegalArgumentException] {   // w*h wraps Int negative
+      MediaPipeline.frameIndex("P5 46341 46341 255\nxx".getBytes)
+    }
   }
 
   test("PgmDecoder through decodeAll: distributed decode, any partitioning") {
