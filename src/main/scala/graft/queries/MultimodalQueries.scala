@@ -58,6 +58,37 @@ object MultimodalQueries {
     tmp
   }
 
+  /** md5 digest of a doc's text — the deterministic byte source every
+    * synthesized media payload derives from (the oracles replay the same
+    * hex pairs by index arithmetic). */
+  private def md5Bytes(text: String): Array[Byte] =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** The canonical synthesized single-frame PGM (mm_decode / mm_features /
+    * mm_resize): dims 2–4 from digest bytes 0/1, raster = digest prefix.
+    * ONE engine-side definition so the oracles' hex-pair replays can never
+    * drift against a second copy of the derivation. */
+  private def synthPgm(text: String): Array[Byte] = {
+    val d = md5Bytes(text)
+    val w = 2 + (d(0) & 0xff) % 3
+    val h = 2 + (d(1) & 0xff) % 3
+    graft.operators.MediaPipeline.pgmPayload(w, h,
+      java.util.Arrays.copyOfRange(d, 0, w * h))
+  }
+
+  /** The canonical synthesized WAV (mm_audio / mm_audio_resample): rate
+    * from digest byte 3, 4–8 little-endian 16-bit samples from consecutive
+    * hex pairs. */
+  private def synthWav(text: String): Array[Byte] = {
+    val d = md5Bytes(text)
+    val rate = 8000 + 1000 * ((d(3) & 0xff) % 5)
+    val n = 4 + (d(4) & 0xff) % 5
+    val samples = Array.tabulate(n)(i =>
+      (((d(2 * i + 1) & 0xff) << 8) | (d(2 * i) & 0xff)).toShort)
+    graft.operators.MediaPipeline.wavPayload(rate, samples)
+  }
+
   def queries: Map[String, Q] = Map(
     // REAL feature extraction through the Decoder seam: the same synthesized
     // PGM payloads as mm_decode, parsed by PgmQuadDecoder and reduced to the
@@ -71,14 +102,8 @@ object MultimodalQueries {
       import s.implicits._
       val payloads = Tables(s, dir, "documents")
         .select(col("doc_id"), col("text")).as[(Long, String)]
-        .map { case (id, text) =>
-          val d = java.security.MessageDigest.getInstance("MD5")
-            .digest(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          val w = 2 + (d(0) & 0xff) % 3
-          val h = 2 + (d(1) & 0xff) % 3
-          (id, graft.operators.MediaPipeline.pgmPayload(w, h,
-            java.util.Arrays.copyOfRange(d, 0, w * h)))
-        }.toDF("doc_id", "payload")
+        .map { case (id, text) => (id, synthPgm(text)) }
+        .toDF("doc_id", "payload")
       graft.operators.MediaPipeline
         .decodeAll(payloads, graft.operators.MediaPipeline.PgmQuadDecoder)
         .toDF()
@@ -108,14 +133,8 @@ object MultimodalQueries {
       import s.implicits._
       val payloads = Tables(s, dir, "documents")
         .select(col("doc_id"), col("text")).as[(Long, String)]
-        .map { case (id, text) =>
-          val d = java.security.MessageDigest.getInstance("MD5")
-            .digest(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          val w = 2 + (d(0) & 0xff) % 3
-          val h = 2 + (d(1) & 0xff) % 3
-          (id, graft.operators.MediaPipeline.pgmPayload(w, h,
-            java.util.Arrays.copyOfRange(d, 0, w * h)))
-        }.toDF("doc_id", "payload")
+        .map { case (id, text) => (id, synthPgm(text)) }
+        .toDF("doc_id", "payload")
       graft.operators.MediaPipeline
         .decodeAll(payloads, graft.operators.MediaPipeline.PgmDecoder)
         .toDF()
@@ -143,22 +162,14 @@ object MultimodalQueries {
       Tables(s, dir, "documents")
         .select(col("doc_id"), col("text")).as[(Long, String)]
         .map { case (id, text) =>
-          val d = java.security.MessageDigest.getInstance("MD5")
-            .digest(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          val w = 2 + (d(0) & 0xff) % 3
-          val h = 2 + (d(1) & 0xff) % 3
-          val payload = graft.operators.MediaPipeline.pgmPayload(w, h,
-            java.util.Arrays.copyOfRange(d, 0, w * h))
           val (w2, h2, px) =
-            graft.operators.MediaPipeline.resizeNearest(payload, 2)
-          var sum = 0L; var mn = 256; var mx = -1
-          px.foreach { b =>
-            val v = b & 0xff
-            sum += v
-            if (v < mn) mn = v
-            if (v > mx) mx = v
-          }
-          (id, w2.toLong, h2.toLong, sum, mn.toLong, mx.toLong,
+            graft.operators.MediaPipeline.resizeNearest(synthPgm(text), 2)
+          // re-encode the resized raster and reduce through the SAME
+          // decoder path as mm_decode — one stats implementation, no drift
+          val (_, _, _, f) = graft.operators.MediaPipeline.PgmDecoder.decode(
+            graft.operators.MediaPipeline.pgmPayload(w2, h2, px))
+          val (sum, mn, mx) = (f(0).toLong, f(1).toLong, f(2).toLong)
+          (id, w2.toLong, h2.toLong, sum, mn, mx,
             sum.toDouble / (w2 * h2))
         }
         .toDF("doc_id", "width2", "height2", "px_sum", "px_min", "px_max",
@@ -209,15 +220,8 @@ object MultimodalQueries {
       import s.implicits._
       val payloads = Tables(s, dir, "documents")
         .select(col("doc_id"), col("text")).as[(Long, String)]
-        .map { case (id, text) =>
-          val d = java.security.MessageDigest.getInstance("MD5")
-            .digest(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          val rate = 8000 + 1000 * ((d(3) & 0xff) % 5)
-          val n = 4 + (d(4) & 0xff) % 5
-          val samples = Array.tabulate(n)(i =>
-            (((d(2 * i + 1) & 0xff) << 8) | (d(2 * i) & 0xff)).toShort)
-          (id, graft.operators.MediaPipeline.wavPayload(rate, samples))
-        }.toDF("doc_id", "payload")
+        .map { case (id, text) => (id, synthWav(text)) }
+        .toDF("doc_id", "payload")
       graft.operators.MediaPipeline
         .decodeAll(payloads, graft.operators.MediaPipeline.WavDecoder)
         .toDF()
@@ -244,25 +248,15 @@ object MultimodalQueries {
       Tables(s, dir, "documents")
         .select(col("doc_id"), col("text")).as[(Long, String)]
         .map { case (id, text) =>
-          val d = java.security.MessageDigest.getInstance("MD5")
-            .digest(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          val rate = 8000 + 1000 * ((d(3) & 0xff) % 5)
-          val n = 4 + (d(4) & 0xff) % 5
-          val samples = Array.tabulate(n)(i =>
-            (((d(2 * i + 1) & 0xff) << 8) | (d(2 * i) & 0xff)).toShort)
-          val payload = graft.operators.MediaPipeline.wavPayload(rate, samples)
           val (rate2, kept) =
-            graft.operators.MediaPipeline.decimateWav(payload, 2)
-          var sum = 0L
-          var mn = Int.MaxValue
-          var mx = Int.MinValue
-          kept.foreach { v =>
-            sum += v
-            if (v < mn) mn = v.toInt
-            if (v > mx) mx = v.toInt
-          }
-          (id, rate2.toLong, kept.length.toLong, sum, mn.toLong, mx.toLong,
-            sum.toDouble / kept.length)
+            graft.operators.MediaPipeline.decimateWav(synthWav(text), 2)
+          // re-encode the decimated stream and reduce through WavDecoder —
+          // the same sample-stats implementation mm_audio gates, no drift
+          val (_, n2, _, f) = graft.operators.MediaPipeline.WavDecoder.decode(
+            graft.operators.MediaPipeline.wavPayload(rate2, kept))
+          val (sum, mn, mx) = (f(0).toLong, f(1).toLong, f(2).toLong)
+          (id, rate2.toLong, n2.toLong, sum, mn, mx,
+            sum.toDouble / n2)
         }
         .toDF("doc_id", "sample_rate2", "n_samples2", "s_sum", "s_min",
           "s_max", "mean_amp")
