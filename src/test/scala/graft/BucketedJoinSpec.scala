@@ -54,6 +54,35 @@ class BucketedJoinSpec extends SparkTestBase {
     }
   }
 
+  test("point lookup on the bucket key prunes to one bucket") {
+    // the scan-time payoff of bucketing beyond shuffle-free joins: an
+    // equality filter on the bucket column must read 1/N of the files —
+    // at 100 TB this is the difference between a point query touching one
+    // bucket's files and a full-table scan
+    spark.sql("DROP TABLE IF EXISTS orders_bp")
+    try {
+      Tables(spark, sf, "orders")
+        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable("orders_bp")
+      val key = Tables(spark, sf, "orders")
+        .select(col("o_orderkey")).head().getLong(0)
+      // autoBucketedScan drops the bucketed layout (and with it pruning)
+      // for scans with no join/agg to co-locate — the point-lookup case is
+      // exactly where pruning pays, so pin it on
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled",
+        "false")
+      val q = spark.table("orders_bp").where(col("o_orderkey") === key)
+      assert(q.count() >= 1)
+      val p = q.queryExecution.executedPlan.toString()
+      assert(p.contains("SelectedBucketsCount: 1 out of 8"),
+        s"bucket pruning did not engage:\n$p")
+    } finally {
+      spark.conf
+        .unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+      spark.sql("DROP TABLE IF EXISTS orders_bp")
+    }
+  }
+
   test("re-registered external table over existing bucket files keeps bucketing") {
     // the cross-JVM scenario Sinks.ensureBucketedTable handles: bucket files
     // survive in the warehouse, the fresh in-memory catalog has no entry —
