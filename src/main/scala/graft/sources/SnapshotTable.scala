@@ -31,6 +31,14 @@ object SnapshotTable {
   private def manifestPath(base: String, v: Int) =
     new Path(s"$base/_MANIFEST_v$v")
 
+  /** Resolve the filesystem from the path's own URI, never the default FS:
+    * a snapshot table on an object store (the SCALE.md deployment) must
+    * read/write manifests against the store's FS even when
+    * `fs.defaultFS` points elsewhere — same rule as [[Sinks]] and
+    * [[KvTextSource]]. */
+  private def fsFor(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
   /** Commit version `v`: data dirs must already be fully written (their
     * `_SUCCESS` markers are the precondition the manifest asserts). The
     * manifest body is written to a temp sibling and RENAMED into place, so
@@ -42,13 +50,17 @@ object SnapshotTable {
     * committed history is immutable. */
   def commit(spark: SparkSession, base: String, v: Int,
       snap: Snapshot): Unit = {
-    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
-    for (d <- snap.dataDirs ++ snap.deleteDirs)
-      require(fs.exists(new Path(d, "_SUCCESS")),
+    // each referenced dir may live on its own filesystem (manifests name
+    // absolute URIs) — resolve per path, not once from the default FS
+    for (d <- snap.dataDirs ++ snap.deleteDirs) {
+      val dp = new Path(d, "_SUCCESS")
+      require(fsFor(spark, dp).exists(dp),
         s"snapshot v$v references uncommitted dir $d")
+    }
     val body = s"data=${snap.dataDirs.mkString(",")}\n" +
       s"delete=${snap.deleteDirs.mkString(",")}\n"
     val dst = manifestPath(base, v)
+    val fs = fsFor(spark, dst)
     if (fs.exists(dst)) {
       require(manifest(spark, base, v) == snap,
         s"snapshot v$v already committed with different content")
@@ -61,8 +73,8 @@ object SnapshotTable {
   }
 
   def manifest(spark: SparkSession, base: String, v: Int): Snapshot = {
-    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val p = manifestPath(base, v)
+    val fs = fsFor(spark, p)
     require(fs.exists(p), s"no committed snapshot v$v under $base")
     val len = fs.getFileStatus(p).getLen.toInt
     val buf = new Array[Byte](len)
