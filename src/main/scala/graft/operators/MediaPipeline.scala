@@ -25,6 +25,19 @@ object MediaPipeline {
   case class MediaFeatures(doc_id: Long, byte_len: Long, width: Int,
       height: Int, n_frames: Int, features: Array[Float])
 
+  /** Exact-integer value routed through a Float feature slot: floats
+    * represent every integer with |v| ≤ 2²⁴ exactly; beyond that the
+    * conversion rounds and the "bit-exact oracle replay" claim silently
+    * breaks. Decoders pass every integer-sum feature through this so an
+    * out-of-domain payload fails LOUDLY instead of hashing wrong (any
+    * fixture-sized raster/clip is orders of magnitude below the bound). */
+  def exactFloat(v: Long, what: String): Float = {
+    require(math.abs(v) <= (1L << 24),
+      s"$what=$v exceeds the float-exact integer domain (2^24); " +
+        "widen the feature slot to Double before trusting this value")
+    v.toFloat
+  }
+
   /** The seam where a real codec (JPEG/PNG/ffmpeg) plugs in. Implementations
     * must be deterministic per byte payload. */
   trait Decoder extends Serializable {
@@ -160,7 +173,8 @@ object MediaPipeline {
         if (v > mx) mx = v
         i += 1
       }
-      (w, h, 1, Array(sum.toFloat, mn.toFloat, mx.toFloat))
+      (w, h, 1, Array(exactFloat(sum, "pgm pixel sum"),
+        mn.toFloat, mx.toFloat))
     }
   }
 
@@ -251,7 +265,8 @@ object MediaPipeline {
         i += 1
       }
       if (n == 0) { mn = 0; mx = 0 }
-      (rate, n, 1, Array(sum.toFloat, mn.toFloat, mx.toFloat))
+      (rate, n, 1, Array(exactFloat(sum, "wav sample sum"),
+        mn.toFloat, mx.toFloat))
     }
   }
 
@@ -297,7 +312,7 @@ object MediaPipeline {
         }
         r += 1
       }
-      (w, h, 1, q.map(_.toFloat))
+      (w, h, 1, q.map(exactFloat(_, "pgm quadrant sum")))
     }
   }
 

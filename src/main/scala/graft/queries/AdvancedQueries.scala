@@ -55,7 +55,8 @@ object AdvancedQueries {
         // and rereading a 2-long-column parquet is a fraction of its cost.
         val tmp =
           s"/root/repo/target/tmp/copurchase-${new java.io.File(dir).getName}"
-        graft.sources.Sinks.ensureDir(s, tmp, "v1:copurchase,u<v,distinct") {
+        graft.sources.Sinks.ensureDir(s, tmp, "v1:copurchase,u<v,distinct",
+          inputs = Seq(s"$dir/lineitem.parquet")) {
           val pr = Tables(s, dir, "lineitem")
             .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
             .distinct()
@@ -78,7 +79,8 @@ object AdvancedQueries {
       dir: String): String = {
     val tmp =
       s"/root/repo/target/tmp/copurchase_dag-${new java.io.File(dir).getName}"
-    graft.sources.Sinks.ensureDir(s, tmp, "v1:degree-ordered,s->t") {
+    graft.sources.Sinks.ensureDir(s, tmp, "v1:degree-ordered,s->t",
+        inputs = Seq(s"$dir/lineitem.parquet")) {
       val e0 = coPurchaseEdges(s, dir)
       val und = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
       val deg = und.groupBy(col("u").as("x")).agg(count(lit(1)).as("deg"))
@@ -100,7 +102,8 @@ object AdvancedQueries {
       dir: String): String = {
     val tmp =
       s"/root/repo/target/tmp/copurchase_w-${new java.io.File(dir).getName}"
-    graft.sources.Sinks.ensureDir(s, tmp, "v1:copurchase,weighted") {
+    graft.sources.Sinks.ensureDir(s, tmp, "v1:copurchase,weighted",
+        inputs = Seq(s"$dir/lineitem.parquet")) {
       val pr = Tables(s, dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()
@@ -125,7 +128,7 @@ object AdvancedQueries {
         val e = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
         val deg = e.groupBy(col("u")).agg(count(lit(1)).as("d"))
         e.join(deg, "u")
-      }, "u", 32)
+      }, "u", 32, inputs = Seq(s"$dir/lineitem.parquet"))
     tbl
   }
 
@@ -329,9 +332,11 @@ object AdvancedQueries {
       // write-once: the bucket layout is the amortized asset (bucket once,
       // join many) — Sinks skips the write when the committed files exist
       graft.sources.Sinks.ensureBucketedTable(s, ob,
-        Tables(s, dir, "orders"), "o_orderkey", nBuckets = 8)
+        Tables(s, dir, "orders"), "o_orderkey", nBuckets = 8,
+        inputs = Seq(s"$dir/orders.parquet"))
       graft.sources.Sinks.ensureBucketedTable(s, lb,
-        Tables(s, dir, "lineitem"), "l_orderkey", nBuckets = 8)
+        Tables(s, dir, "lineitem"), "l_orderkey", nBuckets = 8,
+        inputs = Seq(s"$dir/lineitem.parquet"))
       s.table(lb).join(s.table(ob), col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_items"),
@@ -348,7 +353,8 @@ object AdvancedQueries {
     "q_partitioned_scan" -> { (s, dir) =>
       val tmp = s"/root/repo/target/tmp/events_part-${new java.io.File(dir).getName}"
       graft.sources.Sinks.ensureDir(s, tmp,
-        "v1:event_id,user_id,ts_us,value/partitionBy=event_type") {
+        "v1:event_id,user_id,ts_us,value/partitionBy=event_type",
+        inputs = Seq(s"$dir/events.parquet")) {
         Tables(s, dir, "events")
           .withColumn("ts_us", expr("ts div 1000"))
           .select(col("event_id"), col("user_id"), col("ts_us"), col("value"),
@@ -368,11 +374,13 @@ object AdvancedQueries {
     // read), then the same broadcast-join aggregate as the parquet path.
     "q_multiformat" -> { (s, dir) =>
       val tmp = s"/root/repo/target/tmp/multiformat-${new java.io.File(dir).getName}"
-      graft.sources.Sinks.ensureDir(s, s"$tmp/nation_csv", "v1:nation,csv,header") {
+      graft.sources.Sinks.ensureDir(s, s"$tmp/nation_csv", "v1:nation,csv,header",
+        inputs = Seq(s"$dir/nation.parquet")) {
         Tables(s, dir, "nation").write.mode("overwrite")
           .option("header", "true").csv(s"$tmp/nation_csv")
       }
-      graft.sources.Sinks.ensureDir(s, s"$tmp/region_json", "v1:region,json") {
+      graft.sources.Sinks.ensureDir(s, s"$tmp/region_json", "v1:region,json",
+        inputs = Seq(s"$dir/region.parquet")) {
         Tables(s, dir, "region").write.mode("overwrite").json(s"$tmp/region_json")
       }
       val nationSchema = StructType(Seq(
@@ -403,7 +411,8 @@ object AdvancedQueries {
     // referencing-only-the-corrupt-column pruning restriction).
     "q_corrupt_json" -> { (s, dir) =>
       val tmp = s"/root/repo/target/tmp/dirty_json-${new java.io.File(dir).getName}"
-      graft.sources.Sinks.ensureDir(s, tmp, "v1:documents,dirty37") {
+      graft.sources.Sinks.ensureDir(s, tmp, "v1:documents,dirty37",
+        inputs = Seq(s"$dir/documents.parquet")) {
         Tables(s, dir, "documents")
           .select(when(pmod(col("doc_id"), lit(37L)) === 0,
               concat(lit("{\"doc_id\":"), col("doc_id"), lit(",\"lang\":")))
@@ -487,7 +496,8 @@ object AdvancedQueries {
       // boundary when the true quotient sits within an ulp of an integer
       val ev = Tables(s, dir, "events")
         .select(expr("ts div 1000 div 86400000000").as("day"), col("user_id"))
-      graft.sources.Sinks.ensureDir(s, sketchDir, "v2:events,hll-daily,intdiv") {
+      graft.sources.Sinks.ensureDir(s, sketchDir, "v2:events,hll-daily,intdiv",
+        inputs = Seq(s"$dir/events.parquet")) {
         ev.groupBy(col("day"))
           .agg(hll_sketch_agg(col("user_id")).as("sk"))
           .write.mode("overwrite").parquet(sketchDir)
@@ -525,7 +535,15 @@ object AdvancedQueries {
       val ev = Tables(s, dir, "events")
         .select(expr("ts div 1000 div 86400000000").as("day"),
           cents(col("value")).as("cents"))
-      graft.sources.Sinks.ensureDir(s, histDir, "v1:events,cents-hist-100") {
+        // Spark `div` truncates toward zero; DuckDB `//` floors. They agree
+        // only on non-negative operands, so a fixture drift to negative
+        // values must fail loudly here, not hash-mismatch silently.
+        .withColumn("cents",
+          when(col("cents") < 0, raise_error(lit(
+            "q_quantile_merge: negative cents breaks div vs floor-div parity")))
+            .otherwise(col("cents")))
+      graft.sources.Sinks.ensureDir(s, histDir, "v1:events,cents-hist-100",
+        inputs = Seq(s"$dir/events.parquet")) {
         ev.groupBy(col("day"), expr("cents div 100").as("bucket"))
           .agg(count(lit(1)).as("n"))
           .write.mode("overwrite").parquet(histDir)
@@ -840,7 +858,8 @@ object AdvancedQueries {
     // same aggregate over the original parquet.
     "q_orc_source" -> { (s, dir) =>
       val tmp = s"/root/repo/target/tmp/lineitem_orc-${new java.io.File(dir).getName}"
-      graft.sources.Sinks.ensureDir(s, tmp, "v1:lineitem,orc") {
+      graft.sources.Sinks.ensureDir(s, tmp, "v1:lineitem,orc",
+        inputs = Seq(s"$dir/lineitem.parquet")) {
         Tables(s, dir, "lineitem").write.mode("overwrite").orc(tmp)
       }
       s.read.orc(tmp)
@@ -860,7 +879,8 @@ object AdvancedQueries {
     "q_xml_source" -> { (s, dir) =>
       val tmp =
         s"/root/repo/target/tmp/nation_xml-${new java.io.File(dir).getName}"
-      graft.sources.Sinks.ensureDir(s, tmp, "v1:nation,xml") {
+      graft.sources.Sinks.ensureDir(s, tmp, "v1:nation,xml",
+        inputs = Seq(s"$dir/nation.parquet")) {
         Tables(s, dir, "nation").write.mode("overwrite")
           .format("xml").option("rowTag", "nation").save(tmp)
       }
@@ -883,7 +903,8 @@ object AdvancedQueries {
     "q_dsv2_source" -> { (s, dir) =>
       val tmp =
         s"/root/repo/target/tmp/orders_kv-${new java.io.File(dir).getName}"
-      graft.sources.Sinks.ensureDir(s, tmp, "v1:orders,kvtext") {
+      graft.sources.Sinks.ensureDir(s, tmp, "v1:orders,kvtext",
+        inputs = Seq(s"$dir/orders.parquet")) {
         Tables(s, dir, "orders")
           .select(concat_ws("\t", col("o_orderpriority"),
             cents(col("o_totalprice")).cast("string")).as("value"))
@@ -907,7 +928,8 @@ object AdvancedQueries {
       val tmp =
         s"/root/repo/target/tmp/cust_kv-${new java.io.File(dir).getName}"
       val fmt = classOf[graft.sources.KvTextSource].getName
-      graft.sources.Sinks.ensureDir(s, tmp, "v1:customer,kvsink") {
+      graft.sources.Sinks.ensureDir(s, tmp, "v1:customer,kvsink",
+        inputs = Seq(s"$dir/customer.parquet")) {
         Tables(s, dir, "customer")
           .select(col("c_mktsegment").as("key"),
             cents(col("c_acctbal")).as("value"))
@@ -934,7 +956,8 @@ object AdvancedQueries {
     "q_compaction" -> { (s, dir) =>
       val sf = new java.io.File(dir).getName
       val smallDir = s"/root/repo/target/tmp/compact_in-$sf"
-      graft.sources.Sinks.ensureDir(s, smallDir, "v1:events,64files") {
+      graft.sources.Sinks.ensureDir(s, smallDir, "v1:events,64files",
+        inputs = Seq(s"$dir/events.parquet")) {
         Tables(s, dir, "events").repartition(64)
           .write.mode("overwrite").parquet(smallDir)
       }
@@ -965,14 +988,16 @@ object AdvancedQueries {
       // base whose H1-1996 was already corrected must land identically —
       // that is the idempotence being claimed); the timed op is the
       // dynamic-mode correction itself
-      graft.sources.Sinks.ensureDir(s, base, "v1:orders,mon") {
+      graft.sources.Sinks.ensureDir(s, base, "v1:orders,mon",
+        inputs = Seq(s"$dir/orders.parquet")) {
         df.write.partitionBy("mon").mode("overwrite").parquet(base)
       }
       // the correction batch re-delivers H1-1996 under DYNAMIC overwrite;
       // the base's freshness tag is dropped for the duration so a crash
       // mid-correction leaves it tag-less (rewritten next run), never
       // half-corrected but still marked fresh
-      graft.sources.Sinks.withInvalidated(s, base, "v1:orders,mon") {
+      graft.sources.Sinks.withInvalidated(s, base, "v1:orders,mon",
+        inputs = Seq(s"$dir/orders.parquet")) {
         val prev = s.conf.get("spark.sql.sources.partitionOverwriteMode")
         s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try
@@ -997,12 +1022,14 @@ object AdvancedQueries {
     "q_schema_evolution" -> { (s, dir) =>
       val tmp = s"/root/repo/target/tmp/schema_evo-${new java.io.File(dir).getName}"
       val cut = "1995-01-01"
-      graft.sources.Sinks.ensureDir(s, s"$tmp/b1", "v1:okey,price") {
+      graft.sources.Sinks.ensureDir(s, s"$tmp/b1", "v1:okey,price",
+        inputs = Seq(s"$dir/orders.parquet")) {
         Tables(s, dir, "orders").where(col("o_orderdate") < lit(cut))
           .select(col("o_orderkey"), col("o_totalprice"))
           .write.mode("overwrite").parquet(s"$tmp/b1")
       }
-      graft.sources.Sinks.ensureDir(s, s"$tmp/b2", "v1:okey,price,priority") {
+      graft.sources.Sinks.ensureDir(s, s"$tmp/b2", "v1:okey,price,priority",
+        inputs = Seq(s"$dir/orders.parquet")) {
         Tables(s, dir, "orders").where(col("o_orderdate") >= lit(cut))
           .select(col("o_orderkey"), col("o_totalprice"),
             col("o_orderpriority").as("priority"))
@@ -1044,7 +1071,8 @@ object AdvancedQueries {
           .agg(count(lit(1)).as("n"), sum(cents(col("o_totalprice"))).as("rc"))
       val stateDir =
         s"/root/repo/target/tmp/ivm_state-${new java.io.File(dir).getName}"
-      graft.sources.Sinks.ensureDir(s, stateDir, "v1:nation,n,rc") {
+      graft.sources.Sinks.ensureDir(s, stateDir, "v1:nation,n,rc",
+        inputs = Seq(s"$dir/orders.parquet", s"$dir/customer.parquet")) {
         term(oOld, cOld, bcast = false)
           .write.mode("overwrite").parquet(stateDir)
       }
@@ -1084,7 +1112,8 @@ object AdvancedQueries {
             (sum(cents(col("o_totalprice"))) * sign).as("rc"))
       val stateDir =
         s"/root/repo/target/tmp/ivmdel_state-${new java.io.File(dir).getName}"
-      graft.sources.Sinks.ensureDir(s, stateDir, "v1:nation,n,rc") {
+      graft.sources.Sinks.ensureDir(s, stateDir, "v1:nation,n,rc",
+        inputs = Seq(s"$dir/orders.parquet", s"$dir/customer.parquet")) {
         agg(ords, 1).write.mode("overwrite").parquet(stateDir)
       }
       val deleted = ords.where(
@@ -1113,15 +1142,18 @@ object AdvancedQueries {
       val base =
         s"/root/repo/target/tmp/orders_tt-${new java.io.File(dir).getName}"
       val cut = "1996-01-01"
-      graft.sources.Sinks.ensureDir(s, s"$base/data_v1", "v1:orders_pre") {
+      graft.sources.Sinks.ensureDir(s, s"$base/data_v1", "v1:orders_pre",
+        inputs = Seq(s"$dir/orders.parquet")) {
         Tables(s, dir, "orders").where(col("o_orderdate") < lit(cut))
           .write.mode("overwrite").parquet(s"$base/data_v1")
       }
-      graft.sources.Sinks.ensureDir(s, s"$base/data_v2", "v1:orders_delta") {
+      graft.sources.Sinks.ensureDir(s, s"$base/data_v2", "v1:orders_delta",
+        inputs = Seq(s"$dir/orders.parquet")) {
         Tables(s, dir, "orders").where(col("o_orderdate") >= lit(cut))
           .write.mode("overwrite").parquet(s"$base/data_v2")
       }
-      graft.sources.Sinks.ensureDir(s, s"$base/del_v3", "v1:erase_batch") {
+      graft.sources.Sinks.ensureDir(s, s"$base/del_v3", "v1:erase_batch",
+        inputs = Seq(s"$dir/orders.parquet")) {
         Tables(s, dir, "orders")
           .where(pmod(md5Long(col("o_orderkey").cast("string")), lit(11))
             === 5)

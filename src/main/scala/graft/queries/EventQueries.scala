@@ -638,7 +638,8 @@ object EventQueries {
     "q_reaggregate" -> { (s, dir) =>
       val tmp =
         s"/root/repo/target/tmp/daily_partials-${new java.io.File(dir).getName}"
-      graft.sources.Sinks.ensureDir(s, tmp, "v1:day,event_type,n,cents") {
+      graft.sources.Sinks.ensureDir(s, tmp, "v1:day,event_type,n,cents",
+        inputs = Seq(s"$dir/events.parquet")) {
         events(s, dir)
           .groupBy(expr("ts_us div 86400000000").as("day"), col("event_type"))
           .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("c"))

@@ -33,7 +33,8 @@ object MultimodalQueries {
     import s.implicits._
     val tmp =
       s"/root/repo/target/tmp/pgm_files-${new java.io.File(dir).getName}"
-    graft.sources.Sinks.ensureDir(s, tmp, "v2:pgm,one file per 5th doc") {
+    graft.sources.Sinks.ensureDir(s, tmp, "v2:pgm,one file per 5th doc",
+      inputs = Seq(s"$dir/documents.parquet")) {
       new java.io.File(tmp).mkdirs()
       Tables(s, dir, "documents")
         .where(pmod(col("doc_id"), lit(5L)) === 0)

@@ -161,7 +161,8 @@ object TextQueries {
     // how the writer splits rows across lines and files.
     "q_text_source" -> { (s, dir) =>
       val tmp = s"/root/repo/target/tmp/textsrc-${new java.io.File(dir).getName}"
-      graft.sources.Sinks.ensureDir(s, tmp, "v1:documents.text,4 parts") {
+      graft.sources.Sinks.ensureDir(s, tmp, "v1:documents.text,4 parts",
+        inputs = Seq(s"$dir/documents.parquet")) {
         Tables(s, dir, "documents").select(col("text"))
           .repartition(4) // several part files, so the read is genuinely multi-path
           .write.mode("overwrite").text(tmp)

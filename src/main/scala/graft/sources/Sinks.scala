@@ -38,36 +38,72 @@ object Sinks {
     try out.write(content.getBytes("UTF-8")) finally out.close()
   }
 
+  /** Metadata fingerprint of input paths: every file's (path, length,
+    * mtime), CRC-folded in sorted order. Pure FS listing — no data read —
+    * so it is cheap enough to run per ensure call (one LIST per input on an
+    * object store). Folding this into a write-once tag makes cached layers
+    * input-addressed: when the driver regenerates a fixture IN PLACE (same
+    * paths, new bytes — exactly what happened to events.parquet in round
+    * 8), every derived layer rebuilds instead of silently serving rows
+    * computed from the dead data. */
+  def fingerprint(spark: SparkSession, paths: String*): String = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val crc = new java.util.zip.CRC32
+    val entries = scala.collection.mutable.ArrayBuffer[String]()
+    for (sp <- paths.sorted) {
+      val p = new Path(sp)
+      val fs = p.getFileSystem(conf)
+      if (fs.exists(p)) {
+        val it = fs.listFiles(p, true)
+        while (it.hasNext) {
+          val st = it.next()
+          entries += s"${st.getPath}:${st.getLen}:${st.getModificationTime}"
+        }
+      }
+    }
+    entries.sorted.foreach(e => crc.update(e.getBytes("UTF-8")))
+    f"${crc.getValue}%08x"
+  }
+
   /** Run `write` (which must produce `dir` via a Hadoop committer) unless a
     * previous successful write already committed it WITH the same `tag`.
     * `tag` names the producing transform's content version (column list,
     * format options, an explicit bump on logic edits) — a committed dir whose
-    * recorded tag differs is stale output of older code and is rewritten. */
-  def ensureDir(spark: SparkSession, dir: String, tag: String = "v1")(
-      write: => Unit): Unit = {
+    * recorded tag differs is stale output of older code and is rewritten.
+    * `inputs` names the source paths the transform reads; their
+    * [[fingerprint]] is folded into the effective tag so regenerated input
+    * data (not just edited code) invalidates the layer. */
+  def ensureDir(spark: SparkSession, dir: String, tag: String = "v1",
+      inputs: Seq[String] = Nil)(write: => Unit): Unit = {
+    val fullTag =
+      if (inputs.isEmpty) tag
+      else s"$tag@${fingerprint(spark, inputs: _*)}"
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tagFile = new Path(p, "_GRAFT_TAG")
     val fresh = fs.exists(new Path(p, "_SUCCESS")) &&
-      readSidecar(fs, tagFile).contains(tag)
+      readSidecar(fs, tagFile).contains(fullTag)
     if (fresh) return
     fs.delete(p, true)
     write
-    writeSidecar(fs, tagFile, tag)
+    writeSidecar(fs, tagFile, fullTag)
   }
 
   /** Run an in-place mutation of a committed write-once dir safely: the tag
     * sidecar is removed before `op` and restored only after it completes, so
     * a crash mid-mutation leaves the dir tag-less (rewritten by the next
     * `ensureDir`), never half-mutated but still marked fresh. */
-  def withInvalidated(spark: SparkSession, dir: String, tag: String)(
-      op: => Unit): Unit = {
+  def withInvalidated(spark: SparkSession, dir: String, tag: String,
+      inputs: Seq[String] = Nil)(op: => Unit): Unit = {
+    val fullTag =
+      if (inputs.isEmpty) tag
+      else s"$tag@${fingerprint(spark, inputs: _*)}"
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tagFile = new Path(p, "_GRAFT_TAG")
     fs.delete(tagFile, false)
     op
-    writeSidecar(fs, tagFile, tag)
+    writeSidecar(fs, tagFile, fullTag)
   }
 
   /** Ensure a bucketed+sorted managed table exists for `df`. Fresh files are
@@ -79,14 +115,15 @@ object Sinks {
     * metadata over files bucketed differently would silently misjoin rows
     * (co-located joins trust the metadata); a spec mismatch rewrites. */
   def ensureBucketedTable(spark: SparkSession, table: String, df: => DataFrame,
-      key: String, nBuckets: Int): Unit = {
+      key: String, nBuckets: Int, inputs: Seq[String] = Nil): Unit = {
     if (spark.catalog.tableExists(table)) return
     val wh = new Path(spark.conf.get("spark.sql.warehouse.dir"))
     val loc = new Path(wh, table)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val specFile = new Path(loc, "_GRAFT_BUCKET_SPEC")
     val schemaDdl = df.schema.toDDL
-    val spec = s"key=$key;n=$nBuckets;schema=$schemaDdl"
+    val fp = if (inputs.isEmpty) "" else s";src=${fingerprint(spark, inputs: _*)}"
+    val spec = s"key=$key;n=$nBuckets;schema=$schemaDdl$fp"
     if (fs.exists(new Path(loc, "_SUCCESS")) &&
         readSidecar(fs, specFile).contains(spec)) {
       spark.sql(

@@ -42,12 +42,15 @@ object SnapshotTable {
   /** Commit version `v`: data dirs must already be fully written (their
     * `_SUCCESS` markers are the precondition the manifest asserts). The
     * manifest body is written to a temp sibling and RENAMED into place, so
-    * the final path only ever holds a complete manifest — a crash mid-write
-    * leaves a `.tmp` orphan, never a truncated manifest that readVersion
-    * would trust (an empty/partial manifest silently resurrects deleted
-    * rows). Re-committing an existing version is a no-op when the content
-    * is identical (idempotent replay) and an ERROR when it differs:
-    * committed history is immutable. */
+    * on filesystems with atomic rename (HDFS, local) the final path only
+    * ever holds a complete manifest. Object stores (S3A et al.) implement
+    * rename as copy+delete, so a crash mid-rename CAN leave a partial
+    * object there — which is why the body carries a `crc=` footer that
+    * [[manifest]] validates: a truncated/partial manifest is rejected
+    * instead of trusted (an empty/partial manifest would silently
+    * resurrect deleted rows). Re-committing an existing version is a no-op
+    * when the content is identical (idempotent replay) and an ERROR when
+    * it differs: committed history is immutable. */
   def commit(spark: SparkSession, base: String, v: Int,
       snap: Snapshot): Unit = {
     // each referenced dir may live on its own filesystem (manifests name
@@ -57,8 +60,9 @@ object SnapshotTable {
       require(fsFor(spark, dp).exists(dp),
         s"snapshot v$v references uncommitted dir $d")
     }
-    val body = s"data=${snap.dataDirs.mkString(",")}\n" +
+    val core = s"data=${snap.dataDirs.mkString(",")}\n" +
       s"delete=${snap.deleteDirs.mkString(",")}\n"
+    val body = core + f"crc=${crc32(core)}%08x\n"
     val dst = manifestPath(base, v)
     val fs = fsFor(spark, dst)
     if (fs.exists(dst)) {
@@ -80,11 +84,32 @@ object SnapshotTable {
     val buf = new Array[Byte](len)
     val in = fs.open(p)
     try in.readFully(buf) finally in.close()
-    val kv = new String(buf, "UTF-8").linesIterator
+    val text = new String(buf, "UTF-8")
+    val (coreLines, crcLines) =
+      text.linesIterator.toSeq.partition(!_.startsWith("crc="))
+    // The footer is REQUIRED: object-store rename is copy+delete, so a
+    // partial manifest is possible, and a truncation that cuts the tail off
+    // is precisely the case that deletes the footer — treating it as
+    // optional would trust exactly the writes it exists to catch.
+    require(crcLines.nonEmpty,
+      s"manifest v$v has no crc footer — partial/corrupt manifest write " +
+        "detected (or a pre-footer manifest: recommit it)")
+    val expect = crcLines.head.stripPrefix("crc=")
+    val actual = f"${crc32(coreLines.mkString("", "\n", "\n"))}%08x"
+    require(actual == expect,
+      s"manifest v$v failed checksum ($actual != $expect) — " +
+        "partial/corrupt manifest write detected")
+    val kv = coreLines
       .map(_.split("=", 2)).map(a => a(0) -> a.lift(1).getOrElse(""))
       .toMap
     def dirs(k: String) = kv.getOrElse(k, "").split(",").filter(_.nonEmpty)
     Snapshot(dirs("data").toSeq, dirs("delete").toSeq)
+  }
+
+  private def crc32(s: String): Long = {
+    val c = new java.util.zip.CRC32
+    c.update(s.getBytes("UTF-8"))
+    c.getValue
   }
 
   /** Scan of version `v`: union of its data dirs minus its delete keys.

@@ -253,8 +253,9 @@ object StreamingOps {
     // The testdata table is a bare file, and FileStreamSource forces
     // basePath=<path> for non-glob paths ('basePath' must be a directory).
     // A glob that matches only this file sidesteps the override.
-    spark.readStream.schema(schema).parquet(s"$dir/events.parquet*")
-      .withColumn("ts_us", expr("ts div 1000"))
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/events.parquet*")
+    stream
+      .withColumn("ts_us", graft.Tables.tsUs(stream))
       .withColumn("val_cents", round(col("value") * lit(100)).cast("long"))
   }
 }

@@ -197,6 +197,28 @@ class MediaPipelineSpec extends SparkTestBase {
     assert(MediaPipeline.frameIndex(Array.emptyByteArray).isEmpty)
   }
 
+  test("exactFloat guards the 2^24 float-exact boundary in sum features") {
+    // The boundary itself is representable; one past it is not.
+    assert(MediaPipeline.exactFloat(1L << 24, "b") == (1L << 24).toFloat)
+    assert(MediaPipeline.exactFloat(-(1L << 24), "b") == -(1L << 24).toFloat)
+    intercept[IllegalArgumentException] {
+      MediaPipeline.exactFloat((1L << 24) + 1, "b")
+    }
+    // End-to-end: a WAV whose sample sum exceeds the domain fails loudly
+    // instead of returning a rounded "exact" feature. 2^24+1 = 513·32704+65:
+    // 513 samples of 32704 plus one of 65 (all within Short range).
+    val over = Array.fill(513)(32704.toShort) :+ 65.toShort
+    assert(over.map(_.toLong).sum == (1L << 24) + 1)
+    intercept[IllegalArgumentException] {
+      MediaPipeline.WavDecoder.decode(MediaPipeline.wavPayload(8000, over))
+    }
+    // Just inside the domain decodes exactly.
+    val under = over.dropRight(1)
+    val (_, n, _, feats) =
+      MediaPipeline.WavDecoder.decode(MediaPipeline.wavPayload(8000, under))
+    assert(n == 513 && feats(0) == 513L * 32704L)
+  }
+
   test("sampleIndices: evenly spaced, in range, full coverage when k == n") {
     assert(MediaPipeline.sampleIndices(4, 3) == Seq(0, 1, 2))
     assert(MediaPipeline.sampleIndices(8, 4) == Seq(0, 2, 4, 6))

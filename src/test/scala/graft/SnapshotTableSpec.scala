@@ -65,4 +65,22 @@ class SnapshotTableSpec extends SparkTestBase {
     // ...and v1 stays fully readable.
     assert(SnapshotTable.readVersion(spark, base, 1, "k").count() == 5)
   }
+
+  test("partial manifest write is rejected by the crc footer") {
+    val base = freshBase()
+    writeNums(s"$base/d1", 0, 5)
+    SnapshotTable.commit(spark, base, 1, Snapshot(Seq(s"$base/d1"), Nil))
+    // Simulate an object-store partial rename: truncate the committed
+    // manifest mid-body. The reader must refuse it, not resurrect state.
+    val resolved = java.nio.file.Paths.get(s"$base/_MANIFEST_v1")
+    assert(Files.exists(resolved), s"no v1 manifest found under $base")
+    val full = Files.readAllBytes(resolved)
+    Files.write(resolved, java.util.Arrays.copyOfRange(full, 0, full.length / 2))
+    intercept[IllegalArgumentException] {
+      SnapshotTable.manifest(spark, base, 1)
+    }
+    // An intact manifest (restored bytes) reads fine again.
+    Files.write(resolved, full)
+    assert(SnapshotTable.readVersion(spark, base, 1, "k").count() == 5)
+  }
 }
