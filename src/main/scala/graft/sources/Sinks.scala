@@ -38,14 +38,18 @@ object Sinks {
     try out.write(content.getBytes("UTF-8")) finally out.close()
   }
 
-  /** Metadata fingerprint of input paths: every file's (path, length,
-    * mtime), CRC-folded in sorted order. Pure FS listing — no data read —
-    * so it is cheap enough to run per ensure call (one LIST per input on an
-    * object store). Folding this into a write-once tag makes cached layers
-    * input-addressed: when the driver regenerates a fixture IN PLACE (same
-    * paths, new bytes — exactly what happened to events.parquet in round
-    * 8), every derived layer rebuilds instead of silently serving rows
-    * computed from the dead data. */
+  /** Fingerprint of input paths: every file's (path, length, mtime) plus a
+    * 64-byte tail CRC as a content witness, folded in sorted order. The
+    * metadata triple alone misses a same-length in-place regeneration
+    * within the store's mtime granularity (1 s on typical object stores) —
+    * exactly the silent-staleness case the feature exists to catch — so
+    * each file also contributes the CRC of its last 64 bytes: a parquet
+    * tail holds the footer metadata (row-group stats, column offsets),
+    * which changes whenever the data does, even at identical file size.
+    * Cost: one LIST per input plus one bounded ranged read per file.
+    * A missing input path is a caller bug (typo'd / renamed fixture), not
+    * an empty contribution — it fails loudly instead of yielding a stable
+    * fingerprint that silently no-ops the protection. */
   def fingerprint(spark: SparkSession, paths: String*): String = {
     val conf = spark.sparkContext.hadoopConfiguration
     val crc = new java.util.zip.CRC32
@@ -53,16 +57,27 @@ object Sinks {
     for (sp <- paths.sorted) {
       val p = new Path(sp)
       val fs = p.getFileSystem(conf)
-      if (fs.exists(p)) {
-        val it = fs.listFiles(p, true)
-        while (it.hasNext) {
-          val st = it.next()
-          entries += s"${st.getPath}:${st.getLen}:${st.getModificationTime}"
-        }
+      require(fs.exists(p), s"fingerprint input missing: $sp")
+      val it = fs.listFiles(p, true)
+      while (it.hasNext) {
+        val st = it.next()
+        entries += s"${st.getPath}:${st.getLen}:${st.getModificationTime}:" +
+          f"${tailCrc(fs, st.getPath, st.getLen)}%08x"
       }
     }
     entries.sorted.foreach(e => crc.update(e.getBytes("UTF-8")))
     f"${crc.getValue}%08x"
+  }
+
+  private def tailCrc(fs: FileSystem, p: Path, len: Long): Long = {
+    val n = math.min(64L, len).toInt
+    if (n == 0) return 0L
+    val buf = new Array[Byte](n)
+    val in = fs.open(p)
+    try { in.seek(len - n); in.readFully(buf) } finally in.close()
+    val c = new java.util.zip.CRC32
+    c.update(buf)
+    c.getValue
   }
 
   /** Run `write` (which must produce `dir` via a Hadoop committer) unless a
@@ -116,7 +131,6 @@ object Sinks {
     * (co-located joins trust the metadata); a spec mismatch rewrites. */
   def ensureBucketedTable(spark: SparkSession, table: String, df: => DataFrame,
       key: String, nBuckets: Int, inputs: Seq[String] = Nil): Unit = {
-    if (spark.catalog.tableExists(table)) return
     val wh = new Path(spark.conf.get("spark.sql.warehouse.dir"))
     val loc = new Path(wh, table)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -124,6 +138,14 @@ object Sinks {
     val schemaDdl = df.schema.toDDL
     val fp = if (inputs.isEmpty) "" else s";src=${fingerprint(spark, inputs: _*)}"
     val spec = s"key=$key;n=$nBuckets;schema=$schemaDdl$fp"
+    if (spark.catalog.tableExists(table)) {
+      // A live catalog entry is not proof of freshness: an input regenerated
+      // IN PLACE mid-session (driver fixture refresh) leaves the entry
+      // pointing at bucket files computed from dead data. Recheck the stored
+      // spec (which folds the input fingerprint) and fall through to the
+      // rewrite on mismatch — mirroring ensureDir, which has no such gap.
+      if (readSidecar(fs, specFile).contains(spec)) return
+    }
     if (fs.exists(new Path(loc, "_SUCCESS")) &&
         readSidecar(fs, specFile).contains(spec)) {
       spark.sql(

@@ -66,10 +66,23 @@ object SnapshotTable {
     val dst = manifestPath(base, v)
     val fs = fsFor(spark, dst)
     if (fs.exists(dst)) {
-      require(manifest(spark, base, v) == snap,
+      val (existing, footer) = parseBody(readUtf8(fs, dst, v))
+      require(existing == snap,
         s"snapshot v$v already committed with different content")
-      return
+      // Identical content with a valid footer: idempotent replay, no-op.
+      // Identical content but a missing footer (a manifest written before
+      // the footer existed) or a damaged footer (the core still matches
+      // exactly what we're committing, so only the tail is hurt): upgrade
+      // it in place — re-committing the same snapshot is the documented
+      // recovery for both, so it must not throw.
+      if (footer.contains(f"${crc32(core)}%08x")) return
+      fs.delete(dst, false)
     }
+    writeVia(fs, dst, body, v)
+  }
+
+  private def writeVia(fs: FileSystem, dst: Path, body: String,
+      v: Int): Unit = {
     val tmp = new Path(s"$dst.tmp")
     val out = fs.create(tmp, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
@@ -80,30 +93,53 @@ object SnapshotTable {
     val p = manifestPath(base, v)
     val fs = fsFor(spark, p)
     require(fs.exists(p), s"no committed snapshot v$v under $base")
-    val len = fs.getFileStatus(p).getLen.toInt
-    val buf = new Array[Byte](len)
-    val in = fs.open(p)
-    try in.readFully(buf) finally in.close()
-    val text = new String(buf, "UTF-8")
-    val (coreLines, crcLines) =
-      text.linesIterator.toSeq.partition(!_.startsWith("crc="))
+    val text = readUtf8(fs, p, v)
+    val (snap, footer) = parseBody(text)
     // The footer is REQUIRED: object-store rename is copy+delete, so a
     // partial manifest is possible, and a truncation that cuts the tail off
     // is precisely the case that deletes the footer — treating it as
     // optional would trust exactly the writes it exists to catch.
-    require(crcLines.nonEmpty,
+    require(footer.nonEmpty,
       s"manifest v$v has no crc footer — partial/corrupt manifest write " +
         "detected (or a pre-footer manifest: recommit it)")
-    val expect = crcLines.head.stripPrefix("crc=")
+    val coreLines = text.linesIterator.filterNot(_.startsWith("crc=")).toSeq
     val actual = f"${crc32(coreLines.mkString("", "\n", "\n"))}%08x"
-    require(actual == expect,
-      s"manifest v$v failed checksum ($actual != $expect) — " +
+    require(footer.contains(actual),
+      s"manifest v$v failed checksum ($actual != ${footer.get}) — " +
         "partial/corrupt manifest write detected")
+    snap
+  }
+
+  /** Read the manifest bytes. A filesystem-level checksum failure (LocalFS /
+    * HDFS `.crc` sidecar mismatch) means the same thing as a failed footer —
+    * the body on disk is not what was committed — so surface it as the same
+    * loud partial/corrupt rejection rather than a transport error. */
+  private def readUtf8(fs: FileSystem, p: Path, v: Int): String = {
+    val len = fs.getFileStatus(p).getLen.toInt
+    val buf = new Array[Byte](len)
+    try {
+      val in = fs.open(p)
+      try in.readFully(buf) finally in.close()
+    } catch {
+      case e: org.apache.hadoop.fs.ChecksumException =>
+        throw new IllegalArgumentException(
+          s"manifest v$v failed filesystem checksum — partial/corrupt " +
+            "manifest write detected", e)
+    }
+    new String(buf, "UTF-8")
+  }
+
+  /** Split a manifest body into its core snapshot and the optional crc
+    * footer value (without validating it — callers decide). */
+  private def parseBody(text: String): (Snapshot, Option[String]) = {
+    val (coreLines, crcLines) =
+      text.linesIterator.toSeq.partition(!_.startsWith("crc="))
     val kv = coreLines
       .map(_.split("=", 2)).map(a => a(0) -> a.lift(1).getOrElse(""))
       .toMap
     def dirs(k: String) = kv.getOrElse(k, "").split(",").filter(_.nonEmpty)
-    Snapshot(dirs("data").toSeq, dirs("delete").toSeq)
+    (Snapshot(dirs("data").toSeq, dirs("delete").toSeq),
+      crcLines.headOption.map(_.stripPrefix("crc=")))
   }
 
   private def crc32(s: String): Long = {

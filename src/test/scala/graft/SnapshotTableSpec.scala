@@ -72,15 +72,43 @@ class SnapshotTableSpec extends SparkTestBase {
     SnapshotTable.commit(spark, base, 1, Snapshot(Seq(s"$base/d1"), Nil))
     // Simulate an object-store partial rename: truncate the committed
     // manifest mid-body. The reader must refuse it, not resurrect state.
+    // Object stores have no checksum sidecars, so drop LocalFS's `.crc`
+    // companion — otherwise ChecksumFileSystem rejects the read before the
+    // engine's own footer validation (the path under test) ever runs.
     val resolved = java.nio.file.Paths.get(s"$base/_MANIFEST_v1")
+    val sidecar = java.nio.file.Paths.get(s"$base/._MANIFEST_v1.crc")
     assert(Files.exists(resolved), s"no v1 manifest found under $base")
+    Files.deleteIfExists(sidecar)
     val full = Files.readAllBytes(resolved)
     Files.write(resolved, java.util.Arrays.copyOfRange(full, 0, full.length / 2))
-    intercept[IllegalArgumentException] {
+    val partial = intercept[IllegalArgumentException] {
       SnapshotTable.manifest(spark, base, 1)
     }
+    assert(partial.getMessage.contains("partial/corrupt manifest"),
+      s"rejection must come from the crc footer, got: ${partial.getMessage}")
     // An intact manifest (restored bytes) reads fine again.
     Files.write(resolved, full)
     assert(SnapshotTable.readVersion(spark, base, 1, "k").count() == 5)
+  }
+
+  test("pre-footer manifest is footer-upgraded by an identical recommit") {
+    val base = freshBase()
+    writeNums(s"$base/d1", 0, 5)
+    // A manifest from before the crc footer existed: core lines only.
+    Files.write(java.nio.file.Paths.get(s"$base/_MANIFEST_v1"),
+      s"data=$base/d1\ndelete=\n".getBytes("UTF-8"))
+    // Reading it directly is refused (no footer)...
+    intercept[IllegalArgumentException] {
+      SnapshotTable.manifest(spark, base, 1)
+    }
+    // ...but recommitting the SAME snapshot upgrades it in place,
+    SnapshotTable.commit(spark, base, 1, Snapshot(Seq(s"$base/d1"), Nil))
+    assert(SnapshotTable.readVersion(spark, base, 1, "k").count() == 5)
+    // while committed history stays immutable for different content.
+    writeNums(s"$base/d2", 5, 8)
+    intercept[IllegalArgumentException] {
+      SnapshotTable.commit(spark, base, 1,
+        Snapshot(Seq(s"$base/d1", s"$base/d2"), Nil))
+    }
   }
 }
