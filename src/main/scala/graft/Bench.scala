@@ -1,6 +1,20 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Queries whose DataFrame construction runs `Sinks.ensure*` side effects
+    * (write-once derived layers). Bench invokes each WITHOUT an action in
+    * its untimed warm-up so a layer rebuild never lands inside a timed
+    * query. BenchBaselineSpec pins that every name is a real query and that
+    * no ensure* call site lives outside this list (modulo the graph/PGM
+    * layers warmed separately). */
+  val layerBacked: Seq[String] = Seq(
+    "q_bucketed_join", "q_partitioned_scan", "q_multiformat",
+    "q_corrupt_json", "q_sketch_merge", "q_quantile_merge",
+    "q_orc_source", "q_xml_source", "q_dsv2_source", "q_dsv2_sink",
+    "q_compaction", "q_dynamic_overwrite", "q_schema_evolution",
+    "q_ivm_join", "q_ivm_delete", "q_time_travel", "q_text_source",
+    "q_reaggregate")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -30,6 +44,18 @@ object Bench {
     // the one-file-per-doc PGM corpus is likewise write-once input data,
     // not query work
     graft.queries.MultimodalQueries.pgmFilesLayer(spark, sfDir)
+    // Build EVERY other write-once derived layer untimed: each layer-backed
+    // query runs its Sinks.ensure* calls eagerly while CONSTRUCTING its
+    // DataFrame, so invoking the function without an action pays exactly the
+    // layer builds (plus trivial plan construction) and leaves the query
+    // itself unexecuted. This keeps a tag/fingerprint bump — code edit or
+    // driver fixture regeneration — from ever landing a one-time layer
+    // rebuild inside a timed query (r9: q_bucketed_join 5.6×, mm_frames
+    // 4.3×, q_orc_source 3.2×, q_pagerank 2.8×, q_dynamic_overwrite 2.5×
+    // were all rebuild absorption). Streaming gates are excluded (they
+    // execute eagerly in the function body and would run twice); graph
+    // kernels are excluded (warmGraphLayers above covers their layers).
+    for (q <- layerBacked; fn <- SparkEntry.queries.get(q)) fn(spark, sfDir)
     // exercise the window-exec + global-sort + noop-commit paths once
     // untimed: their first execution in a JVM costs ~1-2s of codegen/JIT,
     // which otherwise lands on whichever window query runs first and makes

@@ -29,4 +29,58 @@ class BenchBaselineSpec extends SparkTestBase {
     val bad = BenchBaseline.seconds.filter { case (_, s) => s <= 0 || s > 120 }
     assert(bad.isEmpty, s"implausible baseline entries: $bad")
   }
+
+  test("every layer-backed warm-up name is a live query") {
+    val stale = Bench.layerBacked.toSet -- SparkEntry.queries.keySet
+    assert(stale.isEmpty, s"Bench.layerBacked names removed queries: $stale")
+  }
+
+  test("every ensure* call site is covered by the untimed warm-up") {
+    // A Sinks.ensure* call inside a query module builds a write-once layer;
+    // if its query is missing from Bench.layerBacked, a tag/fingerprint bump
+    // lands that layer's rebuild inside the timed run (the r9 regression
+    // storm). Scan the query sources: each file with ensure* sites must have
+    // all of them inside queries named in layerBacked or in the separately
+    // warmed graph/PGM layer builders.
+    val src = java.nio.file.Paths.get("src/main/scala/graft/queries")
+    val warmedElsewhere = Set(
+      "warmGraphLayers", "coPurchaseEdges", "dagLayer", "weightedLayer",
+      "degreeEdgeTable", "pgmFilesLayer")
+    val qNameRe = """"(q_[a-z0-9_]+|[a-z]+_[a-z0-9_]+)"\s*->""".r
+    val ensureRe = """Sinks\.(ensureDir|ensureBucketedTable)\(""".r
+    val defRe = """(?:private\s+)?def\s+([A-Za-z0-9_]+)""".r
+    import scala.jdk.CollectionConverters._
+    var sitesSeen = 0
+    val uncovered = java.nio.file.Files.list(src).iterator().asScala
+      .filter(_.toString.endsWith(".scala")).flatMap { f =>
+        val text = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
+        ensureRe.findAllMatchIn(text).map(_.start).flatMap { pos =>
+          sitesSeen += 1
+          // owner = the nearest preceding query-name arrow or def
+          val before = text.substring(0, pos)
+          val lastQ = qNameRe.findAllMatchIn(before).toSeq.lastOption
+          val lastD = defRe.findAllMatchIn(before).toSeq.lastOption
+          // attribute to the nearest preceding query arrow, except when the
+          // nearest enclosing def is one of the separately-warmed layer
+          // builders (defs INSIDE query lambdas, e.g. q_ivm_join's `term`,
+          // must not shadow their query)
+          val owner = (lastQ, lastD) match {
+            case (q, Some(d)) if warmedElsewhere(d.group(1)) &&
+                q.forall(_.start < d.start) => d.group(1)
+            case (Some(q), _) => q.group(1)
+            case (None, Some(d)) => d.group(1)
+            case _ => s"<top of ${f.getFileName}>"
+          }
+          if (Bench.layerBacked.contains(owner) || warmedElsewhere(owner))
+            None
+          else Some(s"${f.getFileName}: ensure* under '$owner'")
+        }
+      }.toSeq
+    assert(sitesSeen >= 20,
+      s"source sweep looks broken: only $sitesSeen ensure* sites found " +
+        "(expected the ~24 known call sites) — check the scan path")
+    assert(uncovered.isEmpty,
+      s"ensure* call sites not in Bench.layerBacked warm-up:\n  " +
+        uncovered.mkString("\n  "))
+  }
 }

@@ -1,0 +1,98 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.functions.Portable.cents
+
+/** Restart-from-checkpoint coverage for the streaming gates: the nine
+  * driver-gated streaming executions all run inside one process lifetime, so
+  * by themselves they never prove the recovery half of the exactly-once
+  * claim. This spec kills a foreachBatch upsert query between micro-batches
+  * and restarts it from its checkpoint: the resumed run must continue the
+  * epoch sequence (no re-delivery of the committed batch, no skipped batch)
+  * and land exactly the single-process batch answer.
+  *
+  * The snapshot-fold here recovers its base from DISK (latest epoch dir
+  * below the current id) rather than driver memory — the production
+  * foreachBatch pattern, since a restarted driver has no @volatile state. */
+class StreamingRestartSpec extends SparkTestBase {
+
+  test("foreachBatch upsert restarted from its checkpoint lands the batch answer") {
+    val tmp = Files.createTempDirectory("graft-restart").toString
+    val ev = Tables(spark, sf, "events")
+    val schema = ev.schema
+    val median = ev
+      .selectExpr(
+        "CAST(percentile_cont(0.5) WITHIN GROUP (ORDER BY ts div 1000) AS BIGINT)")
+      .head().getLong(0)
+    val epochsSeen = scala.collection.mutable.ArrayBuffer.empty[Long]
+
+    def latestSnapBelow(id: Long): Option[Long] =
+      Option(new java.io.File(s"$tmp/snap").listFiles())
+        .getOrElse(Array.empty)
+        .filter(_.getName.startsWith("e"))
+        .map(_.getName.drop(1).toLong)
+        .filter(_ < id)
+        .sorted.lastOption
+
+    def startQuery(): StreamingQuery =
+      graft.streaming.StreamingOps.withStreamShuffle(spark) {
+        spark.readStream.schema(schema).parquet(s"$tmp/in/*.parquet")
+          .withColumn("ts_us", expr("ts div 1000"))
+          .withColumn("val_cents", cents(col("value")))
+          .writeStream
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            epochsSeen += id
+            val delta = b.groupBy(col("user_id"))
+              .agg(max_by(concat_ws("|", col("ts_us"), col("val_cents")),
+                struct(col("ts_us"), col("event_id"))).as("last"))
+            val base = latestSnapBelow(id)
+              .map(p => spark.read.parquet(s"$tmp/snap/e$p"))
+              .getOrElse(spark.range(0)
+                .select(col("id").as("user_id"), lit("").as("last")))
+            graft.operators.KvSink.upsert(base, delta)
+              .write.mode("overwrite").parquet(s"$tmp/snap/e$id")
+          }
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .start()
+      }
+
+    // epoch 0: first half of the stream, then KILL the query
+    ev.where(expr("ts div 1000") <= median).write.parquet(s"$tmp/in/b1.parquet")
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+
+    // restart from the same checkpoint; second half arrives after the kill
+    ev.where(expr("ts div 1000") > median).write.parquet(s"$tmp/in/b2.parquet")
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+
+    // the resumed run continued the epoch sequence: the committed epoch 0
+    // was NOT re-delivered, the new data arrived as epoch 1
+    assert(epochsSeen.toSeq == Seq(0L, 1L),
+      s"epoch sequence across restart was $epochsSeen, expected [0, 1]")
+
+    // final snapshot == the single-process batch answer over all events
+    val last = latestSnapBelow(Long.MaxValue).get
+    val got = spark.read.parquet(s"$tmp/snap/e$last")
+      .select(col("user_id"),
+        split(col("last"), "\\|")(0).cast("long").as("last_ts_us"),
+        split(col("last"), "\\|")(1).cast("long").as("last_cents"))
+      .collect().map(_.toString).sorted.toSeq
+    val want = ev
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("val_cents", cents(col("value")))
+      .groupBy(col("user_id"))
+      .agg(max_by(struct(col("ts_us").as("last_ts_us"),
+          col("val_cents").as("last_cents")),
+        struct(col("ts_us"), col("event_id"))).as("m"))
+      .select(col("user_id"), col("m.last_ts_us"), col("m.last_cents"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(got == want,
+      "restarted stream's final snapshot diverges from the batch answer")
+  }
+}
