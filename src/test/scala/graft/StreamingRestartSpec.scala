@@ -95,4 +95,69 @@ class StreamingRestartSpec extends SparkTestBase {
     assert(got == want,
       "restarted stream's final snapshot diverges from the batch answer")
   }
+
+  test("stateful tumbling aggregate restarted from checkpoint merges window state across the kill") {
+    // The harder recovery case: the kill lands MID-WINDOW, so the restarted
+    // run must reload the window's partial aggregate from the state store
+    // and fold the post-restart events of the same window into it — a lost
+    // or double-counted partial shows up as a count/sum mismatch against
+    // the batch aggregate. File sink in append mode keeps pre-kill emissions
+    // durable (a memory sink would forget them on restart).
+    val tmp = Files.createTempDirectory("graft-restart-win").toString
+    val ev = Tables(spark, sf, "events")
+      .withColumn("ts_us", graft.Tables.tsUs(Tables(spark, sf, "events")))
+    val schema = Tables(spark, sf, "events").schema
+    val median = ev
+      .selectExpr(
+        "CAST(percentile_cont(0.5) WITHIN GROUP (ORDER BY ts_us) AS BIGINT)")
+      .head().getLong(0)
+    val maxUs = ev.agg(max(col("ts_us"))).head().getLong(0)
+
+    def startQuery(): StreamingQuery =
+      graft.streaming.StreamingOps.withStreamShuffle(spark) {
+        val stream = spark.readStream.schema(schema)
+          .parquet(s"$tmp/in/*.parquet")
+        val events = stream
+          .withColumn("ts_us", graft.Tables.tsUs(stream))
+          .withColumn("val_cents", cents(col("value")))
+        graft.streaming.StreamingOps.tumblingCounts(events)
+          .writeStream.format("parquet")
+          .option("path", s"$tmp/out")
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .outputMode("append")
+          .start()
+      }
+
+    // first half (cuts through an hour window), then KILL
+    ev.where(col("ts_us") <= median).drop("ts_us", "val_cents")
+      .write.parquet(s"$tmp/in/b1.parquet")
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+
+    // second half + two far-future sentinel batches to push the watermark
+    // past every real window (CLAUDE.md streaming-gate recipe)
+    ev.where(col("ts_us") > median).drop("ts_us", "val_cents")
+      .write.parquet(s"$tmp/in/b2.parquet")
+    val sentinel = ev.limit(1)
+      .withColumn("ts", lit((maxUs + 10L * 3600 * 1000000) * 1000))
+      .drop("ts_us", "val_cents")
+    val q2 = startQuery()
+    try {
+      q2.processAllAvailable()
+      sentinel.write.parquet(s"$tmp/in/s1.parquet")
+      q2.processAllAvailable()
+      sentinel.withColumn("ts", lit((maxUs + 20L * 3600 * 1000000) * 1000))
+        .write.parquet(s"$tmp/in/s2.parquet")
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    val got = spark.read.parquet(s"$tmp/out")
+      .where(col("ws_us") <= maxUs) // sentinels filtered
+      .collect().map(_.toString).sorted.toSeq
+    val want = graft.streaming.StreamingOps.tumblingCounts(
+        ev.withColumn("val_cents", cents(col("value"))))
+      .collect().map(_.toString).sorted.toSeq
+    assert(got == want,
+      "window state across the restart diverges from the batch aggregate")
+  }
 }
