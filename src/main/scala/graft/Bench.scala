@@ -11,9 +11,8 @@ object Bench {
     "q_bucketed_join", "q_partitioned_scan", "q_multiformat",
     "q_corrupt_json", "q_sketch_merge", "q_quantile_merge",
     "q_orc_source", "q_xml_source", "q_dsv2_source", "q_dsv2_sink",
-    "q_compaction", "q_dynamic_overwrite", "q_schema_evolution",
-    "q_ivm_join", "q_ivm_delete", "q_time_travel", "q_text_source",
-    "q_reaggregate")
+    "q_schema_evolution", "q_ivm_join", "q_ivm_delete", "q_time_travel",
+    "q_text_source", "q_reaggregate")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -36,6 +35,10 @@ object Bench {
     // warm up Hadoop FS / parquet reader / codegen infrastructure once so the
     // first timed query doesn't absorb JVM initialization.
     graft.Tables(spark, sfDir, "region").count()
+    // dev-loop filter: SPARK_GRAFT_ONLY=q1,q2 times just those queries.
+    // The driver never sets it, so the contract output is unchanged.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     // build the write-once shared graph layers untimed: they are amortized
     // infrastructure (edge list, DAG orientation, weighted edges, bucketed
     // degree table) shared by six kernels — charging their one-time build to
@@ -44,18 +47,32 @@ object Bench {
     // the one-file-per-doc PGM corpus is likewise write-once input data,
     // not query work
     graft.queries.MultimodalQueries.pgmFilesLayer(spark, sfDir)
+    // the two queries whose OP runs eagerly at construction (compaction,
+    // dynamic overwrite) expose their input layers as standalone builders —
+    // invoking their fns here would execute the full op twice per run
+    graft.queries.AdvancedQueries.compactInLayer(spark, sfDir)
+    graft.queries.AdvancedQueries.dynpartBaseLayer(spark, sfDir)
     // Build EVERY other write-once derived layer untimed: each layer-backed
     // query runs its Sinks.ensure* calls eagerly while CONSTRUCTING its
-    // DataFrame, so invoking the function without an action pays exactly the
-    // layer builds (plus trivial plan construction) and leaves the query
-    // itself unexecuted. This keeps a tag/fingerprint bump — code edit or
+    // DataFrame, so invoking the function without an action pays the layer
+    // builds (plus plan construction) and leaves the query body's timed
+    // work unexecuted. This keeps a tag/fingerprint bump — code edit or
     // driver fixture regeneration — from ever landing a one-time layer
     // rebuild inside a timed query (r9: q_bucketed_join 5.6×, mm_frames
     // 4.3×, q_orc_source 3.2×, q_pagerank 2.8×, q_dynamic_overwrite 2.5×
     // were all rebuild absorption). Streaming gates are excluded (they
     // execute eagerly in the function body and would run twice); graph
     // kernels are excluded (warmGraphLayers above covers their layers).
-    for (q <- layerBacked; fn <- SparkEntry.queries.get(q)) fn(spark, sfDir)
+    // Under SPARK_GRAFT_ONLY, warm only the selected queries' layers.
+    for (q <- layerBacked; if only.forall(_(q));
+         fn <- SparkEntry.queries.get(q)) fn(spark, sfDir)
+    // Tripwire for the above: any ensure* REBUILD firing from here on means
+    // a layer was built inside a timed query after all — surfaced in the
+    // output JSON so it can never be mistaken for genuine query cost.
+    val rebuilds = scala.collection.mutable.ListBuffer.empty[String]
+    graft.sources.Sinks.onRebuild = d => rebuilds.synchronized {
+      rebuilds += d.replaceAll(".*/", "")
+    }
     // exercise the window-exec + global-sort + noop-commit paths once
     // untimed: their first execution in a JVM costs ~1-2s of codegen/JIT,
     // which otherwise lands on whichever window query runs first and makes
@@ -71,10 +88,6 @@ object Bench {
     // aggregate, timing less work than the Verify path pays.
     val failed = scala.collection.mutable.ListBuffer.empty[String]
     var sinceGc = 0
-    // dev-loop filter: SPARK_GRAFT_ONLY=q1,q2 times just those queries.
-    // The driver never sets it, so the contract output is unchanged.
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
     val selected = only match {
       case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
       case None => SparkEntry.queries
@@ -126,8 +139,9 @@ object Bench {
       }
     }.mkString("{", ",", "}")
     val fj = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val rb = rebuilds.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"unit":"sec","sf":"$sfDir","queries":$qs,"top20_slowest":$top20,"regressions":$regressions,"failed":$fj,"n_queries":${results.size},"metric":"total","value":$total}""")
+    println(s"""{"unit":"sec","sf":"$sfDir","queries":$qs,"top20_slowest":$top20,"regressions":$regressions,"timed_layer_rebuilds":$rb,"failed":$fj,"n_queries":${results.size},"metric":"total","value":$total}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

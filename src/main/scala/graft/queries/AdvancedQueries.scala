@@ -34,7 +34,15 @@ object AdvancedQueries {
     * materialization the order self-join would recompute once per branch
     * per query. The in-process form of the 100 TB story: build the graph
     * once, run every graph kernel over it. LRU-bounded like the other
-    * memo caches. */
+    * memo caches.
+    *
+    * The cache key carries the INPUT FINGERPRINT, not just (session, dir):
+    * a mid-session in-place regeneration of lineitem must miss here, or
+    * the ensureDir rebuild below (whose tag sees the new fingerprint)
+    * would re-derive the layer from this cache's STALE checkpoint and
+    * stamp dead data with the fresh tag — poisoning the layer for every
+    * later JVM. The fingerprint call is one LIST + bounded tail reads of
+    * the lineitem files, paid once per graph-query construction. */
   private val edgesCache =
     new java.util.LinkedHashMap[(org.apache.spark.sql.SparkSession, String),
         org.apache.spark.sql.DataFrame](8, 0.75f, true) {
@@ -45,7 +53,8 @@ object AdvancedQueries {
   private def coPurchaseEdges(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
     edgesCache.synchronized {
-      val k = (s, dir)
+      val fp = graft.sources.Sinks.fingerprint(s, s"$dir/lineitem.parquet")
+      val k = (s, s"$dir@$fp")
       val hit = edgesCache.get(k)
       if (hit != null) hit
       else {
@@ -145,6 +154,40 @@ object AdvancedQueries {
     dagLayer(s, dir)
     weightedLayer(s, dir)
     degreeEdgeTable(s, dir)
+  }
+
+  /** Write-once 64-file fragment layout of events — q_compaction's INPUT
+    * (the compaction op itself runs fresh each call; only this input layer
+    * is amortized). Extracted so Bench's warm-up can build the layer
+    * without executing the compact rewrite twice per run. */
+  def compactInLayer(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val smallDir =
+      s"/root/repo/target/tmp/compact_in-${new java.io.File(dir).getName}"
+    graft.sources.Sinks.ensureDir(s, smallDir, "v1:events,64files",
+      inputs = Seq(s"$dir/events.parquet")) {
+      Tables(s, dir, "events").repartition(64)
+        .write.mode("overwrite").parquet(smallDir)
+    }
+    smallDir
+  }
+
+  /** Month-partitioned orders base — q_dynamic_overwrite's INPUT state (a
+    * re-run against a base whose H1-1996 was already corrected must land
+    * identically; that idempotence is the claim under test). The timed op
+    * is the dynamic-mode correction, so Bench's warm-up builds only this
+    * layer and never runs the overwrite itself. */
+  def dynpartBaseLayer(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val base =
+      s"/root/repo/target/tmp/dynpart-${new java.io.File(dir).getName}"
+    graft.sources.Sinks.ensureDir(s, base, "v1:orders,mon",
+      inputs = Seq(s"$dir/orders.parquet")) {
+      Tables(s, dir, "orders")
+        .withColumn("mon", date_format(col("o_orderdate"), "yyyy-MM"))
+        .write.partitionBy("mon").mode("overwrite").parquet(base)
+    }
+    base
   }
 
   def queries: Map[String, Q] = Map(
@@ -955,12 +998,7 @@ object AdvancedQueries {
     // files out than in, and no more than the computed target count.
     "q_compaction" -> { (s, dir) =>
       val sf = new java.io.File(dir).getName
-      val smallDir = s"/root/repo/target/tmp/compact_in-$sf"
-      graft.sources.Sinks.ensureDir(s, smallDir, "v1:events,64files",
-        inputs = Seq(s"$dir/events.parquet")) {
-        Tables(s, dir, "events").repartition(64)
-          .write.mode("overwrite").parquet(smallDir)
-      }
+      val smallDir = compactInLayer(s, dir)
       val outDir = s"/root/repo/target/tmp/compact_out-$sf"
       val rep = graft.sources.Compaction.compact(s, smallDir, outDir, 16L << 20)
       s.read.parquet(outDir)
@@ -981,17 +1019,9 @@ object AdvancedQueries {
     // how every partitioned table absorbs reruns and late data without
     // rewriting history. Runs fresh each call — the overwrite IS the op.
     "q_dynamic_overwrite" -> { (s, dir) =>
-      val base = s"/root/repo/target/tmp/dynpart-${new java.io.File(dir).getName}"
+      val base = dynpartBaseLayer(s, dir)
       val df = Tables(s, dir, "orders")
         .withColumn("mon", date_format(col("o_orderdate"), "yyyy-MM"))
-      // the partitioned table is write-once INPUT state (a re-run against a
-      // base whose H1-1996 was already corrected must land identically —
-      // that is the idempotence being claimed); the timed op is the
-      // dynamic-mode correction itself
-      graft.sources.Sinks.ensureDir(s, base, "v1:orders,mon",
-        inputs = Seq(s"$dir/orders.parquet")) {
-        df.write.partitionBy("mon").mode("overwrite").parquet(base)
-      }
       // the correction batch re-delivers H1-1996 under DYNAMIC overwrite;
       // the base's freshness tag is dropped for the duration so a crash
       // mid-correction leaves it tag-less (rewritten next run), never

@@ -698,7 +698,10 @@ object DedupQueries {
   private def simhashPairs(s: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame =
     pairsCache.synchronized {
-      val k = (s, dir)
+      // fingerprint-keyed so an in-place fixture regeneration misses (one
+      // LIST + bounded tail reads; same rationale as the co-purchase cache)
+      val fp = graft.sources.Sinks.fingerprint(s, s"$dir/documents.parquet")
+      val k = (s, s"$dir@$fp")
       val hit = pairsCache.get(k)
       if (hit != null) hit
       else {

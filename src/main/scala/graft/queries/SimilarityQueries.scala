@@ -87,7 +87,10 @@ object SimilarityQueries {
     }
   private def vecs(s: SparkSession, dir: String): DataFrame =
     vecsCache.synchronized {
-      val k = (s, dir)
+      // fingerprint-keyed so an in-place fixture regeneration misses (one
+      // LIST + bounded tail reads; same rationale as the co-purchase cache)
+      val fp = graft.sources.Sinks.fingerprint(s, s"$dir/embeddings.parquet")
+      val k = (s, s"$dir@$fp")
       val hit = vecsCache.get(k)
       if (hit != null) hit
       else {

@@ -73,12 +73,24 @@ object Sinks {
     val n = math.min(64L, len).toInt
     if (n == 0) return 0L
     val buf = new Array[Byte](n)
-    val in = fs.open(p)
-    try { in.seek(len - n); in.readFully(buf) } finally in.close()
+    // the file can be replaced/shrunk between the LIST (which fixed `len`)
+    // and this ranged read — mid-regeneration, exactly the window the
+    // fingerprint exists for. An unreadable tail must contribute a
+    // can't-match-anything-stable value (forcing a rebuild that the NEXT
+    // call re-fingerprints consistently), never crash the ensure call.
+    try {
+      val in = fs.open(p)
+      try { in.seek(len - n); in.readFully(buf) } finally in.close()
+    } catch { case _: java.io.IOException => return -1L }
     val c = new java.util.zip.CRC32
     c.update(buf)
     c.getValue
   }
+
+  /** Test/telemetry seam: invoked with the dir/table name whenever an
+    * ensure* helper actually REBUILDS (not when it reuses a fresh layer).
+    * Bench uses it to detect a rebuild landing inside a timed query. */
+  @volatile var onRebuild: String => Unit = _ => ()
 
   /** Run `write` (which must produce `dir` via a Hadoop committer) unless a
     * previous successful write already committed it WITH the same `tag`.
@@ -99,6 +111,7 @@ object Sinks {
     val fresh = fs.exists(new Path(p, "_SUCCESS")) &&
       readSidecar(fs, tagFile).contains(fullTag)
     if (fresh) return
+    onRebuild(dir)
     fs.delete(p, true)
     write
     writeSidecar(fs, tagFile, fullTag)
@@ -138,16 +151,16 @@ object Sinks {
     val schemaDdl = df.schema.toDDL
     val fp = if (inputs.isEmpty) "" else s";src=${fingerprint(spark, inputs: _*)}"
     val spec = s"key=$key;n=$nBuckets;schema=$schemaDdl$fp"
+    val specOk = readSidecar(fs, specFile).contains(spec)
     if (spark.catalog.tableExists(table)) {
       // A live catalog entry is not proof of freshness: an input regenerated
       // IN PLACE mid-session (driver fixture refresh) leaves the entry
       // pointing at bucket files computed from dead data. Recheck the stored
       // spec (which folds the input fingerprint) and fall through to the
       // rewrite on mismatch — mirroring ensureDir, which has no such gap.
-      if (readSidecar(fs, specFile).contains(spec)) return
+      if (specOk) return
     }
-    if (fs.exists(new Path(loc, "_SUCCESS")) &&
-        readSidecar(fs, specFile).contains(spec)) {
+    if (specOk && fs.exists(new Path(loc, "_SUCCESS"))) {
       spark.sql(
         s"""CREATE TABLE $table ($schemaDdl) USING PARQUET
            |CLUSTERED BY ($key) SORTED BY ($key) INTO $nBuckets BUCKETS
@@ -156,6 +169,7 @@ object Sinks {
       // a previous JVM's managed-table directory can survive in the warehouse
       // while the in-memory catalog forgets it — clear both layers before the
       // write so overwrite does not become CREATE at an existing location
+      onRebuild(table)
       spark.sql(s"DROP TABLE IF EXISTS $table")
       fs.delete(loc, true)
       df.write.bucketBy(nBuckets, key).sortBy(key)

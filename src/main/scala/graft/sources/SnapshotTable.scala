@@ -66,16 +66,39 @@ object SnapshotTable {
     val dst = manifestPath(base, v)
     val fs = fsFor(spark, dst)
     if (fs.exists(dst)) {
-      val (existing, footer) = parseBody(readUtf8(fs, dst, v))
+      // Decide footer validity BEFORE asserting immutability: a truncated
+      // manifest is not a trustworthy committed manifest, so comparing its
+      // (damaged) core against `snap` first would reject the documented
+      // recovery — "recommit the same snapshot" — with a misleading
+      // "different content" error. A filesystem checksum failure means the
+      // bytes themselves are unreliable; that one stays a loud stop.
+      val text = try readUtf8(fs, dst, v) catch {
+        case e: IllegalArgumentException => throw new IllegalArgumentException(
+          s"manifest v$v exists but fails the filesystem checksum — " +
+            s"inspect and delete $dst to recommit", e)
+      }
+      val (existing, footer, existingCore) = parseBody(text)
+      val footerValid = footer.contains(f"${crc32(existingCore)}%08x")
+      if (footerValid) {
+        // a trustworthy committed manifest: history is immutable
+        require(existing == snap,
+          s"snapshot v$v already committed with different content")
+        return // idempotent replay
+      }
+      // No valid footer: a pre-footer manifest or a partial write. When its
+      // surviving core matches what we're committing, rewrite in place
+      // (footer upgrade / tail repair). When it doesn't, we cannot tell a
+      // core-damaged copy of THIS snapshot from a damaged copy of a
+      // DIFFERENT committed version — auto-overwriting could erase real
+      // history, so refuse with the ambiguity spelled out (never a bare
+      // "different content", which misleads a caller who IS recommitting
+      // the original).
       require(existing == snap,
-        s"snapshot v$v already committed with different content")
-      // Identical content with a valid footer: idempotent replay, no-op.
-      // Identical content but a missing footer (a manifest written before
-      // the footer existed) or a damaged footer (the core still matches
-      // exactly what we're committing, so only the tail is hurt): upgrade
-      // it in place — re-committing the same snapshot is the documented
-      // recovery for both, so it must not throw.
-      if (footer.contains(f"${crc32(core)}%08x")) return
+        s"manifest v$v is partial/corrupt (no valid crc footer) and its " +
+          s"surviving content differs from the snapshot being committed — " +
+          s"cannot distinguish a core-damaged copy of this snapshot from a " +
+          s"damaged DIFFERENT committed version; verify and delete $dst to " +
+          s"recommit")
       fs.delete(dst, false)
     }
     writeVia(fs, dst, body, v)
@@ -94,7 +117,7 @@ object SnapshotTable {
     val fs = fsFor(spark, p)
     require(fs.exists(p), s"no committed snapshot v$v under $base")
     val text = readUtf8(fs, p, v)
-    val (snap, footer) = parseBody(text)
+    val (snap, footer, core) = parseBody(text)
     // The footer is REQUIRED: object-store rename is copy+delete, so a
     // partial manifest is possible, and a truncation that cuts the tail off
     // is precisely the case that deletes the footer — treating it as
@@ -102,8 +125,7 @@ object SnapshotTable {
     require(footer.nonEmpty,
       s"manifest v$v has no crc footer — partial/corrupt manifest write " +
         "detected (or a pre-footer manifest: recommit it)")
-    val coreLines = text.linesIterator.filterNot(_.startsWith("crc=")).toSeq
-    val actual = f"${crc32(coreLines.mkString("", "\n", "\n"))}%08x"
+    val actual = f"${crc32(core)}%08x"
     require(footer.contains(actual),
       s"manifest v$v failed checksum ($actual != ${footer.get}) — " +
         "partial/corrupt manifest write detected")
@@ -129,9 +151,11 @@ object SnapshotTable {
     new String(buf, "UTF-8")
   }
 
-  /** Split a manifest body into its core snapshot and the optional crc
-    * footer value (without validating it — callers decide). */
-  private def parseBody(text: String): (Snapshot, Option[String]) = {
+  /** Split a manifest body into its core snapshot, the optional crc footer
+    * value, and the exact core STRING the footer covers — returned so both
+    * callers checksum the same bytes this parse saw (no second, possibly
+    * divergent, partition of the text). Validation is the caller's call. */
+  private def parseBody(text: String): (Snapshot, Option[String], String) = {
     val (coreLines, crcLines) =
       text.linesIterator.toSeq.partition(!_.startsWith("crc="))
     val kv = coreLines
@@ -139,7 +163,8 @@ object SnapshotTable {
       .toMap
     def dirs(k: String) = kv.getOrElse(k, "").split(",").filter(_.nonEmpty)
     (Snapshot(dirs("data").toSeq, dirs("delete").toSeq),
-      crcLines.headOption.map(_.stripPrefix("crc=")))
+      crcLines.headOption.map(_.stripPrefix("crc=")),
+      coreLines.mkString("", "\n", "\n"))
   }
 
   private def crc32(s: String): Long = {

@@ -40,18 +40,26 @@ class SinksSpec extends SparkTestBase {
     val t0 = Files.getLastModifiedTime(inFile)
     val out = Files.createTempDirectory("graft-out").toString + "/layer"
     var writes = 0
-    def layer(): Unit =
-      Sinks.ensureDir(spark, out, tag = "v1", inputs = Seq(in)) {
-        writes += 1
-        spark.range(1).write.mode("overwrite").parquet(out)
-      }
-    layer()
-    layer() // warm: same input bytes → reused, no rewrite
-    assert(writes == 1, s"warm layer rewrote ($writes writes)")
-    Files.write(inFile, Array.fill[Byte](64)('y'))
-    Files.setLastModifiedTime(inFile, t0)
-    layer()
-    assert(writes == 2, "regenerated input did not invalidate the layer")
+    val hookFired = scala.collection.mutable.ListBuffer.empty[String]
+    val prevHook = Sinks.onRebuild
+    Sinks.onRebuild = hookFired += _
+    try {
+      def layer(): Unit =
+        Sinks.ensureDir(spark, out, tag = "v1", inputs = Seq(in)) {
+          writes += 1
+          spark.range(1).write.mode("overwrite").parquet(out)
+        }
+      layer()
+      layer() // warm: same input bytes → reused, no rewrite
+      assert(writes == 1, s"warm layer rewrote ($writes writes)")
+      Files.write(inFile, Array.fill[Byte](64)('y'))
+      Files.setLastModifiedTime(inFile, t0)
+      layer()
+      assert(writes == 2, "regenerated input did not invalidate the layer")
+      // the Bench tripwire seam fires once per actual rebuild, never on reuse
+      assert(hookFired.toList == List(out, out),
+        s"onRebuild fired ${hookFired.toList}, expected twice for $out")
+    } finally Sinks.onRebuild = prevHook
   }
 
   test("ensureBucketedTable rewrites mid-session when its input regenerates") {
