@@ -42,6 +42,18 @@ object GraphOps {
     *   catch it downstream. Fail loudly; callers with >maxIter-diameter
     *   graphs must raise the budget or use star contraction.
     */
+  /** The (row-count, exact-decimal-Σ expr) fixpoint witness every monotone
+    * flooding kernel shares (CLAUDE.md iteration rule): labels only ever
+    * move one way in their lattice, so the pair is stable iff the labeling
+    * is — one helper so a change to the discipline (e.g. empty-frame null
+    * handling) lands everywhere at once. */
+  private def witnessPair(df: DataFrame,
+      c: Column): (java.math.BigDecimal, java.math.BigDecimal) = {
+    val r = df.agg(count(lit(1)).cast("decimal(38,0)").as("c"),
+      sum(c.cast("decimal(38,0)")).as("s")).head()
+    (r.getDecimal(0), r.getDecimal(1))
+  }
+
   def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
     val cols = edges.columns
     val e0 = edges.select(col(cols(0)).cast("long").as("u"),
@@ -100,21 +112,21 @@ object GraphOps {
     * (id, comp) for every node that appears in `edges`. */
   def connectedComponentsStar(edges: DataFrame, maxIter: Int = 30): DataFrame = {
     val cols = edges.columns
-    var e = edges.select(col(cols(0)).cast("long").as("u"),
-        col(cols(1)).cast("long").as("v"))
+    val raw = edges.select(col(cols(0)).cast("long").as("u"),
+      col(cols(1)).cast("long").as("v"))
+    // every node of the input graph — the output contract (component minima
+    // and isolated-by-contraction nodes drop out of the edge set). Derived
+    // from the RAW edges, before self-loops are dropped: a node whose only
+    // edge is (x, x) is a singleton component, and [[connectedComponents]]
+    // emits it — this form must too.
+    val nodes = raw.select(col("u").as("id"))
+      .union(raw.select(col("v").as("id"))).distinct().localCheckpoint()
+    var e = raw
       .where(col("u") =!= col("v"))
       .select(greatest(col("u"), col("v")).as("u"),
         least(col("u"), col("v")).as("v"))
       .distinct().localCheckpoint()
-    // every node of the input graph — the output contract (component minima
-    // and isolated-by-contraction nodes drop out of the edge set)
-    val nodes = e.select(col("u").as("id"))
-      .union(e.select(col("v").as("id"))).distinct().localCheckpoint()
-    def witness(df: DataFrame): (java.math.BigDecimal, java.math.BigDecimal) = {
-      val r = df.agg(count(lit(1)).cast("decimal(38,0)").as("c"),
-        sum((col("u") + col("v")).cast("decimal(38,0)")).as("s")).head()
-      (r.getDecimal(0), r.getDecimal(1))
-    }
+    def witness(df: DataFrame) = witnessPair(df, col("u") + col("v"))
     def largeStar(ed: DataFrame): DataFrame = {
       val nb = ed.union(ed.select(col("v").as("u"), col("u").as("v")))
       val mins = nb.groupBy(col("u"))
@@ -186,11 +198,7 @@ object GraphOps {
       .distinct()
       .select(col("id"), lit(Long.MaxValue).as("bneck"))
       .localCheckpoint()
-    def witness(df: DataFrame): (java.math.BigDecimal, java.math.BigDecimal) = {
-      val r = df.agg(count(lit(1)).cast("decimal(38,0)").as("c"),
-        sum(col("bneck").cast("decimal(38,0)")).as("s")).head()
-      (r.getDecimal(0), r.getDecimal(1))
-    }
+    def witness(df: DataFrame) = witnessPair(df, col("bneck"))
     var prev = witness(lab)
     var converged = false
     var it = 0
@@ -325,11 +333,7 @@ object GraphOps {
       .distinct()
       .select(col("id"), lit(0L).as("dist"))
       .localCheckpoint()
-    def witness(df: DataFrame): (java.math.BigDecimal, java.math.BigDecimal) = {
-      val r = df.agg(count(lit(1)).cast("decimal(38,0)").as("c"),
-        sum(col("dist").cast("decimal(38,0)")).as("s")).head()
-      (r.getDecimal(0), r.getDecimal(1))
-    }
+    def witness(df: DataFrame) = witnessPair(df, col("dist"))
     var prev = witness(labels)
     var converged = false
     var it = 0
@@ -410,13 +414,21 @@ object GraphOps {
     * satisfies the SHJ's clustered distribution), so nothing edge-sized ever
     * shuffles again, in any session. */
   def pageRankOn(ed: DataFrame, iters: Int = 5,
-      scale: Long = 1000000L): DataFrame = {
-    val base = 15L * scale / 100L
+      scale: Long = 1000000L): DataFrame =
+    prSweeps(ed, iters, _ => lit(scale), _ => lit(15L * scale / 100L))
+
+  /** The shared PageRank sweep loop: `init(node)` seeds rank₀ and
+    * `teleport(node)` is the per-round restart mass — uniform literals for
+    * plain PageRank, a seed-predicate CASE for the personalized form. ONE
+    * loop so the sweep discipline (SHUFFLE_HASH build side, integer DIV
+    * ladder, per-sweep checkpoint) cannot drift between the two. */
+  private def prSweeps(ed: DataFrame, iters: Int,
+      init: Column => Column, teleport: Column => Column): DataFrame = {
     // every node appears on the u side (the prepared table holds both
     // orientations), and distinct-over-u folds WITHOUT an exchange when the
     // source is hash(u)-distributed
     var r = ed.select(col("u")).distinct()
-      .select(col("u").as("node"), lit(scale).as("rnk"))
+      .select(col("u").as("node"), init(col("u")).as("rnk"))
     var it = 0
     while (it < iters) {
       r = ed.join(r.hint("SHUFFLE_HASH"), ed("u") === r("node"))
@@ -424,7 +436,7 @@ object GraphOps {
         .groupBy(col("v"))
         .agg(sum(col("c")).as("s"))
         .select(col("v").as("node"),
-          (lit(base) + expr("(85 * s) DIV 100")).as("rnk"))
+          (teleport(col("v")) + expr("(85 * s) DIV 100")).as("rnk"))
         .localCheckpoint()
       // per-sweep checkpoint (iteration rule) — and deliberately NOT a lazy
       // sweep chain: chaining k sweeps into one plan makes k structurally
@@ -455,20 +467,7 @@ object GraphOps {
     def seedBase(n: Column, amt: Long) =
       when(pmod(n, lit(seedMod.toLong)) === lit(seedRes.toLong), lit(amt))
         .otherwise(lit(0L))
-    var r = ed.select(col("u")).distinct()
-      .select(col("u").as("node"), seedBase(col("u"), scale).as("rnk"))
-    var it = 0
-    while (it < iters) {
-      r = ed.join(r.hint("SHUFFLE_HASH"), ed("u") === r("node"))
-        .select(ed("v").as("v"), expr("rnk DIV d").as("c"))
-        .groupBy(col("v"))
-        .agg(sum(col("c")).as("s"))
-        .select(col("v").as("node"),
-          (seedBase(col("v"), base) + expr("(85 * s) DIV 100")).as("rnk"))
-        .localCheckpoint() // same per-sweep checkpoint rule as pageRankOn
-      it += 1
-    }
-    r
+    prSweeps(ed, iters, seedBase(_, scale), seedBase(_, base))
   }
 
   /** Global triangle count by degree-ordered adjacency intersection (the
@@ -496,13 +495,23 @@ object GraphOps {
     * row ever exceeds ~8·√m bytes even on a celebrity graph. The oriented
     * edge list is localCheckpoint'ed once because it feeds the adjacency
     * build and the edge probe. */
-  def triangleCount(edges: DataFrame): DataFrame = {
+  def triangleCount(edges: DataFrame): DataFrame =
+    triangleCountOriented(orientByDegree(edges).localCheckpoint())
+
+  /** Degree-order orientation of a distinct undirected (u, v) edge list:
+    * every edge re-pointed from its lower-(degree, id) endpoint — the
+    * O(√m)-out-degree invariant [[triangleCountOriented]] requires. The ONE
+    * definition of the orientation: the persisted DAG layer
+    * (AdvancedQueries.dagLayer) and the inline path both call it, so the
+    * tie rule can never drift between the layer on disk and the operator.
+    * Output is NOT materialized — callers checkpoint or write it. */
+  def orientByDegree(edges: DataFrame): DataFrame = {
     val cols = edges.columns
     val e0 = edges.select(col(cols(0)).cast("long").as("u"),
       col(cols(1)).cast("long").as("v"))
     val und = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
     val deg = und.groupBy(col("u").as("x")).agg(count(lit(1)).as("deg"))
-    val oriented = e0
+    e0
       .join(deg.select(col("x").as("u"), col("deg").as("du")), "u")
       .join(deg.select(col("x").as("v"), col("deg").as("dv")), "v")
       .select(when(col("du") < col("dv")
@@ -510,8 +519,6 @@ object GraphOps {
           struct(col("u").as("s"), col("v").as("t")))
         .otherwise(struct(col("v").as("s"), col("u").as("t"))).as("st"))
       .select(col("st.s").as("s"), col("st.t").as("t"))
-      .localCheckpoint()
-    triangleCountOriented(oriented)
   }
 
   /** Triangle census over a PREPARED degree-ordered orientation: (s, t)

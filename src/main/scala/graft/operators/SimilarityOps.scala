@@ -107,6 +107,14 @@ object SimilarityOps {
     var cents: Array[(Int, Array[Long])] = sample
       .filter(_._1 < seedBound)
       .map { case (id, iv) => ((id / sampleMod).toInt, iv) }
+    // Fail loudly, not empty: a corpus whose ids all sit at/above seedBound
+    // (renumbered fixture, offset id space) would otherwise train ZERO
+    // centroids — every ANN query silently returns no rows and pqEncode
+    // indexes into an empty codebook inside a task.
+    require(cents.nonEmpty,
+      s"lloydFit: no seed ids below $seedBound in the sampled corpus " +
+        s"(${sample.length} sampled rows) — seedBound/sampleMod do not " +
+        "match the vec_id space")
     var it = 0
     while (it < iters) {
       val sums = scala.collection.mutable.HashMap.empty[Int, (Array[Long], Long)]
@@ -234,9 +242,19 @@ object SimilarityOps {
       qCorpus.crossJoin(broadcast(qQueries))
         .where(col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id").as("nbr_id"),
-          (graft.functions.ArrayExprs.dotI8(col("q_qv"), col("qv")).cast("double")
-            / sqrt(col("q_qnrm").cast("double") * col("qnrm").cast("double")))
-            .as("cos")), k)
+          // the ONE portable cosine formula (Portable.cosine) — every
+          // scoring path must share it or the oracles drift
+          cosine(graft.functions.ArrayExprs.dotI8(col("q_qv"), col("qv")),
+            col("q_qnrm"), col("qnrm")).as("cos")), k)
+
+  /** Quantized-query renamer, the [[quantizeI8]]-side twin of [[asQueries]]:
+    * (qid, q_qv, q_qnrm) — the q_ prefix keeps the broadcast side's columns
+    * from colliding with the corpus side's qv/qnrm in the cross join. The
+    * documented contract [[quantizedTopK]] expects; callers must not
+    * hand-rename. */
+  def asQuantizedQueries(qz: DataFrame): DataFrame =
+    qz.select(col("vec_id").as("qid"), col("qv").as("q_qv"),
+      col("qnrm").as("q_qnrm"))
 
   /** Sign-pattern bucket of a long-vector column against integer
     * hyperplanes (integer coefficients keep the signature exact and
@@ -292,8 +310,8 @@ object SimilarityOps {
     * driver merges partitions·k rows — so nothing pair-sized is ever
     * globally sorted or shuffled. Bucket skew has the same Σ bucket² regime
     * as every bucket self-join here (grid-distribute via [[nearDupPairs]]'
-    * pattern if a bucket goes hot). Pair ids must fit 31 bits (packed
-    * tiebreak); ranking ties break on (vec_a, vec_b). */
+    * pattern if a bucket goes hot). Ranking ties break on (vec_a, vec_b) —
+    * the long id columns are used directly, no id-width restriction. */
   def globalTopPairs(encoded: DataFrame, planes: Seq[Seq[Long]],
       k: Int): DataFrame = {
     val b = encoded.withColumn("bucket", lshBucket(col("iv"), planes))
@@ -397,7 +415,10 @@ object SimilarityOps {
       .where(col("cos") >= minCos)
       .select(col(blockCol).cast("long").as(blockCol),
         col("vec_a"), col("vec_b"), col("cos"))
-      .orderBy("vec_a", "vec_b")
+    // no final orderBy here: [[semDedup]] immediately checkpoints and
+    // aggregates the pairs, so a sort would be materialized work the
+    // consumer destroys — the gate query (sim_neardup) adds its own
+    // deterministic ORDER BY at the output layer
   }
 
   /** Product-quantization codebooks (Jégou, Douze, Schmid, "Product

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.util.TypeUtils
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.graftbridge.{ColumnBridge, DatasetBridge}
 
@@ -145,6 +145,14 @@ case class AsOfJoinExec(
 
   override def outputOrdering: Seq[SortOrder] =
     Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending))
+
+  // one output row per left row, produced in place by the partition zip:
+  // the left child's hash partitioning survives the join exactly as it
+  // does through SortMergeJoinExec's LEFT OUTER — declaring it saves a
+  // redundant Exchange under any downstream per-key operator (groupBy /
+  // window over the join key). Without this override the node reports
+  // UnknownPartitioning and every consumer reshuffles.
+  override def outputPartitioning: Partitioning = left.outputPartitioning
 
   override protected def doExecute(): RDD[InternalRow] = {
     // capture only serializable pieces; projections/orderings are

@@ -90,16 +90,10 @@ object AdvancedQueries {
       s"/root/repo/target/tmp/copurchase_dag-${new java.io.File(dir).getName}"
     graft.sources.Sinks.ensureDir(s, tmp, "v1:degree-ordered,s->t",
         inputs = Seq(s"$dir/lineitem.parquet")) {
-      val e0 = coPurchaseEdges(s, dir)
-      val und = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
-      val deg = und.groupBy(col("u").as("x")).agg(count(lit(1)).as("deg"))
-      e0.join(deg.select(col("x").as("u"), col("deg").as("du")), "u")
-        .join(deg.select(col("x").as("v"), col("deg").as("dv")), "v")
-        .select(when(col("du") < col("dv")
-            || (col("du") === col("dv") && col("u") < col("v")),
-            struct(col("u").as("s"), col("v").as("t")))
-          .otherwise(struct(col("v").as("s"), col("u").as("t"))).as("st"))
-        .select(col("st.s").as("s"), col("st.t").as("t"))
+      // the one orientation definition (GraphOps.orientByDegree): the
+      // persisted layer must carry exactly the invariant
+      // triangleCountOriented trusts, so it cannot be a local re-derivation
+      graft.operators.GraphOps.orientByDegree(coPurchaseEdges(s, dir))
         .write.mode("overwrite").parquet(tmp)
     }
     tmp

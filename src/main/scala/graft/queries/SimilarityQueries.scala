@@ -173,6 +173,7 @@ object SimilarityQueries {
     "sim_neardup" -> { (s, dir) =>
       SimilarityOps.nearDupPairs(vecs(s, dir), minCos = 0.35,
         blockCol = "label", gridWidth = 4)
+        .orderBy("vec_a", "vec_b")
     },
 
     // SemDeDup: semantic dedup bounded by the trained k-means cells
@@ -215,9 +216,7 @@ object SimilarityQueries {
         SimilarityOps.asQueries(v.where(col("vec_id") < 10)), TopK)
         .localCheckpoint()
       val qz = SimilarityOps.quantizeI8(v).localCheckpoint()
-      val qzq = qz.where(col("vec_id") < 10)
-        .select(col("vec_id").as("qid"), col("qv").as("q_qv"),
-          col("qnrm").as("q_qnrm"))
+      val qzq = SimilarityOps.asQuantizedQueries(qz.where(col("vec_id") < 10))
       val qtop = SimilarityOps.quantizedTopK(qz, qzq, TopK)
         .select(col("qid"), col("nbr_id"))
       val hits = exact.select(col("qid"), col("nbr_id"))

@@ -31,6 +31,19 @@ class AsOfJoinSpec extends SparkTestBase {
       s"expected one sort per side:\n$p")
   }
 
+  test("downstream per-key aggregate reuses the as-of output partitioning") {
+    // AsOfJoinExec emits one row per left row in place, so the left child's
+    // hash partitioning on the join key survives — a groupBy on that key
+    // must NOT plan a third exchange (only the two child exchanges exist).
+    val df = SparkEntry.queries("q_asof_native")(spark, sf)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2,
+      s"per-key aggregate above the as-of join added an exchange:\n$p")
+  }
+
   test("optimizer rule pushes left-side filters below the as-of node") {
     val df = SparkEntry.queries("q_asof_native")(spark, sf)
       .where(col("user_id") < 10 && col("click_id").isNotNull)

@@ -91,6 +91,21 @@ class GraphOpsSpec extends SparkTestBase {
     assert(got == model(star))
   }
 
+  test("both CC forms keep a node whose only edge is a self-loop") {
+    import spark.implicits._
+    // node 7's sole appearance is (7,7): it is a singleton component, and
+    // the doc contract promises identical rosters from both algorithms —
+    // dropping self-loops before deriving the node set would lose it.
+    val edges = Seq((1L, 2L), (7L, 7L), (2L, 3L))
+    val flood = GraphOps.connectedComponents(edges.toDF("u", "v"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val starred = GraphOps.connectedComponentsStar(edges.toDF("u", "v"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(flood == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L))
+    assert(starred == flood,
+      s"star roster $starred diverges from flooding roster $flood")
+  }
+
   test("star-contraction CC converges on a 400-node chain (flooding cannot)") {
     import spark.implicits._
     val chain = (0L until 400L).sliding(2).map(s => (s(0), s(1))).toSeq
