@@ -35,10 +35,20 @@ object ArrayExprs {
     protected def foldJava(a: String, b: String): String
     protected def foldScala(x: Long, y: Long): Long
 
+    // Element-wise folds are only defined for equal dimensions: silently
+    // truncating to the shorter side (min) would return a PARTIAL dot/L2 —
+    // a plausible wrong similarity score with no error, exactly the
+    // mixed-dimension-corpus bug class. One comparison per call; the
+    // branch is never taken on well-formed data. NULL array slots are out
+    // of contract (nullIntolerant covers only top-level nulls) — embedding
+    // columns are built from non-null element arrays.
     override def nullSafeEval(l: Any, r: Any): Any = {
       val a = l.asInstanceOf[ArrayData]
       val b = r.asInstanceOf[ArrayData]
-      val n = math.min(a.numElements(), b.numElements())
+      val n = a.numElements()
+      if (n != b.numElements())
+        throw new IllegalArgumentException(
+          s"$prettyName: array length mismatch: $n vs ${b.numElements()}")
       var s = 0L
       var i = 0
       while (i < n) { s += foldScala(a.getLong(i), b.getLong(i)); i += 1 }
@@ -51,7 +61,12 @@ object ArrayExprs {
         val i = ctx.freshName("i")
         val s = ctx.freshName("s")
         s"""
-           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |int $n = $a.numElements();
+           |if ($n != $b.numElements()) {
+           |  throw new IllegalArgumentException(
+           |    "$prettyName: array length mismatch: " + $n + " vs " +
+           |      $b.numElements());
+           |}
            |long $s = 0L;
            |for (int $i = 0; $i < $n; $i++) {
            |  ${foldJava(s"$a.getLong($i)", s"$b.getLong($i)").replace("ACC", s)}
@@ -168,13 +183,17 @@ object ArrayExprs {
     override def dataType: DataType = LongType
     override def nullIntolerant: Boolean = true
 
+    // equal-length contract, same rationale as LongArrayFold: a truncated
+    // byte-dot is a silently wrong score, not a smaller answer
     override def nullSafeEval(l: Any, r: Any): Any = {
       val a = l.asInstanceOf[Array[Byte]]
       val b = r.asInstanceOf[Array[Byte]]
-      val n = math.min(a.length, b.length)
+      if (a.length != b.length)
+        throw new IllegalArgumentException(
+          s"$prettyName: vector length mismatch: ${a.length} vs ${b.length}")
       var s = 0L
       var i = 0
-      while (i < n) { s += a(i).toLong * b(i); i += 1 }
+      while (i < a.length) { s += a(i).toLong * b(i); i += 1 }
       s
     }
 
@@ -184,7 +203,12 @@ object ArrayExprs {
         val i = ctx.freshName("i")
         val s = ctx.freshName("s")
         s"""
-           |int $n = java.lang.Math.min($a.length, $b.length);
+           |int $n = $a.length;
+           |if ($n != $b.length) {
+           |  throw new IllegalArgumentException(
+           |    "$prettyName: vector length mismatch: " + $n + " vs " +
+           |      $b.length);
+           |}
            |long $s = 0L;
            |for (int $i = 0; $i < $n; $i++) {
            |  $s += (long) $a[$i] * $b[$i];
@@ -228,24 +252,33 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsOf)
     def info(name: String, usage: String) =
       new ExpressionInfo(classOf[ArrayExprs.type].getName, null, name, usage, "")
+    // arity-checked like graft_bloom_agg below: a wrong argument count from
+    // the SQL surface must name the function, not die in a raw
+    // IndexOutOfBoundsException from cs(1)
+    def binary(name: String, f: (Expression, Expression) => Expression)
+        : Seq[Expression] => Expression = {
+      case Seq(a, b) => f(a, b)
+      case cs => throw new IllegalArgumentException(
+        s"$name takes exactly 2 arguments, got ${cs.length}")
+    }
     ext.injectFunction((FunctionIdentifier("graft_dot"),
       info("graft_dot", "graft_dot(a, b) - exact dot product of long arrays"),
-      (cs: Seq[Expression]) => LongArrayDot(cs(0), cs(1))))
+      binary("graft_dot", LongArrayDot.apply)))
     ext.injectFunction((FunctionIdentifier("graft_l2sq"),
       info("graft_l2sq", "graft_l2sq(a, b) - exact squared L2 distance"),
-      (cs: Seq[Expression]) => LongArrayL2Sq(cs(0), cs(1))))
+      binary("graft_l2sq", LongArrayL2Sq.apply)))
     ext.injectFunction((FunctionIdentifier("graft_intersect_size"),
       info("graft_intersect_size",
         "graft_intersect_size(a, b) - |A∩B| of sorted int arrays"),
-      (cs: Seq[Expression]) => SortedIntIntersectSize(cs(0), cs(1))))
+      binary("graft_intersect_size", SortedIntIntersectSize.apply)))
     ext.injectFunction((FunctionIdentifier("graft_intersect_size_l"),
       info("graft_intersect_size_l",
         "graft_intersect_size_l(a, b) - |A∩B| of sorted long arrays"),
-      (cs: Seq[Expression]) => SortedLongIntersectSize(cs(0), cs(1))))
+      binary("graft_intersect_size_l", SortedLongIntersectSize.apply)))
     ext.injectFunction((FunctionIdentifier("graft_dot_i8"),
       info("graft_dot_i8",
         "graft_dot_i8(a, b) - signed-int8 dot product of binary columns"),
-      (cs: Seq[Expression]) => ByteArrayDot(cs(0), cs(1))))
+      binary("graft_dot_i8", ByteArrayDot.apply)))
     // SQL surface for Spark's internal runtime-filter bloom expressions:
     // lets a query express the manual semi-join prefilter pattern
     // (`graft_might_contain((SELECT graft_bloom_agg(xxhash64(k)) FROM dim
@@ -269,8 +302,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_might_contain"),
       info("graft_might_contain",
         "graft_might_contain(bloom, xxhash64(k)) - bloom membership probe"),
-      (cs: Seq[Expression]) =>
-        org.apache.spark.sql.catalyst.expressions
-          .BloomFilterMightContain(cs(0), cs(1))))
+      binary("graft_might_contain",
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(_, _))))
   }
 }

@@ -43,7 +43,16 @@ object EventOps {
     val byKey = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
     changes
       .withColumn("_prev", lag(col(attrCol), 1).over(byKey))
-      .where(col("_prev").isNull || col("_prev") =!= col(attrCol))
+      // null-SAFE change detection: a NULL attribute is a legitimate
+      // "value unknown" version, so NULL→'A' and 'A'→NULL open versions
+      // while NULL→NULL does not (a plain =!= returns NULL against a NULL
+      // side and silently drops the version). lag(attr) alone cannot tell
+      // "first row" from "previous attr was NULL", so the first-row witness
+      // is lag(ts) — tsCol is non-null, and the extra lag shares the same
+      // window spec (no new exchange or sort). Oracle mirror:
+      // `pts IS NULL OR (pk IS DISTINCT FROM k)`.
+      .withColumn("_prevTs", lag(col(tsCol), 1).over(byKey))
+      .where(col("_prevTs").isNull || !(col("_prev") <=> col(attrCol)))
       .withColumn("valid_from_us", col(tsCol))
       .withColumn("valid_to_us", lead(col(tsCol), 1).over(byKey))
       .select(col(keyCol), col(attrCol), col("valid_from_us"),
@@ -143,7 +152,7 @@ object EventOps {
     * that comes back is |users| rows of short strings, and the census
     * aggregate on it is journey-domain-sized. Ties at equal timestamps
     * break on event_id, so the path string is deterministic. */
-  def journeys(events: DataFrame, k: Int): DataFrame = {
+  def journeys(events: DataFrame, k: Int, topN: Int): DataFrame = {
     val s = events.sparkSession
     import s.implicits._
     events
@@ -158,7 +167,10 @@ object EventOps {
       .groupBy(col("journey"))
       .agg(count(lit(1)).as("n_users"))
       .orderBy(col("n_users").desc, col("journey"))
-      .limit(20)
+      // the census is journey-domain-sized; the REPORT is its top-N —
+      // explicit parameter, not a buried constant, so no caller mistakes
+      // the truncated report for the full census
+      .limit(topN)
   }
 
   /** Gap-based sessionization, batch window-function form: lag → new-session

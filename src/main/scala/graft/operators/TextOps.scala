@@ -296,9 +296,11 @@ object TextOps {
     import s.implicits._
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) =>
+        // ONE codePoints materialization per doc — shared with the
+        // selection via the array overload
         val cps = text.codePoints().toArray
         val g = math.max(cps.length - k + 1, 0)
-        val sel = winnowSelect(text, k, w)
+        val sel = winnowSelect(cps, k, w)
         (id, g.toLong, sel.length.toLong, sel.map(_._2).sum,
           sel.map(_._1.toLong).sum)
       }
@@ -310,8 +312,12 @@ object TextOps {
     * k-gram rolling hashes. Exposed so the SIGMOD-03 guarantee (shared
     * substrings of ≥ w+k−1 chars share a fingerprint) is directly
     * testable. */
-  def winnowSelect(text: String, k: Int, w: Int): IndexedSeq[(Int, Long)] = {
-    val cps = text.codePoints().toArray
+  def winnowSelect(text: String, k: Int, w: Int): IndexedSeq[(Int, Long)] =
+    winnowSelect(text.codePoints().toArray, k, w)
+
+  /** Array form of [[winnowSelect]] for callers that already hold the
+    * code points (winnow's per-doc map — avoids a second materialization). */
+  def winnowSelect(cps: Array[Int], k: Int, w: Int): IndexedSeq[(Int, Long)] = {
     val g = cps.length - k + 1
     if (g <= 0) IndexedSeq.empty
     else {
@@ -419,6 +425,9 @@ object TextOps {
     * same expression tree is bit-identical. */
   def bm25(docs: DataFrame, terms: Seq[String], k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
+    // the hit predicate and the score both reduce over terms — an empty
+    // list would die in reduceLeft with no hint; make the contract explicit
+    require(terms.nonEmpty, "bm25: terms must be non-empty")
     val s = docs.sparkSession
     import s.implicits._
     val termIdx = terms.zipWithIndex.toMap

@@ -40,7 +40,7 @@ object EventQueries {
     // Journey mining (EventOps.journeys): top first-5-event paths per user
     // — one user_id shuffle + a journey-domain-sized census.
     "q_journeys" -> { (s, dir) =>
-      graft.operators.EventOps.journeys(normalized(s, dir), 5)
+      graft.operators.EventOps.journeys(normalized(s, dir), 5, topN = 20)
     },
 
     // Forward fill (last observation carried forward) — the telemetry
@@ -1065,9 +1065,11 @@ object EventQueries {
          |ch AS (
          |  SELECT * FROM (
          |    SELECT user_id, event_id, ts_us, k,
-         |      lag(k) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS pk
+         |      lag(k) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS pk,
+         |      lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+         |        AS pts
          |    FROM e)
-         |  WHERE pk IS NULL OR pk <> k),
+         |  WHERE pts IS NULL OR (pk IS DISTINCT FROM k)),
          |iv AS (
          |  SELECT user_id, k, ts_us AS valid_from_us,
          |    lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
@@ -1086,9 +1088,11 @@ object EventQueries {
          |ch AS (
          |  SELECT * FROM (
          |    SELECT user_id, event_id, ts_us, k,
-         |      lag(k) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS pk
+         |      lag(k) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS pk,
+         |      lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+         |        AS pts
          |    FROM e)
-         |  WHERE pk IS NULL OR pk <> k),
+         |  WHERE pts IS NULL OR (pk IS DISTINCT FROM k)),
          |p AS (SELECT event_id, user_id, ts_us FROM e
          |      WHERE event_type = 'purchase')
          |SELECT event_id, user_id, ts_us, k AS k_at_purchase FROM (

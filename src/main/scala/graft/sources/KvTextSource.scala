@@ -183,12 +183,21 @@ final class KvReaderFactory(filters: Array[Filter], required: StructType,
 
 /** Streams one [start, end) byte range of one file: raw byte lines (UTF-8
   * never embeds 0x0A in a multi-byte sequence, so byte-splitting on \n is
-  * exact) → parse → filter on primitives → project required columns. Rows
-  * failing a pushed predicate cost one line-parse and zero allocations
-  * beyond it. Range protocol: a line belongs to the range holding its
-  * first byte (reading runs while lineStart <= end, so a line opening
-  * exactly at `end` is this range's); a non-zero start discards its
-  * leading (possibly partial) line — the preceding range finishes it. */
+  * exact) → parse → filter on primitives → project required columns.
+  *
+  * The hot loop works on BYTES end to end: lines accumulate in a reusable
+  * buffer filled from a private 64 KiB chunk (one stream read per chunk —
+  * never a synchronized per-byte call), the value parses straight from its
+  * byte span, pushed key equalities compare byte spans against
+  * pre-encoded filter bytes, and the key decodes to a UTF8String ONLY when
+  * the projection actually requires the column — so `SELECT sum(value)`
+  * allocates nothing per row beyond the reused InternalRow slot, which is
+  * what the column-pruning claim above means at the 100 TB seam.
+  *
+  * Range protocol: a line belongs to the range holding its first byte
+  * (reading runs while lineStart <= end, so a line opening exactly at
+  * `end` is this range's); a non-zero start discards its leading (possibly
+  * partial) line — the preceding range finishes it. */
 final class KvPartitionReader(file: String, start: Long, end: Long,
     filters: Array[Filter], required: StructType,
     confMap: Map[String, String]) extends PartitionReader[InternalRow] {
@@ -198,34 +207,49 @@ final class KvPartitionReader(file: String, start: Long, end: Long,
     val fs = FileSystem.get(p.toUri, KvTextSource.confFrom(confMap))
     val s = fs.open(p)
     if (start > 0) s.seek(start)
-    new java.io.BufferedInputStream(s, 1 << 16)
+    s
   }
   private var pos = start
-  private var row: InternalRow = _
 
-  // read one raw line (consuming its trailing \n); null at EOF
-  private def readRawLine(): Array[Byte] = {
-    val buf = new java.io.ByteArrayOutputStream(64)
-    var b = in.read()
-    if (b < 0) return null
-    while (b >= 0 && b != '\n') { buf.write(b); b = in.read() }
-    pos += buf.size() + (if (b == '\n') 1 else 0)
-    buf.toByteArray
+  // chunked reading state: one in.read() per 64 KiB, scanned in place
+  private val chunk = new Array[Byte](1 << 16)
+  private var chunkLen = 0
+  private var chunkPos = 0
+  // reusable line buffer (grows to the longest line seen, then stable)
+  private var line = new Array[Byte](256)
+  private var lineLen = 0
+
+  // pushed filters, pre-compiled off the hot path: key equalities as
+  // UTF-8 byte arrays (span-compared, no decode), value predicates as
+  // primitive lambdas; anything else is a planner bug — fail at open
+  private val keyEqBytes: Array[Array[Byte]] = filters.collect {
+    case EqualTo("key", v) =>
+      v.asInstanceOf[String].getBytes(StandardCharsets.UTF_8)
   }
-
-  // a non-zero start discards the partial line the previous range finishes
-  if (start > 0) readRawLine()
-
-  private def keep(key: String, value: Long): Boolean = filters.forall {
-    case EqualTo("key", v) => key == v.asInstanceOf[String]
-    case EqualTo("value", v) => value == toLong(v)
-    case GreaterThan("value", v) => value > toLong(v)
-    case GreaterThanOrEqual("value", v) => value >= toLong(v)
-    case LessThan("value", v) => value < toLong(v)
-    case LessThanOrEqual("value", v) => value <= toLong(v)
-    case IsNotNull(_) => true
+  private val valuePreds: Array[Long => Boolean] = filters.collect {
+    case EqualTo("value", v) => val t = toLong(v); (x: Long) => x == t
+    case GreaterThan("value", v) => val t = toLong(v); (x: Long) => x > t
+    case GreaterThanOrEqual("value", v) =>
+      val t = toLong(v); (x: Long) => x >= t
+    case LessThan("value", v) => val t = toLong(v); (x: Long) => x < t
+    case LessThanOrEqual("value", v) => val t = toLong(v); (x: Long) => x <= t
+  }
+  filters.foreach {
+    case EqualTo("key", _) | EqualTo("value", _) | GreaterThan("value", _)
+        | GreaterThanOrEqual("value", _) | LessThan("value", _)
+        | LessThanOrEqual("value", _) | IsNotNull(_) => ()
     case f => throw new IllegalStateException(s"unpushable filter $f")
   }
+
+  // projection plan: slot i of the reused row holds field fieldIdx(i)
+  // (0 = key, 1 = value)
+  private val fieldIdx: Array[Int] = required.fieldNames.map {
+    case "key" => 0
+    case "value" => 1
+  }
+  private val reused =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      fieldIdx.length)
 
   private def toLong(v: Any): Long = v match {
     case l: Long => l
@@ -233,28 +257,121 @@ final class KvPartitionReader(file: String, start: Long, end: Long,
     case other => other.toString.toLong
   }
 
+  private def refill(): Boolean = {
+    chunkLen = in.read(chunk)
+    chunkPos = 0
+    chunkLen > 0
+  }
+
+  /** Read one line into `line` (excluding the \n). Returns the bytes
+    * consumed from the stream (including the \n when present), or -1 at
+    * EOF with no bytes. */
+  private def readLineBytes(): Int = {
+    lineLen = 0
+    var consumed = 0
+    var sawAny = false
+    while (true) {
+      if (chunkPos >= chunkLen) {
+        if (!refill()) return if (sawAny) consumed else -1
+      }
+      sawAny = true
+      var i = chunkPos
+      var nl = -1
+      while (i < chunkLen && nl < 0) {
+        if (chunk(i) == '\n') nl = i
+        i += 1
+      }
+      val upto = if (nl >= 0) nl else chunkLen
+      val n = upto - chunkPos
+      if (lineLen + n > line.length) {
+        val grown = new Array[Byte](math.max(line.length * 2, lineLen + n))
+        System.arraycopy(line, 0, grown, 0, lineLen)
+        line = grown
+      }
+      System.arraycopy(chunk, chunkPos, line, lineLen, n)
+      lineLen += n
+      consumed += n
+      if (nl >= 0) {
+        chunkPos = nl + 1
+        return consumed + 1
+      }
+      chunkPos = chunkLen
+    }
+    -1 // unreachable
+  }
+
+  // a non-zero start discards the partial line the previous range finishes
+  if (start > 0) {
+    val c = readLineBytes()
+    if (c > 0) pos += c
+  }
+
+  private def parseValue(from: Int): Long = {
+    var i = from
+    var neg = false
+    if (i < lineLen && line(i) == '-') { neg = true; i += 1 }
+    require(i < lineLen, malformed())
+    var v = 0L
+    while (i < lineLen) {
+      val d = line(i) - '0'
+      require(d >= 0 && d <= 9, malformed())
+      v = v * 10 + d
+      i += 1
+    }
+    if (neg) -v else v
+  }
+
+  private def malformed(): String =
+    s"malformed KV line in $file: " +
+      new String(line, 0, lineLen, StandardCharsets.UTF_8)
+
+  private def keySpanMatches(want: Array[Byte], tab: Int): Boolean = {
+    if (want.length != tab) return false
+    var i = 0
+    while (i < tab) {
+      if (line(i) != want(i)) return false
+      i += 1
+    }
+    true
+  }
+
   override def next(): Boolean = {
     while (pos <= end) {
-      val bytes = readRawLine()
-      if (bytes == null) return false
-      val line = new String(bytes, StandardCharsets.UTF_8)
-      val tab = line.indexOf('\t')
-      require(tab >= 0, s"malformed KV line in $file: $line")
-      val key = line.substring(0, tab)
-      val value = line.substring(tab + 1).toLong
-      if (keep(key, value)) {
-        val vals = required.fieldNames.map {
-          case "key" => UTF8String.fromString(key)
-          case "value" => java.lang.Long.valueOf(value)
+      val consumed = readLineBytes()
+      if (consumed < 0) return false
+      pos += consumed
+      var tab = -1
+      var i = 0
+      while (i < lineLen && tab < 0) {
+        if (line(i) == '\t') tab = i
+        i += 1
+      }
+      require(tab >= 0, malformed())
+      val value = parseValue(tab + 1)
+      var ok = true
+      var f = 0
+      while (ok && f < valuePreds.length) { ok = valuePreds(f)(value); f += 1 }
+      f = 0
+      while (ok && f < keyEqBytes.length) {
+        ok = keySpanMatches(keyEqBytes(f), tab); f += 1
+      }
+      if (ok) {
+        var j = 0
+        while (j < fieldIdx.length) {
+          if (fieldIdx(j) == 0)
+            // copy the span: `line` is reused for the next record
+            reused.update(j, UTF8String.fromBytes(
+              java.util.Arrays.copyOfRange(line, 0, tab)))
+          else reused.setLong(j, value)
+          j += 1
         }
-        row = InternalRow.fromSeq(vals.toIndexedSeq)
         return true
       }
     }
     false
   }
 
-  override def get(): InternalRow = row
+  override def get(): InternalRow = reused
   override def close(): Unit = in.close()
 }
 
@@ -356,7 +473,13 @@ final class KvDataWriter(path: String, queryId: String, partitionId: Int,
     require(!row.isNullAt(0) && !row.isNullAt(1),
       "graft-kv format has no null encoding")
     val key = row.getUTF8String(0).toString
-    require(key.indexOf('\t') < 0, s"key may not contain a tab: $key")
+    // every structural byte of the format must be rejected at the parse
+    // boundary: a tab would split the record, and a newline would write a
+    // SECOND physical line that poisons the whole committed table (every
+    // later scan dies on the keyless fragment)
+    require(key.indexOf('\t') < 0 && key.indexOf('\n') < 0
+        && key.indexOf('\r') < 0,
+      s"key may not contain tab or newline: $key")
     out.write(s"$key\t${row.getLong(1)}\n".getBytes(StandardCharsets.UTF_8))
   }
 

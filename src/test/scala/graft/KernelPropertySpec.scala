@@ -100,7 +100,10 @@ class KernelPropertySpec extends SparkTestBase {
     val rng = new scala.util.Random(11)
     def arr(n: Int) = Array.fill(n)(rng.nextLong() % 1000)
     val rows = Seq.tabulate(120) { i =>
-      (arr(rng.nextInt(8)), arr(rng.nextInt(8)),
+      // dot/l2sq are equal-dimension contracts (mismatch THROWS, asserted
+      // below); intersect is a merge walk and takes any two lengths
+      val n = rng.nextInt(8)
+      (arr(n), arr(n),
         Array.fill(rng.nextInt(8))(rng.nextInt(40)).sorted,
         Array.fill(rng.nextInt(8))(rng.nextInt(40)).sorted)
     }
@@ -109,7 +112,7 @@ class KernelPropertySpec extends SparkTestBase {
         ArrayExprs.intersectSize($"x", $"y"))
       .as[(Long, Long, Long)].collect().toSeq
     val want = rows.map { case (a, b, x, y) =>
-      val n = math.min(a.length, b.length)
+      val n = a.length
       val dot = (0 until n).map(i => a(i) * b(i)).sum
       val l2 = (0 until n).map(i => { val d = a(i) - b(i); d * d }).sum
       // sorted-array intersection with duplicate multiplicity (merge walk)
@@ -121,5 +124,19 @@ class KernelPropertySpec extends SparkTestBase {
       (dot, l2, c)
     }
     assert(got == want)
+  }
+
+  test("dimension mismatch fails loudly instead of truncating the score") {
+    // a silently-partial dot product is a plausible wrong similarity — the
+    // mixed-dimension-corpus bug class the kernels must refuse
+    val df = Seq((Array(1L, 2L, 3L), Array(1L, 2L))).toDF("a", "b")
+    val e = intercept[Exception] {
+      df.select(ArrayExprs.dot($"a", $"b")).collect()
+    }
+    def rootMessages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ rootMessages(x.getCause))
+    assert(rootMessages(e).exists(_.contains("length mismatch")),
+      s"expected a length-mismatch error, got: $e")
   }
 }
