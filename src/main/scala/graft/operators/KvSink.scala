@@ -56,11 +56,28 @@ object KvSink {
     * bucketed on it (Sinks.ensureBucketedTable) — the 100 TB shape, same as
     * [[upsert]]'s. Law (tested): applying the diff to `prev` (upsert the
     * I/U rows, anti-join the D keys) reconstructs `next` exactly. */
+  /** The CDC helpers stage internal marker columns onto the inputs; a
+    * snapshot whose OWN columns use one of those names would be silently
+    * overwritten (e.g. a key column literally named `_in_prev` becomes
+    * `lit(true)` and the join keys on a constant) — reject loudly, per the
+    * module's contract-violation philosophy. */
+  private def requireNoMarkers(df: DataFrame, what: String,
+      markers: String*): Unit = {
+    val bad = df.columns.toSet.intersect(markers.toSet)
+    require(bad.isEmpty,
+      s"$what column names collide with KvSink internal markers: " +
+        bad.mkString(", "))
+  }
+
   def diff(prev: DataFrame, next: DataFrame): DataFrame = {
     require(prev.columns.length == 2,
       s"diff prev must be a (key, value) 2-column table; got ${prev.columns.mkString("(", ",", ")")}")
     require(next.columns.length == 2,
       s"diff next must be a (key, value) 2-column table; got ${next.columns.mkString("(", ",", ")")}")
+    requireNoMarkers(prev, "diff prev",
+      "_old_value", "_new_value", "_in_prev", "_in_next")
+    requireNoMarkers(next, "diff next",
+      "_old_value", "_new_value", "_in_prev", "_in_next")
     val Array(k, v) = prev.columns
     val p = prev.toDF(k, "_old_value").withColumn("_in_prev", lit(true))
     val n = next.toDF(k, "_new_value").withColumn("_in_next", lit(true))
@@ -80,6 +97,8 @@ object KvSink {
       s"upsert base must be a (key, value) 2-column table; got ${base.columns.mkString("(", ",", ")")}")
     require(updates.columns.length == 2,
       s"upsert updates must be a (key, value) 2-column table; got ${updates.columns.mkString("(", ",", ")")}")
+    requireNoMarkers(base, "upsert base", "_update_value", "_upd")
+    requireNoMarkers(updates, "upsert updates", "_update_value", "_upd")
     val Array(k, v) = base.columns
     // _upd marks "an update row matched this key": a non-null marker with a
     // null value is a violating update, distinguishable from no-update
@@ -117,6 +136,10 @@ object KvSink {
       s"applyChanges base must be a (key, value) 2-column table; got ${base.columns.mkString("(", ",", ")")}")
     require(changes.columns.length == 3,
       s"applyChanges changes must be a (key, op, value) 3-column table; got ${changes.columns.mkString("(", ",", ")")}")
+    requireNoMarkers(base, "applyChanges base",
+      "_base_value", "_in_base", "_op", "_change_value", "_n")
+    requireNoMarkers(changes, "applyChanges changes",
+      "_base_value", "_in_base", "_op", "_change_value", "_n")
     val Array(k, v) = base.columns
     // one key-grouped pass over the (batch-sized) feed: a feed carrying two
     // changes for one key is corrupt (which applies first?) and must fail

@@ -29,9 +29,12 @@ object Layout {
     def spread(c: String): String = {
       // 21 significant bits spread to even positions of a 42-bit lane;
       // shifts written as power-of-two multiplies so the one template parses
-      // identically in Spark SQL and DuckDB (no overflow: every factor is
-      // applied to a just-masked value, peak magnitude < 2⁶³)
-      val s1 = s"(($c | ($c * 65536)) & 281470681808895)" // 0x0000FFFF0000FFFF
+      // identically in Spark SQL and DuckDB. The input is masked to its
+      // 21-bit lane FIRST, so every multiply (including the first) operates
+      // on a just-masked value and cannot overflow; each later factor is
+      // likewise applied post-mask, peak magnitude < 2⁶³.
+      val m = s"($c & 2097151)" // 0x1FFFFF: the 21-bit input lane
+      val s1 = s"(($m | ($m * 65536)) & 281470681808895)" // 0x0000FFFF0000FFFF
       val s2 = s"(($s1 | ($s1 * 256)) & 71777214294589695)" // 0x00FF00FF00FF00FF
       val s3 = s"(($s2 | ($s2 * 16)) & 1085102592571150095)" // 0x0F0F0F0F0F0F0F0F
       val s4 = s"(($s3 | ($s3 * 4)) & 3689348814741910323)" // 0x3333333333333333
@@ -40,10 +43,24 @@ object Layout {
     s"(${spread(x)} | (${spread(y)} * 2))"
   }
 
-  /** Attach the Morton key as `zv` to `df` (columns must already exist). */
-  def withZ(df: DataFrame, xCol: String, yCol: String): DataFrame =
-    df.withColumn("zv", expr(zSql(s"CAST($xCol AS BIGINT)",
-      s"CAST($yCol AS BIGINT)")))
+  /** Attach the Morton key as `zv` to `df` (columns must already exist).
+    * The documented [0, 2²¹) domain is ENFORCED here: an out-of-range or
+    * negative value would otherwise silently produce a non-Morton key (the
+    * mask discards high bits) and the table would cluster by a meaningless
+    * order with no error — the guard raises instead, engine-side only (the
+    * oracle replays the same table, which the engine has already
+    * validated). */
+  def withZ(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val x = col(xCol).cast("long")
+    val y = col(yCol).cast("long")
+    val lim = (1L << 21) - 1
+    df.withColumn("zv",
+      when(x.between(0, lim) && y.between(0, lim),
+        expr(zSql(s"CAST($xCol AS BIGINT)", s"CAST($yCol AS BIGINT)")))
+      .otherwise(raise_error(concat(
+        lit(s"z-order input outside [0, 2^21): $xCol="), x,
+        lit(s", $yCol="), y))))
+  }
 
   /** Write `df` parquet laid out by Morton range: range-repartition on the
     * key then sort within partitions, so each output file covers one tight

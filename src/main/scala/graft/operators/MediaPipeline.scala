@@ -32,14 +32,26 @@ object MediaPipeline {
     * out-of-domain payload fails LOUDLY instead of hashing wrong (any
     * fixture-sized raster/clip is orders of magnitude below the bound). */
   def exactFloat(v: Long, what: String): Float = {
-    require(math.abs(v) <= (1L << 24),
+    // explicit two-sided bound, NOT math.abs: abs(Long.MinValue) is
+    // negative, which would slip the one value the guard exists to catch
+    require(v <= (1L << 24) && v >= -(1L << 24),
       s"$what=$v exceeds the float-exact integer domain (2^24); " +
         "widen the feature slot to Double before trusting this value")
     v.toFloat
   }
 
   /** The seam where a real codec (JPEG/PNG/ffmpeg) plugs in. Implementations
-    * must be deterministic per byte payload. */
+    * must be deterministic per byte payload.
+    *
+    * STATEFUL decoders (native contexts opened in open()) must be CLASSES,
+    * never Scala `object`s: a class instance captured in the closure
+    * deserializes fresh per task, giving each partition its own lifecycle,
+    * while an `object` resolves to the one JVM singleton on
+    * deserialization — under local[N] or multi-core executors, concurrent
+    * tasks would interleave open()/close() on shared state (task A's
+    * completion listener frees the context while task B is mid-decode).
+    * The shipped `object` decoders are safe only because they are
+    * stateless. */
   trait Decoder extends Serializable {
     /** Called once per partition before any decode — open native contexts. */
     def open(): Unit = ()

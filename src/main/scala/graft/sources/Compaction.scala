@@ -40,9 +40,17 @@ object Compaction {
     * the data moves through one repartition shuffle, never the driver. */
   def compact(spark: SparkSession, inDir: String, outDir: String,
       targetBytes: Long): Report = {
+    require(targetBytes > 0,
+      s"compact: targetBytes must be positive, got $targetBytes")
     val before = partFiles(spark, inDir)
     val bytes = before.map(_.getLen).sum
-    val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    val nL = math.max(1L, (bytes + targetBytes - 1) / targetBytes)
+    // a silent Long→Int wrap would repartition to a garbage count; a file
+    // count past Int range means targetBytes is absurd for the data
+    require(nL <= Int.MaxValue,
+      s"compact: ceil($bytes/$targetBytes) = $nL output files exceeds " +
+        "Int range — raise targetBytes")
+    val n = nL.toInt
     spark.read.parquet(inDir).repartition(n)
       .write.mode("overwrite").parquet(outDir)
     Report(before.size, bytes, n, partFiles(spark, outDir).size)

@@ -26,16 +26,27 @@ object StreamingOps {
 
   val GapUs: Long = 30L * 60 * 1000 * 1000
 
-  /** Watermarked tumbling 1h count+sum per event type. */
-  def tumblingCounts(events: DataFrame): DataFrame =
+  /** The one windowed count+sum shape both window forms share — watermark,
+    * exact-cents sum cast to double at the edge, ws_us projection — so a
+    * fix to the aggregate can never drift between the two gates. */
+  private def windowedCounts(events: DataFrame,
+      slide: Option[String]): DataFrame = {
+    val ts = timestamp_micros(col("ts_us"))
+    val w = slide.fold(window(col("ts_t"), "1 hour"))(
+      s => window(col("ts_t"), "1 hour", s))
     events
-      .withColumn("ts_t", timestamp_micros(col("ts_us")))
+      .withColumn("ts_t", ts)
       .withWatermark("ts_t", "1 hour")
-      .groupBy(window(col("ts_t"), "1 hour"), col("event_type"))
+      .groupBy(w, col("event_type"))
       .agg(count(lit(1)).as("n"),
         (sum(col("val_cents")).cast("double") / lit(100.0)).as("val_sum"))
       .select(unix_micros(col("window.start")).as("ws_us"), col("event_type"),
         col("n"), col("val_sum"))
+  }
+
+  /** Watermarked tumbling 1h count+sum per event type. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    windowedCounts(events, None)
 
   /** Watermarked SLIDING 1h/30m window count+sum per event type — the
     * overlapping-window state the tumbling form doesn't exercise: every
@@ -44,14 +55,7 @@ object StreamingOps {
     * keep concurrent overlapping partials per (window, type) across
     * micro-batches. */
   def slidingCounts(events: DataFrame): DataFrame =
-    events
-      .withColumn("ts_t", timestamp_micros(col("ts_us")))
-      .withWatermark("ts_t", "1 hour")
-      .groupBy(window(col("ts_t"), "1 hour", "30 minutes"), col("event_type"))
-      .agg(count(lit(1)).as("n"),
-        (sum(col("val_cents")).cast("double") / lit(100.0)).as("val_sum"))
-      .select(unix_micros(col("window.start")).as("ws_us"), col("event_type"),
-        col("n"), col("val_sum"))
+    windowedCounts(events, Some("30 minutes"))
 
   /** Gap-based sessionization with real cross-batch state — the streaming
     * twin of the batch window-function form in EventQueries ("q_sessionize").
@@ -86,11 +90,17 @@ object StreamingOps {
             // older than a session emitted in a PRIOR batch cannot merge
             // into it — exactness is bounded by the watermark delay, which
             // is the contract of any append-mode stream.
+            // one sort: singleton events need no pre-sort of their own —
+            // equal-ts singletons merge commutatively (sums + identical
+            // bounds), so sorting the combined intervals by (start, last)
+            // fixes the full merge order in a single O(n log n) pass
             val items = (state.getOption.toSeq ++
-              evs.toSeq.sortBy(e => (e.ts_us, e.event_id))
-                .map(e => SessionState(e.ts_us, e.ts_us, 1L, e.val_cents)))
-              .sortBy(st => (st.startUs, st.lastUs))
-            val merged = scala.collection.mutable.ListBuffer.empty[SessionState]
+              evs.map(e => SessionState(e.ts_us, e.ts_us, 1L, e.val_cents)))
+              .toIndexedSeq.sortBy(st => (st.startUs, st.lastUs))
+            // ArrayBuffer: O(1) indexed update of the running last element
+            // (a ListBuffer here makes the merge quadratic in
+            // sessions-per-batch — it walks the list per update)
+            val merged = scala.collection.mutable.ArrayBuffer.empty[SessionState]
             items.foreach { it =>
               if (merged.nonEmpty && it.startUs - merged.last.lastUs <= GapUs) {
                 val m = merged.last
