@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 /** Column helpers whose values are bit-for-bit reproducible in DuckDB, so the
   * driver's hash-compare (Spark result vs oracle SQL) can succeed on floating
@@ -22,9 +22,19 @@ object Portable {
     * DuckDB mirror: `CAST(round(x*100) AS BIGINT)`. */
   def cents(c: Column): Column = round(c * lit(100)).cast(LongType)
 
+  /** Exact long-domain sum that cannot wrap: the addend casts to
+    * decimal(38,0) so the GROUP sum stays exact at any row count (a plain
+    * long sum of ~4e10-magnitude cents products wraps past ~10⁸ rows per
+    * group — the 100 TB regime). This matches the oracles as written:
+    * DuckDB's SUM over BIGINT accumulates in HUGEINT, exactly. Decimal
+    * stays INTERNAL per the hash-gate rule — every caller casts to
+    * double/long at the final select. */
+  def exactSum(c: Column): Column = sum(c.cast(DecimalType(38, 0)))
+
   /** Order-independent money sum, exposed as double.
     * DuckDB mirror: `CAST(SUM(CAST(round(x*100) AS BIGINT)) AS DOUBLE)/100.0`. */
-  def moneySum(c: Column): Column = sum(cents(c)).cast(DoubleType) / lit(100.0)
+  def moneySum(c: Column): Column =
+    exactSum(cents(c)).cast(DoubleType) / lit(100.0)
 
   /** Portable 60-bit hash: first 15 hex digits of md5 as a non-negative long.
     * DuckDB mirror: `CAST(('0x' || substr(md5(x),1,15)) AS BIGINT)`. */

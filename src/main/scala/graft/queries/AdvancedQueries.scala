@@ -345,10 +345,10 @@ object AdvancedQueries {
       l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
         .groupBy(date_trunc("month", col("l_shipdate")).as("mon"))
         .agg(
-          sum(when(col("p_type") === "PROMO",
+          exactSum(when(col("p_type") === "PROMO",
             cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
             .otherwise(0L)).as("promo_rev"),
-          sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+          exactSum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
             .as("total_rev"))
         .select(epochUs(col("mon")).as("mon_us"),
           (col("promo_rev").cast("double") * lit(100.0)

@@ -453,8 +453,12 @@ object DedupQueries {
     val base = docs
       .select(col("doc_id"), col("lang"),
         substring(col("text"), 1, prefixLen).as("s"))
+      // \A..\z anchors, not ^..$: Java's $ also matches BEFORE a final
+      // newline, so a prefix ending in \n would pass here while the
+      // oracle's RE2 '^[ -~]+$' rejects it — the comparable universes must
+      // be decided identically on both engines
       .where(length(col("s")) === prefixLen
-        && col("s").rlike("^[\\x20-\\x7E]+$"))
+        && col("s").rlike("\\A[\\x20-\\x7E]+\\z"))
       .localCheckpoint()
     // positional q-grams in one raw-JVM pass (prep stage, one pass per doc)
     val grams = base.as[(Long, String, String)]

@@ -51,14 +51,17 @@ object Relational {
         .agg(
           moneySum(col("l_quantity")).as("sum_qty"),
           moneySum(col("l_extendedprice")).as("sum_base_price"),
-          (sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+          // exactSum (decimal-internal): the ~4e12-magnitude charge product
+          // wraps a plain long sum past ~2e6 rows per group — SF2 territory,
+          // let alone 100 TB. DuckDB's SUM(BIGINT) is HUGEINT-exact already.
+          (exactSum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
             .cast("double") / lit(10000.0)).as("sum_disc_price"),
-          (sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))
+          (exactSum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))
             * (lit(100L) + cents(col("l_tax"))))
             .cast("double") / lit(1000000.0)).as("sum_charge"),
-          (sum(cents(col("l_quantity"))).cast("double") / lit(100.0) / count(lit(1)))
+          (exactSum(cents(col("l_quantity"))).cast("double") / lit(100.0) / count(lit(1)))
             .as("avg_qty"),
-          (sum(cents(col("l_extendedprice"))).cast("double") / lit(100.0) / count(lit(1)))
+          (exactSum(cents(col("l_extendedprice"))).cast("double") / lit(100.0) / count(lit(1)))
             .as("avg_price"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
@@ -82,7 +85,7 @@ object Relational {
       l.join(o, l("l_orderkey") === o("o_orderkey"))
         .join(broadcast(c), o("o_custkey") === c("c_custkey"), "left_semi")
         .groupBy(col("l_orderkey"), epochUs(o("o_orderdate")).as("odate_us"))
-        .agg((sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+        .agg((exactSum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
           .cast("double") / lit(10000.0)).as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
@@ -100,7 +103,7 @@ object Relational {
           && col("o_orderdate") < ts("1996-07-01"))
       val rev = l.join(o, l("l_orderkey") === o("o_orderkey"))
         .groupBy(col("o_custkey"))
-        .agg(sum(cents(col("l_extendedprice"))
+        .agg(exactSum(cents(col("l_extendedprice"))
           * (lit(100L) - cents(col("l_discount")))).as("rev_c"))
       val c = Tables(s, dir, "customer")
       val n = Tables(s, dir, "nation")
@@ -406,9 +409,16 @@ object Relational {
     // each is scanned exactly once (the erased/kept split is one
     // conditional aggregate per table, not two scans).
     "q_erase_cascade" -> { (s, dir) =>
-      val erased = Tables(s, dir, "customer")
-        .where(pmod(md5Long(col("c_custkey").cast("string")), lit(97)) === 3)
-        .select(col("c_custkey").as("ek"))
+      // the ONE erase predicate: the broadcast key list and the customer
+      // audit must decide membership identically (a residue edited in one
+      // copy would silently split them), and flagging the scanned rows
+      // directly also keeps customer to a single scan
+      val erasePred =
+        pmod(md5Long(col("c_custkey").cast("string")), lit(97)) === 3
+      val c = Tables(s, dir, "customer")
+        .select(col("c_custkey"), erasePred.as("del"))
+        .localCheckpoint() // fans into the key list and the audit
+      val erased = c.where(col("del")).select(col("c_custkey").as("ek"))
       val o = Tables(s, dir, "orders")
       val oFlag = o.join(broadcast(erased), o("o_custkey") === col("ek"),
           "left_outer")
@@ -418,9 +428,6 @@ object Relational {
       val lFlag = l.join(broadcast(oDelKeys), l("l_orderkey") === col("dk"),
           "left_outer")
         .select(col("dk").isNotNull.as("del"))
-      val c = Tables(s, dir, "customer")
-        .select((pmod(md5Long(col("c_custkey").cast("string")), lit(97)) === 3)
-          .as("del"))
       def audit(df: org.apache.spark.sql.DataFrame, tbl: String) =
         df.agg(sum(when(col("del"), 1L).otherwise(0L)).as("n_erased"),
           sum(when(col("del"), 0L).otherwise(1L)).as("n_kept"))

@@ -32,6 +32,16 @@ object StatsQueries {
 
   private val SkewSalts = 8
 
+  /** Per-customer spend snapshot over a year window — the ONE snapshot
+    * definition behind both CDC queries (q_cdc_diff, q_merge_apply): the
+    * diff→apply reconstruction law only means something if both halves
+    * compute the same snapshot. */
+  private def spendSnap(s: org.apache.spark.sql.SparkSession, dir: String,
+      yrLo: Int, yrHi: Int) = Tables(s, dir, "orders")
+    .where(year(col("o_orderdate")).between(yrLo, yrHi))
+    .groupBy(col("o_custkey").cast("long").as("key"))
+    .agg(sum(cents(col("o_totalprice"))).as("spend_cents"))
+
   def queries: Map[String, Q] = Map(
     // PIVOT: order counts per year × status, explicit domain (F/O/P).
     "q_pivot" -> { (s, dir) =>
@@ -139,15 +149,14 @@ object StatsQueries {
     },
 
     // CDC snapshot diff (KvSink.diff, the inverse of q_upsert's MapPut):
+    // (snapshot definition shared with q_merge_apply via spendSnap — the
+    // diff→apply law must test ONE definition, not two copies)
     // per-customer spend snapshots over two sliding year windows. Customers
     // whose orders all fall in the overlap (1996-97) have identical sums and
     // are dropped as unchanged; window-edge customers produce I/U/D rows.
     // Output is change-sized — the delta-feed shape, not a snapshot reship.
     "q_cdc_diff" -> { (s, dir) =>
-      def snap(yrLo: Int, yrHi: Int) = Tables(s, dir, "orders")
-        .where(year(col("o_orderdate")).between(yrLo, yrHi))
-        .groupBy(col("o_custkey").cast("long").as("key"))
-        .agg(sum(cents(col("o_totalprice"))).as("spend_cents"))
+      def snap(yrLo: Int, yrHi: Int) = spendSnap(s, dir, yrLo, yrHi)
       graft.operators.KvSink.diff(snap(1995, 1997), snap(1996, 1998))
         .select(col("key"), col("op"),
           coalesce(col("old_spend_cents"), lit(-1L)).as("old_cents"),
@@ -164,10 +173,7 @@ object StatsQueries {
     // oracle builds the next snapshot directly from raw orders, so any
     // drift in either direction of the CDC machinery hash-fails.
     "q_merge_apply" -> { (s, dir) =>
-      def snap(yrLo: Int, yrHi: Int) = Tables(s, dir, "orders")
-        .where(year(col("o_orderdate")).between(yrLo, yrHi))
-        .groupBy(col("o_custkey").cast("long").as("key"))
-        .agg(sum(cents(col("o_totalprice"))).as("spend_cents"))
+      def snap(yrLo: Int, yrHi: Int) = spendSnap(s, dir, yrLo, yrHi)
       // prev fans into both the diff and the apply (repo rule: checkpoint
       // fanned subtrees)
       val prev = snap(1995, 1997).localCheckpoint()
@@ -203,7 +209,12 @@ object StatsQueries {
       val stats = st.select(col("segment"), mean.as("mean_c"), sd.as("sd_c"))
       c.join(broadcast(stats), "segment")
         .select(col("custkey"), col("segment"),
-          ((col("xc").cast("double") - col("mean_c")) / col("sd_c")).as("z"))
+          // a degenerate segment (all-equal balances) has sd = 0 and the
+          // z-score is undefined: emit NULL on both sides, never NaN/±Inf
+          // (NaN != NaN under the gate's value compare)
+          when(col("sd_c") =!= 0.0,
+            (col("xc").cast("double") - col("mean_c")) / col("sd_c"))
+            .as("z"))
         .orderBy("custkey")
     },
 
@@ -290,6 +301,17 @@ object StatsQueries {
           sum(when(yr === 2000, 1L).otherwise(0L)).as("n_b"))
         .localCheckpoint() // 5 rows; fans into totals + the scored output
       val tot = f.agg(sum(col("n_a")).as("ta"), sum(col("n_b")).as("tb"))
+        // an empty comparison period makes the drift undefined AND splits
+        // the engines (Spark `div` by 0 → NULL, DuckDB `//` by 0 → error):
+        // fail loudly on a fixture drift, same discipline as
+        // q_quantile_merge's negative-cents guard
+        .select(
+          when(col("ta") === 0, raise_error(lit(
+            "q_drift: comparison year 1996 has no orders — fixture drifted")))
+            .otherwise(col("ta")).as("ta"),
+          when(col("tb") === 0, raise_error(lit(
+            "q_drift: comparison year 2000 has no orders — fixture drifted")))
+            .otherwise(col("tb")).as("tb"))
       val scored = f.crossJoin(broadcast(tot))
         .withColumn("p_a_ppm", expr("(n_a * 1000000) div ta"))
         .withColumn("p_b_ppm", expr("(n_b * 1000000) div tb"))
@@ -582,7 +604,8 @@ object StatsQueries {
          |        * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) AS sd_c
          |  FROM st)
          |SELECT c.custkey, c.segment,
-         |  (CAST(c.xc AS DOUBLE) - m.mean_c) / m.sd_c AS z
+         |  CASE WHEN m.sd_c <> 0.0
+         |    THEN (CAST(c.xc AS DOUBLE) - m.mean_c) / m.sd_c END AS z
          |FROM c JOIN m USING (segment)
          |ORDER BY custkey""".stripMargin,
 
