@@ -40,6 +40,7 @@ object EventOps {
     * ties break on `idCol` — deterministic under any arrival order. */
   def scd2(changes: DataFrame, keyCol: String, attrCol: String,
       tsCol: String, idCol: String): DataFrame = {
+    Markers.requireFree(changes, "scd2 input", "_prev", "_prevTs")
     val byKey = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
     changes
       .withColumn("_prev", lag(col(attrCol), 1).over(byKey))

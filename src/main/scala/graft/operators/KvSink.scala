@@ -60,14 +60,10 @@ object KvSink {
     * snapshot whose OWN columns use one of those names would be silently
     * overwritten (e.g. a key column literally named `_in_prev` becomes
     * `lit(true)` and the join keys on a constant) — reject loudly, per the
-    * module's contract-violation philosophy. */
+    * module's contract-violation philosophy (the shared [[Markers]] guard,
+    * also applied by Salting.topKByKey / EventOps.scd2 / TextOps.redact). */
   private def requireNoMarkers(df: DataFrame, what: String,
-      markers: String*): Unit = {
-    val bad = df.columns.toSet.intersect(markers.toSet)
-    require(bad.isEmpty,
-      s"$what column names collide with KvSink internal markers: " +
-        bad.mkString(", "))
-  }
+      markers: String*): Unit = Markers.requireFree(df, what, markers: _*)
 
   def diff(prev: DataFrame, next: DataFrame): DataFrame = {
     require(prev.columns.length == 2,

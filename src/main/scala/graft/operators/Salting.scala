@@ -27,6 +27,7 @@ object Salting {
     * (add a unique tiebreaker) so results are deterministic. */
   def topKByKey(df: DataFrame, key: Column, order: Seq[Column], k: Int,
       nSalts: Int = 16, saltOn: Column): DataFrame = {
+    Markers.requireFree(df, "topKByKey input", "_salt", "_lrn", "_grn")
     val salted = df.withColumn("_salt", pmod(xxhash64(saltOn), lit(nSalts)))
     val local = Window.partitionBy(key, col("_salt")).orderBy(order: _*)
     val global = Window.partitionBy(key).orderBy(order: _*)

@@ -403,6 +403,8 @@ object TextOps {
     * quantifiers — no backrefs/lookahead) so any engine replays them
     * identically; pure codegen'd column ops, one projection, no shuffle. */
   def redact(docs: DataFrame, rules: Seq[(String, String, String)]): DataFrame = {
+    Markers.requireFree(docs, "redact input",
+      "_cur" +: rules.map { case (name, _, _) => s"n_$name" }: _*)
     val scrubbed = rules.foldLeft(docs.withColumn("_cur", col("text"))) {
       case (df, (name, pat, rep)) =>
         df.withColumn(s"n_$name", regexp_count(col("_cur"), lit(pat)).cast("long"))

@@ -198,7 +198,7 @@ object EventQueries {
         .withColumn("ts_us", expr("ts div 1000"))
         .withColumn("ts_t", timestamp_micros(col("ts_us")))
         .withWatermark("ts_t", "1 second")
-        .withColumn("val_cents", round(col("value") * lit(100)).cast("long"))
+        .withColumn("val_cents", cents(col("value")))
         .select(col("user_id"), col("event_id"), col("ts_us"),
           col("val_cents"), col("ts_t"))
         .as[graft.streaming.StreamingOps.Ev]
@@ -302,7 +302,7 @@ object EventQueries {
           lit(0.0).as("value"), lit("{}").as("props"))
       val stream = s.readStream.schema(schema).parquet(s"$tmp/*.parquet")
         .withColumn("ts_us", expr("ts div 1000"))
-        .withColumn("val_cents", round(col("value") * lit(100)).cast("long"))
+        .withColumn("val_cents", cents(col("value")))
       val qn = s"q_stream_tumbling_${System.nanoTime()}"
       graft.streaming.StreamingOps.withStreamShuffle(s) {
         val q = graft.streaming.StreamingOps.tumblingCounts(stream)
@@ -355,7 +355,7 @@ object EventQueries {
           lit(0.0).as("value"), lit("{}").as("props"))
       val stream = s.readStream.schema(schema).parquet(s"$tmp/*.parquet")
         .withColumn("ts_us", expr("ts div 1000"))
-        .withColumn("val_cents", round(col("value") * lit(100)).cast("long"))
+        .withColumn("val_cents", cents(col("value")))
       val qn = s"q_stream_sliding_${System.nanoTime()}"
       graft.streaming.StreamingOps.withStreamShuffle(s) {
         val q = graft.streaming.StreamingOps.slidingCounts(stream)
