@@ -20,13 +20,16 @@ object GraphOps {
     * smallest node id in its component — the canonical cluster id.
     *
     * Scale design:
-    * - each round is one equi-join of the edge list with the label table and
-    *   one min-aggregate: partial (map-side) aggregation applies, and the
-    *   shuffled rows are two longs wide. No adjacency lists are ever
-    *   collected; nothing is driver-resident but the one convergence scalar.
-    * - labels only decrease, so Σ comp is a monotone convergence witness:
-    *   one exact decimal sum per round (overflow-safe at any id range)
-    *   instead of a changed-row join.
+    * - delta iteration: each round equi-joins the edge list with only the
+    *   CHANGED-label set (round 0: all initial labels), min-combines the
+    *   messages, and patches the label table with the strict improvements —
+    *   partial (map-side) aggregation applies, shuffled rows are two longs
+    *   wide, and a shrinking delta broadcasts so the edge table never
+    *   reshuffles. No adjacency lists are ever collected; nothing is
+    *   driver-resident but the one emptiness flag per round.
+    * - labels only decrease, so the improvement set is exactly the new
+    *   information each round; fixpoint = empty delta (the message source
+    *   itself, not a bolted-on witness).
     * - every round localCheckpoints the label table: the iteration otherwise
     *   stacks lineage and re-executes all prior rounds per action.
     * - rounds needed = component diameter. Near-dup clusters are
@@ -42,17 +45,30 @@ object GraphOps {
     *   catch it downstream. Fail loudly; callers with >maxIter-diameter
     *   graphs must raise the budget or use star contraction.
     */
-  /** The (row-count, exact-decimal-Σ expr) fixpoint witness every monotone
-    * flooding kernel shares (CLAUDE.md iteration rule): labels only ever
-    * move one way in their lattice, so the pair is stable iff the labeling
-    * is — one helper so a change to the discipline (e.g. empty-frame null
-    * handling) lands everywhere at once. */
+  /** The (row-count, exact-decimal-Σ expr) fixpoint witness of the star
+    * contraction (whose per-round state is the EDGE set, not a label table,
+    * so there is no natural delta to test for emptiness): edges only ever
+    * rewire downward, so the pair is stable iff the contraction is. The
+    * label-table kernels (CC flooding, BFS, widest paths) instead use delta
+    * iteration, where fixpoint = the empty improvement set they compute as
+    * their message source anyway. */
   private def witnessPair(df: DataFrame,
       c: Column): (java.math.BigDecimal, java.math.BigDecimal) = {
     val r = df.agg(count(lit(1)).cast("decimal(38,0)").as("c"),
       sum(c.cast("decimal(38,0)")).as("s")).head()
     (r.getDecimal(0), r.getDecimal(1))
   }
+
+  /** Exact-stats checkpoint + row count for the delta-iteration kernels
+    * (see CheckpointBridge: a plain localCheckpoint inherits ESTIMATED
+    * statistics, and the per-round join-of-joins shape compounds them
+    * multiplicatively until the driver stalls multiplying million-digit
+    * BigInts; rebuilding with measured stats resets the estimate every
+    * round AND statically broadcasts a shrinking frontier). The returned
+    * count doubles as the convergence signal — no separate isEmpty job.
+    * Rows here are two longs (+ row overhead): 32 bytes. */
+  private def ckCount(df: DataFrame): (DataFrame, Long) =
+    org.apache.spark.sql.graftbridge.CheckpointBridge.checkpointExact(df, 32L)
 
   def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
     val cols = edges.columns
@@ -68,23 +84,41 @@ object GraphOps {
     var labels = e.groupBy(col("u")).agg(min(col("v")).as("mn"))
       .select(col("u").as("id"), least(col("u"), col("mn")).as("comp"))
       .localCheckpoint()
-    def compSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("comp").cast("decimal(38,0)"))).head().getDecimal(0)
-    var prevSum = compSum(labels)
-    var converged = false
+    // Delta iteration (same discipline as [[bfsLevels]]/[[widestPaths]]):
+    // messages flow only from nodes whose component id DROPPED last round
+    // (round 0: every initial label speaks once) — an unchanged node's
+    // value was already folded into its neighbors in the round after it
+    // last changed, so only the delta carries new information. The
+    // edge-sized join is e ⋈ delta (a shrinking delta broadcasts; the edge
+    // table never reshuffles) and the label patch is a node-sized
+    // join+coalesce — no full re-aggregate per round. Fixpoint = empty
+    // delta, the message source itself. Every node is labeled from round 0
+    // (comp₀ covers all of e's nodes), so the patch join needs no
+    // new-node arm, unlike widestPaths' full-outer.
+    var delta = labels
+    var more = !delta.isEmpty
     var it = 0
-    while (it < maxIter && !converged) {
-      val msgs = e.join(labels, e("v") === labels("id"))
+    while (it < maxIter && more) {
+      val msgs = e.join(delta, e("v") === delta("id"))
         .select(e("u").as("id"), col("comp"))
-      labels = labels.union(msgs)
         .groupBy(col("id")).agg(min(col("comp")).as("comp"))
-        .localCheckpoint()
-      val s = compSum(labels)
-      converged = s.compareTo(prevSum) == 0
-      prevSum = s
+      val (d, dn) = ckCount(msgs.as("m")
+        .join(labels.select(col("id").as("lid"), col("comp").as("old")),
+          col("id") === col("lid"))
+        .where(col("comp") < col("old"))
+        .select(col("id"), col("comp")))
+      delta = d
+      more = dn > 0
+      if (more)
+        labels = ckCount(labels
+          .select(col("id").as("lid"), col("comp").as("oc"))
+          .join(delta.select(col("id").as("did"), col("comp").as("nc")),
+            col("lid") === col("did"), "left")
+          .select(col("lid").as("id"),
+            coalesce(col("nc"), col("oc")).as("comp")))._1
       it += 1
     }
-    if (!converged)
+    if (more)
       throw new IllegalStateException(
         s"connectedComponents did not converge within maxIter=$maxIter rounds " +
           "(component diameter exceeds the budget); raise maxIter or use " +
@@ -179,12 +213,12 @@ object GraphOps {
     * co-purchase counts as weights this is connection-STRENGTH
     * propagation: "how strong is the strongest chain linking this item to
     * the curated seeds" — hop distance alone calls a chain of one-off
-    * co-purchases as close as a chain of thousands. Same flooding
+    * co-purchases as close as a chain of thousands. Same delta-iteration
     * discipline as bfsLevels: labels only ever increase or appear
-    * (monotone in the max-min lattice, so the (count, Σ) witness pair is a
-    * sound fixpoint test), frontier-sized rounds, loud maxIter failure.
-    * Seeds carry Long.MaxValue (⊤ of the lattice: an unconstrained path to
-    * themselves). */
+    * (monotone in the max-min lattice), messages flow only from the
+    * last round's improved set, fixpoint = empty delta, loud maxIter
+    * failure. Seeds carry Long.MaxValue (⊤ of the lattice: an
+    * unconstrained path to themselves). */
   def widestPaths(edges: DataFrame, sources: DataFrame,
       maxIter: Int = 50): DataFrame = {
     val cols = edges.columns
@@ -198,22 +232,46 @@ object GraphOps {
       .distinct()
       .select(col("id"), lit(Long.MaxValue).as("bneck"))
       .localCheckpoint()
-    def witness(df: DataFrame) = witnessPair(df, col("bneck"))
-    var prev = witness(lab)
-    var converged = false
+    // Delta iteration: unlike BFS, a max-min label CAN improve after first
+    // reach (a wider-but-longer path lands later), so the frontier is the
+    // IMPROVED set, not the newly-reached set — but the same induction
+    // holds: any improvement at `u` must route through a neighbor whose
+    // own label improved, so messages from unchanged nodes are already
+    // absorbed and only the delta speaks. Per round the edge-sized join is
+    // e ⋈ delta (late rounds broadcast a shrinking delta; the edge table
+    // never reshuffles), the combined messages are compared against the
+    // current labels to extract strict improvements, and the label table
+    // is patched by anti-join ∪ delta — node-sized narrow work, no full
+    // re-aggregate. Convergence = empty delta (the message source itself,
+    // computed either way — not a witness-only changed-row join). */
+    var delta = lab
+    var more = !delta.isEmpty
     var it = 0
-    while (it < maxIter && !converged) {
-      val msgs = e.join(lab, e("v") === lab("id"))
+    while (it < maxIter && more) {
+      val msgs = e.join(delta, e("v") === delta("id"))
         .select(e("u").as("id"), least(col("bneck"), col("w")).as("bneck"))
-      lab = lab.union(msgs)
         .groupBy(col("id")).agg(max(col("bneck")).as("bneck"))
-        .localCheckpoint()
-      val w = witness(lab)
-      converged = w == prev
-      prev = w
+      val (d, dn) = ckCount(msgs.as("m")
+        .join(lab.select(col("id").as("lid"), col("bneck").as("old")),
+          col("id") === col("lid"), "left")
+        .where(col("old").isNull || col("bneck") > col("old"))
+        .select(col("id"), col("bneck")))
+      delta = d
+      more = dn > 0
+      // patch, don't re-aggregate: full-outer + coalesce keeps first-reached
+      // nodes from the delta AND unimproved nodes from the label table (a
+      // left_anti ∪ delta form trips Catalyst's union constraint rewrite on
+      // the duplicate attribute ids the checkpointed delta shares with its
+      // own lineage inside the anti join)
+      if (more)
+        lab = ckCount(lab.select(col("id").as("lid"), col("bneck").as("ob"))
+          .join(delta.select(col("id").as("did"), col("bneck").as("nb")),
+            col("lid") === col("did"), "full")
+          .select(coalesce(col("lid"), col("did")).as("id"),
+            coalesce(col("nb"), col("ob")).as("bneck")))._1
       it += 1
     }
-    if (!converged)
+    if (more)
       throw new IllegalStateException(
         s"widestPaths did not converge within maxIter=$maxIter rounds")
     lab.select(col("id").as("node"), col("bneck"))
@@ -309,15 +367,13 @@ object GraphOps {
   /** Multi-source BFS levels: exact hop distance from a SEED SET over an
     * undirected edge list — the quality/trust-propagation primitive ("how
     * many hops from curated seeds is this item") and the crawl-frontier
-    * depth measure. Same min-label flooding discipline as
-    * [[connectedComponents]]: per round one equi-join of the checkpointed
-    * edge list with the reached-node table and one min-aggregate; only
-    * nodes REACHED so far carry rows (the frontier table starts seed-sized,
-    * never node-padded), so early rounds shuffle frontier-sized data, not
-    * graph-sized. Convergence witness is the (count, Σdist) pair of exact
-    * decimal scalars — a round that neither reaches a new node nor lowers a
-    * distance is a fixpoint (labels only ever decrease or appear; Σ alone
-    * could stay flat while a row appears, so BOTH scalars gate). Throws on
+    * depth measure. Delta iteration, not full relabeling: per round one
+    * equi-join of the checkpointed edge list with the FRONTIER (nodes
+    * first reached last round — starts seed-sized, shrinks as the flood
+    * saturates) and one anti join against the reached set; the edge table
+    * never reshuffles (a small frontier broadcasts), and every round's
+    * shuffle is frontier-sized, not graph-sized. Fixpoint = empty
+    * frontier. Throws on
     * maxIter exhaustion like connectedComponents — a silent cap would
     * return wrong (too-large) distances. Seeds outside the graph surface as
     * isolated dist-0 rows (they ARE at distance 0 from themselves). */
@@ -333,22 +389,32 @@ object GraphOps {
       .distinct()
       .select(col("id"), lit(0L).as("dist"))
       .localCheckpoint()
-    def witness(df: DataFrame) = witnessPair(df, col("dist"))
-    var prev = witness(labels)
-    var converged = false
+    // Delta iteration: messages flow only from the FRONTIER (nodes first
+    // reached last round), never the whole label table. Level-synchronous
+    // BFS guarantees a node reached at round r has exact dist r and can
+    // never improve, so an already-labeled node has nothing new to say —
+    // the anti join below IS the min-aggregate. The per-round edge join is
+    // e ⋈ frontier: late rounds broadcast a shrinking frontier against the
+    // in-place edge table instead of reshuffling edge-sized data (the
+    // full-relabel form re-joined ALL labels every round). Convergence =
+    // empty frontier — not a bolted-on witness but the message source the
+    // round computes anyway (the no-changed-row-join rule targets
+    // witness-only joins added to full-relabel rounds). */
+    var frontier = labels
+    var more = !frontier.isEmpty
     var it = 0
-    while (it < maxIter && !converged) {
-      val msgs = e.join(labels, e("v") === labels("id"))
+    while (it < maxIter && more) {
+      val msgs = e.join(frontier, e("v") === frontier("id"))
         .select(e("u").as("id"), (col("dist") + 1L).as("dist"))
-      labels = labels.union(msgs)
         .groupBy(col("id")).agg(min(col("dist")).as("dist"))
-        .localCheckpoint()
-      val w = witness(labels)
-      converged = w == prev
-      prev = w
+      val (f, fn) = ckCount(
+        msgs.join(labels.select(col("id")), Seq("id"), "left_anti"))
+      frontier = f
+      more = fn > 0
+      if (more) labels = ckCount(labels.union(frontier))._1
       it += 1
     }
-    if (!converged)
+    if (more)
       throw new IllegalStateException(
         s"bfsLevels did not converge within maxIter=$maxIter rounds " +
           "(eccentricity exceeds the budget); raise maxIter")
