@@ -894,6 +894,47 @@ object TextOps {
       .orderBy(groupCol, "rnk")
   }
 
+  /** Deterministic weighted priority sample — the quality-weighted
+    * training-mix draw: each doc gets an integer weight (1..8 by length
+    * tier here; any integer quality score works) and priority
+    * min(md5₆₀(id:1) … md5₆₀(id:w)) — the min of w independent portable
+    * hashes, so P(doc A outranks doc B) = wA/(wA+wB): bottom-k over these
+    * priorities IS weighted sampling without replacement (the exact-integer
+    * twin of A-ES exponential keys, with no cross-engine pow/log hazard).
+    * Scale: the per-doc priority is a typed map (no shuffle, w ≤ 8 md5s per
+    * row); the global bottom-k folds through the bounded [[TopKAggregator]]
+    * partial→final (≤ k rows per task — never a global sort), and the k
+    * winners broadcast back against the per-doc map for their payload.
+    * Deterministic: same corpus → same sample on any engine/partitioning. */
+  def weightedPrioritySample(docs: DataFrame, k: Int): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val m = docs
+      .select(col("doc_id").cast("long").as("doc_id"),
+        (lit(1L) + least(lit(7L), expr("n_chars div 400"))).as("weight"))
+      .as[(Long, Long)]
+      .map { case (id, w) =>
+        var best = Long.MaxValue
+        var r = 1L
+        while (r <= w) {
+          val h = md5Long60(s"$id:$r")
+          if (h < best) best = h
+          r += 1
+        }
+        (id, w, best)
+      }.toDF("doc_id", "weight", "pri")
+    val tk = udaf(new graft.functions.TopKAggregator(k),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Long)]())
+    // negated priority: the aggregator keeps the k LARGEST scores, we want
+    // the smallest priorities; ties break ascending id on both forms
+    val ids = m.agg(tk(-col("pri"), col("doc_id")).as("ids"))
+      .select(posexplode(col("ids")))
+      .select((col("pos") + 1).cast("long").as("rnk"), col("col").as("doc_id"))
+    m.join(broadcast(ids), "doc_id")
+      .select(col("rnk"), col("doc_id"), col("weight"), col("pri"))
+      .orderBy("rnk")
+  }
+
   /** Per-domain document cap — the crawl-pipeline guard against one host
     * flooding the corpus: keep the top `k` docs per `source` by quality
     * (here n_chars desc, doc_id asc tiebreak), drop the rest. Same bounded

@@ -102,6 +102,40 @@ object StatsQueries {
         .orderBy("l_returnflag")
     },
 
+    // Per-group least-squares trend (price-vs-size per brand) from ONE
+    // partial→final pass of exact integer sufficient statistics (n, Σx,
+    // Σy, Σx², Σxy as decimal(38,0) — exact at 100 TB row counts), like
+    // q_corr_stats finished in mean-centered DOUBLE arithmetic (cov/var
+    // of the centered form stay ~10¹⁰; the raw n·Σxy − Σx·Σy cross terms
+    // would overflow decimal(38,0) at scale) with the identical IEEE
+    // expression tree in the oracle. A zero-x-variance group yields NULL
+    // slope/intercept on both engines via the guarded denominator — no
+    // divide-by-zero engine split. The fitted-trend shape of drift
+    // monitoring: "is quality/price trending with size within each brand".
+    "q_regression" -> { (s, dir) =>
+      val dec = "decimal(38,0)"
+      val a = Tables(s, dir, "part")
+        .select(col("p_brand").as("brand"),
+          col("p_size").cast("long").as("x"),
+          cents(col("p_retailprice")).as("y"))
+        .groupBy(col("brand"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x").cast(dec)).as("sx"),
+          sum(col("y").cast(dec)).as("sy"),
+          sum((col("x") * col("x")).cast(dec)).as("sxx"),
+          sum((col("x") * col("y")).cast(dec)).as("sxy"))
+      val nD = col("n").cast("double")
+      val mx = col("sx").cast("double") / nD
+      val my = col("sy").cast("double") / nD
+      val cov = (col("sxy").cast("double") / nD) - mx * my
+      val varx = (col("sxx").cast("double") / nD) - mx * mx
+      val slope = cov / when(varx =!= 0.0, varx)
+      a.select(col("brand"), col("n"),
+          slope.as("slope_cents_per_size"),
+          (my - slope * mx).as("icept_cents"))
+        .orderBy("brand")
+    },
+
     // Deterministic stratified sample: per-stratum rates (BUILDING 50%,
     // others 20%) via a portable hash predicate on the row key — same rows
     // on any engine, any partitioning.
@@ -452,6 +486,30 @@ object StatsQueries {
          |      * sqrt(syyd / nd - my * my)) AS corr_qty_price,
          |  sqrt((syyd - nd * my * my) / (nd - 1.0)) / 100.0 AS stddev_price
          |FROM d ORDER BY l_returnflag""".stripMargin,
+
+    "q_regression" ->
+      s"""WITH a AS (
+         |  SELECT brand, COUNT(*) AS n,
+         |    SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+         |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+         |    SUM(CAST(x AS HUGEINT) * y) AS sxy
+         |  FROM (SELECT p_brand AS brand, CAST(p_size AS BIGINT) AS x,
+         |      ${CENTS("p_retailprice")} AS y FROM part)
+         |  GROUP BY brand),
+         |d AS (
+         |  SELECT brand, n, CAST(n AS DOUBLE) AS nd,
+         |    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mx,
+         |    CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS my,
+         |    CAST(sxx AS DOUBLE) AS sxxd, CAST(sxy AS DOUBLE) AS sxyd
+         |  FROM a),
+         |e AS (
+         |  SELECT brand, n, mx, my,
+         |    (sxyd / nd - mx * my) / NULLIF(sxxd / nd - mx * mx, 0.0)
+         |      AS slope
+         |  FROM d)
+         |SELECT brand, n, slope AS slope_cents_per_size,
+         |  my - slope * mx AS icept_cents
+         |FROM e ORDER BY brand""".stripMargin,
 
     "q_stratified_sample" ->
       s"""SELECT c_mktsegment, COUNT(*) AS n_sampled,

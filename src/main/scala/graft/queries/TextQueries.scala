@@ -255,6 +255,15 @@ object TextQueries {
       TextOps.sampleK(Tables(s, dir, "documents"), "lang", 7)
     },
 
+    // Deterministic weighted priority sample (TextOps.weightedPrioritySample):
+    // bottom-100 docs by min-of-w portable hashes, weight = 1..8 length
+    // tier — selection probability ∝ weight, exact on both engines (the
+    // integer twin of A-ES keys; no pow/log). Bounded-aggregator global
+    // top-k, never a ranking window or global sort.
+    "q_weighted_sample" -> { (s, dir) =>
+      TextOps.weightedPrioritySample(Tables(s, dir, "documents"), 100)
+    },
+
     // Per-domain cap (TextOps.domainCap): top-k docs per source by
     // (n_chars desc, doc_id) through the pairs aggregator — the hot-host
     // guard; a flooding domain folds to ≤ k rows per map task.
@@ -1030,6 +1039,24 @@ object TextQueries {
          |      ORDER BY ${MD5LONG("CAST(doc_id AS VARCHAR)")}, doc_id) AS rnk
          |  FROM documents)
          |WHERE rnk <= 7 ORDER BY lang, rnk""".stripMargin,
+
+    // min-of-w-hashes weighted bottom-k, replayed with the same md5-60
+    // priorities via unnest(generate_series(1, weight))
+    "q_weighted_sample" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, 1 + LEAST(7, n_chars // 400) AS weight
+         |  FROM documents),
+         |pr AS (
+         |  SELECT doc_id, weight,
+         |    MIN(${MD5LONG(
+               "CAST(doc_id AS VARCHAR) || ':' || CAST(r AS VARCHAR)")}) AS pri
+         |  FROM (SELECT doc_id, weight,
+         |      unnest(generate_series(1, weight)) AS r FROM w)
+         |  GROUP BY doc_id, weight)
+         |SELECT CAST(row_number() OVER (ORDER BY pri, doc_id) AS BIGINT)
+         |    AS rnk,
+         |  doc_id, weight, pri
+         |FROM pr ORDER BY pri, doc_id LIMIT 100""".stripMargin,
 
     "q_domain_cap" ->
       s"""SELECT source, rnk, doc_id, n_chars FROM (

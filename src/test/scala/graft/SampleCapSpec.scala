@@ -62,6 +62,27 @@ class SampleCapSpec extends SparkTestBase {
     })
   }
 
+  test("weightedPrioritySample equals the min-of-w-hashes model, any layout") {
+    check("wsample-model", Prop.forAll(
+      Gen.chooseNum(0, 30).flatMap(n =>
+        Gen.listOfN(n, Gen.chooseNum(0L, 4000L))).map(_.zipWithIndex),
+      Gen.chooseNum(1, 6), Gen.chooseNum(1, 7)) { (rows, k, parts) =>
+      val docs = rows.map { case (nc, i) => (i.toLong, nc) }
+        .toDF("doc_id", "n_chars").repartition(parts)
+      val got = TextOps.weightedPrioritySample(docs, k)
+        .select("rnk", "doc_id", "weight", "pri")
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      val want = rows.map { case (nc, i) =>
+        val w = 1L + math.min(7L, nc / 400L)
+        val pri = (1L to w).map(r => Portable.md5Long60(s"$i:$r")).min
+        (pri, i.toLong, w)
+      }.sorted.take(k).zipWithIndex.map { case ((pri, id, w), idx) =>
+        ((idx + 1).toLong, id, w, pri)
+      }
+      got == want
+    })
+  }
+
   test("domainCap keeps top-k per source by (n_chars desc, id), any layout") {
     check("domaincap-model", Prop.forAll(
       Gen.chooseNum(0, 30).flatMap(n => Gen.listOfN(n,
