@@ -271,6 +271,65 @@ object EventQueries {
         .orderBy("event_id", "click_id")
     },
 
+    // The TENTH streaming gate: stream-stream LEFT OUTER attribution join
+    // (StreamingOps.attributionJoinOuter) — exercises the state-EVICTION
+    // half of the join contract the inner gate can't: a purchase with no
+    // qualifying click emits its null-extended row only when the WATERMARK
+    // closes its match window, not when data arrives. Sentinel batches are
+    // far-future click+purchase pairs under the reserved user_id -1 (they
+    // must pass the event-type filters to advance BOTH sides' watermarks;
+    // filtered from the output), after which every real purchase has either
+    // matched or provably cannot. Hash-matches the batch LEFT JOIN oracle.
+    "q_stream_outer" -> { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+      val schema = ev.schema
+      val tmp = new java.io.File(
+        s"/root/repo/target/tmp/stream_outer-${new java.io.File(dir).getName}")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(): Unit
+      }
+      if (tmp.exists) rm(tmp)
+      tmp.mkdirs()
+      val median = ev
+        .selectExpr(
+          "CAST(percentile_cont(0.5) WITHIN GROUP (ORDER BY ts) AS BIGINT)")
+        .head().getLong(0)
+      val maxTs = ev.agg(max(col("ts"))).head().getLong(0)
+      def sentinel(uid: Long, ts: Long, typ: String) =
+        s.range(1).select(lit(uid).as("event_id"), lit(ts).as("ts"),
+          lit(-1L).as("user_id"), lit(typ).as("event_type"),
+          lit(0.0).as("value"), lit("{}").as("props"))
+      val stream = s.readStream.schema(schema).parquet(s"$tmp/*.parquet")
+        .withColumn("ts_us", expr("ts div 1000"))
+      val qn = s"q_stream_outer_${System.nanoTime()}"
+      graft.streaming.StreamingOps.withStreamShuffle(s) {
+        val q = graft.streaming.StreamingOps.attributionJoinOuter(stream)
+          .writeStream.outputMode("append")
+          .format("memory").queryName(qn).start()
+        try {
+          ev.where(col("ts") <= median).write.parquet(s"$tmp/b1.parquet")
+          q.processAllAvailable()
+          ev.where(col("ts") > median).write.parquet(s"$tmp/b2.parquet")
+          q.processAllAvailable()
+          sentinel(-1L, maxTs + 7200L * 1000 * 1000 * 1000, "click")
+            .union(sentinel(-2L, maxTs + 7200L * 1000 * 1000 * 1000,
+              "purchase"))
+            .write.parquet(s"$tmp/b3.parquet")
+          q.processAllAvailable()
+          sentinel(-3L, maxTs + 14400L * 1000 * 1000 * 1000, "click")
+            .union(sentinel(-4L, maxTs + 14400L * 1000 * 1000 * 1000,
+              "purchase"))
+            .write.parquet(s"$tmp/b4.parquet")
+          q.processAllAvailable()
+        } finally q.stop()
+      }
+      s.table(qn).where(col("user_id") >= 0)
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("click_id"), col("click_ts_us"))
+        .orderBy("event_id", "click_id")
+    },
+
     // The STREAMING watermarked windowed aggregate, oracle-gated (same
     // recipe): StreamingOps.tumblingCounts over the mid-timeline file-stream
     // split. Append mode holds each window's partial state across batches
@@ -1002,6 +1061,22 @@ object EventQueries {
          |  c.event_id AS click_id, c.ts_us AS click_ts_us
          |FROM e p JOIN e c ON p.user_id = c.user_id
          |  AND p.event_type = 'purchase' AND c.event_type = 'click'
+         |  AND c.ts_us <= p.ts_us AND c.ts_us >= p.ts_us - 3600000000
+         |ORDER BY p.event_id, click_id""".stripMargin,
+
+    // the LEFT JOIN twin: unmatched purchases must surface exactly once
+    // with null click columns — a streaming run that drops them (eviction
+    // before emission) or doubles them (emission on arrival AND eviction)
+    // hash-fails.
+    "q_stream_outer" ->
+      s"""WITH e AS (
+         |  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+         |    event_type FROM events)
+         |SELECT p.event_id, p.user_id, p.ts_us,
+         |  c.event_id AS click_id, c.ts_us AS click_ts_us
+         |FROM (SELECT * FROM e WHERE event_type = 'purchase') p
+         |LEFT JOIN (SELECT * FROM e WHERE event_type = 'click') c
+         |  ON p.user_id = c.user_id
          |  AND c.ts_us <= p.ts_us AND c.ts_us >= p.ts_us - 3600000000
          |ORDER BY p.event_id, click_id""".stripMargin,
 

@@ -212,6 +212,33 @@ object StreamingOps {
         col("click_id"), col("click_ts_us"))
   }
 
+  /** Watermarked stream-stream LEFT OUTER attribution join — the
+    * state-EVICTION semantics none of the inner-join gates exercise: a
+    * purchase with no qualifying click cannot emit when it arrives (a
+    * matching click might still come), so Spark buffers it and emits the
+    * null-extended row only once the watermark PROVES the match window
+    * closed (wm past p_t + delay). Unmatched-row emission is therefore
+    * driven by watermark progress, not data arrival — the part of the
+    * outer-join contract that only shows up on a real stream (the batch
+    * twin is just a left join). Same bounded time-range condition as
+    * [[attributionJoin]], so both sides' state stays horizon-sized. */
+  def attributionJoinOuter(events: DataFrame): DataFrame = {
+    val ev = events.withColumn("ts_t", timestamp_micros(col("ts_us")))
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("ts_t").as("p_t"))
+      .withWatermark("p_t", "1 second")
+    val c = ev.where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts_us").as("click_ts_us"), col("ts_t").as("c_t"))
+      .withWatermark("c_t", "1 second")
+    p.join(c, col("user_id") === col("c_user")
+        && col("c_t") <= col("p_t")
+        && col("c_t") >= col("p_t") - expr("INTERVAL 1 HOUR"),
+        "leftOuter")
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("click_id"), col("click_ts_us"))
+  }
+
   /** Streaming exact dedup: first-seen row per normalized-text hash — the
     * incremental twin of the batch `dedup_exact` query.
     * `dropDuplicatesWithinWatermark` is the bounded-state form: plain
