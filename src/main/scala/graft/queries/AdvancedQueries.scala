@@ -1198,6 +1198,50 @@ object AdvancedQueries {
       }.reduce(_.unionAll(_)).orderBy("version")
     },
 
+    // Retention VACUUM (SnapshotTable.vacuum) — the third leg of the
+    // snapshot maintenance trio (time travel reads history, compaction
+    // folds deletes, vacuum BOUNDS history): a compaction rewrite makes v3
+    // reference one consolidated dir, orphaning the v1/v2 data dirs; the
+    // vacuum drops the old manifests then physically deletes the orphans
+    // (that order is the crash-safety contract — a crash strands garbage,
+    // never a live manifest over deleted data). The gate reads v3 AFTER
+    // vacuuming and must still see every order — a vacuum that deletes a
+    // still-referenced dir hash-fails loudly. Built fresh each call (the
+    // vacuum IS the op, like q_compaction/q_dynamic_overwrite); report
+    // counts (2 manifests, 2 orphan dirs, 1 live dir) are deterministic by
+    // construction and pinned in the oracle.
+    "q_vacuum" -> { (s, dir) =>
+      import graft.sources.{SnapshotTable => ST}
+      val base =
+        s"/root/repo/target/tmp/orders_vac-${new java.io.File(dir).getName}"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(): Unit
+      }
+      val bf = new java.io.File(base)
+      if (bf.exists) rm(bf)
+      val cut = "1996-01-01"
+      val o = Tables(s, dir, "orders")
+      o.where(col("o_orderdate") < lit(cut))
+        .write.parquet(s"$base/data_a")
+      o.where(col("o_orderdate") >= lit(cut))
+        .write.parquet(s"$base/data_b")
+      ST.commit(s, base, 1, ST.Snapshot(Seq(s"$base/data_a"), Nil))
+      ST.commit(s, base, 2,
+        ST.Snapshot(Seq(s"$base/data_a", s"$base/data_b"), Nil))
+      s.read.parquet(s"$base/data_a", s"$base/data_b")
+        .write.parquet(s"$base/data_all")
+      ST.commit(s, base, 3, ST.Snapshot(Seq(s"$base/data_all"), Nil))
+      val rep = ST.vacuum(s, base, 3, 3)
+      ST.readVersion(s, base, 3, "o_orderkey")
+        .agg(count(lit(1)).as("n_orders"),
+          moneySum(col("o_totalprice")).as("rev"))
+        .select(lit(rep.manifestsRemoved.toLong).as("manifests_removed"),
+          lit(rep.dirsRemoved.toLong).as("dirs_removed"),
+          lit(rep.dirsLive.toLong).as("dirs_live"),
+          col("n_orders"), col("rev"))
+    },
+
     // Data-quality constraint gate — the dbt-test / Deequ-style validation
     // report every ingest pipeline runs before promoting a batch: PK
     // uniqueness, FK orphans, range, enum-domain, and null checks, one row
@@ -1466,6 +1510,16 @@ object AdvancedQueries {
          |FROM orders
          |WHERE ${MD5LONG("CAST(o_orderkey AS VARCHAR)")} % 11 <> 5
          |ORDER BY version""".stripMargin,
+
+    // post-vacuum v3 must still hold the FULL orders content; report
+    // counts are deterministic by construction (2 old manifests dropped,
+    // their 2 orphaned dirs deleted, 1 consolidated dir live)
+    "q_vacuum" ->
+      s"""SELECT CAST(2 AS BIGINT) AS manifests_removed,
+         |  CAST(2 AS BIGINT) AS dirs_removed,
+         |  CAST(1 AS BIGINT) AS dirs_live,
+         |  COUNT(*) AS n_orders, ${MONEY("o_totalprice")} AS rev
+         |FROM orders""".stripMargin,
 
     // each engine-side one-row aggregate becomes a CTE; counts cast to
     // BIGINT on both sides (DuckDB SUM(int) is HUGEINT).

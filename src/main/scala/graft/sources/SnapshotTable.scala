@@ -176,6 +176,57 @@ object SnapshotTable {
   /** Scan of version `v`: union of its data dirs minus its delete keys.
     * Delete files are erase-batch-sized, so the anti join is an explicit
     * broadcast — the data files never reshuffle for a merge-on-read. */
+  /** Vacuum report: manifests dropped, dirs physically deleted, dirs the
+    * surviving manifests still reference. */
+  final case class VacuumReport(manifestsRemoved: Int, dirsRemoved: Int,
+      dirsLive: Int)
+
+  /** Retention vacuum — the third leg of the snapshot maintenance trio
+    * (time travel reads history, compaction folds deletes, vacuum BOUNDS
+    * history): drop every manifest older than `keepFrom` and physically
+    * delete each data/delete dir those manifests reference that no
+    * surviving manifest (`keepFrom..upTo`) still references.
+    *
+    * Crash-safety ORDER: old manifests are deleted FIRST, orphan dirs
+    * second. A crash between the two strands unreferenced dirs — garbage
+    * the next vacuum re-collects — but can never leave a live manifest
+    * pointing at deleted data (the reverse order could). Each old manifest
+    * is read through [[manifest]]'s full crc validation before its dirs
+    * are trusted for deletion: a corrupt manifest aborts the vacuum loudly
+    * rather than guessing at which dirs were orphaned. Time travel to
+    * vacuumed versions then fails with the ordinary "no committed
+    * snapshot" error — bounded history is the feature's contract. */
+  def vacuum(spark: SparkSession, base: String, keepFrom: Int,
+      upTo: Int): VacuumReport = {
+    require(keepFrom >= 1 && keepFrom <= upTo,
+      s"vacuum needs 1 <= keepFrom <= upTo (got $keepFrom..$upTo)")
+    val live = (keepFrom to upTo).flatMap { v =>
+      val s = manifest(spark, base, v)
+      s.dataDirs ++ s.deleteDirs
+    }.toSet
+    val old = (1 until keepFrom).filter { v =>
+      val p = manifestPath(base, v)
+      fsFor(spark, p).exists(p)
+    }
+    // validate + collect BEFORE any deletion: a corrupt old manifest must
+    // abort the whole vacuum, not a half-vacuumed state
+    val oldDirs = old.flatMap { v =>
+      val s = manifest(spark, base, v)
+      s.dataDirs ++ s.deleteDirs
+    }.distinct
+    for (v <- old) {
+      val p = manifestPath(base, v)
+      require(fsFor(spark, p).delete(p, false),
+        s"vacuum failed to delete manifest v$v at $p")
+    }
+    var removed = 0
+    for (d <- oldDirs if !live.contains(d)) {
+      val dp = new Path(d)
+      if (fsFor(spark, dp).delete(dp, true)) removed += 1
+    }
+    VacuumReport(old.size, removed, live.size)
+  }
+
   def readVersion(spark: SparkSession, base: String, v: Int,
       keyCol: String): DataFrame = {
     val snap = manifest(spark, base, v)

@@ -66,6 +66,45 @@ class SnapshotTableSpec extends SparkTestBase {
     assert(SnapshotTable.readVersion(spark, base, 1, "k").count() == 5)
   }
 
+  test("vacuum drops old manifests + orphan dirs, keeps shared/live dirs") {
+    val base = freshBase()
+    writeNums(s"$base/d1", 0, 10)
+    writeNums(s"$base/d2", 10, 15)
+    writeNums(s"$base/all", 0, 15) // the compaction rewrite
+    SnapshotTable.commit(spark, base, 1, Snapshot(Seq(s"$base/d1"), Nil))
+    SnapshotTable.commit(spark, base, 2,
+      Snapshot(Seq(s"$base/d1", s"$base/d2"), Nil))
+    SnapshotTable.commit(spark, base, 3, Snapshot(Seq(s"$base/all"), Nil))
+    val rep = SnapshotTable.vacuum(spark, base, 3, 3)
+    assert(rep == SnapshotTable.VacuumReport(2, 2, 1))
+    // orphaned data dirs are physically gone, the live dir is untouched
+    assert(!new java.io.File(s"$base/d1").exists)
+    assert(!new java.io.File(s"$base/d2").exists)
+    assert(new java.io.File(s"$base/all").exists)
+    // the surviving head reads its full content
+    assert(SnapshotTable.readVersion(spark, base, 3, "k").count() == 15)
+    // vacuumed versions fail with the ordinary missing-snapshot error
+    intercept[IllegalArgumentException] {
+      SnapshotTable.readVersion(spark, base, 1, "k")
+    }
+    // idempotent: a second vacuum finds nothing to collect
+    assert(SnapshotTable.vacuum(spark, base, 3, 3) ==
+      SnapshotTable.VacuumReport(0, 0, 1))
+  }
+
+  test("vacuum keeps a dir the surviving range still references") {
+    val base = freshBase()
+    writeNums(s"$base/d1", 0, 10)
+    writeNums(s"$base/d2", 10, 15)
+    SnapshotTable.commit(spark, base, 1, Snapshot(Seq(s"$base/d1"), Nil))
+    SnapshotTable.commit(spark, base, 2,
+      Snapshot(Seq(s"$base/d1", s"$base/d2"), Nil))
+    // v2 still references d1, so dropping v1 must delete NO dirs
+    val rep = SnapshotTable.vacuum(spark, base, 2, 2)
+    assert(rep == SnapshotTable.VacuumReport(1, 0, 2))
+    assert(SnapshotTable.readVersion(spark, base, 2, "k").count() == 15)
+  }
+
   test("partial manifest write is rejected by the crc footer") {
     val base = freshBase()
     writeNums(s"$base/d1", 0, 5)
