@@ -141,15 +141,18 @@ object DedupQueries {
     *    intersection. The document text/grams themselves never cross a
     *    shuffle after dictionary encoding.
     */
-  private def jaccardJoin(e: DataFrame, t: Double,
-      wideGids: Boolean = false): DataFrame = {
-    // dense gid in global (df asc, gram) rarity order via distributed sort +
-    // zipWithIndex — NOT a single-partition ranking window, which would
-    // serialize on one task at web-corpus vocabulary sizes. Int gids cover
-    // vocabularies to 2^31; wideGids switches to long gids (offset past
-    // 2^32, so the long kernel is genuinely exercised) for corpora beyond —
-    // identical output either way (the offset preserves rarity order),
-    // property-tested in JaccardPropertySpec.
+  /** Dictionary-encode a (doc_id, ng, gram) relation to one sorted-gid-array
+    * row per doc — the shared front half of the jaccard and containment
+    * joins. Dense gid in global (df asc, gram) rarity order via distributed
+    * sort + zipWithIndex — NOT a single-partition ranking window, which
+    * would serialize on one task at web-corpus vocabulary sizes. Int gids
+    * cover vocabularies to 2^31; wideGids switches to long gids (offset
+    * past 2^32, so the long kernel is genuinely exercised) for corpora
+    * beyond — identical output either way (the offset preserves rarity
+    * order), property-tested in JaccardPropertySpec. The result is the only
+    * materialized intermediate (localCheckpoint) — compact (ints, not
+    * grams) and it feeds the prefix explodes AND the verification joins. */
+  private def encodeGids(e: DataFrame, wideGids: Boolean): DataFrame = {
     val dict = {
       val spark = e.sparkSession
       import spark.implicits._
@@ -162,13 +165,15 @@ object DedupQueries {
       else
         ranked.map { case (g, i) => (g, (i + 1).toInt) }.toDF("gram", "gid")
     }
-    // one row per doc: the sorted gid array. This is the only materialized
-    // intermediate (localCheckpoint) — compact (ints, not grams) and it feeds
-    // the prefix explode AND both verification joins.
-    val ids = e.join(dict, "gram")
+    e.join(dict, "gram")
       .groupBy(col("doc_id"), col("ng"))
       .agg(sort_array(collect_list(col("gid"))).as("ids"))
       .localCheckpoint()
+  }
+
+  private def jaccardJoin(e: DataFrame, t: Double,
+      wideGids: Boolean = false): DataFrame = {
+    val ids = encodeGids(e, wideGids)
     // the prefix IS the head of the sorted array, so positions come from
     // posexplode of a slice — no window, no extra shuffle.
     val prefix = ids.select(col("doc_id"), col("ng"),
@@ -205,6 +210,67 @@ object DedupQueries {
         / (col("na") + col("nb") - col("common")).cast("double"))
       .where(col("jac") >= t)
       .select(col("doc_a"), col("doc_b"), col("jac"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Exact CONTAINMENT join ≥ t over distinct bigram sets — the
+    * quote/doc-in-doc detector: C(a→b) = |A∩B| / |A|, reported for the
+    * small-into-large direction (na < nb, ties broken doc_a < doc_b).
+    * Jaccard misses exactly this case (a paragraph quoted inside a much
+    * larger page has tiny Jaccard but containment ≈ 1), and ExactSubstr
+    * misses the reverse (a quote with small edits breaks the contiguous
+    * run but not the gram overlap) — the third primitive of the dedup kit.
+    *
+    * Asymmetric prefix filter: a qualifying pair shares ≥ ⌈t·na⌉ grams, so
+    * by pigeonhole one shared gram lies in a's first na − ⌈t·na⌉ + 1
+    * rarity-ordered gids (the probe prefix); the container side has no
+    * size-relative bound and must index ALL its grams. The rarity order is
+    * what keeps that asymmetry cheap: a's prefix holds its globally RAREST
+    * grams, so the candidate join fans out by rare-gram df, never by "of
+    * the". Positional pruning (1 + min(na−pa, nb−pb) ≥ ⌈t·na⌉) holds for
+    * the first common gram — no common predecessors on either side — and
+    * verification is the same exact sorted-array intersection as Jaccard. */
+  def ngramContainmentJoin(docs: DataFrame, t: Double): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val e = docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val tk = tokensJvm(text)
+        val set = scala.collection.mutable.LinkedHashSet.empty[String]
+        var i = 0
+        while (i < tk.length - 1) { set.add(tk(i) + " " + tk(i + 1)); i += 1 }
+        val ng = set.size.toLong
+        set.iterator.map(g => (id, ng, g))
+      }.toDF("doc_id", "ng", "gram")
+    val ids = encodeGids(e, wideGids = false)
+    val probe = ids.select(col("doc_id"), col("ng"),
+        posexplode(slice(col("ids"), lit(1),
+          (col("ng") - ceil(col("ng") * lit(t)) + 1).cast("int"))))
+      .select(col("doc_id"), col("ng"), (col("pos") + 1).as("pos"),
+        col("col").as("gid"))
+    val full = ids.select(col("doc_id"), col("ng"), posexplode(col("ids")))
+      .select(col("doc_id"), col("ng"), (col("pos") + 1).as("pos"),
+        col("col").as("gid"))
+    val minCommon = ceil(col("a.ng") * lit(t))
+    val cand = probe.as("a").join(full.as("b"),
+        col("a.gid") === col("b.gid")
+          && (col("a.ng") < col("b.ng")
+            || (col("a.ng") === col("b.ng")
+              && col("a.doc_id") < col("b.doc_id")))
+          && lit(1) + least(col("a.ng") - col("a.pos"),
+            col("b.ng") - col("b.pos")) >= minCommon)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(ids.select(col("doc_id").as("doc_a"), col("ng").as("na"),
+        col("ids").as("ia")), "doc_a")
+      .join(ids.select(col("doc_id").as("doc_b"), col("ng").as("nb"),
+        col("ids").as("ib")), "doc_b")
+      .withColumn("common", intersectSize(col("ia"), col("ib")))
+      .withColumn("cont",
+        col("common").cast("double") / col("na").cast("double"))
+      .where(col("cont") >= t)
+      .select(col("doc_a"), col("doc_b"), col("cont"))
       .orderBy("doc_a", "doc_b")
   }
 
@@ -583,6 +649,14 @@ object DedupQueries {
         .select(col("doc_id"), col("text")), 0.5)
     },
 
+    // Asymmetric gram-containment ≥ 0.6, small-into-large — the quote /
+    // doc-in-doc detector Jaccard structurally misses (see
+    // ngramContainmentJoin).
+    "dedup_containment" -> { (s, dir) =>
+      ngramContainmentJoin(Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text")), 0.6)
+    },
+
     // MinHash + LSH banding, then exact-Jaccard verification of candidates.
     "dedup_minhash" -> { (s, dir) =>
       minhashJoin(Tables(s, dir, "documents")
@@ -879,6 +953,24 @@ object DedupQueries {
          |ORDER BY doc_id""".stripMargin,
 
     "dedup_ngram" -> jaccardSql(gramSql(2), "0.5"),
+
+    // brute-force containment over the same distinct-bigram relation: the
+    // prefix-filtered engine join must equal the all-pairs count
+    "dedup_containment" ->
+      s"""WITH g AS (${gramSql(2)}),
+         |e AS (SELECT doc_id, CAST(len(s) AS BIGINT) AS ng, unnest(s) AS gram
+         |      FROM g),
+         |p AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    any_value(a.ng) AS na, COUNT(*) AS common
+         |  FROM e a JOIN e b ON a.gram = b.gram
+         |    AND (a.ng < b.ng OR (a.ng = b.ng AND a.doc_id < b.doc_id))
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |  CAST(common AS DOUBLE)/CAST(na AS DOUBLE) AS cont
+         |FROM p
+         |WHERE CAST(common AS DOUBLE)/CAST(na AS DOUBLE) >= 0.6
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     // LSH recall at these parameters is 1 - (1-J^3)^42 ≈ 1 for J ≥ 0.7+ε on
     // this corpus (pair similarity is bimodal: ≥0.85 or ≤0.15), so the

@@ -63,6 +63,41 @@ class JaccardPropertySpec extends SparkTestBase {
     assert(got == Set((0L, 1L, 1.0)))
   }
 
+  private def contModel(docs: Seq[String],
+      t: Double): Set[(Long, Long, Double)] = {
+    val sets = docs.zipWithIndex.map { case (d, i) => (i.toLong, bigrams(d)) }
+    (for {
+      (ia, sa) <- sets; (ib, sb) <- sets
+      if sa.nonEmpty && sb.nonEmpty
+      if sa.size < sb.size || (sa.size == sb.size && ia < ib)
+      cont = (sa & sb).size.toDouble / sa.size
+      if cont >= t
+    } yield (ia, ib, cont)).toSet
+  }
+
+  private def contEngine(docs: Seq[String],
+      t: Double): Set[(Long, Long, Double)] = {
+    val df = docs.zipWithIndex.map { case (d, i) => (i.toLong, d) }
+      .toDF("doc_id", "text")
+    DedupQueries.ngramContainmentJoin(df, t)
+      .as[(Long, Long, Double)].collect().toSet
+  }
+
+  test("containment join == brute force at t=0.6 and t=0.9") {
+    val prop = Prop.forAll(corpusGen) { docs =>
+      contEngine(docs, 0.6) == contModel(docs, 0.6) &&
+        contEngine(docs, 0.9) == contModel(docs, 0.9)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.toString)
+  }
+
+  test("a doc fully quoted inside a larger doc has containment 1.0") {
+    // doc 0's bigrams are a strict subset of doc 1's
+    val got = contEngine(Seq("a b c", "a b c d e f", "f f f"), 0.9)
+    assert(got == Set((0L, 1L, 1.0)))
+  }
+
   test("long-gid path (gids forced past 2^32) == brute force and == int path") {
     // the >2^31-vocabulary regime: gids offset beyond int range exercise the
     // SortedLongIntersectSize kernel and the long prefix/positional pipeline
