@@ -318,6 +318,46 @@ object StatsQueries {
         .orderBy("priority")
     },
 
+    // Change-point detection (binary-segmentation CUSUM) over the daily
+    // 1997 revenue series: the split day k maximizing
+    // |(n−k)·L_k − k·(T−L_k)| — the scaled between-segment mean gap, ALL
+    // in exact decimal integers (argmax over exact scores cannot flip
+    // between engines; doubles appear only in the reported means). The
+    // monitoring primitive behind "did the corpus/revenue mix shift and
+    // WHEN" — q_drift answers between two named snapshots, this finds the
+    // split point itself. Scale: one fact-scan partial→final daily
+    // aggregate; everything after is day-domain-sized (≤366 rows), so the
+    // unpartitioned cumulative window runs on one task BY DESIGN — the
+    // same dispensation as the vocab-sized dictionary windows. Tiebreak:
+    // earliest day.
+    "q_changepoint" -> { (s, dir) =>
+      val daily = Tables(s, dir, "orders")
+        .where(year(col("o_orderdate")) === 1997)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(exactSum(cents(col("o_totalprice"))).as("v"))
+        .localCheckpoint() // domain-sized; fans into the total and the scan
+      val w = org.apache.spark.sql.expressions.Window.orderBy("day")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val tot = daily.agg(sum(col("v")).as("t"), count(lit(1)).as("n"))
+      val cum = daily.select(col("day"),
+        sum(col("v")).over(w).as("l"), count(lit(1)).over(w).as("k"))
+      cum.crossJoin(broadcast(tot))
+        .where(col("k") < col("n"))
+        .select(col("day"), col("k"), col("n"),
+          abs((col("n") - col("k")) * col("l")
+            - col("k") * (col("t") - col("l"))).as("score"),
+          col("l"), col("t"))
+        .orderBy(col("score").desc, col("day"))
+        .limit(1)
+        .select(col("day").as("split_day"),
+          col("score").cast("double").as("score"),
+          (col("l").cast("double") / lit(100.0)
+            / col("k").cast("double")).as("mean_before"),
+          ((col("t") - col("l")).cast("double") / lit(100.0)
+            / (col("n") - col("k")).cast("double")).as("mean_after"),
+          col("k").as("n_before"), (col("n") - col("k")).as("n_after"))
+    },
+
     // Distribution-drift monitor: the order-priority mix of 1996 vs 2000 as
     // exact parts-per-million, with the total-variation distance
     // (Σ|p_a − p_b| / 2) stamped on every row — the category-mix drift
@@ -486,6 +526,28 @@ object StatsQueries {
          |      * sqrt(syyd / nd - my * my)) AS corr_qty_price,
          |  sqrt((syyd - nd * my * my) / (nd - 1.0)) / 100.0 AS stddev_price
          |FROM d ORDER BY l_returnflag""".stripMargin,
+
+    // same exact-integer CUSUM argmax; HUGEINT keeps the products exact
+    "q_changepoint" ->
+      s"""WITH daily AS (
+         |  SELECT CAST(o_orderdate AS DATE) AS day,
+         |    SUM(CAST(${CENTS("o_totalprice")} AS HUGEINT)) AS v
+         |  FROM orders WHERE year(o_orderdate) = 1997 GROUP BY 1),
+         |tot AS (SELECT SUM(v) AS t, COUNT(*) AS n FROM daily),
+         |cum AS (
+         |  SELECT day,
+         |    SUM(v) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS l,
+         |    COUNT(*) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS k
+         |  FROM daily),
+         |sc AS (
+         |  SELECT day, k, n, l, t,
+         |    abs((n - k) * l - k * (t - l)) AS score
+         |  FROM cum, tot WHERE k < n)
+         |SELECT day AS split_day, CAST(score AS DOUBLE) AS score,
+         |  CAST(l AS DOUBLE) / 100.0 / CAST(k AS DOUBLE) AS mean_before,
+         |  CAST(t - l AS DOUBLE) / 100.0 / CAST(n - k AS DOUBLE) AS mean_after,
+         |  CAST(k AS BIGINT) AS n_before, CAST(n - k AS BIGINT) AS n_after
+         |FROM sc ORDER BY score DESC, day LIMIT 1""".stripMargin,
 
     "q_regression" ->
       s"""WITH a AS (
