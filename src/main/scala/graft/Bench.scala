@@ -92,8 +92,24 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
       case None => SparkEntry.queries
     }
+    // Stall diagnosis (r10: five untimed queries "regressed" 8-9× in one
+    // contiguous stretch — a machine-level stall indistinguishable from
+    // query cost when only durations are recorded). Per query we keep the
+    // wall-clock START OFFSET from the first timed query and the JVM
+    // GC-time DELTA across it (local mode: executors share this JVM, so
+    // collector time during the query is the query's GC drag). A slow
+    // window then reads directly as clustered t0s with outsized gc_ms —
+    // or, if gc is flat, as external CPU steal.
+    import scala.jdk.CollectionConverters._
+    def gcMillis(): Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+    val benchT0 = System.nanoTime()
+    val starts = scala.collection.mutable.Map.empty[String, Double]
+    val gcMs = scala.collection.mutable.Map.empty[String, Long]
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
+      val g0 = gcMillis()
+      starts(name) = (t0 - benchT0) / 1e9
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch {
         case e: Throwable =>
@@ -103,6 +119,7 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
       }
       val dt = (System.nanoTime() - t0) / 1e9
+      gcMs(name) = gcMillis() - g0
       // between-query (untimed) GC nudge: lets the ContextCleaner reclaim
       // checkpoint blocks queries left behind, so a long run measures each
       // query against a clean block manager, not its predecessors' garbage
@@ -110,6 +127,7 @@ object Bench {
       if (sinceGc >= 8) { sinceGc = 0; System.gc() }
       name -> dt
     }
+    val wallS = (System.nanoTime() - benchT0) / 1e9
     // Per-query times at 3 decimals, and the headline fields LAST: the
     // driver keeps only the final ~2000 bytes of output, so the end of this
     // (long) line must carry metric/value/failed/sf even when the head of
@@ -119,8 +137,13 @@ object Bench {
     // round-over-round, and alphabetical truncation would hide them.
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
+    // top20/regression entries carry [dur, start-offset, gc-ms] so the
+    // 2000-byte tail has the stall context inline: same-window regressions
+    // show clustered starts, and gc_ms says whether the window was the
+    // collector or external (steal) time.
     val top20 = results.toSeq.sortBy(-_._2).take(20)
-      .map { case (k, v) => f""""$k":$v%.2f""" }
+      .map { case (k, v) =>
+        f""""$k":[$v%.2f,${starts(k)}%.1f,${gcMs(k)}]""" }
       .mkString("{", ",", "}")
     // Regression tripwire: compare against the committed per-query baseline
     // (scripts/update_bench_baseline.py refreshes it from a full run). A
@@ -134,14 +157,19 @@ object Bench {
       BenchBaseline.seconds.get(k) match {
         case Some(base)
             if !k.startsWith("q_stream_") && v > 2 * base && v - base > 0.75 =>
-          Some(f""""$k":{"sec":$v%.2f,"base":$base%.2f}""")
+          Some(f""""$k":{"sec":$v%.2f,"base":$base%.2f,""" +
+            f""""t0":${starts(k)}%.1f,"gc_ms":${gcMs(k)}}""")
         case _ => None
       }
     }.mkString("{", ",", "}")
     val fj = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val rb = rebuilds.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"unit":"sec","sf":"$sfDir","queries":$qs,"top20_slowest":$top20,"regressions":$regressions,"timed_layer_rebuilds":$rb,"failed":$fj,"n_queries":${results.size},"metric":"total","value":$total}""")
+    // wall vs sum-of-durations exposes untimed overhead (GC nudges, plan
+    // construction between queries); gc_total_ms is the run's whole
+    // collector bill for cross-checking any slow window's gc share.
+    val timing = f""""wall_s":$wallS%.1f,"gc_total_ms":${gcMs.values.sum}"""
+    println(s"""{"unit":"sec","sf":"$sfDir","queries":$qs,"top20_slowest":$top20,"regressions":$regressions,$timing,"timed_layer_rebuilds":$rb,"failed":$fj,"n_queries":${results.size},"metric":"total","value":$total}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -287,9 +287,23 @@ object GraphOps {
     * than convergence detection: adoption is monotone (labeled nodes never
     * change), so each round is a frontier expansion and the round budget
     * IS the propagation radius — replayable by any engine, no oracle-
-    * hostile stopping rule. Per round: one edge-label join, one
-    * (node, label) count aggregate, one argmax aggregate, one anti join —
-    * all partial→final; the label table only grows by the new frontier. */
+    * hostile stopping rule (an empty frontier still short-circuits: every
+    * remaining round would be a no-op).
+    *
+    * Delta iteration (the bfsLevels discipline): messages flow only from
+    * the FRONTIER — nodes labeled last round — never the whole label
+    * table. That is lossless for the MAJORITY vote, not just reachability:
+    * a node still unlabeled entering round r had, by the adoption rule,
+    * ZERO labeled neighbors entering round r−1 (one would have made it
+    * adopt then), so every labeled neighbor it has now was labeled exactly
+    * last round — the delta-neighbor multiset IS the labeled-neighbor
+    * multiset and the majority (count desc, label asc) is unchanged. Per
+    * round: one edge⋈frontier join (a shrinking frontier broadcasts; the
+    * checkpointed edge table never reshuffles), one anti join against the
+    * label table, two partial→final aggregates, and a label patch that is
+    * a plain union — safe from the anti∪delta Catalyst crash ONLY because
+    * ckCount rebuilt the frontier as a fresh LogicalRDD (new attribute
+    * ids) before the union, same load-bearing checkpoint as bfsLevels'. */
   def labelPropagation(edges: DataFrame, seeds: DataFrame,
       rounds: Int): DataFrame = {
     val cols = edges.columns
@@ -301,16 +315,23 @@ object GraphOps {
       .select(col(seeds.columns(0)).cast("long").as("id"),
         col(seeds.columns(1)).cast("string").as("label"))
       .distinct().localCheckpoint()
+    var frontier = lab
     var r = 0
-    while (r < rounds) {
-      val adopted = e.join(lab, e("v") === lab("id"))
+    var live = true
+    while (r < rounds && live) {
+      val adopted = e.join(frontier, e("v") === frontier("id"))
         .select(e("u").as("id"), col("label"))
         .join(lab.select(col("id")), Seq("id"), "left_anti")
         .groupBy(col("id"), col("label")).agg(count(lit(1)).as("c"))
         .groupBy(col("id"))
         .agg(min(struct((-col("c")).as("nc"), col("label"))).as("m"))
         .select(col("id"), col("m.label").as("label"))
-      lab = lab.union(adopted).localCheckpoint()
+      val (f, fn) = ckCount(adopted)
+      if (fn == 0) live = false
+      else {
+        frontier = f
+        lab = ckCount(lab.union(frontier))._1
+      }
       r += 1
     }
     lab
@@ -411,6 +432,12 @@ object GraphOps {
         msgs.join(labels.select(col("id")), Seq("id"), "left_anti"))
       frontier = f
       more = fn > 0
+      // labels ∪ frontier is the anti∪delta shape CLAUDE.md forbids —
+      // safe here ONLY because ckCount above rebuilt the frontier as a
+      // fresh LogicalRDD (new lineage / attribute ids), so the union's
+      // sides share no attributes. Removing or reordering that checkpoint
+      // reintroduces the UnionBase.rewriteConstraints key-not-found crash;
+      // same load-bearing-checkpoint note as widestPaths'.
       if (more) labels = ckCount(labels.union(frontier))._1
       it += 1
     }

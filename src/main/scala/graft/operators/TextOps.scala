@@ -502,9 +502,16 @@ object TextOps {
     * ~10⁶ rows at 100 TB), each round is one partial→final pair aggregate
     * plus a metadata-sized argmax collect (the merge table is driver-side
     * by nature, like [[graft.operators.SimilarityOps.trainCentroids]]), and
-    * the re-segmentation is a map over the vocab. The segmentation is
-    * localCheckpoint'ed every round: two actions consume it (argmax + next
-    * round's pair scan) and lineage would otherwise re-tokenize per round.
+    * the re-segmentation is a map over the vocab. Lineage is cut on a
+    * CADENCE (every 4th fusion), not every round: a round's re-segmentation
+    * is a pure narrow map — no joins, so no estimated-stats compounding —
+    * and letting up to 3 pending fusion maps fuse into the next round's
+    * pair-count job is cheaper than materializing 32 checkpoint blocks per
+    * round (measured: per-round checkpointing doubled the loop's job count
+    * and its wall time at sf0.1; same cadence reasoning as kCore's
+    * every-2nd-round and pageRank's every-6th-sweep cuts). The initial
+    * checkpoint stays: it truncates the corpus-sized wordcount aggregate
+    * out of every round's lineage.
     *
     * Left-to-right single-pass fusion equals iterated leftmost fusion for a
     * single pair (the fused symbol a+b is strictly longer than a, so a
@@ -520,6 +527,7 @@ object TextOps {
     val learned = Seq.newBuilder[(Long, String, String, Long)]
     var r = 1
     var exhausted = false
+    var sinceCut = 0
     while (r <= rounds && !exhausted) {
       val top = seg.flatMap { case (str, c) =>
           val syms = str.split(' ')
@@ -544,7 +552,9 @@ object TextOps {
             } else { out += syms(i); i += 1 }
           }
           (out.mkString(" "), cnt)
-        }.localCheckpoint()
+        }
+        sinceCut += 1
+        if (sinceCut >= 4) { sinceCut = 0; seg = seg.localCheckpoint() }
       }
       r += 1
     }

@@ -200,9 +200,19 @@ object SnapshotTable {
       upTo: Int): VacuumReport = {
     require(keepFrom >= 1 && keepFrom <= upTo,
       s"vacuum needs 1 <= keepFrom <= upTo (got $keepFrom..$upTo)")
+    // orphan-vs-live is decided by PATH EQUALITY between manifests, so both
+    // sides are canonicalized through fs.makeQualified first: a dir recorded
+    // scheme-qualified in one manifest and bare (or with a trailing slash)
+    // in another must collide in the live set, or vacuum would physically
+    // delete a dir a surviving manifest still references — the exact
+    // failure the delete-manifests-first crash order exists to prevent.
+    def canon(d: String): String = {
+      val p = new Path(d)
+      fsFor(spark, p).makeQualified(p).toString
+    }
     val live = (keepFrom to upTo).flatMap { v =>
       val s = manifest(spark, base, v)
-      s.dataDirs ++ s.deleteDirs
+      (s.dataDirs ++ s.deleteDirs).map(canon)
     }.toSet
     val old = (1 until keepFrom).filter { v =>
       val p = manifestPath(base, v)
@@ -212,7 +222,7 @@ object SnapshotTable {
     // abort the whole vacuum, not a half-vacuumed state
     val oldDirs = old.flatMap { v =>
       val s = manifest(spark, base, v)
-      s.dataDirs ++ s.deleteDirs
+      (s.dataDirs ++ s.deleteDirs).map(canon)
     }.distinct
     for (v <- old) {
       val p = manifestPath(base, v)
