@@ -229,7 +229,24 @@ object DedupQueries {
     * grams, so the candidate join fans out by rare-gram df, never by "of
     * the". Positional pruning (1 + min(na−pa, nb−pb) ≥ ⌈t·na⌉) holds for
     * the first common gram — no common predecessors on either side — and
-    * verification is the same exact sorted-array intersection as Jaccard. */
+    * verification is the same exact sorted-array intersection as Jaccard.
+    *
+    * REGIME BOUNDARY (measured, local[32], replicated sf0.1 corpus — same
+    * protocol as the Jaccard note at the top of this file): on this
+    * vocabulary-DENSE fixture the probe prefix stops being selective (no
+    * gram is rare), so cost grows ~3× faster than the corpus: 1× (5k docs)
+    * 6.4 s → 3× 51.9 s → 5× 92.5 s (14.5× cost at 5× corpus), while
+    * minhashJoin on the same corpora went 2.1 → 4.3 → 11.1 s (5.3×). At
+    * 100 TB the guidance mirrors the Jaccard one — exact containment join
+    * on natural (Heaps-law) corpora where prefixes stay rare; on dense
+    * gram distributions fall back to minhash-then-containment-verify
+    * (LSH candidates, then this verifier's |A∩B|/|A| on the survivors) —
+    * with one honest caveat the symmetric fallback carries: LSH bands
+    * bound symmetric Jaccard, and a small-probe-in-big-container pair has
+    * J ≈ t·na/nb, so the fallback recalls containment only between
+    * similarly-sized docs; the small-in-big tail needs either this exact
+    * join on a length-bucketed slice or probe-side-only asymmetric
+    * banding. */
   def ngramContainmentJoin(docs: DataFrame, t: Double): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._

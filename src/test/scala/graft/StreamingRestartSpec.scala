@@ -160,4 +160,77 @@ class StreamingRestartSpec extends SparkTestBase {
     assert(got == want,
       "window state across the restart diverges from the batch aggregate")
   }
+
+  test("flatMapGroupsWithState sessionization restarted from checkpoint recovers open-session state") {
+    // The richest state of the streaming surface: per-user OPEN sessions
+    // held in custom flatMapGroupsWithState state with event-time timeouts.
+    // The kill lands after batch 1, when ~half of every user's session
+    // history sits as an open-session struct in the state store; the
+    // restarted run must reload those structs from the checkpoint and merge
+    // the post-restart half into them — a lost struct surfaces as a split
+    // session, a replayed batch as doubled n_events/val_sum, and either
+    // diverges from the batch q_sessionize answer. File sink (never
+    // memory): pre-kill emissions must survive the process boundary.
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-restart-sess").toString
+    val ev = Tables(spark, sf, "events")
+    val schema = ev.schema
+    val median = ev
+      .selectExpr(
+        "CAST(percentile_cont(0.5) WITHIN GROUP (ORDER BY ts) AS BIGINT)")
+      .head().getLong(0)
+    val maxTs = ev.agg(max(col("ts"))).head().getLong(0)
+    def sentinel(uid: Long, ts: Long) =
+      spark.range(1).select(lit(uid).as("event_id"), lit(ts).as("ts"),
+        lit(uid).as("user_id"), lit("click").as("event_type"),
+        lit(0.0).as("value"), lit("{}").as("props"))
+
+    def startQuery(): StreamingQuery =
+      graft.streaming.StreamingOps.withStreamShuffle(spark) {
+        val stream = spark.readStream.schema(schema).parquet(s"$tmp/in/*.parquet")
+          .withColumn("ts_us", expr("ts div 1000"))
+          .withColumn("ts_t", timestamp_micros(col("ts_us")))
+          .withWatermark("ts_t", "1 second")
+          .withColumn("val_cents", cents(col("value")))
+          .select(col("user_id"), col("event_id"), col("ts_us"),
+            col("val_cents"), col("ts_t"))
+          .as[graft.streaming.StreamingOps.Ev]
+        graft.streaming.StreamingOps.sessionize(stream)
+          .writeStream.format("parquet")
+          .option("path", s"$tmp/out")
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .outputMode("append")
+          .start()
+      }
+
+    // batch 1: first half of the timeline, then KILL mid-session
+    ev.where(col("ts") <= median).write.parquet(s"$tmp/in/b1.parquet")
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+
+    // restart from the same checkpoint; the second half plus the two
+    // far-future sentinel batches that advance the watermark past every
+    // open session's last+gap so the event-time timeouts flush them
+    val q2 = startQuery()
+    try {
+      ev.where(col("ts") > median).write.parquet(s"$tmp/in/b2.parquet")
+      q2.processAllAvailable()
+      sentinel(-1L, maxTs + 3600L * 1000 * 1000 * 1000)
+        .write.parquet(s"$tmp/in/s1.parquet")
+      q2.processAllAvailable()
+      sentinel(-2L, maxTs + 7200L * 1000 * 1000 * 1000)
+        .write.parquet(s"$tmp/in/s2.parquet")
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    val got = spark.read.parquet(s"$tmp/out")
+      .where(col("user_id") >= 0) // sentinels filtered
+      .select("user_id", "sess_start_us", "sess_end_us", "n_events", "val_sum")
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    val want = SparkEntry.queries("q_sessionize")(spark, sf)
+      .select("user_id", "sess_start_us", "sess_end_us", "n_events", "val_sum")
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    assert(got == want,
+      "sessions across the restart diverge from the batch q_sessionize answer")
+  }
 }
