@@ -126,6 +126,61 @@ object GraphOps {
     labels
   }
 
+  /** INCREMENTAL connected components: fold a new edge batch into stored
+    * component labels without re-flooding the base graph — the ingest-time
+    * twin of the incremental dedup probe (a nightly near-dup batch must
+    * not re-cluster the whole corpus). Standard contraction argument: in
+    * the union graph, every new path alternates batch edges with walks
+    * inside old components, so CC over the CONTRACTED batch graph — each
+    * new-edge endpoint replaced by its stored component id (itself when
+    * unlabeled) — merges exactly the components the batch connects. With
+    * min-label semantics the result equals from-scratch CC: a stored
+    * component's id IS its minimum member, so the contracted minimum is
+    * the union component's global minimum.
+    *
+    * Scale shape: the base label table is touched by exactly one
+    * broadcast-semi filter (batch endpoint ids, batch-sized) and one
+    * broadcast patch join (comp remap, batch-sized) — two narrow passes,
+    * zero label-table shuffles, and the base EDGE table is never read at
+    * all. The contracted CC runs on a batch-sized graph. Cost is
+    * O(batch + |labels| scan), independent of base edge count. */
+  def incrementalComponents(baseLabels: DataFrame,
+      newEdges: DataFrame): DataFrame = {
+    val cols = newEdges.columns
+    val e = newEdges.select(col(cols(0)).cast("long").as("u"),
+      col(cols(1)).cast("long").as("v"))
+    val lab = baseLabels.select(col(baseLabels.columns(0)).cast("long")
+      .as("id"), col(baseLabels.columns(1)).cast("long").as("comp"))
+    val ends = e.select(col("u").as("id")).union(e.select(col("v").as("id")))
+      .distinct().localCheckpoint() // batch-sized endpoint set
+    // touched slice of the stored labels: broadcast the batch-sized
+    // endpoint set so the node-sized label table never shuffles
+    val labT = lab.join(broadcast(ends), Seq("id"), "left_semi")
+      .localCheckpoint() // batch-sized; fans into two contraction joins
+    val contracted = e
+      .join(broadcast(labT.select(col("id").as("u"), col("comp").as("cu"))),
+        Seq("u"), "left")
+      .join(broadcast(labT.select(col("id").as("v"), col("comp").as("cv"))),
+        Seq("v"), "left")
+      .select(coalesce(col("cu"), col("u")).as("u"),
+        coalesce(col("cv"), col("v")).as("v"))
+    val small = connectedComponents(contracted).localCheckpoint() // batch-sized
+    // stored components: patch through the contracted remap (comp ids are
+    // contracted node ids); the remap broadcasts, the full label table
+    // streams through unshuffled
+    val patched = lab
+      .join(broadcast(small.select(col("id").as("comp"),
+        col("comp").as("nc"))), Seq("comp"), "left")
+      .select(col("id"), coalesce(col("nc"), col("comp")).as("comp"))
+    // nodes the batch introduced (new docs, or stored docs with no base
+    // pairs — absent from the label table either way): their contracted
+    // id is themselves and can never equal a stored comp id (comp ids are
+    // stored min-members), so their labels read directly off the small CC
+    val fresh = small
+      .join(labT.select(col("comp").as("id")), Seq("id"), "left_anti")
+    patched.union(fresh.select(col("id"), col("comp")))
+  }
+
   /** Connected components by alternating large-star / small-star
     * contraction (Kiveris, Lattanzi, Mirrokni, Rastogi, Vassilvitskii,
     * "Connected Components in MapReduce and Beyond", SoCC 2014) — the

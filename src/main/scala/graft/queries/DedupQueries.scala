@@ -713,6 +713,31 @@ object DedupQueries {
         simhashPairs(s, dir).select(col("doc_a"), col("doc_b"))))
     },
 
+    // Same clusters a third way: INCREMENTAL maintenance. The stored
+    // corpus's CC labels (every 5th doc held out — dedup_incremental's
+    // batch split) live in a write-once layer; the batch's pair edges fold
+    // in via GraphOps.incrementalComponents — contract endpoints to stored
+    // comp ids, CC the batch-sized contracted graph, patch by broadcast
+    // remap — WITHOUT re-flooding the base graph. Min-label contraction is
+    // exact, so the labels hash-match the same from-scratch oracle as the
+    // other two CC paths.
+    "dedup_cluster_incr" -> { (s, dir) =>
+      val pairs = simhashPairs(s, dir).select(col("doc_a"), col("doc_b"))
+      def isBatch(c: Column) = pmod(c, lit(5L)) === 0
+      val tmp = s"/root/repo/target/tmp/ccbase-${new java.io.File(dir).getName}"
+      graft.sources.Sinks.ensureDir(s, tmp, "v1:ccbase,simhash,mod5!=0",
+          Seq(s"$dir/documents.parquet")) {
+        graft.operators.GraphOps.connectedComponents(
+            pairs.where(!isBatch(col("doc_a")) && !isBatch(col("doc_b"))))
+          .write.parquet(tmp)
+      }
+      val baseLab = s.read.parquet(tmp)
+      val batchE = pairs
+        .where(isBatch(col("doc_a")) || isBatch(col("doc_b")))
+      clusterReport(
+        graft.operators.GraphOps.incrementalComponents(baseLab, batchE))
+    },
+
     // Quality-aware canonical selection — the KEEP policy after clustering:
     // production dedup keeps the BEST member of each near-dup cluster (here
     // "longest, then lowest id" — the common keep-longest heuristic), not
@@ -1032,6 +1057,9 @@ object DedupQueries {
     // the component's canonical (smallest) member. Shared verbatim by the
     // star-contraction twin — unique labeling, one oracle.
     "dedup_cluster" -> clusterSql,
+
+    // incremental maintenance path; identical unique labeling, one oracle
+    "dedup_cluster_incr" -> clusterSql,
 
     // same labeling chain; keep = longest member, ties to the lowest id.
     "dedup_keep_best" ->

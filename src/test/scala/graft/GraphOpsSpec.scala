@@ -56,6 +56,47 @@ class GraphOpsSpec extends SparkTestBase {
     check(star1 ++ star2 ++ star1.map(_.swap) ++ Seq((0L, 5L), (0L, 5L)))
   }
 
+  test("incrementalComponents == from-scratch CC on random base+batch splits") {
+    // every structural case in one sweep: batch edges that merge two base
+    // components, batch-only chains of new nodes, a new node bridging into
+    // a base component via its NON-minimum member, and stored loners
+    // (nodes absent from the base label table, first paired by the batch)
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    (1 to 4).foreach { _ =>
+      val n = 30
+      val base = Seq.fill(25)(
+        (rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // batch touches old ids (merges), fresh ids 100+ (new-node chains),
+      // and bridges between the two
+      val batch = Seq.fill(10)(
+        (rng.nextInt(n).toLong, (100 + rng.nextInt(8)).toLong)) ++
+        Seq.fill(5)(
+          ((100 + rng.nextInt(8)).toLong, (100 + rng.nextInt(8)).toLong)) ++
+        Seq.fill(5)((rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+          .filter { case (a, b) => a != b }
+      val baseLab = GraphOps.connectedComponents(base.toDF("u", "v"))
+      val got = GraphOps
+        .incrementalComponents(baseLab, batch.toDF("u", "v"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = model(base ++ batch)
+      // incremental output covers base nodes + batch-touched nodes; the
+      // from-scratch model over base∪batch covers exactly the same set
+      assert(got == want, s"base=$base batch=$batch")
+    }
+  }
+
+  test("incrementalComponents with an empty batch returns the base labels") {
+    import spark.implicits._
+    val base = Seq((1L, 2L), (2L, 3L), (10L, 11L))
+    val baseLab = GraphOps.connectedComponents(base.toDF("u", "v"))
+    val got = GraphOps.incrementalComponents(baseLab,
+        Seq.empty[(Long, Long)].toDF("u", "v"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == model(base))
+  }
+
   // ---- pagerank ----
 
   private def prModel(edges: Seq[(Long, Long)], iters: Int,
