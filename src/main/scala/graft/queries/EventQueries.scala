@@ -138,6 +138,41 @@ object EventQueries {
         .orderBy("from_type", "to_type")
     },
 
+    // Sequence-pattern matching (the MATCH_RECOGNIZE / CEP shape the funnel
+    // and transition queries don't cover): each user's ordered event stream
+    // encodes as a one-char-per-event journey string, and conversions are
+    // the non-overlapping greedy matches of views→clicks→purchase
+    // (`v+c*p`). Regex CEP over an aggregated string beats a per-event NFA
+    // join: one user-keyed aggregate, then per-user O(|journey|) matching
+    // in a codegen'd expression — no self-joins, no window state. Both
+    // engines run leftmost greedy matching (java.util.regex / RE2 agree on
+    // this alternation-free pattern). Scale shape: the journey string is
+    // per-USER event history — bounded at this fixture; a production run
+    // bounds it by session (compose with q_sessionize's keys) so no single
+    // string grows fact-sized. array_sort on (ts, id, code) structs makes
+    // the aggregation order deterministic under any partitioning.
+    "q_pattern_match" -> { (s, dir) =>
+      val code = expr("CASE event_type WHEN 'click' THEN 'c' " +
+        "WHEN 'error' THEN 'e' WHEN 'purchase' THEN 'p' " +
+        "WHEN 'signup' THEN 's' ELSE 'v' END")
+      normalized(s, dir)
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          code.as("code"))
+        .groupBy(col("user_id"))
+        .agg(array_sort(collect_list(
+          struct(col("ts_us"), col("event_id"), col("code")))).as("a"))
+        .select(col("user_id"),
+          concat_ws("", expr("transform(a, x -> x.code)")).as("journey"))
+        .select(col("user_id"),
+          length(col("journey")).cast("long").as("n_events"),
+          expr("regexp_extract_all(journey, 'v+c*p', 0)").as("m"))
+        .select(col("user_id"), col("n_events"),
+          size(col("m")).cast("long").as("n_conv"),
+          coalesce(array_max(expr("transform(m, x -> length(x))")), lit(0))
+            .cast("long").as("max_run"))
+        .orderBy("user_id")
+    },
+
     // Percentile bands per hour (P50/P95/P99 of the value column) — the
     // latency-dashboard shape. Exact interpolated percentiles on cents
     // share q_outliers' bounded-domain argument: the aggregate buffers a
@@ -206,6 +241,69 @@ object EventQueries {
       graft.streaming.StreamingOps.withStreamShuffle(s) {
         val q = graft.streaming.StreamingOps.sessionize(stream)
           .writeStream.outputMode("append")
+          .format("memory").queryName(qn).start()
+        try {
+          ev.where(col("ts") <= median).write.parquet(s"$tmp/b1.parquet")
+          q.processAllAvailable()
+          ev.where(col("ts") > median).write.parquet(s"$tmp/b2.parquet")
+          q.processAllAvailable()
+          sentinel(-1L, maxTs + 3600L * 1000 * 1000 * 1000)
+            .write.parquet(s"$tmp/b3.parquet")
+          q.processAllAvailable()
+          sentinel(-2L, maxTs + 7200L * 1000 * 1000 * 1000)
+            .write.parquet(s"$tmp/b4.parquet")
+          q.processAllAvailable()
+        } finally q.stop()
+      }
+      s.table(qn).where(col("user_id") >= 0)
+        .select(col("user_id"), col("sess_start_us"), col("sess_end_us"),
+          col("n_events"), col("val_sum"))
+        .orderBy("user_id", "sess_start_us")
+    },
+
+    // The same gap sessions through the BUILTIN streaming session_window
+    // aggregate — Spark's merging-session state store (window partials
+    // merge as gaps close, the watermark evicts and emits in append mode),
+    // a genuinely different execution path from q_stream_sessions' custom
+    // flatMapGroupsWithState state. Same file-stream recipe, same batch
+    // oracle as the batch q_session_window twin: three session engines
+    // (window-function batch, custom streaming state, native streaming
+    // session windows), one session semantics.
+    "q_stream_session_window" -> { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+      val schema = ev.schema
+      val tmp = new java.io.File(
+        s"/root/repo/target/tmp/stream_sessw-${new java.io.File(dir).getName}")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(): Unit
+      }
+      if (tmp.exists) rm(tmp)
+      tmp.mkdirs()
+      val median = ev
+        .selectExpr(
+          "CAST(percentile_cont(0.5) WITHIN GROUP (ORDER BY ts) AS BIGINT)")
+        .head().getLong(0)
+      val maxTs = ev.agg(max(col("ts"))).head().getLong(0)
+      def sentinel(uid: Long, ts: Long) =
+        s.range(1).select(lit(uid).as("event_id"), lit(ts).as("ts"),
+          lit(uid).as("user_id"), lit("click").as("event_type"),
+          lit(0.0).as("value"), lit("{}").as("props"))
+      val agg = s.readStream.schema(schema).parquet(s"$tmp/*.parquet")
+        .withColumn("ts_us", expr("ts div 1000"))
+        .withColumn("ts_t", timestamp_micros(col("ts_us")))
+        .withWatermark("ts_t", "1 second")
+        .withColumn("val_cents", cents(col("value")))
+        .groupBy(col("user_id"), session_window(col("ts_t"), "30 minutes"))
+        .agg(min(col("ts_us")).as("sess_start_us"),
+          max(col("ts_us")).as("sess_end_us"),
+          count(lit(1)).as("n_events"),
+          (sum(col("val_cents")).cast("double") / lit(100.0)).as("val_sum"))
+        .select(col("user_id"), col("sess_start_us"), col("sess_end_us"),
+          col("n_events"), col("val_sum"))
+      val qn = s"q_stream_session_window_${System.nanoTime()}"
+      graft.streaming.StreamingOps.withStreamShuffle(s) {
+        val q = agg.writeStream.outputMode("append")
           .format("memory").queryName(qn).start()
         try {
           ev.where(col("ts") <= median).write.parquet(s"$tmp/b1.parquet")
@@ -770,6 +868,28 @@ object EventQueries {
         .orderBy("event_id")
     })
 
+  /** Gap-session semantics shared by the batch q_session_window and the
+    * native streaming q_stream_session_window gates — the q_sessionize CTE
+    * chain re-aggregated without the session ordinal (session_window
+    * carries no sess_id). */
+  private lazy val sessionWindowSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+       |    ${CENTS("\"value\"")} AS val_cents
+       |  FROM events),
+       |f AS (
+       |  SELECT *, CASE WHEN ts_us - lag(ts_us, 1) OVER w > 1800000000
+       |    OR lag(ts_us, 1) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+       |g AS (
+       |  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
+       |    ORDER BY ts_us, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+       |  FROM f)
+       |SELECT user_id, min(ts_us) AS sess_start_us, max(ts_us) AS sess_end_us,
+       |  COUNT(*) AS n_events, CAST(SUM(val_cents) AS DOUBLE)/100.0 AS val_sum
+       |FROM g GROUP BY user_id, sess_id ORDER BY user_id, sess_start_us""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "q_event_tumbling" ->
       s"""SELECT epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS ws_us,
@@ -855,6 +975,30 @@ object EventQueries {
          |  CAST((n * 1000000) // SUM(n) OVER (PARTITION BY from_type)
          |    AS BIGINT) AS p_ppm
          |FROM c ORDER BY from_type, to_type""".stripMargin,
+
+    // same journey encoding, string_agg with the same (ts, id) order, and
+    // the same greedy regex — list_max of an empty extract list is NULL in
+    // DuckDB as array_max of an empty array is in Spark, coalesced to 0 on
+    // both sides.
+    "q_pattern_match" ->
+      s"""WITH o AS (
+         |  SELECT user_id, event_id,
+         |    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+         |    CASE event_type WHEN 'click' THEN 'c' WHEN 'error' THEN 'e'
+         |      WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+         |      ELSE 'v' END AS code
+         |  FROM events),
+         |j AS (
+         |  SELECT user_id,
+         |    string_agg(code, '' ORDER BY ts_us, event_id) AS journey
+         |  FROM o GROUP BY user_id)
+         |SELECT user_id, CAST(length(journey) AS BIGINT) AS n_events,
+         |  CAST(len(regexp_extract_all(journey, 'v+c*p')) AS BIGINT)
+         |    AS n_conv,
+         |  CAST(coalesce(list_max(list_transform(
+         |    regexp_extract_all(journey, 'v+c*p'), x -> length(x))), 0)
+         |    AS BIGINT) AS max_run
+         |FROM j ORDER BY user_id""".stripMargin,
 
     // session intervals replay q_sessionize's CTE chain; the two-phase
     // prefix sum mirrors the engine expression for expression.
@@ -1006,23 +1150,11 @@ object EventQueries {
 
     // same gap-session CTE chain as q_sessionize, re-aggregated without the
     // session ordinal (session_window carries no sess_id).
-    "q_session_window" ->
-      s"""WITH e AS (
-         |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
-         |    ${CENTS("\"value\"")} AS val_cents
-         |  FROM events),
-         |f AS (
-         |  SELECT *, CASE WHEN ts_us - lag(ts_us, 1) OVER w > 1800000000
-         |    OR lag(ts_us, 1) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
-         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
-         |g AS (
-         |  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
-         |    ORDER BY ts_us, event_id
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
-         |  FROM f)
-         |SELECT user_id, min(ts_us) AS sess_start_us, max(ts_us) AS sess_end_us,
-         |  COUNT(*) AS n_events, CAST(SUM(val_cents) AS DOUBLE)/100.0 AS val_sum
-         |FROM g GROUP BY user_id, sess_id ORDER BY user_id, sess_start_us""".stripMargin,
+    "q_session_window" -> sessionWindowSql,
+
+    // the native streaming session-window gate replays the identical
+    // batch session semantics — same CTE chain as q_session_window
+    "q_stream_session_window" -> sessionWindowSql,
 
     "q_resample" ->
       s"""WITH e AS (
