@@ -2,12 +2,15 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpectsInputTypes, ExpressionInfo}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpectsInputTypes, ExpressionInfo, Generator}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, IntegerType, LongType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the engine's hot array kernels.
   *
@@ -222,6 +225,53 @@ object ArrayExprs {
       copy(left = newLeft, right = newRight)
   }
 
+  /** True SQL UDTF (a Catalyst [[Generator]], the `explode`/`json_tuple`
+    * class): `graft_ngrams(text, n)` emits one (pos, gram) row per word
+    * n-gram of the reference-shaped token stream — registered through
+    * [[GraftExtensions]] so `LATERAL VIEW graft_ngrams(text, 3)` works in
+    * raw SQL text, completing the UDF/UDAF/UDTF surface with the table-
+    * function member (the other two are native expressions and
+    * TopKAggregator). Tokenization delegates to [[Portable.tokensJvm]] —
+    * the ONE definition every dedup/text path shares — so its grams equal
+    * the oracle's TOKENS-built list exactly. CodegenFallback: generators
+    * feed GenerateExec, which evaluates the generator once per input row
+    * (the per-ELEMENT interpreted-HOF tax this repo bans does not apply);
+    * Spark's own json_tuple ships the same way. */
+  case class NGramsGenerator(text: Expression, n: Expression)
+      extends Generator with CodegenFallback {
+    override def children: Seq[Expression] = Seq(text, n)
+    override def elementSchema: StructType = StructType(Seq(
+      StructField("pos", IntegerType, nullable = false),
+      StructField("gram", StringType, nullable = false)))
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (text.dataType == StringType && n.dataType == IntegerType)
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"graft_ngrams(text STRING, n INT) got (${text.dataType.sql}, " +
+          s"${n.dataType.sql})")
+    override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+      val t = text.eval(input)
+      val nv = n.eval(input)
+      if (t == null || nv == null) Iterator.empty
+      else {
+        val k = nv.asInstanceOf[Int]
+        if (k < 1) throw new IllegalArgumentException(
+          s"graft_ngrams: n must be >= 1, got $k")
+        val toks = Portable.tokensJvm(t.toString)
+        if (toks.length < k) Iterator.empty
+        else (0 to toks.length - k).iterator.map { i =>
+          val sb = new java.lang.StringBuilder(toks(i))
+          var j = i + 1
+          while (j < i + k) { sb.append(' ').append(toks(j)); j += 1 }
+          InternalRow(i, UTF8String.fromString(sb.toString))
+        }
+      }
+    }
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): Expression =
+      copy(text = newChildren(0), n = newChildren(1))
+  }
+
   // ---- Column wrappers (the library's public algebra) ----
 
   def dot(a: Column, b: Column): Column =
@@ -279,6 +329,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_dot_i8",
         "graft_dot_i8(a, b) - signed-int8 dot product of binary columns"),
       binary("graft_dot_i8", ByteArrayDot.apply)))
+    ext.injectFunction((FunctionIdentifier("graft_ngrams"),
+      info("graft_ngrams",
+        "graft_ngrams(text, n) - UDTF: one (pos, gram) row per word n-gram"),
+      binary("graft_ngrams", NGramsGenerator.apply)))
     // SQL surface for Spark's internal runtime-filter bloom expressions:
     // lets a query express the manual semi-join prefilter pattern
     // (`graft_might_contain((SELECT graft_bloom_agg(xxhash64(k)) FROM dim

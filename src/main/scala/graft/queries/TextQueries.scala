@@ -440,6 +440,25 @@ object TextQueries {
       graft.operators.TextOps.bm25(Tables(s, dir, "documents"), bmTerms)
         .orderBy(col("score").desc, col("doc_id"))
         .limit(20)
+    },
+
+    // The registered SQL UDTF (ArrayExprs.NGramsGenerator, a true Catalyst
+    // Generator injected by GraftExtensions): trigram document frequency
+    // written in RAW SQL text through LATERAL VIEW — the table-function
+    // member of the UDF/UDAF/UDTF surface, exercised end-to-end through the
+    // parser/analyzer rather than the Column API. GenerateExec evaluates
+    // the generator once per doc; the aggregate after it is the ordinary
+    // partial→final shape.
+    "q_udtf_ngrams" -> { (s, dir) =>
+      Tables(s, dir, "documents").createOrReplaceTempView("graft_udtf_docs")
+      s.sql("""
+        SELECT gram, CAST(count(*) AS BIGINT) AS n_occ,
+          CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+          CAST(min(pos) AS INT) AS first_pos
+        FROM graft_udtf_docs LATERAL VIEW graft_ngrams(text, 3) g AS pos, gram
+        GROUP BY gram
+        HAVING count(*) >= 3
+        ORDER BY gram""")
     })
 
   /** RE2-compatible scrub rules shared by text_redact and its oracle. */
@@ -1086,6 +1105,21 @@ object TextQueries {
          |  FROM pos WINDOW w AS (PARTITION BY doc_id ORDER BY i))
          |SELECT bigram, COUNT(*) AS n FROM pairs WHERE nxt IS NOT NULL
          |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
+
+    // unnest(range) replays the UDTF's (pos, gram) stream: i in
+    // [1, len-2] 1-indexed == pos = i-1 0-indexed, same token list
+    "q_udtf_ngrams" ->
+      s"""WITH d AS (SELECT doc_id, ${TOKENS("text")} AS t FROM documents),
+         |g AS (
+         |  SELECT doc_id, i - 1 AS pos,
+         |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+         |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+         |        FROM d))
+         |SELECT gram, CAST(COUNT(*) AS BIGINT) AS n_occ,
+         |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |  CAST(MIN(pos) AS INT) AS first_pos
+         |FROM g GROUP BY gram HAVING COUNT(*) >= 3
+         |ORDER BY gram""".stripMargin,
 
     "text_redact" ->
       s"""WITH dirty AS (
