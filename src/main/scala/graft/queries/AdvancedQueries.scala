@@ -407,6 +407,39 @@ object AdvancedQueries {
         .orderBy("event_type")
     },
 
+    // Stats-based FILE skipping (sources/SkipIndex): the complementary
+    // lakehouse primitive to partition pruning above — orders lay out by
+    // RANGE on the exact-cents price (16 near-disjoint per-file key
+    // ranges), a min/max-per-file sidecar is built in the same write-once
+    // block, and the band read prunes files at the DRIVER before any scan
+    // task launches. The require() pins that pruning genuinely engages
+    // (kept < total) — a degenerate index would silently cost a full scan.
+    // The oracle aggregates the same band from the unpruned parquet, so a
+    // skip that loses rows hash-fails.
+    "q_data_skipping" -> { (s, dir) =>
+      val tmp = s"/root/repo/target/tmp/orders_skip-${new java.io.File(dir).getName}"
+      graft.sources.Sinks.ensureDir(s, tmp,
+        "v1:orders,range16/price_cents,skipindex",
+        inputs = Seq(s"$dir/orders.parquet")) {
+        Tables(s, dir, "orders")
+          .withColumn("price_cents", cents(col("o_totalprice")))
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            col("price_cents"))
+          .repartitionByRange(16, col("price_cents"))
+          .sortWithinPartitions("price_cents")
+          .write.mode("overwrite").parquet(tmp)
+        graft.sources.SkipIndex.build(s, tmp, "price_cents")
+      }
+      val (band, rep) = graft.sources.SkipIndex.prunedRead(s, tmp,
+        "price_cents", 10000000L, 20000000L)
+      require(rep.kept < rep.total,
+        s"skip index failed to prune: kept ${rep.kept} of ${rep.total} files")
+      band.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          exactSum(col("price_cents")).cast("long").as("sum_cents"))
+        .orderBy("o_orderpriority")
+    },
+
     // Connector surface: nation → CSV, region → JSON (explicit schemas on
     // read), then the same broadcast-join aggregate as the parquet path.
     "q_multiformat" -> { (s, dir) =>
@@ -1564,6 +1597,15 @@ object AdvancedQueries {
       """SELECT r_name, COUNT(*) AS n_nations, max(n_name) AS max_nation
         |FROM nation JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    // the same band over the unpruned table — a skip that drops rows
+    // hash-fails here
+    "q_data_skipping" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n,
+         |  CAST(SUM(${CENTS("o_totalprice")}) AS BIGINT) AS sum_cents
+         |FROM orders
+         |WHERE ${CENTS("o_totalprice")} BETWEEN 10000000 AND 20000000
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     // brute-force closure: one triangle per (u<v<w) triple via the two-hop
     // join — tractable at oracle scale, exactly the engine's count.

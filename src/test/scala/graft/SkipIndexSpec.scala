@@ -1,0 +1,75 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.SkipIndex
+
+/** File-skipping index: pruning must be LOSSLESS (band results equal the
+  * full-scan filter no matter which files were skipped) and must genuinely
+  * engage on a range layout; the conservative sentinel bounds for all-null
+  * files and the loud missing-index failure are contracts, not accidents.
+  */
+class SkipIndexSpec extends SparkTestBase {
+
+  private def freshDir(): String =
+    Files.createTempDirectory("graft-skipidx").toString
+
+  test("pruned band read equals the full-scan filter and skips files") {
+    import spark.implicits._
+    val dir = freshDir()
+    // 4 range files over k = 0..399: file ranges ~[0,100),[100,200)...
+    (0L until 400L).map(i => (i, s"g${i % 7}")).toDF("k", "g")
+      .repartitionByRange(4, col("k"))
+      .sortWithinPartitions("k")
+      .write.mode("overwrite").parquet(dir)
+    SkipIndex.build(spark, dir, "k")
+    val (band, rep) = SkipIndex.prunedRead(spark, dir, "k", 120L, 180L)
+    assert(rep.total == 4 && rep.kept < rep.total,
+      s"expected real pruning, got kept=${rep.kept}/${rep.total}")
+    val got = band.select("k", "g").collect().map(_.toString).sorted.toSeq
+    val want = spark.read.parquet(dir).where(col("k").between(120L, 180L))
+      .select("k", "g").collect().map(_.toString).sorted.toSeq
+    assert(got == want, "pruned read lost or invented rows")
+  }
+
+  test("band outside every file range keeps zero files and returns empty") {
+    import spark.implicits._
+    val dir = freshDir()
+    (0L until 100L).map(i => (i, i * 2)).toDF("k", "v")
+      .repartitionByRange(2, col("k"))
+      .write.mode("overwrite").parquet(dir)
+    SkipIndex.build(spark, dir, "k")
+    val (band, rep) = SkipIndex.prunedRead(spark, dir, "k", 1000L, 2000L)
+    assert(rep.kept == 0)
+    assert(band.count() == 0L)
+    // schema survives the zero-file path (readable, filterable)
+    assert(band.columns.toSeq == Seq("k", "v"))
+  }
+
+  test("all-null key files carry never-matching bounds but stay lossless") {
+    import spark.implicits._
+    val dir = freshDir()
+    // one real file + one all-null-key file (nulls fail any band anyway)
+    Seq((Some(5L), "a"), (Some(9L), "b")).toDF("k", "g")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    Seq((Option.empty[Long], "n1"), (Option.empty[Long], "n2")).toDF("k", "g")
+      .coalesce(1).write.mode("append").parquet(dir)
+    SkipIndex.build(spark, dir, "k")
+    val (band, rep) = SkipIndex.prunedRead(spark, dir, "k", 0L, 100L)
+    assert(rep.total == 2 && rep.kept == 1,
+      s"all-null file should be skipped: ${rep.kept}/${rep.total}")
+    assert(band.select("g").as[String].collect().sorted.toSeq == Seq("a", "b"))
+  }
+
+  test("missing index fails loudly instead of degrading to a full scan") {
+    import spark.implicits._
+    val dir = freshDir()
+    Seq((1L, "x")).toDF("k", "g").write.mode("overwrite").parquet(dir)
+    val e = intercept[IllegalArgumentException] {
+      SkipIndex.prunedRead(spark, dir, "k", 0L, 10L)
+    }
+    assert(e.getMessage.contains("skip index missing"))
+  }
+}
