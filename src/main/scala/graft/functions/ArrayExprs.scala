@@ -300,6 +300,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // plus the predicate-pushdown optimizer rule for its logical node
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsOf)
+    // transparent MV routing: post-hoc resolution (the DataSource-resolution
+    // extension point) so matching aggregates read the materialized view
+    ext.injectPostHocResolutionRule(s => graft.plans.MvRewriteRule(s))
     def info(name: String, usage: String) =
       new ExpressionInfo(classOf[ArrayExprs.type].getName, null, name, usage, "")
     // arity-checked like graft_bloom_agg below: a wrong argument count from

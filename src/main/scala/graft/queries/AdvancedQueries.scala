@@ -407,6 +407,31 @@ object AdvancedQueries {
         .orderBy("event_type")
     },
 
+    // Transparent MV routing (plans/MvRewrite): the CONSUMPTION half of
+    // the materialized-view story (q_ivm_join maintains one; this serves
+    // queries from one without the author knowing). The query constructs
+    // the plain aggregate over the base table; the injected post-hoc
+    // resolution rule matches it against the registered definition by
+    // canonicalized plan equality and swaps in the group-domain-sized MV
+    // scan — with a hard freshness gate (base-input fingerprint) checked
+    // at match time. The require pins that routing genuinely engaged; the
+    // oracle aggregates the base table, so a stale or mis-mapped MV
+    // hash-fails.
+    "q_mv_rewrite" -> { (s, dir) =>
+      val mvPath = s"/root/repo/target/tmp/mv_prio-${new java.io.File(dir).getName}"
+      def aggOf() = Tables(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          exactSum(cents(col("o_totalprice"))).cast("long").as("sum_cents"),
+          countDistinct(col("o_custkey")).as("n_custs"))
+      graft.plans.MvCatalog.register(s, aggOf(), mvPath,
+        "v1:orders/prio,count+cents+custs", Seq(s"$dir/orders.parquet"))
+      val q = aggOf()
+      require(graft.plans.MvCatalog.servedFromMv(q, mvPath),
+        "MV rewrite did not engage — the aggregate is reading the base table")
+      q.orderBy("o_orderpriority")
+    },
+
     // Stats-based FILE skipping (sources/SkipIndex): the complementary
     // lakehouse primitive to partition pruning above — orders lay out by
     // RANGE on the exact-cents price (16 near-disjoint per-file key
@@ -1597,6 +1622,15 @@ object AdvancedQueries {
       """SELECT r_name, COUNT(*) AS n_nations, max(n_name) AS max_nation
         |FROM nation JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    // the oracle aggregates the BASE table: whichever source the engine
+    // routed to, values must match the ground truth
+    "q_mv_rewrite" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n_orders,
+         |  CAST(SUM(${CENTS("o_totalprice")}) AS BIGINT) AS sum_cents,
+         |  COUNT(DISTINCT o_custkey) AS n_custs
+         |FROM orders GROUP BY o_orderpriority
+         |ORDER BY o_orderpriority""".stripMargin,
 
     // the same band over the unpruned table — a skip that drops rows
     // hash-fails here

@@ -1,0 +1,92 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.plans.MvCatalog
+
+/** Transparent MV routing: a freshly-CONSTRUCTED aggregate (new attribute
+  * ids, new file-index instances) must match the registered definition via
+  * canonicalized equality, results must be identical either way, staleness
+  * must fall back to the base plan, and non-matching aggregates must pass
+  * through untouched.
+  */
+class MvRewriteSpec extends SparkTestBase {
+
+  private def freshDir(): String =
+    Files.createTempDirectory("graft-mv").toString
+
+  test("matching aggregate is served from the MV with identical results") {
+    import spark.implicits._
+    val base = freshDir() + "/base"
+    val mv = freshDir() + "/mv"
+    (1L to 100L).map(i => (i, s"g${i % 5}", i * 3)).toDF("id", "g", "v")
+      .write.parquet(base)
+    def agg() = spark.read.parquet(base).groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+    try {
+      MvCatalog.register(spark, agg(), mv, "v1:test-mv", Seq(base))
+      val q = agg()
+      assert(MvCatalog.servedFromMv(q, mv),
+        "rewrite did not engage on a freshly-constructed matching aggregate")
+      val got = q.collect().map(_.toString).sorted.toSeq
+      MvCatalog.clear(spark)
+      val direct = agg().collect().map(_.toString).sorted.toSeq
+      assert(got == direct, "MV-served results diverge from direct aggregate")
+    } finally MvCatalog.clear(spark)
+  }
+
+  test("parents above the rewritten aggregate still resolve (sort + filter)") {
+    import spark.implicits._
+    val base = freshDir() + "/base"
+    val mv = freshDir() + "/mv"
+    (1L to 60L).map(i => (i, s"k${i % 3}")).toDF("id", "k").write.parquet(base)
+    def agg() = spark.read.parquet(base).groupBy(col("k"))
+      .agg(count(lit(1)).as("n"))
+    try {
+      MvCatalog.register(spark, agg(), mv, "v1:test-mv2", Seq(base))
+      val q = agg().where(col("n") > 0).orderBy(col("k").desc)
+      assert(MvCatalog.servedFromMv(q, mv))
+      assert(q.select("k").as[String].collect().toSeq == Seq("k2", "k1", "k0"))
+    } finally MvCatalog.clear(spark)
+  }
+
+  test("changed base data disables the MV (freshness gate) and results are fresh") {
+    import spark.implicits._
+    val base = freshDir() + "/base"
+    val mv = freshDir() + "/mv"
+    (1L to 10L).map(i => (i, "a")).toDF("id", "g").write.parquet(base)
+    def agg() = spark.read.parquet(base).groupBy(col("g"))
+      .agg(count(lit(1)).as("n"))
+    try {
+      MvCatalog.register(spark, agg(), mv, "v1:test-mv3", Seq(base))
+      // base grows AFTER materialization: the fingerprint no longer matches
+      (11L to 30L).map(i => (i, "a")).toDF("id", "g")
+        .write.mode("append").parquet(base)
+      val q = agg()
+      assert(!MvCatalog.servedFromMv(q, mv),
+        "stale MV must not serve a query over changed base data")
+      assert(q.collect().head.getLong(1) == 30L, "fallback must see new rows")
+    } finally MvCatalog.clear(spark)
+  }
+
+  test("a different aggregate over the same base is not rewritten") {
+    import spark.implicits._
+    val base = freshDir() + "/base"
+    val mv = freshDir() + "/mv"
+    (1L to 20L).map(i => (i, s"g${i % 2}", i)).toDF("id", "g", "v")
+      .write.parquet(base)
+    def agg() = spark.read.parquet(base).groupBy(col("g"))
+      .agg(count(lit(1)).as("n"))
+    try {
+      MvCatalog.register(spark, agg(), mv, "v1:test-mv4", Seq(base))
+      val other = spark.read.parquet(base).groupBy(col("g"))
+        .agg(sum(col("v")).as("sv")) // different aggregate list
+      assert(!MvCatalog.servedFromMv(other, mv))
+      val byId = spark.read.parquet(base).groupBy(col("id"))
+        .agg(count(lit(1)).as("n")) // different grouping
+      assert(!MvCatalog.servedFromMv(byId, mv))
+    } finally MvCatalog.clear(spark)
+  }
+}
