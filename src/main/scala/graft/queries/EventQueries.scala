@@ -324,6 +324,71 @@ object EventQueries {
         .orderBy("user_id", "sess_start_us")
     },
 
+    // The ARBITRARY-STATE-V2 streaming gate (StreamingOps.topKPerUser):
+    // exact per-user top-3 purchase values through transformWithState —
+    // typed ValueState via the StatefulProcessorHandle, per-key EVENT-TIME
+    // TIMERS (registered at first sight, fired once when the sentinel
+    // batches push the watermark past emitAt), RocksDB state store. The
+    // k-bounded leaderboard folds across the mid-timeline batch split, so
+    // recovery-relevant state genuinely crosses batches; the oracle is the
+    // row_number ranking the timer emission replays.
+    "q_stream_topk" -> { (s, dir) =>
+      import s.implicits._
+      val ev = Tables(s, dir, "events")
+      val schema = ev.schema
+      val tmp = new java.io.File(
+        s"/root/repo/target/tmp/stream_topk-${new java.io.File(dir).getName}")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(): Unit
+      }
+      if (tmp.exists) rm(tmp)
+      tmp.mkdirs()
+      val median = ev
+        .selectExpr(
+          "CAST(percentile_cont(0.5) WITHIN GROUP (ORDER BY ts) AS BIGINT)")
+        .head().getLong(0)
+      val maxTs = ev.agg(max(col("ts"))).head().getLong(0)
+      def sentinel(uid: Long, ts: Long) =
+        s.range(1).select(lit(uid).as("event_id"), lit(ts).as("ts"),
+          lit(uid).as("user_id"), lit("click").as("event_type"),
+          lit(0.0).as("value"), lit("{}").as("props"))
+      val stream = s.readStream.schema(schema).parquet(s"$tmp/*.parquet")
+        .withColumn("ts_us", expr("ts div 1000"))
+        .withColumn("ts_t", timestamp_micros(col("ts_us")))
+        .withWatermark("ts_t", "1 second")
+        .withColumn("val_cents", cents(col("value")))
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          col("val_cents"), col("ts_t"))
+        .as[graft.streaming.StreamingOps.Ev]
+      val emitAtMs = maxTs / 1000000L + 60000L
+      val qn = s"q_stream_topk_${System.nanoTime()}"
+      graft.streaming.StreamingOps.withStreamShuffle(s) {
+        graft.streaming.StreamingOps.withRocksDbState(s) {
+          val q = graft.streaming.StreamingOps
+            .topKPerUser(stream, 3, emitAtMs)
+            .writeStream.outputMode("append")
+            .format("memory").queryName(qn).start()
+          try {
+            ev.where(col("ts") <= median).write.parquet(s"$tmp/b1.parquet")
+            q.processAllAvailable()
+            ev.where(col("ts") > median).write.parquet(s"$tmp/b2.parquet")
+            q.processAllAvailable()
+            sentinel(-1L, maxTs + 3600L * 1000 * 1000 * 1000)
+              .write.parquet(s"$tmp/b3.parquet")
+            q.processAllAvailable()
+            sentinel(-2L, maxTs + 7200L * 1000 * 1000 * 1000)
+              .write.parquet(s"$tmp/b4.parquet")
+            q.processAllAvailable()
+          } finally q.stop()
+        }
+      }
+      s.table(qn).where(col("user_id") >= 0)
+        .select(col("user_id"), col("rank"), col("val_cents"),
+          col("event_id"))
+        .orderBy("user_id", "rank")
+    },
+
     // The STREAMING stream-stream join, oracle-gated (the q_stream_sessions
     // recipe): the watermarked attribution join
     // (StreamingOps.attributionJoin) runs over a file stream split
@@ -1155,6 +1220,19 @@ object EventQueries {
     // the native streaming session-window gate replays the identical
     // batch session semantics — same CTE chain as q_session_window
     "q_stream_session_window" -> sessionWindowSql,
+
+    // the timer emission replays this exact ranking (cents desc, id asc)
+    "q_stream_topk" ->
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, ${CENTS("\"value\"")} AS val_cents
+         |  FROM events),
+         |r AS (
+         |  SELECT user_id, val_cents, event_id,
+         |    CAST(row_number() OVER (PARTITION BY user_id
+         |      ORDER BY val_cents DESC, event_id ASC) AS BIGINT) AS rank
+         |  FROM e)
+         |SELECT user_id, rank, val_cents, event_id FROM r
+         |WHERE rank <= 3 ORDER BY user_id, rank""".stripMargin,
 
     "q_resample" ->
       s"""WITH e AS (

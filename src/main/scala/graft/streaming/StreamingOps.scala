@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** Structured Streaming twins of the batch event-time operators.
   *
@@ -255,6 +255,76 @@ object StreamingOps {
       .withWatermark("arrival", "1 hour")
       .dropDuplicatesWithinWatermark("norm_md5")
       .select(col("doc_id"), col("norm_md5"))
+
+  case class TopEntry(cents: Long, event_id: Long)
+  case class TopKState(entries: Seq[TopEntry])
+  case class TopKOut(user_id: Long, rank: Long, val_cents: Long,
+      event_id: Long)
+
+  /** Streaming exact per-user top-k on the ARBITRARY-STATE V2 API
+    * (`transformWithState` + [[TopKProcessor]]): the modern replacement
+    * for flatMapGroupsWithState — typed ValueState through the
+    * StatefulProcessorHandle, per-key EVENT-TIME TIMERS instead of a
+    * hand-rolled timeout column, TTL-capable state, RocksDB-backed store.
+    * Per key the state is the bounded k-row leaderboard (the streaming
+    * twin of TopKPairsAggregator's partial); each batch folds its rows in,
+    * and a per-key timer at `emitAtMs` — registered on first sight of the
+    * key — emits the final ranking exactly once when the watermark passes
+    * it (the sentinel-batch recipe drives that). Append-mode output,
+    * ranking order (cents desc, event_id asc) — the row_number form the
+    * oracle replays. State is k-bounded per key: stream volume never grows
+    * it. */
+  class TopKProcessor(k: Int, emitAtMs: Long)
+      extends StatefulProcessor[Long, Ev, TopKOut] {
+    @transient private var top: ValueState[TopKState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      top = getHandle.getValueState[TopKState]("top",
+        org.apache.spark.sql.Encoders.product[TopKState], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+        tv: TimerValues): Iterator[TopKOut] = {
+      val cur =
+        if (top.exists()) top.get().entries
+        else { getHandle.registerTimer(emitAtMs); Seq.empty[TopEntry] }
+      val merged = (cur ++ rows.map(e => TopEntry(e.val_cents, e.event_id)))
+        .sortBy(t => (-t.cents, t.event_id)).take(k)
+      top.update(TopKState(merged))
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[TopKOut] = {
+      val out = (if (top.exists()) top.get().entries else Seq.empty)
+        .zipWithIndex.map { case (t, i) =>
+          TopKOut(key, i + 1L, t.cents, t.event_id)
+        }
+      top.clear()
+      out.iterator
+    }
+  }
+
+  /** transformWithState needs the RocksDB state store; scope the provider
+    * to the gated execution like [[withStreamShuffle]] scopes partitions. */
+  def withRocksDbState[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
+  def topKPerUser(events: Dataset[Ev], k: Int,
+      emitAtMs: Long): Dataset[TopKOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new TopKProcessor(k, emitAtMs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
 
   /** Exactly-once streaming parquet sink: each micro-batch commits to its
     * own `epoch=<id>` directory with overwrite mode — the foreachBatch

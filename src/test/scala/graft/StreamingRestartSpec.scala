@@ -233,4 +233,82 @@ class StreamingRestartSpec extends SparkTestBase {
     assert(got == want,
       "sessions across the restart diverge from the batch q_sessionize answer")
   }
+
+  test("transformWithState restarted from checkpoint recovers ValueState AND registered timers") {
+    // The arbitrary-state-v2 recovery case: the kill lands after batch 1,
+    // when every user's k-bounded leaderboard sits in RocksDB ValueState
+    // and a per-key event-time timer (registered at first sight) sits in
+    // the timer store. The restarted run must recover BOTH — a lost
+    // leaderboard drops pre-kill purchases from the ranking; a lost timer
+    // means the key never emits at all (missing users in the output).
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-restart-tws").toString
+    val ev = Tables(spark, sf, "events")
+    val schema = ev.schema
+    val median = ev
+      .selectExpr(
+        "CAST(percentile_cont(0.5) WITHIN GROUP (ORDER BY ts) AS BIGINT)")
+      .head().getLong(0)
+    val maxTs = ev.agg(max(col("ts"))).head().getLong(0)
+    val emitAtMs = maxTs / 1000000L + 60000L
+    def sentinel(uid: Long, ts: Long) =
+      spark.range(1).select(lit(uid).as("event_id"), lit(ts).as("ts"),
+        lit(uid).as("user_id"), lit("click").as("event_type"),
+        lit(0.0).as("value"), lit("{}").as("props"))
+
+    def startQuery(): StreamingQuery =
+      graft.streaming.StreamingOps.withStreamShuffle(spark) {
+        graft.streaming.StreamingOps.withRocksDbState(spark) {
+          val stream = spark.readStream.schema(schema)
+            .parquet(s"$tmp/in/*.parquet")
+            .withColumn("ts_us", expr("ts div 1000"))
+            .withColumn("ts_t", timestamp_micros(col("ts_us")))
+            .withWatermark("ts_t", "1 second")
+            .withColumn("val_cents", cents(col("value")))
+            .select(col("user_id"), col("event_id"), col("ts_us"),
+              col("val_cents"), col("ts_t"))
+            .as[graft.streaming.StreamingOps.Ev]
+          graft.streaming.StreamingOps.topKPerUser(stream, 3, emitAtMs)
+            .writeStream.format("parquet")
+            .option("path", s"$tmp/out")
+            .option("checkpointLocation", s"$tmp/ckpt")
+            .outputMode("append")
+            .start()
+        }
+      }
+
+    // batch 1 (timers register, leaderboards fill), then KILL
+    ev.where(col("ts") <= median).write.parquet(s"$tmp/in/b1.parquet")
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+
+    // restart; second half + the sentinel pair that fires the timers
+    val q2 = startQuery()
+    try {
+      ev.where(col("ts") > median).write.parquet(s"$tmp/in/b2.parquet")
+      q2.processAllAvailable()
+      sentinel(-1L, maxTs + 3600L * 1000 * 1000 * 1000)
+        .write.parquet(s"$tmp/in/s1.parquet")
+      q2.processAllAvailable()
+      sentinel(-2L, maxTs + 7200L * 1000 * 1000 * 1000)
+        .write.parquet(s"$tmp/in/s2.parquet")
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    val got = spark.read.parquet(s"$tmp/out")
+      .where(col("user_id") >= 0)
+      .select("user_id", "rank", "val_cents", "event_id")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val want = ev
+      .withColumn("val_cents", cents(col("value")))
+      .select(col("user_id"), col("val_cents"), col("event_id"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+          .orderBy(col("val_cents").desc, col("event_id").asc)).cast("long"))
+      .where(col("rank") <= 3)
+      .select("user_id", "rank", "val_cents", "event_id")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == want,
+      "top-k state or timers lost across the transformWithState restart")
+  }
 }
