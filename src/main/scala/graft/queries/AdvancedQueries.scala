@@ -407,6 +407,39 @@ object AdvancedQueries {
         .orderBy("event_type")
     },
 
+    // DSv2 AGGREGATE pushdown (KvScanBuilder with
+    // SupportsPushDownAggregates): the grouped count/sum/min/max folds
+    // INSIDE the connector's readers — each split emits one partial row
+    // per key instead of one InternalRow per line, and Spark plans only
+    // the final merge. The pushed value-filter applies before the fold
+    // (filters push first; aggregates push only when no residual
+    // remains). The require pins that the plan carries PushedAggregation;
+    // the oracle computes the same aggregate from the original parquet.
+    "q_dsv2_agg_pushdown" -> { (s, dir) =>
+      val tmp =
+        s"/root/repo/target/tmp/orders_kv-${new java.io.File(dir).getName}"
+      graft.sources.Sinks.ensureDir(s, tmp, "v1:orders,kvtext",
+        inputs = Seq(s"$dir/orders.parquet")) {
+        Tables(s, dir, "orders")
+          .select(concat_ws("\t", col("o_orderpriority"),
+            cents(col("o_totalprice")).cast("string")).as("value"))
+          .write.mode("overwrite").text(tmp)
+      }
+      val q = s.read.format(classOf[graft.sources.KvTextSource].getName)
+        .load(tmp)
+        .where(col("value") >= 10000000L)
+        .groupBy(col("key"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value")).as("sum_cents"),
+          min(col("value")).as("min_cents"),
+          max(col("value")).as("max_cents"))
+      require(q.queryExecution.executedPlan.toString
+          .contains("PushedAggregation"),
+        "aggregate pushdown did not engage — raw rows are crossing the " +
+          "connector boundary")
+      q.orderBy("key")
+    },
+
     // Transparent MV routing (plans/MvRewrite): the CONSUMPTION half of
     // the materialized-view story (q_ivm_join maintains one; this serves
     // queries from one without the author knowing). The query constructs
@@ -1622,6 +1655,16 @@ object AdvancedQueries {
       """SELECT r_name, COUNT(*) AS n_nations, max(n_name) AS max_nation
         |FROM nation JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    // whichever side of the connector boundary folded the rows, the
+    // values must equal the parquet ground truth
+    "q_dsv2_agg_pushdown" ->
+      s"""SELECT o_orderpriority AS key, COUNT(*) AS n,
+         |  CAST(SUM(${CENTS("o_totalprice")}) AS BIGINT) AS sum_cents,
+         |  MIN(${CENTS("o_totalprice")}) AS min_cents,
+         |  MAX(${CENTS("o_totalprice")}) AS max_cents
+         |FROM orders WHERE ${CENTS("o_totalprice")} >= 10000000
+         |GROUP BY 1 ORDER BY key""".stripMargin,
 
     // the oracle aggregates the BASE table: whichever source the engine
     // routed to, values must match the ground truth

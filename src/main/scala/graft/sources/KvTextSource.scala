@@ -71,6 +71,25 @@ object KvTextSource {
 
   private[sources] def sessionFs(uri: java.net.URI): FileSystem =
     FileSystem.get(uri, sessionConf())
+
+  /** Shared split planning for the row scan and the aggregate scan (see
+    * KvScan.planInputPartitions for the range protocol). */
+  private[sources] def planSplits(path: String,
+      maxSplitBytes: Long): Array[InputPartition] = {
+    val fs = sessionFs(new java.net.URI(path))
+    fs.listStatus(new Path(path))
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
+      .sortBy(_.getPath.getName)
+      .flatMap { s =>
+        val len = s.getLen
+        val n = math.max(1L, (len + maxSplitBytes - 1) / maxSplitBytes)
+        (0L until n).map { k =>
+          KvInputPartition(s.getPath.toString, k * maxSplitBytes,
+            math.min((k + 1) * maxSplitBytes, len)): InputPartition
+        }
+      }
+  }
 }
 
 class KvTextSource extends TableProvider {
@@ -102,10 +121,15 @@ final class KvTable(path: String) extends Table
 
 final class KvScanBuilder(path: String, maxSplitBytes: Long)
     extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
+
+  import org.apache.spark.sql.connector.expressions.{Expression => V2Expr, NamedReference}
+  import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min, Sum}
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = KvTextSource.Schema
+  private var aggregation: Option[Aggregation] = None
 
   private def supported(f: Filter): Boolean = f match {
     case EqualTo(a, _) => a == "key" || a == "value"
@@ -128,7 +152,37 @@ final class KvScanBuilder(path: String, maxSplitBytes: Long)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new KvScan(path, pushed, required, maxSplitBytes)
+  /** Aggregate pushdown (PARTIAL contract — supportCompletePushDown stays
+    * false): the reader folds each split's rows into per-key accumulators
+    * and emits ONE partial row per (split, key); Spark plans the final
+    * merge. At the 100 TB seam this is the row-reduction that matters —
+    * a billion KV lines cross the connector boundary as
+    * splits × distinct-keys partial rows, not as a billion InternalRows.
+    * Supported shape: optional GROUP BY key; COUNT(*), MIN/MAX/SUM(value)
+    * (non-distinct — a distinct needs the raw values on the Spark side).
+    * Anything else returns false and Spark falls back to the row scan. */
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    def col(e: V2Expr): Option[String] = e match {
+      case nr: NamedReference if nr.fieldNames.length == 1 =>
+        Some(nr.fieldNames()(0))
+      case _ => None
+    }
+    val groupOk = agg.groupByExpressions.forall(e => col(e).contains("key"))
+    val aggsOk = agg.aggregateExpressions.nonEmpty &&
+      agg.aggregateExpressions.forall {
+        case _: CountStar => true
+        case m: Min => col(m.column).contains("value")
+        case m: Max => col(m.column).contains("value")
+        case s: Sum => !s.isDistinct && col(s.column).contains("value")
+        case _ => false
+      }
+    if (groupOk && aggsOk) { aggregation = Some(agg); true } else false
+  }
+
+  override def build(): Scan = aggregation match {
+    case Some(agg) => new KvAggScan(path, pushed, agg, maxSplitBytes)
+    case None => new KvScan(path, pushed, required, maxSplitBytes)
+  }
 }
 
 final class KvScan(path: String, filters: Array[Filter], required: StructType,
@@ -149,24 +203,54 @@ final class KvScan(path: String, filters: Array[Filter], required: StructType,
     * a reader owns every line whose first byte lies in [start, end], and a
     * non-zero start discards its leading partial line because the previous
     * range reads through it. The driver only lists; no content reads. */
-  override def planInputPartitions(): Array[InputPartition] = {
-    val fs = KvTextSource.sessionFs(new java.net.URI(path))
-    fs.listStatus(new Path(path))
-      .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
-        !s.getPath.getName.startsWith("."))
-      .sortBy(_.getPath.getName)
-      .flatMap { s =>
-        val len = s.getLen
-        val n = math.max(1L, (len + maxSplitBytes - 1) / maxSplitBytes)
-        (0L until n).map { k =>
-          KvInputPartition(s.getPath.toString, k * maxSplitBytes,
-            math.min((k + 1) * maxSplitBytes, len)): InputPartition
-        }
-      }
-  }
+  override def planInputPartitions(): Array[InputPartition] =
+    KvTextSource.planSplits(path, maxSplitBytes)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new KvReaderFactory(filters, required, KvTextSource.sessionConfMap())
+}
+
+/** Aggregate-pushdown scan (see [[KvScanBuilder.pushAggregation]]): the
+  * same split planning, but each split's reader folds matching rows into
+  * per-key accumulators and emits ONE PARTIAL ROW per (split, key) —
+  * [group key?, agg₀, agg₁, …] positionally, the V2 partial contract —
+  * and Spark plans the final merge (sum of counts, min of mins, …).
+  * Aggregate kinds travel to executors as a compact Int encoding rather
+  * than the connector Aggregation object (no serializability contract). */
+final class KvAggScan(path: String, filters: Array[Filter],
+    agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation,
+    maxSplitBytes: Long) extends Scan with Batch {
+  import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min, Sum}
+
+  private val grouped = agg.groupByExpressions.nonEmpty
+  // 0=count(*), 1=min(value), 2=max(value), 3=sum(value)
+  private val kinds: Array[Int] = agg.aggregateExpressions.map {
+    case _: CountStar => 0
+    case _: Min => 1
+    case _: Max => 2
+    case _: Sum => 3
+    case other => throw new IllegalStateException(s"unpushable agg $other")
+  }
+
+  override def readSchema(): StructType = StructType(
+    (if (grouped) Seq(StructField("key", StringType)) else Nil) ++
+      kinds.indices.map(i => StructField(s"agg_$i", LongType)))
+
+  // surfaces in .explain so tests can pin that the aggregate was pushed
+  override def description(): String =
+    s"graft-kv $path PushedAggregation: " +
+      s"${agg.aggregateExpressions.mkString("[", ", ", "]")} GroupBy: " +
+      s"${agg.groupByExpressions.mkString("[", ", ", "]")} PushedFilters: " +
+      filters.mkString("[", ", ", "]")
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] =
+    KvTextSource.planSplits(path, maxSplitBytes)
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new KvAggReaderFactory(filters, kinds, grouped,
+      KvTextSource.sessionConfMap())
 }
 
 final case class KvInputPartition(file: String, start: Long, end: Long)
@@ -179,6 +263,99 @@ final class KvReaderFactory(filters: Array[Filter], required: StructType,
     new KvPartitionReader(kp.file, kp.start, kp.end, filters, required,
       confMap)
   }
+}
+
+final class KvAggReaderFactory(filters: Array[Filter], kinds: Array[Int],
+    grouped: Boolean, confMap: Map[String, String])
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val kp = p.asInstanceOf[KvInputPartition]
+    new KvAggPartitionReader(kp.file, kp.start, kp.end, filters, kinds,
+      grouped, confMap)
+  }
+}
+
+/** Folds one split's (filtered) rows into per-key accumulators and emits
+  * the partial rows. Wraps the ordinary [[KvPartitionReader]] for the
+  * byte-level parse/filter loop, requesting only the columns the pushed
+  * aggregation needs (count(*)-only never materializes a key string or
+  * value beyond the parse). Sum partials wrap on overflow exactly as
+  * Spark's own non-ANSI long Sum does — same semantics either side of the
+  * boundary. Empty splits emit nothing: the final aggregate's init values
+  * (count 0, null min) cover the all-empty case. */
+final class KvAggPartitionReader(file: String, start: Long, end: Long,
+    filters: Array[Filter], kinds: Array[Int], grouped: Boolean,
+    confMap: Map[String, String]) extends PartitionReader[InternalRow] {
+
+  private val needsValue = kinds.exists(_ != 0)
+  private val innerSchema = StructType(
+    (if (grouped) Seq(StructField("key", StringType)) else Nil) ++
+      (if (needsValue) Seq(StructField("value", LongType)) else Nil))
+  private val inner = new KvPartitionReader(file, start, end, filters,
+    innerSchema, confMap)
+  private val valIdx = if (needsValue) (if (grouped) 1 else 0) else -1
+
+  private def fresh(): Array[Long] = kinds.map {
+    case 0 => 0L
+    case 1 => Long.MaxValue
+    case 2 => Long.MinValue
+    case _ => 0L
+  }
+
+  private def fold(acc: Array[Long], v: Long): Unit = {
+    var i = 0
+    while (i < kinds.length) {
+      kinds(i) match {
+        case 0 => acc(i) += 1L
+        case 1 => if (v < acc(i)) acc(i) = v
+        case 2 => if (v > acc(i)) acc(i) = v
+        case _ => acc(i) += v
+      }
+      i += 1
+    }
+  }
+
+  private def toRow(key: UTF8String, acc: Array[Long]): InternalRow = {
+    val off = if (grouped) 1 else 0
+    val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      off + kinds.length)
+    if (grouped) row.update(0, key)
+    var i = 0
+    while (i < kinds.length) { row.setLong(off + i, acc(i)); i += 1 }
+    row
+  }
+
+  private lazy val partials: Iterator[InternalRow] = {
+    if (grouped) {
+      // per-split distinct-key-sized map — the partial the format exists
+      // for; the inner reader copies each key's bytes per row, so the
+      // UTF8String stored here never aliases the reused line buffer
+      val m = new java.util.LinkedHashMap[UTF8String, Array[Long]]()
+      while (inner.next()) {
+        val r = inner.get()
+        val k = r.getUTF8String(0)
+        var acc = m.get(k)
+        if (acc == null) { acc = fresh(); m.put(k, acc) }
+        fold(acc, if (valIdx >= 0) r.getLong(valIdx) else 0L)
+      }
+      import scala.jdk.CollectionConverters._
+      m.entrySet().iterator().asScala.map(e => toRow(e.getKey, e.getValue))
+    } else {
+      val acc = fresh()
+      var any = false
+      while (inner.next()) {
+        any = true
+        fold(acc, if (valIdx >= 0) inner.get().getLong(valIdx) else 0L)
+      }
+      if (any) Iterator(toRow(null, acc)) else Iterator.empty
+    }
+  }
+
+  private var current: InternalRow = _
+  override def next(): Boolean =
+    if (partials.hasNext) { current = partials.next(); true } else false
+  override def get(): InternalRow = current
+  override def close(): Unit = inner.close()
 }
 
 /** Streams one [start, end) byte range of one file: raw byte lines (UTF-8
