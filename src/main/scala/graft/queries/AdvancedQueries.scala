@@ -407,6 +407,60 @@ object AdvancedQueries {
         .orderBy("event_type")
     },
 
+    // The custom connector as a STREAMING source (KvMicroBatchStream):
+    // the same KV dir read incrementally — file-discovery offsets with a
+    // monotone-name replay witness, whole-file batch partitions, the
+    // ordinary byte-level row readers. Two ingest batches arrive between
+    // triggers (staged Spark text writes renamed to sequenced names, the
+    // rotation contract the offset requires), and the complete-mode
+    // aggregate over the stream must equal the batch ground truth — a
+    // dropped or double-claimed file shows as a count/sum mismatch.
+    "q_stream_kv" -> { (s, dir) =>
+      val tmp = new java.io.File(
+        s"/root/repo/target/tmp/stream_kv-${new java.io.File(dir).getName}")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(): Unit
+      }
+      if (tmp.exists) rm(tmp)
+      tmp.mkdirs()
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        tmp.toURI, s.sparkContext.hadoopConfiguration)
+      def writeBatch(b: Int, df: DataFrame): Unit = {
+        val stage = new org.apache.hadoop.fs.Path(s"$tmp/_stage$b")
+        df.select(concat_ws("\t", col("o_orderpriority"),
+            cents(col("o_totalprice")).cast("string")).as("v"))
+          .write.mode("overwrite").text(stage.toString)
+        fs.listStatus(stage)
+          .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
+            !f.getPath.getName.startsWith("."))
+          .sortBy(_.getPath.getName).zipWithIndex.foreach { case (st, i) =>
+            fs.rename(st.getPath, new org.apache.hadoop.fs.Path(
+              tmp.toString, f"b$b%04d_$i%05d.txt"))
+          }
+        fs.delete(stage, true)
+      }
+      val orders = Tables(s, dir, "orders")
+      val qn = s"q_stream_kv_${System.nanoTime()}"
+      graft.streaming.StreamingOps.withStreamShuffle(s) {
+        val q = s.readStream
+          .format(classOf[graft.sources.KvTextSource].getName)
+          .load(tmp.toString)
+          .groupBy(col("key"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("value")).as("sum_cents"))
+          .writeStream.outputMode("complete")
+          .format("memory").queryName(qn).start()
+        try {
+          writeBatch(1, orders.where(pmod(col("o_orderkey"), lit(2)) === 0))
+          q.processAllAvailable()
+          writeBatch(2, orders.where(pmod(col("o_orderkey"), lit(2)) === 1))
+          q.processAllAvailable()
+        } finally q.stop()
+      }
+      s.table(qn).orderBy("key")
+    },
+
     // DSv2 AGGREGATE pushdown (KvScanBuilder with
     // SupportsPushDownAggregates): the grouped count/sum/min/max folds
     // INSIDE the connector's readers — each split emits one partial row
@@ -1655,6 +1709,13 @@ object AdvancedQueries {
       """SELECT r_name, COUNT(*) AS n_nations, max(n_name) AS max_nation
         |FROM nation JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    // every file claimed exactly once across the two stream batches ==
+    // the full-table aggregate
+    "q_stream_kv" ->
+      s"""SELECT o_orderpriority AS key, COUNT(*) AS n_orders,
+         |  CAST(SUM(${CENTS("o_totalprice")}) AS BIGINT) AS sum_cents
+         |FROM orders GROUP BY 1 ORDER BY key""".stripMargin,
 
     // whichever side of the connector boundary folded the rows, the
     // values must equal the parquet ground truth

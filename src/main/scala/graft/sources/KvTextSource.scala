@@ -109,7 +109,8 @@ final class KvTable(path: String) extends Table
   override def schema(): StructType = KvTextSource.Schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new KvScanBuilder(path,
@@ -208,6 +209,90 @@ final class KvScan(path: String, filters: Array[Filter], required: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new KvReaderFactory(filters, required, KvTextSource.sessionConfMap())
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new KvMicroBatchStream(path, filters, required,
+      KvTextSource.sessionConfMap())
+}
+
+/** Offset of the KV micro-batch stream: the count of CLAIMED files plus
+  * the last claimed name as a replay witness. The source's append-only
+  * contract — new files sort lexicographically AFTER every claimed file
+  * (rotation-style naming: b0001_*, b0002_*, …) — is what makes the
+  * count a stable offset: the first `n` names are the same set on every
+  * replay. [[KvMicroBatchStream.planInputPartitions]] verifies the
+  * witness on every batch and fails LOUDLY on a violation (a file
+  * inserted before the frontier would silently shift the replay set —
+  * the exactly-once hazard this witness exists to catch). */
+final case class KvStreamOffset(n: Int, lastName: String)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = s"""{"n":$n,"last":"$lastName"}"""
+}
+
+/** File-discovery micro-batch stream over the same KV dir the batch scan
+  * reads: each trigger claims the files that arrived since the previous
+  * offset (whole-file partitions — ingest batches are file-granular), and
+  * the reader factory is the ordinary byte-level row reader, pushed
+  * filters and pruned columns included. Offsets serialize to the
+  * checkpoint, so a restarted query resumes at the exact file frontier —
+  * the custom-connector twin of FileStreamSource with the file list
+  * replaced by the monotone-name contract (see [[KvStreamOffset]]). */
+final class KvMicroBatchStream(path: String, filters: Array[Filter],
+    required: StructType, confMap: Map[String, String])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private def listFiles(): Array[(String, String, Long)] = {
+    val fs = KvTextSource.sessionFs(new java.net.URI(path))
+    fs.listStatus(new Path(path))
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
+      .map(s => (s.getPath.getName, s.getPath.toString, s.getLen))
+      .sortBy(_._1)
+  }
+
+  override def initialOffset(): Offset = KvStreamOffset(0, "")
+
+  override def latestOffset(): Offset = {
+    val fs = listFiles()
+    KvStreamOffset(fs.length, fs.lastOption.map(_._1).getOrElse(""))
+  }
+
+  override def deserializeOffset(json: String): Offset = {
+    val m = """\{"n":(\d+),"last":"(.*)"\}""".r
+    json match {
+      case m(n, last) => KvStreamOffset(n.toInt, last)
+      case _ => throw new IllegalArgumentException(
+        s"malformed KV stream offset: $json")
+    }
+  }
+
+  override def planInputPartitions(start: Offset,
+      end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[KvStreamOffset]
+    val e = end.asInstanceOf[KvStreamOffset]
+    val files = listFiles()
+    require(files.length >= e.n,
+      s"KV stream dir $path shrank below the committed frontier " +
+        s"(${files.length} files < offset ${e.n}) — source files are " +
+        "append-only")
+    if (s.n > 0) require(files(s.n - 1)._1 == s.lastName,
+      s"KV stream append-only contract violated under $path: file " +
+        s"${files(s.n - 1)._1} sorts at the committed frontier where " +
+        s"${s.lastName} was claimed — a late file inserted below the " +
+        "frontier would silently corrupt replay; name ingest files in " +
+        "increasing order (b0001_*, b0002_*, …)")
+    files.slice(s.n, e.n).map { case (_, full, len) =>
+      KvInputPartition(full, 0L, len): InputPartition
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new KvReaderFactory(filters, required, confMap)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 /** Aggregate-pushdown scan (see [[KvScanBuilder.pushAggregation]]): the

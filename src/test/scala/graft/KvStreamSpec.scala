@@ -1,0 +1,74 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQueryException
+
+/** The custom connector's streaming face: exactly-once file claiming
+  * across a kill/restart (offsets recovered through deserializeOffset —
+  * a re-claimed file doubles counts, a skipped one loses them), and the
+  * loud append-only-name contract violation.
+  */
+class KvStreamSpec extends SparkTestBase {
+
+  private def kvLine(k: String, v: Long) = s"$k\t$v"
+
+  private def writeFile(dir: String, name: String, lines: Seq[String]): Unit =
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, name),
+      lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+
+  test("restart from checkpoint resumes at the file frontier (exactly-once)") {
+    val in = Files.createTempDirectory("graft-kvs-in").toString
+    val out = Files.createTempDirectory("graft-kvs-out").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft-kvs-ck").toString
+
+    def start() =
+      graft.streaming.StreamingOps.withStreamShuffle(spark) {
+        spark.readStream
+          .format(classOf[graft.sources.KvTextSource].getName)
+          .load(in)
+          .writeStream.format("parquet")
+          .option("path", out)
+          .option("checkpointLocation", ckpt)
+          .outputMode("append")
+          .start()
+      }
+
+    writeFile(in, "b0001.txt", Seq(kvLine("a", 1), kvLine("b", 2)))
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+
+    // arrives while the query is DOWN; the restarted query must claim
+    // exactly this file — not re-claim b0001
+    writeFile(in, "b0002.txt", Seq(kvLine("a", 10), kvLine("c", 20)))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val got = spark.read.parquet(out)
+    assert(got.count() == 4L, "a file was re-claimed or skipped across restart")
+    assert(got.agg(sum("value")).head().getLong(0) == 33L)
+  }
+
+  test("a file inserted below the claimed frontier fails loudly") {
+    val in = Files.createTempDirectory("graft-kvs-bad").toString
+    // claim b0002 first; then a late b0001 sorts BELOW the frontier
+    writeFile(in, "b0002.txt", Seq(kvLine("x", 1)))
+    val q = graft.streaming.StreamingOps.withStreamShuffle(spark) {
+      spark.readStream
+        .format(classOf[graft.sources.KvTextSource].getName)
+        .load(in)
+        .writeStream.format("noop").start()
+    }
+    try {
+      q.processAllAvailable()
+      writeFile(in, "b0001.txt", Seq(kvLine("y", 2)))
+      val e = intercept[StreamingQueryException] { q.processAllAvailable() }
+      assert(e.getMessage.contains("append-only contract violated") ||
+        Option(e.getCause).exists(
+          _.getMessage.contains("append-only contract violated")),
+        s"expected the loud contract error, got: ${e.getMessage}")
+    } finally q.stop()
+  }
+}
