@@ -134,6 +134,7 @@ final class KvScanBuilder(path: String, maxSplitBytes: Long)
 
   private def supported(f: Filter): Boolean = f match {
     case EqualTo(a, _) => a == "key" || a == "value"
+    case In("key", _) => true // byte-span set membership in the reader
     case GreaterThan("value", _) => true
     case GreaterThanOrEqual("value", _) => true
     case LessThan("value", _) => true
@@ -187,7 +188,45 @@ final class KvScanBuilder(path: String, maxSplitBytes: Long)
 }
 
 final class KvScan(path: String, filters: Array[Filter], required: StructType,
-    maxSplitBytes: Long) extends Scan with Batch {
+    maxSplitBytes: Long) extends Scan with Batch
+    with SupportsReportStatistics with SupportsRuntimeFiltering {
+
+  // RUNTIME filters (SupportsRuntimeFiltering): under a DPP-shaped join,
+  // Spark executes the build side first, collects its join keys, and
+  // hands the scan an In("key", …) here BEFORE re-planning partitions —
+  // the readers then row-filter on the byte-span set exactly like a
+  // static pushed In. Splits cannot be pruned by key (text files carry
+  // no key index), so the benefit is row-level: filtered rows never
+  // become InternalRows. Unsupported runtime predicates are ignored, as
+  // the interface allows.
+  private var runtime: Array[Filter] = Array.empty
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("key"))
+
+  override def filter(runtimeFilters: Array[Filter]): Unit =
+    runtime = runtimeFilters.filter {
+      case In("key", _) | EqualTo("key", _) => true
+      case _ => false
+    }
+
+  /** Size statistics from the file listing (SupportsReportStatistics):
+    * without them a V2 relation costs at `defaultSizeInBytes` (≈ ∞) and
+    * can never win a broadcast — with them, a dimension-sized KV dir
+    * broadcasts like any small table. Row count is estimated from an
+    * average line width; both are estimates, which is all the join
+    * planner needs. */
+  override def estimateStatistics(): Statistics = {
+    val bytes = KvTextSource.planSplits(path, Long.MaxValue)
+      .map(_.asInstanceOf[KvInputPartition].end).sum
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(math.max(1L, bytes / 16L))
+    }
+  }
 
   override def readSchema(): StructType = required
 
@@ -208,7 +247,8 @@ final class KvScan(path: String, filters: Array[Filter], required: StructType,
     KvTextSource.planSplits(path, maxSplitBytes)
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new KvReaderFactory(filters, required, KvTextSource.sessionConfMap())
+    new KvReaderFactory(filters ++ runtime, required,
+      KvTextSource.sessionConfMap())
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
@@ -488,6 +528,12 @@ final class KvPartitionReader(file: String, start: Long, end: Long,
     case EqualTo("key", v) =>
       v.asInstanceOf[String].getBytes(StandardCharsets.UTF_8)
   }
+  // key IN (...) — static pushdown or a runtime (DPP) filter; each set is
+  // a conjunct, a row passes a set when ANY member span-matches
+  private val keyInBytes: Array[Array[Array[Byte]]] = filters.collect {
+    case In("key", vs) =>
+      vs.map(v => v.asInstanceOf[String].getBytes(StandardCharsets.UTF_8))
+  }
   private val valuePreds: Array[Long => Boolean] = filters.collect {
     case EqualTo("value", v) => val t = toLong(v); (x: Long) => x == t
     case GreaterThan("value", v) => val t = toLong(v); (x: Long) => x > t
@@ -497,9 +543,10 @@ final class KvPartitionReader(file: String, start: Long, end: Long,
     case LessThanOrEqual("value", v) => val t = toLong(v); (x: Long) => x <= t
   }
   filters.foreach {
-    case EqualTo("key", _) | EqualTo("value", _) | GreaterThan("value", _)
-        | GreaterThanOrEqual("value", _) | LessThan("value", _)
-        | LessThanOrEqual("value", _) | IsNotNull(_) => ()
+    case EqualTo("key", _) | EqualTo("value", _) | In("key", _)
+        | GreaterThan("value", _) | GreaterThanOrEqual("value", _)
+        | LessThan("value", _) | LessThanOrEqual("value", _)
+        | IsNotNull(_) => ()
     case f => throw new IllegalStateException(s"unpushable filter $f")
   }
 
@@ -616,6 +663,17 @@ final class KvPartitionReader(file: String, start: Long, end: Long,
       f = 0
       while (ok && f < keyEqBytes.length) {
         ok = keySpanMatches(keyEqBytes(f), tab); f += 1
+      }
+      f = 0
+      while (ok && f < keyInBytes.length) {
+        val set = keyInBytes(f)
+        var hit = false
+        var g = 0
+        while (!hit && g < set.length) {
+          hit = keySpanMatches(set(g), tab); g += 1
+        }
+        ok = hit
+        f += 1
       }
       if (ok) {
         var j = 0

@@ -1,0 +1,64 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** Planner-facing connector seams: IN-list pushdown reaching the reader,
+  * reported statistics making a dimension-sized KV dir broadcastable, and
+  * runtime (DPP-style) filters flowing into the scan.
+  */
+class KvConnectorPlanSpec extends SparkTestBase {
+
+  private def writeKv(lines: Seq[String]): String = {
+    val dir = Files.createTempDirectory("graft-kvplan").toString
+    import spark.implicits._
+    lines.toDF("value").coalesce(1).write.mode("overwrite").text(dir)
+    dir
+  }
+
+  private def kv(dir: String) =
+    spark.read.format(classOf[graft.sources.KvTextSource].getName).load(dir)
+
+  test("IN-list on key pushes into the scan and row-filters correctly") {
+    val dir = writeKv(Seq("a\t1", "b\t2", "c\t3", "d\t4"))
+    val q = kv(dir).where(col("key").isin("a", "c"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("In(key"),
+      s"IN filter not pushed into the scan:\n$plan")
+    assert(q.collect().map(_.getLong(1)).sorted.toSeq == Seq(1L, 3L))
+  }
+
+  test("reported statistics let a small KV dir win the broadcast side") {
+    val dir = writeKv(Seq("a\t1", "b\t2"))
+    import spark.implicits._
+    val big = (1L to 5000L).map(i => (s"${('a' + (i % 2).toInt).toChar}", i))
+      .toDF("key", "x")
+    val joined = big.join(kv(dir), "key")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"stats-bearing 2-row KV side was not broadcast:\n$plan")
+    assert(joined.count() == 5000L)
+  }
+
+  test("runtime filter API: an In handed to the scan reaches the readers") {
+    // exercise SupportsRuntimeFiltering.filter directly — the contract the
+    // DPP machinery drives: filters arrive AFTER pushdown, BEFORE
+    // createReaderFactory, and the readers must honor them
+    val dir = writeKv(Seq("a\t1", "b\t2", "c\t3"))
+    val builder = new graft.sources.KvScanBuilder(dir, 128L * 1024 * 1024)
+    val scan = builder.build().asInstanceOf[graft.sources.KvScan]
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("key", Array[Any]("b", "c"))))
+    val factory = scan.toBatch.createReaderFactory()
+    val rows = scan.toBatch.planInputPartitions().flatMap { p =>
+      val r = factory.createReader(p)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+      while (r.next()) buf += r.get().getLong(1)
+      r.close()
+      buf
+    }
+    assert(rows.sorted.toSeq == Seq(2L, 3L),
+      "runtime In filter did not reach the partition readers")
+  }
+}
