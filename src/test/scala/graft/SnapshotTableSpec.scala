@@ -105,6 +105,26 @@ class SnapshotTableSpec extends SparkTestBase {
     assert(SnapshotTable.readVersion(spark, base, 2, "k").count() == 15)
   }
 
+  test("vacuum canonicalizes dir spellings: a trailing-slash reference cannot orphan a live dir") {
+    // the r10-advice latent bug: orphan-vs-live was decided by LEXICAL
+    // string equality, so a dir recorded with a cosmetic path difference
+    // (trailing slash here) in an old manifest read as "not in the live
+    // set" and was physically deleted while the surviving manifest still
+    // referenced it. Both sides now pass through fs.makeQualified.
+    val base = freshBase()
+    writeNums(s"$base/d1", 0, 10)
+    // v1 names d1 with a trailing slash; v2 names the same dir bare
+    SnapshotTable.commit(spark, base, 1, Snapshot(Seq(s"$base/d1/"), Nil))
+    SnapshotTable.commit(spark, base, 2, Snapshot(Seq(s"$base/d1"), Nil))
+    val rep = SnapshotTable.vacuum(spark, base, 2, 2)
+    // the old manifest dropped, but its differently-spelled dir collided
+    // with the live set — nothing deleted, the head still reads
+    assert(rep.manifestsRemoved == 1 && rep.dirsRemoved == 0,
+      s"cosmetic spelling difference deleted a live dir: $rep")
+    assert(new java.io.File(s"$base/d1").exists)
+    assert(SnapshotTable.readVersion(spark, base, 2, "k").count() == 10)
+  }
+
   test("partial manifest write is rejected by the crc footer") {
     val base = freshBase()
     writeNums(s"$base/d1", 0, 5)
