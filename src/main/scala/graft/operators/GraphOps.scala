@@ -420,16 +420,19 @@ object GraphOps {
         .groupBy(col("x")).agg(count(lit(1)).as("d"))
       val bad = deg.where(col("d") < k).select(col("x"))
         .localCheckpoint() // peel set fans into both anti joins
-      e = e.join(bad.select(col("x").as("u")), Seq("u"), "left_anti")
-        .join(bad.select(col("x").as("v")), Seq("v"), "left_anti")
-        .select(col("u"), col("v"))
-      // lineage cut every SECOND round: a round adds two anti joins — cheap
-      // to recompute once, but unbounded stacking would re-run the whole
-      // peel history inside every later job (same cadence reasoning as
-      // pageRank's every-6th-sweep checkpoint)
-      if (it % 2 == 1) e = e.localCheckpoint()
+      // one materialization per round serves BOTH loop needs: the
+      // convergence count and the lineage cut (checkpointExact measures
+      // the count while writing the blocks) — the previous shape paid a
+      // separate count JOB per round plus an every-2nd-round checkpoint,
+      // i.e. ~1.5 jobs of the same anti-join plan where this pays 1
+      val (e2, c2) = org.apache.spark.sql.graftbridge.CheckpointBridge
+        .checkpointExact(
+          e.join(bad.select(col("x").as("u")), Seq("u"), "left_anti")
+            .join(bad.select(col("x").as("v")), Seq("v"), "left_anti")
+            .select(col("u"), col("v")), 16L)
+      e = e2
       prevCnt = cnt
-      cnt = e.count()
+      cnt = c2
       it += 1
     }
     if (cnt != prevCnt)
