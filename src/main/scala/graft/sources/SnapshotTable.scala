@@ -65,6 +65,25 @@ object SnapshotTable {
     val body = core + f"crc=${crc32(core)}%08x\n"
     val dst = manifestPath(base, v)
     val fs = fsFor(spark, dst)
+    if (!fs.exists(dst)) {
+      // OPTIMISTIC CONCURRENCY: claim the version number with the store's
+      // atomic create-if-absent primitive (create(overwrite = false) — on
+      // HDFS/object stores exactly one concurrent writer wins the create).
+      // A loser lands in the reconciliation branch below and either
+      // idempotently replays the winner's identical snapshot or fails
+      // LOUDLY with the already-committed-differently conflict — never a
+      // silent last-writer-wins clobber of committed history (the hole a
+      // check-then-rename shape leaves open). A writer crashing mid-create
+      // leaves a footer-less partial manifest, which readers already
+      // reject loudly and an identical recommit repairs — that existing
+      // contract is what makes direct create safe here.
+      try { writeVia(fs, dst, body, v); return }
+      catch {
+        case e: java.io.IOException =>
+          if (!fs.exists(dst)) throw e // a real write failure, not a race
+        // fall through: someone else claimed v — reconcile against it
+      }
+    }
     if (fs.exists(dst)) {
       // Decide footer validity BEFORE asserting immutability: a truncated
       // manifest is not a trustworthy committed manifest, so comparing its
@@ -104,12 +123,16 @@ object SnapshotTable {
     writeVia(fs, dst, body, v)
   }
 
+  /** Direct create with overwrite = FALSE — the atomic version claim the
+    * optimistic-concurrency commit rides on (see [[commit]]). A partial
+    * write from a crash here is a footer-less manifest, which [[manifest]]
+    * rejects loudly and an identical recommit repairs in place. The repair
+    * path ([[commit]]'s footer-upgrade branch) deletes the damaged file
+    * first, so this create also serves it. */
   private def writeVia(fs: FileSystem, dst: Path, body: String,
       v: Int): Unit = {
-    val tmp = new Path(s"$dst.tmp")
-    val out = fs.create(tmp, true)
+    val out = fs.create(dst, false)
     try out.write(body.getBytes("UTF-8")) finally out.close()
-    require(fs.rename(tmp, dst), s"manifest commit rename failed for v$v")
   }
 
   def manifest(spark: SparkSession, base: String, v: Int): Snapshot = {
