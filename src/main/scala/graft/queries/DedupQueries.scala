@@ -643,6 +643,78 @@ object DedupQueries {
         .orderBy("norm_md5")
     },
 
+    // STREAMING near-dup dedup with a PERSISTENT LSH index — ingest-time
+    // fuzzy dedup, the streaming twin of dedup_incremental run as a real
+    // multi-batch execution: each arriving batch's MinHash band table and
+    // shingle sets land in epoch-keyed state dirs (the exactly-once
+    // foreachBatch epoch pattern, q_stream_sink's), the batch probes the
+    // ACCUMULATED band index (its own epoch included, so within-batch
+    // pairs surface too), and candidates verify with exact Jaccard against
+    // the stored shingle state. Every pair has ≥1 doc in the probing
+    // epoch, so no pair can re-emit in a later epoch — the union over
+    // epochs is exactly the corpus-wide minhashJoin, and the same
+    // whp-lossless argument (P(miss | J≥0.7) < 3e-8 at r=3, b=42) gates
+    // it against the exact-Jaccard oracle. Scale shape: per epoch the
+    // probe join is batch-driven (bands ⋈ batch-bands on (band, bh)),
+    // the index only ever appends, and nothing corpus×corpus joins — the
+    // 100 TB form adds the grid distribution minhashJoin's self-join uses
+    // for degenerate hot buckets.
+    "q_stream_dedup_lsh" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      val schema = docs.schema
+      val tmp = new java.io.File(
+        s"/root/repo/target/tmp/stream_lsh-${new java.io.File(dir).getName}")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(): Unit
+      }
+      if (tmp.exists) rm(tmp)
+      tmp.mkdirs()
+      val median = docs
+        .selectExpr(
+          "CAST(percentile_cont(0.5) WITHIN GROUP (ORDER BY doc_id) AS BIGINT)")
+        .head().getLong(0)
+      val st = s"$tmp/state"
+      val q = s.readStream.schema(schema).parquet(s"$tmp/in/*.parquet")
+        .writeStream
+        .foreachBatch { (b: DataFrame, epochId: Long) =>
+          val shB = shingles(b)
+          shB.write.mode("overwrite").parquet(s"$st/sh/epoch=$epochId")
+          // bands derive from the WRITTEN shingles (one compute, no
+          // re-shingling for the verification read below)
+          val shBDisk = s.read.parquet(s"$st/sh/epoch=$epochId")
+          bandStream(shBDisk).write.mode("overwrite")
+            .parquet(s"$st/bands/epoch=$epochId")
+          val bandsAll = s.read.parquet(s"$st/bands")
+          val bandsB = s.read.parquet(s"$st/bands/epoch=$epochId")
+          val cand = bandsAll.select(col("band"), col("bh"),
+              col("doc_id").as("ida"))
+            .join(bandsB.select(col("band"), col("bh"),
+              col("doc_id").as("idb")), Seq("band", "bh"))
+            .where(col("ida") =!= col("idb"))
+            .select(least(col("ida"), col("idb")).as("doc_a"),
+              greatest(col("ida"), col("idb")).as("doc_b"))
+            .distinct()
+          val shAll = s.read.parquet(s"$st/sh")
+            .select(col("doc_id"), col("s"))
+          verifyJaccard(cand, shAll, 0.7)
+            .write.mode("overwrite").parquet(s"$tmp/out/epoch=$epochId")
+        }
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .start()
+      graft.streaming.StreamingOps.withStreamShuffle(s) {
+        try {
+          docs.where(col("doc_id") <= median).write.parquet(s"$tmp/in/b1.parquet")
+          q.processAllAvailable()
+          docs.where(col("doc_id") > median).write.parquet(s"$tmp/in/b2.parquet")
+          q.processAllAvailable()
+        } finally q.stop()
+      }
+      s.read.parquet(s"$tmp/out")
+        .select(col("doc_a"), col("doc_b"), col("jac"))
+        .orderBy("doc_a", "doc_b")
+    },
+
     // Cross-document repeated-chunk (paragraph) dedup; see chunkDedup.
     "dedup_chunk" -> { (s, dir) =>
       chunkDedup(Tables(s, dir, "documents")).orderBy("doc_id")
@@ -1018,6 +1090,10 @@ object DedupQueries {
     // this corpus (pair similarity is bimodal: ≥0.85 or ≤0.15), so the
     // banded+verified output equals the exact-Jaccard result.
     "dedup_minhash" -> jaccardSql(gramSql(3), "0.7"),
+
+    // the epoch union equals the corpus-wide join; same whp-lossless LSH
+    // argument, same exact-Jaccard oracle
+    "q_stream_dedup_lsh" -> jaccardSql(gramSql(3), "0.7"),
 
     // same exact-Jaccard pair base (recall note above), restricted to pairs
     // whose LARGER id is a batch doc; verdict = smallest matched id.
