@@ -123,15 +123,28 @@ object SnapshotTable {
     writeVia(fs, dst, body, v)
   }
 
-  /** Direct create with overwrite = FALSE — the atomic version claim the
-    * optimistic-concurrency commit rides on (see [[commit]]). A partial
-    * write from a crash here is a footer-less manifest, which [[manifest]]
-    * rejects loudly and an identical recommit repairs in place. The repair
-    * path ([[commit]]'s footer-upgrade branch) deletes the damaged file
-    * first, so this create also serves it. */
+  /** Atomic version claim + write — what the optimistic-concurrency
+    * commit rides on (see [[commit]]). On HDFS/object stores the claim is
+    * the store's create-if-absent (`create(overwrite = false)` is atomic
+    * there). On the LOCAL filesystem Hadoop's create is check-then-create
+    * — NOT atomic (two racers can both pass the check; a race test caught
+    * exactly this) — so the claim is an O_EXCL `Files.createFile` of the
+    * empty manifest, after which only the claim winner writes the body.
+    * A reader or racing committer that observes the claimed-but-unwritten
+    * window sees a footer-less partial manifest — the loud-reject /
+    * identical-recommit-repairs contract that already covers crashes
+    * covers that window too. */
   private def writeVia(fs: FileSystem, dst: Path, body: String,
       v: Int): Unit = {
-    val out = fs.create(dst, false)
+    val scheme = dst.toUri.getScheme
+    val out =
+      if (scheme == null || scheme == "file") {
+        // throws java.nio.file.FileAlreadyExistsException (an IOException)
+        // when a concurrent writer already claimed this version
+        java.nio.file.Files.createFile(
+          java.nio.file.Paths.get(dst.toUri.getPath))
+        fs.create(dst, true) // we own the claim; fill the empty file
+      } else fs.create(dst, false)
     try out.write(body.getBytes("UTF-8")) finally out.close()
   }
 
