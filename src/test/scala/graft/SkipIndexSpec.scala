@@ -63,6 +63,36 @@ class SkipIndexSpec extends SparkTestBase {
     assert(band.select("g").as[String].collect().sorted.toSeq == Seq("a", "b"))
   }
 
+  test("pruning is lossless for ANY band over ANY layout (property sweep)") {
+    // random multi-file layouts (range-sorted or deliberately shuffled —
+    // the index must stay LOSSLESS even when it cannot prune) × random
+    // bands, vs the full-scan filter
+    import spark.implicits._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val dirSorted = freshDir()
+    val dirShuffled = freshDir()
+    val rows = (0L until 300L).map(i => (i * 7 % 500, s"v$i"))
+    rows.toDF("k", "g").repartitionByRange(5, col("k"))
+      .sortWithinPartitions("k").write.mode("overwrite").parquet(dirSorted)
+    rows.toDF("k", "g").repartition(5) // hash layout: bounds overlap fully
+      .write.mode("overwrite").parquet(dirShuffled)
+    SkipIndex.build(spark, dirSorted, "k")
+    SkipIndex.build(spark, dirShuffled, "k")
+    val prop = Prop.forAll(
+      Gen.chooseNum(-50L, 550L), Gen.chooseNum(0L, 200L),
+      Gen.oneOf(dirSorted, dirShuffled)) { (lo, width, dir) =>
+      val hi = lo + width
+      val (band, _) = SkipIndex.prunedRead(spark, dir, "k", lo, hi)
+      val got = band.select("k", "g").collect().map(_.toString).sorted.toSeq
+      val want = spark.read.parquet(dir).where(col("k").between(lo, hi))
+        .select("k", "g").collect().map(_.toString).sorted.toSeq
+      got == want
+    }
+    val r = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(25), prop)
+    assert(r.passed, r.status.toString)
+  }
+
   test("missing index fails loudly instead of degrading to a full scan") {
     import spark.implicits._
     val dir = freshDir()
