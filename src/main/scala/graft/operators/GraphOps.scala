@@ -181,6 +181,81 @@ object GraphOps {
     patched.union(fresh.select(col("id"), col("comp")))
   }
 
+  /** Deterministic Luby maximal independent set (Luby, "A Simple Parallel
+    * Algorithm for the Maximal Independent Set Problem", SIAM J. Comput.
+    * 1986) with PORTABLE HASH PRIORITIES instead of per-round coin flips:
+    * node priority = md5-derived 60-bit hash of the id (Portable.md5Long,
+    * bit-identical in DuckDB), totally ordered by (prio, id). Per round
+    * every remaining node whose priority is a LOCAL MINIMUM among its
+    * remaining neighbors joins the set; winners and their neighbors leave.
+    * Independence: two adjacent winners would each have to be smaller than
+    * the other. Maximality: a node only ever leaves as a winner or a
+    * winner's neighbor. Determinism: the fixed priorities make every round
+    * a pure function of the input — any engine replays it, which is what
+    * lets an unrolled-round oracle hash-gate the result.
+    *
+    * The pipeline meaning: a MAXIMAL DIVERSITY KEEP-SET — the largest
+    * greedily-certified set of documents with no near-dup pair inside it,
+    * over the dedup pair graph (keep-one-per-cluster keeps less; MIS keeps
+    * every doc that conflicts with nothing kept).
+    *
+    * Scale shape: per round one edge⋈priority join + a node-sized
+    * aggregate; winners/removed are anti-joined away so BOTH the node and
+    * edge tables only shrink; random-quality priorities halve the
+    * remaining graph per round whp (O(log n) rounds); checkpointExact per
+    * round cuts lineage and its count doubles as the convergence signal.
+    * Returns (node, round) for every MIS member. */
+  def maximalIndependentSet(edges: DataFrame, maxIter: Int = 30): DataFrame = {
+    val cols = edges.columns
+    val e0 = edges.select(col(cols(0)).cast("long").as("u"),
+      col(cols(1)).cast("long").as("v"))
+      .where(col("u") =!= col("v"))
+    val prio = (c: Column) =>
+      graft.functions.Portable.md5Long(c.cast("string"))
+    var e = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+      .distinct().localCheckpoint()
+    var rem = e.select(col("u").as("id")).distinct()
+      .select(col("id"), prio(col("id")).as("p"))
+      .localCheckpoint()
+    val kept = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var r = 1
+    var remN = rem.count()
+    while (remN > 0 && r <= maxIter) {
+      // smallest (prio, id) among each node's REMAINING neighbors: e is
+      // maintained as the remaining×remaining edge set, so the join needs
+      // only the v-side priority
+      val nbrMin = e
+        .join(rem.select(col("id").as("v"), col("p").as("pv")), Seq("v"))
+        .groupBy(col("u").as("id"))
+        .agg(min(struct(col("pv"), col("v"))).as("m"))
+      val win = rem.join(nbrMin, Seq("id"), "left")
+        .where(col("m").isNull ||
+          struct(col("p"), col("id")) < col("m"))
+        .select(col("id"), lit(r.toLong).as("round"))
+        .localCheckpoint() // fans into kept, neighbor expansion, anti joins
+      kept += win
+      val removed = win.select(col("id"))
+        .union(e.join(win.select(col("id").as("v")), Seq("v"))
+          .select(col("u").as("id")))
+        .distinct().localCheckpoint() // fans into three anti joins
+      val (rem2, n2) = org.apache.spark.sql.graftbridge.CheckpointBridge
+        .checkpointExact(
+          rem.join(removed, Seq("id"), "left_anti"), 24L)
+      rem = rem2
+      remN = n2
+      e = e.join(removed.select(col("id").as("u")), Seq("u"), "left_anti")
+        .join(removed.select(col("id").as("v")), Seq("v"), "left_anti")
+        .select(col("u"), col("v")).localCheckpoint()
+      r += 1
+    }
+    if (remN > 0)
+      throw new IllegalStateException(
+        s"maximalIndependentSet did not converge within maxIter=$maxIter")
+    if (kept.isEmpty) // edgeless input: no conflicted nodes, empty MIS
+      rem.select(col("id"), lit(0L).as("round"))
+    else kept.reduce(_ union _)
+  }
+
   /** Connected components by alternating large-star / small-star
     * contraction (Kiveris, Lattanzi, Mirrokni, Rastogi, Vassilvitskii,
     * "Connected Components in MapReduce and Beyond", SoCC 2014) — the

@@ -810,6 +810,23 @@ object DedupQueries {
         graft.operators.GraphOps.incrementalComponents(baseLab, batchE))
     },
 
+    // Maximal DIVERSITY keep-set: deterministic Luby MIS over the simhash
+    // near-dup pair graph (GraphOps.maximalIndependentSet) — the largest
+    // greedily-certified set of docs with no near-dup pair inside it.
+    // Keep-one-per-cluster (dedup_cluster) keeps ≤1 doc per component;
+    // MIS keeps every doc that conflicts with nothing kept — the
+    // diversity-maximizing dedup policy. Portable md5 priorities make
+    // every round a pure function of the input, so the oracle unrolls the
+    // SAME rounds; maxIter pins the unroll depth — deeper data throws
+    // loudly instead of silently diverging from the oracle.
+    "dedup_diverse" -> { (s, dir) =>
+      graft.operators.GraphOps.maximalIndependentSet(
+          simhashPairs(s, dir).select(col("doc_a"), col("doc_b")),
+          maxIter = MisRounds)
+        .select(col("id").as("doc_id"), col("round"))
+        .orderBy("doc_id")
+    },
+
     // Quality-aware canonical selection — the KEEP policy after clustering:
     // production dedup keeps the BEST member of each near-dup cluster (here
     // "longest, then lowest id" — the common keep-longest heuristic), not
@@ -1137,6 +1154,10 @@ object DedupQueries {
     // incremental maintenance path; identical unique labeling, one oracle
     "dedup_cluster_incr" -> clusterSql,
 
+    // unrolled Luby rounds (MATERIALIZED per the k-core lesson); the row
+    // comparison (p, id) < (p, id) is the engine's struct ordering
+    "dedup_diverse" -> misSql(MisRounds),
+
     // same labeling chain; keep = longest member, ties to the lowest id.
     "dedup_keep_best" ->
       s"""WITH RECURSIVE $ccLabCtes,
@@ -1153,6 +1174,50 @@ object DedupQueries {
          |FROM sz JOIN k USING (comp)
          |ORDER BY cluster_id""".stripMargin,
     "dedup_cluster_star" -> clusterSql)
+
+  /** Oracle-unroll depth for dedup_diverse — also the engine's maxIter, so
+    * data needing more rounds throws rather than silently diverging. Luby
+    * with random-quality priorities halves the graph per round whp; 8 is
+    * ~3 doublings of headroom over the fixture's observed depth. */
+  private val MisRounds = 8
+
+  /** Unrolled deterministic-Luby MIS over the simhash pair graph: per
+    * round, winners = remaining nodes whose (priority, id) precedes every
+    * remaining neighbor's; next remaining = minus winners and their
+    * neighbors. Tail rounds on a converged graph are no-ops. */
+  private def misSql(rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { k =>
+      s"""w$k AS MATERIALIZED (
+         |  SELECT r.id, r.p FROM n${k - 1} r
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM e JOIN n${k - 1} m ON e.v = m.id
+         |    WHERE e.u = r.id AND (m.p, m.id) < (r.p, r.id))),
+         |n$k AS MATERIALIZED (
+         |  SELECT r.id, r.p FROM n${k - 1} r
+         |  WHERE r.id NOT IN (SELECT id FROM w$k)
+         |    AND NOT EXISTS (
+         |      SELECT 1 FROM e JOIN w$k w ON e.v = w.id
+         |      WHERE e.u = r.id))""".stripMargin
+    }.mkString(",\n")
+    val unionAll = (1 to rounds)
+      .map(k => s"SELECT id, CAST($k AS BIGINT) AS round FROM w$k")
+      .mkString("\nUNION ALL\n")
+    s"""WITH $simhashShCtes,
+       |pr AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+       |e AS MATERIALIZED (
+       |  SELECT doc_a AS u, doc_b AS v FROM pr
+       |  UNION SELECT doc_b, doc_a FROM pr),
+       |n0 AS MATERIALIZED (
+       |  SELECT DISTINCT u AS id,
+       |    ${MD5LONG("CAST(u AS VARCHAR)")} AS p
+       |  FROM e),
+       |$roundCtes
+       |SELECT id AS doc_id, round FROM ($unionAll)
+       |ORDER BY doc_id""".stripMargin
+  }
 
   /** Shared CC labeling chain over the simhash pair graph: `lab(id, comp)`.
     * Single source of truth for the dedup_cluster(_star) and

@@ -87,6 +87,47 @@ class GraphOpsSpec extends SparkTestBase {
     }
   }
 
+  test("maximalIndependentSet matches the deterministic Luby model and is a real MIS") {
+    import spark.implicits._
+    import graft.functions.Portable.md5Long60
+    def model(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val adj = (edges ++ edges.map(_.swap)).filter(e => e._1 != e._2)
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+      var rem = adj.keySet
+      def prio(x: Long) = (md5Long60(x.toString), x)
+      val out = scala.collection.mutable.Map.empty[Long, Long]
+      var r = 1L
+      while (rem.nonEmpty) {
+        val win = rem.filter(n =>
+          (adj(n) & rem).forall(m =>
+            Ordering[(Long, Long)].lt(prio(n), prio(m))))
+        win.foreach(out(_) = r)
+        rem = rem -- win -- win.flatMap(adj)
+        r += 1
+      }
+      out.toMap
+    }
+    val rng = new scala.util.Random(23)
+    (1 to 4).foreach { _ =>
+      val n = 30
+      val edges = Seq.fill(40)(
+        (rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val got = GraphOps.maximalIndependentSet(edges.toDF("u", "v"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == model(edges), s"edges=$edges")
+      // structural certificate, independent of the model: no edge inside
+      // the set, and every outside node conflicts with a member
+      val s = got.keySet
+      val und = (edges ++ edges.map(_.swap)).toSet
+      assert(!und.exists { case (a, b) => s(a) && s(b) }, "set not independent")
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).toSet
+      assert((nodes -- s).forall(x => und.exists {
+        case (a, b) => a == x && s(b)
+      }), "set not maximal")
+    }
+  }
+
   test("incrementalComponents with an empty batch returns the base labels") {
     import spark.implicits._
     val base = Seq((1L, 2L), (2L, 3L), (10L, 11L))
