@@ -150,18 +150,39 @@ object Bench {
     // (scripts/update_bench_baseline.py refreshes it from a full run). A
     // query regresses when it exceeds 2× its recorded time AND by more than
     // 0.75 s absolute (sub-second queries jitter multiplicatively). Streaming
-    // gates are exempt: their timings carry ±2× machine-noise variance
-    // between runs (measured r7, documented in CLAUDE.md) — a tripwire on
-    // them would cry wolf. The field sits just before the headline tail so
-    // the driver's 2000-byte truncation can never hide a firing tripwire.
-    val regressions = results.toSeq.flatMap { case (k, v) =>
-      BenchBaseline.seconds.get(k) match {
-        case Some(base)
-            if !k.startsWith("q_stream_") && v > 2 * base && v - base > 0.75 =>
-          Some(f""""$k":{"sec":$v%.2f,"base":$base%.2f,""" +
-            f""""t0":${starts(k)}%.1f,"gc_ms":${gcMs(k)}}""")
-        case _ => None
+    // gates carry ±2× machine-noise variance between runs (measured r7,
+    // documented in CLAUDE.md), so they get a wider 3× multiplier instead of
+    // a blanket exemption — r11's q_stream_dedup ran 4.0× base invisibly.
+    // The field sits just before the headline tail so the driver's
+    // 2000-byte truncation can never hide a firing tripwire.
+    val flagged = results.toSeq.flatMap { case (k, v) =>
+      BenchBaseline.seconds.get(k).collect {
+        case base if v > (if (k.startsWith("q_stream_")) 3 else 2) * base &&
+          v - base > 0.75 => (k, v, base)
       }
+    }
+    // Self-adjudication: re-time every flagged query ONCE at run end, in the
+    // same JVM (everything warm, a cheap query just ahead as a JIT buffer).
+    // Two consecutive driver runs (r10, r11) flagged the same contiguous
+    // window (q_label_prop → q_freq_items → q_asof_nearest) with flat gc_ms;
+    // cross-run isolation can't separate a real plan regression from CPU
+    // steal or order-dependent cost, but a same-run second sample can: a
+    // re_sec near base means the flag was a run-level stall, a re_sec near
+    // sec means the regression is real.
+    if (flagged.nonEmpty) {
+      graft.Tables(spark, sfDir, "nation").count() // cheap warm neighbor
+      System.gc()
+    }
+    val reSec = flagged.map { case (k, _, _) =>
+      val t0 = System.nanoTime()
+      try selected(k)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () } // already recorded in `failed`
+      k -> (System.nanoTime() - t0) / 1e9
+    }.toMap
+    val regressions = flagged.map { case (k, v, base) =>
+      f""""$k":{"sec":$v%.2f,"base":$base%.2f,"re_sec":${reSec(k)}%.2f,""" +
+        f""""t0":${starts(k)}%.1f,"gc_ms":${gcMs(k)}}"""
     }.mkString("{", ",", "}")
     val fj = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val rb = rebuilds.map("\"" + _ + "\"").mkString("[", ",", "]")

@@ -431,20 +431,34 @@ object GraphOps {
     * round: one edge⋈frontier join (a shrinking frontier broadcasts; the
     * checkpointed edge table never reshuffles), one anti join against the
     * label table, two partial→final aggregates, and a label patch that is
-    * a plain union — safe from the anti∪delta Catalyst crash ONLY because
-    * ckCount rebuilt the frontier as a fresh LogicalRDD (new attribute
-    * ids) before the union, same load-bearing checkpoint as bfsLevels'. */
+    * a plain union of the round DELTAS — the label table itself is never
+    * re-materialized. That union is safe from the anti∪delta Catalyst
+    * crash because every member is a fresh checkpointed LogicalRDD with
+    * its own attribute ids (the seeds via ckCount, each frontier via its
+    * round's ckCount), so no attribute id is shared between the anti
+    * join's two sides — same load-bearing checkpoint as bfsLevels'.
+    * Checkpointing the GROWING lab table per round (the pre-r12 shape)
+    * materializes O(rounds × |labels|) rows for no reuse benefit: the
+    * union members are already materialized RDDs, so re-unioning them each
+    * round costs only plan nodes, and their measured per-member stats sum,
+    * keeping the anti join broadcastable when the label table is small.
+    *
+    * `edgesDistinct = true` asserts the input rows are already distinct
+    * directed pairs with AT MOST ONE of (u,v)/(v,u) present — then the
+    * two-orientation union is distinct by construction and the full-table
+    * dedup shuffle is skipped. Multi-edges change the majority VOTE here
+    * (unlike reachability kernels), so the default keeps the dedup. */
   def labelPropagation(edges: DataFrame, seeds: DataFrame,
-      rounds: Int): DataFrame = {
+      rounds: Int, edgesDistinct: Boolean = false): DataFrame = {
     val cols = edges.columns
     val e0 = edges.select(col(cols(0)).cast("long").as("u"),
       col(cols(1)).cast("long").as("v"))
-    val e = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
-      .distinct().localCheckpoint()
-    var lab = seeds
+    val sym = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
+    val e = (if (edgesDistinct) sym else sym.distinct()).localCheckpoint()
+    var lab = ckCount(seeds
       .select(col(seeds.columns(0)).cast("long").as("id"),
         col(seeds.columns(1)).cast("string").as("label"))
-      .distinct().localCheckpoint()
+      .distinct())._1
     var frontier = lab
     var r = 0
     var live = true
@@ -460,7 +474,7 @@ object GraphOps {
       if (fn == 0) live = false
       else {
         frontier = f
-        lab = ckCount(lab.union(frontier))._1
+        lab = lab.union(frontier)
       }
       r += 1
     }

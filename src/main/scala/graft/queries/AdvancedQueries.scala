@@ -1003,7 +1003,11 @@ object AdvancedQueries {
         .select(col("p_partkey").cast("long").as("id"),
           col("p_brand").as("label"))
       val e = coPurchaseEdges(s, dir)
-      val lab = graft.operators.GraphOps.labelPropagation(e, seeds, 3)
+      // the co-purchase layer is persisted u<v + distinct (ensureDir tag
+      // "v1:copurchase,u<v,distinct"), so symmetrization inside the kernel
+      // is duplicate-free — skip the full-edge dedup shuffle
+      val lab = graft.operators.GraphOps.labelPropagation(e, seeds, 3,
+        edgesDistinct = true)
         .localCheckpoint() // fans into the census and the unlabeled probe
       val nodes = e.select(col("u").as("id"))
         .union(e.select(col("v").as("id"))).distinct()
