@@ -201,10 +201,16 @@ object GraphOps {
     *
     * Scale shape: per round one edge⋈priority join + a node-sized
     * aggregate; winners/removed are anti-joined away so BOTH the node and
-    * edge tables only shrink; random-quality priorities halve the
-    * remaining graph per round whp (O(log n) rounds); checkpointExact per
-    * round cuts lineage and its count doubles as the convergence signal.
-    * Returns (node, round) for every MIS member. */
+    * edge tables only shrink. Round complexity: this is FIXED-priority
+    * (random-order) greedy MIS — with hash-random priorities the round
+    * count is polylog(n) whp (Blelloch/Fineman/Shun, SPAA '12: O(log² n)
+    * dependence depth for random-order greedy), but the worst case on an
+    * adversarial priority chain (a path whose priorities strictly
+    * decrease along it) is LINEAR — each round removes only the chain
+    * head. The maxIter throw is the guard against that regime; md5-of-id
+    * priorities make it astronomically unlikely on real inputs.
+    * checkpointExact per round cuts lineage and its count doubles as the
+    * convergence signal. Returns (node, round) for every MIS member. */
   def maximalIndependentSet(edges: DataFrame, maxIter: Int = 30): DataFrame = {
     val cols = edges.columns
     val e0 = edges.select(col(cols(0)).cast("long").as("u"),
@@ -433,10 +439,15 @@ object GraphOps {
     * label table, two partial→final aggregates, and a label patch that is
     * a plain union of the round DELTAS — the label table itself is never
     * re-materialized. That union is safe from the anti∪delta Catalyst
-    * crash because every member is a fresh checkpointed LogicalRDD with
-    * its own attribute ids (the seeds via ckCount, each frontier via its
-    * round's ckCount), so no attribute id is shared between the anti
-    * join's two sides — same load-bearing checkpoint as bfsLevels'.
+    * crash because its MEMBERS carry pairwise-distinct attribute ids
+    * (each is a separately-checkpointed LogicalRDD — the seeds via
+    * ckCount, each frontier via its round's ckCount), so the union itself
+    * never holds duplicate ids. The current frontier DOES still appear on
+    * both sides of the next round's anti join (as a union member in `lab`
+    * and inside `adopted`'s edge-join lineage); that cross-side reuse is
+    * an ordinary self-join, handled by the analyzer's DeduplicateRelations
+    * re-aliasing — the crash only required duplicate ids INSIDE one
+    * union.
     * Checkpointing the GROWING lab table per round (the pre-r12 shape)
     * materializes O(rounds × |labels|) rows for no reuse benefit: the
     * union members are already materialized RDDs, so re-unioning them each

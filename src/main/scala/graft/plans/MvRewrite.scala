@@ -1,7 +1,5 @@
 package graft.plans
 
-import java.util.concurrent.ConcurrentHashMap
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Alias, NamedExpression}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
@@ -41,7 +39,13 @@ object MvCatalog {
   final case class Entry(definition: LogicalPlan, mvPath: String,
       fingerprint: String, inputs: Seq[String])
 
-  private val entries = new ConcurrentHashMap[SparkSession, List[Entry]]()
+  // WEAK-keyed by session: a static strong-keyed map would pin every
+  // SparkSession (and its whole state) for JVM lifetime (r12 ADVICE).
+  // Collections.synchronizedMap overrides compute/get with mutex-held
+  // versions, so the registration read-modify-write stays atomic.
+  private val entries: java.util.Map[SparkSession, List[Entry]] =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, List[Entry]]())
 
   /** Materialize `df` at `mvPath` (write-once via ensureDir) and register
     * its analyzed plan for rewriting. Idempotent per (session, mvPath):

@@ -294,7 +294,15 @@ object EventQueries {
         .withColumn("ts_t", timestamp_micros(col("ts_us")))
         .withWatermark("ts_t", "1 second")
         .withColumn("val_cents", cents(col("value")))
-        .groupBy(col("user_id"), session_window(col("ts_t"), "30 minutes"))
+        // gap = 30 min + 1 µs, NOT 30 min: session_window's window end is
+        // EXCLUSIVE (an event at exactly last+gap starts a new session,
+        // i.e. splits on delta >= gap), while the shared oracle — and the
+        // other two session engines — split on delta > 30 min. Timestamps
+        // are integer microseconds, so delta >= 30min+1µs ⟺ delta > 30min:
+        // the widened gap makes the exact-30-min boundary identical across
+        // all three engines instead of a latent divergence (r12 ADVICE).
+        .groupBy(col("user_id"),
+          session_window(col("ts_t"), "30 minutes 1 microsecond"))
         .agg(min(col("ts_us")).as("sess_start_us"),
           max(col("ts_us")).as("sess_end_us"),
           count(lit(1)).as("n_events"),

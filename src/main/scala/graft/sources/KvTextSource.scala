@@ -83,10 +83,15 @@ object KvTextSource {
       .sortBy(_.getPath.getName)
       .flatMap { s =>
         val len = s.getLen
-        val n = math.max(1L, (len + maxSplitBytes - 1) / maxSplitBytes)
+        // overflow-safe ceil-div: the additive form (len + max - 1) wraps
+        // negative when maxSplitBytes is huge (estimateStatistics passes
+        // Long.MaxValue) and only the max-clamp below saved it by accident
+        val n = math.max(1L,
+          len / maxSplitBytes + (if (len % maxSplitBytes == 0L) 0L else 1L))
         (0L until n).map { k =>
-          KvInputPartition(s.getPath.toString, k * maxSplitBytes,
-            math.min((k + 1) * maxSplitBytes, len)): InputPartition
+          val off = k * maxSplitBytes // k < n so off < len: never wraps
+          KvInputPartition(s.getPath.toString, off,
+            off + math.min(maxSplitBytes, len - off)): InputPartition
         }
       }
   }
@@ -267,7 +272,34 @@ final class KvScan(path: String, filters: Array[Filter], required: StructType,
   * the exactly-once hazard this witness exists to catch). */
 final case class KvStreamOffset(n: Int, lastName: String)
     extends org.apache.spark.sql.connector.read.streaming.Offset {
-  override def json(): String = s"""{"n":$n,"last":"$lastName"}"""
+  // lastName is a FILE NAME and goes into the checkpoint verbatim: a quote
+  // or backslash in it would corrupt the offset JSON (and so the
+  // checkpoint) without escaping
+  override def json(): String =
+    s"""{"n":$n,"last":"${KvStreamOffset.esc(lastName)}"}"""
+}
+
+object KvStreamOffset {
+  private[sources] def esc(s: String): String = s.flatMap {
+    case '\\' => "\\\\"
+    case '"' => "\\\""
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+  private[sources] def unesc(s: String): String = {
+    val b = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) s.charAt(i + 1) match {
+        case 'u' =>
+          b += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar
+          i += 6
+        case e => b += e; i += 2
+      } else { b += c; i += 1 }
+    }
+    b.toString
+  }
 }
 
 /** File-discovery micro-batch stream over the same KV dir the batch scan
@@ -302,7 +334,7 @@ final class KvMicroBatchStream(path: String, filters: Array[Filter],
   override def deserializeOffset(json: String): Offset = {
     val m = """\{"n":(\d+),"last":"(.*)"\}""".r
     json match {
-      case m(n, last) => KvStreamOffset(n.toInt, last)
+      case m(n, last) => KvStreamOffset(n.toInt, KvStreamOffset.unesc(last))
       case _ => throw new IllegalArgumentException(
         s"malformed KV stream offset: $json")
     }

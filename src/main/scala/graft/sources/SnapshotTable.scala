@@ -89,13 +89,40 @@ object SnapshotTable {
       // manifest is not a trustworthy committed manifest, so comparing its
       // (damaged) core against `snap` first would reject the documented
       // recovery — "recommit the same snapshot" — with a misleading
-      // "different content" error. A filesystem checksum failure means the
-      // bytes themselves are unreliable; that one stays a loud stop.
-      val text = try readUtf8(fs, dst, v) catch {
-        case e: IllegalArgumentException => throw new IllegalArgumentException(
-          s"manifest v$v exists but fails the filesystem checksum — " +
-            s"inspect and delete $dst to recommit", e)
+      // "different content" error.
+      //
+      // RETRY the read while the footer is invalid: a racer that lost the
+      // claim can observe the winner's claimed-but-unwritten window (the
+      // O_EXCL empty file before its body lands, or a transient filesystem
+      // checksum mismatch mid-write). The body is a few hundred bytes and
+      // lands within milliseconds, so a short bounded backoff separates
+      // "winner still writing" from a genuine crash-partial manifest;
+      // only after the window do the loud partial/corrupt paths below
+      // engage. (r12 ADVICE: the un-retried read made a loser fail
+      // spuriously in exactly that window.)
+      var attempt = 0
+      var text: String = null
+      var footerValidNow = false
+      while (!footerValidNow && attempt < 40) { // ≤ ~1 s total
+        if (attempt > 0) Thread.sleep(25)
+        attempt += 1
+        try {
+          text = readUtf8(fs, dst, v)
+          val (_, f, c) = parseBody(text)
+          footerValidNow = f.contains(f"${crc32(c)}%08x")
+        } catch {
+          // mid-write checksum flap: retryable inside the window, the
+          // original loud stop once it's exhausted (bytes unreliable)
+          case e: IllegalArgumentException =>
+            text = null
+            if (attempt >= 40) throw new IllegalArgumentException(
+              s"manifest v$v exists but fails the filesystem checksum — " +
+                s"inspect and delete $dst to recommit", e)
+        }
       }
+      if (text == null) throw new IllegalArgumentException(
+        s"manifest v$v exists but fails the filesystem checksum — " +
+          s"inspect and delete $dst to recommit")
       val (existing, footer, existingCore) = parseBody(text)
       val footerValid = footer.contains(f"${crc32(existingCore)}%08x")
       if (footerValid) {

@@ -337,6 +337,30 @@ class GraphOpsSpec extends SparkTestBase {
       4L -> "a", 5L -> "a", 6L -> "a"), s"got $got")
   }
 
+  test("labelPropagation edgesDistinct=true matches the default path on " +
+      "canonical u<v input") {
+    import spark.implicits._
+    // the fast path skips the two-orientation dedup shuffle; on input that
+    // really is distinct one-orientation pairs the VOTE multiset — and so
+    // the output — must be identical to the default path's. A caller
+    // passing edgesDistinct=true with duplicate or both-orientation rows
+    // would double majority votes; this pin is the guard for the contract.
+    val rng = new scala.util.Random(31)
+    val canonical = Seq.fill(40)(
+        (rng.nextInt(20).toLong, rng.nextInt(20).toLong))
+      .filter { case (a, b) => a < b }.distinct
+    val seeds = Seq((0L, "x"), (5L, "y"), (13L, "x"))
+    for (rounds <- Seq(1, 3)) {
+      val slow = GraphOps.labelPropagation(canonical.toDF("u", "v"),
+          seeds.toDF("id", "label"), rounds)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val fast = GraphOps.labelPropagation(canonical.toDF("u", "v"),
+          seeds.toDF("id", "label"), rounds, edgesDistinct = true)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(fast == slow, s"rounds=$rounds edges=$canonical")
+    }
+  }
+
   test("kCore matches the iterative-peel model; cascades fully") {
     import spark.implicits._
     def peelModel(edges: Seq[(Long, Long)], k: Int): Map[Long, Long] = {

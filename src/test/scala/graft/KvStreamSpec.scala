@@ -71,4 +71,20 @@ class KvStreamSpec extends SparkTestBase {
         s"expected the loud contract error, got: ${e.getMessage}")
     } finally q.stop()
   }
+
+  test("offset JSON round-trips file names with quotes/backslashes/controls") {
+    // the offset goes into the checkpoint verbatim: an unescaped quote in
+    // a file name would corrupt the JSON and brick the restart path
+    val stream = new graft.sources.KvMicroBatchStream(
+      "/nonexistent", Array.empty, null, Map.empty)
+    for (name <- Seq("plain.txt", "we\"ird.txt", "back\\slash.txt",
+        "tab\there", "mix\"\\\n.txt", "")) {
+      val off = graft.sources.KvStreamOffset(7, name)
+      val back = stream.deserializeOffset(off.json())
+        .asInstanceOf[graft.sources.KvStreamOffset]
+      assert(back == off, s"name=$name json=${off.json()}")
+      // and the serialized form is parseable as actual JSON
+      assert(off.json().contains("\"n\":7"))
+    }
+  }
 }
