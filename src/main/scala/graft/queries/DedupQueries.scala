@@ -387,6 +387,137 @@ object DedupQueries {
       .select(col("doc_a"), col("doc_b"), col("jac"))
       .orderBy("doc_a", "doc_b")
 
+  /** Filesystem layout + lifecycle of the PERSISTENT streaming LSH index
+    * (q_stream_dedup_lsh). Per micro-batch, `sh/epoch=N` and
+    * `bands/epoch=N` hold that epoch's shingle sets and band table; every
+    * `compactEvery` epochs the live epoch dirs FOLD into a consolidated
+    * base generation `sh_base/upto=E` + `bands_base/upto=E` and the folded
+    * epoch dirs are deleted. The probe index is always (latest complete
+    * base) + (epoch dirs above it) — so probe cost tracks corpus size plus
+    * a BOUNDED number of recent epochs, never the total epoch count (the
+    * pre-r13 shape re-read every epoch dir ever written on every batch:
+    * unbounded small-file growth at production ingest rates).
+    *
+    * Crash/replay safety, without any transaction log:
+    * - A generation is live only when BOTH sub-indexes' `upto=E` dirs have
+    *   their committer `_SUCCESS` ([[baseUpto]] intersects the two): a
+    *   crash between the two base writes leaves the old cut in force and
+    *   the epoch dirs untouched, so the next compaction simply rewrites
+    *   both dirs (parquet overwrite mode absorbs the partial).
+    * - Folded-input deletion runs only for epochs ≤ the JOINT live cut and
+    *   is best-effort: readers filter dirs by number, so a surviving
+    *   already-folded dir is ignored, never double-read.
+    * - foreachBatch replay of epoch e after its compaction committed:
+    *   the epoch-dir rewrite is an overwrite, the probe finds e's docs in
+    *   the base (epoch dirs ≤ cut are excluded, so nothing is read twice —
+    *   verifyJaccard's per-doc join tolerates no duplicate shingle rows),
+    *   the output dir overwrite re-emits the identical pair set, and
+    *   compaction no-ops (zero live epochs). */
+  private[graft] object LshIndex {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.SparkSession
+
+    private def fsOf(s: SparkSession, p: String) =
+      new Path(p).getFileSystem(s.sparkContext.hadoopConfiguration)
+
+    /** `prefix=value` child dirs of `dir` whose write committed
+      * (`_SUCCESS` present), as (value, absolute path). */
+    private def liveDirs(s: SparkSession, dir: String,
+        prefix: String): Seq[(Long, String)] = {
+      val f = fsOf(s, dir)
+      val d = new Path(dir)
+      if (!f.exists(d)) Nil
+      else f.listStatus(d).toSeq.filter(_.isDirectory).flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith(prefix + "=") &&
+            f.exists(new Path(st.getPath, "_SUCCESS")))
+          Some(n.stripPrefix(prefix + "=").toLong -> st.getPath.toString)
+        else None
+      }
+    }
+
+    /** Highest base generation that is complete in BOTH sub-indexes — the
+      * joint gate is the crash-safety invariant (see class doc). */
+    def baseUpto(s: SparkSession, st: String): Option[Long] = {
+      val a = liveDirs(s, s"$st/sh_base", "upto").map(_._1).toSet
+      val b = liveDirs(s, s"$st/bands_base", "upto").map(_._1).toSet
+      a.intersect(b).maxOption
+    }
+
+    /** Epoch dirs the next probe will read as DIRS (those above the base
+      * cut) — the quantity compaction exists to bound. */
+    def liveEpochs(s: SparkSession, st: String): Seq[Long] = {
+      val cut = baseUpto(s, st).getOrElse(-1L)
+      liveDirs(s, s"$st/sh", "epoch").map(_._1).filter(_ > cut).sorted
+    }
+
+    /** The probe view of one sub-index (`sub` = "sh" | "bands"): latest
+      * complete base generation unioned with the epoch dirs above the cut.
+      * Leaf dirs are read individually so the schema never grows the
+      * partition column and stale (already-folded) dirs are never seen. */
+    def read(s: SparkSession, st: String, sub: String): DataFrame = {
+      val cut = baseUpto(s, st).getOrElse(-1L)
+      val basePaths =
+        if (cut < 0) Nil else Seq(s"$st/${sub}_base/upto=$cut")
+      val epochPaths = liveDirs(s, s"$st/$sub", "epoch")
+        .filter(_._1 > cut).map(_._2)
+      val paths = basePaths ++ epochPaths
+      require(paths.nonEmpty, s"empty LSH index under $st/$sub")
+      s.read.parquet(paths: _*)
+    }
+
+    /** Fold the live epoch dirs into a new base generation when at least
+      * `every` of them have accumulated. Write order: both bases first,
+      * joint-gated liveness second (via [[baseUpto]]), deletion of folded
+      * inputs last and best-effort. */
+    def maybeCompact(s: SparkSession, st: String, every: Int): Unit = {
+      val eps = liveEpochs(s, st)
+      if (eps.size < every) return
+      val hi = eps.max
+      for (sub <- Seq("sh", "bands"))
+        read(s, st, sub).write.mode("overwrite")
+          .parquet(s"$st/${sub}_base/upto=$hi")
+      val cut = baseUpto(s, st).getOrElse(-1L) // re-derive: the joint gate
+      val f = fsOf(s, st)
+      for (sub <- Seq("sh", "bands")) {
+        for ((e, pth) <- liveDirs(s, s"$st/$sub", "epoch"); if e <= cut)
+          f.delete(new Path(pth), true)
+        for ((u, pth) <- liveDirs(s, s"$st/${sub}_base", "upto"); if u < cut)
+          f.delete(new Path(pth), true)
+      }
+    }
+  }
+
+  /** One foreachBatch body of the streaming LSH dedup (shared by the
+    * driver-gated query and the restart/compaction specs): land the
+    * batch's shingles + bands as epoch dirs, probe the accumulated index
+    * (own epoch included, so within-batch pairs surface), exact-verify,
+    * write the epoch's verified pairs, then compact if due. */
+  private[graft] def lshIngestBatch(st: String, outDir: String,
+      b: DataFrame, epochId: Long, compactEvery: Int): Unit = {
+    val s = b.sparkSession
+    shingles(b).write.mode("overwrite").parquet(s"$st/sh/epoch=$epochId")
+    // bands derive from the WRITTEN shingles (one compute, no re-shingling
+    // for the verification read below)
+    val shBDisk = s.read.parquet(s"$st/sh/epoch=$epochId")
+    bandStream(shBDisk).write.mode("overwrite")
+      .parquet(s"$st/bands/epoch=$epochId")
+    val bandsAll = LshIndex.read(s, st, "bands")
+    val bandsB = s.read.parquet(s"$st/bands/epoch=$epochId")
+    val cand = bandsAll.select(col("band"), col("bh"),
+        col("doc_id").as("ida"))
+      .join(bandsB.select(col("band"), col("bh"),
+        col("doc_id").as("idb")), Seq("band", "bh"))
+      .where(col("ida") =!= col("idb"))
+      .select(least(col("ida"), col("idb")).as("doc_a"),
+        greatest(col("ida"), col("idb")).as("doc_b"))
+      .distinct()
+    val shAll = LshIndex.read(s, st, "sh").select(col("doc_id"), col("s"))
+    verifyJaccard(cand, shAll, 0.7)
+      .write.mode("overwrite").parquet(s"$outDir/epoch=$epochId")
+    LshIndex.maybeCompact(s, st, compactEvery)
+  }
+
   /** Exact dedup on whitespace-normalized text: keep min doc_id per group.
     * Groups on md5(norm), not norm — the shuffle carries 32 bytes per row
     * instead of the document body (the 100 TB-critical choice). Public like
@@ -658,7 +789,10 @@ object DedupQueries {
     // probe join is batch-driven (bands ⋈ batch-bands on (band, bh)),
     // the index only ever appends, and nothing corpus×corpus joins — the
     // 100 TB form adds the grid distribution minhashJoin's self-join uses
-    // for degenerate hot buckets.
+    // for degenerate hot buckets. Epoch dirs COMPACT into a consolidated
+    // base every compactEvery batches (LshIndex.maybeCompact), so probe
+    // I/O reads base + a bounded number of recent epochs, never one dir
+    // per micro-batch ever ingested.
     "q_stream_dedup_lsh" -> { (s, dir) =>
       val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
       val schema = docs.schema
@@ -670,43 +804,31 @@ object DedupQueries {
       }
       if (tmp.exists) rm(tmp)
       tmp.mkdirs()
-      val median = docs
-        .selectExpr(
-          "CAST(percentile_cont(0.5) WITHIN GROUP (ORDER BY doc_id) AS BIGINT)")
-        .head().getLong(0)
+      // terciles, not a median split: THREE ingest batches so the third
+      // probes a freshly COMPACTED index (compactEvery = 2 folds epochs
+      // 0-1 into base upto=1 before batch 3 arrives) — the consolidation
+      // path runs inside the gated execution, not only in specs
+      val cuts = docs.selectExpr(
+        "CAST(percentile_cont(0.3333) WITHIN GROUP (ORDER BY doc_id) AS BIGINT)",
+        "CAST(percentile_cont(0.6667) WITHIN GROUP (ORDER BY doc_id) AS BIGINT)")
+        .head()
+      val (t1, t2) = (cuts.getLong(0), cuts.getLong(1))
       val st = s"$tmp/state"
       val q = s.readStream.schema(schema).parquet(s"$tmp/in/*.parquet")
         .writeStream
         .foreachBatch { (b: DataFrame, epochId: Long) =>
-          val shB = shingles(b)
-          shB.write.mode("overwrite").parquet(s"$st/sh/epoch=$epochId")
-          // bands derive from the WRITTEN shingles (one compute, no
-          // re-shingling for the verification read below)
-          val shBDisk = s.read.parquet(s"$st/sh/epoch=$epochId")
-          bandStream(shBDisk).write.mode("overwrite")
-            .parquet(s"$st/bands/epoch=$epochId")
-          val bandsAll = s.read.parquet(s"$st/bands")
-          val bandsB = s.read.parquet(s"$st/bands/epoch=$epochId")
-          val cand = bandsAll.select(col("band"), col("bh"),
-              col("doc_id").as("ida"))
-            .join(bandsB.select(col("band"), col("bh"),
-              col("doc_id").as("idb")), Seq("band", "bh"))
-            .where(col("ida") =!= col("idb"))
-            .select(least(col("ida"), col("idb")).as("doc_a"),
-              greatest(col("ida"), col("idb")).as("doc_b"))
-            .distinct()
-          val shAll = s.read.parquet(s"$st/sh")
-            .select(col("doc_id"), col("s"))
-          verifyJaccard(cand, shAll, 0.7)
-            .write.mode("overwrite").parquet(s"$tmp/out/epoch=$epochId")
+          lshIngestBatch(st, s"$tmp/out", b, epochId, compactEvery = 2)
         }
         .option("checkpointLocation", s"$tmp/ckpt")
         .start()
       graft.streaming.StreamingOps.withStreamShuffle(s) {
         try {
-          docs.where(col("doc_id") <= median).write.parquet(s"$tmp/in/b1.parquet")
+          docs.where(col("doc_id") <= t1).write.parquet(s"$tmp/in/b1.parquet")
           q.processAllAvailable()
-          docs.where(col("doc_id") > median).write.parquet(s"$tmp/in/b2.parquet")
+          docs.where(col("doc_id") > t1 && col("doc_id") <= t2)
+            .write.parquet(s"$tmp/in/b2.parquet")
+          q.processAllAvailable()
+          docs.where(col("doc_id") > t2).write.parquet(s"$tmp/in/b3.parquet")
           q.processAllAvailable()
         } finally q.stop()
       }

@@ -311,4 +311,68 @@ class StreamingRestartSpec extends SparkTestBase {
     assert(got == want,
       "top-k state or timers lost across the transformWithState restart")
   }
+
+  test("streaming LSH dedup restarted from checkpoint survives a " +
+      "mid-stream index compaction") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-restart-lsh").toString
+    val st = s"$tmp/state"
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    val schema = docs.schema
+    val cs = docs.selectExpr(
+      "CAST(percentile_cont(0.3333) WITHIN GROUP (ORDER BY doc_id) AS BIGINT)",
+      "CAST(percentile_cont(0.6667) WITHIN GROUP (ORDER BY doc_id) AS BIGINT)")
+      .head()
+    val (t1, t2) = (cs.getLong(0), cs.getLong(1))
+    val epochsSeen = scala.collection.mutable.ArrayBuffer.empty[Long]
+
+    def startQuery(): StreamingQuery =
+      graft.streaming.StreamingOps.withStreamShuffle(spark) {
+        spark.readStream.schema(schema).parquet(s"$tmp/in/*.parquet")
+          .writeStream
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            epochsSeen += id
+            graft.queries.DedupQueries.lshIngestBatch(
+              st, s"$tmp/out", b, id, compactEvery = 2)
+          }
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .start()
+      }
+
+    // batch 1 lands epoch 0, then KILL before the compaction is due
+    docs.where(col("doc_id") <= t1).write.parquet(s"$tmp/in/b1.parquet")
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+
+    // restart: batch 2 triggers the epoch 0+1 -> base upto=1 fold, batch 3
+    // probes the compacted index — both against recovered disk state
+    val q2 = startQuery()
+    try {
+      docs.where(col("doc_id") > t1 && col("doc_id") <= t2)
+        .write.parquet(s"$tmp/in/b2.parquet")
+      q2.processAllAvailable()
+      docs.where(col("doc_id") > t2).write.parquet(s"$tmp/in/b3.parquet")
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    // epoch ids CONTINUE across the restart: no re-delivery of the
+    // committed epoch 0, no skip
+    assert(epochsSeen.toSeq == Seq(0L, 1L, 2L), s"epochs: $epochsSeen")
+    // band/shingle state-dir consistency after the recovered-state fold
+    assert(graft.queries.DedupQueries.LshIndex.baseUpto(spark, st)
+      .contains(1L), "compaction against recovered state did not commit")
+    assert(graft.queries.DedupQueries.LshIndex.liveEpochs(spark, st)
+      == Seq(2L))
+
+    // the union over epochs still equals the corpus-wide batch minhashJoin
+    val got = spark.read.parquet(s"$tmp/out")
+      .select(col("doc_a"), col("doc_b"))
+      .as[(Long, Long)].collect().toSet
+    val want = graft.queries.DedupQueries.minhashJoin(docs, 0.7)
+      .select(col("doc_a"), col("doc_b"))
+      .as[(Long, Long)].collect().toSet
+    assert(got == want, "restarted streaming LSH diverged from batch join")
+    assert(got.nonEmpty, "fixture should contain near-dup pairs")
+  }
 }
