@@ -1,7 +1,8 @@
 package graft.plans
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Alias, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, BoundReference, Cast, Expression, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -75,6 +76,12 @@ object MvCatalog {
         graft.sources.Sinks.fingerprint(spark, e.inputs: _*) == e.fingerprint
     }
 
+  private[plans] def live(spark: SparkSession): List[Entry] =
+    Option(entries.get(spark)).getOrElse(Nil)
+
+  private[plans] def fresh(spark: SparkSession, e: Entry): Boolean =
+    graft.sources.Sinks.fingerprint(spark, e.inputs: _*) == e.fingerprint
+
   def clear(spark: SparkSession): Unit = { entries.remove(spark); () }
 
   /** Did this DataFrame's plan get served from a materialized view?
@@ -91,7 +98,21 @@ object MvCatalog {
 
 /** The rewrite itself (see [[MvCatalog]]). Runs once per analysis as a
   * post-hoc resolution rule; reads of the MV parquet re-enter the analyzer
-  * with a bare relation plan (no Aggregate), so the rule cannot recurse. */
+  * with a bare relation plan (no Aggregate), so the rule cannot recurse
+  * (and the ROLLUP substitute's own Aggregate sits over the MV scan, which
+  * matches no registered definition — the fixpoint pass leaves it alone).
+  *
+  * Two match tiers, tried in order:
+  * 1. EXACT: the query aggregate `sameResult`-equals a registered
+  *    definition → substitute a bare MV scan (no re-aggregation at all).
+  * 2. ROLLUP ([[MvRollup]]): the query groups by a SUBSET of a
+  *    definition's keys (including the empty subset — a global aggregate)
+  *    over the same child, and every output is either a kept key or a
+  *    re-aggregable function (sum→sum, count→sum, min→min, max→max;
+  *    avg rolls up when written as its sum/count pair, the engine's exact-
+  *    arithmetic discipline anyway) → substitute MV scan + re-aggregate.
+  *    This is the MV hit pattern real users get: one (day, region, sku)
+  *    view serves every coarser slice of itself. */
 case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
     case agg: Aggregate =>
@@ -105,7 +126,118 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
             Alias(byName(o.name), o.name)(exprId = o.exprId)
           }
           Project(projections, mv)
-        case None => agg
+        case None => MvRollup.rewrite(spark, agg).getOrElse(agg)
       }
+  }
+}
+
+/** Partial (rollup) MV matching — see [[MvRewriteRule]] tier 2.
+  *
+  * Matching compares expressions across the two plans by BINDING: every
+  * attribute is replaced by its ordinal in the owning plan's child output,
+  * then the bound trees are compared canonicalized. `sameResult` of the
+  * children is what licenses ordinal comparison — canonicalization is
+  * positional, so equal canonical children expose their columns in the
+  * same order. The derivation is deliberately conservative: any output
+  * that is not a kept grouping key or a bare non-distinct, unfiltered
+  * sum/count/min/max falls through to the base table (correct, just
+  * slower) rather than risking a wrong derivation — countDistinct,
+  * filtered aggregates, and composite expressions over aggregates all
+  * bail. The freshness fingerprint gates AFTER the structural match, as
+  * in the exact tier. */
+object MvRollup {
+
+  /** Bind `ex`'s attributes to ordinals of `child.output`; None when the
+    * expression references anything outside the child (correlation). */
+  private def bound(ex: Expression, child: LogicalPlan): Option[Expression] = {
+    var ok = true
+    val t = ex.transform {
+      case a: AttributeReference =>
+        val i = child.output.indexWhere(_.exprId == a.exprId)
+        if (i < 0) { ok = false; a } else BoundReference(i, a.dataType, a.nullable)
+    }
+    if (ok) Some(t.canonicalized) else None
+  }
+
+  private def strip(ne: NamedExpression): Expression = ne match {
+    case Alias(c, _) => c
+    case x => x
+  }
+
+  def rewrite(spark: SparkSession, agg: Aggregate): Option[LogicalPlan] = {
+    if (!agg.resolved) return None
+    MvCatalog.live(spark).iterator.flatMap(e => attempt(spark, agg, e))
+      .nextOption()
+  }
+
+  private def attempt(spark: SparkSession, agg: Aggregate,
+      e: MvCatalog.Entry): Option[LogicalPlan] = e.definition match {
+    case defAgg: Aggregate if agg.child.sameResult(defAgg.child) =>
+      // definition outputs, keyed by bound canonical expression
+      val defOut: Seq[(Expression, String)] = defAgg.aggregateExpressions
+        .flatMap(ne => bound(strip(ne), defAgg.child).map(_ -> ne.name))
+      def findDef(qex: Expression): Option[String] =
+        bound(qex, agg.child).flatMap(q => defOut.find(_._1 == q).map(_._2))
+      val defGroup: Set[Expression] =
+        defAgg.groupingExpressions.flatMap(bound(_, defAgg.child)).toSet
+      val qGroup: Set[Expression] =
+        agg.groupingExpressions.flatMap(bound(_, agg.child)).toSet
+      if (qGroup.size != agg.groupingExpressions.size) return None
+
+      // every query grouping key must be a definition grouping key that
+      // the definition also EXPOSES as an output column
+      val groupNames: Seq[String] = agg.groupingExpressions.flatMap { g =>
+        bound(g, agg.child).filter(defGroup.contains)
+          .flatMap(_ => findDef(g))
+      }
+      if (groupNames.size != agg.groupingExpressions.size) return None
+
+      // each output derives as (mv column name, attr => result expression)
+      val derived: Seq[Option[(String, Attribute => Expression)]] =
+        agg.aggregateExpressions.map { o =>
+          strip(o) match {
+            case ae: AggregateExpression
+                if !ae.isDistinct && ae.filter.isEmpty =>
+              val reFn: Option[Expression => AggregateExpression] =
+                ae.aggregateFunction match {
+                  case _: Sum => Some(c => AggregateExpression(
+                    Sum(c), Complete, isDistinct = false))
+                  // per-group counts SUM across the folded groups
+                  case _: Count => Some(c => AggregateExpression(
+                    Sum(c), Complete, isDistinct = false))
+                  case _: Min => Some(c => AggregateExpression(
+                    Min(c), Complete, isDistinct = false))
+                  case _: Max => Some(c => AggregateExpression(
+                    Max(c), Complete, isDistinct = false))
+                  case _ => None
+                }
+              for (name <- findDef(ae); fn <- reFn) yield
+                (name, (a: Attribute) => {
+                  val re = fn(a)
+                  if (re.dataType == o.dataType) re else Cast(re, o.dataType)
+                })
+            case ex if bound(ex, agg.child).exists(qGroup.contains) =>
+              // kept grouping key: passes through (it IS a grouping expr
+              // of the substitute aggregate, so the plan stays valid)
+              findDef(ex).map(n => (n, (a: Attribute) => a))
+            case _ => None
+          }
+        }
+      if (derived.exists(_.isEmpty)) return None
+      // structure matched — only now pay the freshness LIST
+      if (!MvCatalog.fresh(spark, e)) return None
+
+      val mv = spark.read.parquet(e.mvPath).queryExecution.analyzed
+      val byName = mv.output.map(a => a.name -> a).toMap
+      if (!(groupNames ++ derived.flatten.map(_._1))
+          .forall(byName.contains)) return None
+      val newGroup: Seq[Expression] = groupNames.map(byName)
+      val newOut: Seq[NamedExpression] =
+        agg.aggregateExpressions.zip(derived.flatten).map {
+          case (o, (name, mk)) =>
+            Alias(mk(byName(name)), o.name)(exprId = o.exprId)
+        }
+      Some(Aggregate(newGroup, newOut, mv))
+    case _ => None
   }
 }

@@ -519,6 +519,36 @@ object AdvancedQueries {
       q.orderBy("o_orderpriority")
     },
 
+    // MV ROLLUP routing (plans/MvRollup, r12 verdict task): the registered
+    // view groups by (priority, status) but the query groups by STATUS
+    // only — the partial-match tier substitutes the MV scan plus a
+    // re-aggregate (count re-sums, the exact-decimal sum re-sums), the MV
+    // hit pattern real users actually get (one fine-grained view serves
+    // every coarser slice). The require pins that routing engaged; the
+    // oracle aggregates the BASE table, so a mis-derived re-aggregate
+    // hash-fails. The decimal sum stays INTERNAL (hash-gate rule): the
+    // Aggregate that must match carries decimal(38,0), and the long cast
+    // happens in the select ABOVE it, identical in the oracle.
+    "q_mv_rollup" -> { (s, dir) =>
+      val mvPath = s"/root/repo/target/tmp/mv_prio_status-${new java.io.File(dir).getName}"
+      def mvOf() = Tables(s, dir, "orders")
+        .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          exactSum(cents(col("o_totalprice"))).as("sum_dec"))
+      graft.plans.MvCatalog.register(s, mvOf(), mvPath,
+        "v1:orders/prio+status,count+cents", Seq(s"$dir/orders.parquet"))
+      val q = Tables(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          exactSum(cents(col("o_totalprice"))).as("sum_dec"))
+      require(graft.plans.MvCatalog.servedFromMv(q, mvPath),
+        "MV rollup did not engage — the subset-key aggregate is reading " +
+          "the base table")
+      q.select(col("o_orderstatus"), col("n_orders"),
+          col("sum_dec").cast("long").as("sum_cents"))
+        .orderBy("o_orderstatus")
+    },
+
     // Stats-based FILE skipping (sources/SkipIndex): the complementary
     // lakehouse primitive to partition pruning above — orders lay out by
     // RANGE on the exact-cents price (16 near-disjoint per-file key
@@ -1739,6 +1769,14 @@ object AdvancedQueries {
          |  COUNT(DISTINCT o_custkey) AS n_custs
          |FROM orders GROUP BY o_orderpriority
          |ORDER BY o_orderpriority""".stripMargin,
+
+    // base-table ground truth: a mis-derived rollup re-aggregate
+    // (double-counted groups, missed keys) hash-fails here
+    "q_mv_rollup" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS n_orders,
+         |  CAST(SUM(${CENTS("o_totalprice")}) AS BIGINT) AS sum_cents
+         |FROM orders GROUP BY o_orderstatus
+         |ORDER BY o_orderstatus""".stripMargin,
 
     // the same band over the unpruned table — a skip that drops rows
     // hash-fails here

@@ -89,4 +89,97 @@ class MvRewriteSpec extends SparkTestBase {
       assert(!MvCatalog.servedFromMv(byId, mv))
     } finally MvCatalog.clear(spark)
   }
+
+  test("rollup: a subset-key aggregate re-aggregates from the MV") {
+    import spark.implicits._
+    val base = freshDir() + "/base"
+    val mv = freshDir() + "/mv"
+    (1L to 200L).map(i => (i, s"g${i % 4}", s"h${i % 7}", i * 3))
+      .toDF("id", "g", "h", "v").write.parquet(base)
+    def mvAgg() = spark.read.parquet(base).groupBy(col("g"), col("h"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+        min(col("v")).as("mn"), max(col("v")).as("mx"))
+    def roll() = spark.read.parquet(base).groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+        min(col("v")).as("mn"), max(col("v")).as("mx"))
+    try {
+      MvCatalog.register(spark, mvAgg(), mv, "v1:test-roll", Seq(base))
+      val q = roll()
+      assert(MvCatalog.servedFromMv(q, mv),
+        "subset-key aggregate did not route through the MV")
+      val got = q.collect().map(_.toString).sorted.toSeq
+      MvCatalog.clear(spark)
+      val direct = roll().collect().map(_.toString).sorted.toSeq
+      assert(got == direct, "rolled-up results diverge from direct aggregate")
+    } finally MvCatalog.clear(spark)
+  }
+
+  test("rollup: a global aggregate (empty grouping) rolls up from the MV") {
+    import spark.implicits._
+    val base = freshDir() + "/base"
+    val mv = freshDir() + "/mv"
+    (1L to 150L).map(i => (i, s"g${i % 5}", i)).toDF("id", "g", "v")
+      .write.parquet(base)
+    def mvAgg() = spark.read.parquet(base).groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+    def glob() = spark.read.parquet(base)
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+    try {
+      MvCatalog.register(spark, mvAgg(), mv, "v1:test-glob", Seq(base))
+      val q = glob()
+      assert(MvCatalog.servedFromMv(q, mv),
+        "global aggregate did not route through the MV")
+      val got = q.collect().head
+      MvCatalog.clear(spark)
+      val direct = glob().collect().head
+      assert(got == direct)
+    } finally MvCatalog.clear(spark)
+  }
+
+  test("rollup: non-derivable aggregates fall back to the base table") {
+    import spark.implicits._
+    val base = freshDir() + "/base"
+    val mv = freshDir() + "/mv"
+    (1L to 90L).map(i => (i, s"g${i % 3}", s"h${i % 2}", i))
+      .toDF("id", "g", "h", "v").write.parquet(base)
+    def mvAgg() = spark.read.parquet(base).groupBy(col("g"), col("h"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+    try {
+      MvCatalog.register(spark, mvAgg(), mv, "v1:test-bail", Seq(base))
+      // countDistinct cannot re-aggregate from per-group counts
+      val cd = spark.read.parquet(base).groupBy(col("g"))
+        .agg(countDistinct(col("v")).as("nd"))
+      assert(!MvCatalog.servedFromMv(cd, mv))
+      assert(cd.collect().map(_.getLong(1)).sum == 90L)
+      // avg is not a bare sum/count/min/max — conservative bail
+      val av = spark.read.parquet(base).groupBy(col("g"))
+        .agg(avg(col("v")).as("a"))
+      assert(!MvCatalog.servedFromMv(av, mv))
+      // an aggregate over a column the MV never measured
+      val sid = spark.read.parquet(base).groupBy(col("g"))
+        .agg(sum(col("id")).as("si"))
+      assert(!MvCatalog.servedFromMv(sid, mv))
+    } finally MvCatalog.clear(spark)
+  }
+
+  test("rollup: the freshness gate applies to partial matches too") {
+    import spark.implicits._
+    val base = freshDir() + "/base"
+    val mv = freshDir() + "/mv"
+    (1L to 40L).map(i => (i, s"g${i % 2}", s"h${i % 2}", i))
+      .toDF("id", "g", "h", "v").write.parquet(base)
+    def mvAgg() = spark.read.parquet(base).groupBy(col("g"), col("h"))
+      .agg(sum(col("v")).as("sv"))
+    try {
+      MvCatalog.register(spark, mvAgg(), mv, "v1:test-stale-roll", Seq(base))
+      (41L to 60L).map(i => (i, s"g${i % 2}", s"h${i % 2}", i))
+        .toDF("id", "g", "h", "v").write.mode("append").parquet(base)
+      val q = spark.read.parquet(base).groupBy(col("g"))
+        .agg(sum(col("v")).as("sv"))
+      assert(!MvCatalog.servedFromMv(q, mv),
+        "stale MV must not serve a rollup over changed base data")
+      assert(q.agg(sum(col("sv"))).collect().head.getLong(0)
+        == (1L to 60L).sum, "fallback must see the appended rows")
+    } finally MvCatalog.clear(spark)
+  }
 }
