@@ -13,7 +13,7 @@ object Bench {
     "q_orc_source", "q_xml_source", "q_dsv2_source", "q_dsv2_sink",
     "q_schema_evolution", "q_ivm_join", "q_ivm_delete", "q_time_travel",
     "q_text_source", "q_reaggregate", "dedup_cluster_incr",
-    "q_data_skipping", "q_mv_rewrite", "q_mv_rollup",
+    "q_data_skipping", "q_zorder_skipping", "q_mv_rewrite", "q_mv_rollup",
     "q_dsv2_agg_pushdown")
 
   def main(args: Array[String]): Unit = {

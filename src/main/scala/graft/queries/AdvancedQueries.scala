@@ -561,7 +561,7 @@ object AdvancedQueries {
     "q_data_skipping" -> { (s, dir) =>
       val tmp = s"/root/repo/target/tmp/orders_skip-${new java.io.File(dir).getName}"
       graft.sources.Sinks.ensureDir(s, tmp,
-        "v1:orders,range16/price_cents,skipindex",
+        "v2:orders,range16/price_cents,skipindex",
         inputs = Seq(s"$dir/orders.parquet")) {
         Tables(s, dir, "orders")
           .withColumn("price_cents", cents(col("o_totalprice")))
@@ -576,6 +576,43 @@ object AdvancedQueries {
         "price_cents", 10000000L, 20000000L)
       require(rep.kept < rep.total,
         s"skip index failed to prune: kept ${rep.kept} of ${rep.total} files")
+      band.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          exactSum(col("price_cents")).cast("long").as("sum_cents"))
+        .orderBy("o_orderpriority")
+    },
+
+    // Z-ORDER × FILE-SKIPPING composition (r12 verdict task 6): the same
+    // sidecar primitive, but the layout is a Morton interleave of
+    // (custkey, whole-dollar price) and the sidecar carries BOTH columns'
+    // per-file bounds (SkipIndex.buildMulti) — so a 2-D band prunes files
+    // in both dimensions from one driver-side read, the composition a
+    // single-column range layout cannot express (tight on its sort key,
+    // useless on everything else). Input domains fit the 2^21 Morton lane
+    // at every test SF (custkey ≤ 15k at sf0.1; dollars ≤ ~530k). The
+    // require pins that 2-D pruning genuinely engages; the oracle runs
+    // the identical band over the unpruned base table, so a skip that
+    // drops rows hash-fails.
+    "q_zorder_skipping" -> { (s, dir) =>
+      val tmp = s"/root/repo/target/tmp/orders_zskip-${new java.io.File(dir).getName}"
+      graft.sources.Sinks.ensureDir(s, tmp,
+        "v1:orders,zorder32/custkey+dollars,skipindex2",
+        inputs = Seq(s"$dir/orders.parquet")) {
+        val base = Tables(s, dir, "orders")
+          .withColumn("price_cents", cents(col("o_totalprice")))
+          .withColumn("price_dollars", expr("price_cents DIV 100"))
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            col("o_custkey"), col("price_cents"), col("price_dollars"))
+        graft.operators.Layout.zorderWrite(
+          base, "o_custkey", "price_dollars", tmp, 32)
+        graft.sources.SkipIndex.buildMulti(s, tmp,
+          Seq("o_custkey", "price_dollars"))
+      }
+      val (band, rep) = graft.sources.SkipIndex.prunedReadBands(s, tmp,
+        Seq(("o_custkey", 38L, 75L), ("price_dollars", 100000L, 250000L)))
+      require(rep.kept < rep.total,
+        "2-D band should prune files on the z-order layout " +
+          s"(kept ${rep.kept}/${rep.total})")
       band.groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n"),
           exactSum(col("price_cents")).cast("long").as("sum_cents"))
@@ -1777,6 +1814,16 @@ object AdvancedQueries {
          |  CAST(SUM(${CENTS("o_totalprice")}) AS BIGINT) AS sum_cents
          |FROM orders GROUP BY o_orderstatus
          |ORDER BY o_orderstatus""".stripMargin,
+
+    // identical 2-D band over the unpruned base table: a file skip that
+    // drops rows (or a mis-parsed multi-column sidecar) hash-fails here
+    "q_zorder_skipping" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n,
+         |  CAST(SUM(${CENTS("o_totalprice")}) AS BIGINT) AS sum_cents
+         |FROM orders
+         |WHERE o_custkey BETWEEN 38 AND 75
+         |  AND ${CENTS("o_totalprice")} // 100 BETWEEN 100000 AND 250000
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     // the same band over the unpruned table — a skip that drops rows
     // hash-fails here

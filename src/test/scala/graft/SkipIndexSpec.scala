@@ -93,6 +93,55 @@ class SkipIndexSpec extends SparkTestBase {
     assert(r.passed, r.status.toString)
   }
 
+  test("2-D band over a z-ordered layout prunes on BOTH columns, lossless") {
+    import spark.implicits._
+    val dir = freshDir()
+    // a 64x64 grid z-ordered into 16 files: every file covers one tight
+    // Morton rectangle, so each dimension's per-file extent is ~a quarter
+    // of its domain and a small 2-D band keeps only a few files
+    val rows = for (x <- 0L until 64L; y <- 0L until 64L)
+      yield (x, y, x * 64 + y)
+    graft.operators.Layout.zorderWrite(
+      rows.toDF("x", "y", "v"), "x", "y", dir, 16)
+    SkipIndex.buildMulti(spark, dir, Seq("x", "y"))
+    val (band, rep) = SkipIndex.prunedReadBands(spark, dir,
+      Seq(("x", 10L, 20L), ("y", 40L, 50L)))
+    assert(rep.total == 16 && rep.kept < rep.total,
+      s"2-D band should prune z-ordered files: kept ${rep.kept}/${rep.total}")
+    val got = band.select("v").as[Long].collect().sorted.toSeq
+    val want = rows.collect {
+      case (x, y, v) if x >= 10 && x <= 20 && y >= 40 && y <= 50 => v
+    }.sorted
+    assert(got == want, "2-D pruned read lost or invented rows")
+    // the 1-D special case still reads the same multi-column sidecar
+    val (one, rep1) = SkipIndex.prunedRead(spark, dir, "y", 0L, 15L)
+    assert(rep1.kept < rep1.total)
+    assert(one.count() == 64L * 16L)
+  }
+
+  test("asking for an unindexed column or a corrupt header fails loudly") {
+    import spark.implicits._
+    val dir = freshDir()
+    (0L until 50L).map(i => (i, i * 2)).toDF("k", "v")
+      .write.mode("overwrite").parquet(dir)
+    SkipIndex.build(spark, dir, "k")
+    val e = intercept[IllegalArgumentException] {
+      SkipIndex.prunedReadBands(spark, dir, Seq(("v", 0L, 10L)))
+    }
+    assert(e.getMessage.contains("not in the skip index"))
+    // legacy/garbage sidecar: loud, never a silent full scan (drop the
+    // Hadoop .crc twin too — this test fakes the file behind the FS API)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, SkipIndex.IndexFile),
+      "file:/x\t0\t9\t10\n".getBytes("UTF-8"))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(dir, "." + SkipIndex.IndexFile + ".crc"))
+    val e2 = intercept[IllegalArgumentException] {
+      SkipIndex.prunedRead(spark, dir, "k", 0L, 10L)
+    }
+    assert(e2.getMessage.contains("unrecognized skip-index format"))
+  }
+
   test("missing index fails loudly instead of degrading to a full scan") {
     import spark.implicits._
     val dir = freshDir()
