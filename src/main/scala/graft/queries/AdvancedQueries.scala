@@ -582,6 +582,39 @@ object AdvancedQueries {
         .orderBy("o_orderpriority")
     },
 
+    // MV over a JOIN subtree + rollup routing (r12 verdict stretch): the
+    // registered view aggregates a fact⋈dimension join — the classic
+    // pre-joined summary table — and the query asks for a COARSER slice
+    // (segment only). Tier-2 matching works unchanged because the child
+    // comparison is sameResult over the whole join subtree: the rewrite
+    // replaces scan+join+aggregate with MV scan + re-aggregate. Routing
+    // pinned; the oracle joins the base tables, so a wrong derivation
+    // hash-fails.
+    "q_mv_join_rollup" -> { (s, dir) =>
+      val mvPath = s"/root/repo/target/tmp/mv_seg_prio-${new java.io.File(dir).getName}"
+      def mvOf() = Tables(s, dir, "orders")
+        .join(Tables(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          exactSum(cents(col("o_totalprice"))).as("sum_dec"))
+      graft.plans.MvCatalog.register(s, mvOf(), mvPath,
+        "v1:orders+customer/seg+prio,count+cents",
+        Seq(s"$dir/orders.parquet", s"$dir/customer.parquet"))
+      val q = Tables(s, dir, "orders")
+        .join(Tables(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          exactSum(cents(col("o_totalprice"))).as("sum_dec"))
+      require(graft.plans.MvCatalog.servedFromMv(q, mvPath),
+        "join-subtree MV rollup did not engage — the aggregate is " +
+          "re-running the join")
+      q.select(col("c_mktsegment"), col("n_orders"),
+          col("sum_dec").cast("long").as("sum_cents"))
+        .orderBy("c_mktsegment")
+    },
+
     // Z-ORDER × FILE-SKIPPING composition (r12 verdict task 6): the same
     // sidecar primitive, but the layout is a Morton interleave of
     // (custkey, whole-dollar price) and the sidecar carries BOTH columns'
@@ -1814,6 +1847,14 @@ object AdvancedQueries {
          |  CAST(SUM(${CENTS("o_totalprice")}) AS BIGINT) AS sum_cents
          |FROM orders GROUP BY o_orderstatus
          |ORDER BY o_orderstatus""".stripMargin,
+
+    // the oracle re-runs the JOIN against the base tables: a rollup served
+    // from a mis-matched join view hash-fails
+    "q_mv_join_rollup" ->
+      s"""SELECT c_mktsegment, COUNT(*) AS n_orders,
+         |  CAST(SUM(${CENTS("o_totalprice")}) AS BIGINT) AS sum_cents
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     // identical 2-D band over the unpruned base table: a file skip that
     // drops rows (or a mis-parsed multi-column sidecar) hash-fails here

@@ -162,6 +162,34 @@ class MvRewriteSpec extends SparkTestBase {
     } finally MvCatalog.clear(spark)
   }
 
+  test("rollup: an MV over a JOIN subtree serves coarser slices of it") {
+    import spark.implicits._
+    val baseF = freshDir() + "/fact"
+    val baseD = freshDir() + "/dim"
+    val mv = freshDir() + "/mv"
+    (1L to 120L).map(i => (i, i % 6, i * 10)).toDF("id", "dk", "v")
+      .write.parquet(baseF)
+    (0L to 5L).map(d => (d, s"seg${d % 2}", s"name$d")).toDF("k", "seg", "nm")
+      .write.parquet(baseD)
+    def joined() = spark.read.parquet(baseF)
+      .join(spark.read.parquet(baseD), col("dk") === col("k"))
+    def mvAgg() = joined().groupBy(col("seg"), col("nm"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+    def roll() = joined().groupBy(col("seg"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+    try {
+      MvCatalog.register(spark, mvAgg(), mv, "v1:test-join-roll",
+        Seq(baseF, baseD))
+      val q = roll()
+      assert(MvCatalog.servedFromMv(q, mv),
+        "coarser aggregate over the join did not route through the MV")
+      val got = q.collect().map(_.toString).sorted.toSeq
+      MvCatalog.clear(spark)
+      val direct = roll().collect().map(_.toString).sorted.toSeq
+      assert(got == direct)
+    } finally MvCatalog.clear(spark)
+  }
+
   test("rollup: the freshness gate applies to partial matches too") {
     import spark.implicits._
     val base = freshDir() + "/base"
