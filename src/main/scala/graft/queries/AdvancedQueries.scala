@@ -1204,6 +1204,42 @@ object AdvancedQueries {
         .orderBy("key")
     },
 
+    // RUNTIME (DPP-shaped) filtering through the DSv2 seam: the KV scan
+    // implements SupportsRuntimeFiltering, so a join against a FILTERED
+    // dimension executes the broadcast side first, collects its join
+    // keys, and hands the scan an In("key", ...) before readers launch —
+    // filtered rows never become InternalRows. The require pins that the
+    // planner genuinely planted the dynamicpruning subquery on the v2
+    // scan (not merely that the join worked); the oracle re-runs the join
+    // on the base tables, so a lossy runtime filter hash-fails. At 100 TB
+    // this is the dimension-driven fact-scan reduction DPP gives file
+    // sources, extended to the custom connector.
+    "q_dsv2_runtime_filter" -> { (s, dir) =>
+      val tmp =
+        s"/root/repo/target/tmp/orders_kvcust-${new java.io.File(dir).getName}"
+      graft.sources.Sinks.ensureDir(s, tmp, "v1:orders,kvtext/custkey",
+        inputs = Seq(s"$dir/orders.parquet")) {
+        Tables(s, dir, "orders")
+          .select(concat_ws("\t", col("o_custkey").cast("string"),
+            cents(col("o_totalprice")).cast("string")).as("value"))
+          .write.mode("overwrite").text(tmp)
+      }
+      val dim = Tables(s, dir, "customer")
+        .where(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").cast("string").as("ck"),
+          col("c_mktsegment"))
+      val joined = s.read
+        .format(classOf[graft.sources.KvTextSource].getName).load(tmp)
+        .join(dim, col("key") === col("ck"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("value")).as("sum_cents"))
+      require(joined.queryExecution.executedPlan.toString
+          .contains("RuntimeFilters: [dynamicpruning"),
+        "no runtime filter planted on the v2 scan — the DPP seam is dead")
+      joined.orderBy("c_mktsegment")
+    },
+
     // The connector's WRITE half: customer balances go OUT through the DSv2
     // two-phase commit (tasks stage, driver commit renames + _SUCCESS —
     // KvTextSinkSpec drives the duplicate-attempt and abort cases directly)
@@ -2102,6 +2138,15 @@ object AdvancedQueries {
          |  CAST(SUM(${CENTS("o_totalprice")}) AS DOUBLE)/100.0 AS rev
          |FROM orders WHERE ${CENTS("o_totalprice")} >= 20000000
          |GROUP BY 1 ORDER BY key""".stripMargin,
+
+    // the runtime filter is invisible in the result (row-level skip, no
+    // drops): the oracle is the plain dim-filtered join on base tables
+    "q_dsv2_runtime_filter" ->
+      s"""SELECT c_mktsegment, COUNT(*) AS n_orders,
+         |  CAST(SUM(${CENTS("o_totalprice")}) AS BIGINT) AS sum_cents
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     // the bloom prefilter is invisible in the result (no false negatives;
     // false positives die in the semi join) — the oracle is the plain form.

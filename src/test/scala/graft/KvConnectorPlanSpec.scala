@@ -61,4 +61,23 @@ class KvConnectorPlanSpec extends SparkTestBase {
     assert(rows.sorted.toSeq == Seq(2L, 3L),
       "runtime In filter did not reach the partition readers")
   }
+
+  test("end-to-end DPP: a dim-filtered join plants a runtime filter on " +
+      "the v2 scan and results stay exact") {
+    import spark.implicits._
+    val dir = writeKv((0 until 200).map(i => s"k$i\t$i"))
+    val dimDir = Files.createTempDirectory("graft-kvdim").toString
+    (0 until 200).map(i => (s"k$i", s"seg${i % 10}"))
+      .toDF("k", "seg").write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir).where(col("seg") === "seg3")
+    val q = kv(dir).join(dim, col("key") === col("k"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("RuntimeFilters: [dynamicpruning"),
+      s"no runtime filter planted on the v2 scan:\n$plan")
+    val r = q.collect().head
+    val want = (0 until 200).filter(_ % 10 == 3)
+    assert(r.getLong(0) == want.size.toLong && r.getLong(1) == want.sum.toLong,
+      s"runtime-filtered join result wrong: $r")
+  }
 }
