@@ -1240,6 +1240,59 @@ object AdvancedQueries {
       joined.orderBy("c_mktsegment")
     },
 
+    // TOP-N pushdown through the DSv2 seam (SupportsPushDownTopN, partial
+    // contract): each split folds through a bounded 10-row heap inside
+    // the connector, so 10 rows per split — not the split's row count —
+    // cross the boundary, and Spark's retained Sort+Limit merges. The
+    // require pins that the planner genuinely pushed the ordering; the
+    // oracle replays the identical ORDER BY ... LIMIT on the base table
+    // (unique orderkey tiebreak keeps the row SET deterministic under
+    // value ties), so a heap that keeps the wrong rows hash-fails.
+    "q_dsv2_topn" -> { (s, dir) =>
+      val tmp =
+        s"/root/repo/target/tmp/orders_kvok-${new java.io.File(dir).getName}"
+      graft.sources.Sinks.ensureDir(s, tmp, "v1:orders,kvtext/orderkey",
+        inputs = Seq(s"$dir/orders.parquet")) {
+        Tables(s, dir, "orders")
+          .select(concat_ws("\t", col("o_orderkey").cast("string"),
+            cents(col("o_totalprice")).cast("string")).as("value"))
+          .write.mode("overwrite").text(tmp)
+      }
+      val q = s.read
+        .format(classOf[graft.sources.KvTextSource].getName).load(tmp)
+        .orderBy(col("value").desc, col("key").asc)
+        .limit(10)
+      require(q.queryExecution.executedPlan.toString
+          .contains("PushedTopN: [value DESC, key ASC],10"),
+        "top-N did not push into the v2 scan")
+      q
+    },
+
+    // LIMIT pushdown (SupportsPushDownLimit, partial contract): readers
+    // stop the byte-parse loop after k rows, bounding per-split work; the
+    // retained global limit makes the count exact. WHICH rows survive is
+    // inherently nondeterministic, so the gate pins the deterministic
+    // surface — the exact row count — plus the plan-level require; the
+    // reader-level early-stop contract lives in KvConnectorPlanSpec.
+    "q_dsv2_limit" -> { (s, dir) =>
+      val tmp =
+        s"/root/repo/target/tmp/orders_kvok-${new java.io.File(dir).getName}"
+      graft.sources.Sinks.ensureDir(s, tmp, "v1:orders,kvtext/orderkey",
+        inputs = Seq(s"$dir/orders.parquet")) {
+        Tables(s, dir, "orders")
+          .select(concat_ws("\t", col("o_orderkey").cast("string"),
+            cents(col("o_totalprice")).cast("string")).as("value"))
+          .write.mode("overwrite").text(tmp)
+      }
+      val lim = s.read
+        .format(classOf[graft.sources.KvTextSource].getName).load(tmp)
+        .limit(50)
+      require(lim.queryExecution.executedPlan.toString
+          .contains("PushedLimit: 50"),
+        "limit did not push into the v2 scan")
+      lim.agg(count(lit(1)).as("n"))
+    },
+
     // The connector's WRITE half: customer balances go OUT through the DSv2
     // two-phase commit (tasks stage, driver commit renames + _SUCCESS —
     // KvTextSinkSpec drives the duplicate-attempt and abort cases directly)
@@ -2138,6 +2191,17 @@ object AdvancedQueries {
          |  CAST(SUM(${CENTS("o_totalprice")}) AS DOUBLE)/100.0 AS rev
          |FROM orders WHERE ${CENTS("o_totalprice")} >= 20000000
          |GROUP BY 1 ORDER BY key""".stripMargin,
+
+    // identical ORDER BY ... LIMIT on the base table: a per-split heap
+    // that keeps the wrong rows (or a broken partial merge) hash-fails
+    "q_dsv2_topn" ->
+      s"""SELECT CAST(o_orderkey AS VARCHAR) AS key,
+         |  ${CENTS("o_totalprice")} AS value
+         |FROM orders ORDER BY value DESC, key LIMIT 10""".stripMargin,
+
+    // the deterministic surface of an unordered LIMIT is its exact count
+    "q_dsv2_limit" ->
+      s"""SELECT COUNT(*) AS n FROM (SELECT * FROM orders LIMIT 50)""",
 
     // the runtime filter is invisible in the result (row-level skip, no
     // drops): the oracle is the plain dim-filtered join on base tables

@@ -128,14 +128,17 @@ final class KvTable(path: String) extends Table
 final class KvScanBuilder(path: String, maxSplitBytes: Long)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates
+    with SupportsPushDownLimit with SupportsPushDownTopN {
 
-  import org.apache.spark.sql.connector.expressions.{Expression => V2Expr, NamedReference}
+  import org.apache.spark.sql.connector.expressions.{Expression => V2Expr, NamedReference, SortDirection, SortOrder => V2SortOrder}
   import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min, Sum}
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = KvTextSource.Schema
   private var aggregation: Option[Aggregation] = None
+  private var limit: Option[Int] = None
+  private var topN: Option[(Seq[(String, Boolean)], Int)] = None
 
   private def supported(f: Filter): Boolean = f match {
     case EqualTo(a, _) => a == "key" || a == "value"
@@ -186,14 +189,50 @@ final class KvScanBuilder(path: String, maxSplitBytes: Long)
     if (groupOk && aggsOk) { aggregation = Some(agg); true } else false
   }
 
+  /** LIMIT pushdown (PARTIAL contract — isPartiallyPushed stays true, so
+    * Spark keeps its own global limit): each reader stops after `limit`
+    * rows, bounding parse work per split instead of per corpus. Refused
+    * under a pushed aggregation — a cap on PARTIAL rows would drop groups
+    * (the plan shapes never co-occur today; this is the defensive seam). */
+  override def pushLimit(l: Int): Boolean =
+    if (aggregation.isDefined) false else { limit = Some(l); true }
+
+  /** TOP-N pushdown (PARTIAL contract): each split keeps its k best rows
+    * under the requested ordering in a bounded heap — k rows per split
+    * cross the connector boundary instead of the split's row count, and
+    * Spark's retained Sort+Limit finishes the merge. Supported shape:
+    * ordering over bare key/value references (key and value are never
+    * null, so null ordering is vacuous); anything else refuses and falls
+    * back to the row scan. */
+  override def pushTopN(orders: Array[V2SortOrder], l: Int): Boolean = {
+    def col(e: V2Expr): Option[String] = e match {
+      case nr: NamedReference if nr.fieldNames.length == 1 =>
+        Some(nr.fieldNames()(0))
+      case _ => None
+    }
+    val parsed = orders.toSeq.map(o => col(o.expression())
+      .filter(n => n == "key" || n == "value")
+      .map(n => (n, o.direction() == SortDirection.ASCENDING)))
+    if (aggregation.isEmpty && parsed.nonEmpty && parsed.forall(_.isDefined)) {
+      topN = Some((parsed.flatten, l)); true
+    } else false
+  }
+
+  // both pushdowns are per-SPLIT caps: Spark must keep its global
+  // limit/sort (the two inherited defaults collide, so state it once)
+  override def isPartiallyPushed(): Boolean = true
+
   override def build(): Scan = aggregation match {
     case Some(agg) => new KvAggScan(path, pushed, agg, maxSplitBytes)
-    case None => new KvScan(path, pushed, required, maxSplitBytes)
+    case None =>
+      new KvScan(path, pushed, required, maxSplitBytes, topN, limit)
   }
 }
 
 final class KvScan(path: String, filters: Array[Filter], required: StructType,
-    maxSplitBytes: Long) extends Scan with Batch
+    maxSplitBytes: Long,
+    topN: Option[(Seq[(String, Boolean)], Int)] = None,
+    limit: Option[Int] = None) extends Scan with Batch
     with SupportsReportStatistics with SupportsRuntimeFiltering {
 
   // RUNTIME filters (SupportsRuntimeFiltering): under a DPP-shaped join,
@@ -236,9 +275,16 @@ final class KvScan(path: String, filters: Array[Filter], required: StructType,
   override def readSchema(): StructType = required
 
   // surfaces in .explain so tests can pin that pushdown/pruning happened
-  override def description(): String =
-    s"graft-kv $path PushedFilters: ${filters.mkString("[", ", ", "]")} " +
+  override def description(): String = {
+    val t = topN.map { case (os, k) =>
+      val o = os.map { case (n, asc) => s"$n ${if (asc) "ASC" else "DESC"}" }
+      s" PushedTopN: [${o.mkString(", ")}],$k"
+    }.getOrElse("")
+    val lm = limit.filter(_ => topN.isEmpty)
+      .map(k => s" PushedLimit: $k").getOrElse("")
+    s"graft-kv $path PushedFilters: ${filters.mkString("[", ", ", "]")}$t$lm " +
       s"ReadSchema: ${required.fieldNames.mkString(",")}"
+  }
 
   override def toBatch: Batch = this
 
@@ -253,7 +299,7 @@ final class KvScan(path: String, filters: Array[Filter], required: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new KvReaderFactory(filters ++ runtime, required,
-      KvTextSource.sessionConfMap())
+      KvTextSource.sessionConfMap(), topN, limit)
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
@@ -414,12 +460,91 @@ final case class KvInputPartition(file: String, start: Long, end: Long)
     extends InputPartition
 
 final class KvReaderFactory(filters: Array[Filter], required: StructType,
-    confMap: Map[String, String]) extends PartitionReaderFactory {
+    confMap: Map[String, String],
+    topN: Option[(Seq[(String, Boolean)], Int)] = None,
+    limit: Option[Int] = None) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val kp = p.asInstanceOf[KvInputPartition]
-    new KvPartitionReader(kp.file, kp.start, kp.end, filters, required,
-      confMap)
+    val base = new KvPartitionReader(kp.file, kp.start, kp.end, filters,
+      required, confMap)
+    topN match {
+      case Some((orders, k)) =>
+        new KvTopNPartitionReader(base, required, orders, k)
+      case None => limit match {
+        case Some(k) => new KvLimitPartitionReader(base, k)
+        case None => base
+      }
+    }
   }
+}
+
+/** Pushed-LIMIT wrapper: stops the byte-parse loop after `k` rows — the
+  * per-split cap of the partial contract (Spark's retained global limit
+  * finishes the job). */
+final class KvLimitPartitionReader(inner: PartitionReader[InternalRow],
+    k: Int) extends PartitionReader[InternalRow] {
+  private var n = 0
+  override def next(): Boolean =
+    n < k && inner.next() && { n += 1; true }
+  override def get(): InternalRow = inner.get()
+  override def close(): Unit = inner.close()
+}
+
+/** Pushed-TOP-N wrapper: folds the split through a bounded k-row heap
+  * under the requested (column, direction) ordering and emits the k best
+  * in ARBITRARY order — the partial contract lets Spark's retained Sort
+  * finish, so only k rows per split ever cross the connector boundary.
+  * Rows are copied out of the inner reader's reused slot (its UTF8Strings
+  * already own their bytes); memory is O(k), never split-sized. The sort
+  * columns are guaranteed present in `required`: Spark keeps the Sort it
+  * pushed partially, so its references survive column pruning. */
+final class KvTopNPartitionReader(inner: PartitionReader[InternalRow],
+    required: StructType, orders: Seq[(String, Boolean)], k: Int)
+    extends PartitionReader[InternalRow] {
+
+  private val ords: Seq[(Int, Boolean, Boolean)] = orders.map {
+    case (name, asc) =>
+      val i = required.fieldNames.indexOf(name)
+      require(i >= 0, s"top-N sort column $name missing from read schema " +
+        s"(${required.fieldNames.mkString(",")}) — planner contract breach")
+      (i, asc, required.fields(i).dataType == StringType)
+  }
+
+  private val cmp = new java.util.Comparator[InternalRow] {
+    override def compare(a: InternalRow, b: InternalRow): Int = {
+      var r = 0
+      val it = ords.iterator
+      while (r == 0 && it.hasNext) {
+        val (i, asc, isStr) = it.next()
+        val c =
+          if (isStr) a.getUTF8String(i).compareTo(b.getUTF8String(i))
+          else java.lang.Long.compare(a.getLong(i), b.getLong(i))
+        r = if (asc) c else -c
+      }
+      r
+    }
+  }
+
+  private lazy val top: java.util.Iterator[InternalRow] = {
+    // keep the k FIRST rows of the requested order: max-heap on cmp so
+    // the current worst sits at the root and loses to any better row
+    val heap = new java.util.PriorityQueue[InternalRow](
+      math.max(1, k), cmp.reversed())
+    while (inner.next()) {
+      val r = inner.get()
+      if (heap.size < k) heap.add(r.copy())
+      else if (cmp.compare(r, heap.peek()) < 0) {
+        heap.poll(); heap.add(r.copy()): Unit
+      }
+    }
+    heap.iterator()
+  }
+
+  private var cur: InternalRow = _
+  override def next(): Boolean =
+    if (top.hasNext) { cur = top.next(); true } else false
+  override def get(): InternalRow = cur
+  override def close(): Unit = inner.close()
 }
 
 final class KvAggReaderFactory(filters: Array[Filter], kinds: Array[Int],

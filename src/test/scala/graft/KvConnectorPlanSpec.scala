@@ -80,4 +80,52 @@ class KvConnectorPlanSpec extends SparkTestBase {
     assert(r.getLong(0) == want.size.toLong && r.getLong(1) == want.sum.toLong,
       s"runtime-filtered join result wrong: $r")
   }
+
+  test("LIMIT pushes into the scan; readers stop early; global limit exact") {
+    val dir = writeKv((0 until 500).map(i => s"k$i\t$i"))
+    val q = kv(dir).limit(7)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedLimit: 7"),
+      s"limit not pushed into the scan:\n$plan")
+    assert(q.count() == 7L, "pushed limit changed the global row count")
+    // reader-level contract: a wrapped reader emits at most k rows even
+    // when its split holds far more
+    val builder = new graft.sources.KvScanBuilder(dir, 128L * 1024 * 1024)
+    assert(builder.pushLimit(3))
+    val scan = builder.build().asInstanceOf[graft.sources.KvScan]
+    val factory = scan.toBatch.createReaderFactory()
+    scan.toBatch.planInputPartitions().foreach { p =>
+      val r = factory.createReader(p)
+      var n = 0
+      while (r.next()) n += 1
+      r.close()
+      assert(n <= 3, s"reader emitted $n rows past the pushed limit")
+    }
+  }
+
+  test("TOP-N pushes into the scan and equals the unpushed ordering") {
+    val rng = new scala.util.Random(17)
+    val vals = rng.shuffle((0 until 400).toList)
+    val dir = writeKv(vals.zipWithIndex.map { case (v, i) => s"k$i\t$v" })
+    val q = kv(dir).orderBy(col("value").desc, col("key").asc).limit(10)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedTopN: [value DESC, key ASC],10"),
+      s"top-N not pushed into the scan:\n$plan")
+    val got = q.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val want = vals.zipWithIndex
+      .map { case (v, i) => (s"k$i", v.toLong) }
+      .sortBy { case (k, v) => (-v, k) }.take(10)
+    assert(got == want, s"pushed top-N diverges: $got vs $want")
+  }
+
+  test("TOP-N over an unsupported ordering refuses and falls back") {
+    val dir = writeKv(Seq("a\t3", "b\t1", "c\t2"))
+    // an expression ordering (value + 1) is not a bare column reference:
+    // the builder must refuse so Spark runs the ordinary sort
+    val q = kv(dir).orderBy((col("value") + 1).desc).limit(2)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("PushedTopN"),
+      s"non-column ordering must not push:\n$plan")
+    assert(q.collect().map(_.getLong(1)).toSeq == Seq(3L, 2L))
+  }
 }

@@ -375,4 +375,134 @@ class StreamingRestartSpec extends SparkTestBase {
     assert(got == want, "restarted streaming LSH diverged from batch join")
     assert(got.nonEmpty, "fixture should contain near-dup pairs")
   }
+
+  test("dropDuplicatesWithinWatermark restarted from checkpoint suppresses " +
+      "cross-restart duplicates") {
+    import spark.implicits._
+    // the dedup-state engine's recovery half: a batch-2 duplicate of a
+    // batch-1 key must NOT re-emit after a kill/restart — that only holds
+    // if the key state reloads from the checkpoint (driver memory is gone)
+    val tmp = Files.createTempDirectory("graft-restart-dedup").toString
+    val docs = Tables(spark, sf, "documents")
+    val schema = docs.schema
+    val median = docs
+      .selectExpr(
+        "CAST(percentile_cont(0.5) WITHIN GROUP (ORDER BY doc_id) AS BIGINT)")
+      .head().getLong(0)
+    val norm = docs.withColumn("norm_md5",
+      graft.functions.Portable.normMd5(col("text")))
+    // the corpus has no natural exact dups, so batch 2 REPLAYS batch 1's
+    // texts under fresh doc_ids (same norm_md5) — every batch-1 key
+    // reappears after the restart, which is exactly the suppression the
+    // recovered state must provide (a stateless restart re-emits them all)
+    val b1 = docs.where(col("doc_id") <= median)
+    val b2 = b1.withColumn("doc_id", col("doc_id") + lit(10000000L))
+      .union(docs.where(col("doc_id") > median))
+
+    def startQuery(): StreamingQuery =
+      graft.streaming.StreamingOps.withStreamShuffle(spark) {
+        graft.streaming.StreamingOps.dedupStream(
+            spark.readStream.schema(schema).parquet(s"$tmp/in/*.parquet"))
+          .writeStream.format("parquet")
+          .option("path", s"$tmp/out")
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .outputMode("append")
+          .start()
+      }
+
+    b1.write.parquet(s"$tmp/in/b1.parquet")
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+
+    val q2 = startQuery()
+    try {
+      b2.write.parquet(s"$tmp/in/b2.parquet")
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    val emits = spark.read.parquet(s"$tmp/out")
+      .groupBy(col("norm_md5")).agg(count(lit(1)).as("n"))
+    assert(emits.where(col("n") > 1).isEmpty,
+      "a key re-emitted across the restart — dedup state was lost")
+    // the surviving doc of every replayed key is the FIRST-SEEN (batch-1)
+    // one: a stateless restart would have emitted the +10M replay instead
+    assert(spark.read.parquet(s"$tmp/out")
+        .where(col("doc_id") >= 10000000L).isEmpty,
+      "a replayed duplicate emitted — first-seen state did not survive")
+    val gotKeys = emits.select("norm_md5").as[String].collect().toSet
+    val wantKeys = norm.select("norm_md5").distinct()
+      .as[String].collect().toSet
+    assert(gotKeys == wantKeys,
+      "emitted key set diverges from the corpus's distinct keys")
+  }
+
+  test("builtin session_window aggregate restarted from checkpoint merges " +
+      "session state across the kill") {
+    // the merging-session state store's recovery half: the kill lands with
+    // every user's open session held as window partials; the restarted run
+    // must reload and keep MERGING them as later events close gaps — a
+    // lost/unmerged partial shows up as split or truncated sessions vs the
+    // batch session_window aggregate
+    val tmp = Files.createTempDirectory("graft-restart-sessw").toString
+    val ev = Tables(spark, sf, "events")
+    val schema = ev.schema
+    val median = ev
+      .selectExpr(
+        "CAST(percentile_cont(0.5) WITHIN GROUP (ORDER BY ts) AS BIGINT)")
+      .head().getLong(0)
+    val maxTs = ev.agg(max(col("ts"))).head().getLong(0)
+    def sentinel(uid: Long, ts: Long) =
+      spark.range(1).select(lit(uid).as("event_id"), lit(ts).as("ts"),
+        lit(uid).as("user_id"), lit("click").as("event_type"),
+        lit(0.0).as("value"), lit("{}").as("props"))
+    // one definition drives both sides: withWatermark is a no-op in batch
+    // mode, so the streaming query and the batch expectation share it
+    def sessions(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("ts_t", timestamp_micros(col("ts_us")))
+      .withWatermark("ts_t", "1 second")
+      .withColumn("val_cents", cents(col("value")))
+      .groupBy(col("user_id"),
+        session_window(col("ts_t"), "30 minutes 1 microsecond"))
+      .agg(min(col("ts_us")).as("sess_start_us"),
+        max(col("ts_us")).as("sess_end_us"),
+        count(lit(1)).as("n_events"),
+        (sum(col("val_cents")).cast("double") / lit(100.0)).as("val_sum"))
+      .select(col("user_id"), col("sess_start_us"), col("sess_end_us"),
+        col("n_events"), col("val_sum"))
+
+    def startQuery(): StreamingQuery =
+      graft.streaming.StreamingOps.withStreamShuffle(spark) {
+        sessions(spark.readStream.schema(schema)
+            .parquet(s"$tmp/in/*.parquet"))
+          .writeStream.format("parquet")
+          .option("path", s"$tmp/out")
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .outputMode("append")
+          .start()
+      }
+
+    ev.where(col("ts") <= median).write.parquet(s"$tmp/in/b1.parquet")
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+
+    val q2 = startQuery()
+    try {
+      ev.where(col("ts") > median).write.parquet(s"$tmp/in/b2.parquet")
+      q2.processAllAvailable()
+      sentinel(-1L, maxTs + 3600L * 1000 * 1000 * 1000)
+        .write.parquet(s"$tmp/in/s1.parquet")
+      q2.processAllAvailable()
+      sentinel(-2L, maxTs + 7200L * 1000 * 1000 * 1000)
+        .write.parquet(s"$tmp/in/s2.parquet")
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    val got = spark.read.parquet(s"$tmp/out")
+      .where(col("user_id") >= 0)
+      .collect().map(_.toString).sorted.toSeq
+    val want = sessions(ev).collect().map(_.toString).sorted.toSeq
+    assert(got == want,
+      "session state across the restart diverges from the batch aggregate")
+  }
 }
