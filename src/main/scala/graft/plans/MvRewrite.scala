@@ -37,8 +37,13 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   * runs only on a structural match. */
 object MvCatalog {
 
+  /** `snapshot = Some((base, v))` switches the freshness probe from the
+    * file-listing fingerprint to a SnapshotTable head-version compare —
+    * the production pattern (one commit-counter read instead of LISTing
+    * every base file per structural hit). */
   final case class Entry(definition: LogicalPlan, mvPath: String,
-      fingerprint: String, inputs: Seq[String])
+      fingerprint: String, inputs: Seq[String],
+      snapshot: Option[(String, Int)] = None)
 
   // WEAK-keyed by session: a static strong-keyed map would pin every
   // SparkSession (and its whole state) for JVM lifetime (r12 ADVICE).
@@ -69,18 +74,47 @@ object MvCatalog {
   }
 
   /** Structural match first (cheap, in-memory), THEN the freshness
-    * fingerprint (one LIST of the base inputs) only on a hit. */
+    * probe (fingerprint LIST or snapshot head-version) only on a hit. */
   def lookup(spark: SparkSession, plan: LogicalPlan): Option[Entry] =
     Option(entries.get(spark)).getOrElse(Nil).find { e =>
-      plan.sameResult(e.definition) &&
-        graft.sources.Sinks.fingerprint(spark, e.inputs: _*) == e.fingerprint
+      plan.sameResult(e.definition) && fresh(spark, e)
     }
+
+  /** Register an MV whose base is a [[graft.sources.SnapshotTable]]:
+    * freshness is the table's committed head VERSION at materialization —
+    * a later commit silently disables the view until re-registration.
+    * The write-once layer keys on (tag, version) with the version's
+    * manifest file as its fingerprint input, so a head advance rebuilds
+    * the materialization exactly once. */
+  def registerSnapshot(spark: SparkSession, df: DataFrame, mvPath: String,
+      tag: String, snapshotBase: String): Int = {
+    val v = graft.sources.SnapshotTable.headVersion(spark, snapshotBase)
+    require(v >= 1, s"no committed snapshot under $snapshotBase")
+    val live0 = Option(entries.get(spark)).getOrElse(Nil)
+    if (live0.exists(e => e.mvPath == mvPath &&
+        e.snapshot.contains((snapshotBase, v)))) return v
+    val manifest = graft.sources.SnapshotTable.manifestFile(snapshotBase, v)
+    graft.sources.Sinks.ensureDir(spark, mvPath, s"$tag@mv-v$v",
+        Seq(manifest)) {
+      df.write.mode("overwrite").parquet(mvPath)
+    }
+    val e = Entry(df.queryExecution.analyzed, mvPath, s"snapshot@v$v",
+      Seq(manifest), Some((snapshotBase, v)))
+    entries.compute(spark, (_, old) =>
+      e :: (if (old == null) Nil else old.filterNot(_.mvPath == mvPath)))
+    v
+  }
 
   private[plans] def live(spark: SparkSession): List[Entry] =
     Option(entries.get(spark)).getOrElse(Nil)
 
   private[plans] def fresh(spark: SparkSession, e: Entry): Boolean =
-    graft.sources.Sinks.fingerprint(spark, e.inputs: _*) == e.fingerprint
+    e.snapshot match {
+      case Some((base, v)) =>
+        graft.sources.SnapshotTable.headVersion(spark, base) == v
+      case None =>
+        graft.sources.Sinks.fingerprint(spark, e.inputs: _*) == e.fingerprint
+    }
 
   def clear(spark: SparkSession): Unit = { entries.remove(spark); () }
 

@@ -1536,6 +1536,59 @@ object AdvancedQueries {
       }.reduce(_.unionAll(_)).orderBy("version")
     },
 
+    // Snapshot-VERSIONED MV freshness (MvCatalog.registerSnapshot): the
+    // production freshness pattern the fingerprint tier's scaladoc
+    // promises — the view's validity keys on the snapshot table's
+    // committed HEAD VERSION (one commit-counter read per structural hit)
+    // instead of LISTing every base file. The MV aggregates the head (v3,
+    // merge-on-read deletes applied); a later commit to the base would
+    // silently disable it until re-registration (MvRewriteSpec drives
+    // that transition). Shares q_time_travel's write-once snapshot base —
+    // every ensureDir/commit here is an idempotent replay.
+    "q_mv_snapshot" -> { (s, dir) =>
+      import graft.sources.{SnapshotTable => ST}
+      val base =
+        s"/root/repo/target/tmp/orders_tt-${new java.io.File(dir).getName}"
+      val cut = "1996-01-01"
+      graft.sources.Sinks.ensureDir(s, s"$base/data_v1", "v1:orders_pre",
+        inputs = Seq(s"$dir/orders.parquet")) {
+        Tables(s, dir, "orders").where(col("o_orderdate") < lit(cut))
+          .write.mode("overwrite").parquet(s"$base/data_v1")
+      }
+      graft.sources.Sinks.ensureDir(s, s"$base/data_v2", "v1:orders_delta",
+        inputs = Seq(s"$dir/orders.parquet")) {
+        Tables(s, dir, "orders").where(col("o_orderdate") >= lit(cut))
+          .write.mode("overwrite").parquet(s"$base/data_v2")
+      }
+      graft.sources.Sinks.ensureDir(s, s"$base/del_v3", "v1:erase_batch",
+        inputs = Seq(s"$dir/orders.parquet")) {
+        Tables(s, dir, "orders")
+          .where(pmod(md5Long(col("o_orderkey").cast("string")), lit(11))
+            === 5)
+          .select(col("o_orderkey"))
+          .write.mode("overwrite").parquet(s"$base/del_v3")
+      }
+      ST.commit(s, base, 1, ST.Snapshot(Seq(s"$base/data_v1"), Nil))
+      ST.commit(s, base, 2,
+        ST.Snapshot(Seq(s"$base/data_v1", s"$base/data_v2"), Nil))
+      ST.commit(s, base, 3,
+        ST.Snapshot(Seq(s"$base/data_v1", s"$base/data_v2"),
+          Seq(s"$base/del_v3")))
+      val mvPath =
+        s"/root/repo/target/tmp/mv_snap-${new java.io.File(dir).getName}"
+      def aggOf() = ST.readVersion(s, base, 3, "o_orderkey")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          moneySum(col("o_totalprice")).as("rev"))
+      val v = graft.plans.MvCatalog.registerSnapshot(
+        s, aggOf(), mvPath, "v1:orders_tt/prio@head", base)
+      require(v == 3, s"expected snapshot head v3, found v$v")
+      val q = aggOf()
+      require(graft.plans.MvCatalog.servedFromMv(q, mvPath),
+        "snapshot-versioned MV did not serve the head aggregate")
+      q.orderBy("o_orderpriority")
+    },
+
     // Retention VACUUM (SnapshotTable.vacuum) — the third leg of the
     // snapshot maintenance trio (time travel reads history, compaction
     // folds deletes, vacuum BOUNDS history): a compaction rewrite makes v3
@@ -1848,6 +1901,15 @@ object AdvancedQueries {
          |FROM orders
          |WHERE ${MD5LONG("CAST(o_orderkey AS VARCHAR)")} % 11 <> 5
          |ORDER BY version""".stripMargin,
+
+    // head-version (v3) ground truth from the base table: a stale MV or a
+    // wrong merge-on-read delete application hash-fails
+    "q_mv_snapshot" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n_orders,
+         |  ${MONEY("o_totalprice")} AS rev
+         |FROM orders
+         |WHERE ${MD5LONG("CAST(o_orderkey AS VARCHAR)")} % 11 <> 5
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     // post-vacuum v3 must still hold the FULL orders content; report
     // counts are deterministic by construction (2 old manifests dropped,

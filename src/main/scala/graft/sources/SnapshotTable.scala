@@ -300,6 +300,28 @@ object SnapshotTable {
     VacuumReport(old.size, removed, live.size)
   }
 
+  /** Highest committed version under `base` (0 when none): one LIST of
+    * the base dir. This is the freshness token production MV/caching
+    * layers key on — an O(1)-ish probe against the table's commit
+    * counter, where fingerprinting the data would LIST every file. A
+    * manifest's presence is enough for head DISCOVERY; its content is
+    * still crc-validated at read time by [[manifest]]. */
+  def headVersion(spark: SparkSession, base: String): Int = {
+    val b = new Path(base)
+    val fs = fsFor(spark, b)
+    if (!fs.exists(b)) 0
+    else fs.listStatus(b).iterator.map(_.getPath.getName)
+      .filter(_.startsWith("_MANIFEST_v"))
+      .map(_.stripPrefix("_MANIFEST_v"))
+      .filter(_.forall(_.isDigit)).map(_.toInt)
+      .foldLeft(0)(math.max)
+  }
+
+  /** The manifest file path for version `v` — exposed so write-once MV
+    * layers can name it as their (tiny) fingerprint input. */
+  def manifestFile(base: String, v: Int): String =
+    manifestPath(base, v).toString
+
   def readVersion(spark: SparkSession, base: String, v: Int,
       keyCol: String): DataFrame = {
     val snap = manifest(spark, base, v)

@@ -190,6 +190,44 @@ class MvRewriteSpec extends SparkTestBase {
     } finally MvCatalog.clear(spark)
   }
 
+  test("snapshot-registered MV: freshness keys on the committed head " +
+      "version, not a file fingerprint") {
+    import spark.implicits._
+    import graft.sources.{SnapshotTable => ST}
+    val base = freshDir() + "/snap"
+    val mv = freshDir() + "/mv"
+    val d1 = s"$base/d1"
+    (1L to 60L).map(i => (i, s"g${i % 3}", i)).toDF("k", "g", "v")
+      .write.parquet(d1)
+    ST.commit(spark, base, 1, ST.Snapshot(Seq(d1), Nil))
+    def agg(ver: Int) = ST.readVersion(spark, base, ver, "k")
+      .groupBy(col("g")).agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+    try {
+      val v = MvCatalog.registerSnapshot(spark, agg(1), mv, "v1:snapmv", base)
+      assert(v == 1)
+      assert(MvCatalog.servedFromMv(agg(1), mv),
+        "head-version MV did not serve")
+      // a new commit moves the head: the view silently disables — even for
+      // the structurally-identical v1 aggregate — until re-registration
+      val d2 = s"$base/d2"
+      (61L to 90L).map(i => (i, s"g${i % 3}", i)).toDF("k", "g", "v")
+        .write.parquet(d2)
+      ST.commit(spark, base, 2, ST.Snapshot(Seq(d1, d2), Nil))
+      assert(!MvCatalog.servedFromMv(agg(1), mv),
+        "superseded-head MV must not serve after a commit")
+      // re-registering at the new head rebuilds the layer (tag carries the
+      // version) and serves the v2 aggregate
+      val v2 = MvCatalog.registerSnapshot(spark, agg(2), mv, "v1:snapmv", base)
+      assert(v2 == 2)
+      val q = agg(2)
+      assert(MvCatalog.servedFromMv(q, mv))
+      val got = q.collect().map(_.toString).sorted.toSeq
+      MvCatalog.clear(spark)
+      val direct = agg(2).collect().map(_.toString).sorted.toSeq
+      assert(got == direct, "re-registered head MV diverges from direct")
+    } finally MvCatalog.clear(spark)
+  }
+
   test("rollup: the freshness gate applies to partial matches too") {
     import spark.implicits._
     val base = freshDir() + "/base"
