@@ -894,8 +894,7 @@ object DedupQueries {
     // collapse to ONE kept doc). Min-label flooding in GraphOps; cluster_id
     // is the smallest member doc_id, so "keep" = (doc_id == cluster_id).
     "dedup_cluster" -> { (s, dir) =>
-      clusterReport(graft.operators.GraphOps.connectedComponents(
-        simhashPairs(s, dir).select(col("doc_a"), col("doc_b"))))
+      clusterReport(ccLabels(s, dir))
     },
 
     // Same clusters via Kiveris large-star/small-star contraction — the
@@ -956,8 +955,7 @@ object DedupQueries {
     // cluster (≤1 row per cluster per task — never a ranking window over
     // cluster_id, which a mass-duplicate cluster would serialize).
     "dedup_keep_best" -> { (s, dir) =>
-      val cc = graft.operators.GraphOps.connectedComponents(
-        simhashPairs(s, dir).select(col("doc_a"), col("doc_b")))
+      val cc = ccLabels(s, dir)
       val docs = Tables(s, dir, "documents")
         .select(col("doc_id"), col("n_chars"))
       cc.join(docs, cc("id") === docs("doc_id"))
@@ -968,6 +966,34 @@ object DedupQueries {
           max(col("n_chars")).as("keep_chars"))
         .withColumn("n_dropped", col("n_members") - 1)
         .orderBy("cluster_id")
+    },
+
+    // LEAKAGE-SAFE train/holdout split: hash-split by near-dup CLUSTER, not
+    // by document (q_hash_split's per-doc split leaks — a near-duplicate of
+    // a holdout doc lands in train and the eval is contaminated; the
+    // well-known eval-contamination failure mode). Every doc inherits its
+    // simhash-CC cluster label (singletons are their own cluster), the
+    // portable hash splits on that label, so a whole near-dup family moves
+    // together — zero straddling pairs BY CONSTRUCTION (the split is a
+    // function of cluster_id; pinned against brute force in
+    // GraphOpsSpec). Scale: pairs/CC are the dedup layer's existing
+    // artifacts; the split itself is one narrow left join (labels are
+    // pair-graph-sized, far smaller than the corpus) plus a 2-row agg.
+    "q_split_leakage" -> { (s, dir) =>
+      val cc = ccLabels(s, dir)
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"))
+      val labeled = docs.join(cc, docs("doc_id") === cc("id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("comp"), col("doc_id")).as("cluster_id"),
+          col("n_chars"))
+      graft.operators.TextOps.hashSplit(labeled, "cluster_id",
+          nBuckets = 10, trainBuckets = 8)
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("cluster_id")).as("n_clusters"),
+          sum(col("n_chars").cast("long")).as("total_chars"))
+        .orderBy("split")
     })
 
   /** (id, comp) labels → the gated cluster report (doc, cluster, size). */
@@ -1039,6 +1065,37 @@ object DedupQueries {
         val v = simhashJoin(Tables(s, dir, "documents")
           .select(col("doc_id"), col("text"))).localCheckpoint()
         pairsCache.put(k, v)
+        v
+      }
+    }
+
+  private val ccCache =
+    new java.util.LinkedHashMap[(org.apache.spark.sql.SparkSession, String),
+        DataFrame](8, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(org.apache.spark.sql.SparkSession, String),
+            DataFrame]): Boolean = size() > 4
+    }
+
+  /** Flooding-CC labels over [[simhashPairs]], memoized like the pairs
+    * themselves (fingerprint-keyed, so an in-place fixture regeneration
+    * misses): the label table is the dedup layer's second shared artifact —
+    * clustering, keep-policy, and the leakage-safe split all consume the
+    * SAME labels, and at 100 TB it would live beside the pair layer rather
+    * than being re-flooded per consumer. dedup_cluster_star / _incr stay
+    * uncached on purpose (they exist to exercise the other CC algorithms). */
+  private def ccLabels(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    ccCache.synchronized {
+      val fp = graft.sources.Sinks.fingerprint(s, s"$dir/documents.parquet")
+      val k = (s, s"$dir@$fp")
+      val hit = ccCache.get(k)
+      if (hit != null) hit
+      else {
+        val v = graft.operators.GraphOps.connectedComponents(
+          simhashPairs(s, dir).select(col("doc_a"), col("doc_b")))
+          .localCheckpoint()
+        ccCache.put(k, v)
         v
       }
     }
@@ -1295,7 +1352,22 @@ object DedupQueries {
          |  k.keep_id, k.keep_chars, CAST(sz.n - 1 AS BIGINT) AS n_dropped
          |FROM sz JOIN k USING (comp)
          |ORDER BY cluster_id""".stripMargin,
-    "dedup_cluster_star" -> clusterSql)
+    "dedup_cluster_star" -> clusterSql,
+
+    // same labeling chain; docs outside the pair graph are their own
+    // cluster (COALESCE), then the split is the md5 of the CLUSTER id.
+    "q_split_leakage" ->
+      s"""WITH RECURSIVE $ccLabCtes,
+         |cl AS (
+         |  SELECT d.doc_id, COALESCE(l.comp, d.doc_id) AS cluster_id,
+         |    d.n_chars
+         |  FROM documents d LEFT JOIN lab l ON d.doc_id = l.id)
+         |SELECT CASE WHEN ${MD5LONG("CAST(cluster_id AS VARCHAR)")} % 10 < 8
+         |    THEN 'train' ELSE 'holdout' END AS split,
+         |  COUNT(*) AS n_docs,
+         |  CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+         |FROM cl GROUP BY 1 ORDER BY split""".stripMargin)
 
   /** Oracle-unroll depth for dedup_diverse — also the engine's maxIter, so
     * data needing more rounds throws rather than silently diverging. Luby
