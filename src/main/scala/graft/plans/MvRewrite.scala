@@ -105,6 +105,109 @@ object MvCatalog {
     v
   }
 
+  final case class IvmResult(version: Int, mode: String, genPath: String)
+
+  /** INCREMENTAL maintenance of a snapshot-versioned MV — the production
+    * IVM loop. Each call materializes the view *as of* `atVersion`
+    * (default: the committed head) into a write-once GENERATION dir
+    * `mvPath/gen=V`. When a previous generation exists on disk and the
+    * commit chain between it and V is APPEND-ONLY (data dirs grew, delete
+    * set unchanged), the new generation folds the previous one with
+    * `partial(delta rows)` — O(delta) maintenance, the base data is never
+    * re-read; any other commit shape (delete-file change, dir removal)
+    * falls back to the always-correct full rebuild. Generations survive
+    * JVMs (they are ordinary write-once layers keyed on the version's
+    * manifest), so a restarted maintenance job resumes the fold chain.
+    *
+    * Caller contract: `fold(partial(X) UNION partial(Y))` must equal
+    * `partial(X UNION Y)` — i.e. the view's aggregates are re-foldable
+    * (sum / count-as-sum / min / max in exact arithmetic; avg written as
+    * its sum+count pair). The conservative derivability rules of
+    * [[MvRollup]] are exactly this class.
+    *
+    * Registration (and therefore serving) happens only when `atVersion`
+    * is the current head; older generations are maintained but never
+    * served. Returns the version, the maintenance mode actually taken
+    * (`"full" | "incremental" | "cached"`), and the generation path. */
+  def registerSnapshotIncremental(spark: SparkSession, mvPath: String,
+      tag: String, snapshotBase: String, keyCol: String,
+      partial: DataFrame => DataFrame, fold: DataFrame => DataFrame,
+      atVersion: Int = -1): IvmResult = {
+    import graft.sources.{SnapshotTable => ST}
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val head = ST.headVersion(spark, snapshotBase)
+    val v = if (atVersion > 0) atVersion else head
+    require(v >= 1 && v <= head,
+      s"version $v out of committed range [1, $head] under $snapshotBase")
+    val genPath = s"$mvPath/gen=$v"
+    val live0 = Option(entries.get(spark)).getOrElse(Nil)
+    if (live0.exists(e => e.mvPath == genPath &&
+        e.snapshot.contains((snapshotBase, v))))
+      return IvmResult(v, "cached", genPath)
+
+    val root = new org.apache.hadoop.fs.Path(mvPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // newest complete generation below v, surviving from any JVM
+    val prevGen: Option[Int] =
+      if (!fs.exists(root)) None
+      else {
+        val g = fs.listStatus(root).iterator.map(_.getPath.getName)
+          .filter(_.startsWith("gen=")).map(_.stripPrefix("gen="))
+          .filter(n => n.nonEmpty && n.forall(_.isDigit)).map(_.toInt)
+          .filter(k => k < v && fs.exists(
+            new org.apache.hadoop.fs.Path(s"$mvPath/gen=$k/_SUCCESS")))
+          .foldLeft(-1)(math.max)
+        if (g < 0) None else Some(g)
+      }
+    val snapV = ST.manifest(spark, snapshotBase, v)
+    val mode = prevGen match {
+      case Some(p) =>
+        val snapP = ST.manifest(spark, snapshotBase, p)
+        val appendOnly =
+          snapP.dataDirs.toSet.subsetOf(snapV.dataDirs.toSet) &&
+            snapP.deleteDirs.sorted == snapV.deleteDirs.sorted
+        if (appendOnly) "incremental" else "full"
+      case None => "full"
+    }
+    graft.sources.Sinks.ensureDir(spark, genPath, s"$tag@ivm-v$v",
+        Seq(ST.manifestFile(snapshotBase, v))) {
+      val content =
+        if (mode == "incremental") {
+          val p = prevGen.get
+          val prevMv = spark.read.parquet(s"$mvPath/gen=$p")
+          val deltaDirs = snapV.dataDirs
+            .filterNot(ST.manifest(spark, snapshotBase, p).dataDirs.toSet)
+          if (deltaDirs.isEmpty) fold(prevMv)
+          else {
+            // the delete set is unchanged (append-only precondition) but
+            // still applies to the NEW rows — same merge-on-read anti
+            // join ST.readVersion uses, over delta dirs only
+            val raw = spark.read.parquet(deltaDirs: _*)
+            val deltaRows =
+              if (snapV.deleteDirs.isEmpty) raw
+              else raw.join(
+                broadcast(spark.read.parquet(snapV.deleteDirs: _*)
+                  .select(col(keyCol)).distinct()),
+                Seq(keyCol), "left_anti")
+            fold(prevMv.unionByName(partial(deltaRows)))
+          }
+        } else partial(ST.readVersion(spark, snapshotBase, v, keyCol))
+      content.write.mode("overwrite").parquet(genPath)
+    }
+    if (v == head) {
+      // the definition a user query will structurally match: the partial
+      // aggregate over the head read (built AFTER the early cached return,
+      // so a live self-registration can never have rewritten it)
+      val defn = partial(ST.readVersion(spark, snapshotBase, v, keyCol))
+      val e = Entry(defn.queryExecution.analyzed, genPath, s"snapshot@v$v",
+        Seq(ST.manifestFile(snapshotBase, v)), Some((snapshotBase, v)))
+      entries.compute(spark, (_, old) =>
+        e :: (if (old == null) Nil
+              else old.filterNot(_.mvPath.startsWith(mvPath + "/gen="))))
+    }
+    IvmResult(v, mode, genPath)
+  }
+
   private[plans] def live(spark: SparkSession): List[Entry] =
     Option(entries.get(spark)).getOrElse(Nil)
 
