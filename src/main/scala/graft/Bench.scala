@@ -15,7 +15,7 @@ object Bench {
     "q_text_source", "q_reaggregate", "dedup_cluster_incr",
     "q_data_skipping", "q_zorder_skipping", "q_mv_rewrite", "q_mv_rollup",
     "q_mv_join_rollup", "q_dsv2_agg_pushdown", "q_dsv2_runtime_filter",
-    "q_dsv2_topn", "q_dsv2_limit", "q_mv_snapshot")
+    "q_dsv2_topn", "q_dsv2_limit", "q_mv_snapshot", "q_mv_ivm")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -157,11 +157,18 @@ object Bench {
     // false flag costs one in-run re-execution instead of a cross-run
     // argument, so they flag at the same 2× as batch (r12:
     // q_stream_wordcount ran 2.41× invisibly inside the old blind band).
+    // Sub-second-base queries get a HIGHER absolute floor (1.25 s): their
+    // flags have been pure churn — q_freq_items and q_asof_nearest were
+    // flagged-and-debunked by the in-run re-sample in two of three driver
+    // runs (r11, r13), both sub-second at base, both inside the documented
+    // t0≈100-200 s stall window — a sub-second query that genuinely
+    // regresses past 1.25 s absolute still flags.
     // The field sits just before the headline tail so the driver's
     // 2000-byte truncation can never hide a firing tripwire.
     val flagged = results.toSeq.flatMap { case (k, v) =>
       BenchBaseline.seconds.get(k).collect {
-        case base if v > 2 * base && v - base > 0.75 => (k, v, base)
+        case base if v > 2 * base &&
+            v - base > (if (base < 1.0) 1.25 else 0.75) => (k, v, base)
       }
     }
     // Self-adjudication: re-time every flagged query ONCE at run end, in the

@@ -1,11 +1,32 @@
 package graft.plans
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, BoundReference, Cast, Expression, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, BoundReference, Cast, Coalesce, Expression, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.QueryPlan
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LeafNode, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+/** Session-free stand-in for a file-source leaf inside STORED MV
+  * definitions. A raw analyzed `LogicalRelation(HadoopFsRelation)` holds a
+  * strong reference to its owning SparkSession (via the relation's file
+  * index), so storing it as a WeakHashMap VALUE keyed by that session
+  * re-creates the documented WeakHashMap failure mode — the value pins its
+  * own key and the session can never be collected (r13 ADVICE). Definitions
+  * are therefore stored with every file-source leaf replaced by this node
+  * (output attributes preserved, identity reduced to the scan's root
+  * paths), and lookup applies the SAME substitution to the incoming plan
+  * before `sameResult` — matching semantics are unchanged because
+  * InMemoryFileIndex equality was rootPaths-based to begin with (see
+  * CLAUDE.md), while the stored tree now references nothing
+  * session-scoped. Canonicalization mirrors LogicalRelation's: leaf output
+  * exprIds normalize positionally. */
+private[plans] case class MvSourceLeaf(output: Seq[Attribute],
+    paths: Seq[String]) extends LeafNode {
+  override def doCanonicalize(): LogicalPlan =
+    copy(output = output.map(QueryPlan.normalizeExpressions(_, output)))
+}
 
 /** Transparent materialized-view ROUTING — the consumption half of the MV
   * story (q_ivm_join maintains view partials incrementally; this serves
@@ -48,10 +69,28 @@ object MvCatalog {
   // WEAK-keyed by session: a static strong-keyed map would pin every
   // SparkSession (and its whole state) for JVM lifetime (r12 ADVICE).
   // Collections.synchronizedMap overrides compute/get with mutex-held
-  // versions, so the registration read-modify-write stays atomic.
+  // versions, so the registration read-modify-write stays atomic. The
+  // VALUES must not reference the key or the weak keying is theater: every
+  // stored definition passes through [[sessionless]] first (r13 ADVICE —
+  // a raw analyzed plan's file relations hold the session).
   private val entries: java.util.Map[SparkSession, List[Entry]] =
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap[SparkSession, List[Entry]]())
+
+  /** Replace every file-source leaf with an [[MvSourceLeaf]] (see its doc):
+    * applied to definitions at registration AND to the incoming plan at
+    * lookup, so `sameResult` compares two session-free trees. Leaves this
+    * code doesn't recognize pass through unchanged — they simply won't
+    * match a stored definition, which is the safe failure direction. */
+  private[plans] def sessionless(plan: LogicalPlan): LogicalPlan =
+    plan.transformUp {
+      case l: LogicalRelation =>
+        val paths = l.relation match {
+          case h: HadoopFsRelation => h.location.rootPaths.map(_.toString)
+          case r => Seq(r.toString)
+        }
+        MvSourceLeaf(l.output, paths)
+    }
 
   /** Materialize `df` at `mvPath` (write-once via ensureDir) and register
     * its analyzed plan for rewriting. Idempotent per (session, mvPath):
@@ -68,17 +107,19 @@ object MvCatalog {
     graft.sources.Sinks.ensureDir(spark, mvPath, s"$tag@mv", inputs) {
       df.write.mode("overwrite").parquet(mvPath)
     }
-    val e = Entry(df.queryExecution.analyzed, mvPath, fp, inputs)
+    val e = Entry(sessionless(df.queryExecution.analyzed), mvPath, fp, inputs)
     entries.compute(spark, (_, v) =>
       e :: (if (v == null) Nil else v.filterNot(_.mvPath == mvPath)))
   }
 
   /** Structural match first (cheap, in-memory), THEN the freshness
     * probe (fingerprint LIST or snapshot head-version) only on a hit. */
-  def lookup(spark: SparkSession, plan: LogicalPlan): Option[Entry] =
+  def lookup(spark: SparkSession, plan: LogicalPlan): Option[Entry] = {
+    val probe = sessionless(plan)
     Option(entries.get(spark)).getOrElse(Nil).find { e =>
-      plan.sameResult(e.definition) && fresh(spark, e)
+      probe.sameResult(e.definition) && fresh(spark, e)
     }
+  }
 
   /** Register an MV whose base is a [[graft.sources.SnapshotTable]]:
     * freshness is the table's committed head VERSION at materialization —
@@ -98,8 +139,8 @@ object MvCatalog {
         Seq(manifest)) {
       df.write.mode("overwrite").parquet(mvPath)
     }
-    val e = Entry(df.queryExecution.analyzed, mvPath, s"snapshot@v$v",
-      Seq(manifest), Some((snapshotBase, v)))
+    val e = Entry(sessionless(df.queryExecution.analyzed), mvPath,
+      s"snapshot@v$v", Seq(manifest), Some((snapshotBase, v)))
     entries.compute(spark, (_, old) =>
       e :: (if (old == null) Nil else old.filterNot(_.mvPath == mvPath)))
     v
@@ -169,8 +210,15 @@ object MvCatalog {
         if (appendOnly) "incremental" else "full"
       case None => "full"
     }
+    // `ran` distinguishes a build this call performed from an ensureDir
+    // skip over a generation a PREVIOUS JVM built: reporting "full"/
+    // "incremental" for work that never ran misleads a restarted
+    // maintenance job (r13 ADVICE) — that case is "cached" like the
+    // in-session early return above.
+    var ran = false
     graft.sources.Sinks.ensureDir(spark, genPath, s"$tag@ivm-v$v",
         Seq(ST.manifestFile(snapshotBase, v))) {
+      ran = true
       val content =
         if (mode == "incremental") {
           val p = prevGen.get
@@ -199,17 +247,24 @@ object MvCatalog {
       // aggregate over the head read (built AFTER the early cached return,
       // so a live self-registration can never have rewritten it)
       val defn = partial(ST.readVersion(spark, snapshotBase, v, keyCol))
-      val e = Entry(defn.queryExecution.analyzed, genPath, s"snapshot@v$v",
-        Seq(ST.manifestFile(snapshotBase, v)), Some((snapshotBase, v)))
+      val e = Entry(sessionless(defn.queryExecution.analyzed), genPath,
+        s"snapshot@v$v", Seq(ST.manifestFile(snapshotBase, v)),
+        Some((snapshotBase, v)))
       entries.compute(spark, (_, old) =>
         e :: (if (old == null) Nil
               else old.filterNot(_.mvPath.startsWith(mvPath + "/gen="))))
     }
-    IvmResult(v, mode, genPath)
+    IvmResult(v, if (ran) mode else "cached", genPath)
   }
 
   private[plans] def live(spark: SparkSession): List[Entry] =
     Option(entries.get(spark)).getOrElse(Nil)
+
+  /** Test seam: the stored definition plans for this session — specs pin
+    * that registration stores SESSION-FREE trees (no file relation, and
+    * therefore no strong path back to the WeakHashMap key). */
+  def definitions(spark: SparkSession): Seq[LogicalPlan] =
+    live(spark).map(_.definition)
 
   private[plans] def fresh(spark: SparkSession, e: Entry): Boolean =
     e.snapshot match {
@@ -309,7 +364,12 @@ object MvRollup {
 
   private def attempt(spark: SparkSession, agg: Aggregate,
       e: MvCatalog.Entry): Option[LogicalPlan] = e.definition match {
-    case defAgg: Aggregate if agg.child.sameResult(defAgg.child) =>
+    // definitions are stored session-free (MvCatalog.sessionless), so the
+    // incoming child gets the same leaf substitution before comparison;
+    // output attributes are preserved by it, so the ordinal binding below
+    // still reads them off the UNtransformed children
+    case defAgg: Aggregate
+        if MvCatalog.sessionless(agg.child).sameResult(defAgg.child) =>
       // definition outputs, keyed by bound canonical expression
       val defOut: Seq[(Expression, String)] = defAgg.aggregateExpressions
         .flatMap(ne => bound(strip(ne), defAgg.child).map(_ -> ne.name))
@@ -335,13 +395,18 @@ object MvRollup {
           strip(o) match {
             case ae: AggregateExpression
                 if !ae.isDistinct && ae.filter.isEmpty =>
-              val reFn: Option[Expression => AggregateExpression] =
+              val reFn: Option[Expression => Expression] =
                 ae.aggregateFunction match {
                   case _: Sum => Some(c => AggregateExpression(
                     Sum(c), Complete, isDistinct = false))
-                  // per-group counts SUM across the folded groups
-                  case _: Count => Some(c => AggregateExpression(
-                    Sum(c), Complete, isDistinct = false))
+                  // per-group counts SUM across the folded groups. The sum
+                  // wraps in coalesce(·, 0): a direct count over an EMPTY
+                  // base is one row of 0, but Sum over the empty MV is NULL
+                  // (and nullable) — the coalesce restores count semantics
+                  // and is a no-op whenever any group exists (r13 ADVICE).
+                  case _: Count => Some(c => Coalesce(Seq(
+                    AggregateExpression(Sum(c), Complete, isDistinct = false),
+                    Literal(0L))))
                   case _: Min => Some(c => AggregateExpression(
                     Min(c), Complete, isDistinct = false))
                   case _: Max => Some(c => AggregateExpression(

@@ -1045,12 +1045,29 @@ object DedupQueries {
     * form of the 100 TB story (materialize the pair graph once, run the
     * pair report AND the transitive closure over it). LRU-bounded like the
     * similarity encode cache so stopped sessions are not pinned. */
+  /** Release the executor-side blocks behind an LRU-evicted cached
+    * checkpoint: a localCheckpoint'ed DataFrame's plan IS a LogicalRDD over
+    * a persisted RDD, and dropping the map reference alone leaks those
+    * blocks in the block manager until the session dies (r13 ADVICE) — the
+    * ContextCleaner only reclaims them after the RDD object is GC'd, which
+    * a large-heap bench JVM may never do between queries. */
+  private def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false): Unit
+      case _ => ()
+    }
+
   private val pairsCache =
     new java.util.LinkedHashMap[(org.apache.spark.sql.SparkSession, String),
         DataFrame](8, 0.75f, true) {
       override def removeEldestEntry(
           e: java.util.Map.Entry[(org.apache.spark.sql.SparkSession, String),
-            DataFrame]): Boolean = size() > 4
+            DataFrame]): Boolean = {
+        val evict = size() > 4
+        if (evict) unpersistCheckpoint(e.getValue)
+        evict
+      }
     }
   private def simhashPairs(s: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame =
@@ -1074,7 +1091,11 @@ object DedupQueries {
         DataFrame](8, 0.75f, true) {
       override def removeEldestEntry(
           e: java.util.Map.Entry[(org.apache.spark.sql.SparkSession, String),
-            DataFrame]): Boolean = size() > 4
+            DataFrame]): Boolean = {
+        val evict = size() > 4
+        if (evict) unpersistCheckpoint(e.getValue)
+        evict
+      }
     }
 
   /** Flooding-CC labels over [[simhashPairs]], memoized like the pairs

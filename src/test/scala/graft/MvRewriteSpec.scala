@@ -2,6 +2,7 @@ package graft
 
 import java.nio.file.Files
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.plans.MvCatalog
@@ -246,6 +247,112 @@ class MvRewriteSpec extends SparkTestBase {
         "stale MV must not serve a rollup over changed base data")
       assert(q.agg(sum(col("sv"))).collect().head.getLong(0)
         == (1L to 60L).sum, "fallback must see the appended rows")
+    } finally MvCatalog.clear(spark)
+  }
+
+  test("ivm: full → incremental → full-on-delete → cached transitions, " +
+      "with the incremental generation hash-equal to a direct rebuild") {
+    import spark.implicits._
+    import graft.sources.{SnapshotTable => ST}
+    val base = freshDir() + "/snap"
+    val mv = freshDir() + "/mv"
+    val d1 = s"$base/d1"; val d2 = s"$base/d2"; val del = s"$base/del"
+    (1L to 60L).map(i => (i, s"g${i % 3}", i)).toDF("k", "g", "v")
+      .write.parquet(d1)
+    (61L to 100L).map(i => (i, s"g${i % 3}", i)).toDF("k", "g", "v")
+      .write.parquet(d2)
+    (1L to 100L by 7).map(Tuple1(_)).toDF("k").write.parquet(del)
+    ST.commit(spark, base, 1, ST.Snapshot(Seq(d1), Nil))
+    ST.commit(spark, base, 2, ST.Snapshot(Seq(d1, d2), Nil))
+    ST.commit(spark, base, 3, ST.Snapshot(Seq(d1, d2), Seq(del)))
+    def partial(df: DataFrame) = df.groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+    def fold(df: DataFrame) = df.groupBy(col("g"))
+      .agg(sum(col("n")).as("n"), sum(col("sv")).as("sv"))
+    def maintain(atV: Int = -1) = MvCatalog.registerSnapshotIncremental(
+      spark, mv, "v1:ivm-spec", base, "k", partial, fold, atV)
+    try {
+      val r1 = maintain(1)
+      assert(r1.version == 1 && r1.mode == "full",
+        s"first generation must full-build, got $r1")
+      val direct2 = partial(ST.readVersion(spark, base, 2, "k"))
+        .collect().map(_.toString).sorted.toSeq
+      val r2 = maintain(2)
+      assert(r2.mode == "incremental",
+        s"append-only v1→v2 must fold incrementally, got $r2")
+      val gen2 = spark.read.parquet(r2.genPath)
+        .collect().map(_.toString).sorted.toSeq
+      assert(gen2 == direct2,
+        "incrementally-folded generation diverges from a direct rebuild")
+      val r3 = maintain()
+      assert(r3.version == 3 && r3.mode == "full",
+        s"a delete-set change must force a full rebuild, got $r3")
+      // in-session replay: the live registration short-circuits
+      assert(maintain().mode == "cached")
+      // cross-JVM resume simulation: no session state, generations on
+      // disk — the ensureDir skip must report cached, not claim a build,
+      // and the head re-registers for serving
+      MvCatalog.clear(spark)
+      val r3c = maintain()
+      assert(r3c.mode == "cached",
+        s"a restarted job over a built generation must report cached, " +
+          s"got $r3c")
+      val q = partial(ST.readVersion(spark, base, 3, "k"))
+      assert(MvCatalog.servedFromMv(q, r3.genPath),
+        "head aggregate was not served from the registered generation")
+      val got = q.collect().map(_.toString).sorted.toSeq
+      MvCatalog.clear(spark)
+      val direct3 = partial(ST.readVersion(spark, base, 3, "k"))
+        .collect().map(_.toString).sorted.toSeq
+      assert(got == direct3)
+    } finally MvCatalog.clear(spark)
+  }
+
+  test("rollup: a global count over an EMPTY MV serves 0, not NULL") {
+    import spark.implicits._
+    val base = freshDir() + "/base"
+    val mv = freshDir() + "/mv"
+    Seq.empty[(Long, String, Long)].toDF("id", "g", "v").write.parquet(base)
+    def mvAgg() = spark.read.parquet(base).groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+    def glob() = spark.read.parquet(base).agg(count(lit(1)).as("n"))
+    try {
+      MvCatalog.register(spark, mvAgg(), mv, "v1:test-empty", Seq(base))
+      val q = glob()
+      assert(MvCatalog.servedFromMv(q, mv),
+        "global count over the empty base did not route through the MV")
+      val row = q.collect().head
+      assert(!row.isNullAt(0) && row.getLong(0) == 0L,
+        "count over an empty MV must be 0 (sum-over-empty is NULL without " +
+          "the coalesce derivation — r13 ADVICE)")
+    } finally MvCatalog.clear(spark)
+  }
+
+  test("registered definitions are stored session-free (no file relation " +
+      "pinning the WeakHashMap key)") {
+    import spark.implicits._
+    val base = freshDir() + "/base"
+    val mv = freshDir() + "/mv"
+    (1L to 10L).map(i => (i, s"g${i % 2}")).toDF("id", "g").write.parquet(base)
+    def agg() = spark.read.parquet(base).groupBy(col("g"))
+      .agg(count(lit(1)).as("n"))
+    try {
+      MvCatalog.register(spark, agg(), mv, "v1:test-free", Seq(base))
+      val defs = MvCatalog.definitions(spark)
+      assert(defs.nonEmpty)
+      defs.foreach { d =>
+        val rels = d.collect {
+          case l: org.apache.spark.sql.execution.datasources.LogicalRelation
+            => l
+        }
+        assert(rels.isEmpty, "stored definition still holds a " +
+          "LogicalRelation — a strong path back to its WeakHashMap key")
+        assert(d.collectLeaves()
+          .forall(_.getClass.getSimpleName == "MvSourceLeaf"),
+          s"unexpected stored leaves: ${d.collectLeaves()}")
+      }
+      // and the session-free tree still MATCHES a live query
+      assert(MvCatalog.servedFromMv(agg(), mv))
     } finally MvCatalog.clear(spark)
   }
 }
