@@ -390,29 +390,40 @@ object DedupQueries {
   /** Filesystem layout + lifecycle of the PERSISTENT streaming LSH index
     * (q_stream_dedup_lsh). Per micro-batch, `sh/epoch=N` and
     * `bands/epoch=N` hold that epoch's shingle sets and band table; every
-    * `compactEvery` epochs the live epoch dirs FOLD into a consolidated
-    * base generation `sh_base/upto=E` + `bands_base/upto=E` and the folded
-    * epoch dirs are deleted. The probe index is always (latest complete
-    * base) + (epoch dirs above it) — so probe cost tracks corpus size plus
-    * a BOUNDED number of recent epochs, never the total epoch count (the
-    * pre-r13 shape re-read every epoch dir ever written on every batch:
-    * unbounded small-file growth at production ingest rates).
+    * `compactEvery` epochs the live epoch dirs fold into a GENERATION
+    * `sh_gen/r=LO-HI` + `bands_gen/r=LO-HI` (the epochs it covers,
+    * inclusive) and the folded epoch dirs are deleted. Generations merge
+    * SIZE-TIERED (LSM discipline, r13 verdict task 2): an epoch fold reads
+    * ONLY the epoch dirs it folds — never the accumulated index — and
+    * `every` adjacent same-tier generations merge into one of the next
+    * tier, so each row is rewritten O(log_every N) times over the index's
+    * lifetime instead of once per fold (the r13 shape rewrote the ENTIRE
+    * base every `compactEvery` batches: O(N²/K) lifetime write I/O, a
+    * maintenance-job scale-killer once the index is TB-sized). The probe
+    * index is always (active generations) + (epoch dirs above the covered
+    * cut): generation count is O(log) and epoch count is bounded by
+    * `compactEvery`, so probe I/O still tracks corpus size plus a bounded
+    * dir count, never the total epoch count.
     *
     * Crash/replay safety, without any transaction log:
-    * - A generation is live only when BOTH sub-indexes' `upto=E` dirs have
-    *   their committer `_SUCCESS` ([[baseUpto]] intersects the two): a
-    *   crash between the two base writes leaves the old cut in force and
-    *   the epoch dirs untouched, so the next compaction simply rewrites
-    *   both dirs (parquet overwrite mode absorbs the partial).
-    * - Folded-input deletion runs only for epochs ≤ the JOINT live cut and
-    *   is best-effort: readers filter dirs by number, so a surviving
-    *   already-folded dir is ignored, never double-read.
+    * - A generation is ACTIVE only when BOTH sub-indexes committed its
+    *   `r=LO-HI` dir (`_SUCCESS` in each — [[activeRanges]] intersects the
+    *   two) and no other jointly-committed generation strictly contains
+    *   its range: a crash between the two writes leaves the previous
+    *   active set in force and the inputs untouched, so the next
+    *   compaction simply redoes both dirs (parquet overwrite absorbs the
+    *   partial); a crash after both writes but before input deletion
+    *   leaves the inputs superseded-but-ignored until the next sweep.
+    * - Folded-input deletion (epochs ≤ the covered cut, generations
+    *   contained in an active range) is best-effort and runs on every
+    *   compaction call: readers select dirs by range arithmetic, so a
+    *   surviving already-folded dir is ignored, never double-read.
     * - foreachBatch replay of epoch e after its compaction committed:
     *   the epoch-dir rewrite is an overwrite, the probe finds e's docs in
-    *   the base (epoch dirs ≤ cut are excluded, so nothing is read twice —
-    *   verifyJaccard's per-doc join tolerates no duplicate shingle rows),
-    *   the output dir overwrite re-emits the identical pair set, and
-    *   compaction no-ops (zero live epochs). */
+    *   a generation (epoch dirs ≤ cut are excluded, so nothing is read
+    *   twice — verifyJaccard's per-doc join tolerates no duplicate shingle
+    *   rows), the output dir overwrite re-emits the identical pair set,
+    *   and compaction no-ops (zero live epochs). */
   private[graft] object LshIndex {
     import org.apache.hadoop.fs.Path
     import org.apache.spark.sql.SparkSession
@@ -436,54 +447,127 @@ object DedupQueries {
       }
     }
 
-    /** Highest base generation that is complete in BOTH sub-indexes — the
-      * joint gate is the crash-safety invariant (see class doc). */
-    def baseUpto(s: SparkSession, st: String): Option[Long] = {
-      val a = liveDirs(s, s"$st/sh_base", "upto").map(_._1).toSet
-      val b = liveDirs(s, s"$st/bands_base", "upto").map(_._1).toSet
-      a.intersect(b).maxOption
+    /** Committed `r=LO-HI` generation ranges of one sub-index. */
+    private def rangesOf(s: SparkSession, st: String,
+        sub: String): Set[(Long, Long)] = {
+      val f = fsOf(s, s"$st/${sub}_gen")
+      val d = new Path(s"$st/${sub}_gen")
+      if (!f.exists(d)) Set.empty
+      else f.listStatus(d).toSeq.filter(_.isDirectory).flatMap { dir =>
+        val n = dir.getPath.getName
+        val m = """r=(\d+)-(\d+)""".r
+        n match {
+          case m(lo, hi) if f.exists(new Path(dir.getPath, "_SUCCESS")) =>
+            Some((lo.toLong, hi.toLong))
+          case _ => None
+        }
+      }.toSet
     }
 
-    /** Epoch dirs the next probe will read as DIRS (those above the base
-      * cut) — the quantity compaction exists to bound. */
+    /** The generation set a probe reads: ranges committed in BOTH
+      * sub-indexes (the joint crash-safety gate), minus any range strictly
+      * contained in another such range (superseded by a tier merge whose
+      * input sweep hasn't run yet). Active ranges are disjoint. */
+    def activeRanges(s: SparkSession, st: String): Seq[(Long, Long)] = {
+      val joint = rangesOf(s, st, "sh").intersect(rangesOf(s, st, "bands"))
+      joint.filterNot { case (lo, hi) =>
+        joint.exists { case (lo2, hi2) =>
+          (lo2, hi2) != (lo, hi) && lo2 <= lo && hi <= hi2 }
+      }.toSeq.sortBy(_._1)
+    }
+
+    /** Highest epoch covered by the active generation set — epochs at or
+      * below it are served from generations, never from epoch dirs. */
+    def baseUpto(s: SparkSession, st: String): Option[Long] =
+      activeRanges(s, st).map(_._2).maxOption
+
+    /** Epoch dirs the next probe will read as DIRS (those above the
+      * covered cut) — the quantity the epoch fold exists to bound. */
     def liveEpochs(s: SparkSession, st: String): Seq[Long] = {
       val cut = baseUpto(s, st).getOrElse(-1L)
       liveDirs(s, s"$st/sh", "epoch").map(_._1).filter(_ > cut).sorted
     }
 
-    /** The probe view of one sub-index (`sub` = "sh" | "bands"): latest
-      * complete base generation unioned with the epoch dirs above the cut.
-      * Leaf dirs are read individually so the schema never grows the
+    /** The probe view of one sub-index (`sub` = "sh" | "bands"): the
+      * active generations unioned with the epoch dirs above the cut.
+      * Leaf dirs are read individually so the schema never grows a
       * partition column and stale (already-folded) dirs are never seen. */
     def read(s: SparkSession, st: String, sub: String): DataFrame = {
       val cut = baseUpto(s, st).getOrElse(-1L)
-      val basePaths =
-        if (cut < 0) Nil else Seq(s"$st/${sub}_base/upto=$cut")
+      val genPaths = activeRanges(s, st)
+        .map { case (lo, hi) => s"$st/${sub}_gen/r=$lo-$hi" }
       val epochPaths = liveDirs(s, s"$st/$sub", "epoch")
         .filter(_._1 > cut).map(_._2)
-      val paths = basePaths ++ epochPaths
+      val paths = genPaths ++ epochPaths
       require(paths.nonEmpty, s"empty LSH index under $st/$sub")
       s.read.parquet(paths: _*)
     }
 
-    /** Fold the live epoch dirs into a new base generation when at least
-      * `every` of them have accumulated. Write order: both bases first,
-      * joint-gated liveness second (via [[baseUpto]]), deletion of folded
-      * inputs last and best-effort. */
+    /** Size tier of a generation covering `size` epochs: fresh epoch
+      * folds land in tier 1 (size = every), `every` merged tier-t
+      * generations land in tier t+1. */
+    private def tier(size: Long, every: Int): Int = {
+      var t = 0
+      var c = every.toLong
+      while (size >= c) { t += 1; c *= every }
+      t
+    }
+
+    /** Fold live epochs into a new tier-1 generation when at least
+      * `every` have accumulated, then merge generations size-tiered while
+      * any tier holds `every` adjacent members. EVERY write reads only
+      * the dirs it folds — the epoch fold never touches the accumulated
+      * index, and a tier merge reads exactly the generations it replaces
+      * — so lifetime write amplification is O(log_every N) per row.
+      * Write order per step: both sub-indexes first, joint-gated
+      * activation second (via [[activeRanges]]), deletion of folded
+      * inputs last and best-effort (the final sweep). */
     def maybeCompact(s: SparkSession, st: String, every: Int): Unit = {
+      require(every >= 2, s"compactEvery must be >= 2, got $every")
       val eps = liveEpochs(s, st)
-      if (eps.size < every) return
-      val hi = eps.max
-      for (sub <- Seq("sh", "bands"))
-        read(s, st, sub).write.mode("overwrite")
-          .parquet(s"$st/${sub}_base/upto=$hi")
-      val cut = baseUpto(s, st).getOrElse(-1L) // re-derive: the joint gate
+      if (eps.size >= every) {
+        val (lo, hi) = (eps.min, eps.max)
+        for (sub <- Seq("sh", "bands"))
+          s.read.parquet(eps.map(e => s"$st/$sub/epoch=$e"): _*)
+            .write.mode("overwrite").parquet(s"$st/${sub}_gen/r=$lo-$hi")
+      }
+      // size-tiered merges: oldest run of `every` ADJACENT same-tier
+      // generations folds into one; loop because a merge can promote its
+      // tier into another full run (bounded by the tier count, O(log N))
+      var again = true
+      while (again) {
+        again = false
+        val act = activeRanges(s, st)
+        val tiers = act.map { case (lo, hi) => tier(hi - lo + 1, every) }
+        var i = 0
+        while (!again && i + every <= act.length) {
+          val run = act.slice(i, i + every)
+          val sameTier = tiers.slice(i, i + every).distinct.size == 1
+          val adjacent = run.iterator.sliding(2).withPartial(false)
+            .forall { case Seq(a, b) => b._1 == a._2 + 1 }
+          if (sameTier && adjacent) {
+            val (lo, hi) = (run.head._1, run.last._2)
+            for (sub <- Seq("sh", "bands"))
+              s.read.parquet(run.map { case (l, h) =>
+                  s"$st/${sub}_gen/r=$l-$h" }: _*)
+                .write.mode("overwrite").parquet(s"$st/${sub}_gen/r=$lo-$hi")
+            again = true
+          } else i += 1
+        }
+      }
+      // best-effort input sweep, against the JOINT active set re-derived
+      // after all writes (the crash-safety gate): covered epochs and
+      // generations strictly contained in an active range
+      val act = activeRanges(s, st)
+      val cut = act.map(_._2).maxOption.getOrElse(-1L)
       val f = fsOf(s, st)
       for (sub <- Seq("sh", "bands")) {
         for ((e, pth) <- liveDirs(s, s"$st/$sub", "epoch"); if e <= cut)
           f.delete(new Path(pth), true)
-        for ((u, pth) <- liveDirs(s, s"$st/${sub}_base", "upto"); if u < cut)
-          f.delete(new Path(pth), true)
+        for ((lo, hi) <- rangesOf(s, st, sub)
+             if act.exists { case (lo2, hi2) =>
+               (lo2, hi2) != (lo, hi) && lo2 <= lo && hi <= hi2 })
+          f.delete(new Path(s"$st/${sub}_gen/r=$lo-$hi"), true)
       }
     }
   }
@@ -789,10 +873,12 @@ object DedupQueries {
     // probe join is batch-driven (bands ⋈ batch-bands on (band, bh)),
     // the index only ever appends, and nothing corpus×corpus joins — the
     // 100 TB form adds the grid distribution minhashJoin's self-join uses
-    // for degenerate hot buckets. Epoch dirs COMPACT into a consolidated
-    // base every compactEvery batches (LshIndex.maybeCompact), so probe
-    // I/O reads base + a bounded number of recent epochs, never one dir
-    // per micro-batch ever ingested.
+    // for degenerate hot buckets. Epoch dirs COMPACT into size-tiered
+    // GENERATIONS every compactEvery batches (LshIndex.maybeCompact, LSM
+    // discipline: every fold reads only its inputs, never the accumulated
+    // index), so probe I/O reads O(log) generations + a bounded number of
+    // recent epochs — and maintenance I/O rewrites each row O(log) times
+    // over the index lifetime, never the whole base per fold.
     "q_stream_dedup_lsh" -> { (s, dir) =>
       val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
       val schema = docs.schema
@@ -806,8 +892,9 @@ object DedupQueries {
       tmp.mkdirs()
       // terciles, not a median split: THREE ingest batches so the third
       // probes a freshly COMPACTED index (compactEvery = 2 folds epochs
-      // 0-1 into base upto=1 before batch 3 arrives) — the consolidation
-      // path runs inside the gated execution, not only in specs
+      // 0-1 into generation r=0-1 before batch 3 arrives) — the
+      // consolidation path runs inside the gated execution, not only in
+      // specs
       val cuts = docs.selectExpr(
         "CAST(percentile_cont(0.3333) WITHIN GROUP (ORDER BY doc_id) AS BIGINT)",
         "CAST(percentile_cont(0.6667) WITHIN GROUP (ORDER BY doc_id) AS BIGINT)")

@@ -7,13 +7,15 @@ import org.apache.spark.sql.functions._
 
 import graft.queries.DedupQueries
 
-/** Epoch-dir compaction of the streaming LSH index (the r12 scale-killer:
-  * every micro-batch added two epoch dirs that every later probe re-read in
-  * full). Pins three contracts: compaction changes NOTHING about the emitted
-  * pair set; post-compaction probes physically read the consolidated base
-  * plus only the epochs above it (never the folded dirs); and a foreachBatch
-  * REPLAY of an already-compacted epoch is idempotent (the crash-recovery
-  * story of the exactly-once claim).
+/** Size-tiered compaction of the streaming LSH index (r13 verdict: the
+  * previous shape rewrote the ENTIRE accumulated base on every fold —
+  * O(N²/K) lifetime write I/O under sustained ingest). Pins four
+  * contracts: an epoch fold reads/writes ONLY the epochs it folds (the
+  * existing generations are physically untouched); `every` adjacent
+  * same-tier generations merge into one of the next tier and their inputs
+  * are swept; compaction changes NOTHING about the emitted pair set; and a
+  * foreachBatch REPLAY of an already-compacted epoch is idempotent (the
+  * crash-recovery story of the exactly-once claim).
   */
 class LshIndexSpec extends SparkTestBase {
 
@@ -40,8 +42,16 @@ class LshIndexSpec extends SparkTestBase {
       .select(col("doc_a"), col("doc_b"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
-  test("mid-stream compaction folds epochs into a base and the probe " +
-      "reads only base + recent epochs") {
+  /** (name, length, mtime) of every file under `dir` — a physical
+    * untouched-ness witness. */
+  private def dirSig(dir: String): Set[(String, Long, Long)] = {
+    val f = new java.io.File(dir)
+    assert(f.isDirectory, s"$dir should exist")
+    f.listFiles().map(x => (x.getName, x.length, x.lastModified)).toSet
+  }
+
+  test("mid-stream compaction folds epochs into a generation and the " +
+      "probe reads only generations + recent epochs") {
     val tmp = Files.createTempDirectory("graft-lsh-compact").toString
     val st = s"$tmp/state"
     val bs = batches(3)
@@ -52,7 +62,8 @@ class LshIndexSpec extends SparkTestBase {
 
     DedupQueries.lshIngestBatch(st, s"$tmp/out", bs(1), 1L, compactEvery = 2)
     assert(DedupQueries.LshIndex.baseUpto(spark, st).contains(1L),
-      "two live epochs must fold into base upto=1")
+      "two live epochs must fold into generation r=0-1")
+    assert(DedupQueries.LshIndex.activeRanges(spark, st) == Seq((0L, 1L)))
     assert(DedupQueries.LshIndex.liveEpochs(spark, st).isEmpty,
       "folded epoch dirs must no longer count as live")
     // the folded inputs are physically gone, not merely ignored
@@ -62,13 +73,13 @@ class LshIndexSpec extends SparkTestBase {
 
     DedupQueries.lshIngestBatch(st, s"$tmp/out", bs(2), 2L, compactEvery = 2)
     // the third batch's probe read the CONSOLIDATED index: every input
-    // file of the probe view lives under the base generation or the one
-    // live epoch above it
+    // file of the probe view lives under a generation or the one live
+    // epoch above the cut
     for (sub <- Seq("sh", "bands")) {
       val files = DedupQueries.LshIndex.read(spark, st, sub).inputFiles
       assert(files.nonEmpty)
       files.foreach { f =>
-        assert(f.contains(s"${sub}_base/upto=1") ||
+        assert(f.contains(s"${sub}_gen/r=0-1") ||
           f.contains(s"$sub/epoch=2"),
           s"probe read an unexpected path: $f")
       }
@@ -84,6 +95,45 @@ class LshIndexSpec extends SparkTestBase {
     assert(pairs(s"$tmp/out") == pairs(s"$tmp2/out"))
     assert(pairs(s"$tmp/out").nonEmpty,
       "fixture should contain near-dup pairs or the equality is vacuous")
+  }
+
+  test("epoch folds never touch existing generations; `every` adjacent " +
+      "same-tier generations merge size-tiered and their inputs sweep") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-lsh-tiered").toString
+    val st = s"$tmp/state"
+    // drive the compactor directly with tiny epoch dirs: the machinery
+    // reads/writes parquet dirs, content-agnostic
+    def put(e: Long): Unit = for (sub <- Seq("sh", "bands"))
+      Seq((e, sub)).toDF("epoch", "sub")
+        .write.parquet(s"$st/$sub/epoch=$e")
+    def compact(): Unit =
+      DedupQueries.LshIndex.maybeCompact(spark, st, every = 3)
+    def active = DedupQueries.LshIndex.activeRanges(spark, st)
+
+    (0L to 2L).foreach(put); compact()
+    assert(active == Seq((0L, 2L)))
+    val sig = Seq("sh", "bands").map(s2 => dirSig(s"$st/${s2}_gen/r=0-2"))
+
+    (3L to 5L).foreach(put); compact()
+    assert(active == Seq((0L, 2L), (3L, 5L)),
+      "a second tier-1 fold must NOT merge (only 2 of 3 needed)")
+    // the load-bearing bound: the second fold's writes are its OWN epoch
+    // inputs — the existing generation's files are byte-identical and
+    // untouched (the r13 shape rewrote them every fold)
+    assert(Seq("sh", "bands").map(s2 => dirSig(s"$st/${s2}_gen/r=0-2"))
+      == sig, "an epoch fold rewrote a generation it did not fold")
+
+    (6L to 8L).foreach(put); compact()
+    assert(active == Seq((0L, 8L)),
+      "three adjacent tier-1 generations must merge into one tier-2")
+    for (sub <- Seq("sh", "bands"); r <- Seq("0-2", "3-5", "6-8"))
+      assert(!new java.io.File(s"$st/${sub}_gen/r=$r").exists,
+        s"superseded generation r=$r should be swept")
+    // nothing lost, nothing doubled across the whole cascade
+    assert(DedupQueries.LshIndex.read(spark, st, "sh")
+      .select(col("epoch")).as[Long].collect().sorted.toSeq
+      == (0L to 8L))
   }
 
   test("replaying an already-compacted epoch is idempotent (foreachBatch " +
@@ -104,8 +154,34 @@ class LshIndexSpec extends SparkTestBase {
       "replay must re-emit the identical epoch pair set")
     assert(pairs(s"$tmp/out") == before)
     assert(DedupQueries.LshIndex.baseUpto(spark, st).contains(1L),
-      "replay must not regress or advance the base generation")
+      "replay must not regress or advance the covered cut")
     assert(DedupQueries.LshIndex.liveEpochs(spark, st).isEmpty,
       "the replayed epoch dir sits below the cut and must stay non-live")
+  }
+
+  test("a crash between the two sub-index writes leaves the previous " +
+      "active set in force (joint gate)") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-lsh-crash").toString
+    val st = s"$tmp/state"
+    def put(e: Long): Unit = for (sub <- Seq("sh", "bands"))
+      Seq((e, sub)).toDF("epoch", "sub")
+        .write.parquet(s"$st/$sub/epoch=$e")
+    (0L to 1L).foreach(put)
+    DedupQueries.LshIndex.maybeCompact(spark, st, every = 2)
+    assert(DedupQueries.LshIndex.activeRanges(spark, st) == Seq((0L, 1L)))
+    // simulate the crash: a later fold committed in sh only
+    (2L to 3L).foreach(put)
+    Seq((99L, "x")).toDF("epoch", "sub").write.parquet(s"$st/sh_gen/r=2-3")
+    assert(DedupQueries.LshIndex.activeRanges(spark, st) == Seq((0L, 1L)),
+      "a single-sub generation must not activate")
+    assert(DedupQueries.LshIndex.liveEpochs(spark, st) == Seq(2L, 3L),
+      "epochs above the joint cut stay live through the crash window")
+    // the next compaction redoes BOTH dirs and recovers
+    DedupQueries.LshIndex.maybeCompact(spark, st, every = 2)
+    assert(DedupQueries.LshIndex.activeRanges(spark, st) == Seq((0L, 3L)))
+    assert(DedupQueries.LshIndex.read(spark, st, "sh")
+      .select(col("epoch")).as[Long].collect().sorted.toSeq
+      == (0L to 3L), "the recovered index must hold exactly the epochs")
   }
 }
