@@ -461,6 +461,67 @@ object AdvancedQueries {
       s.table(qn).orderBy("key")
     },
 
+    // The custom connector as a STREAMING SINK (KvStreamingWrite): the
+    // connector's last asymmetry closed — it now reads micro-batches AND
+    // commits them, so this gate runs KV→KV end to end: the micro-batch
+    // SOURCE claims sequenced ingest files, a stateless pushed-filter
+    // transform runs per batch, and every epoch lands through the
+    // epoch-marker 2PC (staged task files, driver renames, marker last —
+    // replays discard, so restarts never duplicate; the kill/restart case
+    // lives in StreamingRestartSpec). The gate batch-reads the committed
+    // sink dir afterward and aggregates: a dropped epoch, a double-applied
+    // replay, or a leaked unmarked file all hash-fail against the batch
+    // ground truth on the base table.
+    "q_stream_kv_sink" -> { (s, dir) =>
+      val root = new java.io.File(
+        s"/root/repo/target/tmp/stream_kvsink-${new java.io.File(dir).getName}")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(): Unit
+      }
+      if (root.exists) rm(root)
+      val in = new java.io.File(root, "in"); in.mkdirs()
+      val out = new java.io.File(root, "out"); out.mkdirs()
+      val cp = new java.io.File(root, "cp")
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        root.toURI, s.sparkContext.hadoopConfiguration)
+      def writeBatch(b: Int, df: DataFrame): Unit = {
+        val stage = new org.apache.hadoop.fs.Path(s"$in/_stage$b")
+        df.select(concat_ws("\t", col("o_orderpriority"),
+            cents(col("o_totalprice")).cast("string")).as("v"))
+          .write.mode("overwrite").text(stage.toString)
+        fs.listStatus(stage)
+          .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
+            !f.getPath.getName.startsWith("."))
+          .sortBy(_.getPath.getName).zipWithIndex.foreach { case (st, i) =>
+            fs.rename(st.getPath, new org.apache.hadoop.fs.Path(
+              in.toString, f"b$b%04d_$i%05d.txt"))
+          }
+        fs.delete(stage, true)
+      }
+      val orders = Tables(s, dir, "orders")
+      val fmt = classOf[graft.sources.KvTextSource].getName
+      graft.streaming.StreamingOps.withStreamShuffle(s) {
+        val q = s.readStream.format(fmt).load(in.toString)
+          .where(col("value") >= 15000000L)
+          .writeStream.format(fmt)
+          .option("checkpointLocation", cp.toString)
+          .outputMode("append")
+          .start(out.toString)
+        try {
+          writeBatch(1, orders.where(pmod(col("o_orderkey"), lit(2)) === 0))
+          q.processAllAvailable()
+          writeBatch(2, orders.where(pmod(col("o_orderkey"), lit(2)) === 1))
+          q.processAllAvailable()
+        } finally q.stop()
+      }
+      s.read.format(fmt).load(out.toString)
+        .groupBy(col("key"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("value")).as("sum_cents"))
+        .orderBy("key")
+    },
+
     // DSv2 AGGREGATE pushdown (KvScanBuilder with
     // SupportsPushDownAggregates): the grouped count/sum/min/max folds
     // INSIDE the connector's readers — each split emits one partial row
@@ -561,7 +622,7 @@ object AdvancedQueries {
     "q_data_skipping" -> { (s, dir) =>
       val tmp = s"/root/repo/target/tmp/orders_skip-${new java.io.File(dir).getName}"
       graft.sources.Sinks.ensureDir(s, tmp,
-        "v2:orders,range16/price_cents,skipindex",
+        "v3:orders,range16/price_cents,skipindex3",
         inputs = Seq(s"$dir/orders.parquet")) {
         Tables(s, dir, "orders")
           .withColumn("price_cents", cents(col("o_totalprice")))
@@ -629,7 +690,7 @@ object AdvancedQueries {
     "q_zorder_skipping" -> { (s, dir) =>
       val tmp = s"/root/repo/target/tmp/orders_zskip-${new java.io.File(dir).getName}"
       graft.sources.Sinks.ensureDir(s, tmp,
-        "v1:orders,zorder32/custkey+dollars,skipindex2",
+        "v2:orders,zorder32/custkey+dollars,skipindex3",
         inputs = Seq(s"$dir/orders.parquet")) {
         val base = Tables(s, dir, "orders")
           .withColumn("price_cents", cents(col("o_totalprice")))
@@ -650,6 +711,45 @@ object AdvancedQueries {
         .agg(count(lit(1)).as("n"),
           exactSum(col("price_cents")).cast("long").as("sum_cents"))
         .orderBy("o_orderpriority")
+    },
+
+    // STRING-KEY FILE SKIPPING (r13 verdict task 3): the v3 sidecar's
+    // truncated-lexical bounds let the engine's actual 100 TB tables —
+    // md5-hex doc ids, text keys — skip files, which the integral-only v2
+    // could not. Documents lay out by range on md5(doc_id) (32 hex chars,
+    // LONGER than the 16-byte truncation width, so the stored bounds are
+    // genuinely prefix-truncated: the lower is a prefix of the true min,
+    // the upper is the incremented prefix of the true max — the
+    // boundary-widening path runs here, not just in specs); a lexical
+    // band ['4','8'] = ids whose md5 starts 4..7 then prunes ~¾ of the
+    // files from one driver-side sidecar read. The require pins that
+    // pruning genuinely engages; the oracle runs the identical band over
+    // the unpruned base table (DuckDB md5 = same lowercase hex, binary
+    // collation = same byte order), so a skip that drops rows hash-fails.
+    "q_skip_string" -> { (s, dir) =>
+      val tmp = s"/root/repo/target/tmp/docs_strskip-${new java.io.File(dir).getName}"
+      graft.sources.Sinks.ensureDir(s, tmp,
+        "v1:documents,range16/md5,skipindex3-str",
+        inputs = Seq(s"$dir/documents.parquet")) {
+        Tables(s, dir, "documents")
+          .withColumn("doc_md5",
+            md5(col("doc_id").cast("string").cast("binary")))
+          .select(col("doc_md5"), col("lang"), col("n_chars"))
+          .repartitionByRange(16, col("doc_md5"))
+          .sortWithinPartitions("doc_md5")
+          .write.mode("overwrite").parquet(tmp)
+        graft.sources.SkipIndex.buildKeys(s, tmp,
+          Seq(graft.sources.SkipIndex.StrKey("doc_md5")))
+      }
+      val (band, rep) = graft.sources.SkipIndex.prunedReadStr(
+        s, tmp, "doc_md5", "4", "8")
+      require(rep.kept < rep.total,
+        "string skip index failed to prune on the range layout " +
+          s"(kept ${rep.kept}/${rep.total})")
+      band.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).cast("long").as("sum_chars"))
+        .orderBy("lang")
     },
 
     // Connector surface: nation → CSV, region → JSON (explicit schemas on
@@ -1291,6 +1391,40 @@ object AdvancedQueries {
           .contains("PushedLimit: 50"),
         "limit did not push into the v2 scan")
       lim.agg(count(lit(1)).as("n"))
+    },
+
+    // OFFSET pushdown (SupportsPushDownOffset — the FULL contract: a true
+    // deletes the Offset operator, so the connector only accepts it where
+    // the skip is globally exact, i.e. a single-split scan in file line
+    // order; multi-split dirs refuse and Spark keeps its own Offset). The
+    // layer is a SINGLE sorted file (page-extract shape), the pushed
+    // filter composes first (OFFSET counts post-WHERE rows), and the
+    // reader discards the skipped prefix at the parse. Content-sensitive
+    // gate: the suffix is aggregated, so skipping the wrong rows — wrong
+    // count, pre-filter skip, per-split skip — hash-fails against the
+    // oracle's identical ORDER BY … OFFSET replay on the base table.
+    "q_dsv2_offset" -> { (s, dir) =>
+      val tmp =
+        s"/root/repo/target/tmp/orders_kvpage-${new java.io.File(dir).getName}"
+      graft.sources.Sinks.ensureDir(s, tmp, "v1:orders,kvtext/sorted-page",
+        inputs = Seq(s"$dir/orders.parquet")) {
+        Tables(s, dir, "orders")
+          .select(col("o_orderkey"), cents(col("o_totalprice")).as("cents"))
+          .repartition(1)
+          .sortWithinPartitions("o_orderkey")
+          .select(concat_ws("\t", col("o_orderkey").cast("string"),
+            col("cents").cast("string")).as("value"))
+          .write.mode("overwrite").text(tmp)
+      }
+      val page = s.read
+        .format(classOf[graft.sources.KvTextSource].getName).load(tmp)
+        .where(col("value") >= 10000000L)
+        .offset(500)
+      require(page.queryExecution.executedPlan.toString
+          .contains("PushedOffset: 500"),
+        "offset did not push into the v2 scan")
+      page.agg(count(lit(1)).as("n"),
+        sum(col("value")).as("sum_cents"))
     },
 
     // The connector's WRITE half: customer balances go OUT through the DSv2
@@ -2074,6 +2208,16 @@ object AdvancedQueries {
          |  CAST(SUM(${CENTS("o_totalprice")}) AS BIGINT) AS sum_cents
          |FROM orders GROUP BY 1 ORDER BY key""".stripMargin,
 
+    // batch ground truth for the KV→KV streaming round trip: every epoch
+    // committed exactly once means the sink holds precisely the filtered
+    // rows of both ingest batches — a replayed (duplicated) epoch doubles
+    // counts here, a dropped or unmarked one loses them
+    "q_stream_kv_sink" ->
+      s"""SELECT o_orderpriority AS key, COUNT(*) AS n_orders,
+         |  CAST(SUM(${CENTS("o_totalprice")}) AS BIGINT) AS sum_cents
+         |FROM orders WHERE ${CENTS("o_totalprice")} >= 15000000
+         |GROUP BY 1 ORDER BY key""".stripMargin,
+
     // whichever side of the connector boundary folded the rows, the
     // values must equal the parquet ground truth
     "q_dsv2_agg_pushdown" ->
@@ -2118,6 +2262,16 @@ object AdvancedQueries {
          |WHERE o_custkey BETWEEN 38 AND 75
          |  AND ${CENTS("o_totalprice")} // 100 BETWEEN 100000 AND 250000
          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // identical lexical band over the unpruned base table — a truncated
+    // string bound that narrows (instead of widens) drops rows and
+    // hash-fails here
+    "q_skip_string" ->
+      s"""SELECT lang, COUNT(*) AS n,
+         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+         |FROM documents
+         |WHERE md5(CAST(doc_id AS VARCHAR)) BETWEEN '4' AND '8'
+         |GROUP BY lang ORDER BY lang""".stripMargin,
 
     // the same band over the unpruned table — a skip that drops rows
     // hash-fails here
@@ -2366,6 +2520,16 @@ object AdvancedQueries {
     // the deterministic surface of an unordered LIMIT is its exact count
     "q_dsv2_limit" ->
       s"""SELECT COUNT(*) AS n FROM (SELECT * FROM orders LIMIT 50)""",
+
+    // identical WHERE … ORDER BY … OFFSET over the base table: the KV file
+    // was written in o_orderkey order, so the engine's file-order skip and
+    // this sorted replay must drop the SAME 500 rows — any divergence
+    // (pre-filter skip, off-by-one, per-split skip) hash-fails the sums
+    "q_dsv2_offset" ->
+      s"""SELECT COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS sum_cents
+         |FROM (SELECT ${CENTS("o_totalprice")} AS cents FROM orders
+         |      WHERE ${CENTS("o_totalprice")} >= 10000000
+         |      ORDER BY o_orderkey OFFSET 500)""".stripMargin,
 
     // the runtime filter is invisible in the result (row-level skip, no
     // drops): the oracle is the plain dim-filtered join on base tables

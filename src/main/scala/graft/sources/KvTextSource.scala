@@ -115,7 +115,7 @@ final class KvTable(path: String) extends Table
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.MICRO_BATCH_READ)
+      TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new KvScanBuilder(path,
@@ -129,7 +129,8 @@ final class KvScanBuilder(path: String, maxSplitBytes: Long)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates
-    with SupportsPushDownLimit with SupportsPushDownTopN {
+    with SupportsPushDownLimit with SupportsPushDownTopN
+    with SupportsPushDownOffset {
 
   import org.apache.spark.sql.connector.expressions.{Expression => V2Expr, NamedReference, SortDirection, SortOrder => V2SortOrder}
   import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min, Sum}
@@ -139,6 +140,7 @@ final class KvScanBuilder(path: String, maxSplitBytes: Long)
   private var aggregation: Option[Aggregation] = None
   private var limit: Option[Int] = None
   private var topN: Option[(Seq[(String, Boolean)], Int)] = None
+  private var offset: Option[Int] = None
 
   private def supported(f: Filter): Boolean = f match {
     case EqualTo(a, _) => a == "key" || a == "value"
@@ -195,7 +197,30 @@ final class KvScanBuilder(path: String, maxSplitBytes: Long)
     * under a pushed aggregation — a cap on PARTIAL rows would drop groups
     * (the plan shapes never co-occur today; this is the defensive seam). */
   override def pushLimit(l: Int): Boolean =
-    if (aggregation.isDefined) false else { limit = Some(l); true }
+    if (aggregation.isDefined || offset.isDefined) false
+    else { limit = Some(l); true }
+
+  /** OFFSET pushdown (SupportsPushDownOffset — a FULL contract, unlike
+    * limit/top-N: a `true` here makes Spark DELETE the Offset operator, so
+    * the connector owns the skip globally and exactly). That is only
+    * well-defined when the scan is a single split reading one file in line
+    * order, so the builder accepts iff the current listing plans exactly
+    * one split (re-checked at planInputPartitions — a listing that drifted
+    * fails loudly rather than skipping k rows per split). The skip counts
+    * POST-filter rows (SQL applies OFFSET after WHERE; Spark only attempts
+    * the push once every filter is consumed into this builder — a residual
+    * Filter node blocks it). Refused under pushed aggregation/limit/top-N:
+    * those families never co-occur with a deletable Offset in the rule's
+    * own order, so any such call is a contract drift we'd rather surface
+    * as a fallback than guess at. This completes the pushdown family
+    * (filters / columns / aggregates / limit / top-N / offset / runtime
+    * filters) — the paged-read seam: page k of a sorted single-file KV
+    * extract re-parses only its own prefix, not the full split. */
+  override def pushOffset(k: Int): Boolean =
+    if (aggregation.isEmpty && limit.isEmpty && topN.isEmpty && k > 0 &&
+        KvTextSource.planSplits(path, maxSplitBytes).length == 1) {
+      offset = Some(k); true
+    } else false
 
   /** TOP-N pushdown (PARTIAL contract): each split keeps its k best rows
     * under the requested ordering in a bounded heap — k rows per split
@@ -213,7 +238,8 @@ final class KvScanBuilder(path: String, maxSplitBytes: Long)
     val parsed = orders.toSeq.map(o => col(o.expression())
       .filter(n => n == "key" || n == "value")
       .map(n => (n, o.direction() == SortDirection.ASCENDING)))
-    if (aggregation.isEmpty && parsed.nonEmpty && parsed.forall(_.isDefined)) {
+    if (aggregation.isEmpty && offset.isEmpty && parsed.nonEmpty &&
+        parsed.forall(_.isDefined)) {
       topN = Some((parsed.flatten, l)); true
     } else false
   }
@@ -225,14 +251,15 @@ final class KvScanBuilder(path: String, maxSplitBytes: Long)
   override def build(): Scan = aggregation match {
     case Some(agg) => new KvAggScan(path, pushed, agg, maxSplitBytes)
     case None =>
-      new KvScan(path, pushed, required, maxSplitBytes, topN, limit)
+      new KvScan(path, pushed, required, maxSplitBytes, topN, limit, offset)
   }
 }
 
 final class KvScan(path: String, filters: Array[Filter], required: StructType,
     maxSplitBytes: Long,
     topN: Option[(Seq[(String, Boolean)], Int)] = None,
-    limit: Option[Int] = None) extends Scan with Batch
+    limit: Option[Int] = None,
+    offset: Option[Int] = None) extends Scan with Batch
     with SupportsReportStatistics with SupportsRuntimeFiltering {
 
   // RUNTIME filters (SupportsRuntimeFiltering): under a DPP-shaped join,
@@ -245,9 +272,15 @@ final class KvScan(path: String, filters: Array[Filter], required: StructType,
   // the interface allows.
   private var runtime: Array[Filter] = Array.empty
 
+  // With a pushed offset the Offset operator is GONE from the plan, so a
+  // runtime filter arriving later would change WHICH rows the skip counts
+  // (offset semantically precedes any join-side filtering). Declining to
+  // advertise filterable attributes keeps the planner from planting one.
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    Array(org.apache.spark.sql.connector.expressions.Expressions.column("key"))
+    if (offset.isDefined) Array.empty
+    else Array(
+      org.apache.spark.sql.connector.expressions.Expressions.column("key"))
 
   override def filter(runtimeFilters: Array[Filter]): Unit =
     runtime = runtimeFilters.filter {
@@ -282,7 +315,8 @@ final class KvScan(path: String, filters: Array[Filter], required: StructType,
     }.getOrElse("")
     val lm = limit.filter(_ => topN.isEmpty)
       .map(k => s" PushedLimit: $k").getOrElse("")
-    s"graft-kv $path PushedFilters: ${filters.mkString("[", ", ", "]")}$t$lm " +
+    val off = offset.map(k => s" PushedOffset: $k").getOrElse("")
+    s"graft-kv $path PushedFilters: ${filters.mkString("[", ", ", "]")}$t$lm$off " +
       s"ReadSchema: ${required.fieldNames.mkString(",")}"
   }
 
@@ -294,12 +328,20 @@ final class KvScan(path: String, filters: Array[Filter], required: StructType,
     * a reader owns every line whose first byte lies in [start, end], and a
     * non-zero start discards its leading partial line because the previous
     * range reads through it. The driver only lists; no content reads. */
-  override def planInputPartitions(): Array[InputPartition] =
-    KvTextSource.planSplits(path, maxSplitBytes)
+  override def planInputPartitions(): Array[InputPartition] = {
+    val splits = KvTextSource.planSplits(path, maxSplitBytes)
+    // the full-offset contract only holds single-split (see pushOffset);
+    // a listing that grew between builder and batch planning must fail
+    // loudly, never skip k rows per split
+    require(offset.isEmpty || splits.length == 1,
+      s"pushed offset requires a single split, listing now plans " +
+        s"${splits.length} — directory changed after planning")
+    splits
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new KvReaderFactory(filters ++ runtime, required,
-      KvTextSource.sessionConfMap(), topN, limit)
+      KvTextSource.sessionConfMap(), topN, limit, offset)
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
@@ -462,7 +504,8 @@ final case class KvInputPartition(file: String, start: Long, end: Long)
 final class KvReaderFactory(filters: Array[Filter], required: StructType,
     confMap: Map[String, String],
     topN: Option[(Seq[(String, Boolean)], Int)] = None,
-    limit: Option[Int] = None) extends PartitionReaderFactory {
+    limit: Option[Int] = None,
+    offset: Option[Int] = None) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val kp = p.asInstanceOf[KvInputPartition]
     val base = new KvPartitionReader(kp.file, kp.start, kp.end, filters,
@@ -470,12 +513,27 @@ final class KvReaderFactory(filters: Array[Filter], required: StructType,
     topN match {
       case Some((orders, k)) =>
         new KvTopNPartitionReader(base, required, orders, k)
-      case None => limit match {
-        case Some(k) => new KvLimitPartitionReader(base, k)
-        case None => base
+      case None => (limit, offset) match {
+        case (Some(k), _) => new KvLimitPartitionReader(base, k)
+        case (None, Some(k)) => new KvOffsetPartitionReader(base, k)
+        case _ => base
       }
     }
   }
+}
+
+/** Pushed-OFFSET wrapper (full contract, single-split by construction —
+  * see KvScanBuilder.pushOffset): discards the first `k` post-filter rows
+  * without materializing them past the parse, then streams the rest. */
+final class KvOffsetPartitionReader(inner: PartitionReader[InternalRow],
+    k: Int) extends PartitionReader[InternalRow] {
+  private var skipped = 0
+  override def next(): Boolean = {
+    while (skipped < k && inner.next()) skipped += 1
+    skipped >= k && inner.next()
+  }
+  override def get(): InternalRow = inner.get()
+  override def close(): Unit = inner.close()
 }
 
 /** Pushed-LIMIT wrapper: stops the byte-parse loop after `k` rows — the
@@ -874,6 +932,10 @@ final class KvWriteBuilder(path: String, info: LogicalWriteInfo)
     override def toBatch: BatchWrite =
       new KvBatchWrite(path, info.queryId(), doTruncate,
         info.schema().fieldNames.toSeq)
+    override def toStreaming
+        : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+      new KvStreamingWrite(path, info.queryId(), doTruncate,
+        info.schema().fieldNames.toSeq)
   }
 }
 
@@ -933,15 +995,14 @@ final class KvWriterFactory(path: String, queryId: String,
     confMap: Map[String, String]) extends DataWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =
-    new KvDataWriter(path, queryId, partitionId, taskId, confMap)
+    new KvDataWriter(
+      s"$path/_staging/$queryId/part-$partitionId-$taskId.kv", confMap)
 }
 
-final class KvDataWriter(path: String, queryId: String, partitionId: Int,
-    taskId: Long, confMap: Map[String, String])
+final class KvDataWriter(stagedPath: String, confMap: Map[String, String])
     extends DataWriter[InternalRow] {
 
-  private val staged =
-    new Path(s"$path/_staging/$queryId/part-$partitionId-$taskId.kv")
+  private val staged = new Path(stagedPath)
   private val fsHandle =
     FileSystem.get(staged.toUri, KvTextSource.confFrom(confMap))
   private val out = fsHandle.create(staged, true)
@@ -971,6 +1032,98 @@ final class KvDataWriter(path: String, queryId: String, partitionId: Int,
   }
 
   override def close(): Unit = ()
+}
+
+/** The connector as a STREAMING sink (StreamingWrite): the batch 2PC's
+  * staged-rename machinery keyed by EPOCH, with an idempotent commit. The
+  * exactly-once contract Structured Streaming actually demands of a sink
+  * is replay tolerance — after a crash/restart the engine re-runs the last
+  * micro-batch and re-commits its epoch — so the durable commit point here
+  * is a per-epoch marker file (`_epochs/<id>`, written LAST): a commit that
+  * finds its marker already present discards the replayed attempt's staged
+  * files and changes nothing, so restarted streams never duplicate rows.
+  * Renamed-but-unmarked files from an attempt that died mid-commit are
+  * swept by epoch-name prefix before the fresh attempt's renames (no
+  * marker ⇒ that epoch never committed ⇒ its files are dead). `_SUCCESS`
+  * is refreshed after every epoch so fingerprint-keyed layers over the dir
+  * stay coherent; Spark records its own commit log only after this commit
+  * returns, so the marker-then-`_SUCCESS` order is crash-safe end to end.
+  * One streaming query per sink dir (epoch names are query-agnostic, as
+  * with batch truncate); complete-mode truncation rewrites data files per
+  * epoch under the same marker discipline. */
+final class KvStreamingWrite(path: String, runId: String, truncate: Boolean,
+    fieldNames: Seq[String])
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  require(fieldNames == Seq("key", "value"),
+    s"graft-kv writes (key, value) rows, got ${fieldNames.mkString(",")}")
+
+  private def fs() = KvTextSource.sessionFs(new java.net.URI(path))
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+    new KvStreamingWriterFactory(path, runId, KvTextSource.sessionConfMap())
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val f = fs()
+    val table = new Path(path)
+    val marker = new Path(table, s"_epochs/$epochId")
+    if (f.exists(marker)) {
+      // replayed epoch after a restart: the data is already committed —
+      // drop the re-staged files, heal _SUCCESS if the first attempt died
+      // between marker and marker+1, and change nothing else
+      sweepStaging(f, epochId)
+      touch(f, new Path(table, "_SUCCESS"))
+      return
+    }
+    // invalidate first (same rule as the batch commit): a crash inside
+    // this sequence must leave the dir unreadable-as-fresh, never a stale
+    // success marker over a half-committed epoch
+    f.delete(new Path(table, "_SUCCESS"), false)
+    // files renamed by an attempt of THIS epoch that died before its
+    // marker are dead — sweep by epoch prefix so the replay cannot collide
+    f.listStatus(table)
+      .filter(s => s.isFile && s.getPath.getName.startsWith(s"e$epochId-"))
+      .foreach(s => f.delete(s.getPath, false))
+    if (truncate)
+      f.listStatus(table)
+        .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+        .foreach(s => f.delete(s.getPath, false))
+    messages.foreach { case KvCommitMessage(staged) =>
+      val src = new Path(staged)
+      val dst = new Path(table, s"e$epochId-${src.getName}")
+      require(f.rename(src, dst), s"epoch commit rename failed: $src -> $dst")
+    }
+    sweepStaging(f, epochId)
+    touch(f, marker) // THE commit point: replays from here on are no-ops
+    touch(f, new Path(table, "_SUCCESS"))
+  }
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit =
+    sweepStaging(fs(), epochId)
+
+  private def touch(f: FileSystem, p: Path): Unit = f.create(p, true).close()
+
+  private def sweepStaging(f: FileSystem, epochId: Long): Unit = {
+    f.delete(new Path(s"$path/_staging/$runId/e$epochId"), true)
+    // non-recursive: only succeeds once no other epoch/query is staging
+    try {
+      f.delete(new Path(s"$path/_staging/$runId"), false)
+      f.delete(new Path(s"$path/_staging"), false)
+    } catch { case _: java.io.IOException => () }
+    ()
+  }
+}
+
+final class KvStreamingWriterFactory(path: String, runId: String,
+    confMap: Map[String, String])
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new KvDataWriter(
+      s"$path/_staging/$runId/e$epochId/part-$partitionId-$taskId.kv",
+      confMap)
 }
 
 final case class KvCommitMessage(stagedFile: String)

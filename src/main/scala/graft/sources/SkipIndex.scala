@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Stats-based FILE skipping — the lakehouse data-skipping index.
@@ -17,66 +17,110 @@ import org.apache.spark.sql.functions._
   * row-group stats still prune WITHIN the files that survive; this index
   * sits above them.
   *
-  * Format (v2, multi-column): a `_GRAFT_SKIP_INDEX` sidecar whose first
-  * line is the header `#graft-skip-index \t v2 \t col1 [\t col2 ...]`,
-  * then one line per file — `path \t mn1 \t mx1 [\t mn2 \t mx2 ...] \t
-  * rows` — over INTEGRAL keys (exact-cents / surrogate keys; lexical
-  * string ranges are a different index). Carrying SEVERAL columns' bounds
-  * per file is what makes the index compose with the Z-ORDER layout
-  * (operators/Layout): Morton clustering gives every participating column
-  * a tight per-file extent, so a 2-D band prunes on BOTH columns from one
-  * sidecar — the single-column form (a plain range layout) is just the
-  * one-key special case. Nulls never enter the index bound (min/max
-  * ignore them) and null keys fail any band predicate, so skipping a file
-  * whose bounds miss the band is lossless. An all-null/empty file carries
-  * sentinel bounds that never match, which is also lossless for the same
-  * reason.
+  * Format (v3, typed multi-column): a `_GRAFT_SKIP_INDEX` sidecar whose
+  * first line is the header `#graft-skip-index \t v3 \t col1:long
+  * [\t col2:str ...]`, then one line per file — `path \t mn1 \t mx1
+  * [\t mn2 \t mx2 ...] \t rows`. A `:long` column carries exact decimal
+  * bounds (exact-cents / surrogate keys); a `:str` column carries
+  * TRUNCATED-LEXICAL bounds as hex-coded UTF-8 bytes (r13 verdict task 3
+  * — md5-hex doc ids and text keys, the engine's actual 100 TB tables,
+  * could not skip under the integral-only v2): the stored lower bound is
+  * a ≤[[TruncBytes]]-byte PREFIX of the true min (a prefix sorts ≤ its
+  * extension, so it under-approximates), and the stored upper bound is
+  * the truncated true max with its last non-0xFF byte INCREMENTED (which
+  * over-approximates; an all-0xFF prefix or a short max stores the exact
+  * max instead) — so a band can only see bounds WIDER than the truth and
+  * skipping stays lossless at a bounded sidecar size no matter how long
+  * the keys are. Byte-wise unsigned comparison matches both Spark's
+  * UTF8String ordering and DuckDB's default binary collation, so the
+  * sidecar decision, the engine's residual predicate, and the oracle all
+  * agree. Carrying SEVERAL columns' bounds per file is what makes the
+  * index compose with the Z-ORDER layout (operators/Layout): Morton
+  * clustering gives every participating column a tight per-file extent,
+  * so a 2-D band prunes on BOTH columns from one sidecar. Nulls never
+  * enter a bound (min/max ignore them) and null keys fail any band
+  * predicate, so skipping a file whose bounds miss the band is lossless.
+  * An all-null/empty file carries sentinel bounds (`~` for strings) that
+  * never match, which is also lossless for the same reason.
   *
   * The index is built INSIDE the same `Sinks.ensureDir` block that writes
   * the files (one extra grouped scan at layer-build time), so a tag or
   * fingerprint bump rebuilds data and index atomically — a dir can never
-  * read as fresh with a stale index. (The v1→v2 format change rode
-  * exactly that mechanism: bumping the layer tags rebuilt data + sidecar
-  * together; an unrecognized header fails loudly below.)
+  * read as fresh with a stale index. (The v1→v2→v3 format changes rode
+  * exactly that mechanism: bumping the consuming layers' tags in the same
+  * commit rebuilds data + sidecar together; an unrecognized header fails
+  * loudly below.)
   */
 object SkipIndex {
 
   val IndexFile = "_GRAFT_SKIP_INDEX"
   private val Magic = "#graft-skip-index"
 
+  /** Truncation width (BYTES of UTF-8) for string bounds: long enough to
+    * separate range-laid-out files (16 hex chars of an md5 id ≈ 2⁶⁴
+    * distinct prefixes), short enough that a 10⁶-file sidecar stays a few
+    * tens of MB. */
+  private val TruncBytes = 16
+
+  /** An indexed key column: `long` (exact bounds) or `str` (truncated
+    * lexical bounds). */
+  sealed trait Key { def name: String }
+  final case class LongKey(name: String) extends Key
+  final case class StrKey(name: String) extends Key
+
+  /** A band predicate `lo <= col <= hi`, typed to match the key. */
+  sealed trait Band { def name: String }
+  final case class LongBand(name: String, lo: Long, hi: Long) extends Band
+  final case class StrBand(name: String, lo: String, hi: String) extends Band
+
   case class PruneReport(total: Int, kept: Int)
 
-  /** Single-key index — the one-column special case of [[buildMulti]]. */
+  /** Single-long-key index — the one-column special case of [[buildKeys]]. */
   def build(spark: SparkSession, dir: String, keyCol: String): Unit =
-    buildMulti(spark, dir, Seq(keyCol))
+    buildKeys(spark, dir, Seq(LongKey(keyCol)))
 
-  /** Write the min/max-per-file index for long columns `keyCols` of the
-    * parquet files under `dir`. One scan grouped by input file; the
-    * collected result is file-count-sized (metadata, not data). */
+  /** All-long-column index (the v2 surface, now written as v3). */
   def buildMulti(spark: SparkSession, dir: String,
-      keyCols: Seq[String]): Unit = {
-    require(keyCols.nonEmpty, "skip index needs at least one key column")
-    val aggs = keyCols.flatMap(k => Seq(
-      min(col(k).cast("long")).as(s"mn_$k"),
-      max(col(k).cast("long")).as(s"mx_$k"))) :+ count(lit(1)).as("n")
+      keyCols: Seq[String]): Unit =
+    buildKeys(spark, dir, keyCols.map(LongKey))
+
+  /** Write the bounds-per-file index for `keys` over the parquet files
+    * under `dir`. One scan grouped by input file; the collected result is
+    * file-count-sized (metadata, not data). */
+  def buildKeys(spark: SparkSession, dir: String, keys: Seq[Key]): Unit = {
+    require(keys.nonEmpty, "skip index needs at least one key column")
+    val aggs = keys.flatMap {
+      case LongKey(k) => Seq(min(col(k).cast("long")).as(s"mn_$k"),
+        max(col(k).cast("long")).as(s"mx_$k"))
+      case StrKey(k) => Seq(min(col(k).cast("string")).as(s"mn_$k"),
+        max(col(k).cast("string")).as(s"mx_$k"))
+    } :+ count(lit(1)).as("n")
     val rows = spark.read.parquet(dir)
       .groupBy(input_file_name().as("f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
     val lines = rows.map { r =>
       val f = r.getString(0)
-      val bounds = keyCols.indices.flatMap { i =>
-        // all-null key: bounds that can never intersect a band (scaladoc)
-        val mn = if (r.isNullAt(1 + 2 * i)) Long.MaxValue
-          else r.getLong(1 + 2 * i)
-        val mx = if (r.isNullAt(2 + 2 * i)) Long.MinValue
-          else r.getLong(2 + 2 * i)
-        Seq(mn, mx)
+      val bounds = keys.zipWithIndex.flatMap { case (key, i) =>
+        val (mnI, mxI) = (1 + 2 * i, 2 + 2 * i)
+        key match {
+          case LongKey(_) =>
+            // all-null key: bounds that can never intersect a band
+            val mn = if (r.isNullAt(mnI)) Long.MaxValue else r.getLong(mnI)
+            val mx = if (r.isNullAt(mxI)) Long.MinValue else r.getLong(mxI)
+            Seq(mn.toString, mx.toString)
+          case StrKey(_) =>
+            if (r.isNullAt(mnI) || r.isNullAt(mxI)) Seq(NullTok, NullTok)
+            else Seq(hex(truncMin(r.getString(mnI))),
+              hex(truncMax(r.getString(mxI))))
+        }
       }
-      (f +: bounds.map(_.toString) :+
-        r.getLong(1 + 2 * keyCols.size).toString).mkString("\t")
+      (f +: bounds :+ r.getLong(1 + 2 * keys.size).toString).mkString("\t")
     }
-    val header = (Magic +: "v2" +: keyCols).mkString("\t")
+    val header = (Magic +: "v3" +: keys.map {
+      case LongKey(k) => s"$k:long"
+      case StrKey(k) => s"$k:str"
+    }).mkString("\t")
     val p = new Path(dir, IndexFile)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
@@ -85,11 +129,61 @@ object SkipIndex {
     finally out.close()
   }
 
-  /** Parse the sidecar: (indexed columns, per-file (path, bounds-per-col)).
+  // ---- truncated-lexical string bounds ------------------------------
+
+  /** Sentinel for an all-null file's string bounds: intersects nothing. */
+  private val NullTok = "~"
+
+  /** Lower bound: a byte-prefix sorts ≤ every extension, so truncation
+    * alone under-approximates the min. */
+  private def truncMin(s: String): Array[Byte] =
+    s.getBytes("UTF-8").take(TruncBytes)
+
+  /** Upper bound: a short max is stored exactly; a long max truncates and
+    * INCREMENTS the last non-0xFF byte (dropping what follows), which is
+    * strictly greater than anything extending the original prefix; an
+    * all-0xFF prefix cannot be incremented, so the exact max is stored. */
+  private def truncMax(s: String): Array[Byte] = {
+    val b = s.getBytes("UTF-8")
+    if (b.length <= TruncBytes) b
+    else {
+      val p = java.util.Arrays.copyOf(b, TruncBytes)
+      var i = p.length - 1
+      while (i >= 0 && p(i) == -1) i -= 1
+      if (i < 0) b
+      else {
+        val q = java.util.Arrays.copyOf(p, i + 1)
+        q(i) = (q(i) + 1).toByte
+        q
+      }
+    }
+  }
+
+  private def hex(b: Array[Byte]): String =
+    b.map(x => f"${x & 0xff}%02x").mkString
+
+  private def unhex(s: String): Array[Byte] =
+    s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  /** Byte-wise unsigned compare — Spark UTF8String / DuckDB binary
+    * collation order. */
+  private def ucmp(a: Array[Byte], b: Array[Byte]): Int =
+    java.util.Arrays.compareUnsigned(a, b)
+
+  // ---- read side ----------------------------------------------------
+
+  /** Per-file per-column stored bound. */
+  private sealed trait Bound
+  private final case class LongBound(mn: Long, mx: Long) extends Bound
+  /** None = all-null sentinel (intersects nothing). */
+  private final case class StrBound(b: Option[(Array[Byte], Array[Byte])])
+    extends Bound
+
+  /** Parse the sidecar: (typed columns, per-file (path, bound-per-col)).
     * Loud on absence or an unrecognized header — both are layer bugs, and
     * silently degrading to a full scan would defeat the index's purpose. */
   private def readIndex(spark: SparkSession, dir: String)
-      : (Seq[String], Array[(String, IndexedSeq[(Long, Long)])]) = {
+      : (Seq[Key], Array[(String, IndexedSeq[Bound])]) = {
     val p = new Path(dir, IndexFile)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(p), s"skip index missing under $dir — build() it in " +
@@ -99,42 +193,84 @@ object SkipIndex {
     val in = fs.open(p)
     try in.readFully(buf) finally in.close()
     val lines = new String(buf, "UTF-8").split("\n").filter(_.nonEmpty)
-    require(lines.nonEmpty && lines.head.startsWith(Magic + "\tv2\t"),
+    require(lines.nonEmpty && lines.head.startsWith(Magic + "\tv3\t"),
       s"unrecognized skip-index format under $dir — rebuild the layer " +
         "(bump its tag) to refresh the sidecar")
-    val cols = lines.head.split("\t").drop(2).toSeq
+    val keys: Seq[Key] = lines.head.split("\t").drop(2).toSeq.map { c =>
+      c.split(":") match {
+        case Array(n, "long") => LongKey(n)
+        case Array(n, "str") => StrKey(n)
+        case _ => sys.error(s"bad skip-index column spec '$c' under $dir")
+      }
+    }
     val entries = lines.tail.map { l =>
       val c = l.split("\t")
-      (c(0), cols.indices.map(i => (c(1 + 2 * i).toLong, c(2 + 2 * i).toLong)))
+      (c(0), keys.indices.map[Bound] { i =>
+        val (mn, mx) = (c(1 + 2 * i), c(2 + 2 * i))
+        keys(i) match {
+          case LongKey(_) => LongBound(mn.toLong, mx.toLong)
+          case StrKey(_) =>
+            if (mn == NullTok || mx == NullTok) StrBound(None)
+            else StrBound(Some((unhex(mn), unhex(mx))))
+        }
+      })
     }
-    (cols, entries)
+    (keys, entries)
   }
 
   /** Band read `lo <= keyCol <= hi` — the one-band special case of
-    * [[prunedReadBands]]. */
+    * [[prunedReadTyped]]. */
   def prunedRead(spark: SparkSession, dir: String, keyCol: String,
       lo: Long, hi: Long): (DataFrame, PruneReport) =
-    prunedReadBands(spark, dir, Seq((keyCol, lo, hi)))
+    prunedReadTyped(spark, dir, Seq(LongBand(keyCol, lo, hi)))
+
+  /** All-long multi-band read (the v2 surface). */
+  def prunedReadBands(spark: SparkSession, dir: String,
+      bands: Seq[(String, Long, Long)]): (DataFrame, PruneReport) =
+    prunedReadTyped(spark, dir,
+      bands.map { case (k, lo, hi) => LongBand(k, lo, hi) })
+
+  /** Lexical band read over a string-indexed dir. */
+  def prunedReadStr(spark: SparkSession, dir: String, keyCol: String,
+      lo: String, hi: String): (DataFrame, PruneReport) =
+    prunedReadTyped(spark, dir, Seq(StrBand(keyCol, lo, hi)))
 
   /** Multi-band read over an indexed dir: a file survives only when EVERY
-    * band intersects its bounds for that column, so over a z-ordered
-    * layout a 2-D rectangle prunes in both dimensions from the one
-    * sidecar. Survivors are scanned and the predicates STILL apply
-    * (skipping is an optimization, never the filter). Asking for a column
-    * the index never measured fails loudly. */
-  def prunedReadBands(spark: SparkSession, dir: String,
-      bands: Seq[(String, Long, Long)]): (DataFrame, PruneReport) = {
-    require(bands.nonEmpty, "prunedReadBands needs at least one band")
-    val (cols, entries) = readIndex(spark, dir)
-    val idx = bands.map { case (k, lo, hi) =>
-      val i = cols.indexOf(k)
-      require(i >= 0, s"column $k is not in the skip index " +
-        s"(indexed: ${cols.mkString(", ")}) — rebuild the layer with it")
-      (i, lo, hi)
+    * band intersects its stored bounds for that column (string bounds are
+    * truncation-widened, so the test can only err toward keeping), so
+    * over a z-ordered layout a 2-D rectangle prunes in both dimensions
+    * from the one sidecar. Survivors are scanned and the predicates STILL
+    * apply (skipping is an optimization, never the filter). Asking for a
+    * column the index never measured, or with a band of the wrong type,
+    * fails loudly. */
+  def prunedReadTyped(spark: SparkSession, dir: String,
+      bands: Seq[Band]): (DataFrame, PruneReport) = {
+    require(bands.nonEmpty, "prunedReadTyped needs at least one band")
+    val (keys, entries) = readIndex(spark, dir)
+    val idx = bands.map { b =>
+      val i = keys.indexWhere(_.name == b.name)
+      require(i >= 0, s"column ${b.name} is not in the skip index " +
+        s"(indexed: ${keys.map(_.name).mkString(", ")}) — rebuild the " +
+        "layer with it")
+      (keys(i), b) match {
+        case (LongKey(_), LongBand(_, _, _)) | (StrKey(_), StrBand(_, _, _)) =>
+        case (k, _) => sys.error(s"band type mismatch for ${b.name}: " +
+          s"indexed as ${k.getClass.getSimpleName}")
+      }
+      (i, b)
     }
     val kept = entries.collect {
-      case (f, bs) if idx.forall { case (i, lo, hi) =>
-        bs(i)._2 >= lo && bs(i)._1 <= hi } => f
+      case (f, bs) if idx.forall {
+        case (i, LongBand(_, lo, hi)) =>
+          val LongBound(mn, mx) = (bs(i): @unchecked)
+          mx >= lo && mn <= hi
+        case (i, StrBand(_, lo, hi)) =>
+          val StrBound(b) = (bs(i): @unchecked)
+          b.exists { case (mn, mx) =>
+            ucmp(mx, lo.getBytes("UTF-8")) >= 0 &&
+              ucmp(mn, hi.getBytes("UTF-8")) <= 0
+          }
+      } => f
     }
     val report = PruneReport(entries.length, kept.length)
     val df =
@@ -142,8 +278,10 @@ object SkipIndex {
         // schema still comes from the real files; the filter keeps nothing
         spark.read.parquet(dir).where(lit(false))
       else spark.read.parquet(kept.toIndexedSeq: _*)
-    val pred = bands.map { case (k, lo, hi) =>
-      col(k).cast("long").between(lo, hi) }.reduce(_ && _)
+    val pred: Column = bands.map {
+      case LongBand(k, lo, hi) => col(k).cast("long").between(lo, hi)
+      case StrBand(k, lo, hi) => col(k).between(lit(lo), lit(hi))
+    }.reduce(_ && _)
     (df.where(pred), report)
   }
 }

@@ -118,6 +118,71 @@ class KvConnectorPlanSpec extends SparkTestBase {
     assert(got == want, s"pushed top-N diverges: $got vs $want")
   }
 
+  test("OFFSET pushes on a single-split scan and skips exactly k " +
+      "post-filter rows") {
+    // single file, known line order; the pushed filter keeps even values
+    // only and OFFSET must count the SURVIVING rows (SQL: WHERE before
+    // OFFSET), so skipping 2 of the evens 0,2,4,…,18 leaves 4,6,…,18
+    val dir = writeKv((0 until 20).map(i => s"k$i\t$i"))
+    val q = kv(dir).where(col("value") % 2 === 0).offset(2)
+    val plan = q.queryExecution.executedPlan.toString
+    // value % 2 is not a pushable predicate, so the residual Filter blocks
+    // the push — use a pushable band instead and assert both shapes
+    assert(!plan.contains("PushedOffset"),
+      s"offset must not push past a residual filter:\n$plan")
+    val q2 = kv(dir).where(col("value") >= 6L).offset(2)
+    val plan2 = q2.queryExecution.executedPlan.toString
+    assert(plan2.contains("PushedOffset: 2"),
+      s"offset not pushed on a single-split scan:\n$plan2")
+    assert(q2.collect().map(_.getLong(1)).toSeq == (8L until 20L).toSeq,
+      "pushed offset skipped the wrong post-filter prefix")
+  }
+
+  test("OFFSET over a multi-split dir refuses; Spark's own Offset stays " +
+      "exact") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-kvplan").toString
+    (0 until 100).map(i => s"k$i\t$i").toDF("value")
+      .repartition(4).write.mode("overwrite").text(dir)
+    val q = kv(dir).offset(30)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("PushedOffset"),
+      s"offset must refuse on a multi-split listing:\n$plan")
+    assert(q.count() == 70L, "fallback offset changed the row count")
+  }
+
+  test("OFFSET composed under a LIMIT keeps the partial-limit plan and " +
+      "exact paging semantics") {
+    // Limit(Offset) only deletes the offset when the limit pushed FULLY;
+    // this builder is always-partial, so Spark retains both operators and
+    // pushes limit+offset as the per-split cap — page 2..4 in line order
+    val dir = writeKv((0 until 50).map(i => s"k$i\t$i"))
+    val q = kv(dir).offset(2).limit(3)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("PushedOffset"),
+      s"offset must not push under a partially-pushed limit:\n$plan")
+    assert(plan.contains("PushedLimit: 5"),
+      s"limit+offset cap not pushed:\n$plan")
+    assert(q.collect().map(_.getLong(1)).toSeq == Seq(2L, 3L, 4L))
+  }
+
+  test("OFFSET past the end of the split yields an empty scan") {
+    val dir = writeKv(Seq("a\t1", "b\t2", "c\t3"))
+    val builder = new graft.sources.KvScanBuilder(dir, 128L * 1024 * 1024)
+    assert(builder.pushOffset(7))
+    val scan = builder.build().asInstanceOf[graft.sources.KvScan]
+    val factory = scan.toBatch.createReaderFactory()
+    val rows = scan.toBatch.planInputPartitions().flatMap { p =>
+      val r = factory.createReader(p)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+      while (r.next()) buf += r.get().getLong(1)
+      r.close()
+      buf
+    }
+    assert(rows.isEmpty, s"offset beyond the split must emit nothing: " +
+      rows.mkString(","))
+  }
+
   test("TOP-N over an unsupported ordering refuses and falls back") {
     val dir = writeKv(Seq("a\t3", "b\t1", "c\t2"))
     // an expression ordering (value + 1) is not a bare column reference:

@@ -84,6 +84,72 @@ class KvTextSinkSpec extends SparkTestBase {
     assert(!new java.io.File(s"$dir/_staging/job2").exists)
   }
 
+  private def streamingPair(dir: String, runId: String) = {
+    val sw = new graft.sources.KvStreamingWrite(dir, runId,
+      truncate = false, Seq("key", "value"))
+    val wf = new graft.sources.KvStreamingWriterFactory(dir, runId,
+      graft.sources.KvTextSource.sessionConfMap())
+    (sw, wf)
+  }
+
+  test("streaming sink: a replayed epoch commit is discarded, not " +
+      "double-applied") {
+    val dir = freshDir()
+    val (sw, wf) = streamingPair(dir, "run1")
+    val w1 = wf.createWriter(0, 10L, epochId = 3L)
+    w1.write(row("a", 1L)); w1.write(row("b", 2L))
+    sw.commit(3L, Array(w1.commit()))
+    // restart replays the last batch: tasks re-stage, driver re-commits
+    val w2 = wf.createWriter(0, 11L, epochId = 3L)
+    w2.write(row("a", 1L)); w2.write(row("b", 2L))
+    sw.commit(3L, Array(w2.commit()))
+    val back = spark.read.format(fmt).load(dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+    assert(back == Seq(("a", 1L), ("b", 2L)),
+      s"replayed epoch duplicated rows: $back")
+    assert(!new java.io.File(s"$dir/_staging").exists,
+      "replayed attempt's staging not swept")
+    assert(new java.io.File(s"$dir/_SUCCESS").exists, "_SUCCESS not healed")
+  }
+
+  test("streaming sink: renamed files from an attempt that died before " +
+      "its marker are swept by the fresh attempt") {
+    val dir = freshDir()
+    // simulate epoch 5 dying mid-commit: a data file landed, no marker
+    val stray = new java.io.File(s"$dir/e5-part-0-99.kv")
+    val os = new java.io.FileOutputStream(stray)
+    os.write("dead\t666\n".getBytes("UTF-8")); os.close()
+    val (sw, wf) = streamingPair(dir, "run2")
+    val w = wf.createWriter(0, 20L, epochId = 5L)
+    w.write(row("live", 7L))
+    sw.commit(5L, Array(w.commit()))
+    val back = spark.read.format(fmt).load(dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(back == Seq(("live", 7L)),
+      s"dead attempt's unmarked file leaked into the table: $back")
+  }
+
+  test("streaming sink: distinct epochs append; abort sweeps only its " +
+      "own staging") {
+    val dir = freshDir()
+    val (sw, wf) = streamingPair(dir, "run3")
+    val w1 = wf.createWriter(0, 30L, epochId = 1L)
+    w1.write(row("e1", 1L))
+    sw.commit(1L, Array(w1.commit()))
+    val w2 = wf.createWriter(0, 31L, epochId = 2L)
+    w2.write(row("e2", 2L))
+    sw.commit(2L, Array(w2.commit()))
+    // epoch 3 aborts: nothing lands, earlier epochs untouched
+    val w3 = wf.createWriter(0, 32L, epochId = 3L)
+    w3.write(row("e3", 3L))
+    w3.commit()
+    sw.abort(3L, Array.empty)
+    val back = spark.read.format(fmt).load(dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+    assert(back == Seq(("e1", 1L), ("e2", 2L)),
+      s"epoch append/abort broke the table: $back")
+  }
+
   test("null rows are rejected at the write boundary") {
     val dir = freshDir()
     import spark.implicits._

@@ -119,6 +119,138 @@ class SkipIndexSpec extends SparkTestBase {
     assert(one.count() == 64L * 16L)
   }
 
+  test("string-key pruning engages on a range layout and stays lossless " +
+      "with prefix-truncated bounds (keys longer than the 16-byte width)") {
+    import spark.implicits._
+    val dir = freshDir()
+    // md5-style 32-hex-char keys: every stored bound is genuinely
+    // truncated, so the widened-bounds path is what this test exercises
+    val rows = (0L until 400L).map { i =>
+      (f"${i % 16}%x" * 2 + f"$i%030x", i) // 32 chars, leading hex digit i%16
+    }
+    rows.toDF("s", "v")
+      .repartitionByRange(8, col("s"))
+      .sortWithinPartitions("s")
+      .write.mode("overwrite").parquet(dir)
+    SkipIndex.buildKeys(spark, dir, Seq(SkipIndex.StrKey("s")))
+    val (band, rep) = SkipIndex.prunedReadStr(spark, dir, "s", "4", "8")
+    assert(rep.total == 8 && rep.kept < rep.total,
+      s"lexical band should prune range files: kept ${rep.kept}/${rep.total}")
+    val got = band.select("v").as[Long].collect().sorted.toSeq
+    val want = rows.collect {
+      case (s, v) if s >= "4" && s <= "8" => v
+    }.sorted
+    assert(got == want, "string-pruned read lost or invented rows")
+  }
+
+  test("prefix-truncation boundary: a band between the true max and its " +
+      "widened bound keeps the file (conservative) yet returns no rows") {
+    import spark.implicits._
+    val dir = freshDir()
+    val p16 = "a" * 16 // exactly the truncation width
+    // one file whose keys all extend the same 16-byte prefix: stored
+    // bounds are [p16, "aaaaaaaaaaaaaaab") — wider than the true
+    // [p16+"m1", p16+"z9"] on both sides
+    Seq((p16 + "m1", 1L), (p16 + "q5", 2L), (p16 + "z9", 3L))
+      .toDF("s", "v").coalesce(1).write.mode("overwrite").parquet(dir)
+    SkipIndex.buildKeys(spark, dir, Seq(SkipIndex.StrKey("s")))
+    // band inside the widened-but-unreal gap (true max < lo < widened max):
+    // the file survives pruning — the bound may only ever err WIDE — and
+    // the residual predicate returns zero rows, so the result is lossless
+    val (gap, repGap) = SkipIndex.prunedReadStr(
+      spark, dir, "s", p16 + "zz", p16 + "zzz")
+    assert(repGap.kept == 1, "widened upper bound must keep the gap band")
+    assert(gap.count() == 0L)
+    // band at the incremented prefix itself: stored bounds are inclusive
+    // (the exclusivity of the increment is not tracked), so this edge is
+    // conservatively kept — and returns nothing, which is the contract
+    val (edge, repEdge) = SkipIndex.prunedReadStr(
+      spark, dir, "s", "aaaaaaaaaaaaaaab", "aaaaaaaaaaaaaaab")
+    assert(repEdge.kept == 1 && edge.count() == 0L)
+    // band strictly past the incremented prefix: provably disjoint, skipped
+    val (_, repOut) = SkipIndex.prunedReadStr(
+      spark, dir, "s", "aaaaaaaaaaaaaaab0", "b")
+    assert(repOut.kept == 0, "band beyond the widened bound must skip")
+    // band ending AT the truncated lower bound: the widened mn (a prefix
+    // of the true min) intersects, so the file is conservatively kept and
+    // the residual predicate again returns nothing — still lossless
+    val (low, repLow) = SkipIndex.prunedReadStr(spark, dir, "s", "a", p16)
+    assert(repLow.kept == 1, "widened lower bound must keep the edge band")
+    assert(low.count() == 0L)
+    // band strictly below the truncated lower bound: provably disjoint
+    val (_, repBelow) = SkipIndex.prunedReadStr(
+      spark, dir, "s", "a", "a" * 15)
+    assert(repBelow.kept == 0, "band below the prefix bound must skip")
+    // band that ends exactly AT the prefix lower bound boundary + one key
+    val (atMin, _) = SkipIndex.prunedReadStr(spark, dir, "s", p16, p16 + "m1")
+    assert(atMin.select("v").as[Long].collect().toSeq == Seq(1L),
+      "prefix-truncated lower bound must not lose the true min")
+  }
+
+  test("string pruning is lossless for ANY band over ANY layout " +
+      "(property sweep incl. hash layouts and short keys)") {
+    import spark.implicits._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val dirSorted = freshDir()
+    val dirShuffled = freshDir()
+    // mixed lengths: some short (stored exactly), some past the
+    // truncation width (stored widened)
+    val rows = (0L until 300L).map { i =>
+      val base = f"${i * 13 % 256}%02x"
+      val s = if (i % 3 == 0) base else base + "f" * 20 + f"$i%04d"
+      (s, i)
+    }
+    rows.toDF("s", "v").repartitionByRange(5, col("s"))
+      .sortWithinPartitions("s").write.mode("overwrite").parquet(dirSorted)
+    rows.toDF("s", "v").repartition(5)
+      .write.mode("overwrite").parquet(dirShuffled)
+    SkipIndex.buildKeys(spark, dirSorted, Seq(SkipIndex.StrKey("s")))
+    SkipIndex.buildKeys(spark, dirShuffled, Seq(SkipIndex.StrKey("s")))
+    val hexChar = Gen.oneOf("0123456789abcdef".toSeq)
+    val key = for {
+      n <- Gen.chooseNum(1, 24)
+      cs <- Gen.listOfN(n, hexChar)
+    } yield cs.mkString
+    val prop = Prop.forAll(key, key, Gen.oneOf(dirSorted, dirShuffled)) {
+      (a, b, dir) =>
+        val (lo, hi) = if (a <= b) (a, b) else (b, a)
+        val (band, _) = SkipIndex.prunedReadStr(spark, dir, "s", lo, hi)
+        val got = band.select("v").as[Long].collect().sorted.toSeq
+        val want = rows.collect {
+          case (s, v) if s >= lo && s <= hi => v
+        }.sorted
+        got == want
+    }
+    val r = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(25), prop)
+    assert(r.passed, r.status.toString)
+  }
+
+  test("all-null string-key files carry sentinel bounds but stay lossless") {
+    import spark.implicits._
+    val dir = freshDir()
+    Seq((Some("abc"), 1L), (Some("def"), 2L)).toDF("s", "v")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    Seq((Option.empty[String], 3L), (Option.empty[String], 4L)).toDF("s", "v")
+      .coalesce(1).write.mode("append").parquet(dir)
+    SkipIndex.buildKeys(spark, dir, Seq(SkipIndex.StrKey("s")))
+    val (band, rep) = SkipIndex.prunedReadStr(spark, dir, "s", "a", "z")
+    assert(rep.total == 2 && rep.kept == 1,
+      s"all-null string file should be skipped: ${rep.kept}/${rep.total}")
+    assert(band.select("v").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("a band of the wrong type for the indexed column fails loudly") {
+    import spark.implicits._
+    val dir = freshDir()
+    Seq(("aa", 1L)).toDF("s", "v").write.mode("overwrite").parquet(dir)
+    SkipIndex.buildKeys(spark, dir, Seq(SkipIndex.StrKey("s")))
+    val e = intercept[RuntimeException] {
+      SkipIndex.prunedRead(spark, dir, "s", 0L, 10L)
+    }
+    assert(e.getMessage.contains("band type mismatch"))
+  }
+
   test("asking for an unindexed column or a corrupt header fails loudly") {
     import spark.implicits._
     val dir = freshDir()

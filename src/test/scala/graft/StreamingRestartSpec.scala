@@ -96,6 +96,63 @@ class StreamingRestartSpec extends SparkTestBase {
       "restarted stream's final snapshot diverges from the batch answer")
   }
 
+  test("DSv2 KV streaming sink restarted from checkpoint commits each " +
+      "epoch exactly once") {
+    val tmp = Files.createTempDirectory("graft-kvsink-restart").toString
+    val fmt = classOf[graft.sources.KvTextSource].getName
+    val ord = Tables(spark, sf, "orders")
+      .select(col("o_orderkey"),
+        col("o_orderpriority").as("key"),
+        cents(col("o_totalprice")).as("value"))
+    val median = ord
+      .selectExpr("CAST(percentile_cont(0.5) WITHIN GROUP " +
+        "(ORDER BY o_orderkey) AS BIGINT)")
+      .head().getLong(0)
+    val kv = ord.select(col("key"), col("value"))
+    val schema = kv.schema
+
+    def startQuery(): StreamingQuery =
+      graft.streaming.StreamingOps.withStreamShuffle(spark) {
+        spark.readStream.schema(schema).parquet(s"$tmp/in/*.parquet")
+          .writeStream.format(fmt)
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .outputMode("append")
+          .start(s"$tmp/out")
+      }
+
+    // epoch 0: first half, then KILL between micro-batches
+    ord.where(col("o_orderkey") <= median).select(col("key"), col("value"))
+      .write.parquet(s"$tmp/in/b1.parquet")
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+
+    // restart from the same checkpoint; second half arrives after the kill
+    ord.where(col("o_orderkey") > median).select(col("key"), col("value"))
+      .write.parquet(s"$tmp/in/b2.parquet")
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+
+    // the epoch sequence continued across the restart: both epochs hold a
+    // durable marker (the sink's commit points), none were re-delivered
+    val markers = Option(new java.io.File(s"$tmp/out/_epochs").list())
+      .getOrElse(Array.empty)
+      .filterNot(_.startsWith(".")) // local-FS CRC sidecars
+      .sorted.toSeq
+    assert(markers == Seq("0", "1"),
+      s"expected exactly epochs 0 and 1 committed, got $markers")
+
+    // exactly-once at the ROW level: the committed sink equals the batch
+    // input as a multiset — a replayed epoch doubles counts, a dropped
+    // commit loses them
+    val got = spark.read.format(fmt).load(s"$tmp/out")
+      .groupBy("key", "value").count()
+      .collect().map(_.toString).sorted.toSeq
+    val want = kv.groupBy("key", "value").count()
+      .collect().map(_.toString).sorted.toSeq
+    assert(got == want,
+      "restarted KV sink diverges from the batch multiset")
+  }
+
   test("stateful tumbling aggregate restarted from checkpoint merges window state across the kill") {
     // The harder recovery case: the kill lands MID-WINDOW, so the restarted
     // run must reload the window's partial aggregate from the state store
