@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, BoundReference, Cast, Coalesce, Expression, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.QueryPlan
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LeafNode, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand, LeafNode, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
@@ -318,7 +318,8 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
             Alias(byName(o.name), o.name)(exprId = o.exprId)
           }
           Project(projections, mv)
-        case None => MvRollup.rewrite(spark, agg).getOrElse(agg)
+        case None => MvRollup.rewrite(spark, agg)
+          .orElse(MvCube.rewrite(spark, agg)).getOrElse(agg)
       }
   }
 }
@@ -339,22 +340,11 @@ case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
   * in the exact tier. */
 object MvRollup {
 
-  /** Bind `ex`'s attributes to ordinals of `child.output`; None when the
-    * expression references anything outside the child (correlation). */
-  private def bound(ex: Expression, child: LogicalPlan): Option[Expression] = {
-    var ok = true
-    val t = ex.transform {
-      case a: AttributeReference =>
-        val i = child.output.indexWhere(_.exprId == a.exprId)
-        if (i < 0) { ok = false; a } else BoundReference(i, a.dataType, a.nullable)
-    }
-    if (ok) Some(t.canonicalized) else None
-  }
+  // binding/alias-stripping shared with the cube tier (MvCubeBind)
+  private def bound(ex: Expression, child: LogicalPlan): Option[Expression] =
+    MvCubeBind.bound(ex, child)
 
-  private def strip(ne: NamedExpression): Expression = ne match {
-    case Alias(c, _) => c
-    case x => x
-  }
+  private def strip(ne: NamedExpression): Expression = MvCubeBind.strip(ne)
 
   def rewrite(spark: SparkSession, agg: Aggregate): Option[LogicalPlan] = {
     if (!agg.resolved) return None
@@ -441,5 +431,192 @@ object MvRollup {
         }
       Some(Aggregate(newGroup, newOut, mv))
     case _ => None
+  }
+}
+
+/** CUBE / ROLLUP / GROUPING SETS routing — [[MvRewriteRule]] tier 3.
+  *
+  * The analyzer lowers every grouping-sets form to one fixed shape
+  * (ResolveGroupingAnalytics):
+  *
+  * {{{
+  * Aggregate [k1', k2', gid], [outputs...]
+  * +- Expand [[child.out..., k1|null, k2|null, <gidLit>]...],
+  *           [child.out..., k1', k2', gid]
+  *    +- Project [child.out..., key1 AS k1, key2 AS k2]
+  *       +- trueChild
+  * }}}
+  *
+  * where the aggregate functions reference `trueChild`'s own attributes
+  * (passed through Expand with their exprIds intact). When `trueChild`
+  * matches a registered view's child and every cube key is one of the
+  * view's grouping keys, each grouping SET is a subset of the view's keys
+  * — so the whole lattice re-aggregates from the SAME group-domain-sized
+  * MV: the substitute keeps the Aggregate and Expand nodes (their output
+  * attr ids untouched, so parents resolve unchanged) and swaps the leaf,
+  * replicating MV partial rows instead of base rows. At 100 TB a cube
+  * over the base table scans the corpus once per query; over the MV it
+  * expands a few thousand partial rows per grouping set.
+  *
+  * Derivation discipline is [[MvRollup]]'s, applied per aggregate output:
+  * sum→sum, count→coalesce(sum, 0), min→min, max→max, nothing distinct or
+  * filtered; grouping keys and grouping_id()/grouping() outputs reference
+  * only the Expand-produced attrs and pass through untouched. An aggregate
+  * over a cube KEY column (e.g. count(k1') — its null pattern varies per
+  * grouping set) fails the trueChild binding and bails to the base plan. */
+object MvCube {
+
+  def rewrite(spark: SparkSession, agg: Aggregate): Option[LogicalPlan] = {
+    if (!agg.resolved) return None
+    agg.child match {
+      case expand @ Expand(_, _, Project(plist, trueChild)) =>
+        MvCatalog.live(spark).iterator
+          .flatMap(e => attempt(spark, agg, expand, plist, trueChild, e))
+          .nextOption()
+      case _ => None
+    }
+  }
+
+  private def attempt(spark: SparkSession, agg: Aggregate, expand: Expand,
+      plist: Seq[NamedExpression], trueChild: LogicalPlan,
+      e: MvCatalog.Entry): Option[LogicalPlan] = e.definition match {
+    case defAgg: Aggregate
+        if MvCatalog.sessionless(trueChild).sameResult(defAgg.child) =>
+      val n = trueChild.output.size
+      // the lowered shape: Project = child.output ++ one alias per key
+      if (plist.size <= n ||
+          plist.take(n) != trueChild.output) return None
+      val aliases = plist.drop(n)
+      if (!aliases.forall(_.isInstanceOf[Alias])) return None
+      val m = aliases.size
+      if (expand.output.size != n + m + 1) return None
+      // Expand passes trueChild's attrs through under their own exprIds
+      if (expand.output.take(n).map(_.exprId) !=
+          trueChild.output.map(_.exprId)) return None
+      val groupAttrs = expand.output.drop(n) // [k1', k2', ..., gid]
+      // the aggregate groups by exactly the Expand-produced key attrs + gid
+      if (agg.groupingExpressions != groupAttrs) return None
+      // every projection row: [child.out..., key-or-null..., gid literal]
+      val rowsOk = expand.projections.forall { row =>
+        row.size == n + m + 1 &&
+        row.take(n) == trueChild.output &&
+        row.last.isInstanceOf[Literal] &&
+        row.slice(n, n + m).zip(aliases).forall {
+          case (l: Literal, _) => l.value == null
+          case (a: AttributeReference, al: Alias) =>
+            a.exprId == al.exprId
+          case _ => false
+        }
+      }
+      if (!rowsOk) return None
+
+      // definition lookups, as in MvRollup
+      val defOut: Seq[(Expression, String)] = defAgg.aggregateExpressions
+        .flatMap(ne => MvCubeBind.bound(MvCubeBind.strip(ne), defAgg.child)
+          .map(_ -> ne.name))
+      def findDef(qex: Expression): Option[String] =
+        MvCubeBind.bound(qex, trueChild)
+          .flatMap(q => defOut.find(_._1 == q).map(_._2))
+      val defGroup: Set[Expression] =
+        defAgg.groupingExpressions
+          .flatMap(MvCubeBind.bound(_, defAgg.child)).toSet
+
+      // every cube key must be a definition grouping key it also exposes
+      val keyNames: Seq[String] = aliases.flatMap { al =>
+        val src = al.asInstanceOf[Alias].child
+        MvCubeBind.bound(src, trueChild).filter(defGroup.contains)
+          .flatMap(_ => findDef(src))
+      }
+      if (keyNames.size != m) return None
+
+      val groupAttrSet = groupAttrs.map(_.exprId).toSet
+      // classify outputs: passthrough (over Expand-produced attrs only) or
+      // a derivable aggregate over trueChild attrs
+      sealed trait Out
+      case object Keep extends Out
+      final case class Derive(mvCol: String,
+          mk: Attribute => Expression) extends Out
+      val classified: Seq[Option[Out]] = agg.aggregateExpressions.map { o =>
+        MvCubeBind.strip(o) match {
+          case ex if ex.references.nonEmpty &&
+              ex.references.forall(a => groupAttrSet.contains(a.exprId)) &&
+              !ex.exists(_.isInstanceOf[AggregateExpression]) =>
+            Some(Keep)
+          case ae: AggregateExpression
+              if !ae.isDistinct && ae.filter.isEmpty =>
+            val reFn: Option[Expression => Expression] =
+              ae.aggregateFunction match {
+                case _: Sum => Some(c => AggregateExpression(
+                  Sum(c), Complete, isDistinct = false))
+                case _: Count => Some(c => Coalesce(Seq(
+                  AggregateExpression(Sum(c), Complete, isDistinct = false),
+                  Literal(0L))))
+                case _: Min => Some(c => AggregateExpression(
+                  Min(c), Complete, isDistinct = false))
+                case _: Max => Some(c => AggregateExpression(
+                  Max(c), Complete, isDistinct = false))
+                case _ => None
+              }
+            for (name <- findDef(ae); fn <- reFn) yield
+              Derive(name, (a: Attribute) => {
+                val re = fn(a)
+                if (re.dataType == o.dataType) re else Cast(re, o.dataType)
+              })
+          case _ => None
+        }
+      }
+      if (classified.exists(_.isEmpty)) return None
+      // structure matched — only now pay the freshness probe
+      if (!MvCatalog.fresh(spark, e)) return None
+
+      val mv = spark.read.parquet(e.mvPath).queryExecution.analyzed
+      val byName = mv.output.map(a => a.name -> a).toMap
+      val mvCols: Seq[String] =
+        classified.flatten.collect { case Derive(c, _) => c }.distinct
+      if (!(keyNames ++ mvCols).forall(byName.contains)) return None
+
+      // fresh passthrough attrs carrying the MV partials through Expand
+      val pAttrs: Map[String, AttributeReference] = mvCols.map { c =>
+        val src = byName(c)
+        c -> AttributeReference(c, src.dataType, nullable = true)()
+      }.toMap
+      val newOutput: Seq[Attribute] = mvCols.map(pAttrs) ++ groupAttrs
+      val newProjections: Seq[Seq[Expression]] = expand.projections.map {
+        row =>
+          val keyPart = row.slice(n, n + m).zip(keyNames).map {
+            case (l: Literal, _) => l
+            case (_, name) => byName(name)
+          }
+          mvCols.map(byName(_): Expression) ++ keyPart :+ row.last
+      }
+      val newExpand = Expand(newProjections, newOutput, mv)
+      val newOut: Seq[NamedExpression] =
+        agg.aggregateExpressions.zip(classified.flatten).map {
+          case (o, Keep) => o
+          case (o, Derive(c, mk)) =>
+            Alias(mk(pAttrs(c)), o.name)(exprId = o.exprId)
+        }
+      Some(Aggregate(agg.groupingExpressions, newOut, newExpand))
+    case _ => None
+  }
+}
+
+/** Shared binding helpers (hoisted from [[MvRollup]]'s private scope for
+  * the cube tier — semantics identical). */
+private[plans] object MvCubeBind {
+  def bound(ex: Expression, child: LogicalPlan): Option[Expression] = {
+    var ok = true
+    val t = ex.transform {
+      case a: AttributeReference =>
+        val i = child.output.indexWhere(_.exprId == a.exprId)
+        if (i < 0) { ok = false; a }
+        else BoundReference(i, a.dataType, a.nullable)
+    }
+    if (ok) Some(t.canonicalized) else None
+  }
+
+  def strip(ne: NamedExpression): Expression = ne match {
+    case Alias(c, _) => c
+    case x => x
   }
 }

@@ -610,6 +610,40 @@ object AdvancedQueries {
         .orderBy("o_orderstatus")
     },
 
+    // MV CUBE routing (plans/MvCube, r13 verdict stretch): a CUBE over the
+    // registered view's keys is every subset-grouping at once — the tier
+    // keeps the analyzer's Aggregate+Expand lattice shape and swaps the
+    // LEAF, so all four grouping sets replicate group-domain-sized MV
+    // partials instead of the base table (at 100 TB: a few thousand rows
+    // expanded ×4 versus a full corpus scan ×1). Same registered view as
+    // q_mv_rollup — one fine-grained view serves the plain subset slice
+    // AND the whole cube lattice. Count re-derives as coalesce(sum(n),0),
+    // the exact-decimal sum re-sums; NULL cube keys surface as 'ALL'
+    // sentinels only in the select ABOVE the matched Aggregate, identical
+    // in the oracle.
+    "q_mv_cube" -> { (s, dir) =>
+      val mvPath = s"/root/repo/target/tmp/mv_prio_status-${new java.io.File(dir).getName}"
+      def mvOf() = Tables(s, dir, "orders")
+        .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          exactSum(cents(col("o_totalprice"))).as("sum_dec"))
+      graft.plans.MvCatalog.register(s, mvOf(), mvPath,
+        "v1:orders/prio+status,count+cents", Seq(s"$dir/orders.parquet"))
+      val q = Tables(s, dir, "orders")
+        .cube(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          exactSum(cents(col("o_totalprice"))).as("sum_dec"))
+      require(graft.plans.MvCatalog.servedFromMv(q, mvPath),
+        "MV cube routing did not engage — the lattice is reading the " +
+          "base table")
+      q.select(
+          coalesce(col("o_orderpriority"), lit("ALL")).as("prio"),
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          col("n_orders"),
+          col("sum_dec").cast("long").as("sum_cents"))
+        .orderBy("prio", "status")
+    },
+
     // Stats-based FILE skipping (sources/SkipIndex): the complementary
     // lakehouse primitive to partition pruning above — orders lay out by
     // RANGE on the exact-cents price (16 near-disjoint per-file key
@@ -2244,6 +2278,17 @@ object AdvancedQueries {
          |  CAST(SUM(${CENTS("o_totalprice")}) AS BIGINT) AS sum_cents
          |FROM orders GROUP BY o_orderstatus
          |ORDER BY o_orderstatus""".stripMargin,
+
+    // the full cube lattice on the base table: a mis-derived grouping set
+    // (double-counted partials, a missed (h)-only slice, a NULL count on
+    // an empty fold) hash-fails against this
+    "q_mv_cube" ->
+      s"""SELECT COALESCE(o_orderpriority, 'ALL') AS prio,
+         |  COALESCE(o_orderstatus, 'ALL') AS status,
+         |  COUNT(*) AS n_orders,
+         |  CAST(SUM(${CENTS("o_totalprice")}) AS BIGINT) AS sum_cents
+         |FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)
+         |ORDER BY prio, status""".stripMargin,
 
     // the oracle re-runs the JOIN against the base tables: a rollup served
     // from a mis-matched join view hash-fails

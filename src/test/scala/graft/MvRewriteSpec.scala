@@ -355,4 +355,99 @@ class MvRewriteSpec extends SparkTestBase {
       assert(MvCatalog.servedFromMv(agg(), mv))
     } finally MvCatalog.clear(spark)
   }
+
+  test("cube over the view's keys routes every grouping set through the MV") {
+    import spark.implicits._
+    val base = freshDir() + "/base"
+    val mv = freshDir() + "/mv"
+    (1L to 300L).map(i => (i, s"g${i % 4}", s"h${i % 7}", i * 3))
+      .toDF("id", "g", "h", "v").write.parquet(base)
+    def mvAgg() = spark.read.parquet(base).groupBy(col("g"), col("h"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+        min(col("v")).as("mn"), max(col("v")).as("mx"))
+    def cubeQ() = spark.read.parquet(base).cube(col("g"), col("h"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+        min(col("v")).as("mn"), max(col("v")).as("mx"),
+        grouping_id().as("gid"))
+    try {
+      MvCatalog.register(spark, mvAgg(), mv, "v1:test-cube", Seq(base))
+      val q = cubeQ()
+      assert(MvCatalog.servedFromMv(q, mv),
+        "cube did not route through the MV")
+      val got = q.collect().map(_.toString).sorted.toSeq
+      MvCatalog.clear(spark)
+      val direct = cubeQ().collect().map(_.toString).sorted.toSeq
+      assert(got == direct, "MV-served cube diverges from the direct cube")
+      // all four grouping sets present
+      assert(got.size == 4 * 7 + 4 + 7 + 1)
+    } finally MvCatalog.clear(spark)
+  }
+
+  test("rollup and grouping-sets forms route through the same cube tier") {
+    import spark.implicits._
+    val base = freshDir() + "/base"
+    val mv = freshDir() + "/mv"
+    (1L to 200L).map(i => (i, s"g${i % 3}", s"h${i % 5}", i))
+      .toDF("id", "g", "h", "v").write.parquet(base)
+    def mvAgg() = spark.read.parquet(base).groupBy(col("g"), col("h"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+    def rollQ() = spark.read.parquet(base).rollup(col("g"), col("h"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+    try {
+      MvCatalog.register(spark, mvAgg(), mv, "v1:test-cube-roll", Seq(base))
+      val q = rollQ()
+      assert(MvCatalog.servedFromMv(q, mv),
+        "rollup form did not route through the MV")
+      val got = q.collect().map(_.toString).sorted.toSeq
+      MvCatalog.clear(spark)
+      val direct = rollQ().collect().map(_.toString).sorted.toSeq
+      assert(got == direct)
+      // rollup lattice: (g,h), (g), () — no (h)-only set
+      assert(got.size == 3 * 5 + 3 + 1)
+    } finally MvCatalog.clear(spark)
+  }
+
+  test("cube bails to the base table when an aggregate counts a cube key " +
+      "(its null pattern varies per grouping set)") {
+    import spark.implicits._
+    val base = freshDir() + "/base"
+    val mv = freshDir() + "/mv"
+    (1L to 60L).map(i => (i, s"g${i % 3}", s"h${i % 2}", i))
+      .toDF("id", "g", "h", "v").write.parquet(base)
+    def mvAgg() = spark.read.parquet(base).groupBy(col("g"), col("h"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+    def bad() = spark.read.parquet(base).cube(col("g"), col("h"))
+      .agg(count(col("g")).as("ng"), sum(col("v")).as("sv"))
+    try {
+      MvCatalog.register(spark, mvAgg(), mv, "v1:test-cube-bail", Seq(base))
+      val q = bad()
+      assert(!MvCatalog.servedFromMv(q, mv),
+        "count(cube key) must not derive from the MV")
+      val got = q.collect().map(_.toString).sorted.toSeq
+      MvCatalog.clear(spark)
+      val direct = bad().collect().map(_.toString).sorted.toSeq
+      assert(got == direct)
+    } finally MvCatalog.clear(spark)
+  }
+
+  test("cube bails when a cube key is not a view grouping key") {
+    import spark.implicits._
+    val base = freshDir() + "/base"
+    val mv = freshDir() + "/mv"
+    (1L to 60L).map(i => (i, s"g${i % 3}", s"h${i % 2}", i))
+      .toDF("id", "g", "h", "v").write.parquet(base)
+    def mvAgg() = spark.read.parquet(base).groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+    def wide() = spark.read.parquet(base).cube(col("g"), col("h"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+    try {
+      MvCatalog.register(spark, mvAgg(), mv, "v1:test-cube-widek", Seq(base))
+      val q = wide()
+      assert(!MvCatalog.servedFromMv(q, mv),
+        "a cube key outside the view's grouping keys must not route")
+      val got = q.collect().map(_.toString).sorted.toSeq
+      MvCatalog.clear(spark)
+      assert(got == wide().collect().map(_.toString).sorted.toSeq)
+    } finally MvCatalog.clear(spark)
+  }
 }
