@@ -461,6 +461,63 @@ object AdvancedQueries {
       s.table(qn).orderBy("key")
     },
 
+    // ADMISSION CONTROL through the micro-batch source
+    // (SupportsAdmissionControl + maxFilesPerTrigger): a six-file backlog
+    // arrives in ONE dump, but each trigger may claim at most two files
+    // past the committed frontier — the backlog drains in three bounded,
+    // checkpointed micro-batches instead of one giant catch-up batch (the
+    // 100 TB restart-after-downtime story: state-store memory and commit
+    // latency stay flat under any backlog size). The require pins that
+    // pacing genuinely split the dump; the complete-mode aggregate must
+    // still equal the batch ground truth, so a file skipped or re-claimed
+    // across paced frontiers hash-fails.
+    "q_stream_kv_paced" -> { (s, dir) =>
+      val tmp = new java.io.File(
+        s"/root/repo/target/tmp/stream_kvpace-${new java.io.File(dir).getName}")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(): Unit
+      }
+      if (tmp.exists) rm(tmp)
+      tmp.mkdirs()
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        tmp.toURI, s.sparkContext.hadoopConfiguration)
+      val stage = new org.apache.hadoop.fs.Path(s"$tmp/_stage")
+      Tables(s, dir, "orders")
+        .select(concat_ws("\t", col("o_orderpriority"),
+          cents(col("o_totalprice")).cast("string")).as("v"))
+        .repartition(6)
+        .write.mode("overwrite").text(stage.toString)
+      fs.listStatus(stage)
+        .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
+          !f.getPath.getName.startsWith("."))
+        .sortBy(_.getPath.getName).zipWithIndex.foreach { case (st, i) =>
+          fs.rename(st.getPath, new org.apache.hadoop.fs.Path(
+            tmp.toString, f"b0001_$i%05d.txt"))
+        }
+      fs.delete(stage, true)
+      val qn = s"q_stream_kv_paced_${System.nanoTime()}"
+      val q = graft.streaming.StreamingOps.withStreamShuffle(s) {
+        val query = s.readStream
+          .format(classOf[graft.sources.KvTextSource].getName)
+          .option("maxFilesPerTrigger", "2")
+          .load(tmp.toString)
+          .where(col("value") >= 5000000L)
+          .groupBy(col("key"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("value")).as("sum_cents"))
+          .writeStream.outputMode("complete")
+          .format("memory").queryName(qn).start()
+        try query.processAllAvailable() finally query.stop()
+        query
+      }
+      val paced = q.recentProgress.count(_.numInputRows > 0)
+      require(paced == 3,
+        s"6 files at maxFilesPerTrigger=2 must drain in 3 micro-batches, " +
+          s"saw $paced — admission control did not pace the backlog")
+      s.table(qn).orderBy("key")
+    },
+
     // The custom connector as a STREAMING SINK (KvStreamingWrite): the
     // connector's last asymmetry closed — it now reads micro-batches AND
     // commits them, so this gate runs KV→KV end to end: the micro-batch
@@ -784,6 +841,47 @@ object AdvancedQueries {
         .agg(count(lit(1)).as("n"),
           sum(col("n_chars")).cast("long").as("sum_chars"))
         .orderBy("lang")
+    },
+
+    // BLOOM point-lookup file skipping (r14, the hash-layout complement
+    // of q_skip_string's lexical bounds): the documents layer here is
+    // HASH-distributed on md5(doc_id), so every file's min/max spans the
+    // whole key domain and range bounds keep everything — but the v3
+    // sidecar's per-file bloom bitsets answer "might this file hold this
+    // key?" and a 3-id point probe touches only the files that answer
+    // maybe. No false negatives (lossless by construction, spec-swept
+    // across 2000 keys); false positives die in the residual IN
+    // predicate. At 100 TB this is the doc-id point-probe path: one
+    // driver-side sidecar read instead of a corpus scan. The require pins
+    // that pruning engages; the oracle replays the identical IN over the
+    // base table (DuckDB md5 = same lowercase hex).
+    "q_skip_bloom" -> { (s, dir) =>
+      val tmp =
+        s"/root/repo/target/tmp/docs_bloomskip-${new java.io.File(dir).getName}"
+      graft.sources.Sinks.ensureDir(s, tmp,
+        "v1:documents,hash8/md5,skipindex3-bloom",
+        inputs = Seq(s"$dir/documents.parquet")) {
+        Tables(s, dir, "documents")
+          .withColumn("doc_md5",
+            md5(col("doc_id").cast("string").cast("binary")))
+          .select(col("doc_md5"), col("lang"), col("n_chars"))
+          .repartition(8, col("doc_md5"))
+          .write.mode("overwrite").parquet(tmp)
+        graft.sources.SkipIndex.buildKeys(s, tmp,
+          Seq(graft.sources.SkipIndex.BloomKey("doc_md5", bits = 1 << 14)))
+      }
+      def md5hex(v: String): String =
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(v.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+      // two present ids, one absent — same literals the oracle hashes
+      val probes = Seq(md5hex("7"), md5hex("123"), md5hex("999983"))
+      val (hit, rep) = graft.sources.SkipIndex.prunedReadEq(
+        s, tmp, "doc_md5", probes)
+      require(rep.kept < rep.total,
+        "bloom skip index failed to prune on the hash layout " +
+          s"(kept ${rep.kept}/${rep.total})")
+      hit.select(col("doc_md5"), col("lang"), col("n_chars"))
+        .orderBy("doc_md5")
     },
 
     // Connector surface: nation → CSV, region → JSON (explicit schemas on
@@ -2242,6 +2340,14 @@ object AdvancedQueries {
          |  CAST(SUM(${CENTS("o_totalprice")}) AS BIGINT) AS sum_cents
          |FROM orders GROUP BY 1 ORDER BY key""".stripMargin,
 
+    // however many paced micro-batches the backlog drained in, the final
+    // complete-mode aggregate must equal the batch ground truth
+    "q_stream_kv_paced" ->
+      s"""SELECT o_orderpriority AS key, COUNT(*) AS n_orders,
+         |  CAST(SUM(${CENTS("o_totalprice")}) AS BIGINT) AS sum_cents
+         |FROM orders WHERE ${CENTS("o_totalprice")} >= 5000000
+         |GROUP BY 1 ORDER BY key""".stripMargin,
+
     // batch ground truth for the KV→KV streaming round trip: every epoch
     // committed exactly once means the sink holds precisely the filtered
     // rows of both ingest batches — a replayed (duplicated) epoch doubles
@@ -2307,6 +2413,16 @@ object AdvancedQueries {
          |WHERE o_custkey BETWEEN 38 AND 75
          |  AND ${CENTS("o_totalprice")} // 100 BETWEEN 100000 AND 250000
          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // identical point probe over the unpruned base table — a bloom that
+    // drops a present key's file (a false negative anywhere in the
+    // hash/bitset path) loses rows and hash-fails here
+    "q_skip_bloom" ->
+      s"""SELECT md5(CAST(doc_id AS VARCHAR)) AS doc_md5, lang, n_chars
+         |FROM documents
+         |WHERE md5(CAST(doc_id AS VARCHAR))
+         |  IN (md5('7'), md5('123'), md5('999983'))
+         |ORDER BY doc_md5""".stripMargin,
 
     // identical lexical band over the unpruned base table — a truncated
     // string bound that narrows (instead of widens) drops rows and

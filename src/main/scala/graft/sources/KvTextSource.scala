@@ -119,13 +119,19 @@ final class KvTable(path: String) extends Table
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new KvScanBuilder(path,
-      options.getLong("maxSplitBytes", 128L * 1024 * 1024))
+      options.getLong("maxSplitBytes", 128L * 1024 * 1024),
+      Option(options.get("maxFilesPerTrigger")).map { v =>
+        val n = v.toInt
+        require(n > 0, s"maxFilesPerTrigger must be positive, got $n")
+        n
+      })
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new KvWriteBuilder(path, info)
 }
 
-final class KvScanBuilder(path: String, maxSplitBytes: Long)
+final class KvScanBuilder(path: String, maxSplitBytes: Long,
+    maxFilesPerTrigger: Option[Int] = None)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates
@@ -251,7 +257,8 @@ final class KvScanBuilder(path: String, maxSplitBytes: Long)
   override def build(): Scan = aggregation match {
     case Some(agg) => new KvAggScan(path, pushed, agg, maxSplitBytes)
     case None =>
-      new KvScan(path, pushed, required, maxSplitBytes, topN, limit, offset)
+      new KvScan(path, pushed, required, maxSplitBytes, topN, limit, offset,
+        maxFilesPerTrigger)
   }
 }
 
@@ -259,7 +266,8 @@ final class KvScan(path: String, filters: Array[Filter], required: StructType,
     maxSplitBytes: Long,
     topN: Option[(Seq[(String, Boolean)], Int)] = None,
     limit: Option[Int] = None,
-    offset: Option[Int] = None) extends Scan with Batch
+    offset: Option[Int] = None,
+    maxFilesPerTrigger: Option[Int] = None) extends Scan with Batch
     with SupportsReportStatistics with SupportsRuntimeFiltering {
 
   // RUNTIME filters (SupportsRuntimeFiltering): under a DPP-shaped join,
@@ -346,7 +354,7 @@ final class KvScan(path: String, filters: Array[Filter], required: StructType,
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new KvMicroBatchStream(path, filters, required,
-      KvTextSource.sessionConfMap())
+      KvTextSource.sessionConfMap(), maxFilesPerTrigger)
 }
 
 /** Offset of the KV micro-batch stream: the count of CLAIMED files plus
@@ -399,9 +407,11 @@ object KvStreamOffset {
   * the custom-connector twin of FileStreamSource with the file list
   * replaced by the monotone-name contract (see [[KvStreamOffset]]). */
 final class KvMicroBatchStream(path: String, filters: Array[Filter],
-    required: StructType, confMap: Map[String, String])
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
-  import org.apache.spark.sql.connector.read.streaming.Offset
+    required: StructType, confMap: Map[String, String],
+    maxFilesPerTrigger: Option[Int] = None)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, Offset, ReadAllAvailable, ReadLimit, ReadMaxFiles}
 
   private def listFiles(): Array[(String, String, Long)] = {
     val fs = KvTextSource.sessionFs(new java.net.URI(path))
@@ -418,6 +428,39 @@ final class KvMicroBatchStream(path: String, filters: Array[Filter],
     val fs = listFiles()
     KvStreamOffset(fs.length, fs.lastOption.map(_._1).getOrElse(""))
   }
+
+  /** ADMISSION CONTROL (SupportsAdmissionControl): at sustained 100 TB
+    * ingest, "process everything that arrived" is not a batch plan — a
+    * backlog after downtime would form one giant micro-batch that blows
+    * state-store memory and checkpoint latency. `maxFilesPerTrigger` caps
+    * each trigger at the next k files past the committed frontier, so a
+    * backlog drains in bounded, checkpointed steps. The frontier stays
+    * count-based, so paced offsets compose with the replay witness and
+    * restart path unchanged; unknown ReadLimit kinds (rows/bytes — no row
+    * counts exist without reading the files) conservatively admit all
+    * available, as the interface permits. */
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(
+      ReadLimit.allAvailable())
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[KvStreamOffset]
+    val files = listFiles()
+    require(files.length >= s.n,
+      s"KV stream dir $path shrank below the committed frontier " +
+        s"(${files.length} files < offset ${s.n}) — source files are " +
+        "append-only")
+    def cap(l: ReadLimit): Int = l match {
+      case mf: ReadMaxFiles => math.min(files.length, s.n + mf.maxFiles())
+      case c: CompositeReadLimit => c.getReadLimits.map(cap).min
+      case _: ReadAllAvailable => files.length
+      case _ => files.length // rows/bytes limits: no counts without reads
+    }
+    val n = cap(limit)
+    KvStreamOffset(n, if (n == 0) "" else files(n - 1)._1)
+  }
+
+  override def reportLatestOffset(): Offset = latestOffset()
 
   override def deserializeOffset(json: String): Offset = {
     val m = """\{"n":(\d+),"last":"(.*)"\}""".r

@@ -62,11 +62,25 @@ object SkipIndex {
     * tens of MB. */
   private val TruncBytes = 16
 
-  /** An indexed key column: `long` (exact bounds) or `str` (truncated
-    * lexical bounds). */
+  /** An indexed key column: `long` (exact bounds), `str` (truncated
+    * lexical bounds), or `bloom` (per-file membership bitset — the POINT-
+    * lookup complement: on a HASH-distributed layout every file spans the
+    * whole key domain, so min/max bounds keep everything, but an equality
+    * / IN probe against per-file blooms prunes to the files that might
+    * hold the keys; no false negatives, so skipping stays lossless). Size
+    * `bits` at ≈10× the expected rows per file (FPR ~1% at k=5); at file
+    * sizes where that outgrows a sidecar line, the same probe-the-
+    * membership-summary seam moves into parquet-native footer blooms —
+    * this index sits above them exactly as it does for min/max. */
   sealed trait Key { def name: String }
   final case class LongKey(name: String) extends Key
   final case class StrKey(name: String) extends Key
+  final case class BloomKey(name: String, bits: Int = 1 << 17,
+      k: Int = 5) extends Key {
+    require(bits >= 64 && (bits & (bits - 1)) == 0 && bits <= (1 << 24),
+      s"bloom bits must be a power of two in [64, 2^24], got $bits")
+    require(k >= 1 && k <= 16, s"bloom hash count out of range: $k")
+  }
 
   /** A band predicate `lo <= col <= hi`, typed to match the key. */
   sealed trait Band { def name: String }
@@ -94,6 +108,11 @@ object SkipIndex {
         max(col(k).cast("long")).as(s"mx_$k"))
       case StrKey(k) => Seq(min(col(k).cast("string")).as(s"mn_$k"),
         max(col(k).cast("string")).as(s"mx_$k"))
+      case bk @ BloomKey(k, _, kh) =>
+        // two slots like every key: the OR-merged bitset and the hash
+        // count (max of a constant — carried through the group, not data)
+        Seq(udaf(new BloomAgg(bk.bits, kh)).apply(col(k).cast("string"))
+          .as(s"bl_$k"), max(lit(kh)).as(s"kh_$k"))
     } :+ count(lit(1)).as("n")
     val rows = spark.read.parquet(dir)
       .groupBy(input_file_name().as("f"))
@@ -113,6 +132,10 @@ object SkipIndex {
             if (r.isNullAt(mnI) || r.isNullAt(mxI)) Seq(NullTok, NullTok)
             else Seq(hex(truncMin(r.getString(mnI))),
               hex(truncMax(r.getString(mxI))))
+          case BloomKey(_, _, kh) =>
+            // all-null file: the zero bitset matches nothing (lossless —
+            // a null key fails any equality probe anyway)
+            Seq(hex(r.getAs[Array[Byte]](mnI)), kh.toString)
         }
       }
       (f +: bounds :+ r.getLong(1 + 2 * keys.size).toString).mkString("\t")
@@ -120,6 +143,7 @@ object SkipIndex {
     val header = (Magic +: "v3" +: keys.map {
       case LongKey(k) => s"$k:long"
       case StrKey(k) => s"$k:str"
+      case BloomKey(k, _, _) => s"$k:bloom"
     }).mkString("\t")
     val p = new Path(dir, IndexFile)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -159,6 +183,57 @@ object SkipIndex {
     }
   }
 
+  // ---- bloom membership ---------------------------------------------
+
+  /** Two stable 64-bit hashes from md5 — deterministic across JVMs and
+    * sessions (the sidecar outlives both); positions via double hashing. */
+  private[sources] def hash128(s: String): (Long, Long) = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    val bb = java.nio.ByteBuffer.wrap(d)
+    (bb.getLong, bb.getLong)
+  }
+
+  private[sources] def bloomPositions(v: String, bits: Int,
+      k: Int): Array[Int] = {
+    val (h1, h2) = hash128(v)
+    Array.tabulate(k)(i =>
+      java.lang.Long.remainderUnsigned(h1 + i.toLong * h2, bits.toLong).toInt)
+  }
+
+  /** Per-file bloom build: partial bitsets OR-merge (the UDAF's
+    * partial→final contract), so the index build stays one distributed
+    * grouped scan — per-task memory is one bitset, nothing row-sized
+    * reaches the driver. */
+  private final class BloomAgg(bits: Int, k: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        String, Array[Long], Array[Byte]] {
+    override def zero: Array[Long] = new Array[Long](bits / 64)
+    override def reduce(b: Array[Long], v: String): Array[Long] = {
+      if (v != null) bloomPositions(v, bits, k).foreach { p =>
+        b(p >> 6) |= 1L << (p & 63)
+      }
+      b
+    }
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) |= b(i); i += 1 }
+      a
+    }
+    override def finish(r: Array[Long]): Array[Byte] = {
+      // little-endian: global bit p lives at byte p>>3, mask 1<<(p&7) —
+      // the layout BloomBound.mightContain indexes
+      val bb = java.nio.ByteBuffer.allocate(r.length * 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      r.foreach(bb.putLong(_): java.nio.ByteBuffer)
+      bb.array()
+    }
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Byte]]()
+  }
+
   private def hex(b: Array[Byte]): String =
     b.map(x => f"${x & 0xff}%02x").mkString
 
@@ -178,6 +253,13 @@ object SkipIndex {
   /** None = all-null sentinel (intersects nothing). */
   private final case class StrBound(b: Option[(Array[Byte], Array[Byte])])
     extends Bound
+  private final case class BloomBound(bytes: Array[Byte], k: Int)
+      extends Bound {
+    def mightContain(v: String): Boolean =
+      bloomPositions(v, bytes.length * 8, k).forall { p =>
+        (bytes(p >> 3) & (1 << (p & 7))) != 0
+      }
+  }
 
   /** Parse the sidecar: (typed columns, per-file (path, bound-per-col)).
     * Loud on absence or an unrecognized header — both are layer bugs, and
@@ -200,6 +282,7 @@ object SkipIndex {
       c.split(":") match {
         case Array(n, "long") => LongKey(n)
         case Array(n, "str") => StrKey(n)
+        case Array(n, "bloom") => BloomKey(n)
         case _ => sys.error(s"bad skip-index column spec '$c' under $dir")
       }
     }
@@ -212,6 +295,7 @@ object SkipIndex {
           case StrKey(_) =>
             if (mn == NullTok || mx == NullTok) StrBound(None)
             else StrBound(Some((unhex(mn), unhex(mx))))
+          case BloomKey(_, _, _) => BloomBound(unhex(mn), mx.toInt)
         }
       })
     }
@@ -234,6 +318,36 @@ object SkipIndex {
   def prunedReadStr(spark: SparkSession, dir: String, keyCol: String,
       lo: String, hi: String): (DataFrame, PruneReport) =
     prunedReadTyped(spark, dir, Seq(StrBand(keyCol, lo, hi)))
+
+  /** POINT-lookup read over a bloom-indexed dir: a file survives when ANY
+    * probe value might be present in its bitset (no false negatives ⇒
+    * lossless); survivors scan under the full IN predicate (skipping is
+    * an optimization, never the filter). The hash-layout twin of the band
+    * reads — on a hash-distributed table every file's min/max spans the
+    * domain, but a handful of point probes touch only the files whose
+    * blooms answer "maybe". */
+  def prunedReadEq(spark: SparkSession, dir: String, keyCol: String,
+      values: Seq[String]): (DataFrame, PruneReport) = {
+    require(values.nonEmpty, "prunedReadEq needs at least one probe value")
+    val (keys, entries) = readIndex(spark, dir)
+    val i = keys.indexWhere(_.name == keyCol)
+    require(i >= 0, s"column $keyCol is not in the skip index " +
+      s"(indexed: ${keys.map(_.name).mkString(", ")}) — rebuild the " +
+      "layer with it")
+    require(keys(i).isInstanceOf[BloomKey],
+      s"equality probes need a bloom column; $keyCol is indexed as " +
+        keys(i).getClass.getSimpleName)
+    val kept = entries.collect {
+      case (f, bs) if ((bs(i): @unchecked) match {
+        case b: BloomBound => values.exists(b.mightContain)
+      }) => f
+    }
+    val report = PruneReport(entries.length, kept.length)
+    val df =
+      if (kept.isEmpty) spark.read.parquet(dir).where(lit(false))
+      else spark.read.parquet(kept.toIndexedSeq: _*)
+    (df.where(col(keyCol).isin(values: _*)), report)
+  }
 
   /** Multi-band read over an indexed dir: a file survives only when EVERY
     * band intersects its stored bounds for that column (string bounds are

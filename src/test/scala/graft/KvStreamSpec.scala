@@ -72,6 +72,61 @@ class KvStreamSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("maxFilesPerTrigger paces one dump into bounded micro-batches, " +
+      "content exact") {
+    val in = Files.createTempDirectory("graft-kvs-paced").toString
+    // five files arrive at once; each trigger may admit at most two
+    for (b <- 1 to 5)
+      writeFile(in, f"b$b%04d.txt", Seq(kvLine(s"k$b", b.toLong)))
+    val batches = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = graft.streaming.StreamingOps.withStreamShuffle(spark) {
+      spark.readStream
+        .format(classOf[graft.sources.KvTextSource].getName)
+        .option("maxFilesPerTrigger", "2")
+        .load(in)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          val r = b.agg(count(lit(1)), sum(col("value"))).head()
+          batches += ((id, r.getLong(0)))
+          ()
+        }
+        .start()
+    }
+    try q.processAllAvailable() finally q.stop()
+    val nonEmpty = batches.filter(_._2 > 0)
+    assert(nonEmpty.size == 3,
+      s"5 files at maxFilesPerTrigger=2 must drain in 3 batches: $batches")
+    assert(nonEmpty.map(_._2).toSeq == Seq(2L, 2L, 1L),
+      s"per-batch file admission wrong: $batches")
+  }
+
+  test("admission-control offset math: caps, composite limits, and the " +
+      "shrunken-dir guard") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val in = Files.createTempDirectory("graft-kvs-adm").toString
+    for (b <- 1 to 4)
+      writeFile(in, f"b$b%04d.txt", Seq(kvLine("x", b.toLong)))
+    val stream = new graft.sources.KvMicroBatchStream(
+      in, Array.empty, null, Map.empty)
+    def at(n: Int) = graft.sources.KvStreamOffset(n,
+      if (n == 0) "" else f"b$n%04d.txt")
+    // cap engages mid-stream and clamps at the end
+    assert(stream.latestOffset(at(0), ReadLimit.maxFiles(3)) == at(3))
+    assert(stream.latestOffset(at(3), ReadLimit.maxFiles(3)) == at(4))
+    // allAvailable and unknown (row-based) limits admit everything
+    assert(stream.latestOffset(at(1), ReadLimit.allAvailable()) == at(4))
+    assert(stream.latestOffset(at(1), ReadLimit.maxRows(1L)) == at(4))
+    // a composite takes the tightest file cap
+    assert(stream.latestOffset(at(0), ReadLimit.compositeLimit(
+      Array(ReadLimit.maxFiles(2), ReadLimit.maxRows(10L)))) == at(2))
+    // a frontier beyond the listing fails loudly (append-only contract)
+    val err = intercept[IllegalArgumentException] {
+      stream.latestOffset(graft.sources.KvStreamOffset(9, "b0009.txt"),
+        ReadLimit.allAvailable())
+    }
+    assert(err.getMessage.contains("shrank below the committed frontier"))
+  }
+
   test("offset JSON round-trips file names with quotes/backslashes/controls") {
     // the offset goes into the checkpoint verbatim: an unescaped quote in
     // a file name would corrupt the JSON and brick the restart path

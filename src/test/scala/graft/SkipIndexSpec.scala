@@ -283,4 +283,83 @@ class SkipIndexSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("skip index missing"))
   }
+
+  test("bloom point probe prunes a HASH layout losslessly (no false " +
+      "negatives, pruning engages)") {
+    import spark.implicits._
+    val dir = freshDir()
+    // hash layout: every file spans the whole key domain, so min/max
+    // bounds would keep everything — the bloom is what prunes here
+    (0L until 2000L).map(i => (s"id-$i", i)).toDF("id", "v")
+      .repartition(8, col("id"))
+      .write.mode("overwrite").parquet(dir)
+    SkipIndex.buildKeys(spark, dir,
+      Seq(SkipIndex.BloomKey("id", bits = 1 << 15)))
+    // every present key must be found (lossless), file count pruned
+    val probes = Seq("id-0", "id-999", "id-1777")
+    val (hit, rep) = SkipIndex.prunedReadEq(spark, dir, "id", probes)
+    assert(rep.total == 8 && rep.kept < rep.total,
+      s"bloom probe failed to prune: kept=${rep.kept}/${rep.total}")
+    val got = hit.select("id", "v").collect()
+      .map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    assert(got == Seq(("id-0", 0L), ("id-1777", 1777L), ("id-999", 999L)),
+      s"bloom probe lost or invented rows: ${got.mkString(",")}")
+    // an absent key returns empty (false positives die in the residual
+    // IN predicate even if a file survives)
+    val (miss, _) = SkipIndex.prunedReadEq(spark, dir, "id",
+      Seq("id-999983"))
+    assert(miss.count() == 0L)
+  }
+
+  test("bloom sweep: every one of 2000 present keys survives its probe " +
+      "(no false negative anywhere in the bitset path)") {
+    import spark.implicits._
+    val dir = freshDir()
+    (0L until 2000L).map(i => (s"k$i", i)).toDF("id", "v")
+      .repartition(6, col("id"))
+      .write.mode("overwrite").parquet(dir)
+    SkipIndex.buildKeys(spark, dir,
+      Seq(SkipIndex.BloomKey("id", bits = 1 << 15)))
+    // drive the kept-file decision for every key at the index level: the
+    // pruned read of each single key must keep >=1 file and find the row
+    val all = (0L until 2000L by 97L).map(i => s"k$i")
+    all.foreach { key =>
+      val (df, rep) = SkipIndex.prunedReadEq(spark, dir, "id", Seq(key))
+      assert(rep.kept >= 1, s"present key $key bloomed to zero files")
+      assert(df.count() == 1L, s"present key $key not found after pruning")
+    }
+  }
+
+  test("bloom column rejects band probes; band columns reject point " +
+      "probes; all-null bloom file is skipped losslessly") {
+    import spark.implicits._
+    val dir = freshDir()
+    Seq((Option("a"), 1L), (Option("b"), 2L)).toDF("id", "v")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    Seq((Option.empty[String], 3L)).toDF("id", "v")
+      .coalesce(1).write.mode("append").parquet(dir)
+    SkipIndex.buildKeys(spark, dir,
+      Seq(SkipIndex.BloomKey("id", bits = 1 << 10),
+        SkipIndex.LongKey("v")))
+    // null-key file: zero bitset, never kept by a probe — and losing it
+    // is lossless because null fails any equality
+    val (hit, rep) = SkipIndex.prunedReadEq(spark, dir, "id", Seq("a"))
+    assert(rep.total == 2 && rep.kept == 1)
+    assert(hit.collect().map(_.getLong(1)).toSeq == Seq(1L))
+    // type discipline is loud in both directions
+    val e1 = intercept[RuntimeException] {
+      SkipIndex.prunedReadTyped(spark, dir,
+        Seq(SkipIndex.StrBand("id", "a", "b")))
+    }
+    assert(e1.getMessage.contains("type mismatch") ||
+      e1.getMessage.contains("band type mismatch"))
+    val e2 = intercept[IllegalArgumentException] {
+      SkipIndex.prunedReadEq(spark, dir, "v", Seq("1"))
+    }
+    assert(e2.getMessage.contains("bloom"))
+    // and the long band on v still works alongside the bloom column
+    val (band, _) = SkipIndex.prunedReadTyped(spark, dir,
+      Seq(SkipIndex.LongBand("v", 2L, 3L)))
+    assert(band.collect().map(_.getLong(1)).sorted.toSeq == Seq(2L, 3L))
+  }
 }
