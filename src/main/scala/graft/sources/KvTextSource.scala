@@ -410,7 +410,7 @@ final class KvMicroBatchStream(path: String, filters: Array[Filter],
     required: StructType, confMap: Map[String, String],
     maxFilesPerTrigger: Option[Int] = None)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
-    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, Offset, ReadAllAvailable, ReadLimit, ReadMaxFiles}
 
   private def listFiles(): Array[(String, String, Long)] = {
@@ -443,6 +443,17 @@ final class KvMicroBatchStream(path: String, filters: Array[Filter],
     maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(
       ReadLimit.allAvailable())
 
+  /** Trigger.AvailableNow (SupportsTriggerAvailableNow): the engine asks
+    * the source to FREEZE its end bound before the run — "process what
+    * exists now in paced batches, then stop" — the production
+    * batch-over-stream pattern (nightly catch-up jobs reusing the
+    * streaming checkpoint). Files that arrive after the freeze wait for
+    * the next run; paced batches never cross the frozen frontier. */
+  @volatile private var frozen: Option[Int] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    frozen = Some(listFiles().length)
+
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[KvStreamOffset]
     val files = listFiles()
@@ -450,11 +461,12 @@ final class KvMicroBatchStream(path: String, filters: Array[Filter],
       s"KV stream dir $path shrank below the committed frontier " +
         s"(${files.length} files < offset ${s.n}) — source files are " +
         "append-only")
+    val avail = frozen.fold(files.length)(math.min(_, files.length))
     def cap(l: ReadLimit): Int = l match {
-      case mf: ReadMaxFiles => math.min(files.length, s.n + mf.maxFiles())
+      case mf: ReadMaxFiles => math.min(avail, s.n + mf.maxFiles())
       case c: CompositeReadLimit => c.getReadLimits.map(cap).min
-      case _: ReadAllAvailable => files.length
-      case _ => files.length // rows/bytes limits: no counts without reads
+      case _: ReadAllAvailable => avail
+      case _ => avail // rows/bytes limits: no counts without reads
     }
     val n = cap(limit)
     KvStreamOffset(n, if (n == 0) "" else files(n - 1)._1)

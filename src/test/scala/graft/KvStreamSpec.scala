@@ -127,6 +127,34 @@ class KvStreamSpec extends SparkTestBase {
     assert(err.getMessage.contains("shrank below the committed frontier"))
   }
 
+  test("Trigger.AvailableNow drains the frozen backlog in paced batches " +
+      "and self-terminates") {
+    val in = Files.createTempDirectory("graft-kvs-avnow").toString
+    for (b <- 1 to 5)
+      writeFile(in, f"b$b%04d.txt", Seq(kvLine(s"k$b", b.toLong)))
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = graft.streaming.StreamingOps.withStreamShuffle(spark) {
+      spark.readStream
+        .format(classOf[graft.sources.KvTextSource].getName)
+        .option("maxFilesPerTrigger", "2")
+        .load(in)
+        .writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val n = b.count()
+          if (n > 0) batches += n
+          ()
+        }
+        .start()
+    }
+    // AvailableNow must terminate BY ITSELF once the frozen frontier is
+    // drained — no processAllAvailable, no stop()
+    assert(q.awaitTermination(120000),
+      "AvailableNow query did not self-terminate")
+    assert(batches.toSeq == Seq(2L, 2L, 1L),
+      s"frozen backlog should drain as paced 2+2+1 rows, got $batches")
+  }
+
   test("offset JSON round-trips file names with quotes/backslashes/controls") {
     // the offset goes into the checkpoint verbatim: an unescaped quote in
     // a file name would corrupt the JSON and brick the restart path

@@ -150,6 +150,39 @@ class KvTextSinkSpec extends SparkTestBase {
       s"epoch append/abort broke the table: $back")
   }
 
+  test("streaming sink in COMPLETE mode: each epoch truncates — the " +
+      "table holds exactly the final aggregate") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("kvsink-complete-in").toString
+    val out = freshDir()
+    val ckpt = Files.createTempDirectory("kvsink-complete-ck").toString
+    def ingest(name: String, rows: Seq[(String, Long)]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(in, name),
+        rows.map { case (k, v) => s"$k\t$v" }
+          .mkString("", "\n", "\n").getBytes("UTF-8"))
+    val q = graft.streaming.StreamingOps.withStreamShuffle(spark) {
+      spark.readStream.format(fmt).load(in)
+        .groupBy(col("key"))
+        .agg(sum(col("value")).as("value"))
+        .writeStream.format(fmt)
+        .option("checkpointLocation", ckpt)
+        .outputMode("complete")
+        .start(out)
+    }
+    try {
+      ingest("b0001.txt", Seq(("a", 1L), ("b", 2L)))
+      q.processAllAvailable()
+      ingest("b0002.txt", Seq(("a", 10L), ("c", 5L)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val back = spark.read.format(fmt).load(out)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+    // complete mode: ONLY the final aggregate — epoch 0's rows must have
+    // been truncated away, not appended under a second epoch prefix
+    assert(back == Seq(("a", 11L), ("b", 2L), ("c", 5L)),
+      s"complete-mode epochs appended instead of truncating: $back")
+  }
+
   test("null rows are rejected at the write boundary") {
     val dir = freshDir()
     import spark.implicits._
