@@ -16,7 +16,8 @@ object Bench {
     "q_data_skipping", "q_zorder_skipping", "q_mv_rewrite", "q_mv_rollup",
     "q_mv_join_rollup", "q_dsv2_agg_pushdown", "q_dsv2_runtime_filter",
     "q_dsv2_topn", "q_dsv2_limit", "q_mv_snapshot", "q_mv_ivm",
-    "q_skip_string", "q_dsv2_offset", "q_mv_cube", "q_skip_bloom")
+    "q_skip_string", "q_dsv2_offset", "q_mv_cube", "q_skip_bloom",
+    "q_mv_filter")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, BoundReference, Cast, Coalesce, Expression, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.QueryPlan
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand, LeafNode, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand, Filter, LeafNode, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 
@@ -77,19 +77,47 @@ object MvCatalog {
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap[SparkSession, List[Entry]]())
 
+  /** Test seam: counts [[sessionless]] invocations, so specs can pin that
+    * the rule performs ONE probe transform per Aggregate no matter how many
+    * entries are registered (the per-entry transform was
+    * O(entries × aggregates × subtree) — a planner tax at a realistic
+    * catalog of hundreds of views). */
+  private[graft] val sessionlessCalls =
+    new java.util.concurrent.atomic.AtomicLong
+
   /** Replace every file-source leaf with an [[MvSourceLeaf]] (see its doc):
-    * applied to definitions at registration AND to the incoming plan at
-    * lookup, so `sameResult` compares two session-free trees. Leaves this
-    * code doesn't recognize pass through unchanged — they simply won't
-    * match a stored definition, which is the safe failure direction. */
-  private[plans] def sessionless(plan: LogicalPlan): LogicalPlan =
+    * applied to definitions at registration AND — once per Aggregate, shared
+    * across every tier and entry probed — to the incoming plan at lookup, so
+    * `sameResult` compares two session-free trees. A non-file relation
+    * (JDBC, in-memory, DSv2) reduces to a stable class+schema token:
+    * registration REFUSES such definitions (see [[register]]), so the token
+    * only ever appears on the probe side, where it can match nothing —
+    * the safe direction, made loud at the one place a user can fix it. */
+  private[plans] def sessionless(plan: LogicalPlan): LogicalPlan = {
+    sessionlessCalls.incrementAndGet()
     plan.transformUp {
       case l: LogicalRelation =>
         val paths = l.relation match {
           case h: HadoopFsRelation => h.location.rootPaths.map(_.toString)
-          case r => Seq(r.toString)
+          case r => Seq(s"${r.getClass.getName}:${r.schema.catalogString}")
         }
         MvSourceLeaf(l.output, paths)
+    }
+  }
+
+  /** MV definitions must bottom out in file scans: routing identifies scan
+    * leaves by their root paths, and a relation without them could never be
+    * matched by a user query — silently-dead routing (r14 ADVICE). Refuse
+    * at registration instead. */
+  private def requireFileBased(plan: LogicalPlan): Unit =
+    plan.foreach {
+      case l: LogicalRelation if !l.relation.isInstanceOf[HadoopFsRelation] =>
+        throw new IllegalArgumentException(
+          "MV definitions must read file sources only — " +
+            s"${l.relation.getClass.getName} has no root paths, so the " +
+            "registered view could never match a query; materialize the " +
+            "non-file input to parquet first")
+      case _ => ()
     }
 
   /** Materialize `df` at `mvPath` (write-once via ensureDir) and register
@@ -104,21 +132,13 @@ object MvCatalog {
     val fp = graft.sources.Sinks.fingerprint(spark, inputs: _*)
     val live = Option(entries.get(spark)).getOrElse(Nil)
     if (live.exists(e => e.mvPath == mvPath && e.fingerprint == fp)) return
+    requireFileBased(df.queryExecution.analyzed)
     graft.sources.Sinks.ensureDir(spark, mvPath, s"$tag@mv", inputs) {
       df.write.mode("overwrite").parquet(mvPath)
     }
     val e = Entry(sessionless(df.queryExecution.analyzed), mvPath, fp, inputs)
     entries.compute(spark, (_, v) =>
       e :: (if (v == null) Nil else v.filterNot(_.mvPath == mvPath)))
-  }
-
-  /** Structural match first (cheap, in-memory), THEN the freshness
-    * probe (fingerprint LIST or snapshot head-version) only on a hit. */
-  def lookup(spark: SparkSession, plan: LogicalPlan): Option[Entry] = {
-    val probe = sessionless(plan)
-    Option(entries.get(spark)).getOrElse(Nil).find { e =>
-      probe.sameResult(e.definition) && fresh(spark, e)
-    }
   }
 
   /** Register an MV whose base is a [[graft.sources.SnapshotTable]]:
@@ -134,6 +154,7 @@ object MvCatalog {
     val live0 = Option(entries.get(spark)).getOrElse(Nil)
     if (live0.exists(e => e.mvPath == mvPath &&
         e.snapshot.contains((snapshotBase, v)))) return v
+    requireFileBased(df.queryExecution.analyzed)
     val manifest = graft.sources.SnapshotTable.manifestFile(snapshotBase, v)
     graft.sources.Sinks.ensureDir(spark, mvPath, s"$tag@mv-v$v",
         Seq(manifest)) {
@@ -247,6 +268,7 @@ object MvCatalog {
       // aggregate over the head read (built AFTER the early cached return,
       // so a live self-registration can never have rewritten it)
       val defn = partial(ST.readVersion(spark, snapshotBase, v, keyCol))
+      requireFileBased(defn.queryExecution.analyzed)
       val e = Entry(sessionless(defn.queryExecution.analyzed), genPath,
         s"snapshot@v$v", Seq(ST.manifestFile(snapshotBase, v)),
         Some((snapshotBase, v)))
@@ -294,7 +316,13 @@ object MvCatalog {
   * (and the ROLLUP substitute's own Aggregate sits over the MV scan, which
   * matches no registered definition — the fixpoint pass leaves it alone).
   *
-  * Two match tiers, tried in order:
+  * Probe cost discipline: the rule bails before any work when no entry is
+  * registered, and computes the session-free copy of each Aggregate subtree
+  * ONCE, sharing it across all tiers and every entry probed (the per-entry
+  * transform was O(entries × aggregates × subtree-size) — a planner tax at
+  * a realistic catalog of hundreds of views; MvRewriteSpec pins the count).
+  *
+  * Match tiers, tried in order:
   * 1. EXACT: the query aggregate `sameResult`-equals a registered
   *    definition → substitute a bare MV scan (no re-aggregation at all).
   * 2. ROLLUP ([[MvRollup]]): the query groups by a SUBSET of a
@@ -304,23 +332,40 @@ object MvCatalog {
   *    avg rolls up when written as its sum/count pair, the engine's exact-
   *    arithmetic discipline anyway) → substitute MV scan + re-aggregate.
   *    This is the MV hit pattern real users get: one (day, region, sku)
-  *    view serves every coarser slice of itself. */
+  *    view serves every coarser slice of itself. The same tier carries
+  *    FILTER SUBSUMPTION: a predicate between the aggregate and the
+  *    matched child that references only definition-exposed grouping keys
+  *    (`WHERE region = 'EU' GROUP BY day` against a (region, day) view —
+  *    the single most common real MV hit) routes as MV scan + the same
+  *    predicate over the MV's key columns + re-aggregate.
+  * 3. CUBE ([[MvCube]]): grouping-sets lattices re-expand MV partials. */
 case class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
-    case agg: Aggregate =>
-      MvCatalog.lookup(spark, agg) match {
-        case Some(e) =>
-          val mv = spark.read.parquet(e.mvPath).queryExecution.analyzed
-          val byName = mv.output.map(a => a.name -> a).toMap
-          // alias MV columns back to the query's attribute ids so parents
-          // (sorts, filters, projects above the aggregate) resolve unchanged
-          val projections: Seq[NamedExpression] = agg.output.map { o =>
-            Alias(byName(o.name), o.name)(exprId = o.exprId)
-          }
-          Project(projections, mv)
-        case None => MvRollup.rewrite(spark, agg)
-          .orElse(MvCube.rewrite(spark, agg)).getOrElse(agg)
-      }
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (MvCatalog.live(spark).isEmpty) return plan
+    plan.transformDown {
+      case agg: Aggregate if agg.resolved =>
+        // one session-free copy per Aggregate; sessionless only substitutes
+        // LEAVES, so probe.child is exactly sessionless(agg.child) and the
+        // intermediate nodes carry the original expression instances —
+        // tiers bind ordinals against it interchangeably with the original
+        val probe = MvCatalog.sessionless(agg).asInstanceOf[Aggregate]
+        val exact = MvCatalog.live(spark).find(e =>
+          probe.sameResult(e.definition) && MvCatalog.fresh(spark, e))
+        exact match {
+          case Some(e) =>
+            val mv = spark.read.parquet(e.mvPath).queryExecution.analyzed
+            val byName = mv.output.map(a => a.name -> a).toMap
+            // alias MV columns back to the query's attribute ids so parents
+            // (sorts, filters, projects above the aggregate) resolve
+            // unchanged
+            val projections: Seq[NamedExpression] = agg.output.map { o =>
+              Alias(byName(o.name), o.name)(exprId = o.exprId)
+            }
+            Project(projections, mv)
+          case None => MvRollup.rewrite(spark, agg, probe.child)
+            .orElse(MvCube.rewrite(spark, agg, probe.child)).getOrElse(agg)
+        }
+    }
   }
 }
 
@@ -346,38 +391,74 @@ object MvRollup {
 
   private def strip(ne: NamedExpression): Expression = MvCubeBind.strip(ne)
 
-  def rewrite(spark: SparkSession, agg: Aggregate): Option[LogicalPlan] = {
+  /** `probeChild` is the rule's already-computed session-free copy of
+    * `agg.child` — its output attributes are the original child's (leaf
+    * substitution preserves them), so ordinal binding reads off it
+    * interchangeably, and no per-entry transform runs. */
+  def rewrite(spark: SparkSession, agg: Aggregate,
+      probeChild: LogicalPlan): Option[LogicalPlan] = {
     if (!agg.resolved) return None
-    MvCatalog.live(spark).iterator.flatMap(e => attempt(spark, agg, e))
+    // FILTER SUBSUMPTION: a predicate between the aggregate and the matched
+    // child lifts over the re-aggregation when it references only
+    // definition-exposed grouping keys (constant within each MV group, so
+    // filtering MV partials == filtering base rows). The match target is
+    // then the Filter's child; the predicate is re-applied over the MV.
+    val (cond, matchChild) = probeChild match {
+      case Filter(c, fc) => (Some(c), fc)
+      case other => (None, other)
+    }
+    MvCatalog.live(spark).iterator
+      .flatMap(e => attempt(spark, agg, cond, matchChild, e))
       .nextOption()
   }
 
   private def attempt(spark: SparkSession, agg: Aggregate,
+      cond: Option[Expression], matchChild: LogicalPlan,
       e: MvCatalog.Entry): Option[LogicalPlan] = e.definition match {
-    // definitions are stored session-free (MvCatalog.sessionless), so the
-    // incoming child gets the same leaf substitution before comparison;
-    // output attributes are preserved by it, so the ordinal binding below
-    // still reads them off the UNtransformed children
-    case defAgg: Aggregate
-        if MvCatalog.sessionless(agg.child).sameResult(defAgg.child) =>
+    // definitions are stored session-free (MvCatalog.sessionless) and the
+    // incoming child arrives with the same leaf substitution already
+    // applied; output attributes are preserved by it, so the ordinal
+    // binding below reads them off the probe copy directly
+    case defAgg: Aggregate if matchChild.sameResult(defAgg.child) =>
       // definition outputs, keyed by bound canonical expression
       val defOut: Seq[(Expression, String)] = defAgg.aggregateExpressions
         .flatMap(ne => bound(strip(ne), defAgg.child).map(_ -> ne.name))
       def findDef(qex: Expression): Option[String] =
-        bound(qex, agg.child).flatMap(q => defOut.find(_._1 == q).map(_._2))
+        bound(qex, matchChild).flatMap(q => defOut.find(_._1 == q).map(_._2))
       val defGroup: Set[Expression] =
         defAgg.groupingExpressions.flatMap(bound(_, defAgg.child)).toSet
       val qGroup: Set[Expression] =
-        agg.groupingExpressions.flatMap(bound(_, agg.child)).toSet
+        agg.groupingExpressions.flatMap(bound(_, matchChild)).toSet
       if (qGroup.size != agg.groupingExpressions.size) return None
 
       // every query grouping key must be a definition grouping key that
       // the definition also EXPOSES as an output column
       val groupNames: Seq[String] = agg.groupingExpressions.flatMap { g =>
-        bound(g, agg.child).filter(defGroup.contains)
+        bound(g, matchChild).filter(defGroup.contains)
           .flatMap(_ => findDef(g))
       }
       if (groupNames.size != agg.groupingExpressions.size) return None
+
+      // filter-subsumption legality: deterministic, subquery-free, and
+      // every referenced attribute is a definition grouping key the
+      // definition exposes — anything else bails to the base plan
+      val condNames: Option[Seq[(Attribute, String)]] = cond match {
+        case None => Some(Nil)
+        case Some(c) =>
+          val legal = c.deterministic && !c.exists(
+            _.isInstanceOf[org.apache.spark.sql.catalyst.expressions
+              .PlanExpression[_]])
+          if (!legal) None
+          else {
+            val refs = c.references.toSeq
+            val mapped = refs.flatMap { a =>
+              bound(a, matchChild).filter(defGroup.contains)
+                .flatMap(_ => findDef(a)).map(a -> _)
+            }
+            if (mapped.size == refs.size) Some(mapped) else None
+          }
+      }
+      if (condNames.isEmpty) return None
 
       // each output derives as (mv column name, attr => result expression)
       val derived: Seq[Option[(String, Attribute => Expression)]] =
@@ -408,7 +489,7 @@ object MvRollup {
                   val re = fn(a)
                   if (re.dataType == o.dataType) re else Cast(re, o.dataType)
                 })
-            case ex if bound(ex, agg.child).exists(qGroup.contains) =>
+            case ex if bound(ex, matchChild).exists(qGroup.contains) =>
               // kept grouping key: passes through (it IS a grouping expr
               // of the substitute aggregate, so the plan stays valid)
               findDef(ex).map(n => (n, (a: Attribute) => a))
@@ -421,15 +502,26 @@ object MvRollup {
 
       val mv = spark.read.parquet(e.mvPath).queryExecution.analyzed
       val byName = mv.output.map(a => a.name -> a).toMap
-      if (!(groupNames ++ derived.flatten.map(_._1))
-          .forall(byName.contains)) return None
+      if (!(groupNames ++ derived.flatten.map(_._1) ++
+          condNames.get.map(_._2)).forall(byName.contains)) return None
+      // the subsumed predicate, re-anchored onto the MV's key columns
+      val mvChild: LogicalPlan = cond match {
+        case None => mv
+        case Some(c) =>
+          val remap: Map[Long, Attribute] = condNames.get.map {
+            case (a, n) => a.exprId.id -> byName(n)
+          }.toMap
+          Filter(c.transform {
+            case a: AttributeReference => remap.getOrElse(a.exprId.id, a)
+          }, mv)
+      }
       val newGroup: Seq[Expression] = groupNames.map(byName)
       val newOut: Seq[NamedExpression] =
         agg.aggregateExpressions.zip(derived.flatten).map {
           case (o, (name, mk)) =>
             Alias(mk(byName(name)), o.name)(exprId = o.exprId)
         }
-      Some(Aggregate(newGroup, newOut, mv))
+      Some(Aggregate(newGroup, newOut, mvChild))
     case _ => None
   }
 }
@@ -466,9 +558,15 @@ object MvRollup {
   * grouping set) fails the trueChild binding and bails to the base plan. */
 object MvCube {
 
-  def rewrite(spark: SparkSession, agg: Aggregate): Option[LogicalPlan] = {
+  /** `probeChild` is the rule's session-free copy of `agg.child` — leaf
+    * substitution preserves every intermediate node's expressions and
+    * output attributes, so the Expand/Project shape check and the ordinal
+    * binding both read off it directly (one transform per Aggregate,
+    * shared with the rollup tier, none per entry). */
+  def rewrite(spark: SparkSession, agg: Aggregate,
+      probeChild: LogicalPlan): Option[LogicalPlan] = {
     if (!agg.resolved) return None
-    agg.child match {
+    probeChild match {
       case expand @ Expand(_, _, Project(plist, trueChild)) =>
         MvCatalog.live(spark).iterator
           .flatMap(e => attempt(spark, agg, expand, plist, trueChild, e))
@@ -480,8 +578,7 @@ object MvCube {
   private def attempt(spark: SparkSession, agg: Aggregate, expand: Expand,
       plist: Seq[NamedExpression], trueChild: LogicalPlan,
       e: MvCatalog.Entry): Option[LogicalPlan] = e.definition match {
-    case defAgg: Aggregate
-        if MvCatalog.sessionless(trueChild).sameResult(defAgg.child) =>
+    case defAgg: Aggregate if trueChild.sameResult(defAgg.child) =>
       val n = trueChild.output.size
       // the lowered shape: Project = child.output ++ one alias per key
       if (plist.size <= n ||

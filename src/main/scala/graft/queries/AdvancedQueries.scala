@@ -701,6 +701,41 @@ object AdvancedQueries {
         .orderBy("prio", "status")
     },
 
+    // MV FILTER-SUBSUMPTION routing (r14 verdict task 2) — the single most
+    // common real MV hit pattern: `WHERE <pred on an exposed grouping key>`
+    // plus a coarser GROUP BY against a registered fine-grained view. The
+    // query filters on priority (a view key) and groups by status only;
+    // the rollup tier lifts the predicate over the re-aggregation —
+    // legal exactly because a grouping-key predicate is constant within
+    // each MV group — and serves MV scan + the same IN over the MV's key
+    // column + re-aggregate. Same registered view as q_mv_rollup/q_mv_cube:
+    // one (priority, status) view now serves the plain slice, the cube
+    // lattice, AND every filtered slice. At 100 TB the filtered rollup is
+    // the dashboard query shape ("EU only, by day"), and without this tier
+    // it re-scans the corpus. Routing pinned; the oracle runs the identical
+    // WHERE + GROUP BY on the base table, so a predicate mis-anchored onto
+    // the wrong MV column (or applied after re-aggregation) hash-fails.
+    "q_mv_filter" -> { (s, dir) =>
+      val mvPath = s"/root/repo/target/tmp/mv_prio_status-${new java.io.File(dir).getName}"
+      def mvOf() = Tables(s, dir, "orders")
+        .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          exactSum(cents(col("o_totalprice"))).as("sum_dec"))
+      graft.plans.MvCatalog.register(s, mvOf(), mvPath,
+        "v1:orders/prio+status,count+cents", Seq(s"$dir/orders.parquet"))
+      val q = Tables(s, dir, "orders")
+        .where(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          exactSum(cents(col("o_totalprice"))).as("sum_dec"))
+      require(graft.plans.MvCatalog.servedFromMv(q, mvPath),
+        "MV filter-subsumption did not engage — the filtered aggregate is " +
+          "reading the base table")
+      q.select(col("o_orderstatus"), col("n_orders"),
+          col("sum_dec").cast("long").as("sum_cents"))
+        .orderBy("o_orderstatus")
+    },
+
     // Stats-based FILE skipping (sources/SkipIndex): the complementary
     // lakehouse primitive to partition pruning above — orders lay out by
     // RANGE on the exact-cents price (16 near-disjoint per-file key
@@ -2395,6 +2430,17 @@ object AdvancedQueries {
          |  CAST(SUM(${CENTS("o_totalprice")}) AS BIGINT) AS sum_cents
          |FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)
          |ORDER BY prio, status""".stripMargin,
+
+    // identical WHERE + coarser GROUP BY on the base table: a predicate
+    // mis-anchored onto the wrong MV column, dropped, or applied after the
+    // re-aggregation hash-fails here
+    "q_mv_filter" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS n_orders,
+         |  CAST(SUM(${CENTS("o_totalprice")}) AS BIGINT) AS sum_cents
+         |FROM orders
+         |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+         |GROUP BY o_orderstatus
+         |ORDER BY o_orderstatus""".stripMargin,
 
     // the oracle re-runs the JOIN against the base tables: a rollup served
     // from a mis-matched join view hash-fails

@@ -1137,12 +1137,28 @@ object DedupQueries {
     * a persisted RDD, and dropping the map reference alone leaks those
     * blocks in the block manager until the session dies (r13 ADVICE) — the
     * ContextCleaner only reclaims them after the RDD object is GC'd, which
-    * a large-heap bench JVM may never do between queries. */
+    * a large-heap bench JVM may never do between queries.
+    *
+    * SAFETY of the eager unpersist (r14 ADVICE): localCheckpoint blocks are
+    * not recomputable, so a DataFrame derived from an evicted entry and
+    * executed AFTER eviction would fail on missing blocks. That cannot
+    * happen here by construction: both caches serve per-(session, dir)
+    * fixture artifacts that each query re-fetches through the cache at
+    * call time (no caller holds a derived plan across queries), and the
+    * cap-4 LRU only evicts once 5+ distinct (session, fixture-fingerprint)
+    * keys are live — i.e. the evictee belongs to a finished test session
+    * or a regenerated fixture, never the query in flight. A non-LogicalRDD
+    * plan here would mean the cached value was not a bare checkpoint and
+    * the eviction silently leaks again — warn loudly so the fix can't
+    * regress unnoticed. */
   private def unpersistCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed match {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         lr.rdd.unpersist(blocking = false): Unit
-      case _ => ()
+      case other => System.err.println(
+        s"[graft] WARNING: evicted cache entry is not a bare checkpoint " +
+          s"(${other.getClass.getSimpleName}) — its blocks cannot be " +
+          "released and will leak until session shutdown")
     }
 
   private val pairsCache =

@@ -1151,6 +1151,21 @@ final class KvStreamingWrite(path: String, runId: String, truncate: Boolean,
     }
     sweepStaging(f, epochId)
     touch(f, marker) // THE commit point: replays from here on are no-ops
+    // marker retention (r14 ADVICE): Spark only ever re-delivers the LAST
+    // committed epoch after a restart, so markers older than a small tail
+    // can never be consulted again — at sustained ingest they would
+    // otherwise accumulate one small file per micro-batch forever. Keep
+    // the most recent KeepMarkers (a tail, not just one, so an operator
+    // inspecting the dir can still see recent history); pruning after the
+    // new marker lands preserves replay idempotence for every epoch Spark
+    // can actually replay.
+    val epochsDir = new Path(table, "_epochs")
+    val markers = f.listStatus(epochsDir).map(_.getPath)
+      .filter(_.getName.forall(_.isDigit))
+    if (markers.length > KvStreamingWrite.KeepMarkers)
+      markers.sortBy(_.getName.toLong)
+        .dropRight(KvStreamingWrite.KeepMarkers)
+        .foreach(p => f.delete(p, false))
     touch(f, new Path(table, "_SUCCESS"))
   }
 
@@ -1169,6 +1184,14 @@ final class KvStreamingWrite(path: String, runId: String, truncate: Boolean,
     } catch { case _: java.io.IOException => () }
     ()
   }
+}
+
+object KvStreamingWrite {
+  /** Epoch markers retained after each commit (see the pruning note in
+    * [[KvStreamingWrite.commit]]): only the last committed epoch is ever
+    * replayable, so any small tail is safe — 16 keeps recent history
+    * inspectable without unbounded small-file growth. */
+  private[sources] val KeepMarkers = 16
 }
 
 final class KvStreamingWriterFactory(path: String, runId: String,

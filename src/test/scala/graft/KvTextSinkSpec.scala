@@ -112,6 +112,31 @@ class KvTextSinkSpec extends SparkTestBase {
     assert(new java.io.File(s"$dir/_SUCCESS").exists, "_SUCCESS not healed")
   }
 
+  test("streaming sink: epoch markers are pruned to a bounded tail, and " +
+      "the last epoch stays replay-idempotent") {
+    val dir = freshDir()
+    val (sw, wf) = streamingPair(dir, "run-prune")
+    for (e <- 0L until 20L) {
+      val w = wf.createWriter(0, 100L + e, epochId = e)
+      w.write(row(s"k$e", e))
+      sw.commit(e, Array(w.commit()))
+    }
+    val markers = new java.io.File(s"$dir/_epochs").list()
+      .filterNot(_.startsWith(".")).map(_.toLong).sorted.toSeq
+    // 20 epochs committed, only the most recent 16 markers survive —
+    // sustained ingest can never grow the marker dir unboundedly
+    assert(markers == (4L until 20L),
+      s"expected markers 4..19 after pruning, got $markers")
+    // the only epoch Spark can re-deliver (the last) still short-circuits
+    val w2 = wf.createWriter(0, 999L, epochId = 19L)
+    w2.write(row("k19", 19L))
+    sw.commit(19L, Array(w2.commit()))
+    val back = spark.read.format(fmt).load(dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(back.size == 20 && back.distinct.size == 20,
+      s"replayed last epoch after pruning duplicated rows: $back")
+  }
+
   test("streaming sink: renamed files from an attempt that died before " +
       "its marker are swept by the fresh attempt") {
     val dir = freshDir()

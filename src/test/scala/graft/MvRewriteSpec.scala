@@ -430,6 +430,142 @@ class MvRewriteSpec extends SparkTestBase {
     } finally MvCatalog.clear(spark)
   }
 
+  test("filter subsumption: a grouping-key predicate + coarser GROUP BY " +
+      "routes through the MV with identical results") {
+    import spark.implicits._
+    val base = freshDir() + "/base"
+    val mv = freshDir() + "/mv"
+    (1L to 300L).map(i => (i, s"g${i % 4}", s"h${i % 7}", i * 3))
+      .toDF("id", "g", "h", "v").write.parquet(base)
+    def mvAgg() = spark.read.parquet(base).groupBy(col("g"), col("h"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+        min(col("v")).as("mn"))
+    def filtered() = spark.read.parquet(base)
+      .where(col("g").isin("g1", "g3") && col("h") =!= "h0")
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+        min(col("v")).as("mn"))
+    try {
+      MvCatalog.register(spark, mvAgg(), mv, "v1:test-filt", Seq(base))
+      val q = filtered()
+      assert(MvCatalog.servedFromMv(q, mv),
+        "grouping-key filter + coarser group-by did not route through the MV")
+      val got = q.collect().map(_.toString).sorted.toSeq
+      MvCatalog.clear(spark)
+      val direct = filtered().collect().map(_.toString).sorted.toSeq
+      assert(got == direct,
+        "MV-served filtered rollup diverges from the direct plan")
+    } finally MvCatalog.clear(spark)
+  }
+
+  test("filter subsumption: a predicate on a NON-key column bails to the " +
+      "base table") {
+    import spark.implicits._
+    val base = freshDir() + "/base"
+    val mv = freshDir() + "/mv"
+    (1L to 80L).map(i => (i, s"g${i % 4}", i)).toDF("id", "g", "v")
+      .write.parquet(base)
+    def mvAgg() = spark.read.parquet(base).groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+    // v is aggregated, not a grouping key: filtering MV partials on it
+    // would be wrong (the predicate is row-level) — must not route
+    def bad() = spark.read.parquet(base).where(col("v") > 40L)
+      .groupBy(col("g")).agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+    try {
+      MvCatalog.register(spark, mvAgg(), mv, "v1:test-filt-bail", Seq(base))
+      val q = bad()
+      assert(!MvCatalog.servedFromMv(q, mv),
+        "a non-key predicate must not route through the MV")
+      val got = q.collect().map(_.toString).sorted.toSeq
+      MvCatalog.clear(spark)
+      assert(got == bad().collect().map(_.toString).sorted.toSeq)
+    } finally MvCatalog.clear(spark)
+  }
+
+  test("filter subsumption: the freshness gate still applies") {
+    import spark.implicits._
+    val base = freshDir() + "/base"
+    val mv = freshDir() + "/mv"
+    (1L to 40L).map(i => (i, s"g${i % 2}", i)).toDF("id", "g", "v")
+      .write.parquet(base)
+    def mvAgg() = spark.read.parquet(base).groupBy(col("g"))
+      .agg(sum(col("v")).as("sv"))
+    try {
+      MvCatalog.register(spark, mvAgg(), mv, "v1:test-filt-stale", Seq(base))
+      (41L to 60L).map(i => (i, "g1", i)).toDF("id", "g", "v")
+        .write.mode("append").parquet(base)
+      val q = spark.read.parquet(base).where(col("g") === "g1")
+        .groupBy(col("g")).agg(sum(col("v")).as("sv"))
+      assert(!MvCatalog.servedFromMv(q, mv),
+        "stale MV must not serve a filtered rollup over changed base data")
+      assert(q.collect().head.getLong(1) ==
+        (1L to 40L).filter(_ % 2 == 1).sum + (41L to 60L).sum,
+        "fallback must see the appended rows")
+    } finally MvCatalog.clear(spark)
+  }
+
+  test("probe cost: one sessionless transform per Aggregate regardless of " +
+      "how many entries are registered") {
+    import spark.implicits._
+    val bases = (0 until 3).map { i =>
+      val b = freshDir() + s"/base$i"
+      (1L to 20L).map(j => (j, s"g${j % 2}", j + i)).toDF("id", "g", "v")
+        .write.parquet(b)
+      b
+    }
+    def aggOf(b: String) = spark.read.parquet(b).groupBy(col("g"))
+      .agg(sum(col("v")).as("sv"))
+    // a probe that matches NO entry exercises every tier against every
+    // registered definition — the worst case the hoist exists for
+    def probeDelta(): Long = {
+      val noMatch = spark.read.parquet(bases.head).groupBy(col("v"))
+        .agg(count(lit(1)).as("n"))
+      val before = MvCatalog.sessionlessCalls.get()
+      noMatch.queryExecution.analyzed
+      MvCatalog.sessionlessCalls.get() - before
+    }
+    try {
+      MvCatalog.register(spark, aggOf(bases.head), freshDir() + "/mv0",
+        "v1:probe0", Seq(bases.head))
+      val withOne = probeDelta()
+      bases.tail.zipWithIndex.foreach { case (b, i) =>
+        MvCatalog.register(spark, aggOf(b), freshDir() + s"/mv${i + 1}",
+          s"v1:probe${i + 1}", Seq(b))
+      }
+      val withThree = probeDelta()
+      assert(withOne == withThree,
+        s"probe transforms scale with the entry count " +
+          s"($withOne with 1 entry vs $withThree with 3) — the per-entry " +
+          "sessionless hoist regressed")
+      assert(withThree <= 2,
+        s"a single-Aggregate probe ran $withThree sessionless transforms")
+    } finally MvCatalog.clear(spark)
+  }
+
+  test("registration refuses a definition over a non-file relation loudly") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // a V1 relation without root paths (the JDBC/custom-source shape):
+    // routing identifies leaves by paths, so this definition could never be
+    // matched — register must fail fast instead of going silently dead
+    val rel = new org.apache.spark.sql.sources.BaseRelation
+        with org.apache.spark.sql.sources.TableScan {
+      override def sqlContext = spark.sqlContext
+      override def schema = StructType(Seq(StructField("g", StringType),
+        StructField("v", LongType)))
+      override def buildScan() =
+        spark.sparkContext.parallelize(Seq(Row("a", 1L)))
+    }
+    val df = spark.baseRelationToDataFrame(rel)
+      .groupBy(col("g")).agg(count(lit(1)).as("n"))
+    val e = intercept[IllegalArgumentException] {
+      MvCatalog.register(spark, df, freshDir() + "/mv", "v1:test-nonfile",
+        Seq.empty)
+    }
+    assert(e.getMessage.contains("file source"),
+      s"unexpected refusal message: ${e.getMessage}")
+  }
+
   test("cube bails when a cube key is not a view grouping key") {
     import spark.implicits._
     val base = freshDir() + "/base"
