@@ -19,6 +19,69 @@ object Bench {
     "q_skip_string", "q_dsv2_offset", "q_mv_cube", "q_skip_bloom",
     "q_mv_filter")
 
+  /** Cheap queries the adjudication child executes fully-but-untimed before
+    * its one measurement: a few seconds of real query execution across the
+    * common codegen paths (agg, join, window, text), eating into the
+    * isolated-JVM JIT horizon that otherwise inflates the first ~2 timed
+    * queries 2-10× (r11 finding). */
+  private val AdjudicationWarm =
+    "wordcount,q1_agg,q3_join_topk,q_topk_window,q_broadcast_join"
+
+  /** Run ONE query in a brand-new JVM (same classpath/JVM flags as this
+    * one — sbt forks Bench, so java.class.path is the real classpath) and
+    * return its timed seconds, or -1 on failure/timeout. The child sets
+    * SPARK_GRAFT_CHILD so it can never recurse into adjudication itself. */
+  private[graft] def freshJvmSeconds(name: String, sfDir: String): Double = {
+    import scala.jdk.CollectionConverters._
+    try {
+      val javaBin = java.nio.file.Paths
+        .get(System.getProperty("java.home"), "bin", "java").toString
+      val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+        .getInputArguments.asScala.toSeq
+        .filterNot(a => a.startsWith("-agentlib") ||
+          a.startsWith("-javaagent"))
+      val cmd = (Seq(javaBin) ++ jvmArgs ++
+        Seq("-cp", System.getProperty("java.class.path"), "graft.Bench"))
+      val pb = new ProcessBuilder(cmd.asJava)
+      pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
+      pb.environment().put("SPARK_GRAFT_ONLY", name)
+      pb.environment().put("SPARK_GRAFT_WARM", AdjudicationWarm)
+      pb.environment().put("SPARK_GRAFT_CHILD", "1")
+      // Spark logs land on the child's stderr: discard rather than buffer
+      // (a full pipe would deadlock the child mid-run)
+      pb.redirectError(ProcessBuilder.Redirect.DISCARD)
+      val proc = pb.start()
+      val outReader = new java.io.BufferedReader(
+        new java.io.InputStreamReader(proc.getInputStream, "UTF-8"))
+      val lines = scala.collection.mutable.ListBuffer.empty[String]
+      val drain = new Thread(() => {
+        var l = outReader.readLine()
+        while (l != null) { lines.synchronized { lines += l }; l = outReader.readLine() }
+      })
+      drain.setDaemon(true)
+      drain.start()
+      // a wedged child must never outlive the bench (a killed-but-detached
+      // 100%-CPU JVM poisons every later number — see CLAUDE.md): SIGKILL
+      // on timeout, then reap
+      if (!proc.waitFor(15, java.util.concurrent.TimeUnit.MINUTES)) {
+        proc.destroyForcibly()
+        proc.waitFor(30, java.util.concurrent.TimeUnit.SECONDS)
+        return -1.0
+      }
+      drain.join(5000)
+      val re = (s""""${java.util.regex.Pattern.quote(name)}":""" +
+        """([0-9]+\.[0-9]+)[,}]""").r
+      val hit = lines.synchronized {
+        lines.find(_.contains("\"metric\":\"total\""))
+      }.flatMap(l => re.findFirstMatchIn(l).map(_.group(1).toDouble))
+      if (proc.exitValue() != 0) -1.0 else hit.getOrElse(-1.0)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] fresh-JVM adjudication of $name " +
+        s"failed: ${e.getMessage}")
+      -1.0
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -88,6 +151,17 @@ object Bench {
         "(partition by n_regionkey order by n_nationkey) as w")
       .orderBy("w")
       .write.format("noop").mode("overwrite").save()
+    // SPARK_GRAFT_WARM: extra queries executed FULLY but untimed before the
+    // timed loop — the adjudication subprocess (below) uses this to burn the
+    // isolated-JVM JIT horizon (~30-40s of query execution, r11 finding)
+    // before its single timed measurement. Never set by the driver.
+    for (w <- sys.env.get("SPARK_GRAFT_WARM").toSeq
+           .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty);
+         fn <- SparkEntry.queries.get(w))
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warm $w failed: ${e.getMessage}")
+      }
     // noop write: runs the COMPLETE physical plan. A count() action would let
     // EliminateSorts drop each query's final global orderBy under the
     // aggregate, timing less work than the Verify path pays.
@@ -108,13 +182,24 @@ object Bench {
     import scala.jdk.CollectionConverters._
     def gcMillis(): Long = java.lang.management.ManagementFactory
       .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+    // 1-minute loadavg at each query start: with 32 local cores, a loadavg
+    // well above the JVM's own parallelism during a flagged query is the
+    // external-steal signature the same-JVM numbers can't expose (r14: two
+    // phantom "confirmed" regressions measured at baseline in fresh JVMs)
+    def loadAvg(): Double =
+      try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+        .split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
     val benchT0 = System.nanoTime()
     val starts = scala.collection.mutable.Map.empty[String, Double]
     val gcMs = scala.collection.mutable.Map.empty[String, Long]
+    val loads = scala.collection.mutable.Map.empty[String, Double]
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val g0 = gcMillis()
       starts(name) = (t0 - benchT0) / 1e9
+      loads(name) = loadAvg()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch {
         case e: Throwable =>
@@ -173,37 +258,33 @@ object Bench {
             v - base > (if (base < 1.0) 1.25 else 0.75) => (k, v, base)
       }
     }
-    // Self-adjudication: re-time every flagged query ONCE at run end, in the
-    // same JVM (everything warm, a cheap query just ahead as a JIT buffer).
-    // Two consecutive driver runs (r10, r11) flagged the same contiguous
-    // window (q_label_prop → q_freq_items → q_asof_nearest) with flat gc_ms;
-    // cross-run isolation can't separate a real plan regression from CPU
-    // steal or order-dependent cost, but a same-run second sample can: a
-    // re_sec near base means the flag was a run-level stall, a re_sec near
-    // sec means the regression is real.
-    if (flagged.nonEmpty) {
-      graft.Tables(spark, sfDir, "nation").count() // cheap warm neighbor
-      System.gc()
-    }
     // Snapshot the rebuild buffer BEFORE the re-runs: an ensure* firing
     // during a re-timed flagged query must not be attributed to the timed
     // loop (the authoritative timed_layer_rebuilds check).
     val timedRebuilds = rebuilds.synchronized { rebuilds.toList }
-    val reSec = flagged.map { case (k, _, _) =>
-      val t0 = System.nanoTime()
-      // A re-run failure is recorded as -1, not its time-to-failure: a
-      // query can fail only on its SECOND in-session execution
-      // (non-idempotent eager/streaming bodies), and a tiny time-to-crash
-      // would masquerade as a "run-level stall" verdict.
-      val ok = try {
-        selected(k)(spark, sfDir)
-          .write.format("noop").mode("overwrite").save(); true
-      } catch { case _: Throwable => false }
-      k -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
-    }.toMap
+    // Self-adjudication: re-time every flagged query in a FRESH subprocess
+    // JVM (r14 verdict task 1). The same-JVM re-run this replaces inherited
+    // whatever degraded the full run — r14 "confirmed" two regressions
+    // (q_pagerank, mr_wordcount) that measured at baseline in clean JVMs —
+    // so a whole-run stall or cumulative JVM degradation could never be
+    // told apart from a code change. The child runs this same Bench main
+    // with SPARK_GRAFT_ONLY=<flag> plus a SPARK_GRAFT_WARM set that burns
+    // the isolated-JVM JIT horizon before the one timed sample; its queries
+    // JSON is parsed for the measurement. re_sec: the fresh-JVM seconds, or
+    // -1 when the child failed/timed out. Capped at 4 children (~1-2 min
+    // each); flags beyond the cap report -2 (unadjudicated — rare enough
+    // that the next round's fresh flags re-surface them).
+    val reSec = {
+      val byRatio = flagged.sortBy { case (_, v, base) => -(v / base) }
+      byRatio.zipWithIndex.map { case ((k, _, _), i) =>
+        k -> (if (sys.env.contains("SPARK_GRAFT_CHILD") || i >= 4) -2.0
+              else freshJvmSeconds(k, sfDir))
+      }.toMap
+    }
     val regressions = flagged.map { case (k, v, base) =>
       f""""$k":{"sec":$v%.2f,"base":$base%.2f,"re_sec":${reSec(k)}%.2f,""" +
-        f""""t0":${starts(k)}%.1f,"gc_ms":${gcMs(k)}}"""
+        f""""t0":${starts(k)}%.1f,"gc_ms":${gcMs(k)},""" +
+        f""""load":${loads(k)}%.1f}"""
     }.mkString("{", ",", "}")
     val fj = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val rb = timedRebuilds.map("\"" + _ + "\"").mkString("[", ",", "]")

@@ -25,6 +25,19 @@ class BenchBaselineSpec extends SparkTestBase {
       s"queries with no bench baseline (refresh it): $uncovered")
   }
 
+  test("fresh-JVM adjudication spawns a clean child and parses its timing") {
+    // The tripwire's degradation-proof re-run (r14: the same-JVM re-run
+    // "confirmed" two regressions that measured at baseline in fresh JVMs).
+    // Drive the real seam end to end at sf0.001: a child JVM with the warm
+    // set, one timed query, JSON parsed back. Anything broken in the
+    // classpath/JVM-flag reconstruction, the child env, or the JSON parse
+    // returns -1 and fails here.
+    val sec = Bench.freshJvmSeconds("q1_agg", "/root/testdata/sf0.001")
+    assert(sec > 0.0 && sec < 120.0,
+      s"fresh-JVM adjudication returned $sec for q1_agg at sf0.001 — " +
+        "child spawn, env, or JSON parse is broken")
+  }
+
   test("baseline times are positive and plausible") {
     val bad = BenchBaseline.seconds.filter { case (_, s) => s <= 0 || s > 120 }
     assert(bad.isEmpty, s"implausible baseline entries: $bad")
