@@ -748,7 +748,7 @@ object AdvancedQueries {
     "q_data_skipping" -> { (s, dir) =>
       val tmp = s"/root/repo/target/tmp/orders_skip-${new java.io.File(dir).getName}"
       graft.sources.Sinks.ensureDir(s, tmp,
-        "v3:orders,range16/price_cents,skipindex3",
+        "v4:orders,range16/price_cents,skipindex4",
         inputs = Seq(s"$dir/orders.parquet")) {
         Tables(s, dir, "orders")
           .withColumn("price_cents", cents(col("o_totalprice")))
@@ -816,7 +816,7 @@ object AdvancedQueries {
     "q_zorder_skipping" -> { (s, dir) =>
       val tmp = s"/root/repo/target/tmp/orders_zskip-${new java.io.File(dir).getName}"
       graft.sources.Sinks.ensureDir(s, tmp,
-        "v2:orders,zorder32/custkey+dollars,skipindex3",
+        "v3:orders,zorder32/custkey+dollars,skipindex4",
         inputs = Seq(s"$dir/orders.parquet")) {
         val base = Tables(s, dir, "orders")
           .withColumn("price_cents", cents(col("o_totalprice")))
@@ -855,7 +855,7 @@ object AdvancedQueries {
     "q_skip_string" -> { (s, dir) =>
       val tmp = s"/root/repo/target/tmp/docs_strskip-${new java.io.File(dir).getName}"
       graft.sources.Sinks.ensureDir(s, tmp,
-        "v1:documents,range16/md5,skipindex3-str",
+        "v2:documents,range16/md5,skipindex4-str",
         inputs = Seq(s"$dir/documents.parquet")) {
         Tables(s, dir, "documents")
           .withColumn("doc_md5",
@@ -894,7 +894,7 @@ object AdvancedQueries {
       val tmp =
         s"/root/repo/target/tmp/docs_bloomskip-${new java.io.File(dir).getName}"
       graft.sources.Sinks.ensureDir(s, tmp,
-        "v1:documents,hash8/md5,skipindex3-bloom",
+        "v2:documents,hash8/md5,skipindex4-bloom",
         inputs = Seq(s"$dir/documents.parquet")) {
         Tables(s, dir, "documents")
           .withColumn("doc_md5",

@@ -46,15 +46,41 @@ import org.apache.spark.sql.functions._
   * The index is built INSIDE the same `Sinks.ensureDir` block that writes
   * the files (one extra grouped scan at layer-build time), so a tag or
   * fingerprint bump rebuilds data and index atomically — a dir can never
-  * read as fresh with a stale index. (The v1→v2→v3 format changes rode
+  * read as fresh with a stale index. (The v1→v2→v3→v4 format changes rode
   * exactly that mechanism: bumping the consuming layers' tags in the same
   * commit rebuilds data + sidecar together; an unrecognized header fails
   * loudly below.)
+  *
+  * SHARDED layout (v4 — r14 verdict task 4; the single-file v3 sidecar
+  * stopped scaling at ~10⁶ files, and a hex bloom bitset added ~32 KB per
+  * LINE): `_GRAFT_SKIP_INDEX` is now a small MANIFEST (header + shard
+  * count, written LAST as the commit point), and the per-file stat lines
+  * live in `_GRAFT_SKIP_INDEX.shards/part-NNNNN`, chunked at a fixed line
+  * count in global file-name order so every shard is bounded no matter how
+  * many data files the table grows. Bloom bitsets move OUT of the text
+  * lines into a binary blob per shard (`part-NNNNN.blooms`); a line carries
+  * only an `@offset:length` token, so line width is bounded for every key
+  * type. Build and read both STREAM — the builder folds stats
+  * distributedly, then walks the sorted result with toLocalIterator (one
+  * row in driver memory, never the index), and pruning evaluates entries
+  * shard by shard against the predicate while reading, so the driver holds
+  * the survivors list, never every bitset. An orphaned shard dir without
+  * its manifest, a v3-era single-file header, a missing shard, or a blob
+  * offset that drifts from the line's token all fail LOUDLY — a silent
+  * fallback to full scan would defeat the index and hide a stale layer.
+  * Past ~10⁷ files the same probe-the-summary seam moves into parquet-
+  * native footer blooms, as the scaladoc below notes.
   */
 object SkipIndex {
 
   val IndexFile = "_GRAFT_SKIP_INDEX"
+  private[sources] val ShardDir = IndexFile + ".shards"
   private val Magic = "#graft-skip-index"
+
+  /** Lines per shard file: bounds every shard at a few MB of text (plus
+    * its blob) regardless of table size. Overridable per build for tests
+    * and for tables whose blob-per-line is unusually large. */
+  val DefaultLinesPerShard: Int = 1 << 16
 
   /** Truncation width (BYTES of UTF-8) for string bounds: long enough to
     * separate range-laid-out files (16 hex chars of an md5 id ≈ 2⁶⁴
@@ -99,10 +125,14 @@ object SkipIndex {
     buildKeys(spark, dir, keyCols.map(LongKey))
 
   /** Write the bounds-per-file index for `keys` over the parquet files
-    * under `dir`. One scan grouped by input file; the collected result is
-    * file-count-sized (metadata, not data). */
-  def buildKeys(spark: SparkSession, dir: String, keys: Seq[Key]): Unit = {
+    * under `dir`. One distributed scan grouped by input file; the driver
+    * then STREAMS the sorted per-file rows into bounded shard files (one
+    * row in memory at a time — never the whole index), writing the
+    * manifest LAST as the commit point. */
+  def buildKeys(spark: SparkSession, dir: String, keys: Seq[Key],
+      linesPerShard: Int = DefaultLinesPerShard): Unit = {
     require(keys.nonEmpty, "skip index needs at least one key column")
+    require(linesPerShard >= 1, s"linesPerShard must be >= 1")
     val aggs = keys.flatMap {
       case LongKey(k) => Seq(min(col(k).cast("long")).as(s"mn_$k"),
         max(col(k).cast("long")).as(s"mx_$k"))
@@ -114,43 +144,83 @@ object SkipIndex {
         Seq(udaf(new BloomAgg(bk.bits, kh)).apply(col(k).cast("string"))
           .as(s"bl_$k"), max(lit(kh)).as(s"kh_$k"))
     } :+ count(lit(1)).as("n")
-    val rows = spark.read.parquet(dir)
+    val perFile = spark.read.parquet(dir)
       .groupBy(input_file_name().as("f"))
       .agg(aggs.head, aggs.tail: _*)
-      .collect()
-    val lines = rows.map { r =>
-      val f = r.getString(0)
-      val bounds = keys.zipWithIndex.flatMap { case (key, i) =>
-        val (mnI, mxI) = (1 + 2 * i, 2 + 2 * i)
-        key match {
-          case LongKey(_) =>
-            // all-null key: bounds that can never intersect a band
-            val mn = if (r.isNullAt(mnI)) Long.MaxValue else r.getLong(mnI)
-            val mx = if (r.isNullAt(mxI)) Long.MinValue else r.getLong(mxI)
-            Seq(mn.toString, mx.toString)
-          case StrKey(_) =>
-            if (r.isNullAt(mnI) || r.isNullAt(mxI)) Seq(NullTok, NullTok)
-            else Seq(hex(truncMin(r.getString(mnI))),
-              hex(truncMax(r.getString(mxI))))
-          case BloomKey(_, _, kh) =>
-            // all-null file: the zero bitset matches nothing (lossless —
-            // a null key fails any equality probe anyway)
-            Seq(hex(r.getAs[Array[Byte]](mnI)), kh.toString)
-        }
-      }
-      (f +: bounds :+ r.getLong(1 + 2 * keys.size).toString).mkString("\t")
+      .orderBy("f")
+    val manifest = new Path(dir, IndexFile)
+    val shardRoot = new Path(dir, ShardDir)
+    val fs = manifest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // invalidate FIRST (manifest is the commit point), then clear stale
+    // shards: a crash mid-build leaves a manifest-less shard dir, which
+    // readers reject loudly and the next layer build replaces
+    fs.delete(manifest, false)
+    fs.delete(shardRoot, true)
+    var shard = -1
+    var lineInShard = 0
+    var total = 0L
+    var out: org.apache.hadoop.fs.FSDataOutputStream = null
+    var blob: org.apache.hadoop.fs.FSDataOutputStream = null
+    var blobPos = 0L
+    val hasBloom = keys.exists(_.isInstanceOf[BloomKey])
+    def roll(): Unit = {
+      if (out != null) { out.close(); if (blob != null) blob.close() }
+      shard += 1
+      lineInShard = 0
+      blobPos = 0L
+      out = fs.create(new Path(shardRoot, f"part-$shard%05d"), true)
+      blob = if (hasBloom)
+        fs.create(new Path(shardRoot, f"part-$shard%05d.blooms"), true)
+      else null
     }
-    val header = (Magic +: "v3" +: keys.map {
+    val it = perFile.toLocalIterator()
+    try {
+      while (it.hasNext) {
+        val r = it.next()
+        if (shard < 0 || lineInShard >= linesPerShard) roll()
+        val f = r.getString(0)
+        val bounds = keys.zipWithIndex.flatMap { case (key, i) =>
+          val (mnI, mxI) = (1 + 2 * i, 2 + 2 * i)
+          key match {
+            case LongKey(_) =>
+              // all-null key: bounds that can never intersect a band
+              val mn = if (r.isNullAt(mnI)) Long.MaxValue else r.getLong(mnI)
+              val mx = if (r.isNullAt(mxI)) Long.MinValue else r.getLong(mxI)
+              Seq(mn.toString, mx.toString)
+            case StrKey(_) =>
+              if (r.isNullAt(mnI) || r.isNullAt(mxI)) Seq(NullTok, NullTok)
+              else Seq(hex(truncMin(r.getString(mnI))),
+                hex(truncMax(r.getString(mxI))))
+            case BloomKey(_, _, kh) =>
+              // all-null file: the zero bitset matches nothing (lossless —
+              // a null key fails any equality probe anyway). The bitset
+              // itself goes to the binary blob; the line carries only the
+              // @offset:length token, so line width stays bounded.
+              val bytes = r.getAs[Array[Byte]](mnI)
+              blob.write(bytes)
+              val tok = s"@$blobPos:${bytes.length}"
+              blobPos += bytes.length
+              Seq(tok, kh.toString)
+          }
+        }
+        out.write(((f +: bounds :+ r.getLong(1 + 2 * keys.size).toString)
+          .mkString("\t") + "\n").getBytes("UTF-8"))
+        lineInShard += 1
+        total += 1
+      }
+    } finally {
+      if (out != null) out.close()
+      if (blob != null) blob.close()
+    }
+    val header = (Magic +: "v4" +: keys.map {
       case LongKey(k) => s"$k:long"
       case StrKey(k) => s"$k:str"
       case BloomKey(k, _, _) => s"$k:bloom"
     }).mkString("\t")
-    val p = new Path(dir, IndexFile)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
-    try out.write((header + "\n" + lines.sorted.mkString("\n") + "\n")
+    val m = fs.create(manifest, true)
+    try m.write(s"$header\nshards=${shard + 1}\nfiles=$total\n"
       .getBytes("UTF-8"))
-    finally out.close()
+    finally m.close()
   }
 
   // ---- truncated-lexical string bounds ------------------------------
@@ -261,23 +331,31 @@ object SkipIndex {
       }
   }
 
-  /** Parse the sidecar: (typed columns, per-file (path, bound-per-col)).
-    * Loud on absence or an unrecognized header — both are layer bugs, and
-    * silently degrading to a full scan would defeat the index's purpose. */
-  private def readIndex(spark: SparkSession, dir: String)
-      : (Seq[Key], Array[(String, IndexedSeq[Bound])]) = {
+  /** Parse the MANIFEST: (typed columns, shard count). Loud on absence, an
+    * orphaned shard dir (a crashed build — manifest is the commit point),
+    * or an unrecognized/pre-v4 header — all are layer bugs, and silently
+    * degrading to a full scan would defeat the index's purpose. */
+  private def readManifest(spark: SparkSession, dir: String)
+      : (Seq[Key], Int, org.apache.hadoop.fs.FileSystem) = {
     val p = new Path(dir, IndexFile)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(p), s"skip index missing under $dir — build() it in " +
-      "the layer's ensureDir block")
+    if (!fs.exists(p)) {
+      require(!fs.exists(new Path(dir, ShardDir)),
+        s"skip-index shard dir under $dir has no manifest — a build " +
+          "crashed mid-write or the dir mixes formats; rebuild the layer " +
+          "(bump its tag)")
+      require(false, s"skip index missing under $dir — build() it in " +
+        "the layer's ensureDir block")
+    }
     val len = fs.getFileStatus(p).getLen.toInt
     val buf = new Array[Byte](len)
     val in = fs.open(p)
     try in.readFully(buf) finally in.close()
     val lines = new String(buf, "UTF-8").split("\n").filter(_.nonEmpty)
-    require(lines.nonEmpty && lines.head.startsWith(Magic + "\tv3\t"),
-      s"unrecognized skip-index format under $dir — rebuild the layer " +
-        "(bump its tag) to refresh the sidecar")
+    require(lines.nonEmpty && lines.head.startsWith(Magic + "\tv4\t"),
+      s"unrecognized skip-index format under $dir (pre-v4 single-file or " +
+        "corrupt header) — rebuild the layer (bump its tag) to refresh " +
+        "the sidecar")
     val keys: Seq[Key] = lines.head.split("\t").drop(2).toSeq.map { c =>
       c.split(":") match {
         case Array(n, "long") => LongKey(n)
@@ -286,20 +364,80 @@ object SkipIndex {
         case _ => sys.error(s"bad skip-index column spec '$c' under $dir")
       }
     }
-    val entries = lines.tail.map { l =>
-      val c = l.split("\t")
-      (c(0), keys.indices.map[Bound] { i =>
-        val (mn, mx) = (c(1 + 2 * i), c(2 + 2 * i))
-        keys(i) match {
-          case LongKey(_) => LongBound(mn.toLong, mx.toLong)
-          case StrKey(_) =>
-            if (mn == NullTok || mx == NullTok) StrBound(None)
-            else StrBound(Some((unhex(mn), unhex(mx))))
-          case BloomKey(_, _, _) => BloomBound(unhex(mn), mx.toInt)
+    val shards = lines.find(_.startsWith("shards=")).map(
+      _.stripPrefix("shards=").toInt).getOrElse(
+      sys.error(s"skip-index manifest under $dir has no shard count — " +
+        "rebuild the layer"))
+    (keys, shards, fs)
+  }
+
+  /** Stream every indexed entry through `f`, shard by shard: bloom tokens
+    * resolve against the shard's binary blob SEQUENTIALLY (build order ==
+    * line order, so no seeks), and the token offset is verified against
+    * the stream position — drift means a corrupt/mixed sidecar and fails
+    * loudly. Driver memory is one entry, never the index. Returns the
+    * total entry count. */
+  private def eachEntry(dir: String, keys: Seq[Key], shards: Int,
+      fs: org.apache.hadoop.fs.FileSystem, needBloom: Boolean)(
+      f: (String, IndexedSeq[Bound]) => Unit): Int = {
+    var total = 0
+    val hasBloom = keys.exists(_.isInstanceOf[BloomKey])
+    for (s <- 0 until shards) {
+      val part = new Path(dir, f"$ShardDir/part-$s%05d")
+      require(fs.exists(part),
+        s"skip-index shard $part missing (manifest says $shards shards) — " +
+          "rebuild the layer (bump its tag)")
+      val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+        fs.open(part), "UTF-8"))
+      val blobPath = new Path(dir, f"$ShardDir/part-$s%05d.blooms")
+      val blob =
+        if (hasBloom && needBloom) {
+          require(fs.exists(blobPath),
+            s"skip-index bloom blob $blobPath missing — rebuild the layer")
+          new java.io.DataInputStream(
+            new java.io.BufferedInputStream(fs.open(blobPath)))
+        } else null
+      var blobPos = 0L
+      try {
+        var l = in.readLine()
+        while (l != null) {
+          val c = l.split("\t")
+          val bounds = keys.indices.map[Bound] { i =>
+            val (mn, mx) = (c(1 + 2 * i), c(2 + 2 * i))
+            keys(i) match {
+              case LongKey(_) => LongBound(mn.toLong, mx.toLong)
+              case StrKey(_) =>
+                if (mn == NullTok || mx == NullTok) StrBound(None)
+                else StrBound(Some((unhex(mn), unhex(mx))))
+              case BloomKey(_, _, _) =>
+                val at = mn.indexOf(':')
+                require(mn.startsWith("@") && at > 1,
+                  s"bad bloom token '$mn' in $part — rebuild the layer")
+                val off = mn.substring(1, at).toLong
+                val n = mn.substring(at + 1).toInt
+                if (blob == null) BloomBound(Array.emptyByteArray, mx.toInt)
+                else {
+                  require(off == blobPos,
+                    s"bloom blob offset drift in $part (token $off, " +
+                      s"stream at $blobPos) — corrupt or mixed sidecar; " +
+                      "rebuild the layer")
+                  val bytes = new Array[Byte](n)
+                  blob.readFully(bytes)
+                  blobPos += n
+                  BloomBound(bytes, mx.toInt)
+                }
+            }
+          }
+          f(c(0), bounds)
+          total += 1
+          l = in.readLine()
         }
-      })
+      } finally {
+        in.close()
+        if (blob != null) blob.close()
+      }
     }
-    (keys, entries)
+    total
   }
 
   /** Band read `lo <= keyCol <= hi` — the one-band special case of
@@ -329,7 +467,7 @@ object SkipIndex {
   def prunedReadEq(spark: SparkSession, dir: String, keyCol: String,
       values: Seq[String]): (DataFrame, PruneReport) = {
     require(values.nonEmpty, "prunedReadEq needs at least one probe value")
-    val (keys, entries) = readIndex(spark, dir)
+    val (keys, shards, fs) = readManifest(spark, dir)
     val i = keys.indexWhere(_.name == keyCol)
     require(i >= 0, s"column $keyCol is not in the skip index " +
       s"(indexed: ${keys.map(_.name).mkString(", ")}) — rebuild the " +
@@ -337,12 +475,17 @@ object SkipIndex {
     require(keys(i).isInstanceOf[BloomKey],
       s"equality probes need a bloom column; $keyCol is indexed as " +
         keys(i).getClass.getSimpleName)
-    val kept = entries.collect {
-      case (f, bs) if ((bs(i): @unchecked) match {
-        case b: BloomBound => values.exists(b.mightContain)
-      }) => f
+    // streamed evaluation: each shard's bitsets are probed as they are
+    // read — the driver retains only the SURVIVOR paths, never the blobs
+    val kept = scala.collection.mutable.ArrayBuffer.empty[String]
+    val total = eachEntry(dir, keys, shards, fs, needBloom = true) {
+      (f, bs) =>
+        val hit = (bs(i): @unchecked) match {
+          case b: BloomBound => values.exists(b.mightContain)
+        }
+        if (hit) kept += f
     }
-    val report = PruneReport(entries.length, kept.length)
+    val report = PruneReport(total, kept.length)
     val df =
       if (kept.isEmpty) spark.read.parquet(dir).where(lit(false))
       else spark.read.parquet(kept.toIndexedSeq: _*)
@@ -360,7 +503,7 @@ object SkipIndex {
   def prunedReadTyped(spark: SparkSession, dir: String,
       bands: Seq[Band]): (DataFrame, PruneReport) = {
     require(bands.nonEmpty, "prunedReadTyped needs at least one band")
-    val (keys, entries) = readIndex(spark, dir)
+    val (keys, shards, fs) = readManifest(spark, dir)
     val idx = bands.map { b =>
       val i = keys.indexWhere(_.name == b.name)
       require(i >= 0, s"column ${b.name} is not in the skip index " +
@@ -373,20 +516,25 @@ object SkipIndex {
       }
       (i, b)
     }
-    val kept = entries.collect {
-      case (f, bs) if idx.forall {
-        case (i, LongBand(_, lo, hi)) =>
-          val LongBound(mn, mx) = (bs(i): @unchecked)
-          mx >= lo && mn <= hi
-        case (i, StrBand(_, lo, hi)) =>
-          val StrBound(b) = (bs(i): @unchecked)
-          b.exists { case (mn, mx) =>
-            ucmp(mx, lo.getBytes("UTF-8")) >= 0 &&
-              ucmp(mn, hi.getBytes("UTF-8")) <= 0
-          }
-      } => f
+    // streamed evaluation, blobs skipped entirely (bands never consult a
+    // bloom column — the type check above rejects that pairing)
+    val kept = scala.collection.mutable.ArrayBuffer.empty[String]
+    val total = eachEntry(dir, keys, shards, fs, needBloom = false) {
+      (f, bs) =>
+        val hit = idx.forall {
+          case (i, LongBand(_, lo, hi)) =>
+            val LongBound(mn, mx) = (bs(i): @unchecked)
+            mx >= lo && mn <= hi
+          case (i, StrBand(_, lo, hi)) =>
+            val StrBound(b) = (bs(i): @unchecked)
+            b.exists { case (mn, mx) =>
+              ucmp(mx, lo.getBytes("UTF-8")) >= 0 &&
+                ucmp(mn, hi.getBytes("UTF-8")) <= 0
+            }
+        }
+        if (hit) kept += f
     }
-    val report = PruneReport(entries.length, kept.length)
+    val report = PruneReport(total, kept.length)
     val df =
       if (kept.isEmpty)
         // schema still comes from the real files; the filter keeps nothing

@@ -284,6 +284,65 @@ class SkipIndexSpec extends SparkTestBase {
     assert(e.getMessage.contains("skip index missing"))
   }
 
+  test("sharded sidecar round-trips: multiple shards, band and bloom " +
+      "reads stay lossless, blobs are binary not hex") {
+    import spark.implicits._
+    val dir = freshDir()
+    // 8 range files, forced into 2-line shards → 4 shard files: the
+    // bounded-sidecar layout a 10⁶-file table needs, driven end to end
+    (0L until 800L).map(i => (i, s"id-$i", s"g${i % 5}"))
+      .toDF("k", "id", "g")
+      .repartitionByRange(8, col("k"))
+      .sortWithinPartitions("k")
+      .write.mode("overwrite").parquet(dir)
+    SkipIndex.buildKeys(spark, dir,
+      Seq(SkipIndex.LongKey("k"), SkipIndex.BloomKey("id", bits = 1 << 12)),
+      linesPerShard = 2)
+    val shardDir = new java.io.File(dir, SkipIndex.IndexFile + ".shards")
+    val parts = shardDir.list().filterNot(_.startsWith("."))
+      .filterNot(_.endsWith(".blooms")).sorted.toSeq
+    assert(parts == Seq("part-00000", "part-00001", "part-00002",
+      "part-00003"), s"expected 4 shards of 2 lines, got $parts")
+    assert(shardDir.list().count(_.endsWith(".blooms")) == 4,
+      "each shard needs its binary bloom blob")
+    // no line carries a hex bitset: tokens only (bounded line width)
+    val line0 = scala.io.Source.fromFile(
+      new java.io.File(shardDir, "part-00000"))("UTF-8").getLines().next()
+    assert(line0.length < 200 && line0.contains("\t@0:"),
+      s"expected a bounded @offset:length bloom token line, got: $line0")
+    // band read across shard boundaries is lossless
+    val (band, rep) = SkipIndex.prunedRead(spark, dir, "k", 150L, 450L)
+    assert(rep.total == 8 && rep.kept < rep.total)
+    val got = band.select("k").as[Long].collect().sorted.toSeq
+    assert(got == (150L to 450L).toSeq, "sharded band read lost rows")
+    // bloom probe resolves tokens against the right shard's blob
+    val (hit, repB) = SkipIndex.prunedReadEq(spark, dir, "id",
+      Seq("id-0", "id-433", "id-799"))
+    assert(repB.kept < repB.total)
+    assert(hit.select("k").as[Long].collect().sorted.toSeq ==
+      Seq(0L, 433L, 799L), "sharded bloom probe lost rows")
+  }
+
+  test("an orphaned shard dir without its manifest fails loudly (crashed " +
+      "or mixed-format build)") {
+    import spark.implicits._
+    val dir = freshDir()
+    (0L until 50L).map(i => (i, i * 2)).toDF("k", "v")
+      .write.mode("overwrite").parquet(dir)
+    SkipIndex.build(spark, dir, "k")
+    // simulate the crash window: manifest (the commit point) gone, shards
+    // left behind — readers must refuse, not full-scan or half-read
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(dir, SkipIndex.IndexFile))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(dir, "." + SkipIndex.IndexFile + ".crc"))
+    val e = intercept[IllegalArgumentException] {
+      SkipIndex.prunedRead(spark, dir, "k", 0L, 10L)
+    }
+    assert(e.getMessage.contains("no manifest"),
+      s"unexpected message: ${e.getMessage}")
+  }
+
   test("bloom point probe prunes a HASH layout losslessly (no false " +
       "negatives, pruning engages)") {
     import spark.implicits._
