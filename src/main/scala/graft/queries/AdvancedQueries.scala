@@ -1594,6 +1594,70 @@ object AdvancedQueries {
         sum(col("value")).as("sum_cents"))
     },
 
+    // STORAGE-PARTITIONED JOIN through the DSv2 seam (r14 verdict task 6 —
+    // SupportsReportPartitioning, the connector's last planner asymmetry):
+    // two KV tables written SHARDED by the same shard = hash(key) mod 8
+    // (per-shard files, count in the _SHARDS marker) report
+    // KeyGroupedPartitioning(identity(shard), 8) with one input partition
+    // per shard id, so their join on (shard, key) — shard equality is
+    // implied by key equality under the shared routing — plans with ZERO
+    // shuffle exchanges: both sides' distribution is satisfied from
+    // storage, the connector twin of q_bucketed_join. At 100 TB this is
+    // the recurring fact-fact join (orders ⋈ orders-attributes, day-N ⋈
+    // day-N+1 dedup) whose every execution otherwise re-shuffles both
+    // corpora. The require pins the no-Exchange plan on the bare join
+    // (the aggregate above it shuffles its own group-domain rows, as it
+    // should); the oracle recombines the columns from the base table, so
+    // mis-routed shards or dropped rows hash-fail. KvSpjSpec carries the
+    // refusal cases (unsharded dirs, count drift, mixed layouts).
+    "q_dsv2_spj" -> { (s, dir) =>
+      val sf = new java.io.File(dir).getName
+      val fmt = classOf[graft.sources.KvTextSource].getName
+      val n = 8
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+        "true")
+      // partition key (shard) ⊂ join keys (shard, key): subset
+      // co-partitioning is always correct; the conservative default
+      // demands full coverage, so the seam relaxes it
+      s.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      val dirA = s"/root/repo/target/tmp/orders_kvshard_price-$sf"
+      val dirB = s"/root/repo/target/tmp/orders_kvshard_cust-$sf"
+      def sharded(df: DataFrame): DataFrame =
+        df.select(col("key"), col("value"),
+          pmod(hash(col("key")), lit(n)).cast("int").as("shard"))
+      graft.sources.Sinks.ensureDir(s, dirA, "v1:orders,kvshard/price",
+        inputs = Seq(s"$dir/orders.parquet")) {
+        sharded(Tables(s, dir, "orders")
+          .select(col("o_orderkey").cast("string").as("key"),
+            cents(col("o_totalprice")).as("value")))
+          .write.format(fmt).option("shards", n.toString)
+          .mode("overwrite").save(dirA)
+      }
+      graft.sources.Sinks.ensureDir(s, dirB, "v1:orders,kvshard/cust",
+        inputs = Seq(s"$dir/orders.parquet")) {
+        sharded(Tables(s, dir, "orders")
+          .select(col("o_orderkey").cast("string").as("key"),
+            col("o_custkey").cast("long").as("value")))
+          .write.format(fmt).option("shards", n.toString)
+          .mode("overwrite").save(dirB)
+      }
+      val a = s.read.format(fmt).load(dirA)
+      val b = s.read.format(fmt).load(dirB)
+        .select(col("key"), col("shard"), col("value").as("custkey"))
+      val j = a.join(b.hint("merge"), Seq("shard", "key"))
+      val plan = j.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      require(!plan.contains("Exchange"),
+        "storage-partitioned join planned a shuffle — the " +
+          "SupportsReportPartitioning seam is dead")
+      require(plan.contains("SortMergeJoin"),
+        "expected a sort-merge storage-partitioned join")
+      j.groupBy(pmod(col("custkey"), lit(10)).as("cust_bucket"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("value")).as("sum_cents"))
+        .orderBy("cust_bucket")
+    },
+
     // The connector's WRITE half: customer balances go OUT through the DSv2
     // two-phase commit (tasks stage, driver commit renames + _SUCCESS —
     // KvTextSinkSpec drives the duplicate-attempt and abort cases directly)
@@ -2392,6 +2456,15 @@ object AdvancedQueries {
          |  CAST(SUM(${CENTS("o_totalprice")}) AS BIGINT) AS sum_cents
          |FROM orders WHERE ${CENTS("o_totalprice")} >= 15000000
          |GROUP BY 1 ORDER BY key""".stripMargin,
+
+    // the oracle recombines both sharded tables' columns straight from the
+    // base table: a mis-routed shard (rows landing where the join can't
+    // meet them) or a dropped/duplicated shard file hash-fails here
+    "q_dsv2_spj" ->
+      s"""SELECT CAST(o_custkey % 10 AS BIGINT) AS cust_bucket,
+         |  COUNT(*) AS n_orders,
+         |  CAST(SUM(${CENTS("o_totalprice")}) AS BIGINT) AS sum_cents
+         |FROM orders GROUP BY 1 ORDER BY cust_bucket""".stripMargin,
 
     // whichever side of the connector boundary folded the rows, the
     // values must equal the parquet ground truth

@@ -47,6 +47,34 @@ object KvTextSource {
     StructField("key", StringType, nullable = true),
     StructField("value", LongType, nullable = true)))
 
+  /** A SHARDED KV dir additionally exposes the stored shard id — the
+    * storage-partitioned-join column (see [[KvScan.outputPartitioning]]). */
+  val ShardedSchema: StructType =
+    Schema.add(StructField("shard", IntegerType, nullable = true))
+
+  /** Marker naming the shard count of a sharded dir (written by the
+    * sharded 2PC commit, after the data renames, before `_SUCCESS`). */
+  private[sources] val ShardsMarker = "_SHARDS"
+
+  /** The committed-file suffix carrying a file's shard id. */
+  private[sources] val ShardRe = """-s(\d+)\.kv$""".r.unanchored
+
+  /** Shard count of `path`, when its marker says it was written sharded.
+    * One tiny driver-side read; absence = an ordinary unsharded dir. */
+  def shardCount(path: String): Option[Int] = {
+    val p = new Path(path, ShardsMarker)
+    val fs = sessionFs(new java.net.URI(path))
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val buf = new Array[Byte](32)
+      val n = try in.read(buf) finally in.close()
+      val v = new String(buf, 0, math.max(0, n), "UTF-8").trim.toInt
+      require(v >= 1, s"corrupt $ShardsMarker under $path: $v")
+      Some(v)
+    }
+  }
+
   /** The session's Hadoop configuration as a serializable map — captured on
     * the driver (factories close over it) and rebuilt per task, so
     * spark.hadoop.* settings (object-store credentials, fs.defaultFS)
@@ -98,20 +126,39 @@ object KvTextSource {
 }
 
 class KvTextSource extends TableProvider {
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    KvTextSource.Schema
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    // the shard column exists for dirs WRITTEN sharded (marker present) and
+    // for the write that is about to create one (`shards` option) — the
+    // first sharded write has no marker yet, but name-resolution of the
+    // incoming (key, value, shard) rows needs the column on the table
+    val path = options.get("path")
+    val sharded = options.containsKey("shards") ||
+      (path != null && KvTextSource.shardCount(path).isDefined)
+    if (sharded) KvTextSource.ShardedSchema else KvTextSource.Schema
+  }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table =
-    new KvTable(properties.get("path"))
+    new KvTable(properties.get("path"),
+      declaredSharded = properties.containsKey("shards"))
 }
 
-final class KvTable(path: String) extends Table
-    with SupportsRead with SupportsWrite {
+/** `declaredSharded` carries the `shards` write option through getTable:
+  * the FIRST sharded write has no `_SHARDS` marker yet, but byName
+  * resolution of its (key, value, shard) rows needs the column on the
+  * table schema already. */
+final class KvTable(path: String, declaredSharded: Boolean = false)
+    extends Table with SupportsRead with SupportsWrite {
   require(path != null, "graft KV source requires a single load(path)")
 
+  // one tiny driver read per table instantiation (the listing the scan
+  // does anyway dwarfs it)
+  private val shards: Option[Int] = KvTextSource.shardCount(path)
+
   override def name(): String = s"graft-kv:$path"
-  override def schema(): StructType = KvTextSource.Schema
+  override def schema(): StructType =
+    if (shards.isDefined || declaredSharded) KvTextSource.ShardedSchema
+    else KvTextSource.Schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
@@ -124,14 +171,15 @@ final class KvTable(path: String) extends Table
         val n = v.toInt
         require(n > 0, s"maxFilesPerTrigger must be positive, got $n")
         n
-      })
+      }, shards)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new KvWriteBuilder(path, info)
+    new KvWriteBuilder(path, info, shards)
 }
 
 final class KvScanBuilder(path: String, maxSplitBytes: Long,
-    maxFilesPerTrigger: Option[Int] = None)
+    maxFilesPerTrigger: Option[Int] = None,
+    shards: Option[Int] = None)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates
@@ -142,7 +190,8 @@ final class KvScanBuilder(path: String, maxSplitBytes: Long,
   import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min, Sum}
 
   private var pushed: Array[Filter] = Array.empty
-  private var required: StructType = KvTextSource.Schema
+  private var required: StructType =
+    if (shards.isDefined) KvTextSource.ShardedSchema else KvTextSource.Schema
   private var aggregation: Option[Aggregation] = None
   private var limit: Option[Int] = None
   private var topN: Option[(Seq[(String, Boolean)], Int)] = None
@@ -258,7 +307,7 @@ final class KvScanBuilder(path: String, maxSplitBytes: Long,
     case Some(agg) => new KvAggScan(path, pushed, agg, maxSplitBytes)
     case None =>
       new KvScan(path, pushed, required, maxSplitBytes, topN, limit, offset,
-        maxFilesPerTrigger)
+        maxFilesPerTrigger, shards)
   }
 }
 
@@ -267,8 +316,39 @@ final class KvScan(path: String, filters: Array[Filter], required: StructType,
     topN: Option[(Seq[(String, Boolean)], Int)] = None,
     limit: Option[Int] = None,
     offset: Option[Int] = None,
-    maxFilesPerTrigger: Option[Int] = None) extends Scan with Batch
-    with SupportsReportStatistics with SupportsRuntimeFiltering {
+    maxFilesPerTrigger: Option[Int] = None,
+    shards: Option[Int] = None) extends Scan with Batch
+    with SupportsReportStatistics with SupportsRuntimeFiltering
+    with SupportsReportPartitioning {
+
+  /** STORAGE-PARTITIONED JOIN seam (SupportsReportPartitioning — r14
+    * verdict task 6): a dir written SHARDED (rows routed to per-shard
+    * files by a caller-computed `shard = hash(key) % n`, the count in the
+    * `_SHARDS` marker) reports `KeyGroupedPartitioning(identity(shard), n)`
+    * and plans exactly one [[KvShardInputPartition]] per shard id (empty
+    * shards included, so two same-n tables always align value-for-value).
+    * Under `spark.sql.sources.v2.bucketing.enabled` a join of two such
+    * tables on `(shard, key)` — shard equality is implied by key equality
+    * whenever both sides used the same n and hash, which the caller owns —
+    * satisfies both children's distribution from storage and plans with NO
+    * shuffle exchange: the connector twin of the bucketed-table join, the
+    * planner asymmetry this closes. Identity transforms resolve without a
+    * function catalog, which is what makes this work for a path-based
+    * table; a `bucket(n, key)` transform would need a catalog to own the
+    * function definition. Unsharded dirs report the usual unknown
+    * partitioning and plan per-file byte-range splits as before. */
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    shards match {
+      case Some(n) =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .KeyGroupedPartitioning(Array(
+            org.apache.spark.sql.connector.expressions.Expressions
+              .identity("shard")), n)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .UnknownPartitioning(0)
+    }
 
   // RUNTIME filters (SupportsRuntimeFiltering): under a DPP-shaped join,
   // Spark executes the build side first, collects its join keys, and
@@ -336,15 +416,42 @@ final class KvScan(path: String, filters: Array[Filter], required: StructType,
     * a reader owns every line whose first byte lies in [start, end], and a
     * non-zero start discards its leading partial line because the previous
     * range reads through it. The driver only lists; no content reads. */
-  override def planInputPartitions(): Array[InputPartition] = {
-    val splits = KvTextSource.planSplits(path, maxSplitBytes)
-    // the full-offset contract only holds single-split (see pushOffset);
-    // a listing that grew between builder and batch planning must fail
-    // loudly, never skip k rows per split
-    require(offset.isEmpty || splits.length == 1,
-      s"pushed offset requires a single split, listing now plans " +
-        s"${splits.length} — directory changed after planning")
-    splits
+  override def planInputPartitions(): Array[InputPartition] = shards match {
+    case Some(n) =>
+      // one partition per shard id, files grouped by the committed-name
+      // suffix; a file without the suffix means a mixed/hand-edited dir —
+      // loud, because serving it under a key-grouped contract would
+      // silently mis-join
+      val fs = KvTextSource.sessionFs(new java.net.URI(path))
+      val byShard = fs.listStatus(new Path(path))
+        .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+          !s.getPath.getName.startsWith("."))
+        .sortBy(_.getPath.getName)
+        .map { s =>
+          val name = s.getPath.getName
+          val shard = name match {
+            case KvTextSource.ShardRe(d) => d.toInt
+            case _ => throw new IllegalStateException(
+              s"file $name in sharded KV dir $path carries no -sNNNNN " +
+                "shard suffix — mixed or hand-edited layout")
+          }
+          require(shard < n, s"file $name claims shard $shard but " +
+            s"$path declares $n shards — stale marker or mixed layout")
+          shard -> ((s.getPath.toString, s.getLen))
+        }.groupBy(_._1)
+      Array.tabulate[InputPartition](n) { shard =>
+        KvShardInputPartition(shard,
+          byShard.getOrElse(shard, Array.empty).map(_._2))
+      }
+    case None =>
+      val splits = KvTextSource.planSplits(path, maxSplitBytes)
+      // the full-offset contract only holds single-split (see pushOffset);
+      // a listing that grew between builder and batch planning must fail
+      // loudly, never skip k rows per split
+      require(offset.isEmpty || splits.length == 1,
+        s"pushed offset requires a single split, listing now plans " +
+          s"${splits.length} — directory changed after planning")
+      splits
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -556,15 +663,33 @@ final class KvAggScan(path: String, filters: Array[Filter],
 final case class KvInputPartition(file: String, start: Long, end: Long)
     extends InputPartition
 
+/** One SHARD of a sharded KV dir: all its files, whole (ingest is
+  * file-granular per shard), plus the shard id as the partition key the
+  * storage-partitioned join aligns on. */
+final case class KvShardInputPartition(shard: Int,
+    files: Array[(String, Long)]) extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow = {
+    val r = new org.apache.spark.sql.catalyst.expressions
+      .GenericInternalRow(1)
+    r.setInt(0, shard)
+    r
+  }
+}
+
 final class KvReaderFactory(filters: Array[Filter], required: StructType,
     confMap: Map[String, String],
     topN: Option[(Seq[(String, Boolean)], Int)] = None,
     limit: Option[Int] = None,
     offset: Option[Int] = None) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val kp = p.asInstanceOf[KvInputPartition]
-    val base = new KvPartitionReader(kp.file, kp.start, kp.end, filters,
-      required, confMap)
+    val base = p match {
+      case kp: KvInputPartition =>
+        new KvPartitionReader(kp.file, kp.start, kp.end, filters,
+          required, confMap)
+      case sp: KvShardInputPartition =>
+        new KvShardPartitionReader(sp, filters, required, confMap)
+    }
     topN match {
       case Some((orders, k)) =>
         new KvTopNPartitionReader(base, required, orders, k)
@@ -575,6 +700,61 @@ final class KvReaderFactory(filters: Array[Filter], required: StructType,
       }
     }
   }
+}
+
+/** Chains the byte-level row reader over a shard's files and supplies the
+  * constant `shard` column for whichever slots the projection asks it in —
+  * the per-row cost is the same field-copy loop the flat reader runs. */
+final class KvShardPartitionReader(p: KvShardInputPartition,
+    filters: Array[Filter], required: StructType,
+    confMap: Map[String, String]) extends PartitionReader[InternalRow] {
+
+  private val innerSchema = StructType(required.filter(_.name != "shard"))
+  // (outer slot, inner slot) for passthrough fields; shard slots are set
+  // once — the reused row never changes them
+  private val passthrough: Array[(Int, Int)] = {
+    var j = -1
+    required.fieldNames.zipWithIndex.flatMap {
+      case ("shard", _) => None
+      case (_, i) => j += 1; Some((i, j))
+    }.toArray
+  }
+  private val reused = new org.apache.spark.sql.catalyst.expressions
+    .GenericInternalRow(required.length)
+  required.fieldNames.zipWithIndex.foreach {
+    case ("shard", i) => reused.setInt(i, p.shard)
+    case _ => ()
+  }
+
+  private var fileIdx = 0
+  private var cur: PartitionReader[InternalRow] = null
+
+  override def next(): Boolean = {
+    while (true) {
+      if (cur == null) {
+        if (fileIdx >= p.files.length) return false
+        val (f, len) = p.files(fileIdx)
+        fileIdx += 1
+        cur = new KvPartitionReader(f, 0L, len, filters, innerSchema,
+          confMap)
+      }
+      if (cur.next()) {
+        val in = cur.get()
+        var k = 0
+        while (k < passthrough.length) {
+          val (o, j) = passthrough(k)
+          reused.update(o, in.get(j, innerSchema.fields(j).dataType))
+          k += 1
+        }
+        return true
+      }
+      cur.close()
+      cur = null
+    }
+    false // unreachable
+  }
+  override def get(): InternalRow = reused
+  override def close(): Unit = if (cur != null) cur.close()
 }
 
 /** Pushed-OFFSET wrapper (full contract, single-split by construction —
@@ -976,22 +1156,145 @@ final class KvPartitionReader(file: String, start: Long, end: Long,
   * engine's file sinks ([[Sinks]]) and snapshot commits ([[SnapshotTable]]),
   * here at the connector seam where Spark drives it.
   */
-final class KvWriteBuilder(path: String, info: LogicalWriteInfo)
+final class KvWriteBuilder(path: String, info: LogicalWriteInfo,
+    existingShards: Option[Int] = None)
     extends WriteBuilder with SupportsTruncate {
 
   private var doTruncate = false
 
   override def truncate(): WriteBuilder = { doTruncate = true; this }
 
-  override def build(): Write = new Write {
-    override def toBatch: BatchWrite =
-      new KvBatchWrite(path, info.queryId(), doTruncate,
-        info.schema().fieldNames.toSeq)
-    override def toStreaming
-        : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-      new KvStreamingWrite(path, info.queryId(), doTruncate,
-        info.schema().fieldNames.toSeq)
+  override def build(): Write = {
+    val names = info.schema().fieldNames.toSeq
+    if (names == Seq("key", "value", "shard")) {
+      // SHARDED write (see KvScan.outputPartitioning): rows route to
+      // per-shard files by their stored shard id; the count comes from
+      // .option("shards", n) on the first write and must agree with the
+      // marker on appends (a truncate may re-shard — it IS a fresh table)
+      val n = Option(info.options().get("shards")).map(_.toInt)
+        .orElse(existingShards).getOrElse(sys.error(
+          "sharded KV write needs .option(\"shards\", n) or an existing " +
+            s"$path/${KvTextSource.ShardsMarker} marker"))
+      require(n >= 1, s"shard count must be positive, got $n")
+      require(doTruncate || existingShards.forall(_ == n),
+        s"append declares $n shards but $path is laid out with " +
+          s"${existingShards.get} — re-shard via a truncating overwrite")
+      new Write {
+        override def toBatch: BatchWrite =
+          new KvShardedBatchWrite(path, info.queryId(), doTruncate, n)
+        override def toStreaming
+            : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+          throw new UnsupportedOperationException(
+            "sharded KV dirs take batch writes only — stream into a plain " +
+              "dir and re-shard with a batch job")
+      }
+    } else new Write {
+      override def toBatch: BatchWrite =
+        new KvBatchWrite(path, info.queryId(), doTruncate, names)
+      override def toStreaming
+          : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+        new KvStreamingWrite(path, info.queryId(), doTruncate, names)
+    }
   }
+}
+
+/** Sharded 2PC (see [[KvBatchWrite]] for the protocol): identical staged-
+  * rename commit, but each task stages one file PER SHARD it saw (named
+  * `…-sNNNNN.kv` — the suffix [[KvScan]] groups partitions by), and the
+  * driver writes the `_SHARDS` marker after the renames, before
+  * `_SUCCESS`, so a dir can never read as sharded while half-committed. */
+final class KvShardedBatchWrite(path: String, queryId: String,
+    truncate: Boolean, n: Int) extends BatchWrite {
+
+  private def fs() = KvTextSource.sessionFs(new java.net.URI(path))
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory =
+    new KvShardedWriterFactory(path, queryId, n,
+      KvTextSource.sessionConfMap())
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val f = fs()
+    val table = new Path(path)
+    f.delete(new Path(table, "_SUCCESS"), false)
+    if (truncate)
+      f.listStatus(table)
+        .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+        .foreach(s => f.delete(s.getPath, false))
+    messages.foreach { case KvMultiCommitMessage(staged) =>
+      staged.foreach { sPath =>
+        val src = new Path(sPath)
+        val dst = new Path(table, s"$queryId-${src.getName}")
+        require(f.rename(src, dst), s"commit rename failed: $src -> $dst")
+      }
+    }
+    f.delete(new Path(s"$path/_staging/$queryId"), true)
+    try f.delete(new Path(s"$path/_staging"), false)
+    catch { case _: java.io.IOException => () }
+    val marker = f.create(new Path(table, KvTextSource.ShardsMarker), true)
+    try marker.write(s"$n\n".getBytes(StandardCharsets.UTF_8))
+    finally marker.close()
+    f.create(new Path(table, "_SUCCESS"), true).close()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val f = fs()
+    f.delete(new Path(s"$path/_staging/$queryId"), true)
+    try f.delete(new Path(s"$path/_staging"), false)
+    catch { case _: java.io.IOException => () }
+    ()
+  }
+}
+
+final class KvShardedWriterFactory(path: String, queryId: String, n: Int,
+    confMap: Map[String, String]) extends DataWriterFactory {
+  override def createWriter(partitionId: Int,
+      taskId: Long): DataWriter[InternalRow] =
+    new KvShardedDataWriter(
+      s"$path/_staging/$queryId", partitionId, taskId, n, confMap)
+}
+
+/** Routes each (key, value, shard) row to its shard's staged file —
+  * opened lazily, so a task touches only the shards it actually saw. */
+final class KvShardedDataWriter(stagingDir: String, partitionId: Int,
+    taskId: Long, n: Int, confMap: Map[String, String])
+    extends DataWriter[InternalRow] {
+
+  private val fsHandle = FileSystem.get(new java.net.URI(stagingDir),
+    KvTextSource.confFrom(confMap))
+  private val open = scala.collection.mutable.Map
+    .empty[Int, (Path, org.apache.hadoop.fs.FSDataOutputStream)]
+
+  override def write(row: InternalRow): Unit = {
+    require(!row.isNullAt(0) && !row.isNullAt(1) && !row.isNullAt(2),
+      "graft-kv format has no null encoding")
+    val key = row.getUTF8String(0).toString
+    require(key.indexOf('\t') < 0 && key.indexOf('\n') < 0
+        && key.indexOf('\r') < 0,
+      s"key may not contain tab or newline: $key")
+    val shard = row.getInt(2)
+    require(shard >= 0 && shard < n,
+      s"shard $shard outside [0, $n) — the shard column must be " +
+        "hash(key) mod the declared count")
+    val out = open.getOrElseUpdate(shard, {
+      val p = new Path(
+        f"$stagingDir/part-$partitionId-$taskId-s$shard%05d.kv")
+      (p, fsHandle.create(p, true))
+    })._2
+    out.write(s"$key\t${row.getLong(1)}\n".getBytes(StandardCharsets.UTF_8))
+  }
+
+  override def commit(): WriterCommitMessage = {
+    open.values.foreach(_._2.close())
+    KvMultiCommitMessage(open.values.map(_._1.toString).toSeq.sorted)
+  }
+
+  override def abort(): Unit = open.values.foreach { case (p, o) =>
+    o.close()
+    fsHandle.delete(p, false): Unit
+  }
+
+  override def close(): Unit = ()
 }
 
 final class KvBatchWrite(path: String, queryId: String, truncate: Boolean,
@@ -1205,4 +1508,7 @@ final class KvStreamingWriterFactory(path: String, runId: String,
 }
 
 final case class KvCommitMessage(stagedFile: String)
+    extends WriterCommitMessage
+
+final case class KvMultiCommitMessage(stagedFiles: Seq[String])
     extends WriterCommitMessage
