@@ -171,7 +171,12 @@ final class KvTable(path: String, declaredSharded: Boolean = false)
         val n = v.toInt
         require(n > 0, s"maxFilesPerTrigger must be positive, got $n")
         n
-      }, shards)
+      }, shards,
+      Option(options.get("maxBytesPerTrigger")).map { v =>
+        val n = v.toLong
+        require(n > 0, s"maxBytesPerTrigger must be positive, got $n")
+        n
+      })
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new KvWriteBuilder(path, info, shards)
@@ -179,7 +184,8 @@ final class KvTable(path: String, declaredSharded: Boolean = false)
 
 final class KvScanBuilder(path: String, maxSplitBytes: Long,
     maxFilesPerTrigger: Option[Int] = None,
-    shards: Option[Int] = None)
+    shards: Option[Int] = None,
+    maxBytesPerTrigger: Option[Long] = None)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates
@@ -307,7 +313,7 @@ final class KvScanBuilder(path: String, maxSplitBytes: Long,
     case Some(agg) => new KvAggScan(path, pushed, agg, maxSplitBytes)
     case None =>
       new KvScan(path, pushed, required, maxSplitBytes, topN, limit, offset,
-        maxFilesPerTrigger, shards)
+        maxFilesPerTrigger, shards, maxBytesPerTrigger)
   }
 }
 
@@ -317,7 +323,8 @@ final class KvScan(path: String, filters: Array[Filter], required: StructType,
     limit: Option[Int] = None,
     offset: Option[Int] = None,
     maxFilesPerTrigger: Option[Int] = None,
-    shards: Option[Int] = None) extends Scan with Batch
+    shards: Option[Int] = None,
+    maxBytesPerTrigger: Option[Long] = None) extends Scan with Batch
     with SupportsReportStatistics with SupportsRuntimeFiltering
     with SupportsReportPartitioning {
 
@@ -461,7 +468,7 @@ final class KvScan(path: String, filters: Array[Filter], required: StructType,
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new KvMicroBatchStream(path, filters, required,
-      KvTextSource.sessionConfMap(), maxFilesPerTrigger)
+      KvTextSource.sessionConfMap(), maxFilesPerTrigger, maxBytesPerTrigger)
 }
 
 /** Offset of the KV micro-batch stream: the count of CLAIMED files plus
@@ -515,10 +522,11 @@ object KvStreamOffset {
   * replaced by the monotone-name contract (see [[KvStreamOffset]]). */
 final class KvMicroBatchStream(path: String, filters: Array[Filter],
     required: StructType, confMap: Map[String, String],
-    maxFilesPerTrigger: Option[Int] = None)
+    maxFilesPerTrigger: Option[Int] = None,
+    maxBytesPerTrigger: Option[Long] = None)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
-  import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, Offset, ReadAllAvailable, ReadLimit, ReadMaxFiles}
+  import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, Offset, ReadAllAvailable, ReadLimit, ReadMaxBytes, ReadMaxFiles}
 
   private def listFiles(): Array[(String, String, Long)] = {
     val fs = KvTextSource.sessionFs(new java.net.URI(path))
@@ -540,15 +548,24 @@ final class KvMicroBatchStream(path: String, filters: Array[Filter],
     * ingest, "process everything that arrived" is not a batch plan — a
     * backlog after downtime would form one giant micro-batch that blows
     * state-store memory and checkpoint latency. `maxFilesPerTrigger` caps
-    * each trigger at the next k files past the committed frontier, so a
-    * backlog drains in bounded, checkpointed steps. The frontier stays
-    * count-based, so paced offsets compose with the replay witness and
-    * restart path unchanged; unknown ReadLimit kinds (rows/bytes — no row
-    * counts exist without reading the files) conservatively admit all
-    * available, as the interface permits. */
-  override def getDefaultReadLimit: ReadLimit =
-    maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(
-      ReadLimit.allAvailable())
+    * each trigger at the next k files past the committed frontier;
+    * `maxBytesPerTrigger` caps it by the LISTING's file sizes (no content
+    * read — the size is free metadata), which is the cap that actually
+    * tracks batch COST when ingest files vary 1000× in size. Both compose
+    * (composite limit = the tighter cap wins per trigger). The frontier
+    * stays count-based, so paced offsets compose with the replay witness
+    * and restart path unchanged; row limits (no row counts exist without
+    * reading the files) conservatively admit all available, as the
+    * interface permits. */
+  override def getDefaultReadLimit: ReadLimit = {
+    val caps = maxFilesPerTrigger.map(ReadLimit.maxFiles).toSeq ++
+      maxBytesPerTrigger.map(ReadLimit.maxBytes).toSeq
+    caps match {
+      case Seq() => ReadLimit.allAvailable()
+      case Seq(one) => one
+      case many => ReadLimit.compositeLimit(many.toArray)
+    }
+  }
 
   /** Trigger.AvailableNow (SupportsTriggerAvailableNow): the engine asks
     * the source to FREEZE its end bound before the run — "process what
@@ -571,9 +588,21 @@ final class KvMicroBatchStream(path: String, filters: Array[Filter],
     val avail = frozen.fold(files.length)(math.min(_, files.length))
     def cap(l: ReadLimit): Int = l match {
       case mf: ReadMaxFiles => math.min(avail, s.n + mf.maxFiles())
+      case mb: ReadMaxBytes =>
+        // admit files past the frontier until the next one would cross the
+        // byte budget — but always at least one (an oversized single file
+        // must still make progress, Spark's own file-source semantics)
+        var n = s.n
+        var budget = mb.maxBytes()
+        while (n < avail &&
+            (n == s.n || files(n)._3 <= budget)) {
+          budget -= files(n)._3
+          n += 1
+        }
+        n
       case c: CompositeReadLimit => c.getReadLimits.map(cap).min
       case _: ReadAllAvailable => avail
-      case _ => avail // rows/bytes limits: no counts without reads
+      case _ => avail // row limits: no counts without reads
     }
     val n = cap(limit)
     KvStreamOffset(n, if (n == 0) "" else files(n - 1)._1)

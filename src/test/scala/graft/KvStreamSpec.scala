@@ -127,6 +127,39 @@ class KvStreamSpec extends SparkTestBase {
     assert(err.getMessage.contains("shrank below the committed frontier"))
   }
 
+  test("byte-capped admission: sizes come from the listing, oversized " +
+      "single files still progress, and byte caps compose with file caps") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val in = Files.createTempDirectory("graft-kvs-bytes").toString
+    // deterministic sizes: file bK holds K lines of exactly 4 bytes each
+    for (b <- 1 to 4)
+      writeFile(in, f"b$b%04d.txt", (1 to b).map(_ => kvLine("a", 1L)))
+    val stream = new graft.sources.KvMicroBatchStream(
+      in, Array.empty, null, Map.empty)
+    def at(n: Int) = graft.sources.KvStreamOffset(n,
+      if (n == 0) "" else f"b$n%04d.txt")
+    // 12-byte budget from the start: 4 + 8 fit, the 12-byte third doesn't
+    assert(stream.latestOffset(at(0), ReadLimit.maxBytes(12L)) == at(2))
+    // an over-budget FIRST file is still admitted (progress guarantee)
+    assert(stream.latestOffset(at(0), ReadLimit.maxBytes(3L)) == at(1))
+    assert(stream.latestOffset(at(2), ReadLimit.maxBytes(11L)) == at(3))
+    // big budget admits everything and clamps at the listing
+    assert(stream.latestOffset(at(0), ReadLimit.maxBytes(1L << 30)) == at(4))
+    // composite: the tighter of the file cap and the byte cap wins
+    assert(stream.latestOffset(at(0), ReadLimit.compositeLimit(
+      Array(ReadLimit.maxFiles(3), ReadLimit.maxBytes(5L)))) == at(1))
+    assert(stream.latestOffset(at(0), ReadLimit.compositeLimit(
+      Array(ReadLimit.maxFiles(1), ReadLimit.maxBytes(100L)))) == at(1))
+    // default limits reflect the configured options
+    val bytesOnly = new graft.sources.KvMicroBatchStream(
+      in, Array.empty, null, Map.empty, None, Some(10L))
+    assert(bytesOnly.getDefaultReadLimit == ReadLimit.maxBytes(10L))
+    val both = new graft.sources.KvMicroBatchStream(
+      in, Array.empty, null, Map.empty, Some(2), Some(10L))
+    assert(both.getDefaultReadLimit.toString.contains("CompositeReadLimit"),
+      s"expected a composite default, got ${both.getDefaultReadLimit}")
+  }
+
   test("Trigger.AvailableNow drains the frozen backlog in paced batches " +
       "and self-terminates") {
     val in = Files.createTempDirectory("graft-kvs-avnow").toString
