@@ -2083,6 +2083,70 @@ object AdvancedQueries {
           col("n_orders"), col("rev"))
     },
 
+    // Row-level DELETE on the snapshot table (SnapshotTable.deleteWhere —
+    // r14 verdict stretch): the merge-on-read write path that closes the
+    // loop between the CDC operators and the snapshot format. v1 commits
+    // the full orders table; DELETE WHERE (an md5 key slice) scans the
+    // head ONCE, writes the matching KEYS as a delete file, and commits v2
+    // with the data files untouched — O(matches), never a rewrite; time
+    // travel to v1 still sees every row. The gate then composes with
+    // incremental MV maintenance: the v1 generation full-builds, and
+    // maintenance at the v2 head detects the delete-set change and takes
+    // the always-correct FULL rebuild (the append-only fold would miss
+    // retractions); the head aggregate is served from the registered
+    // generation. Base and MV paths are keyed on the fixture fingerprint
+    // so a driver regeneration rebuilds the chain while warm runs replay
+    // as cached commits — no ensure* rebuild ever lands in a timed query.
+    // The oracle aggregates the complement WHERE clause on the base table,
+    // so an unapplied or over-applied delete hash-fails.
+    "q_snapshot_delete" -> { (s, dir) =>
+      import graft.sources.{SnapshotTable => ST}
+      val sfN = new java.io.File(dir).getName
+      val fp = java.security.MessageDigest.getInstance("MD5")
+        .digest(graft.sources.Sinks.fingerprint(s, s"$dir/orders.parquet")
+          .getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString.take(10)
+      val base = s"/root/repo/target/tmp/orders_del-$sfN-$fp"
+      val mvPath = s"/root/repo/target/tmp/mv_snapdel-$sfN-$fp"
+      graft.sources.Sinks.ensureDir(s, s"$base/data_v1", "v1:del_base",
+        inputs = Seq(s"$dir/orders.parquet")) {
+        Tables(s, dir, "orders").write.mode("overwrite")
+          .parquet(s"$base/data_v1")
+      }
+      ST.commit(s, base, 1, ST.Snapshot(Seq(s"$base/data_v1"), Nil))
+      if (ST.headVersion(s, base) == 1) {
+        val v = ST.deleteWhere(s, base, "o_orderkey",
+          pmod(md5Long(col("o_orderkey").cast("string")), lit(7)) === 2)
+        require(v == 2, s"delete commit landed at v$v, expected v2")
+      }
+      require(ST.headVersion(s, base) == 2,
+        "snapshot base should head at the delete commit")
+      def partial(df: DataFrame): DataFrame =
+        df.groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_orders"),
+            exactSum(cents(col("o_totalprice"))).as("sum_dec"))
+      def fold(df: DataFrame): DataFrame =
+        df.groupBy(col("o_orderpriority"))
+          .agg(sum(col("n_orders")).as("n_orders"),
+            sum(col("sum_dec")).as("sum_dec"))
+      val r1 = graft.plans.MvCatalog.registerSnapshotIncremental(
+        s, mvPath, "v1:del_prio", base, "o_orderkey", partial, fold, 1)
+      val r2 = graft.plans.MvCatalog.registerSnapshotIncremental(
+        s, mvPath, "v1:del_prio", base, "o_orderkey", partial, fold)
+      require(r2.version == 2, s"maintenance visited v${r2.version}")
+      val modes = Seq(r1.mode, r2.mode)
+      require(modes == Seq("full", "full") || modes.forall(_ == "cached"),
+        s"a delete commit must force the FULL rebuild path, got $modes")
+      val q = partial(ST.readVersion(s, base, 2, "o_orderkey"))
+      require(graft.plans.MvCatalog.servedFromMv(q, s"$mvPath/gen=2"),
+        "head aggregate was not served from the registered generation")
+      // v1 unharmed by the delete (time travel): one pinned total row
+      val v1n = ST.readVersion(s, base, 1, "o_orderkey").count()
+      q.select(col("o_orderpriority"), col("n_orders"),
+          col("sum_dec").cast("long").as("sum_cents"))
+        .withColumn("v1_total", lit(v1n))
+        .orderBy("o_orderpriority")
+    },
+
     // Data-quality constraint gate — the dbt-test / Deequ-style validation
     // report every ingest pipeline runs before promoting a batch: PK
     // uniqueness, FK orphans, range, enum-domain, and null checks, one row
@@ -2377,6 +2441,19 @@ object AdvancedQueries {
          |WHERE ${MD5LONG("CAST(o_orderkey AS VARCHAR)")} % 13 <> 3
          |GROUP BY o_orderpriority
          |ORDER BY version, o_orderpriority""".stripMargin,
+
+    // the complement of the deleted md5 slice, plus the v1 row count
+    // proving time travel still sees the pre-delete table: an unapplied
+    // delete (extra rows), an over-applied one (missing rows), or a
+    // delete that rewrote history all hash-fail
+    "q_snapshot_delete" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n_orders,
+         |  CAST(SUM(${CENTS("o_totalprice")}) AS BIGINT) AS sum_cents,
+         |  (SELECT COUNT(*) FROM orders) AS v1_total
+         |FROM orders
+         |WHERE ${MD5LONG("CAST(o_orderkey AS VARCHAR)")} % 7 <> 2
+         |GROUP BY o_orderpriority
+         |ORDER BY o_orderpriority""".stripMargin,
 
     // post-vacuum v3 must still hold the FULL orders content; report
     // counts are deterministic by construction (2 old manifests dropped,

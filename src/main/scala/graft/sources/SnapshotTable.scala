@@ -300,6 +300,47 @@ object SnapshotTable {
     VacuumReport(old.size, removed, live.size)
   }
 
+  /** Row-level `DELETE WHERE` — the merge-on-read write path that closes
+    * the loop between the CDC operators and the snapshot format: one scan
+    * of the head version collects the matching rows' KEYS into a fresh
+    * delete file (request-batch-sized — the 100 TB contract: the data
+    * files are never rewritten, a delete commit costs O(matches), and
+    * Compaction folds the delete files in later), then commits head+1
+    * with the same data dirs and the delete file APPENDED to the delete
+    * set. Readers of older versions are unaffected (time travel still
+    * sees the rows); [[commit]]'s optimistic concurrency arbitrates racing
+    * committers — a loser that observes its target version already
+    * claimed fails loudly before touching that version's delete dir.
+    * Incremental MV maintenance over the table observes the delete-set
+    * change and falls back to its always-correct full rebuild
+    * (MvCatalog.registerSnapshotIncremental's append-only precondition).
+    * Returns the newly committed version. A predicate matching nothing
+    * still commits (an empty delete file) — the caller asked for a
+    * version boundary and gets one, idempotently replayable like any
+    * commit. */
+  def deleteWhere(spark: SparkSession, base: String, keyCol: String,
+      predicate: org.apache.spark.sql.Column): Int = {
+    val head = headVersion(spark, base)
+    require(head >= 1, s"no committed snapshot under $base to delete from")
+    val snap = manifest(spark, base, head)
+    val v = head + 1
+    val mp = manifestPath(base, v)
+    require(!fsFor(spark, mp).exists(mp),
+      s"version $v is already committed under $base — a concurrent " +
+        "committer won the version claim; re-read the head and retry")
+    val delDir = s"$base/_delete_v$v"
+    val dp = new Path(delDir)
+    val fs = fsFor(spark, dp)
+    // leavings of a crashed prior attempt at THIS version: safe to clear,
+    // since the guard above proved no manifest references the dir yet
+    if (fs.exists(dp)) fs.delete(dp, true)
+    readVersion(spark, base, head, keyCol)
+      .where(predicate).select(col(keyCol)).distinct()
+      .write.parquet(delDir)
+    commit(spark, base, v, Snapshot(snap.dataDirs, snap.deleteDirs :+ delDir))
+    v
+  }
+
   /** Highest committed version under `base` (0 when none): one LIST of
     * the base dir. This is the freshness token production MV/caching
     * layers key on — an O(1)-ish probe against the table's commit

@@ -46,6 +46,41 @@ class SnapshotTableSpec extends SparkTestBase {
     assert(SnapshotTable.readVersion(spark, base, 1, "k").count() == 10)
   }
 
+  test("deleteWhere commits a merge-on-read delete at head+1: matches " +
+      "erased, data files untouched, history intact, stacking works") {
+    val base = freshBase()
+    writeNums(s"$base/d1", 0, 20)
+    SnapshotTable.commit(spark, base, 1, Snapshot(Seq(s"$base/d1"), Nil))
+    val before = new java.io.File(s"$base/d1").listFiles()
+      .map(f => f.getName -> f.lastModified()).toMap
+    val v2 = SnapshotTable.deleteWhere(spark, base, "k", col("k") % 3 === 0)
+    assert(v2 == 2)
+    assert(SnapshotTable.readVersion(spark, base, 2, "k")
+      .collect().map(_.getInt(0)).sorted.toSeq ==
+      (0 until 20).filter(_ % 3 != 0))
+    // the data files were not rewritten (merge-on-read, O(matches))
+    val after = new java.io.File(s"$base/d1").listFiles()
+      .map(f => f.getName -> f.lastModified()).toMap
+    assert(after == before, "deleteWhere rewrote data files")
+    // time travel: v1 keeps every row
+    assert(SnapshotTable.readVersion(spark, base, 1, "k").count() == 20)
+    // deletes STACK: a second delete appends to the delete set
+    val v3 = SnapshotTable.deleteWhere(spark, base, "k", col("k") === 1)
+    assert(v3 == 3)
+    assert(SnapshotTable.readVersion(spark, base, 3, "k")
+      .collect().map(_.getInt(0)).sorted.toSeq ==
+      (0 until 20).filter(k => k % 3 != 0 && k != 1))
+    // an empty match still commits a (replayable) version boundary
+    val v4 = SnapshotTable.deleteWhere(spark, base, "k", col("k") > 999)
+    assert(v4 == 4)
+    assert(SnapshotTable.readVersion(spark, base, 4, "k").count() ==
+      SnapshotTable.readVersion(spark, base, 3, "k").count())
+    // empty table guard
+    intercept[IllegalArgumentException] {
+      SnapshotTable.deleteWhere(spark, freshBase(), "k", col("k") === 1)
+    }
+  }
+
   test("commit refuses a data dir without _SUCCESS") {
     val base = freshBase()
     Files.createDirectories(java.nio.file.Paths.get(s"$base/raw"))
