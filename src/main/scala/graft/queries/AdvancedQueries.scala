@@ -1658,6 +1658,47 @@ object AdvancedQueries {
         .orderBy("cust_bucket")
     },
 
+    // SHARD-PRUNED POINT LOOKUP on the same sharded layout (the read-side
+    // payoff of the SPJ layer): the caller recomputes the writer's routing
+    // on key literals — `shard IN (pmod(hash(k), 8)…)` folds to constants
+    // and pushes as In("shard", …), and the scan plans every excluded
+    // shard's files as an EMPTY list (exact, because the committed
+    // -sNNNNN file name is the single source of the shard column), so the
+    // probe reads ≤ |keys|/n of the corpus while the partition COUNT stays
+    // n and SPJ alignment survives pruning (KvShardPruneSpec pins the
+    // partition-level mechanics + the streaming refusal). At 100 TB this
+    // is a point lookup touching 1/8 of the corpus instead of all of it,
+    // composing with the row-level key filter inside the kept shard.
+    // Content-sensitive: values come from the stored files, so pruning a
+    // shard that actually held a probed key drops rows and hash-fails
+    // against the oracle's base-table replay.
+    "q_dsv2_shard_prune" -> { (s, dir) =>
+      val sf = new java.io.File(dir).getName
+      val fmt = classOf[graft.sources.KvTextSource].getName
+      val n = 8
+      val dirA = s"/root/repo/target/tmp/orders_kvshard_price-$sf"
+      graft.sources.Sinks.ensureDir(s, dirA, "v1:orders,kvshard/price",
+        inputs = Seq(s"$dir/orders.parquet")) {
+        Tables(s, dir, "orders")
+          .select(col("o_orderkey").cast("string").as("key"),
+            cents(col("o_totalprice")).as("value"))
+          .select(col("key"), col("value"),
+            pmod(hash(col("key")), lit(n)).cast("int").as("shard"))
+          .write.format(fmt).option("shards", n.toString)
+          .mode("overwrite").save(dirA)
+      }
+      val keys = Seq("1", "7", "33", "69", "1400")
+      val probe = s.read.format(fmt).load(dirA)
+        .where(col("shard").isin(keys.map(k =>
+          pmod(hash(lit(k)), lit(n)).cast("int")): _*) &&
+          col("key").isin(keys: _*))
+      val plan = probe.queryExecution.executedPlan.toString
+      val pruned = "PrunedShards: (\\d+)/8".r.findFirstMatchIn(plan)
+      require(pruned.exists(_.group(1).toInt <= keys.size),
+        s"shard predicate did not prune the listing:\n$plan")
+      probe.select(col("key"), col("value").as("cents")).orderBy("key")
+    },
+
     // The connector's WRITE half: customer balances go OUT through the DSv2
     // two-phase commit (tasks stage, driver commit renames + _SUCCESS —
     // KvTextSinkSpec drives the duplicate-attempt and abort cases directly)
@@ -2542,6 +2583,15 @@ object AdvancedQueries {
          |  COUNT(*) AS n_orders,
          |  CAST(SUM(${CENTS("o_totalprice")}) AS BIGINT) AS sum_cents
          |FROM orders GROUP BY 1 ORDER BY cust_bucket""".stripMargin,
+
+    // base-table replay of the point lookup: a pruned shard that actually
+    // held one of the probed keys (routing drift between writer and
+    // caller, or an over-eager keep-set) loses that row and hash-fails
+    "q_dsv2_shard_prune" ->
+      s"""SELECT CAST(o_orderkey AS VARCHAR) AS key,
+         |  ${CENTS("o_totalprice")} AS cents
+         |FROM orders WHERE o_orderkey IN (1, 7, 33, 69, 1400)
+         |ORDER BY key""".stripMargin,
 
     // whichever side of the connector boundary folded the rows, the
     // values must equal the parquet ground truth

@@ -204,6 +204,15 @@ final class KvScanBuilder(path: String, maxSplitBytes: Long,
   private var offset: Option[Int] = None
 
   private def supported(f: Filter): Boolean = f match {
+    // shard predicates are PARTITION-pruning filters, not row filters: a
+    // sharded listing satisfies them exactly by planning empty file lists
+    // for the excluded ids (every row in a shard-s file has shard = s by
+    // the committed-name contract), so the point-lookup
+    // `shard = pmod(hash(lit(k)), n) AND key = k` reads 1/n of the corpus.
+    // Only meaningful when the dir declares shards — the flat schema has
+    // no shard column, so the predicate cannot arise there.
+    case EqualTo("shard", _) => shards.isDefined
+    case In("shard", _) => shards.isDefined
     case EqualTo(a, _) => a == "key" || a == "value"
     case In("key", _) => true // byte-span set membership in the reader
     case GreaterThan("value", _) => true
@@ -367,19 +376,63 @@ final class KvScan(path: String, filters: Array[Filter], required: StructType,
   // the interface allows.
   private var runtime: Array[Filter] = Array.empty
 
+  /** True for the shard predicates the scan satisfies by PARTITION pruning
+    * (see [[shardKeep]]) — they are stripped before the row readers, which
+    * know nothing of the shard column. */
+  private def isShardFilter(f: Filter): Boolean = f match {
+    case EqualTo("shard", _) | In("shard", _) => true
+    case _ => false
+  }
+
+  /** Shard ids admitted by the pushed + runtime shard predicates:
+    * None = no shard predicate (keep every shard); Some(ids) = plan the
+    * excluded shards as EMPTY file lists. Pruning, not dropping, keeps the
+    * partition count at n so [[outputPartitioning]]'s KeyGroupedPartitioning
+    * contract — one partition per shard id, aligned value-for-value with
+    * any same-n table — survives a pruned scan inside a storage-partitioned
+    * join. Exactness: every row in a shard-s file has shard = s (the
+    * committed -sNNNNN name is the single source of the column), so an
+    * empty list for excluded ids enforces the predicate completely.
+    * A null comparand admits nothing (SQL: `shard = NULL` matches no row);
+    * a non-integer comparand is a contract drift — loud, never a silent
+    * full scan that would mask a planner change. */
+  private def shardKeep(n: Int): Option[Set[Int]] = {
+    def id(v: Any): Option[Int] = v match {
+      case null => None
+      case num: java.lang.Number => Some(num.intValue())
+      case other => throw new IllegalStateException(
+        s"shard filter carries non-integer comparand $other " +
+          s"(${other.getClass.getName}) — pushdown contract drift")
+    }
+    val sets = (filters ++ runtime).collect {
+      case EqualTo("shard", v) => id(v).toSet
+      case In("shard", vs) => vs.flatMap(id(_)).toSet
+    }
+    if (sets.isEmpty) None
+    else Some(sets.reduce(_ intersect _).filter(s => s >= 0 && s < n))
+  }
+
   // With a pushed offset the Offset operator is GONE from the plan, so a
   // runtime filter arriving later would change WHICH rows the skip counts
   // (offset semantically precedes any join-side filtering). Declining to
   // advertise filterable attributes keeps the planner from planting one.
+  // Sharded dirs additionally advertise the shard column: a DPP-shaped
+  // join that builds a shard id set prunes whole partitions at runtime
+  // (planInputPartitions runs after filter()), the partition-level twin
+  // of the row-level key filtering below.
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
     if (offset.isDefined) Array.empty
+    else if (shards.isDefined) Array(
+      org.apache.spark.sql.connector.expressions.Expressions.column("key"),
+      org.apache.spark.sql.connector.expressions.Expressions.column("shard"))
     else Array(
       org.apache.spark.sql.connector.expressions.Expressions.column("key"))
 
   override def filter(runtimeFilters: Array[Filter]): Unit =
     runtime = runtimeFilters.filter {
       case In("key", _) | EqualTo("key", _) => true
+      case In("shard", _) | EqualTo("shard", _) => shards.isDefined
       case _ => false
     }
 
@@ -390,8 +443,13 @@ final class KvScan(path: String, filters: Array[Filter], required: StructType,
     * average line width; both are estimates, which is all the join
     * planner needs. */
   override def estimateStatistics(): Statistics = {
-    val bytes = KvTextSource.planSplits(path, Long.MaxValue)
+    val listed = KvTextSource.planSplits(path, Long.MaxValue)
       .map(_.asInstanceOf[KvInputPartition].end).sum
+    // a shard-pruned scan reads keep/n of the listing — report that, so a
+    // point-looked-up sharded table costs (and broadcasts) like the
+    // fraction it actually reads
+    val bytes = shards.flatMap(n => shardKeep(n).map(k =>
+      listed * k.size / math.max(1, n))).getOrElse(listed)
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(bytes)
@@ -411,7 +469,9 @@ final class KvScan(path: String, filters: Array[Filter], required: StructType,
     val lm = limit.filter(_ => topN.isEmpty)
       .map(k => s" PushedLimit: $k").getOrElse("")
     val off = offset.map(k => s" PushedOffset: $k").getOrElse("")
-    s"graft-kv $path PushedFilters: ${filters.mkString("[", ", ", "]")}$t$lm$off " +
+    val ps = shards.flatMap(n => shardKeep(n).map(k =>
+      s" PrunedShards: ${k.size}/$n")).getOrElse("")
+    s"graft-kv $path PushedFilters: ${filters.mkString("[", ", ", "]")}$t$lm$off$ps " +
       s"ReadSchema: ${required.fieldNames.mkString(",")}"
   }
 
@@ -446,9 +506,12 @@ final class KvScan(path: String, filters: Array[Filter], required: StructType,
             s"$path declares $n shards — stale marker or mixed layout")
           shard -> ((s.getPath.toString, s.getLen))
         }.groupBy(_._1)
+      val keep = shardKeep(n)
       Array.tabulate[InputPartition](n) { shard =>
         KvShardInputPartition(shard,
-          byShard.getOrElse(shard, Array.empty).map(_._2))
+          if (keep.forall(_.contains(shard)))
+            byShard.getOrElse(shard, Array.empty).map(_._2)
+          else Array.empty)
       }
     case None =>
       val splits = KvTextSource.planSplits(path, maxSplitBytes)
@@ -462,13 +525,22 @@ final class KvScan(path: String, filters: Array[Filter], required: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new KvReaderFactory(filters ++ runtime, required,
-      KvTextSource.sessionConfMap(), topN, limit, offset)
+    // shard predicates are fully discharged by partition pruning above;
+    // the byte-level row readers know only key/value spans
+    new KvReaderFactory((filters ++ runtime).filterNot(isShardFilter),
+      required, KvTextSource.sessionConfMap(), topN, limit, offset)
 
   override def toMicroBatchStream(checkpointLocation: String)
-      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    // the micro-batch reader has no shard partitions to prune and its row
+    // readers cannot evaluate a shard predicate — serving one silently
+    // would stream every shard's rows as if the filter held
+    require(!filters.exists(isShardFilter),
+      s"shard filters cannot push into the streaming scan of $path — " +
+        "filter on key/value, or stream the dir unsharded")
     new KvMicroBatchStream(path, filters, required,
       KvTextSource.sessionConfMap(), maxFilesPerTrigger, maxBytesPerTrigger)
+  }
 }
 
 /** Offset of the KV micro-batch stream: the count of CLAIMED files plus
