@@ -17,7 +17,8 @@ object Bench {
     "q_mv_join_rollup", "q_dsv2_agg_pushdown", "q_dsv2_runtime_filter",
     "q_dsv2_topn", "q_dsv2_limit", "q_mv_snapshot", "q_mv_ivm",
     "q_skip_string", "q_dsv2_offset", "q_mv_cube", "q_skip_bloom",
-    "q_mv_filter", "q_dsv2_spj", "q_snapshot_delete", "q_dsv2_shard_prune")
+    "q_mv_filter", "q_dsv2_spj", "q_snapshot_delete", "q_dsv2_shard_prune",
+    "q_snapshot_compact", "q_snapshot_update", "q_snapshot_cdf")
 
   /** Cheap queries the adjudication child executes fully-but-untimed before
     * its one measurement: a few seconds of real query execution across the

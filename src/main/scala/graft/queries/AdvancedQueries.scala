@@ -2188,6 +2188,187 @@ object AdvancedQueries {
         .orderBy("o_orderpriority")
     },
 
+    // Snapshot COMPACTION (SnapshotTable.compact — the rewrite half of
+    // merge-on-read that deleteWhere's 100 TB contract defers to): v1
+    // commits orders split into two date dirs, v2 deletes an md5 slice
+    // confined to the LOW-date dir, and compact commits v3 whose data
+    // carries the deletes APPLIED and whose delete set is EMPTY. The probe
+    // pass decides the hi dir holds no deleted key (orderkey is the PK, so
+    // a deleted key lives in exactly one dir), so exactly ONE dir rewrites
+    // and the other carries over by reference — O(affected data), never a
+    // table rewrite. Pins: the report (1 rewritten / 1 kept / 1 delete
+    // folded), the v3 manifest shape, a JOIN-FREE head read (the anti join
+    // is gone once deletes are folded), and time travel — v1 still sees
+    // every row, v2 still pays (and equals) the merge-on-read view. The
+    // oracle replays the complement on the base table, so an unapplied,
+    // over-applied, or wrong-dir fold hash-fails.
+    "q_snapshot_compact" -> { (s, dir) =>
+      import graft.sources.{SnapshotTable => ST}
+      val sfN = new java.io.File(dir).getName
+      val fp = java.security.MessageDigest.getInstance("MD5")
+        .digest(graft.sources.Sinks.fingerprint(s, s"$dir/orders.parquet")
+          .getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString.take(10)
+      val base = s"/root/repo/target/tmp/orders_cmp-$sfN-$fp"
+      val cut = "1998-01-01"
+      graft.sources.Sinks.ensureDir(s, s"$base/data_lo", "v1:cmp_lo",
+        inputs = Seq(s"$dir/orders.parquet")) {
+        Tables(s, dir, "orders").where(col("o_orderdate") < lit(cut))
+          .write.mode("overwrite").parquet(s"$base/data_lo")
+      }
+      graft.sources.Sinks.ensureDir(s, s"$base/data_hi", "v1:cmp_hi",
+        inputs = Seq(s"$dir/orders.parquet")) {
+        Tables(s, dir, "orders").where(col("o_orderdate") >= lit(cut))
+          .write.mode("overwrite").parquet(s"$base/data_hi")
+      }
+      ST.commit(s, base, 1,
+        ST.Snapshot(Seq(s"$base/data_lo", s"$base/data_hi"), Nil))
+      if (ST.headVersion(s, base) == 1) {
+        val v = ST.deleteWhere(s, base, "o_orderkey",
+          pmod(md5Long(col("o_orderkey").cast("string")), lit(5)) === 1 &&
+            col("o_orderdate") < lit(cut))
+        require(v == 2, s"delete commit landed at v$v, expected v2")
+      }
+      if (ST.headVersion(s, base) == 2) {
+        val rep = ST.compact(s, base, "o_orderkey")
+        require(rep == ST.CompactReport(3, 1, 1, 1),
+          s"compaction must rewrite exactly the hit dir, got $rep")
+      }
+      require(ST.headVersion(s, base) == 3,
+        "snapshot base should head at the compaction commit")
+      val snap = ST.manifest(s, base, 3)
+      require(snap.deleteDirs.isEmpty,
+        "compaction must commit an EMPTY delete set")
+      require(snap.dataDirs.size == 2 &&
+        snap.dataDirs.exists(_.endsWith("data_hi")) &&
+        snap.dataDirs.exists(_.endsWith("_compact_v3")),
+        s"v3 must keep the unhit dir by reference, got ${snap.dataDirs}")
+      val headRead = ST.readVersion(s, base, 3, "o_orderkey")
+      require(!headRead.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==")(0).contains("Join"),
+        "a compacted head read must be join-free (deletes are folded)")
+      // time travel: v1 pre-delete, v2 merge-on-read == v3 folded content
+      val v1n = ST.readVersion(s, base, 1, "o_orderkey").count()
+      val v2n = ST.readVersion(s, base, 2, "o_orderkey").count()
+      require(v2n == headRead.count(),
+        "folded v3 must hold exactly the merge-on-read v2 rows")
+      headRead.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          exactSum(cents(col("o_totalprice"))).as("sum_dec"))
+        .select(col("o_orderpriority"), col("n_orders"),
+          col("sum_dec").cast("long").as("sum_cents"))
+        .withColumn("v1_total", lit(v1n))
+        .orderBy("o_orderpriority")
+    },
+
+    // Row-level UPDATE WHERE on the snapshot table (SnapshotTable.
+    // updateWhere — the third row-level op, completing DELETE/UPDATE/
+    // time-travel): COPY-ON-WRITE of only the dirs holding a matching
+    // row. v1 commits orders split into two date dirs; the update (an md5
+    // slice confined to the LOW-date dir, repriorized to '9-UPDATED')
+    // probes both dirs, rewrites exactly the lo dir with the SET applied
+    // conditionally, and commits v2 with the hi dir carried by REFERENCE
+    // — O(affected dirs), the Delta/Iceberg update shape at manifest
+    // granularity. Pins: the report (1 rewritten / 1 kept), the v2
+    // manifest shape, and v1 time travel still reading the pre-update
+    // priorities. The oracle replays the CASE on the base table, so an
+    // over-applied SET (wrong rows), an unapplied one, or a lost unhit
+    // dir hash-fails.
+    "q_snapshot_update" -> { (s, dir) =>
+      import graft.sources.{SnapshotTable => ST}
+      val sfN = new java.io.File(dir).getName
+      val fp = java.security.MessageDigest.getInstance("MD5")
+        .digest(graft.sources.Sinks.fingerprint(s, s"$dir/orders.parquet")
+          .getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString.take(10)
+      val base = s"/root/repo/target/tmp/orders_upd-$sfN-$fp"
+      val cut = "1998-01-01"
+      graft.sources.Sinks.ensureDir(s, s"$base/data_lo", "v1:upd_lo",
+        inputs = Seq(s"$dir/orders.parquet")) {
+        Tables(s, dir, "orders").where(col("o_orderdate") < lit(cut))
+          .write.mode("overwrite").parquet(s"$base/data_lo")
+      }
+      graft.sources.Sinks.ensureDir(s, s"$base/data_hi", "v1:upd_hi",
+        inputs = Seq(s"$dir/orders.parquet")) {
+        Tables(s, dir, "orders").where(col("o_orderdate") >= lit(cut))
+          .write.mode("overwrite").parquet(s"$base/data_hi")
+      }
+      ST.commit(s, base, 1,
+        ST.Snapshot(Seq(s"$base/data_lo", s"$base/data_hi"), Nil))
+      if (ST.headVersion(s, base) == 1) {
+        val rep = ST.updateWhere(s, base,
+          pmod(md5Long(col("o_orderkey").cast("string")), lit(6)) === 2 &&
+            col("o_orderdate") < lit(cut),
+          Seq("o_orderpriority" -> lit("9-UPDATED")))
+        require(rep == ST.RewriteReport(2, 1, 1),
+          s"update must rewrite exactly the hit dir, got $rep")
+      }
+      require(ST.headVersion(s, base) == 2,
+        "snapshot base should head at the update commit")
+      val snap = ST.manifest(s, base, 2)
+      require(snap.deleteDirs.isEmpty && snap.dataDirs.size == 2 &&
+        snap.dataDirs.exists(_.endsWith("data_hi")) &&
+        snap.dataDirs.exists(_.endsWith("_update_v2")),
+        s"v2 must keep the unhit dir by reference, got $snap")
+      // time travel: v1 must still see zero updated-priority rows
+      val v1upd = ST.readVersion(s, base, 1, "o_orderkey")
+        .where(col("o_orderpriority") === "9-UPDATED").count()
+      require(v1upd == 0, "v1 must not see the updated priorities")
+      ST.readVersion(s, base, 2, "o_orderkey")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          exactSum(cents(col("o_totalprice"))).as("sum_dec"))
+        .select(col("o_orderpriority"), col("n_orders"),
+          col("sum_dec").cast("long").as("sum_cents"))
+        .orderBy("o_orderpriority")
+    },
+
+    // CHANGE DATA FEED between snapshot versions (SnapshotTable.
+    // readChanges — what a downstream incremental consumer reads instead
+    // of diffing two full scans, closing the loop from the CDC operators'
+    // side): v1 commits the EARLY orders, v2 appends the late dir, v3
+    // deletes an md5 slice across both. The v1→v3 feed emits the late
+    // rows as inserts MINUS the slice (an insert masked within the window
+    // nets to nothing) and the early slice keys as deletes (visible at
+    // v1; the late slice keys were never visible there, so they must NOT
+    // emit) — the exact netting a naive append∪delete replay gets wrong,
+    // and precisely what the oracle's two complementary WHERE clauses
+    // replay from the base table. Cost is O(delta dirs) + one vFrom read,
+    // never a two-full-scan diff. The rewrite-window refusal and masked
+    // re-append cases live in SnapshotTableSpec.
+    "q_snapshot_cdf" -> { (s, dir) =>
+      import graft.sources.{SnapshotTable => ST}
+      val sfN = new java.io.File(dir).getName
+      val fp = java.security.MessageDigest.getInstance("MD5")
+        .digest(graft.sources.Sinks.fingerprint(s, s"$dir/orders.parquet")
+          .getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString.take(10)
+      val base = s"/root/repo/target/tmp/orders_cdf-$sfN-$fp"
+      val cut = "1999-01-01"
+      graft.sources.Sinks.ensureDir(s, s"$base/data_early", "v1:cdf_early",
+        inputs = Seq(s"$dir/orders.parquet")) {
+        Tables(s, dir, "orders").where(col("o_orderdate") < lit(cut))
+          .write.mode("overwrite").parquet(s"$base/data_early")
+      }
+      graft.sources.Sinks.ensureDir(s, s"$base/data_late", "v1:cdf_late",
+        inputs = Seq(s"$dir/orders.parquet")) {
+        Tables(s, dir, "orders").where(col("o_orderdate") >= lit(cut))
+          .write.mode("overwrite").parquet(s"$base/data_late")
+      }
+      ST.commit(s, base, 1, ST.Snapshot(Seq(s"$base/data_early"), Nil))
+      ST.commit(s, base, 2,
+        ST.Snapshot(Seq(s"$base/data_early", s"$base/data_late"), Nil))
+      if (ST.headVersion(s, base) == 2) {
+        val v = ST.deleteWhere(s, base, "o_orderkey",
+          pmod(md5Long(col("o_orderkey").cast("string")), lit(9)) === 4)
+        require(v == 3, s"delete commit landed at v$v, expected v3")
+      }
+      require(ST.headVersion(s, base) == 3,
+        "snapshot base should head at the delete commit")
+      ST.readChanges(s, base, 1, 3, "o_orderkey")
+        .groupBy(col("change"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_orderkey").cast("long")).as("sum_keys"))
+        .orderBy("change")
+    },
+
     // Data-quality constraint gate — the dbt-test / Deequ-style validation
     // report every ingest pipeline runs before promoting a batch: PK
     // uniqueness, FK orphans, range, enum-domain, and null checks, one row
@@ -2493,6 +2674,49 @@ object AdvancedQueries {
          |  (SELECT COUNT(*) FROM orders) AS v1_total
          |FROM orders
          |WHERE ${MD5LONG("CAST(o_orderkey AS VARCHAR)")} % 7 <> 2
+         |GROUP BY o_orderpriority
+         |ORDER BY o_orderpriority""".stripMargin,
+
+    // the CASE replays the conditional SET on the base table: an update
+    // applied to the wrong rows, not applied, or a lost unhit dir
+    // hash-fails against the regrouped priorities
+    "q_snapshot_update" ->
+      s"""SELECT CASE WHEN ${MD5LONG("CAST(o_orderkey AS VARCHAR)")} % 6 = 2
+         |    AND o_orderdate < DATE '1998-01-01'
+         |  THEN '9-UPDATED' ELSE o_orderpriority END AS o_orderpriority,
+         |  COUNT(*) AS n_orders,
+         |  CAST(SUM(${CENTS("o_totalprice")}) AS BIGINT) AS sum_cents
+         |FROM orders
+         |GROUP BY 1
+         |ORDER BY o_orderpriority""".stripMargin,
+
+    // the two complementary WHERE clauses replay the feed's netting from
+    // the base table: late-slice rows must appear in NEITHER group (masked
+    // within the window), early-slice keys only as deletes
+    "q_snapshot_cdf" ->
+      s"""SELECT * FROM (
+         |  SELECT 'delete' AS change, COUNT(*) AS n_rows,
+         |    CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys
+         |  FROM orders WHERE o_orderdate < DATE '1999-01-01'
+         |    AND ${MD5LONG("CAST(o_orderkey AS VARCHAR)")} % 9 = 4
+         |  UNION ALL
+         |  SELECT 'insert' AS change, COUNT(*) AS n_rows,
+         |    CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys
+         |  FROM orders WHERE o_orderdate >= DATE '1999-01-01'
+         |    AND ${MD5LONG("CAST(o_orderkey AS VARCHAR)")} % 9 <> 4
+         |) ORDER BY change""".stripMargin,
+
+    // the complement of the compacted-away md5×date slice, plus the v1
+    // row count proving time travel still sees the pre-delete table: a
+    // fold that dropped extra rows (over-applied), resurrected deleted
+    // ones (unapplied), or rewrote the wrong dir hash-fails
+    "q_snapshot_compact" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n_orders,
+         |  CAST(SUM(${CENTS("o_totalprice")}) AS BIGINT) AS sum_cents,
+         |  (SELECT COUNT(*) FROM orders) AS v1_total
+         |FROM orders
+         |WHERE NOT (${MD5LONG("CAST(o_orderkey AS VARCHAR)")} % 5 = 1
+         |  AND o_orderdate < DATE '1998-01-01')
          |GROUP BY o_orderpriority
          |ORDER BY o_orderpriority""".stripMargin,
 

@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, col}
+import org.apache.spark.sql.functions.{broadcast, col, lit, when}
 
 /** Snapshot-versioned table: the lakehouse time-travel contract (Iceberg /
   * Delta, distilled to its two load-bearing ideas) on plain parquet dirs.
@@ -16,8 +16,8 @@ import org.apache.spark.sql.functions.{broadcast, col}
   * 2. Deletes are MERGE-ON-READ: a delete snapshot adds a key file (the
   *    erased rows' keys, request-batch-sized), and the scan applies it as a
   *    broadcast anti join — the fact files are untouched, readers of older
-  *    versions are unaffected, and compaction can fold the delete file in
-  *    later (see Compaction for the rewrite half).
+  *    versions are unaffected, and [[compact]] folds the delete files in
+  *    later (the rewrite half — only dirs holding a deleted key rewrite).
   *
   * Time travel = read an old manifest. Manifests are written LAST (after
   * their data dirs' `_SUCCESS` markers exist), so a crashed commit leaves no
@@ -339,6 +339,210 @@ object SnapshotTable {
       .write.parquet(delDir)
     commit(spark, base, v, Snapshot(snap.dataDirs, snap.deleteDirs :+ delDir))
     v
+  }
+
+  /** Compaction report: the committed version (the prior head when the
+    * call was a no-op), the data dirs rewritten vs carried over by
+    * reference, and the delete files folded away. */
+  final case class CompactReport(version: Int, dirsRewritten: Int,
+      dirsKept: Int, deletesFolded: Int)
+
+  /** Fold the head version's stacked delete files into the data — the
+    * rewrite half of merge-on-read that [[deleteWhere]]'s scaladoc (and
+    * SCALE.md) defer to. A delete set growing toward the table size makes
+    * every read pay its broadcast anti join; compaction commits head+1
+    * whose data carries the deletes APPLIED and whose delete set is EMPTY,
+    * so reads go back to bare scans.
+    *
+    * Cost contract at 100 TB: one key-column probe over the data decides
+    * which dirs actually hold a deleted key (a single job — every dir's
+    * key column unioned under a dir tag, semi-joined against the broadcast
+    * delete set; the collect is dir-count-sized, manifest granularity).
+    * Only HIT dirs are rewritten (anti join → one fresh dir); untouched
+    * dirs carry over by reference, so compaction costs O(affected data) +
+    * one key-column scan, never an unconditional table rewrite.
+    *
+    * Crash safety rides the existing commit protocol: the compacted dir is
+    * fully written (committer `_SUCCESS`) before the manifest commits, so
+    * a crash in between strands an orphan dir that [[vacuum]] collects,
+    * and the delete-carrying head stays readable. Older versions still
+    * read their own manifests (time travel unaffected); incremental MV
+    * maintenance observes the data-dir change and takes its full-rebuild
+    * fallback. No-op (returns the current head) when the head carries no
+    * deletes. */
+  def compact(spark: SparkSession, base: String,
+      keyCol: String): CompactReport = {
+    val head = headVersion(spark, base)
+    require(head >= 1, s"no committed snapshot under $base to compact")
+    val snap = manifest(spark, base, head)
+    if (snap.deleteDirs.isEmpty)
+      return CompactReport(head, 0, snap.dataDirs.size, 0)
+    val v = head + 1
+    val mp = manifestPath(base, v)
+    require(!fsFor(spark, mp).exists(mp),
+      s"version $v is already committed under $base — a concurrent " +
+        "committer won the version claim; re-read the head and retry")
+    val dels = spark.read.parquet(snap.deleteDirs: _*)
+      .select(col(keyCol)).distinct()
+    // one probe job over every dir's key column: which dirs hold >= 1
+    // deleted key (column pruning keeps this a key-only scan)
+    val hit = probeHitDirs(spark, snap.dataDirs, head,
+      _.join(broadcast(dels), Seq(keyCol), "left_semi"))
+    val keep = snap.dataDirs.filterNot(hit)
+    val compDir = s"$base/_compact_v$v"
+    val cp = new Path(compDir)
+    val cfs = fsFor(spark, cp)
+    // leavings of a crashed prior attempt at THIS version: safe to clear,
+    // since the guard above proved no manifest references the dir yet
+    if (cfs.exists(cp)) cfs.delete(cp, true)
+    val newData =
+      if (hit.isEmpty) snap.dataDirs // deletes matched nothing anywhere
+      else {
+        spark.read.parquet(hit.toSeq.sorted: _*)
+          .join(broadcast(dels), Seq(keyCol), "left_anti")
+          .write.parquet(compDir)
+        keep :+ compDir
+      }
+    commit(spark, base, v, Snapshot(newData, Nil))
+    CompactReport(v, hit.size, keep.size, snap.deleteDirs.size)
+  }
+
+  /** The staging column the dir-level probes tag rows with — rejected in
+    * caller data (the KvSink collision rule). */
+  private val dirTag = "_graft_compact_dir"
+
+  /** ONE job deciding which data dirs hold at least one row surviving
+    * `probe` (a filter/semi-join over the tagged union of every dir):
+    * the dir-count-sized collect that lets [[compact]]/[[updateWhere]]
+    * rewrite only affected dirs and carry the rest by reference. */
+  private def probeHitDirs(spark: SparkSession, dataDirs: Seq[String],
+      head: Int, probe: DataFrame => DataFrame): Set[String] = {
+    require(dataDirs.nonEmpty, s"head v$head has no data dirs")
+    require(!spark.read.parquet(dataDirs.head).columns.contains(dirTag),
+      s"data schema already carries the staging column $dirTag")
+    val tagged = dataDirs
+      .map(d => spark.read.parquet(d)
+        .withColumn(dirTag, lit(d)))
+      .reduce(_ unionAll _)
+    probe(tagged).select(col(dirTag)).distinct()
+      .collect().map(_.getString(0)).toSet
+  }
+
+  /** Rewrite report shared by the copy-on-write ops: the committed
+    * version, the dirs rewritten, and the dirs carried by reference. */
+  final case class RewriteReport(version: Int, dirsRewritten: Int,
+      dirsKept: Int)
+
+  /** Row-level `UPDATE WHERE` — COPY-ON-WRITE of only the dirs holding a
+    * matching row (the Delta/Iceberg update shape, at this table's
+    * dir-level manifest granularity): one probe pass finds the hit dirs,
+    * their rows rewrite with each SET column conditionally applied
+    * (`when(predicate) set else original`), and head+1 commits with the
+    * rewritten dir swapped in, every unhit dir carried by reference, and
+    * the delete set UNCHANGED (updates stay merge-on-read-composable:
+    * a masked key's row may be rewritten, but stays masked). Cost is
+    * O(affected dirs), never a table rewrite — at 100 TB an update
+    * touching one ingest day rewrites that day's dirs only. SET columns
+    * must already exist (UPDATE never widens the schema), and the
+    * predicate/SET expressions see the RAW stored rows. A predicate
+    * matching nothing commits nothing and returns the head unchanged
+    * (dirsRewritten = 0) — no empty version boundary, unlike
+    * [[deleteWhere]], because an update that changed nothing has no
+    * delete file to witness it. */
+  def updateWhere(spark: SparkSession, base: String,
+      predicate: org.apache.spark.sql.Column,
+      sets: Seq[(String, org.apache.spark.sql.Column)]): RewriteReport = {
+    val head = headVersion(spark, base)
+    require(head >= 1, s"no committed snapshot under $base to update")
+    val snap = manifest(spark, base, head)
+    val v = head + 1
+    val mp = manifestPath(base, v)
+    require(!fsFor(spark, mp).exists(mp),
+      s"version $v is already committed under $base — a concurrent " +
+        "committer won the version claim; re-read the head and retry")
+    val cols = spark.read.parquet(snap.dataDirs.head).columns.toSet
+    val missing = sets.map(_._1).filterNot(cols)
+    require(missing.isEmpty,
+      s"UPDATE SET names columns absent from the data: $missing")
+    val hit = probeHitDirs(spark, snap.dataDirs, head, _.where(predicate))
+    if (hit.isEmpty) return RewriteReport(head, 0, snap.dataDirs.size)
+    val keep = snap.dataDirs.filterNot(hit)
+    val updDir = s"$base/_update_v$v"
+    val up = new Path(updDir)
+    val ufs = fsFor(spark, up)
+    // leavings of a crashed prior attempt at THIS version: safe to clear,
+    // since the guard above proved no manifest references the dir yet
+    if (ufs.exists(up)) ufs.delete(up, true)
+    sets.foldLeft(spark.read.parquet(hit.toSeq.sorted: _*)) {
+      case (df, (name, set)) =>
+        df.withColumn(name,
+          when(predicate, set).otherwise(col(name)))
+    }.write.parquet(updDir)
+    commit(spark, base, v, Snapshot(keep :+ updDir, snap.deleteDirs))
+    RewriteReport(v, hit.size, keep.size)
+  }
+
+  /** Change feed between two committed versions (CDF — what a downstream
+    * incremental consumer reads instead of diffing two full scans): every
+    * row visible at `vTo` but not `vFrom` as `change = 'insert'`, every
+    * KEY visible at `vFrom` but masked by `vTo` as `change = 'delete'`
+    * (key + null payload: the delete files store keys, not rows). Cost is
+    * O(delta dirs) + one `vFrom` read for delete-visibility — never a
+    * two-version diff join of full scans.
+    *
+    * Exactness under this table's key-granular deletes: an appended row
+    * whose key an OLDER delete file masks is invisible at `vTo`
+    * ([[readVersion]] applies every delete file to every data dir), so
+    * inserts anti-join the FULL `vTo` delete set, and deleted keys emit
+    * only when they were actually visible at `vFrom` (a delete of a
+    * never-present key is not a change). REFUSES a window containing a
+    * rewrite ([[compact]]/[[updateWhere]]/overwrite): a rewritten dir is
+    * not expressible as append + delete at key granularity, and guessing
+    * would silently misreport the feed — re-baseline from a full read
+    * instead. */
+  def readChanges(spark: SparkSession, base: String, vFrom: Int, vTo: Int,
+      keyCol: String): DataFrame = {
+    require(vFrom <= vTo, s"change window needs vFrom <= vTo ($vFrom..$vTo)")
+    val from = manifest(spark, base, vFrom)
+    val to = manifest(spark, base, vTo)
+    require(from.dataDirs.forall(to.dataDirs.contains) &&
+      from.deleteDirs.forall(to.deleteDirs.contains),
+      s"versions $vFrom..$vTo contain a rewrite (compaction/update/" +
+        "overwrite) — the window is not expressible as append + delete; " +
+        "re-baseline the consumer from a full read")
+    val newData = to.dataDirs.filterNot(from.dataDirs.contains)
+    val newDels = to.deleteDirs.filterNot(from.deleteDirs.contains)
+    val change = "change"
+    val inserted = newData match {
+      case Nil => None
+      case dirs =>
+        val rows = spark.read.parquet(dirs: _*)
+        require(!rows.columns.contains(change),
+          s"data schema already carries the staging column $change")
+        val masked =
+          if (to.deleteDirs.isEmpty) rows
+          else rows.join(broadcast(spark.read.parquet(to.deleteDirs: _*)
+            .select(col(keyCol)).distinct()), Seq(keyCol), "left_anti")
+        Some(masked.withColumn(change, lit("insert")))
+    }
+    val deleted = newDels match {
+      case Nil => None
+      case dirs =>
+        val keys = spark.read.parquet(dirs: _*)
+          .select(col(keyCol)).distinct()
+          .join(readVersion(spark, base, vFrom, keyCol).select(col(keyCol)),
+            Seq(keyCol), "left_semi")
+        Some(keys.withColumn(change, lit("delete")))
+    }
+    (inserted, deleted) match {
+      case (Some(i), Some(d)) => i.unionByName(d, allowMissingColumns = true)
+      case (Some(i), None) => i
+      case (None, Some(d)) => d
+      case (None, None) =>
+        // an empty feed still needs the schema-correct (key, change) shape
+        readVersion(spark, base, vTo, keyCol).select(col(keyCol))
+          .where(lit(false)).withColumn(change, lit(""))
+    }
   }
 
   /** Highest committed version under `base` (0 when none): one LIST of

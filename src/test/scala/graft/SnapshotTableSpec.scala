@@ -81,6 +81,220 @@ class SnapshotTableSpec extends SparkTestBase {
     }
   }
 
+  test("compact folds stacked deletes: only hit dirs rewrite, the head " +
+      "read is join-free, history intact, delete-after-compact stacks") {
+    val base = freshBase()
+    writeNums(s"$base/d1", 0, 10)
+    writeNums(s"$base/d2", 10, 20)
+    SnapshotTable.commit(spark, base, 1,
+      Snapshot(Seq(s"$base/d1", s"$base/d2"), Nil))
+    assert(SnapshotTable.deleteWhere(spark, base, "k", col("k") < 2) == 2)
+    assert(SnapshotTable.deleteWhere(spark, base, "k", col("k") === 5) == 3)
+    val untouched = new java.io.File(s"$base/d2").listFiles()
+      .map(f => f.getName -> f.lastModified()).toMap
+    val rep = SnapshotTable.compact(spark, base, "k")
+    // both delete files fold in one pass; only d1 held deleted keys
+    assert(rep == SnapshotTable.CompactReport(4, 1, 1, 2), rep.toString)
+    val snap = SnapshotTable.manifest(spark, base, 4)
+    assert(snap.deleteDirs.isEmpty, "fold must commit an empty delete set")
+    assert(snap.dataDirs.toSet ==
+      Set(s"$base/d2", s"$base/_compact_v4"),
+      s"unhit dir must carry over by reference, got ${snap.dataDirs}")
+    assert(new java.io.File(s"$base/d2").listFiles()
+      .map(f => f.getName -> f.lastModified()).toMap == untouched,
+      "kept dir's files must be physically untouched")
+    val head = SnapshotTable.readVersion(spark, base, 4, "k")
+    assert(!head.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0).contains("Join"),
+      "compacted head read must not pay the merge-on-read anti join")
+    assert(head.collect().map(_.getInt(0)).sorted.toSeq ==
+      (2 until 20).filterNot(_ == 5))
+    // time travel: v1 pre-delete, v2/v3 merge-on-read views unchanged
+    assert(SnapshotTable.readVersion(spark, base, 1, "k").count() == 20)
+    assert(SnapshotTable.readVersion(spark, base, 3, "k").count() == 17)
+    // the maintenance loop keeps composing: delete on the compacted head
+    assert(SnapshotTable.deleteWhere(spark, base, "k", col("k") === 19) == 5)
+    assert(SnapshotTable.readVersion(spark, base, 5, "k").count() == 16)
+  }
+
+  test("compact is a no-op on a delete-free head and keeps every dir by " +
+      "reference when the deletes match nothing") {
+    val base = freshBase()
+    writeNums(s"$base/d1", 0, 10)
+    SnapshotTable.commit(spark, base, 1, Snapshot(Seq(s"$base/d1"), Nil))
+    assert(SnapshotTable.compact(spark, base, "k") ==
+      SnapshotTable.CompactReport(1, 0, 1, 0))
+    assert(SnapshotTable.headVersion(spark, base) == 1, "no-op must not commit")
+    // a delete set that misses every stored key: fold commits (the delete
+    // files fold away) but no dir rewrites
+    writeNums(s"$base/del", 100, 103)
+    SnapshotTable.commit(spark, base, 2,
+      Snapshot(Seq(s"$base/d1"), Seq(s"$base/del")))
+    val rep = SnapshotTable.compact(spark, base, "k")
+    assert(rep == SnapshotTable.CompactReport(3, 0, 1, 1), rep.toString)
+    val snap = SnapshotTable.manifest(spark, base, 3)
+    assert(snap.dataDirs == Seq(s"$base/d1") && snap.deleteDirs.isEmpty)
+    assert(SnapshotTable.readVersion(spark, base, 3, "k").count() == 10)
+  }
+
+  test("compact survives an all-rows-deleted dir: the rewritten dir keeps " +
+      "its schema and the head stays readable") {
+    val base = freshBase()
+    writeNums(s"$base/d1", 0, 5)
+    writeNums(s"$base/d2", 5, 10)
+    SnapshotTable.commit(spark, base, 1,
+      Snapshot(Seq(s"$base/d1", s"$base/d2"), Nil))
+    assert(SnapshotTable.deleteWhere(spark, base, "k", col("k") < 5) == 2)
+    val rep = SnapshotTable.compact(spark, base, "k")
+    assert(rep == SnapshotTable.CompactReport(3, 1, 1, 1), rep.toString)
+    assert(SnapshotTable.readVersion(spark, base, 3, "k")
+      .collect().map(_.getInt(0)).sorted.toSeq == (5 until 10))
+  }
+
+  test("compact refuses a racing committer's claimed version and the " +
+      "staging-column collision loudly") {
+    val base = freshBase()
+    writeNums(s"$base/d1", 0, 10)
+    SnapshotTable.commit(spark, base, 1, Snapshot(Seq(s"$base/d1"), Nil))
+    SnapshotTable.deleteWhere(spark, base, "k", col("k") < 2)
+    // a racing committer's claimed-but-unwritten manifest (the O_EXCL
+    // empty file before its body lands): the phantom head must surface
+    // loudly, never compact as if it were readable committed history
+    Files.createFile(java.nio.file.Paths.get(s"$base/_MANIFEST_v3"))
+    val e = intercept[IllegalArgumentException] {
+      SnapshotTable.compact(spark, base, "k")
+    }
+    assert(e.getMessage.contains("crc footer"), e.getMessage)
+    Files.delete(java.nio.file.Paths.get(s"$base/_MANIFEST_v3"))
+    // caller data carrying the staging column name must be rejected
+    val base2 = freshBase()
+    import spark.implicits._
+    (0 until 5).map(i => (i, s"dir$i")).toDF("k", "_graft_compact_dir")
+      .write.parquet(s"$base2/d1")
+    SnapshotTable.commit(spark, base2, 1, Snapshot(Seq(s"$base2/d1"), Nil))
+    SnapshotTable.deleteWhere(spark, base2, "k", col("k") < 2)
+    val e2 = intercept[IllegalArgumentException] {
+      SnapshotTable.compact(spark, base2, "k")
+    }
+    assert(e2.getMessage.contains("staging column"), e2.getMessage)
+  }
+
+  private def writeKv(dir: String, from: Int, until: Int,
+      vOf: Int => Int = identity): Unit = {
+    import spark.implicits._
+    (from until until).map(i => (i, vOf(i))).toDF("k", "v")
+      .write.mode("overwrite").parquet(dir)
+  }
+
+  test("updateWhere copy-on-writes only the hit dirs; unhit dirs and the " +
+      "delete set carry over; history intact") {
+    val base = freshBase()
+    writeKv(s"$base/d1", 0, 10)
+    writeKv(s"$base/d2", 10, 20)
+    SnapshotTable.commit(spark, base, 1,
+      Snapshot(Seq(s"$base/d1", s"$base/d2"), Nil))
+    val untouched = new java.io.File(s"$base/d2").listFiles()
+      .map(f => f.getName -> f.lastModified()).toMap
+    val rep = SnapshotTable.updateWhere(spark, base,
+      col("k") < 3, Seq("v" -> (col("v") + 100)))
+    assert(rep == SnapshotTable.RewriteReport(2, 1, 1), rep.toString)
+    val snap = SnapshotTable.manifest(spark, base, 2)
+    assert(snap.dataDirs.toSet == Set(s"$base/d2", s"$base/_update_v2") &&
+      snap.deleteDirs.isEmpty, snap.toString)
+    assert(new java.io.File(s"$base/d2").listFiles()
+      .map(f => f.getName -> f.lastModified()).toMap == untouched,
+      "kept dir's files must be physically untouched")
+    val head = SnapshotTable.readVersion(spark, base, 2, "k")
+      .collect().map(r => (r.getInt(0), r.getInt(1))).sorted.toSeq
+    assert(head == (0 until 20).map(i => (i, if (i < 3) i + 100 else i)),
+      s"got $head")
+    // time travel: v1 still sees the pre-update values
+    assert(SnapshotTable.readVersion(spark, base, 1, "k")
+      .collect().map(r => (r.getInt(0), r.getInt(1))).sorted.toSeq ==
+      (0 until 20).map(i => (i, i)))
+  }
+
+  test("updateWhere: no match commits nothing; unknown SET column and a " +
+      "claimed version are refused; a delete-masked key stays masked " +
+      "through a rewrite") {
+    val base = freshBase()
+    writeKv(s"$base/d1", 0, 10)
+    SnapshotTable.commit(spark, base, 1, Snapshot(Seq(s"$base/d1"), Nil))
+    assert(SnapshotTable.updateWhere(spark, base, col("k") > 99,
+      Seq("v" -> lit(0))) == SnapshotTable.RewriteReport(1, 0, 1))
+    assert(SnapshotTable.headVersion(spark, base) == 1,
+      "an update matching nothing must not commit a version")
+    val e = intercept[IllegalArgumentException] {
+      SnapshotTable.updateWhere(spark, base, col("k") < 1,
+        Seq("nope" -> lit(0)))
+    }
+    assert(e.getMessage.contains("absent"), e.getMessage)
+    // delete k=1, then rewrite its dir: the mask must survive the rewrite
+    assert(SnapshotTable.deleteWhere(spark, base, "k", col("k") === 1) == 2)
+    val rep = SnapshotTable.updateWhere(spark, base,
+      col("k") < 3, Seq("v" -> (col("v") + 100)))
+    assert(rep == SnapshotTable.RewriteReport(3, 1, 0), rep.toString)
+    assert(SnapshotTable.manifest(spark, base, 3).deleteDirs.nonEmpty,
+      "update must carry the delete set forward")
+    assert(SnapshotTable.readVersion(spark, base, 3, "k")
+      .collect().map(r => (r.getInt(0), r.getInt(1))).sorted.toSeq ==
+      (0 until 10).filterNot(_ == 1)
+        .map(i => (i, if (i < 3) i + 100 else i)))
+    // a racing committer's claimed-but-unwritten manifest: loud, never a
+    // silent update of a phantom head
+    Files.createFile(java.nio.file.Paths.get(s"$base/_MANIFEST_v4"))
+    val e2 = intercept[IllegalArgumentException] {
+      SnapshotTable.updateWhere(spark, base, col("k") < 1,
+        Seq("v" -> lit(0)))
+    }
+    assert(e2.getMessage.contains("crc footer"), e2.getMessage)
+  }
+
+  test("readChanges emits appended rows as inserts and newly-masked " +
+      "visible keys as deletes, composes across windows, and refuses a " +
+      "rewrite window") {
+    val base = freshBase()
+    writeKv(s"$base/d1", 0, 10)
+    SnapshotTable.commit(spark, base, 1, Snapshot(Seq(s"$base/d1"), Nil))
+    writeKv(s"$base/d2", 10, 15)
+    SnapshotTable.commit(spark, base, 2,
+      Snapshot(Seq(s"$base/d1", s"$base/d2"), Nil))
+    assert(SnapshotTable.deleteWhere(spark, base, "k", col("k") < 2) == 3)
+    def feed(a: Int, b: Int): Seq[(String, Int)] =
+      SnapshotTable.readChanges(spark, base, a, b, "k")
+        .select(col("change"), col("k")).collect()
+        .map(r => (r.getString(0), r.getInt(1))).sorted.toSeq
+    assert(feed(1, 2) == (10 until 15).map(("insert", _)))
+    assert(feed(2, 3) == Seq(("delete", 0), ("delete", 1)))
+    assert(feed(1, 3) ==
+      Seq(("delete", 0), ("delete", 1)) ++ (10 until 15).map(("insert", _)))
+    val empty = SnapshotTable.readChanges(spark, base, 3, 3, "k")
+    assert(empty.columns.toSeq == Seq("k", "change") && empty.count() == 0)
+    // deleting never-present keys emits no change
+    writeKv(s"$base/del_ghost", 100, 103)
+    SnapshotTable.commit(spark, base, 4, Snapshot(
+      Seq(s"$base/d1", s"$base/d2"),
+      SnapshotTable.manifest(spark, base, 3).deleteDirs :+
+        s"$base/del_ghost"))
+    assert(feed(3, 4).isEmpty, "a ghost delete is not a change")
+    // an appended row whose key an OLDER delete file masks is not visible
+    // at vTo, so it must not emit as an insert
+    writeKv(s"$base/d3", 0, 1) // k=0 was deleted at v3
+    writeKv(s"$base/d3b", 20, 22)
+    SnapshotTable.commit(spark, base, 5, Snapshot(
+      Seq(s"$base/d1", s"$base/d2", s"$base/d3", s"$base/d3b"),
+      SnapshotTable.manifest(spark, base, 4).deleteDirs))
+    assert(feed(4, 5) == Seq(("insert", 20), ("insert", 21)),
+      "the masked re-append must stay invisible to the feed")
+    // a compaction window is not expressible as append+delete: refuse
+    val rep = SnapshotTable.compact(spark, base, "k")
+    assert(rep.version == 6 && rep.deletesFolded == 2)
+    val e = intercept[IllegalArgumentException] {
+      SnapshotTable.readChanges(spark, base, 5, 6, "k")
+    }
+    assert(e.getMessage.contains("rewrite"), e.getMessage)
+  }
+
   test("commit refuses a data dir without _SUCCESS") {
     val base = freshBase()
     Files.createDirectories(java.nio.file.Paths.get(s"$base/raw"))
