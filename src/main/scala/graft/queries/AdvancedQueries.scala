@@ -2321,6 +2321,75 @@ object AdvancedQueries {
         .orderBy("o_orderpriority")
     },
 
+    // MERGE INTO the snapshot table (SnapshotTable.mergeInto — the upsert
+    // that completes the row-level op set): a source batch of updated
+    // low-date rows (an md5 slice repriorized to '9-MERGED') plus
+    // brand-new rows (shifted keys, '9-NEW') merges in ONE commit. The
+    // probe finds the matched keys confined to the lo dir, so exactly
+    // that dir rewrites (matched rows dropped, all source rows landing in
+    // the fresh dir) and the hi dir carries over by REFERENCE — O(affected
+    // dirs + source), the Delta/Iceberg merge shape at manifest
+    // granularity. Pins: the report (1 rewritten / 1 kept), the v2
+    // manifest shape, and v1 time travel free of both marker priorities.
+    // The oracle rebuilds the merged table from the base (CASE for the
+    // updated slice, UNION ALL for the new rows), so a lost update, a
+    // duplicated matched row (old copy surviving), or a dropped append
+    // hash-fails. Dup-key/schema/erase-mask refusals live in
+    // SnapshotTableSpec.
+    "q_snapshot_merge" -> { (s, dir) =>
+      import graft.sources.{SnapshotTable => ST}
+      val sfN = new java.io.File(dir).getName
+      val fp = java.security.MessageDigest.getInstance("MD5")
+        .digest(graft.sources.Sinks.fingerprint(s, s"$dir/orders.parquet")
+          .getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString.take(10)
+      val base = s"/root/repo/target/tmp/orders_mrg-$sfN-$fp"
+      val cut = "1998-01-01"
+      graft.sources.Sinks.ensureDir(s, s"$base/data_lo", "v1:mrg_lo",
+        inputs = Seq(s"$dir/orders.parquet")) {
+        Tables(s, dir, "orders").where(col("o_orderdate") < lit(cut))
+          .write.mode("overwrite").parquet(s"$base/data_lo")
+      }
+      graft.sources.Sinks.ensureDir(s, s"$base/data_hi", "v1:mrg_hi",
+        inputs = Seq(s"$dir/orders.parquet")) {
+        Tables(s, dir, "orders").where(col("o_orderdate") >= lit(cut))
+          .write.mode("overwrite").parquet(s"$base/data_hi")
+      }
+      ST.commit(s, base, 1,
+        ST.Snapshot(Seq(s"$base/data_lo", s"$base/data_hi"), Nil))
+      if (ST.headVersion(s, base) == 1) {
+        val o = Tables(s, dir, "orders")
+        val upd = o.where(
+          pmod(md5Long(col("o_orderkey").cast("string")), lit(7)) === 3 &&
+            col("o_orderdate") < lit(cut))
+          .withColumn("o_orderpriority", lit("9-MERGED"))
+        val fresh = o.where(
+          pmod(md5Long(col("o_orderkey").cast("string")), lit(11)) === 5 &&
+            col("o_orderdate") >= lit(cut))
+          .withColumn("o_orderkey", col("o_orderkey") + lit(1000000000L))
+          .withColumn("o_orderpriority", lit("9-NEW"))
+        val rep = ST.mergeInto(s, base, "o_orderkey", upd.unionByName(fresh))
+        require(rep == ST.RewriteReport(2, 1, 1),
+          s"merge must rewrite exactly the hit dir, got $rep")
+      }
+      require(ST.headVersion(s, base) == 2,
+        "snapshot base should head at the merge commit")
+      val snap = ST.manifest(s, base, 2)
+      require(snap.deleteDirs.isEmpty && snap.dataDirs.size == 2 &&
+        snap.dataDirs.exists(_.endsWith("data_hi")) &&
+        snap.dataDirs.exists(_.endsWith("_merge_v2")),
+        s"v2 must keep the unhit dir by reference, got $snap")
+      val v1marks = ST.readVersion(s, base, 1, "o_orderkey")
+        .where(col("o_orderpriority").isin("9-MERGED", "9-NEW")).count()
+      require(v1marks == 0, "v1 must not see the merged priorities")
+      ST.readVersion(s, base, 2, "o_orderkey")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          exactSum(cents(col("o_totalprice"))).as("sum_dec"))
+        .select(col("o_orderpriority"), col("n_orders"),
+          col("sum_dec").cast("long").as("sum_cents"))
+        .orderBy("o_orderpriority")
+    },
+
     // CHANGE DATA FEED between snapshot versions (SnapshotTable.
     // readChanges — what a downstream incremental consumer reads instead
     // of diffing two full scans, closing the loop from the CDC operators'
@@ -2688,6 +2757,28 @@ object AdvancedQueries {
          |  CAST(SUM(${CENTS("o_totalprice")}) AS BIGINT) AS sum_cents
          |FROM orders
          |GROUP BY 1
+         |ORDER BY o_orderpriority""".stripMargin,
+
+    // the oracle REBUILDS the merged table from the base: the CASE
+    // replaces the updated slice, the UNION ALL appends the new batch
+    // (key shift is aggregate-invariant) — a surviving old copy, a lost
+    // update, or a dropped append hash-fails
+    "q_snapshot_merge" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n_orders,
+         |  CAST(SUM(${CENTS("o_totalprice")}) AS BIGINT) AS sum_cents
+         |FROM (
+         |  SELECT CASE WHEN ${MD5LONG("CAST(o_orderkey AS VARCHAR)")} % 7 = 3
+         |      AND o_orderdate < DATE '1998-01-01'
+         |    THEN '9-MERGED' ELSE o_orderpriority END AS o_orderpriority,
+         |    o_totalprice
+         |  FROM orders
+         |  UNION ALL
+         |  SELECT '9-NEW' AS o_orderpriority, o_totalprice
+         |  FROM orders
+         |  WHERE ${MD5LONG("CAST(o_orderkey AS VARCHAR)")} % 11 = 5
+         |    AND o_orderdate >= DATE '1998-01-01'
+         |)
+         |GROUP BY o_orderpriority
          |ORDER BY o_orderpriority""".stripMargin,
 
     // the two complementary WHERE clauses replay the feed's netting from

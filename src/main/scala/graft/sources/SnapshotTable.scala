@@ -482,6 +482,64 @@ object SnapshotTable {
     RewriteReport(v, hit.size, keep.size)
   }
 
+  /** MERGE INTO (upsert): source rows REPLACE same-key stored rows and
+    * append as new rows otherwise — the Delta/Iceberg merge shape at this
+    * table's dir-level granularity, COPY-ON-WRITE like [[updateWhere]]:
+    * the probe finds the dirs holding a matched key, their rows rewrite
+    * with the matched ones dropped, and ALL source rows land in the same
+    * fresh dir; unhit dirs carry over by reference and the delete set is
+    * UNCHANGED. Cost is O(affected dirs + source) — a merge whose keys
+    * cluster in one ingest day rewrites that day's dirs only; a merge
+    * matching nothing is a pure append (no rewrite at all).
+    *
+    * Semantics under the table's key-granular deletes: a source row whose
+    * key an EXISTING delete file masks stays masked (the erase-cascade
+    * contract — a merged-in row cannot resurrect an erased key; fold the
+    * deletes with [[compact]] first if re-insertion is intended).
+    * Duplicate keys WITHIN the source are refused — which copy wins would
+    * be arbitrary. The source must carry exactly the stored schema
+    * (merge never widens it), and is evaluated more than once (probe +
+    * rewrite) — localCheckpoint nondeterministic sources first. */
+  def mergeInto(spark: SparkSession, base: String, keyCol: String,
+      source: DataFrame): RewriteReport = {
+    val head = headVersion(spark, base)
+    require(head >= 1, s"no committed snapshot under $base to merge into")
+    val snap = manifest(spark, base, head)
+    val v = head + 1
+    val mp = manifestPath(base, v)
+    require(!fsFor(spark, mp).exists(mp),
+      s"version $v is already committed under $base — a concurrent " +
+        "committer won the version claim; re-read the head and retry")
+    val stored = spark.read.parquet(snap.dataDirs.head).columns
+    require(source.columns.sorted.toSeq == stored.sorted.toSeq,
+      s"merge source schema ${source.columns.toSeq.sorted} must equal " +
+        s"the stored schema ${stored.sorted.toSeq}")
+    val srcKeys = source.select(col(keyCol)).distinct()
+    val dup = source.groupBy(col(keyCol))
+      .count().where(col("count") > 1).limit(1).count()
+    require(dup == 0,
+      s"merge source holds duplicate $keyCol values — which copy wins " +
+        "would be arbitrary; dedupe the source first")
+    val hit = probeHitDirs(spark, snap.dataDirs, head,
+      _.join(broadcast(srcKeys), Seq(keyCol), "left_semi"))
+    val keep = snap.dataDirs.filterNot(hit)
+    val mergeDir = s"$base/_merge_v$v"
+    val mgp = new Path(mergeDir)
+    val mfs = fsFor(spark, mgp)
+    // leavings of a crashed prior attempt at THIS version: safe to clear,
+    // since the guard above proved no manifest references the dir yet
+    if (mfs.exists(mgp)) mfs.delete(mgp, true)
+    val aligned = source.select(stored.map(col).toIndexedSeq: _*)
+    val merged =
+      if (hit.isEmpty) aligned
+      else spark.read.parquet(hit.toSeq.sorted: _*)
+        .join(broadcast(srcKeys), Seq(keyCol), "left_anti")
+        .unionByName(aligned)
+    merged.write.parquet(mergeDir)
+    commit(spark, base, v, Snapshot(keep :+ mergeDir, snap.deleteDirs))
+    RewriteReport(v, hit.size, keep.size)
+  }
+
   /** Change feed between two committed versions (CDF — what a downstream
     * incremental consumer reads instead of diffing two full scans): every
     * row visible at `vTo` but not `vFrom` as `change = 'insert'`, every

@@ -250,6 +250,75 @@ class SnapshotTableSpec extends SparkTestBase {
     assert(e2.getMessage.contains("crc footer"), e2.getMessage)
   }
 
+  test("mergeInto replaces matched rows, appends new keys, rewrites only " +
+      "hit dirs, and keeps history intact") {
+    import spark.implicits._
+    val base = freshBase()
+    writeKv(s"$base/d1", 0, 10)
+    writeKv(s"$base/d2", 10, 20)
+    SnapshotTable.commit(spark, base, 1,
+      Snapshot(Seq(s"$base/d1", s"$base/d2"), Nil))
+    val untouched = new java.io.File(s"$base/d2").listFiles()
+      .map(f => f.getName -> f.lastModified()).toMap
+    // keys 1,3 exist (in d1); 40,41 are new
+    val src = Seq((1, 101), (3, 103), (40, 140), (41, 141)).toDF("k", "v")
+    val rep = SnapshotTable.mergeInto(spark, base, "k", src)
+    assert(rep == SnapshotTable.RewriteReport(2, 1, 1), rep.toString)
+    val snap = SnapshotTable.manifest(spark, base, 2)
+    assert(snap.dataDirs.toSet == Set(s"$base/d2", s"$base/_merge_v2") &&
+      snap.deleteDirs.isEmpty, snap.toString)
+    assert(new java.io.File(s"$base/d2").listFiles()
+      .map(f => f.getName -> f.lastModified()).toMap == untouched,
+      "kept dir's files must be physically untouched")
+    val head = SnapshotTable.readVersion(spark, base, 2, "k")
+      .collect().map(r => (r.getInt(0), r.getInt(1))).sorted.toSeq
+    val want = ((0 until 20).map(i => (i, i)).toMap ++
+      Map(1 -> 101, 3 -> 103, 40 -> 140, 41 -> 141)).toSeq.sorted
+    assert(head == want, s"got $head")
+    assert(SnapshotTable.readVersion(spark, base, 1, "k")
+      .collect().map(r => (r.getInt(0), r.getInt(1))).sorted.toSeq ==
+      (0 until 20).map(i => (i, i)), "v1 must see the pre-merge rows")
+  }
+
+  test("mergeInto: a no-match merge is a pure append the change feed can " +
+      "read; duplicate source keys, schema drift, and erased keys behave") {
+    import spark.implicits._
+    val base = freshBase()
+    writeKv(s"$base/d1", 0, 10)
+    SnapshotTable.commit(spark, base, 1, Snapshot(Seq(s"$base/d1"), Nil))
+    // pure append: no rewrite, and the window stays CDF-expressible
+    val rep = SnapshotTable.mergeInto(spark, base, "k",
+      Seq((30, 130), (31, 131)).toDF("k", "v"))
+    assert(rep == SnapshotTable.RewriteReport(2, 0, 1), rep.toString)
+    assert(SnapshotTable.readChanges(spark, base, 1, 2, "k")
+      .select(col("change"), col("k")).collect()
+      .map(r => (r.getString(0), r.getInt(1))).sorted.toSeq ==
+      Seq(("insert", 30), ("insert", 31)),
+      "a pure-append merge must be readable as a change window")
+    // duplicate keys within the source: refused
+    val e = intercept[IllegalArgumentException] {
+      SnapshotTable.mergeInto(spark, base, "k",
+        Seq((7, 1), (7, 2)).toDF("k", "v"))
+    }
+    assert(e.getMessage.contains("duplicate"), e.getMessage)
+    // schema drift: refused
+    val e2 = intercept[IllegalArgumentException] {
+      SnapshotTable.mergeInto(spark, base, "k",
+        Seq((7, 1, "x")).toDF("k", "v", "extra"))
+    }
+    assert(e2.getMessage.contains("schema"), e2.getMessage)
+    // an erased key stays erased: merge cannot resurrect it
+    assert(SnapshotTable.deleteWhere(spark, base, "k", col("k") === 4) == 3)
+    val rep2 = SnapshotTable.mergeInto(spark, base, "k",
+      Seq((4, 999)).toDF("k", "v"))
+    assert(rep2.version == 4 && rep2.dirsRewritten == 1)
+    val head = SnapshotTable.readVersion(spark, base, 4, "k")
+      .collect().map(_.getInt(0)).sorted.toSeq
+    assert(!head.contains(4),
+      "a delete-masked key must stay masked through a merge (erase " +
+        "cascade); compact first to re-insert")
+  }
+
   test("readChanges emits appended rows as inserts and newly-masked " +
       "visible keys as deletes, composes across windows, and refuses a " +
       "rewrite window") {
