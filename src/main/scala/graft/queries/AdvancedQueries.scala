@@ -2390,6 +2390,78 @@ object AdvancedQueries {
         .orderBy("o_orderpriority")
     },
 
+    // MANIFEST-LEVEL DATA SKIPPING on the snapshot table (SnapshotTable.
+    // computeBounds + readVersionPruned — the Iceberg idea of stats IN the
+    // manifest, at this table's dir granularity): v1 commits orders split
+    // into FOUR date-bucket dirs with per-dir min/max bounds on
+    // o_orderdate carried in the manifest itself; v2 deletes an md5 slice
+    // (bounds carry over — delete files are key-masks, dir content is
+    // untouched). A ranged read whose window lies inside ONE bucket then
+    // scans exactly that dir (PruneReport(1, 4), pinned) while a
+    // whole-range read keeps all 4 — at 100 TB a date-ranged query over a
+    // day-partitioned snapshot launches tasks for the matching days, not
+    // the table. Pruning is dir-granular, so the query still applies the
+    // real predicate on top (the file-skipping contract). The oracle
+    // replays range ∧ delete-complement on the base table, so a pruned-
+    // away matching dir (lost rows), stale bounds after the delete, or an
+    // unapplied delete mask hash-fails.
+    "q_snapshot_skipping" -> { (s, dir) =>
+      import graft.sources.{SnapshotTable => ST}
+      val sfN = new java.io.File(dir).getName
+      val fp = java.security.MessageDigest.getInstance("MD5")
+        .digest(graft.sources.Sinks.fingerprint(s, s"$dir/orders.parquet")
+          .getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString.take(10)
+      val base = s"/root/repo/target/tmp/orders_skp3-$sfN-$fp"
+      // quartile-ish cuts of this corpus's 1995..2001 date span
+      val cuts = Seq("1996-07-01", "1998-01-01", "1999-07-01")
+      val buckets = Seq(
+        ("b0", col("o_orderdate") < lit(cuts(0))),
+        ("b1", col("o_orderdate") >= lit(cuts(0)) &&
+          col("o_orderdate") < lit(cuts(1))),
+        ("b2", col("o_orderdate") >= lit(cuts(1)) &&
+          col("o_orderdate") < lit(cuts(2))),
+        ("b3", col("o_orderdate") >= lit(cuts(2))))
+      for ((name, pred) <- buckets)
+        graft.sources.Sinks.ensureDir(s, s"$base/data_$name",
+          s"v2:skp_$name", inputs = Seq(s"$dir/orders.parquet")) {
+          // store the stats column as DATE (midnight-aligned in this
+          // corpus): bounds need a type whose string encoding preserves
+          // value order, which timestamp_ntz's variable fraction does not
+          Tables(s, dir, "orders").where(pred)
+            .withColumn("o_orderdate", col("o_orderdate").cast("date"))
+            .write.mode("overwrite").parquet(s"$base/data_$name")
+        }
+      val dirs = buckets.map(b => s"$base/data_${b._1}")
+      ST.commit(s, base, 1, ST.Snapshot(dirs, Nil,
+        ST.computeBounds(s, dirs, "o_orderdate")))
+      if (ST.headVersion(s, base) == 1) {
+        val v = ST.deleteWhere(s, base, "o_orderkey",
+          pmod(md5Long(col("o_orderkey").cast("string")), lit(8)) === 6)
+        require(v == 2, s"delete commit landed at v$v, expected v2")
+      }
+      require(ST.headVersion(s, base) == 2,
+        "snapshot base should head at the delete commit")
+      require(ST.manifest(s, base, 2).bounds.size == 4,
+        "bounds must survive a delete commit (dirs are untouched)")
+      val (lo, hi) = ("1997-01-01", "1997-12-31")
+      val (pruned, rep) = ST.readVersionPruned(s, base, 2,
+        "o_orderkey", "o_orderdate", lo, hi)
+      require(rep == ST.PruneReport(1, 4),
+        s"a one-bucket window must scan exactly one dir, got $rep")
+      val (_, repAll) = ST.readVersionPruned(s, base, 2,
+        "o_orderkey", "o_orderdate", "1990-01-01", "2002-12-31")
+      require(repAll == ST.PruneReport(4, 4),
+        s"a whole-range window must keep every dir, got $repAll")
+      pruned
+        .where(col("o_orderdate") >= lit(lo) && col("o_orderdate") <= lit(hi))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          exactSum(cents(col("o_totalprice"))).as("sum_dec"))
+        .select(col("o_orderpriority"), col("n_orders"),
+          col("sum_dec").cast("long").as("sum_cents"))
+        .orderBy("o_orderpriority")
+    },
+
     // CHANGE DATA FEED between snapshot versions (SnapshotTable.
     // readChanges — what a downstream incremental consumer reads instead
     // of diffing two full scans, closing the loop from the CDC operators'
@@ -2778,6 +2850,19 @@ object AdvancedQueries {
          |  WHERE ${MD5LONG("CAST(o_orderkey AS VARCHAR)")} % 11 = 5
          |    AND o_orderdate >= DATE '1998-01-01'
          |)
+         |GROUP BY o_orderpriority
+         |ORDER BY o_orderpriority""".stripMargin,
+
+    // range ∧ delete-complement replayed on the base table: a pruned-away
+    // matching dir (lost rows), stale bounds, or an unapplied delete mask
+    // hash-fails
+    "q_snapshot_skipping" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n_orders,
+         |  CAST(SUM(${CENTS("o_totalprice")}) AS BIGINT) AS sum_cents
+         |FROM orders
+         |WHERE o_orderdate >= DATE '1997-01-01'
+         |  AND o_orderdate <= DATE '1997-12-31'
+         |  AND ${MD5LONG("CAST(o_orderkey AS VARCHAR)")} % 8 <> 6
          |GROUP BY o_orderpriority
          |ORDER BY o_orderpriority""".stripMargin,
 

@@ -26,7 +26,17 @@ import org.apache.spark.sql.functions.{broadcast, col, lit, when}
   */
 object SnapshotTable {
 
-  final case class Snapshot(dataDirs: Seq[String], deleteDirs: Seq[String])
+  /** Per-dir min/max of one stats column, carried IN the manifest (the
+    * Iceberg idea at this table's dir granularity): values are stored as
+    * strings whose comparison semantics `typ` names — `long` compares
+    * numerically, `string`/`date` lexically (ISO dates sort correctly).
+    * A dir with no entry is always kept by pruning — the safe direction,
+    * which is how pre-bounds manifests and all-null dirs behave. */
+  final case class DirBounds(dir: String, col: String, typ: String,
+      min: String, max: String)
+
+  final case class Snapshot(dataDirs: Seq[String], deleteDirs: Seq[String],
+      bounds: Seq[DirBounds] = Nil)
 
   private def manifestPath(base: String, v: Int) =
     new Path(s"$base/_MANIFEST_v$v")
@@ -60,8 +70,19 @@ object SnapshotTable {
       require(fsFor(spark, dp).exists(dp),
         s"snapshot v$v references uncommitted dir $d")
     }
+    require(snap.bounds.map(_.dir).forall(snap.dataDirs.contains),
+      s"snapshot v$v carries bounds for dirs outside its data set")
+    for (b <- snap.bounds; f <- Seq(b.dir, b.col, b.typ, b.min, b.max))
+      require(!f.exists(c => c == '|' || c == ',' || c == '\n'),
+        s"bounds field '$f' holds a manifest delimiter — refuse rather " +
+          "than write an unparseable manifest")
+    val boundsLine =
+      if (snap.bounds.isEmpty) "" // pre-bounds manifests stay byte-identical
+      else "bounds=" + snap.bounds
+        .map(b => s"${b.dir}|${b.col}|${b.typ}|${b.min}|${b.max}")
+        .mkString(",") + "\n"
     val core = s"data=${snap.dataDirs.mkString(",")}\n" +
-      s"delete=${snap.deleteDirs.mkString(",")}\n"
+      s"delete=${snap.deleteDirs.mkString(",")}\n" + boundsLine
     val body = core + f"crc=${crc32(core)}%08x\n"
     val dst = manifestPath(base, v)
     val fs = fsFor(spark, dst)
@@ -225,7 +246,15 @@ object SnapshotTable {
       .map(_.split("=", 2)).map(a => a(0) -> a.lift(1).getOrElse(""))
       .toMap
     def dirs(k: String) = kv.getOrElse(k, "").split(",").filter(_.nonEmpty)
-    (Snapshot(dirs("data").toSeq, dirs("delete").toSeq),
+    val bounds = dirs("bounds").toSeq.map { entry =>
+      entry.split("\\|", -1) match {
+        case Array(d, c, t, mn, mx) => DirBounds(d, c, t, mn, mx)
+        case _ => throw new IllegalArgumentException(
+          s"unparseable bounds entry '$entry' — manifest damaged or " +
+            "written by a newer format")
+      }
+    }
+    (Snapshot(dirs("data").toSeq, dirs("delete").toSeq, bounds),
       crcLines.headOption.map(_.stripPrefix("crc=")),
       coreLines.mkString("", "\n", "\n"))
   }
@@ -337,7 +366,8 @@ object SnapshotTable {
     readVersion(spark, base, head, keyCol)
       .where(predicate).select(col(keyCol)).distinct()
       .write.parquet(delDir)
-    commit(spark, base, v, Snapshot(snap.dataDirs, snap.deleteDirs :+ delDir))
+    commit(spark, base, v,
+      Snapshot(snap.dataDirs, snap.deleteDirs :+ delDir, snap.bounds))
     v
   }
 
@@ -403,7 +433,12 @@ object SnapshotTable {
           .write.parquet(compDir)
         keep :+ compDir
       }
-    commit(spark, base, v, Snapshot(newData, Nil))
+    // kept dirs' rows are untouched, so their bounds stay exact; the
+    // compacted dir gets FRESH bounds over its (delete-masked) content
+    val kept = snap.bounds.filter(b => keep.contains(b.dir))
+    val rebound =
+      if (hit.isEmpty) Nil else reboundDir(spark, snap.bounds, compDir)
+    commit(spark, base, v, Snapshot(newData, Nil, kept ++ rebound))
     CompactReport(v, hit.size, keep.size, snap.deleteDirs.size)
   }
 
@@ -432,6 +467,30 @@ object SnapshotTable {
     * version, the dirs rewritten, and the dirs carried by reference. */
   final case class RewriteReport(version: Int, dirsRewritten: Int,
       dirsKept: Int)
+
+  /** Fresh bounds for a REWRITTEN dir, one entry per stats column the
+    * incoming manifest tracked: the rewrite already paid a full scan +
+    * write of this dir, so a min/max over each tracked column is a
+    * marginal column-pruned read of the ONE new dir — without this,
+    * every compact/update/merge would permanently degrade its hit dirs
+    * to always-scanned and manifest pruning would decay as the table
+    * ages. A column the rewrite made un-encodable (dropped, an
+    * unsupported type after a SET, or a value carrying a manifest
+    * delimiter) contributes NO entry for this dir — always scanned,
+    * the safe direction and the pre-rebound behavior. */
+  private def reboundDir(spark: SparkSession, prior: Seq[DirBounds],
+      dir: String): Seq[DirBounds] = {
+    val cols = prior.map(_.col).distinct
+    if (cols.isEmpty) return Nil
+    val fields = spark.read.parquet(dir).schema.fieldNames.toSet
+    cols.flatMap { c =>
+      if (!fields(c)) Nil
+      else
+        try computeBounds(spark, Seq(dir), c)
+        catch { case _: IllegalArgumentException => Nil }
+    }.filter(b => Seq(b.dir, b.col, b.typ, b.min, b.max)
+      .forall(f => !f.exists(ch => ch == '|' || ch == ',' || ch == '\n')))
+  }
 
   /** Row-level `UPDATE WHERE` — COPY-ON-WRITE of only the dirs holding a
     * matching row (the Delta/Iceberg update shape, at this table's
@@ -478,7 +537,11 @@ object SnapshotTable {
         df.withColumn(name,
           when(predicate, set).otherwise(col(name)))
     }.write.parquet(updDir)
-    commit(spark, base, v, Snapshot(keep :+ updDir, snap.deleteDirs))
+    // kept dirs keep their bounds; the rewritten dir gets FRESH bounds
+    // (a SET may have moved the stats column — recompute, don't carry)
+    commit(spark, base, v, Snapshot(keep :+ updDir, snap.deleteDirs,
+      snap.bounds.filter(b => keep.contains(b.dir))
+        ++ reboundDir(spark, snap.bounds, updDir)))
     RewriteReport(v, hit.size, keep.size)
   }
 
@@ -536,7 +599,11 @@ object SnapshotTable {
         .join(broadcast(srcKeys), Seq(keyCol), "left_anti")
         .unionByName(aligned)
     merged.write.parquet(mergeDir)
-    commit(spark, base, v, Snapshot(keep :+ mergeDir, snap.deleteDirs))
+    // kept dirs keep their bounds; the merge dir gets FRESH bounds
+    // (source rows' range is arbitrary — recompute, don't carry)
+    commit(spark, base, v, Snapshot(keep :+ mergeDir, snap.deleteDirs,
+      snap.bounds.filter(b => keep.contains(b.dir))
+        ++ reboundDir(spark, snap.bounds, mergeDir)))
     RewriteReport(v, hit.size, keep.size)
   }
 
@@ -629,11 +696,103 @@ object SnapshotTable {
       keyCol: String): DataFrame = {
     val snap = manifest(spark, base, v)
     val data = spark.read.parquet(snap.dataDirs: _*)
+    applyDeletes(spark, snap, data, keyCol)
+  }
+
+  private def applyDeletes(spark: SparkSession, snap: Snapshot,
+      data: DataFrame, keyCol: String): DataFrame =
     if (snap.deleteDirs.isEmpty) data
     else {
       val dels = spark.read.parquet(snap.deleteDirs: _*)
         .select(col(keyCol)).distinct()
       data.join(broadcast(dels), Seq(keyCol), "left_anti")
     }
+
+  /** The bounds `typ` token for a stats column's Spark type — the closed
+    * set [[DirBounds]] documents. Integral types compare numerically;
+    * strings and ISO-rendered dates compare lexically. Anything else
+    * (doubles, decimals, timestamps) is refused loudly rather than given
+    * a comparison whose string encoding could silently disagree with the
+    * value order. */
+  private def boundsTyp(dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType => "long"
+      case DateType => "date"
+      case StringType => "string"
+      case other => throw new IllegalArgumentException(
+        s"dir bounds support long/date/string stats columns only, " +
+          s"got ${other.catalogString} — widen boundsTyp deliberately " +
+          "(the encoding must preserve the value order) or pick another " +
+          "column")
+    }
+  }
+
+  private def boundsOverlap(typ: String, min: String, max: String,
+      lo: String, hi: String): Boolean = typ match {
+    case "long" => !(max.toLong < lo.toLong || min.toLong > hi.toLong)
+    case _ => !(max < lo || min > hi)
+  }
+
+  /** Per-dir min/max of `statsCol` across `dataDirs`, as ONE tagged-union
+    * job (dir-count-sized collect — manifest granularity, same contract as
+    * [[probeHitDirs]]). A dir whose column is entirely null gets NO entry:
+    * a range predicate can never match null, but "no entry = always kept"
+    * is the direction that can only err wide. */
+  def computeBounds(spark: SparkSession, dataDirs: Seq[String],
+      statsCol: String): Seq[DirBounds] = {
+    import org.apache.spark.sql.functions.{max => fmax, min => fmin}
+    require(dataDirs.nonEmpty, "bounds need at least one data dir")
+    val typ = boundsTyp(
+      spark.read.parquet(dataDirs.head).schema(statsCol).dataType)
+    val tagged = dataDirs
+      .map(d => spark.read.parquet(d)
+        .select(col(statsCol), lit(d).as(dirTag)))
+      .reduce(_ unionAll _)
+    tagged.groupBy(col(dirTag))
+      .agg(fmin(col(statsCol)).cast("string").as("mn"),
+        fmax(col(statsCol)).cast("string").as("mx"))
+      .collect().toSeq
+      .filter(r => !r.isNullAt(1))
+      .map(r => DirBounds(r.getString(0), statsCol, typ,
+        r.getString(1), r.getString(2)))
+  }
+
+  /** Report for a bounds-pruned read: dirs actually scanned vs the
+    * version's total — the pin a caller asserts pruning on. */
+  final case class PruneReport(dirsKept: Int, dirsTotal: Int)
+
+  /** Read version `v` scanning ONLY the data dirs whose recorded bounds on
+    * `statsCol` intersect [lo, hi] (encoded per the stored `typ`) — the
+    * manifest-level half of file skipping: at 100 TB a date-ranged query
+    * over a day-partitioned snapshot launches tasks for the matching days'
+    * dirs, not the table. Dirs with no bounds entry for `statsCol` are
+    * always scanned (pre-bounds manifests, all-null dirs, dirs whose
+    * rewrite could not re-encode the column: the safe direction —
+    * rewritten dirs otherwise get fresh bounds, see [[reboundDir]]).
+    * Delete masking still applies — deletes are key-granular and
+    * independent of which dirs survive.
+    *
+    * CONTRACT: pruning is dir-granular, so the returned frame still holds
+    * out-of-range rows from kept dirs — the caller applies the actual
+    * predicate on top, exactly like parquet row-group stats under a file
+    * scan. */
+  def readVersionPruned(spark: SparkSession, base: String, v: Int,
+      keyCol: String, statsCol: String, lo: String,
+      hi: String): (DataFrame, PruneReport) = {
+    val snap = manifest(spark, base, v)
+    val byDir = snap.bounds.filter(_.col == statsCol)
+      .map(b => b.dir -> b).toMap
+    val kept = snap.dataDirs.filter { d =>
+      byDir.get(d).forall(b => boundsOverlap(b.typ, b.min, b.max, lo, hi))
+    }
+    val data =
+      if (kept.isEmpty)
+        // every dir pruned: an empty, schema-correct frame (no parquet
+        // read of zero paths)
+        spark.read.parquet(snap.dataDirs.head).where(lit(false))
+      else spark.read.parquet(kept: _*)
+    (applyDeletes(spark, snap, data, keyCol),
+      PruneReport(kept.size, snap.dataDirs.size))
   }
 }

@@ -488,4 +488,123 @@ class SnapshotTableSpec extends SparkTestBase {
         Snapshot(Seq(s"$base/d1", s"$base/d2"), Nil))
     }
   }
+
+  test("dir bounds round-trip the manifest and prune numerically; " +
+      "unbounded dirs and empty windows behave") {
+    val base = freshBase()
+    writeNums(s"$base/d1", 5, 10)    // k in [5, 9]
+    writeNums(s"$base/d2", 10, 100)  // k in [10, 99]
+    val dirs = Seq(s"$base/d1", s"$base/d2")
+    val bounds = SnapshotTable.computeBounds(spark, dirs, "k")
+    assert(bounds.map(b => (b.dir, b.typ, b.min, b.max)).sorted ==
+      Seq((s"$base/d1", "long", "5", "9"), (s"$base/d2", "long", "10", "99")))
+    SnapshotTable.commit(spark, base, 1, Snapshot(dirs, Nil, bounds))
+    assert(SnapshotTable.manifest(spark, base, 1).bounds.toSet ==
+      bounds.toSet, "bounds must survive the manifest round-trip")
+    // NUMERIC compare: lexically "99" < "90", so a lexical prune would
+    // wrongly drop d2 for the [90, 95] window
+    val (df, rep) = SnapshotTable.readVersionPruned(spark, base, 1,
+      "k", "k", "90", "95")
+    assert(rep == SnapshotTable.PruneReport(1, 2), rep.toString)
+    assert(df.where(col("k").between(90, 95)).count() == 6)
+    // a window inside d1 prunes d2
+    assert(SnapshotTable.readVersionPruned(spark, base, 1,
+      "k", "k", "6", "8")._2 == SnapshotTable.PruneReport(1, 2))
+    // a window matching nothing prunes EVERYTHING and still yields a
+    // schema-correct empty frame
+    val (empty, repNone) = SnapshotTable.readVersionPruned(spark, base, 1,
+      "k", "k", "200", "300")
+    assert(repNone == SnapshotTable.PruneReport(0, 2) &&
+      empty.columns.toSeq == Seq("k") && empty.count() == 0)
+    // a dir with NO bounds entry is always kept: commit v2 with bounds
+    // for d1 only
+    SnapshotTable.commit(spark, base, 2,
+      Snapshot(dirs, Nil, bounds.filter(_.dir == s"$base/d1")))
+    assert(SnapshotTable.readVersionPruned(spark, base, 2,
+      "k", "k", "200", "300")._2 == SnapshotTable.PruneReport(1, 2),
+      "an unbounded dir must survive every window")
+  }
+
+  test("bounds carry over kept dirs through delete/update/merge/compact " +
+      "and rewritten dirs get FRESH exact bounds") {
+    import spark.implicits._
+    val base = freshBase()
+    writeKv(s"$base/d1", 0, 10)
+    writeKv(s"$base/d2", 10, 20)
+    val dirs = Seq(s"$base/d1", s"$base/d2")
+    SnapshotTable.commit(spark, base, 1,
+      Snapshot(dirs, Nil, SnapshotTable.computeBounds(spark, dirs, "k")))
+    // delete: data dirs untouched, ALL bounds carry
+    SnapshotTable.deleteWhere(spark, base, "k", col("k") === 15)
+    assert(SnapshotTable.manifest(spark, base, 2).bounds.size == 2)
+    // update hits d1 only: d2's bounds carry, the rewritten dir gets
+    // FRESH bounds (k untouched by the SET, so its old range)
+    SnapshotTable.updateWhere(spark, base, col("k") === 1,
+      Seq("v" -> lit(999)))
+    val b3 = SnapshotTable.manifest(spark, base, 3).bounds
+    assert(b3.size == 2, b3.toString)
+    val upd3 = b3.filterNot(_.dir == s"$base/d2")
+    assert(upd3.map(b => (b.min, b.max)) == Seq(("0", "9")), b3.toString)
+    // a window inside the rewritten dir's range prunes d2
+    val (_, rep) = SnapshotTable.readVersionPruned(spark, base, 3,
+      "k", "k", "0", "5")
+    assert(rep == SnapshotTable.PruneReport(1, 2), rep.toString)
+    // merge matching d2: the merge dir's fresh bounds span stored ∪ source
+    SnapshotTable.mergeInto(spark, base, "k", Seq((12, 112)).toDF("k", "v"))
+    val b4 = SnapshotTable.manifest(spark, base, 4).bounds
+    val mrg4 = b4.filter(_.dir.contains("_merge_"))
+    assert(b4.size == 2 &&
+      mrg4.map(b => (b.min, b.max)) == Seq(("10", "19")), b4.toString)
+    // compact folds the delete: the compacted dir's fresh bounds describe
+    // the MASKED content, and pruning still works on the aged table
+    val cr = SnapshotTable.compact(spark, base, "k")
+    val b5 = SnapshotTable.manifest(spark, base, 5).bounds
+    assert(cr.version == 5 && b5.size == 2, b5.toString)
+    assert(SnapshotTable.readVersion(spark, base, 5, "k").count() == 19)
+    assert(SnapshotTable.readVersionPruned(spark, base, 5,
+      "k", "k", "12", "14")._2 == SnapshotTable.PruneReport(1, 2))
+    // a SET that MOVES the stats column: the rewritten dir's fresh bounds
+    // must reflect the new values, not carry the stale range
+    SnapshotTable.updateWhere(spark, base, col("k") === 10,
+      Seq("k" -> lit(1000)))
+    val b6 = SnapshotTable.manifest(spark, base, 6).bounds
+    assert(b6.exists(b => b.max == "1000"), b6.toString)
+    assert(SnapshotTable.readVersionPruned(spark, base, 6,
+      "k", "k", "900", "1100")._2 == SnapshotTable.PruneReport(1, 2),
+      "the moved value must be findable through pruning")
+  }
+
+  test("bounds computation: all-null dirs get no entry, delimiter values " +
+      "and unorderable types are refused loudly") {
+    import spark.implicits._
+    val base = freshBase()
+    Seq((1, Option.empty[Int]), (2, Option.empty[Int]))
+      .toDF("k", "s").write.parquet(s"$base/dnull")
+    writeKv(s"$base/dv", 0, 5)
+    // all-null stats col: no entry (dir is always kept — safe direction)
+    assert(SnapshotTable.computeBounds(
+      spark, Seq(s"$base/dnull"), "s").isEmpty)
+    // a string value holding the manifest delimiter: commit refuses
+    Seq(("a|b", 1)).toDF("name", "v").write.parquet(s"$base/dbad")
+    val bad = SnapshotTable.computeBounds(spark, Seq(s"$base/dbad"), "name")
+    val e = intercept[IllegalArgumentException] {
+      SnapshotTable.commit(spark, base, 1,
+        Snapshot(Seq(s"$base/dbad"), Nil, bad))
+    }
+    assert(e.getMessage.contains("delimiter"), e.getMessage)
+    // a double stats column: refused (string encoding would not preserve
+    // value order)
+    Seq((1.5, 1)).toDF("d", "v").write.parquet(s"$base/ddbl")
+    val e2 = intercept[IllegalArgumentException] {
+      SnapshotTable.computeBounds(spark, Seq(s"$base/ddbl"), "d")
+    }
+    assert(e2.getMessage.contains("bounds"), e2.getMessage)
+    // bounds naming a dir outside the data set: refused
+    val ok = SnapshotTable.computeBounds(spark, Seq(s"$base/dv"), "k")
+    val e3 = intercept[IllegalArgumentException] {
+      SnapshotTable.commit(spark, base, 1,
+        Snapshot(Seq(s"$base/dnull"), Nil, ok))
+    }
+    assert(e3.getMessage.contains("outside"), e3.getMessage)
+  }
 }
