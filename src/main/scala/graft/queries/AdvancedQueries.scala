@@ -1658,6 +1658,77 @@ object AdvancedQueries {
         .orderBy("cust_bucket")
     },
 
+    // SORTED storage-partitioned join (SupportsReportOrdering — the other
+    // half of the sorted-bucketed-table shape q_dsv2_spj opens): the same
+    // two KV tables written sharded AND key-sorted (one task per shard via
+    // repartition(n, shard) + sortWithinPartitions, the writer verifying
+    // nondecreasing binary key order row-by-row and the commit keeping the
+    // `_SORTED` marker only when every shard is one sorted file), so the
+    // scan declares each partition ordered by (shard, key) and the merge
+    // join plans with NO Sort on either side on top of the NO Exchange —
+    // the full sorted-bucketed join, entirely from storage. At 100 TB the
+    // recurring fact-fact join drops its two remaining corpus-wide sorts;
+    // at a 1000-executor cluster that is the difference between a
+    // metadata-driven zip of co-sorted files and re-sorting 100 TB every
+    // run. Pins: no Exchange, no Sort, the SMJ, and the scan-surfaced
+    // SortedShards marker. Content-sensitive: the oracle recombines the
+    // columns from the base table, so a falsely-ordered file (which would
+    // silently mis-join) or a dropped row hash-fails. KvSortedSpec carries
+    // the marker protocol cases (unsorted write, doubling append,
+    // truncating restore).
+    "q_dsv2_sorted" -> { (s, dir) =>
+      val sf = new java.io.File(dir).getName
+      val fmt = classOf[graft.sources.KvTextSource].getName
+      val n = 8
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+        "true")
+      s.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      val dirA = s"/root/repo/target/tmp/orders_kvsorted_price-$sf"
+      val dirB = s"/root/repo/target/tmp/orders_kvsorted_day-$sf"
+      def sortedSharded(df: DataFrame): DataFrame =
+        df.select(col("key"), col("value"),
+          pmod(hash(col("key")), lit(n)).cast("int").as("shard"))
+          .repartition(n, col("shard"))
+          .sortWithinPartitions("shard", "key")
+      graft.sources.Sinks.ensureDir(s, dirA, "v1:orders,kvsorted/price",
+        inputs = Seq(s"$dir/orders.parquet")) {
+        sortedSharded(Tables(s, dir, "orders")
+          .select(col("o_orderkey").cast("string").as("key"),
+            cents(col("o_totalprice")).as("value")))
+          .write.format(fmt).option("shards", n.toString)
+          .mode("overwrite").save(dirA)
+      }
+      graft.sources.Sinks.ensureDir(s, dirB, "v1:orders,kvsorted/day",
+        inputs = Seq(s"$dir/orders.parquet")) {
+        sortedSharded(Tables(s, dir, "orders")
+          .select(col("o_orderkey").cast("string").as("key"),
+            col("o_custkey").cast("long").as("value")))
+          .write.format(fmt).option("shards", n.toString)
+          .mode("overwrite").save(dirB)
+      }
+      val a = s.read.format(fmt).load(dirA)
+      val b = s.read.format(fmt).load(dirB)
+        .select(col("key"), col("shard"), col("value").as("custkey"))
+      val j = a.join(b.hint("merge"), Seq("shard", "key"))
+      val plan = j.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      require(plan.contains("SortMergeJoin"),
+        "expected a sort-merge storage-partitioned join")
+      require(!plan.contains("Exchange"),
+        "sorted storage-partitioned join planned a shuffle")
+      require(!plan.contains("Sort ["),
+        "scan-reported ordering did not eliminate the join sorts — the " +
+          "SupportsReportOrdering seam is dead")
+      require(plan.contains("SortedShards: true"),
+        "scan description must surface the stored ordering")
+      j.groupBy(pmod(col("custkey"), lit(7)).as("cust_bucket"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("value")).as("sum_cents"),
+          min(col("key")).as("min_key"))
+        .orderBy("cust_bucket")
+    },
+
     // SHARD-PRUNED POINT LOOKUP on the same sharded layout (the read-side
     // payoff of the SPJ layer): the caller recomputes the writer's routing
     // on key literals — `shard IN (pmod(hash(k), 8)…)` folds to constants
@@ -2982,6 +3053,16 @@ object AdvancedQueries {
       s"""SELECT CAST(o_custkey % 10 AS BIGINT) AS cust_bucket,
          |  COUNT(*) AS n_orders,
          |  CAST(SUM(${CENTS("o_totalprice")}) AS BIGINT) AS sum_cents
+         |FROM orders GROUP BY 1 ORDER BY cust_bucket""".stripMargin,
+
+    // the sorted variant replays the same key-recombination from the base
+    // table: a falsely-ordered shard file would make the sort-free merge
+    // join mis-pair rows and hash-fail here
+    "q_dsv2_sorted" ->
+      s"""SELECT CAST(o_custkey % 7 AS BIGINT) AS cust_bucket,
+         |  COUNT(*) AS n_orders,
+         |  CAST(SUM(${CENTS("o_totalprice")}) AS BIGINT) AS sum_cents,
+         |  MIN(CAST(o_orderkey AS VARCHAR)) AS min_key
          |FROM orders GROUP BY 1 ORDER BY cust_bucket""".stripMargin,
 
     // base-table replay of the point lookup: a pruned shard that actually

@@ -59,6 +59,21 @@ object KvTextSource {
   /** The committed-file suffix carrying a file's shard id. */
   private[sources] val ShardRe = """-s(\d+)\.kv$""".r.unanchored
 
+  /** Marker declaring every shard's content KEY-SORTED in ONE file (the
+    * sorted-bucketed-table shape at the connector seam): written by the
+    * sharded 2PC commit only when every staged file observed nondecreasing
+    * binary key order AND the committed dir holds at most one file per
+    * shard — the two conditions under which a shard partition's scan is
+    * genuinely ordered. An append that breaks either condition REMOVES the
+    * marker in the same commit, so [[KvScan.outputOrdering]] can never
+    * report an ordering the files stopped having. */
+  private[sources] val SortedMarker = "_SORTED"
+
+  /** Whether `path` committed with the sorted-shards marker. */
+  private[sources] def isSorted(path: String): Boolean =
+    sessionFs(new java.net.URI(path))
+      .exists(new Path(path, SortedMarker))
+
   /** Shard count of `path`, when its marker says it was written sharded.
     * One tiny driver-side read; absence = an ordinary unsharded dir. */
   def shardCount(path: String): Option[Int] = {
@@ -154,6 +169,8 @@ final class KvTable(path: String, declaredSharded: Boolean = false)
   // one tiny driver read per table instantiation (the listing the scan
   // does anyway dwarfs it)
   private val shards: Option[Int] = KvTextSource.shardCount(path)
+  private val sorted: Boolean =
+    shards.isDefined && KvTextSource.isSorted(path)
 
   override def name(): String = s"graft-kv:$path"
   override def schema(): StructType =
@@ -176,7 +193,7 @@ final class KvTable(path: String, declaredSharded: Boolean = false)
         val n = v.toLong
         require(n > 0, s"maxBytesPerTrigger must be positive, got $n")
         n
-      })
+      }, sorted)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new KvWriteBuilder(path, info, shards)
@@ -185,7 +202,8 @@ final class KvTable(path: String, declaredSharded: Boolean = false)
 final class KvScanBuilder(path: String, maxSplitBytes: Long,
     maxFilesPerTrigger: Option[Int] = None,
     shards: Option[Int] = None,
-    maxBytesPerTrigger: Option[Long] = None)
+    maxBytesPerTrigger: Option[Long] = None,
+    sorted: Boolean = false)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates
@@ -322,7 +340,7 @@ final class KvScanBuilder(path: String, maxSplitBytes: Long,
     case Some(agg) => new KvAggScan(path, pushed, agg, maxSplitBytes)
     case None =>
       new KvScan(path, pushed, required, maxSplitBytes, topN, limit, offset,
-        maxFilesPerTrigger, shards, maxBytesPerTrigger)
+        maxFilesPerTrigger, shards, maxBytesPerTrigger, sorted)
   }
 }
 
@@ -333,9 +351,11 @@ final class KvScan(path: String, filters: Array[Filter], required: StructType,
     offset: Option[Int] = None,
     maxFilesPerTrigger: Option[Int] = None,
     shards: Option[Int] = None,
-    maxBytesPerTrigger: Option[Long] = None) extends Scan with Batch
+    maxBytesPerTrigger: Option[Long] = None,
+    sorted: Boolean = false) extends Scan with Batch
     with SupportsReportStatistics with SupportsRuntimeFiltering
-    with SupportsReportPartitioning {
+    with SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsReportOrdering {
 
   /** STORAGE-PARTITIONED JOIN seam (SupportsReportPartitioning — r14
     * verdict task 6): a dir written SHARDED (rows routed to per-shard
@@ -365,6 +385,35 @@ final class KvScan(path: String, filters: Array[Filter], required: StructType,
         new org.apache.spark.sql.connector.read.partitioning
           .UnknownPartitioning(0)
     }
+
+  /** SORT-ORDER reporting (SupportsReportOrdering — the other half of the
+    * sorted-bucketed-table shape [[outputPartitioning]] opens): a sharded
+    * dir whose commit kept the `_SORTED` marker (every shard = one file of
+    * nondecreasing binary-ordered keys, verified row-by-row AT WRITE by
+    * [[KvShardedDataWriter]]) genuinely yields each partition's rows
+    * ordered by (shard, key) — shard is constant within a partition and
+    * keys ascend — so the scan declares that ordering and a sort-merge
+    * join on (shard, key) over two such tables plans with NO Sort on
+    * either side, on top of the NO-Exchange the key-grouped partitioning
+    * already gives: the full sorted-bucketed join, entirely from storage.
+    * At 100 TB that removes the dominant remaining cost of the recurring
+    * fact-fact join — two corpus-wide sorts per execution. Declared only
+    * when nothing rearranges or short-circuits rows (no pushed
+    * topN/limit/offset) and both ordering columns survive projection
+    * pruning; filters (static or runtime) only DROP rows, which preserves
+    * order. */
+  override def outputOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    if (sorted && shards.isDefined && topN.isEmpty && limit.isEmpty &&
+        offset.isEmpty &&
+        Seq("shard", "key").forall(required.fieldNames.contains)) {
+      import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
+      Array(
+        Expressions.sort(Expressions.column("shard"),
+          SortDirection.ASCENDING),
+        Expressions.sort(Expressions.column("key"),
+          SortDirection.ASCENDING))
+    } else Array.empty
 
   // RUNTIME filters (SupportsRuntimeFiltering): under a DPP-shaped join,
   // Spark executes the build side first, collects its join keys, and
@@ -471,7 +520,8 @@ final class KvScan(path: String, filters: Array[Filter], required: StructType,
     val off = offset.map(k => s" PushedOffset: $k").getOrElse("")
     val ps = shards.flatMap(n => shardKeep(n).map(k =>
       s" PrunedShards: ${k.size}/$n")).getOrElse("")
-    s"graft-kv $path PushedFilters: ${filters.mkString("[", ", ", "]")}$t$lm$off$ps " +
+    val so = if (outputOrdering().nonEmpty) " SortedShards: true" else ""
+    s"graft-kv $path PushedFilters: ${filters.mkString("[", ", ", "]")}$t$lm$off$ps$so " +
       s"ReadSchema: ${required.fieldNames.mkString(",")}"
   }
 
@@ -1317,14 +1367,18 @@ final class KvShardedBatchWrite(path: String, queryId: String,
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val f = fs()
     val table = new Path(path)
+    // read BEFORE any mutation: an append into a previously-sorted table
+    // can stay sorted; one into an unsorted table never can
+    val wasSorted = !f.exists(new Path(table, "_SUCCESS")) ||
+      f.exists(new Path(table, KvTextSource.SortedMarker))
     f.delete(new Path(table, "_SUCCESS"), false)
     if (truncate)
       f.listStatus(table)
         .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
         .foreach(s => f.delete(s.getPath, false))
     messages.foreach { case KvMultiCommitMessage(staged) =>
-      staged.foreach { sPath =>
-        val src = new Path(sPath)
+      staged.foreach { sf =>
+        val src = new Path(sf.path)
         val dst = new Path(table, s"$queryId-${src.getName}")
         require(f.rename(src, dst), s"commit rename failed: $src -> $dst")
       }
@@ -1335,6 +1389,27 @@ final class KvShardedBatchWrite(path: String, queryId: String,
     val marker = f.create(new Path(table, KvTextSource.ShardsMarker), true)
     try marker.write(s"$n\n".getBytes(StandardCharsets.UTF_8))
     finally marker.close()
+    // `_SORTED` (see KvTextSource.SortedMarker): kept only when every
+    // staged file observed nondecreasing keys, the pre-write table was
+    // sorted (or replaced), and the committed dir holds ≤ 1 file per
+    // shard — exactly the conditions under which a shard partition's
+    // concatenated read is ordered. Decided from the post-rename listing,
+    // so a crash between renames and here errs toward NO marker.
+    val allStagedSorted = messages.forall {
+      case KvMultiCommitMessage(staged) => staged.forall(_.sorted)
+    }
+    val onePerShard = f.listStatus(table)
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
+      .flatMap(s => KvTextSource.ShardRe
+        .findFirstMatchIn(s.getPath.getName).map(_.group(1).toInt))
+      .groupBy(identity).forall(_._2.length <= 1)
+    if ((truncate || wasSorted) && allStagedSorted && onePerShard) {
+      f.create(new Path(table, KvTextSource.SortedMarker), true).close()
+    } else {
+      f.delete(new Path(table, KvTextSource.SortedMarker), false)
+      ()
+    }
     f.create(new Path(table, "_SUCCESS"), true).close()
   }
 
@@ -1356,20 +1431,32 @@ final class KvShardedWriterFactory(path: String, queryId: String, n: Int,
 }
 
 /** Routes each (key, value, shard) row to its shard's staged file —
-  * opened lazily, so a task touches only the shards it actually saw. */
+  * opened lazily, so a task touches only the shards it actually saw.
+  * Each open file additionally tracks whether its keys have arrived in
+  * nondecreasing binary order (one UTF8String compare + copy per row):
+  * the commit message carries the verdict per file, and the driver only
+  * keeps the `_SORTED` marker when every file passed — the writer-side
+  * proof behind [[KvScan.outputOrdering]], so a caller who forgot the
+  * sortWithinPartitions can never commit a falsely-ordered table. */
 final class KvShardedDataWriter(stagingDir: String, partitionId: Int,
     taskId: Long, n: Int, confMap: Map[String, String])
     extends DataWriter[InternalRow] {
 
+  private final class ShardOut(val path: Path,
+      val out: org.apache.hadoop.fs.FSDataOutputStream) {
+    var last: org.apache.spark.unsafe.types.UTF8String = null
+    var sorted: Boolean = true
+  }
+
   private val fsHandle = FileSystem.get(new java.net.URI(stagingDir),
     KvTextSource.confFrom(confMap))
-  private val open = scala.collection.mutable.Map
-    .empty[Int, (Path, org.apache.hadoop.fs.FSDataOutputStream)]
+  private val open = scala.collection.mutable.Map.empty[Int, ShardOut]
 
   override def write(row: InternalRow): Unit = {
     require(!row.isNullAt(0) && !row.isNullAt(1) && !row.isNullAt(2),
       "graft-kv format has no null encoding")
-    val key = row.getUTF8String(0).toString
+    val u = row.getUTF8String(0)
+    val key = u.toString
     require(key.indexOf('\t') < 0 && key.indexOf('\n') < 0
         && key.indexOf('\r') < 0,
       s"key may not contain tab or newline: $key")
@@ -1377,22 +1464,30 @@ final class KvShardedDataWriter(stagingDir: String, partitionId: Int,
     require(shard >= 0 && shard < n,
       s"shard $shard outside [0, $n) — the shard column must be " +
         "hash(key) mod the declared count")
-    val out = open.getOrElseUpdate(shard, {
+    val so = open.getOrElseUpdate(shard, {
       val p = new Path(
         f"$stagingDir/part-$partitionId-$taskId-s$shard%05d.kv")
-      (p, fsHandle.create(p, true))
-    })._2
-    out.write(s"$key\t${row.getLong(1)}\n".getBytes(StandardCharsets.UTF_8))
+      new ShardOut(p, fsHandle.create(p, true))
+    })
+    if (so.sorted) {
+      if (so.last != null && so.last.compareTo(u) > 0) so.sorted = false
+      // copy: the row's backing buffer is reused by the next row
+      else so.last = u.clone()
+    }
+    so.out.write(
+      s"$key\t${row.getLong(1)}\n".getBytes(StandardCharsets.UTF_8))
   }
 
   override def commit(): WriterCommitMessage = {
-    open.values.foreach(_._2.close())
-    KvMultiCommitMessage(open.values.map(_._1.toString).toSeq.sorted)
+    open.values.foreach(_.out.close())
+    KvMultiCommitMessage(open.values
+      .map(so => KvStagedFile(so.path.toString, so.sorted))
+      .toSeq.sortBy(_.path))
   }
 
-  override def abort(): Unit = open.values.foreach { case (p, o) =>
-    o.close()
-    fsHandle.delete(p, false): Unit
+  override def abort(): Unit = open.values.foreach { so =>
+    so.out.close()
+    fsHandle.delete(so.path, false): Unit
   }
 
   override def close(): Unit = ()
@@ -1611,5 +1706,11 @@ final class KvStreamingWriterFactory(path: String, runId: String,
 final case class KvCommitMessage(stagedFile: String)
     extends WriterCommitMessage
 
-final case class KvMultiCommitMessage(stagedFiles: Seq[String])
+/** One staged sharded file: its path plus whether the writer observed its
+  * keys in nondecreasing BINARY order as they were written (UTF8String
+  * comparison — the same collation Catalyst sorts by, so the `_SORTED`
+  * marker never disagrees with a plan-level SortOrder). */
+final case class KvStagedFile(path: String, sorted: Boolean)
+
+final case class KvMultiCommitMessage(stagedFiles: Seq[KvStagedFile])
     extends WriterCommitMessage
