@@ -19,7 +19,8 @@ object Bench {
     "q_skip_string", "q_dsv2_offset", "q_mv_cube", "q_skip_bloom",
     "q_mv_filter", "q_dsv2_spj", "q_snapshot_delete", "q_dsv2_shard_prune",
     "q_snapshot_compact", "q_snapshot_update", "q_snapshot_cdf",
-    "q_snapshot_merge", "q_snapshot_skipping", "q_dsv2_sorted")
+    "q_snapshot_merge", "q_snapshot_skipping", "q_dsv2_sorted",
+    "q_snapshot_evolve")
 
   /** Cheap queries the adjudication child executes fully-but-untimed before
     * its one measurement: a few seconds of real query execution across the

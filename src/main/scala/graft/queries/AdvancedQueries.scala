@@ -2533,6 +2533,72 @@ object AdvancedQueries {
         .orderBy("o_orderpriority")
     },
 
+    // SCHEMA EVOLUTION on the snapshot table (SnapshotTable.
+    // evolveAddColumns — the Iceberg/Delta add-column contract at this
+    // table's granularity): v1 commits pre-evolution orders (no
+    // disc_cents); v2 is the METADATA-ONLY evolution commit (same dirs,
+    // widened manifest schema — never a rewrite, the only viable story at
+    // 100 TB); v3 appends a dir CARRYING the new column; v4 composes a
+    // merge-on-read delete on top. The head read projects old dirs to the
+    // evolved schema (typed NULLs), and time travel still reads v1 under
+    // its OWN pre-evolution shape (require-pinned). The aggregate splits
+    // per-column: n_disc counts only post-evolution rows and sum_disc
+    // folds NULL-as-zero, so the oracle's CASE-WHEN replay on the base
+    // table hash-fails if old rows leak a value, new rows lose theirs,
+    // or the delete stops masking across the evolution boundary.
+    "q_snapshot_evolve" -> { (s, dir) =>
+      import graft.sources.{SnapshotTable => ST}
+      val sfN = new java.io.File(dir).getName
+      val fp = java.security.MessageDigest.getInstance("MD5")
+        .digest(graft.sources.Sinks.fingerprint(s, s"$dir/orders.parquet")
+          .getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString.take(10)
+      val base = s"/root/repo/target/tmp/orders_evo-$sfN-$fp"
+      val cut = "1998-01-01"
+      def slim(df: DataFrame) = df.select(
+        col("o_orderkey"),
+        cents(col("o_totalprice")).as("cents"),
+        col("o_orderpriority"))
+      graft.sources.Sinks.ensureDir(s, s"$base/d_early", "v1:evo_early",
+        inputs = Seq(s"$dir/orders.parquet")) {
+        slim(Tables(s, dir, "orders")
+          .where(col("o_orderdate") < lit(cut)))
+          .write.mode("overwrite").parquet(s"$base/d_early")
+      }
+      graft.sources.Sinks.ensureDir(s, s"$base/d_late", "v1:evo_late",
+        inputs = Seq(s"$dir/orders.parquet")) {
+        slim(Tables(s, dir, "orders")
+          .where(col("o_orderdate") >= lit(cut)))
+          .withColumn("disc_cents", expr("cents div 10"))
+          .write.mode("overwrite").parquet(s"$base/d_late")
+      }
+      ST.commit(s, base, 1, ST.Snapshot(Seq(s"$base/d_early"), Nil))
+      if (ST.headVersion(s, base) == 1) {
+        require(ST.evolveAddColumns(s, base, "`disc_cents` BIGINT") == 2)
+        val s2 = ST.manifest(s, base, 2)
+        ST.commit(s, base, 3,
+          s2.copy(dataDirs = s2.dataDirs :+ s"$base/d_late"))
+        val v = ST.deleteWhere(s, base, "o_orderkey",
+          pmod(md5Long(col("o_orderkey").cast("string")), lit(9)) === 4)
+        require(v == 4, s"delete landed at v$v, expected v4")
+      }
+      require(ST.headVersion(s, base) == 4, "head must be the delete")
+      // time travel is SCHEMA-versioned: v1 predates the evolution
+      require(!ST.readVersion(s, base, 1, "o_orderkey")
+        .columns.contains("disc_cents"),
+        "v1 must read under its own pre-evolution schema")
+      require(ST.manifest(s, base, 4).schema.isDefined,
+        "the evolved schema must carry through later commits")
+      val head = ST.readVersion(s, base, 4, "o_orderkey")
+      require(head.columns.contains("disc_cents"),
+        "the head must read under the evolved schema")
+      head.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          count(col("disc_cents")).as("n_disc"),
+          sum(col("cents")).as("sum_cents"),
+          sum(coalesce(col("disc_cents"), lit(0L))).as("sum_disc"))
+        .orderBy("o_orderpriority")
+    },
+
     // CHANGE DATA FEED between snapshot versions (SnapshotTable.
     // readChanges — what a downstream incremental consumer reads instead
     // of diffing two full scans, closing the loop from the CDC operators'
@@ -2934,6 +3000,22 @@ object AdvancedQueries {
          |WHERE o_orderdate >= DATE '1997-01-01'
          |  AND o_orderdate <= DATE '1997-12-31'
          |  AND ${MD5LONG("CAST(o_orderkey AS VARCHAR)")} % 8 <> 6
+         |GROUP BY o_orderpriority
+         |ORDER BY o_orderpriority""".stripMargin,
+
+    // CASE-WHEN replay of the evolution boundary on the base table: a
+    // pre-evolution row leaking a disc value, a post-evolution row losing
+    // one, or a delete unapplied across the boundary all hash-fail
+    "q_snapshot_evolve" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n_orders,
+         |  CAST(SUM(CASE WHEN o_orderdate >= DATE '1998-01-01'
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_disc,
+         |  CAST(SUM(${CENTS("o_totalprice")}) AS BIGINT) AS sum_cents,
+         |  CAST(SUM(CASE WHEN o_orderdate >= DATE '1998-01-01'
+         |    THEN ${CENTS("o_totalprice")} // 10 ELSE 0 END) AS BIGINT)
+         |    AS sum_disc
+         |FROM orders
+         |WHERE ${MD5LONG("CAST(o_orderkey AS VARCHAR)")} % 9 <> 4
          |GROUP BY o_orderpriority
          |ORDER BY o_orderpriority""".stripMargin,
 

@@ -35,8 +35,14 @@ object SnapshotTable {
   final case class DirBounds(dir: String, col: String, typ: String,
       min: String, max: String)
 
+  /** `schema`: the table schema AS OF this version, as Spark DDL — set by
+    * [[evolveAddColumns]] and carried by every later commit. None (the
+    * pre-evolution default) means "whatever the data dirs agree on",
+    * which keeps pre-evolution manifests byte-identical. Because the
+    * schema lives IN the versioned manifest, time travel reads each
+    * version under ITS OWN schema — the Iceberg/Delta contract. */
   final case class Snapshot(dataDirs: Seq[String], deleteDirs: Seq[String],
-      bounds: Seq[DirBounds] = Nil)
+      bounds: Seq[DirBounds] = Nil, schema: Option[String] = None)
 
   private def manifestPath(base: String, v: Int) =
     new Path(s"$base/_MANIFEST_v$v")
@@ -81,8 +87,16 @@ object SnapshotTable {
       else "bounds=" + snap.bounds
         .map(b => s"${b.dir}|${b.col}|${b.typ}|${b.min}|${b.max}")
         .mkString(",") + "\n"
+    val schemaLine = snap.schema.map { ddl =>
+      require(!ddl.exists(c => c == '\n' || c == '\r'),
+        "schema DDL may not contain a newline — it is one manifest line")
+      // parse NOW: an unparseable schema must fail the commit, not every
+      // future read of the version
+      org.apache.spark.sql.types.StructType.fromDDL(ddl): Unit
+      s"schema=$ddl\n"
+    }.getOrElse("")
     val core = s"data=${snap.dataDirs.mkString(",")}\n" +
-      s"delete=${snap.deleteDirs.mkString(",")}\n" + boundsLine
+      s"delete=${snap.deleteDirs.mkString(",")}\n" + boundsLine + schemaLine
     val body = core + f"crc=${crc32(core)}%08x\n"
     val dst = manifestPath(base, v)
     val fs = fsFor(spark, dst)
@@ -254,7 +268,8 @@ object SnapshotTable {
             "written by a newer format")
       }
     }
-    (Snapshot(dirs("data").toSeq, dirs("delete").toSeq, bounds),
+    (Snapshot(dirs("data").toSeq, dirs("delete").toSeq, bounds,
+      kv.get("schema").filter(_.nonEmpty)),
       crcLines.headOption.map(_.stripPrefix("crc=")),
       coreLines.mkString("", "\n", "\n"))
   }
@@ -366,8 +381,7 @@ object SnapshotTable {
     readVersion(spark, base, head, keyCol)
       .where(predicate).select(col(keyCol)).distinct()
       .write.parquet(delDir)
-    commit(spark, base, v,
-      Snapshot(snap.dataDirs, snap.deleteDirs :+ delDir, snap.bounds))
+    commit(spark, base, v, snap.copy(deleteDirs = snap.deleteDirs :+ delDir))
     v
   }
 
@@ -416,7 +430,7 @@ object SnapshotTable {
       .select(col(keyCol)).distinct()
     // one probe job over every dir's key column: which dirs hold >= 1
     // deleted key (column pruning keeps this a key-only scan)
-    val hit = probeHitDirs(spark, snap.dataDirs, head,
+    val hit = probeHitDirs(spark, snap, head,
       _.join(broadcast(dels), Seq(keyCol), "left_semi"))
     val keep = snap.dataDirs.filterNot(hit)
     val compDir = s"$base/_compact_v$v"
@@ -428,7 +442,7 @@ object SnapshotTable {
     val newData =
       if (hit.isEmpty) snap.dataDirs // deletes matched nothing anywhere
       else {
-        spark.read.parquet(hit.toSeq.sorted: _*)
+        readData(spark, snap, hit.toSeq.sorted)
           .join(broadcast(dels), Seq(keyCol), "left_anti")
           .write.parquet(compDir)
         keep :+ compDir
@@ -438,7 +452,9 @@ object SnapshotTable {
     val kept = snap.bounds.filter(b => keep.contains(b.dir))
     val rebound =
       if (hit.isEmpty) Nil else reboundDir(spark, snap.bounds, compDir)
-    commit(spark, base, v, Snapshot(newData, Nil, kept ++ rebound))
+    commit(spark, base, v,
+      snap.copy(dataDirs = newData, deleteDirs = Nil,
+        bounds = kept ++ rebound))
     CompactReport(v, hit.size, keep.size, snap.deleteDirs.size)
   }
 
@@ -450,13 +466,16 @@ object SnapshotTable {
     * `probe` (a filter/semi-join over the tagged union of every dir):
     * the dir-count-sized collect that lets [[compact]]/[[updateWhere]]
     * rewrite only affected dirs and carry the rest by reference. */
-  private def probeHitDirs(spark: SparkSession, dataDirs: Seq[String],
+  private def probeHitDirs(spark: SparkSession, snap: Snapshot,
       head: Int, probe: DataFrame => DataFrame): Set[String] = {
-    require(dataDirs.nonEmpty, s"head v$head has no data dirs")
-    require(!spark.read.parquet(dataDirs.head).columns.contains(dirTag),
+    require(snap.dataDirs.nonEmpty, s"head v$head has no data dirs")
+    // per-dir projection to the version's schema, so probe predicates may
+    // reference evolved-in columns (NULL over pre-evolution dirs)
+    val target = tableSchema(spark, snap)
+    require(!target.fieldNames.contains(dirTag),
       s"data schema already carries the staging column $dirTag")
-    val tagged = dataDirs
-      .map(d => spark.read.parquet(d)
+    val tagged = snap.dataDirs
+      .map(d => readData(spark, snap, Seq(d))
         .withColumn(dirTag, lit(d)))
       .reduce(_ unionAll _)
     probe(tagged).select(col(dirTag)).distinct()
@@ -519,11 +538,11 @@ object SnapshotTable {
     require(!fsFor(spark, mp).exists(mp),
       s"version $v is already committed under $base — a concurrent " +
         "committer won the version claim; re-read the head and retry")
-    val cols = spark.read.parquet(snap.dataDirs.head).columns.toSet
+    val cols = tableSchema(spark, snap).fieldNames.toSet
     val missing = sets.map(_._1).filterNot(cols)
     require(missing.isEmpty,
       s"UPDATE SET names columns absent from the data: $missing")
-    val hit = probeHitDirs(spark, snap.dataDirs, head, _.where(predicate))
+    val hit = probeHitDirs(spark, snap, head, _.where(predicate))
     if (hit.isEmpty) return RewriteReport(head, 0, snap.dataDirs.size)
     val keep = snap.dataDirs.filterNot(hit)
     val updDir = s"$base/_update_v$v"
@@ -532,15 +551,15 @@ object SnapshotTable {
     // leavings of a crashed prior attempt at THIS version: safe to clear,
     // since the guard above proved no manifest references the dir yet
     if (ufs.exists(up)) ufs.delete(up, true)
-    sets.foldLeft(spark.read.parquet(hit.toSeq.sorted: _*)) {
+    sets.foldLeft(readData(spark, snap, hit.toSeq.sorted)) {
       case (df, (name, set)) =>
         df.withColumn(name,
           when(predicate, set).otherwise(col(name)))
     }.write.parquet(updDir)
     // kept dirs keep their bounds; the rewritten dir gets FRESH bounds
     // (a SET may have moved the stats column — recompute, don't carry)
-    commit(spark, base, v, Snapshot(keep :+ updDir, snap.deleteDirs,
-      snap.bounds.filter(b => keep.contains(b.dir))
+    commit(spark, base, v, snap.copy(dataDirs = keep :+ updDir,
+      bounds = snap.bounds.filter(b => keep.contains(b.dir))
         ++ reboundDir(spark, snap.bounds, updDir)))
     RewriteReport(v, hit.size, keep.size)
   }
@@ -573,7 +592,7 @@ object SnapshotTable {
     require(!fsFor(spark, mp).exists(mp),
       s"version $v is already committed under $base — a concurrent " +
         "committer won the version claim; re-read the head and retry")
-    val stored = spark.read.parquet(snap.dataDirs.head).columns
+    val stored = tableSchema(spark, snap).fieldNames
     require(source.columns.sorted.toSeq == stored.sorted.toSeq,
       s"merge source schema ${source.columns.toSeq.sorted} must equal " +
         s"the stored schema ${stored.sorted.toSeq}")
@@ -583,7 +602,7 @@ object SnapshotTable {
     require(dup == 0,
       s"merge source holds duplicate $keyCol values — which copy wins " +
         "would be arbitrary; dedupe the source first")
-    val hit = probeHitDirs(spark, snap.dataDirs, head,
+    val hit = probeHitDirs(spark, snap, head,
       _.join(broadcast(srcKeys), Seq(keyCol), "left_semi"))
     val keep = snap.dataDirs.filterNot(hit)
     val mergeDir = s"$base/_merge_v$v"
@@ -595,14 +614,14 @@ object SnapshotTable {
     val aligned = source.select(stored.map(col).toIndexedSeq: _*)
     val merged =
       if (hit.isEmpty) aligned
-      else spark.read.parquet(hit.toSeq.sorted: _*)
+      else readData(spark, snap, hit.toSeq.sorted)
         .join(broadcast(srcKeys), Seq(keyCol), "left_anti")
         .unionByName(aligned)
     merged.write.parquet(mergeDir)
     // kept dirs keep their bounds; the merge dir gets FRESH bounds
     // (source rows' range is arbitrary — recompute, don't carry)
-    commit(spark, base, v, Snapshot(keep :+ mergeDir, snap.deleteDirs,
-      snap.bounds.filter(b => keep.contains(b.dir))
+    commit(spark, base, v, snap.copy(dataDirs = keep :+ mergeDir,
+      bounds = snap.bounds.filter(b => keep.contains(b.dir))
         ++ reboundDir(spark, snap.bounds, mergeDir)))
     RewriteReport(v, hit.size, keep.size)
   }
@@ -641,7 +660,7 @@ object SnapshotTable {
     val inserted = newData match {
       case Nil => None
       case dirs =>
-        val rows = spark.read.parquet(dirs: _*)
+        val rows = readData(spark, to, dirs)
         require(!rows.columns.contains(change),
           s"data schema already carries the staging column $change")
         val masked =
@@ -695,8 +714,82 @@ object SnapshotTable {
   def readVersion(spark: SparkSession, base: String, v: Int,
       keyCol: String): DataFrame = {
     val snap = manifest(spark, base, v)
-    val data = spark.read.parquet(snap.dataDirs: _*)
-    applyDeletes(spark, snap, data, keyCol)
+    applyDeletes(spark, snap, readData(spark, snap, snap.dataDirs), keyCol)
+  }
+
+  /** The table schema as of `snap`: the manifest-carried DDL when the
+    * version was evolved, otherwise the physical schema of its data (the
+    * pre-evolution contract, where all dirs agree). */
+  def tableSchema(spark: SparkSession, snap: Snapshot)
+      : org.apache.spark.sql.types.StructType =
+    snap.schema
+      .map(org.apache.spark.sql.types.StructType.fromDDL)
+      .getOrElse(spark.read.parquet(snap.dataDirs.head).schema)
+
+  /** SCHEMA EVOLUTION — ADD COLUMNS: commit head+1 whose manifest carries
+    * the widened schema and whose data/delete/bounds are UNCHANGED — a
+    * metadata-only commit, O(manifest) like every commit here, never a
+    * table rewrite (the only viable evolution story at 100 TB). Dirs
+    * written before the evolution read as typed NULLs for the new
+    * columns; dirs appended after it may carry them; rewrites
+    * ([[compact]]/[[updateWhere]]/[[mergeInto]]) normalize their
+    * rewritten dir to the current schema, so evolution debt folds away
+    * incrementally with ordinary maintenance. Time travel is
+    * SCHEMA-VERSIONED: [[readVersion]] of a pre-evolution version sees
+    * the old shape, because the schema lives in that version's manifest.
+    * Only ADD is offered — renames, drops, and type changes are a data
+    * rewrite by definition in a format whose files are immutable; refuse
+    * here rather than pretend. */
+  def evolveAddColumns(spark: SparkSession, base: String,
+      addDdl: String): Int = {
+    val head = headVersion(spark, base)
+    require(head >= 1, s"no committed snapshot under $base to evolve")
+    val snap = manifest(spark, base, head)
+    val cur = tableSchema(spark, snap)
+    val add = org.apache.spark.sql.types.StructType.fromDDL(addDdl)
+    require(add.nonEmpty, "evolveAddColumns needs at least one column")
+    val dup = add.fieldNames.filter(cur.fieldNames.contains)
+    require(dup.isEmpty,
+      s"columns already exist: ${dup.toSeq} — evolution only ADDs")
+    val widened = org.apache.spark.sql.types.StructType(cur ++ add)
+    val v = head + 1
+    commit(spark, base, v, snap.copy(schema = Some(widened.toDDL)))
+    v
+  }
+
+  /** Project `df` to exactly `target`: columns the frame lacks read as
+    * typed NULLs (rows written before an [[evolveAddColumns]]), columns
+    * it has beyond the target are dropped (a later schema seen through an
+    * older version's manifest — time travel under the version's OWN
+    * schema). Same-name columns keep their values, cast to the target
+    * type. */
+  private def projectTo(target: org.apache.spark.sql.types.StructType,
+      df: DataFrame): DataFrame = {
+    val have = df.schema.fieldNames.toSet
+    df.select(target.fields.toIndexedSeq.map { f =>
+      if (have(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+  }
+
+  /** Scan of `dirs` under `snap`'s schema. Fast path (no evolution ever,
+    * or every dir already at the current schema): ONE multi-path parquet
+    * scan, exactly the pre-evolution plan. Evolved path: dirs group by
+    * their physical schema (one driver-side footer read per dir —
+    * dir-count-sized, the same manifest-granularity contract as
+    * [[probeHitDirs]]) and each group scans once, projected to the
+    * manifest schema — so a table with 10⁴ dirs and 2 historical schemas
+    * plans 2 scans, not 10⁴. */
+  private def readData(spark: SparkSession, snap: Snapshot,
+      dirs: Seq[String]): DataFrame = snap.schema match {
+    case None => spark.read.parquet(dirs: _*)
+    case Some(_) =>
+      val target = tableSchema(spark, snap)
+      val bySchema = dirs.groupBy(d => spark.read.parquet(d).schema)
+      bySchema.toSeq.map { case (sch, ds) =>
+        val df = spark.read.parquet(ds: _*)
+        if (sch == target) df else projectTo(target, df)
+      }.reduce(_ unionByName _)
   }
 
   private def applyDeletes(spark: SparkSession, snap: Snapshot,
@@ -790,8 +883,8 @@ object SnapshotTable {
       if (kept.isEmpty)
         // every dir pruned: an empty, schema-correct frame (no parquet
         // read of zero paths)
-        spark.read.parquet(snap.dataDirs.head).where(lit(false))
-      else spark.read.parquet(kept: _*)
+        readData(spark, snap, Seq(snap.dataDirs.head)).where(lit(false))
+      else readData(spark, snap, kept)
     (applyDeletes(spark, snap, data, keyCol),
       PruneReport(kept.size, snap.dataDirs.size))
   }

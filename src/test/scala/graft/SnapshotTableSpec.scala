@@ -574,6 +574,67 @@ class SnapshotTableSpec extends SparkTestBase {
       "the moved value must be findable through pruning")
   }
 
+  test("schema evolution: metadata-only ADD, old dirs read as typed " +
+      "NULLs, time travel is schema-versioned, rewrites normalize") {
+    import spark.implicits._
+    val base = freshBase()
+    writeKv(s"$base/d1", 0, 10)
+    SnapshotTable.commit(spark, base, 1, Snapshot(Seq(s"$base/d1"), Nil))
+    // metadata-only commit: no data I/O, dirs unchanged
+    assert(SnapshotTable.evolveAddColumns(spark, base, "`w` BIGINT") == 2)
+    val head2 = SnapshotTable.readVersion(spark, base, 2, "k")
+    assert(head2.columns.toSeq == Seq("k", "v", "w"))
+    assert(head2.where(col("w").isNull).count() == 10,
+      "pre-evolution rows must read the new column as NULL")
+    // time travel sees the version's OWN schema
+    assert(SnapshotTable.readVersion(spark, base, 1, "k")
+      .columns.toSeq == Seq("k", "v"))
+    // append a post-evolution dir CARRYING the new column
+    (10 until 20).map(i => (i, i, i * 2L)).toDF("k", "v", "w")
+      .write.parquet(s"$base/d2")
+    val snap2 = SnapshotTable.manifest(spark, base, 2)
+    SnapshotTable.commit(spark, base, 3,
+      snap2.copy(dataDirs = snap2.dataDirs :+ s"$base/d2"))
+    val head3 = SnapshotTable.readVersion(spark, base, 3, "k")
+    assert(head3.count() == 20 &&
+      head3.where(col("w") === col("k") * 2).count() == 10)
+    // a predicate on the EVOLVED column probes across mixed-schema dirs
+    // (NULL over d1) and the rewrite normalizes its dir to the new schema
+    val rep = SnapshotTable.updateWhere(spark, base,
+      col("w") === 30L, Seq("v" -> lit(-1)))
+    assert(rep.dirsRewritten == 1 && rep.dirsKept == 1, rep.toString)
+    val head4 = SnapshotTable.readVersion(spark, base, 4, "k")
+    assert(head4.where(col("v") === -1).select("k")
+      .as[Int].collect().toSeq == Seq(15))
+    // deletes + compaction fold evolution debt away: the compacted dir
+    // physically carries the evolved column
+    SnapshotTable.deleteWhere(spark, base, "k", col("k") === 0)
+    val cr = SnapshotTable.compact(spark, base, "k")
+    assert(cr.version == 6)
+    val compDir = SnapshotTable.manifest(spark, base, 6).dataDirs
+      .filter(_.contains("_compact_"))
+    assert(compDir.nonEmpty &&
+      spark.read.parquet(compDir.head).columns.contains("w"),
+      "a rewrite must normalize its dir to the current schema")
+    assert(SnapshotTable.readVersion(spark, base, 6, "k").count() == 19)
+    // CDF window that crosses an evolution reads under the vTo schema
+    val feed = SnapshotTable.readChanges(spark, base, 2, 3, "k")
+    assert(feed.where(col("change") === "insert").count() == 10 &&
+      feed.columns.contains("w"))
+    // refusals: duplicate column, empty DDL, merge source missing the
+    // evolved column
+    intercept[IllegalArgumentException] {
+      SnapshotTable.evolveAddColumns(spark, base, "`v` BIGINT")
+    }
+    intercept[Exception] {
+      SnapshotTable.evolveAddColumns(spark, base, "")
+    }
+    intercept[IllegalArgumentException] {
+      SnapshotTable.mergeInto(spark, base, "k",
+        Seq((1, 1)).toDF("k", "v"))
+    }
+  }
+
   test("bounds computation: all-null dirs get no entry, delimiter values " +
       "and unorderable types are refused loudly") {
     import spark.implicits._
