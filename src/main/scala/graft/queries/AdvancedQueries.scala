@@ -529,6 +529,87 @@ object AdvancedQueries {
     // sink dir afterward and aggregates: a dropped epoch, a double-applied
     // replay, or a leaked unmarked file all hash-fail against the batch
     // ground truth on the base table.
+    // SNAPSHOT TABLE AS A CDC STREAM (sources/SnapshotCdfSource — the
+    // sixteenth driver-gated streaming execution): version numbers are
+    // streaming offsets, each micro-batch emits the versions committed
+    // since the frontier, and the foreachBatch consumer folds each one's
+    // O(delta) change window (readChanges; v1 = the all-inserts baseline)
+    // into a write-once epoch dir — the Delta/Iceberg "table as a stream"
+    // contract over this table's commit counter. Four commits land LIVE
+    // against the running query (two appends, a merge-on-read delete,
+    // another append), each observed as its own batch; the final result
+    // NET-FOLDS the consumed feed (inserts anti-join delete keys) and the
+    // oracle replays head state from the base table, so a skipped window,
+    // a re-folded window (duplicate inserts), or an unapplied delete all
+    // hash-fail. SnapshotCdfStreamSpec carries restart/pacing/vacuum
+    // cases; exactly-once across restart = version offsets in the Spark
+    // checkpoint + write-once epoch dirs, the engine's standing pattern.
+    "q_stream_snapshot_cdf" -> { (s, dir) =>
+      import graft.sources.{SnapshotTable => ST}
+      val root = new java.io.File(
+        s"/root/repo/target/tmp/stream_snapcdf-${new java.io.File(dir).getName}")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(): Unit
+      }
+      if (root.exists) rm(root)
+      val base = s"$root/tbl"
+      val epochs = s"$root/epochs"
+      val key = "o_orderkey"
+      val slim = Tables(s, dir, "orders")
+        .select(col(key), cents(col("o_totalprice")).as("cents"),
+          col("o_orderpriority"),
+          pmod(md5Long(col(key).cast("string")), lit(4)).as("m4"))
+      for (m <- 0 to 2)
+        slim.where(col("m4") === m).drop("m4")
+          .write.parquet(s"$base/d$m")
+      val fmt = classOf[graft.sources.SnapshotCdfSource].getName
+      graft.streaming.StreamingOps.withStreamShuffle(s) {
+        val q = s.readStream.format(fmt).load(base)
+          .writeStream.option("checkpointLocation", s"$root/cp")
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            val vs = b.select("version").collect()
+              .map(_.getLong(0).toInt).toSeq.sorted
+            for (v <- vs) {
+              val out = s"$epochs/v$v"
+              if (!new java.io.File(out, "_SUCCESS").exists) {
+                val feed =
+                  if (v == 1) ST.readVersion(s, base, 1, key)
+                    .withColumn("change", lit("insert"))
+                  else ST.readChanges(s, base, v - 1, v, key)
+                feed.write.mode("overwrite").parquet(out)
+              }
+            }
+          }.start()
+        try {
+          ST.commit(s, base, 1, ST.Snapshot(Seq(s"$base/d0"), Nil))
+          q.processAllAvailable()
+          ST.commit(s, base, 2,
+            ST.Snapshot(Seq(s"$base/d0", s"$base/d1"), Nil))
+          q.processAllAvailable()
+          val v = ST.deleteWhere(s, base, key,
+            pmod(md5Long(col(key).cast("string")), lit(5)) === 3)
+          require(v == 3, s"delete landed at v$v, expected v3")
+          q.processAllAvailable()
+          val s3 = ST.manifest(s, base, 3)
+          ST.commit(s, base, 4,
+            s3.copy(dataDirs = s3.dataDirs :+ s"$base/d2"))
+          q.processAllAvailable()
+        } finally q.stop()
+      }
+      require((1 to 4).forall(v =>
+        new java.io.File(s"$epochs/v$v/_SUCCESS").exists),
+        "each commit must fold as exactly one O(delta) change window")
+      val all = (1 to 4).map(v => s.read.parquet(s"$epochs/v$v"))
+        .reduce(_.unionByName(_, allowMissingColumns = true))
+      val net = all.where(col("change") === "insert")
+        .join(broadcast(all.where(col("change") === "delete")
+          .select(col(key))), Seq(key), "left_anti")
+      net.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+        .orderBy("o_orderpriority")
+    },
+
     "q_stream_kv_sink" -> { (s, dir) =>
       val root = new java.io.File(
         s"/root/repo/target/tmp/stream_kvsink-${new java.io.File(dir).getName}")
@@ -3127,6 +3208,19 @@ object AdvancedQueries {
          |  CAST(SUM(${CENTS("o_totalprice")}) AS BIGINT) AS sum_cents
          |FROM orders WHERE ${CENTS("o_totalprice")} >= 15000000
          |GROUP BY 1 ORDER BY key""".stripMargin,
+
+    // head-state replay of the streamed CDC fold on the base table: a
+    // skipped window, a re-folded (duplicated) window, or an unapplied
+    // delete in the net fold hash-fails
+    "q_stream_snapshot_cdf" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n_orders,
+         |  CAST(SUM(${CENTS("o_totalprice")}) AS BIGINT) AS sum_cents
+         |FROM orders
+         |WHERE ${MD5LONG("CAST(o_orderkey AS VARCHAR)")} % 4 IN (0, 1, 2)
+         |  AND NOT (${MD5LONG("CAST(o_orderkey AS VARCHAR)")} % 4 IN (0, 1)
+         |    AND ${MD5LONG("CAST(o_orderkey AS VARCHAR)")} % 5 = 3)
+         |GROUP BY o_orderpriority
+         |ORDER BY o_orderpriority""".stripMargin,
 
     // the oracle recombines both sharded tables' columns straight from the
     // base table: a mis-routed shard (rows landing where the join can't
