@@ -2680,6 +2680,101 @@ object AdvancedQueries {
         .orderBy("o_orderpriority")
     },
 
+    // TIMESTAMP AS OF time travel (SnapshotTable.versionAsOf/readAsOf —
+    // the other half of the time-travel API next to version-addressed
+    // q_time_travel): commit times are the store's manifest mtimes (the
+    // Delta/Iceberg contract), pinned here to deterministic values so the
+    // resolution itself is under test, not a sleep race. A mid-window
+    // timestamp resolves to v1 and reads ONLY the early slice; the commit
+    // instant itself is inclusive (require-pinned); a pre-table timestamp
+    // refuses. The oracle replays the v1 slice from the base table, so an
+    // off-by-one version resolution (reading v2's rows) hash-fails.
+    "q_snapshot_asof" -> { (s, dir) =>
+      import graft.sources.{SnapshotTable => ST}
+      val sfN = new java.io.File(dir).getName
+      val fp = java.security.MessageDigest.getInstance("MD5")
+        .digest(graft.sources.Sinks.fingerprint(s, s"$dir/orders.parquet")
+          .getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString.take(10)
+      val base = s"/root/repo/target/tmp/orders_asof-$sfN-$fp"
+      val slim = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), cents(col("o_totalprice")).as("cents"),
+          col("o_orderpriority"),
+          pmod(md5Long(col("o_orderkey").cast("string")), lit(2)).as("m2"))
+      for (m <- 0 to 1)
+        graft.sources.Sinks.ensureDir(s, s"$base/d$m", s"v1:asof_$m",
+          inputs = Seq(s"$dir/orders.parquet")) {
+          slim.where(col("m2") === m).drop("m2")
+            .write.mode("overwrite").parquet(s"$base/d$m")
+        }
+      ST.commit(s, base, 1, ST.Snapshot(Seq(s"$base/d0"), Nil))
+      ST.commit(s, base, 2, ST.Snapshot(Seq(s"$base/d0", s"$base/d1"), Nil))
+      // the store's clock is the contract — pin it (idempotent per run)
+      require(new java.io.File(base, "_MANIFEST_v1")
+        .setLastModified(1000000L), "mtime pin failed")
+      require(new java.io.File(base, "_MANIFEST_v2")
+        .setLastModified(2000000L), "mtime pin failed")
+      require(ST.versionAsOf(s, base, 1500000L) == 1,
+        "a mid-window timestamp must resolve to the earlier commit")
+      require(ST.versionAsOf(s, base, 2000000L) == 2,
+        "AS OF must be inclusive of the commit instant")
+      ST.readAsOf(s, base, 1500000L, "o_orderkey")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+        .orderBy("o_orderpriority")
+    },
+
+    // OPTIMIZE — bin-packing compaction of the SMALL-FILE problem
+    // (SnapshotTable.optimizeSmallDirs): six hash-slice commits leave the
+    // table as six tiny dirs (the CDC/streaming-ingest decay shape); a
+    // merge-on-read delete lands on top; OPTIMIZE rewrites every
+    // under-target dir into ONE packed dir while the delete set carries
+    // UNCHANGED — packing is layout work, not semantics, so the masked
+    // slice stays masked through the rewrite (the oracle's complement
+    // replay hash-fails otherwise). Pins: the report (6 packed, 0 kept),
+    // the single-dir manifest, and the no-op on re-run (nothing small
+    // left to bin). At 100 TB this is the op that keeps per-file
+    // open/footer costs from dominating scans of frequently-fed tables.
+    "q_snapshot_optimize" -> { (s, dir) =>
+      import graft.sources.{SnapshotTable => ST}
+      val sfN = new java.io.File(dir).getName
+      val fp = java.security.MessageDigest.getInstance("MD5")
+        .digest(graft.sources.Sinks.fingerprint(s, s"$dir/orders.parquet")
+          .getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString.take(10)
+      val base = s"/root/repo/target/tmp/orders_opt-$sfN-$fp"
+      val slim = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), cents(col("o_totalprice")).as("cents"),
+          col("o_orderpriority"),
+          pmod(md5Long(col("o_orderkey").cast("string")), lit(6)).as("m6"))
+      for (m <- 0 to 5)
+        graft.sources.Sinks.ensureDir(s, s"$base/d$m", s"v1:opt_$m",
+          inputs = Seq(s"$dir/orders.parquet")) {
+          slim.where(col("m6") === m).drop("m6")
+            .write.mode("overwrite").parquet(s"$base/d$m")
+        }
+      val dirs = (0 to 5).map(m => s"$base/d$m")
+      ST.commit(s, base, 1, ST.Snapshot(dirs, Nil))
+      if (ST.headVersion(s, base) == 1) {
+        val v = ST.deleteWhere(s, base, "o_orderkey",
+          pmod(md5Long(col("o_orderkey").cast("string")), lit(7)) === 2)
+        require(v == 2, s"delete landed at v$v, expected v2")
+        val rep = ST.optimizeSmallDirs(s, base, Long.MaxValue / 4)
+        require(rep == ST.OptimizeReport(3, 6, 0),
+          s"six small dirs must pack into one, got $rep")
+      }
+      require(ST.headVersion(s, base) == 3, "head must be the optimize")
+      require(ST.manifest(s, base, 3).dataDirs.size == 1,
+        "the optimized table must hold exactly the packed dir")
+      require(ST.manifest(s, base, 3).deleteDirs.nonEmpty,
+        "packing must carry the delete set")
+      // nothing small left: a re-run no-ops at the same head
+      require(ST.optimizeSmallDirs(s, base, 10L) ==
+        ST.OptimizeReport(3, 0, 1), "re-optimize must no-op")
+      ST.readVersion(s, base, 3, "o_orderkey")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+        .orderBy("o_orderpriority")
+    },
+
     // CHANGE DATA FEED between snapshot versions (SnapshotTable.
     // readChanges — what a downstream incremental consumer reads instead
     // of diffing two full scans, closing the loop from the CDC operators'
@@ -3081,6 +3176,26 @@ object AdvancedQueries {
          |WHERE o_orderdate >= DATE '1997-01-01'
          |  AND o_orderdate <= DATE '1997-12-31'
          |  AND ${MD5LONG("CAST(o_orderkey AS VARCHAR)")} % 8 <> 6
+         |GROUP BY o_orderpriority
+         |ORDER BY o_orderpriority""".stripMargin,
+
+    // v1-slice replay from the base table: an off-by-one AS OF resolution
+    // (reading the v2 slice too) hash-fails
+    "q_snapshot_asof" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n_orders,
+         |  CAST(SUM(${CENTS("o_totalprice")}) AS BIGINT) AS sum_cents
+         |FROM orders
+         |WHERE ${MD5LONG("CAST(o_orderkey AS VARCHAR)")} % 2 = 0
+         |GROUP BY o_orderpriority
+         |ORDER BY o_orderpriority""".stripMargin,
+
+    // complement replay: a delete unapplied through the packing rewrite
+    // (or a dropped/duplicated slice in the packed dir) hash-fails
+    "q_snapshot_optimize" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n_orders,
+         |  CAST(SUM(${CENTS("o_totalprice")}) AS BIGINT) AS sum_cents
+         |FROM orders
+         |WHERE ${MD5LONG("CAST(o_orderkey AS VARCHAR)")} % 7 <> 2
          |GROUP BY o_orderpriority
          |ORDER BY o_orderpriority""".stripMargin,
 

@@ -717,6 +717,94 @@ object SnapshotTable {
     applyDeletes(spark, snap, readData(spark, snap, snap.dataDirs), keyCol)
   }
 
+  /** The version committed as of `tsMillis` (epoch millis): the highest
+    * version whose manifest's modification time is <= the timestamp —
+    * the `TIMESTAMP AS OF` half of time travel, resolved from the same
+    * one listing [[headVersion]] does. Commit times are the FILESYSTEM's
+    * mtimes (the Delta/Iceberg contract too): a backfilled or
+    * clock-skewed store answers with ITS clock, and a timestamp before
+    * the first commit is refused loudly — "the table did not exist yet"
+    * is not a version. */
+  def versionAsOf(spark: SparkSession, base: String,
+      tsMillis: Long): Int = {
+    val b = new Path(base)
+    val fs = fsFor(spark, b)
+    require(fs.exists(b), s"no snapshot table under $base")
+    val vs = fs.listStatus(b).iterator
+      .filter(_.getPath.getName.startsWith("_MANIFEST_v"))
+      .map(st => (st.getPath.getName.stripPrefix("_MANIFEST_v"), st))
+      .filter(_._1.forall(_.isDigit))
+      .map { case (n, st) => (n.toInt, st.getModificationTime) }
+      .toSeq
+    require(vs.nonEmpty, s"no committed snapshot under $base")
+    val hit = vs.filter(_._2 <= tsMillis)
+    require(hit.nonEmpty,
+      s"timestamp $tsMillis predates the first commit under $base " +
+        s"(earliest ${vs.map(_._2).min}) — the table did not exist yet")
+    hit.map(_._1).max
+  }
+
+  /** `TIMESTAMP AS OF` read: [[versionAsOf]] then [[readVersion]]. */
+  def readAsOf(spark: SparkSession, base: String, tsMillis: Long,
+      keyCol: String): DataFrame =
+    readVersion(spark, base, versionAsOf(spark, base, tsMillis), keyCol)
+
+  /** Report for [[optimizeSmallDirs]]: the committed version (= the prior
+    * head when nothing needed packing), dirs folded into the packed dir,
+    * dirs carried by reference. */
+  final case class OptimizeReport(version: Int, dirsPacked: Int,
+      dirsKept: Int)
+
+  /** OPTIMIZE — bin-pack the SMALL-FILE problem away: every data dir
+    * whose total bytes fall under `targetBytes` rewrites into ONE packed
+    * dir; dirs already at size carry by reference and the delete set is
+    * UNCHANGED (rows raw-copy, masked keys stay masked — packing is
+    * layout work, not semantics). At 100 TB a table fed by frequent
+    * small commits (the CDC/streaming ingest shape) otherwise decays
+    * into thousands of tiny dirs whose per-file open/footer costs
+    * dominate every scan; OPTIMIZE bounds that decay at O(small bytes)
+    * per run, never a table rewrite. Sizing comes from the LISTING
+    * (free metadata, dir-count-sized); the packed dir lands at the
+    * CURRENT schema (evolution debt folds away, like every rewrite
+    * here) and gets fresh bounds per tracked stats column. Packing
+    * fewer than two small dirs is a no-op — there is nothing to bin. */
+  def optimizeSmallDirs(spark: SparkSession, base: String,
+      targetBytes: Long): OptimizeReport = {
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    val head = headVersion(spark, base)
+    require(head >= 1, s"no committed snapshot under $base to optimize")
+    val snap = manifest(spark, base, head)
+    val small = snap.dataDirs.filter { d =>
+      val p = new Path(d)
+      fsFor(spark, p).getContentSummary(p).getLength < targetBytes
+    }
+    if (small.size < 2) return OptimizeReport(head, 0, snap.dataDirs.size)
+    val v = head + 1
+    val mp = manifestPath(base, v)
+    require(!fsFor(spark, mp).exists(mp),
+      s"version $v is already committed under $base — a concurrent " +
+        "committer won the version claim; re-read the head and retry")
+    val keep = snap.dataDirs.filterNot(small.contains)
+    val packDir = s"$base/_optimize_v$v"
+    val pp = new Path(packDir)
+    val pfs = fsFor(spark, pp)
+    // leavings of a crashed prior attempt at THIS version: safe to clear,
+    // since the guard above proved no manifest references the dir yet
+    if (pfs.exists(pp)) pfs.delete(pp, true)
+    // coalesce toward the target: N small dirs should yield ~ceil(bytes /
+    // target) output files, not N again
+    val totalSmall = small.map(d =>
+      fsFor(spark, new Path(d)).getContentSummary(new Path(d)).getLength).sum
+    val outFiles = math.max(1L, (totalSmall + targetBytes - 1) / targetBytes)
+    readData(spark, snap, small)
+      .coalesce(math.min(outFiles, Int.MaxValue.toLong).toInt)
+      .write.parquet(packDir)
+    commit(spark, base, v, snap.copy(dataDirs = keep :+ packDir,
+      bounds = snap.bounds.filter(b => keep.contains(b.dir))
+        ++ reboundDir(spark, snap.bounds, packDir)))
+    OptimizeReport(v, small.size, keep.size)
+  }
+
   /** The table schema as of `snap`: the manifest-carried DDL when the
     * version was evolved, otherwise the physical schema of its data (the
     * pre-evolution contract, where all dirs agree). */

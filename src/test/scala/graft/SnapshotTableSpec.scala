@@ -635,6 +635,71 @@ class SnapshotTableSpec extends SparkTestBase {
     }
   }
 
+  test("TIMESTAMP AS OF resolves against manifest mtimes; pre-table " +
+      "timestamps are refused") {
+    val base = freshBase()
+    writeKv(s"$base/d1", 0, 10)
+    writeKv(s"$base/d2", 10, 20)
+    SnapshotTable.commit(spark, base, 1, Snapshot(Seq(s"$base/d1"), Nil))
+    SnapshotTable.commit(spark, base, 2,
+      Snapshot(Seq(s"$base/d1", s"$base/d2"), Nil))
+    // pin commit times deterministically (the store's clock IS the
+    // contract — setting it is the honest test, not a sleep race)
+    assert(new java.io.File(base, "_MANIFEST_v1").setLastModified(100000L))
+    assert(new java.io.File(base, "_MANIFEST_v2").setLastModified(200000L))
+    assert(SnapshotTable.versionAsOf(spark, base, 150000L) == 1)
+    assert(SnapshotTable.versionAsOf(spark, base, 200000L) == 2,
+      "AS OF is inclusive of the commit instant")
+    assert(SnapshotTable.versionAsOf(spark, base, 999999999L) == 2)
+    assert(SnapshotTable.readAsOf(spark, base, 150000L, "k").count() == 10)
+    val e = intercept[IllegalArgumentException] {
+      SnapshotTable.versionAsOf(spark, base, 99999L)
+    }
+    assert(e.getMessage.contains("did not exist"), e.getMessage)
+  }
+
+  test("OPTIMIZE bin-packs small dirs into one, keeps big dirs and the " +
+      "delete set, rebounds the packed dir; sub-2 packing is a no-op") {
+    val base = freshBase()
+    writeKv(s"$base/big", 0, 5000)
+    writeKv(s"$base/s1", 5000, 5010)
+    writeKv(s"$base/s2", 5010, 5020)
+    writeKv(s"$base/s3", 5020, 5030)
+    val dirs = Seq(s"$base/big", s"$base/s1", s"$base/s2", s"$base/s3")
+    SnapshotTable.commit(spark, base, 1,
+      Snapshot(dirs, Nil, SnapshotTable.computeBounds(spark, dirs, "k")))
+    SnapshotTable.deleteWhere(spark, base, "k", col("k") === 5005) // v2
+    // threshold between the small dirs' and the big dir's sizes
+    val bigP = new org.apache.hadoop.fs.Path(s"$base/big")
+    val bigLen = bigP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .getContentSummary(bigP).getLength
+    val rep = SnapshotTable.optimizeSmallDirs(spark, base, bigLen)
+    assert(rep == SnapshotTable.OptimizeReport(3, 3, 1), rep.toString)
+    val s3m = SnapshotTable.manifest(spark, base, 3)
+    assert(s3m.dataDirs.toSet ==
+      Set(s"$base/big", s"$base/_optimize_v3"), s3m.dataDirs.toString)
+    assert(s3m.deleteDirs.nonEmpty,
+      "packing must carry the delete set — masked keys stay masked")
+    // masked key still masked; row counts preserved
+    val head = SnapshotTable.readVersion(spark, base, 3, "k")
+    assert(head.count() == 5029 &&
+      head.where(col("k") === 5005).isEmpty)
+    // the packed dir got FRESH bounds spanning the small dirs' range,
+    // so pruning still engages on the optimized table
+    val packed = s3m.bounds.filter(_.dir == s"$base/_optimize_v3")
+    assert(packed.map(b => (b.min, b.max)) == Seq(("5000", "5029")),
+      s3m.bounds.toString)
+    assert(SnapshotTable.readVersionPruned(spark, base, 3,
+      "k", "k", "5015", "5025")._2 == SnapshotTable.PruneReport(1, 2))
+    // nothing small left to bin: no-op at the same head
+    val rep2 = SnapshotTable.optimizeSmallDirs(spark, base, 10L)
+    assert(rep2 == SnapshotTable.OptimizeReport(3, 0, 2), rep2.toString)
+    // a window over the optimize is a rewrite: the change feed refuses
+    intercept[IllegalArgumentException] {
+      SnapshotTable.readChanges(spark, base, 2, 3, "k")
+    }
+  }
+
   test("bounds computation: all-null dirs get no entry, delimiter values " +
       "and unorderable types are refused loudly") {
     import spark.implicits._
