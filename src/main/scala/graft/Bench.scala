@@ -20,7 +20,8 @@ object Bench {
     "q_mv_filter", "q_dsv2_spj", "q_snapshot_delete", "q_dsv2_shard_prune",
     "q_snapshot_compact", "q_snapshot_update", "q_snapshot_cdf",
     "q_snapshot_merge", "q_snapshot_skipping", "q_dsv2_sorted",
-    "q_snapshot_evolve", "q_snapshot_asof", "q_snapshot_optimize")
+    "q_snapshot_evolve", "q_snapshot_asof", "q_snapshot_optimize",
+    "q_dsv2_spj_agg")
 
   /** Cheap queries the adjudication child executes fully-but-untimed before
     * its one measurement: a few seconds of real query execution across the

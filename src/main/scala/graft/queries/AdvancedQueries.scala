@@ -1810,6 +1810,52 @@ object AdvancedQueries {
         .orderBy("cust_bucket")
     },
 
+    // STORAGE-PARTITIONED AGGREGATE (the group-by twin of q_dsv2_spj —
+    // EnsureRequirements' aggregate distribution, not its join one, is
+    // what storage satisfies here): a per-key aggregate over the
+    // key-grouped sharded table plans with NO exchange — each shard
+    // partition already holds every row of its keys, so the keyed
+    // HashAggregate runs straight over the scan. At 100 TB this is the
+    // per-key rollup (counts per document, bytes per URL) that otherwise
+    // re-shuffles the corpus on every run. Only the second, group-domain
+    // reduction to 16 buckets pays a (tiny) shuffle, as it should. The
+    // oracle replays the bucketed rollup from the base table, so a key
+    // split across shards (double-counted groups) hash-fails.
+    "q_dsv2_spj_agg" -> { (s, dir) =>
+      val sf = new java.io.File(dir).getName
+      val fmt = classOf[graft.sources.KvTextSource].getName
+      val n = 8
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+        "true")
+      s.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      val dirA = s"/root/repo/target/tmp/orders_kvsorted_price-$sf"
+      graft.sources.Sinks.ensureDir(s, dirA, "v1:orders,kvsorted/price",
+        inputs = Seq(s"$dir/orders.parquet")) {
+        Tables(s, dir, "orders")
+          .select(col("o_orderkey").cast("string").as("key"),
+            cents(col("o_totalprice")).as("value"))
+          .select(col("key"), col("value"),
+            pmod(hash(col("key")), lit(n)).cast("int").as("shard"))
+          .repartition(n, col("shard"))
+          .sortWithinPartitions("shard", "key")
+          .write.format(fmt).option("shards", n.toString)
+          .mode("overwrite").save(dirA)
+      }
+      val perKey = s.read.format(fmt).load(dirA)
+        .groupBy(col("shard"), col("key"))
+        .agg(sum(col("value")).as("cents"))
+      val plan = perKey.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      require(!plan.contains("Exchange"),
+        "keyed aggregate over key-grouped storage planned a shuffle — " +
+          "the storage-partitioned aggregate seam is dead")
+      perKey
+        .groupBy(pmod(col("key").cast("long"), lit(16)).as("key_bucket"))
+        .agg(count(lit(1)).as("n_keys"), sum(col("cents")).as("sum_cents"))
+        .orderBy("key_bucket")
+    },
+
     // SHARD-PRUNED POINT LOOKUP on the same sharded layout (the read-side
     // payoff of the SPJ layer): the caller recomputes the writer's routing
     // on key literals — `shard IN (pmod(hash(k), 8)…)` folds to constants
@@ -3355,6 +3401,14 @@ object AdvancedQueries {
          |  CAST(SUM(${CENTS("o_totalprice")}) AS BIGINT) AS sum_cents,
          |  MIN(CAST(o_orderkey AS VARCHAR)) AS min_key
          |FROM orders GROUP BY 1 ORDER BY cust_bucket""".stripMargin,
+
+    // bucketed rollup replayed from the base table: a key split across
+    // shards (double-counted groups) or a dropped shard file hash-fails
+    "q_dsv2_spj_agg" ->
+      s"""SELECT CAST(o_orderkey % 16 AS BIGINT) AS key_bucket,
+         |  COUNT(*) AS n_keys,
+         |  CAST(SUM(${CENTS("o_totalprice")}) AS BIGINT) AS sum_cents
+         |FROM orders GROUP BY 1 ORDER BY key_bucket""".stripMargin,
 
     // base-table replay of the point lookup: a pruned shard that actually
     // held one of the probed keys (routing drift between writer and

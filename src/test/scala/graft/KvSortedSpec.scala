@@ -124,6 +124,24 @@ class KvSortedSpec extends SparkTestBase {
     assert(counts == 200, s"append lost rows: $counts")
   }
 
+  test("a per-key aggregate over key-grouped shards plans WITHOUT a " +
+      "keyed exchange (the group-by twin of the SPJ)") {
+    enableSpj()
+    val dir = freshDir()
+    val n = 4
+    writeSorted(dir, n, (0 until 300).map(i => (s"k${i % 50}", i.toLong)))
+    val a = spark.read.format(fmt).load(dir)
+    val agg = a.groupBy("shard", "key")
+      .agg(sum(col("value")).as("s"))
+    val plan = finalPlan(agg)
+    assert(!plan.contains("Exchange"),
+      s"keyed aggregate over key-grouped storage re-shuffled:\n$plan")
+    val got = agg.collect().map(r => (r.getString(1), r.getLong(2))).sorted
+    val want = (0 until 300).groupBy(i => s"k${i % 50}")
+      .map { case (k, is) => (k, is.map(_.toLong).sum) }.toSeq.sorted
+    assert(got.toSeq == want, "exchange-free aggregate lost rows")
+  }
+
   test("a truncating sorted rewrite RESTORES the marker over a " +
       "previously unsorted table") {
     enableSpj()
