@@ -123,6 +123,7 @@ object Bench {
     // dynamic overwrite) expose their input layers as standalone builders —
     // invoking their fns here would execute the full op twice per run
     graft.queries.AdvancedQueries.compactInLayer(spark, sfDir)
+    graft.queries.AdvancedQueries.snapCdfSliceLayer(spark, sfDir): Unit
     graft.queries.AdvancedQueries.dynpartBaseLayer(spark, sfDir)
     // Build EVERY other write-once derived layer untimed: each layer-backed
     // query runs its Sinks.ensure* calls eagerly while CONSTRUCTING its

@@ -166,6 +166,33 @@ object AdvancedQueries {
     smallDir
   }
 
+  /** The three hash-slice orders dirs q_stream_snapshot_cdf commits
+    * against — write-once INPUT data (snapshot manifests name absolute
+    * paths, so the slices can live outside the per-run table base that the
+    * gate recreates fresh each run: only manifests, the delete file, the
+    * checkpoint, and the consumer's epoch dirs are per-run state).
+    * Extracted so Bench's warm-up can build the slices without running the
+    * stream twice per run. */
+  def snapCdfSliceLayer(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val sfN = new java.io.File(dir).getName
+    val fp = java.security.MessageDigest.getInstance("MD5")
+      .digest(graft.sources.Sinks.fingerprint(s, s"$dir/orders.parquet")
+        .getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString.take(10)
+    val base = s"/root/repo/target/tmp/snapcdf_slices-$sfN-$fp"
+    val slim = Tables(s, dir, "orders")
+      .select(col("o_orderkey"), cents(col("o_totalprice")).as("cents"),
+        col("o_orderpriority"),
+        pmod(md5Long(col("o_orderkey").cast("string")), lit(4)).as("m4"))
+    for (m <- 0 to 2)
+      graft.sources.Sinks.ensureDir(s, s"$base/d$m", s"v1:snapcdf_$m",
+        inputs = Seq(s"$dir/orders.parquet")) {
+        slim.where(col("m4") === m).drop("m4")
+          .write.mode("overwrite").parquet(s"$base/d$m")
+      }
+    base
+  }
+
   /** Month-partitioned orders base — q_dynamic_overwrite's INPUT state (a
     * re-run against a base whose H1-1996 was already corrected must land
     * identically; that idempotence is the claim under test). The timed op
@@ -554,15 +581,10 @@ object AdvancedQueries {
       }
       if (root.exists) rm(root)
       val base = s"$root/tbl"
+      new java.io.File(base).mkdirs()
       val epochs = s"$root/epochs"
       val key = "o_orderkey"
-      val slim = Tables(s, dir, "orders")
-        .select(col(key), cents(col("o_totalprice")).as("cents"),
-          col("o_orderpriority"),
-          pmod(md5Long(col(key).cast("string")), lit(4)).as("m4"))
-      for (m <- 0 to 2)
-        slim.where(col("m4") === m).drop("m4")
-          .write.parquet(s"$base/d$m")
+      val slices = snapCdfSliceLayer(s, dir) // write-once input data
       val fmt = classOf[graft.sources.SnapshotCdfSource].getName
       graft.streaming.StreamingOps.withStreamShuffle(s) {
         val q = s.readStream.format(fmt).load(base)
@@ -582,10 +604,10 @@ object AdvancedQueries {
             }
           }.start()
         try {
-          ST.commit(s, base, 1, ST.Snapshot(Seq(s"$base/d0"), Nil))
+          ST.commit(s, base, 1, ST.Snapshot(Seq(s"$slices/d0"), Nil))
           q.processAllAvailable()
           ST.commit(s, base, 2,
-            ST.Snapshot(Seq(s"$base/d0", s"$base/d1"), Nil))
+            ST.Snapshot(Seq(s"$slices/d0", s"$slices/d1"), Nil))
           q.processAllAvailable()
           val v = ST.deleteWhere(s, base, key,
             pmod(md5Long(col(key).cast("string")), lit(5)) === 3)
@@ -593,7 +615,7 @@ object AdvancedQueries {
           q.processAllAvailable()
           val s3 = ST.manifest(s, base, 3)
           ST.commit(s, base, 4,
-            s3.copy(dataDirs = s3.dataDirs :+ s"$base/d2"))
+            s3.copy(dataDirs = s3.dataDirs :+ s"$slices/d2"))
           q.processAllAvailable()
         } finally q.stop()
       }
