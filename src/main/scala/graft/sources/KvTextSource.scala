@@ -1330,7 +1330,41 @@ final class KvWriteBuilder(path: String, info: LogicalWriteInfo,
       require(doTruncate || existingShards.forall(_ == n),
         s"append declares $n shards but $path is laid out with " +
           s"${existingShards.get} — re-shard via a truncating overwrite")
-      new Write {
+      // The write REQUESTS its layout from the planner
+      // (RequiresDistributionAndOrdering): clustered by shard across n
+      // tasks and sorted by (shard, key) within each — so a PLAIN
+      // dataframe write lands as one key-sorted file per shard and the
+      // `_SORTED` marker (hence the exchange-free, sort-free read plans)
+      // holds by construction, not by caller discipline. Pipelines whose
+      // data is ALREADY laid out opt out with
+      // .option("distributionMode", "none") — the trust-the-caller mode
+      // that skips the write-side exchange; the writer-verified marker
+      // protocol still decides sortedness honestly there.
+      val trustCaller =
+        Option(info.options().get("distributionMode")).contains("none")
+      if (trustCaller) new Write {
+        override def toBatch: BatchWrite =
+          new KvShardedBatchWrite(path, info.queryId(), doTruncate, n)
+        override def toStreaming
+            : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+          throw new UnsupportedOperationException(
+            "sharded KV dirs take batch writes only — stream into a plain " +
+              "dir and re-shard with a batch job")
+      } else new Write with org.apache.spark.sql.connector.write
+          .RequiresDistributionAndOrdering {
+        import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
+        override def requiredDistribution()
+            : org.apache.spark.sql.connector.distributions.Distribution =
+          org.apache.spark.sql.connector.distributions.Distributions
+            .clustered(Array(Expressions.column("shard")))
+        override def requiredNumPartitions(): Int = n
+        override def requiredOrdering()
+            : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+          Array(
+            Expressions.sort(Expressions.column("shard"),
+              SortDirection.ASCENDING),
+            Expressions.sort(Expressions.column("key"),
+              SortDirection.ASCENDING))
         override def toBatch: BatchWrite =
           new KvShardedBatchWrite(path, info.queryId(), doTruncate, n)
         override def toStreaming

@@ -43,13 +43,44 @@ class KvSortedSpec extends SparkTestBase {
       .write.format(fmt).option("shards", n.toString).mode(mode).save(dir)
   }
 
+  /** Trust-the-caller mode (distributionMode=none): the planner adds no
+    * layout, so arrival order is whatever the upstream plan produced —
+    * the writer-verified marker protocol decides sortedness honestly. */
   private def writeUnsorted(dir: String, n: Int,
       rows: Seq[(String, Long)], mode: String = "overwrite"): Unit = {
     import spark.implicits._
     rows.toDF("key", "value")
       .select(col("key"), col("value"),
         pmod(hash(col("key")), lit(n)).cast("int").as("shard"))
-      .write.format(fmt).option("shards", n.toString).mode(mode).save(dir)
+      .write.format(fmt).option("shards", n.toString)
+      .option("distributionMode", "none").mode(mode).save(dir)
+  }
+
+  test("a PLAIN sharded write (no caller layout) lands sorted by the " +
+      "write-requested distribution+ordering and merge-joins sort-free") {
+    enableSpj()
+    val (dirA, dirB) = (freshDir(), freshDir())
+    val n = 4
+    import spark.implicits._
+    def plain(dir: String, rows: Seq[(String, Long)]): Unit =
+      rows.toDF("key", "value")
+        .select(col("key"), col("value"),
+          pmod(hash(col("key")), lit(n)).cast("int").as("shard"))
+        .write.format(fmt).option("shards", n.toString)
+        .mode("overwrite").save(dir)
+    // REVERSED input, no repartition/sortWithinPartitions: the layout
+    // comes from RequiresDistributionAndOrdering, not the caller
+    plain(dirA, (0 until 300).reverse.map(i => (s"k$i", i.toLong)))
+    plain(dirB, (100 until 400).reverse.map(i => (s"k$i", i * 10L)))
+    assert(hasMarker(dirA) && hasMarker(dirB),
+      "the write-requested layout must yield the _SORTED marker " +
+        "without any caller discipline")
+    val a = spark.read.format(fmt).load(dirA)
+    val b = spark.read.format(fmt).load(dirB)
+      .select(col("key"), col("shard"), col("value").as("vb"))
+    val plan = finalPlan(a.join(b.hint("merge"), Seq("shard", "key")))
+    assert(!plan.contains("Exchange") && !plan.contains("Sort ["),
+      s"plain-write layout did not carry to the read plans:\n$plan")
   }
 
   private def hasMarker(dir: String): Boolean =
