@@ -211,6 +211,45 @@ object AdvancedQueries {
     base
   }
 
+  /** The shared three-version orders snapshot base (v1 pre-cut, v2 all
+    * rows, v3 merge-on-read delete of the md5%11==5 slice) that
+    * q_time_travel / q_mv_snapshot / q_snapshot_sql all read. Data dirs are
+    * write-once layers; the commits are idempotent replays. Extracted so
+    * the three gates share one build and Bench's warm-up covers them all
+    * with one layer pass. */
+  def ordersTtBase(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    import graft.sources.{SnapshotTable => ST}
+    val base =
+      s"/root/repo/target/tmp/orders_tt-${new java.io.File(dir).getName}"
+    val cut = "1996-01-01"
+    graft.sources.Sinks.ensureDir(s, s"$base/data_v1", "v1:orders_pre",
+      inputs = Seq(s"$dir/orders.parquet")) {
+      Tables(s, dir, "orders").where(col("o_orderdate") < lit(cut))
+        .write.mode("overwrite").parquet(s"$base/data_v1")
+    }
+    graft.sources.Sinks.ensureDir(s, s"$base/data_v2", "v1:orders_delta",
+      inputs = Seq(s"$dir/orders.parquet")) {
+      Tables(s, dir, "orders").where(col("o_orderdate") >= lit(cut))
+        .write.mode("overwrite").parquet(s"$base/data_v2")
+    }
+    graft.sources.Sinks.ensureDir(s, s"$base/del_v3", "v1:erase_batch",
+      inputs = Seq(s"$dir/orders.parquet")) {
+      Tables(s, dir, "orders")
+        .where(pmod(md5Long(col("o_orderkey").cast("string")), lit(11))
+          === 5)
+        .select(col("o_orderkey"))
+        .write.mode("overwrite").parquet(s"$base/del_v3")
+    }
+    ST.commit(s, base, 1, ST.Snapshot(Seq(s"$base/data_v1"), Nil))
+    ST.commit(s, base, 2,
+      ST.Snapshot(Seq(s"$base/data_v1", s"$base/data_v2"), Nil))
+    ST.commit(s, base, 3,
+      ST.Snapshot(Seq(s"$base/data_v1", s"$base/data_v2"),
+        Seq(s"$base/del_v3")))
+    base
+  }
+
   def queries: Map[String, Q] = Map(
     // CUBE over two dimensions + grouping flags (SURVEY §2.2 "grouping
     // sets/cube/rollup" row; rollup lives in Relational.q_rollup).
@@ -2127,39 +2166,52 @@ object AdvancedQueries {
     // version was committed with, after later appends AND after deletes.
     "q_time_travel" -> { (s, dir) =>
       import graft.sources.{SnapshotTable => ST}
-      val base =
-        s"/root/repo/target/tmp/orders_tt-${new java.io.File(dir).getName}"
-      val cut = "1996-01-01"
-      graft.sources.Sinks.ensureDir(s, s"$base/data_v1", "v1:orders_pre",
-        inputs = Seq(s"$dir/orders.parquet")) {
-        Tables(s, dir, "orders").where(col("o_orderdate") < lit(cut))
-          .write.mode("overwrite").parquet(s"$base/data_v1")
-      }
-      graft.sources.Sinks.ensureDir(s, s"$base/data_v2", "v1:orders_delta",
-        inputs = Seq(s"$dir/orders.parquet")) {
-        Tables(s, dir, "orders").where(col("o_orderdate") >= lit(cut))
-          .write.mode("overwrite").parquet(s"$base/data_v2")
-      }
-      graft.sources.Sinks.ensureDir(s, s"$base/del_v3", "v1:erase_batch",
-        inputs = Seq(s"$dir/orders.parquet")) {
-        Tables(s, dir, "orders")
-          .where(pmod(md5Long(col("o_orderkey").cast("string")), lit(11))
-            === 5)
-          .select(col("o_orderkey"))
-          .write.mode("overwrite").parquet(s"$base/del_v3")
-      }
-      ST.commit(s, base, 1, ST.Snapshot(Seq(s"$base/data_v1"), Nil))
-      ST.commit(s, base, 2,
-        ST.Snapshot(Seq(s"$base/data_v1", s"$base/data_v2"), Nil))
-      ST.commit(s, base, 3,
-        ST.Snapshot(Seq(s"$base/data_v1", s"$base/data_v2"),
-          Seq(s"$base/del_v3")))
+      val base = ordersTtBase(s, dir)
       (1 to 3).map { v =>
         ST.readVersion(s, base, v, "o_orderkey")
           .agg(count(lit(1)).as("n_orders"),
             moneySum(col("o_totalprice")).as("rev"))
           .select(lit(v.toLong).as("version"), col("n_orders"), col("rev"))
       }.reduce(_.unionAll(_)).orderBy("version")
+    },
+
+    // SQL time travel through the catalog plugin (sources/SnapshotCatalog
+    // — `spark.sql.catalog.<name>` → `SELECT ... FROM <name>.tbl VERSION
+    // AS OF v`): each version resolves through its manifest and plans
+    // Spark's OWN parquet table over exactly that version's dirs, so
+    // pushdown/pruning/vectorization apply unchanged — the v2 arm carries
+    // a date filter to exercise that path. Pins: a head read REFUSES
+    // because v3 carries merge-on-read delete files a pure parquet scan
+    // cannot apply (served-wrong is worse than refused), and the two
+    // version-addressed arms return exactly the row sets their manifests
+    // committed. Shares ordersTtBase with q_time_travel/q_mv_snapshot.
+    "q_snapshot_sql" -> { (s, dir) =>
+      val base = ordersTtBase(s, dir)
+      val tblName = new java.io.File(base).getName
+      val cat = "graftsnap"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.SnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root",
+        new java.io.File(base).getParent)
+      val tbl = s"$cat.`$tblName`"
+      val refused =
+        try { s.sql(s"SELECT COUNT(*) FROM $tbl").collect(); false }
+        catch {
+          case e: Exception =>
+            e.getMessage != null && e.getMessage.contains("delete files")
+        }
+      require(refused, "a head read of a delete-carrying version must " +
+        "refuse — a pure SQL parquet scan cannot apply key masks")
+      val money =
+        "CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100.0"
+      s.sql(
+        s"""SELECT CAST(1 AS BIGINT) AS version, COUNT(*) AS n_orders,
+           |  $money AS rev
+           |FROM $tbl VERSION AS OF 1
+           |UNION ALL
+           |SELECT CAST(2 AS BIGINT), COUNT(*), $money
+           |FROM $tbl VERSION AS OF 2 WHERE o_orderdate >= '1996-06-01'
+           |ORDER BY version""".stripMargin)
     },
 
     // Snapshot-VERSIONED MV freshness (MvCatalog.registerSnapshot): the
@@ -2173,33 +2225,7 @@ object AdvancedQueries {
     // every ensureDir/commit here is an idempotent replay.
     "q_mv_snapshot" -> { (s, dir) =>
       import graft.sources.{SnapshotTable => ST}
-      val base =
-        s"/root/repo/target/tmp/orders_tt-${new java.io.File(dir).getName}"
-      val cut = "1996-01-01"
-      graft.sources.Sinks.ensureDir(s, s"$base/data_v1", "v1:orders_pre",
-        inputs = Seq(s"$dir/orders.parquet")) {
-        Tables(s, dir, "orders").where(col("o_orderdate") < lit(cut))
-          .write.mode("overwrite").parquet(s"$base/data_v1")
-      }
-      graft.sources.Sinks.ensureDir(s, s"$base/data_v2", "v1:orders_delta",
-        inputs = Seq(s"$dir/orders.parquet")) {
-        Tables(s, dir, "orders").where(col("o_orderdate") >= lit(cut))
-          .write.mode("overwrite").parquet(s"$base/data_v2")
-      }
-      graft.sources.Sinks.ensureDir(s, s"$base/del_v3", "v1:erase_batch",
-        inputs = Seq(s"$dir/orders.parquet")) {
-        Tables(s, dir, "orders")
-          .where(pmod(md5Long(col("o_orderkey").cast("string")), lit(11))
-            === 5)
-          .select(col("o_orderkey"))
-          .write.mode("overwrite").parquet(s"$base/del_v3")
-      }
-      ST.commit(s, base, 1, ST.Snapshot(Seq(s"$base/data_v1"), Nil))
-      ST.commit(s, base, 2,
-        ST.Snapshot(Seq(s"$base/data_v1", s"$base/data_v2"), Nil))
-      ST.commit(s, base, 3,
-        ST.Snapshot(Seq(s"$base/data_v1", s"$base/data_v2"),
-          Seq(s"$base/del_v3")))
+      val base = ordersTtBase(s, dir)
       val mvPath =
         s"/root/repo/target/tmp/mv_snap-${new java.io.File(dir).getName}"
       def aggOf() = ST.readVersion(s, base, 3, "o_orderkey")
@@ -3158,6 +3184,18 @@ object AdvancedQueries {
          |SELECT CAST(3 AS BIGINT), COUNT(*), ${MONEY("o_totalprice")}
          |FROM orders
          |WHERE ${MD5LONG("CAST(o_orderkey AS VARCHAR)")} % 11 <> 5
+         |ORDER BY version""".stripMargin,
+
+    // the row sets v1/v2's manifests committed, replayed from the base
+    // table: a catalog that resolves the wrong version, loses the
+    // version's dir list, or drops the pushed v2 filter hash-fails
+    "q_snapshot_sql" ->
+      s"""SELECT CAST(1 AS BIGINT) AS version, COUNT(*) AS n_orders,
+         |  ${MONEY("o_totalprice")} AS rev
+         |FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT), COUNT(*), ${MONEY("o_totalprice")}
+         |FROM orders WHERE o_orderdate >= TIMESTAMP '1996-06-01 00:00:00'
          |ORDER BY version""".stripMargin,
 
     // head-version (v3) ground truth from the base table: a stale MV or a
