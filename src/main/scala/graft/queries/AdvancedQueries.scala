@@ -671,6 +671,76 @@ object AdvancedQueries {
         .orderBy("o_orderpriority")
     },
 
+    // STREAMING INGEST INTO THE SNAPSHOT TABLE (SnapshotTable.ingestBatch
+    // — the write side of the loop whose read side is q_stream_snapshot_
+    // cdf): a paced file stream (AvailableNow + maxFilesPerTrigger) drains
+    // the staged orders slices through a foreachBatch that folds each
+    // micro-batch into the table as ONE appended version — write-once
+    // epoch dir, then a commit that appends it unless the head already
+    // carries it (the exactly-once re-delivery contract, pinned below by
+    // re-folding the last epoch and in SnapshotIngestSpec by a real
+    // kill/restart). Each epoch threads min/max bounds into the manifest
+    // (bounds.size == versions pin), so ranged reads prune ingested
+    // epochs like batch-written dirs. The head read vs the base-table
+    // oracle hash-fails on a dropped batch, a double-folded replay, or a
+    // leaked uncommitted epoch.
+    "q_stream_snapshot_ingest" -> { (s, dir) =>
+      import graft.sources.{SnapshotTable => ST}
+      val root = new java.io.File(
+        s"/root/repo/target/tmp/stream_snapingest-${new java.io.File(dir).getName}")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(): Unit
+      }
+      if (root.exists) rm(root)
+      val in = new java.io.File(root, "in"); in.mkdirs()
+      val base = s"$root/tbl"; new java.io.File(base).mkdirs()
+      val slices = snapCdfSliceLayer(s, dir) // write-once input data
+      // stage every slice file up front (AvailableNow freezes the listing
+      // at start, so there is no copy/trigger race to pace around)
+      var n = 0
+      for (m <- 0 to 2;
+           f <- new java.io.File(s"$slices/d$m").listFiles
+             if f.getName.endsWith(".parquet")) {
+        n += 1
+        java.nio.file.Files.copy(f.toPath,
+          new java.io.File(in, s"d${m}_$n.parquet").toPath): Unit
+      }
+      val perTrigger = math.max(1, (n + 2) / 3)
+      val expectBatches = (n + perTrigger - 1) / perTrigger
+      val schema = s.read.parquet(s"$slices/d0").schema
+      graft.streaming.StreamingOps.withStreamShuffle(s) {
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", perTrigger)
+          .parquet(in.toString)
+          .writeStream.option("checkpointLocation", s"$root/cp")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            ST.ingestBatch(s, base, b, id,
+              statsCol = Some("o_orderkey")): Unit
+          }.start()
+        try q.awaitTermination() finally q.stop()
+      }
+      val head = ST.headVersion(s, base)
+      require(head == expectBatches,
+        s"$n files at maxFilesPerTrigger=$perTrigger must land as " +
+          s"$expectBatches versions, head=$head")
+      require(ST.manifest(s, base, head).bounds.size == head,
+        "every ingested epoch must carry manifest bounds")
+      // re-deliver the last epoch (what Spark does after a crash before
+      // the batch was acknowledged): both legs no-op — same head, no
+      // duplicate rows (the oracle compare would catch doubling too)
+      val again = ST.ingestBatch(s, base,
+        s.read.parquet(s"$base/ingest_${head - 1}"), (head - 1).toLong,
+        statsCol = Some("o_orderkey"))
+      require(again == head && ST.headVersion(s, base) == head,
+        "a re-delivered committed epoch must fold as a no-op")
+      ST.readVersion(s, base, head, "o_orderkey")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+        .orderBy("o_orderpriority")
+    },
+
     "q_stream_kv_sink" -> { (s, dir) =>
       val root = new java.io.File(
         s"/root/repo/target/tmp/stream_kvsink-${new java.io.File(dir).getName}")
@@ -3429,6 +3499,17 @@ object AdvancedQueries {
          |  CAST(SUM(${CENTS("o_totalprice")}) AS BIGINT) AS sum_cents
          |FROM orders WHERE ${CENTS("o_totalprice")} >= 15000000
          |GROUP BY 1 ORDER BY key""".stripMargin,
+
+    // head-state replay of the streamed ingest on the base table: a
+    // dropped micro-batch (missing rows), a double-folded re-delivery
+    // (doubled rows), or a leaked uncommitted epoch all hash-fail
+    "q_stream_snapshot_ingest" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n_orders,
+         |  CAST(SUM(${CENTS("o_totalprice")}) AS BIGINT) AS sum_cents
+         |FROM orders
+         |WHERE ${MD5LONG("CAST(o_orderkey AS VARCHAR)")} % 4 IN (0, 1, 2)
+         |GROUP BY o_orderpriority
+         |ORDER BY o_orderpriority""".stripMargin,
 
     // head-state replay of the streamed CDC fold on the base table: a
     // skipped window, a re-folded (duplicated) window, or an unapplied

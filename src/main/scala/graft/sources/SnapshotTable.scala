@@ -689,6 +689,69 @@ object SnapshotTable {
     }
   }
 
+  /** EXACTLY-ONCE STREAMING INGEST — the `foreachBatch` body that turns a
+    * micro-batch stream into snapshot versions, closing the write side of
+    * the loop whose read side is [[SnapshotCdfSource]] (stream → versions
+    * → downstream CDC consumers). Per batch:
+    *
+    *  1. the batch lands in a write-once epoch dir `base/ingest_<batchId>`
+    *     (skipped when its `_SUCCESS` already exists — Spark re-delivers
+    *     at most the LAST unacknowledged batch after a restart, and the
+    *     marker makes the rewrite a no-op);
+    *  2. the commit appends that dir to the head manifest — UNLESS the
+    *     head already contains it (the re-delivered epoch was fully
+    *     committed before the crash: return the head unchanged, never a
+    *     duplicate version of the same rows).
+    *
+    * Both steps are idempotent on (checkpoint, batchId), so kill/restart
+    * with the same checkpoint yields exactly-once TABLE CONTENTS — the
+    * same two-legged protocol as [[graft.sources.Sinks]] epoch dirs, but
+    * the "marker" here is the table's own commit history. A lost
+    * version-number race against a CONCURRENT committer (another stream,
+    * a compaction) reconciles by re-reading the winner's head and
+    * re-appending on top — the OCC loop below, bounded so a genuinely
+    * wedged store fails loudly instead of spinning.
+    *
+    * `statsCol` threads per-epoch min/max bounds into the manifest so
+    * ranged reads ([[readVersionPruned]]) prune ingested epochs exactly
+    * like batch-written dirs. At 100 TB sustained ingest decays the table
+    * into per-trigger small dirs BY DESIGN — [[optimizeSmallDirs]] is the
+    * standing repair (packing carries the delete set and re-bounds), and
+    * versions the pack obsoletes age out through [[vacuum]]. Returns the
+    * version holding this batch. */
+  def ingestBatch(spark: SparkSession, base: String, batch: DataFrame,
+      batchId: Long, statsCol: Option[String] = None): Int = {
+    require(batchId >= 0, s"negative batchId $batchId")
+    val epochDir = s"$base/ingest_$batchId"
+    val marker = new Path(epochDir, "_SUCCESS")
+    if (!fsFor(spark, marker).exists(marker))
+      batch.write.mode("overwrite").parquet(epochDir)
+    val fresh = statsCol.toSeq
+      .flatMap(c => computeBounds(spark, Seq(epochDir), c))
+    var attempt = 0
+    while (attempt < 20) {
+      attempt += 1
+      val head = headVersion(spark, base)
+      val prior =
+        if (head == 0) Snapshot(Nil, Nil) else manifest(spark, base, head)
+      if (prior.dataDirs.contains(epochDir)) return head // already folded
+      try {
+        commit(spark, base, head + 1,
+          prior.copy(dataDirs = prior.dataDirs :+ epochDir,
+            bounds = prior.bounds ++ fresh))
+        return head + 1
+      } catch {
+        case e: IllegalArgumentException
+            if attempt < 20 && e.getMessage != null && e.getMessage
+              .contains("already committed with different content") =>
+          // lost the version-number race — fold onto the winner's head
+      }
+    }
+    throw new IllegalStateException(
+      s"ingest of batch $batchId could not claim a version after 20 " +
+        s"attempts — a committer is racing every retry or $base is wedged")
+  }
+
   /** Highest committed version under `base` (0 when none): one LIST of
     * the base dir. This is the freshness token production MV/caching
     * layers key on — an O(1)-ish probe against the table's commit
