@@ -2939,6 +2939,55 @@ object AdvancedQueries {
         .orderBy("o_orderpriority")
     },
 
+    // OPTIMIZE ... ZORDER on the snapshot table (SnapshotTable.
+    // optimizeZorder + readVersionPrunedBox): the head rewrites into 16
+    // dirs each covering one contiguous Morton slice of (ckey, day), with
+    // fresh manifest bounds on BOTH columns — after which a 2-D box
+    // predicate prunes at the MANIFEST level on either dimension (a table
+    // laid out by one column prunes only on that column; the interleave
+    // is what buys multi-column locality at 100 TB). A merge-on-read
+    // delete lands BEFORE the rewrite and must FOLD through it (the new
+    // version carries no delete set — pinned), so the oracle's complement
+    // replay catches an unapplied or double-applied mask. The box read
+    // pins real pruning (kept strictly under total, nothing lost: the
+    // caller's predicate applies on top, and the aggregate hash-checks).
+    "q_snapshot_zorder" -> { (s, dir) =>
+      import graft.sources.{SnapshotTable => ST}
+      val sfN = new java.io.File(dir).getName
+      val fp = java.security.MessageDigest.getInstance("MD5")
+        .digest(graft.sources.Sinks.fingerprint(s, s"$dir/orders.parquet")
+          .getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString.take(10)
+      val base = s"/root/repo/target/tmp/orders_zord-$sfN-$fp-v2"
+      graft.sources.Sinks.ensureDir(s, s"$base/d0", "v2:zord_slim,epoch95",
+        inputs = Seq(s"$dir/orders.parquet")) {
+        Tables(s, dir, "orders")
+          .select(col("o_orderkey"), cents(col("o_totalprice")).as("cents"),
+            col("o_orderpriority"), col("o_custkey").as("ckey"),
+            datediff(col("o_orderdate"), lit("1995-01-01")).as("day"))
+          .write.mode("overwrite").parquet(s"$base/d0")
+      }
+      ST.commit(s, base, 1, ST.Snapshot(Seq(s"$base/d0"), Nil))
+      if (ST.headVersion(s, base) == 1) {
+        val v = ST.deleteWhere(s, base, "o_orderkey",
+          pmod(md5Long(col("o_orderkey").cast("string")), lit(9)) === 4)
+        require(v == 2, s"delete landed at v$v, expected v2")
+        val rep = ST.optimizeZorder(s, base, "o_orderkey", "ckey", "day", 16)
+        require(rep.version == 3 && rep.dirsIn == 1 && rep.dirsOut >= 2,
+          s"zorder rewrite must slice the single dir, got $rep")
+      }
+      require(ST.headVersion(s, base) == 3, "head must be the zorder")
+      require(ST.manifest(s, base, 3).deleteDirs.isEmpty,
+        "the rewrite must FOLD the delete set, not carry it")
+      val (boxed, rep) = ST.readVersionPrunedBox(s, base, 3, "o_orderkey",
+        Seq(("ckey", "1", "100"), ("day", "0", "365")))
+      require(rep.dirsKept >= 1 && rep.dirsKept < rep.dirsTotal,
+        s"a 2-D box over the z-ordered table must prune dirs, got $rep")
+      boxed.where(col("ckey").between(1, 100) && col("day").between(0, 365))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+        .orderBy("o_orderpriority")
+    },
+
     // CHANGE DATA FEED between snapshot versions (SnapshotTable.
     // readChanges — what a downstream incremental consumer reads instead
     // of diffing two full scans, closing the loop from the CDC operators'
@@ -3304,6 +3353,21 @@ object AdvancedQueries {
          |  (SELECT COUNT(*) FROM orders) AS v1_total
          |FROM orders
          |WHERE ${MD5LONG("CAST(o_orderkey AS VARCHAR)")} % 7 <> 2
+         |GROUP BY o_orderpriority
+         |ORDER BY o_orderpriority""".stripMargin,
+
+    // complement of the deleted slice boxed by the same 2-D predicate the
+    // engine applies over its pruned read: a dir wrongly pruned (missing
+    // rows), an unfolded delete (extra rows), or a rewrite that lost rows
+    // while re-slicing all hash-fail
+    "q_snapshot_zorder" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n_orders,
+         |  CAST(SUM(${CENTS("o_totalprice")}) AS BIGINT) AS sum_cents
+         |FROM orders
+         |WHERE ${MD5LONG("CAST(o_orderkey AS VARCHAR)")} % 9 <> 4
+         |  AND o_custkey BETWEEN 1 AND 100
+         |  AND date_diff('day', TIMESTAMP '1995-01-01 00:00:00',
+         |    o_orderdate) BETWEEN 0 AND 365
          |GROUP BY o_orderpriority
          |ORDER BY o_orderpriority""".stripMargin,
 

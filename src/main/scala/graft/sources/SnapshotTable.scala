@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, col, lit, when}
+import org.apache.spark.sql.functions.{broadcast, col, least, lit, when}
 
 /** Snapshot-versioned table: the lakehouse time-travel contract (Iceberg /
   * Delta, distilled to its two load-bearing ideas) on plain parquet dirs.
@@ -868,6 +868,84 @@ object SnapshotTable {
     OptimizeReport(v, small.size, keep.size)
   }
 
+  final case class ZorderReport(version: Int, dirsIn: Int, dirsOut: Int)
+
+  /** OPTIMIZE ... ZORDER BY (x, y) — rewrite the head's data into up to
+    * `nDirs` dirs, each covering one contiguous slice of the Morton
+    * (bit-interleaved) key space of the two columns, with fresh min/max
+    * bounds recorded on BOTH ([[Layout.withZ]] is the key; the occupied
+    * z range splits linearly, so the slice boundaries are pure column
+    * math — deterministic, no sampling). A table laid out by ONE column
+    * prunes only on that column; after this rewrite a ranged read boxes
+    * on EITHER or both dimensions and [[readVersionPrunedBox]] skips the
+    * non-overlapping dirs — the lakehouse ZORDER contract, at manifest
+    * granularity here and at parquet row-group granularity inside each
+    * dir (files are zv-sorted). Like every rewrite: the delete set FOLDS
+    * (the new version carries none), the output lands at the current
+    * schema, and the version claim is optimistic — a racing committer
+    * fails loudly before data moves. Cost is one full read + write of
+    * the table, O(table) BY DESIGN (run it like compaction: scheduled,
+    * not per-commit); inputs must lie in [0, 2²¹) per [[Layout.withZ]]'s
+    * enforced domain. */
+  def optimizeZorder(spark: SparkSession, base: String, keyCol: String,
+      xCol: String, yCol: String, nDirs: Int): ZorderReport = {
+    require(nDirs >= 2 && nDirs <= 4096,
+      s"nDirs must be in [2, 4096], got $nDirs")
+    val head = headVersion(spark, base)
+    require(head >= 1, s"no committed snapshot under $base to zorder")
+    val snap = manifest(spark, base, head)
+    val cur = tableSchema(spark, snap)
+    for (c <- Seq(xCol, yCol))
+      require(cur.fieldNames.contains(c), s"zorder column $c not in schema")
+    for (c <- Seq("zv", "zb"))
+      require(!cur.fieldNames.contains(c),
+        s"schema already carries the staging column $c — refuse rather " +
+          "than silently clobber it")
+    val v = head + 1
+    val mp = manifestPath(base, v)
+    require(!fsFor(spark, mp).exists(mp),
+      s"version $v is already committed under $base — a concurrent " +
+        "committer won the version claim; re-read the head and retry")
+    val outParent = s"$base/_zorder_v$v"
+    val op = new Path(outParent)
+    val ofs = fsFor(spark, op)
+    // leavings of a crashed prior attempt at THIS version: safe to clear,
+    // since the guard above proved no manifest references them yet
+    if (ofs.exists(op)) ofs.delete(op, true)
+    val data = applyDeletes(spark, snap,
+      readData(spark, snap, snap.dataDirs), keyCol)
+    val z = graft.operators.Layout.withZ(data, xCol, yCol)
+    val ext = z.agg(org.apache.spark.sql.functions.min(col("zv")),
+      org.apache.spark.sql.functions.max(col("zv"))).head
+    require(!ext.isNullAt(0),
+      s"$base head is empty after delete masking — nothing to zorder")
+    val (zmin, zmax) = (ext.getLong(0), ext.getLong(1))
+    val span = math.max(1L, zmax - zmin + 1)
+    // slice id: linear split of the OCCUPIED z range (zv ≤ 2⁴², nDirs ≤
+    // 2¹² — the product stays far under 2⁶³)
+    val zb = least(((col("zv") - zmin) * nDirs / span).cast("int"),
+      lit(nDirs - 1))
+    z.withColumn("zb", zb)
+      .repartition(nDirs, col("zb"))
+      .sortWithinPartitions(col("zb"), col("zv"))
+      .drop("zv")
+      .write.partitionBy("zb").parquet(outParent)
+    val newDirs = ofs.listStatus(op).filter(_.isDirectory)
+      .map(_.getPath)
+      .filter(_.getName.startsWith("zb="))
+      .sortBy(p => p.getName.stripPrefix("zb=").toInt)
+      .map(_.toString).toSeq
+    require(newDirs.nonEmpty, s"zorder write produced no slice dirs")
+    // the parent's _SUCCESS attests the whole write; stamp each slice dir
+    // so it satisfies commit's per-dir precondition
+    for (d <- newDirs)
+      fsFor(spark, new Path(d)).create(new Path(d, "_SUCCESS"), true).close()
+    val bounds = computeBounds(spark, newDirs, xCol) ++
+      computeBounds(spark, newDirs, yCol)
+    commit(spark, base, v, Snapshot(newDirs, Nil, bounds, snap.schema))
+    ZorderReport(v, snap.dataDirs.size, newDirs.size)
+  }
+
   /** The table schema as of `snap`: the manifest-carried DDL when the
     * version was evolved, otherwise the physical schema of its data (the
     * pre-evolution contract, where all dirs agree). */
@@ -1023,12 +1101,26 @@ object SnapshotTable {
     * scan. */
   def readVersionPruned(spark: SparkSession, base: String, v: Int,
       keyCol: String, statsCol: String, lo: String,
-      hi: String): (DataFrame, PruneReport) = {
+      hi: String): (DataFrame, PruneReport) =
+    readVersionPrunedBox(spark, base, v, keyCol, Seq((statsCol, lo, hi)))
+
+  /** Multi-dimension bounds pruning — the read a Z-ORDERED table
+    * ([[optimizeZorder]]) exists to serve: a dir survives only when its
+    * recorded bounds overlap EVERY `(statsCol, lo, hi)` box edge (a box
+    * is a conjunction; any non-overlapping dimension alone proves the
+    * dir empty for the query). Same contract as [[readVersionPruned]]:
+    * missing bounds scan (the safe direction), deletes still mask, and
+    * the caller applies the real predicate on top of the kept dirs. */
+  def readVersionPrunedBox(spark: SparkSession, base: String, v: Int,
+      keyCol: String, box: Seq[(String, String, String)])
+      : (DataFrame, PruneReport) = {
+    require(box.nonEmpty, "pruned read needs at least one (col, lo, hi)")
     val snap = manifest(spark, base, v)
-    val byDir = snap.bounds.filter(_.col == statsCol)
-      .map(b => b.dir -> b).toMap
     val kept = snap.dataDirs.filter { d =>
-      byDir.get(d).forall(b => boundsOverlap(b.typ, b.min, b.max, lo, hi))
+      box.forall { case (statsCol, lo, hi) =>
+        snap.bounds.find(b => b.dir == d && b.col == statsCol)
+          .forall(b => boundsOverlap(b.typ, b.min, b.max, lo, hi))
+      }
     }
     val data =
       if (kept.isEmpty)

@@ -733,4 +733,96 @@ class SnapshotTableSpec extends SparkTestBase {
     }
     assert(e3.getMessage.contains("outside"), e3.getMessage)
   }
+
+  /** A 2-D grid of (x, y) points with a key — the zorder fixture. */
+  private def writeGrid(dir: String, n: Int): Unit = {
+    import spark.implicits._
+    (0 until n * n).map(i => (i.toLong, (i % n).toLong, (i / n).toLong))
+      .toDF("k", "x", "y").write.mode("overwrite").parquet(dir)
+  }
+
+  test("optimizeZorder slices by Morton key, folds deletes, and a box " +
+      "read prunes on EITHER dimension") {
+    val base = freshBase()
+    writeGrid(s"$base/d0", 64)
+    SnapshotTable.commit(spark, base, 1,
+      Snapshot(Seq(s"$base/d0"), Nil))
+    val v2 = SnapshotTable.deleteWhere(spark, base, "k", col("k") < 10)
+    assert(v2 == 2)
+    val rep = SnapshotTable.optimizeZorder(spark, base, "k", "x", "y", 16)
+    assert(rep.version == 3 && rep.dirsIn == 1 && rep.dirsOut >= 4, rep)
+    val head = SnapshotTable.manifest(spark, base, 3)
+    assert(head.deleteDirs.isEmpty, "the rewrite must fold the delete set")
+    assert(head.bounds.count(_.col == "x") == head.dataDirs.size &&
+      head.bounds.count(_.col == "y") == head.dataDirs.size,
+      "every slice dir must carry bounds on BOTH zorder columns")
+    // contents: exactly the undeleted grid, once
+    val (all, _) = SnapshotTable.readVersionPrunedBox(spark, base, 3, "k",
+      Seq(("x", "0", "63")))
+    assert(all.count() == 64L * 64 - 10 &&
+      all.select(countDistinct(col("k"))).head.getLong(0) == 64L * 64 - 10)
+    // a narrow box on x ALONE prunes (the single-column layout can't do
+    // this on its non-sort column — the interleave is the feature)
+    val (_, px) = SnapshotTable.readVersionPrunedBox(spark, base, 3, "k",
+      Seq(("x", "0", "7")))
+    assert(px.dirsKept < px.dirsTotal && px.dirsKept >= 1, px)
+    val (_, py) = SnapshotTable.readVersionPrunedBox(spark, base, 3, "k",
+      Seq(("y", "0", "7")))
+    assert(py.dirsKept < py.dirsTotal && py.dirsKept >= 1, py)
+    // the 2-D box keeps no more than either single-dim prune
+    val (boxed, pxy) = SnapshotTable.readVersionPrunedBox(spark, base, 3,
+      "k", Seq(("x", "0", "7"), ("y", "0", "7")))
+    assert(pxy.dirsKept <= math.min(px.dirsKept, py.dirsKept), pxy)
+    assert(boxed.where(col("x") <= 7 && col("y") <= 7).count() ==
+      8L * 8 - 8, "kept dirs must still hold every box row (k<10 deletes " +
+        "the first 8 of the y=0 stripe inside the box)")
+  }
+
+  test("optimizeZorder refusals: staging-column collision, missing " +
+      "column, empty head, racing claim; domain guard raises") {
+    import spark.implicits._
+    val base = freshBase()
+    writeGrid(s"$base/d0", 4)
+    SnapshotTable.commit(spark, base, 1, Snapshot(Seq(s"$base/d0"), Nil))
+    intercept[IllegalArgumentException] {
+      SnapshotTable.optimizeZorder(spark, base, "k", "x", "nope", 4)
+    }
+    // a racing committer's claimed-but-unwritten manifest (the O_EXCL
+    // empty file before its body lands): the phantom head surfaces loudly
+    // through the manifest read, never rewrites as if it were history
+    val raced = freshBase()
+    writeGrid(s"$raced/d0", 4)
+    SnapshotTable.commit(spark, raced, 1, Snapshot(Seq(s"$raced/d0"), Nil))
+    Files.createFile(java.nio.file.Paths.get(s"$raced/_MANIFEST_v2"))
+    val e = intercept[IllegalArgumentException] {
+      SnapshotTable.optimizeZorder(spark, raced, "k", "x", "y", 4)
+    }
+    assert(e.getMessage.contains("crc footer"), e.getMessage)
+    // schema carrying the staging column: refused, never clobbered
+    val zb = freshBase()
+    Seq((1L, 1L, 1L, 0)).toDF("k", "x", "y", "zb")
+      .write.parquet(s"$zb/d0")
+    SnapshotTable.commit(spark, zb, 1, Snapshot(Seq(s"$zb/d0"), Nil))
+    val e2 = intercept[IllegalArgumentException] {
+      SnapshotTable.optimizeZorder(spark, zb, "k", "x", "y", 4)
+    }
+    assert(e2.getMessage.contains("staging column"), e2.getMessage)
+    // out-of-domain input: withZ's guard raises instead of mis-clustering
+    val neg = freshBase()
+    Seq((1L, -5L, 1L)).toDF("k", "x", "y").write.parquet(s"$neg/d0")
+    SnapshotTable.commit(spark, neg, 1, Snapshot(Seq(s"$neg/d0"), Nil))
+    val e3 = intercept[Exception] {
+      SnapshotTable.optimizeZorder(spark, neg, "k", "x", "y", 4)
+    }
+    assert(e3.getMessage != null, "domain violation must raise")
+    // empty head after full delete: loud refusal
+    val emp = freshBase()
+    writeGrid(s"$emp/d0", 2)
+    SnapshotTable.commit(spark, emp, 1, Snapshot(Seq(s"$emp/d0"), Nil))
+    SnapshotTable.deleteWhere(spark, emp, "k", lit(true)): Unit
+    val e4 = intercept[IllegalArgumentException] {
+      SnapshotTable.optimizeZorder(spark, emp, "k", "x", "y", 4)
+    }
+    assert(e4.getMessage.contains("empty"), e4.getMessage)
+  }
 }
