@@ -21,7 +21,8 @@ object Bench {
     "q_snapshot_compact", "q_snapshot_update", "q_snapshot_cdf",
     "q_snapshot_merge", "q_snapshot_skipping", "q_dsv2_sorted",
     "q_snapshot_evolve", "q_snapshot_asof", "q_snapshot_optimize",
-    "q_dsv2_spj_agg", "q_snapshot_sql", "q_snapshot_zorder")
+    "q_dsv2_spj_agg", "q_snapshot_sql", "q_snapshot_zorder",
+    "q_snapshot_history")
 
   /** Cheap queries the adjudication child executes fully-but-untimed before
     * its one measurement: a few seconds of real query execution across the

@@ -2284,6 +2284,38 @@ object AdvancedQueries {
            |ORDER BY version""".stripMargin)
     },
 
+    // DESCRIBE HISTORY (SnapshotTable.history, served through the SQL
+    // catalog as the `<cat>.<tbl>.history` metadata table — a driver-
+    // computed, version-count-sized DSv2 batch, no files): one row per
+    // surviving version with its dir/bounds counts and evolution flag.
+    // The gate joins the SQL-read metadata against each version's actual
+    // row count (readVersion), so a history that miscounts dirs, lists a
+    // phantom version, or drops one hash-fails against the oracle's
+    // literal manifest shape + base-table replay. Shares ordersTtBase.
+    "q_snapshot_history" -> { (s, dir) =>
+      import graft.sources.{SnapshotTable => ST}
+      val base = ordersTtBase(s, dir)
+      val tblName = new java.io.File(base).getName
+      val cat = "graftsnap"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.SnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root",
+        new java.io.File(base).getParent)
+      val hist = s.sql(s"SELECT version, n_data_dirs, n_delete_dirs " +
+        s"FROM $cat.`$tblName`.history")
+      val counts = (1 to 3).map { v =>
+        ST.readVersion(s, base, v, "o_orderkey")
+          .agg(count(lit(1)).as("n_rows"))
+          .select(lit(v).as("version"), col("n_rows"))
+      }.reduce(_.unionAll(_))
+      hist.join(counts, "version")
+        .select(col("version").cast("long").as("version"),
+          col("n_data_dirs").cast("long").as("n_data_dirs"),
+          col("n_delete_dirs").cast("long").as("n_delete_dirs"),
+          col("n_rows"))
+        .orderBy("version")
+    },
+
     // Snapshot-VERSIONED MV freshness (MvCatalog.registerSnapshot): the
     // production freshness pattern the fingerprint tier's scaladoc
     // promises — the view's validity keys on the snapshot table's
@@ -3315,6 +3347,26 @@ object AdvancedQueries {
          |UNION ALL
          |SELECT CAST(2 AS BIGINT), COUNT(*), ${MONEY("o_totalprice")}
          |FROM orders WHERE o_orderdate >= TIMESTAMP '1996-06-01 00:00:00'
+         |ORDER BY version""".stripMargin,
+
+    // the manifest shape each commit created (literal) joined to the
+    // row sets the versions committed (base-table replay): a phantom or
+    // dropped version, a miscounted dir/delete set, or a version whose
+    // read diverges from its commit all hash-fail
+    "q_snapshot_history" ->
+      s"""SELECT v.version, v.n_data_dirs, v.n_delete_dirs, c.n_rows
+         |FROM (VALUES (CAST(1 AS BIGINT), CAST(1 AS BIGINT),
+         |    CAST(0 AS BIGINT)),
+         |  (2, 2, 0), (3, 2, 1)) AS v(version, n_data_dirs, n_delete_dirs)
+         |JOIN (
+         |  SELECT CAST(1 AS BIGINT) AS version, COUNT(*) AS n_rows
+         |  FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+         |  UNION ALL
+         |  SELECT CAST(2 AS BIGINT), COUNT(*) FROM orders
+         |  UNION ALL
+         |  SELECT CAST(3 AS BIGINT), COUNT(*) FROM orders
+         |  WHERE ${MD5LONG("CAST(o_orderkey AS VARCHAR)")} % 11 <> 5
+         |) c USING (version)
          |ORDER BY version""".stripMargin,
 
     // head-version (v3) ground truth from the base table: a stale MV or a

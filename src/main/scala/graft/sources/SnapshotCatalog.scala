@@ -67,6 +67,28 @@ class SnapshotCatalog extends TableCatalog {
     s"$root/${ident.name()}"
   }
 
+  /** `<cat>.<tbl>.history` — the metadata table ([[SnapshotTable
+    * .history]]): version-count-sized rows computed driver-side at
+    * resolution and served through a local DSv2 batch, so the SQL
+    * surface needs no files. Any other nested name refuses. */
+  private def metadataTable(ident: Identifier): Option[Table] = {
+    if (ident.namespace().length != 1) return None
+    val base = s"$root/${ident.namespace()(0)}"
+    if (SnapshotTable.headVersion(spark, base) == 0)
+      throw new NoSuchTableException(ident)
+    if (ident.name() != "history")
+      throw new NoSuchTableException(ident)
+    val rows = SnapshotTable.history(spark, base).map(h =>
+      Seq[Any](h.version, h.commit_ms, h.n_data_dirs, h.n_delete_dirs,
+        h.n_bounds, h.evolved))
+    Some(new LocalRowsTable(
+      s"$catName.${ident.namespace()(0)}.history",
+      StructType.fromDDL("`version` INT, `commit_ms` BIGINT, " +
+        "`n_data_dirs` INT, `n_delete_dirs` INT, `n_bounds` INT, " +
+        "`evolved` BOOLEAN"),
+      rows))
+  }
+
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     if (namespace.nonEmpty) return Array.empty
     val rp = new Path(root)
@@ -77,7 +99,8 @@ class SnapshotCatalog extends TableCatalog {
       .map(n => Identifier.of(Array.empty, n))
   }
 
-  override def loadTable(ident: Identifier): Table = tableAt(ident, None)
+  override def loadTable(ident: Identifier): Table =
+    metadataTable(ident).getOrElse(tableAt(ident, None))
 
   /** `VERSION AS OF <v>`. */
   override def loadTable(ident: Identifier, version: String): Table = {
@@ -128,3 +151,58 @@ class SnapshotCatalog extends TableCatalog {
   override def renameTable(oldIdent: Identifier,
       newIdent: Identifier): Unit = readOnly("RENAME TABLE")
 }
+
+/** A driver-computed row set served as a DSv2 batch table — the vehicle
+  * for metadata tables (version-count-sized; one partition, no files).
+  * Values must be primitives/UTF8-encodable (the reader builds
+  * GenericInternalRows directly). */
+private[sources] class LocalRowsTable(tname: String,
+    tschema: StructType, rows: Seq[Seq[Any]])
+    extends Table
+    with org.apache.spark.sql.connector.catalog.SupportsRead {
+  import org.apache.spark.sql.connector.read._
+  import org.apache.spark.sql.connector.catalog.TableCapability
+
+  override def name(): String = tname
+  override def schema(): StructType = tschema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with Scan with Batch {
+      override def build(): Scan = this
+      override def readSchema(): StructType = tschema
+      override def toBatch: Batch = this
+      override def description(): String = s"LocalRows $tname"
+      override def planInputPartitions(): Array[InputPartition] =
+        Array(LocalRowsPartition(rows.map(_.toArray).toArray))
+      override def createReaderFactory(): PartitionReaderFactory =
+        new PartitionReaderFactory {
+          override def createReader(
+              p: InputPartition): PartitionReader[
+                org.apache.spark.sql.catalyst.InternalRow] = {
+            val data = p.asInstanceOf[LocalRowsPartition].rows
+            new PartitionReader[
+                org.apache.spark.sql.catalyst.InternalRow] {
+              private var i = -1
+              override def next(): Boolean = { i += 1; i < data.length }
+              override def get()
+                  : org.apache.spark.sql.catalyst.InternalRow = {
+                val vals = data(i).map {
+                  case s: String =>
+                    org.apache.spark.unsafe.types.UTF8String.fromString(s)
+                  case other => other.asInstanceOf[AnyRef]
+                }
+                new org.apache.spark.sql.catalyst.expressions
+                  .GenericInternalRow(vals.asInstanceOf[Array[Any]])
+              }
+              override def close(): Unit = {}
+            }
+          }
+        }
+    }
+}
+
+private[sources] final case class LocalRowsPartition(rows: Array[Array[Any]])
+  extends org.apache.spark.sql.connector.read.InputPartition

@@ -774,6 +774,37 @@ object SnapshotTable {
   def manifestFile(base: String, v: Int): String =
     manifestPath(base, v).toString
 
+  final case class HistoryEntry(version: Int, commit_ms: Long,
+      n_data_dirs: Int, n_delete_dirs: Int, n_bounds: Int, evolved: Boolean)
+
+  /** DESCRIBE HISTORY — one row per surviving committed version, oldest
+    * first: commit instant (the manifest mtime, [[versionAsOf]]'s clock),
+    * dir/bounds counts, and whether the version carries an evolved
+    * schema. METADATA-ONLY: reads each manifest (crc-validated), never a
+    * data file — at 100 TB this is a version-count-sized driver list, the
+    * same cost profile as [[vacuum]]'s survey phase. Vacuumed versions
+    * are absent (bounded history is their contract); a corrupt manifest
+    * fails the listing loudly rather than skipping silently. Also served
+    * through [[SnapshotCatalog]] as SQL: `FROM <cat>.<tbl>.history`. */
+  def history(spark: SparkSession, base: String): Seq[HistoryEntry] = {
+    val head = headVersion(spark, base)
+    (1 to head).flatMap { v =>
+      val p = manifestPath(base, v)
+      val fs = fsFor(spark, p)
+      if (!fs.exists(p)) None // vacuumed
+      else {
+        val snap = manifest(spark, base, v)
+        Some(HistoryEntry(v, fs.getFileStatus(p).getModificationTime,
+          snap.dataDirs.size, snap.deleteDirs.size, snap.bounds.size,
+          snap.schema.isDefined))
+      }
+    }
+  }
+
+  /** [[history]] as a DataFrame (column names = [[HistoryEntry]] fields). */
+  def historyDf(spark: SparkSession, base: String): DataFrame =
+    spark.createDataFrame(history(spark, base))
+
   def readVersion(spark: SparkSession, base: String, v: Int,
       keyCol: String): DataFrame = {
     val snap = manifest(spark, base, v)

@@ -78,6 +78,38 @@ class SnapshotCatalogSpec extends SparkTestBase {
       "pre-evolution dirs must read the evolved column as NULL via SQL")
   }
 
+  test("the history metadata table lists surviving versions with their " +
+      "manifest shape; vacuumed versions drop; unknown nested names refuse") {
+    val root = Files.createTempDirectory("snapcat").toString
+    setupCatalog("snapcat4", root)
+    val base = s"$root/tbl"
+    writeKv(s"$base/d1", 0, 10)
+    writeKv(s"$base/d2", 10, 30)
+    ST.commit(spark, base, 1, Snapshot(Seq(s"$base/d1"), Nil))
+    ST.commit(spark, base, 2, Snapshot(Seq(s"$base/d1", s"$base/d2"), Nil))
+    ST.evolveAddColumns(spark, base, "`w` BIGINT")
+    val h = spark.sql("SELECT version, n_data_dirs, n_delete_dirs, " +
+      "evolved FROM snapcat4.tbl.history ORDER BY version")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2),
+        r.getBoolean(3))).toSeq
+    assert(h == Seq((1, 1, 0, false), (2, 2, 0, false), (3, 2, 0, true)), h)
+    // commit_ms is the manifest mtime — versionAsOf's clock
+    val ms = spark.sql(
+      "SELECT commit_ms FROM snapcat4.tbl.history WHERE version = 1")
+      .head().getLong(0)
+    assert(ms == new java.io.File(base, "_MANIFEST_v1").lastModified)
+    // vacuumed versions are absent, not zero-row phantoms
+    ST.vacuum(spark, base, 2, 3)
+    assert(spark.sql("SELECT version FROM snapcat4.tbl.history")
+      .collect().map(_.getInt(0)).sorted.toSeq == Seq(2, 3))
+    intercept[Exception] {
+      spark.sql("SELECT * FROM snapcat4.tbl.nope").collect()
+    }
+    intercept[Exception] {
+      spark.sql("SELECT * FROM snapcat4.missing.history").collect()
+    }
+  }
+
   test("delete-carrying versions, DDL, and unknown tables refuse loudly") {
     val root = Files.createTempDirectory("snapcat").toString
     setupCatalog("snapcat3", root)
