@@ -1683,6 +1683,41 @@ object AdvancedQueries {
         .orderBy("key")
     },
 
+    // The connector through SQL DDL (CREATE TABLE ... USING <provider>):
+    // the session catalog stores the provider + path and every later
+    // spark.sql resolves through the same DSv2 table — so the FULL SQL
+    // surface (not just DataFrame reads) reaches the connector, with
+    // pushdown intact: the require pins that the pushed filter landed on
+    // the v2 scan through the SQL path, and the oracle replays the
+    // aggregate on the base table. DROP/CREATE is idempotent per
+    // construction (external table: dropping never touches the data).
+    "q_dsv2_sql" -> { (s, dir) =>
+      val sfN = new java.io.File(dir).getName
+      val tmp = s"/root/repo/target/tmp/orders_kv-$sfN"
+      graft.sources.Sinks.ensureDir(s, tmp, "v1:orders,kvtext",
+        inputs = Seq(s"$dir/orders.parquet")) {
+        Tables(s, dir, "orders")
+          .select(concat_ws("\t", col("o_orderpriority"),
+            cents(col("o_totalprice")).cast("string")).as("value"))
+          .write.mode("overwrite").text(tmp)
+      }
+      val tbl = s"kv_sql_orders_${sfN.replaceAll("[^A-Za-z0-9]", "_")}"
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      s.sql(s"CREATE TABLE $tbl " +
+        s"USING ${classOf[graft.sources.KvTextSource].getName} " +
+        s"OPTIONS (path '$tmp')")
+      val q = s.sql(
+        s"""SELECT key, COUNT(*) AS n_orders,
+           |  CAST(SUM(value) AS DOUBLE)/100.0 AS rev
+           |FROM $tbl WHERE value >= 20000000
+           |GROUP BY key ORDER BY key""".stripMargin)
+      val plan = q.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      require(plan.contains("GreaterThanOrEqual(value,20000000)"),
+        s"the SQL path must push the filter into the v2 scan:\n$plan")
+      q
+    },
+
     // RUNTIME (DPP-shaped) filtering through the DSv2 seam: the KV scan
     // implements SupportsRuntimeFiltering, so a join against a FILTERED
     // dimension executes the broadcast side first, collects its join
@@ -3995,6 +4030,15 @@ object AdvancedQueries {
     // integer cents), so the oracle replays the filtered aggregate on the
     // base table directly.
     "q_dsv2_source" ->
+      s"""SELECT o_orderpriority AS key, COUNT(*) AS n_orders,
+         |  CAST(SUM(${CENTS("o_totalprice")}) AS DOUBLE)/100.0 AS rev
+         |FROM orders WHERE ${CENTS("o_totalprice")} >= 20000000
+         |GROUP BY 1 ORDER BY key""".stripMargin,
+
+    // same aggregate as q_dsv2_source's oracle — the engine side differs
+    // (SQL DDL + session-catalog resolution instead of a DataFrame read),
+    // the data contract doesn't
+    "q_dsv2_sql" ->
       s"""SELECT o_orderpriority AS key, COUNT(*) AS n_orders,
          |  CAST(SUM(${CENTS("o_totalprice")}) AS DOUBLE)/100.0 AS rev
          |FROM orders WHERE ${CENTS("o_totalprice")} >= 20000000

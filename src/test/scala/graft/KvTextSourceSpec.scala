@@ -116,4 +116,30 @@ class KvTextSourceSpec extends SparkTestBase {
         s"split=$split: $got")
     }
   }
+
+  test("SQL DDL: CREATE TABLE ... USING resolves the provider through " +
+      "the session catalog; SELECT pushes down; INSERT INTO commits " +
+      "through the 2PC write; DROP leaves the external data intact") {
+    val d = Files.createTempDirectory("kvsql").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(d, "data.kv"),
+      "a\t1\nb\t2\n".getBytes("UTF-8"))
+    spark.sql("DROP TABLE IF EXISTS kvsql_t")
+    spark.sql("CREATE TABLE kvsql_t " +
+      s"USING ${classOf[graft.sources.KvTextSource].getName} " +
+      s"OPTIONS (path '$d')")
+    val q = spark.sql("SELECT key, value FROM kvsql_t WHERE value >= 2")
+    assert(q.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("b", 2L)))
+    assert(q.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+      .contains("GreaterThanOrEqual(value,2)"),
+      "SQL read must push the predicate into the v2 scan")
+    spark.sql("INSERT INTO kvsql_t VALUES ('c', 3)")
+    assert(spark.sql("SELECT SUM(value) FROM kvsql_t").head.getLong(0) == 6,
+      "INSERT INTO must land through the connector's batch write")
+    spark.sql("DROP TABLE kvsql_t")
+    // external table: the data outlives the catalog entry
+    assert(spark.read.format(classOf[graft.sources.KvTextSource].getName)
+      .load(d).count() == 3)
+  }
 }
