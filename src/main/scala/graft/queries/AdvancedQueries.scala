@@ -1718,6 +1718,45 @@ object AdvancedQueries {
       q
     },
 
+    // SQL DELETE FROM through the connector (KvTable.deleteWhere — DSv2
+    // SupportsDelete): the predicate translates to source filters, the
+    // connector rewrites the dir keeping every non-matching row, and the
+    // survivors land through the same truncating 2PC overwrite as any
+    // batch write. The gate copies the read-only kv layer into a per-run
+    // working dir (DELETE is a rewrite op — the copy is the same cost
+    // class), deletes through SQL, and aggregates the survivors; the
+    // oracle replays the complement on the base table, so deleting the
+    // wrong rows, losing survivors, or double-applying all hash-fail.
+    "q_dsv2_delete" -> { (s, dir) =>
+      val sfN = new java.io.File(dir).getName
+      val src = s"/root/repo/target/tmp/orders_kv-$sfN"
+      graft.sources.Sinks.ensureDir(s, src, "v1:orders,kvtext",
+        inputs = Seq(s"$dir/orders.parquet")) {
+        Tables(s, dir, "orders")
+          .select(concat_ws("\t", col("o_orderpriority"),
+            cents(col("o_totalprice")).cast("string")).as("value"))
+          .write.mode("overwrite").text(src)
+      }
+      val fmt = classOf[graft.sources.KvTextSource].getName
+      val run = s"/root/repo/target/tmp/kvdel_run-$sfN"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(run))
+      s.read.format(fmt).load(src)
+        .write.format(fmt).mode("overwrite").save(run)
+      val tbl = s"kv_del_orders_${sfN.replaceAll("[^A-Za-z0-9]", "_")}"
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      s.sql(s"CREATE TABLE $tbl USING $fmt OPTIONS (path '$run')")
+      s.sql(s"DELETE FROM $tbl " +
+        "WHERE value < 10000000 OR key = '1-URGENT'")
+      s.sql(
+        s"""SELECT key, COUNT(*) AS n_orders,
+           |  CAST(SUM(value) AS BIGINT) AS sum_cents
+           |FROM $tbl GROUP BY key ORDER BY key""".stripMargin)
+    },
+
     // RUNTIME (DPP-shaped) filtering through the DSv2 seam: the KV scan
     // implements SupportsRuntimeFiltering, so a join against a FILTERED
     // dimension executes the broadcast side first, collects its join
@@ -4033,6 +4072,17 @@ object AdvancedQueries {
       s"""SELECT o_orderpriority AS key, COUNT(*) AS n_orders,
          |  CAST(SUM(${CENTS("o_totalprice")}) AS DOUBLE)/100.0 AS rev
          |FROM orders WHERE ${CENTS("o_totalprice")} >= 20000000
+         |GROUP BY 1 ORDER BY key""".stripMargin,
+
+    // complement of the deleted predicate on the base table: a DELETE
+    // that dropped the wrong rows, kept matches, or lost survivors in the
+    // rewrite hash-fails
+    "q_dsv2_delete" ->
+      s"""SELECT o_orderpriority AS key, COUNT(*) AS n_orders,
+         |  CAST(SUM(${CENTS("o_totalprice")}) AS BIGINT) AS sum_cents
+         |FROM orders
+         |WHERE NOT (${CENTS("o_totalprice")} < 10000000
+         |  OR o_orderpriority = '1-URGENT')
          |GROUP BY 1 ORDER BY key""".stripMargin,
 
     // same aggregate as q_dsv2_source's oracle — the engine side differs

@@ -69,6 +69,35 @@ object KvTextSource {
     * report an ordering the files stopped having. */
   private[sources] val SortedMarker = "_SORTED"
 
+  /** v1 Filter → Column over this source's columns — the translatable
+    * set behind [[KvTable.deleteWhere]]. None = refuse the DELETE
+    * (served-wrong is worse than refused). */
+  private[sources] def deleteFilterColumn(f: Filter,
+      schema: StructType): Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    def known(a: String) = schema.fieldNames.contains(a)
+    def rec(g: Filter) = deleteFilterColumn(g, schema)
+    f match {
+      case EqualTo(a, v) if known(a) => Some(col(a) === lit(v))
+      case In(a, vs) if known(a) =>
+        Some(col(a).isin(vs.toIndexedSeq: _*))
+      case GreaterThan(a, v) if known(a) => Some(col(a) > lit(v))
+      case GreaterThanOrEqual(a, v) if known(a) => Some(col(a) >= lit(v))
+      case LessThan(a, v) if known(a) => Some(col(a) < lit(v))
+      case LessThanOrEqual(a, v) if known(a) => Some(col(a) <= lit(v))
+      case IsNull(a) if known(a) => Some(col(a).isNull)
+      case IsNotNull(a) if known(a) => Some(col(a).isNotNull)
+      case StringStartsWith(a, v) if known(a) =>
+        Some(col(a).startsWith(v))
+      case And(l, r) => for (a <- rec(l); b <- rec(r)) yield a && b
+      case Or(l, r) => for (a <- rec(l); b <- rec(r)) yield a || b
+      case Not(c) => rec(c).map(x => !x)
+      case AlwaysTrue() => Some(lit(true))
+      case AlwaysFalse() => Some(lit(false))
+      case _ => None
+    }
+  }
+
   /** Whether `path` committed with the sorted-shards marker. */
   private[sources] def isSorted(path: String): Boolean =
     sessionFs(new java.net.URI(path))
@@ -163,7 +192,8 @@ class KvTextSource extends TableProvider {
   * resolution of its (key, value, shard) rows needs the column on the
   * table schema already. */
 final class KvTable(path: String, declaredSharded: Boolean = false)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   require(path != null, "graft KV source requires a single load(path)")
 
   // one tiny driver read per table instantiation (the listing the scan
@@ -197,6 +227,39 @@ final class KvTable(path: String, declaredSharded: Boolean = false)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new KvWriteBuilder(path, info, shards)
+
+  /** SQL `DELETE FROM ... WHERE` (SupportsDelete) — a REWRITE op, the
+    * only delete an immutable text format can honestly offer: one Spark
+    * job reads the dir through this same connector (pushdown applies to
+    * the survivor scan), keeps every row the predicate does NOT match
+    * (NULL-safe: a NULL predicate keeps the row, per SQL DELETE
+    * semantics), and lands the survivors through the writer's truncating
+    * overwrite — tasks stage files first, the driver commit swaps them
+    * in, so readers of the old layout are never half-truncated. Sharded
+    * dirs keep their shard count and re-land sorted through the write's
+    * RequiresDistributionAndOrdering contract; flat dirs stay flat.
+    * Cost is O(dir) by design — like compaction, a scheduled rewrite,
+    * never a per-row erase. Predicates beyond the translatable set
+    * refuse via [[canDeleteWhere]] (Spark surfaces the analysis error)
+    * rather than delete the wrong rows. */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(KvTextSource.deleteFilterColumn(_, schema()).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val pred = filters
+      .map(f => KvTextSource.deleteFilterColumn(f, schema()).getOrElse(
+        sys.error(s"deleteWhere got an untranslatable filter $f — " +
+          "canDeleteWhere should have refused")))
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    val df = spark.read.format(classOf[KvTextSource].getName).load(path)
+    val survivors = df.where(!org.apache.spark.sql.functions
+      .coalesce(pred, org.apache.spark.sql.functions.lit(false)))
+    val w = survivors.write.format(classOf[KvTextSource].getName)
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+    shards.fold(w)(n => w.option("shards", n)).save(path)
+  }
 }
 
 final class KvScanBuilder(path: String, maxSplitBytes: Long,
