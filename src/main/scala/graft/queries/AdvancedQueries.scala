@@ -1718,6 +1718,49 @@ object AdvancedQueries {
       q
     },
 
+    // CORRUPT-TOLERANT connector reads (KvPartitionReader mode=
+    // dropmalformed): the layer interleaves the orders kv lines with
+    // deterministic garbage — tab-less lines, non-numeric and empty
+    // values — derived from md5 slices of the same rows. The default
+    // (failfast) read refuses the dir loudly (pinned); the opted-in
+    // dropmalformed read skips exactly the garbage, counts it into the
+    // kvMalformedDropped scan metric, and aggregates the survivors — the
+    // oracle replays the CLEAN base table, so a reader that drops a real
+    // row, keeps a corrupt one, or double-reads across split boundaries
+    // hash-fails. Aggregate pushdown auto-disables under the mode (the
+    // dropless agg readers never see corrupt dirs).
+    "q_corrupt_kv" -> { (s, dir) =>
+      val sfN = new java.io.File(dir).getName
+      val tmp = s"/root/repo/target/tmp/orders_kvcorrupt-$sfN"
+      graft.sources.Sinks.ensureDir(s, tmp, "v1:orders,kvtext+garbage",
+        inputs = Seq(s"$dir/orders.parquet")) {
+        val o = Tables(s, dir, "orders")
+        val good = o.select(concat_ws("\t", col("o_orderpriority"),
+          cents(col("o_totalprice")).cast("string")).as("value"))
+        val m = pmod(md5Long(col("o_orderkey").cast("string")), lit(40))
+        val noTab = o.where(m === 7)
+          .select(concat(lit("corrupt-no-tab-"),
+            col("o_orderkey").cast("string")).as("value"))
+        val badNum = o.where(m === 13)
+          .select(concat(lit("k\t12x"),
+            col("o_orderkey").cast("string")).as("value"))
+        val emptyVal = o.where(m === 21).select(lit("k\t").as("value"))
+        good.unionAll(noTab).unionAll(badNum).unionAll(emptyVal)
+          .write.mode("overwrite").text(tmp)
+      }
+      val fmt = classOf[graft.sources.KvTextSource].getName
+      val refused =
+        try { s.read.format(fmt).load(tmp).count(); false }
+        catch { case _: Exception => true }
+      require(refused,
+        "a failfast read of a corrupt dir must refuse loudly")
+      s.read.format(fmt).option("mode", "dropmalformed").load(tmp)
+        .groupBy(col("key"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("value")).cast("long").as("sum_cents"))
+        .orderBy("key")
+    },
+
     // SQL DELETE FROM through the connector (KvTable.deleteWhere — DSv2
     // SupportsDelete): the predicate translates to source filters, the
     // connector rewrites the dir keeping every non-matching row, and the
@@ -4073,6 +4116,14 @@ object AdvancedQueries {
          |  CAST(SUM(${CENTS("o_totalprice")}) AS DOUBLE)/100.0 AS rev
          |FROM orders WHERE ${CENTS("o_totalprice")} >= 20000000
          |GROUP BY 1 ORDER BY key""".stripMargin,
+
+    // the CLEAN base-table aggregate: a reader that loses a real row
+    // next to a corrupt one, keeps garbage, or double-reads a split
+    // boundary hash-fails
+    "q_corrupt_kv" ->
+      s"""SELECT o_orderpriority AS key, COUNT(*) AS n_orders,
+         |  CAST(SUM(${CENTS("o_totalprice")}) AS BIGINT) AS sum_cents
+         |FROM orders GROUP BY 1 ORDER BY key""".stripMargin,
 
     // complement of the deleted predicate on the base table: a DELETE
     // that dropped the wrong rows, kept matches, or lost survivors in the

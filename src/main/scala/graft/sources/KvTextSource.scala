@@ -223,7 +223,14 @@ final class KvTable(path: String, declaredSharded: Boolean = false)
         val n = v.toLong
         require(n > 0, s"maxBytesPerTrigger must be positive, got $n")
         n
-      }, sorted)
+      }, sorted,
+      Option(options.get("mode")).map(_.toLowerCase) match {
+        case None | Some("failfast") => false
+        case Some("dropmalformed") => true
+        case Some(other) => throw new IllegalArgumentException(
+          s"unknown KV read mode '$other' — failfast (default) or " +
+            "dropmalformed")
+      })
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new KvWriteBuilder(path, info, shards)
@@ -266,7 +273,8 @@ final class KvScanBuilder(path: String, maxSplitBytes: Long,
     maxFilesPerTrigger: Option[Int] = None,
     shards: Option[Int] = None,
     maxBytesPerTrigger: Option[Long] = None,
-    sorted: Boolean = false)
+    sorted: Boolean = false,
+    dropMalformed: Boolean = false)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates
@@ -325,6 +333,10 @@ final class KvScanBuilder(path: String, maxSplitBytes: Long,
     * (non-distinct — a distinct needs the raw values on the Spark side).
     * Anything else returns false and Spark falls back to the row scan. */
   override def pushAggregation(agg: Aggregation): Boolean = {
+    // the agg readers fold raw lines and have no drop path — under
+    // dropmalformed the ROW readers own malformed handling and Spark
+    // aggregates on top (correct, one less pushdown; never divergent)
+    if (dropMalformed) return false
     def col(e: V2Expr): Option[String] = e match {
       case nr: NamedReference if nr.fieldNames.length == 1 =>
         Some(nr.fieldNames()(0))
@@ -403,7 +415,8 @@ final class KvScanBuilder(path: String, maxSplitBytes: Long,
     case Some(agg) => new KvAggScan(path, pushed, agg, maxSplitBytes)
     case None =>
       new KvScan(path, pushed, required, maxSplitBytes, topN, limit, offset,
-        maxFilesPerTrigger, shards, maxBytesPerTrigger, sorted)
+        maxFilesPerTrigger, shards, maxBytesPerTrigger, sorted,
+        dropMalformed)
   }
 }
 
@@ -415,10 +428,18 @@ final class KvScan(path: String, filters: Array[Filter], required: StructType,
     maxFilesPerTrigger: Option[Int] = None,
     shards: Option[Int] = None,
     maxBytesPerTrigger: Option[Long] = None,
-    sorted: Boolean = false) extends Scan with Batch
+    sorted: Boolean = false,
+    dropMalformed: Boolean = false) extends Scan with Batch
     with SupportsReportStatistics with SupportsRuntimeFiltering
     with SupportsReportPartitioning
     with org.apache.spark.sql.connector.read.SupportsReportOrdering {
+
+  /** Drop counter for `mode=dropmalformed` reads — surfaces per-scan in
+    * the SQL UI, so opted-into drops stay VISIBLE (a silent drop is how a
+    * corrupt-feed incident hides for a month). */
+  override def supportedCustomMetrics()
+      : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    Array(new KvMalformedMetric)
 
   /** STORAGE-PARTITIONED JOIN seam (SupportsReportPartitioning — r14
     * verdict task 6): a dir written SHARDED (rows routed to per-shard
@@ -641,7 +662,8 @@ final class KvScan(path: String, filters: Array[Filter], required: StructType,
     // shard predicates are fully discharged by partition pruning above;
     // the byte-level row readers know only key/value spans
     new KvReaderFactory((filters ++ runtime).filterNot(isShardFilter),
-      required, KvTextSource.sessionConfMap(), topN, limit, offset)
+      required, KvTextSource.sessionConfMap(), topN, limit, offset,
+      dropMalformed)
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
@@ -895,14 +917,16 @@ final class KvReaderFactory(filters: Array[Filter], required: StructType,
     confMap: Map[String, String],
     topN: Option[(Seq[(String, Boolean)], Int)] = None,
     limit: Option[Int] = None,
-    offset: Option[Int] = None) extends PartitionReaderFactory {
+    offset: Option[Int] = None,
+    dropMalformed: Boolean = false) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val base = p match {
       case kp: KvInputPartition =>
         new KvPartitionReader(kp.file, kp.start, kp.end, filters,
-          required, confMap)
+          required, confMap, dropMalformed)
       case sp: KvShardInputPartition =>
-        new KvShardPartitionReader(sp, filters, required, confMap)
+        new KvShardPartitionReader(sp, filters, required, confMap,
+          dropMalformed)
     }
     topN match {
       case Some((orders, k)) =>
@@ -921,7 +945,9 @@ final class KvReaderFactory(filters: Array[Filter], required: StructType,
   * the per-row cost is the same field-copy loop the flat reader runs. */
 final class KvShardPartitionReader(p: KvShardInputPartition,
     filters: Array[Filter], required: StructType,
-    confMap: Map[String, String]) extends PartitionReader[InternalRow] {
+    confMap: Map[String, String],
+    dropMalformed: Boolean = false)
+    extends PartitionReader[InternalRow] {
 
   private val innerSchema = StructType(required.filter(_.name != "shard"))
   // (outer slot, inner slot) for passthrough fields; shard slots are set
@@ -950,7 +976,7 @@ final class KvShardPartitionReader(p: KvShardInputPartition,
         val (f, len) = p.files(fileIdx)
         fileIdx += 1
         cur = new KvPartitionReader(f, 0L, len, filters, innerSchema,
-          confMap)
+          confMap, dropMalformed)
       }
       if (cur.next()) {
         val in = cur.get()
@@ -962,6 +988,7 @@ final class KvShardPartitionReader(p: KvShardInputPartition,
         }
         return true
       }
+      foldDrops(cur)
       cur.close()
       cur = null
     }
@@ -969,6 +996,24 @@ final class KvShardPartitionReader(p: KvShardInputPartition,
   }
   override def get(): InternalRow = reused
   override def close(): Unit = if (cur != null) cur.close()
+
+  private var droppedBefore = 0L
+  override def currentMetricsValues()
+      : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] = {
+    // finished inner readers are gone — fold their final counts as they
+    // close (next() rotates files), plus the live reader's running count
+    val live = cur match {
+      case r: KvPartitionReader => r.droppedCount
+      case _ => 0L
+    }
+    Array(KvMalformedTaskMetric(droppedBefore + live))
+  }
+
+  // fold a finishing file's drops before rotating past it
+  private def foldDrops(r: PartitionReader[InternalRow]): Unit = r match {
+    case kr: KvPartitionReader => droppedBefore += kr.droppedCount
+    case _ => ()
+  }
 }
 
 /** Pushed-OFFSET wrapper (full contract, single-split by construction —
@@ -1166,7 +1211,17 @@ final class KvAggPartitionReader(file: String, start: Long, end: Long,
   * partial) line — the preceding range finishes it. */
 final class KvPartitionReader(file: String, start: Long, end: Long,
     filters: Array[Filter], required: StructType,
-    confMap: Map[String, String]) extends PartitionReader[InternalRow] {
+    confMap: Map[String, String],
+    dropMalformed: Boolean = false)
+    extends PartitionReader[InternalRow] {
+
+  /** Lines skipped under `mode=dropmalformed` — surfaced as a custom scan
+    * metric so opted-into drops stay visible in the SQL UI. */
+  private[sources] var droppedCount = 0L
+
+  override def currentMetricsValues()
+      : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    Array(KvMalformedTaskMetric(droppedCount))
 
   private val in = {
     val p = new Path(file)
@@ -1279,19 +1334,25 @@ final class KvPartitionReader(file: String, start: Long, end: Long,
     if (c > 0) pos += c
   }
 
-  private def parseValue(from: Int): Long = {
+  private var parsedValue = 0L
+
+  /** Parse the value span into [[parsedValue]]; false = malformed (empty
+    * or non-digit), which FAILFAST turns into the loud error and
+    * dropmalformed into a counted skip. */
+  private def tryParseValue(from: Int): Boolean = {
     var i = from
     var neg = false
     if (i < lineLen && line(i) == '-') { neg = true; i += 1 }
-    require(i < lineLen, malformed())
+    if (i >= lineLen) return false
     var v = 0L
     while (i < lineLen) {
       val d = line(i) - '0'
-      require(d >= 0 && d <= 9, malformed())
+      if (d < 0 || d > 9) return false
       v = v * 10 + d
       i += 1
     }
-    if (neg) -v else v
+    parsedValue = if (neg) -v else v
+    true
   }
 
   private def malformed(): String =
@@ -1308,6 +1369,15 @@ final class KvPartitionReader(file: String, start: Long, end: Long,
     true
   }
 
+  /** A malformed line under dropmalformed: count + skip; under failfast:
+    * the loud stop. Returns whether the caller should skip to the next
+    * line (always true — failfast throws instead of returning). */
+  private def onMalformed(): Boolean = {
+    if (!dropMalformed) throw new IllegalArgumentException(malformed())
+    droppedCount += 1
+    true
+  }
+
   override def next(): Boolean = {
     while (pos <= end) {
       val consumed = readLineBytes()
@@ -1319,8 +1389,11 @@ final class KvPartitionReader(file: String, start: Long, end: Long,
         if (line(i) == '\t') tab = i
         i += 1
       }
-      require(tab >= 0, malformed())
-      val value = parseValue(tab + 1)
+      if (tab < 0 || !tryParseValue(tab + 1)) {
+        onMalformed()
+        // counted skip — fall through to the next line
+      } else {
+      val value = parsedValue
       var ok = true
       var f = 0
       while (ok && f < valuePreds.length) { ok = valuePreds(f)(value); f += 1 }
@@ -1351,12 +1424,26 @@ final class KvPartitionReader(file: String, start: Long, end: Long,
         }
         return true
       }
+      }
     }
     false
   }
 
   override def get(): InternalRow = reused
   override def close(): Unit = in.close()
+}
+
+/** "Malformed lines dropped" — the scan-level custom metric behind
+  * `mode=dropmalformed` (sums task values in the SQL UI). */
+final class KvMalformedMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "kvMalformedDropped"
+  override def description(): String = "malformed KV lines dropped"
+}
+
+private[sources] final case class KvMalformedTaskMetric(value: Long)
+    extends org.apache.spark.sql.connector.metric.CustomTaskMetric {
+  override def name(): String = "kvMalformedDropped"
 }
 
 /** Write path: the two-phase commit every distributed sink needs. Tasks

@@ -117,6 +117,47 @@ class KvTextSourceSpec extends SparkTestBase {
     }
   }
 
+  test("mode=dropmalformed skips corrupt lines; failfast (default) " +
+      "throws; unknown modes refuse") {
+    val d = Files.createTempDirectory("kvmode").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(d, "data.kv"),
+      ("a\t1\nno-tab-line\nb\t2\nc\tnotanumber\nd\t\ne\t-\nf\t3\n")
+        .getBytes("UTF-8"))
+    val fmt = classOf[graft.sources.KvTextSource].getName
+    // default: loud stop on the first malformed line
+    val e = intercept[Exception] {
+      spark.read.format(fmt).load(d).collect()
+    }
+    assert(e.getMessage != null)
+    // opted-in drops: exactly the well-formed rows survive, across split
+    // sizes (a malformed line at a split boundary must not double-count
+    // or resurrect)
+    for (split <- Seq("1", "8", "1024")) {
+      val got = spark.read.format(fmt).option("mode", "dropmalformed")
+        .option("maxSplitBytes", split).load(d)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+      assert(got == Seq(("a", 1L), ("b", 2L), ("f", 3L)),
+        s"split=$split: $got")
+    }
+    // aggregate pushdown disabled under dropmalformed (the agg readers
+    // have no drop path) — the aggregate still answers, via row readers
+    val agg = spark.read.format(fmt).option("mode", "dropmalformed")
+      .load(d).groupBy().count()
+    assert(agg.head.getLong(0) == 3)
+    assert(!agg.queryExecution.executedPlan.toString
+      .contains("PushedAggregation: [COUNT"),
+      "dropmalformed must not push aggregates into the dropless readers")
+    intercept[IllegalArgumentException] {
+      spark.read.format(fmt).option("mode", "permissive").load(d).collect()
+    }
+    // the drop metric is declared on the scan (visible in the SQL UI)
+    val scan = new graft.sources.KvTable(d).newScanBuilder(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of("mode", "dropmalformed"))).build()
+    assert(scan.supportedCustomMetrics().map(_.name())
+      .contains("kvMalformedDropped"))
+  }
+
   test("SQL DDL: CREATE TABLE ... USING resolves the provider through " +
       "the session catalog; SELECT pushes down; INSERT INTO commits " +
       "through the 2PC write; DROP leaves the external data intact") {
