@@ -674,7 +674,8 @@ final class KvScan(path: String, filters: Array[Filter], required: StructType,
       s"shard filters cannot push into the streaming scan of $path — " +
         "filter on key/value, or stream the dir unsharded")
     new KvMicroBatchStream(path, filters, required,
-      KvTextSource.sessionConfMap(), maxFilesPerTrigger, maxBytesPerTrigger)
+      KvTextSource.sessionConfMap(), maxFilesPerTrigger, maxBytesPerTrigger,
+      dropMalformed)
   }
 }
 
@@ -730,7 +731,8 @@ object KvStreamOffset {
 final class KvMicroBatchStream(path: String, filters: Array[Filter],
     required: StructType, confMap: Map[String, String],
     maxFilesPerTrigger: Option[Int] = None,
-    maxBytesPerTrigger: Option[Long] = None)
+    maxBytesPerTrigger: Option[Long] = None,
+    dropMalformed: Boolean = false)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, Offset, ReadAllAvailable, ReadLimit, ReadMaxBytes, ReadMaxFiles}
@@ -847,7 +849,8 @@ final class KvMicroBatchStream(path: String, filters: Array[Filter],
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new KvReaderFactory(filters, required, confMap)
+    new KvReaderFactory(filters, required, confMap,
+      dropMalformed = dropMalformed)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

@@ -188,6 +188,45 @@ class KvStreamSpec extends SparkTestBase {
       s"frozen backlog should drain as paced 2+2+1 rows, got $batches")
   }
 
+  test("mode=dropmalformed flows through the streaming path: corrupt " +
+      "lines skip instead of killing the stream") {
+    val in = Files.createTempDirectory("graft-kvs-mode").toString
+    val out = Files.createTempDirectory("graft-kvs-mode-out").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft-kvs-mode-ck").toString
+    writeFile(in, "b0001.txt",
+      Seq(kvLine("a", 1), "corrupt-no-tab", kvLine("b", 2), "c\tnotanum"))
+    val q = graft.streaming.StreamingOps.withStreamShuffle(spark) {
+      spark.readStream
+        .format(classOf[graft.sources.KvTextSource].getName)
+        .option("mode", "dropmalformed")
+        .load(in)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    }
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.read.parquet(out)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+    assert(got == Seq(("a", 1L), ("b", 2L)), got.toString)
+    // without the mode, the same dir kills the stream loudly
+    val ckpt2 = Files.createTempDirectory("graft-kvs-mode-ck2").toString
+    val q2 = graft.streaming.StreamingOps.withStreamShuffle(spark) {
+      spark.readStream
+        .format(classOf[graft.sources.KvTextSource].getName)
+        .load(in)
+        .writeStream.format("noop")
+        .option("checkpointLocation", ckpt2)
+        .start()
+    }
+    intercept[StreamingQueryException] {
+      try q2.processAllAvailable()
+      finally q2.stop()
+      throw new IllegalStateException("stream survived a corrupt dir")
+    }
+  }
+
   test("offset JSON round-trips file names with quotes/backslashes/controls") {
     // the offset goes into the checkpoint verbatim: an unescaped quote in
     // a file name would corrupt the JSON and brick the restart path
