@@ -125,6 +125,7 @@ object Bench {
     // invoking their fns here would execute the full op twice per run
     graft.queries.AdvancedQueries.compactInLayer(spark, sfDir)
     graft.queries.AdvancedQueries.snapCdfSliceLayer(spark, sfDir): Unit
+    graft.queries.AdvancedQueries.packSliceLayer(spark, sfDir): Unit
     graft.queries.AdvancedQueries.dynpartBaseLayer(spark, sfDir)
     // Build EVERY other write-once derived layer untimed: each layer-backed
     // query runs its Sinks.ensure* calls eagerly while CONSTRUCTING its

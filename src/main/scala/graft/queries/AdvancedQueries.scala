@@ -250,6 +250,37 @@ object AdvancedQueries {
     base
   }
 
+  /** Three id-ranged, single-file document slices — q_stream_pack's
+    * INPUT data (the pack stream's ordered-arrival contract needs each
+    * batch's ids above the previous batch's, so slices are contiguous
+    * doc_id ranges and each is ONE file = one micro-batch). Write-once;
+    * extracted so Bench's warm-up builds them without running the
+    * stream twice. */
+  def packSliceLayer(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val base =
+      s"/root/repo/target/tmp/pack_slices-${new java.io.File(dir).getName}"
+    val docs = Tables(s, dir, "documents")
+      .where(col("n_chars") > 0)
+      .select(col("doc_id"),
+        pmod(md5Long(col("doc_id").cast("string")), lit(8))
+          .cast("int").as("shard"),
+        col("n_chars").as("n"))
+    for (k <- 0 to 2)
+      graft.sources.Sinks.ensureDir(s, s"$base/d$k", s"v1:pack_$k",
+        inputs = Seq(s"$dir/documents.parquet")) {
+        val m = Tables(s, dir, "documents")
+          .agg(max(col("doc_id"))).head.getLong(0)
+        val (lo, hi) = (k * m / 3, if (k == 2) m else (k + 1) * m / 3)
+        val range =
+          if (k == 0) col("doc_id") <= hi // include the smallest ids
+          else col("doc_id") > lo && col("doc_id") <= hi
+        docs.where(range).coalesce(1)
+          .write.mode("overwrite").parquet(s"$base/d$k")
+      }
+    base
+  }
+
   def queries: Map[String, Q] = Map(
     // CUBE over two dimensions + grouping flags (SURVEY §2.2 "grouping
     // sets/cube/rollup" row; rollup lives in Relational.q_rollup).
@@ -669,6 +700,71 @@ object AdvancedQueries {
       net.groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
         .orderBy("o_orderpriority")
+    },
+
+    // STREAMING TOKEN PACKER (StreamingOps.packOffsets — the LLM
+    // pretraining pack op run incrementally): per shard, each arriving
+    // document gets its OFFSET in the shard's concatenated token stream,
+    // the running offset carried across micro-batches in keyed state
+    // (the cross-batch leftover of a batch packer). Three id-ranged doc
+    // slices drain as three micro-batches (one file each, paced by
+    // maxFilesPerTrigger under AvailableNow); the packed-sequence table
+    // — tokens [off, off+n) land in sequences [off div L, (off+n-1) div
+    // L] — then derives by pure arithmetic. The oracle replays offsets
+    // as a cumulative-sum window over the same id order, so a skipped or
+    // re-delivered batch, a mis-carried state, or an out-of-order fold
+    // shifts every later offset and hash-fails. One packer per shard =
+    // the 100 TB shape (no global state; parallelism = shard count).
+    "q_stream_pack" -> { (s, dir) =>
+      import graft.streaming.StreamingOps
+      val root = new java.io.File(
+        s"/root/repo/target/tmp/stream_pack-${new java.io.File(dir).getName}")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(): Unit
+      }
+      if (root.exists) rm(root)
+      val in = new java.io.File(root, "in"); in.mkdirs()
+      val out = s"$root/out"
+      val slices = packSliceLayer(s, dir)
+      for (k <- 0 to 2) {
+        val part = new java.io.File(s"$slices/d$k").listFiles
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(in, s"b$k.parquet")
+        java.nio.file.Files.copy(part.toPath, dst.toPath): Unit
+        // one file = one micro-batch, in slice order (the ordered-arrival
+        // contract) — the file source claims oldest-mtime first
+        require(dst.setLastModified(1000000L * (k + 1)), "mtime pin failed")
+      }
+      val schema = s.read.parquet(s"$slices/d0").schema
+      graft.streaming.StreamingOps.withStreamShuffle(s) {
+        import s.implicits._
+        val docs = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(in.toString)
+          .select(col("shard"), col("doc_id"), col("n"))
+          .as[StreamingOps.PackDoc]
+        val q = StreamingOps.packOffsets(docs)
+          .writeStream.option("checkpointLocation", s"$root/cp")
+          .format("parquet").option("path", out)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination() finally q.stop()
+      }
+      val offs = s.read.parquet(out)
+      // exactly-once pin: one offset per doc, no replays
+      require(offs.select(countDistinct(col("doc_id"))).head.getLong(0) ==
+        offs.count(), "pack stream emitted duplicate offsets")
+      val L = 4096
+      offs
+        .withColumn("seq_id", explode(sequence(expr(s"off div $L"),
+          expr(s"(off + n - 1) div $L"))))
+        .withColumn("tok",
+          least((col("seq_id") + 1) * L, col("off") + col("n")) -
+            greatest(col("seq_id") * L, col("off")))
+        .groupBy(col("shard"), col("seq_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_tokens"))
+        .orderBy("shard", "seq_id")
     },
 
     // STREAMING INGEST INTO THE SNAPSHOT TABLE (SnapshotTable.ingestBatch
@@ -3732,6 +3828,33 @@ object AdvancedQueries {
          |  CAST(SUM(${CENTS("o_totalprice")}) AS BIGINT) AS sum_cents
          |FROM orders WHERE ${CENTS("o_totalprice")} >= 15000000
          |GROUP BY 1 ORDER BY key""".stripMargin,
+
+    // cumulative-sum replay of the pack over the same (shard, id) order:
+    // any state mis-carry across batches shifts every later offset in
+    // that shard — sequence boundaries move and the hash fails
+    "q_stream_pack" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    CAST(${MD5LONG("CAST(doc_id AS VARCHAR)")} % 8 AS INT)
+         |      AS shard,
+         |    n_chars AS n
+         |  FROM documents WHERE n_chars > 0),
+         |o AS (
+         |  SELECT shard, doc_id, n,
+         |    CAST(COALESCE(SUM(n) OVER (PARTITION BY shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS off
+         |  FROM d),
+         |pr AS (
+         |  SELECT shard, off, n,
+         |    UNNEST(generate_series(off // 4096, (off + n - 1) // 4096))
+         |      AS seq_id
+         |  FROM o)
+         |SELECT shard, seq_id, COUNT(*) AS n_docs,
+         |  CAST(SUM(LEAST((seq_id + 1) * 4096, off + n)
+         |    - GREATEST(seq_id * 4096, off)) AS BIGINT) AS n_tokens
+         |FROM pr GROUP BY 1, 2
+         |ORDER BY shard, seq_id""".stripMargin,
 
     // head-state replay of the streamed ingest on the base table: a
     // dropped micro-batch (missing rows), a double-folded re-delivery

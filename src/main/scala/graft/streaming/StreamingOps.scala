@@ -306,6 +306,53 @@ object StreamingOps {
 
   /** transformWithState needs the RocksDB state store; scope the provider
     * to the gated execution like [[withStreamShuffle]] scopes partitions. */
+  case class PackDoc(shard: Int, doc_id: Long, n: Long)
+  case class PackState(lastId: Long, off: Long)
+  case class PackedDoc(shard: Int, doc_id: Long, off: Long, n: Long)
+
+  /** STREAMING TOKEN PACKER — the LLM-pretraining pack op run
+    * incrementally: per shard, each arriving document is assigned its
+    * token OFFSET in the shard's concatenated token stream, with the
+    * running offset carried across micro-batches in keyed state (the
+    * cross-batch leftover a batch packer keeps in memory). Sequence
+    * membership is then pure arithmetic — tokens [off, off+n) fall in
+    * sequences [off div L, (off+n-1) div L] — so the packed-sequence
+    * table derives from these offsets with no further state, and an
+    * exact SQL replay (cumulative sum over the same id order) can audit
+    * the whole run.
+    *
+    * Scale shape: one packer per SHARD (parallel, no global state); the
+    * per-batch group work is sort + scan of that batch's docs. Ordered
+    * arrival is the CONTRACT (append-style ingest: every batch's ids
+    * exceed the frontier — the id doubles as the order witness); a
+    * violation fails loudly rather than silently mis-offsetting every
+    * later sequence. Exactly-once across restart = the offset state
+    * lives in the checkpoint. Zero-token docs advance nothing but still
+    * emit (their offset is defined; they occupy no sequence). */
+  def packOffsets(docs: Dataset[PackDoc]): Dataset[PackedDoc] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.shard)
+      .flatMapGroupsWithState[PackState, PackedDoc](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (shard: Int, rows: Iterator[PackDoc], state: GroupState[PackState]) =>
+          val batch = rows.toIndexedSeq.sortBy(_.doc_id)
+          var st = state.getOption.getOrElse(PackState(Long.MinValue, 0L))
+          val out = batch.map { d =>
+            require(d.doc_id > st.lastId,
+              s"pack stream ordered-arrival contract violated on shard " +
+                s"$shard: doc ${d.doc_id} arrived at or below the " +
+                s"frontier ${st.lastId} — a late doc would silently " +
+                "shift every later offset; feed batches in id order")
+            require(d.n >= 0, s"doc ${d.doc_id} has negative tokens ${d.n}")
+            val o = st.off
+            st = PackState(d.doc_id, st.off + d.n)
+            PackedDoc(shard, d.doc_id, o, d.n)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   def withRocksDbState[T](s: SparkSession)(body: => T): T = {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = s.conf.getOption(key)

@@ -64,7 +64,8 @@ class BenchBaselineSpec extends SparkTestBase {
     val warmedElsewhere = Set(
       "warmGraphLayers", "coPurchaseEdges", "dagLayer", "weightedLayer",
       "degreeEdgeTable", "pgmFilesLayer", "compactInLayer",
-      "dynpartBaseLayer", "snapCdfSliceLayer", "ordersTtBase")
+      "dynpartBaseLayer", "snapCdfSliceLayer", "ordersTtBase",
+      "packSliceLayer")
     val qNameRe = """"(q_[a-z0-9_]+|[a-z]+_[a-z0-9_]+)"\s*->""".r
     val ensureRe = """Sinks\.(ensureDir|ensureBucketedTable)\(""".r
     val defRe = """(?:private\s+)?def\s+([A-Za-z0-9_]+)""".r
