@@ -344,6 +344,35 @@ object SnapshotTable {
     VacuumReport(old.size, removed, live.size)
   }
 
+  /** Time-based retention (`VACUUM ... RETAIN`): resolve the newest
+    * version older than the cutoff against manifest mtimes (the store's
+    * clock — [[versionAsOf]]'s contract) and keep everything from there
+    * forward, so "retain 7 days" works without the caller tracking
+    * version numbers. The HEAD always survives (a fully-stale table
+    * keeps its latest version — deleting the only readable snapshot is
+    * never what retention means). Delegates to [[vacuum]] for the actual
+    * manifest-first deletion order. */
+  def vacuumOlderThan(spark: SparkSession, base: String,
+      cutoffMillis: Long): VacuumReport = {
+    val head = headVersion(spark, base)
+    require(head >= 1, s"no committed snapshot under $base to vacuum")
+    // only SURVIVING manifests participate (earlier vacuums already
+    // removed some); vacuum's live-range read requires every manifest in
+    // keepFrom..head to exist
+    val surviving = (1 to head).filter { v =>
+      val p = manifestPath(base, v)
+      fsFor(spark, p).exists(p)
+    }
+    // newest version committed AT or BEFORE the cutoff stays readable
+    // (time travel to "as of the cutoff" must keep working afterwards);
+    // no version predates the cutoff → nothing to retire
+    val keepFrom = surviving.reverse.find { v =>
+      val p = manifestPath(base, v)
+      fsFor(spark, p).getFileStatus(p).getModificationTime <= cutoffMillis
+    }.getOrElse(surviving.head)
+    vacuum(spark, base, keepFrom, head)
+  }
+
   /** Row-level `DELETE WHERE` — the merge-on-read write path that closes
     * the loop between the CDC operators and the snapshot format: one scan
     * of the head version collects the matching rows' KEYS into a fresh

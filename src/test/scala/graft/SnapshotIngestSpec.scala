@@ -98,6 +98,24 @@ class SnapshotIngestSpec extends SparkTestBase {
     assert(ST.readVersion(spark, base, 3, "k").count() == 5 + 3 + 4)
   }
 
+  test("ingested versions feed the CDF consumer side: each epoch is one " +
+      "O(delta) all-inserts change window") {
+    import spark.implicits._
+    val root = freshRoot()
+    val base = s"$root/tbl"; new java.io.File(base).mkdirs()
+    assert(ST.ingestBatch(spark, base, (0L until 5L).toDF("k"), 0L) == 1)
+    assert(ST.ingestBatch(spark, base, (5L until 12L).toDF("k"), 1L) == 2)
+    // the window between consecutive ingested versions is exactly that
+    // batch's rows, all inserts — the contract the CDC stream's consumer
+    // (q_stream_snapshot_cdf) folds on
+    val w = ST.readChanges(spark, base, 1, 2, "k")
+    assert(w.where(col("change") === "insert").count() == 7 &&
+      w.where(col("change") =!= "insert").count() == 0)
+    assert(w.agg(min(col("k")), max(col("k"))).head match {
+      case r => r.getLong(0) == 5L && r.getLong(1) == 11L
+    })
+  }
+
   test("statsCol threads per-epoch bounds into pruned reads") {
     import spark.implicits._
     val root = freshRoot()

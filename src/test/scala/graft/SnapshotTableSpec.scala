@@ -423,6 +423,33 @@ class SnapshotTableSpec extends SparkTestBase {
     assert(SnapshotTable.readVersion(spark, base, 2, "k").count() == 15)
   }
 
+  test("vacuumOlderThan resolves the cutoff against manifest mtimes; " +
+      "the head always survives") {
+    val base = freshBase()
+    for (v <- 1 to 4) {
+      writeNums(s"$base/d$v", v * 10, v * 10 + 5)
+      SnapshotTable.commit(spark, base, v,
+        Snapshot((1 to v).map(i => s"$base/d$i"), Nil))
+      assert(new java.io.File(base, s"_MANIFEST_v$v")
+        .setLastModified(v * 1000000L))
+    }
+    // cutoff between v2 and v3: v2 is the newest at-or-before — v1 drops,
+    // v2..4 survive (time travel "as of the cutoff" keeps working)
+    val rep = SnapshotTable.vacuumOlderThan(spark, base, 2500000L)
+    assert(rep.manifestsRemoved == 1, rep)
+    assert(!new java.io.File(base, "_MANIFEST_v1").exists)
+    assert(SnapshotTable.readVersion(spark, base, 2, "k").count() == 10)
+    // a cutoff before every surviving commit keeps everything (nothing
+    // qualifies; the 4 live dirs are d1..d4 via the v2..v4 manifests)
+    assert(SnapshotTable.vacuumOlderThan(spark, base, 1L)
+      == SnapshotTable.VacuumReport(0, 0, 4))
+    // a cutoff after every commit keeps ONLY the head — never zero
+    val rep2 = SnapshotTable.vacuumOlderThan(spark, base, Long.MaxValue)
+    assert(rep2.manifestsRemoved == 2 &&
+      SnapshotTable.headVersion(spark, base) == 4)
+    assert(SnapshotTable.readVersion(spark, base, 4, "k").count() == 20)
+  }
+
   test("vacuum canonicalizes dir spellings: a trailing-slash reference cannot orphan a live dir") {
     // the r10-advice latent bug: orphan-vs-live was decided by LEXICAL
     // string equality, so a dir recorded with a cosmetic path difference
