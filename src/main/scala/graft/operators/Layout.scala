@@ -62,6 +62,43 @@ object Layout {
         lit(s", $yCol="), y))))
   }
 
+  /** The 3×21-bit Morton interleave — same template discipline as
+    * [[zSql]], with one extra care: the wider spread's intermediate
+    * products would cross 2⁶³ if shifted naively, so each multiplied
+    * copy is PRE-MASKED to exactly the bits the next mask can still use
+    * (the discarded bits land above the mask either way) — every
+    * intermediate stays under 2⁶³, so the expression is ANSI-safe, not
+    * wrap-dependent. Verified bit-exact against the positional
+    * reference interleave in LayoutSpec. */
+  def zSql3(x: String, y: String, z: String): String = {
+    def spread(c: String): String = {
+      val m = s"($c & 2097151)"
+      val s1 = s"(($m | ($m * 4294967296)) & 8725724278095871)"
+      val s2 = s"(($s1 | (($s1 & 137438953471) * 65536)) & 8725728556220671)"
+      val s3 =
+        s"(($s2 | (($s2 & 9007199254740991) * 256)) & 1157144660301377551)"
+      val s4 =
+        s"(($s3 | (($s3 & 144115188075855871) * 16)) & 1207822528635744451)"
+      s"(($s4 | (($s4 & 576460752303423487) * 4)) & 1317624576693539401)"
+    }
+    s"(${spread(x)} | (${spread(y)} * 2) | (${spread(z)} * 4))"
+  }
+
+  /** Attach the 3-D Morton key as `zv` — [[withZ]]'s domain guard,
+    * three columns. */
+  def withZ3(df: DataFrame, xCol: String, yCol: String,
+      zCol: String): DataFrame = {
+    val cs = Seq(xCol, yCol, zCol).map(c => col(c).cast("long"))
+    val lim = (1L << 21) - 1
+    df.withColumn("zv",
+      when(cs.map(_.between(0, lim)).reduce(_ && _),
+        expr(zSql3(s"CAST($xCol AS BIGINT)", s"CAST($yCol AS BIGINT)",
+          s"CAST($zCol AS BIGINT)")))
+      .otherwise(raise_error(concat(
+        lit(s"z-order input outside [0, 2^21): ($xCol, $yCol, $zCol)=("),
+        cs(0), lit(", "), cs(1), lit(", "), cs(2), lit(")")))))
+  }
+
   /** Write `df` parquet laid out by Morton range: range-repartition on the
     * key then sort within partitions, so each output file covers one tight
     * Morton rectangle and a min/max-skipping reader prunes on BOTH columns.

@@ -3213,12 +3213,26 @@ object AdvancedQueries {
       }
       ST.commit(s, base, 1, ST.Snapshot(Seq(s"$base/d0"), Nil))
       if (ST.headVersion(s, base) == 1) {
-        val v = ST.deleteWhere(s, base, "o_orderkey",
-          pmod(md5Long(col("o_orderkey").cast("string")), lit(9)) === 4)
-        require(v == 2, s"delete landed at v$v, expected v2")
-        val rep = ST.optimizeZorder(s, base, "o_orderkey", "ckey", "day", 16)
-        require(rep.version == 3 && rep.dirsIn == 1 && rep.dirsOut >= 2,
-          s"zorder rewrite must slice the single dir, got $rep")
+        try {
+          val v = ST.deleteWhere(s, base, "o_orderkey",
+            pmod(md5Long(col("o_orderkey").cast("string")), lit(9)) === 4)
+          require(v == 2, s"delete landed at v$v, expected v2")
+          val rep =
+            ST.optimizeZorder(s, base, "o_orderkey", "ckey", "day", 16)
+          require(rep.version == 3 && rep.dirsIn == 1 && rep.dirsOut >= 2,
+            s"zorder rewrite must slice the single dir, got $rep")
+        } catch {
+          // a CONCURRENT constructor (parallel suite thread, or the bench
+          // tripwire's child JVM warming the same layer) won a version
+          // claim under us — defer to the winner, whose head checks below
+          // still gate correctness
+          case e: Exception if ST.headVersion(s, base) >= 2 => ()
+        }
+      }
+      // the winner may still be mid-rewrite: wait for its v3 commit
+      var zTries = 0
+      while (ST.headVersion(s, base) < 3 && zTries < 600) {
+        Thread.sleep(100); zTries += 1
       }
       require(ST.headVersion(s, base) == 3, "head must be the zorder")
       require(ST.manifest(s, base, 3).deleteDirs.isEmpty,
@@ -3228,6 +3242,63 @@ object AdvancedQueries {
       require(rep.dirsKept >= 1 && rep.dirsKept < rep.dirsTotal,
         s"a 2-D box over the z-ordered table must prune dirs, got $rep")
       boxed.where(col("ckey").between(1, 100) && col("day").between(0, 365))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+        .orderBy("o_orderpriority")
+    },
+
+    // 3-COLUMN OPTIMIZE ZORDER (Layout.withZ3 — the 3×21-bit interleave,
+    // ANSI-safe pre-masked shifts, bit-pinned in LayoutSpec): same
+    // rewrite discipline as q_snapshot_zorder but the Morton key
+    // interleaves (ckey, day, price-bucket), so a 3-D cube predicate —
+    // or any subset of the three dimensions — prunes at the manifest
+    // level. A merge-on-read delete again folds through the rewrite.
+    "q_snapshot_zorder3" -> { (s, dir) =>
+      import graft.sources.{SnapshotTable => ST}
+      val sfN = new java.io.File(dir).getName
+      val fp = java.security.MessageDigest.getInstance("MD5")
+        .digest(graft.sources.Sinks.fingerprint(s, s"$dir/orders.parquet")
+          .getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString.take(10)
+      val base = s"/root/repo/target/tmp/orders_zord3-$sfN-$fp"
+      graft.sources.Sinks.ensureDir(s, s"$base/d0", "v1:zord3_slim",
+        inputs = Seq(s"$dir/orders.parquet")) {
+        Tables(s, dir, "orders")
+          .select(col("o_orderkey"), cents(col("o_totalprice")).as("cents"),
+            col("o_orderpriority"), col("o_custkey").as("ckey"),
+            datediff(col("o_orderdate"), lit("1995-01-01")).as("day"),
+            expr(s"${CENTS("o_totalprice")} div 100000").as("pbucket"))
+          .write.mode("overwrite").parquet(s"$base/d0")
+      }
+      ST.commit(s, base, 1, ST.Snapshot(Seq(s"$base/d0"), Nil))
+      if (ST.headVersion(s, base) == 1) {
+        try {
+          val v = ST.deleteWhere(s, base, "o_orderkey",
+            pmod(md5Long(col("o_orderkey").cast("string")), lit(10)) === 6)
+          require(v == 2, s"delete landed at v$v, expected v2")
+          val rep = ST.optimizeZorder(s, base, "o_orderkey",
+            Seq("ckey", "day", "pbucket"), 27)
+          require(rep.version == 3 && rep.dirsIn == 1 && rep.dirsOut >= 4,
+            s"3-D zorder rewrite must slice the single dir, got $rep")
+        } catch {
+          // concurrent constructor won a claim — defer to the winner
+          // (see q_snapshot_zorder)
+          case e: Exception if ST.headVersion(s, base) >= 2 => ()
+        }
+      }
+      var zTries = 0
+      while (ST.headVersion(s, base) < 3 && zTries < 600) {
+        Thread.sleep(100); zTries += 1
+      }
+      require(ST.headVersion(s, base) == 3, "head must be the zorder")
+      require(ST.manifest(s, base, 3).deleteDirs.isEmpty,
+        "the rewrite must FOLD the delete set, not carry it")
+      val (boxed, rep) = ST.readVersionPrunedBox(s, base, 3, "o_orderkey",
+        Seq(("ckey", "1", "100"), ("day", "0", "365"),
+          ("pbucket", "0", "150")))
+      require(rep.dirsKept >= 1 && rep.dirsKept < rep.dirsTotal,
+        s"a 3-D cube over the z-ordered table must prune dirs, got $rep")
+      boxed.where(col("ckey").between(1, 100) && col("day").between(0, 365)
+          && col("pbucket").between(0, 150))
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
         .orderBy("o_orderpriority")
@@ -3633,6 +3704,20 @@ object AdvancedQueries {
          |  AND o_custkey BETWEEN 1 AND 100
          |  AND date_diff('day', TIMESTAMP '1995-01-01 00:00:00',
          |    o_orderdate) BETWEEN 0 AND 365
+         |GROUP BY o_orderpriority
+         |ORDER BY o_orderpriority""".stripMargin,
+
+    // the 3-D complement replay: same failure modes as q_snapshot_zorder,
+    // over a cube predicate the 3-column interleave exists to serve
+    "q_snapshot_zorder3" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n_orders,
+         |  CAST(SUM(${CENTS("o_totalprice")}) AS BIGINT) AS sum_cents
+         |FROM orders
+         |WHERE ${MD5LONG("CAST(o_orderkey AS VARCHAR)")} % 10 <> 6
+         |  AND o_custkey BETWEEN 1 AND 100
+         |  AND date_diff('day', TIMESTAMP '1995-01-01 00:00:00',
+         |    o_orderdate) BETWEEN 0 AND 365
+         |  AND ${CENTS("o_totalprice")} // 100000 BETWEEN 0 AND 150
          |GROUP BY o_orderpriority
          |ORDER BY o_orderpriority""".stripMargin,
 

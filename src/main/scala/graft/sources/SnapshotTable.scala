@@ -948,14 +948,23 @@ object SnapshotTable {
     * not per-commit); inputs must lie in [0, 2²¹) per [[Layout.withZ]]'s
     * enforced domain. */
   def optimizeZorder(spark: SparkSession, base: String, keyCol: String,
-      xCol: String, yCol: String, nDirs: Int): ZorderReport = {
+      xCol: String, yCol: String, nDirs: Int): ZorderReport =
+    optimizeZorder(spark, base, keyCol, Seq(xCol, yCol), nDirs)
+
+  /** The n-column form: 2 or 3 interleaved columns ([[Layout.withZ]] /
+    * [[Layout.withZ3]] — a 3-D cube predicate prunes on any subset of
+    * the three). */
+  def optimizeZorder(spark: SparkSession, base: String, keyCol: String,
+      cols: Seq[String], nDirs: Int): ZorderReport = {
+    require(cols.size == 2 || cols.size == 3,
+      s"zorder interleaves 2 or 3 columns, got ${cols.size}")
     require(nDirs >= 2 && nDirs <= 4096,
       s"nDirs must be in [2, 4096], got $nDirs")
     val head = headVersion(spark, base)
     require(head >= 1, s"no committed snapshot under $base to zorder")
     val snap = manifest(spark, base, head)
     val cur = tableSchema(spark, snap)
-    for (c <- Seq(xCol, yCol))
+    for (c <- cols)
       require(cur.fieldNames.contains(c), s"zorder column $c not in schema")
     for (c <- Seq("zv", "zb"))
       require(!cur.fieldNames.contains(c),
@@ -966,24 +975,33 @@ object SnapshotTable {
     require(!fsFor(spark, mp).exists(mp),
       s"version $v is already committed under $base — a concurrent " +
         "committer won the version claim; re-read the head and retry")
-    val outParent = s"$base/_zorder_v$v"
+    // WRITER-UNIQUE staging: a concurrent optimizer (or a racing replay)
+    // must never clobber this writer's in-progress slices — the version
+    // claim in commit() arbitrates the winner; a loser's (or a crash's)
+    // staging dir is unreferenced garbage, never a live manifest's data
+    val outParent = s"$base/_zorder_v$v-" +
+      java.util.UUID.randomUUID().toString.take(8)
     val op = new Path(outParent)
     val ofs = fsFor(spark, op)
-    // leavings of a crashed prior attempt at THIS version: safe to clear,
-    // since the guard above proved no manifest references them yet
-    if (ofs.exists(op)) ofs.delete(op, true)
     val data = applyDeletes(spark, snap,
       readData(spark, snap, snap.dataDirs), keyCol)
-    val z = graft.operators.Layout.withZ(data, xCol, yCol)
+    val z = cols match {
+      case Seq(x, y) => graft.operators.Layout.withZ(data, x, y)
+      case Seq(x, y, w) => graft.operators.Layout.withZ3(data, x, y, w)
+    }
     val ext = z.agg(org.apache.spark.sql.functions.min(col("zv")),
       org.apache.spark.sql.functions.max(col("zv"))).head
     require(!ext.isNullAt(0),
       s"$base head is empty after delete masking — nothing to zorder")
     val (zmin, zmax) = (ext.getLong(0), ext.getLong(1))
     val span = math.max(1L, zmax - zmin + 1)
-    // slice id: linear split of the OCCUPIED z range (zv ≤ 2⁴², nDirs ≤
-    // 2¹² — the product stays far under 2⁶³)
-    val zb = least(((col("zv") - zmin) * nDirs / span).cast("int"),
+    // slice id: linear split of the OCCUPIED z range, DIVIDE-FIRST
+    // integer math (a 3-D zv reaches 2⁶² — multiplying by nDirs first
+    // would overflow)
+    val width = math.max(1L, (span + nDirs - 1) / nDirs)
+    val zb = least(
+      org.apache.spark.sql.functions.expr(s"(zv - ${zmin}L) div ${width}L")
+        .cast("int"),
       lit(nDirs - 1))
     z.withColumn("zb", zb)
       .repartition(nDirs, col("zb"))
@@ -1000,8 +1018,7 @@ object SnapshotTable {
     // so it satisfies commit's per-dir precondition
     for (d <- newDirs)
       fsFor(spark, new Path(d)).create(new Path(d, "_SUCCESS"), true).close()
-    val bounds = computeBounds(spark, newDirs, xCol) ++
-      computeBounds(spark, newDirs, yCol)
+    val bounds = cols.flatMap(c => computeBounds(spark, newDirs, c))
     commit(spark, base, v, Snapshot(newDirs, Nil, bounds, snap.schema))
     ZorderReport(v, snap.dataDirs.size, newDirs.size)
   }

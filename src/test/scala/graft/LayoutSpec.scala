@@ -31,6 +31,41 @@ class LayoutSpec extends SparkTestBase {
     }
   }
 
+  private def morton3Model(x: Long, y: Long, z: Long): Long = {
+    var out = 0L
+    var i = 0
+    while (i < 21) {
+      out |= ((x >> i) & 1L) << (3 * i)
+      out |= ((y >> i) & 1L) << (3 * i + 1)
+      out |= ((z >> i) & 1L) << (3 * i + 2)
+      i += 1
+    }
+    out
+  }
+
+  test("zSql3 template matches the 3-D bit-interleave model (ANSI-safe: " +
+      "every intermediate stays under 2^63)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(29)
+    val lim = (1L << 21) - 1
+    val pts = Seq.fill(300)(
+      (rng.nextLong(1L << 21), rng.nextLong(1L << 21),
+        rng.nextLong(1L << 21))) ++
+      Seq((0L, 0L, 0L), (lim, lim, lim), (0L, lim, 0L), (lim, 0L, lim))
+    val got = Layout.withZ3(pts.toDF("x", "y", "w"), "x", "y", "w")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    got.foreach { case (x, y, w, zv) =>
+      assert(zv == morton3Model(x, y, w), s"($x, $y, $w)")
+      assert(zv >= 0, s"3-D key must stay positive: ($x, $y, $w)")
+    }
+    // domain guard raises, same as the 2-D form
+    intercept[Exception] {
+      Layout.withZ3(Seq((-1L, 0L, 0L)).toDF("x", "y", "w"), "x", "y", "w")
+        .collect()
+    }
+  }
+
   test("equal z-bucket at shift 2k pins both coordinates to one 2^k box") {
     import spark.implicits._
     val rng = new scala.util.Random(17)
