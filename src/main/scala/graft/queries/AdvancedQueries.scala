@@ -2497,6 +2497,59 @@ object AdvancedQueries {
            |ORDER BY version""".stripMargin)
     },
 
+    // SHALLOW CLONE + RESTORE (SnapshotTable.cloneAt/restore): the clone
+    // is one manifest write referencing the source's dirs — zero data
+    // I/O at any table size — and its history then evolves
+    // independently: a delete on the clone (v2) never touches the
+    // source (structural pin: the source's v2 manifest is byte-equal
+    // before/after), and RESTORE rolls the clone back by committing its
+    // v1 manifest as v3 (history preserved, head = old content). The
+    // head read must then equal exactly the cloned row set — the oracle
+    // replays source@v2 (all orders) from the base table, so a clone
+    // that copied the wrong version, a delete that leaked to the
+    // source, or a restore that lost rows all hash-fail. Shares
+    // ordersTtBase read-only.
+    "q_snapshot_clone" -> { (s, dir) =>
+      import graft.sources.{SnapshotTable => ST}
+      val src = ordersTtBase(s, dir)
+      val sfN = new java.io.File(dir).getName
+      val fp = java.security.MessageDigest.getInstance("MD5")
+        .digest(graft.sources.Sinks.fingerprint(s, s"$dir/orders.parquet")
+          .getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString.take(10)
+      val dst = s"/root/repo/target/tmp/orders_clone-$sfN-$fp"
+      new java.io.File(dst).mkdirs()
+      val srcV2 = ST.manifest(s, src, 2)
+      if (ST.headVersion(s, dst) == 0)
+        ST.cloneAt(s, src, 2, dst)
+      require(ST.manifest(s, dst, 1) == srcV2,
+        "a shallow clone must reference EXACTLY the source version's dirs")
+      if (ST.headVersion(s, dst) == 1) {
+        try {
+          val v = ST.deleteWhere(s, dst, "o_orderkey",
+            pmod(md5Long(col("o_orderkey").cast("string")), lit(6)) === 1)
+          require(v == 2, s"clone delete landed at v$v, expected v2")
+          require(ST.restore(s, dst, 1) == 3, "restore must land at v3")
+        } catch { // concurrent constructor won a claim — defer (see zorder)
+          case e: Exception if ST.headVersion(s, dst) >= 2 => ()
+        }
+      }
+      var cTries = 0
+      while (ST.headVersion(s, dst) < 3 && cTries < 600) {
+        Thread.sleep(100); cTries += 1
+      }
+      require(ST.headVersion(s, dst) == 3, "head must be the restore")
+      require(ST.manifest(s, dst, 3) == ST.manifest(s, dst, 1),
+        "restore must resurrect the pre-delete manifest exactly")
+      require(ST.manifest(s, src, 2) == srcV2 &&
+        ST.headVersion(s, src) == 3,
+        "the clone's history must never touch the source")
+      ST.readVersion(s, dst, 3, "o_orderkey")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          moneySum(col("o_totalprice")).as("rev"))
+        .orderBy("o_orderpriority")
+    },
+
     // DESCRIBE HISTORY (SnapshotTable.history, served through the SQL
     // catalog as the `<cat>.<tbl>.history` metadata table — a driver-
     // computed, version-count-sized DSv2 batch, no files): one row per
@@ -3632,6 +3685,16 @@ object AdvancedQueries {
          |SELECT CAST(2 AS BIGINT), COUNT(*), ${MONEY("o_totalprice")}
          |FROM orders WHERE o_orderdate >= TIMESTAMP '1996-06-01 00:00:00'
          |ORDER BY version""".stripMargin,
+
+    // source@v2 = ALL orders: a wrong-version clone (pre-cut subset), a
+    // delete leaked into the shared dirs, or a lossy restore all shift
+    // the aggregate and hash-fail
+    "q_snapshot_clone" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n_orders,
+         |  ${MONEY("o_totalprice")} AS rev
+         |FROM orders
+         |GROUP BY o_orderpriority
+         |ORDER BY o_orderpriority""".stripMargin,
 
     // the manifest shape each commit created (literal) joined to the
     // row sets the versions committed (base-table replay): a phantom or

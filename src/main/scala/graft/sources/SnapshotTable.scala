@@ -344,6 +344,34 @@ object SnapshotTable {
     VacuumReport(old.size, removed, live.size)
   }
 
+  /** SHALLOW CLONE — commit `dstBase` v1 as an exact copy of
+    * `srcBase`@`srcV`'s manifest: the clone REFERENCES the source's data
+    * and delete dirs (manifests name absolute paths), so cloning is one
+    * manifest write — zero data I/O at any table size, the
+    * Delta/Iceberg shallow-clone contract. The clone's history then
+    * evolves independently (appends/deletes/rewrites never touch the
+    * source). CAVEAT, same as Delta's: the clone shares files — a
+    * VACUUM of the source can orphan a clone that still references the
+    * vacuumed dirs; clones are for experiments/branching, and a
+    * long-lived fork should compact (rewrite into its own dirs) to cut
+    * the dependency. */
+  def cloneAt(spark: SparkSession, srcBase: String, srcV: Int,
+      dstBase: String): Unit =
+    commit(spark, dstBase, 1, manifest(spark, srcBase, srcV))
+
+  /** RESTORE — roll the table back to `toV` by committing head+1 with
+    * that version's exact manifest: history is preserved (the bad
+    * versions stay readable for forensics until vacuumed), the head
+    * simply becomes the old content again — the Delta RESTORE shape.
+    * Returns the new head. */
+  def restore(spark: SparkSession, base: String, toV: Int): Int = {
+    val head = headVersion(spark, base)
+    require(toV >= 1 && toV <= head, s"cannot restore $base to v$toV " +
+      s"(head is v$head)")
+    commit(spark, base, head + 1, manifest(spark, base, toV))
+    head + 1
+  }
+
   /** Time-based retention (`VACUUM ... RETAIN`): resolve the newest
     * version older than the cutoff against manifest mtimes (the store's
     * clock — [[versionAsOf]]'s contract) and keep everything from there
@@ -755,7 +783,9 @@ object SnapshotTable {
     val marker = new Path(epochDir, "_SUCCESS")
     if (!fsFor(spark, marker).exists(marker))
       batch.write.mode("overwrite").parquet(epochDir)
-    val fresh = statsCol.toSeq
+    // lazy: a re-delivered already-committed epoch returns from the
+    // contains-check below without re-scanning for bounds
+    lazy val fresh = statsCol.toSeq
       .flatMap(c => computeBounds(spark, Seq(epochDir), c))
     var attempt = 0
     while (attempt < 20) {

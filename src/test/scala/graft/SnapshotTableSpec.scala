@@ -423,6 +423,36 @@ class SnapshotTableSpec extends SparkTestBase {
     assert(SnapshotTable.readVersion(spark, base, 2, "k").count() == 15)
   }
 
+  test("cloneAt carries the version's full manifest; restore rolls " +
+      "forward to old content; out-of-range restore refuses") {
+    val src = freshBase()
+    writeKv(s"$src/d1", 0, 10)
+    SnapshotTable.commit(spark, src, 1, Snapshot(Seq(s"$src/d1"), Nil))
+    SnapshotTable.deleteWhere(spark, src, "k", col("k") < 3) // v2: deletes
+    SnapshotTable.evolveAddColumns(spark, src, "`w` BIGINT") // v3: schema
+    val dst = freshBase()
+    SnapshotTable.cloneAt(spark, src, 3, dst)
+    val cloned = SnapshotTable.manifest(spark, dst, 1)
+    assert(cloned == SnapshotTable.manifest(spark, src, 3),
+      "the clone must carry dirs, delete set, bounds AND schema verbatim")
+    assert(SnapshotTable.readVersion(spark, dst, 1, "k").count() == 7)
+    // the clone's delete never touches the source
+    SnapshotTable.deleteWhere(spark, dst, "k", col("k") === 5)
+    assert(SnapshotTable.readVersion(spark, dst, 2, "k").count() == 6)
+    assert(SnapshotTable.readVersion(spark, src, 3, "k").count() == 7)
+    // restore: head becomes the old content, history intact
+    assert(SnapshotTable.restore(spark, dst, 1) == 3)
+    assert(SnapshotTable.readVersion(spark, dst, 3, "k").count() == 7)
+    assert(SnapshotTable.readVersion(spark, dst, 2, "k").count() == 6,
+      "restore must preserve the rolled-past version for forensics")
+    intercept[IllegalArgumentException] {
+      SnapshotTable.restore(spark, dst, 9)
+    }
+    intercept[IllegalArgumentException] {
+      SnapshotTable.restore(spark, dst, 0)
+    }
+  }
+
   test("vacuumOlderThan resolves the cutoff against manifest mtimes; " +
       "the head always survives") {
     val base = freshBase()
