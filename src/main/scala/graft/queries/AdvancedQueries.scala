@@ -2497,6 +2497,64 @@ object AdvancedQueries {
            |ORDER BY version""".stripMargin)
     },
 
+    // METADATA-ONLY COUNT (SnapshotTable.countRows — the Iceberg/Delta
+    // count-from-metadata fast path): manifests carry OPTIONAL per-dir
+    // row counts (the `rows=` line; ops that already know their counts
+    // record them), and a delete-free version whose every dir is counted
+    // answers COUNT(*) from the manifest with zero data I/O. The v2 arm
+    // is that metadata answer (a wrong stored count hash-fails against
+    // the oracle's real count); the v3 arm pins the SAFE DEGRADATION:
+    // a pending delete disables the fast path (require-pinned isEmpty)
+    // and the scan fallback answers — the fast path can only err slow,
+    // never wrong.
+    "q_snapshot_count" -> { (s, dir) =>
+      import graft.sources.{SnapshotTable => ST}
+      val sfN = new java.io.File(dir).getName
+      val fp = java.security.MessageDigest.getInstance("MD5")
+        .digest(graft.sources.Sinks.fingerprint(s, s"$dir/orders.parquet")
+          .getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString.take(10)
+      val base = s"/root/repo/target/tmp/orders_count-$sfN-$fp"
+      for (m <- 0 to 1)
+        graft.sources.Sinks.ensureDir(s, s"$base/d$m", s"v1:cnt_$m",
+          inputs = Seq(s"$dir/orders.parquet")) {
+          Tables(s, dir, "orders")
+            .where(pmod(md5Long(col("o_orderkey").cast("string")),
+              lit(4)) === m)
+            .select(col("o_orderkey"))
+            .write.mode("overwrite").parquet(s"$base/d$m")
+        }
+      val Seq(c0, c1) = (0 to 1).map(m =>
+        s.read.parquet(s"$base/d$m").count())
+      ST.commit(s, base, 1, ST.Snapshot(Seq(s"$base/d0"), Nil,
+        rowCounts = Map(s"$base/d0" -> c0)))
+      ST.commit(s, base, 2, ST.Snapshot(Seq(s"$base/d0", s"$base/d1"),
+        Nil, rowCounts = Map(s"$base/d0" -> c0, s"$base/d1" -> c1)))
+      val meta = ST.countRows(s, base, 2)
+      require(meta.contains(c0 + c1),
+        s"two counted delete-free dirs must answer from metadata: $meta")
+      if (ST.headVersion(s, base) == 2) {
+        try {
+          val v = ST.deleteWhere(s, base, "o_orderkey",
+            pmod(md5Long(col("o_orderkey").cast("string")), lit(7)) === 5)
+          require(v == 3, s"delete landed at v$v, expected v3")
+        } catch { // concurrent constructor won the claim — defer
+          case e: Exception if ST.headVersion(s, base) >= 3 => ()
+        }
+      }
+      var nTries = 0
+      while (ST.headVersion(s, base) < 3 && nTries < 600) {
+        Thread.sleep(100); nTries += 1
+      }
+      require(ST.headVersion(s, base) == 3, "head must be the delete")
+      require(ST.countRows(s, base, 3).isEmpty,
+        "a pending delete must DISABLE the metadata count, not mis-answer")
+      val v3 = ST.readVersion(s, base, 3, "o_orderkey").count()
+      (Seq((2L, meta.get)) ++ Seq((3L, v3)))
+        .map { case (v, n) =>
+          s.range(1).select(lit(v).as("version"), lit(n).as("n_rows"))
+        }.reduce(_.unionAll(_)).orderBy("version")
+    },
+
     // SHALLOW CLONE + RESTORE (SnapshotTable.cloneAt/restore): the clone
     // is one manifest write referencing the source's dirs — zero data
     // I/O at any table size — and its history then evolves
@@ -3684,6 +3742,20 @@ object AdvancedQueries {
          |UNION ALL
          |SELECT CAST(2 AS BIGINT), COUNT(*), ${MONEY("o_totalprice")}
          |FROM orders WHERE o_orderdate >= TIMESTAMP '1996-06-01 00:00:00'
+         |ORDER BY version""".stripMargin,
+
+    // v2 = the metadata answer vs the base table's REAL count of the two
+    // committed slices (a stale/wrong stored count hash-fails); v3 = the
+    // scan fallback after the delete
+    "q_snapshot_count" ->
+      s"""SELECT CAST(2 AS BIGINT) AS version, COUNT(*) AS n_rows
+         |FROM orders
+         |WHERE ${MD5LONG("CAST(o_orderkey AS VARCHAR)")} % 4 IN (0, 1)
+         |UNION ALL
+         |SELECT CAST(3 AS BIGINT), COUNT(*)
+         |FROM orders
+         |WHERE ${MD5LONG("CAST(o_orderkey AS VARCHAR)")} % 4 IN (0, 1)
+         |  AND ${MD5LONG("CAST(o_orderkey AS VARCHAR)")} % 7 <> 5
          |ORDER BY version""".stripMargin,
 
     // source@v2 = ALL orders: a wrong-version clone (pre-cut subset), a

@@ -42,7 +42,8 @@ object SnapshotTable {
     * schema lives IN the versioned manifest, time travel reads each
     * version under ITS OWN schema — the Iceberg/Delta contract. */
   final case class Snapshot(dataDirs: Seq[String], deleteDirs: Seq[String],
-      bounds: Seq[DirBounds] = Nil, schema: Option[String] = None)
+      bounds: Seq[DirBounds] = Nil, schema: Option[String] = None,
+      rowCounts: Map[String, Long] = Map.empty)
 
   private def manifestPath(base: String, v: Int) =
     new Path(s"$base/_MANIFEST_v$v")
@@ -68,7 +69,16 @@ object SnapshotTable {
     * when the content is identical (idempotent replay) and an ERROR when
     * it differs: committed history is immutable. */
   def commit(spark: SparkSession, base: String, v: Int,
-      snap: Snapshot): Unit = {
+      rawSnap: Snapshot): Unit = {
+    // normalize FIRST: row-count entries for dirs outside the data set
+    // drop here (rewrites carry the old map forward via copy — a
+    // rewritten dir simply loses its count, degrading countRows to the
+    // scan fallback: the direction that can only err slow, never wrong),
+    // so the parsed-manifest equality in the idempotent-replay branch
+    // compares like with like
+    val snap = rawSnap.copy(rowCounts = rawSnap.dataDirs
+      .filter(rawSnap.rowCounts.contains)
+      .map(d => d -> rawSnap.rowCounts(d)).toMap)
     // each referenced dir may live on its own filesystem (manifests name
     // absolute URIs) — resolve per path, not once from the default FS
     for (d <- snap.dataDirs ++ snap.deleteDirs) {
@@ -87,6 +97,15 @@ object SnapshotTable {
       else "bounds=" + snap.bounds
         .map(b => s"${b.dir}|${b.col}|${b.typ}|${b.min}|${b.max}")
         .mkString(",") + "\n"
+    // row counts: absence keeps the manifest byte-identical to the
+    // pre-counts format (see the normalization at entry)
+    for ((d, n) <- snap.rowCounts)
+      require(n >= 0, s"negative row count $n for $d")
+    val counted = snap.dataDirs.filter(snap.rowCounts.contains)
+    val rowsLine =
+      if (counted.isEmpty) ""
+      else "rows=" + counted
+        .map(d => s"$d|${snap.rowCounts(d)}").mkString(",") + "\n"
     val schemaLine = snap.schema.map { ddl =>
       require(!ddl.exists(c => c == '\n' || c == '\r'),
         "schema DDL may not contain a newline — it is one manifest line")
@@ -96,7 +115,8 @@ object SnapshotTable {
       s"schema=$ddl\n"
     }.getOrElse("")
     val core = s"data=${snap.dataDirs.mkString(",")}\n" +
-      s"delete=${snap.deleteDirs.mkString(",")}\n" + boundsLine + schemaLine
+      s"delete=${snap.deleteDirs.mkString(",")}\n" + boundsLine +
+      rowsLine + schemaLine
     val body = core + f"crc=${crc32(core)}%08x\n"
     val dst = manifestPath(base, v)
     val fs = fsFor(spark, dst)
@@ -268,8 +288,16 @@ object SnapshotTable {
             "written by a newer format")
       }
     }
+    val rows = dirs("rows").toSeq.map { entry =>
+      entry.split("\\|", -1) match {
+        case Array(d, n) if n.forall(_.isDigit) && n.nonEmpty => d -> n.toLong
+        case _ => throw new IllegalArgumentException(
+          s"unparseable rows entry '$entry' — manifest damaged or " +
+            "written by a newer format")
+      }
+    }.toMap
     (Snapshot(dirs("data").toSeq, dirs("delete").toSeq, bounds,
-      kv.get("schema").filter(_.nonEmpty)),
+      kv.get("schema").filter(_.nonEmpty), rows),
       crcLines.headOption.map(_.stripPrefix("crc=")),
       coreLines.mkString("", "\n", "\n"))
   }
@@ -342,6 +370,23 @@ object SnapshotTable {
       if (fsFor(spark, dp).delete(dp, true)) removed += 1
     }
     VacuumReport(old.size, removed, live.size)
+  }
+
+  /** METADATA-ONLY COUNT — `SELECT COUNT(*)` answered from the
+    * manifest's per-dir row counts when version `v` has no delete set
+    * and EVERY data dir carries a count: Some(sum) with zero data I/O
+    * (the Iceberg/Delta count-from-metadata fast path — at 100 TB the
+    * difference between a catalog lookup and a full scan). None
+    * whenever any dir lacks a count (pre-counts manifests, rewrites
+    * that dropped one) or deletes are pending — the caller falls back
+    * to the ordinary scan; the fast path can only err SLOW, never
+    * wrong. Counts enter manifests through the ops that already know
+    * them ([[ingestBatch]], [[optimizeZorder]]). */
+  def countRows(spark: SparkSession, base: String, v: Int): Option[Long] = {
+    val snap = manifest(spark, base, v)
+    if (snap.deleteDirs.nonEmpty ||
+        !snap.dataDirs.forall(snap.rowCounts.contains)) None
+    else Some(snap.dataDirs.map(snap.rowCounts).sum)
   }
 
   /** SHALLOW CLONE — commit `dstBase` v1 as an exact copy of
@@ -784,9 +829,10 @@ object SnapshotTable {
     if (!fsFor(spark, marker).exists(marker))
       batch.write.mode("overwrite").parquet(epochDir)
     // lazy: a re-delivered already-committed epoch returns from the
-    // contains-check below without re-scanning for bounds
+    // contains-check below without re-scanning for bounds or counts
     lazy val fresh = statsCol.toSeq
       .flatMap(c => computeBounds(spark, Seq(epochDir), c))
+    lazy val epochRows = spark.read.parquet(epochDir).count()
     var attempt = 0
     while (attempt < 20) {
       attempt += 1
@@ -797,7 +843,8 @@ object SnapshotTable {
       try {
         commit(spark, base, head + 1,
           prior.copy(dataDirs = prior.dataDirs :+ epochDir,
-            bounds = prior.bounds ++ fresh))
+            bounds = prior.bounds ++ fresh,
+            rowCounts = prior.rowCounts + (epochDir -> epochRows)))
         return head + 1
       } catch {
         case e: IllegalArgumentException
@@ -1049,7 +1096,17 @@ object SnapshotTable {
     for (d <- newDirs)
       fsFor(spark, new Path(d)).create(new Path(d, "_SUCCESS"), true).close()
     val bounds = cols.flatMap(c => computeBounds(spark, newDirs, c))
-    commit(spark, base, v, Snapshot(newDirs, Nil, bounds, snap.schema))
+    // the rewrite just materialized every slice — record counts so the
+    // metadata COUNT fast path survives the re-layout (tagged union, the
+    // computeBounds shape: one job, dir-count-sized collect)
+    val counts = newDirs.map(d => spark.read.parquet(d)
+        .select(lit(d).as(dirTag)))
+      .reduce(_ unionAll _)
+      .groupBy(col(dirTag))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    commit(spark, base, v,
+      Snapshot(newDirs, Nil, bounds, snap.schema, counts))
     ZorderReport(v, snap.dataDirs.size, newDirs.size)
   }
 

@@ -73,6 +73,10 @@ class SnapshotIngestSpec extends SparkTestBase {
     drain(in, cp, base)
     assert(ST.headVersion(spark, base) == 2,
       "a restart with no new input must not mint versions")
+    // every ingested epoch carried its row count — the head answers
+    // COUNT(*) from metadata alone
+    assert(ST.countRows(spark, base, 2).contains(25L),
+      "ingested epochs must thread row counts into the manifest")
   }
 
   test("re-delivered epoch no-ops; a lost version race folds onto the " +

@@ -423,6 +423,50 @@ class SnapshotTableSpec extends SparkTestBase {
     assert(SnapshotTable.readVersion(spark, base, 2, "k").count() == 15)
   }
 
+  test("countRows answers from the manifest alone (proven: data files " +
+      "deleted), degrades to None on uncounted dirs or deletes, and " +
+      "round-trips the rows line") {
+    import spark.implicits._
+    val base = freshBase()
+    writeKv(s"$base/d1", 0, 10)
+    writeKv(s"$base/d2", 10, 30)
+    SnapshotTable.commit(spark, base, 1,
+      Snapshot(Seq(s"$base/d1", s"$base/d2"), Nil,
+        rowCounts = Map(s"$base/d1" -> 10L, s"$base/d2" -> 20L)))
+    // round-trip through the manifest text
+    assert(SnapshotTable.manifest(spark, base, 1).rowCounts ==
+      Map(s"$base/d1" -> 10L, s"$base/d2" -> 20L))
+    assert(SnapshotTable.countRows(spark, base, 1).contains(30L))
+    // THE metadata-only proof: remove the parquet data files (keep the
+    // _SUCCESS markers) — the count must still answer, because it never
+    // touches data
+    for (d <- Seq("d1", "d2"); f <- new java.io.File(base, d).listFiles
+         if f.getName.endsWith(".parquet")) assert(f.delete())
+    assert(SnapshotTable.countRows(spark, base, 1).contains(30L))
+    // an uncounted dir or a pending delete → None (err slow, never wrong)
+    val b2 = freshBase()
+    writeKv(s"$b2/d1", 0, 5)
+    writeKv(s"$b2/d2", 5, 8)
+    SnapshotTable.commit(spark, b2, 1, Snapshot(Seq(s"$b2/d1", s"$b2/d2"),
+      Nil, rowCounts = Map(s"$b2/d1" -> 5L)))
+    assert(SnapshotTable.countRows(spark, b2, 1).isEmpty)
+    SnapshotTable.commit(spark, b2, 2, Snapshot(Seq(s"$b2/d1", s"$b2/d2"),
+      Nil, rowCounts = Map(s"$b2/d1" -> 5L, s"$b2/d2" -> 3L)))
+    assert(SnapshotTable.countRows(spark, b2, 2).contains(8L))
+    SnapshotTable.deleteWhere(spark, b2, "k", col("k") === 1)
+    assert(SnapshotTable.countRows(spark, b2, 3).isEmpty,
+      "a pending delete must disable the metadata count")
+    // counts for dirs outside the data set normalize away; negatives refuse
+    SnapshotTable.commit(spark, b2, 4, Snapshot(Seq(s"$b2/d1"), Nil,
+      rowCounts = Map(s"$b2/d1" -> 5L, s"$b2/dgone" -> 9L)))
+    assert(SnapshotTable.manifest(spark, b2, 4).rowCounts ==
+      Map(s"$b2/d1" -> 5L))
+    intercept[IllegalArgumentException] {
+      SnapshotTable.commit(spark, b2, 5, Snapshot(Seq(s"$b2/d1"), Nil,
+        rowCounts = Map(s"$b2/d1" -> -1L)))
+    }
+  }
+
   test("cloneAt carries the version's full manifest; restore rolls " +
       "forward to old content; out-of-range restore refuses") {
     val src = freshBase()
