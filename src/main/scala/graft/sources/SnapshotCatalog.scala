@@ -80,12 +80,12 @@ class SnapshotCatalog extends TableCatalog {
       throw new NoSuchTableException(ident)
     val rows = SnapshotTable.history(spark, base).map(h =>
       Seq[Any](h.version, h.commit_ms, h.n_data_dirs, h.n_delete_dirs,
-        h.n_bounds, h.evolved))
+        h.n_bounds, h.evolved, h.n_rows.map(Long.box).orNull))
     Some(new LocalRowsTable(
       s"$catName.${ident.namespace()(0)}.history",
       StructType.fromDDL("`version` INT, `commit_ms` BIGINT, " +
         "`n_data_dirs` INT, `n_delete_dirs` INT, `n_bounds` INT, " +
-        "`evolved` BOOLEAN"),
+        "`evolved` BOOLEAN, `n_rows` BIGINT"),
       rows))
   }
 

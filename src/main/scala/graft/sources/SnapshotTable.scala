@@ -881,12 +881,15 @@ object SnapshotTable {
     manifestPath(base, v).toString
 
   final case class HistoryEntry(version: Int, commit_ms: Long,
-      n_data_dirs: Int, n_delete_dirs: Int, n_bounds: Int, evolved: Boolean)
+      n_data_dirs: Int, n_delete_dirs: Int, n_bounds: Int, evolved: Boolean,
+      n_rows: Option[Long])
 
   /** DESCRIBE HISTORY — one row per surviving committed version, oldest
     * first: commit instant (the manifest mtime, [[versionAsOf]]'s clock),
-    * dir/bounds counts, and whether the version carries an evolved
-    * schema. METADATA-ONLY: reads each manifest (crc-validated), never a
+    * dir/bounds counts, whether the version carries an evolved schema,
+    * and the [[countRows]] metadata answer where the version has one
+    * (NULL otherwise — history never scans to fill it in).
+    * METADATA-ONLY: reads each manifest (crc-validated), never a
     * data file — at 100 TB this is a version-count-sized driver list, the
     * same cost profile as [[vacuum]]'s survey phase. Vacuumed versions
     * are absent (bounded history is their contract); a corrupt manifest
@@ -900,9 +903,14 @@ object SnapshotTable {
       if (!fs.exists(p)) None // vacuumed
       else {
         val snap = manifest(spark, base, v)
+        val metaCount =
+          if (snap.deleteDirs.isEmpty &&
+              snap.dataDirs.forall(snap.rowCounts.contains))
+            Some(snap.dataDirs.map(snap.rowCounts).sum)
+          else None
         Some(HistoryEntry(v, fs.getFileStatus(p).getModificationTime,
           snap.dataDirs.size, snap.deleteDirs.size, snap.bounds.size,
-          snap.schema.isDefined))
+          snap.schema.isDefined, metaCount))
       }
     }
   }

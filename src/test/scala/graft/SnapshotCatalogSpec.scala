@@ -102,6 +102,17 @@ class SnapshotCatalogSpec extends SparkTestBase {
     ST.vacuum(spark, base, 2, 3)
     assert(spark.sql("SELECT version FROM snapcat4.tbl.history")
       .collect().map(_.getInt(0)).sorted.toSeq == Seq(2, 3))
+    // n_rows is the countRows metadata answer: NULL for uncounted
+    // versions, the sum for fully-counted ones — history never scans
+    assert(spark.sql(
+      "SELECT n_rows FROM snapcat4.tbl.history WHERE version = 2")
+      .head().isNullAt(0))
+    ST.commit(spark, base, 4,
+      ST.manifest(spark, base, 3).copy(rowCounts =
+        Map(s"$base/d1" -> 10L, s"$base/d2" -> 20L)))
+    assert(spark.sql(
+      "SELECT n_rows FROM snapcat4.tbl.history WHERE version = 4")
+      .head().getLong(0) == 30L)
     intercept[Exception] {
       spark.sql("SELECT * FROM snapcat4.tbl.nope").collect()
     }
