@@ -121,6 +121,19 @@ class SnapshotCatalogSpec extends SparkTestBase {
     }
   }
 
+  test("SHOW TABLES lists only dirs with committed snapshots") {
+    val root = Files.createTempDirectory("snapcat").toString
+    setupCatalog("snapcat5", root)
+    writeKv(s"$root/committed/d1", 0, 5)
+    ST.commit(spark, s"$root/committed", 1,
+      Snapshot(Seq(s"$root/committed/d1"), Nil))
+    // a dir with data but NO manifest is not a table
+    writeKv(s"$root/uncommitted/d1", 0, 5)
+    val listed = spark.sql("SHOW TABLES IN snapcat5")
+      .select("tableName").collect().map(_.getString(0)).toSeq
+    assert(listed == Seq("committed"), listed.toString)
+  }
+
   test("delete-carrying versions, DDL, and unknown tables refuse loudly") {
     val root = Files.createTempDirectory("snapcat").toString
     setupCatalog("snapcat3", root)
