@@ -361,5 +361,34 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_might_contain(bloom, xxhash64(k)) - bloom membership probe"),
       binary("graft_might_contain",
         org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(_, _))))
+    // TABLE-VALUED function surface for the snapshot change feed: SQL
+    // consumers read a version window as a relation —
+    //   SELECT * FROM graft_changes('/warehouse/t', 1, 3, 'k')
+    // — the same O(delta) readChanges the API serves (inserts carry the
+    // full row + change='insert'; deletes carry the key + 'delete').
+    // Arguments must be literals: the builder runs at ANALYSIS time and
+    // resolves the window's manifests then, like any table reference.
+    ext.injectTableFunction((FunctionIdentifier("graft_changes"),
+      info("graft_changes",
+        "graft_changes(base, vFrom, vTo, keyCol) - TVF: the snapshot " +
+          "table's change feed over a version window"),
+      (cs: Seq[Expression]) => cs match {
+        case Seq(b, f, t, k) if cs.forall(_.foldable) =>
+          def str(e: Expression) = e.eval() match {
+            case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+            case other => String.valueOf(other)
+          }
+          def int(e: Expression) = e.eval() match {
+            case i: Int => i
+            case l: Long => l.toInt
+            case other => String.valueOf(other).toInt
+          }
+          graft.sources.SnapshotTable.readChanges(
+            org.apache.spark.sql.SparkSession.active,
+            str(b), int(f), int(t), str(k)).queryExecution.analyzed
+        case other => throw new IllegalArgumentException(
+          "graft_changes(base, vFrom, vTo, keyCol) takes 4 LITERAL " +
+            s"arguments, got ${other.length}")
+      }))
   }
 }

@@ -2497,6 +2497,26 @@ object AdvancedQueries {
            |ORDER BY version""".stripMargin)
     },
 
+    // CHANGE FEED AS A SQL TABLE FUNCTION (GraftExtensions'
+    // graft_changes TVF): SQL consumers read a version window as a
+    // relation — the builder resolves the window's manifests at analysis
+    // time and plans the same O(delta) readChanges the API serves. The
+    // window 1→3 over the shared base emits the appended post-cut rows
+    // (delete-masked, change='insert') and the erased pre-cut keys
+    // (change='delete'); the oracle replays both sets from the base
+    // table, so a TVF that loses the mask, the delete leg, or a column
+    // hash-fails.
+    "q_sql_changes" -> { (s, dir) =>
+      val base = ordersTtBase(s, dir)
+      s.sql(
+        s"""SELECT change, COUNT(*) AS n,
+           |  CAST(SUM(CASE WHEN change = 'insert'
+           |    THEN CAST(round(o_totalprice*100) AS BIGINT)
+           |    ELSE 0 END) AS BIGINT) AS ins_cents
+           |FROM graft_changes('$base', 1, 3, 'o_orderkey')
+           |GROUP BY change ORDER BY change""".stripMargin)
+    },
+
     // METADATA-ONLY COUNT (SnapshotTable.countRows — the Iceberg/Delta
     // count-from-metadata fast path): manifests carry OPTIONAL per-dir
     // row counts (the `rows=` line; ops that already know their counts
@@ -3743,6 +3763,23 @@ object AdvancedQueries {
          |SELECT CAST(2 AS BIGINT), COUNT(*), ${MONEY("o_totalprice")}
          |FROM orders WHERE o_orderdate >= TIMESTAMP '1996-06-01 00:00:00'
          |ORDER BY version""".stripMargin,
+
+    // both legs of the 1→3 window replayed from the base table: inserts =
+    // the appended post-cut rows minus the erased slice, deletes = the
+    // erased keys that existed at v1
+    "q_sql_changes" ->
+      s"""SELECT 'delete' AS change, COUNT(*) AS n,
+         |  CAST(0 AS BIGINT) AS ins_cents
+         |FROM orders
+         |WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+         |  AND ${MD5LONG("CAST(o_orderkey AS VARCHAR)")} % 11 = 5
+         |UNION ALL
+         |SELECT 'insert', COUNT(*),
+         |  CAST(SUM(${CENTS("o_totalprice")}) AS BIGINT)
+         |FROM orders
+         |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND ${MD5LONG("CAST(o_orderkey AS VARCHAR)")} % 11 <> 5
+         |ORDER BY change""".stripMargin,
 
     // v2 = the metadata answer vs the base table's REAL count of the two
     // committed slices (a stale/wrong stored count hash-fails); v3 = the
