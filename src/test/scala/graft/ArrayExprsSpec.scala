@@ -62,4 +62,34 @@ class ArrayExprsSpec extends SparkTestBase {
       "SELECT graft_dot(CAST(NULL AS ARRAY<BIGINT>), array(1L))").collect().head
     assert(got.isNullAt(0))
   }
+
+  test("graft_changes TVF: composes as a relation (CTE + join) and " +
+      "refuses non-literal or mis-counted arguments by name") {
+    import spark.implicits._
+    import graft.sources.{SnapshotTable => ST}
+    val base = java.nio.file.Files.createTempDirectory("tvf").toString
+    (0L until 10L).toDF("k").write.parquet(s"$base/d1")
+    ST.commit(spark, base, 1, ST.Snapshot(Seq(s"$base/d1"), Nil))
+    (10L until 15L).toDF("k").write.parquet(s"$base/d2")
+    ST.commit(spark, base, 2,
+      ST.Snapshot(Seq(s"$base/d1", s"$base/d2"), Nil))
+    // the TVF result is an ordinary relation: CTE it, join it, filter it
+    val n = spark.sql(
+      s"""WITH w AS (SELECT * FROM graft_changes('$base', 1, 2, 'k'))
+         |SELECT COUNT(*) FROM w
+         |JOIN (SELECT 'insert' AS change) kinds USING (change)
+         |WHERE k >= 12""".stripMargin).head.getLong(0)
+    assert(n == 3, s"expected the 3 appended rows >= 12, got $n")
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_changes('$base', 1)").collect()
+    }
+    assert(e.getMessage.contains("graft_changes"), e.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql(
+        s"SELECT * FROM graft_changes('$base', CAST(rand() AS INT), 2, 'k')")
+        .collect()
+    }
+    assert(e2.getMessage.contains("graft_changes") ||
+      e2.getMessage.toLowerCase.contains("literal"), e2.getMessage)
+  }
 }
