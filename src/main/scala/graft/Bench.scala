@@ -32,7 +32,13 @@ object Bench {
     * isolated-JVM JIT horizon that otherwise inflates the first ~2 timed
     * queries 2-10× (r11 finding). */
   private val AdjudicationWarm =
-    "wordcount,q1_agg,q3_join_topk,q_topk_window,q_broadcast_join"
+    "wordcount,q1_agg,q3_join_topk,q_topk_window,q_broadcast_join," +
+      // dedup_cluster exercises the iterative/checkpoint path (delta-CC,
+      // CheckpointBridge, AQE-off materialization) the agg/join/window
+      // warms never touch — without it a flagged graph kernel's child
+      // measurement still carries that path's first-use JIT bill (r15:
+      // the adjudicator "confirmed" regressions it existed to debunk)
+      "dedup_cluster"
 
   /** Run ONE query in a brand-new JVM (same classpath/JVM flags as this
     * one — sbt forks Bench, so java.class.path is the real classpath) and
@@ -271,6 +277,12 @@ object Bench {
     // during a re-timed flagged query must not be attributed to the timed
     // loop (the authoritative timed_layer_rebuilds check).
     val timedRebuilds = rebuilds.synchronized { rebuilds.toList }
+    // Stop the parent session BEFORE spawning adjudication children: every
+    // timed query is finished, so the 32-thread pool + heap are dead weight
+    // — but left alive they contend with each child's own local[32] JVM,
+    // and the re_sec numbers measure the contention, not the query (r15:
+    // q_pagerank re_sec 91s vs 4.6s base, from a child racing this JVM).
+    spark.stop()
     // Self-adjudication: re-time every flagged query in a FRESH subprocess
     // JVM (r14 verdict task 1). The same-JVM re-run this replaces inherited
     // whatever degraded the full run — r14 "confirmed" two regressions
@@ -283,6 +295,11 @@ object Bench {
     // -1 when the child failed/timed out. Capped at 4 children (~1-2 min
     // each); flags beyond the cap report -2 (unadjudicated — rare enough
     // that the next round's fresh flags re-surface them).
+    // re_sec is EXONERATING-ONLY evidence: re_sec ≈ base clears a flag
+    // (the in-run number was environmental); a high re_sec alone confirms
+    // nothing — the child may itself have been degraded (steal, page
+    // cache) — so a still-high re_sec means "re-adjudicate", never
+    // "regression proven".
     val reSec = {
       val byRatio = flagged.sortBy { case (_, v, base) => -(v / base) }
       byRatio.zipWithIndex.map { case ((k, _, _), i) =>
@@ -303,7 +320,6 @@ object Bench {
     // collector bill for cross-checking any slow window's gc share.
     val timing = f""""wall_s":$wallS%.1f,"gc_total_ms":${gcMs.values.sum}"""
     println(s"""{"unit":"sec","sf":"$sfDir","queries":$qs,"top20_slowest":$top20,"regressions":$regressions,$timing,"timed_layer_rebuilds":$rb,"failed":$fj,"n_queries":${results.size},"metric":"total","value":$total}""")
-    spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }
 }

@@ -1483,6 +1483,17 @@ final class KvWriteBuilder(path: String, info: LogicalWriteInfo,
       require(doTruncate || existingShards.forall(_ == n),
         s"append declares $n shards but $path is laid out with " +
           s"${existingShards.get} — re-shard via a truncating overwrite")
+      // a committed dir with NO _SHARDS marker is a legacy FLAT layout:
+      // a non-truncating sharded append would stamp _SHARDS over
+      // suffix-less files and brick every later read ("carries no
+      // -sNNNNN shard suffix") — refuse the mixed layout up front
+      if (!doTruncate && existingShards.isEmpty) {
+        val fs = KvTextSource.sessionFs(new java.net.URI(path))
+        require(!fs.exists(new Path(path, "_SUCCESS")),
+          s"sharded append into $path, a committed FLAT kv dir (no " +
+            s"${KvTextSource.ShardsMarker} marker) — mixing layouts would " +
+            "make the dir unreadable; re-shard via a truncating overwrite")
+      }
       // The write REQUESTS its layout from the planner
       // (RequiresDistributionAndOrdering): clustered by shard across n
       // tasks and sorted by (shard, key) within each — so a PLAIN

@@ -92,6 +92,15 @@ object SnapshotTable {
       require(!f.exists(c => c == '|' || c == ',' || c == '\n'),
         s"bounds field '$f' holds a manifest delimiter — refuse rather " +
           "than write an unparseable manifest")
+    // same rule for the dir lists themselves: a path carrying ',' (the
+    // list delimiter) or '|' (the rows/bounds field delimiter) would write
+    // a manifest that parses back into DIFFERENT dirs — surfacing later as
+    // a baffling "already committed with different content" on idempotent
+    // replay, or as reads of wrong paths. Refuse at commit time instead.
+    for (d <- snap.dataDirs ++ snap.deleteDirs)
+      require(!d.exists(c => c == '|' || c == ',' || c == '\n'),
+        s"dir path '$d' holds a manifest delimiter (| , or newline) — " +
+          "refuse rather than write a manifest that parses differently")
     val boundsLine =
       if (snap.bounds.isEmpty) "" // pre-bounds manifests stay byte-identical
       else "bounds=" + snap.bounds
@@ -759,17 +768,35 @@ object SnapshotTable {
     val newData = to.dataDirs.filterNot(from.dataDirs.contains)
     val newDels = to.deleteDirs.filterNot(from.deleteDirs.contains)
     val change = "change"
+    // STABLE OUTPUT SHAPE regardless of window content: every branch
+    // projects to tableSchema(vTo) + change, so a per-commit consumer
+    // (SnapshotCdfSource foreachBatch, the graft_changes TVF) that
+    // projects payload columns works on append, delete-only, AND empty
+    // windows alike, and cross-window unions line up. Delete rows carry
+    // the key plus typed-NULL payload columns (the delete files store
+    // keys, not rows — the documented shape, now schema-true even when
+    // the window holds no insert leg to union against).
+    val target = tableSchema(spark, to)
+    require(target.fieldNames.contains(keyCol),
+      s"key column $keyCol is not in the v$vTo schema")
+    require(!target.fieldNames.contains(change),
+      s"data schema already carries the staging column $change")
+    def shaped(df: DataFrame): DataFrame = {
+      val have = df.columns.toSet
+      df.select(target.fields.toIndexedSeq.map { f =>
+        if (have(f.name)) col(f.name).cast(f.dataType).as(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      } :+ col(change): _*)
+    }
     val inserted = newData match {
       case Nil => None
       case dirs =>
         val rows = readData(spark, to, dirs)
-        require(!rows.columns.contains(change),
-          s"data schema already carries the staging column $change")
         val masked =
           if (to.deleteDirs.isEmpty) rows
           else rows.join(broadcast(spark.read.parquet(to.deleteDirs: _*)
             .select(col(keyCol)).distinct()), Seq(keyCol), "left_anti")
-        Some(masked.withColumn(change, lit("insert")))
+        Some(shaped(masked.withColumn(change, lit("insert"))))
     }
     val deleted = newDels match {
       case Nil => None
@@ -778,16 +805,16 @@ object SnapshotTable {
           .select(col(keyCol)).distinct()
           .join(readVersion(spark, base, vFrom, keyCol).select(col(keyCol)),
             Seq(keyCol), "left_semi")
-        Some(keys.withColumn(change, lit("delete")))
+        Some(shaped(keys.withColumn(change, lit("delete"))))
     }
     (inserted, deleted) match {
-      case (Some(i), Some(d)) => i.unionByName(d, allowMissingColumns = true)
+      case (Some(i), Some(d)) => i.unionByName(d)
       case (Some(i), None) => i
       case (None, Some(d)) => d
       case (None, None) =>
-        // an empty feed still needs the schema-correct (key, change) shape
-        readVersion(spark, base, vTo, keyCol).select(col(keyCol))
-          .where(lit(false)).withColumn(change, lit(""))
+        // an empty feed still carries the full stable shape
+        shaped(readData(spark, to, Seq(to.dataDirs.head))
+          .where(lit(false)).withColumn(change, lit("")))
     }
   }
 

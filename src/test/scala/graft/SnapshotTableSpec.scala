@@ -337,8 +337,21 @@ class SnapshotTableSpec extends SparkTestBase {
     assert(feed(2, 3) == Seq(("delete", 0), ("delete", 1)))
     assert(feed(1, 3) ==
       Seq(("delete", 0), ("delete", 1)) ++ (10 until 15).map(("insert", _)))
+    // STABLE SHAPE: every window — append, delete-only, empty — projects
+    // to tableSchema(vTo) + change, so per-commit consumers and
+    // cross-window unions never hit a content-dependent schema. Delete
+    // rows carry typed-NULL payload columns.
+    val delOnly = SnapshotTable.readChanges(spark, base, 2, 3, "k")
+    assert(delOnly.columns.toSeq == Seq("k", "v", "change"),
+      s"delete-only window must keep the full shape: ${delOnly.columns.toSeq}")
+    assert(delOnly.collect().forall(_.isNullAt(1)),
+      "delete rows carry typed-NULL payload columns")
     val empty = SnapshotTable.readChanges(spark, base, 3, 3, "k")
-    assert(empty.columns.toSeq == Seq("k", "change") && empty.count() == 0)
+    assert(empty.columns.toSeq == Seq("k", "v", "change") &&
+      empty.count() == 0)
+    // cross-window union is now schema-safe by construction
+    assert(SnapshotTable.readChanges(spark, base, 1, 2, "k")
+      .unionByName(delOnly).count() == 7)
     // deleting never-present keys emits no change
     writeKv(s"$base/del_ghost", 100, 103)
     SnapshotTable.commit(spark, base, 4, Snapshot(
