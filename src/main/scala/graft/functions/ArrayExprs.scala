@@ -303,6 +303,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // transparent MV routing: post-hoc resolution (the DataSource-resolution
     // extension point) so matching aggregates read the materialized view
     ext.injectPostHocResolutionRule(s => graft.plans.MvRewriteRule(s))
+    // snapshot-catalog row-level SQL: UPDATE/MERGE → SnapshotTable API
+    // commands, delete-carrying versions → merge-on-read read plans
+    ext.injectPostHocResolutionRule(s => graft.plans.SnapshotDmlRule(s))
     def info(name: String, usage: String) =
       new ExpressionInfo(classOf[ArrayExprs.type].getName, null, name, usage, "")
     // arity-checked like graft_bloom_agg below: a wrong argument count from

@@ -1,0 +1,199 @@
+package graft.plans
+
+import graft.sources.{SnapshotTable, SnapshotTableHandle}
+import org.apache.spark.sql.{Column, Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{EliminateSubqueryAliases, UnresolvedAttribute}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, EqualTo, Expression, PlanExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteFromTable, InsertAction, InsertStarAction, LogicalPlan, MergeAction, MergeIntoTable, Project, UpdateAction, UpdateStarAction, UpdateTable, V2WriteCommand}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.graftbridge.{ColumnBridge, DatasetBridge}
+
+/** The analyzer rule behind the snapshot catalog's row-level SQL —
+  * registered via [[graft.functions.GraftExtensions]]
+  * (injectPostHocResolutionRule, the Delta-style seam for DML a DSv2
+  * table cannot express through `SupportsDelete` alone):
+  *
+  *  - `UPDATE snap.t SET ... WHERE ...`  →
+  *    [[SnapshotTable.updateWhere]] (copy-on-write of only the hit dirs)
+  *  - `MERGE INTO snap.t USING src ON t.key = src.key WHEN MATCHED THEN
+  *    UPDATE SET * WHEN NOT MATCHED THEN INSERT *`  →
+  *    [[SnapshotTable.mergeInto]] (the upsert shape; anything fancier is
+  *    refused loudly — partial-column merges would need per-row rewrite
+  *    plumbing this format does not pretend to have)
+  *  - a SELECT over a version carrying merge-on-read delete files
+  *    rewrites into the same scan-minus-broadcast-anti-join plan the API
+  *    read uses, so SQL readers see deletes applied instead of refused
+  *    (needs the declared key column — [[SnapshotTableHandle.keyCol]]).
+  *
+  * `DELETE FROM` is NOT handled here — it rides Spark's native
+  * `SupportsDelete` planning against the handle. Resolved attribute
+  * references are rebound by NAME onto the API's own scans (the commands
+  * run against a fresh head read); expressions carrying subqueries are
+  * refused rather than mis-bound. */
+case class SnapshotDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
+
+  private def handleOf(plan: LogicalPlan): Option[SnapshotTableHandle] =
+    EliminateSubqueryAliases(plan) match {
+      case r: DataSourceV2Relation => r.table match {
+        case h: SnapshotTableHandle => Some(h)
+        case _ => None
+      }
+      case _ => None
+    }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+    // DELETE rides the native SupportsDelete path: the relation must stay
+    // a DSv2 relation for Spark to find the table's deleteWhere
+    case d: DeleteFromTable => d
+    case u: UpdateTable if u.table.resolved && handleOf(u.table).isDefined =>
+      rewriteUpdate(handleOf(u.table).get, u)
+    case m: MergeIntoTable
+        if m.targetTable.resolved && m.sourceTable.resolved &&
+          m.mergeCondition.resolved &&
+          handleOf(m.targetTable).isDefined =>
+      rewriteMerge(handleOf(m.targetTable).get, m)
+    // INSERT INTO/OVERWRITE: the TARGET relation must stay a DSv2
+    // relation (the write planning needs the Table); only the query side
+    // may hold masked snapshot reads
+    case w: V2WriteCommand => w.withNewQuery(maskReads(w.query))
+    case other => maskReads(other)
+  }
+
+  /** Rewrite every delete-carrying snapshot relation into the
+    * merge-on-read plan ([[SnapshotTable.readVersion]]: version scan
+    * minus broadcast anti join on the delete keys), rebound to the
+    * original relation's attribute ids so parent operators are
+    * untouched. Delete-free versions keep the bare parquet relation —
+    * zero plan change. */
+  private def maskReads(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case r: DataSourceV2Relation
+        if r.table.isInstanceOf[SnapshotTableHandle] &&
+          r.table.asInstanceOf[SnapshotTableHandle].needsMask =>
+      val h = r.table.asInstanceOf[SnapshotTableHandle]
+      val masked = (if (h.snap.deleteDirs.nonEmpty) {
+        val key = h.keyCol.getOrElse(throw new IllegalStateException(
+          s"${r.table.name()} carries delete files but no key column — " +
+            "the catalog should have refused this load"))
+        SnapshotTable.readVersion(session, h.base, h.snapVersion, key)
+      } else { // rename-evolved, delete-free: projection-only rewrite
+        SnapshotTable.readVersionData(session, h.base, h.snapVersion)
+      }).queryExecution.analyzed
+      require(masked.output.length == r.output.length &&
+        masked.output.zip(r.output).forall { case (n, o) => n.name == o.name },
+        s"masked read of ${r.table.name()} changed the column set: " +
+          s"${masked.output.map(_.name)} vs ${r.output.map(_.name)}")
+      Project(masked.output.zip(r.output).map { case (n, o) =>
+        Alias(n, o.name)(exprId = o.exprId)
+      }, masked)
+  }
+
+  /** Rebind a resolved DML expression for evaluation against the API's
+    * own head scan: attribute references become plain by-name lookups.
+    * Subqueries cannot be rebound this way — refuse loudly. */
+  private def toCol(e: Expression, what: String): Column = {
+    require(!e.exists(_.isInstanceOf[PlanExpression[_]]),
+      s"snapshot $what does not support subqueries — materialize the " +
+        "subquery first or use the SnapshotTable API")
+    ColumnBridge(e.transform {
+      case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+    })
+  }
+
+  private def rewriteUpdate(h: SnapshotTableHandle,
+      u: UpdateTable): LogicalPlan = {
+    val cond = u.condition
+      .map(toCol(_, "UPDATE WHERE"))
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    val sets = u.assignments.flatMap { a =>
+      val name = a.key match {
+        case ar: AttributeReference => ar.name
+        case ua: UnresolvedAttribute if ua.nameParts.length == 1 => ua.name
+        case other => throw new UnsupportedOperationException(
+          s"snapshot UPDATE sets top-level columns only, got ${other.sql}")
+      }
+      a.value match {
+        // identity assignments (alignment expands SET to every column)
+        case v: AttributeReference if v.name == name => None
+        case v => Some(name -> toCol(v, "UPDATE SET"))
+      }
+    }
+    SnapshotUpdateCommand(h.base, sets, cond)
+  }
+
+  private def rewriteMerge(h: SnapshotTableHandle,
+      m: MergeIntoTable): LogicalPlan = {
+    val key = h.keyCol.getOrElse(throw new UnsupportedOperationException(
+      s"MERGE INTO ${m.targetTable.schema.fieldNames.mkString("(", ",", ")")}" +
+        " needs the table's key column declared " +
+        "(spark.sql.catalog.<cat>.key.<tbl>)"))
+    val tOut = m.targetTable.outputSet
+    val sOut = m.sourceTable.outputSet
+    val keyEq = m.mergeCondition match {
+      case EqualTo(a: AttributeReference, b: AttributeReference) =>
+        a.name == key && b.name == key &&
+          ((tOut.contains(a) && sOut.contains(b)) ||
+            (tOut.contains(b) && sOut.contains(a)))
+      case _ => false
+    }
+    require(keyEq, "snapshot MERGE condition must be exactly " +
+      s"target.$key = source.$key (the declared key column), got " +
+      m.mergeCondition.sql)
+    require(m.notMatchedBySourceActions.isEmpty,
+      "snapshot MERGE supports the upsert shape only (WHEN MATCHED THEN " +
+        "UPDATE SET * / WHEN NOT MATCHED THEN INSERT *) — " +
+        "NOT MATCHED BY SOURCE is refused")
+    def starLike(actions: Seq[MergeAction], what: String): Unit = {
+      def aligned(cond: Option[Expression],
+          assigns: Seq[Assignment]): Boolean =
+        cond.isEmpty && assigns.forall { a =>
+          (a.key, a.value) match {
+            case (k: AttributeReference, v: AttributeReference) =>
+              k.name == v.name && sOut.contains(v)
+            case _ => false
+          }
+        }
+      val ok = actions match {
+        case Seq(UpdateStarAction(None)) => what == "MATCHED"
+        case Seq(InsertStarAction(None)) => what == "NOT MATCHED"
+        case Seq(UpdateAction(c, as, _)) =>
+          what == "MATCHED" && aligned(c, as)
+        case Seq(InsertAction(c, as)) =>
+          what == "NOT MATCHED" && aligned(c, as)
+        case _ => false
+      }
+      require(ok, s"snapshot MERGE supports exactly one unconditional " +
+        s"WHEN $what action of the SET*/INSERT* shape — partial-column " +
+        "or conditional merges are refused (use the SnapshotTable API)")
+    }
+    starLike(m.matchedActions, "MATCHED")
+    starLike(m.notMatchedActions, "NOT MATCHED")
+    SnapshotMergeCommand(h.base, key, maskReads(m.sourceTable))
+  }
+}
+
+/** `UPDATE snap.t SET ... WHERE ...` — runs
+  * [[SnapshotTable.updateWhere]] (copy-on-write of only the dirs holding
+  * a matching row) against the table's CURRENT head; the commit's
+  * optimistic version claim arbitrates racers. */
+case class SnapshotUpdateCommand(base: String,
+    sets: Seq[(String, Column)], cond: Column)
+    extends LeafRunnableCommand {
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    SnapshotTable.updateWhere(sparkSession, base, cond, sets): Unit
+    Seq.empty
+  }
+}
+
+/** `MERGE INTO snap.t USING src ON t.k = src.k ...` (upsert shape) —
+  * runs [[SnapshotTable.mergeInto]]: source rows replace same-key stored
+  * rows and append otherwise, copy-on-write of only the hit dirs. */
+case class SnapshotMergeCommand(base: String, key: String,
+    source: LogicalPlan) extends LeafRunnableCommand {
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    SnapshotTable.mergeInto(sparkSession, base, key,
+      DatasetBridge.ofRows(sparkSession, source)): Unit
+    Seq.empty
+  }
+}

@@ -3483,6 +3483,224 @@ object AdvancedQueries {
         .orderBy("change")
     },
 
+    // ROW-LEVEL SQL DML THROUGH THE SNAPSHOT CATALOG (SnapshotCatalog +
+    // plans/SnapshotDmlRule): a warehouse user's mutation surface is SQL
+    // text, not an API — this gate drives the full chain CREATE TABLE →
+    // INSERT INTO → DELETE FROM (DSv2 SupportsDelete: merge-on-read key
+    // file, O(matches)) → UPDATE (analyzer-rule rewrite to the
+    // copy-on-write updateWhere) → MERGE INTO (upsert shape →
+    // mergeInto), then reads the final state back through SQL — which
+    // exercises the masked-read rewrite too (the head carries delete
+    // files, so the relation replans as scan minus broadcast anti join).
+    // The oracle replays the whole chain from the base table, so a lost
+    // delete leg, an update applied to the wrong rows, a merge that
+    // resurrects an erased key, or an unmasked read all hash-fail. An
+    // untranslatable DELETE predicate must refuse loudly (pinned) — the
+    // alternative is deleting the wrong rows. Every mutation is guarded
+    // by its head version and defers to a concurrent winner (parallel
+    // suites / the bench child build this fixture racily — the standing
+    // snapshot-gate discipline).
+    "q_snapshot_sql_dml" -> { (s, dir) =>
+      import graft.sources.{SnapshotTable => ST}
+      val sfN = new java.io.File(dir).getName
+      val fp = java.security.MessageDigest.getInstance("MD5")
+        .digest(graft.sources.Sinks.fingerprint(s, s"$dir/orders.parquet")
+          .getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString.take(10)
+      val root = s"/root/repo/target/tmp/sqldml-$sfN-$fp"
+      val tbl = "orders_t"
+      val base = s"$root/$tbl"
+      val cat = s"gdml${sfN.replace(".", "")}$fp"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.SnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      s.conf.set(s"spark.sql.catalog.$cat.key.$tbl", "k")
+      val t = s"$cat.`$tbl`"
+      val bv = s"sqldml_base_${sfN.replace(".", "")}"
+      Tables(s, dir, "orders")
+        .select(col("o_orderkey").as("k"), col("o_orderpriority").as("pri"),
+          cents(col("o_totalprice")).as("cents"))
+        .createOrReplaceTempView(bv)
+      def head = ST.headVersion(s, base)
+      def awaitHead(v: Int): Unit = {
+        var i = 0
+        while (head < v && i < 600) { Thread.sleep(100); i += 1 }
+        require(head >= v, s"snapshot $base stuck below v$v")
+      }
+      def step(at: Int, sql: String): Unit = {
+        if (head == at) {
+          try s.sql(sql).collect(): Unit
+          catch { // concurrent constructor won the claim — defer
+            case e: Exception if head > at => ()
+          }
+        }
+        awaitHead(at + 1)
+      }
+      step(0, s"CREATE TABLE $t (k BIGINT, pri STRING, cents BIGINT)")
+      step(1, s"INSERT INTO $t SELECT k, pri, cents FROM $bv")
+      step(2, s"DELETE FROM $t WHERE pri = '5-LOW'")
+      step(3, s"UPDATE $t SET cents = cents + 7 WHERE pri = '1-URGENT'")
+      step(4,
+        s"""MERGE INTO $t AS tgt USING (
+           |  SELECT k, pri || '+' AS pri, cents * 3 AS cents FROM $bv
+           |  WHERE k % 10 = 3
+           |  UNION ALL
+           |  SELECT k + 1000000000, pri, cents FROM $bv WHERE k % 10 = 4
+           |) AS src ON tgt.k = src.k
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      require(head == 5, s"DML chain must land at v5, got v$head")
+      // refusal pin: a predicate the key-file delete cannot translate
+      // must refuse at analysis, never delete the wrong rows
+      val refused =
+        try { s.sql(s"DELETE FROM $t WHERE length(pri) > 5"); false }
+        catch { case _: Exception => head == 5 }
+      require(refused, "an untranslatable DELETE predicate must refuse")
+      s.sql(s"SELECT pri, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS " +
+        s"cents FROM $t GROUP BY pri ORDER BY pri")
+    },
+
+    // SQL WRITES AS SNAPSHOT VERSIONS (SnapshotTableHandle's V1Write):
+    // CREATE TABLE commits v1 (empty, schema-carrying), each INSERT INTO
+    // commits exactly one version appending one dir, INSERT OVERWRITE
+    // commits a version whose data is ONLY the new dir (truncate
+    // semantics) — and the pre-overwrite state stays readable through
+    // VERSION AS OF (pinned by the v3 arm). Row counts ride each write's
+    // manifest, so the metadata-only COUNT fast path works on SQL-built
+    // tables (require-pinned against a real scan). Head guards make the
+    // chain idempotent across re-runs and racing builders — a replayed
+    // step can never double-fold a batch.
+    "q_snapshot_sql_insert" -> { (s, dir) =>
+      import graft.sources.{SnapshotTable => ST}
+      val sfN = new java.io.File(dir).getName
+      val fp = java.security.MessageDigest.getInstance("MD5")
+        .digest(graft.sources.Sinks.fingerprint(s, s"$dir/orders.parquet")
+          .getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString.take(10)
+      val root = s"/root/repo/target/tmp/sqlins-$sfN-$fp"
+      val tbl = "orders_t"
+      val base = s"$root/$tbl"
+      val cat = s"gins${sfN.replace(".", "")}$fp"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.SnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      val t = s"$cat.`$tbl`"
+      val bv = s"sqlins_base_${sfN.replace(".", "")}"
+      Tables(s, dir, "orders")
+        .select(col("o_orderkey").as("k"), col("o_orderpriority").as("pri"),
+          cents(col("o_totalprice")).as("cents"))
+        .createOrReplaceTempView(bv)
+      def head = ST.headVersion(s, base)
+      def awaitHead(v: Int): Unit = {
+        var i = 0
+        while (head < v && i < 600) { Thread.sleep(100); i += 1 }
+        require(head >= v, s"snapshot $base stuck below v$v")
+      }
+      def step(at: Int, sql: String): Unit = {
+        if (head == at) {
+          try s.sql(sql).collect(): Unit
+          catch { case e: Exception if head > at => () }
+        }
+        awaitHead(at + 1)
+      }
+      step(0, s"CREATE TABLE $t (k BIGINT, pri STRING, cents BIGINT)")
+      step(1, s"INSERT INTO $t SELECT k, pri, cents FROM $bv WHERE k % 4 = 0")
+      step(2, s"INSERT INTO $t SELECT k, pri, cents FROM $bv WHERE k % 4 = 1")
+      step(3,
+        s"INSERT OVERWRITE $t SELECT k, pri, cents FROM $bv WHERE k % 4 = 2")
+      require(head == 4, s"insert chain must land at v4, got v$head")
+      require(ST.manifest(s, base, 4).dataDirs.size == 1,
+        "INSERT OVERWRITE must replace the data set with the one new dir")
+      require(ST.manifest(s, base, 3).dataDirs.size == 3,
+        "two appends over the created table must stack three dirs")
+      // metadata-only COUNT must survive the SQL write path, and must
+      // agree with a real scan (a wrong stored count is served-wrong)
+      val meta = ST.countRows(s, base, 4)
+      require(meta.contains(
+        s.sql(s"SELECT COUNT(*) FROM $t").head.getLong(0)),
+        s"SQL-built table must answer COUNT from metadata exactly: $meta")
+      s.sql(
+        s"""SELECT CAST(3 AS BIGINT) AS version, COUNT(*) AS n,
+           |  CAST(SUM(cents) AS BIGINT) AS cents FROM $t VERSION AS OF 3
+           |UNION ALL
+           |SELECT CAST(4 AS BIGINT), COUNT(*), CAST(SUM(cents) AS BIGINT)
+           |FROM $t ORDER BY version""".stripMargin)
+    },
+
+    // DROP/RENAME COLUMN EVOLUTION (SnapshotTable.evolveRenameColumn /
+    // evolveDropColumn through SQL ALTER TABLE): rename is METADATA-ONLY
+    // — the manifest carries a logical→physical name map, pre-rename
+    // dirs read through their stored name ([[projectTo]]'s fallback),
+    // post-rename appends carry the new name directly; drop likewise
+    // only narrows the manifest schema and LOCKS the physical name
+    // against reuse (re-adding it would resurrect stale bytes — pinned
+    // refusals below; a full rewrite clears the locks). Time travel is
+    // schema-versioned: the v1 arm reads the pre-evolution shape with
+    // its original column names. The head arm reads through SQL, which
+    // pins SnapshotDmlRule's projection rewrite (a bare parquet scan of
+    // the renamed table would read pre-rename dirs as NULLs — r16's
+    // first scratch run caught exactly that).
+    "q_snapshot_evolve2" -> { (s, dir) =>
+      import graft.sources.{SnapshotTable => ST}
+      val sfN = new java.io.File(dir).getName
+      val fp = java.security.MessageDigest.getInstance("MD5")
+        .digest(graft.sources.Sinks.fingerprint(s, s"$dir/orders.parquet")
+          .getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString.take(10)
+      val root = s"/root/repo/target/tmp/ev2-$sfN-$fp"
+      val tbl = "orders_t"
+      val base = s"$root/$tbl"
+      val cat = s"gev2${sfN.replace(".", "")}$fp"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.SnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      val t = s"$cat.`$tbl`"
+      val bv = s"ev2_base_${sfN.replace(".", "")}"
+      Tables(s, dir, "orders")
+        .select(col("o_orderkey").as("k"), cents(col("o_totalprice"))
+          .as("cents"), col("o_orderpriority").as("pri"))
+        .createOrReplaceTempView(bv)
+      graft.sources.Sinks.ensureDir(s, s"$base/d1", "v1:ev2_prerename",
+        inputs = Seq(s"$dir/orders.parquet")) {
+        Tables(s, dir, "orders").where(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey").as("k"),
+            cents(col("o_totalprice")).as("c"),
+            col("o_orderpriority").as("pri"))
+          .write.mode("overwrite").parquet(s"$base/d1")
+      }
+      ST.commit(s, base, 1, ST.Snapshot(Seq(s"$base/d1"), Nil))
+      def head = ST.headVersion(s, base)
+      def awaitHead(v: Int): Unit = {
+        var i = 0
+        while (head < v && i < 600) { Thread.sleep(100); i += 1 }
+        require(head >= v, s"snapshot $base stuck below v$v")
+      }
+      def step(at: Int, sql: String): Unit = {
+        if (head == at) {
+          try s.sql(sql).collect(): Unit
+          catch { case e: Exception if head > at => () }
+        }
+        awaitHead(at + 1)
+      }
+      step(1, s"ALTER TABLE $t RENAME COLUMN c TO cents2")
+      step(2, s"INSERT INTO $t SELECT k, cents, pri FROM $bv WHERE k % 2 = 1")
+      step(3, s"ALTER TABLE $t DROP COLUMN pri")
+      require(head == 4, s"evolution chain must land at v4, got v$head")
+      def refuses(sql: String): Boolean =
+        try { s.sql(sql).collect(); false }
+        catch { case _: Exception => true }
+      require(refuses(s"ALTER TABLE $t ADD COLUMNS (pri STRING)"),
+        "re-adding a dropped physical name must refuse (stale-byte " +
+          "resurrection)")
+      require(refuses(s"ALTER TABLE $t RENAME COLUMN k TO c"),
+        "renaming onto a renamed-away physical name must refuse")
+      require(refuses(s"ALTER TABLE $t ALTER COLUMN k TYPE INT"),
+        "a type change is a data rewrite — must refuse")
+      val v1 = ST.readVersion(s, base, 1, "k")
+        .agg(count(lit(1)).as("n"), sum(col("c")).as("s"))
+        .select(lit(1L).as("version"), col("n"), col("s"))
+      val v4 = s.sql(s"SELECT CAST(4 AS BIGINT) AS version, COUNT(*) AS " +
+        s"n, SUM(cents2) AS s FROM $t")
+      v1.unionAll(v4).orderBy("version")
+    },
+
     // Data-quality constraint gate — the dbt-test / Deequ-style validation
     // report every ingest pipeline runs before promoting a batch: PK
     // uniqueness, FK orphans, range, enum-domain, and null checks, one row
@@ -3804,6 +4022,51 @@ object AdvancedQueries {
          |FROM orders
          |GROUP BY o_orderpriority
          |ORDER BY o_orderpriority""".stripMargin,
+
+    // the full SQL DML chain replayed relationally from the base table:
+    // v3 delete masks the 5-LOW keys, v4 update bumps 1-URGENT cents,
+    // v5 merge replaces the k%10=3 keys (masked ones stay masked — the
+    // erase cascade) and appends the shifted k%10=4 keys
+    "q_snapshot_sql_dml" ->
+      s"""WITH base AS (SELECT o_orderkey AS k, o_orderpriority AS pri,
+         |    ${CENTS("o_totalprice")} AS cents FROM orders),
+         |del AS (SELECT k FROM base WHERE pri = '5-LOW'),
+         |v4 AS (SELECT k, pri, CASE WHEN pri = '1-URGENT' THEN cents + 7
+         |    ELSE cents END AS cents FROM base),
+         |src AS (SELECT k, pri || '+' AS pri, cents * 3 AS cents
+         |    FROM base WHERE k % 10 = 3
+         |  UNION ALL
+         |  SELECT k + 1000000000, pri, cents FROM base WHERE k % 10 = 4),
+         |merged AS (SELECT * FROM v4
+         |    WHERE k NOT IN (SELECT k FROM src)
+         |  UNION ALL SELECT * FROM src),
+         |vis AS (SELECT * FROM merged WHERE k NOT IN (SELECT k FROM del))
+         |SELECT pri, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS cents
+         |FROM vis GROUP BY pri ORDER BY pri""".stripMargin,
+
+    // v3 = the two appended quarters, v4 = the overwrite's quarter only
+    "q_snapshot_sql_insert" ->
+      s"""SELECT CAST(3 AS BIGINT) AS version, COUNT(*) AS n,
+         |  CAST(SUM(${CENTS("o_totalprice")}) AS BIGINT) AS cents
+         |FROM orders WHERE o_orderkey % 4 IN (0, 1)
+         |UNION ALL
+         |SELECT CAST(4 AS BIGINT), COUNT(*),
+         |  CAST(SUM(${CENTS("o_totalprice")}) AS BIGINT)
+         |FROM orders WHERE o_orderkey % 4 = 2
+         |ORDER BY version""".stripMargin,
+
+    // v1 = the pre-rename half under its original column; v4 = both
+    // halves read through the rename map (a lost mapping NULLs the
+    // pre-rename half's cents and the sum hash-fails)
+    "q_snapshot_evolve2" ->
+      s"""SELECT CAST(1 AS BIGINT) AS version, COUNT(*) AS n,
+         |  CAST(SUM(${CENTS("o_totalprice")}) AS BIGINT) AS s
+         |FROM orders WHERE o_orderkey % 2 = 0
+         |UNION ALL
+         |SELECT CAST(4 AS BIGINT), COUNT(*),
+         |  CAST(SUM(${CENTS("o_totalprice")}) AS BIGINT)
+         |FROM orders
+         |ORDER BY version""".stripMargin,
 
     // the manifest shape each commit created (literal) joined to the
     // row sets the versions committed (base-table replay): a phantom or

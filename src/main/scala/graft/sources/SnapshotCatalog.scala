@@ -3,24 +3,34 @@ package graft.sources
 import java.util.{Map => JMap}
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
-import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.sources.{Filter, InsertableRelation}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-/** SQL catalog over [[SnapshotTable]] bases — the `VERSION AS OF` /
-  * `TIMESTAMP AS OF` surface:
+/** SQL catalog over [[SnapshotTable]] bases — the lakehouse SQL surface:
   *
   * {{{
-  *   spark.sql.catalog.snap      = graft.sources.SnapshotCatalog
-  *   spark.sql.catalog.snap.root = /warehouse/snapshots
+  *   spark.sql.catalog.snap          = graft.sources.SnapshotCatalog
+  *   spark.sql.catalog.snap.root     = /warehouse/snapshots
+  *   spark.sql.catalog.snap.key.tbl  = id     // tbl's row key (enables DML)
   *
   *   SELECT ... FROM snap.`events` VERSION AS OF 3
   *   SELECT ... FROM snap.`events` TIMESTAMP AS OF '2026-08-01 00:00:00'
+  *   CREATE TABLE snap.t (k BIGINT, v STRING)      -- commits v1 (empty)
+  *   CREATE TABLE snap.t AS SELECT ...             -- v1 empty + v2 data
+  *   INSERT INTO / INSERT OVERWRITE snap.t ...     -- one version per write
+  *   DELETE FROM snap.t WHERE ...                  -- merge-on-read (O(keys))
+  *   UPDATE snap.t SET ... WHERE / MERGE INTO snap.t  -- via SnapshotDmlRule
+  *   ALTER TABLE snap.t ADD COLUMNS / RENAME COLUMN / DROP COLUMN
+  *   DROP TABLE snap.t
   * }}}
   *
   * Each table name is a child dir of `root` holding `_MANIFEST_v*` files;
@@ -33,21 +43,29 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * as the user-specified schema (pre-evolution dirs read the evolved
   * columns as NULLs; time travel keeps each version's OWN shape).
   *
-  * REFUSED loudly rather than served wrong:
-  *  - versions carrying merge-on-read delete files: a catalog scan is a
-  *    pure parquet read and cannot apply key masks — [[SnapshotTable
-  *    .compact]] first, or read through [[SnapshotTable.readVersion]];
-  *  - writes/DDL (read-only catalog: create/alter/drop/rename throw) —
-  *    commits go through the table API, whose OCC protocol the SQL write
-  *    path could not honor anyway.
+  * ROW-LEVEL DML needs the table's key column declared
+  * (`spark.sql.catalog.<cat>.key.<tbl>` — the snapshot format's deletes
+  * are key files, so SQL DELETE must know which column keys rows). With a
+  * key declared, a version carrying merge-on-read delete files is ALSO
+  * readable through SQL: [[graft.plans.SnapshotDmlRule]] rewrites the
+  * relation into the same scan-minus-broadcast-anti-join plan the API
+  * read ([[SnapshotTable.readVersion]]) uses. Without a key, such a
+  * version still refuses loudly (a bare parquet scan cannot apply key
+  * masks — served-wrong is worse than refused).
   *
-  * At 100 TB the load path costs one listing + one manifest read per
-  * query — table resolution is metadata-only, the scan plans against the
-  * version's dir list exactly like the API read. */
+  * Every write commits exactly one snapshot version through
+  * [[SnapshotTable.commit]]'s optimistic concurrency — a racing committer
+  * loses the version claim loudly, never last-writer-wins. At 100 TB the
+  * load path costs one listing + one manifest read per query — table
+  * resolution is metadata-only, the scan plans against the version's dir
+  * list exactly like the API read. */
 class SnapshotCatalog extends TableCatalog {
 
   private var catName: String = _
   private var root: String = _
+  // table name (lowercased — CaseInsensitiveStringMap folds option keys)
+  // → declared key column; absence means "reads only" for DML surfaces
+  private var keyCols: Map[String, String] = Map.empty
 
   override def initialize(name: String,
       options: CaseInsensitiveStringMap): Unit = {
@@ -55,6 +73,10 @@ class SnapshotCatalog extends TableCatalog {
     root = options.get("root")
     require(root != null,
       s"SnapshotCatalog '$name' needs spark.sql.catalog.$name.root")
+    import scala.jdk.CollectionConverters._
+    keyCols = options.entrySet().asScala
+      .filter(_.getKey.startsWith("key."))
+      .map(e => e.getKey.stripPrefix("key.") -> e.getValue).toMap
   }
 
   override def name(): String = catName
@@ -66,6 +88,9 @@ class SnapshotCatalog extends TableCatalog {
       throw new NoSuchTableException(ident)
     s"$root/${ident.name()}"
   }
+
+  private def keyFor(ident: Identifier): Option[String] =
+    keyCols.get(ident.name().toLowerCase(java.util.Locale.ROOT))
 
   /** `<cat>.<tbl>.history` — the metadata table ([[SnapshotTable
     * .history]]): version-count-sized rows computed driver-side at
@@ -122,34 +147,255 @@ class SnapshotCatalog extends TableCatalog {
     if (head == 0) throw new NoSuchTableException(ident)
     val v = version.getOrElse(head)
     val snap = SnapshotTable.manifest(spark, base, v)
-    require(snap.deleteDirs.isEmpty,
+    val keyCol = keyFor(ident)
+    // a delete-carrying version is only SQL-readable when the key column
+    // is declared (SnapshotDmlRule then plans the broadcast-anti-join
+    // merge-on-read read); undeclared → refuse rather than serve rows the
+    // version erased
+    require(snap.deleteDirs.isEmpty || keyCol.isDefined,
       s"$catName.${ident.name()} v$v carries merge-on-read delete files " +
-        "— a SQL catalog scan is a pure parquet read and cannot apply " +
-        "key masks; SnapshotTable.compact() the table first, or read " +
-        "through SnapshotTable.readVersion")
+        "— a bare SQL parquet scan cannot apply key masks; declare the " +
+        s"table's key (spark.sql.catalog.$catName.key.${ident.name()}) " +
+        "to enable merge-on-read SQL reads, SnapshotTable.compact() the " +
+        "table first, or read through SnapshotTable.readVersion")
     val schema: StructType = SnapshotTable.tableSchema(spark, snap)
-    ParquetTable(s"$catName.${ident.name()}@v$v", spark,
+    for (k <- keyCol)
+      require(schema.fieldNames.contains(k),
+        s"declared key column $k is not in $catName.${ident.name()}'s " +
+          s"v$v schema ${schema.fieldNames.toSeq}")
+    val delegate = ParquetTable(s"$catName.${ident.name()}@v$v", spark,
       CaseInsensitiveStringMap.empty(), snap.dataDirs,
       Some(schema), classOf[ParquetFileFormat])
+    new SnapshotTableHandle(base, v, snap, keyCol,
+      s"$catName.${ident.name()}@v$v", schema, delegate)
   }
 
-  private def readOnly(op: String): Nothing =
-    throw new UnsupportedOperationException(
-      s"SnapshotCatalog is read-only ($op refused): commits go through " +
-        "the SnapshotTable API, whose optimistic-concurrency protocol " +
-        "the SQL write path could not honor")
-
+  /** CREATE TABLE — commits v1 as ONE EMPTY data dir at the declared
+    * schema (the manifest carries the DDL), so the table is immediately
+    * readable and the CTAS flow (createTable + append) lands its data as
+    * v2. Partition transforms are refused: layout in this format is
+    * managed by OPTIMIZE/ZORDER rewrites, not static partitioning. The
+    * staging dir is writer-unique; [[SnapshotTable.commit]]'s version
+    * claim arbitrates racing creators (the loser errs loudly and its
+    * orphan dir is vacuum-collectable). */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
-      properties: JMap[String, String]): Table = readOnly("CREATE TABLE")
+      properties: JMap[String, String]): Table = {
+    require(partitions.isEmpty,
+      "snapshot tables take no partition transforms — layout is managed " +
+        "by OPTIMIZE (bin-pack) / ZORDER rewrites")
+    val base = basePath(ident)
+    if (SnapshotTable.headVersion(spark, base) > 0)
+      throw new TableAlreadyExistsException(
+        Seq(catName, ident.name()).mkString("."))
+    val dir = s"$base/_create_v1-" +
+      java.util.UUID.randomUUID().toString.take(8)
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      .write.mode("overwrite").parquet(dir)
+    SnapshotTable.commit(spark, base, 1,
+      SnapshotTable.Snapshot(Seq(dir), Nil, schema = Some(schema.toDDL),
+        rowCounts = Map(dir -> 0L)))
+    loadTable(ident)
+  }
 
+  /** ALTER TABLE — the SQL face of the metadata-only evolution trio:
+    * ADD COLUMNS → [[SnapshotTable.evolveAddColumns]], RENAME COLUMN →
+    * [[SnapshotTable.evolveRenameColumn]], DROP COLUMN →
+    * [[SnapshotTable.evolveDropColumn]]. Each is one manifest commit,
+    * never a data rewrite; anything else (type changes, nested fields,
+    * comments) refuses loudly — in an immutable-file format those are
+    * rewrites by definition. */
   override def alterTable(ident: Identifier,
-      changes: TableChange*): Table = readOnly("ALTER TABLE")
+      changes: TableChange*): Table = {
+    val base = basePath(ident)
+    if (SnapshotTable.headVersion(spark, base) == 0)
+      throw new NoSuchTableException(ident)
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames().length == 1,
+          "snapshot evolution adds top-level columns only, got nested " +
+            add.fieldNames().toSeq.mkString("."))
+        val f = org.apache.spark.sql.types
+          .StructField(add.fieldNames()(0), add.dataType(), add.isNullable)
+        SnapshotTable.evolveAddColumns(spark, base,
+          StructType(Seq(f)).toDDL): Unit
+      case ren: TableChange.RenameColumn =>
+        require(ren.fieldNames().length == 1,
+          "snapshot evolution renames top-level columns only, got nested " +
+            ren.fieldNames().toSeq.mkString("."))
+        SnapshotTable.evolveRenameColumn(spark, base,
+          ren.fieldNames()(0), ren.newName()): Unit
+      case del: TableChange.DeleteColumn =>
+        require(del.fieldNames().length == 1,
+          "snapshot evolution drops top-level columns only, got nested " +
+            del.fieldNames().toSeq.mkString("."))
+        SnapshotTable.evolveDropColumn(spark, base,
+          del.fieldNames()(0)): Unit
+      case other => throw new UnsupportedOperationException(
+        s"snapshot ALTER TABLE supports ADD/RENAME/DROP COLUMN only " +
+          s"(metadata-only evolution); $other is a data rewrite in an " +
+          "immutable-file format — refuse rather than pretend")
+    }
+    loadTable(ident)
+  }
 
-  override def dropTable(ident: Identifier): Boolean = readOnly("DROP TABLE")
+  /** DROP TABLE — removes the table's entire base dir (manifests + data).
+    * Destructive BY CONTRACT, like Delta's DROP on a managed table; a
+    * time-travel-preserving retirement is [[SnapshotTable.vacuum]]. */
+  override def dropTable(ident: Identifier): Boolean = {
+    val base = basePath(ident)
+    if (SnapshotTable.headVersion(spark, base) == 0) return false
+    val bp = new Path(base)
+    bp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(bp, true)
+  }
 
   override def renameTable(oldIdent: Identifier,
-      newIdent: Identifier): Unit = readOnly("RENAME TABLE")
+      newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException(
+      "snapshot RENAME TABLE is refused: a dir rename is not atomic on " +
+        "object stores and would strand concurrent committers mid-claim " +
+        "— clone to the new name (SnapshotTable.cloneAt) and drop the old")
+}
+
+/** The catalog's table handle: reads delegate to Spark's own
+  * [[ParquetTable]] scan over the resolved version's dirs (full pushdown/
+  * pruning/vectorization), writes and row-level deletes commit snapshot
+  * versions through the [[SnapshotTable]] API. Carried metadata
+  * (base/version/snapshot/key) is what [[graft.plans.SnapshotDmlRule]]
+  * keys on to plan merge-on-read masked scans and UPDATE/MERGE commands. */
+final class SnapshotTableHandle(
+    val base: String, val snapVersion: Int,
+    val snap: SnapshotTable.Snapshot, val keyCol: Option[String],
+    tname: String, tschema: StructType, delegate: ParquetTable)
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+
+  override def name(): String = tname
+  override def schema(): StructType = tschema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+      TableCapability.OVERWRITE_BY_FILTER, TableCapability.TRUNCATE)
+
+  /** Does a SQL read of this version need plan rewriting beyond a bare
+    * parquet scan? Delete files need the merge-on-read key mask;
+    * rename evolution needs the logical→physical projection (a bare
+    * scan reads pre-rename dirs' mapped columns as NULLs). */
+  def needsMask: Boolean =
+    snap.deleteDirs.nonEmpty || snap.renames.nonEmpty
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    delegate.newScanBuilder(options)
+
+  private def spark: SparkSession = SparkSession.active
+
+  /** SQL `DELETE FROM ... WHERE` — the merge-on-read delete
+    * ([[SnapshotTable.deleteWhere]]): one scan collects matching KEYS
+    * into a fresh delete file and head+1 commits with it appended —
+    * O(matches), the data files are never rewritten (the 100 TB
+    * contract; compaction folds delete files in later). Needs the
+    * declared key column; predicates beyond the translatable set refuse
+    * via [[canDeleteWhere]] (Spark surfaces the analysis error) rather
+    * than delete the wrong rows. Always acts on the CURRENT head —
+    * [[SnapshotTable.commit]]'s version claim arbitrates racers. */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    keyCol.isDefined &&
+      filters.forall(KvTextSource.deleteFilterColumn(_, tschema).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(keyCol.isDefined,
+      s"DELETE on $tname needs the table's key column declared " +
+        "(spark.sql.catalog.<cat>.key.<tbl>)")
+    val pred = filters
+      .map(f => KvTextSource.deleteFilterColumn(f, tschema).getOrElse(
+        sys.error(s"deleteWhere got an untranslatable filter $f — " +
+          "canDeleteWhere should have refused")))
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    SnapshotTable.deleteWhere(spark, base, keyCol.get, pred): Unit
+  }
+
+  /** INSERT INTO / INSERT OVERWRITE — a [[V1Write]] (the Delta-style
+    * driver-side connector write): the batch lands in one writer-unique
+    * parquet dir and head+1 commits with the dir APPENDED (insert) or as
+    * the ONLY data dir with an empty delete set (overwrite — the
+    * truncate contract). One snapshot version per SQL write; a lost
+    * version-number race re-reads the winner's head and re-commits on
+    * top (bounded OCC loop, the [[SnapshotTable.ingestBatch]] shape).
+    * Row counts ride into the manifest so the metadata COUNT fast path
+    * works on SQL-built tables. */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): WriteBuilder = { overwrite = true; this }
+      override def build(): Write = new V1Write {
+        private val ow = overwrite
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame,
+                legacyOverwrite: Boolean): Unit =
+              SnapshotTableHandle.insertInto(
+                SparkSession.active, base, tschema, data,
+                ow || legacyOverwrite): Unit
+          }
+      }
+    }
+}
+
+object SnapshotTableHandle {
+  /** One SQL write = one committed version (see
+    * [[SnapshotTableHandle.newWriteBuilder]]). The analyzer already
+    * reconciled the query's columns to the table schema, so alignment
+    * here is positional rename + cast — never silent reordering. */
+  private[graft] def insertInto(spark: SparkSession, base: String,
+      target: StructType, data: DataFrame, overwrite: Boolean): Int = {
+    import org.apache.spark.sql.functions.col
+    require(data.schema.length == target.length,
+      s"INSERT carries ${data.schema.length} columns, table has " +
+        s"${target.length}")
+    val head0 = SnapshotTable.headVersion(spark, base)
+    require(head0 >= 1,
+      s"no committed snapshot under $base — CREATE TABLE first")
+    // the dir lands at the table's FROZEN physical names (rename is
+    // logical-only; see SnapshotTable.toPhysical) — stable across the
+    // OCC retries below because renames never move physical names
+    val snap0 = SnapshotTable.manifest(spark, base, head0)
+    val aligned = data.toDF(target.fieldNames.toIndexedSeq: _*)
+      .select(target.fields.toIndexedSeq
+        .map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+    val dir = s"$base/_insert-" + java.util.UUID.randomUUID().toString
+    SnapshotTable.toPhysical(snap0, aligned)
+      .write.mode("overwrite").parquet(dir)
+    val n = spark.read.parquet(dir).count()
+    var attempt = 0
+    while (attempt < 20) {
+      attempt += 1
+      val head = SnapshotTable.headVersion(spark, base)
+      require(head >= 1,
+        s"no committed snapshot under $base — CREATE TABLE first")
+      val prior = SnapshotTable.manifest(spark, base, head)
+      val next =
+        if (overwrite)
+          prior.copy(dataDirs = Seq(dir), deleteDirs = Nil, bounds = Nil,
+            rowCounts = Map(dir -> n))
+        else prior.copy(dataDirs = prior.dataDirs :+ dir,
+          rowCounts = prior.rowCounts + (dir -> n))
+      try {
+        SnapshotTable.commit(spark, base, head + 1, next)
+        return head + 1
+      } catch {
+        case e: IllegalArgumentException
+            if attempt < 20 && e.getMessage != null && e.getMessage
+              .contains("already committed with different content") =>
+          // lost the version-number race — re-commit onto the winner
+      }
+    }
+    throw new IllegalStateException(
+      s"INSERT into $base could not claim a version after 20 attempts — " +
+        "a committer is racing every retry or the store is wedged")
+  }
 }
 
 /** A driver-computed row set served as a DSv2 batch table — the vehicle

@@ -40,10 +40,22 @@ object SnapshotTable {
     * pre-evolution default) means "whatever the data dirs agree on",
     * which keeps pre-evolution manifests byte-identical. Because the
     * schema lives IN the versioned manifest, time travel reads each
-    * version under ITS OWN schema — the Iceberg/Delta contract. */
+    * version under ITS OWN schema — the Iceberg/Delta contract.
+    *
+    * `renames`: current LOGICAL column name → the PHYSICAL name data
+    * files written before the rename carry ([[evolveRenameColumn]] —
+    * the name-mapping that makes rename metadata-only; dirs written
+    * after the rename carry the new name and never consult the map).
+    * `dropped`: physical names of columns dropped from the logical
+    * schema ([[evolveDropColumn]]) that may still exist in data files —
+    * kept so a later ADD/RENAME cannot reuse the name and silently
+    * resurrect stale bytes (a full rewrite, e.g. [[optimizeZorder]],
+    * clears both sets). */
   final case class Snapshot(dataDirs: Seq[String], deleteDirs: Seq[String],
       bounds: Seq[DirBounds] = Nil, schema: Option[String] = None,
-      rowCounts: Map[String, Long] = Map.empty)
+      rowCounts: Map[String, Long] = Map.empty,
+      renames: Map[String, String] = Map.empty,
+      dropped: Seq[String] = Nil)
 
   private def manifestPath(base: String, v: Int) =
     new Path(s"$base/_MANIFEST_v$v")
@@ -78,7 +90,15 @@ object SnapshotTable {
     // compares like with like
     val snap = rawSnap.copy(rowCounts = rawSnap.dataDirs
       .filter(rawSnap.rowCounts.contains)
-      .map(d => d -> rawSnap.rowCounts(d)).toMap)
+      .map(d => d -> rawSnap.rowCounts(d)).toMap,
+      dropped = rawSnap.dropped.distinct.sorted)
+    // delimiter validation FIRST (cheap, pure): a path with ',' or '|'
+    // would parse back into DIFFERENT dirs — the existence check below
+    // would mask this with a confusing "uncommitted dir" error
+    for (d <- snap.dataDirs ++ snap.deleteDirs)
+      require(!d.exists(c => c == '|' || c == ',' || c == '\n'),
+        s"dir path '$d' holds a manifest delimiter (| , or newline) — " +
+          "refuse rather than write a manifest that parses differently")
     // each referenced dir may live on its own filesystem (manifests name
     // absolute URIs) — resolve per path, not once from the default FS
     for (d <- snap.dataDirs ++ snap.deleteDirs) {
@@ -92,15 +112,6 @@ object SnapshotTable {
       require(!f.exists(c => c == '|' || c == ',' || c == '\n'),
         s"bounds field '$f' holds a manifest delimiter — refuse rather " +
           "than write an unparseable manifest")
-    // same rule for the dir lists themselves: a path carrying ',' (the
-    // list delimiter) or '|' (the rows/bounds field delimiter) would write
-    // a manifest that parses back into DIFFERENT dirs — surfacing later as
-    // a baffling "already committed with different content" on idempotent
-    // replay, or as reads of wrong paths. Refuse at commit time instead.
-    for (d <- snap.dataDirs ++ snap.deleteDirs)
-      require(!d.exists(c => c == '|' || c == ',' || c == '\n'),
-        s"dir path '$d' holds a manifest delimiter (| , or newline) — " +
-          "refuse rather than write a manifest that parses differently")
     val boundsLine =
       if (snap.bounds.isEmpty) "" // pre-bounds manifests stay byte-identical
       else "bounds=" + snap.bounds
@@ -123,9 +134,25 @@ object SnapshotTable {
       org.apache.spark.sql.types.StructType.fromDDL(ddl): Unit
       s"schema=$ddl\n"
     }.getOrElse("")
+    // rename/drop evolution state: absent lines keep pre-evolution
+    // manifests byte-identical (the standing format-compat rule)
+    for (n <- snap.renames.keysIterator ++ snap.renames.valuesIterator ++
+        snap.dropped.iterator)
+      require(!n.exists(c => c == '|' || c == ',' || c == '\n'),
+        s"column name '$n' holds a manifest delimiter — refuse rather " +
+          "than write an unparseable manifest")
+    require(snap.renames.isEmpty || snap.schema.isDefined,
+      "renames require a manifest-carried schema (rename is evolution)")
+    val renamesLine =
+      if (snap.renames.isEmpty) ""
+      else "renames=" + snap.renames.toSeq.sorted
+        .map { case (l, p) => s"$l|$p" }.mkString(",") + "\n"
+    val droppedLine =
+      if (snap.dropped.isEmpty) ""
+      else "dropped=" + snap.dropped.mkString(",") + "\n"
     val core = s"data=${snap.dataDirs.mkString(",")}\n" +
       s"delete=${snap.deleteDirs.mkString(",")}\n" + boundsLine +
-      rowsLine + schemaLine
+      rowsLine + schemaLine + renamesLine + droppedLine
     val body = core + f"crc=${crc32(core)}%08x\n"
     val dst = manifestPath(base, v)
     val fs = fsFor(spark, dst)
@@ -305,8 +332,17 @@ object SnapshotTable {
             "written by a newer format")
       }
     }.toMap
+    val renames = dirs("renames").toSeq.map { entry =>
+      entry.split("\\|", -1) match {
+        case Array(l, p) if l.nonEmpty && p.nonEmpty => l -> p
+        case _ => throw new IllegalArgumentException(
+          s"unparseable renames entry '$entry' — manifest damaged or " +
+            "written by a newer format")
+      }
+    }.toMap
     (Snapshot(dirs("data").toSeq, dirs("delete").toSeq, bounds,
-      kv.get("schema").filter(_.nonEmpty), rows),
+      kv.get("schema").filter(_.nonEmpty), rows, renames,
+      dirs("dropped").toSeq),
       crcLines.headOption.map(_.stripPrefix("crc=")),
       coreLines.mkString("", "\n", "\n"))
   }
@@ -553,8 +589,8 @@ object SnapshotTable {
     val newData =
       if (hit.isEmpty) snap.dataDirs // deletes matched nothing anywhere
       else {
-        readData(spark, snap, hit.toSeq.sorted)
-          .join(broadcast(dels), Seq(keyCol), "left_anti")
+        toPhysical(snap, readData(spark, snap, hit.toSeq.sorted)
+          .join(broadcast(dels), Seq(keyCol), "left_anti"))
           .write.parquet(compDir)
         keep :+ compDir
       }
@@ -662,11 +698,11 @@ object SnapshotTable {
     // leavings of a crashed prior attempt at THIS version: safe to clear,
     // since the guard above proved no manifest references the dir yet
     if (ufs.exists(up)) ufs.delete(up, true)
-    sets.foldLeft(readData(spark, snap, hit.toSeq.sorted)) {
+    toPhysical(snap, sets.foldLeft(readData(spark, snap, hit.toSeq.sorted)) {
       case (df, (name, set)) =>
         df.withColumn(name,
           when(predicate, set).otherwise(col(name)))
-    }.write.parquet(updDir)
+    }).write.parquet(updDir)
     // kept dirs keep their bounds; the rewritten dir gets FRESH bounds
     // (a SET may have moved the stats column — recompute, don't carry)
     commit(spark, base, v, snap.copy(dataDirs = keep :+ updDir,
@@ -728,7 +764,7 @@ object SnapshotTable {
       else readData(spark, snap, hit.toSeq.sorted)
         .join(broadcast(srcKeys), Seq(keyCol), "left_anti")
         .unionByName(aligned)
-    merged.write.parquet(mergeDir)
+    toPhysical(snap, merged).write.parquet(mergeDir)
     // kept dirs keep their bounds; the merge dir gets FRESH bounds
     // (source rows' range is arbitrary — recompute, don't carry)
     commit(spark, base, v, snap.copy(dataDirs = keep :+ mergeDir,
@@ -952,6 +988,22 @@ object SnapshotTable {
     applyDeletes(spark, snap, readData(spark, snap, snap.dataDirs), keyCol)
   }
 
+  /** Scan of version `v` WITHOUT delete masking — the rename-aware
+    * projection read ([[readData]]) for delete-free versions whose
+    * manifest carries a logical→physical name map: a bare parquet scan
+    * of such a version reads pre-rename dirs' mapped columns as NULLs.
+    * [[graft.plans.SnapshotDmlRule]] rewrites the SQL catalog's
+    * relations through this (no key column needed — there are no
+    * deletes to mask). */
+  def readVersionData(spark: SparkSession, base: String,
+      v: Int): DataFrame = {
+    val snap = manifest(spark, base, v)
+    require(snap.deleteDirs.isEmpty,
+      s"v$v carries delete files — use readVersion(keyCol) so the key " +
+        "mask applies")
+    readData(spark, snap, snap.dataDirs)
+  }
+
   /** The version committed as of `tsMillis` (epoch millis): the highest
     * version whose manifest's modification time is <= the timestamp —
     * the `TIMESTAMP AS OF` half of time travel, resolved from the same
@@ -1031,7 +1083,7 @@ object SnapshotTable {
     val totalSmall = small.map(d =>
       fsFor(spark, new Path(d)).getContentSummary(new Path(d)).getLength).sum
     val outFiles = math.max(1L, (totalSmall + targetBytes - 1) / targetBytes)
-    readData(spark, snap, small)
+    toPhysical(snap, readData(spark, snap, small))
       .coalesce(math.min(outFiles, Int.MaxValue.toLong).toInt)
       .write.parquet(packDir)
     commit(spark, base, v, snap.copy(dataDirs = keep :+ packDir,
@@ -1140,6 +1192,8 @@ object SnapshotTable {
       .groupBy(col(dirTag))
       .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // a FULL rewrite: every output dir carries the current logical names,
+    // so rename/drop evolution debt (and its ghost-name locks) clears here
     commit(spark, base, v,
       Snapshot(newDirs, Nil, bounds, snap.schema, counts))
     ZorderReport(v, snap.dataDirs.size, newDirs.size)
@@ -1165,9 +1219,10 @@ object SnapshotTable {
     * incrementally with ordinary maintenance. Time travel is
     * SCHEMA-VERSIONED: [[readVersion]] of a pre-evolution version sees
     * the old shape, because the schema lives in that version's manifest.
-    * Only ADD is offered — renames, drops, and type changes are a data
-    * rewrite by definition in a format whose files are immutable; refuse
-    * here rather than pretend. */
+    * RENAME and DROP are likewise metadata-only ([[evolveRenameColumn]] /
+    * [[evolveDropColumn]] — name-mapped reads); TYPE CHANGES are a data
+    * rewrite by definition in a format whose files are immutable and are
+    * refused rather than pretended. */
   def evolveAddColumns(spark: SparkSession, base: String,
       addDdl: String): Int = {
     val head = headVersion(spark, base)
@@ -1179,9 +1234,115 @@ object SnapshotTable {
     val dup = add.fieldNames.filter(cur.fieldNames.contains)
     require(dup.isEmpty,
       s"columns already exist: ${dup.toSeq} — evolution only ADDs")
+    val ghosts = add.fieldNames.filter(physicalGhosts(snap))
+    require(ghosts.isEmpty,
+      s"columns ${ghosts.toSeq} are still PHYSICAL names in existing " +
+        "data files (dropped or renamed-away) — adding them back would " +
+        "resurrect stale bytes; rewrite the table (optimizeZorder) " +
+        "first or pick another name")
     val widened = org.apache.spark.sql.types.StructType(cur ++ add)
     val v = head + 1
     commit(spark, base, v, snap.copy(schema = Some(widened.toDDL)))
+    v
+  }
+
+  /** Physical column names that no longer exist in the logical schema
+    * but may still exist in data files — reusing one as a new logical
+    * name would make [[projectTo]] silently serve the stale bytes. */
+  private def physicalGhosts(snap: Snapshot): Set[String] =
+    snap.renames.values.toSet ++ snap.dropped
+
+  /** Rename a logical-named frame to the table's PHYSICAL column names
+    * before writing a data dir — the Delta-style column-mapping write
+    * contract: a column's physical name is FROZEN at first appearance
+    * (rename only moves the logical name), so every dir carries the same
+    * physical names and [[projectTo]]'s single logical→physical map stays
+    * sufficient under repeated renames and un-renames. Partial writers
+    * (inserts, copy-on-write rewrites, compaction, bin-packing) go
+    * through this; the one full rewrite ([[optimizeZorder]]) instead
+    * lands logical names and CLEARS the map — normalization is only
+    * sound when every dir rewrites at once. */
+  private[sources] def toPhysical(snap: Snapshot, df: DataFrame): DataFrame =
+    if (snap.renames.isEmpty) df
+    else df.select(df.columns.toIndexedSeq
+      .map(c => col(c).as(snap.renames.getOrElse(c, c))): _*)
+
+  /** SCHEMA EVOLUTION — RENAME COLUMN, metadata-only like ADD: commit
+    * head+1 whose manifest carries the renamed schema plus a
+    * logical→physical name mapping. The PHYSICAL name is FROZEN at the
+    * column's first appearance (the Delta column-mapping contract):
+    * rename only moves the logical name, and every partial writer
+    * ([[toPhysical]]) keeps landing the stored physical name — so one
+    * flat map suffices under repeated renames, and renaming BACK to the
+    * physical name is the sanctioned un-rename (the mapping just
+    * drops). No data moves; time travel reads each version under its
+    * own names; the one FULL rewrite ([[optimizeZorder]]) lands logical
+    * names and clears the map. Renaming TO a name that is still
+    * physical in old files (dropped or renamed-away) is refused — it
+    * would resurrect stale bytes. Refused while merge-on-read deletes
+    * are pending: the delete key files reference column names —
+    * compact first. */
+  def evolveRenameColumn(spark: SparkSession, base: String,
+      from: String, to: String): Int = {
+    val head = headVersion(spark, base)
+    require(head >= 1, s"no committed snapshot under $base to evolve")
+    val snap = manifest(spark, base, head)
+    require(snap.deleteDirs.isEmpty,
+      "rename with pending merge-on-read delete files is refused — the " +
+        "key files reference column names; compact() first")
+    val cur = tableSchema(spark, snap)
+    require(cur.fieldNames.contains(from),
+      s"no column $from in ${cur.fieldNames.toSeq}")
+    require(!cur.fieldNames.contains(to),
+      s"column $to already exists — rename cannot overwrite")
+    require(to.nonEmpty && !to.exists(c => c == '|' || c == ',' ||
+      c == '\n'), s"column name '$to' holds a manifest delimiter")
+    val physical = snap.renames.getOrElse(from, from)
+    // renaming BACK to the column's own stored physical name is an
+    // un-rename (the mapping just drops) — only OTHER ghost names would
+    // resurrect stale bytes
+    require(to == physical || !physicalGhosts(snap).contains(to),
+      s"'$to' is still a PHYSICAL name in existing data files (dropped " +
+        "or renamed-away) — renaming onto it would resurrect stale " +
+        "bytes; rewrite the table (optimizeZorder) first")
+    val renamed = org.apache.spark.sql.types.StructType(
+      cur.map(f => if (f.name == from) f.copy(name = to) else f))
+    // a rename BACK to the stored physical name needs no mapping at all
+    val newRenames =
+      if (to == physical) snap.renames - from
+      else (snap.renames - from) + (to -> physical)
+    val v = head + 1
+    commit(spark, base, v,
+      snap.copy(schema = Some(renamed.toDDL), renames = newRenames))
+    v
+  }
+
+  /** SCHEMA EVOLUTION — DROP COLUMN, metadata-only: commit head+1 whose
+    * manifest schema omits the column; data files are untouched (their
+    * bytes simply stop being projected) and the column's PHYSICAL name
+    * is recorded in `dropped` so a later ADD/RENAME cannot reuse it and
+    * resurrect the stale bytes. Time travel still reads pre-drop
+    * versions with the column — the manifest-carried schema is
+    * per-version, the Iceberg/Delta contract. */
+  def evolveDropColumn(spark: SparkSession, base: String,
+      name: String): Int = {
+    val head = headVersion(spark, base)
+    require(head >= 1, s"no committed snapshot under $base to evolve")
+    val snap = manifest(spark, base, head)
+    require(snap.deleteDirs.isEmpty,
+      "drop with pending merge-on-read delete files is refused — the " +
+        "key files reference column names; compact() first")
+    val cur = tableSchema(spark, snap)
+    require(cur.fieldNames.contains(name),
+      s"no column $name in ${cur.fieldNames.toSeq}")
+    require(cur.size > 1, "cannot drop the last column")
+    val physical = snap.renames.getOrElse(name, name)
+    val narrowed = org.apache.spark.sql.types.StructType(
+      cur.filterNot(_.name == name))
+    val v = head + 1
+    commit(spark, base, v, snap.copy(schema = Some(narrowed.toDDL),
+      renames = snap.renames - name,
+      dropped = snap.dropped :+ physical))
     v
   }
 
@@ -1190,13 +1351,18 @@ object SnapshotTable {
     * it has beyond the target are dropped (a later schema seen through an
     * older version's manifest — time travel under the version's OWN
     * schema). Same-name columns keep their values, cast to the target
-    * type. */
+    * type; a target name absent physically falls back to its
+    * logical→physical mapping ([[evolveRenameColumn]] — physical names
+    * are frozen, so the map covers every dir uniformly). */
   private def projectTo(target: org.apache.spark.sql.types.StructType,
-      df: DataFrame): DataFrame = {
+      renames: Map[String, String], df: DataFrame): DataFrame = {
     val have = df.schema.fieldNames.toSet
     df.select(target.fields.toIndexedSeq.map { f =>
-      if (have(f.name)) col(f.name).cast(f.dataType).as(f.name)
-      else lit(null).cast(f.dataType).as(f.name)
+      val src =
+        if (have(f.name)) Some(f.name)
+        else renames.get(f.name).filter(have)
+      src.map(s => col(s).cast(f.dataType).as(f.name))
+        .getOrElse(lit(null).cast(f.dataType).as(f.name))
     }: _*)
   }
 
@@ -1216,7 +1382,7 @@ object SnapshotTable {
       val bySchema = dirs.groupBy(d => spark.read.parquet(d).schema)
       bySchema.toSeq.map { case (sch, ds) =>
         val df = spark.read.parquet(ds: _*)
-        if (sch == target) df else projectTo(target, df)
+        if (sch == target) df else projectTo(target, snap.renames, df)
       }.reduce(_ unionByName _)
   }
 

@@ -11,19 +11,25 @@ import graft.sources.SnapshotTable.Snapshot
   * and `TIMESTAMP AS OF` resolve through the catalog to the version's
   * manifest and plan Spark's own parquet scan over exactly that
   * version's dirs — with the manifest-carried schema, so time travel
-  * keeps each version's shape through evolution. Refusals pinned: delete-
-  * carrying versions (a pure scan cannot apply key masks), DDL/writes
-  * (read-only), unknown tables. */
+  * keeps each version's shape through evolution. The write/DML surface
+  * (CREATE/CTAS/INSERT/DELETE/UPDATE/MERGE/ALTER, plans/SnapshotDml) is
+  * covered here too. Refusals pinned: delete-carrying versions WITHOUT a
+  * declared key (a pure scan cannot apply key masks), unknown tables,
+  * non-upsert merges, subqueries in DML expressions, ghost-name
+  * evolution. */
 class SnapshotCatalogSpec extends SparkTestBase {
 
   // one catalog NAME per case: Spark instantiates a catalog once per name
   // and caches the instance, so a later conf change to `root` under the
   // same name would be ignored — per-name isolation is the test-side fix
   // (production configures the name once)
-  private def setupCatalog(cat: String, root: String): Unit = {
+  private def setupCatalog(cat: String, root: String,
+      keys: (String, String)*): Unit = {
     spark.conf.set(s"spark.sql.catalog.$cat",
       classOf[graft.sources.SnapshotCatalog].getName)
     spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    for ((tbl, k) <- keys)
+      spark.conf.set(s"spark.sql.catalog.$cat.key.$tbl", k)
   }
 
   private def writeKv(dir: String, from: Int, until: Int): Unit = {
@@ -134,7 +140,8 @@ class SnapshotCatalogSpec extends SparkTestBase {
     assert(listed == Seq("committed"), listed.toString)
   }
 
-  test("delete-carrying versions, DDL, and unknown tables refuse loudly") {
+  test("delete-carrying versions without a declared key, RENAME TABLE, " +
+      "and unknown tables refuse loudly") {
     val root = Files.createTempDirectory("snapcat").toString
     setupCatalog("snapcat3", root)
     val base = s"$root/tbl"
@@ -153,10 +160,143 @@ class SnapshotCatalogSpec extends SparkTestBase {
     assert(spark.sql("SELECT COUNT(*) FROM snapcat3.tbl").head()
       .getLong(0) == 9)
     intercept[Exception] {
-      spark.sql("DROP TABLE snapcat3.tbl")
+      spark.sql("ALTER TABLE snapcat3.tbl RENAME TO tbl2")
     }
     intercept[Exception] {
       spark.sql("SELECT * FROM snapcat3.nope").collect()
+    }
+  }
+
+  test("full SQL DML chain: CREATE/INSERT/CTAS/DELETE/UPDATE/MERGE/" +
+      "OVERWRITE, with merge-on-read masked reads in between") {
+    val root = Files.createTempDirectory("snapdml").toString
+    setupCatalog("snapdml1", root, "t" -> "k")
+    spark.sql("CREATE TABLE snapdml1.t (k BIGINT, v STRING, n BIGINT)")
+    spark.sql("INSERT INTO snapdml1.t VALUES (1,'a',10), (2,'b',20), " +
+      "(3,'c',30), (4,'d',40)")
+    // CTAS = CREATE (v1 empty) + append (v2)
+    spark.sql("CREATE TABLE snapdml1.src AS SELECT k, concat(v,'!') AS v, " +
+      "n*2 AS n FROM snapdml1.t WHERE k >= 3")
+    spark.sql("INSERT INTO snapdml1.src VALUES (9,'z',90)")
+    assert(ST.headVersion(spark, s"$root/src") == 3)
+    // DELETE → merge-on-read key file; SQL read re-plans with the mask
+    spark.sql("DELETE FROM snapdml1.t WHERE k = 2")
+    assert(ST.manifest(spark, s"$root/t",
+      ST.headVersion(spark, s"$root/t")).deleteDirs.nonEmpty,
+      "SQL DELETE must land as a merge-on-read key file, not a rewrite")
+    assert(spark.sql("SELECT sum(k) FROM snapdml1.t").head.getLong(0) == 8)
+    // UPDATE through the analyzer-rule path (copy-on-write)
+    spark.sql("UPDATE snapdml1.t SET n = n + 100 WHERE k >= 3")
+    assert(spark.sql("SELECT sum(n) FROM snapdml1.t").head.getLong(0) ==
+      10 + 130 + 140)
+    // MERGE upsert: replaces matched keys, appends new; masked keys stay
+    // masked (k=2 in src would resurrect — prove it doesn't)
+    spark.sql("INSERT INTO snapdml1.src VALUES (2,'ghost',1)")
+    spark.sql("MERGE INTO snapdml1.t USING snapdml1.src ON t.k = src.k " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    val rows = spark.sql("SELECT k, v, n FROM snapdml1.t ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.toSeq == Seq((1L, "a", 10L), (3L, "c!", 60L),
+      (4L, "d!", 80L), (9L, "z", 90L)), rows.toSeq.toString)
+    // INSERT OVERWRITE = truncate semantics, one-dir manifest, v+1
+    spark.sql("INSERT OVERWRITE snapdml1.t VALUES (7,'ow',1)")
+    val head = ST.headVersion(spark, s"$root/t")
+    val m = ST.manifest(spark, s"$root/t", head)
+    assert(m.dataDirs.size == 1 && m.deleteDirs.isEmpty)
+    assert(spark.sql("SELECT k FROM snapdml1.t").head.getLong(0) == 7)
+    // metadata COUNT works on SQL-built tables
+    assert(ST.countRows(spark, s"$root/t", head).contains(1L))
+    // DROP TABLE removes the base dir
+    spark.sql("DROP TABLE snapdml1.src")
+    intercept[Exception] {
+      spark.sql("SELECT * FROM snapdml1.src").collect()
+    }
+  }
+
+  test("DML refusals: key-less DELETE, untranslatable predicates, " +
+      "subqueries, non-upsert merges, partition transforms") {
+    val root = Files.createTempDirectory("snapdml").toString
+    setupCatalog("snapdml2", root, "t" -> "k")
+    spark.sql("CREATE TABLE snapdml2.t (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO snapdml2.t VALUES (1,'a'), (2,'b')")
+    // untranslatable DELETE predicate refuses (canDeleteWhere) — rows kept
+    intercept[Exception] {
+      spark.sql("DELETE FROM snapdml2.t WHERE length(v) > 0")
+    }
+    assert(spark.sql("SELECT COUNT(*) FROM snapdml2.t").head.getLong(0)
+      == 2, "a refused DELETE must leave the data untouched")
+    // key-less table: DELETE refuses
+    spark.sql("CREATE TABLE snapdml2.nokey (k BIGINT, v STRING)")
+    spark.sql("INSERT INTO snapdml2.nokey VALUES (1,'a')")
+    intercept[Exception] {
+      spark.sql("DELETE FROM snapdml2.nokey WHERE k = 1")
+    }
+    // subquery in UPDATE refuses
+    val e = intercept[Exception] {
+      spark.sql("UPDATE snapdml2.t SET v = (SELECT max(v) FROM snapdml2.t)")
+    }
+    assert(e.getMessage.contains("subquer"), e.getMessage)
+    // non-upsert merge shapes refuse
+    val e2 = intercept[Exception] {
+      spark.sql("MERGE INTO snapdml2.t USING snapdml2.nokey AS s " +
+        "ON t.k = s.k WHEN MATCHED THEN DELETE")
+    }
+    assert(e2.getMessage.contains("upsert") ||
+      e2.getMessage.contains("MATCHED"), e2.getMessage)
+    // merge condition must be the declared key equality
+    val e3 = intercept[Exception] {
+      spark.sql("MERGE INTO snapdml2.t USING snapdml2.nokey AS s " +
+        "ON t.v = s.v WHEN MATCHED THEN UPDATE SET * " +
+        "WHEN NOT MATCHED THEN INSERT *")
+    }
+    assert(e3.getMessage.contains("key"), e3.getMessage)
+    // partition transforms refuse at CREATE
+    intercept[Exception] {
+      spark.sql(
+        "CREATE TABLE snapdml2.p (k BIGINT, v STRING) PARTITIONED BY (v)")
+    }
+  }
+
+  test("SQL ALTER TABLE rename/drop evolution: mapped reads, " +
+      "schema-versioned time travel, ghost-name refusals") {
+    val root = Files.createTempDirectory("snapev").toString
+    setupCatalog("snapev1", root)
+    spark.sql("CREATE TABLE snapev1.t (k BIGINT, v STRING, n BIGINT)")
+    spark.sql("INSERT INTO snapev1.t VALUES (1,'a',10), (2,'b',20)")
+    spark.sql("ALTER TABLE snapev1.t ADD COLUMNS (extra STRING)")
+    spark.sql("ALTER TABLE snapev1.t RENAME COLUMN v TO label")
+    // pre-rename dirs read through the mapping (NOT as NULLs)
+    assert(spark.sql("SELECT label FROM snapev1.t ORDER BY k")
+      .collect().map(_.getString(0)).toSeq == Seq("a", "b"))
+    // post-rename appends carry the new name physically and read directly
+    spark.sql("INSERT INTO snapev1.t VALUES (3,'c',30,'x')")
+    assert(spark.sql(
+      "SELECT sum(n) FROM snapev1.t WHERE label IS NOT NULL")
+      .head.getLong(0) == 60)
+    spark.sql("ALTER TABLE snapev1.t DROP COLUMN n")
+    assert(spark.sql("SELECT * FROM snapev1.t").columns.toSeq ==
+      Seq("k", "label", "extra"))
+    // time travel reads the pre-evolution shape and names
+    assert(spark.sql("SELECT * FROM snapev1.t VERSION AS OF 2")
+      .columns.toSeq == Seq("k", "v", "n"))
+    // ghost-name locks: re-ADD of dropped 'n', rename onto 'v'
+    intercept[Exception] {
+      spark.sql("ALTER TABLE snapev1.t ADD COLUMNS (n BIGINT)")
+    }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE snapev1.t RENAME COLUMN k TO v")
+    }
+    // un-rename IS allowed (maps back to the physical name)
+    spark.sql("ALTER TABLE snapev1.t RENAME COLUMN label TO v")
+    assert(spark.sql("SELECT v FROM snapev1.t ORDER BY k")
+      .collect().map(_.getString(0)).toSeq == Seq("a", "b", "c"))
+    val headSnap = ST.manifest(spark, s"$root/t",
+      ST.headVersion(spark, s"$root/t"))
+    assert(headSnap.renames.isEmpty,
+      "an un-rename must drop the mapping entirely")
+    // type change is a rewrite: refuse
+    intercept[Exception] {
+      spark.sql("ALTER TABLE snapev1.t ALTER COLUMN k TYPE INT")
     }
   }
 }

@@ -939,4 +939,115 @@ class SnapshotTableSpec extends SparkTestBase {
     }
     assert(e4.getMessage.contains("empty"), e4.getMessage)
   }
+
+  test("commit refuses dir paths carrying manifest delimiters") {
+    val base = freshBase()
+    writeKv(s"$base/d1", 0, 5)
+    // a path with ',' or '|' would parse back into DIFFERENT dirs later —
+    // refused at commit, not discovered as a phantom replay conflict
+    for (bad <- Seq(s"$base/a,b", s"$base/a|b")) {
+      val e = intercept[IllegalArgumentException] {
+        SnapshotTable.commit(spark, base, 1,
+          Snapshot(Seq(s"$base/d1"), Seq(bad)))
+      }
+      assert(e.getMessage.contains("delimiter"), e.getMessage)
+    }
+  }
+
+  test("rename evolution: mapped reads across mixed dirs, rewrite " +
+      "normalizes, manifest round-trips, un-rename drops the mapping") {
+    import spark.implicits._
+    val base = freshBase()
+    writeKv(s"$base/d1", 0, 10) // physical (k, v)
+    SnapshotTable.commit(spark, base, 1, Snapshot(Seq(s"$base/d1"), Nil))
+    assert(SnapshotTable.evolveRenameColumn(spark, base, "v", "val2") == 2)
+    // manifest round-trip: the parsed snapshot carries the mapping
+    val m2 = SnapshotTable.manifest(spark, base, 2)
+    assert(m2.renames == Map("val2" -> "v"), m2.renames.toString)
+    // post-rename appends land at the FROZEN physical name (the write
+    // contract toPhysical enforces for the engine's own writers)
+    (10 until 15).map(i => (i, i)).toDF("k", "v")
+      .write.mode("overwrite").parquet(s"$base/d2")
+    SnapshotTable.commit(spark, base, 3,
+      m2.copy(dataDirs = m2.dataDirs :+ s"$base/d2"))
+    val head = SnapshotTable.readVersion(spark, base, 3, "k")
+    assert(head.columns.toSeq == Seq("k", "val2"))
+    assert(head.agg(sum(col("val2"))).head.getLong(0) == (0 until 15).sum,
+      "every dir must read through the mapping, not as NULLs")
+    // time travel reads v1 under its own name
+    assert(SnapshotTable.readVersion(spark, base, 1, "k")
+      .columns.toSeq == Seq("k", "v"))
+    // a copy-on-write rewrite keeps the frozen PHYSICAL names (only a
+    // full rewrite may normalize — partial normalization would need two
+    // physical names under one logical, which the flat map cannot hold)
+    val rep = SnapshotTable.updateWhere(spark, base,
+      col("k") < 3, Seq("val2" -> (col("val2") + 100)))
+    assert(rep.version == 4)
+    val rewritten = SnapshotTable.manifest(spark, base, 4).dataDirs
+      .find(_.contains("_update_")).get
+    assert(spark.read.parquet(rewritten).columns.toSeq == Seq("k", "v"),
+      "a partial rewrite must land at the frozen PHYSICAL names")
+    assert(SnapshotTable.readVersion(spark, base, 4, "k")
+      .agg(sum(col("val2"))).head.getLong(0) ==
+      (0 until 15).sum + 300)
+    // repeated rename collapses the chain onto the physical name
+    assert(SnapshotTable.evolveRenameColumn(spark, base, "val2",
+      "val3") == 5)
+    assert(SnapshotTable.manifest(spark, base, 5).renames ==
+      Map("val3" -> "v"))
+    assert(SnapshotTable.readVersion(spark, base, 5, "k")
+      .agg(sum(col("val3"))).head.getLong(0) == (0 until 15).sum + 300)
+    // un-rename: allowed, and the mapping drops entirely
+    assert(SnapshotTable.evolveRenameColumn(spark, base, "val3", "v") == 6)
+    assert(SnapshotTable.manifest(spark, base, 6).renames.isEmpty)
+    val back = SnapshotTable.readVersion(spark, base, 6, "k")
+    assert(back.columns.toSeq == Seq("k", "v") &&
+      back.agg(sum(col("v"))).head.getLong(0) == (0 until 15).sum + 300,
+      "after un-rename every dir reads directly — no NULLed columns")
+  }
+
+  test("drop evolution: ghost-name locks guard stale-byte resurrection " +
+      "and a full rewrite clears them") {
+    import spark.implicits._
+    val base = freshBase()
+    (0 until 10).map(i => (i.toLong, i.toLong, i.toLong))
+      .toDF("k", "x", "y").write.mode("overwrite").parquet(s"$base/d1")
+    SnapshotTable.commit(spark, base, 1, Snapshot(Seq(s"$base/d1"), Nil))
+    assert(SnapshotTable.evolveDropColumn(spark, base, "y") == 2)
+    val m2 = SnapshotTable.manifest(spark, base, 2)
+    assert(m2.dropped == Seq("y"), m2.dropped.toString)
+    assert(SnapshotTable.readVersion(spark, base, 2, "k")
+      .columns.toSeq == Seq("k", "x"))
+    // re-adding the dropped name would serve d1's stale y bytes: refuse
+    val e = intercept[IllegalArgumentException] {
+      SnapshotTable.evolveAddColumns(spark, base, "`y` BIGINT")
+    }
+    assert(e.getMessage.contains("PHYSICAL"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      SnapshotTable.evolveRenameColumn(spark, base, "x", "y")
+    }
+    assert(e2.getMessage.contains("PHYSICAL"), e2.getMessage)
+    // dropping the last column refuses (separate 1-column table)
+    val solo = freshBase()
+    (0 until 3).map(i => Tuple1(i.toLong)).toDF("k")
+      .write.mode("overwrite").parquet(s"$solo/d1")
+    SnapshotTable.commit(spark, solo, 1, Snapshot(Seq(s"$solo/d1"), Nil))
+    intercept[IllegalArgumentException] {
+      SnapshotTable.evolveDropColumn(spark, solo, "k")
+    }
+    // a FULL rewrite (zorder) lands every dir at the current schema and
+    // clears the locks — the name becomes reusable
+    val rep = SnapshotTable.optimizeZorder(spark, base, "k",
+      Seq("k", "x"), 2)
+    assert(rep.dirsOut >= 1)
+    val mh = SnapshotTable.manifest(spark, base,
+      SnapshotTable.headVersion(spark, base))
+    assert(mh.dropped.isEmpty && mh.renames.isEmpty,
+      "a full rewrite must clear the evolution locks")
+    assert(SnapshotTable.evolveAddColumns(spark, base, "`y` BIGINT") > 0)
+    val reread = SnapshotTable.readVersion(spark, base,
+      SnapshotTable.headVersion(spark, base), "k")
+    assert(reread.where(col("y").isNotNull).count() == 0,
+      "the re-added column must be all-NULL, never stale bytes")
+  }
 }
