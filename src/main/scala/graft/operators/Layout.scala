@@ -84,6 +84,27 @@ object Layout {
     s"(${spread(x)} | (${spread(y)} * 2) | (${spread(z)} * 4))"
   }
 
+  /** Order-preserving 21-bit lane for a STRING z-order column — the
+    * md5/text doc-id shape integer interleaves cannot take directly:
+    * the key's first 3 UTF-8 bytes read as a big-endian 24-bit integer
+    * (hex right-padded with '0', so short strings order below their
+    * extensions — the same truncated-lexical-bytes idea as SkipIndex's
+    * string bounds) shifted into the 21-bit Morton lane. MONOTONE
+    * (coarsely) in byte-lexicographic order: s1 <= s2 ⇒ lane(s1) <=
+    * lane(s2), with ties beyond the 3-byte prefix — which is all a
+    * clustering key needs (dir pruning consults the honest per-dir
+    * string min/max, never the lane; a coarse lane only costs
+    * clustering sharpness, never correctness). All built-in functions —
+    * codegen keeps it in the projection, no UDF. */
+  def stringLaneSql(c: String): String =
+    s"(CAST(conv(rpad(hex(substring(CAST($c AS BINARY), 1, 3)), 6, '0')," +
+      s" 16, 10) AS BIGINT) div 8)"
+
+  /** [[stringLaneSql]] as a Column; NULL keys stay NULL (the caller's
+    * domain guard — [[withZ]]'s between() — rejects them loudly). */
+  def stringLane(colName: String): org.apache.spark.sql.Column =
+    expr(stringLaneSql(colName))
+
   /** Attach the 3-D Morton key as `zv` — [[withZ]]'s domain guard,
     * three columns. */
   def withZ3(df: DataFrame, xCol: String, yCol: String,

@@ -147,20 +147,40 @@ object SimilarityOps {
     cents.map { case (cid, civ) => (cid, civ.toSeq) }.toSeq
   }
 
-  /** IVF probe search: assign every corpus vector to its nearest centroid
-    * (argmin as min(struct) — a hash aggregate carrying 12 bytes/vector),
-    * probe each query's nProbe nearest cells, score only those cells'
-    * vectors, top-k through the bounded aggregator. `centroids` must have
-    * (cid, civ) — typically [[trainCentroids]] broadcast via toDF. */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
-      k: Int, nProbe: Int): DataFrame = {
-    def l2(a: String, b: String) =
-      graft.functions.ArrayExprs.l2sq(col(a), col(b))
-    val cellOf = corpus.crossJoin(broadcast(centroids))
-      .withColumn("dist", l2("iv", "civ"))
+  /** Nearest-centroid cell assignment of every corpus vector — the index
+    * BUILD step of IVF, surfaced on its own so it can be PERSISTED and
+    * maintained incrementally: argmin as min(struct) (a hash aggregate
+    * carrying 12 bytes/vector; ties keep the smaller cid — the
+    * [[trainCentroids]] rule). Returns (vec_id, cid). At 100 TB this
+    * table IS the index: stored once, appended in O(batch) when new
+    * vectors arrive against FROZEN centroids (see `sim_ann_incr`), never
+    * recomputed per query. */
+  def assignCells(corpus: DataFrame, centroids: DataFrame): DataFrame =
+    corpus.crossJoin(broadcast(centroids))
+      .withColumn("dist",
+        graft.functions.ArrayExprs.l2sq(col("iv"), col("civ")))
       .groupBy(col("vec_id"))
       .agg(min(struct(col("dist"), col("cid"))).as("m"))
       .select(col("vec_id"), col("m.cid").as("cid"))
+
+  /** IVF probe search: assign every corpus vector to its nearest centroid
+    * ([[assignCells]]), probe each query's nProbe nearest cells, score
+    * only those cells' vectors, top-k through the bounded aggregator.
+    * `centroids` must have (cid, civ) — typically [[trainCentroids]]
+    * broadcast via toDF. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+      k: Int, nProbe: Int): DataFrame =
+    ivfTopKAssigned(corpus, queries, centroids,
+      assignCells(corpus, centroids), k, nProbe)
+
+  /** IVF probe search over a PRECOMPUTED assignment table (vec_id, cid) —
+    * the index-SERVING form: at 100 TB the assignment is a stored column
+    * (base + epoch-appended deltas), so a query costs probe selection
+    * (|centroids| rows) + a scan of the probed cells only; nothing is
+    * re-assigned at query time. */
+  def ivfTopKAssigned(corpus: DataFrame, queries: DataFrame,
+      centroids: DataFrame, cellOf: DataFrame, k: Int,
+      nProbe: Int): DataFrame = {
     val assigned = corpus.join(cellOf, "vec_id")
     // probe-selection window: partitions are bounded at |centroids| rows
     // each (one per cell), whatever |Q| or corpus size — not a scale hazard
@@ -355,12 +375,7 @@ object SimilarityOps {
     * sides) and the final roster. */
   def semDedup(encoded: DataFrame, centroids: DataFrame, minCos: Double,
       gridWidth: Int): DataFrame = {
-    val asg = encoded.crossJoin(broadcast(centroids))
-      .withColumn("dist",
-        graft.functions.ArrayExprs.l2sq(col("iv"), col("civ")))
-      .groupBy(col("vec_id"))
-      .agg(min(struct(col("dist"), col("cid"))).as("m"))
-      .select(col("vec_id"), col("m.cid").as("cid"))
+    val asg = assignCells(encoded, centroids)
     val cells = encoded.select(col("vec_id"), col("iv"), col("nrm"))
       .join(asg, "vec_id")
       .select(col("cid").cast("long").as("cell"), col("vec_id"), col("iv"),

@@ -3435,6 +3435,63 @@ object AdvancedQueries {
         .orderBy("o_orderpriority")
     },
 
+    // STRING-KEY OPTIMIZE ZORDER (Layout.stringLane fused into the
+    // snapshot rewrite — r15 verdict gap #5): md5/text keys are the
+    // dominant doc-id shape, and a table laid out by an integer column
+    // alone can never prune on them. The string key interleaves through
+    // its order-preserving truncated-byte lane (first 3 UTF-8 bytes →
+    // the 21-bit Morton lane), dirs carry honest per-dir STRING min/max
+    // bounds (the SkipIndex lexical-bounds idea at manifest
+    // granularity), and a 2-D box over (string prefix range, integer
+    // range) prunes dirs on EITHER dimension — require-pinned
+    // kept < total. The lane is engine-side layout only: correctness
+    // rides the honest bounds + the caller's real predicate, which the
+    // oracle replays directly (md5 hex compares lexically identically
+    // in both engines).
+    "q_zorder_string" -> { (s, dir) =>
+      import graft.sources.{SnapshotTable => ST}
+      val sfN = new java.io.File(dir).getName
+      val fp = java.security.MessageDigest.getInstance("MD5")
+        .digest(graft.sources.Sinks.fingerprint(s, s"$dir/orders.parquet")
+          .getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString.take(10)
+      val base = s"/root/repo/target/tmp/orders_zstr-$sfN-$fp"
+      graft.sources.Sinks.ensureDir(s, s"$base/d0", "v1:zstr_slim",
+        inputs = Seq(s"$dir/orders.parquet")) {
+        Tables(s, dir, "orders")
+          .select(col("o_orderkey"),
+            md5(col("o_orderkey").cast("string")).as("skey"),
+            col("o_custkey").as("ckey"),
+            cents(col("o_totalprice")).as("cents"),
+            col("o_orderpriority"))
+          .write.mode("overwrite").parquet(s"$base/d0")
+      }
+      ST.commit(s, base, 1, ST.Snapshot(Seq(s"$base/d0"), Nil))
+      if (ST.headVersion(s, base) == 1) {
+        try {
+          val rep = ST.optimizeZorder(s, base, "o_orderkey",
+            Seq("skey", "ckey"), 16)
+          require(rep.version == 2 && rep.dirsIn == 1 && rep.dirsOut >= 2,
+            s"string zorder rewrite must slice the single dir, got $rep")
+        } catch { // concurrent constructor won the claim — defer
+          case e: Exception if ST.headVersion(s, base) >= 2 => ()
+        }
+      }
+      var zTries = 0
+      while (ST.headVersion(s, base) < 2 && zTries < 600) {
+        Thread.sleep(100); zTries += 1
+      }
+      require(ST.headVersion(s, base) == 2, "head must be the zorder")
+      val (boxed, rep) = ST.readVersionPrunedBox(s, base, 2, "o_orderkey",
+        Seq(("skey", "2", "8"), ("ckey", "1", "800")))
+      require(rep.dirsKept >= 1 && rep.dirsKept < rep.dirsTotal,
+        s"a (string, int) box over the z-ordered table must prune, got $rep")
+      boxed.where(col("skey").between("2", "8") &&
+          col("ckey").between(1, 800))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+        .orderBy("o_orderpriority")
+    },
+
     // CHANGE DATA FEED between snapshot versions (SnapshotTable.
     // readChanges — what a downstream incremental consumer reads instead
     // of diffing two full scans, closing the loop from the CDC operators'
@@ -4153,6 +4210,19 @@ object AdvancedQueries {
          |  AND date_diff('day', TIMESTAMP '1995-01-01 00:00:00',
          |    o_orderdate) BETWEEN 0 AND 365
          |  AND ${CENTS("o_totalprice")} // 100000 BETWEEN 0 AND 150
+         |GROUP BY o_orderpriority
+         |ORDER BY o_orderpriority""".stripMargin,
+
+    // the (string prefix range, integer range) box replayed directly on
+    // the base table — md5 hex compares lexically identically in both
+    // engines, so a wrongly-pruned dir (missing rows) or a re-slice that
+    // lost/duplicated rows hash-fails
+    "q_zorder_string" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n_orders,
+         |  CAST(SUM(${CENTS("o_totalprice")}) AS BIGINT) AS sum_cents
+         |FROM orders
+         |WHERE md5(CAST(o_orderkey AS VARCHAR)) BETWEEN '2' AND '8'
+         |  AND o_custkey BETWEEN 1 AND 800
          |GROUP BY o_orderpriority
          |ORDER BY o_orderpriority""".stripMargin,
 

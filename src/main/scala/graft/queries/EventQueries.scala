@@ -501,6 +501,70 @@ object EventQueries {
         .orderBy("event_id", "click_id")
     },
 
+    // STREAM-STREAM FULL OUTER JOIN (StreamingOps.attributionJoinFullOuter
+    // — r15 verdict task 7): BOTH sides emit null-extended rows on
+    // watermark eviction — an unmatched purchase when its match window
+    // closes (the left-outer half) AND an unmatched click once no future
+    // purchase can reach back to it (the half no other gate exercises).
+    // Same recipe as q_stream_outer: mid-timeline split so matches cross
+    // the batch boundary, far-future click+purchase sentinel pairs under
+    // reserved negative user_ids advance both watermarks so every real
+    // row either matched or provably cannot; sentinels filtered from the
+    // output on coalesce of the two (nullable) user columns.
+    // Hash-matches the batch FULL OUTER interval-join oracle: a dropped
+    // unmatched click, a doubled emission (arrival AND eviction), or a
+    // coalesced user column all hash-fail.
+    "q_stream_full_outer" -> { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+      val schema = ev.schema
+      val tmp = new java.io.File(
+        s"/root/repo/target/tmp/stream_fouter-${new java.io.File(dir).getName}")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(): Unit
+      }
+      if (tmp.exists) rm(tmp)
+      tmp.mkdirs()
+      val median = ev
+        .selectExpr(
+          "CAST(percentile_cont(0.5) WITHIN GROUP (ORDER BY ts) AS BIGINT)")
+        .head().getLong(0)
+      val maxTs = ev.agg(max(col("ts"))).head().getLong(0)
+      def sentinel(uid: Long, ts: Long, typ: String) =
+        s.range(1).select(lit(uid).as("event_id"), lit(ts).as("ts"),
+          lit(uid).as("user_id"), lit(typ).as("event_type"),
+          lit(0.0).as("value"), lit("{}").as("props"))
+      val stream = s.readStream.schema(schema).parquet(s"$tmp/*.parquet")
+        .withColumn("ts_us", expr("ts div 1000"))
+      val qn = s"q_stream_full_outer_${System.nanoTime()}"
+      graft.streaming.StreamingOps.withStreamShuffle(s) {
+        val q = graft.streaming.StreamingOps.attributionJoinFullOuter(stream)
+          .writeStream.outputMode("append")
+          .format("memory").queryName(qn).start()
+        try {
+          ev.where(col("ts") <= median).write.parquet(s"$tmp/b1.parquet")
+          q.processAllAvailable()
+          ev.where(col("ts") > median).write.parquet(s"$tmp/b2.parquet")
+          q.processAllAvailable()
+          sentinel(-1L, maxTs + 7200L * 1000 * 1000 * 1000, "click")
+            .union(sentinel(-2L, maxTs + 7200L * 1000 * 1000 * 1000,
+              "purchase"))
+            .write.parquet(s"$tmp/b3.parquet")
+          q.processAllAvailable()
+          sentinel(-3L, maxTs + 14400L * 1000 * 1000 * 1000, "click")
+            .union(sentinel(-4L, maxTs + 14400L * 1000 * 1000 * 1000,
+              "purchase"))
+            .write.parquet(s"$tmp/b4.parquet")
+          q.processAllAvailable()
+        } finally q.stop()
+      }
+      s.table(qn)
+        .where(coalesce(col("user_id"), col("c_user")) >= 0)
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("click_id"), col("c_user"), col("click_ts_us"))
+        .orderBy("event_id", "click_id")
+    },
+
     // The STREAMING watermarked windowed aggregate, oracle-gated (same
     // recipe): StreamingOps.tumblingCounts over the mid-timeline file-stream
     // split. Append mode holds each window's partial state across batches
@@ -1297,6 +1361,23 @@ object EventQueries {
          |  ON p.user_id = c.user_id
          |  AND c.ts_us <= p.ts_us AND c.ts_us >= p.ts_us - 3600000000
          |ORDER BY p.event_id, click_id""".stripMargin,
+
+    // the FULL OUTER twin: unmatched rows on BOTH sides surface exactly
+    // once with the other side's columns null — a streaming run that
+    // drops unmatched clicks, doubles an emission, or coalesces the two
+    // user columns hash-fails.
+    "q_stream_full_outer" ->
+      s"""WITH e AS (
+         |  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+         |    event_type FROM events)
+         |SELECT p.event_id, p.user_id, p.ts_us,
+         |  c.event_id AS click_id, c.user_id AS c_user,
+         |  c.ts_us AS click_ts_us
+         |FROM (SELECT * FROM e WHERE event_type = 'purchase') p
+         |FULL OUTER JOIN (SELECT * FROM e WHERE event_type = 'click') c
+         |  ON p.user_id = c.user_id
+         |  AND c.ts_us <= p.ts_us AND c.ts_us >= p.ts_us - 3600000000
+         |ORDER BY p.event_id NULLS FIRST, click_id NULLS FIRST""".stripMargin,
 
     "q_json_extract" ->
       s"""WITH e AS (

@@ -121,6 +121,73 @@ object SimilarityQueries {
         cents, TopK, NProbe)
     },
 
+    // INCREMENTAL IVF INDEX MAINTENANCE — the append path a production
+    // vector store actually runs (r15 verdict gap #4): the index
+    // (centroids + cell assignments) persists as a write-once layer;
+    // when a batch of new vectors arrives, ONLY the batch is assigned —
+    // against the FROZEN centroids — and lands as an epoch delta next to
+    // the base assignment (the LshIndex epoch pattern), so maintenance
+    // costs O(batch), never a corpus retrain/re-encode. Searches serve
+    // from base ∪ epochs through ivfTopKAssigned (the stored-index form
+    // of the probe). Because assignment is per-row pure and the
+    // centroids are frozen, base + epoch assignments are VALUE-EQUAL to
+    // a full rebuild with the same training set — which is exactly what
+    // the oracle replays (k-means over the base slice, assignment of
+    // the full corpus), so a maintenance path that retrained, dropped a
+    // batch, or double-folded an epoch hash-fails. require() pins that
+    // each epoch pass touched only batch-sized data.
+    "sim_ann_incr" -> { (s, dir) =>
+      import s.implicits._
+      val v = vecs(s, dir)
+      val sfN = new java.io.File(dir).getName
+      val fp = java.security.MessageDigest.getInstance("MD5")
+        .digest(graft.sources.Sinks
+          .fingerprint(s, s"$dir/embeddings.parquet")
+          .getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString.take(10)
+      val base = s"/root/repo/target/tmp/ivfincr-$sfN-$fp"
+      val inputs = Seq(s"$dir/embeddings.parquet")
+      // the base corpus is vec_id % 5 <> 4; the two append batches are
+      // vec_id % 10 = 4 and = 9 (disjoint, exactly the complement)
+      def batch(m: Int) = v.where(pmod(col("vec_id"), lit(10L)) === m)
+      graft.sources.Sinks.ensureDir(s, s"$base/cents", "v1:ivf_cents",
+        inputs = inputs) {
+        SimilarityOps.trainCentroids(
+          v.where(pmod(col("vec_id"), lit(5L)) =!= 4),
+          KmSampleMod, KmSeedBound, KmIters)
+          .toDF("cid", "civ").coalesce(1)
+          .write.mode("overwrite").parquet(s"$base/cents")
+      }
+      val cents = s.read.parquet(s"$base/cents")
+      graft.sources.Sinks.ensureDir(s, s"$base/asg_base",
+        "v1:ivf_asg_base", inputs = inputs) {
+        SimilarityOps.assignCells(
+          v.where(pmod(col("vec_id"), lit(5L)) =!= 4), cents)
+          .write.mode("overwrite").parquet(s"$base/asg_base")
+      }
+      for ((m, i) <- Seq((4, 0), (9, 1)))
+        graft.sources.Sinks.ensureDir(s, s"$base/epoch_$i",
+          s"v1:ivf_epoch_$i", inputs = inputs) {
+          // the append pass reads ONLY the arriving batch — frozen
+          // centroids, no base rescan, no retrain
+          SimilarityOps.assignCells(batch(m), cents)
+            .write.mode("overwrite").parquet(s"$base/epoch_$i")
+        }
+      for ((m, i) <- Seq((4, 0), (9, 1))) {
+        val nEpoch = s.read.parquet(s"$base/epoch_$i").count()
+        val nBatch = batch(m).count()
+        require(nEpoch == nBatch,
+          s"epoch $i must hold exactly the batch's assignments " +
+            s"($nEpoch != $nBatch) — the append path rescanned or " +
+            "dropped data")
+      }
+      val assigned = s.read.parquet(s"$base/asg_base")
+        .unionByName(s.read.parquet(s"$base/epoch_0"))
+        .unionByName(s.read.parquet(s"$base/epoch_1"))
+      SimilarityOps.ivfTopKAssigned(v,
+        SimilarityOps.asQueries(v.where(col("vec_id") < 10)),
+        cents, assigned, TopK, NProbe)
+    },
+
     // FILTERED ANN — the hybrid-search shape every production vector store
     // serves: nearest neighbors constrained by a metadata predicate
     // (label ≡ 0 mod 3 here, ~40% of the corpus). Pre-filtering composes
@@ -347,17 +414,21 @@ object SimilarityQueries {
        |  FROM $prev c LEFT JOIN $m u ON c.cid = u.cid)""".stripMargin
 
   /** samp/c0/…/cf CTE chain reproducing trainCentroids; `cf` is the trained
-    * centroid set (cid, civ). */
-  private def kmeansSql: String = {
+    * centroid set (cid, civ). `sampExtra` narrows the training corpus (the
+    * incremental-index oracle trains on the BASE slice only). */
+  private def kmeansSqlWhere(sampExtra: String): String = {
     val iters = (1 to KmIters).map { k =>
       kmIterSql(if (k == 1) "c0" else s"c${k - 1}", s"a$k", s"m$k", s"c$k")
     }.mkString(",\n")
-    s"""samp AS (SELECT vec_id, iv FROM n WHERE vec_id % $KmSampleMod = 0),
+    s"""samp AS (SELECT vec_id, iv FROM n
+       |  WHERE vec_id % $KmSampleMod = 0$sampExtra),
        |c0 AS (SELECT CAST(vec_id // $KmSampleMod AS INTEGER) AS cid, iv AS civ
        |  FROM samp WHERE vec_id < $KmSeedBound),
        |$iters,
        |cf AS (SELECT cid, civ FROM c$KmIters)""".stripMargin
   }
+
+  private def kmeansSql: String = kmeansSqlWhere("")
 
   def oracles: Map[String, String] = Map(
     "sim_topk" ->
@@ -376,6 +447,40 @@ object SimilarityQueries {
     "sim_ann_ivf" ->
       s"""WITH n AS ($normSql),
          |$kmeansSql,
+         |asg AS (
+         |  SELECT vec_id, iv, nrm, cid FROM (
+         |    SELECT n.vec_id, n.iv, n.nrm, c.cid, row_number() OVER
+         |      (PARTITION BY n.vec_id
+         |       ORDER BY ${l2Sql("n.iv", "c.civ")}, c.cid) AS arn
+         |    FROM n, cf c)
+         |  WHERE arn = 1),
+         |probes AS (
+         |  SELECT qid, qiv, qnrm, cid FROM (
+         |    SELECT n.vec_id AS qid, n.iv AS qiv, n.nrm AS qnrm, c.cid,
+         |      row_number() OVER (PARTITION BY n.vec_id
+         |        ORDER BY ${l2Sql("n.iv", "c.civ")}, c.cid) AS prn
+         |    FROM n, cf c WHERE n.vec_id < 10)
+         |  WHERE prn <= $NProbe),
+         |s AS (
+         |  SELECT p.qid, a.vec_id AS nbr_id,
+         |    ${cosSql(dotSql("p.qiv", "a.iv"), "p.qnrm", "a.nrm")} AS cos
+         |  FROM probes p JOIN asg a ON p.cid = a.cid AND a.vec_id <> p.qid),
+         |r AS (
+         |  SELECT qid, nbr_id, cos, CAST(row_number() OVER
+         |    (PARTITION BY qid ORDER BY cos DESC, nbr_id) AS BIGINT) AS rnk
+         |  FROM s)
+         |SELECT qid, nbr_id, rnk, cos FROM r WHERE rnk <= $TopK
+         |ORDER BY qid, rnk""".stripMargin,
+
+    // the full-rebuild replay the incremental index must equal: k-means
+    // trained on the BASE slice only (the frozen centroids), then the
+    // WHOLE corpus assigned to cf — value-identical to base + epoch
+    // assignment because per-row assignment against frozen centroids is
+    // pure. A retrain on append (different cf), a dropped batch, or a
+    // double-folded epoch all diverge and hash-fail.
+    "sim_ann_incr" ->
+      s"""WITH n AS ($normSql),
+         |${kmeansSqlWhere(" AND vec_id % 5 <> 4")},
          |asg AS (
          |  SELECT vec_id, iv, nrm, cid FROM (
          |    SELECT n.vec_id, n.iv, n.nrm, c.cid, row_number() OVER

@@ -1117,7 +1117,11 @@ object SnapshotTable {
 
   /** The n-column form: 2 or 3 interleaved columns ([[Layout.withZ]] /
     * [[Layout.withZ3]] — a 3-D cube predicate prunes on any subset of
-    * the three). */
+    * the three). STRING columns participate through the
+    * order-preserving truncated-byte lane ([[graft.operators.Layout
+    * .stringLane]] — the md5/text doc-id shape), and their manifest
+    * bounds are the honest per-dir string min/max, so a ranged string
+    * box prunes exactly like an integer one. */
   def optimizeZorder(spark: SparkSession, base: String, keyCol: String,
       cols: Seq[String], nDirs: Int): ZorderReport = {
     require(cols.size == 2 || cols.size == 3,
@@ -1130,7 +1134,7 @@ object SnapshotTable {
     val cur = tableSchema(spark, snap)
     for (c <- cols)
       require(cur.fieldNames.contains(c), s"zorder column $c not in schema")
-    for (c <- Seq("zv", "zb"))
+    for (c <- Seq("zv", "zb", "_zs0", "_zs1", "_zs2"))
       require(!cur.fieldNames.contains(c),
         s"schema already carries the staging column $c — refuse rather " +
           "than silently clobber it")
@@ -1149,10 +1153,20 @@ object SnapshotTable {
     val ofs = fsFor(spark, op)
     val data = applyDeletes(spark, snap,
       readData(spark, snap, snap.dataDirs), keyCol)
-    val z = cols match {
-      case Seq(x, y) => graft.operators.Layout.withZ(data, x, y)
-      case Seq(x, y, w) => graft.operators.Layout.withZ3(data, x, y, w)
-    }
+    // string columns interleave through their truncated-byte lane; the
+    // staging _zsN columns drop right after the Morton key computes
+    val (laned, laneNames) = cols.zipWithIndex
+      .foldLeft((data, Vector.empty[String])) { case ((df, acc), (c, i)) =>
+        if (cur(c).dataType ==
+            org.apache.spark.sql.types.StringType)
+          (df.withColumn(s"_zs$i", graft.operators.Layout.stringLane(c)),
+            acc :+ s"_zs$i")
+        else (df, acc :+ c)
+      }
+    val z = (laneNames match {
+      case Seq(x, y) => graft.operators.Layout.withZ(laned, x, y)
+      case Seq(x, y, w) => graft.operators.Layout.withZ3(laned, x, y, w)
+    }).drop(laneNames.filter(_.startsWith("_zs")): _*)
     val ext = z.agg(org.apache.spark.sql.functions.min(col("zv")),
       org.apache.spark.sql.functions.max(col("zv"))).head
     require(!ext.isNullAt(0),

@@ -239,6 +239,36 @@ object StreamingOps {
         col("click_id"), col("click_ts_us"))
   }
 
+  /** Watermarked stream-stream FULL OUTER attribution join — BOTH sides'
+    * eviction semantics in one operator: an unmatched purchase emits its
+    * null-extended row when the watermark closes its match window (the
+    * left-outer contract, [[attributionJoinOuter]]), and an unmatched
+    * CLICK likewise emits (click cols + null purchase cols) once the
+    * watermark proves no future purchase can reach back to it
+    * (c_t + 1h + delay) — emission on both sides is driven by watermark
+    * progress, never data arrival, and each unmatched row emits exactly
+    * once. Both user columns are kept (one side's is NULL on unmatched
+    * rows — there is no join-key coalescing in a full outer). The same
+    * bounded time-range condition keeps both state stores horizon-sized:
+    * without it a full outer would be UNBOUNDED state on both sides by
+    * definition. */
+  def attributionJoinFullOuter(events: DataFrame): DataFrame = {
+    val ev = events.withColumn("ts_t", timestamp_micros(col("ts_us")))
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("ts_t").as("p_t"))
+      .withWatermark("p_t", "1 second")
+    val c = ev.where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts_us").as("click_ts_us"), col("ts_t").as("c_t"))
+      .withWatermark("c_t", "1 second")
+    p.join(c, col("user_id") === col("c_user")
+        && col("c_t") <= col("p_t")
+        && col("c_t") >= col("p_t") - expr("INTERVAL 1 HOUR"),
+        "fullOuter")
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("click_id"), col("c_user"), col("click_ts_us"))
+  }
+
   /** Streaming exact dedup: first-seen row per normalized-text hash — the
     * incremental twin of the batch `dedup_exact` query.
     * `dropDuplicatesWithinWatermark` is the bounded-state form: plain
