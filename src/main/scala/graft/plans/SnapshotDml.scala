@@ -3,12 +3,13 @@ package graft.plans
 import graft.sources.{SnapshotTable, SnapshotTableHandle}
 import org.apache.spark.sql.{Column, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{EliminateSubqueryAliases, UnresolvedAttribute}
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, EqualTo, Expression, PlanExpression}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteFromTable, InsertAction, InsertStarAction, LogicalPlan, MergeAction, MergeIntoTable, Project, UpdateAction, UpdateStarAction, UpdateTable, V2WriteCommand}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, PlanExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteFromTable, Filter, InsertAction, InsertStarAction, LocalRelation, LogicalPlan, MergeAction, MergeIntoTable, Project, UpdateAction, UpdateStarAction, UpdateTable, V2WriteCommand}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import org.apache.spark.sql.graftbridge.{ColumnBridge, DatasetBridge}
+import org.apache.spark.sql.types.{ByteType, DateType, IntegerType, LongType, ShortType, StringType}
 
 /** The analyzer rule behind the snapshot catalog's row-level SQL —
   * registered via [[graft.functions.GraftExtensions]]
@@ -32,6 +33,14 @@ import org.apache.spark.sql.graftbridge.{ColumnBridge, DatasetBridge}
   * references are rebound by NAME onto the API's own scans (the commands
   * run against a fresh head read); expressions carrying subqueries are
   * refused rather than mis-bound. */
+object SnapshotDmlRule {
+  /** (dirs kept, dirs total) of the most recent predicate-driven SQL
+    * dir pruning per table base — the observability seam gates pin real
+    * pruning on (the SQL twin of PruneReport). */
+  val lastPrune = new java.util.concurrent.ConcurrentHashMap[
+    String, (Int, Int)]()
+}
+
 case class SnapshotDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
 
   private def handleOf(plan: LogicalPlan): Option[SnapshotTableHandle] =
@@ -61,32 +70,158 @@ case class SnapshotDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
     case other => maskReads(other)
   }
 
-  /** Rewrite every delete-carrying snapshot relation into the
-    * merge-on-read plan ([[SnapshotTable.readVersion]]: version scan
-    * minus broadcast anti join on the delete keys), rebound to the
-    * original relation's attribute ids so parent operators are
-    * untouched. Delete-free versions keep the bare parquet relation —
-    * zero plan change. */
-  private def maskReads(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case r: DataSourceV2Relation
-        if r.table.isInstanceOf[SnapshotTableHandle] &&
-          r.table.asInstanceOf[SnapshotTableHandle].needsMask =>
-      val h = r.table.asInstanceOf[SnapshotTableHandle]
-      val masked = (if (h.snap.deleteDirs.nonEmpty) {
-        val key = h.keyCol.getOrElse(throw new IllegalStateException(
-          s"${r.table.name()} carries delete files but no key column — " +
-            "the catalog should have refused this load"))
-        SnapshotTable.readVersion(session, h.base, h.snapVersion, key)
-      } else { // rename-evolved, delete-free: projection-only rewrite
-        SnapshotTable.readVersionData(session, h.base, h.snapVersion)
-      }).queryExecution.analyzed
-      require(masked.output.length == r.output.length &&
-        masked.output.zip(r.output).forall { case (n, o) => n.name == o.name },
-        s"masked read of ${r.table.name()} changed the column set: " +
-          s"${masked.output.map(_.name)} vs ${r.output.map(_.name)}")
-      Project(masked.output.zip(r.output).map { case (n, o) =>
-        Alias(n, o.name)(exprId = o.exprId)
-      }, masked)
+  /** Rewrite reads, bottom-up:
+    *  - a delete-carrying snapshot relation becomes the merge-on-read
+    *    plan ([[SnapshotTable.readVersion]]: version scan minus
+    *    broadcast anti join on the delete keys); a rename-evolved one
+    *    becomes the projection-mapped scan — both rebound to the
+    *    original relation's attribute ids so parent operators are
+    *    untouched;
+    *  - a Filter over a BOUNDS-carrying (unmasked) relation prunes the
+    *    version's dir list against the predicate's extractable range
+    *    conjuncts before the scan plans — the manifest-level file
+    *    skipping the API read ([[SnapshotTable.readVersionPrunedBox]])
+    *    already had, now on the SQL path: at 100 TB a date-ranged SQL
+    *    query over the snapshot catalog launches tasks for the matching
+    *    dirs only. Pruning errs WIDE only (missing bounds keep the dir;
+    *    exclusive edges prune as inclusive; the full predicate still
+    *    evaluates on top). */
+  private def maskReads(plan: LogicalPlan): LogicalPlan = {
+    val masked = plan.transformUp {
+      case r: DataSourceV2Relation
+          if r.table.isInstanceOf[SnapshotTableHandle] &&
+            r.table.asInstanceOf[SnapshotTableHandle].needsMask =>
+        val h = r.table.asInstanceOf[SnapshotTableHandle]
+        val api = (if (h.snap.deleteDirs.nonEmpty) {
+          val key = h.keyCol.getOrElse(throw new IllegalStateException(
+            s"${r.table.name()} carries delete files but no key column — " +
+              "the catalog should have refused this load"))
+          SnapshotTable.readVersion(session, h.base, h.snapVersion, key)
+        } else { // rename-evolved, delete-free: projection-only rewrite
+          SnapshotTable.readVersionData(session, h.base, h.snapVersion)
+        }).queryExecution.analyzed
+        rebind(api, r)
+    }
+    masked.transformUp {
+      case f @ Filter(cond, child) =>
+        val rel = EliminateSubqueryAliases(child) match {
+          case r: DataSourceV2Relation => r.table match {
+            case h: SnapshotTableHandle
+                if !h.needsMask && h.snap.bounds.nonEmpty => Some((r, h))
+            case _ => None
+          }
+          case _ => None
+        }
+        rel.fold(f: LogicalPlan) { case (r, h) =>
+          prunedScan(r, h, cond) match {
+            case None => f
+            case Some(newRel) => Filter(cond, child.transformUp {
+              case rr: DataSourceV2Relation if rr eq r => newRel
+            })
+          }
+        }
+    }
+  }
+
+  /** Rebind a replacement plan to the original relation's output
+    * attribute ids (names/arity must match — pinned). */
+  private def rebind(newPlan: LogicalPlan,
+      r: DataSourceV2Relation): LogicalPlan = {
+    require(newPlan.output.length == r.output.length &&
+      newPlan.output.zip(r.output).forall { case (n, o) => n.name == o.name },
+      s"read rewrite of ${r.table.name()} changed the column set: " +
+        s"${newPlan.output.map(_.name)} vs ${r.output.map(_.name)}")
+    Project(newPlan.output.zip(r.output).map { case (n, o) =>
+      Alias(n, o.name)(exprId = o.exprId)
+    }, newPlan)
+  }
+
+  /** Manifest-bounds dir pruning against the filter's extractable
+    * conjuncts: Some(rebound pruned relation) when at least one dir
+    * drops, None when nothing extractable or nothing prunes (keep the
+    * original plan — zero churn). Records (kept, total) per base in
+    * [[SnapshotDmlRule.lastPrune]] whenever range edges were found, so
+    * gates can pin real pruning. */
+  private def prunedScan(r: DataSourceV2Relation, h: SnapshotTableHandle,
+      cond: Expression): Option[LogicalPlan] = {
+    val attrs = r.outputSet
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, rr) => conjuncts(l) ++ conjuncts(rr)
+      case other => Seq(other)
+    }
+    val typOf: Map[String, String] =
+      h.snap.bounds.groupBy(_.col).map { case (c, bs) => c -> bs.head.typ }
+    // encode a literal into the column's stored bounds ordering; None =
+    // un-encodable (type mismatch, null) → the conjunct contributes no edge
+    def enc(name: String, l: Literal): Option[String] =
+      typOf.get(name).flatMap { typ =>
+        (typ, l.dataType, l.value) match {
+          case (_, _, null) => None
+          case ("long", ByteType | ShortType | IntegerType | LongType, v) =>
+            Some(v.toString)
+          case ("date", DateType, v: Int) =>
+            Some(java.time.LocalDate.ofEpochDay(v.toLong).toString)
+          case ("string", StringType, v) => Some(v.toString)
+          case _ => None
+        }
+      }
+    def attr(e: Expression): Option[String] = e match {
+      case a: AttributeReference if attrs.contains(a) => Some(a.name)
+      case _ => None
+    }
+    // constant side: a bare Literal OR any foldable expression (the
+    // analyzer wraps int literals against bigint columns in a Cast)
+    object Lit {
+      def unapply(e: Expression): Option[Literal] =
+        if (e.foldable && !e.exists(_.isInstanceOf[PlanExpression[_]]))
+          try Some(Literal.create(e.eval(), e.dataType))
+          catch { case _: Exception => None }
+        else None
+    }
+    // (col, lo?, hi?) edges; exclusive bounds widen to inclusive (err wide)
+    val edges = conjuncts(cond).flatMap {
+      case EqualTo(a, Lit(l)) => attr(a).flatMap(n =>
+        enc(n, l).map(v => (n, Some(v), Some(v))))
+      case EqualTo(Lit(l), a) => attr(a).flatMap(n =>
+        enc(n, l).map(v => (n, Some(v), Some(v))))
+      case GreaterThan(a, Lit(l)) => attr(a).flatMap(n =>
+        enc(n, l).map(v => (n, Some(v), None)))
+      case GreaterThanOrEqual(a, Lit(l)) => attr(a).flatMap(n =>
+        enc(n, l).map(v => (n, Some(v), None)))
+      case LessThan(a, Lit(l)) => attr(a).flatMap(n =>
+        enc(n, l).map(v => (n, None, Some(v))))
+      case LessThanOrEqual(a, Lit(l)) => attr(a).flatMap(n =>
+        enc(n, l).map(v => (n, None, Some(v))))
+      case GreaterThan(Lit(l), a) => attr(a).flatMap(n =>
+        enc(n, l).map(v => (n, None, Some(v))))
+      case GreaterThanOrEqual(Lit(l), a) => attr(a).flatMap(n =>
+        enc(n, l).map(v => (n, None, Some(v))))
+      case LessThan(Lit(l), a) => attr(a).flatMap(n =>
+        enc(n, l).map(v => (n, Some(v), None)))
+      case LessThanOrEqual(Lit(l), a) => attr(a).flatMap(n =>
+        enc(n, l).map(v => (n, Some(v), None)))
+      case _ => Nil
+    }
+    if (edges.isEmpty) return None
+    def ge(typ: String, a: String, b: String): Boolean =
+      if (typ == "long") a.toLong >= b.toLong else a >= b
+    def le(typ: String, a: String, b: String): Boolean =
+      if (typ == "long") a.toLong <= b.toLong else a <= b
+    val kept = h.snap.dataDirs.filter { d =>
+      edges.forall { case (c, loOpt, hiOpt) =>
+        h.snap.bounds.find(b => b.dir == d && b.col == c).forall { b =>
+          loOpt.forall(lo => ge(b.typ, b.max, lo)) &&
+            hiOpt.forall(hi => le(b.typ, b.min, hi))
+        }
+      }
+    }
+    SnapshotDmlRule.lastPrune.put(h.base,
+      (kept.size, h.snap.dataDirs.size))
+    if (kept.size == h.snap.dataDirs.size) None
+    else if (kept.isEmpty) Some(rebind(LocalRelation(r.output.map(
+      _.newInstance())), r))
+    else Some(rebind(session.read.schema(h.schema())
+      .parquet(kept: _*).queryExecution.analyzed, r))
   }
 
   /** Rebind a resolved DML expression for evaluation against the API's

@@ -3435,6 +3435,175 @@ object AdvancedQueries {
         .orderBy("o_orderpriority")
     },
 
+    // SQL MAINTENANCE PROCEDURES (SnapshotCatalog as a ProcedureCatalog —
+    // the Iceberg `CALL cat.system.<proc>` surface, Spark 4's native CALL
+    // statement): the scheduled rewrites that keep a 100 TB table healthy
+    // are SQL text too, and each CALL returns its op's REPORT as result
+    // rows (auditable data, not a log line). The chain: v1 two-dir base,
+    // v2 merge-on-read delete, CALL compact (folds the delete, report
+    // pinned), CALL zorder (Morton re-layout into slices), CALL optimize
+    // (bin-packs the slices back to one dir), CALL vacuum (retires
+    // v1..v3 — a retired version must then REFUSE to read, pinned). The
+    // final head aggregate hash-matches the complement replay; every
+    // mutation is head-guarded against concurrent constructors.
+    "q_snapshot_call" -> { (s, dir) =>
+      import graft.sources.{SnapshotTable => ST}
+      val sfN = new java.io.File(dir).getName
+      val fp = java.security.MessageDigest.getInstance("MD5")
+        .digest(graft.sources.Sinks.fingerprint(s, s"$dir/orders.parquet")
+          .getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString.take(10)
+      val root = s"/root/repo/target/tmp/sqlcall-$sfN-$fp"
+      val tbl = "orders_t"
+      val base = s"$root/$tbl"
+      val cat = s"gcall${sfN.replace(".", "")}$fp"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.SnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      val cut = "1996-01-01"
+      def head = ST.headVersion(s, base)
+      def awaitHead(v: Int): Unit = {
+        var i = 0
+        while (head < v && i < 600) { Thread.sleep(100); i += 1 }
+        require(head >= v, s"snapshot $base stuck below v$v")
+      }
+      // the WHOLE build is gated on head < 5: the final vacuum retires
+      // v1..v3 and physically deletes d0/d1, so a completed chain must
+      // never re-run the dir builds or re-commit v1 (it would resurrect
+      // a vacuumed manifest). The catch defers to a CONCURRENT racer that
+      // finished the chain (and possibly vacuumed) under us mid-build —
+      // any step may then fail on retired state, which the head==5 world
+      // proves benign.
+      if (head < 5) try {
+        for ((m, i) <- Seq(("<", 0), (">=", 1)))
+          graft.sources.Sinks.ensureDir(s, s"$base/d$i", s"v1:call_$i",
+            inputs = Seq(s"$dir/orders.parquet")) {
+            Tables(s, dir, "orders")
+              .where(if (m == "<") col("o_orderdate") < lit(cut)
+                else col("o_orderdate") >= lit(cut))
+              .select(col("o_orderkey"), col("o_custkey").as("ckey"),
+                datediff(col("o_orderdate"), lit("1995-01-01")).as("day"),
+                cents(col("o_totalprice")).as("cents"),
+                col("o_orderpriority"))
+              .write.mode("overwrite").parquet(s"$base/d$i")
+          }
+        ST.commit(s, base, 1,
+          ST.Snapshot(Seq(s"$base/d0", s"$base/d1"), Nil))
+        if (head == 1) {
+          try {
+            val v = ST.deleteWhere(s, base, "o_orderkey",
+              pmod(md5Long(col("o_orderkey").cast("string")), lit(8)) === 2)
+            require(v == 2, s"delete landed at v$v, expected v2")
+          } catch { case e: Exception if head >= 2 => () }
+        }
+        awaitHead(2)
+        if (head == 2) {
+          try {
+            val r = s.sql(
+              s"CALL $cat.system.compact('$tbl', 'o_orderkey')").head
+            require(r.getInt(0) == 3 && r.getInt(3) == 1,
+              s"compact report must pin (v3, 1 delete folded): $r")
+          } catch { case e: Exception if head >= 3 => () }
+        }
+        awaitHead(3)
+        require(ST.manifest(s, base, 3).deleteDirs.isEmpty,
+          "CALL compact must fold the delete set")
+        if (head == 3) {
+          try {
+            val r = s.sql(
+              s"CALL $cat.system.zorder('$tbl', 'o_orderkey', " +
+                "'ckey,day', 8)").head
+            require(r.getInt(0) == 4 && r.getInt(2) >= 2,
+              s"zorder report must pin (v4, >=2 slices): $r")
+          } catch { case e: Exception if head >= 4 => () }
+        }
+        awaitHead(4)
+        if (head == 4) {
+          try {
+            val r = s.sql(s"CALL $cat.system.optimize('$tbl', " +
+              s"${Long.MaxValue / 4})").head
+            require(r.getInt(0) == 5 && r.getInt(2) == 0,
+              s"optimize report must pin (v5, all slices packed): $r")
+          } catch { case e: Exception if head >= 5 => () }
+        }
+      } catch { case e: Exception if head >= 5 => () }
+      awaitHead(5)
+      val v1m = graft.sources.SnapshotTable.manifestFile(base, 1)
+      if (new java.io.File(v1m).exists) {
+        try s.sql(s"CALL $cat.system.vacuum('$tbl', 4)").collect(): Unit
+        catch { case e: Exception if !new java.io.File(v1m).exists => () }
+      }
+      require(!new java.io.File(v1m).exists,
+        "CALL vacuum must retire the pre-keep_from manifests")
+      val refused =
+        try { ST.readVersion(s, base, 2, "o_orderkey").count(); false }
+        catch { case _: Exception => true }
+      require(refused, "a vacuumed version must refuse to read")
+      ST.readVersion(s, base, 5, "o_orderkey")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+        .orderBy("o_orderpriority")
+    },
+
+    // PREDICATE-DRIVEN DIR PRUNING ON THE SQL PATH (SnapshotDmlRule's
+    // Filter rewrite): the manifest-level file skipping API reads always
+    // had (readVersionPrunedBox) now applies to plain SQL text — the
+    // analyzer rule extracts the predicate's range conjuncts, drops the
+    // version's dirs whose manifest bounds cannot intersect them, and
+    // replans the scan over the survivors, with the FULL predicate still
+    // evaluated on top (pruning can only err wide). At 100 TB this is
+    // the difference between a date-ranged SQL query launching tasks for
+    // the matching ingest days and scanning the table. require-pinned
+    // kept < total through the lastPrune seam; values hash-gated against
+    // the direct base-table replay (a wrongly-pruned dir = missing rows).
+    "q_snapshot_sql_prune" -> { (s, dir) =>
+      import graft.sources.{SnapshotTable => ST}
+      val sfN = new java.io.File(dir).getName
+      val fp = java.security.MessageDigest.getInstance("MD5")
+        .digest(graft.sources.Sinks.fingerprint(s, s"$dir/orders.parquet")
+          .getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString.take(10)
+      val root = s"/root/repo/target/tmp/sqlprune-$sfN-$fp"
+      val tbl = "orders_t"
+      val base = s"$root/$tbl"
+      val cat = s"gprn${sfN.replace(".", "")}$fp"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.SnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      val cuts = Seq("0000-01-01", "1994-01-01", "1996-01-01",
+        "1997-06-01", "9999-12-31")
+      val dirs = (0 until 4).map(i => s"$base/d$i")
+      for (i <- 0 until 4)
+        graft.sources.Sinks.ensureDir(s, dirs(i), s"v2:sqlprune_$i,date",
+          inputs = Seq(s"$dir/orders.parquet")) {
+          Tables(s, dir, "orders")
+            .where(col("o_orderdate") >= lit(cuts(i)) &&
+              col("o_orderdate") < lit(cuts(i + 1)))
+            .select(col("o_orderkey"),
+              col("o_orderdate").cast("date").as("o_orderdate"),
+              col("o_orderpriority"), cents(col("o_totalprice")).as("cents"))
+            .write.mode("overwrite").parquet(dirs(i))
+        }
+      if (ST.headVersion(s, base) == 0) {
+        try ST.commit(s, base, 1, ST.Snapshot(dirs, Nil,
+          bounds = ST.computeBounds(s, dirs, "o_orderdate")))
+        catch { case e: Exception if ST.headVersion(s, base) >= 1 => () }
+      }
+      var pTries = 0
+      while (ST.headVersion(s, base) < 1 && pTries < 600) {
+        Thread.sleep(100); pTries += 1
+      }
+      require(ST.headVersion(s, base) == 1, "bounds commit missing")
+      val res = s.sql(
+        s"""SELECT o_orderpriority, COUNT(*) AS n,
+           |  CAST(SUM(cents) AS BIGINT) AS cents
+           |FROM $cat.`$tbl`
+           |WHERE o_orderdate >= DATE '1996-06-01'
+           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+      val pr = graft.plans.SnapshotDmlRule.lastPrune.get(base)
+      require(pr != null && pr._1 >= 1 && pr._1 < pr._2,
+        s"a date-ranged SQL read must prune manifest dirs, got $pr")
+      res
+    },
+
     // STRING-KEY OPTIMIZE ZORDER (Layout.stringLane fused into the
     // snapshot rewrite — r15 verdict gap #5): md5/text keys are the
     // dominant doc-id shape, and a table laid out by an integer column
@@ -4210,6 +4379,27 @@ object AdvancedQueries {
          |  AND date_diff('day', TIMESTAMP '1995-01-01 00:00:00',
          |    o_orderdate) BETWEEN 0 AND 365
          |  AND ${CENTS("o_totalprice")} // 100000 BETWEEN 0 AND 150
+         |GROUP BY o_orderpriority
+         |ORDER BY o_orderpriority""".stripMargin,
+
+    // the complement of the deleted md5 slice: a compact that lost or
+    // resurrected rows, a zorder/optimize re-layout that dropped or
+    // duplicated rows, or a vacuum that removed live data all hash-fail
+    "q_snapshot_call" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n_orders,
+         |  CAST(SUM(${CENTS("o_totalprice")}) AS BIGINT) AS sum_cents
+         |FROM orders
+         |WHERE ${MD5LONG("CAST(o_orderkey AS VARCHAR)")} % 8 <> 2
+         |GROUP BY o_orderpriority
+         |ORDER BY o_orderpriority""".stripMargin,
+
+    // the same ranged aggregate replayed on the base table: a dir the
+    // SQL-path pruning wrongly dropped (missing rows) hash-fails
+    "q_snapshot_sql_prune" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n,
+         |  CAST(SUM(${CENTS("o_totalprice")}) AS BIGINT) AS cents
+         |FROM orders
+         |WHERE o_orderdate >= TIMESTAMP '1996-06-01 00:00:00'
          |GROUP BY o_orderpriority
          |ORDER BY o_orderpriority""".stripMargin,
 

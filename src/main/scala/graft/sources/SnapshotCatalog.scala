@@ -5,7 +5,8 @@ import java.util.{Map => JMap}
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, ProcedureCatalog, SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
@@ -59,7 +60,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * load path costs one listing + one manifest read per query — table
   * resolution is metadata-only, the scan plans against the version's dir
   * list exactly like the API read. */
-class SnapshotCatalog extends TableCatalog {
+class SnapshotCatalog extends TableCatalog with ProcedureCatalog {
 
   private var catName: String = _
   private var root: String = _
@@ -257,6 +258,26 @@ class SnapshotCatalog extends TableCatalog {
       "snapshot RENAME TABLE is refused: a dir rename is not atomic on " +
         "object stores and would strand concurrent committers mid-claim " +
         "— clone to the new name (SnapshotTable.cloneAt) and drop the old")
+
+  /** `CALL <cat>.system.<proc>(...)` — the maintenance procedures
+    * ([[SnapshotProcedures]]: compact / optimize / zorder / vacuum /
+    * vacuum_retain / restore / clone_table), each running its
+    * [[SnapshotTable]] op and returning the report as the result rows. */
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    val known = ident.namespace().sameElements(Array("system"))
+    (if (known) SnapshotProcedures.load(ident.name(), root) else None)
+      .getOrElse(throw new UnsupportedOperationException(
+        s"unknown procedure ${ident.namespace().mkString(".")}." +
+          s"${ident.name()} — snapshot maintenance lives under " +
+          s"$catName.system.{${SnapshotProcedures.names.mkString(", ")}}"))
+  }
+
+  override def listProcedures(
+      namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array("system")))
+      SnapshotProcedures.names
+        .map(Identifier.of(Array("system"), _)).toArray
+    else Array.empty
 }
 
 /** The catalog's table handle: reads delegate to Spark's own
@@ -416,37 +437,61 @@ private[sources] class LocalRowsTable(tname: String,
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder with Scan with Batch {
-      override def build(): Scan = this
-      override def readSchema(): StructType = tschema
-      override def toBatch: Batch = this
-      override def description(): String = s"LocalRows $tname"
-      override def planInputPartitions(): Array[InputPartition] =
-        Array(LocalRowsPartition(rows.map(_.toArray).toArray))
-      override def createReaderFactory(): PartitionReaderFactory =
-        new PartitionReaderFactory {
-          override def createReader(
-              p: InputPartition): PartitionReader[
-                org.apache.spark.sql.catalyst.InternalRow] = {
-            val data = p.asInstanceOf[LocalRowsPartition].rows
-            new PartitionReader[
-                org.apache.spark.sql.catalyst.InternalRow] {
-              private var i = -1
-              override def next(): Boolean = { i += 1; i < data.length }
-              override def get()
-                  : org.apache.spark.sql.catalyst.InternalRow = {
-                val vals = data(i).map {
-                  case s: String =>
-                    org.apache.spark.unsafe.types.UTF8String.fromString(s)
-                  case other => other.asInstanceOf[AnyRef]
-                }
-                new org.apache.spark.sql.catalyst.expressions
-                  .GenericInternalRow(vals.asInstanceOf[Array[Any]])
-              }
-              override def close(): Unit = {}
+    new ScanBuilder {
+      override def build(): Scan = new LocalRowsScan(tname, tschema, rows)
+    }
+}
+
+/** The one-partition, no-files Scan behind [[LocalRowsTable]] — also the
+  * RESULT vehicle for SQL procedures ([[SnapshotProcedures]]:
+  * `BoundProcedure.call` returns Scans, and Spark's InvokeProcedures
+  * accepts [[org.apache.spark.sql.connector.read.LocalScan]] only —
+  * `rows()` is the procedure-output path, the Batch half serves the
+  * metadata-table reads). */
+private[sources] class LocalRowsScan(tname: String, tschema: StructType,
+    data: Seq[Seq[Any]])
+    extends org.apache.spark.sql.connector.read.LocalScan
+    with org.apache.spark.sql.connector.read.Batch {
+  import org.apache.spark.sql.connector.read._
+
+  override def readSchema(): StructType = tschema
+  override def toBatch: Batch = this
+  override def description(): String = s"LocalRows $tname"
+
+  override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
+    data.map { r =>
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        r.map {
+          case s: String =>
+            org.apache.spark.unsafe.types.UTF8String.fromString(s)
+          case other => other.asInstanceOf[AnyRef]
+        }.toArray[Any])
+    }.toArray
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(LocalRowsPartition(data.map(_.toArray).toArray))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(
+          p: InputPartition): PartitionReader[
+            org.apache.spark.sql.catalyst.InternalRow] = {
+        val data = p.asInstanceOf[LocalRowsPartition].rows
+        new PartitionReader[
+            org.apache.spark.sql.catalyst.InternalRow] {
+          private var i = -1
+          override def next(): Boolean = { i += 1; i < data.length }
+          override def get()
+              : org.apache.spark.sql.catalyst.InternalRow = {
+            val vals = data(i).map {
+              case s: String =>
+                org.apache.spark.unsafe.types.UTF8String.fromString(s)
+              case other => other.asInstanceOf[AnyRef]
             }
+            new org.apache.spark.sql.catalyst.expressions
+              .GenericInternalRow(vals.asInstanceOf[Array[Any]])
           }
+          override def close(): Unit = {}
         }
+      }
     }
 }
 

@@ -257,10 +257,13 @@ object SnapshotTable {
     val scheme = dst.toUri.getScheme
     val out =
       if (scheme == null || scheme == "file") {
+        // a brand-new base (first commit of a clone/create) has no parent
+        // dir yet — createFile, unlike fs.create, does not make parents
+        val p = java.nio.file.Paths.get(dst.toUri.getPath)
+        java.nio.file.Files.createDirectories(p.getParent)
         // throws java.nio.file.FileAlreadyExistsException (an IOException)
         // when a concurrent writer already claimed this version
-        java.nio.file.Files.createFile(
-          java.nio.file.Paths.get(dst.toUri.getPath))
+        java.nio.file.Files.createFile(p)
         fs.create(dst, true) // we own the claim; fill the empty file
       } else fs.create(dst, false)
     try out.write(body.getBytes("UTF-8")) finally out.close()
@@ -1429,11 +1432,25 @@ object SnapshotTable {
     }
   }
 
-  private def boundsOverlap(typ: String, min: String, max: String,
+  private[sources] def boundsOverlap(typ: String, min: String, max: String,
       lo: String, hi: String): Boolean = typ match {
     case "long" => !(max.toLong < lo.toLong || min.toLong > hi.toLong)
     case _ => !(max < lo || min > hi)
   }
+
+  /** Data dirs of `snap` whose recorded bounds intersect every
+    * `(col, lo, hi)` box edge — the dir-pruning core shared by the API
+    * read ([[readVersionPrunedBox]]) and the SQL path's predicate-driven
+    * pruning ([[graft.plans.SnapshotDmlRule]]). A dir with no bounds
+    * entry for a column is always kept (the safe direction). */
+  private[graft] def pruneDirs(snap: Snapshot,
+      box: Seq[(String, String, String)]): Seq[String] =
+    snap.dataDirs.filter { d =>
+      box.forall { case (statsCol, lo, hi) =>
+        snap.bounds.find(b => b.dir == d && b.col == statsCol)
+          .forall(b => boundsOverlap(b.typ, b.min, b.max, lo, hi))
+      }
+    }
 
   /** Per-dir min/max of `statsCol` across `dataDirs`, as ONE tagged-union
     * job (dir-count-sized collect — manifest granularity, same contract as
@@ -1495,12 +1512,7 @@ object SnapshotTable {
       : (DataFrame, PruneReport) = {
     require(box.nonEmpty, "pruned read needs at least one (col, lo, hi)")
     val snap = manifest(spark, base, v)
-    val kept = snap.dataDirs.filter { d =>
-      box.forall { case (statsCol, lo, hi) =>
-        snap.bounds.find(b => b.dir == d && b.col == statsCol)
-          .forall(b => boundsOverlap(b.typ, b.min, b.max, lo, hi))
-      }
-    }
+    val kept = pruneDirs(snap, box)
     val data =
       if (kept.isEmpty)
         // every dir pruned: an empty, schema-correct frame (no parquet

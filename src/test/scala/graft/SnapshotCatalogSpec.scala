@@ -257,6 +257,86 @@ class SnapshotCatalogSpec extends SparkTestBase {
     }
   }
 
+  test("CALL procedures: maintenance ops run via SQL with report rows; " +
+      "named args bind; unknown procedures refuse with the roster") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("snapcall").toString
+    setupCatalog("snapcall1", root)
+    val base = s"$root/t"
+    (0 until 50).map(k => (k.toLong, k.toLong)).toDF("k", "v")
+      .write.mode("overwrite").parquet(s"$base/d1")
+    ST.commit(spark, base, 1, Snapshot(Seq(s"$base/d1"), Nil))
+    ST.deleteWhere(spark, base, "k", col("k") < 10)
+    // positional args + report row
+    val c = spark.sql("CALL snapcall1.system.compact('t', 'k')").head
+    assert(c.getInt(0) == 3 && c.getInt(3) == 1, c.toString)
+    assert(ST.readVersion(spark, base, 3, "k").count() == 40)
+    // named args (Spark binds against the declared parameters); a
+    // single-dir table has nothing to bin — the no-op REPORT is the pin
+    val o = spark.sql("CALL snapcall1.system.optimize(" +
+      "tbl => 't', target_bytes => 999999999)").head
+    assert(o.getInt(0) == 3 && o.getInt(1) == 0,
+      s"single-dir bin-pack must no-op at the same head: $o")
+    // restore rolls back to pre-delete content with history kept
+    assert(spark.sql("CALL snapcall1.system.restore('t', 1)")
+      .head.getInt(0) == 4)
+    assert(spark.sql("SELECT count(*) FROM snapcall1.t").head
+      .getLong(0) == 50)
+    // zero-copy clone through CALL; the clone reads independently
+    spark.sql("CALL snapcall1.system.clone_table('t', 3, 't2')")
+    assert(spark.sql("SELECT count(*) FROM snapcall1.t2").head
+      .getLong(0) == 40)
+    // vacuum retires old versions
+    spark.sql("CALL snapcall1.system.vacuum('t', 3)")
+    intercept[Exception] { ST.manifest(spark, base, 2) }
+    // unknown procedure refuses; the roster rides the cause chain
+    // (Spark wraps loadProcedure failures in FAILED_TO_LOAD_ROUTINE)
+    val e = intercept[Exception] {
+      spark.sql("CALL snapcall1.system.nope('t')")
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(_.getMessage).mkString("; ")
+    assert(msgs.contains("nope") &&
+      (msgs.contains("compact") || msgs.contains("FAILED_TO_LOAD")), msgs)
+  }
+
+  test("predicate-driven SQL dir pruning: range conjuncts prune against " +
+      "manifest bounds, err wide only, and never lose rows") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("snapprune").toString
+    setupCatalog("snapprune1", root)
+    val base = s"$root/t"
+    // three dirs with disjoint k ranges, bounds recorded
+    for (i <- 0 until 3)
+      (i * 100 until i * 100 + 100).map(k => (k.toLong, s"v$k"))
+        .toDF("k", "v").write.mode("overwrite").parquet(s"$base/d$i")
+    val dirs = (0 until 3).map(i => s"$base/d$i")
+    ST.commit(spark, base, 1, Snapshot(dirs, Nil,
+      bounds = ST.computeBounds(spark, dirs, "k")))
+    def prune() = Option(
+      graft.plans.SnapshotDmlRule.lastPrune.get(base))
+    // a range predicate prunes; residual conjuncts still evaluate
+    val r1 = spark.sql("SELECT count(*), sum(k) FROM snapprune1.t " +
+      "WHERE k >= 150 AND k < 250 AND length(v) > 0").head
+    assert(prune().contains((2, 3)), s"expected 2/3 kept: ${prune()}")
+    assert(r1.getLong(0) == 100 && r1.getLong(1) == (150 until 250).sum)
+    // equality point lookup keeps one dir
+    assert(spark.sql("SELECT count(*) FROM snapprune1.t WHERE k = 42")
+      .head.getLong(0) == 1)
+    assert(prune().contains((1, 3)), prune().toString)
+    // a box outside every dir plans an empty relation, zero rows
+    assert(spark.sql("SELECT count(*) FROM snapprune1.t WHERE k > 5000")
+      .head.getLong(0) == 0)
+    assert(prune().contains((0, 3)), prune().toString)
+    // an un-extractable predicate keeps every dir (err wide)
+    val all = spark.sql(
+      "SELECT count(*) FROM snapprune1.t WHERE k % 7 = 0").head.getLong(0)
+    assert(all == (0 until 300).count(_ % 7 == 0))
+    // pruning never drops rows the predicate keeps: full-range predicate
+    assert(spark.sql("SELECT count(*) FROM snapprune1.t WHERE k >= 0")
+      .head.getLong(0) == 300)
+  }
+
   test("SQL ALTER TABLE rename/drop evolution: mapped reads, " +
       "schema-versioned time travel, ghost-name refusals") {
     val root = Files.createTempDirectory("snapev").toString
