@@ -265,46 +265,103 @@ case class SnapshotDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
         "(spark.sql.catalog.<cat>.key.<tbl>)"))
     val tOut = m.targetTable.outputSet
     val sOut = m.sourceTable.outputSet
+    // unwrap analyzer-inserted widening casts (an INT-typed source key
+    // against a BIGINT column arrives as t.k = CAST(s.k AS BIGINT))
+    def keyAttr(e: Expression): Option[AttributeReference] = e match {
+      case a: AttributeReference => Some(a)
+      case c: org.apache.spark.sql.catalyst.expressions.Cast =>
+        keyAttr(c.child)
+      case _ => None
+    }
     val keyEq = m.mergeCondition match {
-      case EqualTo(a: AttributeReference, b: AttributeReference) =>
-        a.name == key && b.name == key &&
-          ((tOut.contains(a) && sOut.contains(b)) ||
-            (tOut.contains(b) && sOut.contains(a)))
+      case EqualTo(l, r) =>
+        (keyAttr(l), keyAttr(r)) match {
+          case (Some(a), Some(b)) =>
+            a.name == key && b.name == key &&
+              ((tOut.contains(a) && sOut.contains(b)) ||
+                (tOut.contains(b) && sOut.contains(a)))
+          case _ => false
+        }
       case _ => false
     }
     require(keyEq, "snapshot MERGE condition must be exactly " +
       s"target.$key = source.$key (the declared key column), got " +
       m.mergeCondition.sql)
     require(m.notMatchedBySourceActions.isEmpty,
-      "snapshot MERGE supports the upsert shape only (WHEN MATCHED THEN " +
-        "UPDATE SET * / WHEN NOT MATCHED THEN INSERT *) — " +
+      "snapshot MERGE supports upsert shapes only (WHEN MATCHED THEN " +
+        "UPDATE SET ... / WHEN NOT MATCHED THEN INSERT *) — " +
         "NOT MATCHED BY SOURCE is refused")
-    def starLike(actions: Seq[MergeAction], what: String): Unit = {
-      def aligned(cond: Option[Expression],
-          assigns: Seq[Assignment]): Boolean =
-        cond.isEmpty && assigns.forall { a =>
-          (a.key, a.value) match {
-            case (k: AttributeReference, v: AttributeReference) =>
-              k.name == v.name && sOut.contains(v)
-            case _ => false
-          }
-        }
-      val ok = actions match {
-        case Seq(UpdateStarAction(None)) => what == "MATCHED"
-        case Seq(InsertStarAction(None)) => what == "NOT MATCHED"
-        case Seq(UpdateAction(c, as, _)) =>
-          what == "MATCHED" && aligned(c, as)
-        case Seq(InsertAction(c, as)) =>
-          what == "NOT MATCHED" && aligned(c, as)
+    // value = the same-name SOURCE column (the star/aligned-star shape);
+    // alignment wraps narrower source columns in widening casts — strip
+    def stripCast(e: Expression): Expression = e match {
+      case c: org.apache.spark.sql.catalyst.expressions.Cast =>
+        stripCast(c.child)
+      case x => x
+    }
+    def srcIdentity(a: Assignment): Boolean =
+      (a.key, stripCast(a.value)) match {
+        case (k: AttributeReference, v: AttributeReference) =>
+          k.name == v.name && sOut.contains(v)
         case _ => false
       }
-      require(ok, s"snapshot MERGE supports exactly one unconditional " +
-        s"WHEN $what action of the SET*/INSERT* shape — partial-column " +
-        "or conditional merges are refused (use the SnapshotTable API)")
+    val insertStar = m.notMatchedActions match {
+      case Seq(InsertStarAction(None)) => true
+      case Seq(InsertAction(None, as)) => as.forall(srcIdentity)
+      case _ => false
     }
-    starLike(m.matchedActions, "MATCHED")
-    starLike(m.notMatchedActions, "NOT MATCHED")
-    SnapshotMergeCommand(h.base, key, maskReads(m.sourceTable))
+    require(insertStar, "snapshot MERGE requires exactly one " +
+      "unconditional WHEN NOT MATCHED THEN INSERT * action — " +
+      "partial-column or conditional inserts are refused")
+    m.matchedActions match {
+      // whole-row replacement: the mergeInto upsert
+      case Seq(UpdateStarAction(None)) =>
+        SnapshotMergeCommand(h.base, key, maskReads(m.sourceTable))
+      case Seq(UpdateAction(None, as, _)) if as.forall(srcIdentity) =>
+        SnapshotMergeCommand(h.base, key, maskReads(m.sourceTable))
+      // PARTIAL-COLUMN matched update (mergeIntoWith): assignments may
+      // be arbitrary expressions over both sides — rebound onto the
+      // engine op's t./s. join aliases. Alignment may have expanded
+      // unassigned columns to target-identity (t.c ← t.c): dropped.
+      case Seq(UpdateAction(None, as, _)) =>
+        val sets = as.flatMap { a =>
+          val name = a.key match {
+            case ar: AttributeReference => ar.name
+            case other => throw new UnsupportedOperationException(
+              "snapshot MERGE sets top-level columns only, got " +
+                other.sql)
+          }
+          stripCast(a.value) match {
+            case v: AttributeReference
+                if v.name == name && tOut.contains(v) =>
+              None // target identity: alignment's no-op padding
+            case _ => Some(name -> toMergeCol(a.value, tOut, sOut))
+          }
+        }
+        SnapshotMergeWithCommand(h.base, key, maskReads(m.sourceTable),
+          sets)
+      case other => throw new UnsupportedOperationException(
+        "snapshot MERGE supports exactly one unconditional WHEN MATCHED " +
+          "THEN UPDATE action (SET * or per-column SET) — conditional " +
+          "or multiple matched actions are refused " +
+          s"(got ${other.size} actions)")
+    }
+  }
+
+  /** Rebind a matched-update assignment expression onto
+    * [[SnapshotTable.mergeIntoWith]]'s internal t./s. join aliases. */
+  private def toMergeCol(e: Expression,
+      tOut: org.apache.spark.sql.catalyst.expressions.AttributeSet,
+      sOut: org.apache.spark.sql.catalyst.expressions.AttributeSet)
+      : Column = {
+    require(!e.exists(_.isInstanceOf[PlanExpression[_]]),
+      "snapshot MERGE SET does not support subqueries — materialize " +
+        "the subquery first or use the SnapshotTable API")
+    ColumnBridge(e.transform {
+      case a: AttributeReference if sOut.contains(a) =>
+        UnresolvedAttribute(Seq("s", a.name))
+      case a: AttributeReference if tOut.contains(a) =>
+        UnresolvedAttribute(Seq("t", a.name))
+    })
   }
 }
 
@@ -329,6 +386,20 @@ case class SnapshotMergeCommand(base: String, key: String,
   override def run(sparkSession: SparkSession): Seq[Row] = {
     SnapshotTable.mergeInto(sparkSession, base, key,
       DatasetBridge.ofRows(sparkSession, source)): Unit
+    Seq.empty
+  }
+}
+
+/** `MERGE INTO ... WHEN MATCHED THEN UPDATE SET col = expr ...` — the
+  * partial-column matched update ([[SnapshotTable.mergeIntoWith]]):
+  * matched rows compute each assigned column from both sides, unmatched
+  * source rows insert whole. */
+case class SnapshotMergeWithCommand(base: String, key: String,
+    source: LogicalPlan, sets: Seq[(String, Column)])
+    extends LeafRunnableCommand {
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    SnapshotTable.mergeIntoWith(sparkSession, base, key,
+      DatasetBridge.ofRows(sparkSession, source), sets): Unit
     Seq.empty
   }
 }

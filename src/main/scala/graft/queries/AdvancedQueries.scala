@@ -3774,12 +3774,24 @@ object AdvancedQueries {
            |) AS src ON tgt.k = src.k
            |WHEN MATCHED THEN UPDATE SET *
            |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
-      require(head == 5, s"DML chain must land at v5, got v$head")
+      // PARTIAL-COLUMN matched merge (SnapshotTable.mergeIntoWith via the
+      // same rule): matched rows COMPUTE the assigned column from both
+      // sides (the CDC counter-upsert shape) while untouched columns keep
+      // their stored values; unmatched source rows insert whole
+      step(5,
+        s"""MERGE INTO $t AS tgt USING (
+           |  SELECT k, pri, cents FROM $bv WHERE k % 10 = 6
+           |  UNION ALL
+           |  SELECT k + 2000000000, pri, cents FROM $bv WHERE k % 10 = 7
+           |) AS src ON tgt.k = src.k
+           |WHEN MATCHED THEN UPDATE SET cents = tgt.cents + src.cents
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      require(head == 6, s"DML chain must land at v6, got v$head")
       // refusal pin: a predicate the key-file delete cannot translate
       // must refuse at analysis, never delete the wrong rows
       val refused =
         try { s.sql(s"DELETE FROM $t WHERE length(pri) > 5"); false }
-        catch { case _: Exception => head == 5 }
+        catch { case _: Exception => head == 6 }
       require(refused, "an untranslatable DELETE predicate must refuse")
       s.sql(s"SELECT pri, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS " +
         s"cents FROM $t GROUP BY pri ORDER BY pri")
@@ -4252,7 +4264,9 @@ object AdvancedQueries {
     // the full SQL DML chain replayed relationally from the base table:
     // v3 delete masks the 5-LOW keys, v4 update bumps 1-URGENT cents,
     // v5 merge replaces the k%10=3 keys (masked ones stay masked — the
-    // erase cascade) and appends the shifted k%10=4 keys
+    // erase cascade) and appends the shifted k%10=4 keys, v6 partial
+    // merge ADDS source cents onto the matched k%10=6 rows (other
+    // columns untouched) and appends the shifted k%10=7 keys
     "q_snapshot_sql_dml" ->
       s"""WITH base AS (SELECT o_orderkey AS k, o_orderpriority AS pri,
          |    ${CENTS("o_totalprice")} AS cents FROM orders),
@@ -4266,7 +4280,17 @@ object AdvancedQueries {
          |merged AS (SELECT * FROM v4
          |    WHERE k NOT IN (SELECT k FROM src)
          |  UNION ALL SELECT * FROM src),
-         |vis AS (SELECT * FROM merged WHERE k NOT IN (SELECT k FROM del))
+         |src2 AS (SELECT k, pri, cents FROM base WHERE k % 10 = 6
+         |  UNION ALL
+         |  SELECT k + 2000000000, pri, cents FROM base WHERE k % 10 = 7),
+         |m2 AS (SELECT m.k, m.pri,
+         |    CASE WHEN s.k IS NOT NULL THEN m.cents + s.cents
+         |      ELSE m.cents END AS cents
+         |  FROM merged m LEFT JOIN src2 s ON m.k = s.k
+         |  UNION ALL
+         |  SELECT s.k, s.pri, s.cents FROM src2 s
+         |  WHERE s.k NOT IN (SELECT k FROM merged)),
+         |vis AS (SELECT * FROM m2 WHERE k NOT IN (SELECT k FROM del))
          |SELECT pri, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS cents
          |FROM vis GROUP BY pri ORDER BY pri""".stripMargin,
 

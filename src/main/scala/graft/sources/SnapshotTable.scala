@@ -761,7 +761,10 @@ object SnapshotTable {
     // leavings of a crashed prior attempt at THIS version: safe to clear,
     // since the guard above proved no manifest references the dir yet
     if (mfs.exists(mgp)) mfs.delete(mgp, true)
-    val aligned = source.select(stored.map(col).toIndexedSeq: _*)
+    // align NAMES and TYPES to the stored schema: an int-typed source
+    // against a bigint column would otherwise land a mixed-schema dir
+    val aligned = source.select(tableSchema(spark, snap).fields
+      .toIndexedSeq.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
     val merged =
       if (hit.isEmpty) aligned
       else readData(spark, snap, hit.toSeq.sorted)
@@ -770,6 +773,93 @@ object SnapshotTable {
     toPhysical(snap, merged).write.parquet(mergeDir)
     // kept dirs keep their bounds; the merge dir gets FRESH bounds
     // (source rows' range is arbitrary — recompute, don't carry)
+    commit(spark, base, v, snap.copy(dataDirs = keep :+ mergeDir,
+      bounds = snap.bounds.filter(b => keep.contains(b.dir))
+        ++ reboundDir(spark, snap.bounds, mergeDir)))
+    RewriteReport(v, hit.size, keep.size)
+  }
+
+  /** MERGE INTO with PER-COLUMN matched-row assignments — the
+    * CDC-counter upsert shape ([[mergeInto]] replaces whole rows; this
+    * form computes each assigned column from BOTH sides): matched stored
+    * rows rewrite with every `sets` entry applied (expressions reference
+    * the stored row as `t.<col>` and the source row as `s.<col>` —
+    * qualified against the internal join aliases), unmatched source rows
+    * append whole (INSERT *), and everything else is [[mergeInto]]'s
+    * contract verbatim: copy-on-write of only the hit dirs, source
+    * schema must equal the stored schema, duplicate source keys refuse,
+    * delete-masked keys stay masked (their rows may rewrite but remain
+    * invisible — the erase cascade), and the source evaluates more than
+    * once. Assigning the key column is refused — it would silently
+    * re-key rows past the probe. */
+  def mergeIntoWith(spark: SparkSession, base: String, keyCol: String,
+      source: DataFrame,
+      sets: Seq[(String, org.apache.spark.sql.Column)]): RewriteReport = {
+    val head = headVersion(spark, base)
+    require(head >= 1, s"no committed snapshot under $base to merge into")
+    val snap = manifest(spark, base, head)
+    val v = head + 1
+    val mp = manifestPath(base, v)
+    require(!fsFor(spark, mp).exists(mp),
+      s"version $v is already committed under $base — a concurrent " +
+        "committer won the version claim; re-read the head and retry")
+    val stored = tableSchema(spark, snap).fieldNames
+    require(source.columns.sorted.toSeq == stored.sorted.toSeq,
+      s"merge source schema ${source.columns.toSeq.sorted} must equal " +
+        s"the stored schema ${stored.sorted.toSeq}")
+    require(sets.nonEmpty, "mergeIntoWith needs at least one assignment " +
+      "— whole-row replacement is mergeInto")
+    val setMap = sets.toMap
+    require(!setMap.contains(keyCol),
+      s"assigning the key column $keyCol in a merge is refused — it " +
+        "would silently re-key rows past the match probe")
+    val unknown = sets.map(_._1).filterNot(stored.contains)
+    require(unknown.isEmpty,
+      s"merge SET names columns absent from the data: $unknown")
+    val srcKeys = source.select(col(keyCol)).distinct()
+    val dup = source.groupBy(col(keyCol))
+      .count().where(col("count") > 1).limit(1).count()
+    require(dup == 0,
+      s"merge source holds duplicate $keyCol values — which copy wins " +
+        "would be arbitrary; dedupe the source first")
+    val hit = probeHitDirs(spark, snap, head,
+      _.join(broadcast(srcKeys), Seq(keyCol), "left_semi"))
+    val keep = snap.dataDirs.filterNot(hit)
+    val mergeDir = s"$base/_mergew_v$v"
+    val mgp = new Path(mergeDir)
+    val mfs = fsFor(spark, mgp)
+    // leavings of a crashed prior attempt at THIS version: safe to clear,
+    // since the guard above proved no manifest references the dir yet
+    if (mfs.exists(mgp)) mfs.delete(mgp, true)
+    // align NAMES and TYPES to the stored schema (see mergeInto)
+    val aligned = source.select(tableSchema(spark, snap).fields
+      .toIndexedSeq.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+    val merged =
+      if (hit.isEmpty) aligned // nothing matched anywhere: pure append
+      else {
+        // inserts: source keys absent from the RAW stored rows. The HIT
+        // dirs' keys suffice — the probe marked every dir holding a
+        // source key, so no source key lives in a kept dir — keeping
+        // the cost at O(affected dirs), never a table key scan. (A
+        // masked key's source row is matched — and stays masked.)
+        val inserts = aligned.join(
+          readData(spark, snap, hit.toSeq.sorted)
+            .select(col(keyCol)).distinct(),
+          Seq(keyCol), "left_anti")
+        val matchedFlag = col(s"s.$keyCol").isNotNull
+        val updated = readData(spark, snap, hit.toSeq.sorted).alias("t")
+          .join(broadcast(aligned.alias("s")),
+            col(s"t.$keyCol") === col(s"s.$keyCol"), "left")
+          .select(stored.toIndexedSeq.map { c =>
+            setMap.get(c) match {
+              case Some(e) =>
+                when(matchedFlag, e).otherwise(col(s"t.$c")).as(c)
+              case None => col(s"t.$c").as(c)
+            }
+          }: _*)
+        updated.unionByName(inserts)
+      }
+    toPhysical(snap, merged).write.parquet(mergeDir)
     commit(spark, base, v, snap.copy(dataDirs = keep :+ mergeDir,
       bounds = snap.bounds.filter(b => keep.contains(b.dir))
         ++ reboundDir(spark, snap.bounds, mergeDir)))

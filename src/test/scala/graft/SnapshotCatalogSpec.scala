@@ -257,6 +257,42 @@ class SnapshotCatalogSpec extends SparkTestBase {
     }
   }
 
+  test("partial-column MERGE: matched rows compute assigned columns " +
+      "from both sides, untouched columns keep values, masked keys stay " +
+      "masked; key assignment and conditional actions refuse") {
+    val root = Files.createTempDirectory("snapmergew").toString
+    setupCatalog("snapmw1", root, "t" -> "k", "src" -> "k")
+    spark.sql("CREATE TABLE snapmw1.t (k BIGINT, v STRING, n BIGINT)")
+    spark.sql("INSERT INTO snapmw1.t VALUES (1,'a',10), (2,'b',20), " +
+      "(3,'c',30)")
+    spark.sql("DELETE FROM snapmw1.t WHERE k = 3") // masked key
+    spark.sql("CREATE TABLE snapmw1.src AS SELECT * FROM VALUES " +
+      "(1,'A',100), (3,'C',300), (9,'z',900) AS s(k, v, n)")
+    spark.sql("MERGE INTO snapmw1.t AS t USING snapmw1.src AS s " +
+      "ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET n = t.n + s.n " +
+      "WHEN NOT MATCHED THEN INSERT *")
+    val rows = spark.sql("SELECT k, v, n FROM snapmw1.t ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // k=1 matched: n added, v UNTOUCHED; k=2 unmatched-by-source: intact;
+    // k=3 masked: updated-but-invisible (erase cascade); k=9 inserted
+    assert(rows.toSeq == Seq((1L, "a", 110L), (2L, "b", 20L),
+      (9L, "z", 900L)), rows.toSeq.toString)
+    // assigning the key column refuses
+    val e = intercept[Exception] {
+      spark.sql("MERGE INTO snapmw1.t AS t USING snapmw1.src AS s " +
+        "ON t.k = s.k WHEN MATCHED THEN UPDATE SET k = s.k + 1 " +
+        "WHEN NOT MATCHED THEN INSERT *")
+    }
+    assert(e.getMessage.contains("key"), e.getMessage)
+    // conditional matched actions refuse
+    intercept[Exception] {
+      spark.sql("MERGE INTO snapmw1.t AS t USING snapmw1.src AS s " +
+        "ON t.k = s.k WHEN MATCHED AND s.n > 0 THEN UPDATE SET n = s.n " +
+        "WHEN NOT MATCHED THEN INSERT *")
+    }
+  }
+
   test("CALL procedures: maintenance ops run via SQL with report rows; " +
       "named args bind; unknown procedures refuse with the roster") {
     import spark.implicits._
