@@ -203,10 +203,15 @@ case class SnapshotDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
       case _ => Nil
     }
     if (edges.isEmpty) return None
+    // string/date bounds compare in UTF-8 byte order — the order Spark
+    // used when computing the stored min/max (Java String `>=` is UTF-16
+    // code-unit order, which diverges on supplementary-plane chars)
     def ge(typ: String, a: String, b: String): Boolean =
-      if (typ == "long") a.toLong >= b.toLong else a >= b
+      if (typ == "long") a.toLong >= b.toLong
+      else SnapshotTable.utf8Compare(a, b) >= 0
     def le(typ: String, a: String, b: String): Boolean =
-      if (typ == "long") a.toLong <= b.toLong else a <= b
+      if (typ == "long") a.toLong <= b.toLong
+      else SnapshotTable.utf8Compare(a, b) <= 0
     val kept = h.snap.dataDirs.filter { d =>
       edges.forall { case (c, loOpt, hiOpt) =>
         h.snap.bounds.find(b => b.dir == d && b.col == c).forall { b =>

@@ -390,6 +390,13 @@ object SnapshotTableHandle {
     SnapshotTable.toPhysical(snap0, aligned)
       .write.mode("overwrite").parquet(dir)
     val n = spark.read.parquet(dir).count()
+    // the rename map the dir was WRITTEN under — if a racer evolves the
+    // map (rename evolution) or clears it (optimizeZorder's full-rewrite
+    // normalization) between the write above and the commit below, the
+    // dir's physical names would no longer match the winning manifest's
+    // single logical→physical map and its columns would silently read
+    // NULL; the retry loop below detects the drift and re-lands the dir
+    var dirRenames = snap0.renames
     var attempt = 0
     while (attempt < 20) {
       attempt += 1
@@ -397,6 +404,21 @@ object SnapshotTableHandle {
       require(head >= 1,
         s"no committed snapshot under $base — CREATE TABLE first")
       val prior = SnapshotTable.manifest(spark, base, head)
+      if (prior.renames != dirRenames) {
+        val priorFields = SnapshotTable.tableSchema(spark, prior)
+          .fieldNames.toSet
+        val gone = target.fieldNames.filterNot(priorFields)
+        require(gone.isEmpty,
+          s"concurrent schema evolution renamed/dropped ${gone.toSeq} " +
+            s"while this INSERT was in flight — re-plan the INSERT " +
+            "against the current schema")
+        // same logical names, different physical mapping (rename drift
+        // or a zorder normalization): re-land the dir under the
+        // WINNER's map so the manifest can read it back
+        SnapshotTable.toPhysical(prior, aligned)
+          .write.mode("overwrite").parquet(dir)
+        dirRenames = prior.renames
+      }
       val next =
         if (overwrite)
           prior.copy(dataDirs = Seq(dir), deleteDirs = Nil, bounds = Nil,
@@ -411,6 +433,10 @@ object SnapshotTableHandle {
             if attempt < 20 && e.getMessage != null && e.getMessage
               .contains("already committed with different content") =>
           // lost the version-number race — re-commit onto the winner
+        case _: java.nio.file.FileAlreadyExistsException if attempt < 20 =>
+          // a racer claimed the version file between commit's exists()
+          // probe and its create — the same lost race, surfaced by the
+          // filesystem instead of the content check
       }
     }
     throw new IllegalStateException(

@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, col, least, lit, when}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, least, lit, when}
 
 /** Snapshot-versioned table: the lakehouse time-travel contract (Iceberg /
   * Delta, distilled to its two load-bearing ideas) on plain parquet dirs.
@@ -688,10 +688,15 @@ object SnapshotTable {
     require(!fsFor(spark, mp).exists(mp),
       s"version $v is already committed under $base — a concurrent " +
         "committer won the version claim; re-read the head and retry")
-    val cols = tableSchema(spark, snap).fieldNames.toSet
+    val fieldNames = tableSchema(spark, snap).fieldNames
+    val cols = fieldNames.toSet
     val missing = sets.map(_._1).filterNot(cols)
     require(missing.isEmpty,
       s"UPDATE SET names columns absent from the data: $missing")
+    val dupSets = sets.map(_._1).groupBy(identity)
+      .collect { case (n, vs) if vs.size > 1 => n }
+    require(dupSets.isEmpty,
+      s"UPDATE assigns the same column more than once: ${dupSets.toSeq}")
     val hit = probeHitDirs(spark, snap, head, _.where(predicate))
     if (hit.isEmpty) return RewriteReport(head, 0, snap.dataDirs.size)
     val keep = snap.dataDirs.filterNot(hit)
@@ -701,11 +706,18 @@ object SnapshotTable {
     // leavings of a crashed prior attempt at THIS version: safe to clear,
     // since the guard above proved no manifest references the dir yet
     if (ufs.exists(up)) ufs.delete(up, true)
-    toPhysical(snap, sets.foldLeft(readData(spark, snap, hit.toSeq.sorted)) {
-      case (df, (name, set)) =>
-        df.withColumn(name,
-          when(predicate, set).otherwise(col(name)))
-    }).write.parquet(updDir)
+    // SQL UPDATE semantics: EVERY assignment and the predicate evaluate
+    // against the OLD row — one simultaneous select over the original
+    // frame (the mergeIntoWith discipline), never a sequential
+    // withColumn fold where `SET a = b, b = a` fails to swap and a later
+    // SET sees an earlier SET's result through the re-evaluated WHERE
+    val setMap = sets.toMap
+    val src = readData(spark, snap, hit.toSeq.sorted)
+    toPhysical(snap, src.select(fieldNames.toIndexedSeq.map { c =>
+      setMap.get(c)
+        .map(e => when(predicate, e).otherwise(col(c)))
+        .getOrElse(col(c)).as(c)
+    }: _*)).write.parquet(updDir)
     // kept dirs keep their bounds; the rewritten dir gets FRESH bounds
     // (a SET may have moved the stats column — recompute, don't carry)
     commit(spark, base, v, snap.copy(dataDirs = keep :+ updDir,
@@ -866,6 +878,178 @@ object SnapshotTable {
     RewriteReport(v, hit.size, keep.size)
   }
 
+  /** A `WHEN MATCHED` clause of [[mergeIntoActions]]: apply `sets`
+    * (update) or drop the row (delete). */
+  sealed trait MatchedAction
+  final case class MatchedUpdate(
+      sets: Seq[(String, org.apache.spark.sql.Column)]) extends MatchedAction
+  case object MatchedDelete extends MatchedAction
+
+  /** GENERALIZED MERGE — the full Delta/Iceberg CDC clause surface over
+    * this table's dir-level copy-on-write mechanics:
+    *
+    *   - `matched`: ordered `WHEN MATCHED [AND cond] THEN UPDATE/DELETE`
+    *     clauses. SQL first-match semantics: per matched row the FIRST
+    *     clause whose condition holds (a NULL condition does not hold)
+    *     applies; no clause applying keeps the row unchanged. Conditions
+    *     and update expressions see the stored row as `t.<col>` and the
+    *     source row as `s.<col>` (the [[mergeIntoWith]] alias contract),
+    *     all evaluated against the OLD row simultaneously.
+    *   - `insertUnmatched`: `WHEN NOT MATCHED THEN INSERT *` — source
+    *     rows whose key is absent from the stored rows append whole.
+    *   - `bySourceDelete`: `WHEN NOT MATCHED BY SOURCE [AND cond] THEN
+    *     DELETE` — stored rows whose key is absent from the source drop
+    *     (condition over bare stored column names — target-only, per
+    *     SQL). This clause's scope is dirs holding a dropping row, found
+    *     by one anti-join probe, so a merge whose by-source predicate
+    *     narrows to one ingest day still rewrites that day only; an
+    *     UNconditioned by-source delete against a small source rewrites
+    *     the whole table — that is what the clause MEANS (use it at
+    *     100 TB only with a narrowing condition).
+    *
+    * Everything else is [[mergeInto]]'s contract: copy-on-write of only
+    * the in-scope dirs, duplicate source keys refuse, delete-masked keys
+    * stay masked (the erase cascade — a matched-DELETE of a masked key
+    * is a no-op on visibility, and the delete FILES are untouched), the
+    * source evaluates more than once, assigning the key column refuses.
+    * With `insertUnmatched` the source must carry exactly the stored
+    * schema; matched/by-source-only merges need only the key column. */
+  def mergeIntoActions(spark: SparkSession, base: String, keyCol: String,
+      source: DataFrame,
+      matched: Seq[(Option[org.apache.spark.sql.Column], MatchedAction)],
+      insertUnmatched: Boolean,
+      bySourceDelete: Option[Option[org.apache.spark.sql.Column]] = None)
+      : RewriteReport = {
+    val head = headVersion(spark, base)
+    require(head >= 1, s"no committed snapshot under $base to merge into")
+    val snap = manifest(spark, base, head)
+    val v = head + 1
+    val mp = manifestPath(base, v)
+    require(!fsFor(spark, mp).exists(mp),
+      s"version $v is already committed under $base — a concurrent " +
+        "committer won the version claim; re-read the head and retry")
+    require(matched.nonEmpty || insertUnmatched || bySourceDelete.nonEmpty,
+      "mergeIntoActions needs at least one clause")
+    val target = tableSchema(spark, snap)
+    val stored = target.fieldNames
+    require(source.columns.contains(keyCol),
+      s"merge source must carry the key column $keyCol")
+    if (insertUnmatched)
+      require(source.columns.sorted.toSeq == stored.sorted.toSeq,
+        s"merge with INSERT * needs the source schema " +
+          s"${source.columns.toSeq.sorted} to equal the stored schema " +
+          s"${stored.sorted.toSeq}")
+    // an UPDATE clause with no assignments is legal: alignment can pad a
+    // SQL `SET x = x` down to nothing, and under first-match semantics
+    // the clause still CONSUMES its matched rows (blocking later clauses)
+    for ((_, MatchedUpdate(sets)) <- matched) {
+      require(!sets.exists(_._1 == keyCol),
+        s"assigning the key column $keyCol in a merge is refused — it " +
+          "would silently re-key rows past the match probe")
+      val unknown = sets.map(_._1).filterNot(stored.contains)
+      require(unknown.isEmpty,
+        s"merge SET names columns absent from the data: $unknown")
+    }
+    val keyType = target(target.fieldIndex(keyCol)).dataType
+    val aligned =
+      if (insertUnmatched)
+        source.select(target.fields.toIndexedSeq
+          .map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+      else source.select(source.columns.toIndexedSeq.map(c =>
+        if (c == keyCol) col(c).cast(keyType).as(c) else col(c)): _*)
+    val dup = aligned.groupBy(col(keyCol))
+      .count().where(col("count") > 1).limit(1).count()
+    require(dup == 0,
+      s"merge source holds duplicate $keyCol values — which copy wins " +
+        "would be arbitrary; dedupe the source first")
+    val srcKeys = aligned.select(col(keyCol)).distinct()
+    // scope probes: matched clauses (and the INSERT anti-join) need the
+    // dirs holding a source key; a by-source delete needs the dirs
+    // holding a key-absent row satisfying its condition
+    val hitMatched =
+      if (matched.nonEmpty || insertUnmatched)
+        probeHitDirs(spark, snap, head,
+          _.join(broadcast(srcKeys), Seq(keyCol), "left_semi"))
+      else Set.empty[String]
+    val hitBySource = bySourceDelete match {
+      case None => Set.empty[String]
+      case Some(condOpt) => probeHitDirs(spark, snap, head, df =>
+        condOpt.foldLeft(
+          df.join(broadcast(srcKeys), Seq(keyCol), "left_anti"))(_ where _))
+    }
+    val rewrite = (if (matched.nonEmpty) hitMatched else Set.empty[String]) ++
+      hitBySource
+    val keep = snap.dataDirs.filterNot(rewrite)
+    if (rewrite.isEmpty && !insertUnmatched)
+      return RewriteReport(head, 0, snap.dataDirs.size)
+    val mergeDir = s"$base/_mergea_v$v"
+    val mgp = new Path(mergeDir)
+    val mfs = fsFor(spark, mgp)
+    // leavings of a crashed prior attempt at THIS version: safe to clear,
+    // since the guard above proved no manifest references the dir yet
+    if (mfs.exists(mgp)) mfs.delete(mgp, true)
+    val rewritten: Option[DataFrame] =
+      if (rewrite.isEmpty) None
+      else {
+        val t = readData(spark, snap, rewrite.toSeq.sorted)
+        graft.operators.Markers.requireFree(t, "merge target",
+          "_graft_merge_matched")
+        val joined = t.alias("t").join(broadcast(aligned.alias("s")),
+          col(s"t.$keyCol") === col(s"s.$keyCol"), "left")
+        val matchedF = col(s"s.$keyCol").isNotNull
+        // first-match clause guards: applied(i) = matched, no earlier
+        // clause's condition held, this clause's holds (NULL = no)
+        val holds = matched.map { case (c, _) =>
+          c.map(e => coalesce(e, lit(false))).getOrElse(lit(true)) }
+        val applied = matched.indices.map { i =>
+          holds.take(i).foldLeft(matchedF)((g, h) => g && !h) && holds(i) }
+        val deleteApplied = matched.indices
+          .filter(i => matched(i)._2 == MatchedDelete)
+          .map(applied).reduceOption(_ || _).getOrElse(lit(false))
+        val rows = joined.select(stored.toIndexedSeq.map { c =>
+          matched.indices.foldRight(col(s"t.$c")) { (i, alt) =>
+            matched(i)._2 match {
+              case MatchedUpdate(sets) => sets.toMap.get(c)
+                .map(e => when(applied(i), e).otherwise(alt))
+                .getOrElse(alt)
+              case MatchedDelete => alt
+            }
+          }.as(c)
+        } :+ (!deleteApplied).as("_graft_merge_matched_keep")
+          :+ matchedF.as("_graft_merge_matched"): _*)
+        // by-source clause over the projected frame: an unmatched row's
+        // projected values ARE its original stored values, so the bare
+        // target-only condition evaluates against the old row as SQL
+        // requires
+        val bsDrop = bySourceDelete match {
+          case None => lit(false)
+          case Some(condOpt) => !col("_graft_merge_matched") &&
+            condOpt.map(e => coalesce(e, lit(false))).getOrElse(lit(true))
+        }
+        Some(rows.where(col("_graft_merge_matched_keep") && !bsDrop)
+          .select(stored.toIndexedSeq.map(col): _*))
+      }
+    val inserts: Option[DataFrame] =
+      if (!insertUnmatched) None
+      else if (hitMatched.isEmpty) Some(aligned)
+      else Some(aligned.join(
+        readData(spark, snap, hitMatched.toSeq.sorted)
+          .select(col(keyCol)).distinct(),
+        Seq(keyCol), "left_anti")
+        .select(stored.toIndexedSeq.map(col): _*))
+    val merged = (rewritten, inserts) match {
+      case (Some(r), Some(i)) => r.unionByName(i)
+      case (Some(r), None) => r
+      case (None, Some(i)) => i
+      case (None, None) => throw new IllegalStateException("unreachable")
+    }
+    toPhysical(snap, merged).write.parquet(mergeDir)
+    commit(spark, base, v, snap.copy(dataDirs = keep :+ mergeDir,
+      bounds = snap.bounds.filter(b => keep.contains(b.dir))
+        ++ reboundDir(spark, snap.bounds, mergeDir)))
+    RewriteReport(v, rewrite.size, keep.size)
+  }
+
   /** Change feed between two committed versions (CDF — what a downstream
     * incremental consumer reads instead of diffing two full scans): every
     * row visible at `vTo` but not `vFrom` as `change = 'insert'`, every
@@ -1007,6 +1191,10 @@ object SnapshotTable {
             if attempt < 20 && e.getMessage != null && e.getMessage
               .contains("already committed with different content") =>
           // lost the version-number race — fold onto the winner's head
+        case _: java.nio.file.FileAlreadyExistsException if attempt < 20 =>
+          // racer claimed the version file between commit's exists()
+          // probe and its O_EXCL create — same lost race, surfaced by
+          // the filesystem instead of the content check
       }
     }
     throw new IllegalStateException(
@@ -1522,10 +1710,29 @@ object SnapshotTable {
     }
   }
 
+  /** Lexicographic compare of the UTF-8 byte sequences — the order
+    * Spark's UTF8String used when it computed the stored min/max. Java
+    * String ordering (UTF-16 code units) diverges for supplementary-plane
+    * characters (4-byte UTF-8 sorts after every 3-byte BMP char, while
+    * their UTF-16 surrogates sort below U+E000), so comparing bounds with
+    * `<` on String could wrongly prune a dir that holds matching rows. */
+  private[graft] def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+
   private[sources] def boundsOverlap(typ: String, min: String, max: String,
       lo: String, hi: String): Boolean = typ match {
     case "long" => !(max.toLong < lo.toLong || min.toLong > hi.toLong)
-    case _ => !(max < lo || min > hi)
+    case _ => !(utf8Compare(max, lo) < 0 || utf8Compare(min, hi) > 0)
   }
 
   /** Data dirs of `snap` whose recorded bounds intersect every

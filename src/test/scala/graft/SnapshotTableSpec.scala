@@ -214,6 +214,35 @@ class SnapshotTableSpec extends SparkTestBase {
       (0 until 20).map(i => (i, i)))
   }
 
+  test("updateWhere: every assignment and the predicate evaluate against " +
+      "the OLD row — swap works, a SET does not feed the WHERE") {
+    val base = freshBase()
+    writeKv(s"$base/d1", 0, 5, _ + 10) // v = k + 10
+    SnapshotTable.commit(spark, base, 1, Snapshot(Seq(s"$base/d1"), Nil))
+    // SET k = v, v = k: a sequential fold would set k := v then v := (new
+    // k) = v — no swap; SQL semantics swap
+    SnapshotTable.updateWhere(spark, base, col("k") === 2,
+      Seq("k" -> col("v"), "v" -> col("k")))
+    val got = SnapshotTable.readVersion(spark, base, 2, "k")
+      .collect().map(r => (r.getInt(0), r.getInt(1))).sorted.toSeq
+    assert(got == Seq((0, 10), (1, 11), (3, 13), (4, 14), (12, 2)),
+      s"got $got")
+    // SET v = v + 100, k = 0 WHERE v = 12: after the v assignment no row
+    // still has v = 12, but k must update on the SAME matched row anyway
+    SnapshotTable.updateWhere(spark, base, col("v") === 13,
+      Seq("v" -> (col("v") + 100), "k" -> lit(0)))
+    val got2 = SnapshotTable.readVersion(spark, base, 3, "k")
+      .collect().map(r => (r.getInt(0), r.getInt(1))).sorted.toSeq
+    assert(got2 == Seq((0, 10), (0, 113), (1, 11), (4, 14), (12, 2)),
+      s"got $got2")
+    // assigning the same column twice is ambiguous — refused
+    val e = intercept[IllegalArgumentException] {
+      SnapshotTable.updateWhere(spark, base, col("k") === 0,
+        Seq("v" -> lit(1), "v" -> lit(2)))
+    }
+    assert(e.getMessage.contains("more than once"), e.getMessage)
+  }
+
   test("updateWhere: no match commits nothing; unknown SET column and a " +
       "claimed version are refused; a delete-masked key stays masked " +
       "through a rewrite") {
