@@ -4,7 +4,7 @@ import graft.sources.{SnapshotTable, SnapshotTableHandle}
 import org.apache.spark.sql.{Column, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{EliminateSubqueryAliases, UnresolvedAttribute}
 import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, PlanExpression}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteFromTable, Filter, InsertAction, InsertStarAction, LocalRelation, LogicalPlan, MergeAction, MergeIntoTable, Project, UpdateAction, UpdateStarAction, UpdateTable, V2WriteCommand}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, Filter, InsertAction, InsertStarAction, LocalRelation, LogicalPlan, MergeAction, MergeIntoTable, Project, UpdateAction, UpdateStarAction, UpdateTable, V2WriteCommand}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -292,10 +292,6 @@ case class SnapshotDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
     require(keyEq, "snapshot MERGE condition must be exactly " +
       s"target.$key = source.$key (the declared key column), got " +
       m.mergeCondition.sql)
-    require(m.notMatchedBySourceActions.isEmpty,
-      "snapshot MERGE supports upsert shapes only (WHEN MATCHED THEN " +
-        "UPDATE SET ... / WHEN NOT MATCHED THEN INSERT *) — " +
-        "NOT MATCHED BY SOURCE is refused")
     // value = the same-name SOURCE column (the star/aligned-star shape);
     // alignment wraps narrower source columns in widening casts — strip
     def stripCast(e: Expression): Expression = e match {
@@ -309,46 +305,89 @@ case class SnapshotDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
           k.name == v.name && sOut.contains(v)
         case _ => false
       }
-    val insertStar = m.notMatchedActions match {
+    val insertUnmatched = m.notMatchedActions match {
+      case Nil => false
       case Seq(InsertStarAction(None)) => true
-      case Seq(InsertAction(None, as)) => as.forall(srcIdentity)
-      case _ => false
+      case Seq(InsertAction(None, as)) if as.forall(srcIdentity) => true
+      case _ => throw new UnsupportedOperationException(
+        "snapshot MERGE NOT MATCHED supports at most one unconditional " +
+          "INSERT * action — partial-column or conditional inserts are " +
+          "refused")
     }
-    require(insertStar, "snapshot MERGE requires exactly one " +
-      "unconditional WHEN NOT MATCHED THEN INSERT * action — " +
-      "partial-column or conditional inserts are refused")
-    m.matchedActions match {
-      // whole-row replacement: the mergeInto upsert
-      case Seq(UpdateStarAction(None)) =>
-        SnapshotMergeCommand(h.base, key, maskReads(m.sourceTable))
-      case Seq(UpdateAction(None, as, _)) if as.forall(srcIdentity) =>
-        SnapshotMergeCommand(h.base, key, maskReads(m.sourceTable))
-      // PARTIAL-COLUMN matched update (mergeIntoWith): assignments may
-      // be arbitrary expressions over both sides — rebound onto the
-      // engine op's t./s. join aliases. Alignment may have expanded
-      // unassigned columns to target-identity (t.c ← t.c): dropped.
-      case Seq(UpdateAction(None, as, _)) =>
-        val sets = as.flatMap { a =>
-          val name = a.key match {
-            case ar: AttributeReference => ar.name
-            case other => throw new UnsupportedOperationException(
-              "snapshot MERGE sets top-level columns only, got " +
-                other.sql)
-          }
-          stripCast(a.value) match {
-            case v: AttributeReference
-                if v.name == name && tOut.contains(v) =>
-              None // target identity: alignment's no-op padding
-            case _ => Some(name -> toMergeCol(a.value, tOut, sOut))
-          }
+    // NOT MATCHED BY SOURCE: a single DELETE [AND cond]. SQL scopes the
+    // condition to target columns and the engine applies it by BARE
+    // column name, so enforce that scope loudly
+    val bySource: Option[Option[Column]] =
+      m.notMatchedBySourceActions match {
+        case Nil => None
+        case Seq(DeleteAction(c)) =>
+          c.foreach(e => require(e.references.subsetOf(tOut),
+            "snapshot MERGE NOT MATCHED BY SOURCE condition may " +
+              "reference target columns only, got " + e.sql))
+          Some(c.map(toCol(_, "MERGE NOT MATCHED BY SOURCE")))
+        case other => throw new UnsupportedOperationException(
+          "snapshot MERGE NOT MATCHED BY SOURCE supports a single " +
+            s"DELETE [AND cond] action only (got ${other.size} " +
+            "actions)")
+      }
+    // per-column sets of a matched UPDATE: assignments may be arbitrary
+    // expressions over both sides — rebound onto the engine op's t./s.
+    // join aliases. Alignment may have expanded unassigned columns to
+    // target-identity (t.c ← t.c): dropped.
+    def updateSets(as: Seq[Assignment]): Seq[(String, Column)] =
+      as.flatMap { a =>
+        val name = a.key match {
+          case ar: AttributeReference => ar.name
+          case other => throw new UnsupportedOperationException(
+            "snapshot MERGE sets top-level columns only, got " +
+              other.sql)
         }
+        stripCast(a.value) match {
+          case v: AttributeReference
+              if v.name == name && tOut.contains(v) =>
+            None // target identity: alignment's no-op padding
+          case _ => Some(name -> toMergeCol(a.value, tOut, sOut))
+        }
+      }
+    (m.matchedActions, bySource) match {
+      // the pre-existing upsert fast paths — unconditional single
+      // matched UPDATE plus INSERT *, routed to the specialized ops
+      case (Seq(UpdateStarAction(None)), None) if insertUnmatched =>
+        SnapshotMergeCommand(h.base, key, maskReads(m.sourceTable))
+      case (Seq(UpdateAction(None, as, _)), None)
+          if insertUnmatched && as.forall(srcIdentity) =>
+        SnapshotMergeCommand(h.base, key, maskReads(m.sourceTable))
+      case (Seq(UpdateAction(None, as, _)), None) if insertUnmatched =>
         SnapshotMergeWithCommand(h.base, key, maskReads(m.sourceTable),
-          sets)
-      case other => throw new UnsupportedOperationException(
-        "snapshot MERGE supports exactly one unconditional WHEN MATCHED " +
-          "THEN UPDATE action (SET * or per-column SET) — conditional " +
-          "or multiple matched actions are refused " +
-          s"(got ${other.size} actions)")
+          updateSets(as))
+      // GENERALIZED CDC surface — ordered conditional matched clauses
+      // (UPDATE/DELETE, first-match), optional INSERT *, optional NOT
+      // MATCHED BY SOURCE DELETE: SnapshotTable.mergeIntoActions
+      case (actions, _) =>
+        val matched = actions.map {
+          case UpdateStarAction(c) =>
+            // SET * = every non-key column from the same-name source
+            val sets = h.schema().fieldNames.toSeq.filterNot(_ == key)
+              .map(n => n ->
+                org.apache.spark.sql.functions.col(s"s.`$n`"))
+            (c.map(toMergeCol(_, tOut, sOut)),
+              SnapshotTable.MatchedUpdate(sets)
+                : SnapshotTable.MatchedAction)
+          case UpdateAction(c, as, _) =>
+            (c.map(toMergeCol(_, tOut, sOut)),
+              SnapshotTable.MatchedUpdate(updateSets(as))
+                : SnapshotTable.MatchedAction)
+          case DeleteAction(c) =>
+            (c.map(toMergeCol(_, tOut, sOut)),
+              SnapshotTable.MatchedDelete: SnapshotTable.MatchedAction)
+          case other => throw new UnsupportedOperationException(
+            "snapshot MERGE matched clauses support UPDATE and DELETE " +
+              s"only, got ${other.getClass.getSimpleName}")
+        }
+        require(matched.nonEmpty || insertUnmatched || bySource.nonEmpty,
+          "snapshot MERGE needs at least one clause")
+        SnapshotMergeActionsCommand(h.base, key, maskReads(m.sourceTable),
+          matched, insertUnmatched, bySource)
     }
   }
 
@@ -405,6 +444,24 @@ case class SnapshotMergeWithCommand(base: String, key: String,
   override def run(sparkSession: SparkSession): Seq[Row] = {
     SnapshotTable.mergeIntoWith(sparkSession, base, key,
       DatasetBridge.ofRows(sparkSession, source), sets): Unit
+    Seq.empty
+  }
+}
+
+/** The generalized MERGE clause surface (`WHEN MATCHED [AND cond] THEN
+  * UPDATE/DELETE` × N in order, `WHEN NOT MATCHED THEN INSERT *`, `WHEN
+  * NOT MATCHED BY SOURCE [AND cond] THEN DELETE`) —
+  * [[SnapshotTable.mergeIntoActions]]: first-match clause semantics,
+  * copy-on-write of only the in-scope dirs. */
+case class SnapshotMergeActionsCommand(base: String, key: String,
+    source: LogicalPlan,
+    matched: Seq[(Option[Column], SnapshotTable.MatchedAction)],
+    insertUnmatched: Boolean, bySourceDelete: Option[Option[Column]])
+    extends LeafRunnableCommand {
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    SnapshotTable.mergeIntoActions(sparkSession, base, key,
+      DatasetBridge.ofRows(sparkSession, source), matched,
+      insertUnmatched, bySourceDelete): Unit
     Seq.empty
   }
 }

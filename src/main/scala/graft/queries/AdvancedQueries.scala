@@ -3797,6 +3797,80 @@ object AdvancedQueries {
         s"cents FROM $t GROUP BY pri ORDER BY pri")
     },
 
+    // GENERALIZED MERGE CLAUSES THROUGH SQL (SnapshotTable
+    // .mergeIntoActions via the same rule): conditional matched
+    // UPDATE/DELETE with FIRST-MATCH clause order, INSERT *, and an
+    // insert-less NOT MATCHED BY SOURCE DELETE with a narrowing
+    // target-only condition — the everyday Delta/Iceberg CDC shapes the
+    // upsert-only surface refused. The oracle replays both merges
+    // relationally from the base table, so a clause applied out of
+    // order, a DELETE that took the UPDATE's rows, a by-source delete
+    // that leaked into matched keys, or a lost insert all hash-fail.
+    // Scale: copy-on-write of only the in-scope dirs; the by-source
+    // probe is one anti-join pass, and its narrowing condition is what
+    // bounds the rewrite at 100 TB.
+    "q_snapshot_sql_merge2" -> { (s, dir) =>
+      import graft.sources.{SnapshotTable => ST}
+      val sfN = new java.io.File(dir).getName
+      val fp = java.security.MessageDigest.getInstance("MD5")
+        .digest(graft.sources.Sinks.fingerprint(s, s"$dir/orders.parquet")
+          .getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString.take(10)
+      val root = s"/root/repo/target/tmp/sqlmrg2-$sfN-$fp"
+      val tbl = "orders_t"
+      val base = s"$root/$tbl"
+      val cat = s"gmrg${sfN.replace(".", "")}$fp"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.SnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      s.conf.set(s"spark.sql.catalog.$cat.key.$tbl", "k")
+      val t = s"$cat.`$tbl`"
+      val bv = s"sqlmrg2_base_${sfN.replace(".", "")}"
+      Tables(s, dir, "orders")
+        .select(col("o_orderkey").as("k"), col("o_orderpriority").as("pri"),
+          cents(col("o_totalprice")).as("cents"))
+        .createOrReplaceTempView(bv)
+      def head = ST.headVersion(s, base)
+      def awaitHead(v: Int): Unit = {
+        var i = 0
+        while (head < v && i < 600) { Thread.sleep(100); i += 1 }
+        require(head >= v, s"snapshot $base stuck below v$v")
+      }
+      def step(at: Int, sql: String): Unit = {
+        if (head == at) {
+          try s.sql(sql).collect(): Unit
+          catch { // concurrent constructor won the claim — defer
+            case e: Exception if head > at => ()
+          }
+        }
+        awaitHead(at + 1)
+      }
+      step(0, s"CREATE TABLE $t (k BIGINT, pri STRING, cents BIGINT)")
+      step(1, s"INSERT INTO $t SELECT k, pri, cents FROM $bv")
+      // first-match clauses: matched k%10=1 keys DELETE when the stored
+      // cents divide by 3, UPDATE (summing both sides) otherwise; the
+      // shifted k%10=2 keys match nothing and insert whole
+      step(2,
+        s"""MERGE INTO $t AS tgt USING (
+           |  SELECT k, pri, cents * 2 AS cents FROM $bv WHERE k % 10 = 1
+           |  UNION ALL
+           |  SELECT k + 3000000000, pri, cents FROM $bv WHERE k % 10 = 2
+           |) AS src ON tgt.k = src.k
+           |WHEN MATCHED AND tgt.cents % 3 = 0 THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET cents = tgt.cents + src.cents
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      // insert-less by-source delete: rows whose key the (key-only)
+      // source lacks drop where the target-side condition holds
+      step(3,
+        s"""MERGE INTO $t AS tgt USING (
+           |  SELECT k FROM $bv WHERE k % 10 IN (1, 2, 3)
+           |) AS src ON tgt.k = src.k
+           |WHEN NOT MATCHED BY SOURCE AND pri = '5-LOW' THEN DELETE"""
+          .stripMargin)
+      require(head == 4, s"merge chain must land at v4, got v$head")
+      s.sql(s"SELECT pri, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS " +
+        s"cents FROM $t GROUP BY pri ORDER BY pri")
+    },
+
     // SQL WRITES AS SNAPSHOT VERSIONS (SnapshotTableHandle's V1Write):
     // CREATE TABLE commits v1 (empty, schema-carrying), each INSERT INTO
     // commits exactly one version appending one dir, INSERT OVERWRITE
@@ -4293,6 +4367,33 @@ object AdvancedQueries {
          |vis AS (SELECT * FROM m2 WHERE k NOT IN (SELECT k FROM del))
          |SELECT pri, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS cents
          |FROM vis GROUP BY pri ORDER BY pri""".stripMargin,
+
+    // both generalized merges replayed relationally: m1 applies the
+    // first-match matched clauses (DELETE where cents%3=0 else UPDATE
+    // summing both sides), v3 adds the unmatched inserts, v4 applies the
+    // by-source conditional delete — any clause-order or scope leak
+    // hash-fails
+    "q_snapshot_sql_merge2" ->
+      s"""WITH base AS (SELECT o_orderkey AS k, o_orderpriority AS pri,
+         |    ${CENTS("o_totalprice")} AS cents FROM orders),
+         |src AS (SELECT k, pri, cents * 2 AS cents FROM base
+         |    WHERE k % 10 = 1
+         |  UNION ALL
+         |  SELECT k + 3000000000, pri, cents FROM base WHERE k % 10 = 2),
+         |m1 AS (SELECT t.k, t.pri,
+         |    CASE WHEN s.k IS NOT NULL AND t.cents % 3 <> 0
+         |      THEN t.cents + s.cents ELSE t.cents END AS cents,
+         |    (s.k IS NOT NULL AND t.cents % 3 = 0) AS dropped
+         |  FROM base t LEFT JOIN src s ON t.k = s.k),
+         |v3 AS (SELECT k, pri, cents FROM m1 WHERE NOT dropped
+         |  UNION ALL
+         |  SELECT s.k, s.pri, s.cents FROM src s
+         |  WHERE s.k NOT IN (SELECT k FROM base)),
+         |v4 AS (SELECT * FROM v3
+         |  WHERE NOT (pri = '5-LOW' AND k NOT IN
+         |    (SELECT k FROM base WHERE k % 10 IN (1, 2, 3))))
+         |SELECT pri, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS cents
+         |FROM v4 GROUP BY pri ORDER BY pri""".stripMargin,
 
     // v3 = the two appended quarters, v4 = the overwrite's quarter only
     "q_snapshot_sql_insert" ->

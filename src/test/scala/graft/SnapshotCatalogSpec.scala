@@ -236,13 +236,12 @@ class SnapshotCatalogSpec extends SparkTestBase {
       spark.sql("UPDATE snapdml2.t SET v = (SELECT max(v) FROM snapdml2.t)")
     }
     assert(e.getMessage.contains("subquer"), e.getMessage)
-    // non-upsert merge shapes refuse
+    // matched INSERT shapes beyond unconditional INSERT * still refuse
     val e2 = intercept[Exception] {
       spark.sql("MERGE INTO snapdml2.t USING snapdml2.nokey AS s " +
-        "ON t.k = s.k WHEN MATCHED THEN DELETE")
+        "ON t.k = s.k WHEN NOT MATCHED AND s.k > 0 THEN INSERT *")
     }
-    assert(e2.getMessage.contains("upsert") ||
-      e2.getMessage.contains("MATCHED"), e2.getMessage)
+    assert(e2.getMessage.contains("INSERT"), e2.getMessage)
     // merge condition must be the declared key equality
     val e3 = intercept[Exception] {
       spark.sql("MERGE INTO snapdml2.t USING snapdml2.nokey AS s " +
@@ -285,12 +284,65 @@ class SnapshotCatalogSpec extends SparkTestBase {
         "WHEN NOT MATCHED THEN INSERT *")
     }
     assert(e.getMessage.contains("key"), e.getMessage)
-    // conditional matched actions refuse
-    intercept[Exception] {
-      spark.sql("MERGE INTO snapmw1.t AS t USING snapmw1.src AS s " +
-        "ON t.k = s.k WHEN MATCHED AND s.n > 0 THEN UPDATE SET n = s.n " +
-        "WHEN NOT MATCHED THEN INSERT *")
+  }
+
+  test("generalized MERGE: conditional matched UPDATE/DELETE in clause " +
+      "order, NOT MATCHED BY SOURCE DELETE, insert-less merges") {
+    val root = Files.createTempDirectory("snapmergea").toString
+    setupCatalog("snapma1", root, "t" -> "k", "src" -> "k")
+    spark.sql("CREATE TABLE snapma1.t (k BIGINT, v STRING, n BIGINT)")
+    spark.sql("INSERT INTO snapma1.t VALUES (1,'a',10), (2,'b',20), " +
+      "(3,'c',30), (4,'d',40)")
+    spark.sql("CREATE TABLE snapma1.src AS SELECT * FROM VALUES " +
+      "(1,'A',100), (2,'B',5), (3,'C',300), (9,'z',900) AS s(k, v, n)")
+    // first-match: k=1 n=10<15 → DELETE; k=2 (s.n=5<15... t-side cond)
+    // use conds referencing both sides: delete where s.n >= 100, else
+    // update n = t.n + s.n — k=1 (s.n=100) and k=3 (s.n=300) delete,
+    // k=2 (s.n=5) updates to 25; k=9 inserts; k=4 untouched
+    spark.sql("MERGE INTO snapma1.t AS t USING snapma1.src AS s " +
+      "ON t.k = s.k " +
+      "WHEN MATCHED AND s.n >= 100 THEN DELETE " +
+      "WHEN MATCHED THEN UPDATE SET n = t.n + s.n " +
+      "WHEN NOT MATCHED THEN INSERT *")
+    val rows = spark.sql("SELECT k, v, n FROM snapma1.t ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.toSeq == Seq((2L, "b", 25L), (4L, "d", 40L),
+      (9L, "z", 900L)), rows.toSeq.toString)
+    // clause ORDER matters: an earlier clause whose condition holds
+    // CONSUMES the match — the trailing unconditional DELETE never
+    // fires for rows the UPDATE took (first-match). Also: insert-less
+    // merge is legal.
+    spark.sql("MERGE INTO snapma1.t AS t USING snapma1.src AS s " +
+      "ON t.k = s.k " +
+      "WHEN MATCHED AND t.n < 1000 THEN UPDATE SET n = t.n + 1 " +
+      "WHEN MATCHED THEN DELETE")
+    val rows2 = spark.sql("SELECT k, n FROM snapma1.t ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows2.toSeq == Seq((2L, 26L), (4L, 40L), (9L, 901L)),
+      rows2.toSeq.toString)
+    // NOT MATCHED BY SOURCE DELETE with a narrowing target-only
+    // condition: keys absent from src (k=4) delete only where cond holds
+    spark.sql("MERGE INTO snapma1.t AS t USING snapma1.src AS s " +
+      "ON t.k = s.k " +
+      "WHEN NOT MATCHED BY SOURCE AND n >= 30 THEN DELETE")
+    val rows3 = spark.sql("SELECT k FROM snapma1.t ORDER BY k")
+      .collect().map(_.getLong(0))
+    assert(rows3.toSeq == Seq(2L, 9L), rows3.toSeq.toString)
+    // by-source conditions may not reference source columns
+    val e = intercept[Exception] {
+      spark.sql("MERGE INTO snapma1.t AS t USING snapma1.src AS s " +
+        "ON t.k = s.k " +
+        "WHEN NOT MATCHED BY SOURCE AND s.n > 0 THEN DELETE")
     }
+    assert(e.getMessage.contains("target columns only") ||
+      e.getMessage.toLowerCase.contains("resolve"), e.getMessage)
+    // matched DELETE of a delete-masked key: no resurrection, no error
+    spark.sql("DELETE FROM snapma1.t WHERE k = 9")
+    spark.sql("MERGE INTO snapma1.t AS t USING snapma1.src AS s " +
+      "ON t.k = s.k WHEN MATCHED THEN DELETE")
+    val rows4 = spark.sql("SELECT k FROM snapma1.t ORDER BY k")
+      .collect().map(_.getLong(0))
+    assert(rows4.toSeq == Seq.empty, rows4.toSeq.toString)
   }
 
   test("CALL procedures: maintenance ops run via SQL with report rows; " +
