@@ -4013,6 +4013,78 @@ object AdvancedQueries {
       v1.unionAll(v4).orderBy("version")
     },
 
+    // TYPE-WIDENING EVOLUTION (SnapshotTable.evolveWidenColumnType via
+    // SQL ALTER COLUMN TYPE): int→bigint is METADATA-ONLY — the manifest
+    // schema widens, pre-widening dirs read through projectTo's
+    // cast-at-read boundary, post-widening appends carry the wide type
+    // natively (the inserted values EXCEED int range, so a silently
+    // un-widened read would overflow/ANSI-fail, and a lost cast NULLs —
+    // both hash-fail). Time travel keeps the version's own (narrow)
+    // type. Narrowing and cross-family changes are pinned refusals: a
+    // cast that can truncate must never hide inside a read path.
+    "q_snapshot_evolve3" -> { (s, dir) =>
+      import graft.sources.{SnapshotTable => ST}
+      val sfN = new java.io.File(dir).getName
+      val fp = java.security.MessageDigest.getInstance("MD5")
+        .digest(graft.sources.Sinks.fingerprint(s, s"$dir/orders.parquet")
+          .getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString.take(10)
+      val root = s"/root/repo/target/tmp/ev3-$sfN-$fp"
+      val tbl = "orders_t"
+      val base = s"$root/$tbl"
+      val cat = s"gev3${sfN.replace(".", "")}$fp"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.SnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      val t = s"$cat.`$tbl`"
+      val bv = s"ev3_base_${sfN.replace(".", "")}"
+      Tables(s, dir, "orders")
+        .select(col("o_orderkey").as("k"),
+          cents(col("o_totalprice")).cast("int").as("cents"))
+        .createOrReplaceTempView(bv)
+      graft.sources.Sinks.ensureDir(s, s"$base/d1", "v1:ev3_prewiden",
+        inputs = Seq(s"$dir/orders.parquet")) {
+        Tables(s, dir, "orders").where(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey").as("k"),
+            cents(col("o_totalprice")).cast("int").as("cents"))
+          .write.mode("overwrite").parquet(s"$base/d1")
+      }
+      ST.commit(s, base, 1, ST.Snapshot(Seq(s"$base/d1"), Nil))
+      def head = ST.headVersion(s, base)
+      def awaitHead(v: Int): Unit = {
+        var i = 0
+        while (head < v && i < 600) { Thread.sleep(100); i += 1 }
+        require(head >= v, s"snapshot $base stuck below v$v")
+      }
+      def step(at: Int, sql: String): Unit = {
+        if (head == at) {
+          try s.sql(sql).collect(): Unit
+          catch { case e: Exception if head > at => () }
+        }
+        awaitHead(at + 1)
+      }
+      step(1, s"ALTER TABLE $t ALTER COLUMN cents TYPE BIGINT")
+      step(2, s"INSERT INTO $t SELECT k, cents + 3000000000 FROM $bv " +
+        "WHERE k % 2 = 1")
+      require(head == 3, s"widening chain must land at v3, got v$head")
+      require(ST.manifest(s, base, 2).dataDirs ==
+        ST.manifest(s, base, 1).dataDirs,
+        "type widening must be metadata-only — data dirs unchanged")
+      def refuses(sql: String): Boolean =
+        try { s.sql(sql).collect(); false }
+        catch { case _: Exception => true }
+      require(refuses(s"ALTER TABLE $t ALTER COLUMN cents TYPE INT"),
+        "narrowing must refuse — the widened dirs hold bigint values")
+      require(refuses(s"ALTER TABLE $t ALTER COLUMN cents TYPE STRING"),
+        "a cross-family type change is a data rewrite — must refuse")
+      val v1 = ST.readVersion(s, base, 1, "k")
+        .agg(count(lit(1)).as("n"),
+          sum(col("cents")).cast("long").as("s"))
+        .select(lit(1L).as("version"), col("n"), col("s"))
+      val v3 = s.sql(s"SELECT CAST(3 AS BIGINT) AS version, COUNT(*) AS " +
+        s"n, CAST(SUM(cents) AS BIGINT) AS s FROM $t")
+      v1.unionAll(v3).orderBy("version")
+    },
+
     // Data-quality constraint gate — the dbt-test / Deequ-style validation
     // report every ingest pipeline runs before promoting a batch: PK
     // uniqueness, FK orphans, range, enum-domain, and null checks, one row
@@ -4416,6 +4488,21 @@ object AdvancedQueries {
          |UNION ALL
          |SELECT CAST(4 AS BIGINT), COUNT(*),
          |  CAST(SUM(${CENTS("o_totalprice")}) AS BIGINT)
+         |FROM orders
+         |ORDER BY version""".stripMargin,
+
+    // v1 = the pre-widening half summed under its original int type;
+    // v3 = both halves, the post-widening half shifted past int range —
+    // a lost cast (NULLed ints) or an un-widened overflow both hash-fail
+    "q_snapshot_evolve3" ->
+      s"""SELECT CAST(1 AS BIGINT) AS version, COUNT(*) AS n,
+         |  CAST(SUM(${CENTS("o_totalprice")}) AS BIGINT) AS s
+         |FROM orders WHERE o_orderkey % 2 = 0
+         |UNION ALL
+         |SELECT CAST(3 AS BIGINT), COUNT(*),
+         |  CAST(SUM(CASE WHEN o_orderkey % 2 = 1
+         |    THEN ${CENTS("o_totalprice")} + 3000000000
+         |    ELSE ${CENTS("o_totalprice")} END) AS BIGINT)
          |FROM orders
          |ORDER BY version""".stripMargin,
 

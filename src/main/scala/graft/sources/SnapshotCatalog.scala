@@ -203,10 +203,11 @@ class SnapshotCatalog extends TableCatalog with ProcedureCatalog {
   /** ALTER TABLE — the SQL face of the metadata-only evolution trio:
     * ADD COLUMNS → [[SnapshotTable.evolveAddColumns]], RENAME COLUMN →
     * [[SnapshotTable.evolveRenameColumn]], DROP COLUMN →
-    * [[SnapshotTable.evolveDropColumn]]. Each is one manifest commit,
-    * never a data rewrite; anything else (type changes, nested fields,
-    * comments) refuses loudly — in an immutable-file format those are
-    * rewrites by definition. */
+    * [[SnapshotTable.evolveDropColumn]], ALTER COLUMN TYPE (lossless
+    * widening) → [[SnapshotTable.evolveWidenColumnType]]. Each is one
+    * manifest commit, never a data rewrite; anything else (lossy type
+    * changes, nested fields, comments) refuses loudly — in an
+    * immutable-file format those are rewrites by definition. */
   override def alterTable(ident: Identifier,
       changes: TableChange*): Table = {
     val base = basePath(ident)
@@ -233,10 +234,17 @@ class SnapshotCatalog extends TableCatalog with ProcedureCatalog {
             del.fieldNames().toSeq.mkString("."))
         SnapshotTable.evolveDropColumn(spark, base,
           del.fieldNames()(0)): Unit
+      case upd: TableChange.UpdateColumnType =>
+        require(upd.fieldNames().length == 1,
+          "snapshot evolution widens top-level columns only, got nested " +
+            upd.fieldNames().toSeq.mkString("."))
+        SnapshotTable.evolveWidenColumnType(spark, base,
+          upd.fieldNames()(0), upd.newDataType()): Unit
       case other => throw new UnsupportedOperationException(
-        s"snapshot ALTER TABLE supports ADD/RENAME/DROP COLUMN only " +
-          s"(metadata-only evolution); $other is a data rewrite in an " +
-          "immutable-file format — refuse rather than pretend")
+        s"snapshot ALTER TABLE supports ADD/RENAME/DROP COLUMN and " +
+          s"lossless ALTER COLUMN TYPE widening only (metadata-only " +
+          s"evolution); $other is a data rewrite in an immutable-file " +
+          "format — refuse rather than pretend")
     }
     loadTable(ident)
   }

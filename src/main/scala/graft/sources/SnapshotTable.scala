@@ -1515,9 +1515,10 @@ object SnapshotTable {
     * SCHEMA-VERSIONED: [[readVersion]] of a pre-evolution version sees
     * the old shape, because the schema lives in that version's manifest.
     * RENAME and DROP are likewise metadata-only ([[evolveRenameColumn]] /
-    * [[evolveDropColumn]] — name-mapped reads); TYPE CHANGES are a data
-    * rewrite by definition in a format whose files are immutable and are
-    * refused rather than pretended. */
+    * [[evolveDropColumn]] — name-mapped reads), as is LOSSLESS TYPE
+    * WIDENING ([[evolveWidenColumnType]] — cast-at-read); lossy type
+    * changes are a data rewrite by definition in a format whose files
+    * are immutable and are refused rather than pretended. */
   def evolveAddColumns(spark: SparkSession, base: String,
       addDdl: String): Int = {
     val head = headVersion(spark, base)
@@ -1638,6 +1639,56 @@ object SnapshotTable {
     commit(spark, base, v, snap.copy(schema = Some(narrowed.toDDL),
       renames = snap.renames - name,
       dropped = snap.dropped :+ physical))
+    v
+  }
+
+  /** SCHEMA EVOLUTION — WIDEN COLUMN TYPE, metadata-only like ADD/RENAME:
+    * commit head+1 whose manifest carries the widened schema; data,
+    * deletes, and bounds are untouched. Pre-widening dirs read through
+    * [[projectTo]]'s cast-to-target boundary (the same machinery that
+    * already serves added/renamed columns), and every partial writer
+    * aligns its rows to the CURRENT schema, so old int dirs and new
+    * bigint dirs coexist under one manifest and fold away with ordinary
+    * maintenance — the Delta/Iceberg type-widening contract, and the
+    * only viable story at 100 TB (a type change as a rewrite would be a
+    * full-table pass). Only LOSSLESS widenings are allowed
+    * (byte→short/int/long, short→int/long, int→long, float→double);
+    * narrowing or cross-family changes are refused — a cast that can
+    * truncate must never hide inside a read path. Integral bounds
+    * entries survive unchanged (every integral width shares the "long"
+    * bounds encoding). Refused while merge-on-read delete files are
+    * pending: the key files carry the OLD type — compact first. */
+  def evolveWidenColumnType(spark: SparkSession, base: String,
+      name: String, to: org.apache.spark.sql.types.DataType): Int = {
+    import org.apache.spark.sql.types._
+    val head = headVersion(spark, base)
+    require(head >= 1, s"no committed snapshot under $base to evolve")
+    val snap = manifest(spark, base, head)
+    require(snap.deleteDirs.isEmpty,
+      "type widening with pending merge-on-read delete files is refused " +
+        "— the key files carry the old type; compact() first")
+    val cur = tableSchema(spark, snap)
+    require(cur.fieldNames.contains(name),
+      s"no column $name in ${cur.fieldNames.toSeq}")
+    val from = cur(cur.fieldIndex(name)).dataType
+    val widens: Boolean = (from, to) match {
+      case (a, b) if a == b => false
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case _ => false
+    }
+    require(widens,
+      s"ALTER COLUMN TYPE supports lossless widenings only (byte→short/" +
+        s"int/long, short→int/long, int→long, float→double); " +
+        s"${from.catalogString} → ${to.catalogString} is not one — a " +
+        "narrowing or cross-family change is a data rewrite by " +
+        "definition in an immutable-file format")
+    val widened = StructType(cur.map(f =>
+      if (f.name == name) f.copy(dataType = to) else f))
+    val v = head + 1
+    commit(spark, base, v, snap.copy(schema = Some(widened.toDDL)))
     v
   }
 

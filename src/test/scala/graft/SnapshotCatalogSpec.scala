@@ -377,6 +377,16 @@ class SnapshotCatalogSpec extends SparkTestBase {
     // vacuum retires old versions
     spark.sql("CALL snapcall1.system.vacuum('t', 3)")
     intercept[Exception] { ST.manifest(spark, base, 2) }
+    // SHOW PROCEDURES lists the full roster end-to-end (listProcedures
+    // through the actual SQL statement, not just the API)
+    val shown = spark.sql("SHOW PROCEDURES IN snapcall1.system")
+      .collect().flatMap(r => (0 until r.length)
+        .filter(i => !r.isNullAt(i) && r.get(i).isInstanceOf[String])
+        .map(r.getString)).toSet
+    val roster = Set("compact", "optimize", "zorder", "vacuum",
+      "vacuum_retain", "restore", "clone_table")
+    assert(roster.subsetOf(shown),
+      s"SHOW PROCEDURES missing ${roster -- shown} (shown: $shown)")
     // unknown procedure refuses; the roster rides the cause chain
     // (Spark wraps loadProcedure failures in FAILED_TO_LOAD_ROUTINE)
     val e = intercept[Exception] {

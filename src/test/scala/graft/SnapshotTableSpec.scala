@@ -778,6 +778,63 @@ class SnapshotTableSpec extends SparkTestBase {
     }
   }
 
+  test("type-widening evolution: metadata-only int→bigint, mixed-" +
+      "generation dirs read cast, time travel keeps the old type, " +
+      "narrowing and pending deletes refuse") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val base = freshBase()
+    writeKv(s"$base/d1", 0, 10) // k,v INT
+    SnapshotTable.commit(spark, base, 1, Snapshot(Seq(s"$base/d1"), Nil))
+    // metadata-only widen: no data I/O, dirs unchanged
+    assert(SnapshotTable.evolveWidenColumnType(
+      spark, base, "v", LongType) == 2)
+    val head2 = SnapshotTable.readVersion(spark, base, 2, "k")
+    assert(head2.schema("v").dataType == LongType)
+    assert(head2.agg(sum(col("v"))).head.getLong(0) == 45L,
+      "pre-widening rows must read cast, values intact")
+    assert(SnapshotTable.manifest(spark, base, 2).dataDirs ==
+      Seq(s"$base/d1"), "widening must not touch data dirs")
+    // time travel: v1 keeps the ORIGINAL type
+    assert(SnapshotTable.readVersion(spark, base, 1, "k")
+      .schema("v").dataType == IntegerType)
+    // a post-widening dir carries the wide type natively; both
+    // generations scan under one manifest
+    (10 until 15).map(i => (i, 10000000000L + i)).toDF("k", "v")
+      .write.parquet(s"$base/d2")
+    val snap2 = SnapshotTable.manifest(spark, base, 2)
+    SnapshotTable.commit(spark, base, 3,
+      snap2.copy(dataDirs = snap2.dataDirs :+ s"$base/d2"))
+    val head3 = SnapshotTable.readVersion(spark, base, 3, "k")
+    assert(head3.count() == 15 &&
+      head3.where(col("v") > 5000000000L).count() == 5)
+    // a rewrite normalizes its dir to the widened schema
+    val rep = SnapshotTable.updateWhere(spark, base,
+      col("k") === 1, Seq("v" -> lit(7L)))
+    assert(rep.dirsRewritten == 1, rep.toString)
+    val updDir = SnapshotTable.manifest(spark, base, 4).dataDirs
+      .filter(_.contains("_update_"))
+    assert(updDir.nonEmpty && spark.read.parquet(updDir.head)
+      .schema("v").dataType == LongType,
+      "a rewrite must land the widened type physically")
+    // refusals: narrowing, cross-family, unknown column
+    intercept[IllegalArgumentException] {
+      SnapshotTable.evolveWidenColumnType(spark, base, "v", IntegerType)
+    }
+    intercept[IllegalArgumentException] {
+      SnapshotTable.evolveWidenColumnType(spark, base, "v", StringType)
+    }
+    intercept[IllegalArgumentException] {
+      SnapshotTable.evolveWidenColumnType(spark, base, "nope", LongType)
+    }
+    // pending merge-on-read deletes refuse (key files carry the old type)
+    SnapshotTable.deleteWhere(spark, base, "k", col("k") === 2)
+    val e = intercept[IllegalArgumentException] {
+      SnapshotTable.evolveWidenColumnType(spark, base, "k", LongType)
+    }
+    assert(e.getMessage.contains("compact"), e.getMessage)
+  }
+
   test("TIMESTAMP AS OF resolves against manifest mtimes; pre-table " +
       "timestamps are refused") {
     val base = freshBase()
