@@ -165,8 +165,25 @@ case class SnapshotDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
           case _ => None
         }
       }
+    // the column side may arrive under an analyzer coercion cast (IN
+    // casts BOTH sides to the common type: `cast(k as bigint) IN (…)`).
+    // Strip it only when value-preserving — identity, or integral
+    // widening (the bounds encode integrals numerically, so comparison
+    // stays sound); anything else contributes no edge (err wide).
+    def intWidth(dt: org.apache.spark.sql.types.DataType): Int = dt match {
+      case ByteType => 1
+      case ShortType => 2
+      case IntegerType => 4
+      case LongType => 8
+      case _ => 0
+    }
     def attr(e: Expression): Option[String] = e match {
       case a: AttributeReference if attrs.contains(a) => Some(a.name)
+      case c: org.apache.spark.sql.catalyst.expressions.Cast
+          if c.dataType == c.child.dataType ||
+            (intWidth(c.child.dataType) > 0 &&
+              intWidth(c.dataType) >= intWidth(c.child.dataType)) =>
+        attr(c.child)
       case _ => None
     }
     // constant side: a bare Literal OR any foldable expression (the
@@ -178,7 +195,23 @@ case class SnapshotDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
           catch { case _: Exception => None }
         else None
     }
-    // (col, lo?, hi?) edges; exclusive bounds widen to inclusive (err wide)
+    // (col, lo?, hi?) edges; exclusive bounds widen to inclusive (err
+    // wide). An IN list contributes one MULTI-POINT edge per conjunct
+    // (the most common pruned shape: point lookups) — a dir survives it
+    // when ANY listed value falls inside the dir's bounds; a list with
+    // any un-encodable member contributes nothing (err wide).
+    val inEdges: Seq[(String, Seq[String])] = conjuncts(cond).flatMap {
+      case org.apache.spark.sql.catalyst.expressions.In(a, list)
+          if list.nonEmpty =>
+        attr(a).flatMap { n =>
+          val vs = list.map {
+            case Lit(l) => enc(n, l)
+            case _ => None
+          }
+          if (vs.forall(_.isDefined)) Some(n -> vs.map(_.get)) else None
+        }
+      case _ => None
+    }
     val edges = conjuncts(cond).flatMap {
       case EqualTo(a, Lit(l)) => attr(a).flatMap(n =>
         enc(n, l).map(v => (n, Some(v), Some(v))))
@@ -202,7 +235,7 @@ case class SnapshotDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
         enc(n, l).map(v => (n, Some(v), None)))
       case _ => Nil
     }
-    if (edges.isEmpty) return None
+    if (edges.isEmpty && inEdges.isEmpty) return None
     // string/date bounds compare in UTF-8 byte order — the order Spark
     // used when computing the stored min/max (Java String `>=` is UTF-16
     // code-unit order, which diverges on supplementary-plane chars)
@@ -218,6 +251,9 @@ case class SnapshotDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
           loOpt.forall(lo => ge(b.typ, b.max, lo)) &&
             hiOpt.forall(hi => le(b.typ, b.min, hi))
         }
+      } && inEdges.forall { case (c, vs) =>
+        h.snap.bounds.find(b => b.dir == d && b.col == c).forall(b =>
+          vs.exists(v => ge(b.typ, b.max, v) && le(b.typ, b.min, v)))
       }
     }
     SnapshotDmlRule.lastPrune.put(h.base,

@@ -426,6 +426,17 @@ class SnapshotCatalogSpec extends SparkTestBase {
     assert(spark.sql("SELECT count(*) FROM snapprune1.t WHERE k > 5000")
       .head.getLong(0) == 0)
     assert(prune().contains((0, 3)), prune().toString)
+    // an IN list prunes to the dirs holding ANY listed value — the
+    // point-lookup shape (42 and 61 live in d0; 542 lives nowhere)
+    val rIn = spark.sql("SELECT count(*), sum(k) FROM snapprune1.t " +
+      "WHERE k IN (42, 61, 542)").head
+    assert(prune().contains((1, 3)),
+      s"IN probe must keep only d0: ${prune()}")
+    assert(rIn.getLong(0) == 2 && rIn.getLong(1) == 103)
+    // an IN list spanning two dirs keeps exactly those two
+    assert(spark.sql("SELECT count(*) FROM snapprune1.t " +
+      "WHERE k IN (42, 242)").head.getLong(0) == 2)
+    assert(prune().contains((2, 3)), prune().toString)
     // an un-extractable predicate keeps every dir (err wide)
     val all = spark.sql(
       "SELECT count(*) FROM snapprune1.t WHERE k % 7 = 0").head.getLong(0)
