@@ -3871,6 +3871,85 @@ object AdvancedQueries {
         s"cents FROM $t GROUP BY pri ORDER BY pri")
     },
 
+    // WRITE-AUDIT-PUBLISH (SnapshotTable.createTag/createBranch/
+    // publishBranch via CALL + VERSION AS OF '<ref>'): a zero-copy
+    // branch forks main's head, WAP writers mutate the BRANCH base
+    // (merge-on-read delete + copy-on-write update — two branch
+    // versions, zero data copied at fork), auditors read the branch by
+    // name, and fast_forward commits the branch head onto main as ONE
+    // atomic visibility flip — main readers never see pre-publish rows
+    // (require-pinned mid-flight). The tag arm proves immutable named
+    // refs survive the publish; a stale publish (main advanced past the
+    // fork) refuses. The oracle replays the branch mutations
+    // relationally, so a leaked pre-publish row, a lost delete/update
+    // leg, or a tag serving the wrong version all hash-fail.
+    "q_snapshot_wap" -> { (s, dir) =>
+      import graft.sources.{SnapshotTable => ST}
+      val sfN = new java.io.File(dir).getName
+      val fp = java.security.MessageDigest.getInstance("MD5")
+        .digest(graft.sources.Sinks.fingerprint(s, s"$dir/orders.parquet")
+          .getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString.take(10)
+      val root = s"/root/repo/target/tmp/wap-$sfN-$fp"
+      val tbl = "orders_t"
+      val base = s"$root/$tbl"
+      val cat = s"gwap${sfN.replace(".", "")}$fp"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.SnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      s.conf.set(s"spark.sql.catalog.$cat.key.$tbl", "k")
+      val t = s"$cat.`$tbl`"
+      graft.sources.Sinks.ensureDir(s, s"$base/d1", "v1:wap_base",
+        inputs = Seq(s"$dir/orders.parquet")) {
+        Tables(s, dir, "orders")
+          .select(col("o_orderkey").as("k"),
+            col("o_orderpriority").as("pri"),
+            cents(col("o_totalprice")).as("cents"))
+          .write.mode("overwrite").parquet(s"$base/d1")
+      }
+      ST.commit(s, base, 1, ST.Snapshot(Seq(s"$base/d1"), Nil))
+      ST.createTag(s, base, "prewap", 1)
+      val bb = ST.branchBase(base, "audit")
+      def bHead = ST.headVersion(s, bb)
+      def mHead = ST.headVersion(s, base)
+      def await(cur: () => Int, v: Int): Unit = {
+        var i = 0
+        while (cur() < v && i < 600) { Thread.sleep(100); i += 1 }
+        require(cur() >= v, s"WAP fixture stuck below v$v")
+      }
+      def guarded(at: Int, cur: () => Int)(op: => Unit): Unit = {
+        if (cur() == at) {
+          try op catch { case e: Exception if cur() > at => () }
+        }
+        await(cur, at + 1)
+      }
+      guarded(0, () => bHead) { ST.createBranch(s, base, "audit"): Unit }
+      guarded(1, () => bHead) {
+        ST.deleteWhere(s, bb, "k", col("pri") === "5-LOW"): Unit
+      }
+      guarded(2, () => bHead) {
+        ST.updateWhere(s, bb, col("pri") === "1-URGENT",
+          Seq("cents" -> (col("cents") + 7))): Unit
+      }
+      // AUDIT: the branch head has the mutations; main is untouched —
+      // the whole point of WAP (both pinned before the publish flips)
+      if (mHead == 1) {
+        require(s.sql(s"SELECT COUNT(*) FROM $t VERSION AS OF 'audit'")
+          .head.getLong(0) < s.sql(s"SELECT COUNT(*) FROM $t")
+          .head.getLong(0),
+          "pre-publish: branch deletes must be invisible to main")
+      }
+      guarded(1, () => mHead) { ST.publishBranch(s, base, "audit"): Unit }
+      s.sql(
+        s"""SELECT CAST(1 AS BIGINT) AS phase, pri, COUNT(*) AS n,
+           |  CAST(SUM(cents) AS BIGINT) AS cents
+           |FROM $t VERSION AS OF 'prewap' GROUP BY pri
+           |UNION ALL
+           |SELECT CAST(2 AS BIGINT), pri, COUNT(*),
+           |  CAST(SUM(cents) AS BIGINT)
+           |FROM $t GROUP BY pri
+           |ORDER BY phase, pri""".stripMargin)
+    },
+
     // SQL WRITES AS SNAPSHOT VERSIONS (SnapshotTableHandle's V1Write):
     // CREATE TABLE commits v1 (empty, schema-carrying), each INSERT INTO
     // commits exactly one version appending one dir, INSERT OVERWRITE
@@ -4490,6 +4569,22 @@ object AdvancedQueries {
          |  CAST(SUM(${CENTS("o_totalprice")}) AS BIGINT)
          |FROM orders
          |ORDER BY version""".stripMargin,
+
+    // phase 1 = the tagged pre-WAP state (full orders); phase 2 = the
+    // published branch: 5-LOW keys masked, 1-URGENT cents bumped — a
+    // leaked pre-publish row or a lost branch mutation hash-fails
+    "q_snapshot_wap" ->
+      s"""WITH base AS (SELECT o_orderkey AS k, o_orderpriority AS pri,
+         |    ${CENTS("o_totalprice")} AS cents FROM orders)
+         |SELECT CAST(1 AS BIGINT) AS phase, pri, COUNT(*) AS n,
+         |  CAST(SUM(cents) AS BIGINT) AS cents
+         |FROM base GROUP BY pri
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT), pri, COUNT(*),
+         |  CAST(SUM(CASE WHEN pri = '1-URGENT' THEN cents + 7
+         |    ELSE cents END) AS BIGINT)
+         |FROM base WHERE pri <> '5-LOW' GROUP BY pri
+         |ORDER BY phase, pri""".stripMargin,
 
     // v1 = the pre-widening half summed under its original int type;
     // v3 = both halves, the post-widening half shifted past int range —

@@ -128,11 +128,26 @@ class SnapshotCatalog extends TableCatalog with ProcedureCatalog {
   override def loadTable(ident: Identifier): Table =
     metadataTable(ident).getOrElse(tableAt(ident, None))
 
-  /** `VERSION AS OF <v>`. */
+  /** `VERSION AS OF <v>` — a numeric version id, or a NAMED REF: a tag
+    * (immutable version pointer) or a branch (reads the branch's own
+    * head — the audit read of write-audit-publish). Tags win name
+    * collisions; all-digit ref names are refused at creation so the
+    * namespaces cannot overlap. */
   override def loadTable(ident: Identifier, version: String): Table = {
-    require(version.nonEmpty && version.forall(_.isDigit),
-      s"snapshot versions are integers, got '$version'")
-    tableAt(ident, Some(version.toInt))
+    require(version.nonEmpty, "empty VERSION AS OF")
+    if (version.forall(_.isDigit))
+      return tableAt(ident, Some(version.toInt))
+    val base = basePath(ident)
+    SnapshotTable.readTagVersion(spark, base, version) match {
+      case Some(v) => tableAt(ident, Some(v))
+      case None =>
+        val bb = SnapshotTable.branchBase(base, version)
+        val bh = SnapshotTable.headVersion(spark, bb)
+        if (bh < 1) throw new IllegalArgumentException(
+          s"no version, tag, or branch named '$version' under " +
+            s"$catName.${ident.name()}")
+        tableAt(ident, Some(bh), baseOverride = Some(bb))
+    }
   }
 
   /** `TIMESTAMP AS OF <ts>` — Spark hands MICROseconds; manifest mtimes
@@ -142,8 +157,9 @@ class SnapshotCatalog extends TableCatalog with ProcedureCatalog {
       Some(SnapshotTable.versionAsOf(spark, basePath(ident),
         timestampMicros / 1000L)))
 
-  private def tableAt(ident: Identifier, version: Option[Int]): Table = {
-    val base = basePath(ident)
+  private def tableAt(ident: Identifier, version: Option[Int],
+      baseOverride: Option[String] = None): Table = {
+    val base = baseOverride.getOrElse(basePath(ident))
     val head = SnapshotTable.headVersion(spark, base)
     if (head == 0) throw new NoSuchTableException(ident)
     val v = version.getOrElse(head)

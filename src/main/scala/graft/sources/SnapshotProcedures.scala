@@ -108,7 +108,31 @@ private[sources] object SnapshotProcedures {
         SnapshotTable.cloneAt(spark, s"$root/${str(in, 0)}", in.getInt(1),
           s"$root/${str(in, 2)}")
         Seq(1)
-      })
+      }),
+    Proc("create_tag",
+      "immutable named ref to a committed version (VERSION AS OF 'name')",
+      Seq("tbl" -> StringType, "name" -> StringType,
+        "version" -> IntegerType),
+      StructType.fromDDL("`version` INT"),
+      (root, in) => {
+        SnapshotTable.createTag(spark, s"$root/${str(in, 0)}",
+          str(in, 1), in.getInt(2))
+        Seq(in.getInt(2))
+      }),
+    Proc("create_branch",
+      "zero-copy WAP branch forked from main's head; write via the API, " +
+        "audit via VERSION AS OF 'name', publish via fast_forward",
+      Seq("tbl" -> StringType, "name" -> StringType),
+      StructType.fromDDL("`fork_version` INT"),
+      (root, in) => Seq(SnapshotTable.createBranch(spark,
+        s"$root/${str(in, 0)}", str(in, 1)))),
+    Proc("fast_forward",
+      "publish a WAP branch: commit its head manifest onto main " +
+        "(refuses when main advanced past the fork)",
+      Seq("tbl" -> StringType, "name" -> StringType),
+      StructType.fromDDL("`version` INT"),
+      (root, in) => Seq(SnapshotTable.publishBranch(spark,
+        s"$root/${str(in, 0)}", str(in, 1))))
   ).map(p => p.pname -> p).toMap
 
   def names: Seq[String] = procs.keys.toSeq.sorted

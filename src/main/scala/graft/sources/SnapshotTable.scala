@@ -465,6 +465,159 @@ object SnapshotTable {
     head + 1
   }
 
+  // ───── NAMED REFS: tags + branches (the Iceberg-style WAP story) ─────
+
+  /** Ref names share the SQL `VERSION AS OF '<ref>'` namespace with
+    * numeric versions, so all-digit names are refused along with path/
+    * manifest delimiter characters. */
+  private def requireRefName(name: String): Unit = {
+    require(name.nonEmpty && name.forall(c =>
+      c.isLetterOrDigit || c == '_' || c == '-' || c == '.'),
+      s"ref name '$name' — use letters/digits/_/-/. only")
+    require(!name.forall(_.isDigit),
+      s"ref name '$name' is all digits — it would shadow a version id")
+  }
+
+  private def tagPath(base: String, name: String) =
+    new Path(s"$base/_TAG_$name")
+
+  private def refBody(core: String): String =
+    core + f"crc=${crc32(core)}%08x\n"
+
+  /** Parse a ref file's `version=N` body, crc-validated; None when the
+    * file is absent. A partial/corrupt ref fails loudly — a wrong tag
+    * silently serving the wrong version is worse than an error. */
+  private def readRefVersion(spark: SparkSession, p: Path): Option[Int] = {
+    val fs = fsFor(spark, p)
+    if (!fs.exists(p)) return None
+    val text = readUtf8(fs, p, 0)
+    val lines = text.split("\n", -1)
+    val core = lines.takeWhile(!_.startsWith("crc=")).map(_ + "\n").mkString
+    val crcLine = lines.find(_.startsWith("crc="))
+    require(crcLine.contains(f"crc=${crc32(core)}%08x"),
+      s"ref file $p is partial/corrupt (bad crc) — delete it to recreate")
+    val v = core.stripPrefix("version=").trim
+    require(v.forall(_.isDigit) && v.nonEmpty, s"unparseable ref file $p")
+    Some(v.toInt)
+  }
+
+  /** CREATE TAG — an immutable named pointer to a committed version (the
+    * audit/release half of write-audit-publish): one tiny file, never a
+    * data copy. Re-creating an identical tag is an idempotent no-op;
+    * re-pointing an existing tag refuses — tags are immutable by
+    * contract (drop and recreate deliberately if that is really meant).
+    * Tagged versions are STILL subject to [[vacuum]]'s keepFrom — an
+    * operator retaining tags must vacuum from the oldest tagged version
+    * (the same retention contract as Iceberg refs). */
+  def createTag(spark: SparkSession, base: String, name: String,
+      version: Int): Unit = {
+    requireRefName(name)
+    val mp = manifestPath(base, version)
+    require(fsFor(spark, mp).exists(mp),
+      s"cannot tag $base v$version — no such committed version")
+    val p = tagPath(base, name)
+    val fs = fsFor(spark, p)
+    def reconcile(): Unit = {
+      val existing = readRefVersion(spark, p)
+      require(existing.contains(version),
+        s"tag $name already points at v${existing.orNull} — tags are " +
+          "immutable; pick another name or delete the tag file " +
+          "deliberately")
+    }
+    if (fs.exists(p)) { reconcile(); return }
+    try writeVia(fs, p, refBody(s"version=$version\n"), version)
+    catch { // lost the claim to a racer — identical content is fine
+      case e: java.io.IOException => if (fs.exists(p)) reconcile() else throw e
+    }
+  }
+
+  /** Resolve a tag name to its version (None = no such tag). */
+  def readTagVersion(spark: SparkSession, base: String,
+      name: String): Option[Int] = {
+    requireRefName(name)
+    readRefVersion(spark, tagPath(base, name))
+  }
+
+  /** `(name, version)` of every tag under `base`. */
+  def listTags(spark: SparkSession, base: String): Seq[(String, Int)] = {
+    val b = new Path(base)
+    val fs = fsFor(spark, b)
+    if (!fs.exists(b)) return Nil
+    fs.listStatus(b).iterator.map(_.getPath.getName)
+      .filter(_.startsWith("_TAG_")).map(_.stripPrefix("_TAG_"))
+      .flatMap(n => readRefVersion(spark, tagPath(base, n)).map(n -> _))
+      .toSeq.sortBy(_._1)
+  }
+
+  /** A branch's own snapshot-table base — NESTED under the main base, so
+    * DROP TABLE removes branches with the table and main's vacuum (which
+    * deletes by old-manifest reference, never by dir listing) cannot
+    * collect a branch's dirs out from under it. */
+  def branchBase(base: String, name: String): String = {
+    requireRefName(name)
+    s"$base/_branch_$name"
+  }
+
+  private def forkPath(bb: String) = new Path(s"$bb/_FORK")
+
+  /** CREATE BRANCH — the write half of write-audit-publish: a zero-copy
+    * fork of main's head ([[cloneAt]] mechanics — the branch's v1 shares
+    * every data dir by reference) plus a `_FORK` marker recording the
+    * main version forked from. WAP writers mutate the BRANCH base with
+    * the ordinary API ops (ingest/delete/update/merge — each a branch
+    * version), auditors read the branch head, and [[publishBranch]]
+    * fast-forwards main; main readers never see pre-publish rows. The
+    * fork marker is claimed FIRST, so two racers forking at different
+    * observed heads resolve loudly instead of diverging. Returns the
+    * fork version. */
+  def createBranch(spark: SparkSession, base: String,
+      name: String): Int = {
+    val head = headVersion(spark, base)
+    require(head >= 1, s"no committed snapshot under $base to branch")
+    val bb = branchBase(base, name)
+    require(headVersion(spark, bb) == 0,
+      s"branch $name already exists under $base")
+    val p = forkPath(bb)
+    val fs = fsFor(spark, p)
+    def forkVersion(): Int = readRefVersion(spark, p).getOrElse(
+      throw new IllegalStateException(s"fork marker vanished under $bb"))
+    if (!fs.exists(p)) {
+      try writeVia(fs, p, refBody(s"version=$head\n"), head)
+      catch {
+        case e: java.io.IOException => if (!fs.exists(p)) throw e
+      }
+    }
+    val fork = forkVersion() // the claim winner's fork point
+    cloneAt(spark, base, fork, bb) // idempotent: commit's replay contract
+    fork
+  }
+
+  /** PUBLISH (fast-forward) — commit the branch's head manifest onto
+    * main as head+1, the atomic visibility flip of write-audit-publish.
+    * Requires main to still sit at the branch's fork version: if main
+    * advanced, the branch is STALE and publishing would silently drop
+    * main's newer commits — refuse with the remedy (re-branch and
+    * replay). The published manifest may reference dirs under the branch
+    * base — absolute paths, shared by reference, zero copy. Returns
+    * main's new head. */
+  def publishBranch(spark: SparkSession, base: String,
+      name: String): Int = {
+    val bb = branchBase(base, name)
+    val bHead = headVersion(spark, bb)
+    require(bHead >= 1, s"no branch $name under $base")
+    val fork = readRefVersion(spark, forkPath(bb)).getOrElse(
+      throw new IllegalArgumentException(
+        s"branch $name has no fork marker — not a branch created by " +
+          "createBranch"))
+    val mHead = headVersion(spark, base)
+    require(mHead == fork,
+      s"main advanced since branch $name forked (v$fork → v$mHead) — " +
+        "the branch is stale; re-branch from the new head and replay " +
+        "its changes, or restore main first")
+    commit(spark, base, mHead + 1, manifest(spark, bb, bHead))
+    mHead + 1
+  }
+
   /** Time-based retention (`VACUUM ... RETAIN`): resolve the newest
     * version older than the cutoff against manifest mtimes (the store's
     * clock — [[versionAsOf]]'s contract) and keep everything from there

@@ -384,7 +384,8 @@ class SnapshotCatalogSpec extends SparkTestBase {
         .filter(i => !r.isNullAt(i) && r.get(i).isInstanceOf[String])
         .map(r.getString)).toSet
     val roster = Set("compact", "optimize", "zorder", "vacuum",
-      "vacuum_retain", "restore", "clone_table")
+      "vacuum_retain", "restore", "clone_table", "create_tag",
+      "create_branch", "fast_forward")
     assert(roster.subsetOf(shown),
       s"SHOW PROCEDURES missing ${roster -- shown} (shown: $shown)")
     // unknown procedure refuses; the roster rides the cause chain
@@ -396,6 +397,76 @@ class SnapshotCatalogSpec extends SparkTestBase {
       .takeWhile(_ != null).map(_.getMessage).mkString("; ")
     assert(msgs.contains("nope") &&
       (msgs.contains("compact") || msgs.contains("FAILED_TO_LOAD")), msgs)
+  }
+
+  test("WAP refs: tags read via VERSION AS OF, branch writes invisible " +
+      "to main until fast_forward, stale-branch publish refuses") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("snapwap").toString
+    setupCatalog("snapwap1", root, "t" -> "k")
+    spark.sql("CREATE TABLE snapwap1.t (k BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO snapwap1.t SELECT id, id * 2 FROM range(10)")
+    val base = s"$root/t"
+    // tag the pre-WAP state; re-tag identical = no-op, re-point refuses
+    spark.sql("CALL snapwap1.system.create_tag('t', 'prewap', 2)")
+    spark.sql("CALL snapwap1.system.create_tag('t', 'prewap', 2)")
+    intercept[Exception] {
+      spark.sql("CALL snapwap1.system.create_tag('t', 'prewap', 1)")
+    }
+    // all-digit and delimiter ref names refuse
+    intercept[Exception] {
+      spark.sql("CALL snapwap1.system.create_tag('t', '42', 2)")
+    }
+    // branch, write to the branch via the API, audit via VERSION AS OF
+    val fork = spark.sql(
+      "CALL snapwap1.system.create_branch('t', 'audit')").head.getInt(0)
+    assert(fork == 2, s"fork at main head v2, got v$fork")
+    val bb = ST.branchBase(base, "audit")
+    ST.deleteWhere(spark, bb, "k", col("k") < 3)
+    (100L until 103L).map(k => (k, k * 2)).toDF("k", "v")
+      .createOrReplaceTempView("wap_batch")
+    ST.ingestBatch(spark, bb,
+      spark.table("wap_batch"), 0L)
+    // audit read sees the branch head (7 rows + 3 inserts)
+    assert(spark.sql(
+      "SELECT count(*) FROM snapwap1.t VERSION AS OF 'audit'")
+      .head.getLong(0) == 10)
+    assert(spark.sql("SELECT count(*) FROM snapwap1.t VERSION AS OF " +
+      "'audit' WHERE k >= 100").head.getLong(0) == 3)
+    // main is UNTOUCHED pre-publish — both content and head version
+    assert(spark.sql("SELECT count(*) FROM snapwap1.t")
+      .head.getLong(0) == 10)
+    assert(spark.sql("SELECT count(*) FROM snapwap1.t WHERE k >= 100")
+      .head.getLong(0) == 0)
+    assert(ST.headVersion(spark, base) == 2)
+    // publish: main fast-forwards to the branch head atomically
+    assert(spark.sql("CALL snapwap1.system.fast_forward('t', 'audit')")
+      .head.getInt(0) == 3)
+    assert(spark.sql("SELECT count(*) FROM snapwap1.t WHERE k >= 100")
+      .head.getLong(0) == 3)
+    assert(spark.sql("SELECT count(*) FROM snapwap1.t")
+      .head.getLong(0) == 10)
+    // the tag still reads the pre-WAP content
+    assert(spark.sql(
+      "SELECT count(*) FROM snapwap1.t VERSION AS OF 'prewap'")
+      .head.getLong(0) == 10)
+    assert(spark.sql("SELECT sum(k) FROM snapwap1.t VERSION AS OF " +
+      "'prewap'").head.getLong(0) == 45)
+    // a second branch forked pre-publish is now STALE: publish refuses
+    // (main advanced) instead of silently dropping the WAP commit
+    ST.createBranch(spark, base, "audit2") // forks at v3 (current head)
+    spark.sql("INSERT INTO snapwap1.t VALUES (999, 0)") // main advances
+    val e = intercept[Exception] {
+      spark.sql("CALL snapwap1.system.fast_forward('t', 'audit2')")
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(m => Option(m.getMessage).getOrElse(""))
+      .mkString("; ")
+    assert(msgs.contains("stale") || msgs.contains("advanced"), msgs)
+    // unknown ref refuses with a clear message
+    intercept[Exception] {
+      spark.sql("SELECT * FROM snapwap1.t VERSION AS OF 'nope'").collect()
+    }
   }
 
   test("predicate-driven SQL dir pruning: range conjuncts prune against " +
