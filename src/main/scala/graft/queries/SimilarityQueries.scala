@@ -100,6 +100,27 @@ object SimilarityQueries {
       }
     }
 
+  /** The streaming ANN maintenance index — one sub-index (the cell
+    * assignment table) over the shared epoch/generation LSM machinery
+    * ([[graft.operators.EpochGenIndex]]); at 100 TB this stored table IS
+    * the IVF index, appended in O(batch) and compacted O(log) per row. */
+  private[graft] val AnnIndex =
+    new graft.operators.EpochGenIndex(Seq("asg"))
+
+  /** One foreachBatch body of the streaming ANN maintenance (shared by
+    * the gated query and StreamingRestartSpec): assign the arriving
+    * batch against the FROZEN centroids (O(batch) — never a base rescan
+    * or retrain), land it as an epoch dir (overwrite-idempotent, so a
+    * re-delivered batch recomputes identical content and a folded epoch
+    * stays ignored below the generation cut), compact if due. */
+  private[graft] def annIngestBatch(st: String, centsPath: String,
+      b: DataFrame, epochId: Long, compactEvery: Int): Unit = {
+    val s = b.sparkSession
+    SimilarityOps.assignCells(b, s.read.parquet(centsPath))
+      .write.mode("overwrite").parquet(s"$st/asg/epoch=$epochId")
+    AnnIndex.maybeCompact(s, st, compactEvery)
+  }
+
   def queries: Map[String, Q] = Map(
     // exact cosine top-k for each query vector (vec_id < 10) — the baseline.
     "sim_topk" -> { (s, dir) =>
@@ -186,6 +207,107 @@ object SimilarityQueries {
       SimilarityOps.ivfTopKAssigned(v,
         SimilarityOps.asQueries(v.where(col("vec_id") < 10)),
         cents, assigned, TopK, NProbe)
+    },
+
+    // STREAMING ANN INDEX MAINTENANCE — the streaming twin of
+    // sim_ann_incr, run as a real multi-batch foreachBatch execution
+    // with a KILL/RESTART between batches: each arriving vector batch
+    // assigns against the FROZEN centroids (O(batch) — never a base
+    // rescan or retrain) and lands as an epoch dir of a persistent
+    // AnnIndex (the EpochGenIndex LSM machinery the LSH dedup index
+    // proved: size-tiered generation compaction, _SUCCESS-gated
+    // activation, best-effort sweep). The restart continues epoch ids
+    // from the checkpoint (pinned: active range exactly 0-1 — a
+    // re-delivered epoch would leave one epoch and no fold), the two
+    // epochs FOLD into one generation inside the gated execution
+    // (compactEvery = 2, pinned: no live epochs remain), and the probe
+    // serves base ∪ index — hash-gated against the full-rebuild oracle.
+    // The build is a write-once layer (warm-up builds it; the timed
+    // query reads the consolidated assignment), and the kill/restart
+    // recovery contract is additionally spec-pinned in
+    // StreamingRestartSpec.
+    "q_stream_ann" -> { (s, dir) =>
+      import s.implicits._
+      val v = vecs(s, dir)
+      val sfN = new java.io.File(dir).getName
+      val fp = java.security.MessageDigest.getInstance("MD5")
+        .digest(graft.sources.Sinks
+          .fingerprint(s, s"$dir/embeddings.parquet")
+          .getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString.take(10)
+      // shared write-once layers with sim_ann_incr (identical builders)
+      val base = s"/root/repo/target/tmp/ivfincr-$sfN-$fp"
+      val annBase = s"/root/repo/target/tmp/streamann-$sfN-$fp"
+      val inputs = Seq(s"$dir/embeddings.parquet")
+      def batch(m: Int) = v.where(pmod(col("vec_id"), lit(10L)) === m)
+      graft.sources.Sinks.ensureDir(s, s"$base/cents", "v1:ivf_cents",
+        inputs = inputs) {
+        SimilarityOps.trainCentroids(
+          v.where(pmod(col("vec_id"), lit(5L)) =!= 4),
+          KmSampleMod, KmSeedBound, KmIters)
+          .toDF("cid", "civ").coalesce(1)
+          .write.mode("overwrite").parquet(s"$base/cents")
+      }
+      graft.sources.Sinks.ensureDir(s, s"$base/asg_base",
+        "v1:ivf_asg_base", inputs = inputs) {
+        SimilarityOps.assignCells(
+          v.where(pmod(col("vec_id"), lit(5L)) =!= 4),
+          s.read.parquet(s"$base/cents"))
+          .write.mode("overwrite").parquet(s"$base/asg_base")
+      }
+      graft.sources.Sinks.ensureDir(s, s"$annBase/stream_asg",
+        "v1:stream_ann_asg", inputs = inputs) {
+        // session-unique work dir: concurrent builders cannot collide,
+        // and the ensure* layer arbitrates who publishes
+        val tmp = new java.io.File(s"$annBase/work-${System.nanoTime()}")
+        tmp.mkdirs()
+        val st = s"$tmp/state"
+        val schema = batch(4).schema
+        def start() = s.readStream.schema(schema)
+          .parquet(s"$tmp/in/*.parquet")
+          .writeStream
+          .foreachBatch { (b: DataFrame, epochId: Long) =>
+            annIngestBatch(st, s"$base/cents", b, epochId,
+              compactEvery = 2)
+          }
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .start()
+        graft.streaming.StreamingOps.withStreamShuffle(s) {
+          val q1 = start()
+          try {
+            batch(4).write.parquet(s"$tmp/in/b1.parquet")
+            q1.processAllAvailable()
+          } finally q1.stop()
+          // KILL/RESTART: a fresh query on the SAME checkpoint — epoch
+          // ids continue, the landed epoch is not re-delivered
+          val q2 = start()
+          try {
+            batch(9).write.parquet(s"$tmp/in/b2.parquet")
+            q2.processAllAvailable()
+          } finally q2.stop()
+        }
+        require(AnnIndex.activeRanges(s, st) == Seq((0L, 1L)),
+          s"restart must continue epoch ids and the 2-epoch fold must " +
+            s"have consolidated — got ${AnnIndex.activeRanges(s, st)}")
+        require(AnnIndex.liveEpochs(s, st).isEmpty,
+          "folded epochs must be swept — probes would double-read")
+        val idx = AnnIndex.read(s, st, "asg")
+        val nIdx = idx.count()
+        val nBatches = batch(4).count() + batch(9).count()
+        require(nIdx == nBatches,
+          s"index must hold exactly the streamed assignments " +
+            s"($nIdx != $nBatches) — a dropped or double-folded epoch")
+        idx.write.mode("overwrite").parquet(s"$annBase/stream_asg")
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles.foreach(rm)
+          f.delete(): Unit
+        }
+        rm(tmp)
+      }
+      val assigned = s.read.parquet(s"$base/asg_base")
+        .unionByName(s.read.parquet(s"$annBase/stream_asg"))
+      SimilarityOps.ivfTopKAssigned(v,
+        SimilarityOps.asQueries(v.where(col("vec_id") < 10)),
+        s.read.parquet(s"$base/cents"), assigned, TopK, NProbe)
     },
 
     // FILTERED ANN — the hybrid-search shape every production vector store
@@ -430,6 +552,41 @@ object SimilarityQueries {
 
   private def kmeansSql: String = kmeansSqlWhere("")
 
+  /** The full-rebuild IVF replay both incremental-maintenance gates
+    * (batch `sim_ann_incr`, streaming `q_stream_ann`) must equal:
+    * k-means trained on the BASE slice only (the frozen centroids), then
+    * the WHOLE corpus assigned — value-identical to base + epoch
+    * assignment because per-row assignment against frozen centroids is
+    * pure. A retrain on append, a dropped batch, or a double-folded
+    * epoch all diverge and hash-fail. */
+  private lazy val annIncrOracle: String =
+    s"""WITH n AS ($normSql),
+         |${kmeansSqlWhere(" AND vec_id % 5 <> 4")},
+         |asg AS (
+         |  SELECT vec_id, iv, nrm, cid FROM (
+         |    SELECT n.vec_id, n.iv, n.nrm, c.cid, row_number() OVER
+         |      (PARTITION BY n.vec_id
+         |       ORDER BY ${l2Sql("n.iv", "c.civ")}, c.cid) AS arn
+         |    FROM n, cf c)
+         |  WHERE arn = 1),
+         |probes AS (
+         |  SELECT qid, qiv, qnrm, cid FROM (
+         |    SELECT n.vec_id AS qid, n.iv AS qiv, n.nrm AS qnrm, c.cid,
+         |      row_number() OVER (PARTITION BY n.vec_id
+         |        ORDER BY ${l2Sql("n.iv", "c.civ")}, c.cid) AS prn
+         |    FROM n, cf c WHERE n.vec_id < 10)
+         |  WHERE prn <= $NProbe),
+         |s AS (
+         |  SELECT p.qid, a.vec_id AS nbr_id,
+         |    ${cosSql(dotSql("p.qiv", "a.iv"), "p.qnrm", "a.nrm")} AS cos
+         |  FROM probes p JOIN asg a ON p.cid = a.cid AND a.vec_id <> p.qid),
+         |r AS (
+         |  SELECT qid, nbr_id, cos, CAST(row_number() OVER
+         |    (PARTITION BY qid ORDER BY cos DESC, nbr_id) AS BIGINT) AS rnk
+         |  FROM s)
+         |SELECT qid, nbr_id, rnk, cos FROM r WHERE rnk <= $TopK
+         |ORDER BY qid, rnk""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "sim_topk" ->
       s"""WITH n AS ($normSql),
@@ -478,33 +635,12 @@ object SimilarityQueries {
     // assignment because per-row assignment against frozen centroids is
     // pure. A retrain on append (different cf), a dropped batch, or a
     // double-folded epoch all diverge and hash-fail.
-    "sim_ann_incr" ->
-      s"""WITH n AS ($normSql),
-         |${kmeansSqlWhere(" AND vec_id % 5 <> 4")},
-         |asg AS (
-         |  SELECT vec_id, iv, nrm, cid FROM (
-         |    SELECT n.vec_id, n.iv, n.nrm, c.cid, row_number() OVER
-         |      (PARTITION BY n.vec_id
-         |       ORDER BY ${l2Sql("n.iv", "c.civ")}, c.cid) AS arn
-         |    FROM n, cf c)
-         |  WHERE arn = 1),
-         |probes AS (
-         |  SELECT qid, qiv, qnrm, cid FROM (
-         |    SELECT n.vec_id AS qid, n.iv AS qiv, n.nrm AS qnrm, c.cid,
-         |      row_number() OVER (PARTITION BY n.vec_id
-         |        ORDER BY ${l2Sql("n.iv", "c.civ")}, c.cid) AS prn
-         |    FROM n, cf c WHERE n.vec_id < 10)
-         |  WHERE prn <= $NProbe),
-         |s AS (
-         |  SELECT p.qid, a.vec_id AS nbr_id,
-         |    ${cosSql(dotSql("p.qiv", "a.iv"), "p.qnrm", "a.nrm")} AS cos
-         |  FROM probes p JOIN asg a ON p.cid = a.cid AND a.vec_id <> p.qid),
-         |r AS (
-         |  SELECT qid, nbr_id, cos, CAST(row_number() OVER
-         |    (PARTITION BY qid ORDER BY cos DESC, nbr_id) AS BIGINT) AS rnk
-         |  FROM s)
-         |SELECT qid, nbr_id, rnk, cos FROM r WHERE rnk <= $TopK
-         |ORDER BY qid, rnk""".stripMargin,
+    "sim_ann_incr" -> annIncrOracle,
+
+    // the streaming maintenance gate must equal the SAME full rebuild:
+    // frozen-centroid assignment is per-row pure, so base + streamed
+    // epochs (kill/restart + fold included) = one corpus-wide assignment
+    "q_stream_ann" -> annIncrOracle,
 
     // the sim_ann_ivf replay with the candidate side filtered on the
     // metadata predicate; probes and assignments keep the full geometry.

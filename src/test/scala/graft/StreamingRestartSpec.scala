@@ -433,6 +433,62 @@ class StreamingRestartSpec extends SparkTestBase {
     assert(got.nonEmpty, "fixture should contain near-dup pairs")
   }
 
+  test("streaming ANN maintenance restarted from checkpoint: epoch ids " +
+      "continue, the fold runs against recovered state, and the index " +
+      "equals a batch rebuild") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-restart-ann").toString
+    val st = s"$tmp/state"
+    val v = graft.operators.SimilarityOps.encode(
+      Tables(spark, sf, "embeddings"))
+    // frozen centroids trained on the first-third slice
+    graft.operators.SimilarityOps.trainCentroids(
+      v.where(pmod(col("vec_id"), lit(3L)) === 0), 4, 64, 2)
+      .toDF("cid", "civ").coalesce(1).write.parquet(s"$tmp/cents")
+    def batch(m: Int) = v.where(pmod(col("vec_id"), lit(3L)) === m)
+    val schema = batch(1).schema
+    val epochsSeen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def startQuery(): StreamingQuery =
+      graft.streaming.StreamingOps.withStreamShuffle(spark) {
+        spark.readStream.schema(schema).parquet(s"$tmp/in/*.parquet")
+          .writeStream
+          .foreachBatch { (b: DataFrame, id: Long) =>
+            epochsSeen += id
+            graft.queries.SimilarityQueries.annIngestBatch(
+              st, s"$tmp/cents", b, id, compactEvery = 2)
+          }
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .start()
+      }
+    // batch 1 lands epoch 0, then KILL before the fold is due
+    batch(1).write.parquet(s"$tmp/in/b1.parquet")
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    // restart: batch 2 triggers the epoch 0+1 fold against RECOVERED
+    // disk state (no driver memory survives the kill)
+    val q2 = startQuery()
+    try {
+      batch(2).write.parquet(s"$tmp/in/b2.parquet")
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(epochsSeen.toSeq == Seq(0L, 1L), s"epochs: $epochsSeen")
+    val ann = graft.queries.SimilarityQueries.AnnIndex
+    assert(ann.activeRanges(spark, st) == Seq((0L, 1L)),
+      "fold against recovered state did not commit")
+    assert(ann.liveEpochs(spark, st).isEmpty, "folded epochs not swept")
+    // the maintained index equals assigning both batches in one pass
+    // (frozen centroids, per-row pure)
+    val got = ann.read(spark, st, "asg")
+      .as[(Long, Int)].collect().toSet
+    val want = graft.operators.SimilarityOps.assignCells(
+      v.where(pmod(col("vec_id"), lit(3L)) =!= 0),
+      spark.read.parquet(s"$tmp/cents"))
+      .as[(Long, Int)].collect().toSet
+    assert(got == want,
+      "restarted streaming ANN index diverged from the batch rebuild")
+    assert(got.nonEmpty, "fixture should stream vectors")
+  }
+
   test("dropDuplicatesWithinWatermark restarted from checkpoint suppresses " +
       "cross-restart duplicates") {
     import spark.implicits._
