@@ -276,6 +276,21 @@ object Bench {
             v - base > (if (base < 1.0) 1.25 else 0.75) => (k, v, base)
       }
     }
+    // Whole-run load factor: the MEDIAN per-query ratio vs baseline
+    // across every baselined query (bases ≥ 0.2 s — tiny bases jitter
+    // multiplicatively). A machine-load-degraded run moves this median
+    // wholesale (r16: ratios clustering 1.2-1.5× with 63% more gc), so
+    // each flag's run-load-NORMALIZED ratio (ratio / run_ratio) separates
+    // "this query regressed" from "the whole run was slow". The flag SET
+    // is unchanged — normalization only steers the adjudication budget
+    // below and gives the judge the corrected number.
+    val runRatio = {
+      val rs = results.toSeq.flatMap { case (k, v) =>
+        BenchBaseline.seconds.get(k).filter(_ >= 0.2).map(v / _)
+      }.sorted
+      if (rs.isEmpty) 1.0 else rs(rs.size / 2)
+    }
+    def normRatio(v: Double, base: Double): Double = (v / base) / runRatio
     // Snapshot the rebuild buffer BEFORE the re-runs: an ensure* firing
     // during a re-timed flagged query must not be attributed to the timed
     // loop (the authoritative timed_layer_rebuilds check).
@@ -303,17 +318,25 @@ object Bench {
     // nothing — the child may itself have been degraded (steal, page
     // cache) — so a still-high re_sec means "re-adjudicate", never
     // "regression proven".
+    // Children are budgeted by the run-load-NORMALIZED ratio: a flag
+    // whose normalized ratio is under 1.5 moved WITH the run (the r16
+    // shape: a globally 1.3× run flagging queries at 2.1× raw = 1.6×
+    // normalized keeps its child; one at 1.4× normalized does not) —
+    // those report re_sec = -3 (run-load-explained, unadjudicated)
+    // instead of burning one of the 4 children on a phantom.
     val reSec = {
-      val byRatio = flagged.sortBy { case (_, v, base) => -(v / base) }
-      byRatio.zipWithIndex.map { case ((k, _, _), i) =>
-        k -> (if (sys.env.contains("SPARK_GRAFT_CHILD") || i >= 4) -2.0
+      val byNorm = flagged.sortBy { case (_, v, base) => -normRatio(v, base) }
+      byNorm.zipWithIndex.map { case ((k, v, base), i) =>
+        k -> (if (sys.env.contains("SPARK_GRAFT_CHILD")) -2.0
+              else if (normRatio(v, base) < 1.5) -3.0
+              else if (i >= 4) -2.0
               else freshJvmSeconds(k, sfDir))
       }.toMap
     }
     val regressions = flagged.map { case (k, v, base) =>
       f""""$k":{"sec":$v%.2f,"base":$base%.2f,"re_sec":${reSec(k)}%.2f,""" +
         f""""t0":${starts(k)}%.1f,"gc_ms":${gcMs(k)},""" +
-        f""""load":${loads(k)}%.1f}"""
+        f""""load":${loads(k)}%.1f,"norm":${normRatio(v, base)}%.2f}"""
     }.mkString("{", ",", "}")
     val fj = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val rb = timedRebuilds.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -321,7 +344,8 @@ object Bench {
     // wall vs sum-of-durations exposes untimed overhead (GC nudges, plan
     // construction between queries); gc_total_ms is the run's whole
     // collector bill for cross-checking any slow window's gc share.
-    val timing = f""""wall_s":$wallS%.1f,"gc_total_ms":${gcMs.values.sum}"""
+    val timing = f""""wall_s":$wallS%.1f,""" +
+      f""""gc_total_ms":${gcMs.values.sum},"run_ratio":$runRatio%.2f"""
     println(s"""{"unit":"sec","sf":"$sfDir","queries":$qs,"top20_slowest":$top20,"regressions":$regressions,$timing,"timed_layer_rebuilds":$rb,"failed":$fj,"n_queries":${results.size},"metric":"total","value":$total}""")
     if (failed.nonEmpty) sys.exit(1)
   }
