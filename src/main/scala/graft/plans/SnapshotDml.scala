@@ -18,11 +18,13 @@ import org.apache.spark.sql.types.{ByteType, DateType, IntegerType, LongType, Sh
   *
   *  - `UPDATE snap.t SET ... WHERE ...`  →
   *    [[SnapshotTable.updateWhere]] (copy-on-write of only the hit dirs)
-  *  - `MERGE INTO snap.t USING src ON t.key = src.key WHEN MATCHED THEN
-  *    UPDATE SET * WHEN NOT MATCHED THEN INSERT *`  →
-  *    [[SnapshotTable.mergeInto]] (the upsert shape; anything fancier is
-  *    refused loudly — partial-column merges would need per-row rewrite
-  *    plumbing this format does not pretend to have)
+  *  - `MERGE INTO snap.t USING src ON t.key = src.key ...`  →
+  *    [[SnapshotTable.mergeInto]] / [[SnapshotTable.mergeIntoWith]] for
+  *    the upsert fast paths, [[SnapshotTable.mergeIntoActions]] for the
+  *    full clause surface (ordered conditional matched UPDATE/DELETE,
+  *    INSERT *, ordered NOT MATCHED BY SOURCE UPDATE/DELETE); only
+  *    non-key merge conditions, conditional inserts, and subqueries
+  *    refuse
   *  - a SELECT over a version carrying merge-on-read delete files
   *    rewrites into the same scan-minus-broadcast-anti-join plan the API
   *    read uses, so SQL readers see deletes applied instead of refused
@@ -350,21 +352,45 @@ case class SnapshotDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
           "INSERT * action — partial-column or conditional inserts are " +
           "refused")
     }
-    // NOT MATCHED BY SOURCE: a single DELETE [AND cond]. SQL scopes the
-    // condition to target columns and the engine applies it by BARE
-    // column name, so enforce that scope loudly
-    val bySource: Option[Option[Column]] =
-      m.notMatchedBySourceActions match {
-        case Nil => None
-        case Seq(DeleteAction(c)) =>
-          c.foreach(e => require(e.references.subsetOf(tOut),
-            "snapshot MERGE NOT MATCHED BY SOURCE condition may " +
-              "reference target columns only, got " + e.sql))
-          Some(c.map(toCol(_, "MERGE NOT MATCHED BY SOURCE")))
+    // NOT MATCHED BY SOURCE: ordered UPDATE/DELETE clauses. SQL scopes
+    // conditions AND update expressions to target columns (there is no
+    // source row), and the engine applies them by BARE column name —
+    // enforce that scope loudly
+    def requireTargetOnly(e: Expression, what: String): Unit =
+      require(e.references.subsetOf(tOut),
+        s"snapshot MERGE NOT MATCHED BY SOURCE $what may reference " +
+          "target columns only, got " + e.sql)
+    def bareSets(as: Seq[Assignment]): Seq[(String, Column)] =
+      as.flatMap { a =>
+        val name = a.key match {
+          case ar: AttributeReference => ar.name
+          case other => throw new UnsupportedOperationException(
+            "snapshot MERGE sets top-level columns only, got " +
+              other.sql)
+        }
+        stripCast(a.value) match {
+          case v: AttributeReference
+              if v.name == name && tOut.contains(v) =>
+            None // target identity: alignment's no-op padding
+          case _ =>
+            requireTargetOnly(a.value, "SET")
+            Some(name -> toCol(a.value, "MERGE NOT MATCHED BY SOURCE SET"))
+        }
+      }
+    val bySource: Seq[(Option[Column], SnapshotTable.MatchedAction)] =
+      m.notMatchedBySourceActions.map {
+        case DeleteAction(c) =>
+          c.foreach(requireTargetOnly(_, "condition"))
+          (c.map(toCol(_, "MERGE NOT MATCHED BY SOURCE")),
+            SnapshotTable.MatchedDelete: SnapshotTable.MatchedAction)
+        case UpdateAction(c, as, _) =>
+          c.foreach(requireTargetOnly(_, "condition"))
+          (c.map(toCol(_, "MERGE NOT MATCHED BY SOURCE")),
+            SnapshotTable.MatchedUpdate(bareSets(as))
+              : SnapshotTable.MatchedAction)
         case other => throw new UnsupportedOperationException(
-          "snapshot MERGE NOT MATCHED BY SOURCE supports a single " +
-            s"DELETE [AND cond] action only (got ${other.size} " +
-            "actions)")
+          "snapshot MERGE NOT MATCHED BY SOURCE supports UPDATE and " +
+            s"DELETE actions only, got ${other.getClass.getSimpleName}")
       }
     // per-column sets of a matched UPDATE: assignments may be arbitrary
     // expressions over both sides — rebound onto the engine op's t./s.
@@ -388,12 +414,12 @@ case class SnapshotDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
     (m.matchedActions, bySource) match {
       // the pre-existing upsert fast paths — unconditional single
       // matched UPDATE plus INSERT *, routed to the specialized ops
-      case (Seq(UpdateStarAction(None)), None) if insertUnmatched =>
+      case (Seq(UpdateStarAction(None)), Nil) if insertUnmatched =>
         SnapshotMergeCommand(h.base, key, maskReads(m.sourceTable))
-      case (Seq(UpdateAction(None, as, _)), None)
+      case (Seq(UpdateAction(None, as, _)), Nil)
           if insertUnmatched && as.forall(srcIdentity) =>
         SnapshotMergeCommand(h.base, key, maskReads(m.sourceTable))
-      case (Seq(UpdateAction(None, as, _)), None) if insertUnmatched =>
+      case (Seq(UpdateAction(None, as, _)), Nil) if insertUnmatched =>
         SnapshotMergeWithCommand(h.base, key, maskReads(m.sourceTable),
           updateSets(as))
       // GENERALIZED CDC surface — ordered conditional matched clauses
@@ -486,18 +512,19 @@ case class SnapshotMergeWithCommand(base: String, key: String,
 
 /** The generalized MERGE clause surface (`WHEN MATCHED [AND cond] THEN
   * UPDATE/DELETE` × N in order, `WHEN NOT MATCHED THEN INSERT *`, `WHEN
-  * NOT MATCHED BY SOURCE [AND cond] THEN DELETE`) —
+  * NOT MATCHED BY SOURCE [AND cond] THEN UPDATE/DELETE` × N in order) —
   * [[SnapshotTable.mergeIntoActions]]: first-match clause semantics,
   * copy-on-write of only the in-scope dirs. */
 case class SnapshotMergeActionsCommand(base: String, key: String,
     source: LogicalPlan,
     matched: Seq[(Option[Column], SnapshotTable.MatchedAction)],
-    insertUnmatched: Boolean, bySourceDelete: Option[Option[Column]])
+    insertUnmatched: Boolean,
+    bySource: Seq[(Option[Column], SnapshotTable.MatchedAction)])
     extends LeafRunnableCommand {
   override def run(sparkSession: SparkSession): Seq[Row] = {
     SnapshotTable.mergeIntoActions(sparkSession, base, key,
       DatasetBridge.ofRows(sparkSession, source), matched,
-      insertUnmatched, bySourceDelete): Unit
+      insertUnmatched, bySource): Unit
     Seq.empty
   }
 }

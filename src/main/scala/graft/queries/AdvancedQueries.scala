@@ -3866,7 +3866,15 @@ object AdvancedQueries {
            |) AS src ON tgt.k = src.k
            |WHEN NOT MATCHED BY SOURCE AND pri = '5-LOW' THEN DELETE"""
           .stripMargin)
-      require(head == 4, s"merge chain must land at v4, got v$head")
+      // insert-less by-source UPDATE: key-absent rows compute target-only
+      // expressions (the full clause matrix — no action shape refused)
+      step(4,
+        s"""MERGE INTO $t AS tgt USING (
+           |  SELECT k FROM $bv WHERE k % 10 IN (1, 2)
+           |) AS src ON tgt.k = src.k
+           |WHEN NOT MATCHED BY SOURCE AND pri = '2-HIGH' THEN UPDATE
+           |SET cents = cents + 11""".stripMargin)
+      require(head == 5, s"merge chain must land at v5, got v$head")
       s.sql(s"SELECT pri, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS " +
         s"cents FROM $t GROUP BY pri ORDER BY pri")
     },
@@ -4542,9 +4550,14 @@ object AdvancedQueries {
          |  WHERE s.k NOT IN (SELECT k FROM base)),
          |v4 AS (SELECT * FROM v3
          |  WHERE NOT (pri = '5-LOW' AND k NOT IN
-         |    (SELECT k FROM base WHERE k % 10 IN (1, 2, 3))))
+         |    (SELECT k FROM base WHERE k % 10 IN (1, 2, 3)))),
+         |v5 AS (SELECT k, pri,
+         |    CASE WHEN pri = '2-HIGH' AND k NOT IN
+         |      (SELECT k FROM base WHERE k % 10 IN (1, 2))
+         |      THEN cents + 11 ELSE cents END AS cents
+         |  FROM v4)
          |SELECT pri, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS cents
-         |FROM v4 GROUP BY pri ORDER BY pri""".stripMargin,
+         |FROM v5 GROUP BY pri ORDER BY pri""".stripMargin,
 
     // v3 = the two appended quarters, v4 = the overwrite's quarter only
     "q_snapshot_sql_insert" ->

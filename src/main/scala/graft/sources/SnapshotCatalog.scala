@@ -102,17 +102,34 @@ class SnapshotCatalog extends TableCatalog with ProcedureCatalog {
     val base = s"$root/${ident.namespace()(0)}"
     if (SnapshotTable.headVersion(spark, base) == 0)
       throw new NoSuchTableException(ident)
-    if (ident.name() != "history")
-      throw new NoSuchTableException(ident)
-    val rows = SnapshotTable.history(spark, base).map(h =>
-      Seq[Any](h.version, h.commit_ms, h.n_data_dirs, h.n_delete_dirs,
-        h.n_bounds, h.evolved, h.n_rows.map(Long.box).orNull))
-    Some(new LocalRowsTable(
-      s"$catName.${ident.namespace()(0)}.history",
-      StructType.fromDDL("`version` INT, `commit_ms` BIGINT, " +
-        "`n_data_dirs` INT, `n_delete_dirs` INT, `n_bounds` INT, " +
-        "`evolved` BOOLEAN, `n_rows` BIGINT"),
-      rows))
+    ident.name() match {
+      case "history" =>
+        val rows = SnapshotTable.history(spark, base).map(h =>
+          Seq[Any](h.version, h.commit_ms, h.n_data_dirs, h.n_delete_dirs,
+            h.n_bounds, h.evolved, h.n_rows.map(Long.box).orNull))
+        Some(new LocalRowsTable(
+          s"$catName.${ident.namespace()(0)}.history",
+          StructType.fromDDL("`version` INT, `commit_ms` BIGINT, " +
+            "`n_data_dirs` INT, `n_delete_dirs` INT, `n_bounds` INT, " +
+            "`evolved` BOOLEAN, `n_rows` BIGINT"),
+          rows))
+      case "refs" =>
+        // the named-ref roster: tags point at main versions; branches
+        // carry their own head plus the main version they forked from
+        val rows =
+          SnapshotTable.listTags(spark, base).map { case (n, v) =>
+            Seq[Any](n, "tag", v, null)
+          } ++ SnapshotTable.listBranches(spark, base)
+            .map { case (n, h, f) =>
+              Seq[Any](n, "branch", h, Int.box(f))
+            }
+        Some(new LocalRowsTable(
+          s"$catName.${ident.namespace()(0)}.refs",
+          StructType.fromDDL("`name` STRING, `kind` STRING, " +
+            "`version` INT, `fork_version` INT"),
+          rows))
+      case _ => throw new NoSuchTableException(ident)
+    }
   }
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {

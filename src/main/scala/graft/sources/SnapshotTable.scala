@@ -549,6 +549,25 @@ object SnapshotTable {
       .toSeq.sortBy(_._1)
   }
 
+  /** `(name, branch head version, main fork version)` of every branch
+    * under `base` (branches with no committed clone yet are omitted —
+    * they are not readable). */
+  def listBranches(spark: SparkSession,
+      base: String): Seq[(String, Int, Int)] = {
+    val b = new Path(base)
+    val fs = fsFor(spark, b)
+    if (!fs.exists(b)) return Nil
+    fs.listStatus(b).iterator.filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(_.startsWith("_branch_")).map(_.stripPrefix("_branch_"))
+      .flatMap { n =>
+        val bb = branchBase(base, n)
+        val h = headVersion(spark, bb)
+        if (h < 1) None
+        else readRefVersion(spark, forkPath(bb)).map(f => (n, h, f))
+      }.toSeq.sortBy(_._1)
+  }
+
   /** A branch's own snapshot-table base — NESTED under the main base, so
     * DROP TABLE removes branches with the table and main's vacuum (which
     * deletes by old-manifest reference, never by dir listing) cannot
@@ -1050,15 +1069,17 @@ object SnapshotTable {
     *     all evaluated against the OLD row simultaneously.
     *   - `insertUnmatched`: `WHEN NOT MATCHED THEN INSERT *` — source
     *     rows whose key is absent from the stored rows append whole.
-    *   - `bySourceDelete`: `WHEN NOT MATCHED BY SOURCE [AND cond] THEN
-    *     DELETE` — stored rows whose key is absent from the source drop
-    *     (condition over bare stored column names — target-only, per
-    *     SQL). This clause's scope is dirs holding a dropping row, found
-    *     by one anti-join probe, so a merge whose by-source predicate
-    *     narrows to one ingest day still rewrites that day only; an
-    *     UNconditioned by-source delete against a small source rewrites
-    *     the whole table — that is what the clause MEANS (use it at
-    *     100 TB only with a narrowing condition).
+    *   - `bySource`: ordered `WHEN NOT MATCHED BY SOURCE [AND cond]
+    *     THEN UPDATE/DELETE` clauses (first-match, like `matched`) over
+    *     stored rows whose key is absent from the source. Conditions and
+    *     update expressions reference bare stored column names —
+    *     target-only, per SQL (there is no source row to see). Scope is
+    *     dirs holding a key-absent row satisfying ANY clause condition,
+    *     found by one anti-join probe, so a merge whose by-source
+    *     predicates narrow to one ingest day still rewrites that day
+    *     only; an UNconditioned by-source clause against a small source
+    *     rewrites the whole table — that is what the clause MEANS (use
+    *     it at 100 TB only with a narrowing condition).
     *
     * Everything else is [[mergeInto]]'s contract: copy-on-write of only
     * the in-scope dirs, duplicate source keys refuse, delete-masked keys
@@ -1071,8 +1092,8 @@ object SnapshotTable {
       source: DataFrame,
       matched: Seq[(Option[org.apache.spark.sql.Column], MatchedAction)],
       insertUnmatched: Boolean,
-      bySourceDelete: Option[Option[org.apache.spark.sql.Column]] = None)
-      : RewriteReport = {
+      bySource: Seq[(Option[org.apache.spark.sql.Column], MatchedAction)] =
+        Nil): RewriteReport = {
     val head = headVersion(spark, base)
     require(head >= 1, s"no committed snapshot under $base to merge into")
     val snap = manifest(spark, base, head)
@@ -1081,7 +1102,7 @@ object SnapshotTable {
     require(!fsFor(spark, mp).exists(mp),
       s"version $v is already committed under $base — a concurrent " +
         "committer won the version claim; re-read the head and retry")
-    require(matched.nonEmpty || insertUnmatched || bySourceDelete.nonEmpty,
+    require(matched.nonEmpty || insertUnmatched || bySource.nonEmpty,
       "mergeIntoActions needs at least one clause")
     val target = tableSchema(spark, snap)
     val stored = target.fieldNames
@@ -1095,7 +1116,7 @@ object SnapshotTable {
     // an UPDATE clause with no assignments is legal: alignment can pad a
     // SQL `SET x = x` down to nothing, and under first-match semantics
     // the clause still CONSUMES its matched rows (blocking later clauses)
-    for ((_, MatchedUpdate(sets)) <- matched) {
+    for ((_, MatchedUpdate(sets)) <- matched ++ bySource) {
       require(!sets.exists(_._1 == keyCol),
         s"assigning the key column $keyCol in a merge is refused — it " +
           "would silently re-key rows past the match probe")
@@ -1124,12 +1145,20 @@ object SnapshotTable {
         probeHitDirs(spark, snap, head,
           _.join(broadcast(srcKeys), Seq(keyCol), "left_semi"))
       else Set.empty[String]
-    val hitBySource = bySourceDelete match {
-      case None => Set.empty[String]
-      case Some(condOpt) => probeHitDirs(spark, snap, head, df =>
-        condOpt.foldLeft(
-          df.join(broadcast(srcKeys), Seq(keyCol), "left_anti"))(_ where _))
-    }
+    val hitBySource =
+      if (bySource.isEmpty) Set.empty[String]
+      else {
+        // any clause condition puts a key-absent row in scope; an
+        // unconditional clause puts every key-absent row in scope
+        val anyCond: Option[org.apache.spark.sql.Column] =
+          if (bySource.exists(_._1.isEmpty)) None
+          else Some(bySource.flatMap(_._1)
+            .map(e => coalesce(e, lit(false))).reduce(_ || _))
+        probeHitDirs(spark, snap, head, df =>
+          anyCond.foldLeft(
+            df.join(broadcast(srcKeys), Seq(keyCol), "left_anti"))(
+            _ where _))
+      }
     val rewrite = (if (matched.nonEmpty) hitMatched else Set.empty[String]) ++
       hitBySource
     val keep = snap.dataDirs.filterNot(rewrite)
@@ -1146,7 +1175,7 @@ object SnapshotTable {
       else {
         val t = readData(spark, snap, rewrite.toSeq.sorted)
         graft.operators.Markers.requireFree(t, "merge target",
-          "_graft_merge_matched")
+          "_graft_merge_matched", "_graft_merge_matched_keep")
         val joined = t.alias("t").join(broadcast(aligned.alias("s")),
           col(s"t.$keyCol") === col(s"s.$keyCol"), "left")
         val matchedF = col(s"s.$keyCol").isNotNull
@@ -1170,17 +1199,32 @@ object SnapshotTable {
           }.as(c)
         } :+ (!deleteApplied).as("_graft_merge_matched_keep")
           :+ matchedF.as("_graft_merge_matched"): _*)
-        // by-source clause over the projected frame: an unmatched row's
+        // by-source clauses over the projected frame: an unmatched row's
         // projected values ARE its original stored values, so the bare
-        // target-only condition evaluates against the old row as SQL
-        // requires
-        val bsDrop = bySourceDelete match {
-          case None => lit(false)
-          case Some(condOpt) => !col("_graft_merge_matched") &&
-            condOpt.map(e => coalesce(e, lit(false))).getOrElse(lit(true))
-        }
-        Some(rows.where(col("_graft_merge_matched_keep") && !bsDrop)
-          .select(stored.toIndexedSeq.map(col): _*))
+        // target-only conditions and SET expressions evaluate against
+        // the old row as SQL requires — same first-match chain as the
+        // matched clauses, guarded on NOT matched
+        val notMatched = !col("_graft_merge_matched")
+        val bsHolds = bySource.map { case (c, _) =>
+          c.map(e => coalesce(e, lit(false))).getOrElse(lit(true)) }
+        val bsApplied = bySource.indices.map { i =>
+          bsHolds.take(i).foldLeft(notMatched)((g, h) => g && !h) &&
+            bsHolds(i) }
+        val bsDeleteApplied = bySource.indices
+          .filter(i => bySource(i)._2 == MatchedDelete)
+          .map(bsApplied).reduceOption(_ || _).getOrElse(lit(false))
+        val kept = rows.where(
+          col("_graft_merge_matched_keep") && !bsDeleteApplied)
+        Some(kept.select(stored.toIndexedSeq.map { c =>
+          bySource.indices.foldRight(col(c)) { (i, alt) =>
+            bySource(i)._2 match {
+              case MatchedUpdate(sets) => sets.toMap.get(c)
+                .map(e => when(bsApplied(i), e).otherwise(alt))
+                .getOrElse(alt)
+              case MatchedDelete => alt
+            }
+          }.as(c)
+        }: _*))
       }
     val inserts: Option[DataFrame] =
       if (!insertUnmatched) None

@@ -320,11 +320,24 @@ class SnapshotCatalogSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(rows2.toSeq == Seq((2L, 26L), (4L, 40L), (9L, 901L)),
       rows2.toSeq.toString)
-    // NOT MATCHED BY SOURCE DELETE with a narrowing target-only
-    // condition: keys absent from src (k=4) delete only where cond holds
+    // ordered NOT MATCHED BY SOURCE UPDATE then DELETE: the key-absent
+    // row k=4 (n=40) takes the FIRST clause (update, target-only
+    // expressions) and is NOT deleted by the trailing unconditional
+    // delete — first-match on the by-source side too
     spark.sql("MERGE INTO snapma1.t AS t USING snapma1.src AS s " +
       "ON t.k = s.k " +
-      "WHEN NOT MATCHED BY SOURCE AND n >= 30 THEN DELETE")
+      "WHEN NOT MATCHED BY SOURCE AND n >= 30 THEN UPDATE " +
+      "SET n = n + 1000 " +
+      "WHEN NOT MATCHED BY SOURCE THEN DELETE")
+    val rows2b = spark.sql("SELECT k, n FROM snapma1.t ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows2b.toSeq == Seq((2L, 26L), (4L, 1040L), (9L, 901L)),
+      rows2b.toSeq.toString)
+    // NOT MATCHED BY SOURCE DELETE with a narrowing target-only
+    // condition: keys absent from src (k=4, n=1040) delete where it holds
+    spark.sql("MERGE INTO snapma1.t AS t USING snapma1.src AS s " +
+      "ON t.k = s.k " +
+      "WHEN NOT MATCHED BY SOURCE AND n >= 1000 THEN DELETE")
     val rows3 = spark.sql("SELECT k FROM snapma1.t ORDER BY k")
       .collect().map(_.getLong(0))
     assert(rows3.toSeq == Seq(2L, 9L), rows3.toSeq.toString)
@@ -463,6 +476,14 @@ class SnapshotCatalogSpec extends SparkTestBase {
       .takeWhile(_ != null).map(m => Option(m.getMessage).getOrElse(""))
       .mkString("; ")
     assert(msgs.contains("stale") || msgs.contains("advanced"), msgs)
+    // the refs metadata table lists tags and branches via SQL
+    val refs = spark.sql("SELECT name, kind, version, fork_version " +
+      "FROM snapwap1.t.refs ORDER BY name")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2),
+        if (r.isNullAt(3)) -1 else r.getInt(3)))
+    assert(refs.toSeq == Seq(("audit", "branch", 3, 2),
+      ("audit2", "branch", 1, 3), ("prewap", "tag", 2, -1)),
+      refs.toSeq.toString)
     // unknown ref refuses with a clear message
     intercept[Exception] {
       spark.sql("SELECT * FROM snapwap1.t VERSION AS OF 'nope'").collect()
