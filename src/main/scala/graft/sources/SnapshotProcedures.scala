@@ -93,6 +93,24 @@ private[sources] object SnapshotProcedures {
           s"$root/${str(in, 0)}", in.getLong(1))
         Seq(r.manifestsRemoved, r.dirsRemoved, r.dirsLive)
       }),
+    Proc("expire_snapshots",
+      "vacuum clamped to the oldest tag/branch-fork version — named " +
+        "refs never break",
+      Seq("tbl" -> StringType, "keep_from" -> IntegerType),
+      StructType.fromDDL("`manifests_removed` INT, `dirs_removed` INT, " +
+        "`dirs_live` INT"),
+      (root, in) => {
+        val r = SnapshotTable.expireSnapshots(spark,
+          s"$root/${str(in, 0)}", in.getInt(1))
+        Seq(r.manifestsRemoved, r.dirsRemoved, r.dirsLive)
+      }),
+    Proc("analyze",
+      "compute dir bounds for a stats column on every uncovered dir " +
+        "(incremental; enables manifest dir pruning on existing tables)",
+      Seq("tbl" -> StringType, "stats_col" -> StringType),
+      StructType.fromDDL("`version` INT"),
+      (root, in) => Seq(SnapshotTable.analyzeBounds(spark,
+        s"$root/${str(in, 0)}", str(in, 1)))),
     Proc("restore",
       "commit head+1 with an old version's exact manifest (history kept)",
       Seq("tbl" -> StringType, "to_version" -> IntegerType),

@@ -549,6 +549,64 @@ object SnapshotTable {
       .toSeq.sortBy(_._1)
   }
 
+  /** ANALYZE (`CALL analyze`): compute dir bounds for `statsCol` on
+    * every data dir LACKING an entry and commit head+1 carrying them —
+    * how an existing table (built before bounds, or by writers that
+    * never passed a statsCol) gains manifest-level dir pruning after the
+    * fact. Cost is one column-pruned min/max scan per uncovered dir +
+    * one manifest commit; covered dirs are never re-scanned, so repeated
+    * ANALYZE is incremental — at 100 TB the first run pays dir-count
+    * column scans once and every later run touches only new dirs. Dirs
+    * physically lacking the column (pre-ADD-evolution) get no entry —
+    * pruning keeps them, the direction that errs wide. Returns the new
+    * head, or the CURRENT head when every dir is already covered
+    * (nothing to commit — no empty version boundary). Refused on
+    * rename/drop-evolved tables: bounds are keyed by the name pruning
+    * probes with, which must equal the dirs' physical column name —
+    * optimizeZorder (which normalizes names) first. */
+  def analyzeBounds(spark: SparkSession, base: String,
+      statsCol: String): Int = {
+    val head = headVersion(spark, base)
+    require(head >= 1, s"no committed snapshot under $base to analyze")
+    val snap = manifest(spark, base, head)
+    require(snap.renames.isEmpty && snap.dropped.isEmpty,
+      "ANALYZE on a rename/drop-evolved table is refused — bounds names " +
+        "must match the dirs' physical columns; optimizeZorder first")
+    val covered = snap.bounds.filter(_.col == statsCol).map(_.dir).toSet
+    val missing = snap.dataDirs.filterNot(covered)
+    if (missing.isEmpty) return head
+    val fresh = missing.flatMap { d =>
+      val fields = spark.read.parquet(d).schema.fieldNames.toSet
+      if (!fields(statsCol)) Nil
+      else computeBounds(spark, Seq(d), statsCol)
+    }.filter(b => Seq(b.dir, b.col, b.typ, b.min, b.max)
+      .forall(f => !f.exists(ch => ch == '|' || ch == ',' || ch == '\n')))
+    if (fresh.isEmpty) return head
+    val v = head + 1
+    commit(spark, base, v, snap.copy(bounds = snap.bounds ++ fresh))
+    v
+  }
+
+  /** REF-AWARE RETENTION (`CALL expire_snapshots`): [[vacuum]] with
+    * `keepFrom` CLAMPED to the oldest version a named ref still needs —
+    * the oldest tag target and the oldest un-published branch fork point
+    * (a branch's v1 shares the fork version's dirs by reference, and its
+    * OWN commits layer on top of them, so main must keep the fork
+    * version readable until the branch is published or dropped). This is
+    * the Iceberg expireSnapshots contract: retention can never silently
+    * break a ref. Plain [[vacuum]] stays available for the deliberate
+    * "drop history, refs included" operation. */
+  def expireSnapshots(spark: SparkSession, base: String,
+      keepFrom: Int): VacuumReport = {
+    val head = headVersion(spark, base)
+    require(head >= 1, s"no committed snapshot under $base")
+    val refFloor = (listTags(spark, base).map(_._2) ++
+      listBranches(spark, base).map(_._3)).minOption
+    val kf = math.min(math.min(keepFrom, head),
+      refFloor.getOrElse(Int.MaxValue))
+    vacuum(spark, base, math.max(kf, 1), head)
+  }
+
   /** `(name, branch head version, main fork version)` of every branch
     * under `base` (branches with no committed clone yet are omitted —
     * they are not readable). */

@@ -398,7 +398,7 @@ class SnapshotCatalogSpec extends SparkTestBase {
         .map(r.getString)).toSet
     val roster = Set("compact", "optimize", "zorder", "vacuum",
       "vacuum_retain", "restore", "clone_table", "create_tag",
-      "create_branch", "fast_forward")
+      "create_branch", "fast_forward", "expire_snapshots", "analyze")
     assert(roster.subsetOf(shown),
       s"SHOW PROCEDURES missing ${roster -- shown} (shown: $shown)")
     // unknown procedure refuses; the roster rides the cause chain
@@ -488,6 +488,48 @@ class SnapshotCatalogSpec extends SparkTestBase {
     intercept[Exception] {
       spark.sql("SELECT * FROM snapwap1.t VERSION AS OF 'nope'").collect()
     }
+    // ref-aware retention: expire_snapshots clamps keep_from to the
+    // oldest ref (the prewap tag at v2 / audit fork at v2) — an
+    // aggressive keep_from can never break a named ref
+    spark.sql("CALL snapwap1.system.expire_snapshots('t', 99)").collect()
+    intercept[Exception] { ST.manifest(spark, base, 1) } // v1 expired
+    assert(spark.sql(
+      "SELECT count(*) FROM snapwap1.t VERSION AS OF 'prewap'")
+      .head.getLong(0) == 10, "the tag's target version must survive")
+  }
+
+  test("CALL analyze computes missing dir bounds incrementally and " +
+      "enables pruning on tables built without stats") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("snapanalyze").toString
+    setupCatalog("snapan1", root)
+    val base = s"$root/t"
+    for (i <- 0 until 2)
+      (i * 100 until i * 100 + 100).map(k => (k.toLong, s"v$k"))
+        .toDF("k", "v").write.mode("overwrite").parquet(s"$base/d$i")
+    ST.commit(spark, base, 1,
+      Snapshot(Seq(s"$base/d0", s"$base/d1"), Nil)) // NO bounds
+    assert(spark.sql("CALL snapan1.system.analyze('t', 'k')")
+      .head.getInt(0) == 2)
+    assert(ST.manifest(spark, base, 2).bounds.map(_.dir).toSet ==
+      Set(s"$base/d0", s"$base/d1"))
+    // pruning now engages on the analyzed table
+    assert(spark.sql("SELECT count(*) FROM snapan1.t WHERE k >= 150")
+      .head.getLong(0) == 50)
+    assert(Option(graft.plans.SnapshotDmlRule.lastPrune.get(base))
+      .contains((1, 2)), "analyze must enable dir pruning")
+    // incremental: a new uncovered dir is the ONLY one re-scanned
+    (200L until 300L).map(k => (k, s"v$k")).toDF("k", "v")
+      .write.parquet(s"$base/d2")
+    val s2 = ST.manifest(spark, base, 2)
+    ST.commit(spark, base, 3, s2.copy(dataDirs = s2.dataDirs :+ s"$base/d2"))
+    assert(spark.sql("CALL snapan1.system.analyze('t', 'k')")
+      .head.getInt(0) == 4)
+    assert(ST.manifest(spark, base, 4).bounds.size == 3)
+    // fully covered: no-op at the same head, no empty version
+    assert(spark.sql("CALL snapan1.system.analyze('t', 'k')")
+      .head.getInt(0) == 4)
+    assert(ST.headVersion(spark, base) == 4)
   }
 
   test("predicate-driven SQL dir pruning: range conjuncts prune against " +
