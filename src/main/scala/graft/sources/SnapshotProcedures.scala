@@ -150,7 +150,24 @@ private[sources] object SnapshotProcedures {
       Seq("tbl" -> StringType, "name" -> StringType),
       StructType.fromDDL("`version` INT"),
       (root, in) => Seq(SnapshotTable.publishBranch(spark,
-        s"$root/${str(in, 0)}", str(in, 1))))
+        s"$root/${str(in, 0)}", str(in, 1)))),
+    Proc("drop_tag",
+      "drop a tag (releases its expire_snapshots retention clamp)",
+      Seq("tbl" -> StringType, "name" -> StringType),
+      StructType.fromDDL("`dropped` BOOLEAN"),
+      (root, in) => {
+        SnapshotTable.dropTag(spark, s"$root/${str(in, 0)}", str(in, 1))
+        Seq(true)
+      }),
+    Proc("drop_branch",
+      "drop a branch and its local dirs (refuses while main still " +
+        "references them — vacuum past the publish first)",
+      Seq("tbl" -> StringType, "name" -> StringType),
+      StructType.fromDDL("`dropped` BOOLEAN"),
+      (root, in) => {
+        SnapshotTable.dropBranch(spark, s"$root/${str(in, 0)}", str(in, 1))
+        Seq(true)
+      })
   ).map(p => p.pname -> p).toMap
 
   def names: Seq[String] = procs.keys.toSeq.sorted

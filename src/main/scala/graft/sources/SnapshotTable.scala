@@ -607,6 +607,47 @@ object SnapshotTable {
     vacuum(spark, base, math.max(kf, 1), head)
   }
 
+  /** Drop a tag — releases its retention clamp on [[expireSnapshots]].
+    * Idempotent: dropping an absent tag is a no-op (the state the caller
+    * asked for already holds). */
+  def dropTag(spark: SparkSession, base: String, name: String): Unit = {
+    requireRefName(name)
+    val p = tagPath(base, name)
+    fsFor(spark, p).delete(p, false): Unit
+  }
+
+  /** Drop a branch — deletes its nested base (manifests, fork marker,
+    * and branch-local data dirs). REFUSED while any surviving MAIN
+    * manifest references a dir under the branch base: after a publish,
+    * the branch's dirs ARE part of main's history, and deleting them
+    * would corrupt main — vacuum main past the publish point first
+    * (path comparison canonicalized, the [[vacuum]] rule). Idempotent on
+    * an absent branch. */
+  def dropBranch(spark: SparkSession, base: String, name: String): Unit = {
+    val bb = branchBase(base, name)
+    val bp = new Path(bb)
+    val fs = fsFor(spark, bp)
+    if (!fs.exists(bp)) return
+    def canon(d: String): String = {
+      val p = new Path(d)
+      fsFor(spark, p).makeQualified(p).toString
+    }
+    val bbPrefix = canon(bb) + "/"
+    val head = headVersion(spark, base)
+    val referencing = (1 to head).filter { v =>
+      val mp = manifestPath(base, v)
+      fsFor(spark, mp).exists(mp)
+    }.filter { v =>
+      val m = manifest(spark, base, v)
+      (m.dataDirs ++ m.deleteDirs).exists(d => canon(d).startsWith(bbPrefix))
+    }
+    require(referencing.isEmpty,
+      s"branch $name was published — main versions $referencing still " +
+        "reference its dirs; vacuum main past the publish point before " +
+        "dropping the branch")
+    fs.delete(bp, true): Unit
+  }
+
   /** `(name, branch head version, main fork version)` of every branch
     * under `base` (branches with no committed clone yet are omitted —
     * they are not readable). */

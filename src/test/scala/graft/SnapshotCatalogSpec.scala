@@ -398,7 +398,8 @@ class SnapshotCatalogSpec extends SparkTestBase {
         .map(r.getString)).toSet
     val roster = Set("compact", "optimize", "zorder", "vacuum",
       "vacuum_retain", "restore", "clone_table", "create_tag",
-      "create_branch", "fast_forward", "expire_snapshots", "analyze")
+      "create_branch", "fast_forward", "expire_snapshots", "analyze",
+      "drop_tag", "drop_branch")
     assert(roster.subsetOf(shown),
       s"SHOW PROCEDURES missing ${roster -- shown} (shown: $shown)")
     // unknown procedure refuses; the roster rides the cause chain
@@ -496,6 +497,22 @@ class SnapshotCatalogSpec extends SparkTestBase {
     assert(spark.sql(
       "SELECT count(*) FROM snapwap1.t VERSION AS OF 'prewap'")
       .head.getLong(0) == 10, "the tag's target version must survive")
+    // a PUBLISHED branch cannot drop while main references its dirs
+    // (v3 = the publish commit still holds bb-local delete/ingest dirs)
+    val ed = intercept[Exception] {
+      spark.sql("CALL snapwap1.system.drop_branch('t', 'audit')")
+    }
+    val edMsgs = Iterator.iterate(ed: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(m => Option(m.getMessage).getOrElse(""))
+      .mkString("; ")
+    assert(edMsgs.contains("vacuum"), edMsgs)
+    // the never-published branch drops cleanly; dropping a tag releases
+    // the retention clamp and the refs table reflects both
+    spark.sql("CALL snapwap1.system.drop_branch('t', 'audit2')").collect()
+    spark.sql("CALL snapwap1.system.drop_tag('t', 'prewap')").collect()
+    val refs2 = spark.sql("SELECT name FROM snapwap1.t.refs ORDER BY name")
+      .collect().map(_.getString(0))
+    assert(refs2.toSeq == Seq("audit"), refs2.toSeq.toString)
   }
 
   test("CALL analyze computes missing dir bounds incrementally and " +
