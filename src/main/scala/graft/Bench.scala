@@ -323,12 +323,17 @@ object Bench {
     // shape: a globally 1.3× run flagging queries at 2.1× raw = 1.6×
     // normalized keeps its child; one at 1.4× normalized does not) —
     // those report re_sec = -3 (run-load-explained, unadjudicated)
-    // instead of burning one of the 4 children on a phantom.
+    // instead of burning one of the 4 children on a phantom. BLIND-SPOT
+    // FLOOR: a genuine GLOBAL code regression also normalizes to ~1.0
+    // everywhere, so when the run itself is >1.25× the top flag is
+    // adjudicated regardless — its fresh-JVM number separates "machine
+    // was loaded" (re_sec ≈ base) from "code got slower" (re_sec high).
     val reSec = {
       val byNorm = flagged.sortBy { case (_, v, base) => -normRatio(v, base) }
       byNorm.zipWithIndex.map { case ((k, v, base), i) =>
         k -> (if (sys.env.contains("SPARK_GRAFT_CHILD")) -2.0
-              else if (normRatio(v, base) < 1.5) -3.0
+              else if (normRatio(v, base) < 1.5 &&
+                !(i == 0 && runRatio > 1.25)) -3.0
               else if (i >= 4) -2.0
               else freshJvmSeconds(k, sfDir))
       }.toMap

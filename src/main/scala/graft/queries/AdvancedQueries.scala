@@ -3939,12 +3939,16 @@ object AdvancedQueries {
           Seq("cents" -> (col("cents") + 7))): Unit
       }
       // AUDIT: the branch head has the mutations; main is untouched —
-      // the whole point of WAP (both pinned before the publish flips)
+      // the whole point of WAP (both pinned before the publish flips).
+      // Deferred to a concurrent publisher like every other step: a
+      // racer can flip main between the head check and the counts.
       if (mHead == 1) {
-        require(s.sql(s"SELECT COUNT(*) FROM $t VERSION AS OF 'audit'")
-          .head.getLong(0) < s.sql(s"SELECT COUNT(*) FROM $t")
-          .head.getLong(0),
+        try require(
+          s.sql(s"SELECT COUNT(*) FROM $t VERSION AS OF 'audit'")
+            .head.getLong(0) < s.sql(s"SELECT COUNT(*) FROM $t")
+            .head.getLong(0),
           "pre-publish: branch deletes must be invisible to main")
+        catch { case e: Exception if mHead > 1 => () }
       }
       guarded(1, () => mHead) { ST.publishBranch(s, base, "audit"): Unit }
       s.sql(

@@ -108,9 +108,13 @@ private[sources] object SnapshotProcedures {
       "compute dir bounds for a stats column on every uncovered dir " +
         "(incremental; enables manifest dir pruning on existing tables)",
       Seq("tbl" -> StringType, "stats_col" -> StringType),
-      StructType.fromDDL("`version` INT"),
-      (root, in) => Seq(SnapshotTable.analyzeBounds(spark,
-        s"$root/${str(in, 0)}", str(in, 1)))),
+      StructType.fromDDL("`version` INT, `dirs_analyzed` INT, " +
+        "`dirs_uncovered` INT"),
+      (root, in) => {
+        val r = SnapshotTable.analyzeBounds(spark,
+          s"$root/${str(in, 0)}", str(in, 1))
+        Seq(r.version, r.dirsAnalyzed, r.dirsUncovered)
+      }),
     Proc("restore",
       "commit head+1 with an old version's exact manifest (history kept)",
       Seq("tbl" -> StringType, "to_version" -> IntegerType),

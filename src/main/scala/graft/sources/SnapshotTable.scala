@@ -501,6 +501,27 @@ object SnapshotTable {
     Some(v.toInt)
   }
 
+  /** [[readRefVersion]] with a bounded crc-retry — for RECONCILE reads
+    * after a lost create-if-absent claim, where the winner's
+    * claimed-but-unwritten O_EXCL window (empty file before its few-byte
+    * body lands) must read as "winner still writing", not as corrupt
+    * (the same ~1 s window [[commit]]'s footer-retry loop covers). */
+  private def readRefVersionRetry(spark: SparkSession,
+      p: Path): Option[Int] = {
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      try return readRefVersion(spark, p)
+      catch {
+        case e: IllegalArgumentException
+            if attempt < 40 && e.getMessage != null &&
+              e.getMessage.contains("crc") =>
+          Thread.sleep(25)
+      }
+    }
+    None // unreachable
+  }
+
   /** CREATE TAG — an immutable named pointer to a committed version (the
     * audit/release half of write-audit-publish): one tiny file, never a
     * data copy. Re-creating an identical tag is an idempotent no-op;
@@ -518,7 +539,7 @@ object SnapshotTable {
     val p = tagPath(base, name)
     val fs = fsFor(spark, p)
     def reconcile(): Unit = {
-      val existing = readRefVersion(spark, p)
+      val existing = readRefVersionRetry(spark, p)
       require(existing.contains(version),
         s"tag $name already points at v${existing.orNull} — tags are " +
           "immutable; pick another name or delete the tag file " +
@@ -558,14 +579,20 @@ object SnapshotTable {
     * ANALYZE is incremental — at 100 TB the first run pays dir-count
     * column scans once and every later run touches only new dirs. Dirs
     * physically lacking the column (pre-ADD-evolution) get no entry —
-    * pruning keeps them, the direction that errs wide. Returns the new
-    * head, or the CURRENT head when every dir is already covered
-    * (nothing to commit — no empty version boundary). Refused on
-    * rename/drop-evolved tables: bounds are keyed by the name pruning
-    * probes with, which must equal the dirs' physical column name —
-    * optimizeZorder (which normalizes names) first. */
+    * pruning keeps them, the direction that errs wide. The report names
+    * how many dirs REMAIN uncovered (column physically absent, all-null,
+    * or min/max carrying a manifest delimiter — those re-scan on every
+    * ANALYZE, so a persistent nonzero count is the operator's signal to
+    * pick another stats column). Commits only when new entries landed —
+    * no empty version boundary. Refused on rename/drop-evolved tables:
+    * bounds are keyed by the name pruning probes with, which must equal
+    * the dirs' physical column name — optimizeZorder (which normalizes
+    * names) first. */
+  final case class AnalyzeReport(version: Int, dirsAnalyzed: Int,
+      dirsUncovered: Int)
+
   def analyzeBounds(spark: SparkSession, base: String,
-      statsCol: String): Int = {
+      statsCol: String): AnalyzeReport = {
     val head = headVersion(spark, base)
     require(head >= 1, s"no committed snapshot under $base to analyze")
     val snap = manifest(spark, base, head)
@@ -574,17 +601,18 @@ object SnapshotTable {
         "must match the dirs' physical columns; optimizeZorder first")
     val covered = snap.bounds.filter(_.col == statsCol).map(_.dir).toSet
     val missing = snap.dataDirs.filterNot(covered)
-    if (missing.isEmpty) return head
+    if (missing.isEmpty) return AnalyzeReport(head, 0, 0)
     val fresh = missing.flatMap { d =>
       val fields = spark.read.parquet(d).schema.fieldNames.toSet
       if (!fields(statsCol)) Nil
       else computeBounds(spark, Seq(d), statsCol)
     }.filter(b => Seq(b.dir, b.col, b.typ, b.min, b.max)
       .forall(f => !f.exists(ch => ch == '|' || ch == ',' || ch == '\n')))
-    if (fresh.isEmpty) return head
+    val uncovered = missing.size - fresh.size
+    if (fresh.isEmpty) return AnalyzeReport(head, 0, uncovered)
     val v = head + 1
     commit(spark, base, v, snap.copy(bounds = snap.bounds ++ fresh))
-    v
+    AnalyzeReport(v, fresh.size, uncovered)
   }
 
   /** REF-AWARE RETENTION (`CALL expire_snapshots`): [[vacuum]] with
@@ -600,8 +628,21 @@ object SnapshotTable {
       keepFrom: Int): VacuumReport = {
     val head = headVersion(spark, base)
     require(head >= 1, s"no committed snapshot under $base")
-    val refFloor = (listTags(spark, base).map(_._2) ++
-      listBranches(spark, base).map(_._3)).minOption
+    // fork clamps come from the RAW fork markers, not listBranches: a
+    // crashed createBranch (marker claimed, clone not yet committed)
+    // must still hold its fork version until completed or dropped, or
+    // the half-created branch becomes permanently uncompletable
+    val forkFloors = {
+      val b = new Path(base)
+      val fs = fsFor(spark, b)
+      if (!fs.exists(b)) Nil
+      else fs.listStatus(b).iterator.filter(_.isDirectory)
+        .map(_.getPath.getName).filter(_.startsWith("_branch_"))
+        .flatMap(n => readRefVersion(spark,
+          forkPath(s"$base/$n"))).toSeq
+    }
+    val refFloor =
+      (listTags(spark, base).map(_._2) ++ forkFloors).minOption
     val kf = math.min(math.min(keepFrom, head),
       refFloor.getOrElse(Int.MaxValue))
     vacuum(spark, base, math.max(kf, 1), head)
@@ -618,11 +659,14 @@ object SnapshotTable {
 
   /** Drop a branch — deletes its nested base (manifests, fork marker,
     * and branch-local data dirs). REFUSED while any surviving MAIN
-    * manifest references a dir under the branch base: after a publish,
-    * the branch's dirs ARE part of main's history, and deleting them
-    * would corrupt main — vacuum main past the publish point first
-    * (path comparison canonicalized, the [[vacuum]] rule). Idempotent on
-    * an absent branch. */
+    * manifest — or any SIBLING branch's manifest (a branch forked after
+    * this one published clones main's manifest, dirs of this branch
+    * included) — references a dir under the branch base: after a
+    * publish, the branch's dirs ARE part of shared history, and deleting
+    * them would corrupt the referencer — vacuum main (and drop or
+    * re-branch the sibling) past the publish point first (path
+    * comparison canonicalized, the [[vacuum]] rule). Idempotent on an
+    * absent branch. */
   def dropBranch(spark: SparkSession, base: String, name: String): Unit = {
     val bb = branchBase(base, name)
     val bp = new Path(bb)
@@ -633,18 +677,27 @@ object SnapshotTable {
       fsFor(spark, p).makeQualified(p).toString
     }
     val bbPrefix = canon(bb) + "/"
-    val head = headVersion(spark, base)
-    val referencing = (1 to head).filter { v =>
-      val mp = manifestPath(base, v)
-      fsFor(spark, mp).exists(mp)
-    }.filter { v =>
-      val m = manifest(spark, base, v)
-      (m.dataDirs ++ m.deleteDirs).exists(d => canon(d).startsWith(bbPrefix))
+    def referencing(rbase: String, label: String): Seq[String] = {
+      val head = headVersion(spark, rbase)
+      (1 to head).filter { v =>
+        val mp = manifestPath(rbase, v)
+        fsFor(spark, mp).exists(mp)
+      }.filter { v =>
+        val m = manifest(spark, rbase, v)
+        (m.dataDirs ++ m.deleteDirs)
+          .exists(d => canon(d).startsWith(bbPrefix))
+      }.map(v => s"$label v$v")
     }
-    require(referencing.isEmpty,
-      s"branch $name was published — main versions $referencing still " +
-        "reference its dirs; vacuum main past the publish point before " +
-        "dropping the branch")
+    val refs = referencing(base, "main") ++
+      listBranches(spark, base).collect {
+        case (n, _, _) if n != name =>
+          referencing(branchBase(base, n), s"branch $n")
+      }.flatten
+    require(refs.isEmpty,
+      s"branch $name was published — ${refs.mkString(", ")} still " +
+        "reference its dirs; vacuum main (and drop/re-branch any " +
+        "referencing sibling) past the publish point before dropping " +
+        "the branch")
     fs.delete(bp, true): Unit
   }
 
@@ -697,7 +750,7 @@ object SnapshotTable {
       s"branch $name already exists under $base")
     val p = forkPath(bb)
     val fs = fsFor(spark, p)
-    def forkVersion(): Int = readRefVersion(spark, p).getOrElse(
+    def forkVersion(): Int = readRefVersionRetry(spark, p).getOrElse(
       throw new IllegalStateException(s"fork marker vanished under $bb"))
     if (!fs.exists(p)) {
       try writeVia(fs, p, refBody(s"version=$head\n"), head)
@@ -1263,12 +1316,13 @@ object SnapshotTable {
     val keep = snap.dataDirs.filterNot(rewrite)
     if (rewrite.isEmpty && !insertUnmatched)
       return RewriteReport(head, 0, snap.dataDirs.size)
-    val mergeDir = s"$base/_mergea_v$v"
-    val mgp = new Path(mergeDir)
-    val mfs = fsFor(spark, mgp)
-    // leavings of a crashed prior attempt at THIS version: safe to clear,
-    // since the guard above proved no manifest references the dir yet
-    if (mfs.exists(mgp)) mfs.delete(mgp, true)
+    // WRITER-UNIQUE staging (the repo rule: never a clobberable fixed
+    // path): the version-claim require above is a point-in-time check —
+    // a concurrent merger that loses the claim AFTER this writer commits
+    // must not be able to delete the committed dir out from under
+    // readers. A crashed attempt's orphan dir is vacuum-collectable.
+    val mergeDir = s"$base/_mergea_v$v-" +
+      java.util.UUID.randomUUID().toString.take(8)
     val rewritten: Option[DataFrame] =
       if (rewrite.isEmpty) None
       else {

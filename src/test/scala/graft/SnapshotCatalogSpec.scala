@@ -526,8 +526,9 @@ class SnapshotCatalogSpec extends SparkTestBase {
         .toDF("k", "v").write.mode("overwrite").parquet(s"$base/d$i")
     ST.commit(spark, base, 1,
       Snapshot(Seq(s"$base/d0", s"$base/d1"), Nil)) // NO bounds
-    assert(spark.sql("CALL snapan1.system.analyze('t', 'k')")
-      .head.getInt(0) == 2)
+    val a1 = spark.sql("CALL snapan1.system.analyze('t', 'k')").head
+    assert(a1.getInt(0) == 2 && a1.getInt(1) == 2 && a1.getInt(2) == 0,
+      a1.toString)
     assert(ST.manifest(spark, base, 2).bounds.map(_.dir).toSet ==
       Set(s"$base/d0", s"$base/d1"))
     // pruning now engages on the analyzed table
@@ -540,12 +541,13 @@ class SnapshotCatalogSpec extends SparkTestBase {
       .write.parquet(s"$base/d2")
     val s2 = ST.manifest(spark, base, 2)
     ST.commit(spark, base, 3, s2.copy(dataDirs = s2.dataDirs :+ s"$base/d2"))
-    assert(spark.sql("CALL snapan1.system.analyze('t', 'k')")
-      .head.getInt(0) == 4)
+    val a2 = spark.sql("CALL snapan1.system.analyze('t', 'k')").head
+    assert(a2.getInt(0) == 4 && a2.getInt(1) == 1, a2.toString)
     assert(ST.manifest(spark, base, 4).bounds.size == 3)
     // fully covered: no-op at the same head, no empty version
-    assert(spark.sql("CALL snapan1.system.analyze('t', 'k')")
-      .head.getInt(0) == 4)
+    val a3 = spark.sql("CALL snapan1.system.analyze('t', 'k')").head
+    assert(a3.getInt(0) == 4 && a3.getInt(1) == 0 && a3.getInt(2) == 0,
+      a3.toString)
     assert(ST.headVersion(spark, base) == 4)
   }
 
