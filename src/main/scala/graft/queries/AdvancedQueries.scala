@@ -2932,7 +2932,7 @@ object AdvancedQueries {
         "compaction must commit an EMPTY delete set")
       require(snap.dataDirs.size == 2 &&
         snap.dataDirs.exists(_.endsWith("data_hi")) &&
-        snap.dataDirs.exists(_.endsWith("_compact_v3")),
+        snap.dataDirs.exists(_.contains("_compact_v3")),
         s"v3 must keep the unhit dir by reference, got ${snap.dataDirs}")
       val headRead = ST.readVersion(s, base, 3, "o_orderkey")
       require(!headRead.queryExecution.executedPlan.toString
@@ -2998,7 +2998,7 @@ object AdvancedQueries {
       val snap = ST.manifest(s, base, 2)
       require(snap.deleteDirs.isEmpty && snap.dataDirs.size == 2 &&
         snap.dataDirs.exists(_.endsWith("data_hi")) &&
-        snap.dataDirs.exists(_.endsWith("_update_v2")),
+        snap.dataDirs.exists(_.contains("_update_v2")),
         s"v2 must keep the unhit dir by reference, got $snap")
       // time travel: v1 must still see zero updated-priority rows
       val v1upd = ST.readVersion(s, base, 1, "o_orderkey")
@@ -3068,7 +3068,7 @@ object AdvancedQueries {
       val snap = ST.manifest(s, base, 2)
       require(snap.deleteDirs.isEmpty && snap.dataDirs.size == 2 &&
         snap.dataDirs.exists(_.endsWith("data_hi")) &&
-        snap.dataDirs.exists(_.endsWith("_merge_v2")),
+        snap.dataDirs.exists(_.contains("_merge_v2")),
         s"v2 must keep the unhit dir by reference, got $snap")
       val v1marks = ST.readVersion(s, base, 1, "o_orderkey")
         .where(col("o_orderpriority").isin("9-MERGED", "9-NEW")).count()

@@ -846,12 +846,11 @@ object SnapshotTable {
     require(!fsFor(spark, mp).exists(mp),
       s"version $v is already committed under $base — a concurrent " +
         "committer won the version claim; re-read the head and retry")
-    val delDir = s"$base/_delete_v$v"
-    val dp = new Path(delDir)
-    val fs = fsFor(spark, dp)
-    // leavings of a crashed prior attempt at THIS version: safe to clear,
-    // since the guard above proved no manifest references the dir yet
-    if (fs.exists(dp)) fs.delete(dp, true)
+    // writer-unique staging (never a clobberable fixed path): a loser
+    // of the version claim must not delete the winner's committed dir;
+    // crashed attempts leave vacuum-collectable orphans
+    val delDir = s"$base/_delete_v$v-" +
+      java.util.UUID.randomUUID().toString.take(8)
     readVersion(spark, base, head, keyCol)
       .where(predicate).select(col(keyCol)).distinct()
       .write.parquet(delDir)
@@ -907,12 +906,9 @@ object SnapshotTable {
     val hit = probeHitDirs(spark, snap, head,
       _.join(broadcast(dels), Seq(keyCol), "left_semi"))
     val keep = snap.dataDirs.filterNot(hit)
-    val compDir = s"$base/_compact_v$v"
-    val cp = new Path(compDir)
-    val cfs = fsFor(spark, cp)
-    // leavings of a crashed prior attempt at THIS version: safe to clear,
-    // since the guard above proved no manifest references the dir yet
-    if (cfs.exists(cp)) cfs.delete(cp, true)
+    // writer-unique staging — see deleteWhere's rationale
+    val compDir = s"$base/_compact_v$v-" +
+      java.util.UUID.randomUUID().toString.take(8)
     val newData =
       if (hit.isEmpty) snap.dataDirs // deletes matched nothing anywhere
       else {
@@ -1024,12 +1020,9 @@ object SnapshotTable {
     val hit = probeHitDirs(spark, snap, head, _.where(predicate))
     if (hit.isEmpty) return RewriteReport(head, 0, snap.dataDirs.size)
     val keep = snap.dataDirs.filterNot(hit)
-    val updDir = s"$base/_update_v$v"
-    val up = new Path(updDir)
-    val ufs = fsFor(spark, up)
-    // leavings of a crashed prior attempt at THIS version: safe to clear,
-    // since the guard above proved no manifest references the dir yet
-    if (ufs.exists(up)) ufs.delete(up, true)
+    // writer-unique staging — see deleteWhere's rationale
+    val updDir = s"$base/_update_v$v-" +
+      java.util.UUID.randomUUID().toString.take(8)
     // SQL UPDATE semantics: EVERY assignment and the predicate evaluate
     // against the OLD row — one simultaneous select over the original
     // frame (the mergeIntoWith discipline), never a sequential
@@ -1091,12 +1084,9 @@ object SnapshotTable {
     val hit = probeHitDirs(spark, snap, head,
       _.join(broadcast(srcKeys), Seq(keyCol), "left_semi"))
     val keep = snap.dataDirs.filterNot(hit)
-    val mergeDir = s"$base/_merge_v$v"
-    val mgp = new Path(mergeDir)
-    val mfs = fsFor(spark, mgp)
-    // leavings of a crashed prior attempt at THIS version: safe to clear,
-    // since the guard above proved no manifest references the dir yet
-    if (mfs.exists(mgp)) mfs.delete(mgp, true)
+    // writer-unique staging — see deleteWhere's rationale
+    val mergeDir = s"$base/_merge_v$v-" +
+      java.util.UUID.randomUUID().toString.take(8)
     // align NAMES and TYPES to the stored schema: an int-typed source
     // against a bigint column would otherwise land a mixed-schema dir
     val aligned = source.select(tableSchema(spark, snap).fields
@@ -1161,12 +1151,9 @@ object SnapshotTable {
     val hit = probeHitDirs(spark, snap, head,
       _.join(broadcast(srcKeys), Seq(keyCol), "left_semi"))
     val keep = snap.dataDirs.filterNot(hit)
-    val mergeDir = s"$base/_mergew_v$v"
-    val mgp = new Path(mergeDir)
-    val mfs = fsFor(spark, mgp)
-    // leavings of a crashed prior attempt at THIS version: safe to clear,
-    // since the guard above proved no manifest references the dir yet
-    if (mfs.exists(mgp)) mfs.delete(mgp, true)
+    // writer-unique staging — see deleteWhere's rationale
+    val mergeDir = s"$base/_mergew_v$v-" +
+      java.util.UUID.randomUUID().toString.take(8)
     // align NAMES and TYPES to the stored schema (see mergeInto)
     val aligned = source.select(tableSchema(spark, snap).fields
       .toIndexedSeq.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)

@@ -97,7 +97,8 @@ class SnapshotTableSpec extends SparkTestBase {
     assert(rep == SnapshotTable.CompactReport(4, 1, 1, 2), rep.toString)
     val snap = SnapshotTable.manifest(spark, base, 4)
     assert(snap.deleteDirs.isEmpty, "fold must commit an empty delete set")
-    assert(snap.dataDirs.toSet ==
+    assert(snap.dataDirs.toSet
+      .map((d: String) => d.replaceAll("-[0-9a-f]{8}$", "")) ==
       Set(s"$base/d2", s"$base/_compact_v4"),
       s"unhit dir must carry over by reference, got ${snap.dataDirs}")
     assert(new java.io.File(s"$base/d2").listFiles()
@@ -199,7 +200,9 @@ class SnapshotTableSpec extends SparkTestBase {
       col("k") < 3, Seq("v" -> (col("v") + 100)))
     assert(rep == SnapshotTable.RewriteReport(2, 1, 1), rep.toString)
     val snap = SnapshotTable.manifest(spark, base, 2)
-    assert(snap.dataDirs.toSet == Set(s"$base/d2", s"$base/_update_v2") &&
+    assert(snap.dataDirs.toSet
+      .map((d: String) => d.replaceAll("-[0-9a-f]{8}$", "")) ==
+      Set(s"$base/d2", s"$base/_update_v2") &&
       snap.deleteDirs.isEmpty, snap.toString)
     assert(new java.io.File(s"$base/d2").listFiles()
       .map(f => f.getName -> f.lastModified()).toMap == untouched,
@@ -294,7 +297,9 @@ class SnapshotTableSpec extends SparkTestBase {
     val rep = SnapshotTable.mergeInto(spark, base, "k", src)
     assert(rep == SnapshotTable.RewriteReport(2, 1, 1), rep.toString)
     val snap = SnapshotTable.manifest(spark, base, 2)
-    assert(snap.dataDirs.toSet == Set(s"$base/d2", s"$base/_merge_v2") &&
+    assert(snap.dataDirs.toSet
+      .map((d: String) => d.replaceAll("-[0-9a-f]{8}$", "")) ==
+      Set(s"$base/d2", s"$base/_merge_v2") &&
       snap.deleteDirs.isEmpty, snap.toString)
     assert(new java.io.File(s"$base/d2").listFiles()
       .map(f => f.getName -> f.lastModified()).toMap == untouched,
