@@ -570,6 +570,52 @@ object SnapshotTable {
       .toSeq.sortBy(_._1)
   }
 
+  /** Best-effort collection of CRASHED rewrite attempts' staging
+    * orphans: writer-unique staging dirs (`_update_v7-ab12cd34` etc.)
+    * whose target version is SETTLED (≤ head — the claim race is over,
+    * so an unreferenced dir can only belong to a loser or a crash),
+    * that no surviving manifest references, and that have been idle
+    * past `olderThanMs` (a doomed-but-still-writing loser's job fails
+    * on a deleted dir — loud and harmless, but the margin makes even
+    * that vanishingly rare). Never touches `_insert-*` dirs (their
+    * target version is unbounded while the OCC loop runs), branch
+    * bases, ref files, or ingest epochs. Returns dirs removed. */
+  def sweepStagingOrphans(spark: SparkSession, base: String,
+      olderThanMs: Long = 15L * 60 * 1000): Int = {
+    val head = headVersion(spark, base)
+    if (head == 0) return 0
+    def canon(d: String): String = {
+      val p = new Path(d)
+      fsFor(spark, p).makeQualified(p).toString
+    }
+    val referenced = (1 to head).filter { v =>
+      val mp = manifestPath(base, v)
+      fsFor(spark, mp).exists(mp)
+    }.flatMap { v =>
+      val m = manifest(spark, base, v)
+      (m.dataDirs ++ m.deleteDirs).map(canon)
+    }.toSet
+    val stagingRe =
+      """^_(delete|compact|update|merge|mergew|mergea|zorder)_v(\d+)(-[0-9a-f]{8})?$""".r
+    val b = new Path(base)
+    val fs = fsFor(spark, b)
+    val now = System.currentTimeMillis()
+    var n = 0
+    for (st <- fs.listStatus(b) if st.isDirectory) {
+      val name = st.getPath.getName
+      stagingRe.findFirstMatchIn(name).foreach { m =>
+        val c = canon(st.getPath.toString)
+        val isReferenced = referenced
+          .exists(r => r == c || r.startsWith(c + "/"))
+        if (m.group(2).toInt <= head && !isReferenced &&
+            now - st.getModificationTime >= olderThanMs) {
+          if (fs.delete(st.getPath, true)) n += 1
+        }
+      }
+    }
+    n
+  }
+
   /** ANALYZE (`CALL analyze`): compute dir bounds for `statsCol` on
     * every data dir LACKING an entry and commit head+1 carrying them —
     * how an existing table (built before bounds, or by writers that
@@ -645,7 +691,11 @@ object SnapshotTable {
       (listTags(spark, base).map(_._2) ++ forkFloors).minOption
     val kf = math.min(math.min(keepFrom, head),
       refFloor.getOrElse(Int.MaxValue))
-    vacuum(spark, base, math.max(kf, 1), head)
+    val rep = vacuum(spark, base, math.max(kf, 1), head)
+    // crashed rewrite attempts' staging orphans ride the same retention
+    // pass (best-effort, idle-margin-guarded — see sweepStagingOrphans)
+    sweepStagingOrphans(spark, base): Unit
+    rep
   }
 
   /** Drop a tag — releases its retention clamp on [[expireSnapshots]].

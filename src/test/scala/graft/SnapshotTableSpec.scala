@@ -783,6 +783,39 @@ class SnapshotTableSpec extends SparkTestBase {
     }
   }
 
+  test("sweepStagingOrphans collects crashed rewrite leavings, never a " +
+      "referenced dir, an in-flight claim, or a fresh dir") {
+    import spark.implicits._
+    val base = freshBase()
+    writeKv(s"$base/d1", 0, 10)
+    SnapshotTable.commit(spark, base, 1, Snapshot(Seq(s"$base/d1"), Nil))
+    // a real rewrite: its committed staging dir is REFERENCED
+    SnapshotTable.updateWhere(spark, base, col("k") < 3,
+      Seq("v" -> (col("v") + 1)))
+    val live = SnapshotTable.manifest(spark, base, 2).dataDirs
+      .find(_.contains("_update_v2")).get
+    // a crashed loser's orphan at a SETTLED version
+    (0 until 3).map(i => (i, i)).toDF("k", "v")
+      .write.parquet(s"$base/_update_v2-deadbeef")
+    // an in-flight attempt targeting the NEXT version: never swept
+    (0 until 3).map(i => (i, i)).toDF("k", "v")
+      .write.parquet(s"$base/_compact_v3-cafe0123")
+    assert(SnapshotTable.sweepStagingOrphans(spark, base, 0L) == 1)
+    assert(!new java.io.File(s"$base/_update_v2-deadbeef").exists,
+      "the settled orphan must be swept")
+    assert(new java.io.File(s"$base/_compact_v3-cafe0123").exists,
+      "an in-flight (head+1) staging dir must survive")
+    assert(new java.io.File(live).exists,
+      "a manifest-referenced dir must survive")
+    // the idle margin protects fresh dirs even at settled versions
+    (0 until 3).map(i => (i, i)).toDF("k", "v")
+      .write.parquet(s"$base/_merge_v1-00aa11bb")
+    assert(SnapshotTable.sweepStagingOrphans(spark, base) == 0,
+      "a fresh dir inside the idle margin must survive")
+    // table state is untouched throughout
+    assert(SnapshotTable.readVersion(spark, base, 2, "k").count() == 10)
+  }
+
   test("type-widening evolution: metadata-only int→bigint, mixed-" +
       "generation dirs read cast, time travel keeps the old type, " +
       "narrowing and pending deletes refuse") {
