@@ -783,6 +783,43 @@ class SnapshotTableSpec extends SparkTestBase {
     }
   }
 
+  test("expireSnapshots clamps to a crashed createBranch's raw fork " +
+      "marker, and the recovered branch completes at its original fork") {
+    import spark.implicits._
+    val base = freshBase()
+    writeKv(s"$base/d1", 0, 5)
+    SnapshotTable.commit(spark, base, 1, Snapshot(Seq(s"$base/d1"), Nil))
+    writeKv(s"$base/d2", 5, 10)
+    SnapshotTable.commit(spark, base, 2,
+      Snapshot(Seq(s"$base/d1", s"$base/d2"), Nil))
+    // simulate a crash between the _FORK claim (at v1) and the clone
+    // commit: marker exists, branch head == 0, listBranches omits it
+    val bb = SnapshotTable.branchBase(base, "wip")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(bb))
+    val core = "version=1\n"
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$bb/_FORK"),
+      core + f"crc=${new java.util.zip.CRC32 {
+        update(core.getBytes("UTF-8")) }.getValue}%08x\n")
+    assert(SnapshotTable.listBranches(spark, base).isEmpty)
+    // expire with an aggressive keep_from: the RAW marker must clamp
+    // retention to v1 (listBranches alone would let v1 vacuum away and
+    // strand the half-created branch forever)
+    SnapshotTable.expireSnapshots(spark, base, 99)
+    assert(SnapshotTable.manifest(spark, base, 1).dataDirs.nonEmpty,
+      "the fork version must survive expire")
+    // recovery: createBranch completes the clone at the ORIGINAL fork
+    assert(SnapshotTable.createBranch(spark, base, "wip") == 1)
+    assert(SnapshotTable.readVersion(spark, bb, 1, "k").count() == 5,
+      "the recovered branch reads the fork version's content")
+    // once completed (and published or dropped), expire can move on
+    SnapshotTable.dropBranch(spark, base, "wip")
+    SnapshotTable.expireSnapshots(spark, base, 99)
+    intercept[IllegalArgumentException] {
+      SnapshotTable.manifest(spark, base, 1)
+    }
+  }
+
   test("sweepStagingOrphans collects crashed rewrite leavings, never a " +
       "referenced dir, an in-flight claim, or a fresh dir") {
     import spark.implicits._
