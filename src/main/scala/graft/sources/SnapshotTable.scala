@@ -552,21 +552,27 @@ object SnapshotTable {
     }
   }
 
-  /** Resolve a tag name to its version (None = no such tag). */
+  /** Resolve a tag name to its version (None = no such tag). Rides the
+    * crc-retry read: a concurrent creator's claimed-but-unwritten O_EXCL
+    * window (empty file before the body lands) must read as "winner
+    * still writing", never as spuriously corrupt. */
   def readTagVersion(spark: SparkSession, base: String,
       name: String): Option[Int] = {
     requireRefName(name)
-    readRefVersion(spark, tagPath(base, name))
+    readRefVersionRetry(spark, tagPath(base, name))
   }
 
-  /** `(name, version)` of every tag under `base`. */
+  /** `(name, version)` of every tag under `base`. Retry-read like
+    * [[readTagVersion]]: a listing that races a createTag winner's
+    * write window must wait it out, not fail as partial/corrupt. */
   def listTags(spark: SparkSession, base: String): Seq[(String, Int)] = {
     val b = new Path(base)
     val fs = fsFor(spark, b)
     if (!fs.exists(b)) return Nil
     fs.listStatus(b).iterator.map(_.getPath.getName)
       .filter(_.startsWith("_TAG_")).map(_.stripPrefix("_TAG_"))
-      .flatMap(n => readRefVersion(spark, tagPath(base, n)).map(n -> _))
+      .flatMap(n => readRefVersionRetry(spark, tagPath(base, n))
+        .map(n -> _))
       .toSeq.sortBy(_._1)
   }
 
@@ -639,26 +645,54 @@ object SnapshotTable {
 
   def analyzeBounds(spark: SparkSession, base: String,
       statsCol: String): AnalyzeReport = {
-    val head = headVersion(spark, base)
-    require(head >= 1, s"no committed snapshot under $base to analyze")
-    val snap = manifest(spark, base, head)
-    require(snap.renames.isEmpty && snap.dropped.isEmpty,
-      "ANALYZE on a rename/drop-evolved table is refused — bounds names " +
-        "must match the dirs' physical columns; optimizeZorder first")
-    val covered = snap.bounds.filter(_.col == statsCol).map(_.dir).toSet
-    val missing = snap.dataDirs.filterNot(covered)
-    if (missing.isEmpty) return AnalyzeReport(head, 0, 0)
-    val fresh = missing.flatMap { d =>
-      val fields = spark.read.parquet(d).schema.fieldNames.toSet
-      if (!fields(statsCol)) Nil
-      else computeBounds(spark, Seq(d), statsCol)
-    }.filter(b => Seq(b.dir, b.col, b.typ, b.min, b.max)
-      .forall(f => !f.exists(ch => ch == '|' || ch == ',' || ch == '\n')))
-    val uncovered = missing.size - fresh.size
-    if (fresh.isEmpty) return AnalyzeReport(head, 0, uncovered)
-    val v = head + 1
-    commit(spark, base, v, snap.copy(bounds = snap.bounds ++ fresh))
-    AnalyzeReport(v, fresh.size, uncovered)
+    // per-dir scan results memoized across OCC retries: a lost version
+    // claim re-reads the winner's head and re-commits the (additive,
+    // per-dir) bounds on top — the expensive min/max scans are never
+    // paid twice, and a dir the winner rewrote simply drops out of the
+    // next attempt's missing set (its memo entry goes unused)
+    val scanned = scala.collection.mutable.Map.empty[String, Seq[DirBounds]]
+    var attempt = 0
+    while (attempt < 20) {
+      attempt += 1
+      val head = headVersion(spark, base)
+      require(head >= 1, s"no committed snapshot under $base to analyze")
+      val snap = manifest(spark, base, head)
+      require(snap.renames.isEmpty && snap.dropped.isEmpty,
+        "ANALYZE on a rename/drop-evolved table is refused — bounds " +
+          "names must match the dirs' physical columns; optimizeZorder " +
+          "first")
+      val covered = snap.bounds.filter(_.col == statsCol).map(_.dir).toSet
+      val missing = snap.dataDirs.filterNot(covered)
+      if (missing.isEmpty) return AnalyzeReport(head, 0, 0)
+      val fresh = missing.flatMap { d =>
+        scanned.getOrElseUpdate(d, {
+          val fields = spark.read.parquet(d).schema.fieldNames.toSet
+          if (!fields(statsCol)) Nil
+          else computeBounds(spark, Seq(d), statsCol)
+            .filter(b => Seq(b.dir, b.col, b.typ, b.min, b.max).forall(
+              f => !f.exists(ch => ch == '|' || ch == ',' || ch == '\n')))
+        })
+      }
+      val uncovered = missing.size - fresh.size
+      if (fresh.isEmpty) return AnalyzeReport(head, 0, uncovered)
+      val v = head + 1
+      try {
+        commit(spark, base, v, snap.copy(bounds = snap.bounds ++ fresh))
+        return AnalyzeReport(v, fresh.size, uncovered)
+      } catch {
+        // lost the version claim to a concurrent committer — fold onto
+        // the winner's head instead of discarding the computed bounds
+        // (the ADVICE r17 finding: every other multi-step op retries)
+        case e: IllegalArgumentException
+            if attempt < 20 && e.getMessage != null && e.getMessage
+              .contains("already committed with different content") => ()
+        case _: java.nio.file.FileAlreadyExistsException
+            if attempt < 20 => ()
+      }
+    }
+    throw new IllegalStateException(
+      s"ANALYZE of $base could not claim a version after 20 attempts — " +
+        "a committer is racing every retry or the store is wedged")
   }
 
   /** REF-AWARE RETENTION (`CALL expire_snapshots`): [[vacuum]] with
@@ -677,14 +711,17 @@ object SnapshotTable {
     // fork clamps come from the RAW fork markers, not listBranches: a
     // crashed createBranch (marker claimed, clone not yet committed)
     // must still hold its fork version until completed or dropped, or
-    // the half-created branch becomes permanently uncompletable
+    // the half-created branch becomes permanently uncompletable. The
+    // retry read covers a LIVE createBranch's claimed-but-unwritten
+    // window — expire must wait the winner's few-byte write out, not
+    // fail spuriously as partial/corrupt.
     val forkFloors = {
       val b = new Path(base)
       val fs = fsFor(spark, b)
       if (!fs.exists(b)) Nil
       else fs.listStatus(b).iterator.filter(_.isDirectory)
         .map(_.getPath.getName).filter(_.startsWith("_branch_"))
-        .flatMap(n => readRefVersion(spark,
+        .flatMap(n => readRefVersionRetry(spark,
           forkPath(s"$base/$n"))).toSeq
     }
     val refFloor =
@@ -716,7 +753,22 @@ object SnapshotTable {
     * them would corrupt the referencer — vacuum main (and drop or
     * re-branch the sibling) past the publish point first (path
     * comparison canonicalized, the [[vacuum]] rule). Idempotent on an
-    * absent branch. */
+    * absent branch.
+    *
+    * CONCURRENT-PUBLISH ARBITRATION (the loser-deletes-winner race): a
+    * publish committing between this op's referencing scan and its
+    * recursive delete would leave main's new head pointing at swept
+    * dirs. The drop therefore (1) fast-fails on the initial scan with
+    * the branch fully intact (the common already-published case), then
+    * (2) CLAIMS the drop by deleting the `_FORK` marker — after which
+    * [[publishBranch]] refuses to START and re-validates the marker
+    * after its commit — then (3) RE-scans for referencing manifests and
+    * aborts loudly (data dirs retained, main readable) when a racer's
+    * publish landed in the window, and only then (4) deletes the branch
+    * base. A publish that commits after (3) finds the marker gone at
+    * its own post-commit check and restores main (see there) — between
+    * the two sides, no interleaving leaves a main head referencing
+    * swept bytes. */
   def dropBranch(spark: SparkSession, base: String, name: String): Unit = {
     val bb = branchBase(base, name)
     val bp = new Path(bb)
@@ -738,16 +790,29 @@ object SnapshotTable {
           .exists(d => canon(d).startsWith(bbPrefix))
       }.map(v => s"$label v$v")
     }
-    val refs = referencing(base, "main") ++
+    def scanRefs(): Seq[String] = referencing(base, "main") ++
       listBranches(spark, base).collect {
         case (n, _, _) if n != name =>
           referencing(branchBase(base, n), s"branch $n")
       }.flatten
+    val refs = scanRefs()
     require(refs.isEmpty,
       s"branch $name was published — ${refs.mkString(", ")} still " +
         "reference its dirs; vacuum main (and drop/re-branch any " +
         "referencing sibling) past the publish point before dropping " +
         "the branch")
+    // claim: no NEW publish can start without the fork marker
+    fs.delete(forkPath(bb), false): Unit
+    // a publish that raced the first scan and committed before the claim
+    // is visible now — abort with the branch's DATA retained (its dirs
+    // are shared history; only the marker is gone, and the publisher
+    // already succeeded)
+    val late = scanRefs()
+    if (late.nonEmpty) throw new IllegalStateException(
+      s"branch $name was published concurrently with this drop — " +
+        s"${late.mkString(", ")} now reference its dirs; the drop was " +
+        "aborted before touching data (fork marker removed). Vacuum " +
+        "past the publish point, then re-run dropBranch.")
     fs.delete(bp, true): Unit
   }
 
@@ -766,7 +831,7 @@ object SnapshotTable {
         val bb = branchBase(base, n)
         val h = headVersion(spark, bb)
         if (h < 1) None
-        else readRefVersion(spark, forkPath(bb)).map(f => (n, h, f))
+        else readRefVersionRetry(spark, forkPath(bb)).map(f => (n, h, f))
       }.toSeq.sortBy(_._1)
   }
 
@@ -826,7 +891,7 @@ object SnapshotTable {
     val bb = branchBase(base, name)
     val bHead = headVersion(spark, bb)
     require(bHead >= 1, s"no branch $name under $base")
-    val fork = readRefVersion(spark, forkPath(bb)).getOrElse(
+    val fork = readRefVersionRetry(spark, forkPath(bb)).getOrElse(
       throw new IllegalArgumentException(
         s"branch $name has no fork marker — not a branch created by " +
           "createBranch"))
@@ -835,7 +900,33 @@ object SnapshotTable {
       s"main advanced since branch $name forked (v$fork → v$mHead) — " +
         "the branch is stale; re-branch from the new head and replay " +
         "its changes, or restore main first")
-    commit(spark, base, mHead + 1, manifest(spark, bb, bHead))
+    val published = manifest(spark, bb, bHead)
+    commit(spark, base, mHead + 1, published)
+    // arbitration vs a concurrent dropBranch (see there): the dropper
+    // claims by deleting the fork marker, then re-scans for referencing
+    // manifests. If this commit landed BEFORE that re-scan the dropper
+    // aborted and our publish stands; if it landed AFTER, the dropper
+    // may already be sweeping the branch dirs this manifest references —
+    // detectable exactly as "marker gone now". Restore main to its
+    // pre-publish content (the fork manifest references no branch dirs)
+    // and fail loudly. A third committer stealing mHead+2 in this
+    // window makes the restore commit itself fail — still loud (the
+    // operator restores by hand), never a silent wrong answer.
+    val fp = forkPath(bb)
+    if (!fsFor(spark, fp).exists(fp)) {
+      try commit(spark, base, mHead + 2, manifest(spark, base, fork))
+      catch {
+        case e: Exception => throw new IllegalStateException(
+          s"branch $name was dropped concurrently with this publish " +
+            s"AND the automatic restore of main lost its version claim " +
+            s"— main's v${mHead + 1} may reference swept dirs; restore " +
+            s"main to the v$fork content by hand", e)
+      }
+      throw new IllegalStateException(
+        s"branch $name was dropped concurrently with this publish — " +
+          s"its dirs may be swept; main restored to the v$fork content " +
+          s"as v${mHead + 2}. Re-branch and replay the changes.")
+    }
     mHead + 1
   }
 

@@ -85,4 +85,156 @@ class SnapshotConcurrencySpec extends SparkTestBase {
         assert(errX.isDefined || errY.isDefined)
     }
   }
+
+  test("dropBranch racing publishBranch: main's head never references " +
+      "swept dirs (the loser-deletes-winner arbitration)") {
+    import org.apache.hadoop.fs.Path
+    for (_ <- 1 to 8) {
+      val base = freshBase()
+      writeNums(s"$base/d1", 0, 6)
+      SnapshotTable.commit(spark, base, 1, Snapshot(Seq(s"$base/d1"), Nil))
+      SnapshotTable.createBranch(spark, base, "wip")
+      val bb = SnapshotTable.branchBase(base, "wip")
+      writeNums(s"$bb/d2", 6, 10)
+      SnapshotTable.commit(spark, bb, 2,
+        Snapshot(Seq(s"$base/d1", s"$bb/d2"), Nil))
+      val ready = new CountDownLatch(2)
+      val go = new CountDownLatch(1)
+      @volatile var pubOk = false
+      @volatile var dropOk = false
+      val tp = new Thread(() => {
+        ready.countDown(); go.await()
+        try { SnapshotTable.publishBranch(spark, base, "wip"); pubOk = true }
+        catch { case _: Throwable => () }
+      })
+      val td = new Thread(() => {
+        ready.countDown(); go.await()
+        try { SnapshotTable.dropBranch(spark, base, "wip"); dropOk = true }
+        catch { case _: Throwable => () }
+      })
+      tp.start(); td.start()
+      ready.await(); go.countDown()
+      tp.join(60000); td.join(60000)
+      // both claiming success would mean the publish committed dirs the
+      // drop then swept — the exact corruption the arbitration forbids
+      assert(!(pubOk && dropOk),
+        "publish and drop both claim success over the same branch")
+      // whatever the interleaving, the surviving head must be READABLE:
+      // every referenced dir still committed, and the row count is
+      // exactly one consistent state (published = 10, not/rolled = 6)
+      val head = SnapshotTable.headVersion(spark, base)
+      val m = SnapshotTable.manifest(spark, base, head)
+      val hconf = spark.sparkContext.hadoopConfiguration
+      for (d <- m.dataDirs) {
+        val s = new Path(d, "_SUCCESS")
+        assert(s.getFileSystem(hconf).exists(s),
+          s"head v$head references swept dir $d")
+      }
+      val n = SnapshotTable.readVersionData(spark, base, head).count()
+      if (pubOk) assert(n == 10, s"published head lost rows: $n")
+      else assert(n == 6, s"unpublished main must hold the base rows: $n")
+    }
+  }
+
+  test("racing analyzeBounds writers fold onto the winner's head " +
+      "instead of discarding computed bounds (OCC retry)") {
+    import spark.implicits._
+    val base = freshBase()
+    (0 until 5).map(i => (i, i * 2)).toDF("k", "v")
+      .write.mode("overwrite").parquet(s"$base/d1")
+    (5 until 9).map(i => (i, i * 2)).toDF("k", "v")
+      .write.mode("overwrite").parquet(s"$base/d2")
+    SnapshotTable.commit(spark, base, 1,
+      Snapshot(Seq(s"$base/d1", s"$base/d2"), Nil))
+    val ready = new CountDownLatch(2)
+    val go = new CountDownLatch(1)
+    @volatile var errK: Option[Throwable] = None
+    @volatile var errV: Option[Throwable] = None
+    def racer(c: String, set: Throwable => Unit) = new Thread(() => {
+      ready.countDown(); go.await()
+      try SnapshotTable.analyzeBounds(spark, base, c): Unit
+      catch { case t: Throwable => set(t) }
+    })
+    val tk = racer("k", t => errK = Some(t))
+    val tv = racer("v", t => errV = Some(t))
+    tk.start(); tv.start()
+    ready.await(); go.countDown()
+    tk.join(60000); tv.join(60000)
+    assert(errK.isEmpty, s"analyze(k) must retry a lost claim: $errK")
+    assert(errV.isEmpty, s"analyze(v) must retry a lost claim: $errV")
+    // both commits landed (the loser folded onto the winner's head) and
+    // the final head carries bounds for BOTH columns on BOTH dirs
+    assert(SnapshotTable.headVersion(spark, base) == 3)
+    val m = SnapshotTable.manifest(spark, base, 3)
+    for (c <- Seq("k", "v"); d <- Seq(s"$base/d1", s"$base/d2"))
+      assert(m.bounds.exists(b => b.col == c && b.dir == d),
+        s"head lost the $c bounds for $d")
+  }
+
+  test("ref listings wait out a creator's claimed-but-unwritten window " +
+      "instead of failing as partial/corrupt") {
+    val base = freshBase()
+    writeNums(s"$base/d1", 0, 5)
+    SnapshotTable.commit(spark, base, 1, Snapshot(Seq(s"$base/d1"), Nil))
+    // simulate a createTag winner mid-write: the O_EXCL claim (empty
+    // file) exists, the few-byte body has not landed yet
+    val tagFile = java.nio.file.Paths.get(base, "_TAG_rel")
+    java.nio.file.Files.createFile(tagFile)
+    val writer = new Thread(() => {
+      Thread.sleep(150)
+      val core = "version=1\n"
+      val crc = new java.util.zip.CRC32()
+      crc.update(core.getBytes("UTF-8"))
+      java.nio.file.Files.write(tagFile,
+        f"${core}crc=${crc.getValue}%08x\n".getBytes("UTF-8")): Unit
+    })
+    writer.start()
+    // pre-fix behavior: an immediate un-retried read threw
+    // "partial/corrupt"; the retry read classifies the window as
+    // "winner still writing" and returns the landed tag
+    val tags = SnapshotTable.listTags(spark, base)
+    writer.join(10000)
+    assert(tags == Seq("rel" -> 1), s"listTags saw $tags")
+  }
+
+  test("expire_snapshots racing a reader of a to-be-retired version: " +
+      "the reader completes exactly or fails loudly — never a silent " +
+      "wrong result over swept bytes") {
+    for (_ <- 1 to 6) {
+      val base = freshBase()
+      writeNums(s"$base/d1", 0, 5)
+      // v2 is a full rewrite, so retiring v1 orphans (and sweeps) d1
+      writeNums(s"$base/d2", 0, 9)
+      SnapshotTable.commit(spark, base, 1, Snapshot(Seq(s"$base/d1"), Nil))
+      SnapshotTable.commit(spark, base, 2, Snapshot(Seq(s"$base/d2"), Nil))
+      val ready = new CountDownLatch(2)
+      val go = new CountDownLatch(1)
+      @volatile var read: Option[Either[Throwable, Long]] = None
+      val tr = new Thread(() => {
+        ready.countDown(); go.await()
+        read = Some(
+          try Right(SnapshotTable.readVersionData(spark, base, 1).count())
+          catch { case t: Throwable => Left(t) })
+      })
+      val te = new Thread(() => {
+        ready.countDown(); go.await()
+        try SnapshotTable.expireSnapshots(spark, base, 2): Unit
+        catch { case t: Throwable => fail(s"expire must not fail: $t") }
+      })
+      tr.start(); te.start()
+      ready.await(); go.countDown()
+      tr.join(60000); te.join(60000)
+      read match {
+        case Some(Right(n)) =>
+          // completed reads are EXACT — a partial scan of half-swept
+          // bytes must never surface as a smaller count
+          assert(n == 5, s"reader of v1 saw a torn result: $n rows")
+        case Some(Left(_)) => () // loud failure is the other legal outcome
+        case None => fail("reader thread never finished")
+      }
+      // retirement itself completed: v1 is gone, the head reads fine
+      assert(SnapshotTable.headVersion(spark, base) == 2)
+      assert(SnapshotTable.readVersionData(spark, base, 2).count() == 9)
+    }
+  }
 }
