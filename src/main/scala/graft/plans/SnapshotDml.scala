@@ -22,9 +22,9 @@ import org.apache.spark.sql.types.{ByteType, DateType, IntegerType, LongType, Sh
   *    [[SnapshotTable.mergeInto]] / [[SnapshotTable.mergeIntoWith]] for
   *    the upsert fast paths, [[SnapshotTable.mergeIntoActions]] for the
   *    full clause surface (ordered conditional matched UPDATE/DELETE,
-  *    INSERT *, ordered NOT MATCHED BY SOURCE UPDATE/DELETE); only
-  *    non-key merge conditions, conditional inserts, and subqueries
-  *    refuse
+  *    ordered conditional INSERT *, ordered NOT MATCHED BY SOURCE
+  *    UPDATE/DELETE); only non-key merge conditions, partial-column
+  *    inserts, and subqueries refuse
   *  - a SELECT over a version carrying merge-on-read delete files
   *    rewrites into the same scan-minus-broadcast-anti-join plan the API
   *    read uses, so SQL readers see deletes applied instead of refused
@@ -343,15 +343,32 @@ case class SnapshotDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
           k.name == v.name && sOut.contains(v)
         case _ => false
       }
-    val insertUnmatched = m.notMatchedActions match {
-      case Nil => false
-      case Seq(InsertStarAction(None)) => true
-      case Seq(InsertAction(None, as)) if as.forall(srcIdentity) => true
+    // NOT MATCHED: ordered `[AND cond] THEN INSERT *` clauses (star or
+    // the analyzer's aligned-identity expansion). Every clause inserts
+    // the identical whole source row, so SQL's first-match semantics
+    // collapse to the OR of the clause conditions — one filtered insert
+    // leg in the engine op. Conditions are source-scoped per SQL (there
+    // is no target row); partial-column inserts stay refused.
+    val insertClauses: Seq[Option[Expression]] = m.notMatchedActions.map {
+      case InsertStarAction(c) => c
+      case InsertAction(c, as) if as.forall(srcIdentity) => c
       case _ => throw new UnsupportedOperationException(
-        "snapshot MERGE NOT MATCHED supports at most one unconditional " +
-          "INSERT * action — partial-column or conditional inserts are " +
+        "snapshot MERGE NOT MATCHED supports INSERT * actions " +
+          "(optionally conditional) only — partial-column inserts are " +
           "refused")
     }
+    for (c <- insertClauses.flatten)
+      require(c.references.subsetOf(sOut),
+        "snapshot MERGE NOT MATCHED condition may reference source " +
+          "columns only, got " + c.sql)
+    val insertUnmatched = insertClauses.nonEmpty
+    val insertCond: Option[Column] =
+      if (!insertUnmatched || insertClauses.exists(_.isEmpty)) None
+      else Some(insertClauses.flatten
+        .map(e => org.apache.spark.sql.functions.coalesce(
+          toCol(e, "MERGE NOT MATCHED"),
+          org.apache.spark.sql.functions.lit(false)))
+        .reduce(_ || _))
     // NOT MATCHED BY SOURCE: ordered UPDATE/DELETE clauses. SQL scopes
     // conditions AND update expressions to target columns (there is no
     // source row), and the engine applies them by BARE column name —
@@ -413,13 +430,17 @@ case class SnapshotDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
       }
     (m.matchedActions, bySource) match {
       // the pre-existing upsert fast paths — unconditional single
-      // matched UPDATE plus INSERT *, routed to the specialized ops
-      case (Seq(UpdateStarAction(None)), Nil) if insertUnmatched =>
+      // matched UPDATE plus unconditional INSERT *, routed to the
+      // specialized ops (a conditional insert takes the actions path)
+      case (Seq(UpdateStarAction(None)), Nil)
+          if insertUnmatched && insertCond.isEmpty =>
         SnapshotMergeCommand(h.base, key, maskReads(m.sourceTable))
       case (Seq(UpdateAction(None, as, _)), Nil)
-          if insertUnmatched && as.forall(srcIdentity) =>
+          if insertUnmatched && insertCond.isEmpty &&
+            as.forall(srcIdentity) =>
         SnapshotMergeCommand(h.base, key, maskReads(m.sourceTable))
-      case (Seq(UpdateAction(None, as, _)), Nil) if insertUnmatched =>
+      case (Seq(UpdateAction(None, as, _)), Nil)
+          if insertUnmatched && insertCond.isEmpty =>
         SnapshotMergeWithCommand(h.base, key, maskReads(m.sourceTable),
           updateSets(as))
       // GENERALIZED CDC surface — ordered conditional matched clauses
@@ -449,7 +470,7 @@ case class SnapshotDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
         require(matched.nonEmpty || insertUnmatched || bySource.nonEmpty,
           "snapshot MERGE needs at least one clause")
         SnapshotMergeActionsCommand(h.base, key, maskReads(m.sourceTable),
-          matched, insertUnmatched, bySource)
+          matched, insertUnmatched, bySource, insertCond)
     }
   }
 
@@ -511,20 +532,23 @@ case class SnapshotMergeWithCommand(base: String, key: String,
 }
 
 /** The generalized MERGE clause surface (`WHEN MATCHED [AND cond] THEN
-  * UPDATE/DELETE` × N in order, `WHEN NOT MATCHED THEN INSERT *`, `WHEN
-  * NOT MATCHED BY SOURCE [AND cond] THEN UPDATE/DELETE` × N in order) —
+  * UPDATE/DELETE` × N in order, `WHEN NOT MATCHED [AND cond] THEN
+  * INSERT *` × N in order — collapsed to one OR-of-conditions insert
+  * leg, since every clause inserts the identical row — and `WHEN NOT
+  * MATCHED BY SOURCE [AND cond] THEN UPDATE/DELETE` × N in order) —
   * [[SnapshotTable.mergeIntoActions]]: first-match clause semantics,
   * copy-on-write of only the in-scope dirs. */
 case class SnapshotMergeActionsCommand(base: String, key: String,
     source: LogicalPlan,
     matched: Seq[(Option[Column], SnapshotTable.MatchedAction)],
     insertUnmatched: Boolean,
-    bySource: Seq[(Option[Column], SnapshotTable.MatchedAction)])
+    bySource: Seq[(Option[Column], SnapshotTable.MatchedAction)],
+    insertCond: Option[Column] = None)
     extends LeafRunnableCommand {
   override def run(sparkSession: SparkSession): Seq[Row] = {
     SnapshotTable.mergeIntoActions(sparkSession, base, key,
       DatasetBridge.ofRows(sparkSession, source), matched,
-      insertUnmatched, bySource): Unit
+      insertUnmatched, bySource, insertCond): Unit
     Seq.empty
   }
 }

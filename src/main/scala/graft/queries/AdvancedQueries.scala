@@ -3879,6 +3879,82 @@ object AdvancedQueries {
         s"cents FROM $t GROUP BY pri ORDER BY pri")
     },
 
+    // CONDITIONAL NOT-MATCHED INSERT (the last hole in the MERGE clause
+    // matrix): ordered `WHEN NOT MATCHED [AND cond] THEN INSERT *`
+    // clauses — every clause inserts the identical whole source row, so
+    // first-match collapses to the OR of the (source-scoped,
+    // NULL-as-false) conditions; the second merge composes a
+    // conditional insert with first-match matched DELETE/UPDATE
+    // clauses. The oracle replays both merges relationally, so a
+    // condition evaluated against the wrong side, a NULL treated as
+    // true, or an insert leaking past its condition all hash-fail.
+    // Scale: the condition filters the SOURCE before the anti-join
+    // probe — the stored table is only ever touched at matched-dir
+    // granularity, exactly like the unconditional path.
+    "q_snapshot_sql_merge3" -> { (s, dir) =>
+      import graft.sources.{SnapshotTable => ST}
+      val sfN = new java.io.File(dir).getName
+      val fp = java.security.MessageDigest.getInstance("MD5")
+        .digest(graft.sources.Sinks.fingerprint(s, s"$dir/orders.parquet")
+          .getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString.take(10)
+      val root = s"/root/repo/target/tmp/sqlmrg3-$sfN-$fp"
+      val tbl = "orders_t"
+      val base = s"$root/$tbl"
+      val cat = s"gmrg3${sfN.replace(".", "")}$fp"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.SnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      s.conf.set(s"spark.sql.catalog.$cat.key.$tbl", "k")
+      val t = s"$cat.`$tbl`"
+      val bv = s"sqlmrg3_base_${sfN.replace(".", "")}"
+      Tables(s, dir, "orders")
+        .select(col("o_orderkey").as("k"), col("o_orderpriority").as("pri"),
+          cents(col("o_totalprice")).as("cents"))
+        .createOrReplaceTempView(bv)
+      def head = ST.headVersion(s, base)
+      def awaitHead(v: Int): Unit = {
+        var i = 0
+        while (head < v && i < 600) { Thread.sleep(100); i += 1 }
+        require(head >= v, s"snapshot $base stuck below v$v")
+      }
+      def step(at: Int, sql: String): Unit = {
+        if (head == at) {
+          try s.sql(sql).collect(): Unit
+          catch { // concurrent constructor won the claim — defer
+            case e: Exception if head > at => ()
+          }
+        }
+        awaitHead(at + 1)
+      }
+      step(0, s"CREATE TABLE $t (k BIGINT, pri STRING, cents BIGINT)")
+      step(1, s"INSERT INTO $t SELECT k, pri, cents FROM $bv")
+      // all source keys are unmatched: only rows passing EITHER ordered
+      // condition (even cents OR urgent priority) may insert
+      step(2,
+        s"""MERGE INTO $t AS tgt USING (
+           |  SELECT k + 4000000000 AS k, pri, cents FROM $bv
+           |  WHERE k % 10 = 3
+           |) AS src ON tgt.k = src.k
+           |WHEN NOT MATCHED AND src.cents % 2 = 0 THEN INSERT *
+           |WHEN NOT MATCHED AND src.pri = '1-URGENT' THEN INSERT *"""
+          .stripMargin)
+      // conditional insert composed with first-match matched clauses
+      step(3,
+        s"""MERGE INTO $t AS tgt USING (
+           |  SELECT k, pri, cents * 3 AS cents FROM $bv
+           |  WHERE k % 10 IN (2, 4)
+           |  UNION ALL
+           |  SELECT k + 5000000000, pri, cents FROM $bv WHERE k % 10 = 5
+           |) AS src ON tgt.k = src.k
+           |WHEN MATCHED AND tgt.cents % 5 = 0 THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET cents = tgt.cents + src.cents
+           |WHEN NOT MATCHED AND src.pri IN ('3-MEDIUM', '2-HIGH')
+           |THEN INSERT *""".stripMargin)
+      require(head == 4, s"merge chain must land at v4, got v$head")
+      s.sql(s"SELECT pri, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS " +
+        s"cents FROM $t GROUP BY pri ORDER BY pri")
+    },
+
     // WRITE-AUDIT-PUBLISH (SnapshotTable.createTag/createBranch/
     // publishBranch via CALL + VERSION AS OF '<ref>'): a zero-copy
     // branch forks main's head, WAP writers mutate the BRANCH base
@@ -4562,6 +4638,35 @@ object AdvancedQueries {
          |  FROM v4)
          |SELECT pri, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS cents
          |FROM v5 GROUP BY pri ORDER BY pri""".stripMargin,
+
+    // relational replay of both merges: v3 = base plus the shifted rows
+    // passing either ordered insert condition; v4 = first-match matched
+    // DELETE/UPDATE over v3 plus the condition-filtered unmatched leg
+    "q_snapshot_sql_merge3" ->
+      s"""WITH base AS (SELECT o_orderkey AS k, o_orderpriority AS pri,
+         |    ${CENTS("o_totalprice")} AS cents FROM orders),
+         |s1 AS (SELECT k + 4000000000 AS k, pri, cents FROM base
+         |  WHERE k % 10 = 3),
+         |v3 AS (SELECT k, pri, cents FROM base
+         |  UNION ALL
+         |  SELECT k, pri, cents FROM s1
+         |  WHERE cents % 2 = 0 OR pri = '1-URGENT'),
+         |s2 AS (SELECT k, pri, cents * 3 AS cents FROM base
+         |    WHERE k % 10 IN (2, 4)
+         |  UNION ALL
+         |  SELECT k + 5000000000, pri, cents FROM base WHERE k % 10 = 5),
+         |m AS (SELECT t.k, t.pri,
+         |    CASE WHEN s.k IS NOT NULL AND t.cents % 5 <> 0
+         |      THEN t.cents + s.cents ELSE t.cents END AS cents,
+         |    (s.k IS NOT NULL AND t.cents % 5 = 0) AS dropped
+         |  FROM v3 t LEFT JOIN s2 s ON t.k = s.k),
+         |v4 AS (SELECT k, pri, cents FROM m WHERE NOT dropped
+         |  UNION ALL
+         |  SELECT s.k, s.pri, s.cents FROM s2 s
+         |  WHERE s.k NOT IN (SELECT k FROM v3)
+         |    AND s.pri IN ('3-MEDIUM', '2-HIGH'))
+         |SELECT pri, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS cents
+         |FROM v4 GROUP BY pri ORDER BY pri""".stripMargin,
 
     // v3 = the two appended quarters, v4 = the overwrite's quarter only
     "q_snapshot_sql_insert" ->

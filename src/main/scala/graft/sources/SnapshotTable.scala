@@ -1349,6 +1349,13 @@ object SnapshotTable {
     *     all evaluated against the OLD row simultaneously.
     *   - `insertUnmatched`: `WHEN NOT MATCHED THEN INSERT *` — source
     *     rows whose key is absent from the stored rows append whole.
+    *     `insertCond` narrows it (`WHEN NOT MATCHED AND cond THEN
+    *     INSERT *`): only unmatched rows satisfying the condition
+    *     insert (NULL = no, per SQL). The condition sees bare SOURCE
+    *     column names — there is no target row to reference. Ordered
+    *     conditional INSERT * clauses all insert the identical row, so
+    *     SQL's first-match collapses to the OR of their conditions —
+    *     which is exactly what callers pass here.
     *   - `bySource`: ordered `WHEN NOT MATCHED BY SOURCE [AND cond]
     *     THEN UPDATE/DELETE` clauses (first-match, like `matched`) over
     *     stored rows whose key is absent from the source. Conditions and
@@ -1373,7 +1380,9 @@ object SnapshotTable {
       matched: Seq[(Option[org.apache.spark.sql.Column], MatchedAction)],
       insertUnmatched: Boolean,
       bySource: Seq[(Option[org.apache.spark.sql.Column], MatchedAction)] =
-        Nil): RewriteReport = {
+        Nil,
+      insertCond: Option[org.apache.spark.sql.Column] = None)
+      : RewriteReport = {
     val head = headVersion(spark, base)
     require(head >= 1, s"no committed snapshot under $base to merge into")
     val snap = manifest(spark, base, head)
@@ -1507,10 +1516,15 @@ object SnapshotTable {
           }.as(c)
         }: _*))
       }
+    // conditional insert: filter the SOURCE side before the anti-join
+    // (cheaper — the probe against stored keys sees fewer rows, and the
+    // condition references source columns only, so order is free)
+    val insertSrc = insertCond.foldLeft(aligned)((df, c) =>
+      df.where(coalesce(c, lit(false))))
     val inserts: Option[DataFrame] =
       if (!insertUnmatched) None
-      else if (hitMatched.isEmpty) Some(aligned)
-      else Some(aligned.join(
+      else if (hitMatched.isEmpty) Some(insertSrc)
+      else Some(insertSrc.join(
         readData(spark, snap, hitMatched.toSeq.sorted)
           .select(col(keyCol)).distinct(),
         Seq(keyCol), "left_anti")

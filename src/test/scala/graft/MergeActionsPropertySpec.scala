@@ -64,7 +64,18 @@ class MergeActionsPropertySpec extends SparkTestBase {
         case 2 => if (tb % 2 == 0) Some((ta, tb + 1000L)) else None
         case _ => Some((sa, sb))
       }
-      val insert = rnd.nextBoolean()
+      // insert leg: absent / unconditional / conditional (`WHEN NOT
+      // MATCHED AND cond THEN INSERT *` — source-scoped condition,
+      // NULL-as-false first-match collapse)
+      val iv = rnd.nextInt(3)
+      val insert = iv > 0
+      val insertCond: Option[org.apache.spark.sql.Column] =
+        if (iv == 2) Some(col("a") % 2 === 0 && col("b") < 8) else None
+      def simInsert(sa: Long, sb: Long): Boolean = iv match {
+        case 1 => true
+        case 2 => sa % 2 == 0 && sb < 8
+        case _ => false
+      }
       val bv = rnd.nextInt(3)
       val bySource: Seq[(Option[org.apache.spark.sql.Column], MatchedAction)] =
         bv match {
@@ -87,7 +98,7 @@ class MergeActionsPropertySpec extends SparkTestBase {
       } else {
         val headBefore = SnapshotTable.headVersion(spark, base)
         SnapshotTable.mergeIntoActions(spark, base, "k", src,
-          matched, insert, bySource)
+          matched, insert, bySource, insertCond)
         // simulate: stored rows through the clause matrix, then inserts
         val afterRows = expected.flatMap { case (k, (ta, tb)) =>
           srcMap.get(k) match {
@@ -97,7 +108,8 @@ class MergeActionsPropertySpec extends SparkTestBase {
         }
         val inserts =
           if (!insert) Map.empty[Long, (Long, Long)]
-          else srcMap.filter { case (k, _) => !expected.contains(k) }
+          else srcMap.filter { case (k, (sa, sb)) =>
+            !expected.contains(k) && simInsert(sa, sb) }
         expected = afterRows ++ inserts
         val head = SnapshotTable.headVersion(spark, base)
         // a no-op-scope merge without inserts legitimately skips the
