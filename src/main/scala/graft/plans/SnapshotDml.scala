@@ -349,9 +349,18 @@ case class SnapshotDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
     // collapse to the OR of the clause conditions — one filtered insert
     // leg in the engine op. Conditions are source-scoped per SQL (there
     // is no target row); partial-column inserts stay refused.
+    // identity assignments must cover EVERY target column to count as
+    // the aligned-star shape: `INSERT (k) VALUES (s.k)` also arrives as
+    // all-identity assignments, and treating it as star would silently
+    // insert columns the statement never named
+    def identityStar(as: Seq[Assignment]): Boolean =
+      as.forall(srcIdentity) && as.map(_.key match {
+        case a: AttributeReference => a.name
+        case other => other.sql
+      }).distinct.length == m.targetTable.schema.fieldNames.length
     val insertClauses: Seq[Option[Expression]] = m.notMatchedActions.map {
       case InsertStarAction(c) => c
-      case InsertAction(c, as) if as.forall(srcIdentity) => c
+      case InsertAction(c, as) if identityStar(as) => c
       case _ => throw new UnsupportedOperationException(
         "snapshot MERGE NOT MATCHED supports INSERT * actions " +
           "(optionally conditional) only — partial-column inserts are " +

@@ -4038,6 +4038,96 @@ object AdvancedQueries {
            |ORDER BY phase, pri""".stripMargin)
     },
 
+    // BRANCH-ADDRESSED SQL WRITES (SnapshotCatalog's <tbl>.branch_<name>
+    // nested table): the write half of write-audit-publish entirely in
+    // SQL — INSERT INTO t.branch_audit lands a branch version through
+    // the same V1Write path as main, UPDATE t.branch_audit rides
+    // SnapshotDmlRule against the branch base, main's head never moves
+    // until CALL fast_forward flips visibility atomically. The oracle
+    // replays the branch mutations relationally against phase 1 (main's
+    // pre-publish v1), so a write that leaked to main, a lost branch
+    // version, or an update applied outside the branch all hash-fail.
+    // Scale: a branch version is one manifest commit; the fork is
+    // zero-copy (dirs shared by reference) at any table size.
+    "q_snapshot_wap2" -> { (s, dir) =>
+      import graft.sources.{SnapshotTable => ST}
+      val sfN = new java.io.File(dir).getName
+      val fp = java.security.MessageDigest.getInstance("MD5")
+        .digest(graft.sources.Sinks.fingerprint(s, s"$dir/orders.parquet")
+          .getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString.take(10)
+      val root = s"/root/repo/target/tmp/wap2-$sfN-$fp"
+      val tbl = "orders_t"
+      val base = s"$root/$tbl"
+      val cat = s"gwap2${sfN.replace(".", "")}$fp"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.SnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      s.conf.set(s"spark.sql.catalog.$cat.key.$tbl", "k")
+      val t = s"$cat.`$tbl`"
+      val bv = s"wap2_base_${sfN.replace(".", "")}"
+      Tables(s, dir, "orders")
+        .select(col("o_orderkey").as("k"),
+          col("o_orderpriority").as("pri"),
+          cents(col("o_totalprice")).as("cents"))
+        .createOrReplaceTempView(bv)
+      graft.sources.Sinks.ensureDir(s, s"$base/d1", "v1:wap2_base",
+        inputs = Seq(s"$dir/orders.parquet")) {
+        s.table(bv).write.mode("overwrite").parquet(s"$base/d1")
+      }
+      ST.commit(s, base, 1, ST.Snapshot(Seq(s"$base/d1"), Nil))
+      val bb = ST.branchBase(base, "audit")
+      def bHead = ST.headVersion(s, bb)
+      def mHead = ST.headVersion(s, base)
+      def await(cur: () => Int, v: Int): Unit = {
+        var i = 0
+        while (cur() < v && i < 600) { Thread.sleep(100); i += 1 }
+        require(cur() >= v, s"WAP2 fixture stuck below v$v")
+      }
+      def guarded(at: Int, cur: () => Int)(op: => Unit): Unit = {
+        if (cur() == at) {
+          try op catch { case e: Exception if cur() > at => () }
+        }
+        await(cur, at + 1)
+      }
+      guarded(0, () => bHead) {
+        s.sql(s"CALL $cat.system.create_branch('$tbl', 'audit')")
+          .collect(): Unit
+      }
+      // SQL writes address the BRANCH: one branch version per statement
+      guarded(1, () => bHead) {
+        s.sql(s"INSERT INTO $cat.`$tbl`.branch_audit " +
+          s"SELECT k + 7000000000, pri, cents FROM $bv WHERE k % 10 = 9")
+          .collect(): Unit
+      }
+      guarded(2, () => bHead) {
+        s.sql(s"UPDATE $cat.`$tbl`.branch_audit SET cents = cents + 5 " +
+          "WHERE pri = '2-HIGH'").collect(): Unit
+      }
+      // pre-publish audit: branch grew, main did not (deferred to a
+      // concurrent publisher, like every step)
+      if (mHead == 1) {
+        try require(
+          s.sql(s"SELECT COUNT(*) FROM $cat.`$tbl`.branch_audit")
+            .head.getLong(0) > s.sql(s"SELECT COUNT(*) FROM $t")
+            .head.getLong(0),
+          "pre-publish: branch inserts must be invisible to main")
+        catch { case e: Exception if mHead > 1 => () }
+      }
+      guarded(1, () => mHead) {
+        s.sql(s"CALL $cat.system.fast_forward('$tbl', 'audit')")
+          .collect(): Unit
+      }
+      s.sql(
+        s"""SELECT CAST(1 AS BIGINT) AS phase, pri, COUNT(*) AS n,
+           |  CAST(SUM(cents) AS BIGINT) AS cents
+           |FROM $t VERSION AS OF 1 GROUP BY pri
+           |UNION ALL
+           |SELECT CAST(2 AS BIGINT), pri, COUNT(*),
+           |  CAST(SUM(cents) AS BIGINT)
+           |FROM $t GROUP BY pri
+           |ORDER BY phase, pri""".stripMargin)
+    },
+
     // SQL WRITES AS SNAPSHOT VERSIONS (SnapshotTableHandle's V1Write):
     // CREATE TABLE commits v1 (empty, schema-carrying), each INSERT INTO
     // commits exactly one version appending one dir, INSERT OVERWRITE
@@ -4706,6 +4796,29 @@ object AdvancedQueries {
          |  CAST(SUM(CASE WHEN pri = '1-URGENT' THEN cents + 7
          |    ELSE cents END) AS BIGINT)
          |FROM base WHERE pri <> '5-LOW' GROUP BY pri
+         |ORDER BY phase, pri""".stripMargin,
+
+    // phase 1 = main's v1 (full orders); phase 2 = the published branch:
+    // the shifted k%10=9 rows appended and every 2-HIGH row's cents
+    // bumped by the branch UPDATE — a write leaked to main pre-publish
+    // or an update applied outside the branch hash-fails
+    "q_snapshot_wap2" ->
+      s"""WITH base AS (SELECT o_orderkey AS k, o_orderpriority AS pri,
+         |    ${CENTS("o_totalprice")} AS cents FROM orders),
+         |aug AS (SELECT k, pri, cents FROM base
+         |  UNION ALL
+         |  SELECT k + 7000000000, pri, cents FROM base WHERE k % 10 = 9),
+         |pub AS (SELECT k, pri,
+         |    CASE WHEN pri = '2-HIGH' THEN cents + 5 ELSE cents END
+         |      AS cents
+         |  FROM aug)
+         |SELECT CAST(1 AS BIGINT) AS phase, pri, COUNT(*) AS n,
+         |  CAST(SUM(cents) AS BIGINT) AS cents
+         |FROM base GROUP BY pri
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT), pri, COUNT(*),
+         |  CAST(SUM(cents) AS BIGINT)
+         |FROM pub GROUP BY pri
          |ORDER BY phase, pri""".stripMargin,
 
     // v1 = the pre-widening half summed under its original int type;

@@ -32,6 +32,9 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *   UPDATE snap.t SET ... WHERE / MERGE INTO snap.t  -- via SnapshotDmlRule
   *   ALTER TABLE snap.t ADD COLUMNS / RENAME COLUMN / DROP COLUMN
   *   DROP TABLE snap.t
+  *   INSERT INTO snap.t.branch_wip ...   -- branch-addressed write (WAP):
+  *     -- one BRANCH version per write; audit via VERSION AS OF 'wip',
+  *     -- publish via CALL snap.system.fast_forward('t', 'wip')
   * }}}
   *
   * Each table name is a child dir of `root` holding `_MANIFEST_v*` files;
@@ -91,17 +94,36 @@ class SnapshotCatalog extends TableCatalog with ProcedureCatalog {
   }
 
   private def keyFor(ident: Identifier): Option[String] =
-    keyCols.get(ident.name().toLowerCase(java.util.Locale.ROOT))
+    keyForName(ident.name())
 
-  /** `<cat>.<tbl>.history` — the metadata table ([[SnapshotTable
-    * .history]]): version-count-sized rows computed driver-side at
+  private def keyForName(tbl: String): Option[String] =
+    keyCols.get(tbl.toLowerCase(java.util.Locale.ROOT))
+
+  /** `<cat>.<tbl>.history` / `.refs` — metadata tables ([[SnapshotTable
+    * .history]] etc.): version-count-sized rows computed driver-side at
     * resolution and served through a local DSv2 batch, so the SQL
-    * surface needs no files. Any other nested name refuses. */
+    * surface needs no files. `<cat>.<tbl>.branch_<name>` — the BRANCH
+    * as a full read/write table (the write half of write-audit-publish
+    * through SQL: `INSERT INTO snap.t.branch_wip ...`, UPDATE/MERGE/
+    * DELETE likewise — every mutation commits a branch version, main
+    * readers see nothing until fast_forward publishes). Any other
+    * nested name refuses. */
   private def metadataTable(ident: Identifier): Option[Table] = {
     if (ident.namespace().length != 1) return None
-    val base = s"$root/${ident.namespace()(0)}"
+    val tbl = ident.namespace()(0)
+    val base = s"$root/$tbl"
     if (SnapshotTable.headVersion(spark, base) == 0)
       throw new NoSuchTableException(ident)
+    if (ident.name().startsWith("branch_")) {
+      val bname = ident.name().stripPrefix("branch_")
+      val bb = SnapshotTable.branchBase(base, bname)
+      if (SnapshotTable.headVersion(spark, bb) < 1)
+        throw new NoSuchTableException(ident)
+      // the branch is a first-class snapshot table nested under main:
+      // key column (DML surface) inherited from the parent declaration
+      return Some(tableFor(ident, tbl, s"$tbl.branch_$bname", None,
+        baseOverride = Some(bb)))
+    }
     ident.name() match {
       case "history" =>
         val rows = SnapshotTable.history(spark, base).map(h =>
@@ -175,33 +197,40 @@ class SnapshotCatalog extends TableCatalog with ProcedureCatalog {
         timestampMicros / 1000L)))
 
   private def tableAt(ident: Identifier, version: Option[Int],
-      baseOverride: Option[String] = None): Table = {
+      baseOverride: Option[String] = None): Table =
+    tableFor(ident, ident.name(), ident.name(), version, baseOverride)
+
+  /** Handle construction shared by plain tables and branch tables:
+    * `tbl` is the PARENT table name (key-column lookup), `display` the
+    * SQL-facing name (`t` or `t.branch_wip`). */
+  private def tableFor(ident: Identifier, tbl: String, display: String,
+      version: Option[Int], baseOverride: Option[String]): Table = {
     val base = baseOverride.getOrElse(basePath(ident))
     val head = SnapshotTable.headVersion(spark, base)
     if (head == 0) throw new NoSuchTableException(ident)
     val v = version.getOrElse(head)
     val snap = SnapshotTable.manifest(spark, base, v)
-    val keyCol = keyFor(ident)
+    val keyCol = keyForName(tbl)
     // a delete-carrying version is only SQL-readable when the key column
     // is declared (SnapshotDmlRule then plans the broadcast-anti-join
     // merge-on-read read); undeclared → refuse rather than serve rows the
     // version erased
     require(snap.deleteDirs.isEmpty || keyCol.isDefined,
-      s"$catName.${ident.name()} v$v carries merge-on-read delete files " +
+      s"$catName.$display v$v carries merge-on-read delete files " +
         "— a bare SQL parquet scan cannot apply key masks; declare the " +
-        s"table's key (spark.sql.catalog.$catName.key.${ident.name()}) " +
+        s"table's key (spark.sql.catalog.$catName.key.$tbl) " +
         "to enable merge-on-read SQL reads, SnapshotTable.compact() the " +
         "table first, or read through SnapshotTable.readVersion")
     val schema: StructType = SnapshotTable.tableSchema(spark, snap)
     for (k <- keyCol)
       require(schema.fieldNames.contains(k),
-        s"declared key column $k is not in $catName.${ident.name()}'s " +
+        s"declared key column $k is not in $catName.$display's " +
           s"v$v schema ${schema.fieldNames.toSeq}")
-    val delegate = ParquetTable(s"$catName.${ident.name()}@v$v", spark,
+    val delegate = ParquetTable(s"$catName.$display@v$v", spark,
       CaseInsensitiveStringMap.empty(), snap.dataDirs,
       Some(schema), classOf[ParquetFileFormat])
     new SnapshotTableHandle(base, v, snap, keyCol,
-      s"$catName.${ident.name()}@v$v", schema, delegate)
+      s"$catName.$display@v$v", schema, delegate)
   }
 
   /** CREATE TABLE — commits v1 as ONE EMPTY data dir at the declared

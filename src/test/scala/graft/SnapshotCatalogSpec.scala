@@ -236,12 +236,14 @@ class SnapshotCatalogSpec extends SparkTestBase {
       spark.sql("UPDATE snapdml2.t SET v = (SELECT max(v) FROM snapdml2.t)")
     }
     assert(e.getMessage.contains("subquer"), e.getMessage)
-    // matched INSERT shapes beyond unconditional INSERT * still refuse
+    // conditional INSERT * is supported (merge3 surface); the refusal
+    // boundary is now PARTIAL-COLUMN inserts — which would silently
+    // NULL-pad the unnamed columns if allowed
     val e2 = intercept[Exception] {
       spark.sql("MERGE INTO snapdml2.t USING snapdml2.nokey AS s " +
-        "ON t.k = s.k WHEN NOT MATCHED AND s.k > 0 THEN INSERT *")
+        "ON t.k = s.k WHEN NOT MATCHED THEN INSERT (k) VALUES (s.k)")
     }
-    assert(e2.getMessage.contains("INSERT"), e2.getMessage)
+    assert(e2.getMessage.toLowerCase.contains("insert"), e2.getMessage)
     // merge condition must be the declared key equality
     val e3 = intercept[Exception] {
       spark.sql("MERGE INTO snapdml2.t USING snapdml2.nokey AS s " +
@@ -513,6 +515,68 @@ class SnapshotCatalogSpec extends SparkTestBase {
     val refs2 = spark.sql("SELECT name FROM snapwap1.t.refs ORDER BY name")
       .collect().map(_.getString(0))
     assert(refs2.toSeq == Seq("audit"), refs2.toSeq.toString)
+  }
+
+  test("branch-addressed SQL writes: INSERT/UPDATE/DELETE/MERGE into " +
+      "<tbl>.branch_<name> commit branch versions invisible to main " +
+      "until fast_forward; stale re-publish refuses") {
+    val root = Files.createTempDirectory("snapwapw").toString
+    setupCatalog("snapwapw1", root, "t" -> "k")
+    spark.sql("CREATE TABLE snapwapw1.t (k BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO snapwapw1.t SELECT id, id * 2 FROM range(10)")
+    val base = s"$root/t"
+    // writing to a branch that does not exist refuses loudly
+    intercept[Exception] {
+      spark.sql("INSERT INTO snapwapw1.t.branch_wip VALUES (100, 200)")
+    }
+    assert(spark.sql("CALL snapwapw1.system.create_branch('t', 'wip')")
+      .head.getInt(0) == 2)
+    val bb = ST.branchBase(base, "wip")
+    // the full SQL write surface against the BRANCH table — one branch
+    // version per statement, main's head never moves
+    spark.sql(
+      "INSERT INTO snapwapw1.t.branch_wip VALUES (100, 200), (101, 202)")
+    spark.sql(
+      "UPDATE snapwapw1.t.branch_wip SET v = v + 1 WHERE k = 100")
+    spark.sql("DELETE FROM snapwapw1.t.branch_wip WHERE k = 0")
+    spark.sql(
+      """MERGE INTO snapwapw1.t.branch_wip AS t USING (
+        |  SELECT 101 AS k, 999 AS v UNION ALL SELECT 102, 204
+        |) AS s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(ST.headVersion(spark, bb) == 5,
+      s"4 SQL writes after the clone must land bb at v5, got " +
+        s"v${ST.headVersion(spark, bb)}")
+    // audit reads: the nested branch table AND the named-ref spelling
+    // agree (base 1..9 = 90, plus 201 + 999 + 204)
+    for (src <- Seq("snapwapw1.t.branch_wip",
+        "snapwapw1.t VERSION AS OF 'wip'")) {
+      val r = spark.sql(s"SELECT COUNT(*) AS n, SUM(v) AS s FROM $src")
+        .head
+      assert((r.getLong(0), r.getLong(1)) == ((12L, 1494L)), src)
+    }
+    // main is untouched pre-publish
+    assert(spark.sql("SELECT COUNT(*) FROM snapwapw1.t")
+      .head.getLong(0) == 10)
+    assert(ST.headVersion(spark, base) == 2)
+    // publish = the atomic visibility flip
+    assert(spark.sql("CALL snapwapw1.system.fast_forward('t', 'wip')")
+      .head.getInt(0) == 3)
+    val m = spark.sql("SELECT COUNT(*) AS n, SUM(v) AS s FROM snapwapw1.t")
+      .head
+    assert((m.getLong(0), m.getLong(1)) == ((12L, 1494L)))
+    // main advanced past the fork: further branch writes still commit
+    // (audit continues) but a RE-publish refuses as stale instead of
+    // silently dropping main's newer history
+    spark.sql("INSERT INTO snapwapw1.t.branch_wip VALUES (500, 0)")
+    val e = intercept[Exception] {
+      spark.sql("CALL snapwapw1.system.fast_forward('t', 'wip')")
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(x => Option(x.getMessage).getOrElse(""))
+      .mkString("; ")
+    assert(msgs.contains("stale") || msgs.contains("advanced"), msgs)
   }
 
   test("CALL analyze computes missing dir bounds incrementally and " +
