@@ -702,6 +702,103 @@ object AdvancedQueries {
         .orderBy("o_orderpriority")
     },
 
+    // CDF STREAM FROM A NAMED REF (startingRef — the WAP audit consumer):
+    // the stream opens on a BRANCH and tails its commits as writers land
+    // them, before any publish — offsets are the branch's own version
+    // numbers starting after the v1 fork clone (the content the consumer
+    // already has). Three branch commits land live (append, merge-on-read
+    // delete, append), with a full QUERY RESTART between the first and
+    // second: the new query resumes from the checkpointed frontier and
+    // must re-deliver nothing (require-pinned on the second query's
+    // observed versions). The final result folds fork baseline + net
+    // change feed; the oracle replays branch head state from the base
+    // table, so a skipped window, a re-delivered window, or an unapplied
+    // delete all hash-fail. Scale: discovery is one listing per trigger,
+    // each batch is O(manifest) pointers, each fold O(delta dirs).
+    "q_stream_snapshot_branch" -> { (s, dir) =>
+      import graft.sources.{SnapshotTable => ST}
+      val root = new java.io.File(
+        s"/root/repo/target/tmp/stream_snapbr-${new java.io.File(dir).getName}")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete(): Unit
+      }
+      if (root.exists) rm(root)
+      val base = s"$root/tbl"
+      new java.io.File(base).mkdirs()
+      val epochs = s"$root/epochs"
+      val key = "o_orderkey"
+      val slices = snapCdfSliceLayer(s, dir) // write-once input data
+      val fmt = classOf[graft.sources.SnapshotCdfSource].getName
+      ST.commit(s, base, 1, ST.Snapshot(Seq(s"$slices/d0"), Nil))
+      ST.createBranch(s, base, "audit")
+      val bb = ST.branchBase(base, "audit")
+      val seen2 = scala.collection.mutable.ListBuffer.empty[Int]
+      def fold(b: DataFrame, sink: Option[scala.collection.mutable
+          .ListBuffer[Int]]): Unit = {
+        val vs = b.select("version").collect()
+          .map(_.getLong(0).toInt).toSeq.sorted
+        sink.foreach(l => l.synchronized { l ++= vs })
+        for (v <- vs) {
+          val out = s"$epochs/v$v"
+          if (!new java.io.File(out, "_SUCCESS").exists)
+            ST.readChanges(s, bb, v - 1, v, key)
+              .write.mode("overwrite").parquet(out)
+        }
+      }
+      graft.streaming.StreamingOps.withStreamShuffle(s) {
+        def start(sink: Option[scala.collection.mutable
+            .ListBuffer[Int]]) =
+          s.readStream.format(fmt).option("startingRef", "audit")
+            .load(base)
+            .writeStream.option("checkpointLocation", s"$root/cp")
+            .foreachBatch((b: DataFrame, _: Long) => fold(b, sink))
+            .start()
+        val q1 = start(None)
+        try {
+          // branch commit 1: append slice d1 (bb v2)
+          val m1 = ST.manifest(s, bb, 1)
+          ST.commit(s, bb, 2, m1.copy(dataDirs = m1.dataDirs :+
+            s"$slices/d1"))
+          q1.processAllAvailable()
+        } finally q1.stop()
+        require(new java.io.File(s"$epochs/v2/_SUCCESS").exists,
+          "the first query must fold the pre-restart branch commit")
+        // branch commit 2 lands while NO query runs (the restart gap)
+        val v3 = ST.deleteWhere(s, bb, key,
+          pmod(md5Long(col(key).cast("string")), lit(7)) === 2)
+        require(v3 == 3, s"branch delete landed at v$v3, expected v3")
+        // restart: same checkpoint — resumes at the committed frontier
+        val q2 = start(Some(seen2))
+        try {
+          q2.processAllAvailable()
+          // branch commit 3: append slice d2 (bb v4), observed live
+          val m3 = ST.manifest(s, bb, 3)
+          ST.commit(s, bb, 4, m3.copy(dataDirs = m3.dataDirs :+
+            s"$slices/d2"))
+          q2.processAllAvailable()
+        } finally q2.stop()
+      }
+      val got2 = seen2.synchronized { seen2.toList }
+      require(!got2.contains(2),
+        s"restart re-delivered the committed v2 window: $got2")
+      require(got2.sorted == List(3, 4),
+        s"restarted query must deliver exactly v3,v4: $got2")
+      // fork baseline (the branch's v1 clone) + net fold of the feed
+      val baseline = ST.readVersion(s, bb, 1, key)
+        .withColumn("change", lit("insert"))
+      val all = baseline.unionByName(
+        (2 to 4).map(v => s.read.parquet(s"$epochs/v$v"))
+          .reduce(_.unionByName(_, allowMissingColumns = true)),
+        allowMissingColumns = true)
+      val net = all.where(col("change") === "insert")
+        .join(broadcast(all.where(col("change") === "delete")
+          .select(col(key))), Seq(key), "left_anti")
+      net.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"))
+        .orderBy("o_orderpriority")
+    },
+
     // STREAMING TOKEN PACKER (StreamingOps.packOffsets — the LLM
     // pretraining pack op run incrementally): per shard, each arriving
     // document gets its OFFSET in the shard's concatenated token stream,
@@ -5199,6 +5296,19 @@ object AdvancedQueries {
          |WHERE ${MD5LONG("CAST(o_orderkey AS VARCHAR)")} % 4 IN (0, 1, 2)
          |  AND NOT (${MD5LONG("CAST(o_orderkey AS VARCHAR)")} % 4 IN (0, 1)
          |    AND ${MD5LONG("CAST(o_orderkey AS VARCHAR)")} % 5 = 3)
+         |GROUP BY o_orderpriority
+         |ORDER BY o_orderpriority""".stripMargin,
+
+    // branch-head replay from the base table: slices 0..2 present, minus
+    // the branch delete (m7=2 over the first two slices — slice 2 landed
+    // after the delete, and its keys are disjoint from the delete file)
+    "q_stream_snapshot_branch" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n_orders,
+         |  CAST(SUM(${CENTS("o_totalprice")}) AS BIGINT) AS sum_cents
+         |FROM orders
+         |WHERE ${MD5LONG("CAST(o_orderkey AS VARCHAR)")} % 4 IN (0, 1, 2)
+         |  AND NOT (${MD5LONG("CAST(o_orderkey AS VARCHAR)")} % 4 IN (0, 1)
+         |    AND ${MD5LONG("CAST(o_orderkey AS VARCHAR)")} % 7 = 2)
          |GROUP BY o_orderpriority
          |ORDER BY o_orderpriority""".stripMargin,
 

@@ -36,7 +36,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * `maxVersionsPerTrigger` paces a backlog (a consumer down for a day
   * must not fold a thousand commits in one batch);
   * `startingVersion` opens the stream mid-history (default 1 — from the
-  * baseline). Vacuuming versions ABOVE a consumer's committed frontier
+  * baseline); `startingRef` opens it at a NAMED ref — since a tag, or
+  * the branch-local commits of a WAP branch (the audit consumer tails
+  * the branch as writers land versions, before any publish).
+  * Vacuuming versions ABOVE a consumer's committed frontier
   * breaks its replay loudly (readChanges on a dropped manifest fails);
   * below the frontier it is invisible, matching the retention contract.
   */
@@ -65,17 +68,43 @@ final class SnapshotCdfTable(base: String) extends Table with SupportsRead {
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
-      override def build(): Scan = new SnapshotCdfScan(base,
-        Option(options.get("maxVersionsPerTrigger")).map { v =>
+      override def build(): Scan = {
+        val maxV = Option(options.get("maxVersionsPerTrigger")).map { v =>
           val n = v.toInt
           require(n > 0, s"maxVersionsPerTrigger must be positive, got $n")
           n
-        },
-        Option(options.get("startingVersion")).map { v =>
+        }
+        val startV = Option(options.get("startingVersion")).map { v =>
           val n = v.toInt
           require(n >= 1, s"startingVersion must be >= 1, got $n")
           n
-        }.getOrElse(1))
+        }
+        // `startingRef` opens the stream at a NAMED ref (driver-side
+        // resolution, one listing + one tiny ref read):
+        //  - a TAG means "changes since the tagged version" — the tag is
+        //    an immutable checkpoint, so restarts re-resolve identically;
+        //  - a BRANCH means "the branch's own commits" — the stream
+        //    rebases onto the branch base starting AFTER its v1 fork
+        //    clone (the fork content is what the consumer already has),
+        //    which is how a WAP auditor tails branch writes as they land.
+        val ref = Option(options.get("startingRef"))
+        require(startV.isEmpty || ref.isEmpty,
+          "startingVersion and startingRef are mutually exclusive")
+        val (effBase, start) = ref match {
+          case None => (base, startV.getOrElse(1))
+          case Some(r) =>
+            val spark = org.apache.spark.sql.SparkSession.active
+            SnapshotTable.readTagVersion(spark, base, r) match {
+              case Some(v) => (base, v + 1)
+              case None =>
+                val bb = SnapshotTable.branchBase(base, r)
+                require(SnapshotTable.headVersion(spark, bb) >= 1,
+                  s"startingRef '$r' names no tag or branch under $base")
+                (bb, 2)
+            }
+        }
+        new SnapshotCdfScan(effBase, maxV, start)
+      }
     }
 }
 

@@ -143,6 +143,51 @@ class SnapshotCdfStreamSpec extends SparkTestBase {
     assert(seen2.toList == List(Seq(3)), seen2.toString)
   }
 
+  test("startingRef opens at a named ref: a tag streams the versions " +
+      "SINCE it, a branch streams the branch's own commits; combining " +
+      "with startingVersion or naming a missing ref refuses") {
+    val root = freshRoot()
+    val base = s"$root/tbl"
+    writeKv(s"$base/d1", 0, 10)
+    ST.commit(spark, base, 1, Snapshot(Seq(s"$base/d1"), Nil))
+    ST.createTag(spark, base, "rel", 1)
+    writeKv(s"$base/d2", 10, 20)
+    ST.commit(spark, base, 2, Snapshot(Seq(s"$base/d1", s"$base/d2"), Nil))
+    ST.deleteWhere(spark, base, "k", col("k") === 5): Unit // v3
+    def drain(opts: (String, String)*): List[Seq[Int]] = {
+      val seen = scala.collection.mutable.ListBuffer.empty[Seq[Int]]
+      val cp = Files.createTempDirectory("cdfref").toString
+      val reader = opts.foldLeft(spark.readStream.format(fmt)) {
+        case (r, (k, v)) => r.option(k, v)
+      }
+      val q = reader.load(base)
+        .writeStream.option("checkpointLocation", cp)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          val vs = b.select("version").collect()
+            .map(_.getLong(0).toInt).toSeq.sorted
+          if (vs.nonEmpty) seen.synchronized { seen += vs }
+          ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      seen.toList
+    }
+    // tag = "changes since the tagged version": v2 and v3 only
+    assert(drain("startingRef" -> "rel",
+      "maxVersionsPerTrigger" -> "1") == List(Seq(2), Seq(3)))
+    // branch = the branch's own commits, none yet right after the fork
+    ST.createBranch(spark, base, "wip")
+    val bb = ST.branchBase(base, "wip")
+    assert(drain("startingRef" -> "wip") == Nil)
+    // a branch commit lands → the ref stream emits the branch version
+    ST.deleteWhere(spark, bb, "k", col("k") === 7): Unit // bb v2
+    assert(drain("startingRef" -> "wip") == List(Seq(2)))
+    // refusals: ambiguous start, unknown ref
+    intercept[Exception] {
+      drain("startingRef" -> "rel", "startingVersion" -> "2")
+    }
+    intercept[Exception] { drain("startingRef" -> "nope") }
+  }
+
   test("a vacuum past the consumer's frontier fails the stream loudly " +
       "instead of skipping the window") {
     val root = freshRoot()
