@@ -3701,6 +3701,237 @@ object AdvancedQueries {
       res
     },
 
+    // MANIFEST COLUMN STATISTICS (CALL analyze_columns → per-dir exact
+    // ndv/null counts → the SQL reader's Catalyst stats): the missing
+    // half of VERDICT r17 #6 — bounds gave dir PRUNING, this gives dir
+    // SIZING. One incremental CALL scans only uncovered dirs (at 100 TB:
+    // new ingest dirs, never the table), backfills row counts, and
+    // commits head+1; the catalog's scan then reports numRows + per-col
+    // ndv/nulls from METADATA (SnapshotStatsScan), which is what lets
+    // CBO broadcast an equality-filtered dimension whose physical bytes
+    // are far past the threshold (plan-pinned in SnapshotCatalogSpec).
+    // Here the STATS THEMSELVES are the gated output, read back through
+    // the `<tbl>.colstats` metadata table — the oracle replays each
+    // dir's exact ndv/null counts from the base table with the same
+    // slice predicates, so a wrong count, a lost dir entry, or a
+    // double-counted merge hash-fails. Second CALL pinned incremental
+    // (0 entries) and the relation's Catalyst rowCount pinned equal to
+    // the manifest sum — stats must FLOW to the planner, not just sit
+    // in the manifest.
+    "q_snapshot_colstats" -> { (s, dir) =>
+      import graft.sources.{SnapshotTable => ST}
+      val sfN = new java.io.File(dir).getName
+      val fp = java.security.MessageDigest.getInstance("MD5")
+        .digest(graft.sources.Sinks.fingerprint(s, s"$dir/orders.parquet")
+          .getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString.take(10)
+      val root = s"/root/repo/target/tmp/colstats-$sfN-$fp"
+      val tbl = "orders_t"
+      val base = s"$root/$tbl"
+      val cat = s"gcst${sfN.replace(".", "")}$fp"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.SnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      val dirs = Seq(s"$base/d0", s"$base/d1")
+      for (i <- 0 to 1)
+        graft.sources.Sinks.ensureDir(s, dirs(i), s"v1:colstats_$i",
+          inputs = Seq(s"$dir/orders.parquet")) {
+          Tables(s, dir, "orders")
+            .where(pmod(col("o_orderkey"), lit(2)) === i)
+            .select(col("o_orderkey").as("okey"),
+              col("o_custkey").as("ckey"),
+              when(pmod(col("o_orderkey"), lit(7)) === 0, lit(null))
+                .otherwise(col("o_orderpriority")).as("pri_n"))
+            .write.mode("overwrite").parquet(dirs(i))
+        }
+      if (ST.headVersion(s, base) == 0) {
+        try ST.commit(s, base, 1, ST.Snapshot(dirs, Nil))
+        catch { case e: Exception if ST.headVersion(s, base) >= 1 => () }
+      }
+      var tries = 0
+      while (ST.headVersion(s, base) < 1 && tries < 600) {
+        Thread.sleep(100); tries += 1
+      }
+      // analyzeColumnStats is race-safe by construction (OCC fold onto
+      // the winner), so CALL unconditionally: the winner reports the 4
+      // fresh entries, a loser folds and reports 0 — the MANIFEST is
+      // the arbiter, pinned below
+      val r1 = s.sql(
+        s"CALL $cat.system.analyze_columns('$tbl', 'ckey,pri_n')").head
+      require(r1.getInt(0) == 2 &&
+        (r1.getInt(1) == 4 || r1.getInt(1) == 0) && r1.getInt(2) == 0,
+        s"analyze_columns must land v2 with 4 entries (or fold): $r1")
+      val r2 = s.sql(
+        s"CALL $cat.system.analyze_columns('$tbl', 'ckey,pri_n')").head
+      require(r2.getInt(0) == 2 && r2.getInt(1) == 0,
+        s"a second analyze_columns must be incremental (0 entries): $r2")
+      val snap2 = ST.manifest(s, base, 2)
+      require(snap2.colStats.size == 4 &&
+        ST.manifestRowCount(snap2).isDefined,
+        s"v2 must carry 4 colstats entries + full row counts")
+      // the stats must reach Catalyst: the DSv2 relation's rowCount is
+      // the manifest sum (metadata-only — no scan ran to produce it)
+      val relStats = s.table(s"$cat.`$tbl`").queryExecution.optimizedPlan
+        .collectFirst {
+          case r: org.apache.spark.sql.execution.datasources.v2
+              .DataSourceV2ScanRelation => r.stats
+          case r: org.apache.spark.sql.execution.datasources.v2
+              .DataSourceV2Relation => r.stats
+        }
+      require(relStats.exists(_.rowCount.contains(
+        BigInt(ST.manifestRowCount(snap2).get))),
+        s"scan stats must report the manifest rowCount, got $relStats")
+      s.sql(
+        s"""SELECT dname, col, ndv, nulls FROM $cat.`$tbl`.colstats
+           |ORDER BY dname, col""".stripMargin)
+    },
+
+    // MANIFEST-ANSWERED AGGREGATES (the Iceberg scan-less aggregate,
+    // via DSv2 partial aggregate pushdown): an unfiltered MIN/MAX/
+    // COUNT(*)/COUNT(col) over a snapshot table whose manifest carries
+    // full bounds + row counts + colstats answers from the MANIFEST —
+    // ManifestAggScan serves one partial row from a few hundred metadata
+    // bytes and the plan never touches a data file (require-pinned: the
+    // final plan shows the answered terms and no parquet scan). At
+    // 100 TB this turns `SELECT min(ts), max(ts), count(*)` from a
+    // full-table column scan into a metadata read. Values hash-gated
+    // against DuckDB replaying the same aggregates over the base table —
+    // a stale bound, a miscounted dir, or a null-count drift all fail.
+    // Guards (any pushed filter, deletes, rename evolution, uncovered
+    // dirs → fall back to the real scan) are spec-pinned in
+    // SnapshotCatalogSpec.
+    "q_snapshot_agg_meta" -> { (s, dir) =>
+      import graft.sources.{SnapshotTable => ST}
+      val sfN = new java.io.File(dir).getName
+      val fp = java.security.MessageDigest.getInstance("MD5")
+        .digest(graft.sources.Sinks.fingerprint(s, s"$dir/orders.parquet")
+          .getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString.take(10)
+      val root = s"/root/repo/target/tmp/aggmeta2-$sfN-$fp"
+      val tbl = "orders_t"
+      val base = s"$root/$tbl"
+      val cat = s"gagm${sfN.replace(".", "")}$fp"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.SnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      val cuts = Seq("0000-01-01", "1996-01-01", "1997-01-01", "9999-12-31")
+      val dirs = (0 until 3).map(i => s"$base/d$i")
+      for (i <- 0 until 3)
+        graft.sources.Sinks.ensureDir(s, dirs(i), s"v2:aggmeta_$i",
+          inputs = Seq(s"$dir/orders.parquet")) {
+          Tables(s, dir, "orders")
+            .where(col("o_orderdate") >= lit(cuts(i)) &&
+              col("o_orderdate") < lit(cuts(i + 1)))
+            .select(col("o_orderkey").as("okey"),
+              datediff(col("o_orderdate"), lit("1995-01-01")).as("day"),
+              col("o_orderpriority").as("pri"),
+              when(pmod(col("o_orderkey"), lit(5)) === 0, lit(null))
+                .otherwise(col("o_orderpriority")).as("pri_n"))
+            .write.mode("overwrite").parquet(dirs(i))
+        }
+      if (ST.headVersion(s, base) == 0) {
+        try ST.commit(s, base, 1, ST.Snapshot(dirs, Nil,
+          bounds = Seq("okey", "day", "pri")
+            .flatMap(c => ST.computeBounds(s, dirs, c))))
+        catch { case e: Exception if ST.headVersion(s, base) >= 1 => () }
+      }
+      var tries = 0
+      while (ST.headVersion(s, base) < 1 && tries < 600) {
+        Thread.sleep(100); tries += 1
+      }
+      // fills rowCounts + pri_n null counts; race-safe (OCC fold)
+      val r = s.sql(
+        s"CALL $cat.system.analyze_columns('$tbl', 'pri_n')").head
+      require(r.getInt(0) == 2, s"analyze_columns must land v2: $r")
+      val q = s.sql(
+        s"""SELECT MIN(day) AS mn_day, MAX(day) AS mx_day,
+           |  MIN(okey) AS mn_k, MAX(okey) AS mx_k,
+           |  MIN(pri) AS mn_pri, MAX(pri) AS mx_pri,
+           |  COUNT(*) AS n, COUNT(pri_n) AS n_pri
+           |FROM $cat.`$tbl`""".stripMargin)
+      val plan = q.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      require(plan.contains("ManifestAggregate"),
+        s"the aggregate must answer from the manifest:\n$plan")
+      require(!plan.contains("Format: parquet") &&
+        !plan.contains("ParquetScan"),
+        s"a manifest-answered aggregate must not scan data files:\n$plan")
+      q
+    },
+
+    // CHECK CONSTRAINTS (CALL add_check → manifest-carried invariant →
+    // write-time enforcement): the integrity half of the DML story — a
+    // named boolean expression, validated against EXISTING data when
+    // added (the Delta CHECK contract: retroactively true or refused)
+    // and against EVERY later batch before its commit (FALSE and NULL
+    // both violate), O(batch) per write, never a table scan. The gate
+    // drives the SQL surface end-to-end: adds the constraint mid-chain,
+    // pins that a violating INSERT and a violating UPDATE both refuse
+    // WITHOUT committing (head unchanged), lands valid writes around
+    // them, and hash-gates the final state against the oracle replaying
+    // only the valid operations — an enforcement hole (leaked bad rows)
+    // or an over-eager refusal (lost good rows) both fail. Guard matrix
+    // (NULL violates, merge/ingest/branch paths, evolution locks,
+    // drop_check) is spec-pinned in SnapshotCatalogSpec.
+    "q_snapshot_check" -> { (s, dir) =>
+      import graft.sources.{SnapshotTable => ST}
+      val sfN = new java.io.File(dir).getName
+      val fp = java.security.MessageDigest.getInstance("MD5")
+        .digest(graft.sources.Sinks.fingerprint(s, s"$dir/orders.parquet")
+          .getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString.take(10)
+      val root = s"/root/repo/target/tmp/sqlchk-$sfN-$fp"
+      val tbl = "orders_t"
+      val base = s"$root/$tbl"
+      val cat = s"gchk${sfN.replace(".", "")}$fp"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.SnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      s.conf.set(s"spark.sql.catalog.$cat.key.$tbl", "k")
+      val t = s"$cat.`$tbl`"
+      val bv = s"sqlchk_base_${sfN.replace(".", "")}"
+      Tables(s, dir, "orders")
+        .select(col("o_orderkey").as("k"), col("o_orderpriority").as("pri"),
+          cents(col("o_totalprice")).as("cents"))
+        .createOrReplaceTempView(bv)
+      def head = ST.headVersion(s, base)
+      def awaitHead(v: Int): Unit = {
+        var i = 0
+        while (head < v && i < 600) { Thread.sleep(100); i += 1 }
+        require(head >= v, s"snapshot $base stuck below v$v")
+      }
+      def step(at: Int, sql: String): Unit = {
+        if (head == at) {
+          try s.sql(sql).collect(): Unit
+          catch { case e: Exception if head > at => () }
+        }
+        awaitHead(at + 1)
+      }
+      step(0, s"CREATE TABLE $t (k BIGINT, pri STRING, cents BIGINT)")
+      step(1, s"INSERT INTO $t SELECT k, pri, cents FROM $bv WHERE k % 3 = 0")
+      step(2, s"CALL $cat.system.add_check('$tbl', 'cents_pos', " +
+        "'cents >= 0')")
+      step(3, s"INSERT INTO $t SELECT k, pri, cents FROM $bv WHERE k % 3 = 1")
+      // violations refuse deterministically at ANY head ≥ 3 (the
+      // constraint rides every later manifest), so these pins are safe
+      // under a concurrent runner of the same chain; the strict
+      // no-version-committed property is spec-pinned
+      val badInsert =
+        try { s.sql(s"INSERT INTO $t SELECT k, pri, -1 - cents " +
+          s"FROM $bv WHERE k % 3 = 2").collect(); false }
+        catch { case _: Exception => true }
+      require(badInsert, "a CHECK-violating INSERT must refuse")
+      val badUpdate =
+        try { s.sql(s"UPDATE $t SET cents = -5 WHERE k % 7 = 0")
+          .collect(); false }
+        catch { case _: Exception => true }
+      require(badUpdate, "a CHECK-violating UPDATE must refuse")
+      step(4, s"UPDATE $t SET cents = cents + 11 WHERE k % 9 = 3")
+      require(ST.manifest(s, base, head).checks ==
+        Seq("cents_pos" -> "cents >= 0"),
+        "the constraint must ride every later manifest")
+      s.sql(
+        s"""SELECT pri, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS cents
+           |FROM $t GROUP BY pri ORDER BY pri""".stripMargin)
+    },
+
     // STRING-KEY OPTIMIZE ZORDER (Layout.stringLane fused into the
     // snapshot rewrite — r15 verdict gap #5): md5/text keys are the
     // dominant doc-id shape, and a table laid out by an integer column
@@ -4865,6 +5096,54 @@ object AdvancedQueries {
          |  CAST(SUM(${CENTS("o_totalprice")}) AS BIGINT)
          |FROM orders WHERE o_orderkey % 4 = 2
          |ORDER BY version""".stripMargin,
+
+    // per-dir exact ndv/null counts replayed from the base table with
+    // the same slice predicates the fixture wrote d0/d1 with — a wrong
+    // count, lost entry, or double-counted merge hash-fails
+    "q_snapshot_colstats" ->
+      s"""WITH b AS (SELECT o_orderkey AS okey, o_custkey AS ckey,
+         |    CASE WHEN o_orderkey % 7 = 0 THEN NULL
+         |      ELSE o_orderpriority END AS pri_n FROM orders)
+         |SELECT 'd0' AS dname, 'ckey' AS col,
+         |  COUNT(DISTINCT ckey) AS ndv, COUNT(*) - COUNT(ckey) AS nulls
+         |FROM b WHERE okey % 2 = 0
+         |UNION ALL
+         |SELECT 'd0', 'pri_n', COUNT(DISTINCT pri_n),
+         |  COUNT(*) - COUNT(pri_n) FROM b WHERE okey % 2 = 0
+         |UNION ALL
+         |SELECT 'd1', 'ckey', COUNT(DISTINCT ckey),
+         |  COUNT(*) - COUNT(ckey) FROM b WHERE okey % 2 = 1
+         |UNION ALL
+         |SELECT 'd1', 'pri_n', COUNT(DISTINCT pri_n),
+         |  COUNT(*) - COUNT(pri_n) FROM b WHERE okey % 2 = 1
+         |ORDER BY dname, col""".stripMargin,
+
+    // only the VALID operations replayed: the two inserts' slices plus
+    // the valid update's bump — a leaked CHECK-violating row (negative
+    // cents, the k%3=2 slice) or a lost valid write both hash-fail
+    "q_snapshot_check" ->
+      s"""WITH b AS (SELECT o_orderkey AS k, o_orderpriority AS pri,
+         |    ${CENTS("o_totalprice")} + CASE WHEN o_orderkey % 9 = 3
+         |      THEN 11 ELSE 0 END AS cents
+         |  FROM orders WHERE o_orderkey % 3 IN (0, 1))
+         |SELECT pri, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS cents
+         |FROM b GROUP BY pri ORDER BY pri""".stripMargin,
+
+    // the same eight aggregates replayed over the base table — a stale
+    // manifest bound, miscounted dir, or null-count drift hash-fails
+    "q_snapshot_agg_meta" ->
+      s"""WITH b AS (SELECT o_orderkey AS okey,
+         |    date_diff('day', TIMESTAMP '1995-01-01 00:00:00',
+         |      o_orderdate) AS day,
+         |    o_orderpriority AS pri,
+         |    CASE WHEN o_orderkey % 5 = 0 THEN NULL
+         |      ELSE o_orderpriority END AS pri_n FROM orders)
+         |SELECT CAST(MIN(day) AS INTEGER) AS mn_day,
+         |  CAST(MAX(day) AS INTEGER) AS mx_day,
+         |  MIN(okey) AS mn_k, MAX(okey) AS mx_k,
+         |  MIN(pri) AS mn_pri, MAX(pri) AS mx_pri,
+         |  COUNT(*) AS n, COUNT(pri_n) AS n_pri
+         |FROM b""".stripMargin,
 
     // v1 = the pre-rename half under its original column; v4 = both
     // halves read through the rename map (a lost mapping NULLs the

@@ -135,6 +135,48 @@ class SnapshotCatalog extends TableCatalog with ProcedureCatalog {
             "`n_data_dirs` INT, `n_delete_dirs` INT, `n_bounds` INT, " +
             "`evolved` BOOLEAN, `n_rows` BIGINT"),
           rows))
+      case "colstats" =>
+        // the head manifest's per-dir column statistics roster
+        // (CALL analyze_columns fills it): dir basename, column, exact
+        // ndv/null counts — the audit surface for stats-driven planning
+        val head = SnapshotTable.headVersion(spark, base)
+        val snap = SnapshotTable.manifest(spark, base, head)
+        val rows = snap.colStats.map(cs =>
+          Seq[Any](new Path(cs.dir).getName, cs.col, cs.ndv, cs.nulls))
+        Some(new LocalRowsTable(
+          s"$catName.${ident.namespace()(0)}.colstats",
+          StructType.fromDDL("`dname` STRING, `col` STRING, " +
+            "`ndv` BIGINT, `nulls` BIGINT"),
+          rows))
+      case "files" =>
+        // the head manifest's dir roster (the Iceberg `files` table at
+        // this format's dir granularity): data + delete dirs with their
+        // metadata coverage — n_rows NULL when uncounted
+        val head = SnapshotTable.headVersion(spark, base)
+        val snap = SnapshotTable.manifest(spark, base, head)
+        val rows =
+          snap.dataDirs.map { d =>
+            Seq[Any](new Path(d).getName, "data",
+              snap.rowCounts.get(d).map(Long.box).orNull,
+              snap.bounds.count(_.dir == d),
+              snap.colStats.count(_.dir == d))
+          } ++ snap.deleteDirs.map { d =>
+            Seq[Any](new Path(d).getName, "delete", null, 0, 0)
+          }
+        Some(new LocalRowsTable(
+          s"$catName.${ident.namespace()(0)}.files",
+          StructType.fromDDL("`dname` STRING, `kind` STRING, " +
+            "`n_rows` BIGINT, `n_bounds` INT, `n_colstats` INT"),
+          rows))
+      case "checks" =>
+        // the head manifest's CHECK constraint roster (add_check /
+        // drop_check) — name + the enforced SQL expression
+        val head = SnapshotTable.headVersion(spark, base)
+        val snap = SnapshotTable.manifest(spark, base, head)
+        Some(new LocalRowsTable(
+          s"$catName.${ident.namespace()(0)}.checks",
+          StructType.fromDDL("`name` STRING, `expr` STRING"),
+          snap.checks.map { case (n, e) => Seq[Any](n, e) }))
       case "refs" =>
         // the named-ref roster: tags point at main versions; branches
         // carry their own head plus the main version they forked from
@@ -376,9 +418,21 @@ final class SnapshotTableHandle(
   def needsMask: Boolean =
     snap.deleteDirs.nonEmpty || snap.renames.nonEmpty
 
+  /** Reads plan through Spark's own parquet scan builder (full pushdown/
+    * pruning), wrapped — when the manifest carries row counts or column
+    * stats — so the built Scan reports them to Catalyst
+    * ([[SnapshotStatsScan]]): numRows and per-column ndv/nulls come from
+    * METADATA, no file I/O, and CBO can size filtered snapshot relations
+    * for broadcast decisions. A stats-less manifest serves the bare
+    * builder — zero churn on the pre-stats paths. */
   override def newScanBuilder(
-      options: CaseInsensitiveStringMap): ScanBuilder =
-    delegate.newScanBuilder(options)
+      options: CaseInsensitiveStringMap): ScanBuilder = {
+    val b = delegate.newScanBuilder(options)
+    if (SnapshotTable.manifestRowCount(snap).isEmpty &&
+        SnapshotTable.manifestColumnStats(snap).isEmpty &&
+        snap.bounds.isEmpty) b
+    else new SnapshotStatsScanBuilder(b, snap, tschema)
+  }
 
   private def spark: SparkSession = SparkSession.active
 
@@ -456,6 +510,11 @@ object SnapshotTableHandle {
     val aligned = data.toDF(target.fieldNames.toIndexedSeq: _*)
       .select(target.fields.toIndexedSeq
         .map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+    // CHECK constraints gate the batch BEFORE any bytes land; a racer
+    // adding a constraint mid-flight is re-checked by the drift branch
+    // in the retry loop below
+    SnapshotTable.enforceChecks(spark, snap0, aligned, "INSERT")
+    var checkedChecks = snap0.checks
     val dir = s"$base/_insert-" + java.util.UUID.randomUUID().toString
     SnapshotTable.toPhysical(snap0, aligned)
       .write.mode("overwrite").parquet(dir)
@@ -474,6 +533,13 @@ object SnapshotTableHandle {
       require(head >= 1,
         s"no committed snapshot under $base — CREATE TABLE first")
       val prior = SnapshotTable.manifest(spark, base, head)
+      if (prior.checks != checkedChecks) {
+        // a concurrent ADD CHECK landed after this INSERT validated —
+        // re-validate against the winner's constraint set (refusing is
+        // the loud direction; the landed dir is vacuum-collectable)
+        SnapshotTable.enforceChecks(spark, prior, aligned, "INSERT")
+        checkedChecks = prior.checks
+      }
       if (prior.renames != dirRenames) {
         val priorFields = SnapshotTable.tableSchema(spark, prior)
           .fieldNames.toSet
@@ -512,6 +578,311 @@ object SnapshotTableHandle {
     throw new IllegalStateException(
       s"INSERT into $base could not claim a version after 20 attempts — " +
         "a committer is racing every retry or the store is wedged")
+  }
+}
+
+/** [[ParquetScanBuilder]] pass-through that wraps the BUILT scan in
+  * [[SnapshotStatsScan]]. Forwards every pushdown surface the parquet
+  * builder implements (required columns, catalyst filters, aggregates,
+  * variant extractions) so `.explain` plans are bit-identical to the
+  * bare builder's — the wrapper only adds statistics. When an AGGREGATE
+  * was pushed the built scan's shape is the agg result, not the table,
+  * so manifest-level stats would misstate it: serve the delegate scan
+  * unwrapped (same for pushed variant extractions).
+  *
+  * MANIFEST-ANSWERED AGGREGATES (the Iceberg scan-less aggregate): an
+  * unfiltered, ungrouped MIN/MAX/COUNT(*)/COUNT(col) aggregation whose
+  * every term is answerable from the manifest — bounds covering all
+  * dirs for min/max, row counts for count(*), colstats null counts for
+  * count(col) — short-circuits [[pushAggregation]] into a ONE-ROW
+  * [[ManifestAggScan]]: at 100 TB, `SELECT min(ts), max(ts), count(*)`
+  * over the table answers from a few hundred manifest bytes with ZERO
+  * file I/O. Strictly guarded: any pushed filter, any delete/rename
+  * evolution, any uncovered dir, or any unsupported term falls through
+  * to the delegate (the normal parquet scan) — wrong-refusing is free,
+  * wrong-answering is forbidden. The PARTIAL pushdown contract is used
+  * (one partial row; Spark's final aggregate merges it), so empty/null
+  * semantics stay Spark's own. */
+private[sources] final class SnapshotStatsScanBuilder(
+    delegate: ScanBuilder, snap: SnapshotTable.Snapshot,
+    tschema: StructType)
+    extends ScanBuilder
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownVariantExtractions {
+  import org.apache.spark.sql.catalyst.expressions.Expression
+  import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
+  import org.apache.spark.sql.connector.expressions.filter.{Predicate => V2Predicate}
+  import org.apache.spark.sql.connector.read.{Scan, VariantExtraction}
+
+  private var reshaped = false // agg/variant pushdown changed the scan shape
+  private var filtered = false // any pushed filter forbids manifest answers
+  // a manifest-answered aggregation: positional output schema + the one
+  // partial row (internal values)
+  private var manifestAgg: Option[(StructType, Seq[Any], String)] = None
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    delegate.asInstanceOf[
+      org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns]
+      .pruneColumns(requiredSchema)
+
+  override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
+    if (filters.nonEmpty) filtered = true
+    delegate.asInstanceOf[
+      org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters]
+      .pushFilters(filters)
+  }
+
+  override def pushedFilters: Array[V2Predicate] =
+    delegate.asInstanceOf[
+      org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters]
+      .pushedFilters
+
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean =
+    // the manifest answer rides the PARTIAL contract — never claim
+    // complete pushdown for it
+    if (answerFromManifest(aggregation).isDefined) false
+    else delegate.asInstanceOf[
+      org.apache.spark.sql.connector.read.SupportsPushDownAggregates]
+      .supportCompletePushDown(aggregation)
+
+  override def pushAggregation(aggregation: Aggregation): Boolean =
+    answerFromManifest(aggregation) match {
+      case some @ Some(_) =>
+        manifestAgg = some
+        true
+      case None =>
+        val pushed = delegate.asInstanceOf[
+          org.apache.spark.sql.connector.read.SupportsPushDownAggregates]
+          .pushAggregation(aggregation)
+        if (pushed) reshaped = true
+        pushed
+    }
+
+  /** Some((positional schema, one partial row, description)) when EVERY
+    * aggregate term is exactly answerable from the manifest; None falls
+    * back to the real scan. See the class doc for the guard list. */
+  private def answerFromManifest(
+      agg: Aggregation): Option[(StructType, Seq[Any], String)] = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
+    import org.apache.spark.sql.types.{ByteType, DateType, IntegerType, LongType, ShortType, StringType}
+    if (filtered || agg.groupByExpressions.nonEmpty ||
+        agg.aggregateExpressions.isEmpty) return None
+    if (snap.deleteDirs.nonEmpty || snap.renames.nonEmpty ||
+        snap.dropped.nonEmpty) return None
+    val rows = SnapshotTable.manifestRowCount(snap)
+    lazy val colStats = SnapshotTable.manifestColumnStats(snap)
+    def colName(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case nr: NamedReference if nr.fieldNames().length == 1 =>
+        Some(nr.fieldNames()(0))
+      case _ => None
+    }
+    // per-dir bounds for `c` covering every NON-EMPTY data dir (a dir
+    // whose manifest row count is 0 contributes nothing to min/max and
+    // never gets a bounds entry — CREATE TABLE's empty v1 dir is the
+    // standing case), folded to the table min or max under the stored
+    // type's ordering, converted to the column's internal value. An
+    // all-empty table folds to NULL (the partial row Spark's final
+    // aggregate skips — SQL min/max over zero rows). None = uncovered /
+    // type mismatch → refuse.
+    def boundsValue(c: String, wantMin: Boolean)
+        : Option[(org.apache.spark.sql.types.DataType, Any)] = {
+      val entries = snap.bounds.filter(_.col == c)
+      val needing = snap.dataDirs
+        .filterNot(d => snap.rowCounts.get(d).contains(0L))
+      if (!needing.forall(d => entries.exists(_.dir == d)))
+        return None
+      val field = tschema.fields.find(_.name == c).getOrElse(return None)
+      val live = entries.filter(e => needing.contains(e.dir))
+      if (live.isEmpty) return Some((field.dataType, null))
+      val typs = live.map(_.typ).distinct
+      if (typs.size != 1) return None
+      val vals = live.map(e => if (wantMin) e.min else e.max)
+      (typs.head, field.dataType) match {
+        case ("long", dt @ (ByteType | ShortType | IntegerType
+            | LongType)) =>
+          val v = if (wantMin) vals.map(BigInt(_)).min
+            else vals.map(BigInt(_)).max
+          val internal: Any = dt match {
+            case ByteType => v.toByte
+            case ShortType => v.toShort
+            case IntegerType => v.toInt
+            case LongType => v.toLong
+          }
+          Some((dt, internal))
+        case ("date", DateType) =>
+          val v = if (wantMin) vals.min else vals.max // ISO sorts correctly
+          Some((DateType,
+            java.time.LocalDate.parse(v).toEpochDay.toInt))
+        case ("string", StringType) =>
+          val v = if (wantMin) vals.min else vals.max
+          Some((StringType,
+            org.apache.spark.unsafe.types.UTF8String.fromString(v)))
+        case _ => None
+      }
+    }
+    val terms = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => rows.map(r => (LongType: org.apache.spark.sql
+        .types.DataType, r: Any, "count(*)"))
+      case c: Count if !c.isDistinct =>
+        for {
+          n <- colName(c.column)
+          r <- rows
+          (_, nulls) <- colStats.get(n)
+        } yield (LongType: org.apache.spark.sql.types.DataType,
+          (r - nulls): Any, s"count($n)")
+      case m: Min => colName(m.column).flatMap(n =>
+        boundsValue(n, wantMin = true).map { case (dt, v) =>
+          (dt, v, s"min($n)") })
+      case m: Max => colName(m.column).flatMap(n =>
+        boundsValue(n, wantMin = false).map { case (dt, v) =>
+          (dt, v, s"max($n)") })
+      case _ => None
+    }
+    if (terms.exists(_.isEmpty)) return None
+    val flat = terms.map(_.get)
+    val schema = StructType(flat.zipWithIndex.map { case ((dt, _, _), i) =>
+      org.apache.spark.sql.types.StructField(s"agg_$i", dt)
+    })
+    Some((schema, flat.map(_._2),
+      flat.map(_._3).mkString("[", ", ", "]")))
+  }
+
+  override def pushVariantExtractions(
+      extractions: Array[VariantExtraction]): Array[Boolean] = {
+    val pushed = delegate.asInstanceOf[
+      org.apache.spark.sql.connector.read.SupportsPushDownVariantExtractions]
+      .pushVariantExtractions(extractions)
+    if (pushed != null && pushed.exists(identity)) reshaped = true
+    pushed
+  }
+
+  override def build(): Scan = manifestAgg match {
+    case Some((schema, row, desc)) => new ManifestAggScan(schema, row, desc)
+    case None =>
+      val built = delegate.build()
+      if (reshaped) built else new SnapshotStatsScan(built, snap)
+  }
+}
+
+/** The one-row scan behind a manifest-answered aggregate pushdown
+  * ([[SnapshotStatsScanBuilder.pushAggregation]]): one partition, one
+  * partial row straight from manifest numbers — Spark's retained final
+  * aggregate merges it (the V2 PARTIAL contract). `description()`
+  * surfaces the answered terms in `.explain` so plans can pin that the
+  * table's files were never touched. */
+private[sources] final class ManifestAggScan(out: StructType,
+    row: Seq[Any], terms: String)
+    extends org.apache.spark.sql.connector.read.Scan
+    with org.apache.spark.sql.connector.read.Batch {
+  import org.apache.spark.sql.connector.read._
+
+  override def readSchema(): StructType = out
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-snapshot ManifestAggregate: $terms"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(LocalRowsPartition(Array(row.toArray)))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[
+          org.apache.spark.sql.catalyst.InternalRow] = {
+        val data = p.asInstanceOf[LocalRowsPartition].rows
+        new PartitionReader[org.apache.spark.sql.catalyst.InternalRow] {
+          private var i = -1
+          override def next(): Boolean = { i += 1; i < data.length }
+          override def get(): org.apache.spark.sql.catalyst.InternalRow =
+            new org.apache.spark.sql.catalyst.expressions
+              .GenericInternalRow(data(i))
+          override def close(): Unit = {}
+        }
+      }
+    }
+}
+
+/** Scan wrapper that reports manifest-carried statistics to Catalyst
+  * ([[org.apache.spark.sql.connector.read.SupportsReportStatistics]]):
+  * sizeInBytes stays the delegate's physical estimate, numRows comes
+  * from [[SnapshotTable.manifestRowCount]], and per-column
+  * distinct/null counts from [[SnapshotTable.manifestColumnStats]] —
+  * Spark's `transformV2Stats` folds them into catalyst `ColumnStat`s,
+  * so with CBO enabled FilterEstimation sizes an equality-filtered
+  * snapshot dimension at rowCount/ndv and JoinSelection can broadcast a
+  * post-filter sliver whose TABLE is far above the threshold. All of it
+  * is metadata-only: no file I/O beyond the delegate's own listing.
+  * Execution delegates wholesale (same Batch, same reader factory, same
+  * columnar mode), and `getMetaData` forwards so `.explain` still shows
+  * PushedFilters/ReadSchema. */
+private[sources] final class SnapshotStatsScan(
+    private val delegate: org.apache.spark.sql.connector.read.Scan,
+    private val snap: SnapshotTable.Snapshot)
+    extends org.apache.spark.sql.connector.read.Scan
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.internal.connector.SupportsMetadata {
+  import java.util.OptionalLong
+  import org.apache.spark.sql.connector.expressions.Expressions
+  import org.apache.spark.sql.connector.read.colstats.ColumnStatistics
+  import org.apache.spark.sql.connector.read.{Batch, Scan, Statistics => V2Statistics}
+
+  override def readSchema(): StructType = delegate.readSchema()
+  override def toBatch: Batch = delegate.toBatch
+  override def description(): String = delegate.description()
+  override def columnarSupportMode(): Scan.ColumnarSupportMode =
+    delegate.columnarSupportMode()
+  override def supportedCustomMetrics()
+      : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    delegate.supportedCustomMetrics()
+  override def reportDriverMetrics()
+      : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    delegate.reportDriverMetrics()
+  override def getMetaData(): Map[String, String] = delegate match {
+    case m: org.apache.spark.sql.internal.connector.SupportsMetadata =>
+      m.getMetaData()
+    case _ => Map.empty
+  }
+
+  // scan reuse / exchange reuse compare scans — identity must follow the
+  // delegate plus the stats source
+  override def equals(other: Any): Boolean = other match {
+    case s: SnapshotStatsScan => delegate == s.delegate && snap == s.snap
+    case _ => false
+  }
+  override def hashCode(): Int = (delegate, snap).hashCode()
+
+  override def estimateStatistics(): V2Statistics = {
+    val d = delegate match {
+      case r: org.apache.spark.sql.connector.read.SupportsReportStatistics =>
+        r.estimateStatistics()
+      case _ => new V2Statistics {
+        override def sizeInBytes(): OptionalLong = OptionalLong.empty()
+        override def numRows(): OptionalLong = OptionalLong.empty()
+      }
+    }
+    val mRows = SnapshotTable.manifestRowCount(snap)
+    val mCols = SnapshotTable.manifestColumnStats(snap)
+    new V2Statistics {
+      override def sizeInBytes(): OptionalLong = d.sizeInBytes()
+      override def numRows(): OptionalLong =
+        mRows.map(OptionalLong.of).getOrElse(d.numRows())
+      override def columnStats(): java.util.Map[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          ColumnStatistics] = {
+        val m = new java.util.HashMap[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          ColumnStatistics]()
+        for ((c, (ndvV, nullsV)) <- mCols)
+          m.put(Expressions.column(c), new ColumnStatistics {
+            override def distinctCount(): OptionalLong =
+              OptionalLong.of(ndvV)
+            override def nullCount(): OptionalLong =
+              OptionalLong.of(nullsV)
+          })
+        m
+      }
+    }
   }
 }
 

@@ -93,6 +93,17 @@ private[sources] object SnapshotProcedures {
           s"$root/${str(in, 0)}", in.getLong(1))
         Seq(r.manifestsRemoved, r.dirsRemoved, r.dirsLive)
       }),
+    Proc("vacuum_dry_run",
+      "what vacuum(keep_from) WOULD retire — same survey, zero deletions",
+      Seq("tbl" -> StringType, "keep_from" -> IntegerType),
+      StructType.fromDDL("`manifests_removed` INT, `dirs_removed` INT, " +
+        "`dirs_live` INT"),
+      (root, in) => {
+        val base = s"$root/${str(in, 0)}"
+        val r = SnapshotTable.vacuumDryRun(spark, base, in.getInt(1),
+          SnapshotTable.headVersion(spark, base))
+        Seq(r.manifestsRemoved, r.dirsRemoved, r.dirsLive)
+      }),
     Proc("expire_snapshots",
       "vacuum clamped to the oldest tag/branch-fork version — named " +
         "refs never break",
@@ -115,6 +126,35 @@ private[sources] object SnapshotProcedures {
           s"$root/${str(in, 0)}", str(in, 1))
         Seq(r.version, r.dirsAnalyzed, r.dirsUncovered)
       }),
+    Proc("analyze_columns",
+      "compute per-dir exact ndv/null counts for the comma-joined " +
+        "columns (incremental; backfills row counts; the SQL reader " +
+        "reports them to Catalyst for CBO sizing/broadcast decisions)",
+      Seq("tbl" -> StringType, "cols" -> StringType),
+      StructType.fromDDL("`version` INT, `entries_added` INT, " +
+        "`entries_uncovered` INT"),
+      (root, in) => {
+        val cols = str(in, 1).split(",").map(_.trim).filter(_.nonEmpty)
+        val r = SnapshotTable.analyzeColumnStats(spark,
+          s"$root/${str(in, 0)}", cols.toSeq)
+        Seq(r.version, r.entriesAdded, r.entriesUncovered)
+      }),
+    Proc("add_check",
+      "add a named CHECK constraint (boolean SQL expr over logical " +
+        "columns): existing data is validated, then every later write " +
+        "validates its batch — FALSE or NULL rows refuse the write",
+      Seq("tbl" -> StringType, "name" -> StringType,
+        "expr" -> StringType),
+      StructType.fromDDL("`version` INT"),
+      (root, in) => Seq(SnapshotTable.addCheck(spark,
+        s"$root/${str(in, 0)}", str(in, 1), str(in, 2))),
+    ),
+    Proc("drop_check",
+      "drop a named CHECK constraint (idempotent)",
+      Seq("tbl" -> StringType, "name" -> StringType),
+      StructType.fromDDL("`version` INT"),
+      (root, in) => Seq(SnapshotTable.dropCheck(spark,
+        s"$root/${str(in, 0)}", str(in, 1)))),
     Proc("restore",
       "commit head+1 with an old version's exact manifest (history kept)",
       Seq("tbl" -> StringType, "to_version" -> IntegerType),

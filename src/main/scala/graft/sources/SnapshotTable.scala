@@ -35,6 +35,17 @@ object SnapshotTable {
   final case class DirBounds(dir: String, col: String, typ: String,
       min: String, max: String)
 
+  /** Per-dir column statistics carried IN the manifest (the Iceberg
+    * column-stats idea at dir granularity): exact distinct-value and
+    * null counts, computed once per dir by [[analyzeColumnStats]] and
+    * additive across appends — a new ingest dir needs one dir-local
+    * stats pass, never a table rescan. [[manifestColumnStats]] folds
+    * them into table-level stats the SQL reader reports to Catalyst, so
+    * CBO can size filtered snapshot relations (broadcast decisions)
+    * from metadata instead of physical bytes alone. */
+  final case class ColStats(dir: String, col: String, ndv: Long,
+      nulls: Long)
+
   /** `schema`: the table schema AS OF this version, as Spark DDL — set by
     * [[evolveAddColumns]] and carried by every later commit. None (the
     * pre-evolution default) means "whatever the data dirs agree on",
@@ -51,11 +62,20 @@ object SnapshotTable {
     * kept so a later ADD/RENAME cannot reuse the name and silently
     * resurrect stale bytes (a full rewrite, e.g. [[optimizeZorder]],
     * clears both sets). */
+  /** `checks`: named CHECK constraints (name → boolean SQL expression
+    * over the logical schema) carried in the manifest like the schema —
+    * versioned, branch-inherited, cleared by nothing short of
+    * [[dropCheck]]. Every row-landing write path validates its batch
+    * against them BEFORE committing (a row passes iff the expression is
+    * TRUE — FALSE and NULL both violate, the Delta CHECK contract), so
+    * a constraint, once added, is an invariant of every later version. */
   final case class Snapshot(dataDirs: Seq[String], deleteDirs: Seq[String],
       bounds: Seq[DirBounds] = Nil, schema: Option[String] = None,
       rowCounts: Map[String, Long] = Map.empty,
       renames: Map[String, String] = Map.empty,
-      dropped: Seq[String] = Nil)
+      dropped: Seq[String] = Nil,
+      colStats: Seq[ColStats] = Nil,
+      checks: Seq[(String, String)] = Nil)
 
   private def manifestPath(base: String, v: Int) =
     new Path(s"$base/_MANIFEST_v$v")
@@ -91,7 +111,16 @@ object SnapshotTable {
     val snap = rawSnap.copy(rowCounts = rawSnap.dataDirs
       .filter(rawSnap.rowCounts.contains)
       .map(d => d -> rawSnap.rowCounts(d)).toMap,
-      dropped = rawSnap.dropped.distinct.sorted)
+      dropped = rawSnap.dropped.distinct.sorted,
+      // colstats normalize like rowCounts: entries for dirs outside the
+      // data set drop (a rewrite's dirs simply lose their stats — the
+      // direction that only degrades estimates, never corrupts them),
+      // and the surviving entries sort so idempotent-replay equality
+      // compares canonical forms
+      colStats = rawSnap.colStats
+        .filter(cs => rawSnap.dataDirs.contains(cs.dir))
+        .sortBy(cs => (cs.dir, cs.col)),
+      checks = rawSnap.checks.sortBy(_._1))
     // delimiter validation FIRST (cheap, pure): a path with ',' or '|'
     // would parse back into DIFFERENT dirs — the existence check below
     // would mask this with a confusing "uncommitted dir" error
@@ -126,6 +155,39 @@ object SnapshotTable {
       if (counted.isEmpty) ""
       else "rows=" + counted
         .map(d => s"$d|${snap.rowCounts(d)}").mkString(",") + "\n"
+    // column stats: absent line keeps pre-colstats manifests
+    // byte-identical (the standing format-compat rule); duplicate
+    // (dir, col) entries would make manifestColumnStats double-count
+    for (cs <- snap.colStats) {
+      require(cs.ndv >= 0 && cs.nulls >= 0,
+        s"negative column stat ${cs.ndv}/${cs.nulls} for ${cs.dir}|${cs.col}")
+      require(!cs.col.exists(c => c == '|' || c == ',' || c == '\n'),
+        s"colstats column '${cs.col}' holds a manifest delimiter — " +
+          "refuse rather than write an unparseable manifest")
+    }
+    require(snap.colStats.map(cs => (cs.dir, cs.col)).distinct.size ==
+      snap.colStats.size,
+      s"snapshot v$v carries duplicate colstats entries")
+    val colStatsLine =
+      if (snap.colStats.isEmpty) ""
+      else "colstats=" + snap.colStats
+        .map(cs => s"${cs.dir}|${cs.col}|${cs.ndv}|${cs.nulls}")
+        .mkString(",") + "\n"
+    // checks: names stay SQL-identifier-shaped; the EXPRESSION is
+    // base64url-encoded (expressions legitimately contain every manifest
+    // delimiter), so the line parses under the same split rules as the
+    // rest. Absent line keeps pre-checks manifests byte-identical.
+    for ((n, _) <- snap.checks)
+      require(n.nonEmpty && n.forall(c => c.isLetterOrDigit || c == '_'),
+        s"CHECK constraint name '$n' must be [A-Za-z0-9_]+")
+    require(snap.checks.map(_._1).distinct.size == snap.checks.size,
+      s"snapshot v$v carries duplicate CHECK constraint names")
+    val checksLine =
+      if (snap.checks.isEmpty) ""
+      else "checks=" + snap.checks.map { case (n, e) =>
+        s"$n|${java.util.Base64.getUrlEncoder.withoutPadding
+          .encodeToString(e.getBytes("UTF-8"))}"
+      }.mkString(",") + "\n"
     val schemaLine = snap.schema.map { ddl =>
       require(!ddl.exists(c => c == '\n' || c == '\r'),
         "schema DDL may not contain a newline — it is one manifest line")
@@ -152,7 +214,8 @@ object SnapshotTable {
       else "dropped=" + snap.dropped.mkString(",") + "\n"
     val core = s"data=${snap.dataDirs.mkString(",")}\n" +
       s"delete=${snap.deleteDirs.mkString(",")}\n" + boundsLine +
-      rowsLine + schemaLine + renamesLine + droppedLine
+      rowsLine + colStatsLine + schemaLine + renamesLine + droppedLine +
+      checksLine
     val body = core + f"crc=${crc32(core)}%08x\n"
     val dst = manifestPath(base, v)
     val fs = fsFor(spark, dst)
@@ -343,9 +406,36 @@ object SnapshotTable {
             "written by a newer format")
       }
     }.toMap
+    val colStats = dirs("colstats").toSeq.map { entry =>
+      entry.split("\\|", -1) match {
+        case Array(d, c, ndv, nulls)
+            if ndv.nonEmpty && ndv.forall(_.isDigit) &&
+              nulls.nonEmpty && nulls.forall(_.isDigit) =>
+          ColStats(d, c, ndv.toLong, nulls.toLong)
+        case _ => throw new IllegalArgumentException(
+          s"unparseable colstats entry '$entry' — manifest damaged or " +
+            "written by a newer format")
+      }
+    }
+    val checks = dirs("checks").toSeq.map { entry =>
+      entry.split("\\|", -1) match {
+        case Array(n, b64) if n.nonEmpty && b64.nonEmpty =>
+          try n -> new String(
+            java.util.Base64.getUrlDecoder.decode(b64), "UTF-8")
+          catch {
+            case _: IllegalArgumentException =>
+              throw new IllegalArgumentException(
+                s"unparseable checks entry '$entry' — manifest damaged " +
+                  "or written by a newer format")
+          }
+        case _ => throw new IllegalArgumentException(
+          s"unparseable checks entry '$entry' — manifest damaged or " +
+            "written by a newer format")
+      }
+    }
     (Snapshot(dirs("data").toSeq, dirs("delete").toSeq, bounds,
       kv.get("schema").filter(_.nonEmpty), rows, renames,
-      dirs("dropped").toSeq),
+      dirs("dropped").toSeq, colStats, checks),
       crcLines.headOption.map(_.stripPrefix("crc=")),
       coreLines.mkString("", "\n", "\n"))
   }
@@ -418,6 +508,38 @@ object SnapshotTable {
       if (fsFor(spark, dp).delete(dp, true)) removed += 1
     }
     VacuumReport(old.size, removed, live.size)
+  }
+
+  /** DRY-RUN [[vacuum]]: the identical survey (canonicalized live set,
+    * surviving old manifests, orphan candidates that physically exist)
+    * with ZERO deletions — what `CALL vacuum_dry_run` serves so an
+    * operator can see exactly what a retention pass WOULD retire before
+    * running it. Metadata-only: manifest reads + existence probes. */
+  def vacuumDryRun(spark: SparkSession, base: String, keepFrom: Int,
+      upTo: Int): VacuumReport = {
+    require(keepFrom >= 1 && keepFrom <= upTo,
+      s"vacuum needs 1 <= keepFrom <= upTo (got $keepFrom..$upTo)")
+    def canon(d: String): String = {
+      val p = new Path(d)
+      fsFor(spark, p).makeQualified(p).toString
+    }
+    val live = (keepFrom to upTo).flatMap { v =>
+      val s = manifest(spark, base, v)
+      (s.dataDirs ++ s.deleteDirs).map(canon)
+    }.toSet
+    val old = (1 until keepFrom).filter { v =>
+      val p = manifestPath(base, v)
+      fsFor(spark, p).exists(p)
+    }
+    val oldDirs = old.flatMap { v =>
+      val s = manifest(spark, base, v)
+      (s.dataDirs ++ s.deleteDirs).map(canon)
+    }.distinct
+    val removable = oldDirs.count { d =>
+      val dp = new Path(d)
+      !live.contains(d) && fsFor(spark, dp).exists(dp)
+    }
+    VacuumReport(old.size, removable, live.size)
   }
 
   /** METADATA-ONLY COUNT — `SELECT COUNT(*)` answered from the
@@ -693,6 +815,266 @@ object SnapshotTable {
     throw new IllegalStateException(
       s"ANALYZE of $base could not claim a version after 20 attempts — " +
         "a committer is racing every retry or the store is wedged")
+  }
+
+  /** COLUMN ANALYZE (`CALL analyze_columns`): compute per-dir EXACT
+    * distinct-value and null counts for `cols` on every data dir lacking
+    * an entry — and backfill missing per-dir row counts in the same pass
+    * — then commit head+1 carrying them. Incremental like
+    * [[analyzeBounds]]: covered (dir, col) pairs are never re-scanned,
+    * so at 100 TB the first run pays one column-pruned agg per dir and
+    * every later run touches only new ingest dirs (each dir is
+    * write-batch-sized, so the per-dir exact distinct is a bounded
+    * shuffle — and exactness is what lets the correctness oracle replay
+    * the numbers). Dirs physically lacking a column (pre-ADD evolution)
+    * get no entry and count as uncovered. Refused on rename/drop-evolved
+    * tables for the same reason as [[analyzeBounds]]: stats are keyed by
+    * the name the reader probes with, which must equal the dirs'
+    * physical column name — optimizeZorder first.
+    *
+    * The payoff is [[manifestColumnStats]]/[[manifestRowCount]]: the SQL
+    * catalog's scan reports them to Catalyst ([[SnapshotStatsScan]]), so
+    * with CBO enabled a filtered snapshot dimension is sized by
+    * rowCount/ndv instead of physical bytes — the difference between
+    * broadcasting a post-filter sliver and sort-merge-joining the whole
+    * table. */
+  final case class AnalyzeColsReport(version: Int, entriesAdded: Int,
+      entriesUncovered: Int)
+
+  def analyzeColumnStats(spark: SparkSession, base: String,
+      cols: Seq[String]): AnalyzeColsReport = {
+    require(cols.nonEmpty, "analyzeColumnStats needs at least one column")
+    require(cols.distinct.size == cols.size,
+      s"duplicate columns in $cols")
+    for (c <- cols)
+      require(!c.exists(ch => ch == '|' || ch == ',' || ch == '\n'),
+        s"column name '$c' holds a manifest delimiter")
+    // per-dir scan results memoized across OCC retries (the
+    // analyzeBounds discipline): a lost version claim re-commits the
+    // additive entries onto the winner's head without re-paying the
+    // aggs; a dir the winner rewrote drops out of the next attempt's
+    // missing set
+    val scanned = scala.collection.mutable
+      .Map.empty[String, (Long, Map[String, (Long, Long)])]
+    def scanDir(d: String): (Long, Map[String, (Long, Long)]) =
+      scanned.getOrElseUpdate(d, {
+        val df = spark.read.parquet(d)
+        val fields = df.schema.fieldNames.toSet
+        val present = cols.filter(fields)
+        import org.apache.spark.sql.functions.{count, count_distinct, lit}
+        val aggs = count(lit(1)) +: present.flatMap(c =>
+          Seq(count_distinct(org.apache.spark.sql.functions.col(c)),
+            count(org.apache.spark.sql.functions.col(c))))
+        val row = df.agg(aggs.head, aggs.drop(1): _*).head()
+        val rows = row.getLong(0)
+        (rows, present.zipWithIndex.map { case (c, i) =>
+          c -> (row.getLong(1 + 2 * i), rows - row.getLong(2 + 2 * i))
+        }.toMap)
+      })
+    var attempt = 0
+    while (attempt < 20) {
+      attempt += 1
+      val head = headVersion(spark, base)
+      require(head >= 1, s"no committed snapshot under $base to analyze")
+      val snap = manifest(spark, base, head)
+      require(snap.renames.isEmpty && snap.dropped.isEmpty,
+        "ANALYZE COLUMNS on a rename/drop-evolved table is refused — " +
+          "stats names must match the dirs' physical columns; " +
+          "optimizeZorder first")
+      val covered = snap.colStats.map(cs => (cs.dir, cs.col)).toSet
+      val missing = snap.dataDirs.filter(d =>
+        cols.exists(c => !covered((d, c))) || !snap.rowCounts.contains(d))
+      if (missing.isEmpty) return AnalyzeColsReport(head, 0, 0)
+      val fresh = missing.flatMap { d =>
+        val (_, byCol) = scanDir(d)
+        cols.filterNot(c => covered((d, c))).flatMap(c =>
+          byCol.get(c).map { case (ndv, nulls) =>
+            ColStats(d, c, ndv, nulls) })
+      }
+      val uncovered = missing.flatMap(d =>
+        cols.filterNot(c => covered((d, c)))).size - fresh.size
+      val freshRows = missing.filterNot(snap.rowCounts.contains)
+        .map(d => d -> scanDir(d)._1)
+      if (fresh.isEmpty && freshRows.isEmpty)
+        return AnalyzeColsReport(head, 0, uncovered)
+      val v = head + 1
+      try {
+        commit(spark, base, v, snap.copy(
+          colStats = snap.colStats ++ fresh,
+          rowCounts = snap.rowCounts ++ freshRows))
+        return AnalyzeColsReport(v, fresh.size, uncovered)
+      } catch {
+        case e: IllegalArgumentException
+            if attempt < 20 && e.getMessage != null && e.getMessage
+              .contains("already committed with different content") => ()
+        case _: java.nio.file.FileAlreadyExistsException
+            if attempt < 20 => ()
+      }
+    }
+    throw new IllegalStateException(
+      s"ANALYZE COLUMNS of $base could not claim a version after 20 " +
+        "attempts — a committer is racing every retry or the store is " +
+        "wedged")
+  }
+
+  /** Table-level row count from the manifest: defined iff EVERY data dir
+    * carries a count (a partially-counted table must not under-report).
+    * What the SQL reader's stats report as numRows — metadata-only. */
+  def manifestRowCount(snap: Snapshot): Option[Long] =
+    if (snap.dataDirs.nonEmpty &&
+        snap.dataDirs.forall(snap.rowCounts.contains))
+      Some(snap.dataDirs.map(snap.rowCounts).sum)
+    else None
+
+  /** Table-level per-column (ndv, nulls) folded from the manifest's
+    * per-dir entries: a column qualifies iff EVERY data dir carries its
+    * entry (partial coverage must not misstate table NDV). Null counts
+    * add exactly; per-dir NDVs add as an UPPER bound on table NDV,
+    * clamped to the non-null row count — for CBO's equality selectivity
+    * (1/ndv) an overestimated NDV under-sizes the filter output, which
+    * is the aggressive direction, so callers gating broadcasts should
+    * keep thresholds honest (the clamp keeps it sane; dir-disjoint key
+    * ranges — the common ingest layout — make the sum exact). */
+  /** Validate `df` against the snapshot's CHECK constraints in ONE
+    * combined aggregate pass (batch-sized — the write already scans the
+    * batch): a row passes a check iff its expression is TRUE; FALSE and
+    * NULL violate (the Delta CHECK contract — a constraint that can be
+    * dodged with a NULL is not a constraint). Throws on the first
+    * violating constraint, BEFORE any manifest commit. Expressions
+    * reference LOGICAL column names, so callers must pass the logical
+    * frame (pre-[[toPhysical]]). */
+  private[sources] def enforceChecks(spark: SparkSession, snap: Snapshot,
+      df: DataFrame, op: String): Unit = {
+    if (snap.checks.isEmpty) return
+    import org.apache.spark.sql.functions.{expr, lit, sum, when}
+    val aggs = snap.checks.zipWithIndex.map { case ((_, e), i) =>
+      sum(when(!(expr(e) <=> lit(true)), 1L).otherwise(0L)).as(s"c_$i")
+    }
+    val row = df.agg(aggs.head, aggs.drop(1): _*).head()
+    for (((n, e), i) <- snap.checks.zipWithIndex) {
+      val bad = if (row.isNullAt(i)) 0L else row.getLong(i)
+      require(bad == 0L,
+        s"$op violates CHECK constraint $n ($e) on $bad row(s) — " +
+          "refused before commit; fix the data or drop the constraint")
+    }
+  }
+
+  /** ADD a CHECK constraint: validates the expression parses, validates
+    * EXISTING data satisfies it (one logical-read aggregate — the Delta
+    * semantics: a constraint is retroactively true or refused), and
+    * commits head+1 carrying it. From then on every row-landing write
+    * ([[SnapshotCatalog]] INSERT, [[ingestBatch]], [[updateWhere]], the
+    * merge family) validates its batch first — O(batch) per write, never
+    * a table scan. Refused while merge-on-read delete files are pending
+    * (the logical content needs the key mask; compact first) and on a
+    * duplicate name with a DIFFERENT expression (same name + same
+    * expression is an idempotent no-op). */
+  def addCheck(spark: SparkSession, base: String, name: String,
+      exprSql: String): Int = {
+    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit ||
+      c == '_'), s"CHECK constraint name '$name' must be [A-Za-z0-9_]+")
+    // parse NOW — an unparseable expression must fail the CALL, not
+    // every later write
+    spark.sessionState.sqlParser.parseExpression(exprSql): Unit
+    var attempt = 0
+    while (attempt < 20) {
+      attempt += 1
+      val head = headVersion(spark, base)
+      require(head >= 1, s"no committed snapshot under $base")
+      val snap = manifest(spark, base, head)
+      snap.checks.find(_._1 == name) match {
+        case Some((_, e)) if e == exprSql => return head // idempotent
+        case Some((_, e)) => throw new IllegalArgumentException(
+          s"CHECK constraint $name already exists with a different " +
+            s"expression ($e) — drop it first")
+        case None => ()
+      }
+      require(snap.deleteDirs.isEmpty,
+        "ADD CHECK with pending merge-on-read delete files is refused — " +
+          "validation needs the masked logical content; compact() first")
+      enforceChecks(spark, snap.copy(checks = Seq(name -> exprSql)),
+        readVersionData(spark, base, head), "existing data")
+      try {
+        commit(spark, base, head + 1,
+          snap.copy(checks = snap.checks :+ (name -> exprSql)))
+        return head + 1
+      } catch {
+        case e: IllegalArgumentException
+            if attempt < 20 && e.getMessage != null && e.getMessage
+              .contains("already committed with different content") => ()
+        case _: java.nio.file.FileAlreadyExistsException
+            if attempt < 20 => ()
+      }
+    }
+    throw new IllegalStateException(
+      s"ADD CHECK on $base could not claim a version after 20 attempts — " +
+        "a committer is racing every retry or the store is wedged")
+  }
+
+  /** DROP a CHECK constraint: head+1 without it. Idempotent — dropping
+    * an absent name returns the head unchanged (the state the caller
+    * asked for already holds). */
+  def dropCheck(spark: SparkSession, base: String, name: String): Int = {
+    var attempt = 0
+    while (attempt < 20) {
+      attempt += 1
+      val head = headVersion(spark, base)
+      require(head >= 1, s"no committed snapshot under $base")
+      val snap = manifest(spark, base, head)
+      if (!snap.checks.exists(_._1 == name)) return head
+      try {
+        commit(spark, base, head + 1,
+          snap.copy(checks = snap.checks.filterNot(_._1 == name)))
+        return head + 1
+      } catch {
+        case e: IllegalArgumentException
+            if attempt < 20 && e.getMessage != null && e.getMessage
+              .contains("already committed with different content") => ()
+        case _: java.nio.file.FileAlreadyExistsException
+            if attempt < 20 => ()
+      }
+    }
+    throw new IllegalStateException(
+      s"DROP CHECK on $base could not claim a version after 20 attempts " +
+        "— a committer is racing every retry or the store is wedged")
+  }
+
+  /** Logical column names a CHECK expression references — the guard
+    * [[evolveDropColumn]]/[[evolveRenameColumn]] use to refuse evolving
+    * a constrained column out from under its constraint. */
+  private def checkRefs(spark: SparkSession, exprSql: String): Seq[String] =
+    spark.sessionState.sqlParser.parseExpression(exprSql).collect {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        a.nameParts.head
+    }
+
+  private[sources] def checksReferencing(spark: SparkSession,
+      snap: Snapshot, col: String): Seq[String] =
+    snap.checks.collect {
+      case (n, e) if checkRefs(spark, e)
+        .exists(_.equalsIgnoreCase(col)) => n
+    }
+
+  def manifestColumnStats(snap: Snapshot): Map[String, (Long, Long)] = {
+    if (snap.colStats.isEmpty || snap.dataDirs.isEmpty) return Map.empty
+    val rows = manifestRowCount(snap)
+    // a dir whose manifest row count is 0 contributes (0, 0) whether or
+    // not it was analyzed — exempt it from the coverage requirement
+    // (CREATE TABLE's empty v1 dir is the standing case)
+    val needing = snap.dataDirs
+      .filterNot(d => snap.rowCounts.get(d).contains(0L))
+    snap.colStats.groupBy(_.col).collect {
+      case (c, entries)
+          if needing.forall(d => entries.exists(_.dir == d)) =>
+        val live = entries.filter(e => snap.dataDirs.contains(e.dir))
+        val nulls = live.map(_.nulls).sum
+        val ndv0 = live.map(_.ndv).sum
+        // never report ndv 0 (CBO divides by it); an all-null column
+        // reports 1, which errs toward keeping the filter output large
+        val ndv = math.max(1L,
+          rows.fold(ndv0)(r => math.min(ndv0, r - nulls)))
+        c -> (ndv, nulls)
+    }
   }
 
   /** REF-AWARE RETENTION (`CALL expire_snapshots`): [[vacuum]] with
@@ -1063,9 +1445,13 @@ object SnapshotTable {
     val kept = snap.bounds.filter(b => keep.contains(b.dir))
     val rebound =
       if (hit.isEmpty) Nil else reboundDir(spark, snap.bounds, compDir)
+    val (freshCs, freshRows) =
+      if (hit.isEmpty) (Nil, Map.empty[String, Long])
+      else recountDir(spark, snap, compDir)
     commit(spark, base, v,
       snap.copy(dataDirs = newData, deleteDirs = Nil,
-        bounds = kept ++ rebound))
+        bounds = kept ++ rebound, colStats = snap.colStats ++ freshCs,
+        rowCounts = snap.rowCounts ++ freshRows))
     CompactReport(v, hit.size, keep.size, snap.deleteDirs.size)
   }
 
@@ -1108,6 +1494,39 @@ object SnapshotTable {
     * unsupported type after a SET, or a value carrying a manifest
     * delimiter) contributes NO entry for this dir — always scanned,
     * the safe direction and the pre-rebound behavior. */
+  /** Fresh-dir COLUMN STATS + ROW COUNT for a rewrite commit — the
+    * [[reboundDir]] idea for the `colstats=`/`rows=` lines: recompute
+    * (exact ndv, nulls) for every column the PRIOR manifest fully
+    * covered, and the row count when the prior manifest was fully
+    * counted, so stats-driven planning (CBO sizing, metadata COUNT,
+    * manifest-answered aggregates) SURVIVES routine DML instead of
+    * silently decaying until the next ANALYZE. Stats-less tables pay
+    * NOTHING (no tracked columns, no full count → no extra scan); a
+    * stats-bearing table pays one dir-local aggregate per rewrite —
+    * write-batch-sized, the same bill reboundDir already pays. Columns
+    * physically absent from the fresh dir (evolution edges) drop out,
+    * which only un-covers them — the safe direction. */
+  private def recountDir(spark: SparkSession, prior: Snapshot,
+      dir: String): (Seq[ColStats], Map[String, Long]) = {
+    val tracked = manifestColumnStats(prior).keys.toSeq.sorted
+    val doRows = prior.dataDirs.nonEmpty &&
+      prior.dataDirs.forall(prior.rowCounts.contains)
+    if (tracked.isEmpty && !doRows) return (Nil, Map.empty)
+    val df = spark.read.parquet(dir)
+    val fields = df.schema.fieldNames.toSet
+    val present = tracked.filter(fields)
+    import org.apache.spark.sql.functions.{count, count_distinct, lit}
+    val aggs = count(lit(1)) +: present.flatMap(c =>
+      Seq(count_distinct(col(c)), count(col(c))))
+    val row = df.agg(aggs.head, aggs.drop(1): _*).head()
+    val rows = row.getLong(0)
+    val cs = present.zipWithIndex.map { case (c, i) =>
+      ColStats(dir, c, row.getLong(1 + 2 * i),
+        rows - row.getLong(2 + 2 * i))
+    }
+    (cs, if (doRows) Map(dir -> rows) else Map.empty)
+  }
+
   private def reboundDir(spark: SparkSession, prior: Seq[DirBounds],
       dir: String): Seq[DirBounds] = {
     val cols = prior.map(_.col).distinct
@@ -1171,16 +1590,21 @@ object SnapshotTable {
     // SET sees an earlier SET's result through the re-evaluated WHERE
     val setMap = sets.toMap
     val src = readData(spark, snap, hit.toSeq.sorted)
-    toPhysical(snap, src.select(fieldNames.toIndexedSeq.map { c =>
+    val updated = src.select(fieldNames.toIndexedSeq.map { c =>
       setMap.get(c)
         .map(e => when(predicate, e).otherwise(col(c)))
         .getOrElse(col(c)).as(c)
-    }: _*)).write.parquet(updDir)
+    }: _*)
+    enforceChecks(spark, snap, updated, "UPDATE")
+    toPhysical(snap, updated).write.parquet(updDir)
     // kept dirs keep their bounds; the rewritten dir gets FRESH bounds
     // (a SET may have moved the stats column — recompute, don't carry)
+    val (updCs, updRows) = recountDir(spark, snap, updDir)
     commit(spark, base, v, snap.copy(dataDirs = keep :+ updDir,
       bounds = snap.bounds.filter(b => keep.contains(b.dir))
-        ++ reboundDir(spark, snap.bounds, updDir)))
+        ++ reboundDir(spark, snap.bounds, updDir),
+      colStats = snap.colStats ++ updCs,
+      rowCounts = snap.rowCounts ++ updRows))
     RewriteReport(v, hit.size, keep.size)
   }
 
@@ -1237,12 +1661,16 @@ object SnapshotTable {
       else readData(spark, snap, hit.toSeq.sorted)
         .join(broadcast(srcKeys), Seq(keyCol), "left_anti")
         .unionByName(aligned)
+    enforceChecks(spark, snap, merged, "MERGE")
     toPhysical(snap, merged).write.parquet(mergeDir)
     // kept dirs keep their bounds; the merge dir gets FRESH bounds
     // (source rows' range is arbitrary — recompute, don't carry)
+    val (mrgCs, mrgRows) = recountDir(spark, snap, mergeDir)
     commit(spark, base, v, snap.copy(dataDirs = keep :+ mergeDir,
       bounds = snap.bounds.filter(b => keep.contains(b.dir))
-        ++ reboundDir(spark, snap.bounds, mergeDir)))
+        ++ reboundDir(spark, snap.bounds, mergeDir),
+      colStats = snap.colStats ++ mrgCs,
+      rowCounts = snap.rowCounts ++ mrgRows))
     RewriteReport(v, hit.size, keep.size)
   }
 
@@ -1323,10 +1751,14 @@ object SnapshotTable {
           }: _*)
         updated.unionByName(inserts)
       }
+    enforceChecks(spark, snap, merged, "MERGE")
     toPhysical(snap, merged).write.parquet(mergeDir)
+    val (mrgCs, mrgRows) = recountDir(spark, snap, mergeDir)
     commit(spark, base, v, snap.copy(dataDirs = keep :+ mergeDir,
       bounds = snap.bounds.filter(b => keep.contains(b.dir))
-        ++ reboundDir(spark, snap.bounds, mergeDir)))
+        ++ reboundDir(spark, snap.bounds, mergeDir),
+      colStats = snap.colStats ++ mrgCs,
+      rowCounts = snap.rowCounts ++ mrgRows))
     RewriteReport(v, hit.size, keep.size)
   }
 
@@ -1535,10 +1967,14 @@ object SnapshotTable {
       case (None, Some(i)) => i
       case (None, None) => throw new IllegalStateException("unreachable")
     }
+    enforceChecks(spark, snap, merged, "MERGE")
     toPhysical(snap, merged).write.parquet(mergeDir)
+    val (mrgCs, mrgRows) = recountDir(spark, snap, mergeDir)
     commit(spark, base, v, snap.copy(dataDirs = keep :+ mergeDir,
       bounds = snap.bounds.filter(b => keep.contains(b.dir))
-        ++ reboundDir(spark, snap.bounds, mergeDir)))
+        ++ reboundDir(spark, snap.bounds, mergeDir),
+      colStats = snap.colStats ++ mrgCs,
+      rowCounts = snap.rowCounts ++ mrgRows))
     RewriteReport(v, rewrite.size, keep.size)
   }
 
@@ -1658,8 +2094,16 @@ object SnapshotTable {
     require(batchId >= 0, s"negative batchId $batchId")
     val epochDir = s"$base/ingest_$batchId"
     val marker = new Path(epochDir, "_SUCCESS")
-    if (!fsFor(spark, marker).exists(marker))
+    if (!fsFor(spark, marker).exists(marker)) {
+      // CHECK constraints gate the batch BEFORE its dir lands (an
+      // already-landed, already-committed epoch replay skips this — its
+      // rows were validated when they first landed)
+      val head0 = headVersion(spark, base)
+      if (head0 >= 1)
+        enforceChecks(spark, manifest(spark, base, head0), batch,
+          s"ingest batch $batchId")
       batch.write.mode("overwrite").parquet(epochDir)
+    }
     // lazy: a re-delivered already-committed epoch returns from the
     // contains-check below without re-scanning for bounds or counts
     lazy val fresh = statsCol.toSeq
@@ -1859,9 +2303,12 @@ object SnapshotTable {
     toPhysical(snap, readData(spark, snap, small))
       .coalesce(math.min(outFiles, Int.MaxValue.toLong).toInt)
       .write.parquet(packDir)
+    val (packCs, packRows) = recountDir(spark, snap, packDir)
     commit(spark, base, v, snap.copy(dataDirs = keep :+ packDir,
       bounds = snap.bounds.filter(b => keep.contains(b.dir))
-        ++ reboundDir(spark, snap.bounds, packDir)))
+        ++ reboundDir(spark, snap.bounds, packDir),
+      colStats = snap.colStats ++ packCs,
+      rowCounts = snap.rowCounts ++ packRows))
     OptimizeReport(v, small.size, keep.size)
   }
 
@@ -2083,6 +2530,10 @@ object SnapshotTable {
       s"no column $from in ${cur.fieldNames.toSeq}")
     require(!cur.fieldNames.contains(to),
       s"column $to already exists — rename cannot overwrite")
+    val refChecks = checksReferencing(spark, snap, from)
+    require(refChecks.isEmpty,
+      s"column $from is referenced by CHECK constraint(s) $refChecks — " +
+        "renaming it would orphan their expressions; drop them first")
     require(to.nonEmpty && !to.exists(c => c == '|' || c == ',' ||
       c == '\n'), s"column name '$to' holds a manifest delimiter")
     val physical = snap.renames.getOrElse(from, from)
@@ -2124,6 +2575,10 @@ object SnapshotTable {
     require(cur.fieldNames.contains(name),
       s"no column $name in ${cur.fieldNames.toSeq}")
     require(cur.size > 1, "cannot drop the last column")
+    val refChecks = checksReferencing(spark, snap, name)
+    require(refChecks.isEmpty,
+      s"column $name is referenced by CHECK constraint(s) $refChecks — " +
+        "dropping it would orphan their expressions; drop them first")
     val physical = snap.renames.getOrElse(name, name)
     val narrowed = org.apache.spark.sql.types.StructType(
       cur.filterNot(_.name == name))

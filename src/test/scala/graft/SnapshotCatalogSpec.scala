@@ -705,4 +705,334 @@ class SnapshotCatalogSpec extends SparkTestBase {
       spark.sql("ALTER TABLE snapev1.t ALTER COLUMN k TYPE INT")
     }
   }
+
+  test("analyze_columns: incremental per-dir stats, metadata table, " +
+      "physically-absent columns uncovered, rewrite drops stale entries") {
+    val root = Files.createTempDirectory("snapcat").toString
+    setupCatalog("snapcs1", root)
+    val base = s"$root/t"
+    import spark.implicits._
+    (0 until 100).map(i => (i.toLong, s"g${i % 7}"))
+      .toDF("k", "g").write.parquet(s"$base/d1")
+    (100 until 160).map(i => (i.toLong, s"g${i % 13}"))
+      .toDF("k", "g").write.parquet(s"$base/d2")
+    ST.commit(spark, base, 1, Snapshot(Seq(s"$base/d1", s"$base/d2"), Nil))
+    val r1 = spark.sql(
+      "CALL snapcs1.system.analyze_columns('t', 'k,g')").head
+    assert((r1.getInt(0), r1.getInt(1), r1.getInt(2)) == ((2, 4, 0)), r1)
+    val s2 = ST.manifest(spark, base, 2)
+    assert(ST.manifestRowCount(s2).contains(160L),
+      "analyze_columns must backfill per-dir row counts")
+    assert(ST.manifestColumnStats(s2).get("k").contains((160L, 0L)),
+      "disjoint per-dir key ranges must fold to the exact table ndv")
+    assert(ST.manifestColumnStats(s2).get("g").contains((20L, 0L)),
+      "per-dir ndvs fold additively (7 + 13, disjoint only per dir)")
+    // the metadata table serves the per-dir roster
+    val meta = spark.sql(
+      "SELECT dname, col, ndv, nulls FROM snapcs1.t.colstats " +
+        "ORDER BY dname, col").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(meta == Seq(("d1", "g", 7L, 0L), ("d1", "k", 100L, 0L),
+      ("d2", "g", 13L, 0L), ("d2", "k", 60L, 0L)), meta.toString)
+    // a second CALL is incremental: nothing to scan, no empty commit
+    val r2 = spark.sql(
+      "CALL snapcs1.system.analyze_columns('t', 'k,g')").head
+    assert((r2.getInt(0), r2.getInt(1)) == ((2, 0)), r2)
+    assert(ST.headVersion(spark, base) == 2,
+      "an all-covered analyze must not commit an empty version")
+    // an append leaves old entries alone and scans ONLY the new dir
+    (160 until 200).map(i => (i.toLong, s"g${i % 3}"))
+      .toDF("k", "g").write.parquet(s"$base/d3")
+    ST.commit(spark, base, 3, s2.copy(dataDirs = s2.dataDirs :+ s"$base/d3"))
+    val r3 = spark.sql(
+      "CALL snapcs1.system.analyze_columns('t', 'k,g')").head
+    assert((r3.getInt(0), r3.getInt(1), r3.getInt(2)) == ((4, 2, 0)), r3)
+    assert(ST.manifestRowCount(ST.manifest(spark, base, 4))
+      .contains(200L))
+    // a column physically absent from one dir stays uncovered (pruning/
+    // stats err toward "unknown", never a fabricated entry)
+    (200 until 210).map(i => Tuple1(i.toLong)).toDF("k")
+      .write.parquet(s"$base/d4")
+    val s4 = ST.manifest(spark, base, 4)
+    ST.commit(spark, base, 5, s4.copy(dataDirs = s4.dataDirs :+ s"$base/d4"))
+    val r5 = spark.sql(
+      "CALL snapcs1.system.analyze_columns('t', 'k,g')").head
+    assert((r5.getInt(0), r5.getInt(1), r5.getInt(2)) == ((6, 1, 1)), r5)
+    val s6 = ST.manifest(spark, base, 6)
+    assert(!ST.manifestColumnStats(s6).contains("g"),
+      "a partially-covered column must NOT fold to table-level stats")
+    assert(ST.manifestColumnStats(s6).contains("k"))
+    // an overwrite rewrite drops entries for the dirs it removed —
+    // commit normalization, not reader-side special cases
+    (0 until 5).map(i => (i.toLong, "z")).toDF("k", "g")
+      .write.parquet(s"$base/d5")
+    ST.commit(spark, base, 7,
+      s6.copy(dataDirs = Seq(s"$base/d5"), rowCounts = Map.empty))
+    assert(ST.manifest(spark, base, 7).colStats.isEmpty,
+      "colstats for rewritten-away dirs must not survive the commit")
+    // null counting: exact, per dir
+    val r7 = spark.sql(
+      "CALL snapcs1.system.analyze_columns('t', 'g')").head
+    assert(r7.getInt(1) == 1)
+    assert(ST.manifest(spark, base, 8).colStats ==
+      Seq(ST.ColStats(s"$base/d5", "g", 1L, 0L)))
+    // stats SURVIVE rewrites: an UPDATE recounts its fresh dir for every
+    // fully-covered column (and the row count), so CBO sizing and
+    // metadata COUNT keep working without a re-ANALYZE
+    ST.updateWhere(spark, base, col("k") === 2L,
+      Seq("g" -> lit("zz"))): Unit
+    val s9 = ST.manifest(spark, base, 9)
+    assert(ST.manifestRowCount(s9).contains(5L),
+      "a rewrite must recount its fresh dir when the table was counted")
+    assert(ST.manifestColumnStats(s9).get("g").contains((2L, 0L)),
+      "a rewrite must recompute covered columns' stats for its fresh dir")
+    // the files metadata table reports the head's dir roster + coverage
+    val files = spark.sql("SELECT dname, kind, n_rows, n_colstats " +
+      "FROM snapcs1.t.files ORDER BY dname").collect()
+    assert(files.length == 1 && files(0).getString(1) == "data" &&
+      files(0).getLong(2) == 5L && files(0).getInt(3) == 1,
+      files.mkString(", "))
+    // vacuum dry-run: the survey without the deletions
+    val dr = spark.sql("CALL snapcs1.system.vacuum_dry_run('t', 9)").head
+    assert((dr.getInt(0), dr.getInt(1), dr.getInt(2)) == ((8, 5, 1)),
+      s"dry run must report 8 retirable manifests, 5 orphanable dirs: $dr")
+    assert(new java.io.File(s"$base/d1").exists &&
+      new java.io.File(ST.manifestFile(base, 1)).exists,
+      "a dry run must delete NOTHING")
+  }
+
+  test("manifest colstats flow to Catalyst: numRows + column stats let " +
+      "CBO broadcast a filtered dimension whose table is past the " +
+      "threshold") {
+    val root = Files.createTempDirectory("snapcat").toString
+    val base = s"$root/dim"
+    import spark.implicits._
+    // dim: 20k rows, tag ndv=500 — physical parquet far above the 16KB
+    // threshold below, but an equality on tag selects ~40 rows
+    (0 until 20000).map(i =>
+      (i.toLong, s"tag_${i % 500}", s"payload_payload_payload_$i"))
+      .toDF("k", "tag", "payload").repartition(2)
+      .write.parquet(s"$base/d1")
+    ST.commit(spark, base, 1, Snapshot(Seq(s"$base/d1"), Nil))
+    // fact: big enough that IT never broadcasts
+    val factPath = s"$root/fact"
+    (0 until 40000).map(i => (i.toLong % 20000, i.toLong))
+      .toDF("fk", "x").write.parquet(factPath)
+    // isolated SQLConf: CBO + a tiny threshold + static planning (the
+    // pin is the STATIC stats-driven decision; AQE would re-plan from
+    // runtime sizes in both arms and mask the difference). newSession
+    // shares the context but owns its conf — parallel suites unaffected.
+    val s = spark.newSession()
+    s.conf.set("spark.sql.catalog.snapcs2",
+      classOf[graft.sources.SnapshotCatalog].getName)
+    s.conf.set("spark.sql.catalog.snapcs2.root", root)
+    s.conf.set("spark.sql.cbo.enabled", "true")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", (16 * 1024).toString)
+    s.read.parquet(factPath).createOrReplaceTempView("fact")
+    val dimBytes = new java.io.File(s"$base/d1").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    assert(dimBytes > 16 * 1024,
+      s"fixture too small to prove anything: dim is $dimBytes bytes")
+    def plan(q: String): String = {
+      val p = s.sql(q).queryExecution.executedPlan.toString
+      p.split("== Initial Plan ==")(0)
+    }
+    val join = "SELECT f.x, d.payload FROM fact f JOIN %s d " +
+      "ON f.fk = d.k WHERE d.tag = 'tag_42'"
+    // v1: no manifest stats — the filtered dim is sized by physical
+    // bytes and stays a shuffle join
+    val pre = plan(join.format("snapcs2.dim VERSION AS OF 1"))
+    assert(!pre.contains("BroadcastHashJoin"),
+      s"without stats the dim must not broadcast:\n$pre")
+    val r = s.sql(
+      "CALL snapcs2.system.analyze_columns('dim', 'k,tag')").head
+    assert(r.getInt(0) == 2 && r.getInt(1) == 2)
+    // head (v2): numRows + tag ndv reach Catalyst; CBO sizes the
+    // equality filter at rows/ndv and the planner broadcasts the sliver
+    val post = plan(join.format("snapcs2.dim"))
+    assert(post.contains("BroadcastHashJoin"),
+      s"manifest stats must drive the broadcast decision:\n$post")
+    // and the stats are metadata-only claims with real values: the
+    // joined result is identical in both arms
+    val a = s.sql(join.format("snapcs2.dim VERSION AS OF 1"))
+      .collect().map(_.toString).sorted
+    val b = s.sql(join.format("snapcs2.dim")).collect()
+      .map(_.toString).sorted
+    assert(a.sameElements(b), "stats must never change results")
+    // pushdown survives the stats wrapper (the explain metadata is
+    // forwarded, not swallowed)
+    val pf = plan("SELECT payload FROM snapcs2.dim WHERE k >= 19990")
+    assert(pf.contains("PushedFilters") &&
+      pf.contains("GreaterThanOrEqual(k,19990)"),
+      s"stats wrapper must not break filter pushdown:\n$pf")
+  }
+
+  test("manifest-answered aggregates: min/max/count from metadata with " +
+      "zero file reads; filters, distinct, and uncovered dirs fall back " +
+      "to the real scan") {
+    val root = Files.createTempDirectory("snapcat").toString
+    setupCatalog("snapcs3", root)
+    val base = s"$root/t"
+    import spark.implicits._
+    Seq((3L, "b", java.sql.Date.valueOf("2020-01-03")),
+      (1L, "a", java.sql.Date.valueOf("2020-01-01")))
+      .toDF("k", "s", "d").write.parquet(s"$base/d1")
+    Seq((9L, "z", java.sql.Date.valueOf("2020-02-09")),
+      (5L, null.asInstanceOf[String],
+        java.sql.Date.valueOf("2020-01-20")))
+      .toDF("k", "s", "d").write.parquet(s"$base/d2")
+    ST.commit(spark, base, 1,
+      Snapshot(Seq(s"$base/d1", s"$base/d2"), Nil,
+        bounds = Seq("k", "s", "d")
+          .flatMap(c => ST.computeBounds(spark, Seq(s"$base/d1",
+            s"$base/d2"), c))))
+    spark.sql("CALL snapcs3.system.analyze_columns('t', 's')").collect()
+    def planOf(q: String): String = {
+      val p = spark.sql(q).queryExecution.executedPlan.toString
+      p.split("== Initial Plan ==")(0)
+    }
+    val agg = "SELECT MIN(k) AS a, MAX(k) AS b, MIN(s) AS c, " +
+      "MAX(s) AS d, MIN(d) AS e, MAX(d) AS f, COUNT(*) AS g, " +
+      "COUNT(s) AS h FROM snapcs3.t"
+    val p1 = planOf(agg)
+    assert(p1.contains("ManifestAggregate") &&
+      !p1.contains("Format: parquet"),
+      s"unfiltered min/max/count must answer from the manifest:\n$p1")
+    val row = spark.sql(agg).head
+    assert((row.getLong(0), row.getLong(1), row.getString(2),
+      row.getString(3), row.getDate(4).toString, row.getDate(5).toString,
+      row.getLong(6), row.getLong(7)) ==
+      ((1L, 9L, "a", "z", "2020-01-01", "2020-02-09", 4L, 3L)))
+    // a WHERE clause makes manifest numbers unsound → real scan, and the
+    // value is the filtered one
+    val pFiltered = planOf(
+      "SELECT COUNT(*) AS n FROM snapcs3.t WHERE k > 3")
+    assert(!pFiltered.contains("ManifestAggregate"),
+      s"a filtered aggregate must not answer from the manifest:\n$pFiltered")
+    assert(spark.sql(
+      "SELECT COUNT(*) AS n FROM snapcs3.t WHERE k > 3").head.getLong(0)
+      == 2L)
+    // DISTINCT is not manifest-answerable
+    val pDistinct = planOf(
+      "SELECT COUNT(DISTINCT s) AS n FROM snapcs3.t")
+    assert(!pDistinct.contains("ManifestAggregate"))
+    assert(spark.sql("SELECT COUNT(DISTINCT s) AS n FROM snapcs3.t")
+      .head.getLong(0) == 3L)
+    // an appended dir without bounds/stats un-covers the table: fall
+    // back, and the values include the new rows
+    Seq((20L, "q", java.sql.Date.valueOf("2020-03-01")))
+      .toDF("k", "s", "d").write.parquet(s"$base/d3")
+    val s2 = ST.manifest(spark, base, 2)
+    ST.commit(spark, base, 3, s2.copy(dataDirs = s2.dataDirs :+ s"$base/d3"))
+    val p3 = planOf("SELECT MAX(k) AS m, COUNT(*) AS n FROM snapcs3.t")
+    assert(!p3.contains("ManifestAggregate"),
+      s"an uncovered dir must force the real scan:\n$p3")
+    assert(spark.sql("SELECT MAX(k) AS m, COUNT(*) AS n FROM snapcs3.t")
+      .head.getLong(0) == 20L)
+    // re-analyzing the new dir restores the metadata answer — bounds for
+    // min/max stay version-scoped (time travel to v2 still answers v2)
+    ST.analyzeBounds(spark, base, "k"): Unit
+    spark.sql("CALL snapcs3.system.analyze_columns('t', 's')").collect()
+    val p4 = planOf("SELECT MAX(k) AS m, COUNT(*) AS n FROM snapcs3.t")
+    assert(p4.contains("ManifestAggregate"),
+      s"re-analyze must restore the metadata answer for covered terms:\n$p4")
+    val r4 = spark.sql("SELECT MAX(k) AS m, COUNT(*) AS n FROM snapcs3.t")
+      .head
+    assert((r4.getLong(0), r4.getLong(1)) == ((20L, 5L)))
+    // empty dirs (manifest row count 0) are exempt from bounds coverage:
+    // a freshly CREATEd table answers COUNT(*)=0 and NULL min from the
+    // manifest alone — zero file reads even for the empty-table case
+    spark.sql("CREATE TABLE snapcs3.e (k BIGINT, s STRING)")
+    val pe = planOf("SELECT MIN(k) AS m, COUNT(*) AS n FROM snapcs3.e")
+    assert(pe.contains("ManifestAggregate") &&
+      !pe.contains("Format: parquet"),
+      s"an all-empty table must answer from the manifest:\n$pe")
+    val re = spark.sql("SELECT MIN(k) AS m, COUNT(*) AS n FROM snapcs3.e")
+      .head
+    assert(re.isNullAt(0) && re.getLong(1) == 0L)
+  }
+
+  test("CHECK constraints: add validates existing data; every write " +
+      "path refuses violations (NULL included) without committing; " +
+      "evolution locks; drop restores") {
+    val root = Files.createTempDirectory("snapcat").toString
+    setupCatalog("snapck1", root, "t" -> "k")
+    val base = s"$root/t"
+    import spark.implicits._
+    spark.sql("CREATE TABLE snapck1.t (k BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO snapck1.t VALUES (1, 10), (2, 20)")
+    // adding a constraint the EXISTING data violates refuses
+    val e0 = intercept[Exception] {
+      spark.sql("CALL snapck1.system.add_check('t', 'v_big', 'v > 15')")
+        .collect()
+    }
+    assert(e0.getMessage.contains("v_big"))
+    // a valid constraint lands; re-adding the same is idempotent, a
+    // DIFFERENT expression under the same name refuses
+    assert(spark.sql(
+      "CALL snapck1.system.add_check('t', 'v_pos', 'v > 0')")
+      .head.getInt(0) == 3)
+    assert(spark.sql(
+      "CALL snapck1.system.add_check('t', 'v_pos', 'v > 0')")
+      .head.getInt(0) == 3)
+    intercept[Exception] {
+      spark.sql("CALL snapck1.system.add_check('t', 'v_pos', 'v > 1')")
+        .collect()
+    }
+    assert(spark.sql("SELECT name, expr FROM snapck1.t.checks").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("v_pos", "v > 0")))
+    val headBefore = ST.headVersion(spark, base)
+    // INSERT: FALSE violates, and NULL violates too (a NULL-dodgeable
+    // constraint is not a constraint)
+    intercept[Exception] {
+      spark.sql("INSERT INTO snapck1.t VALUES (3, -1)").collect()
+    }
+    intercept[Exception] {
+      spark.sql("INSERT INTO snapck1.t VALUES (3, NULL)").collect()
+    }
+    // UPDATE and MERGE refuse violating assignments
+    intercept[Exception] {
+      spark.sql("UPDATE snapck1.t SET v = -9 WHERE k = 1").collect()
+    }
+    intercept[Exception] {
+      spark.sql(
+        """MERGE INTO snapck1.t USING (SELECT 9 AS k, -4 AS v) s
+          |ON t.k = s.k WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        .collect()
+    }
+    // streaming ingest refuses a violating batch
+    intercept[Exception] {
+      ST.ingestBatch(spark, base,
+        Seq((7L, -3L)).toDF("k", "v"), 99L)
+    }
+    assert(ST.headVersion(spark, base) == headBefore,
+      "refused writes must not commit a version")
+    // a branch inherits the constraint: violating branch write refuses
+    spark.sql("CALL snapck1.system.create_branch('t', 'wip')").collect()
+    intercept[Exception] {
+      spark.sql("INSERT INTO snapck1.t.branch_wip VALUES (8, -2)")
+        .collect()
+    }
+    spark.sql("INSERT INTO snapck1.t.branch_wip VALUES (8, 80)").collect()
+    // evolution cannot pull a constrained column out from under its check
+    intercept[Exception] {
+      spark.sql("ALTER TABLE snapck1.t DROP COLUMN v")
+    }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE snapck1.t RENAME COLUMN v TO w")
+    }
+    // valid writes pass, and drop_check releases enforcement
+    spark.sql("INSERT INTO snapck1.t VALUES (4, 40)").collect()
+    spark.sql("CALL snapck1.system.drop_check('t', 'v_pos')").collect()
+    spark.sql("INSERT INTO snapck1.t VALUES (5, -50)").collect()
+    assert(spark.sql("SELECT SUM(v) FROM snapck1.t").head.getLong(0) ==
+      10L + 20L + 40L - 50L)
+    // drop of an absent name is an idempotent no-op
+    val h = ST.headVersion(spark, base)
+    assert(spark.sql("CALL snapck1.system.drop_check('t', 'v_pos')")
+      .head.getInt(0) == h)
+  }
 }
