@@ -1211,4 +1211,39 @@ class SnapshotTableSpec extends SparkTestBase {
     assert(reread.where(col("y").isNotNull).count() == 0,
       "the re-added column must be all-NULL, never stale bytes")
   }
+
+  test("manifest roundtrip: colstats and checks survive parse exactly — " +
+      "including every manifest delimiter inside a check expression") {
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("snapmanifest").toString + "/t"
+    Seq((1L, "a"), (2L, "b")).toDF("k", "s").write.parquet(s"$base/d1")
+    // the expression legitimately contains , | and quotes — the base64url
+    // line encoding exists exactly for this
+    val nasty = "k > 0 AND (s IN ('a,b', 'c|d') OR s = 'x')"
+    val snap = SnapshotTable.Snapshot(Seq(s"$base/d1"), Nil,
+      rowCounts = Map(s"$base/d1" -> 2L),
+      colStats = Seq(SnapshotTable.ColStats(s"$base/d1", "s", 2L, 0L),
+        SnapshotTable.ColStats(s"$base/d1", "k", 2L, 0L)),
+      checks = Seq("nasty" -> nasty, "pos" -> "k > 0"))
+    SnapshotTable.commit(spark, base, 1, snap)
+    val back = SnapshotTable.manifest(spark, base, 1)
+    assert(back.checks == Seq("nasty" -> nasty, "pos" -> "k > 0"))
+    assert(back.colStats.toSet == snap.colStats.toSet &&
+      back.rowCounts == snap.rowCounts)
+    // idempotent replay still recognizes the identical snapshot
+    SnapshotTable.commit(spark, base, 1, snap)
+    // and the nasty expression actually ENFORCES through a write
+    intercept[Exception] {
+      SnapshotTable.ingestBatch(spark, base,
+        Seq((5L, "nope")).toDF("k", "s"), 1L)
+    }
+    SnapshotTable.ingestBatch(spark, base,
+      Seq((5L, "x")).toDF("k", "s"), 2L): Unit
+    // a bad constraint name refuses at commit (manifest-format guard)
+    intercept[IllegalArgumentException] {
+      SnapshotTable.commit(spark, base, 9,
+        snap.copy(checks = Seq("bad name" -> "k > 0")))
+    }
+  }
 }
