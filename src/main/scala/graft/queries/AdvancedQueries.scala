@@ -3857,6 +3857,85 @@ object AdvancedQueries {
       q
     },
 
+    // COPY INTO (CALL ingest_files → ledger-deduped landing-zone load):
+    // the batch half of the ingestion story — a glob of landing files
+    // loads EXACTLY ONCE however many times the loader fires, because
+    // the manifest carries a (path, length, mtime) ledger and a re-run
+    // skips every covered file (require-pinned: the second CALL adds 0).
+    // At 100 TB this is the retry-safe bulk loader: a scheduler re-fire
+    // or a crashed loader re-run never double-loads a file, and a file
+    // MUTATED under an ingested path refuses loudly (spec-pinned) —
+    // landing zones are append-only. The final state hash-gates against
+    // the three slices' union replay: a double-loaded file (doubled
+    // rows) or a dropped file (missing rows) both fail.
+    "q_snapshot_copyinto" -> { (s, dir) =>
+      import graft.sources.{SnapshotTable => ST}
+      val sfN = new java.io.File(dir).getName
+      val fp = java.security.MessageDigest.getInstance("MD5")
+        .digest(graft.sources.Sinks.fingerprint(s, s"$dir/orders.parquet")
+          .getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString.take(10)
+      val landing = s"/root/repo/target/tmp/copyland-$sfN-$fp"
+      val root = s"/root/repo/target/tmp/copyin-$sfN-$fp"
+      val tbl = "orders_t"
+      val base = s"$root/$tbl"
+      val cat = s"gcpy${sfN.replace(".", "")}$fp"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.SnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      for (i <- 0 until 3)
+        graft.sources.Sinks.ensureDir(s, s"$landing/s$i", s"v1:copyland_$i",
+          inputs = Seq(s"$dir/orders.parquet")) {
+          Tables(s, dir, "orders")
+            .where(pmod(col("o_orderkey"), lit(4)) === i)
+            .select(col("o_orderkey").as("k"),
+              col("o_orderpriority").as("pri"),
+              cents(col("o_totalprice")).as("cents"))
+            .coalesce(1)
+            .write.mode("overwrite").parquet(s"$landing/s$i")
+        }
+      def head = ST.headVersion(s, base)
+      if (head == 0) {
+        try s.sql(
+          s"CREATE TABLE $cat.`$tbl` (k BIGINT, pri STRING, cents BIGINT)")
+          .collect(): Unit
+        catch { case e: Exception if head >= 1 => () }
+      }
+      var tries = 0
+      while (head < 1 && tries < 600) { Thread.sleep(100); tries += 1 }
+      def ledgerSize = ST.manifest(s, base, head).ingested.size
+      def awaitLedger(n: Int): Unit = {
+        var i = 0
+        while (ledgerSize < n && i < 600) { Thread.sleep(100); i += 1 }
+        require(ledgerSize >= n, s"COPY INTO ledger stuck below $n")
+      }
+      // first two slices: a loader run (added + skipped == listed; a
+      // concurrent runner's fold reports added 0, the ledger arbitrates)
+      val r1 = s.sql(s"CALL $cat.system.ingest_files('$tbl', " +
+        s"'$landing/s{0,1}/*.parquet')").head
+      require(r1.getInt(1) + r1.getInt(2) == 2,
+        s"first COPY INTO must account for both files: $r1")
+      awaitLedger(2)
+      // the idempotence pin: an identical re-fire adds NOTHING
+      val r2 = s.sql(s"CALL $cat.system.ingest_files('$tbl', " +
+        s"'$landing/s{0,1}/*.parquet')").head
+      require(r2.getInt(1) == 0 && r2.getInt(2) == 2,
+        s"a re-fired COPY INTO must skip every ledgered file: $r2")
+      // a wider glob drains only the NEW slice
+      val r3 = s.sql(s"CALL $cat.system.ingest_files('$tbl', " +
+        s"'$landing/s*/*.parquet')").head
+      require(r3.getInt(1) + r3.getInt(2) == 3,
+        s"the widened COPY INTO must account for all three files: $r3")
+      awaitLedger(3)
+      require(ledgerSize == 3, s"ledger must hold exactly 3 files")
+      // the ledger is SQL-auditable through the ingested metadata table
+      require(s.sql(s"SELECT COUNT(*) FROM $cat.`$tbl`.ingested")
+        .head.getLong(0) == 3,
+        "the ingested metadata table must serve the ledger")
+      s.sql(
+        s"""SELECT pri, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS cents
+           |FROM $cat.`$tbl` GROUP BY pri ORDER BY pri""".stripMargin)
+    },
+
     // CHECK CONSTRAINTS (CALL add_check → manifest-carried invariant →
     // write-time enforcement): the integrity half of the DML story — a
     // named boolean expression, validated against EXISTING data when
@@ -5117,6 +5196,15 @@ object AdvancedQueries {
          |SELECT 'd1', 'pri_n', COUNT(DISTINCT pri_n),
          |  COUNT(*) - COUNT(pri_n) FROM b WHERE okey % 2 = 1
          |ORDER BY dname, col""".stripMargin,
+
+    // the three landing slices' union (k%4 in 0..2): a double-loaded
+    // file doubles its slice's rows, a dropped file loses them — both
+    // hash-fail
+    "q_snapshot_copyinto" ->
+      s"""SELECT o_orderpriority AS pri, COUNT(*) AS n,
+         |  CAST(SUM(${CENTS("o_totalprice")}) AS BIGINT) AS cents
+         |FROM orders WHERE o_orderkey % 4 IN (0, 1, 2)
+         |GROUP BY pri ORDER BY pri""".stripMargin,
 
     // only the VALID operations replayed: the two inserts' slices plus
     // the valid update's bump — a leaked CHECK-violating row (negative

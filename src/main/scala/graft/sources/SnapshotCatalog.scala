@@ -168,6 +168,16 @@ class SnapshotCatalog extends TableCatalog with ProcedureCatalog {
           StructType.fromDDL("`dname` STRING, `kind` STRING, " +
             "`n_rows` BIGINT, `n_bounds` INT, `n_colstats` INT"),
           rows))
+      case "ingested" =>
+        // the COPY INTO ledger (ingest_files): one row per landing file
+        // the head manifest has drained — the loader's audit surface
+        val head = SnapshotTable.headVersion(spark, base)
+        val snap = SnapshotTable.manifest(spark, base, head)
+        Some(new LocalRowsTable(
+          s"$catName.${ident.namespace()(0)}.ingested",
+          StructType.fromDDL("`path` STRING, `len` BIGINT, " +
+            "`mtime` BIGINT"),
+          snap.ingested.map(f => Seq[Any](f.path, f.len, f.mtime))))
       case "checks" =>
         // the head manifest's CHECK constraint roster (add_check /
         // drop_check) — name + the enforced SQL expression

@@ -139,6 +139,17 @@ private[sources] object SnapshotProcedures {
           s"$root/${str(in, 0)}", cols.toSeq)
         Seq(r.version, r.entriesAdded, r.entriesUncovered)
       }),
+    Proc("ingest_files",
+      "COPY INTO: idempotently load a landing-zone glob's NEW files " +
+        "(ledger-deduped by path+length+mtime; mutated files refuse)",
+      Seq("tbl" -> StringType, "pattern" -> StringType),
+      StructType.fromDDL("`version` INT, `files_added` INT, " +
+        "`files_skipped` INT"),
+      (root, in) => {
+        val r = SnapshotTable.ingestFiles(spark,
+          s"$root/${str(in, 0)}", str(in, 1))
+        Seq(r.version, r.filesAdded, r.filesSkipped)
+      }),
     Proc("add_check",
       "add a named CHECK constraint (boolean SQL expr over logical " +
         "columns): existing data is validated, then every later write " +

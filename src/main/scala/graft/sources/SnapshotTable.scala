@@ -69,13 +69,20 @@ object SnapshotTable {
     * against them BEFORE committing (a row passes iff the expression is
     * TRUE — FALSE and NULL both violate, the Delta CHECK contract), so
     * a constraint, once added, is an invariant of every later version. */
+  /** One ingested-file ledger entry ([[ingestFiles]] — the COPY INTO
+    * dedup key): source path + the length/mtime it was ingested at. A
+    * re-listed identical file skips; a path re-appearing with different
+    * length/mtime refuses loudly (landing zones are append-only). */
+  final case class IngestedFile(path: String, len: Long, mtime: Long)
+
   final case class Snapshot(dataDirs: Seq[String], deleteDirs: Seq[String],
       bounds: Seq[DirBounds] = Nil, schema: Option[String] = None,
       rowCounts: Map[String, Long] = Map.empty,
       renames: Map[String, String] = Map.empty,
       dropped: Seq[String] = Nil,
       colStats: Seq[ColStats] = Nil,
-      checks: Seq[(String, String)] = Nil)
+      checks: Seq[(String, String)] = Nil,
+      ingested: Seq[IngestedFile] = Nil)
 
   private def manifestPath(base: String, v: Int) =
     new Path(s"$base/_MANIFEST_v$v")
@@ -120,7 +127,8 @@ object SnapshotTable {
       colStats = rawSnap.colStats
         .filter(cs => rawSnap.dataDirs.contains(cs.dir))
         .sortBy(cs => (cs.dir, cs.col)),
-      checks = rawSnap.checks.sortBy(_._1))
+      checks = rawSnap.checks.sortBy(_._1),
+      ingested = rawSnap.ingested.distinct.sortBy(_.path))
     // delimiter validation FIRST (cheap, pure): a path with ',' or '|'
     // would parse back into DIFFERENT dirs — the existence check below
     // would mask this with a confusing "uncommitted dir" error
@@ -188,6 +196,22 @@ object SnapshotTable {
         s"$n|${java.util.Base64.getUrlEncoder.withoutPadding
           .encodeToString(e.getBytes("UTF-8"))}"
       }.mkString(",") + "\n"
+    // the COPY INTO ledger: absent line keeps pre-ingest manifests
+    // byte-identical; a duplicate path would make dedup ambiguous
+    for (f <- snap.ingested) {
+      require(!f.path.exists(c => c == '|' || c == ',' || c == '\n'),
+        s"ingested path '${f.path}' holds a manifest delimiter — " +
+          "refuse rather than write an unparseable manifest")
+      require(f.len >= 0 && f.mtime >= 0,
+        s"negative ingested-file metadata for ${f.path}")
+    }
+    require(snap.ingested.map(_.path).distinct.size ==
+      snap.ingested.size,
+      s"snapshot v$v carries duplicate ingested-file ledger paths")
+    val ingestedLine =
+      if (snap.ingested.isEmpty) ""
+      else "ingested=" + snap.ingested
+        .map(f => s"${f.path}|${f.len}|${f.mtime}").mkString(",") + "\n"
     val schemaLine = snap.schema.map { ddl =>
       require(!ddl.exists(c => c == '\n' || c == '\r'),
         "schema DDL may not contain a newline — it is one manifest line")
@@ -215,7 +239,7 @@ object SnapshotTable {
     val core = s"data=${snap.dataDirs.mkString(",")}\n" +
       s"delete=${snap.deleteDirs.mkString(",")}\n" + boundsLine +
       rowsLine + colStatsLine + schemaLine + renamesLine + droppedLine +
-      checksLine
+      checksLine + ingestedLine
     val body = core + f"crc=${crc32(core)}%08x\n"
     val dst = manifestPath(base, v)
     val fs = fsFor(spark, dst)
@@ -433,9 +457,20 @@ object SnapshotTable {
             "written by a newer format")
       }
     }
+    val ingested = dirs("ingested").toSeq.map { entry =>
+      entry.split("\\|", -1) match {
+        case Array(p, len, mt)
+            if len.nonEmpty && len.forall(_.isDigit) &&
+              mt.nonEmpty && mt.forall(_.isDigit) =>
+          IngestedFile(p, len.toLong, mt.toLong)
+        case _ => throw new IllegalArgumentException(
+          s"unparseable ingested entry '$entry' — manifest damaged or " +
+            "written by a newer format")
+      }
+    }
     (Snapshot(dirs("data").toSeq, dirs("delete").toSeq, bounds,
       kv.get("schema").filter(_.nonEmpty), rows, renames,
-      dirs("dropped").toSeq, colStats, checks),
+      dirs("dropped").toSeq, colStats, checks, ingested),
       crcLines.headOption.map(_.stripPrefix("crc=")),
       coreLines.mkString("", "\n", "\n"))
   }
@@ -724,7 +759,7 @@ object SnapshotTable {
       (m.dataDirs ++ m.deleteDirs).map(canon)
     }.toSet
     val stagingRe =
-      """^_(delete|compact|update|merge|mergew|mergea|zorder)_v(\d+)(-[0-9a-f]{8})?$""".r
+      """^_(delete|compact|update|merge|mergew|mergea|zorder|copyin)_v(\d+)(-[0-9a-f]{8})?$""".r
     val b = new Path(base)
     val fs = fsFor(spark, b)
     val now = System.currentTimeMillis()
@@ -2094,14 +2129,20 @@ object SnapshotTable {
     require(batchId >= 0, s"negative batchId $batchId")
     val epochDir = s"$base/ingest_$batchId"
     val marker = new Path(epochDir, "_SUCCESS")
+    // the CHECK set this epoch's rows were last validated against: null
+    // until a validation ran, then compared against each commit
+    // attempt's head so a concurrent ADD CHECK landing mid-ingest (or a
+    // crash-landed dir re-delivered after one) is re-validated from the
+    // dir content before it can commit — the insertInto drift rule
+    var validatedChecks: Seq[(String, String)] = null
     if (!fsFor(spark, marker).exists(marker)) {
-      // CHECK constraints gate the batch BEFORE its dir lands (an
-      // already-landed, already-committed epoch replay skips this — its
-      // rows were validated when they first landed)
+      // CHECK constraints gate the batch BEFORE its dir lands
       val head0 = headVersion(spark, base)
-      if (head0 >= 1)
-        enforceChecks(spark, manifest(spark, base, head0), batch,
-          s"ingest batch $batchId")
+      if (head0 >= 1) {
+        val snap0 = manifest(spark, base, head0)
+        enforceChecks(spark, snap0, batch, s"ingest batch $batchId")
+        validatedChecks = snap0.checks
+      } else validatedChecks = Nil
       batch.write.mode("overwrite").parquet(epochDir)
     }
     // lazy: a re-delivered already-committed epoch returns from the
@@ -2116,6 +2157,15 @@ object SnapshotTable {
       val prior =
         if (head == 0) Snapshot(Nil, Nil) else manifest(spark, base, head)
       if (prior.dataDirs.contains(epochDir)) return head // already folded
+      if (prior.checks.nonEmpty && prior.checks != validatedChecks) {
+        // the head's constraint set differs from what this epoch was
+        // validated against (a racing ADD CHECK, or a crash-landed dir
+        // re-delivered after one): validate the DIR content — the rows
+        // about to commit — before folding it in
+        enforceChecks(spark, prior, spark.read.parquet(epochDir),
+          s"ingest batch $batchId")
+        validatedChecks = prior.checks
+      }
       try {
         commit(spark, base, head + 1,
           prior.copy(dataDirs = prior.dataDirs :+ epochDir,
@@ -2136,6 +2186,110 @@ object SnapshotTable {
     throw new IllegalStateException(
       s"ingest of batch $batchId could not claim a version after 20 " +
         s"attempts — a committer is racing every retry or $base is wedged")
+  }
+
+  /** COPY INTO (`CALL ingest_files`): idempotent batch ingestion of a
+    * landing zone's files into the table — list the glob, skip every
+    * file the manifest's ledger already carries, stage the NEW files'
+    * rows as one dir (schema-aligned by name, CHECK-validated), and
+    * commit head+1 with the dir appended and the ledger extended. A
+    * re-run of the same CALL (operator retry, scheduler re-fire) adds
+    * NOTHING — the dedup key is (path, length, mtime), so at 100 TB a
+    * landing zone drains exactly once however many times the loader
+    * fires. A path re-appearing with DIFFERENT length/mtime refuses
+    * loudly: landing zones are append-only; a mutated file under an
+    * ingested path is a pipeline bug, not new data. Cost per run is
+    * O(new files) + one manifest commit; the listing is metadata-only.
+    * Racing loaders fold through the OCC loop — files the winner
+    * already ingested drop out of the loser's fresh set (re-staged if
+    * it shrank), never double-load. */
+  final case class IngestFilesReport(version: Int, filesAdded: Int,
+      filesSkipped: Int)
+
+  def ingestFiles(spark: SparkSession, base: String,
+      pattern: String): IngestFilesReport = {
+    val gp = new Path(pattern)
+    val gfs = fsFor(spark, gp)
+    val listed = Option(gfs.globStatus(gp)).getOrElse(Array.empty)
+      .filter(_.isFile)
+      .map(st => IngestedFile(gfs.makeQualified(st.getPath).toString,
+        st.getLen, st.getModificationTime))
+      .sortBy(_.path).toSeq
+    for (f <- listed)
+      require(!f.path.exists(c => c == '|' || c == ',' || c == '\n'),
+        s"landing file path '${f.path}' holds a manifest delimiter — " +
+          "the ledger could not record it; rename the file")
+    // staged state carried across OCC retries; re-staged only when the
+    // fresh set (a racer ingested some of our files) or the rename map
+    // (a racer evolved/normalized names) drifted
+    var stagedKey: (Seq[IngestedFile], Map[String, String]) = null
+    var stagedDir: String = null
+    var stagedRows = 0L
+    var validatedChecks: Seq[(String, String)] = null
+    def dropStaged(): Unit = if (stagedDir != null) {
+      val p = new Path(stagedDir)
+      fsFor(spark, p).delete(p, true): Unit
+      stagedDir = null; stagedKey = null
+    }
+    var attempt = 0
+    while (attempt < 20) {
+      attempt += 1
+      val head = headVersion(spark, base)
+      require(head >= 1,
+        s"no committed snapshot under $base — CREATE the table first")
+      val snap = manifest(spark, base, head)
+      val ledger = snap.ingested.map(f => f.path -> f).toMap
+      for (f <- listed; prev <- ledger.get(f.path))
+        require(prev.len == f.len && prev.mtime == f.mtime,
+          s"landing file ${f.path} changed since it was ingested " +
+            s"(${prev.len}b@${prev.mtime} -> ${f.len}b@${f.mtime}) — " +
+            "landing zones are append-only; land changed data under a " +
+            "new name")
+      val fresh = listed.filterNot(f => ledger.contains(f.path))
+      if (fresh.isEmpty) {
+        dropStaged() // a racer ingested everything we staged
+        return IngestFilesReport(head, 0, listed.size)
+      }
+      if (stagedKey != ((fresh, snap.renames))) {
+        dropStaged()
+        stagedDir = s"$base/_copyin_v${head + 1}-" +
+          java.util.UUID.randomUUID().toString.take(8)
+        val target = tableSchema(spark, snap)
+        // align by NAME with casts: a landing file missing a table
+        // column fails the analysis loudly (COPY INTO never guesses)
+        val aligned = spark.read.parquet(fresh.map(_.path): _*)
+          .select(target.fields.toIndexedSeq
+            .map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+        enforceChecks(spark, snap, aligned, "COPY INTO")
+        validatedChecks = snap.checks
+        toPhysical(snap, aligned).write.mode("overwrite").parquet(stagedDir)
+        stagedRows = spark.read.parquet(stagedDir).count()
+        stagedKey = (fresh, snap.renames)
+      } else if (snap.checks != validatedChecks) {
+        // a concurrent ADD CHECK landed since staging — re-validate the
+        // staged rows before they can commit (the ingestBatch drift rule)
+        enforceChecks(spark, snap, spark.read.parquet(stagedDir),
+          "COPY INTO")
+        validatedChecks = snap.checks
+      }
+      try {
+        commit(spark, base, head + 1, snap.copy(
+          dataDirs = snap.dataDirs :+ stagedDir,
+          rowCounts = snap.rowCounts + (stagedDir -> stagedRows),
+          ingested = snap.ingested ++ fresh))
+        return IngestFilesReport(head + 1, fresh.size,
+          listed.size - fresh.size)
+      } catch {
+        case e: IllegalArgumentException
+            if attempt < 20 && e.getMessage != null && e.getMessage
+              .contains("already committed with different content") => ()
+        case _: java.nio.file.FileAlreadyExistsException
+            if attempt < 20 => ()
+      }
+    }
+    throw new IllegalStateException(
+      s"COPY INTO $base could not claim a version after 20 attempts — " +
+        "a committer is racing every retry or the store is wedged")
   }
 
   /** Highest committed version under `base` (0 when none): one LIST of

@@ -237,4 +237,60 @@ class SnapshotConcurrencySpec extends SparkTestBase {
       assert(SnapshotTable.readVersionData(spark, base, 2).count() == 9)
     }
   }
+
+  test("racing COPY INTO loaders over the same landing glob: each file " +
+      "loads exactly once — the loser folds, never double-loads") {
+    import spark.implicits._
+    for (round <- 1 to 4) {
+      val root = freshBase()
+      val base = s"$root/t"
+      writeNums(s"$base/d1", 0, 3)
+      SnapshotTable.commit(spark, base, 1, Snapshot(Seq(s"$base/d1"), Nil))
+      // two fixed-name landing files
+      for ((name, from) <- Seq(("a.parquet", 100), ("b.parquet", 200))) {
+        val tmp = s"$root/stage-$name"
+        (from until from + 5).toDF("k").coalesce(1)
+          .write.parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(s"$root/lz"))
+        java.nio.file.Files.copy(part.toPath,
+          java.nio.file.Paths.get(s"$root/lz/$name"))
+      }
+      val glob = s"$root/lz/*.parquet"
+      val ready = new CountDownLatch(2)
+      val go = new CountDownLatch(1)
+      val reports = new java.util.concurrent.ConcurrentLinkedQueue[
+        Either[Throwable, SnapshotTable.IngestFilesReport]]()
+      def loader() = new Thread(() => {
+        ready.countDown(); go.await()
+        val r = try Right(SnapshotTable.ingestFiles(spark, base, glob))
+          catch { case t: Throwable => Left(t) }
+        reports.add(r): Unit
+      })
+      val (t1, t2) = (loader(), loader())
+      t1.start(); t2.start()
+      ready.await(); go.countDown()
+      t1.join(120000); t2.join(120000)
+      import scala.jdk.CollectionConverters._
+      val reps = reports.asScala.toList
+      assert(reps.size == 2, "both loaders must finish")
+      for (r <- reps) assert(r.isRight,
+        s"a racing loader must fold, not fail: $r")
+      // the table state is the arbiter: every landing row exactly once
+      val head = SnapshotTable.headVersion(spark, base)
+      val snap = SnapshotTable.manifest(spark, base, head)
+      assert(snap.ingested.size == 2,
+        s"ledger must hold both files exactly once: ${snap.ingested}")
+      val rows = SnapshotTable.readVersionData(spark, base, head)
+        .select("k").collect().map(_.getInt(0)).sorted.toSeq
+      assert(rows == ((0 until 3) ++ (100 until 105) ++
+        (200 until 205)),
+        s"round $round: rows loaded wrong: $rows")
+      // total files added across both loaders == 2 (no double count)
+      val added = reps.collect { case Right(r) => r.filesAdded }.sum
+      assert(added == 2, s"double/lost load across racers: $reps")
+    }
+  }
 }

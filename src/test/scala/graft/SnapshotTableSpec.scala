@@ -1225,12 +1225,14 @@ class SnapshotTableSpec extends SparkTestBase {
       rowCounts = Map(s"$base/d1" -> 2L),
       colStats = Seq(SnapshotTable.ColStats(s"$base/d1", "s", 2L, 0L),
         SnapshotTable.ColStats(s"$base/d1", "k", 2L, 0L)),
-      checks = Seq("nasty" -> nasty, "pos" -> "k > 0"))
+      checks = Seq("nasty" -> nasty, "pos" -> "k > 0"),
+      ingested = Seq(SnapshotTable.IngestedFile("/lz/a.parquet", 7L, 9L)))
     SnapshotTable.commit(spark, base, 1, snap)
     val back = SnapshotTable.manifest(spark, base, 1)
     assert(back.checks == Seq("nasty" -> nasty, "pos" -> "k > 0"))
     assert(back.colStats.toSet == snap.colStats.toSet &&
-      back.rowCounts == snap.rowCounts)
+      back.rowCounts == snap.rowCounts &&
+      back.ingested == snap.ingested)
     // idempotent replay still recognizes the identical snapshot
     SnapshotTable.commit(spark, base, 1, snap)
     // and the nasty expression actually ENFORCES through a write
@@ -1244,6 +1246,103 @@ class SnapshotTableSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       SnapshotTable.commit(spark, base, 9,
         snap.copy(checks = Seq("bad name" -> "k > 0")))
+    }
+  }
+
+  test("a crash-landed ingest epoch re-delivered after ADD CHECK is " +
+      "re-validated from the dir content before it can commit") {
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("snapingest").toString + "/t"
+    Seq((1L, 10L), (2L, 20L)).toDF("k", "v").write.parquet(s"$base/d1")
+    SnapshotTable.commit(spark, base, 1,
+      SnapshotTable.Snapshot(Seq(s"$base/d1"), Nil))
+    // crash simulation: the epoch dir landed (with _SUCCESS) but its
+    // commit never happened — then a constraint arrives
+    Seq((9L, -5L)).toDF("k", "v").write.parquet(s"$base/ingest_7")
+    assert(SnapshotTable.addCheck(spark, base, "v_pos", "v > 0") == 2)
+    val headBefore = SnapshotTable.headVersion(spark, base)
+    intercept[Exception] {
+      SnapshotTable.ingestBatch(spark, base,
+        Seq((9L, -5L)).toDF("k", "v"), 7L)
+    }
+    assert(SnapshotTable.headVersion(spark, base) == headBefore,
+      "a violating crash-landed epoch must not commit")
+    // a VALID crash-landed epoch folds fine under the new constraint
+    Seq((8L, 8L)).toDF("k", "v").write.parquet(s"$base/ingest_8")
+    assert(SnapshotTable.ingestBatch(spark, base,
+      Seq((8L, 8L)).toDF("k", "v"), 8L) == headBefore + 1)
+  }
+
+  test("COPY INTO: ledger dedup across re-runs, mutated-file refusal, " +
+      "CHECK enforcement, and loud schema misalignment") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("snapcopyin").toString
+    val base = s"$root/t"
+    Seq((1L, 10L)).toDF("k", "v").write.parquet(s"$base/d1")
+    SnapshotTable.commit(spark, base, 1,
+      SnapshotTable.Snapshot(Seq(s"$base/d1"), Nil,
+        rowCounts = Map(s"$base/d1" -> 1L)))
+    // landing zone: two fixed-name files (fixed names are what the
+    // mutation case needs — spark part names are per-write unique)
+    def land(name: String, rows: Seq[(Long, Long)]): Unit = {
+      val tmp = s"$root/stage-$name"
+      rows.toDF("k", "v").coalesce(1).write
+        .mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(s"$root/lz"))
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$root/lz/$name"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    land("a.parquet", Seq((2L, 20L), (3L, 30L)))
+    land("b.parquet", Seq((4L, 40L)))
+    val glob = s"$root/lz/*.parquet"
+    val r1 = SnapshotTable.ingestFiles(spark, base, glob)
+    assert((r1.version, r1.filesAdded, r1.filesSkipped) == ((2, 2, 0)))
+    assert(SnapshotTable.countRows(spark, base, 2).contains(4L),
+      "COPY INTO must thread row counts into the manifest")
+    // identical re-run: nothing new, no version boundary
+    val r2 = SnapshotTable.ingestFiles(spark, base, glob)
+    assert((r2.version, r2.filesAdded, r2.filesSkipped) == ((2, 0, 2)))
+    // a new file drains alone
+    land("c.parquet", Seq((5L, 50L)))
+    val r3 = SnapshotTable.ingestFiles(spark, base, glob)
+    assert((r3.version, r3.filesAdded, r3.filesSkipped) == ((3, 1, 2)))
+    assert(SnapshotTable.readVersionData(spark, base, 3)
+      .agg(org.apache.spark.sql.functions.sum("v")).head.getLong(0) ==
+      10L + 20L + 30L + 40L + 50L)
+    // a file mutated under an ingested path refuses loudly
+    land("b.parquet", Seq((9L, 90L), (10L, 100L)))
+    val em = intercept[Exception] {
+      SnapshotTable.ingestFiles(spark, base, glob)
+    }
+    assert(em.getMessage.contains("append-only"), em.getMessage)
+    // CHECK constraints gate copied-in rows like every other write
+    land("d.parquet", Seq((6L, -6L)))
+    // (restore b so only d is fresh — rewrite it back byte-identically
+    // is impossible; drop it instead)
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$root/lz/b.parquet"))
+    SnapshotTable.addCheck(spark, base, "v_pos", "v > 0"): Unit
+    val ec = intercept[Exception] {
+      SnapshotTable.ingestFiles(spark, base, glob)
+    }
+    assert(ec.getMessage.contains("v_pos"), ec.getMessage)
+    // a landing file missing a table column fails loudly, never guesses
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(s"$root/lz/d.parquet"))
+    val tmp2 = s"$root/stage-narrow"
+    Seq(Tuple1(7L)).toDF("k").coalesce(1).write.parquet(tmp2)
+    val part2 = new java.io.File(tmp2).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(part2.toPath,
+      java.nio.file.Paths.get(s"$root/lz/narrow.parquet"))
+    intercept[Exception] {
+      SnapshotTable.ingestFiles(spark, base, glob)
     }
   }
 }
