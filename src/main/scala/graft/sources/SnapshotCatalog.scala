@@ -108,12 +108,25 @@ class SnapshotCatalog extends TableCatalog with ProcedureCatalog {
     * DELETE likewise — every mutation commits a branch version, main
     * readers see nothing until fast_forward publishes). Any other
     * nested name refuses. */
-  private def metadataTable(ident: Identifier): Option[Table] = {
+  private def metadataTable(ident: Identifier,
+      version: Option[Int] = None): Option[Table] = {
     if (ident.namespace().length != 1) return None
     val tbl = ident.namespace()(0)
     val base = s"$root/$tbl"
     if (SnapshotTable.headVersion(spark, base) == 0)
       throw new NoSuchTableException(ident)
+    // manifest-scoped metadata tables resolve the requested version's
+    // manifest (head when unqualified) — `SELECT ... FROM cat.t.colstats
+    // VERSION AS OF 3` audits v3's stats exactly as time travel reads
+    // v3's data. History/refs are table-scoped, not manifest-scoped, so
+    // a version qualifier on them refuses below.
+    def snapAt: SnapshotTable.Snapshot = SnapshotTable.manifest(spark,
+      base, version.getOrElse(SnapshotTable.headVersion(spark, base)))
+    if (version.isDefined)
+      require(!ident.name().startsWith("branch_") &&
+        ident.name() != "history" && ident.name() != "refs",
+        s"VERSION AS OF applies to manifest-scoped metadata tables " +
+          s"(files/colstats/checks/ingested), not ${ident.name()}")
     if (ident.name().startsWith("branch_")) {
       val bname = ident.name().stripPrefix("branch_")
       val bb = SnapshotTable.branchBase(base, bname)
@@ -136,11 +149,10 @@ class SnapshotCatalog extends TableCatalog with ProcedureCatalog {
             "`evolved` BOOLEAN, `n_rows` BIGINT"),
           rows))
       case "colstats" =>
-        // the head manifest's per-dir column statistics roster
+        // the resolved manifest's per-dir column statistics roster
         // (CALL analyze_columns fills it): dir basename, column, exact
         // ndv/null counts — the audit surface for stats-driven planning
-        val head = SnapshotTable.headVersion(spark, base)
-        val snap = SnapshotTable.manifest(spark, base, head)
+        val snap = snapAt
         val rows = snap.colStats.map(cs =>
           Seq[Any](new Path(cs.dir).getName, cs.col, cs.ndv, cs.nulls))
         Some(new LocalRowsTable(
@@ -149,11 +161,10 @@ class SnapshotCatalog extends TableCatalog with ProcedureCatalog {
             "`ndv` BIGINT, `nulls` BIGINT"),
           rows))
       case "files" =>
-        // the head manifest's dir roster (the Iceberg `files` table at
-        // this format's dir granularity): data + delete dirs with their
-        // metadata coverage — n_rows NULL when uncounted
-        val head = SnapshotTable.headVersion(spark, base)
-        val snap = SnapshotTable.manifest(spark, base, head)
+        // the resolved manifest's dir roster (the Iceberg `files` table
+        // at this format's dir granularity): data + delete dirs with
+        // their metadata coverage — n_rows NULL when uncounted
+        val snap = snapAt
         val rows =
           snap.dataDirs.map { d =>
             Seq[Any](new Path(d).getName, "data",
@@ -170,23 +181,20 @@ class SnapshotCatalog extends TableCatalog with ProcedureCatalog {
           rows))
       case "ingested" =>
         // the COPY INTO ledger (ingest_files): one row per landing file
-        // the head manifest has drained — the loader's audit surface
-        val head = SnapshotTable.headVersion(spark, base)
-        val snap = SnapshotTable.manifest(spark, base, head)
+        // the resolved manifest has drained — the loader's audit surface
+        val snap = snapAt
         Some(new LocalRowsTable(
           s"$catName.${ident.namespace()(0)}.ingested",
           StructType.fromDDL("`path` STRING, `len` BIGINT, " +
             "`mtime` BIGINT"),
           snap.ingested.map(f => Seq[Any](f.path, f.len, f.mtime))))
       case "checks" =>
-        // the head manifest's CHECK constraint roster (add_check /
+        // the resolved manifest's CHECK constraint roster (add_check /
         // drop_check) — name + the enforced SQL expression
-        val head = SnapshotTable.headVersion(spark, base)
-        val snap = SnapshotTable.manifest(spark, base, head)
         Some(new LocalRowsTable(
           s"$catName.${ident.namespace()(0)}.checks",
           StructType.fromDDL("`name` STRING, `expr` STRING"),
-          snap.checks.map { case (n, e) => Seq[Any](n, e) }))
+          snapAt.checks.map { case (n, e) => Seq[Any](n, e) }))
       case "refs" =>
         // the named-ref roster: tags point at main versions; branches
         // carry their own head plus the main version they forked from
@@ -226,6 +234,20 @@ class SnapshotCatalog extends TableCatalog with ProcedureCatalog {
     * namespaces cannot overlap. */
   override def loadTable(ident: Identifier, version: String): Table = {
     require(version.nonEmpty, "empty VERSION AS OF")
+    // manifest-scoped metadata tables time-travel too: resolve the
+    // version (numeric or tag) against the PARENT table, then serve the
+    // nested roster at that manifest
+    if (ident.namespace().length == 1) {
+      val parentBase = s"$root/${ident.namespace()(0)}"
+      val v =
+        if (version.forall(_.isDigit)) version.toInt
+        else SnapshotTable.readTagVersion(spark, parentBase, version)
+          .getOrElse(throw new IllegalArgumentException(
+            s"no numeric version or tag named '$version' under " +
+              s"$catName.${ident.namespace()(0)} for a metadata read"))
+      return metadataTable(ident, Some(v))
+        .getOrElse(throw new NoSuchTableException(ident))
+    }
     if (version.forall(_.isDigit))
       return tableAt(ident, Some(version.toInt))
     val base = basePath(ident)

@@ -800,6 +800,17 @@ class SnapshotCatalogSpec extends SparkTestBase {
     assert(new java.io.File(s"$base/d1").exists &&
       new java.io.File(ST.manifestFile(base, 1)).exists,
       "a dry run must delete NOTHING")
+    // manifest-scoped metadata tables time-travel: v8's roster is the
+    // pre-rewrite d5 entry, read exactly as data time travel reads v8
+    val old8 = spark.sql(
+      "SELECT dname, col, ndv FROM snapcs1.t.colstats VERSION AS OF 8")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(old8.toSeq == Seq(("d5", "g", 1L)), old8.mkString(", "))
+    // table-scoped metadata (history/refs) refuses a version qualifier
+    intercept[Exception] {
+      spark.sql("SELECT * FROM snapcs1.t.history VERSION AS OF 8")
+        .collect()
+    }
   }
 
   test("manifest colstats flow to Catalyst: numRows + column stats let " +

@@ -238,6 +238,97 @@ class SnapshotConcurrencySpec extends SparkTestBase {
     }
   }
 
+  test("racing addCheck writers fold onto each other's heads: both " +
+      "constraints land; a same-name different-expr add refuses loudly") {
+    import spark.implicits._
+    for (_ <- 1 to 4) {
+      val base = freshBase() + "/t"
+      Seq((1L, 2L, 3L)).toDF("k", "a", "b").write.parquet(s"$base/d1")
+      SnapshotTable.commit(spark, base, 1, Snapshot(Seq(s"$base/d1"), Nil))
+      val ready = new CountDownLatch(2)
+      val go = new CountDownLatch(1)
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      def adder(name: String, e: String) = new Thread(() => {
+        ready.countDown(); go.await()
+        try SnapshotTable.addCheck(spark, base, name, e): Unit
+        catch { case t: Throwable => errs.add(t): Unit }
+      })
+      val (t1, t2) = (adder("a_pos", "a > 0"), adder("b_pos", "b >= 0"))
+      t1.start(); t2.start()
+      ready.await(); go.countDown()
+      t1.join(60000); t2.join(60000)
+      assert(errs.isEmpty, s"racing adders of DISTINCT checks must " +
+        s"both fold: ${errs}")
+      val head = SnapshotTable.headVersion(spark, base)
+      assert(SnapshotTable.manifest(spark, base, head).checks ==
+        Seq("a_pos" -> "a > 0", "b_pos" -> "b >= 0"))
+      // the conflicting shape stays loud: same name, different expr
+      intercept[IllegalArgumentException] {
+        SnapshotTable.addCheck(spark, base, "a_pos", "a > 1")
+      }
+    }
+  }
+
+  test("analyzeColumnStats racing an UPDATE rewrite: the fold lands on " +
+      "the winner's head and the final stats match the final content") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    for (round <- 1 to 4) {
+      val base = freshBase() + "/t"
+      (0 until 20).map(k => (k.toLong, (k % 5).toLong))
+        .toDF("k", "g").write.parquet(s"$base/d1")
+      (20 until 30).map(k => (k.toLong, (k % 3).toLong))
+        .toDF("k", "g").write.parquet(s"$base/d2")
+      SnapshotTable.commit(spark, base, 1,
+        Snapshot(Seq(s"$base/d1", s"$base/d2"), Nil))
+      val ready = new CountDownLatch(2)
+      val go = new CountDownLatch(1)
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val ta = new Thread(() => {
+        ready.countDown(); go.await()
+        try SnapshotTable.analyzeColumnStats(spark, base,
+          Seq("k", "g")): Unit
+        catch { case t: Throwable => errs.add(t): Unit }
+      })
+      val tu = new Thread(() => {
+        ready.countDown(); go.await()
+        // updateWhere fails loudly on a lost claim BY CONTRACT — the
+        // caller retries, which is what this loop does
+        var done = false
+        var tries = 0
+        while (!done && tries < 50) {
+          tries += 1
+          try {
+            SnapshotTable.updateWhere(spark, base, col("k") < 5L,
+              Seq("g" -> lit(99L))): Unit
+            done = true
+          } catch { case _: Exception => Thread.sleep(20) }
+        }
+        if (!done) errs.add(new IllegalStateException(
+          "updateWhere never landed")): Unit
+      })
+      ta.start(); tu.start()
+      ready.await(); go.countDown()
+      ta.join(120000); tu.join(120000)
+      assert(errs.isEmpty, s"round $round: $errs")
+      // whatever the interleaving, a FINAL analyze covers the head and
+      // the folded stats equal the head content exactly
+      SnapshotTable.analyzeColumnStats(spark, base, Seq("k", "g")): Unit
+      val head = SnapshotTable.headVersion(spark, base)
+      val snap = SnapshotTable.manifest(spark, base, head)
+      val data = SnapshotTable.readVersionData(spark, base, head)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(SnapshotTable.manifestRowCount(snap).contains(30L))
+      val folded = SnapshotTable.manifestColumnStats(snap)
+      assert(folded("g")._2 == 0L &&
+        folded("g")._1 >= data.map(_._2).distinct.size.toLong,
+        s"round $round: folded g stats $folded vs " +
+          s"${data.map(_._2).distinct.size}")
+      assert(data.count(_._2 == 99L) == 5,
+        s"round $round: the update must have landed exactly")
+    }
+  }
+
   test("racing COPY INTO loaders over the same landing glob: each file " +
       "loads exactly once — the loser folds, never double-loads") {
     import spark.implicits._
