@@ -264,11 +264,19 @@ class SnapshotCatalog extends TableCatalog with ProcedureCatalog {
   }
 
   /** `TIMESTAMP AS OF <ts>` — Spark hands MICROseconds; manifest mtimes
-    * are millis. */
-  override def loadTable(ident: Identifier, timestampMicros: Long): Table =
+    * are millis. Manifest-scoped metadata tables resolve the same way
+    * (the VERSION AS OF symmetry). */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    if (ident.namespace().length == 1) {
+      val v = SnapshotTable.versionAsOf(spark,
+        s"$root/${ident.namespace()(0)}", timestampMicros / 1000L)
+      return metadataTable(ident, Some(v))
+        .getOrElse(throw new NoSuchTableException(ident))
+    }
     tableAt(ident,
       Some(SnapshotTable.versionAsOf(spark, basePath(ident),
         timestampMicros / 1000L)))
+  }
 
   private def tableAt(ident: Identifier, version: Option[Int],
       baseOverride: Option[String] = None): Table =

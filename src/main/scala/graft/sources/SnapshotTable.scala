@@ -877,7 +877,15 @@ object SnapshotTable {
       entriesUncovered: Int)
 
   def analyzeColumnStats(spark: SparkSession, base: String,
-      cols: Seq[String]): AnalyzeColsReport = {
+      rawCols: Seq[String]): AnalyzeColsReport = {
+    // "*" = every column of the CURRENT schema (the ANALYZE-everything
+    // ergonomic; resolved once here so the per-dir loop sees plain names)
+    val cols =
+      if (rawCols == Seq("*")) {
+        val head0 = headVersion(spark, base)
+        require(head0 >= 1, s"no committed snapshot under $base to analyze")
+        tableSchema(spark, manifest(spark, base, head0)).fieldNames.toSeq
+      } else rawCols
     require(cols.nonEmpty, "analyzeColumnStats needs at least one column")
     require(cols.distinct.size == cols.size,
       s"duplicate columns in $cols")

@@ -56,6 +56,10 @@ class SnapshotCatalogSpec extends SparkTestBase {
     // 1 500 000 ms = 1970-01-01 00:25:00 UTC — between the two commits
     assert(spark.sql("SELECT COUNT(*) FROM snapcat1.tbl " +
       "TIMESTAMP AS OF '1970-01-01 00:25:00'").head().getLong(0) == 10)
+    // manifest-scoped metadata tables time-travel by timestamp too:
+    // v1's dir roster is one data dir
+    assert(spark.sql("SELECT COUNT(*) FROM snapcat1.tbl.files " +
+      "TIMESTAMP AS OF '1970-01-01 00:25:00'").head().getLong(0) == 1)
     // filters push into the parquet scan through the catalog path —
     // value AND plan (the whole point of serving Spark's own parquet
     // table is that the planner features apply unchanged)
@@ -811,6 +815,13 @@ class SnapshotCatalogSpec extends SparkTestBase {
       spark.sql("SELECT * FROM snapcs1.t.history VERSION AS OF 8")
         .collect()
     }
+    // '*' analyzes every schema column: the rewrite dir lacked only k
+    // (g was recounted as a tracked column), so exactly one entry lands
+    val rw = spark.sql("CALL snapcs1.system.analyze_columns('t', '*')")
+      .head
+    assert((rw.getInt(0), rw.getInt(1), rw.getInt(2)) == ((10, 1, 0)), rw)
+    assert(ST.manifestColumnStats(ST.manifest(spark, base, 10))
+      .contains("k"))
   }
 
   test("manifest colstats flow to Catalyst: numRows + column stats let " +
