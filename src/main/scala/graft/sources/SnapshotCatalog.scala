@@ -126,7 +126,7 @@ class SnapshotCatalog extends TableCatalog with ProcedureCatalog {
       require(!ident.name().startsWith("branch_") &&
         ident.name() != "history" && ident.name() != "refs",
         s"VERSION AS OF applies to manifest-scoped metadata tables " +
-          s"(files/colstats/checks/ingested), not ${ident.name()}")
+          s"(files/colstats/checks/ingested/detail), not ${ident.name()}")
     if (ident.name().startsWith("branch_")) {
       val bname = ident.name().stripPrefix("branch_")
       val bb = SnapshotTable.branchBase(base, bname)
@@ -195,6 +195,25 @@ class SnapshotCatalog extends TableCatalog with ProcedureCatalog {
           s"$catName.${ident.namespace()(0)}.checks",
           StructType.fromDDL("`name` STRING, `expr` STRING"),
           snapAt.checks.map { case (n, e) => Seq[Any](n, e) }))
+      case "detail" =>
+        // DESCRIBE DETAIL: one row summarizing the resolved manifest —
+        // the operator's first stop before maintenance
+        val v = version.getOrElse(SnapshotTable.headVersion(spark, base))
+        val snap = SnapshotTable.manifest(spark, base, v)
+        Some(new LocalRowsTable(
+          s"$catName.${ident.namespace()(0)}.detail",
+          StructType.fromDDL("`version` INT, `n_data_dirs` INT, " +
+            "`n_delete_dirs` INT, `n_rows` BIGINT, `n_bounds` INT, " +
+            "`n_colstats` INT, `n_checks` INT, `n_ingested` INT, " +
+            "`evolved` BOOLEAN"),
+          Seq(Seq[Any](v, snap.dataDirs.size, snap.deleteDirs.size,
+            SnapshotTable.manifestRowCount(snap)
+              .filter(_ => snap.deleteDirs.isEmpty)
+              .map(Long.box).orNull,
+            snap.bounds.size, snap.colStats.size, snap.checks.size,
+            snap.ingested.size,
+            snap.schema.isDefined || snap.renames.nonEmpty ||
+              snap.dropped.nonEmpty))))
       case "refs" =>
         // the named-ref roster: tags point at main versions; branches
         // carry their own head plus the main version they forked from

@@ -104,6 +104,17 @@ private[sources] object SnapshotProcedures {
           SnapshotTable.headVersion(spark, base))
         Seq(r.manifestsRemoved, r.dirsRemoved, r.dirsLive)
       }),
+    Proc("expire_dry_run",
+      "what expire_snapshots(keep_from) WOULD retire — the same " +
+        "ref-aware clamp, zero deletions",
+      Seq("tbl" -> StringType, "keep_from" -> IntegerType),
+      StructType.fromDDL("`manifests_removed` INT, `dirs_removed` INT, " +
+        "`dirs_live` INT"),
+      (root, in) => {
+        val r = SnapshotTable.expireSnapshotsDryRun(spark,
+          s"$root/${str(in, 0)}", in.getInt(1))
+        Seq(r.manifestsRemoved, r.dirsRemoved, r.dirsLive)
+      }),
     Proc("expire_snapshots",
       "vacuum clamped to the oldest tag/branch-fork version — named " +
         "refs never break",

@@ -1160,6 +1160,30 @@ object SnapshotTable {
     rep
   }
 
+  /** DRY-RUN [[expireSnapshots]]: the same ref-aware clamp computation
+    * (oldest tag, oldest un-published branch fork — raw fork markers
+    * included) feeding [[vacuumDryRun]] — what a retention pass WOULD
+    * retire with the refs honored, zero deletions. */
+  def expireSnapshotsDryRun(spark: SparkSession, base: String,
+      keepFrom: Int): VacuumReport = {
+    val head = headVersion(spark, base)
+    require(head >= 1, s"no committed snapshot under $base")
+    val forkFloors = {
+      val b = new Path(base)
+      val fs = fsFor(spark, b)
+      if (!fs.exists(b)) Nil
+      else fs.listStatus(b).iterator.filter(_.isDirectory)
+        .map(_.getPath.getName).filter(_.startsWith("_branch_"))
+        .flatMap(n => readRefVersionRetry(spark,
+          forkPath(s"$base/$n"))).toSeq
+    }
+    val refFloor =
+      (listTags(spark, base).map(_._2) ++ forkFloors).minOption
+    val kf = math.min(math.min(keepFrom, head),
+      refFloor.getOrElse(Int.MaxValue))
+    vacuumDryRun(spark, base, math.max(kf, 1), head)
+  }
+
   /** Drop a tag — releases its retention clamp on [[expireSnapshots]].
     * Idempotent: dropping an absent tag is a no-op (the state the caller
     * asked for already holds). */

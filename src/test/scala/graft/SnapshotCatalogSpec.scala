@@ -822,6 +822,21 @@ class SnapshotCatalogSpec extends SparkTestBase {
     assert((rw.getInt(0), rw.getInt(1), rw.getInt(2)) == ((10, 1, 0)), rw)
     assert(ST.manifestColumnStats(ST.manifest(spark, base, 10))
       .contains("k"))
+    // DESCRIBE DETAIL: the one-row manifest summary
+    val det = spark.sql("SELECT version, n_data_dirs, n_rows, " +
+      "n_colstats, n_checks, evolved FROM snapcs1.t.detail").head
+    assert((det.getInt(0), det.getInt(1), det.getLong(2), det.getInt(3),
+      det.getInt(4), det.getBoolean(5)) == ((10, 1, 5L, 2, 0, false)),
+      det.toString)
+    // expire_dry_run honors the ref clamp without deleting: a tag at v2
+    // clamps keep_from 10 down to 2, so only v1 is retirable
+    spark.sql("CALL snapcs1.system.create_tag('t', 'rel', 2)").collect()
+    val edr = spark.sql("CALL snapcs1.system.expire_dry_run('t', 10)")
+      .head
+    assert(edr.getInt(0) == 1,
+      s"the tag at v2 must clamp retirement to v1 only: $edr")
+    assert(new java.io.File(ST.manifestFile(base, 1)).exists,
+      "expire_dry_run must delete NOTHING")
   }
 
   test("manifest colstats flow to Catalyst: numRows + column stats let " +
