@@ -3992,15 +3992,29 @@ object AdvancedQueries {
       // constraint rides every later manifest), so these pins are safe
       // under a concurrent runner of the same chain; the strict
       // no-version-committed property is spec-pinned
+      // the refusal pin must name the CONSTRAINT (r18 ADVICE): an
+      // unrelated failure (analysis error, racing-commit exhaustion)
+      // counted as a refusal would pass the gate while enforcement is
+      // actually broken
+      def checkRefusal(e: Throwable): Boolean =
+        Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8)
+          .exists(t => t.getMessage != null &&
+            t.getMessage.contains("violates CHECK constraint cents_pos"))
       val badInsert =
         try { s.sql(s"INSERT INTO $t SELECT k, pri, -1 - cents " +
           s"FROM $bv WHERE k % 3 = 2").collect(); false }
-        catch { case _: Exception => true }
+        catch { case e: Exception =>
+          require(checkRefusal(e),
+            s"INSERT refused for the wrong reason: ${e.getMessage}")
+          true }
       require(badInsert, "a CHECK-violating INSERT must refuse")
       val badUpdate =
         try { s.sql(s"UPDATE $t SET cents = -5 WHERE k % 7 = 0")
           .collect(); false }
-        catch { case _: Exception => true }
+        catch { case e: Exception =>
+          require(checkRefusal(e),
+            s"UPDATE refused for the wrong reason: ${e.getMessage}")
+          true }
       require(badUpdate, "a CHECK-violating UPDATE must refuse")
       step(4, s"UPDATE $t SET cents = cents + 11 WHERE k % 9 = 3")
       require(ST.manifest(s, base, head).checks ==

@@ -572,10 +572,13 @@ object SnapshotTableHandle {
     // CHECK constraints gate the batch BEFORE any bytes land; a racer
     // adding a constraint mid-flight is re-checked by the drift branch
     // in the retry loop below
-    SnapshotTable.enforceChecks(spark, snap0, aligned, "INSERT")
+    // enforceChecks returns the frame to WRITE (pinned when the plan is
+    // non-deterministic, so validation and the write see identical rows)
+    val checked =
+      SnapshotTable.enforceChecks(spark, snap0, aligned, "INSERT")
     var checkedChecks = snap0.checks
     val dir = s"$base/_insert-" + java.util.UUID.randomUUID().toString
-    SnapshotTable.toPhysical(snap0, aligned)
+    SnapshotTable.toPhysical(snap0, checked)
       .write.mode("overwrite").parquet(dir)
     val n = spark.read.parquet(dir).count()
     // the rename map the dir was WRITTEN under — if a racer evolves the
@@ -596,7 +599,7 @@ object SnapshotTableHandle {
         // a concurrent ADD CHECK landed after this INSERT validated —
         // re-validate against the winner's constraint set (refusing is
         // the loud direction; the landed dir is vacuum-collectable)
-        SnapshotTable.enforceChecks(spark, prior, aligned, "INSERT")
+        SnapshotTable.enforceChecks(spark, prior, checked, "INSERT"): Unit
         checkedChecks = prior.checks
       }
       if (prior.renames != dirRenames) {
@@ -610,7 +613,7 @@ object SnapshotTableHandle {
         // same logical names, different physical mapping (rename drift
         // or a zorder normalization): re-land the dir under the
         // WINNER's map so the manifest can read it back
-        SnapshotTable.toPhysical(prior, aligned)
+        SnapshotTable.toPhysical(prior, checked)
           .write.mode("overwrite").parquet(dir)
         dirRenames = prior.renames
       }
@@ -777,7 +780,16 @@ private[sources] final class SnapshotStatsScanBuilder(
           Some((DateType,
             java.time.LocalDate.parse(v).toEpochDay.toInt))
         case ("string", StringType) =>
-          val v = if (wantMin) vals.min else vals.max
+          // fold under UTF8String BINARY order (UTF-8 bytes) — the order
+          // the per-dir bounds were computed under. Java String min/max
+          // compares UTF-16 code units, which disagrees for values mixing
+          // supplementary-plane chars with U+E000..U+FFFF, and a metadata
+          // answer diverging from the real scan is a wrong answer, not a
+          // refusal (r18 ADVICE).
+          val cmp = (a: String, b: String) =>
+            SnapshotTable.utf8Compare(a, b) <= 0
+          val v = if (wantMin) vals.reduce((a, b) => if (cmp(a, b)) a else b)
+            else vals.reduce((a, b) => if (cmp(a, b)) b else a)
           Some((StringType,
             org.apache.spark.unsafe.types.UTF8String.fromString(v)))
         case _ => None

@@ -899,10 +899,37 @@ object SnapshotTable {
     // missing set
     val scanned = scala.collection.mutable
       .Map.empty[String, (Long, Map[String, (Long, Long)])]
+    // dir schema from parquet FOOTERS only (no row scan), memoized: the
+    // gate that keeps forever-uncoverable dirs (pre-evolution dirs
+    // physically lacking a requested column) from re-paying the agg on
+    // every nightly ANALYZE call (r18 ADVICE) — such (dir, col) pairs
+    // can never become covered, so the only honest outcomes are "skip"
+    // (rowCount already known) or "count rows once"
+    val dirFields = scala.collection.mutable.Map.empty[String, Set[String]]
+    def fieldsOf(d: String): Set[String] = dirFields.getOrElseUpdate(d, {
+      // one footer, read ON THE DRIVER (spark.read.parquet(...).schema
+      // launches a footer-inference JOB in Spark 4 — a job per
+      // uncoverable dir per nightly run is exactly the cost this gate
+      // exists to avoid); only top-level field NAMES are needed
+      import scala.jdk.CollectionConverters._
+      val p = new Path(d)
+      val fs = fsFor(spark, p)
+      fs.listStatus(p).map(_.getPath)
+        .find(q => q.getName.endsWith(".parquet") &&
+          !q.getName.startsWith("_") && !q.getName.startsWith("."))
+        .map { f =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(f, spark.sparkContext.hadoopConfiguration)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try r.getFileMetaData.getSchema.getFields.asScala
+            .map(_.getName).toSet
+          finally r.close()
+        }.getOrElse(Set.empty)
+    })
     def scanDir(d: String): (Long, Map[String, (Long, Long)]) =
       scanned.getOrElseUpdate(d, {
         val df = spark.read.parquet(d)
-        val fields = df.schema.fieldNames.toSet
+        val fields = fieldsOf(d)
         val present = cols.filter(fields)
         import org.apache.spark.sql.functions.{count, count_distinct, lit}
         val aggs = count(lit(1)) +: present.flatMap(c =>
@@ -929,10 +956,16 @@ object SnapshotTable {
         cols.exists(c => !covered((d, c))) || !snap.rowCounts.contains(d))
       if (missing.isEmpty) return AnalyzeColsReport(head, 0, 0)
       val fresh = missing.flatMap { d =>
-        val (_, byCol) = scanDir(d)
-        cols.filterNot(c => covered((d, c))).flatMap(c =>
-          byCol.get(c).map { case (ndv, nulls) =>
+        val uncov = cols.filterNot(c => covered((d, c)))
+        // skip the agg when every uncovered requested column is
+        // physically ABSENT from the dir and its row count is already
+        // recorded — nothing new could come out of the scan
+        if (!uncov.exists(fieldsOf(d)) && snap.rowCounts.contains(d)) Nil
+        else {
+          val (_, byCol) = scanDir(d)
+          uncov.flatMap(c => byCol.get(c).map { case (ndv, nulls) =>
             ColStats(d, c, ndv, nulls) })
+        }
       }
       val uncovered = missing.flatMap(d =>
         cols.filterNot(c => covered((d, c)))).size - fresh.size
@@ -985,21 +1018,36 @@ object SnapshotTable {
     * dodged with a NULL is not a constraint). Throws on the first
     * violating constraint, BEFORE any manifest commit. Expressions
     * reference LOGICAL column names, so callers must pass the logical
-    * frame (pre-[[toPhysical]]). */
+    * frame (pre-[[toPhysical]]).
+    *
+    * RETURNS the frame the caller must WRITE: validation and the write
+    * are separate Spark jobs over the same plan, so a non-deterministic
+    * source (rand(), uuid()) could pass validation here yet land
+    * different — violating — rows (r18 ADVICE). When the plan carries
+    * any non-deterministic expression the batch is pinned with
+    * localCheckpoint first, so both jobs see identical rows; a
+    * deterministic plan (the overwhelmingly common case) passes through
+    * untouched. */
   private[sources] def enforceChecks(spark: SparkSession, snap: Snapshot,
-      df: DataFrame, op: String): Unit = {
-    if (snap.checks.isEmpty) return
+      df: DataFrame, op: String): DataFrame = {
+    if (snap.checks.isEmpty) return df
+    val pinned =
+      if (df.queryExecution.analyzed.exists(
+          _.expressions.exists(e => e.exists(!_.deterministic))))
+        df.localCheckpoint(true)
+      else df
     import org.apache.spark.sql.functions.{expr, lit, sum, when}
     val aggs = snap.checks.zipWithIndex.map { case ((_, e), i) =>
       sum(when(!(expr(e) <=> lit(true)), 1L).otherwise(0L)).as(s"c_$i")
     }
-    val row = df.agg(aggs.head, aggs.drop(1): _*).head()
+    val row = pinned.agg(aggs.head, aggs.drop(1): _*).head()
     for (((n, e), i) <- snap.checks.zipWithIndex) {
       val bad = if (row.isNullAt(i)) 0L else row.getLong(i)
       require(bad == 0L,
         s"$op violates CHECK constraint $n ($e) on $bad row(s) — " +
           "refused before commit; fix the data or drop the constraint")
     }
+    pinned
   }
 
   /** ADD a CHECK constraint: validates the expression parses, validates
@@ -1662,8 +1710,8 @@ object SnapshotTable {
         .map(e => when(predicate, e).otherwise(col(c)))
         .getOrElse(col(c)).as(c)
     }: _*)
-    enforceChecks(spark, snap, updated, "UPDATE")
-    toPhysical(snap, updated).write.parquet(updDir)
+    val updChecked = enforceChecks(spark, snap, updated, "UPDATE")
+    toPhysical(snap, updChecked).write.parquet(updDir)
     // kept dirs keep their bounds; the rewritten dir gets FRESH bounds
     // (a SET may have moved the stats column — recompute, don't carry)
     val (updCs, updRows) = recountDir(spark, snap, updDir)
@@ -1728,8 +1776,8 @@ object SnapshotTable {
       else readData(spark, snap, hit.toSeq.sorted)
         .join(broadcast(srcKeys), Seq(keyCol), "left_anti")
         .unionByName(aligned)
-    enforceChecks(spark, snap, merged, "MERGE")
-    toPhysical(snap, merged).write.parquet(mergeDir)
+    val mrgChecked = enforceChecks(spark, snap, merged, "MERGE")
+    toPhysical(snap, mrgChecked).write.parquet(mergeDir)
     // kept dirs keep their bounds; the merge dir gets FRESH bounds
     // (source rows' range is arbitrary — recompute, don't carry)
     val (mrgCs, mrgRows) = recountDir(spark, snap, mergeDir)
@@ -1818,8 +1866,8 @@ object SnapshotTable {
           }: _*)
         updated.unionByName(inserts)
       }
-    enforceChecks(spark, snap, merged, "MERGE")
-    toPhysical(snap, merged).write.parquet(mergeDir)
+    val mrgChecked = enforceChecks(spark, snap, merged, "MERGE")
+    toPhysical(snap, mrgChecked).write.parquet(mergeDir)
     val (mrgCs, mrgRows) = recountDir(spark, snap, mergeDir)
     commit(spark, base, v, snap.copy(dataDirs = keep :+ mergeDir,
       bounds = snap.bounds.filter(b => keep.contains(b.dir))
@@ -2034,8 +2082,8 @@ object SnapshotTable {
       case (None, Some(i)) => i
       case (None, None) => throw new IllegalStateException("unreachable")
     }
-    enforceChecks(spark, snap, merged, "MERGE")
-    toPhysical(snap, merged).write.parquet(mergeDir)
+    val mrgChecked = enforceChecks(spark, snap, merged, "MERGE")
+    toPhysical(snap, mrgChecked).write.parquet(mergeDir)
     val (mrgCs, mrgRows) = recountDir(spark, snap, mergeDir)
     commit(spark, base, v, snap.copy(dataDirs = keep :+ mergeDir,
       bounds = snap.bounds.filter(b => keep.contains(b.dir))
@@ -2170,12 +2218,14 @@ object SnapshotTable {
     if (!fsFor(spark, marker).exists(marker)) {
       // CHECK constraints gate the batch BEFORE its dir lands
       val head0 = headVersion(spark, base)
+      var landing = batch
       if (head0 >= 1) {
         val snap0 = manifest(spark, base, head0)
-        enforceChecks(spark, snap0, batch, s"ingest batch $batchId")
+        landing = enforceChecks(spark, snap0, batch,
+          s"ingest batch $batchId")
         validatedChecks = snap0.checks
       } else validatedChecks = Nil
-      batch.write.mode("overwrite").parquet(epochDir)
+      landing.write.mode("overwrite").parquet(epochDir)
     }
     // lazy: a re-delivered already-committed epoch returns from the
     // contains-check below without re-scanning for bounds or counts
@@ -2292,9 +2342,10 @@ object SnapshotTable {
         val aligned = spark.read.parquet(fresh.map(_.path): _*)
           .select(target.fields.toIndexedSeq
             .map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
-        enforceChecks(spark, snap, aligned, "COPY INTO")
+        val alnChecked = enforceChecks(spark, snap, aligned, "COPY INTO")
         validatedChecks = snap.checks
-        toPhysical(snap, aligned).write.mode("overwrite").parquet(stagedDir)
+        toPhysical(snap, alnChecked).write.mode("overwrite")
+          .parquet(stagedDir)
         stagedRows = spark.read.parquet(stagedDir).count()
         stagedKey = (fresh, snap.renames)
       } else if (snap.checks != validatedChecks) {

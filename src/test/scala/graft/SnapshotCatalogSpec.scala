@@ -17,6 +17,14 @@ import graft.sources.SnapshotTable.Snapshot
   * declared key (a pure scan cannot apply key masks), unknown tables,
   * non-upsert merges, subqueries in DML expressions, ghost-name
   * evolution. */
+/** Executor-visible invocation counter for the non-deterministic-source
+  * CHECK test (local mode: executors share this JVM, so a static is the
+  * honest observable). Each full execution of the tagged plan drains a
+  * fresh block of values — a second execution is visible as values ≥ n. */
+object NdInsertCounter {
+  val n = new java.util.concurrent.atomic.AtomicLong(0)
+}
+
 class SnapshotCatalogSpec extends SparkTestBase {
 
   // one catalog NAME per case: Spark instantiates a catalog once per name
@@ -1071,5 +1079,99 @@ class SnapshotCatalogSpec extends SparkTestBase {
     val h = ST.headVersion(spark, base)
     assert(spark.sql("CALL snapck1.system.drop_check('t', 'v_pos')")
       .head.getInt(0) == h)
+  }
+
+  test("manifest-answered string MIN/MAX folds under UTF8 binary order " +
+      "— supplementary-plane vs private-use values match the real scan") {
+    val root = Files.createTempDirectory("snapcat").toString
+    setupCatalog("snapu8", root)
+    val base = s"$root/t"
+    import spark.implicits._
+    // U+10000 is D800 DC00 in UTF-16 (sorts BELOW U+E000 by Java code
+    // units) but F0 90 80 80 in UTF-8 (sorts ABOVE U+E000's EE 80 80) —
+    // the two orders disagree, so a Java-ordered fold picks the wrong max
+    val hi = new String(Character.toChars(0x10000))
+    val pe = ""
+    assert(pe.compareTo(hi) > 0 && ST.utf8Compare(pe, hi) < 0,
+      "fixture must be an order-disagreement witness")
+    Seq((1L, pe)).toDF("k", "s").write.parquet(s"$base/d1")
+    Seq((2L, hi)).toDF("k", "s").write.parquet(s"$base/d2")
+    ST.commit(spark, base, 1,
+      Snapshot(Seq(s"$base/d1", s"$base/d2"), Nil,
+        bounds = Seq("k", "s").flatMap(c =>
+          ST.computeBounds(spark, Seq(s"$base/d1", s"$base/d2"), c))))
+    val q = "SELECT MIN(s) AS mn, MAX(s) AS mx FROM snapu8.t"
+    val p = spark.sql(q).queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(p.contains("ManifestAggregate"),
+      s"string min/max must answer from the manifest here:\n$p")
+    val meta = spark.sql(q).head
+    val real = spark.read.parquet(s"$base/d1", s"$base/d2")
+      .agg(min("s").as("mn"), max("s").as("mx")).head
+    assert(meta.getString(0) == real.getString(0) &&
+      meta.getString(1) == real.getString(1),
+      "metadata answer diverged from the real scan")
+    assert(meta.getString(1) == hi, "max must follow UTF-8 byte order")
+  }
+
+  test("CHECK validation and the landed write see identical rows for a " +
+      "non-deterministic INSERT source (the plan is pinned, never " +
+      "re-executed)") {
+    val root = Files.createTempDirectory("snapcat").toString
+    setupCatalog("snapnd", root)
+    spark.sql("CREATE TABLE snapnd.t (k BIGINT, v BIGINT)")
+    spark.sql("CALL snapnd.system.add_check('t', 'v_first_run', " +
+      "'v < 100')").collect()
+    // each full execution of the source drains 100 fresh counter values:
+    // the first execution yields 0..99 (all pass v < 100); any SECOND
+    // execution yields 100..199 — if validation and the write each ran
+    // the plan, the landed rows would violate the constraint it just
+    // validated (the r18 ADVICE hole)
+    NdInsertCounter.n.set(0)
+    spark.udf.register("nd_next",
+      udf(() => NdInsertCounter.n.getAndIncrement()).asNondeterministic())
+    spark.sql(
+      "INSERT INTO snapnd.t SELECT id AS k, nd_next() AS v FROM range(100)")
+      .collect()
+    val landed = spark.sql(
+      "SELECT COUNT(*) AS n, MAX(v) AS mx FROM snapnd.t").head
+    assert(landed.getLong(0) == 100L,
+      s"INSERT must land exactly the validated batch, got ${landed}")
+    assert(landed.getLong(1) < 100L,
+      s"landed rows came from a SECOND plan execution (max v = " +
+        s"${landed.getLong(1)}) — validation saw different rows")
+  }
+
+  test("analyze_columns never re-scans a dir that can never become " +
+      "covered (column physically absent, row count known)") {
+    val root = Files.createTempDirectory("snapcat").toString
+    setupCatalog("snapab", root)
+    val base = s"$root/t"
+    writeKv(s"$base/d1", 0, 10)
+    ST.commit(spark, base, 1, Snapshot(Seq(s"$base/d1"), Nil))
+    assert(spark.sql("CALL snapab.system.analyze_columns('t', 'k')")
+      .head.getInt(1) == 1)
+    spark.sql("ALTER TABLE snapab.t ADD COLUMNS (c BIGINT)")
+    spark.sql("INSERT INTO snapab.t VALUES (100, 100, 7)").collect()
+    // first ANALYZE of c: the new dir covers, d1 (physically lacking c)
+    // reports uncovered
+    val r1 = spark.sql("CALL snapab.system.analyze_columns('t', 'c')").head
+    assert(r1.getInt(1) == 1 && r1.getInt(2) == 1,
+      s"expected 1 added + 1 uncovered, got $r1")
+    val head = ST.headVersion(spark, base)
+    // repeat ANALYZE: d1 stays uncovered forever — the call must not pay
+    // any Spark job for it (the nightly-ANALYZE cost the r18 ADVICE
+    // flagged). Suites run in parallel against one context, so count
+    // only THIS thread's jobs via its job group.
+    val group = s"snapab-${System.nanoTime()}"
+    spark.sparkContext.setJobGroup(group, "repeat analyze", false)
+    val r2 =
+      try ST.analyzeColumnStats(spark, base, Seq("c"))
+      finally spark.sparkContext.clearJobGroup()
+    assert(r2 == ST.AnalyzeColsReport(head, 0, 1))
+    val jobs = spark.sparkContext.statusTracker.getJobIdsForGroup(group)
+    assert(jobs.isEmpty,
+      s"repeat ANALYZE of an absent column ran ${jobs.length} Spark " +
+        "job(s) — the forever-uncoverable dir was re-scanned")
   }
 }
