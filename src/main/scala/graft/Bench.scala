@@ -29,7 +29,8 @@ object Bench {
     "q_snapshot_sql_prune", "q_snapshot_call", "q_snapshot_sql_merge2",
     "q_snapshot_evolve3", "q_snapshot_wap", "q_stream_ann",
     "q_snapshot_sql_merge3", "q_snapshot_wap2", "q_snapshot_colstats",
-    "q_snapshot_agg_meta", "q_snapshot_check", "q_snapshot_copyinto")
+    "q_snapshot_agg_meta", "q_snapshot_check", "q_snapshot_copyinto",
+    "q_snapshot_partition")
 
   /** Cheap queries the adjudication child executes fully-but-untimed before
     * its one measurement: a few seconds of real query execution across the

@@ -109,7 +109,8 @@ case class SnapshotDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
         val rel = EliminateSubqueryAliases(child) match {
           case r: DataSourceV2Relation => r.table match {
             case h: SnapshotTableHandle
-                if !h.needsMask && h.snap.bounds.nonEmpty => Some((r, h))
+                if !h.needsMask && (h.snap.bounds.nonEmpty ||
+                  h.snap.partVals.nonEmpty) => Some((r, h))
             case _ => None
           }
           case _ => None
@@ -197,47 +198,57 @@ case class SnapshotDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
           catch { case _: Exception => None }
         else None
     }
-    // (col, lo?, hi?) edges; exclusive bounds widen to inclusive (err
-    // wide). An IN list contributes one MULTI-POINT edge per conjunct
-    // (the most common pruned shape: point lookups) — a dir survives it
-    // when ANY listed value falls inside the dir's bounds; a list with
-    // any un-encodable member contributes nothing (err wide).
-    val inEdges: Seq[(String, Seq[String])] = conjuncts(cond).flatMap {
+    // TYPED edges first (the literal itself): both the bounds pruning
+    // (which encodes to the stored string form) and the partition-
+    // transform pruning (which renders through the transform) derive
+    // from these. Exclusive bounds widen to inclusive (err wide). An IN
+    // list contributes one MULTI-POINT edge per conjunct (the most
+    // common pruned shape: point lookups); a list with any non-literal
+    // member contributes nothing (err wide).
+    val tIn: Seq[(String, Seq[Literal])] = conjuncts(cond).flatMap {
       case org.apache.spark.sql.catalyst.expressions.In(a, list)
           if list.nonEmpty =>
         attr(a).flatMap { n =>
           val vs = list.map {
-            case Lit(l) => enc(n, l)
+            case Lit(l) => Some(l)
             case _ => None
           }
           if (vs.forall(_.isDefined)) Some(n -> vs.map(_.get)) else None
         }
       case _ => None
     }
-    val edges = conjuncts(cond).flatMap {
-      case EqualTo(a, Lit(l)) => attr(a).flatMap(n =>
-        enc(n, l).map(v => (n, Some(v), Some(v))))
-      case EqualTo(Lit(l), a) => attr(a).flatMap(n =>
-        enc(n, l).map(v => (n, Some(v), Some(v))))
-      case GreaterThan(a, Lit(l)) => attr(a).flatMap(n =>
-        enc(n, l).map(v => (n, Some(v), None)))
-      case GreaterThanOrEqual(a, Lit(l)) => attr(a).flatMap(n =>
-        enc(n, l).map(v => (n, Some(v), None)))
-      case LessThan(a, Lit(l)) => attr(a).flatMap(n =>
-        enc(n, l).map(v => (n, None, Some(v))))
-      case LessThanOrEqual(a, Lit(l)) => attr(a).flatMap(n =>
-        enc(n, l).map(v => (n, None, Some(v))))
-      case GreaterThan(Lit(l), a) => attr(a).flatMap(n =>
-        enc(n, l).map(v => (n, None, Some(v))))
-      case GreaterThanOrEqual(Lit(l), a) => attr(a).flatMap(n =>
-        enc(n, l).map(v => (n, None, Some(v))))
-      case LessThan(Lit(l), a) => attr(a).flatMap(n =>
-        enc(n, l).map(v => (n, Some(v), None)))
-      case LessThanOrEqual(Lit(l), a) => attr(a).flatMap(n =>
-        enc(n, l).map(v => (n, Some(v), None)))
-      case _ => Nil
+    val tEq: Seq[(String, Literal)] = conjuncts(cond).flatMap {
+      case EqualTo(a, Lit(l)) => attr(a).map(_ -> l)
+      case EqualTo(Lit(l), a) => attr(a).map(_ -> l)
+      case _ => None
     }
-    if (edges.isEmpty && inEdges.isEmpty) return None
+    val tLo: Seq[(String, Literal)] = conjuncts(cond).flatMap {
+      case GreaterThan(a, Lit(l)) => attr(a).map(_ -> l)
+      case GreaterThanOrEqual(a, Lit(l)) => attr(a).map(_ -> l)
+      case LessThan(Lit(l), a) => attr(a).map(_ -> l)
+      case LessThanOrEqual(Lit(l), a) => attr(a).map(_ -> l)
+      case _ => None
+    }
+    val tHi: Seq[(String, Literal)] = conjuncts(cond).flatMap {
+      case LessThan(a, Lit(l)) => attr(a).map(_ -> l)
+      case LessThanOrEqual(a, Lit(l)) => attr(a).map(_ -> l)
+      case GreaterThan(Lit(l), a) => attr(a).map(_ -> l)
+      case GreaterThanOrEqual(Lit(l), a) => attr(a).map(_ -> l)
+      case _ => None
+    }
+    if (tEq.isEmpty && tLo.isEmpty && tHi.isEmpty && tIn.isEmpty)
+      return None
+    val inEdges: Seq[(String, Seq[String])] = tIn.flatMap { case (n, ls) =>
+      val vs = ls.map(enc(n, _))
+      if (vs.forall(_.isDefined)) Some(n -> vs.map(_.get)) else None
+    }
+    val edges: Seq[(String, Option[String], Option[String])] =
+      tEq.flatMap { case (n, l) =>
+        enc(n, l).map(v => (n, Some(v): Option[String], Some(v))) } ++
+      tLo.flatMap { case (n, l) =>
+        enc(n, l).map(v => (n, Some(v): Option[String], None)) } ++
+      tHi.flatMap { case (n, l) =>
+        enc(n, l).map(v => (n, None: Option[String], Some(v))) }
     // string/date bounds compare in UTF-8 byte order — the order Spark
     // used when computing the stored min/max (Java String `>=` is UTF-16
     // code-unit order, which diverges on supplementary-plane chars)
@@ -247,6 +258,70 @@ case class SnapshotDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
     def le(typ: String, a: String, b: String): Boolean =
       if (typ == "long") a.toLong <= b.toLong
       else SnapshotTable.utf8Compare(a, b) <= 0
+    // ---- partition-transform (hidden-partitioning) pruning ----
+    // For each spec field whose SOURCE column carries edges, build the
+    // rendered predicates that a dir's recorded tuple value must
+    // satisfy: monotone transforms (identity/days/months/years/
+    // truncate) take point + range edges, bucket takes points only. A
+    // literal the transform cannot soundly render contributes nothing
+    // (err wide); a dir with no recorded tuple is always kept; a
+    // null-tuple dir fails any applicable edge (eq/range is never true
+    // of a NULL source value).
+    import graft.sources.PartitionSpec
+    val dtOf = h.schema().fields.map(f => f.name -> f.dataType).toMap
+    def fitLit(l: Literal,
+        dt: org.apache.spark.sql.types.DataType): Option[(
+        org.apache.spark.sql.types.DataType, Any)] =
+      if (l.value == null) None
+      else if (l.dataType == dt) Some((dt, l.value))
+      else (intWidth(l.dataType), intWidth(dt)) match {
+        // a cast-stripped integral literal re-fits to the column's own
+        // width when the value fits (bucket hashing is type-sensitive)
+        case (lw, cw) if lw > 0 && cw > 0 =>
+          val v = BigInt(l.value.toString)
+          dt match {
+            case ByteType if v.isValidByte => Some((dt, v.toByte))
+            case ShortType if v.isValidShort => Some((dt, v.toShort))
+            case IntegerType if v.isValidInt => Some((dt, v.toInt))
+            case LongType => Some((dt, v.toLong))
+            case _ => None
+          }
+        case _ => None
+      }
+    def renderLit(f: PartitionSpec.PartField, l: Literal)
+        : Option[String] =
+      dtOf.get(f.col).flatMap(dt => fitLit(l, dt).flatMap {
+        case (d2, v) => PartitionSpec.render(f, d2, v) })
+    val partPreds: Seq[(Int, Seq[String => Boolean])] =
+      h.snap.partSpec.zipWithIndex.flatMap { case (f, i) =>
+        dtOf.get(f.col).flatMap { dt =>
+          val preds = scala.collection.mutable
+            .ArrayBuffer.empty[String => Boolean]
+          for ((n, l) <- tEq if n == f.col; r <- renderLit(f, l))
+            preds += (dv => dv == r)
+          for ((n, ls) <- tIn if n == f.col) {
+            val rs = ls.map(renderLit(f, _))
+            if (rs.forall(_.isDefined)) {
+              val set = rs.flatten.toSet
+              preds += (dv => set(dv))
+            }
+          }
+          if (PartitionSpec.monotone(f)) {
+            for ((n, l) <- tLo if n == f.col; r <- renderLit(f, l))
+              preds += (dv => PartitionSpec.compare(f, dt, dv, r) >= 0)
+            for ((n, l) <- tHi if n == f.col; r <- renderLit(f, l))
+              preds += (dv => PartitionSpec.compare(f, dt, dv, r) <= 0)
+          }
+          if (preds.isEmpty) None else Some(i -> preds.toSeq)
+        }
+      }
+    def partKeep(d: String): Boolean = h.snap.partVals.get(d) match {
+      case None => true
+      case Some(tuple) => partPreds.forall { case (i, preds) =>
+        val dv = tuple(i)
+        dv != PartitionSpec.NullValue && preds.forall(_(dv))
+      }
+    }
     val kept = h.snap.dataDirs.filter { d =>
       edges.forall { case (c, loOpt, hiOpt) =>
         h.snap.bounds.find(b => b.dir == d && b.col == c).forall { b =>
@@ -256,7 +331,7 @@ case class SnapshotDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
       } && inEdges.forall { case (c, vs) =>
         h.snap.bounds.find(b => b.dir == d && b.col == c).forall(b =>
           vs.exists(v => ge(b.typ, b.max, v) && le(b.typ, b.min, v)))
-      }
+      } && partKeep(d)
     }
     SnapshotDmlRule.lastPrune.put(h.base,
       (kept.size, h.snap.dataDirs.size))

@@ -334,20 +334,68 @@ class SnapshotCatalog extends TableCatalog with ProcedureCatalog {
       s"$catName.$display@v$v", schema, delegate)
   }
 
+  /** Translate one declared `PARTITIONED BY` transform to the manifest
+    * spec form: `days(ts)`-style single-column transforms, `bucket(n,
+    * col)`, and Iceberg-style `truncate(n, col)` (which Spark parses as
+    * a generic ApplyTransform). Anything else refuses at CREATE. */
+  private def toPartField(
+      t: Transform): graft.sources.PartitionSpec.PartField = {
+    import org.apache.spark.sql.connector.expressions.{Literal => VLiteral, NamedReference}
+    val refs = t.arguments.collect { case r: NamedReference => r }.toSeq
+    val lits = t.arguments.collect { case l: VLiteral[_] => l.value match {
+      case i: java.lang.Integer => i.intValue
+      case l2: java.lang.Long => l2.longValue.toInt
+      case other => throw new IllegalArgumentException(
+        s"partition transform ${t.describe} takes an integer argument, " +
+          s"got $other")
+    } }.toSeq
+    require(refs.size == 1,
+      s"partition transform ${t.describe} must reference exactly one " +
+        "column")
+    require(refs.head.fieldNames.length == 1,
+      s"nested partition columns are not supported: ${t.describe}")
+    val col = refs.head.fieldNames.head
+    val canon = t.name.toLowerCase(java.util.Locale.ROOT) match {
+      case n @ ("identity" | "years" | "months" | "days" | "bucket" |
+          "truncate") => n
+      case "year" => "years"
+      case "month" => "months"
+      case "day" => "days"
+      case other => throw new IllegalArgumentException(
+        s"unsupported partition transform '$other' — supported: " +
+          "identity, years, months, days, bucket(n, col), " +
+          "truncate(n, col)")
+    }
+    val n = canon match {
+      case "bucket" | "truncate" =>
+        require(lits.size == 1,
+          s"$canon takes exactly one integer argument: ${t.describe}")
+        lits.head
+      case _ =>
+        require(lits.isEmpty,
+          s"$canon takes no integer argument: ${t.describe}")
+        0
+    }
+    graft.sources.PartitionSpec.PartField(canon, n, col)
+  }
+
   /** CREATE TABLE — commits v1 as ONE EMPTY data dir at the declared
     * schema (the manifest carries the DDL), so the table is immediately
     * readable and the CTAS flow (createTable + append) lands its data as
-    * v2. Partition transforms are refused: layout in this format is
-    * managed by OPTIMIZE/ZORDER rewrites, not static partitioning. The
-    * staging dir is writer-unique; [[SnapshotTable.commit]]'s version
-    * claim arbitrates racing creators (the loser errs loudly and its
-    * orphan dir is vacuum-collectable). */
+    * v2. `PARTITIONED BY` transforms (identity/years/months/days/
+    * bucket/truncate — the Iceberg hidden-partitioning surface) are
+    * recorded in the manifest spec: INSERTs route rows to one dir per
+    * transform tuple and reads prune structurally ([[PartitionSpec]]).
+    * The staging dir is writer-unique; [[SnapshotTable.commit]]'s
+    * version claim arbitrates racing creators (the loser errs loudly
+    * and its orphan dir is vacuum-collectable). */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: JMap[String, String]): Table = {
-    require(partitions.isEmpty,
-      "snapshot tables take no partition transforms — layout is managed " +
-        "by OPTIMIZE (bin-pack) / ZORDER rewrites")
+    val spec = partitions.toSeq.map(toPartField)
+    require(spec.map(f => (f.fn, f.n, f.col)).distinct.size == spec.size,
+      s"duplicate partition transforms in ${spec.mkString(", ")}")
+    spec.foreach(graft.sources.PartitionSpec.validate(_, schema))
     val base = basePath(ident)
     if (SnapshotTable.headVersion(spark, base) > 0)
       throw new TableAlreadyExistsException(
@@ -359,7 +407,7 @@ class SnapshotCatalog extends TableCatalog with ProcedureCatalog {
       .write.mode("overwrite").parquet(dir)
     SnapshotTable.commit(spark, base, 1,
       SnapshotTable.Snapshot(Seq(dir), Nil, schema = Some(schema.toDDL),
-        rowCounts = Map(dir -> 0L)))
+        rowCounts = Map(dir -> 0L), partSpec = spec))
     loadTable(ident)
   }
 
@@ -465,6 +513,22 @@ final class SnapshotTableHandle(
 
   override def name(): String = tname
   override def schema(): StructType = tschema
+  /** DESCRIBE surfaces the declared hidden-partitioning spec. */
+  override def partitioning(): Array[org.apache.spark.sql.connector
+      .expressions.Transform] = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    snap.partSpec.map { f =>
+      f.fn match {
+        case "identity" => Expressions.identity(f.col)
+        case "years" => Expressions.years(f.col)
+        case "months" => Expressions.months(f.col)
+        case "days" => Expressions.days(f.col)
+        case "bucket" => Expressions.bucket(f.n, f.col)
+        case _ => Expressions.apply("truncate",
+          Expressions.literal(f.n), Expressions.column(f.col))
+      }
+    }.toArray
+  }
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
@@ -549,6 +613,75 @@ final class SnapshotTableHandle(
 }
 
 object SnapshotTableHandle {
+
+  /** Land a batch ROUTED by the table's partition spec: one Spark write
+    * (`partitionBy` over synthetic rendered-value columns — rows never
+    * touch the driver), then each landed leaf dir becomes a manifest
+    * data dir carrying its decoded transform tuple. Returns (dirs,
+    * dir → tuple, dir → rowCount); empty when the batch had no rows
+    * (the caller falls back to a plain empty dir). The per-dir counts
+    * come from the landed files' parquet FOOTERS (exact, driver-side,
+    * no extra Spark job — and immune to partition-value type inference
+    * re-rendering "01" as "1" and breaking the tuple match). */
+  private def landPartitioned(spark: SparkSession,
+      snapFor: SnapshotTable.Snapshot, target: StructType,
+      batch: DataFrame, spec: Seq[PartitionSpec.PartField],
+      parent: String): (Seq[String], Map[String, Seq[String]],
+        Map[String, Long]) = {
+    import org.apache.spark.sql.functions.{col, expr}
+    val gcols = spec.indices.map(i => s"_gpart$i")
+    val taken = target.fieldNames.toSet ++ snapFor.renames.values
+    val clash = gcols.filter(taken)
+    require(clash.isEmpty,
+      s"partition staging column(s) $clash collide with table columns " +
+        "— rename the data columns")
+    val dtOf = target.fields.map(f => f.name -> f.dataType).toMap
+    val withParts = spec.zip(gcols).foldLeft(batch) { case (df, (f, g)) =>
+      df.withColumn(g, expr(PartitionSpec.exprSql(f, dtOf(f.col))))
+    }
+    SnapshotTable.toPhysical(snapFor, withParts)
+      .write.partitionBy(gcols: _*).mode("overwrite").parquet(parent)
+    val pp = new org.apache.hadoop.fs.Path(parent)
+    val fs = pp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def walk(p: org.apache.hadoop.fs.Path, depth: Int)
+        : Seq[(org.apache.hadoop.fs.Path, Seq[String])] =
+      if (depth == 0) Seq((p, Nil))
+      else fs.listStatus(p).toSeq.filter(_.isDirectory).flatMap { st =>
+        val nm = st.getPath.getName
+        val eq = nm.indexOf('=')
+        require(eq > 0, s"unexpected non-partition dir $nm under a " +
+          "routed write")
+        val v = org.apache.spark.sql.catalyst.catalog
+          .ExternalCatalogUtils.unescapePathName(nm.substring(eq + 1))
+        walk(st.getPath, depth - 1).map { case (leaf, vs) =>
+          (leaf, v +: vs) }
+      }
+    val leaves = walk(pp, spec.size)
+    if (leaves.isEmpty) return (Nil, Map.empty, Map.empty)
+    for ((_, vs) <- leaves; v <- vs)
+      require(PartitionSpec.delimiterSafe(v),
+        s"partition value '$v' holds a manifest delimiter — refusing " +
+          "the write (identity/truncate partitioning needs " +
+          "delimiter-safe values)")
+    // the commit precondition: every manifest data dir carries _SUCCESS
+    for ((leaf, _) <- leaves)
+      fs.create(new org.apache.hadoop.fs.Path(leaf, "_SUCCESS"), true)
+        .close()
+    def footerRows(leaf: org.apache.hadoop.fs.Path): Long =
+      fs.listStatus(leaf).filter(st => st.isFile &&
+        st.getPath.getName.endsWith(".parquet")).map { st =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(st.getPath, spark.sparkContext.hadoopConfiguration)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      }.sum
+    val dirs = leaves.map(_._1.toString)
+    val vals = leaves.map { case (p, vs) => p.toString -> vs }.toMap
+    val counts = leaves.map { case (p, _) =>
+      p.toString -> footerRows(p) }.toMap
+    (dirs, vals, counts)
+  }
+
   /** One SQL write = one committed version (see
     * [[SnapshotTableHandle.newWriteBuilder]]). The analyzer already
     * reconciled the query's columns to the table schema, so alignment
@@ -578,9 +711,27 @@ object SnapshotTableHandle {
       SnapshotTable.enforceChecks(spark, snap0, aligned, "INSERT")
     var checkedChecks = snap0.checks
     val dir = s"$base/_insert-" + java.util.UUID.randomUUID().toString
-    SnapshotTable.toPhysical(snap0, checked)
-      .write.mode("overwrite").parquet(dir)
-    val n = spark.read.parquet(dir).count()
+    // routed vs plain landing, re-invocable under a winner's rename map
+    // (the drift branch below): a partitioned table lands one dir per
+    // transform tuple, a plain table one dir; an all-empty routed batch
+    // falls back to one empty plain dir (always kept, zero rows)
+    def land(snapFor: SnapshotTable.Snapshot)
+        : (Seq[String], Map[String, Seq[String]], Map[String, Long]) =
+      if (snap0.partSpec.isEmpty) {
+        SnapshotTable.toPhysical(snapFor, checked)
+          .write.mode("overwrite").parquet(dir)
+        (Seq(dir), Map.empty, Map(dir -> spark.read.parquet(dir).count()))
+      } else {
+        val routed = landPartitioned(spark, snapFor, target, checked,
+          snap0.partSpec, dir)
+        if (routed._1.nonEmpty) routed
+        else {
+          SnapshotTable.toPhysical(snapFor, checked)
+            .write.mode("overwrite").parquet(dir)
+          (Seq(dir), Map.empty, Map(dir -> 0L))
+        }
+      }
+    var (newDirs, newVals, newCounts) = land(snap0)
     // the rename map the dir was WRITTEN under — if a racer evolves the
     // map (rename evolution) or clears it (optimizeZorder's full-rewrite
     // normalization) between the write above and the commit below, the
@@ -613,16 +764,17 @@ object SnapshotTableHandle {
         // same logical names, different physical mapping (rename drift
         // or a zorder normalization): re-land the dir under the
         // WINNER's map so the manifest can read it back
-        SnapshotTable.toPhysical(prior, checked)
-          .write.mode("overwrite").parquet(dir)
+        val r = land(prior)
+        newDirs = r._1; newVals = r._2; newCounts = r._3
         dirRenames = prior.renames
       }
       val next =
         if (overwrite)
-          prior.copy(dataDirs = Seq(dir), deleteDirs = Nil, bounds = Nil,
-            rowCounts = Map(dir -> n))
-        else prior.copy(dataDirs = prior.dataDirs :+ dir,
-          rowCounts = prior.rowCounts + (dir -> n))
+          prior.copy(dataDirs = newDirs, deleteDirs = Nil, bounds = Nil,
+            rowCounts = newCounts, partVals = newVals)
+        else prior.copy(dataDirs = prior.dataDirs ++ newDirs,
+          rowCounts = prior.rowCounts ++ newCounts,
+          partVals = prior.partVals ++ newVals)
       try {
         SnapshotTable.commit(spark, base, head + 1, next)
         return head + 1

@@ -75,6 +75,12 @@ object SnapshotTable {
     * length/mtime refuses loudly (landing zones are append-only). */
   final case class IngestedFile(path: String, len: Long, mtime: Long)
 
+  /** `partSpec`: the table's declared partition transforms (hidden
+    * partitioning — set once at CREATE, carried by every commit).
+    * `partVals`: dir → its rendered transform tuple, recorded by routed
+    * writes; a dir with no entry is ALWAYS kept by partition pruning
+    * (pre-partition dirs and compaction/DML rewrite outputs degrade to
+    * unpruned, never to wrong). See [[PartitionSpec]]. */
   final case class Snapshot(dataDirs: Seq[String], deleteDirs: Seq[String],
       bounds: Seq[DirBounds] = Nil, schema: Option[String] = None,
       rowCounts: Map[String, Long] = Map.empty,
@@ -82,7 +88,9 @@ object SnapshotTable {
       dropped: Seq[String] = Nil,
       colStats: Seq[ColStats] = Nil,
       checks: Seq[(String, String)] = Nil,
-      ingested: Seq[IngestedFile] = Nil)
+      ingested: Seq[IngestedFile] = Nil,
+      partSpec: Seq[PartitionSpec.PartField] = Nil,
+      partVals: Map[String, Seq[String]] = Map.empty)
 
   private def manifestPath(base: String, v: Int) =
     new Path(s"$base/_MANIFEST_v$v")
@@ -128,7 +136,12 @@ object SnapshotTable {
         .filter(cs => rawSnap.dataDirs.contains(cs.dir))
         .sortBy(cs => (cs.dir, cs.col)),
       checks = rawSnap.checks.sortBy(_._1),
-      ingested = rawSnap.ingested.distinct.sortBy(_.path))
+      ingested = rawSnap.ingested.distinct.sortBy(_.path),
+      // partition tuples normalize like rowCounts: entries for dirs
+      // outside the data set drop (a rewritten dir simply loses its
+      // tuple and degrades to never-pruned — the wide direction)
+      partVals = rawSnap.partVals.filter { case (d, _) =>
+        rawSnap.dataDirs.contains(d) })
     // delimiter validation FIRST (cheap, pure): a path with ',' or '|'
     // would parse back into DIFFERENT dirs — the existence check below
     // would mask this with a confusing "uncommitted dir" error
@@ -236,10 +249,36 @@ object SnapshotTable {
     val droppedLine =
       if (snap.dropped.isEmpty) ""
       else "dropped=" + snap.dropped.mkString(",") + "\n"
+    // hidden-partitioning spec + per-dir tuples: absent lines keep
+    // pre-partition manifests byte-identical (the standing format-compat
+    // rule). Tuples must match the spec's arity and stay delimiter-safe
+    // — [[PartitionSpec.render]] guarantees the charset for every
+    // transform except identity/truncate over arbitrary strings, whose
+    // writers refuse unsafe values before landing bytes.
+    require(snap.partVals.isEmpty || snap.partSpec.nonEmpty,
+      s"snapshot v$v carries partition tuples without a partition spec")
+    for ((d, vs) <- snap.partVals) {
+      require(vs.size == snap.partSpec.size,
+        s"partition tuple for $d has ${vs.size} values, spec has " +
+          s"${snap.partSpec.size}")
+      for (pv <- vs)
+        require(PartitionSpec.delimiterSafe(pv),
+          s"partition value '$pv' for $d holds a manifest delimiter — " +
+            "refuse rather than write an unparseable manifest")
+    }
+    val partLine =
+      if (snap.partSpec.isEmpty) ""
+      else "partition=" + snap.partSpec.map(PartitionSpec.encode)
+        .mkString(",") + "\n"
+    val partValsLine =
+      if (snap.partVals.isEmpty) ""
+      else "partvals=" + snap.dataDirs.filter(snap.partVals.contains)
+        .map(d => (d +: snap.partVals(d)).mkString("|")).mkString(",") +
+        "\n"
     val core = s"data=${snap.dataDirs.mkString(",")}\n" +
       s"delete=${snap.deleteDirs.mkString(",")}\n" + boundsLine +
       rowsLine + colStatsLine + schemaLine + renamesLine + droppedLine +
-      checksLine + ingestedLine
+      checksLine + ingestedLine + partLine + partValsLine
     val body = core + f"crc=${crc32(core)}%08x\n"
     val dst = manifestPath(base, v)
     val fs = fsFor(spark, dst)
@@ -468,9 +507,19 @@ object SnapshotTable {
             "written by a newer format")
       }
     }
+    val partSpec = dirs("partition").toSeq.map(PartitionSpec.decode)
+    val partVals = dirs("partvals").toSeq.map { entry =>
+      val parts = entry.split("\\|", -1)
+      if (parts.length != 1 + partSpec.size || parts(0).isEmpty)
+        throw new IllegalArgumentException(
+          s"unparseable partvals entry '$entry' — manifest damaged or " +
+            "written by a newer format")
+      parts(0) -> parts.drop(1).toSeq
+    }.toMap
     (Snapshot(dirs("data").toSeq, dirs("delete").toSeq, bounds,
       kv.get("schema").filter(_.nonEmpty), rows, renames,
-      dirs("dropped").toSeq, colStats, checks, ingested),
+      dirs("dropped").toSeq, colStats, checks, ingested, partSpec,
+      partVals),
       crcLines.headOption.map(_.stripPrefix("crc=")),
       coreLines.mkString("", "\n", "\n"))
   }
@@ -2771,6 +2820,10 @@ object SnapshotTable {
     require(refChecks.isEmpty,
       s"column $from is referenced by CHECK constraint(s) $refChecks — " +
         "renaming it would orphan their expressions; drop them first")
+    require(!snap.partSpec.exists(_.col == from),
+      s"column $from is a partition-transform source " +
+        s"(${snap.partSpec.filter(_.col == from).mkString(", ")}) — " +
+        "renaming it would orphan the table's partition spec")
     require(to.nonEmpty && !to.exists(c => c == '|' || c == ',' ||
       c == '\n'), s"column name '$to' holds a manifest delimiter")
     val physical = snap.renames.getOrElse(from, from)
@@ -2816,6 +2869,10 @@ object SnapshotTable {
     require(refChecks.isEmpty,
       s"column $name is referenced by CHECK constraint(s) $refChecks — " +
         "dropping it would orphan their expressions; drop them first")
+    require(!snap.partSpec.exists(_.col == name),
+      s"column $name is a partition-transform source " +
+        s"(${snap.partSpec.filter(_.col == name).mkString(", ")}) — " +
+        "dropping it would orphan the table's partition spec")
     val physical = snap.renames.getOrElse(name, name)
     val narrowed = org.apache.spark.sql.types.StructType(
       cur.filterNot(_.name == name))
@@ -2869,6 +2926,16 @@ object SnapshotTable {
         s"${from.catalogString} → ${to.catalogString} is not one — a " +
         "narrowing or cross-family change is a data rewrite by " +
         "definition in an immutable-file format")
+    // a bucket transform hashes the COLUMN TYPE: widening int→long
+    // re-renders every future tuple under a different hash while old
+    // dirs keep int-hashed tuples — the one evolution that silently
+    // corrupts structural pruning. Monotone transforms render the same
+    // string across integral widths (decimal identity) so they widen
+    // safely.
+    require(!snap.partSpec.exists(f => f.fn == "bucket" && f.col == name),
+      s"column $name is a bucket-partition source — widening its type " +
+        "changes the bucket hash of every future write; rewrite the " +
+        "table under a new spec instead")
     val widened = StructType(cur.map(f =>
       if (f.name == name) f.copy(dataType = to) else f))
     val v = head + 1

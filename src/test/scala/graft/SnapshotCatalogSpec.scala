@@ -263,10 +263,12 @@ class SnapshotCatalogSpec extends SparkTestBase {
         "WHEN NOT MATCHED THEN INSERT *")
     }
     assert(e3.getMessage.contains("key"), e3.getMessage)
-    // partition transforms refuse at CREATE
+    // partition transforms validate at CREATE: a type-incompatible
+    // transform refuses (identity/bucket/truncate/days etc. are now
+    // first-class — see the hidden-partitioning tests)
     intercept[Exception] {
-      spark.sql(
-        "CREATE TABLE snapdml2.p (k BIGINT, v STRING) PARTITIONED BY (v)")
+      spark.sql("CREATE TABLE snapdml2.p (k BIGINT, v STRING) " +
+        "PARTITIONED BY (years(v))")
     }
   }
 
@@ -1079,6 +1081,142 @@ class SnapshotCatalogSpec extends SparkTestBase {
     val h = ST.headVersion(spark, base)
     assert(spark.sql("CALL snapck1.system.drop_check('t', 'v_pos')")
       .head.getInt(0) == h)
+  }
+
+  test("hidden partitioning: PARTITIONED BY transforms route INSERTs " +
+      "to per-tuple dirs, prune structurally on transform predicates, " +
+      "and degrade wide (never wrong) everywhere else") {
+    val root = Files.createTempDirectory("snapcat").toString
+    setupCatalog("snappt", root)
+    val base = s"$root/t"
+    spark.sql("CREATE TABLE snappt.t (k BIGINT, d DATE, s STRING) " +
+      "PARTITIONED BY (months(d), bucket(4, k))")
+    val v1 = ST.manifest(spark, base, 1)
+    assert(v1.partSpec == Seq(
+      graft.sources.PartitionSpec.PartField("months", 0, "d"),
+      graft.sources.PartitionSpec.PartField("bucket", 4, "k")))
+    // 3 months × several keys, plus one null-date row
+    spark.sql("INSERT INTO snappt.t SELECT id AS k, " +
+      "date_add(DATE '2021-01-15', CAST(id % 3 AS INT) * 31) AS d, " +
+      "concat('s', id) AS s FROM range(40)")
+    spark.sql("INSERT INTO snappt.t VALUES (100, NULL, 'nulld')")
+    val head = ST.headVersion(spark, base)
+    val snap = ST.manifest(spark, base, head)
+    // every routed dir carries its tuple; the CREATE dir has none
+    val routed = snap.dataDirs.filter(snap.partVals.contains)
+    assert(routed.size >= 4,
+      s"expected one dir per (month, bucket) tuple, got ${snap.partVals}")
+    assert(snap.partVals.values.forall(_.size == 2))
+    val months = snap.partVals.values.map(_.head).toSet
+    assert(months.subsetOf(Set("2021-01", "2021-02", "2021-03",
+      graft.sources.PartitionSpec.NullValue)), months.toString)
+    // counts ride per dir → metadata COUNT covers the whole table
+    assert(spark.sql("SELECT COUNT(*) AS n FROM snappt.t")
+      .head.getLong(0) == 41L)
+    def prunedOf(q: String): (Int, Int) = {
+      val out = spark.sql(q).collect()
+      (out.length, 0) // force execution first
+      graft.plans.SnapshotDmlRule.lastPrune.get(base)
+    }
+    // month-range predicate on the SOURCE column prunes structurally
+    graft.plans.SnapshotDmlRule.lastPrune.remove(base)
+    val r1 = spark.sql("SELECT k, d, s FROM snappt.t WHERE " +
+      "d >= DATE '2021-02-01' AND d < DATE '2021-03-01' " +
+      "ORDER BY k").collect()
+    val (kept1, total1) = graft.plans.SnapshotDmlRule.lastPrune.get(base)
+    assert(kept1 < total1,
+      s"month predicate must prune dirs ($kept1/$total1)")
+    assert(r1.nonEmpty && r1.forall(_.getDate(1).toString
+      .startsWith("2021-02")))
+    assert(r1.length == 13, s"got ${r1.length}") // ids ≡ 1 mod 3 in 0..39
+    // bucket point predicate prunes to the key's bucket
+    graft.plans.SnapshotDmlRule.lastPrune.remove(base)
+    val r2 = spark.sql(
+      "SELECT k, s FROM snappt.t WHERE k = 7").collect()
+    val (kept2, total2) = graft.plans.SnapshotDmlRule.lastPrune.get(base)
+    assert(kept2 < total2,
+      s"bucket point predicate must prune dirs ($kept2/$total2)")
+    assert(r2.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((7L, "s7")))
+    // bucket RANGE predicates must NOT prune via the bucket field
+    // (non-monotone): everything still answers correctly
+    val r3 = spark.sql(
+      "SELECT COUNT(*) AS n FROM snappt.t WHERE k >= 30").head
+    assert(r3.getLong(0) == 11L)
+    // the null-date row lives in the sentinel dir: excluded by any date
+    // edge, still found by IS NULL (no edge → all dirs kept)
+    assert(spark.sql("SELECT COUNT(*) AS n FROM snappt.t " +
+      "WHERE d IS NULL").head.getLong(0) == 1L)
+    graft.plans.SnapshotDmlRule.lastPrune.remove(base)
+    val r4 = spark.sql("SELECT COUNT(*) AS n FROM snappt.t " +
+      "WHERE d = DATE '2021-01-15'").head
+    assert(r4.getLong(0) == 14L) // ids ≡ 0 mod 3 in 0..39, +0 null
+    // evolution guards: partition sources are locked
+    intercept[Exception] {
+      spark.sql("ALTER TABLE snappt.t RENAME COLUMN d TO d2") }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE snappt.t DROP COLUMN k") }
+    // INSERT OVERWRITE replaces the data with newly routed dirs
+    spark.sql("INSERT OVERWRITE snappt.t VALUES " +
+      "(1, DATE '2022-05-01', 'a'), (2, DATE '2022-06-01', 'b')")
+    val snap2 = ST.manifest(spark, base, ST.headVersion(spark, base))
+    assert(snap2.dataDirs.forall(snap2.partVals.contains))
+    assert(snap2.partVals.values.map(_.head).toSet ==
+      Set("2022-05", "2022-06"))
+    assert(spark.sql("SELECT COUNT(*) AS n FROM snappt.t")
+      .head.getLong(0) == 2L)
+    // time travel still reads the pre-overwrite version, pruned
+    assert(spark.sql(s"SELECT COUNT(*) AS n FROM snappt.t " +
+      s"VERSION AS OF $head").head.getLong(0) == 41L)
+  }
+
+  test("hidden partitioning: truncate/identity transforms, " +
+      "delimiter-unsafe value refusal, unsupported transform refusal") {
+    val root = Files.createTempDirectory("snapcat").toString
+    setupCatalog("snappu", root)
+    val base = s"$root/u"
+    spark.sql("CREATE TABLE snappu.u (k BIGINT, s STRING, g BIGINT) " +
+      "PARTITIONED BY (truncate(2, s), identity(g))")
+    spark.sql("INSERT INTO snappu.u VALUES (1, 'abcd', 10), " +
+      "(2, 'abxy', 10), (3, 'zz', 20)")
+    val snap = ST.manifest(spark, base, ST.headVersion(spark, base))
+    val tuples = snap.partVals.values.toSet
+    assert(tuples == Set(Seq("ab", "10"), Seq("zz", "20")), tuples)
+    // truncate maps equality AND ranges (prefix is monotone)
+    graft.plans.SnapshotDmlRule.lastPrune.remove(base)
+    val r1 = spark.sql("SELECT k FROM snappu.u WHERE s = 'abxy'").collect()
+    val (kept1, total1) = graft.plans.SnapshotDmlRule.lastPrune.get(base)
+    assert(kept1 < total1 && r1.map(_.getLong(0)).toSeq == Seq(2L))
+    graft.plans.SnapshotDmlRule.lastPrune.remove(base)
+    val r2 = spark.sql(
+      "SELECT COUNT(*) AS n FROM snappu.u WHERE s >= 'x'").head
+    val (kept2, total2) = graft.plans.SnapshotDmlRule.lastPrune.get(base)
+    assert(kept2 < total2 && r2.getLong(0) == 1L)
+    // identity point prune on the int column
+    graft.plans.SnapshotDmlRule.lastPrune.remove(base)
+    val r3 = spark.sql(
+      "SELECT COUNT(*) AS n FROM snappu.u WHERE g = 20").head
+    val (kept3, total3) = graft.plans.SnapshotDmlRule.lastPrune.get(base)
+    assert(kept3 < total3 && r3.getLong(0) == 1L)
+    // a partition value that would corrupt the manifest refuses the
+    // WRITE loudly (nothing commits)
+    val headBefore = ST.headVersion(spark, base)
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO snappu.u VALUES (9, 'a|b', 30)") }
+    assert(Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).take(8)
+      .exists(t => t.getMessage != null &&
+        t.getMessage.contains("manifest delimiter")), e.getMessage)
+    assert(ST.headVersion(spark, base) == headBefore)
+    // unsupported transforms refuse at CREATE
+    val e2 = intercept[Exception] {
+      spark.sql("CREATE TABLE snappu.h (k BIGINT, ts TIMESTAMP) " +
+        "PARTITIONED BY (hours(ts))") }
+    assert(Iterator.iterate(e2: Throwable)(_.getCause)
+      .takeWhile(_ != null).take(8)
+      .exists(t => t.getMessage != null &&
+        t.getMessage.contains("unsupported partition transform")),
+      e2.getMessage)
   }
 
   test("manifest-answered string MIN/MAX folds under UTF8 binary order " +
