@@ -55,8 +55,18 @@ case class SnapshotDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
     }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan match {
-    // DELETE rides the native SupportsDelete path: the relation must stay
-    // a DSv2 relation for Spark to find the table's deleteWhere
+    // DELETE with SUBQUERIES in the condition: Spark's native
+    // SupportsDelete path cannot translate them to V2 filters, so
+    // uncorrelated IN (→ semi join against the scan) and uncorrelated
+    // EXISTS (→ a run-time boolean) decorrelate here — the GDPR
+    // erase-cascade shape through SQL. Correlated shapes, NOT IN (the
+    // three-valued-NULL trap), and scalar subqueries refuse loudly.
+    case d: DeleteFromTable
+        if d.table.resolved && handleOf(d.table).isDefined &&
+          d.condition.exists(_.isInstanceOf[PlanExpression[_]]) =>
+      rewriteSubqueryDelete(handleOf(d.table).get, d)
+    // plain DELETE rides the native SupportsDelete path: the relation
+    // must stay a DSv2 relation for Spark to find the table's deleteWhere
     case d: DeleteFromTable => d
     case u: UpdateTable if u.table.resolved && handleOf(u.table).isDefined =>
       rewriteUpdate(handleOf(u.table).get, u)
@@ -354,6 +364,53 @@ case class SnapshotDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
     })
   }
 
+  /** Decorrelate a subquery-carrying DELETE condition: conjuncts split
+    * into plain predicates (rebound by name at run time), uncorrelated
+    * `attr IN (subquery)` semi-join specs, and uncorrelated EXISTS
+    * plans (run-time booleans). Sub plans go through [[maskReads]] here
+    * AND re-analyze inside the command's `ofRows` (delete-carrying /
+    * rename-evolved snapshot sources stay correct either way).
+    * Everything else — correlated shapes, NOT IN, scalar subqueries —
+    * refuses loudly rather than deleting the wrong rows. */
+  private def rewriteSubqueryDelete(h: SnapshotTableHandle,
+      d: DeleteFromTable): LogicalPlan = {
+    import org.apache.spark.sql.catalyst.expressions.{Exists, InSubquery, ListQuery}
+    val key = h.keyCol.getOrElse(throw new IllegalArgumentException(
+      s"DELETE on ${h.name()} needs the table's key column declared " +
+        "(spark.sql.catalog.<cat>.key.<tbl>)"))
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    def refuse(what: String): Nothing =
+      throw new IllegalArgumentException(
+        s"snapshot DELETE supports uncorrelated IN/EXISTS subqueries " +
+          s"only — $what is refused; materialize the subquery first or " +
+          "use the SnapshotTable API")
+    val plain = scala.collection.mutable.ArrayBuffer.empty[Expression]
+    val semis = scala.collection.mutable
+      .ArrayBuffer.empty[(String, LogicalPlan)]
+    val exists = scala.collection.mutable.ArrayBuffer.empty[LogicalPlan]
+    conjuncts(d.condition).foreach {
+      case InSubquery(Seq(v), l: ListQuery) =>
+        if (l.outerAttrs.nonEmpty || l.plan.exists(_.expressions.exists(
+            _.exists(_.isInstanceOf[PlanExpression[_]]))))
+          refuse("a correlated/nested IN subquery")
+        v match {
+          case a: AttributeReference => semis += ((a.name, maskReads(l.plan)))
+          case other => refuse(s"IN over a computed value ($other)")
+        }
+      case e: Exists =>
+        if (e.outerAttrs.nonEmpty) refuse("a correlated EXISTS")
+        exists += maskReads(e.plan)
+      case e if e.exists(_.isInstanceOf[PlanExpression[_]]) =>
+        refuse(s"this subquery shape (${e.sql})")
+      case e => plain += e
+    }
+    SnapshotDeleteSubqueryCommand(h.base, key,
+      plain.reduceOption(And), semis.toSeq, exists.toSeq)
+  }
+
   private def rewriteUpdate(h: SnapshotTableHandle,
       u: UpdateTable): LogicalPlan = {
     val cond = u.condition
@@ -580,6 +637,44 @@ case class SnapshotDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
   * [[SnapshotTable.updateWhere]] (copy-on-write of only the dirs holding
   * a matching row) against the table's CURRENT head; the commit's
   * optimistic version claim arbitrates racers. */
+/** The decorrelated subquery DELETE ([[SnapshotDmlRule]]): plain
+  * conjuncts rebind by name onto the head scan, each IN spec becomes a
+  * LEFT SEMI join against the (distinct, single-column) subquery result
+  * — IN's three-valued semantics survive because `===` matches exactly
+  * the rows where the predicate is TRUE — and uncorrelated EXISTS
+  * plans evaluate once as booleans (all-true keeps the match set; any
+  * false empties it, still committing the version boundary). */
+case class SnapshotDeleteSubqueryCommand(base: String, key: String,
+    plain: Option[Expression], semis: Seq[(String, LogicalPlan)],
+    exists: Seq[LogicalPlan]) extends LeafRunnableCommand {
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    SnapshotTable.deleteMatching(sparkSession, base, key, scan => {
+      val live = exists.forall(p =>
+        !DatasetBridge.ofRows(sparkSession, p).isEmpty)
+      if (!live) scan.limit(0)
+      else {
+        var df = scan
+        for (c <- plain)
+          df = df.where(ColumnBridge(c.transform {
+            case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+          }))
+        for (((attr, plan), i) <- semis.zipWithIndex) {
+          val sub = DatasetBridge.ofRows(sparkSession, plan)
+          require(sub.schema.length == 1,
+            s"IN subquery must produce exactly one column, got " +
+              s"${sub.schema.fieldNames.toSeq}")
+          val alias = s"_gsub_$i"
+          df = df.join(sub.toDF(alias).distinct(),
+            df.col(attr) === org.apache.spark.sql.functions.col(alias),
+            "left_semi")
+        }
+        df
+      }
+    }): Unit
+    Seq.empty
+  }
+}
+
 case class SnapshotUpdateCommand(base: String,
     sets: Seq[(String, Column)], cond: Column)
     extends LeafRunnableCommand {

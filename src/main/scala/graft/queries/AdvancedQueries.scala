@@ -3857,6 +3857,68 @@ object AdvancedQueries {
       q
     },
 
+    // SUBQUERY DML (r18 verdict #5 — the GDPR erase-cascade shape
+    // through SQL): `DELETE FROM t WHERE ck IN (SELECT … FROM
+    // customers WHERE …)` decorrelates to a LEFT SEMI join against the
+    // head scan (plans/SnapshotDml SnapshotDeleteSubqueryCommand) —
+    // never a driver-collected literal list, so the erase set can be
+    // table-sized at 100 TB; an uncorrelated EXISTS evaluates once as a
+    // run-time boolean (false → empty delete file, the version boundary
+    // still commits). Correlated shapes, NOT IN (the three-valued NULL
+    // trap), and scalar subqueries still refuse loudly (spec-pinned).
+    // The delete stays merge-on-read: O(matches) key file, data files
+    // untouched, masked by the SQL read through the declared key.
+    "q_snapshot_sql_dml2" -> { (s, dir) =>
+      import graft.sources.{SnapshotTable => ST}
+      val sfN = new java.io.File(dir).getName
+      val fp = java.security.MessageDigest.getInstance("MD5")
+        .digest(graft.sources.Sinks.fingerprint(s, s"$dir/orders.parquet")
+          .getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString.take(10)
+      val root = s"/root/repo/target/tmp/sndml2-$sfN-$fp"
+      val tbl = "orders_e"
+      val base = s"$root/$tbl"
+      val cat = s"gdml2${sfN.replace(".", "")}$fp"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.SnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      s.conf.set(s"spark.sql.catalog.$cat.key.$tbl", "k")
+      val t = s"$cat.`$tbl`"
+      def head = ST.headVersion(s, base)
+      def await(v: Int): Unit = {
+        var i = 0
+        while (head < v && i < 600) { Thread.sleep(100); i += 1 }
+        require(head >= v, s"snapshot $base stuck below v$v")
+      }
+      def step(at: Int)(op: => Unit): Unit = {
+        if (head == at) {
+          try op catch { case e: Exception if head > at => () }
+        }
+        await(at + 1)
+      }
+      step(0) { s.sql(s"CREATE TABLE $t (k BIGINT, ck BIGINT, " +
+        "pri STRING, cents BIGINT)").collect(): Unit }
+      step(1) { s.sql(s"INSERT INTO $t SELECT o_orderkey, o_custkey, " +
+        s"o_orderpriority, ${CENTS("o_totalprice")} " +
+        s"FROM parquet.`$dir/orders.parquet`").collect(): Unit }
+      // the erase cascade: forget every non-urgent order of customers
+      // with negative balance — the erase SET comes from a subquery
+      step(2) { s.sql(s"DELETE FROM $t WHERE ck IN " +
+        s"(SELECT c_custkey FROM parquet.`$dir/customer.parquet` " +
+        "WHERE c_acctbal < 0) AND pri <> '1-URGENT'").collect(): Unit }
+      // a FALSE uncorrelated EXISTS deletes nothing but still commits
+      // the version boundary (custkeys are ≥ 1 at every SF)
+      step(3) { s.sql(s"DELETE FROM $t WHERE EXISTS " +
+        s"(SELECT 1 FROM parquet.`$dir/customer.parquet` " +
+        "WHERE c_custkey < 0) AND pri = '2-HIGH'").collect(): Unit }
+      val snap = ST.manifest(s, base, head)
+      require(snap.deleteDirs.size >= 2,
+        s"both DELETEs must land delete files, got ${snap.deleteDirs.size}")
+      s.sql(
+        s"""WITH u AS (SELECT DISTINCT k, ck, pri, cents FROM $t)
+           |SELECT pri, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS cents
+           |FROM u GROUP BY pri ORDER BY pri""".stripMargin)
+    },
+
     // HIDDEN PARTITIONING (partition transforms — the headline Iceberg
     // capability the snapshot catalog lacked, r18 verdict #2): CREATE
     // TABLE ... PARTITIONED BY (months(d), bucket(8, k)) records the
@@ -5304,6 +5366,22 @@ object AdvancedQueries {
     // the three landing slices' union (k%4 in 0..2): a double-loaded
     // file doubles its slice's rows, a dropped file loses them — both
     // hash-fail
+    // the engine erases through the decorrelated IN-subquery DELETE
+    // (merge-on-read mask over the declared key); the oracle replays
+    // the erase relationally — a row the mask missed (resurrected key)
+    // or an over-deleted row both hash-fail; the false-EXISTS delete
+    // must contribute nothing
+    "q_snapshot_sql_dml2" ->
+      s"""WITH src AS (SELECT o_orderkey AS k, o_custkey AS ck,
+         |    o_orderpriority AS pri, ${CENTS("o_totalprice")} AS cents
+         |  FROM orders),
+         |bad AS (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+         |SELECT pri, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS cents
+         |FROM src
+         |WHERE NOT (ck IN (SELECT c_custkey FROM bad)
+         |  AND pri <> '1-URGENT')
+         |GROUP BY pri ORDER BY pri""".stripMargin,
+
     // the engine reads the two phases through structural transform
     // pruning (months + bucket dirs); the oracle replays the same
     // slices relationally — a mis-pruned dir (missing rows) or a

@@ -1524,7 +1524,17 @@ object SnapshotTable {
     * version boundary and gets one, idempotently replayable like any
     * commit. */
   def deleteWhere(spark: SparkSession, base: String, keyCol: String,
-      predicate: org.apache.spark.sql.Column): Int = {
+      predicate: org.apache.spark.sql.Column): Int =
+    deleteMatching(spark, base, keyCol, _.where(predicate))
+
+  /** [[deleteWhere]] generalized to JOIN-shaped match sets: `matching`
+    * maps the head scan to the subset to delete — the decorrelated
+    * `DELETE WHERE k IN (SELECT …)` erase-cascade shape (an uncorrelated
+    * IN-subquery becomes a semi join against the scan, never a
+    * driver-collected literal list). Same merge-on-read contract:
+    * O(matches) delete file, data files untouched. */
+  def deleteMatching(spark: SparkSession, base: String, keyCol: String,
+      matching: DataFrame => DataFrame): Int = {
     val head = headVersion(spark, base)
     require(head >= 1, s"no committed snapshot under $base to delete from")
     val snap = manifest(spark, base, head)
@@ -1538,8 +1548,8 @@ object SnapshotTable {
     // crashed attempts leave vacuum-collectable orphans
     val delDir = s"$base/_delete_v$v-" +
       java.util.UUID.randomUUID().toString.take(8)
-    readVersion(spark, base, head, keyCol)
-      .where(predicate).select(col(keyCol)).distinct()
+    matching(readVersion(spark, base, head, keyCol))
+      .select(col(keyCol)).distinct()
       .write.parquet(delDir)
     commit(spark, base, v, snap.copy(deleteDirs = snap.deleteDirs :+ delDir))
     v

@@ -1219,6 +1219,53 @@ class SnapshotCatalogSpec extends SparkTestBase {
       e2.getMessage)
   }
 
+  test("DELETE with uncorrelated IN/EXISTS subqueries decorrelates to " +
+      "semi joins / run-time booleans; correlated, NOT IN, and scalar " +
+      "shapes refuse loudly") {
+    val root = Files.createTempDirectory("snapcat").toString
+    setupCatalog("snapsq", root, "t" -> "k")
+    import spark.implicits._
+    spark.sql("CREATE TABLE snapsq.t (k BIGINT, ck BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO snapsq.t SELECT id, id % 5, id * 10 " +
+      "FROM range(20)")
+    val badDir = s"$root/bad"
+    Seq(1L, 3L).toDF("bck").write.parquet(badDir)
+    // IN + plain conjunct: rows with ck ∈ {1,3} AND k < 15 go
+    spark.sql(s"DELETE FROM snapsq.t WHERE ck IN " +
+      s"(SELECT bck FROM parquet.`$badDir`) AND k < 15")
+    val left = spark.sql("SELECT k FROM snapsq.t ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq
+    assert(left == (0L until 20L).filterNot(k =>
+      (k % 5 == 1 || k % 5 == 3) && k < 15), left.toString)
+    // false uncorrelated EXISTS: deletes nothing, still commits
+    val h1 = ST.headVersion(spark, s"$root/t")
+    spark.sql(s"DELETE FROM snapsq.t WHERE EXISTS " +
+      s"(SELECT 1 FROM parquet.`$badDir` WHERE bck > 99) AND v >= 0")
+    assert(ST.headVersion(spark, s"$root/t") == h1 + 1)
+    assert(spark.sql("SELECT COUNT(*) AS n FROM snapsq.t")
+      .head.getLong(0) == left.size.toLong)
+    // true uncorrelated EXISTS gates a plain delete
+    spark.sql(s"DELETE FROM snapsq.t WHERE EXISTS " +
+      s"(SELECT 1 FROM parquet.`$badDir`) AND k = 18")
+    assert(spark.sql("SELECT COUNT(*) AS n FROM snapsq.t")
+      .head.getLong(0) == left.size.toLong - 1)
+    // refusals: NOT IN (three-valued NULL trap), correlated IN, scalar
+    def refuses(sql: String): Unit = {
+      val e = intercept[Exception] { spark.sql(sql) }
+      assert(Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null).take(8)
+        .exists(t => t.getMessage != null &&
+          (t.getMessage.contains("uncorrelated IN/EXISTS") ||
+            t.getMessage.contains("subquery"))), e.getMessage)
+    }
+    refuses(s"DELETE FROM snapsq.t WHERE ck NOT IN " +
+      s"(SELECT bck FROM parquet.`$badDir`)")
+    refuses(s"DELETE FROM snapsq.t WHERE ck IN " +
+      s"(SELECT bck FROM parquet.`$badDir` b WHERE b.bck = snapsq.t.k)")
+    refuses(s"DELETE FROM snapsq.t WHERE ck = " +
+      s"(SELECT MAX(bck) FROM parquet.`$badDir`)")
+  }
+
   test("manifest-answered string MIN/MAX folds under UTF8 binary order " +
       "— supplementary-plane vs private-use values match the real scan") {
     val root = Files.createTempDirectory("snapcat").toString
