@@ -189,11 +189,19 @@ object SnapshotTable {
     require(snap.colStats.map(cs => (cs.dir, cs.col)).distinct.size ==
       snap.colStats.size,
       s"snapshot v$v carries duplicate colstats entries")
-    val colStatsLine =
-      if (snap.colStats.isEmpty) ""
-      else "colstats=" + snap.colStats
+    // small tables stay INLINE (pre-sidecar manifests byte-identical);
+    // past the threshold the entries spill to content-addressed sidecar
+    // chunks written BEFORE the manifest references them (the crash
+    // order that can strand orphans but never dangle a reference)
+    val colStatsLine = {
+      val entries = snap.colStats
         .map(cs => s"${cs.dir}|${cs.col}|${cs.ndv}|${cs.nulls}")
-        .mkString(",") + "\n"
+      if (entries.isEmpty) ""
+      else if (entries.size <= sidecarSpillThreshold)
+        "colstats=" + entries.mkString(",") + "\n"
+      else "colstats_refs=" + chunkEntries(entries)
+        .map(ensureSidecar(spark, base, _)).mkString(",") + "\n"
+    }
     // checks: names stay SQL-identifier-shaped; the EXPRESSION is
     // base64url-encoded (expressions legitimately contain every manifest
     // delimiter), so the line parses under the same split rules as the
@@ -221,10 +229,15 @@ object SnapshotTable {
     require(snap.ingested.map(_.path).distinct.size ==
       snap.ingested.size,
       s"snapshot v$v carries duplicate ingested-file ledger paths")
-    val ingestedLine =
-      if (snap.ingested.isEmpty) ""
-      else "ingested=" + snap.ingested
-        .map(f => s"${f.path}|${f.len}|${f.mtime}").mkString(",") + "\n"
+    val ingestedLine = {
+      val entries = snap.ingested
+        .map(f => s"${f.path}|${f.len}|${f.mtime}")
+      if (entries.isEmpty) ""
+      else if (entries.size <= sidecarSpillThreshold)
+        "ingested=" + entries.mkString(",") + "\n"
+      else "ingested_refs=" + chunkEntries(entries)
+        .map(ensureSidecar(spark, base, _)).mkString(",") + "\n"
+    }
     val schemaLine = snap.schema.map { ddl =>
       require(!ddl.exists(c => c == '\n' || c == '\r'),
         "schema DDL may not contain a newline — it is one manifest line")
@@ -325,7 +338,7 @@ object SnapshotTable {
         attempt += 1
         try {
           text = readUtf8(fs, dst, v)
-          val (_, f, c) = parseBody(text)
+          val (_, f, c, _) = parseBody(text, readSidecar(spark, base, _))
           footerValidNow = f.contains(f"${crc32(c)}%08x")
         } catch {
           // mid-write checksum flap: retryable inside the window, the
@@ -340,7 +353,8 @@ object SnapshotTable {
       if (text == null) throw new IllegalArgumentException(
         s"manifest v$v exists but fails the filesystem checksum — " +
           s"inspect and delete $dst to recommit")
-      val (existing, footer, existingCore) = parseBody(text)
+      val (existing, footer, existingCore, _) =
+        parseBody(text, readSidecar(spark, base, _))
       val footerValid = footer.contains(f"${crc32(existingCore)}%08x")
       if (footerValid) {
         // a trustworthy committed manifest: history is immutable
@@ -400,7 +414,8 @@ object SnapshotTable {
     val fs = fsFor(spark, p)
     require(fs.exists(p), s"no committed snapshot v$v under $base")
     val text = readUtf8(fs, p, v)
-    val (snap, footer, core) = parseBody(text)
+    val (snap, footer, core, _) =
+      parseBody(text, readSidecar(spark, base, _))
     // The footer is REQUIRED: object-store rename is copy+delete, so a
     // partial manifest is possible, and a truncation that cuts the tail off
     // is precisely the case that deletes the footer — treating it as
@@ -435,16 +450,36 @@ object SnapshotTable {
   }
 
   /** Split a manifest body into its core snapshot, the optional crc footer
-    * value, and the exact core STRING the footer covers — returned so both
+    * value, the exact core STRING the footer covers — returned so both
     * callers checksum the same bytes this parse saw (no second, possibly
-    * divergent, partition of the text). Validation is the caller's call. */
-  private def parseBody(text: String): (Snapshot, Option[String], String) = {
+    * divergent, partition of the text) — and the sidecar names the body
+    * references (the vacuum GC seam). `resolve` maps a sidecar name to
+    * its (hash-validated) payload; spilled lines parse into exactly the
+    * entries the inline form would. Validation is the caller's call. */
+  private def parseBody(text: String, resolve: String => String)
+      : (Snapshot, Option[String], String, Seq[String]) = {
     val (coreLines, crcLines) =
       text.linesIterator.toSeq.partition(!_.startsWith("crc="))
     val kv = coreLines
       .map(_.split("=", 2)).map(a => a(0) -> a.lift(1).getOrElse(""))
       .toMap
     def dirs(k: String) = kv.getOrElse(k, "").split(",").filter(_.nonEmpty)
+    val refs: Seq[String] = (dirs("colstats_refs") ++
+      dirs("ingested_refs")).toSeq
+    // a line present both inline and spilled would double-parse — the
+    // writer never emits that, so a manifest carrying it is damaged
+    for (k <- Seq("colstats", "ingested"))
+      if (kv.get(k).exists(_.nonEmpty) &&
+          kv.get(s"${k}_refs").exists(_.nonEmpty))
+        throw new IllegalArgumentException(
+          s"manifest carries both $k and ${k}_refs — damaged or written " +
+            "by a newer format")
+    def spillable(k: String): Seq[String] = {
+      val inline = dirs(k).toSeq
+      if (inline.nonEmpty) inline
+      else dirs(s"${k}_refs").toSeq
+        .flatMap(n => resolve(n).split(",").filter(_.nonEmpty))
+    }
     val bounds = dirs("bounds").toSeq.map { entry =>
       entry.split("\\|", -1) match {
         case Array(d, c, t, mn, mx) => DirBounds(d, c, t, mn, mx)
@@ -469,7 +504,7 @@ object SnapshotTable {
             "written by a newer format")
       }
     }.toMap
-    val colStats = dirs("colstats").toSeq.map { entry =>
+    val colStats = spillable("colstats").map { entry =>
       entry.split("\\|", -1) match {
         case Array(d, c, ndv, nulls)
             if ndv.nonEmpty && ndv.forall(_.isDigit) &&
@@ -496,7 +531,7 @@ object SnapshotTable {
             "written by a newer format")
       }
     }
-    val ingested = dirs("ingested").toSeq.map { entry =>
+    val ingested = spillable("ingested").map { entry =>
       entry.split("\\|", -1) match {
         case Array(p, len, mt)
             if len.nonEmpty && len.forall(_.isDigit) &&
@@ -521,7 +556,106 @@ object SnapshotTable {
       dirs("dropped").toSeq, colStats, checks, ingested, partSpec,
       partVals),
       crcLines.headOption.map(_.stripPrefix("crc=")),
-      coreLines.mkString("", "\n", "\n"))
+      coreLines.mkString("", "\n", "\n"), refs)
+  }
+
+  // ---- manifest scaling seam: content-addressed sidecar files ----
+  //
+  // The two unbounded-growth manifest lines — per-dir column stats and
+  // the COPY INTO ledger — spill to sidecar files once they pass the
+  // threshold, so a commit writes O(delta) bytes instead of rewriting
+  // O(dirs×cols + ingested-files) inline text per version. Sidecars are
+  // CONTENT-ADDRESSED (name = sha256 of payload): write-once, idempotent
+  // under racers (two writers of the same chunk write the same file),
+  // and immune to partial-write corruption (a payload that doesn't hash
+  // to its own name is rejected loudly, and an identical recommit
+  // repairs it). Entries chunk at CONTENT-DEFINED boundaries (a chunk
+  // break after any entry whose own crc lands in 1/32 of the space, with
+  // a hard cap), so inserting or dropping entries re-writes only the
+  // chunks they touch — neighbors keep their names and a later commit
+  // re-references them for free. Sidecars are written BEFORE the
+  // manifest that references them: a crash strands orphan sidecars
+  // (vacuum collects them), never a manifest pointing at missing bytes.
+
+  /** Spill threshold (entries per line). `private[graft] var` so specs
+    * can exercise the sidecar path without fabricating 48-dir tables —
+    * production never touches it. Spilling is semantically transparent
+    * (parse resolves refs back to the same entries), so a concurrent
+    * suite observing a temporarily lowered threshold stays correct. */
+  private[graft] var sidecarSpillThreshold = 48
+
+  private def sidecarName(payload: String): String = {
+    val h = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(payload.getBytes("UTF-8"))
+      .take(16).map(b => f"${b & 0xff}%02x").mkString
+    s"_SIDECAR_$h.mf"
+  }
+
+  private def sidecarPath(base: String, name: String) =
+    new Path(s"$base/$name")
+
+  /** Split entries into content-defined chunks (payload = the same
+    * comma-joined line syntax the inline form uses). Boundaries are a
+    * property of entry CONTENT, not position, so they survive
+    * insertions/removals elsewhere in the sorted entry list. */
+  private def chunkEntries(entries: Seq[String]): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = scala.collection.mutable.ArrayBuffer.empty[String]
+    for (e <- entries) {
+      cur += e
+      if ((crc32(e) & 31L) == 0L || cur.size >= 128) {
+        out += cur.mkString(","); cur.clear()
+      }
+    }
+    if (cur.nonEmpty) out += cur.mkString(",")
+    out.toSeq
+  }
+
+  /** Write the sidecar if absent (content-addressed: an existing file
+    * with the right hash is THE file). A hash-mismatched existing file
+    * is a crashed writer's partial — delete and rewrite (safe: nothing
+    * can legitimately live at this name with other content). */
+  private def ensureSidecar(spark: SparkSession, base: String,
+      payload: String): String = {
+    val name = sidecarName(payload)
+    val p = sidecarPath(base, name)
+    val fs = fsFor(spark, p)
+    if (fs.exists(p)) {
+      val txt = try readUtf8(fs, p, -1) catch { case _: Exception => null }
+      if (txt == payload) return name
+      fs.delete(p, false)
+    }
+    val tmp = new Path(s"$base/.$name." +
+      java.util.UUID.randomUUID().toString.take(8) + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(payload.getBytes("UTF-8")) finally out.close()
+    if (!fs.rename(tmp, p)) {
+      // a racer landed the same name first — verify it carries the
+      // content this name promises, then discard our temp
+      fs.delete(tmp, false)
+      val txt = readUtf8(fs, p, -1)
+      require(txt == payload,
+        s"sidecar $name exists with content not matching its own hash " +
+          s"— store corruption under $base")
+    }
+    name
+  }
+
+  /** Read + hash-validate a referenced sidecar. Missing or corrupt →
+    * the same loud partial/corrupt rejection manifests use. */
+  private def readSidecar(spark: SparkSession, base: String,
+      name: String): String = {
+    val p = sidecarPath(base, name)
+    val fs = fsFor(spark, p)
+    if (!fs.exists(p)) throw new IllegalArgumentException(
+      s"manifest references sidecar $name which does not exist under " +
+        s"$base — partial/corrupt commit detected (or the sidecar was " +
+        "vacuumed from under a live manifest)")
+    val txt = readUtf8(fs, p, -1)
+    if (sidecarName(txt) != name) throw new IllegalArgumentException(
+      s"sidecar $name failed its content hash — partial/corrupt " +
+        "sidecar write detected; recommit the snapshot to repair")
+    txt
   }
 
   private def crc32(s: String): Long = {
@@ -567,10 +701,20 @@ object SnapshotTable {
       val p = new Path(d)
       fsFor(spark, p).makeQualified(p).toString
     }
+    def refsOf(v: Int): Seq[String] = {
+      val p = manifestPath(base, v)
+      parseBody(readUtf8(fsFor(spark, p), p, v),
+        readSidecar(spark, base, _))._4
+    }
     val live = (keepFrom to upTo).flatMap { v =>
       val s = manifest(spark, base, v)
       (s.dataDirs ++ s.deleteDirs).map(canon)
     }.toSet
+    // sidecar GC mirrors the dir GC: names referenced by any SURVIVING
+    // manifest are live; old-manifest-only names delete after their
+    // manifests do (same crash order — a crash strands orphan sidecars,
+    // never a live manifest over deleted ones)
+    val liveRefs = (keepFrom to upTo).flatMap(refsOf).toSet
     val old = (1 until keepFrom).filter { v =>
       val p = manifestPath(base, v)
       fsFor(spark, p).exists(p)
@@ -581,6 +725,7 @@ object SnapshotTable {
       val s = manifest(spark, base, v)
       (s.dataDirs ++ s.deleteDirs).map(canon)
     }.distinct
+    val oldRefs = old.flatMap(refsOf).distinct
     for (v <- old) {
       val p = manifestPath(base, v)
       require(fsFor(spark, p).delete(p, false),
@@ -590,6 +735,10 @@ object SnapshotTable {
     for (d <- oldDirs if !live.contains(d)) {
       val dp = new Path(d)
       if (fsFor(spark, dp).delete(dp, true)) removed += 1
+    }
+    for (n <- oldRefs if !liveRefs.contains(n)) {
+      val sp = sidecarPath(base, n)
+      fsFor(spark, sp).delete(sp, false): Unit
     }
     VacuumReport(old.size, removed, live.size)
   }
@@ -823,6 +972,27 @@ object SnapshotTable {
             now - st.getModificationTime >= olderThanMs) {
           if (fs.delete(st.getPath, true)) n += 1
         }
+      }
+    }
+    // crashed-commit sidecar orphans (written BEFORE their manifest, so
+    // a crash in the window strands them with no referencing version):
+    // unreferenced by every surviving manifest AND idle past the margin
+    // — an in-flight committer's freshly written chunks are younger
+    val sidecarRe = """^_SIDECAR_[0-9a-f]{32}\.mf$""".r
+    lazy val liveRefs = (1 to head).filter { v =>
+      val mp = manifestPath(base, v)
+      fsFor(spark, mp).exists(mp)
+    }.flatMap { v =>
+      val mp = manifestPath(base, v)
+      parseBody(readUtf8(fsFor(spark, mp), mp, v),
+        readSidecar(spark, base, _))._4
+    }.toSet
+    for (st <- fs.listStatus(b) if st.isFile;
+         name = st.getPath.getName
+         if sidecarRe.findFirstIn(name).isDefined) {
+      if (!liveRefs.contains(name) &&
+          now - st.getModificationTime >= olderThanMs) {
+        if (fs.delete(st.getPath, false)) n += 1
       }
     }
     n

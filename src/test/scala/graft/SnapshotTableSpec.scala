@@ -1345,4 +1345,115 @@ class SnapshotTableSpec extends SparkTestBase {
       SnapshotTable.ingestFiles(spark, base, glob)
     }
   }
+
+  test("manifest sidecar seam: ledger/colstats spill to content-" +
+      "addressed chunks, commit payload stays O(delta), crash shapes " +
+      "are loud, GC collects only unreferenced sidecars") {
+    val base = freshBase()
+    writeNums(s"$base/d1", 0, 10)
+    writeNums(s"$base/d2", 10, 20)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def manifestLen(v: Int): Long = fs.getFileStatus(
+      new org.apache.hadoop.fs.Path(s"$base/_MANIFEST_v$v")).getLen
+    def sidecars(): Set[String] = fs.listStatus(
+      new org.apache.hadoop.fs.Path(base)).toSeq
+      .map(_.getPath.getName).filter(_.startsWith("_SIDECAR_")).toSet
+    def ledger(n: Int): Seq[SnapshotTable.IngestedFile] =
+      (0 until n).map(i =>
+        SnapshotTable.IngestedFile(f"/lz/file_$i%05d.parquet", 100L + i,
+          1000L + i))
+    val prev = SnapshotTable.sidecarSpillThreshold
+    SnapshotTable.sidecarSpillThreshold = 6
+    try {
+      // v1: 40 ledger entries spill; the manifest stays small and the
+      // parsed snapshot round-trips the exact entries
+      val s1 = Snapshot(Seq(s"$base/d1"), Nil, ingested = ledger(40))
+      SnapshotTable.commit(spark, base, 1, s1)
+      assert(sidecars().nonEmpty, "ledger must have spilled")
+      val m1 = SnapshotTable.manifest(spark, base, 1)
+      assert(m1.ingested == ledger(40).sortBy(_.path))
+      assert(manifestLen(1) < 1200,
+        s"manifest v1 is ${manifestLen(1)} bytes — entries inlined?")
+      // v2: +10 entries + 1 dir. O(delta): the manifest grows by the
+      // dir line + a few chunk names, NOT by re-inlining 50 entries,
+      // and only the touched chunk(s) write new sidecars
+      val before = sidecars()
+      SnapshotTable.commit(spark, base, 2, s1.copy(
+        dataDirs = Seq(s"$base/d1", s"$base/d2"),
+        ingested = ledger(50)))
+      val added = sidecars() -- before
+      assert(added.size <= 3,
+        s"adding 10 entries wrote ${added.size} new chunks — chunking " +
+          "is not content-defined")
+      assert(manifestLen(2) - manifestLen(1) < 400,
+        s"manifest grew ${manifestLen(2) - manifestLen(1)} bytes for a " +
+          "10-entry delta — commit payload is not O(delta)")
+      assert(SnapshotTable.manifest(spark, base, 2).ingested ==
+        ledger(50).sortBy(_.path))
+      // colstats spill the same way (8 entries over the 2 dirs)
+      val cs = for (d <- Seq(s"$base/d1", s"$base/d2");
+                    c <- Seq("a", "b", "c", "d"))
+        yield SnapshotTable.ColStats(d, c, 5L, 1L)
+      SnapshotTable.commit(spark, base, 3, s1.copy(
+        dataDirs = Seq(s"$base/d1", s"$base/d2"),
+        ingested = ledger(50), colStats = cs))
+      assert(SnapshotTable.manifest(spark, base, 3).colStats ==
+        cs.sortBy(x => (x.dir, x.col)))
+      // idempotent replay of a spilled manifest: same content, no error
+      SnapshotTable.commit(spark, base, 3, s1.copy(
+        dataDirs = Seq(s"$base/d1", s"$base/d2"),
+        ingested = ledger(50), colStats = cs))
+      // CRASH SHAPE 1 — a referenced sidecar goes missing (vacuumed
+      // from under a live manifest / torn store): the read is LOUD
+      val refName = sidecars().head
+      val refPath = new org.apache.hadoop.fs.Path(s"$base/$refName")
+      val bytes = {
+        val in = fs.open(refPath)
+        try { val b = new Array[Byte](
+          fs.getFileStatus(refPath).getLen.toInt)
+          in.readFully(b); b } finally in.close()
+      }
+      fs.delete(refPath, false)
+      val e1 = intercept[IllegalArgumentException] {
+        (1 to 3).foreach(v =>
+          SnapshotTable.manifest(spark, base, v): Unit)
+      }
+      assert(e1.getMessage.contains("does not exist"), e1.getMessage)
+      // CRASH SHAPE 2 — a truncated sidecar (partial write) fails its
+      // content hash loudly instead of parsing half a ledger
+      val out = fs.create(refPath, true)
+      try out.write(bytes.dropRight(7)) finally out.close()
+      val e2 = intercept[IllegalArgumentException] {
+        (1 to 3).foreach(v =>
+          SnapshotTable.manifest(spark, base, v): Unit)
+      }
+      assert(e2.getMessage.contains("content hash"), e2.getMessage)
+      // restore the real bytes: reads recover
+      val out2 = fs.create(refPath, true)
+      try out2.write(bytes) finally out2.close()
+      assert(SnapshotTable.manifest(spark, base, 3).ingested.size == 50)
+      // GC: vacuum to head keeps every sidecar the head references and
+      // drops old-only ones; the never-referenced crash orphan is swept
+      // age-gated (sweepStagingOrphans), never a live reference
+      val orphan = new org.apache.hadoop.fs.Path(
+        s"$base/_SIDECAR_${"0" * 32}.mf")
+      fs.create(orphan, true).close()
+      SnapshotTable.vacuum(spark, base, 3, 3): Unit
+      val headRefs = sidecars()
+      (1 to 2).foreach { v =>
+        assert(!fs.exists(new org.apache.hadoop.fs.Path(
+          s"$base/_MANIFEST_v$v")))
+      }
+      assert(SnapshotTable.manifest(spark, base, 3).ingested.size == 50,
+        "vacuum must keep every sidecar the surviving head references")
+      assert(headRefs.contains(orphan.getName),
+        "vacuum must NOT touch unreferenced sidecars (in-flight commits)")
+      assert(SnapshotTable.sweepStagingOrphans(spark, base, 0L) >= 1)
+      assert(!fs.exists(orphan),
+        "the age-gated sweep collects crash-orphaned sidecars")
+      assert(SnapshotTable.manifest(spark, base, 3).ingested.size == 50,
+        "the sweep must keep referenced sidecars")
+    } finally SnapshotTable.sidecarSpillThreshold = prev
+  }
 }
