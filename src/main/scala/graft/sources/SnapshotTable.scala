@@ -42,9 +42,17 @@ object SnapshotTable {
     * stats pass, never a table rescan. [[manifestColumnStats]] folds
     * them into table-level stats the SQL reader reports to Catalyst, so
     * CBO can size filtered snapshot relations (broadcast decisions)
-    * from metadata instead of physical bytes alone. */
+    * from metadata instead of physical bytes alone.
+    *
+    * `sketch`: an optional base64url DataSketches HLL (lgK=12) of the
+    * column's values in the dir — MERGEABLE, so the table-level NDV can
+    * be a union-estimate instead of the per-dir-sum upper bound (which
+    * overstates NDV whenever key ranges overlap across dirs and skews
+    * CBO toward over-aggressive broadcasts). Absent on pre-sketch
+    * entries and on types the sketch doesn't cover — the fold then
+    * falls back to the clamped sum. */
   final case class ColStats(dir: String, col: String, ndv: Long,
-      nulls: Long)
+      nulls: Long, sketch: Option[String] = None)
 
   /** `schema`: the table schema AS OF this version, as Spark DDL — set by
     * [[evolveAddColumns]] and carried by every later commit. None (the
@@ -185,6 +193,10 @@ object SnapshotTable {
       require(!cs.col.exists(c => c == '|' || c == ',' || c == '\n'),
         s"colstats column '${cs.col}' holds a manifest delimiter — " +
           "refuse rather than write an unparseable manifest")
+      for (sk <- cs.sketch)
+        require(sk.nonEmpty && sk.forall(c => c.isLetterOrDigit ||
+          c == '-' || c == '_' || c == '='),
+          s"colstats sketch for ${cs.dir}|${cs.col} is not base64url")
     }
     require(snap.colStats.map(cs => (cs.dir, cs.col)).distinct.size ==
       snap.colStats.size,
@@ -195,7 +207,8 @@ object SnapshotTable {
     // order that can strand orphans but never dangle a reference)
     val colStatsLine = {
       val entries = snap.colStats
-        .map(cs => s"${cs.dir}|${cs.col}|${cs.ndv}|${cs.nulls}")
+        .map(cs => s"${cs.dir}|${cs.col}|${cs.ndv}|${cs.nulls}" +
+          cs.sketch.map("|" + _).getOrElse(""))
       if (entries.isEmpty) ""
       else if (entries.size <= sidecarSpillThreshold)
         "colstats=" + entries.mkString(",") + "\n"
@@ -510,6 +523,10 @@ object SnapshotTable {
             if ndv.nonEmpty && ndv.forall(_.isDigit) &&
               nulls.nonEmpty && nulls.forall(_.isDigit) =>
           ColStats(d, c, ndv.toLong, nulls.toLong)
+        case Array(d, c, ndv, nulls, sk)
+            if ndv.nonEmpty && ndv.forall(_.isDigit) &&
+              nulls.nonEmpty && nulls.forall(_.isDigit) && sk.nonEmpty =>
+          ColStats(d, c, ndv.toLong, nulls.toLong, Some(sk))
         case _ => throw new IllegalArgumentException(
           s"unparseable colstats entry '$entry' — manifest damaged or " +
             "written by a newer format")
@@ -1117,7 +1134,7 @@ object SnapshotTable {
     // aggs; a dir the winner rewrote drops out of the next attempt's
     // missing set
     val scanned = scala.collection.mutable
-      .Map.empty[String, (Long, Map[String, (Long, Long)])]
+      .Map.empty[String, (Long, Map[String, ColStats])]
     // dir schema from parquet FOOTERS only (no row scan), memoized: the
     // gate that keeps forever-uncoverable dirs (pre-evolution dirs
     // physically lacking a requested column) from re-paying the agg on
@@ -1145,20 +1162,10 @@ object SnapshotTable {
           finally r.close()
         }.getOrElse(Set.empty)
     })
-    def scanDir(d: String): (Long, Map[String, (Long, Long)]) =
+    def scanDir(d: String): (Long, Map[String, ColStats]) =
       scanned.getOrElseUpdate(d, {
-        val df = spark.read.parquet(d)
-        val fields = fieldsOf(d)
-        val present = cols.filter(fields)
-        import org.apache.spark.sql.functions.{count, count_distinct, lit}
-        val aggs = count(lit(1)) +: present.flatMap(c =>
-          Seq(count_distinct(org.apache.spark.sql.functions.col(c)),
-            count(org.apache.spark.sql.functions.col(c))))
-        val row = df.agg(aggs.head, aggs.drop(1): _*).head()
-        val rows = row.getLong(0)
-        (rows, present.zipWithIndex.map { case (c, i) =>
-          c -> (row.getLong(1 + 2 * i), rows - row.getLong(2 + 2 * i))
-        }.toMap)
+        val (rows, cs) = scanDirStats(spark, d, cols)
+        (rows, cs.map(e => e.col -> e).toMap)
       })
     var attempt = 0
     while (attempt < 20) {
@@ -1182,8 +1189,7 @@ object SnapshotTable {
         if (!uncov.exists(fieldsOf(d)) && snap.rowCounts.contains(d)) Nil
         else {
           val (_, byCol) = scanDir(d)
-          uncov.flatMap(c => byCol.get(c).map { case (ndv, nulls) =>
-            ColStats(d, c, ndv, nulls) })
+          uncov.flatMap(byCol.get)
         }
       }
       val uncovered = missing.flatMap(d =>
@@ -1378,7 +1384,27 @@ object SnapshotTable {
           if needing.forall(d => entries.exists(_.dir == d)) =>
         val live = entries.filter(e => snap.dataDirs.contains(e.dir))
         val nulls = live.map(_.nulls).sum
-        val ndv0 = live.map(_.ndv).sum
+        // TIGHT table NDV: when every contributing (non-empty) dir
+        // carries a mergeable sketch, union-estimate instead of the
+        // overlap-blind per-dir sum — dirs sharing key ranges otherwise
+        // overstate NDV and skew CBO's 1/ndv selectivity toward
+        // over-aggressive broadcasts. A foreign/corrupt sketch, or any
+        // sketch-less contributor, falls back to the summed upper bound
+        // clamped to non-null rows (the pre-sketch behavior).
+        val contributing = live.filter(e => needing.contains(e.dir))
+        val ndvSketch: Option[Long] =
+          if (contributing.nonEmpty &&
+              contributing.forall(_.sketch.isDefined))
+            try {
+              val u = new org.apache.datasketches.hll.Union(12)
+              contributing.foreach { e =>
+                u.update(org.apache.datasketches.hll.HllSketch.heapify(
+                  java.util.Base64.getUrlDecoder.decode(e.sketch.get)))
+              }
+              Some(math.round(u.getEstimate))
+            } catch { case _: Exception => None }
+          else None
+        val ndv0 = ndvSketch.getOrElse(live.map(_.ndv).sum)
         // never report ndv 0 (CBO divides by it); an all-null column
         // reports 1, which errs toward keeping the filter output large
         val ndv = math.max(1L,
@@ -1850,24 +1876,52 @@ object SnapshotTable {
     * write-batch-sized, the same bill reboundDir already pays. Columns
     * physically absent from the fresh dir (evolution edges) drop out,
     * which only un-covers them — the safe direction. */
+  /** ONE combined aggregate over `dir`: row count plus, per wanted
+    * column physically present, (exact ndv, null count, and — for
+    * int/long/string columns — a mergeable HLL sketch, lgK=12). The
+    * sketch is what lets [[manifestColumnStats]] union per-dir NDVs
+    * into a tight table estimate instead of the overlap-blind sum. */
+  private def scanDirStats(spark: SparkSession, dir: String,
+      wanted: Seq[String]): (Long, Seq[ColStats]) = {
+    import org.apache.spark.sql.functions.{count, count_distinct, hll_sketch_agg, lit}
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+    val df = spark.read.parquet(dir)
+    val dts = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    val present = wanted.filter(dts.contains)
+    def sketchable(c: String) = dts(c) match {
+      case IntegerType | LongType | StringType => true
+      case _ => false
+    }
+    val aggs = count(lit(1)) +: present.flatMap { c =>
+      val base = Seq(count_distinct(col(c)), count(col(c)))
+      if (sketchable(c)) base :+ hll_sketch_agg(col(c), 12) else base
+    }
+    val row = df.agg(aggs.head, aggs.drop(1): _*).head()
+    val rows = row.getLong(0)
+    var idx = 1
+    val cs = present.map { c =>
+      val ndv = row.getLong(idx)
+      val nonNull = row.getLong(idx + 1)
+      idx += 2
+      val sk = if (sketchable(c)) {
+        val b = if (row.isNullAt(idx)) null
+          else row.getAs[Array[Byte]](idx)
+        idx += 1
+        Option(b).map(java.util.Base64.getUrlEncoder.withoutPadding
+          .encodeToString)
+      } else None
+      ColStats(dir, c, ndv, rows - nonNull, sk)
+    }
+    (rows, cs)
+  }
+
   private def recountDir(spark: SparkSession, prior: Snapshot,
       dir: String): (Seq[ColStats], Map[String, Long]) = {
     val tracked = manifestColumnStats(prior).keys.toSeq.sorted
     val doRows = prior.dataDirs.nonEmpty &&
       prior.dataDirs.forall(prior.rowCounts.contains)
     if (tracked.isEmpty && !doRows) return (Nil, Map.empty)
-    val df = spark.read.parquet(dir)
-    val fields = df.schema.fieldNames.toSet
-    val present = tracked.filter(fields)
-    import org.apache.spark.sql.functions.{count, count_distinct, lit}
-    val aggs = count(lit(1)) +: present.flatMap(c =>
-      Seq(count_distinct(col(c)), count(col(c))))
-    val row = df.agg(aggs.head, aggs.drop(1): _*).head()
-    val rows = row.getLong(0)
-    val cs = present.zipWithIndex.map { case (c, i) =>
-      ColStats(dir, c, row.getLong(1 + 2 * i),
-        rows - row.getLong(2 + 2 * i))
-    }
+    val (rows, cs) = scanDirStats(spark, dir, tracked)
     (cs, if (doRows) Map(dir -> rows) else Map.empty)
   }
 

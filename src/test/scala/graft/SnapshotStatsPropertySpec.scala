@@ -57,23 +57,30 @@ class SnapshotStatsPropertySpec extends SparkTestBase {
         val expected = ST.ColStats(d, c,
           vals.filter(_ != null).distinct.size.toLong,
           vals.count(_ == null).toLong)
-        assert(snap.colStats.contains(expected),
+        // exact ndv/nulls ride beside the HLL sketch — compare modulo it
+        assert(snap.colStats.map(_.copy(sketch = None)).contains(expected),
           s"round $round: missing/wrong per-dir entry $expected")
       }
-      // folded stats: nulls exact; ndv in [true ndv, non-null rows]
+      // folded stats: nulls exact; ndv tight (the sketch fold — HLL is
+      // EXACT at these cardinalities via sparse mode, so allow ±5% but
+      // expect equality in practice) and never above non-null rows
       val folded = ST.manifestColumnStats(snap)
       val trueNullsS = all.count(_._2 == null).toLong
       val nonNullS = all.size - trueNullsS
       val trueNdvS = all.map(_._2).filter(_ != null).distinct.size.toLong
       assert(folded("s")._2 == trueNullsS, s"round $round: s nulls")
-      assert(folded("s")._1 >= trueNdvS &&
+      assert(math.abs(folded("s")._1 - math.max(1L, trueNdvS)) <=
+        math.max(1L, trueNdvS / 20) &&
         folded("s")._1 <= math.max(1L, nonNullS),
-        s"round $round: s ndv ${folded("s")._1} outside " +
-          s"[$trueNdvS, ${math.max(1L, nonNullS)}]")
+        s"round $round: s ndv ${folded("s")._1} not within 5% of " +
+          s"$trueNdvS (cap ${math.max(1L, nonNullS)})")
       val trueNdvK = all.map(_._1).distinct.size.toLong
-      assert(folded("k")._2 == 0L && folded("k")._1 >= trueNdvK &&
+      assert(folded("k")._2 == 0L &&
+        math.abs(folded("k")._1 - math.max(1L, trueNdvK)) <=
+          math.max(1L, trueNdvK / 20) &&
         folded("k")._1 <= math.max(1L, all.size.toLong),
-        s"round $round: k ndv/nulls")
+        s"round $round: k ndv ${folded("k")._1} not within 5% of " +
+          s"$trueNdvK")
       // idempotence: nothing left to scan, no empty version boundary
       val again = ST.analyzeColumnStats(spark, base, Seq("k", "s"))
       assert(again == ST.AnalyzeColsReport(head, 0, 0), again.toString)

@@ -1346,6 +1346,41 @@ class SnapshotTableSpec extends SparkTestBase {
     }
   }
 
+  test("sketch-folded table NDV: overlapping dirs stop overstating — " +
+      "union estimate within 5% of truth; any sketch-less contributor " +
+      "falls back to the clamped sum") {
+    val base = freshBase()
+    // three dirs with heavily overlapping key ranges: per-dir exact
+    // NDVs are 1000 each but the TABLE has only 1500 distinct keys —
+    // the pre-sketch sum reported 3000 (2× overstated)
+    writeNums(s"$base/d1", 0, 1000)
+    writeNums(s"$base/d2", 0, 1000)
+    writeNums(s"$base/d3", 500, 1500)
+    SnapshotTable.commit(spark, base, 1,
+      Snapshot(Seq(s"$base/d1", s"$base/d2", s"$base/d3"), Nil))
+    val r = SnapshotTable.analyzeColumnStats(spark, base, Seq("k"))
+    assert(r.entriesAdded == 3 && r.entriesUncovered == 0)
+    val snap = SnapshotTable.manifest(spark, base, r.version)
+    assert(snap.colStats.forall(_.sketch.isDefined),
+      "int columns must carry HLL sketches")
+    val (ndv, nulls) = SnapshotTable.manifestColumnStats(snap)("k")
+    assert(nulls == 0L)
+    assert(math.abs(ndv - 1500L) * 20 <= 1500L,
+      s"sketch-folded NDV $ndv is not within 5% of the true 1500")
+    // strip ONE sketch: the fold must drop to the summed upper bound,
+    // never a silently-partial union
+    val stripped = snap.copy(colStats = snap.colStats.map(e =>
+      if (e.dir == s"$base/d1") e.copy(sketch = None) else e))
+    val (ndvSum, _) = SnapshotTable.manifestColumnStats(stripped)("k")
+    assert(ndvSum == 3000L,
+      s"sketch-less contributor must fall back to the sum, got $ndvSum")
+    // a corrupt sketch falls back too (never a wrong tight estimate)
+    val corrupt = snap.copy(colStats = snap.colStats.map(e =>
+      if (e.dir == s"$base/d1") e.copy(sketch = Some("QUJD")) else e))
+    val (ndvCorrupt, _) = SnapshotTable.manifestColumnStats(corrupt)("k")
+    assert(ndvCorrupt == 3000L, s"corrupt sketch must fall back")
+  }
+
   test("manifest sidecar seam: ledger/colstats spill to content-" +
       "addressed chunks, commit payload stays O(delta), crash shapes " +
       "are loud, GC collects only unreferenced sidecars") {
