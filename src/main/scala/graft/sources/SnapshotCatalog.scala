@@ -532,7 +532,8 @@ final class SnapshotTableHandle(
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
-      TableCapability.OVERWRITE_BY_FILTER, TableCapability.TRUNCATE)
+      TableCapability.OVERWRITE_BY_FILTER, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE)
 
   /** Does a SQL read of this version need plan rewriting beyond a bare
     * parquet scan? Delete files need the merge-on-read key mask;
@@ -608,6 +609,19 @@ final class SnapshotTableHandle(
                 SparkSession.active, base, tschema, data,
                 ow || legacyOverwrite): Unit
           }
+        /** `writeStream.toTable` — exactly-once epoch ingest through
+          * the manifest commit point ([[SnapshotStreamingWrite]]). */
+        override def toStreaming: org.apache.spark.sql.connector.write
+            .streaming.StreamingWrite = {
+          require(!ow, "streaming into a snapshot table is APPEND-only " +
+            "— complete/truncate output modes are refused")
+          require(info.schema().fieldNames.toSeq ==
+            tschema.fieldNames.toSeq,
+            s"streaming write columns ${info.schema().fieldNames.toSeq} " +
+              s"must match the table's ${tschema.fieldNames.toSeq}")
+          new SnapshotStreamingWrite(base, info.queryId(),
+            info.schema(), snap.renames)
+        }
       }
     }
 }

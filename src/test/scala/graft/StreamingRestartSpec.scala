@@ -618,4 +618,81 @@ class StreamingRestartSpec extends SparkTestBase {
     assert(got == want,
       "session state across the restart diverges from the batch aggregate")
   }
+
+  test("writeStream.toTable into the snapshot catalog: restart continues " +
+      "the epoch sequence, and a FORCED epoch replay (checkpoint commit " +
+      "record deleted) folds nothing twice") {
+    val tmp = Files.createTempDirectory("graft-snaptbl-restart").toString
+    spark.conf.set("spark.sql.catalog.snapst",
+      classOf[graft.sources.SnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.snapst.root", s"$tmp/cat")
+    val base = s"$tmp/cat/t"
+    spark.sql("CREATE TABLE snapst.t (key STRING, value BIGINT)")
+    val ord = Tables(spark, sf, "orders")
+      .select(col("o_orderkey"),
+        col("o_orderpriority").as("key"),
+        cents(col("o_totalprice")).as("value"))
+    val median = ord
+      .selectExpr("CAST(percentile_cont(0.5) WITHIN GROUP " +
+        "(ORDER BY o_orderkey) AS BIGINT)")
+      .head().getLong(0)
+    val kv = ord.select(col("key"), col("value"))
+    val schema = kv.schema
+
+    def startQuery(): StreamingQuery =
+      graft.streaming.StreamingOps.withStreamShuffle(spark) {
+        spark.readStream.schema(schema).parquet(s"$tmp/in/*.parquet")
+          .writeStream
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .outputMode("append")
+          .toTable("snapst.t")
+      }
+
+    // epoch 0: first half, then stop between micro-batches
+    ord.where(col("o_orderkey") <= median).select(col("key"), col("value"))
+      .write.parquet(s"$tmp/in/b1.parquet")
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally q1.stop()
+    import graft.sources.{SnapshotTable => ST}
+    val h1 = ST.headVersion(spark, base)
+    assert(h1 == 2, s"epoch 0 must fold as v2, head=$h1")
+
+    // restart from the same checkpoint; second half arrives after
+    ord.where(col("o_orderkey") > median).select(col("key"), col("value"))
+      .write.parquet(s"$tmp/in/b2.parquet")
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally q2.stop()
+    val h2 = ST.headVersion(spark, base)
+    assert(h2 == 3, s"epoch 1 must fold as v3, head=$h2")
+    val snap = ST.manifest(spark, base, h2)
+    assert(snap.dataDirs.count(_.contains("_streamepoch_")) == 2,
+      s"exactly two epoch dirs expected: ${snap.dataDirs}")
+
+    // FORCE a replay: delete Spark's own commit record for epoch 1, so
+    // the restarted query re-runs the micro-batch and re-commits the
+    // epoch to the sink — the crash window between sink-commit and
+    // commit-log write. The manifest-based replay detection must fold
+    // NOTHING (no new version, no duplicate rows).
+    val commitFile = new java.io.File(s"$tmp/ckpt/commits/1")
+    assert(commitFile.exists(), "checkpoint layout changed?")
+    assert(commitFile.delete())
+    new java.io.File(s"$tmp/ckpt/commits/.1.crc").delete() // local-FS sidecar
+    val q3 = startQuery()
+    try q3.processAllAvailable() finally q3.stop()
+    assert(ST.headVersion(spark, base) == h2,
+      "a replayed epoch must not commit a new version")
+
+    // exactly-once at the ROW level against the batch multiset
+    val got = spark.sql(
+      "SELECT key, value, COUNT(*) AS n FROM snapst.t GROUP BY 1, 2")
+      .collect().map(_.toString).sorted.toSeq
+    val want = kv.groupBy("key", "value").count()
+      .collect().map(_.toString).sorted.toSeq
+    assert(got == want,
+      "restarted snapshot streaming sink diverges from the batch multiset")
+    // the staging area drained (no leaked epoch files)
+    assert(!new java.io.File(s"$base/_streamstage").exists() ||
+      new java.io.File(s"$base/_streamstage").list().isEmpty,
+      "staging files leaked past the epoch commits")
+  }
 }
