@@ -384,4 +384,63 @@ class SnapshotConcurrencySpec extends SparkTestBase {
       assert(added == 2, s"double/lost load across racers: $reps")
     }
   }
+
+  test("expire racing a RUNNING streaming CDF consumer: versions retired " +
+      "past the consumer's frontier fail its next batch loudly — never " +
+      "a torn window") {
+    import org.apache.spark.sql.functions.col
+    val base = freshBase() + "/t"
+    writeNums(s"$base/d1", 0, 5)
+    writeNums(s"$base/d2", 5, 9)
+    writeNums(s"$base/d3", 9, 12)
+    SnapshotTable.commit(spark, base, 1, Snapshot(Seq(s"$base/d1"), Nil))
+    SnapshotTable.commit(spark, base, 2,
+      Snapshot(Seq(s"$base/d1", s"$base/d2"), Nil))
+    SnapshotTable.commit(spark, base, 3,
+      Snapshot(Seq(s"$base/d1", s"$base/d2", s"$base/d3"), Nil))
+    val ckpt = Files.createTempDirectory("snapcc-cdf").toString
+    val sinkName = s"cdf_expire_${System.nanoTime()}"
+    val fmt = classOf[graft.sources.SnapshotCdfSource].getName
+    val q = graft.streaming.StreamingOps.withStreamShuffle(spark) {
+      spark.readStream.format(fmt).load(base)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .format("memory").queryName(sinkName)
+        .start()
+    }
+    try {
+      q.processAllAvailable() // consumer frontier now at v3
+      val seen3 = spark.table(sinkName).select(col("version"))
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(seen3 == Seq(1L, 2L, 3L), seen3.toString)
+      // new commits land WHILE the consumer runs, then retention
+      // retires everything below v5 — including v4, which the consumer
+      // has not consumed yet
+      writeNums(s"$base/d4", 12, 15)
+      writeNums(s"$base/d5", 15, 20)
+      val s3 = SnapshotTable.manifest(spark, base, 3)
+      SnapshotTable.commit(spark, base, 4,
+        s3.copy(dataDirs = s3.dataDirs :+ s"$base/d4"))
+      val s4 = SnapshotTable.manifest(spark, base, 4)
+      SnapshotTable.commit(spark, base, 5,
+        s4.copy(dataDirs = s4.dataDirs :+ s"$base/d5"))
+      SnapshotTable.vacuum(spark, base, 5, 5): Unit
+      // the consumer's next window (3, 5] references vacuumed v4: the
+      // batch must fail LOUDLY (the vacuumed-frontier contract), not
+      // emit a torn (v5-only) window
+      val e = intercept[Exception] { q.processAllAvailable() }
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null).take(10)
+        .flatMap(t => Option(t.getMessage)).mkString(" | ")
+      assert(msgs.contains("vacuumed version") ||
+        msgs.contains("references vacuumed"), msgs)
+      val after = spark.table(sinkName).select(col("version"))
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(after == Seq(1L, 2L, 3L),
+        s"a torn window leaked rows past the failure: $after")
+    } finally {
+      if (q.isActive) q.stop()
+      spark.sql(s"DROP TABLE IF EXISTS $sinkName")
+    }
+  }
 }
