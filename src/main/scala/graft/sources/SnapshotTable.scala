@@ -2802,34 +2802,57 @@ object SnapshotTable {
       val p = new Path(d)
       fsFor(spark, p).getContentSummary(p).getLength < targetBytes
     }
-    if (small.size < 2) return OptimizeReport(head, 0, snap.dataDirs.size)
+    // PARTITION-AWARE packing: dirs bin only WITHIN their recorded
+    // transform tuple (packing across partitions would collapse the
+    // tuples and degrade every future structural prune to keep-all —
+    // the streaming-ingest decay OPTIMIZE exists to fix lands exactly
+    // on partitioned tables, so the packed dir must stay prunable).
+    // Untupled dirs (pre-partition data, prior rewrite outputs) form
+    // their own group, as before.
+    val groups: Seq[(Option[Seq[String]], Seq[String])] =
+      small.groupBy(d => snap.partVals.get(d)).toSeq
+        .filter(_._2.size >= 2)
+        .sortBy(_._2.head)
+    if (groups.isEmpty) return OptimizeReport(head, 0, snap.dataDirs.size)
     val v = head + 1
     val mp = manifestPath(base, v)
     require(!fsFor(spark, mp).exists(mp),
       s"version $v is already committed under $base — a concurrent " +
         "committer won the version claim; re-read the head and retry")
-    val keep = snap.dataDirs.filterNot(small.contains)
-    val packDir = s"$base/_optimize_v$v"
-    val pp = new Path(packDir)
-    val pfs = fsFor(spark, pp)
-    // leavings of a crashed prior attempt at THIS version: safe to clear,
-    // since the guard above proved no manifest references the dir yet
-    if (pfs.exists(pp)) pfs.delete(pp, true)
-    // coalesce toward the target: N small dirs should yield ~ceil(bytes /
-    // target) output files, not N again
-    val totalSmall = small.map(d =>
-      fsFor(spark, new Path(d)).getContentSummary(new Path(d)).getLength).sum
-    val outFiles = math.max(1L, (totalSmall + targetBytes - 1) / targetBytes)
-    toPhysical(snap, readData(spark, snap, small))
-      .coalesce(math.min(outFiles, Int.MaxValue.toLong).toInt)
-      .write.parquet(packDir)
-    val (packCs, packRows) = recountDir(spark, snap, packDir)
-    commit(spark, base, v, snap.copy(dataDirs = keep :+ packDir,
+    val packedAway = groups.flatMap(_._2)
+    val keep = snap.dataDirs.filterNot(packedAway.contains)
+    val packs = groups.zipWithIndex.map { case ((tuple, dirs), i) =>
+      val packDir =
+        if (groups.size == 1 && tuple.isEmpty) s"$base/_optimize_v$v"
+        else s"$base/_optimize_v$v-p$i"
+      val pp = new Path(packDir)
+      val pfs = fsFor(spark, pp)
+      // leavings of a crashed prior attempt at THIS version: safe to
+      // clear, since the guard above proved no manifest references it
+      if (pfs.exists(pp)) pfs.delete(pp, true)
+      // coalesce toward the target: N small dirs should yield
+      // ~ceil(bytes / target) output files, not N again
+      val groupBytes = dirs.map(d => fsFor(spark, new Path(d))
+        .getContentSummary(new Path(d)).getLength).sum
+      val outFiles =
+        math.max(1L, (groupBytes + targetBytes - 1) / targetBytes)
+      toPhysical(snap, readData(spark, snap, dirs))
+        .coalesce(math.min(outFiles, Int.MaxValue.toLong).toInt)
+        .write.parquet(packDir)
+      val (packCs, packRows) = recountDir(spark, snap, packDir)
+      (packDir, tuple, packCs, packRows)
+    }
+    commit(spark, base, v, snap.copy(
+      dataDirs = keep ++ packs.map(_._1),
       bounds = snap.bounds.filter(b => keep.contains(b.dir))
-        ++ reboundDir(spark, snap.bounds, packDir),
-      colStats = snap.colStats ++ packCs,
-      rowCounts = snap.rowCounts ++ packRows))
-    OptimizeReport(v, small.size, keep.size)
+        ++ packs.flatMap(p => reboundDir(spark, snap.bounds, p._1)),
+      colStats = snap.colStats ++ packs.flatMap(_._3),
+      rowCounts = snap.rowCounts ++ packs.flatMap(_._4),
+      // packed dirs INHERIT their group's tuple — maintenance must
+      // never cost the table its structural pruning
+      partVals = snap.partVals ++ packs.collect {
+        case (d, Some(t), _, _) => d -> t }))
+    OptimizeReport(v, packedAway.size, keep.size)
   }
 
   final case class ZorderReport(version: Int, dirsIn: Int, dirsOut: Int)

@@ -1173,6 +1173,41 @@ class SnapshotCatalogSpec extends SparkTestBase {
       s"VERSION AS OF $head").head.getLong(0) == 41L)
   }
 
+  test("OPTIMIZE on a partitioned table packs small dirs WITHIN their " +
+      "transform tuple — structural pruning survives maintenance") {
+    val root = Files.createTempDirectory("snapcat").toString
+    setupCatalog("snappo", root)
+    val base = s"$root/t"
+    spark.sql("CREATE TABLE snappo.t (k BIGINT, g BIGINT) " +
+      "PARTITIONED BY (identity(g))")
+    // three small inserts per partition → 6 tupled dirs decaying the
+    // table into the small-file shape OPTIMIZE exists to fix
+    for (b <- 0 until 3)
+      spark.sql(s"INSERT INTO snappo.t SELECT id + ${b * 10}, id % 2 " +
+        "FROM range(10)")
+    val before = ST.manifest(spark, base, ST.headVersion(spark, base))
+    assert(before.partVals.size == 6, before.partVals.toString)
+    val rep = ST.optimizeSmallDirs(spark, base, 1L << 30)
+    assert(rep.dirsPacked == 6, rep.toString)
+    val after = ST.manifest(spark, base, rep.version)
+    val tupled = after.dataDirs.filter(after.partVals.contains)
+    // one packed dir per tuple, each INHERITING its group's tuple
+    assert(tupled.size == 2, after.dataDirs.toString)
+    assert(after.partVals.values.toSet == Set(Seq("0"), Seq("1")),
+      after.partVals.toString)
+    // structural pruning still engages post-maintenance
+    graft.plans.SnapshotDmlRule.lastPrune.remove(base)
+    val n0 = spark.sql(
+      "SELECT COUNT(*) AS n FROM snappo.t WHERE g = 0").head.getLong(0)
+    val (kept, total) = graft.plans.SnapshotDmlRule.lastPrune.get(base)
+    assert(kept < total, s"pruning died after OPTIMIZE ($kept/$total)")
+    assert(n0 == 15L)
+    // content unchanged as a multiset
+    assert(spark.sql("SELECT COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS s " +
+      "FROM snappo.t").head.toSeq == Seq(30L, (0L until 10L).sum * 3
+        + 10L * 10 + 20L * 10))
+  }
+
   test("hidden partitioning: truncate/identity transforms, " +
       "delimiter-unsafe value refusal, unsupported transform refusal") {
     val root = Files.createTempDirectory("snapcat").toString
