@@ -372,26 +372,30 @@ case class SnapshotDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
     * rename-evolved snapshot sources stay correct either way).
     * Everything else — correlated shapes, NOT IN, scalar subqueries —
     * refuses loudly rather than deleting the wrong rows. */
-  private def rewriteSubqueryDelete(h: SnapshotTableHandle,
-      d: DeleteFromTable): LogicalPlan = {
+  /** Shared decorrelation for subquery-carrying DML conditions:
+    * conjuncts split into plain predicates (rebound by name at run
+    * time), uncorrelated `attr IN (subquery)` semi specs, and
+    * uncorrelated EXISTS plans (run-time booleans). Sub plans pass
+    * through [[maskReads]] AND re-analyze inside the commands' ofRows.
+    * Correlated shapes, NOT IN, and scalar subqueries refuse loudly. */
+  private def splitSubqueryCondition(cond: Expression, what: String)
+      : (Option[Expression], Seq[(String, LogicalPlan)],
+        Seq[LogicalPlan]) = {
     import org.apache.spark.sql.catalyst.expressions.{Exists, InSubquery, ListQuery}
-    val key = h.keyCol.getOrElse(throw new IllegalArgumentException(
-      s"DELETE on ${h.name()} needs the table's key column declared " +
-        "(spark.sql.catalog.<cat>.key.<tbl>)"))
     def conjuncts(e: Expression): Seq[Expression] = e match {
       case And(l, r) => conjuncts(l) ++ conjuncts(r)
       case other => Seq(other)
     }
-    def refuse(what: String): Nothing =
+    def refuse(shape: String): Nothing =
       throw new IllegalArgumentException(
-        s"snapshot DELETE supports uncorrelated IN/EXISTS subqueries " +
-          s"only — $what is refused; materialize the subquery first or " +
-          "use the SnapshotTable API")
+        s"snapshot $what supports uncorrelated IN/EXISTS subqueries " +
+          s"only — $shape is refused; materialize the subquery first " +
+          "or use the SnapshotTable API")
     val plain = scala.collection.mutable.ArrayBuffer.empty[Expression]
     val semis = scala.collection.mutable
       .ArrayBuffer.empty[(String, LogicalPlan)]
     val exists = scala.collection.mutable.ArrayBuffer.empty[LogicalPlan]
-    conjuncts(d.condition).foreach {
+    conjuncts(cond).foreach {
       case InSubquery(Seq(v), l: ListQuery) =>
         if (l.outerAttrs.nonEmpty || l.plan.exists(_.expressions.exists(
             _.exists(_.isInstanceOf[PlanExpression[_]]))))
@@ -407,15 +411,21 @@ case class SnapshotDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
         refuse(s"this subquery shape (${e.sql})")
       case e => plain += e
     }
-    SnapshotDeleteSubqueryCommand(h.base, key,
-      plain.reduceOption(And), semis.toSeq, exists.toSeq)
+    (plain.reduceOption(And), semis.toSeq, exists.toSeq)
+  }
+
+  private def rewriteSubqueryDelete(h: SnapshotTableHandle,
+      d: DeleteFromTable): LogicalPlan = {
+    val key = h.keyCol.getOrElse(throw new IllegalArgumentException(
+      s"DELETE on ${h.name()} needs the table's key column declared " +
+        "(spark.sql.catalog.<cat>.key.<tbl>)"))
+    val (plain, semis, exists) =
+      splitSubqueryCondition(d.condition, "DELETE")
+    SnapshotDeleteSubqueryCommand(h.base, key, plain, semis, exists)
   }
 
   private def rewriteUpdate(h: SnapshotTableHandle,
       u: UpdateTable): LogicalPlan = {
-    val cond = u.condition
-      .map(toCol(_, "UPDATE WHERE"))
-      .getOrElse(org.apache.spark.sql.functions.lit(true))
     val sets = u.assignments.flatMap { a =>
       val name = a.key match {
         case ar: AttributeReference => ar.name
@@ -429,7 +439,20 @@ case class SnapshotDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
         case v => Some(name -> toCol(v, "UPDATE SET"))
       }
     }
-    SnapshotUpdateCommand(h.base, sets, cond)
+    // subquery-carrying conditions decorrelate like DELETE's
+    // ([[rewriteSubqueryDelete]]): uncorrelated IN → marker-join specs
+    // evaluated by updateMatching, uncorrelated EXISTS → run-time
+    // boolean; anything else refuses via toCol's loud path
+    if (u.condition.exists(_.exists(_.isInstanceOf[PlanExpression[_]]))) {
+      val (plain, semis, exists) =
+        splitSubqueryCondition(u.condition.get, "UPDATE")
+      SnapshotUpdateSubqueryCommand(h.base, sets, plain, semis, exists)
+    } else {
+      val cond = u.condition
+        .map(toCol(_, "UPDATE WHERE"))
+        .getOrElse(org.apache.spark.sql.functions.lit(true))
+      SnapshotUpdateCommand(h.base, sets, cond)
+    }
   }
 
   private def rewriteMerge(h: SnapshotTableHandle,
@@ -671,6 +694,30 @@ case class SnapshotDeleteSubqueryCommand(base: String, key: String,
         df
       }
     }): Unit
+    Seq.empty
+  }
+}
+
+/** The decorrelated subquery UPDATE: plain conjuncts rebind by name,
+  * IN specs become marker joins inside
+  * [[SnapshotTable.updateMatching]], and uncorrelated EXISTS plans
+  * evaluate once — any false one makes the whole UPDATE a no-op (no
+  * version boundary, matching updateWhere's nothing-matched shape). */
+case class SnapshotUpdateSubqueryCommand(base: String,
+    sets: Seq[(String, Column)], plain: Option[Expression],
+    semis: Seq[(String, LogicalPlan)], exists: Seq[LogicalPlan])
+    extends LeafRunnableCommand {
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    val live = exists.forall(p =>
+      !DatasetBridge.ofRows(sparkSession, p).isEmpty)
+    if (!live) return Seq.empty
+    val plainCol = plain.map(c => ColumnBridge(c.transform {
+      case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+    }))
+    val semiDfs = semis.map { case (attr, p) =>
+      attr -> DatasetBridge.ofRows(sparkSession, p) }
+    SnapshotTable.updateMatching(sparkSession, base, plainCol, semiDfs,
+      sets): Unit
     Seq.empty
   }
 }

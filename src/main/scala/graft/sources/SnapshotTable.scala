@@ -1957,6 +1957,19 @@ object SnapshotTable {
     * delete file to witness it. */
   def updateWhere(spark: SparkSession, base: String,
       predicate: org.apache.spark.sql.Column,
+      sets: Seq[(String, org.apache.spark.sql.Column)]): RewriteReport =
+    updateMatching(spark, base, Some(predicate), Nil, sets)
+
+  /** [[updateWhere]] generalized to JOIN-shaped match conditions: each
+    * `semis` entry is an uncorrelated `attr IN (subquery)` spec whose
+    * (single-column) values LEFT-join onto the rows as a hit marker —
+    * the predicate becomes `plain AND every marker` and evaluates
+    * row-wise like any other, so both the dir probe and the
+    * conditional-SET rewrite work unchanged. The erase-set can be
+    * table-sized: it is never collected to the driver. */
+  def updateMatching(spark: SparkSession, base: String,
+      plain: Option[org.apache.spark.sql.Column],
+      semis: Seq[(String, DataFrame)],
       sets: Seq[(String, org.apache.spark.sql.Column)]): RewriteReport = {
     val head = headVersion(spark, base)
     require(head >= 1, s"no committed snapshot under $base to update")
@@ -1975,7 +1988,31 @@ object SnapshotTable {
       .collect { case (n, vs) if vs.size > 1 => n }
     require(dupSets.isEmpty,
       s"UPDATE assigns the same column more than once: ${dupSets.toSeq}")
-    val hit = probeHitDirs(spark, snap, head, _.where(predicate))
+    for ((attr, sub) <- semis) {
+      require(cols.contains(attr),
+        s"UPDATE IN-subquery references unknown column $attr")
+      require(sub.schema.length == 1,
+        s"IN subquery must produce exactly one column, got " +
+          s"${sub.schema.fieldNames.toSeq}")
+    }
+    val markCols = semis.indices.map(i => s"_gupd_m$i")
+    require(!fieldNames.exists(_.startsWith("_gupd_m")),
+      "data schema collides with the UPDATE marker column namespace")
+    // distinct sub values left-join at most once per row — no row
+    // duplication; a NULL attr or no match leaves the marker NULL,
+    // which coalesces to false (IN's three-valued semantics: only
+    // TRUE rows update)
+    def marked(df: DataFrame): DataFrame =
+      semis.zip(markCols).foldLeft(df) { case (acc, ((attr, sub), m)) =>
+        val vcol = s"${m}_v"
+        acc.join(sub.toDF(vcol).distinct().withColumn(m, lit(true)),
+          acc(attr) === col(vcol), "left").drop(vcol)
+      }
+    val predicate = (plain.toSeq ++
+      markCols.map(m => coalesce(col(m), lit(false))))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val hit = probeHitDirs(spark, snap, head,
+      df => marked(df).where(predicate))
     if (hit.isEmpty) return RewriteReport(head, 0, snap.dataDirs.size)
     val keep = snap.dataDirs.filterNot(hit)
     // writer-unique staging — see deleteWhere's rationale
@@ -1988,7 +2025,7 @@ object SnapshotTable {
     // SET sees an earlier SET's result through the re-evaluated WHERE
     val setMap = sets.toMap
     val src = readData(spark, snap, hit.toSeq.sorted)
-    val updated = src.select(fieldNames.toIndexedSeq.map { c =>
+    val updated = marked(src).select(fieldNames.toIndexedSeq.map { c =>
       setMap.get(c)
         .map(e => when(predicate, e).otherwise(col(c)))
         .getOrElse(col(c)).as(c)

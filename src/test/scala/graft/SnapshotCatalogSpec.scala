@@ -1302,6 +1302,22 @@ class SnapshotCatalogSpec extends SparkTestBase {
       s"(SELECT bck FROM parquet.`$badDir` b WHERE b.bck = snapsq.t.k)")
     refuses(s"DELETE FROM snapsq.t WHERE ck = " +
       s"(SELECT MAX(bck) FROM parquet.`$badDir`)")
+    // UPDATE decorrelates the same way: IN + plain conjunct marks only
+    // TRUE rows; the SET evaluates against the OLD row
+    spark.sql(s"UPDATE snapsq.t SET v = v + 1000 WHERE ck IN " +
+      s"(SELECT bck FROM parquet.`$badDir`) AND k >= 15")
+    val bumped = spark.sql(
+      "SELECT k FROM snapsq.t WHERE v >= 1000 ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq
+    assert(bumped == Seq(16L), s"UPDATE IN-subquery hit $bumped")
+    // false uncorrelated EXISTS: a no-op, not even a version boundary
+    val hBefore = ST.headVersion(spark, s"$root/t")
+    spark.sql(s"UPDATE snapsq.t SET v = 0 WHERE EXISTS " +
+      s"(SELECT 1 FROM parquet.`$badDir` WHERE bck > 99)")
+    assert(ST.headVersion(spark, s"$root/t") == hBefore,
+      "false-EXISTS UPDATE must not commit a version")
+    refuses(s"UPDATE snapsq.t SET v = 0 WHERE ck NOT IN " +
+      s"(SELECT bck FROM parquet.`$badDir`)")
   }
 
   test("manifest-answered string MIN/MAX folds under UTF8 binary order " +
