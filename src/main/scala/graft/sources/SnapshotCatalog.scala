@@ -126,7 +126,8 @@ class SnapshotCatalog extends TableCatalog with ProcedureCatalog {
       require(!ident.name().startsWith("branch_") &&
         ident.name() != "history" && ident.name() != "refs",
         s"VERSION AS OF applies to manifest-scoped metadata tables " +
-          s"(files/colstats/checks/ingested/detail), not ${ident.name()}")
+          s"(files/colstats/checks/ingested/detail/partitions), " +
+          s"not ${ident.name()}")
     if (ident.name().startsWith("branch_")) {
       val bname = ident.name().stripPrefix("branch_")
       val bb = SnapshotTable.branchBase(base, bname)
@@ -214,6 +215,26 @@ class SnapshotCatalog extends TableCatalog with ProcedureCatalog {
             snap.ingested.size,
             snap.schema.isDefined || snap.renames.nonEmpty ||
               snap.dropped.nonEmpty))))
+      case "partitions" =>
+        // the hidden-partitioning roster (the Iceberg `partitions`
+        // metadata table at dir granularity): one row per routed dir —
+        // its transform tuple (rendered values, '|'-joined in spec
+        // order), row count when recorded — plus one NULL-tuple row per
+        // unrouted dir (pre-partition data, rewrite outputs), so "how
+        // much of my table still prunes structurally" reads directly
+        val snap = snapAt
+        val spec = snap.partSpec.map(_.toString).mkString(", ")
+        val rows = snap.dataDirs.map { d =>
+          Seq[Any](new Path(d).getName,
+            snap.partVals.get(d).map(_.mkString("|")).orNull,
+            snap.rowCounts.get(d).map(Long.box).orNull,
+            spec)
+        }
+        Some(new LocalRowsTable(
+          s"$catName.${ident.namespace()(0)}.partitions",
+          StructType.fromDDL("`dname` STRING, `tuple` STRING, " +
+            "`n_rows` BIGINT, `spec` STRING"),
+          rows))
       case "refs" =>
         // the named-ref roster: tags point at main versions; branches
         // carry their own head plus the main version they forked from

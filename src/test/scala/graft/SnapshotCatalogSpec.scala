@@ -1159,6 +1159,17 @@ class SnapshotCatalogSpec extends SparkTestBase {
       spark.sql("ALTER TABLE snappt.t RENAME COLUMN d TO d2") }
     intercept[Exception] {
       spark.sql("ALTER TABLE snappt.t DROP COLUMN k") }
+    // the partitions metadata table: tuple + rows per routed dir, a
+    // NULL tuple for unrouted dirs, the spec echoed per row
+    val pmeta = spark.sql("SELECT dname, tuple, n_rows, spec " +
+      "FROM snappt.t.partitions").collect()
+    assert(pmeta.length == snap.dataDirs.size)
+    assert(pmeta.count(_.isNullAt(1)) ==
+      snap.dataDirs.size - snap.partVals.size)
+    assert(pmeta.filter(!_.isNullAt(1)).forall(r =>
+      r.getString(3) == "months(d), bucket(4, k)" && !r.isNullAt(2)),
+      pmeta.mkString(";"))
+    assert(pmeta.filter(!_.isNullAt(1)).map(_.getLong(2)).sum == 41L)
     // INSERT OVERWRITE replaces the data with newly routed dirs
     spark.sql("INSERT OVERWRITE snappt.t VALUES " +
       "(1, DATE '2022-05-01', 'a'), (2, DATE '2022-06-01', 'b')")
