@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.types._
+
+import graft.sources.PartitionSpec
+import graft.sources.PartitionSpec.PartField
+
+/** The hidden-partitioning value contract ([[PartitionSpec]]): the
+  * executor-side SQL expression (`exprSql` — what routed writes stamp
+  * into dir names) and the driver-side literal rendering (`render` —
+  * what pruning compares predicate edges against) must agree
+  * byte-for-byte on every value, or structural pruning silently drops
+  * live dirs. This spec evaluates both sides over randomized values for
+  * every (transform, source type) pairing and requires equality, plus
+  * the monotonicity every range-mapped transform relies on. */
+class PartitionSpecPropertySpec extends SparkTestBase {
+
+  private val rnd = new scala.util.Random(19)
+
+  private def sqlValues(f: PartField, dt: DataType,
+      rows: Seq[Any]): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(StructField(f.col, dt)))
+    val df = spark.createDataFrame(
+      rows.map(v => org.apache.spark.sql.Row(v)).asJava, schema)
+    df.select(expr(PartitionSpec.exprSql(f, dt)).cast("string").as("v"))
+      .collect().map(_.getString(0)).toSeq
+  }
+
+  private def internal(dt: DataType, v: Any): Any = (dt, v) match {
+    case (DateType, d: java.sql.Date) => d.toLocalDate.toEpochDay.toInt
+    case (TimestampType, t: java.sql.Timestamp) =>
+      t.getTime * 1000L + (t.getNanos / 1000) % 1000
+    case (StringType, s: String) =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    case _ => v
+  }
+
+  private def check(f: PartField, dt: DataType, rows: Seq[Any]): Unit = {
+    val fromSql = sqlValues(f, dt, rows)
+    val fromRender = rows.map(v =>
+      PartitionSpec.render(f, dt, internal(dt, v)).getOrElse(
+        fail(s"render refused a supported value: $f $dt $v")))
+    assert(fromSql == fromRender,
+      s"$f over ${dt.simpleString}: SQL ${fromSql.take(5)}... != " +
+        s"render ${fromRender.take(5)}...")
+  }
+
+  test("identity renders agree across int/long/string/date") {
+    check(PartField("identity", 0, "c"), LongType,
+      Seq.fill(40)(rnd.nextLong() % 1000000L))
+    check(PartField("identity", 0, "c"), IntegerType,
+      Seq.fill(40)(rnd.nextInt()))
+    check(PartField("identity", 0, "c"), StringType,
+      Seq.fill(40)(rnd.alphanumeric.take(1 + rnd.nextInt(8)).mkString))
+    check(PartField("identity", 0, "c"), DateType,
+      Seq.fill(40)(java.sql.Date.valueOf(
+        java.time.LocalDate.ofEpochDay(rnd.nextInt(40000).toLong))))
+  }
+
+  test("years/months/days renders agree on dates and timestamps, " +
+      "including pre-epoch values") {
+    val dates = Seq.fill(60)(java.sql.Date.valueOf(
+      java.time.LocalDate.ofEpochDay((rnd.nextInt(80000) - 20000).toLong)))
+    val tss = Seq.fill(60)(new java.sql.Timestamp(
+      (rnd.nextLong() % (4000L * 86400000L)))) :+
+      new java.sql.Timestamp(-1L) :+ new java.sql.Timestamp(0L)
+    for (fn <- Seq("years", "months", "days")) {
+      check(PartField(fn, 0, "c"), DateType, dates)
+      check(PartField(fn, 0, "c"), TimestampType, tss)
+    }
+  }
+
+  test("bucket renders agree across int/long/string/date (hash is " +
+      "type-sensitive — the exact-type discipline)") {
+    for (n <- Seq(2, 8, 31)) {
+      check(PartField("bucket", n, "c"), LongType,
+        Seq.fill(40)(rnd.nextLong()))
+      check(PartField("bucket", n, "c"), IntegerType,
+        Seq.fill(40)(rnd.nextInt()))
+      check(PartField("bucket", n, "c"), StringType,
+        Seq.fill(40)(rnd.alphanumeric.take(1 + rnd.nextInt(10)).mkString))
+      check(PartField("bucket", n, "c"), DateType,
+        Seq.fill(40)(java.sql.Date.valueOf(
+          java.time.LocalDate.ofEpochDay(rnd.nextInt(30000).toLong))))
+    }
+  }
+
+  test("truncate renders agree, including surrogate-pair code points " +
+      "(substring counts code points, String.take counts code units)") {
+    val plain = Seq.fill(40)(
+      rnd.alphanumeric.take(1 + rnd.nextInt(10)).mkString)
+    // values mixing BMP and supplementary-plane chars: truncate(2) of
+    // "😀ab" must be the emoji + 'a' (2 code points), which a
+    // UTF-16 take(2) would corrupt into a lone surrogate pair
+    val tricky = Seq("😀ab", "a😀b", "😀",
+      "ab😀cd", "x")
+    for (w <- Seq(1, 2, 4)) {
+      check(PartField("truncate", w, "c"), StringType, plain)
+      check(PartField("truncate", w, "c"), StringType, tricky)
+    }
+  }
+
+  test("monotone transforms ARE monotone under the field comparator " +
+      "(the property range pruning relies on)") {
+    val dates = Seq.fill(80)(java.time.LocalDate.ofEpochDay(
+      (rnd.nextInt(60000) - 10000).toLong))
+    for (fn <- Seq("years", "months", "days")) {
+      val f = PartField(fn, 0, "c")
+      val sorted = dates.sortBy(_.toEpochDay)
+      val rendered = sorted.map(d => PartitionSpec.render(f, DateType,
+        d.toEpochDay.toInt).get)
+      val resorted = rendered.sortWith((a, b) =>
+        PartitionSpec.compare(f, DateType, a, b) < 0)
+      assert(rendered.zip(resorted).forall { case (a, b) =>
+        PartitionSpec.compare(f, DateType, a, b) == 0 },
+        s"$fn rendering is not order-preserving")
+    }
+    val strs = Seq.fill(80)(
+      rnd.alphanumeric.take(rnd.nextInt(8)).mkString).sorted
+    val ft = PartField("truncate", 3, "c")
+    val rt = strs.map(s => PartitionSpec.render(ft, StringType,
+      org.apache.spark.unsafe.types.UTF8String.fromString(s)).get)
+    assert(rt.sliding(2).forall {
+      case Seq(a, b) => PartitionSpec.compare(ft, StringType, a, b) <= 0
+      case _ => true
+    }, "truncate is not order-preserving on sorted inputs")
+  }
+}
