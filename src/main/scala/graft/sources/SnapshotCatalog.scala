@@ -641,7 +641,7 @@ final class SnapshotTableHandle(
             s"streaming write columns ${info.schema().fieldNames.toSeq} " +
               s"must match the table's ${tschema.fieldNames.toSeq}")
           new SnapshotStreamingWrite(base, info.queryId(),
-            info.schema(), snap.renames)
+            info.schema(), snap.renames, snap.partSpec)
         }
       }
     }

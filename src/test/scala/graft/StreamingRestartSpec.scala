@@ -695,4 +695,56 @@ class StreamingRestartSpec extends SparkTestBase {
       new java.io.File(s"$base/_streamstage").list().isEmpty,
       "staging files leaked past the epoch commits")
   }
+
+  test("writeStream.toTable into a PARTITIONED snapshot table routes " +
+      "each epoch into per-tuple dirs — streaming ingest stays " +
+      "structurally prunable") {
+    val tmp = Files.createTempDirectory("graft-snappart-stream").toString
+    spark.conf.set("spark.sql.catalog.snapsp",
+      classOf[graft.sources.SnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.snapsp.root", s"$tmp/cat")
+    val base = s"$tmp/cat/t"
+    spark.sql("CREATE TABLE snapsp.t (k BIGINT, g BIGINT, v BIGINT) " +
+      "PARTITIONED BY (identity(g), bucket(2, k))")
+    import spark.implicits._
+    val b1 = (0L until 20L).map(i => (i, i % 3, i * 10)).toDF("k", "g", "v")
+    val schema = b1.schema
+    b1.write.parquet(s"$tmp/in/b1.parquet")
+    val q = graft.streaming.StreamingOps.withStreamShuffle(spark) {
+      spark.readStream.schema(schema).parquet(s"$tmp/in/*.parquet")
+        .writeStream
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .outputMode("append")
+        .toTable("snapsp.t")
+    }
+    try {
+      q.processAllAvailable()
+      (20L until 30L).map(i => (i, i % 3, i * 10)).toDF("k", "g", "v")
+        .write.parquet(s"$tmp/in/b2.parquet")
+      q.processAllAvailable()
+    } finally q.stop()
+    import graft.sources.{SnapshotTable => ST}
+    val head = ST.headVersion(spark, base)
+    val snap = ST.manifest(spark, base, head)
+    // every streamed dir carries a 2-value tuple; one epoch spans
+    // several tuples but folds as ONE version
+    val streamed = snap.dataDirs.filter(_.contains("_streamepoch_"))
+    assert(streamed.nonEmpty && streamed.forall(d =>
+      snap.partVals.get(d).exists(_.size == 2)),
+      s"streamed dirs must carry tuples: ${snap.partVals}")
+    assert(head == 3, s"two epochs = two versions, head=$head")
+    assert(snap.partVals.values.map(_.head).toSet == Set("0", "1", "2"))
+    // structural pruning engages on the streamed layout
+    graft.plans.SnapshotDmlRule.lastPrune.remove(base)
+    val n = spark.sql(
+      "SELECT COUNT(*) AS n FROM snapsp.t WHERE g = 1").head.getLong(0)
+    val (kept, total) = graft.plans.SnapshotDmlRule.lastPrune.get(base)
+    assert(kept < total, s"no pruning on streamed dirs ($kept/$total)")
+    assert(n == 10L)
+    // row-level exactly-once against the batch multiset
+    val got = spark.sql("SELECT CAST(SUM(v) AS BIGINT) AS s, " +
+      "COUNT(*) AS n FROM snapsp.t").head
+    assert((got.getLong(0), got.getLong(1)) ==
+      (((0L until 30L).map(_ * 10).sum, 30L)))
+  }
 }
