@@ -753,6 +753,22 @@ object SnapshotTable {
       val dp = new Path(d)
       if (fsFor(spark, dp).delete(dp, true)) removed += 1
     }
+    // routed INSERTs nest their per-tuple leaf dirs under a parent
+    // `_insert-<uuid>` container: once every leaf is gone, the parent
+    // holds only marker files — collect the husk (any LIVE leaf keeps
+    // the parent non-empty and therefore kept)
+    val husks = oldDirs.filterNot(live.contains)
+      .map(d => new Path(d).getParent)
+      .filter(p => p != null && p.getName.startsWith("_insert-"))
+      .map(_.toString).distinct
+    for (h <- husks) {
+      val hp = new Path(h)
+      val hfs = fsFor(spark, hp)
+      if (hfs.exists(hp) && hfs.listStatus(hp).forall(st =>
+          st.isFile && (st.getPath.getName.startsWith("_") ||
+            st.getPath.getName.startsWith("."))))
+        hfs.delete(hp, true): Unit
+    }
     for (n <- oldRefs if !liveRefs.contains(n)) {
       val sp = sidecarPath(base, n)
       fsFor(spark, sp).delete(sp, false): Unit

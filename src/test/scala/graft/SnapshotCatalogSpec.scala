@@ -1182,6 +1182,21 @@ class SnapshotCatalogSpec extends SparkTestBase {
     // time travel still reads the pre-overwrite version, pruned
     assert(spark.sql(s"SELECT COUNT(*) AS n FROM snappt.t " +
       s"VERSION AS OF $head").head.getLong(0) == 41L)
+    // vacuum to the overwrite: the retired leaves go AND their
+    // now-empty `_insert-` parent husks go with them; live leaves
+    // keep their parents
+    ST.vacuum(spark, base, ST.headVersion(spark, base),
+      ST.headVersion(spark, base)): Unit
+    val husks = new java.io.File(base).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("_insert-"))
+      .filter(f => f.listFiles().forall(c =>
+        c.isFile && (c.getName.startsWith("_") ||
+          c.getName.startsWith("."))))
+    assert(husks.isEmpty,
+      s"empty routed-insert parent husks survived vacuum: " +
+        s"${husks.map(_.getName).toSeq}")
+    assert(spark.sql("SELECT COUNT(*) AS n FROM snappt.t")
+      .head.getLong(0) == 2L, "vacuum touched live routed leaves")
   }
 
   test("OPTIMIZE on a partitioned table packs small dirs WITHIN their " +
