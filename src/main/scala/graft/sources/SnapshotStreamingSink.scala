@@ -102,6 +102,13 @@ final class SnapshotStreamingWrite(base: String, queryId: String,
         s"partition value '$t' holds a manifest delimiter — refusing " +
           "the epoch (identity/truncate partitioning needs " +
           "delimiter-safe values)")
+    // a 48-bit suffix collision between two tuples in ONE epoch is
+    // ~impossible, but silently merging two partitions' rows under one
+    // tuple would be wrong-answer territory — refuse loudly instead
+    require(byTuple.map(t => tupleSuffix(t._1)).distinct.size ==
+      byTuple.size,
+      s"tuple-suffix hash collision within epoch $epochId — widen " +
+        "tupleSuffix")
     val landed = byTuple.map { case (tuple, ms) =>
       val dir = prefix + tupleSuffix(tuple)
       val dp = new Path(dir)

@@ -1028,6 +1028,15 @@ object SnapshotTable {
         if (fs.delete(st.getPath, false)) n += 1
       }
     }
+    // a sidecar writer that crashed between its temp write and the
+    // rename strands a `._SIDECAR_*.tmp` file — idle ones are dead
+    val sidecarTmpRe = """^\._SIDECAR_[0-9a-f]{32}\.mf\..*\.tmp$""".r
+    for (st <- fs.listStatus(b) if st.isFile;
+         name = st.getPath.getName
+         if sidecarTmpRe.findFirstIn(name).isDefined &&
+           now - st.getModificationTime >= olderThanMs) {
+      if (fs.delete(st.getPath, false)) n += 1
+    }
     n
   }
 
