@@ -73,6 +73,7 @@ object PartitionSpec {
       })
       case "years" | "months" | "days" =>
         ok(dt == DateType || dt == TimestampType)
+      case "hours" => ok(dt == TimestampType)
       case "bucket" =>
         require(f.n > 0, s"bucket() needs a positive count, got ${f.n}")
         ok(dt match {
@@ -84,7 +85,7 @@ object PartitionSpec {
         ok(dt == StringType)
       case other => throw new IllegalArgumentException(
         s"unsupported partition transform '$other' — supported: " +
-          "identity, years, months, days, bucket(n), truncate(n)")
+          "identity, years, months, days, hours, bucket(n), truncate(n)")
     }
   }
 
@@ -114,6 +115,12 @@ object PartitionSpec {
         case _ =>
           s"date_format(date_from_unix_date(${dayIdxSql(c)}), 'yyyy')"
       }
+      case "hours" =>
+        // fixed-width "yyyy-MM-dd-HH", UTC hour floor — lexical order
+        // equals time order, and unix_micros is session-TZ-free
+        s"concat(CAST(date_from_unix_date(${dayIdxSql(c)}) AS STRING), " +
+          s"'-', lpad(CAST(pmod(CAST(FLOOR(unix_micros($c) / " +
+          s"3600000000.0) AS BIGINT), 24) AS STRING), 2, '0'))"
       case "bucket" => s"CAST(pmod(hash($c), ${f.n}) AS STRING)"
       case "truncate" => s"substring($c, 1, ${f.n})"
       case other => throw new IllegalArgumentException(
@@ -158,6 +165,14 @@ object PartitionSpec {
       case "years" => dt match {
         case DateType | TimestampType =>
           Some(f"${localDate(dt, v).getYear}%04d")
+        case _ => None
+      }
+      case "hours" => dt match {
+        case TimestampType =>
+          val micros = v.asInstanceOf[Long]
+          val hod = Math.floorMod(
+            Math.floorDiv(micros, 3600000000L), 24L)
+          Some(f"${localDate(dt, v)}-$hod%02d")
         case _ => None
       }
       case "bucket" =>

@@ -377,14 +377,15 @@ class SnapshotCatalog extends TableCatalog with ProcedureCatalog {
       s"nested partition columns are not supported: ${t.describe}")
     val col = refs.head.fieldNames.head
     val canon = t.name.toLowerCase(java.util.Locale.ROOT) match {
-      case n @ ("identity" | "years" | "months" | "days" | "bucket" |
-          "truncate") => n
+      case n @ ("identity" | "years" | "months" | "days" | "hours" |
+          "bucket" | "truncate") => n
       case "year" => "years"
       case "month" => "months"
       case "day" => "days"
+      case "hour" => "hours"
       case other => throw new IllegalArgumentException(
         s"unsupported partition transform '$other' — supported: " +
-          "identity, years, months, days, bucket(n, col), " +
+          "identity, years, months, days, hours, bucket(n, col), " +
           "truncate(n, col)")
     }
     val n = canon match {
@@ -544,6 +545,7 @@ final class SnapshotTableHandle(
         case "years" => Expressions.years(f.col)
         case "months" => Expressions.months(f.col)
         case "days" => Expressions.days(f.col)
+        case "hours" => Expressions.hours(f.col)
         case "bucket" => Expressions.bucket(f.n, f.col)
         case _ => Expressions.apply("truncate",
           Expressions.literal(f.n), Expressions.column(f.col))

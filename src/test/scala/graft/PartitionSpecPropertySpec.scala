@@ -70,6 +70,7 @@ class PartitionSpecPropertySpec extends SparkTestBase {
       check(PartField(fn, 0, "c"), DateType, dates)
       check(PartField(fn, 0, "c"), TimestampType, tss)
     }
+    check(PartField("hours", 0, "c"), TimestampType, tss)
   }
 
   test("bucket renders agree across int/long/string/date (hash is " +

@@ -1272,10 +1272,28 @@ class SnapshotCatalogSpec extends SparkTestBase {
       .exists(t => t.getMessage != null &&
         t.getMessage.contains("manifest delimiter")), e.getMessage)
     assert(ST.headVersion(spark, base) == headBefore)
-    // unsupported transforms refuse at CREATE
+    // hours(ts): UTC hour floor, fixed-width rendering, range pruning
+    spark.sql("CREATE TABLE snappu.h (k BIGINT, ts TIMESTAMP) " +
+      "PARTITIONED BY (hours(ts))")
+    spark.sql("INSERT INTO snappu.h SELECT id, " +
+      "timestamp_micros(CAST(id * 1800000000 AS BIGINT)) FROM range(8)")
+    val hbase = s"$root/h"
+    val hsnap = ST.manifest(spark, hbase, ST.headVersion(spark, hbase))
+    assert(hsnap.partVals.values.map(_.head).toSet ==
+      Set("1970-01-01-00", "1970-01-01-01", "1970-01-01-02",
+        "1970-01-01-03"), hsnap.partVals.toString)
+    graft.plans.SnapshotDmlRule.lastPrune.remove(hbase)
+    val rh = spark.sql("SELECT COUNT(*) AS n FROM snappu.h WHERE " +
+      "ts >= TIMESTAMP '1970-01-01 02:00:00'").head
+    val (hk, ht) = graft.plans.SnapshotDmlRule.lastPrune.get(hbase)
+    assert(hk < ht && rh.getLong(0) == 4L, s"hours prune $hk/$ht")
+    // type-incompatible and unknown transforms refuse at CREATE
+    intercept[Exception] {
+      spark.sql("CREATE TABLE snappu.x (k BIGINT) " +
+        "PARTITIONED BY (hours(k))") }
     val e2 = intercept[Exception] {
-      spark.sql("CREATE TABLE snappu.h (k BIGINT, ts TIMESTAMP) " +
-        "PARTITIONED BY (hours(ts))") }
+      spark.sql("CREATE TABLE snappu.y (k BIGINT, ts TIMESTAMP) " +
+        "PARTITIONED BY (shard(ts))") }
     assert(Iterator.iterate(e2: Throwable)(_.getCause)
       .takeWhile(_ != null).take(8)
       .exists(t => t.getMessage != null &&
