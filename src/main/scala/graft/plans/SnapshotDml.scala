@@ -302,8 +302,9 @@ case class SnapshotDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
         : Option[String] =
       dtOf.get(f.col).flatMap(dt => fitLit(l, dt).flatMap {
         case (d2, v) => PartitionSpec.render(f, d2, v) })
-    val partPreds: Seq[(Int, Seq[String => Boolean])] =
-      h.snap.partSpec.zipWithIndex.flatMap { case (f, i) =>
+    def predsFor(spec: Seq[PartitionSpec.PartField])
+        : Seq[(Int, Seq[String => Boolean])] =
+      spec.zipWithIndex.flatMap { case (f, i) =>
         dtOf.get(f.col).flatMap { dt =>
           val preds = scala.collection.mutable
             .ArrayBuffer.empty[String => Boolean]
@@ -325,12 +326,26 @@ case class SnapshotDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
           if (preds.isEmpty) None else Some(i -> preds.toSeq)
         }
       }
+    // one predicate set per LIVE spec: evolution pins each tuple dir to
+    // the spec that rendered its values, and a tuple must only ever be
+    // compared under its own spec ([[SnapshotTable.specFor]]) — a dir
+    // written under days(ts) and one under bucket(8, k) can hold
+    // byte-equal tuples meaning entirely different things
+    val predsBySpec: Map[Int, Seq[(Int, Seq[String => Boolean])]] =
+      (h.snap.dirSpecIds.valuesIterator.toSet + h.snap.partSpecId)
+        .iterator.map { id =>
+          id -> predsFor(if (id == h.snap.partSpecId) h.snap.partSpec
+            else h.snap.partHist.getOrElse(id, Nil))
+        }.toMap
     def partKeep(d: String): Boolean = h.snap.partVals.get(d) match {
       case None => true
-      case Some(tuple) => partPreds.forall { case (i, preds) =>
-        val dv = tuple(i)
-        dv != PartitionSpec.NullValue && preds.forall(_(dv))
-      }
+      case Some(tuple) =>
+        val preds = predsBySpec(
+          h.snap.dirSpecIds.getOrElse(d, h.snap.partSpecId))
+        preds.forall { case (i, ps) =>
+          val dv = tuple(i)
+          dv != PartitionSpec.NullValue && ps.forall(_(dv))
+        }
     }
     val kept = h.snap.dataDirs.filter { d =>
       edges.forall { case (c, loOpt, hiOpt) =>

@@ -42,6 +42,24 @@ object PartitionSpec {
 
   private val MicrosPerDay = 86400000000L
 
+  /** Parse the user-facing textual form — the inverse of
+    * [[PartField.toString]]: a comma-joined list of `fn(col)` /
+    * `fn(n, col)` entries, e.g. `"days(ts), bucket(8, k)"`. An empty
+    * string parses to the empty spec (evolve to unpartitioned). Column
+    * names here are bare identifiers; validation against the schema is
+    * the caller's job ([[validate]]). */
+  def parse(spec: String): Seq[PartField] = {
+    val entryRe = """\s*([A-Za-z_]+)\s*\(\s*(?:(\d+)\s*,)?\s*([^\s(),]+)\s*\)\s*""".r
+    if (spec.trim.isEmpty) Nil
+    else spec.split(",(?![^()]*\\))").toSeq.map {
+      case entryRe(fn, n, col) =>
+        PartField(fn, Option(n).map(_.toInt).getOrElse(0), col)
+      case other => throw new IllegalArgumentException(
+        s"unparseable partition transform '${other.trim}' — expected " +
+          "fn(col) or fn(n, col)")
+    }
+  }
+
   /** Manifest token (delimiter-safe by construction). */
   def encode(f: PartField): String = s"${f.fn}|${f.n}|${f.col}"
 

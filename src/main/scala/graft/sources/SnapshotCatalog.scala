@@ -223,12 +223,14 @@ class SnapshotCatalog extends TableCatalog with ProcedureCatalog {
         // unrouted dir (pre-partition data, rewrite outputs), so "how
         // much of my table still prunes structurally" reads directly
         val snap = snapAt
-        val spec = snap.partSpec.map(_.toString).mkString(", ")
+        // per-DIR spec string: after spec evolution a pinned dir's tuple
+        // reads under the retired spec that rendered it, and the roster
+        // must say which transforms those values mean
         val rows = snap.dataDirs.map { d =>
           Seq[Any](new Path(d).getName,
             snap.partVals.get(d).map(_.mkString("|")).orNull,
             snap.rowCounts.get(d).map(Long.box).orNull,
-            spec)
+            SnapshotTable.specFor(snap, d).map(_.toString).mkString(", "))
         }
         Some(new LocalRowsTable(
           s"$catName.${ident.namespace()(0)}.partitions",
@@ -754,13 +756,13 @@ object SnapshotTableHandle {
     // falls back to one empty plain dir (always kept, zero rows)
     def land(snapFor: SnapshotTable.Snapshot)
         : (Seq[String], Map[String, Seq[String]], Map[String, Long]) =
-      if (snap0.partSpec.isEmpty) {
+      if (snapFor.partSpec.isEmpty) {
         SnapshotTable.toPhysical(snapFor, checked)
           .write.mode("overwrite").parquet(dir)
         (Seq(dir), Map.empty, Map(dir -> spark.read.parquet(dir).count()))
       } else {
         val routed = landPartitioned(spark, snapFor, target, checked,
-          snap0.partSpec, dir)
+          snapFor.partSpec, dir)
         if (routed._1.nonEmpty) routed
         else {
           SnapshotTable.toPhysical(snapFor, checked)
@@ -776,6 +778,13 @@ object SnapshotTableHandle {
     // single logical→physical map and its columns would silently read
     // NULL; the retry loop below detects the drift and re-lands the dir
     var dirRenames = snap0.renames
+    // the partition spec the dirs were ROUTED under — if a racing
+    // alterPartitionSpec lands between the write and the commit, the
+    // tuples were rendered by the OLD spec but would be recorded
+    // unpinned (= current-spec) in the winner's manifest; two specs can
+    // even share arity (days(ts) vs bucket(8, k)), so this would prune
+    // WRONG, not just fail the commit — re-land under the winner's spec
+    var dirSpec = snap0.partSpec
     var attempt = 0
     while (attempt < 20) {
       attempt += 1
@@ -789,6 +798,12 @@ object SnapshotTableHandle {
         // the loud direction; the landed dir is vacuum-collectable)
         SnapshotTable.enforceChecks(spark, prior, checked, "INSERT"): Unit
         checkedChecks = prior.checks
+      }
+      if (prior.partSpec != dirSpec) {
+        val r = land(prior)
+        newDirs = r._1; newVals = r._2; newCounts = r._3
+        dirSpec = prior.partSpec
+        dirRenames = prior.renames
       }
       if (prior.renames != dirRenames) {
         val priorFields = SnapshotTable.tableSchema(spark, prior)

@@ -171,6 +171,16 @@ private[sources] object SnapshotProcedures {
       (root, in) => Seq(SnapshotTable.addCheck(spark,
         s"$root/${str(in, 0)}", str(in, 1), str(in, 2))),
     ),
+    Proc("alter_partition_spec",
+      "evolve the hidden-partitioning spec (metadata-only): new writes " +
+        "route under the comma-joined transforms (e.g. 'days(d), " +
+        "bucket(8, k)'; '' = unpartitioned), existing dirs stay pinned " +
+        "to the spec that rendered their tuples and keep pruning",
+      Seq("tbl" -> StringType, "spec" -> StringType),
+      StructType.fromDDL("`version` INT"),
+      (root, in) => Seq(SnapshotTable.alterPartitionSpec(spark,
+        s"$root/${str(in, 0)}",
+        graft.sources.PartitionSpec.parse(str(in, 1))))),
     Proc("drop_check",
       "drop a named CHECK constraint (idempotent)",
       Seq("tbl" -> StringType, "name" -> StringType),

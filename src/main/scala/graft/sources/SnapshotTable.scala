@@ -84,11 +84,21 @@ object SnapshotTable {
   final case class IngestedFile(path: String, len: Long, mtime: Long)
 
   /** `partSpec`: the table's declared partition transforms (hidden
-    * partitioning — set once at CREATE, carried by every commit).
+    * partitioning — set at CREATE, carried by every commit).
     * `partVals`: dir → its rendered transform tuple, recorded by routed
     * writes; a dir with no entry is ALWAYS kept by partition pruning
     * (pre-partition dirs and compaction/DML rewrite outputs degrade to
-    * unpruned, never to wrong). See [[PartitionSpec]]. */
+    * unpruned, never to wrong). See [[PartitionSpec]].
+    *
+    * PARTITION SPEC EVOLUTION ([[alterPartitionSpec]] — the Iceberg
+    * spec-evolution contract): `partSpecId` names the CURRENT spec
+    * (0 for never-evolved tables, so pre-evolution manifests stay
+    * byte-identical); `partHist` carries RETIRED specs by id; and
+    * `dirSpecIds` pins each tuple-carrying dir written under a retired
+    * spec to that spec's id. A dir with no pin belongs to the current
+    * spec. Tuples are thus always interpreted under the spec that
+    * RENDERED them — old dirs keep pruning under their own transforms
+    * while new writes route under the new spec, with no data rewrite. */
   final case class Snapshot(dataDirs: Seq[String], deleteDirs: Seq[String],
       bounds: Seq[DirBounds] = Nil, schema: Option[String] = None,
       rowCounts: Map[String, Long] = Map.empty,
@@ -98,7 +108,33 @@ object SnapshotTable {
       checks: Seq[(String, String)] = Nil,
       ingested: Seq[IngestedFile] = Nil,
       partSpec: Seq[PartitionSpec.PartField] = Nil,
-      partVals: Map[String, Seq[String]] = Map.empty)
+      partVals: Map[String, Seq[String]] = Map.empty,
+      partSpecId: Int = 0,
+      partHist: Map[Int, Seq[PartitionSpec.PartField]] = Map.empty,
+      dirSpecIds: Map[String, Int] = Map.empty)
+
+  /** The partition spec that rendered `d`'s tuple: its pinned retired
+    * spec when evolution moved the table past it, else the current one.
+    * A pin onto an id the manifest does not carry is damage — loud. */
+  def specFor(snap: Snapshot, d: String): Seq[PartitionSpec.PartField] =
+    snap.dirSpecIds.get(d) match {
+      case Some(id) if id != snap.partSpecId =>
+        snap.partHist.getOrElse(id, throw new IllegalArgumentException(
+          s"dir $d is pinned to partition spec $id which the manifest " +
+            "does not carry — manifest damaged"))
+      case _ => snap.partSpec
+    }
+
+  /** Every spec that still governs live tuples: the current one plus
+    * each retired spec with at least one pinned tuple-carrying dir.
+    * Evolution guards (rename/drop/widen of a transform source) range
+    * over these — a retired spec nothing pins anymore constrains
+    * nothing. */
+  def liveSpecFields(snap: Snapshot): Seq[PartitionSpec.PartField] =
+    snap.partSpec ++ snap.dirSpecIds.collect {
+      case (d, id) if snap.partVals.contains(d) &&
+        id != snap.partSpecId => id
+    }.toSet.toSeq.flatMap((id: Int) => snap.partHist.getOrElse(id, Nil))
 
   private def manifestPath(base: String, v: Int) =
     new Path(s"$base/_MANIFEST_v$v")
@@ -147,9 +183,14 @@ object SnapshotTable {
       ingested = rawSnap.ingested.distinct.sortBy(_.path),
       // partition tuples normalize like rowCounts: entries for dirs
       // outside the data set drop (a rewritten dir simply loses its
-      // tuple and degrades to never-pruned — the wide direction)
+      // tuple and degrades to never-pruned — the wide direction); spec
+      // pins exist only for tuple-carrying dirs and a pin onto the
+      // CURRENT spec is the default, so both normalize away
       partVals = rawSnap.partVals.filter { case (d, _) =>
-        rawSnap.dataDirs.contains(d) })
+        rawSnap.dataDirs.contains(d) },
+      dirSpecIds = rawSnap.dirSpecIds.filter { case (d, id) =>
+        rawSnap.dataDirs.contains(d) && rawSnap.partVals.contains(d) &&
+          id != rawSnap.partSpecId })
     // delimiter validation FIRST (cheap, pure): a path with ',' or '|'
     // would parse back into DIFFERENT dirs — the existence check below
     // would mask this with a confusing "uncommitted dir" error
@@ -281,12 +322,29 @@ object SnapshotTable {
     // — [[PartitionSpec.render]] guarantees the charset for every
     // transform except identity/truncate over arbitrary strings, whose
     // writers refuse unsafe values before landing bytes.
-    require(snap.partVals.isEmpty || snap.partSpec.nonEmpty,
-      s"snapshot v$v carries partition tuples without a partition spec")
+    require(!snap.partHist.contains(snap.partSpecId),
+      s"snapshot v$v carries the current partition spec id " +
+        s"${snap.partSpecId} in its retired-spec history")
+    for ((id, fields) <- snap.partHist) {
+      require(id >= 0 && fields.nonEmpty,
+        s"snapshot v$v carries an empty retired partition spec $id")
+      for (f <- fields; enc = PartitionSpec.encode(f))
+        require(!enc.exists(c => c == ',' || c == ';' || c == ':' ||
+          c == '\n'),
+          s"retired partition spec entry '$enc' holds a manifest " +
+            "delimiter — refuse rather than write an unparseable manifest")
+    }
+    for ((d, id) <- snap.dirSpecIds)
+      require(snap.partHist.contains(id),
+        s"dir $d pins partition spec $id which v$v does not carry")
     for ((d, vs) <- snap.partVals) {
-      require(vs.size == snap.partSpec.size,
-        s"partition tuple for $d has ${vs.size} values, spec has " +
-          s"${snap.partSpec.size}")
+      val spec = specFor(snap, d)
+      require(spec.nonEmpty,
+        s"snapshot v$v carries a partition tuple for $d without a " +
+          "governing partition spec")
+      require(vs.size == spec.size,
+        s"partition tuple for $d has ${vs.size} values, its spec has " +
+          s"${spec.size}")
       for (pv <- vs)
         require(PartitionSpec.delimiterSafe(pv),
           s"partition value '$pv' for $d holds a manifest delimiter — " +
@@ -301,10 +359,26 @@ object SnapshotTable {
       else "partvals=" + snap.dataDirs.filter(snap.partVals.contains)
         .map(d => (d +: snap.partVals(d)).mkString("|")).mkString(",") +
         "\n"
+    // spec-evolution state: all three lines absent on never-evolved
+    // tables (the standing format-compat rule). ':' and ';' are safe
+    // sub-delimiters here — encode() charset is validated above.
+    val partSpecIdLine =
+      if (snap.partSpecId == 0) "" else s"partspecid=${snap.partSpecId}\n"
+    val partHistLine =
+      if (snap.partHist.isEmpty) ""
+      else "parthist=" + snap.partHist.toSeq.sortBy(_._1)
+        .map { case (id, fs) =>
+          s"$id:" + fs.map(PartitionSpec.encode).mkString(";")
+        }.mkString(",") + "\n"
+    val dirSpecLine =
+      if (snap.dirSpecIds.isEmpty) ""
+      else "partdirspec=" + snap.dataDirs.filter(snap.dirSpecIds.contains)
+        .map(d => s"$d|${snap.dirSpecIds(d)}").mkString(",") + "\n"
     val core = s"data=${snap.dataDirs.mkString(",")}\n" +
       s"delete=${snap.deleteDirs.mkString(",")}\n" + boundsLine +
       rowsLine + colStatsLine + schemaLine + renamesLine + droppedLine +
-      checksLine + ingestedLine + partLine + partValsLine
+      checksLine + ingestedLine + partLine + partValsLine +
+      partSpecIdLine + partHistLine + dirSpecLine
     val body = core + f"crc=${crc32(core)}%08x\n"
     val dst = manifestPath(base, v)
     val fs = fsFor(spark, dst)
@@ -560,9 +634,45 @@ object SnapshotTable {
       }
     }
     val partSpec = dirs("partition").toSeq.map(PartitionSpec.decode)
+    val partSpecId = kv.get("partspecid").filter(_.nonEmpty).map { s =>
+      if (!s.forall(_.isDigit)) throw new IllegalArgumentException(
+        s"unparseable partspecid '$s' — manifest damaged or written " +
+          "by a newer format")
+      s.toInt
+    }.getOrElse(0)
+    val partHist = dirs("parthist").toSeq.map { entry =>
+      entry.split(":", 2) match {
+        case Array(id, fs)
+            if id.nonEmpty && id.forall(_.isDigit) && fs.nonEmpty =>
+          id.toInt -> fs.split(";").filter(_.nonEmpty).toSeq
+            .map(PartitionSpec.decode)
+        case _ => throw new IllegalArgumentException(
+          s"unparseable parthist entry '$entry' — manifest damaged or " +
+            "written by a newer format")
+      }
+    }.toMap
+    val dirSpecIds = dirs("partdirspec").toSeq.map { entry =>
+      entry.split("\\|", -1) match {
+        case Array(d, id)
+            if d.nonEmpty && id.nonEmpty && id.forall(_.isDigit) =>
+          d -> id.toInt
+        case _ => throw new IllegalArgumentException(
+          s"unparseable partdirspec entry '$entry' — manifest damaged " +
+            "or written by a newer format")
+      }
+    }.toMap
     val partVals = dirs("partvals").toSeq.map { entry =>
       val parts = entry.split("\\|", -1)
-      if (parts.length != 1 + partSpec.size || parts(0).isEmpty)
+      // a tuple's arity is governed by the spec that RENDERED it — the
+      // dir's pinned retired spec when evolution moved past it
+      val specSize = dirSpecIds.get(parts.headOption.getOrElse("")) match {
+        case Some(id) if id != partSpecId =>
+          partHist.getOrElse(id, throw new IllegalArgumentException(
+            s"partvals dir '${parts(0)}' pins partition spec $id which " +
+              "the manifest does not carry — manifest damaged")).size
+        case _ => partSpec.size
+      }
+      if (parts.length != 1 + specSize || parts(0).isEmpty)
         throw new IllegalArgumentException(
           s"unparseable partvals entry '$entry' — manifest damaged or " +
             "written by a newer format")
@@ -571,7 +681,7 @@ object SnapshotTable {
     (Snapshot(dirs("data").toSeq, dirs("delete").toSeq, bounds,
       kv.get("schema").filter(_.nonEmpty), rows, renames,
       dirs("dropped").toSeq, colStats, checks, ingested, partSpec,
-      partVals),
+      partVals, partSpecId, partHist, dirSpecIds),
       crcLines.headOption.map(_.stripPrefix("crc=")),
       coreLines.mkString("", "\n", "\n"), refs)
   }
@@ -2870,9 +2980,13 @@ object SnapshotTable {
     // the streaming-ingest decay OPTIMIZE exists to fix lands exactly
     // on partitioned tables, so the packed dir must stay prunable).
     // Untupled dirs (pre-partition data, prior rewrite outputs) form
-    // their own group, as before.
-    val groups: Seq[(Option[Seq[String]], Seq[String])] =
-      small.groupBy(d => snap.partVals.get(d)).toSeq
+    // their own group, as before. The group key carries the dir's SPEC
+    // id too: after spec evolution two dirs can hold byte-equal tuples
+    // under DIFFERENT specs (days("2021-01-01") vs identity date), and
+    // merging those would stamp one spec's tuple onto the other's rows.
+    val groups: Seq[((Option[Seq[String]], Int), Seq[String])] =
+      small.groupBy(d => (snap.partVals.get(d),
+          snap.dirSpecIds.getOrElse(d, snap.partSpecId))).toSeq
         .filter(_._2.size >= 2)
         .sortBy(_._2.head)
     if (groups.isEmpty) return OptimizeReport(head, 0, snap.dataDirs.size)
@@ -2883,7 +2997,7 @@ object SnapshotTable {
         "committer won the version claim; re-read the head and retry")
     val packedAway = groups.flatMap(_._2)
     val keep = snap.dataDirs.filterNot(packedAway.contains)
-    val packs = groups.zipWithIndex.map { case ((tuple, dirs), i) =>
+    val packs = groups.zipWithIndex.map { case (((tuple, specId), dirs), i) =>
       val packDir =
         if (groups.size == 1 && tuple.isEmpty) s"$base/_optimize_v$v"
         else s"$base/_optimize_v$v-p$i"
@@ -2902,18 +3016,20 @@ object SnapshotTable {
         .coalesce(math.min(outFiles, Int.MaxValue.toLong).toInt)
         .write.parquet(packDir)
       val (packCs, packRows) = recountDir(spark, snap, packDir)
-      (packDir, tuple, packCs, packRows)
+      (packDir, tuple, specId, packCs, packRows)
     }
     commit(spark, base, v, snap.copy(
       dataDirs = keep ++ packs.map(_._1),
       bounds = snap.bounds.filter(b => keep.contains(b.dir))
         ++ packs.flatMap(p => reboundDir(spark, snap.bounds, p._1)),
-      colStats = snap.colStats ++ packs.flatMap(_._3),
-      rowCounts = snap.rowCounts ++ packs.flatMap(_._4),
-      // packed dirs INHERIT their group's tuple — maintenance must
-      // never cost the table its structural pruning
+      colStats = snap.colStats ++ packs.flatMap(_._4),
+      rowCounts = snap.rowCounts ++ packs.flatMap(_._5),
+      // packed dirs INHERIT their group's tuple AND its spec pin —
+      // maintenance must never cost the table its structural pruning
       partVals = snap.partVals ++ packs.collect {
-        case (d, Some(t), _, _) => d -> t }))
+        case (d, Some(t), _, _, _) => d -> t },
+      dirSpecIds = snap.dirSpecIds ++ packs.collect {
+        case (d, Some(_), id, _, _) if id != snap.partSpecId => d -> id }))
     OptimizeReport(v, packedAway.size, keep.size)
   }
 
@@ -3250,16 +3366,78 @@ object SnapshotTable {
     // dirs keep int-hashed tuples — the one evolution that silently
     // corrupts structural pruning. Monotone transforms render the same
     // string across integral widths (decimal identity) so they widen
-    // safely.
-    require(!snap.partSpec.exists(f => f.fn == "bucket" && f.col == name),
-      s"column $name is a bucket-partition source — widening its type " +
-        "changes the bucket hash of every future write; rewrite the " +
-        "table under a new spec instead")
+    // safely. The guard ranges over every LIVE spec: a retired spec
+    // still pinned by tuple-carrying dirs would prune those dirs with
+    // literals re-hashed at the widened type — silently wrong — so it
+    // locks the column exactly like the current spec does.
+    require(!liveSpecFields(snap)
+      .exists(f => f.fn == "bucket" && f.col == name),
+      s"column $name is a bucket-partition source (current or still-" +
+        "pinned retired spec) — widening its type changes the bucket " +
+        "hash; rewrite the table under a new spec instead")
     val widened = StructType(cur.map(f =>
       if (f.name == name) f.copy(dataType = to) else f))
     val v = head + 1
     commit(spark, base, v, snap.copy(schema = Some(widened.toDDL)))
     v
+  }
+
+  /** PARTITION SPEC EVOLUTION, metadata-only (the Iceberg contract): commit
+    * head+1 whose CURRENT spec is `newSpec` under a fresh spec id. No byte
+    * of data moves — every tuple-carrying dir written under the outgoing
+    * spec is PINNED to that spec's id (recorded in `partHist`), so reads
+    * keep pruning old dirs under the transforms that rendered their
+    * tuples while writes route new rows under the new spec. `newSpec`
+    * may be empty (evolve to unpartitioned: routing stops, pinned dirs
+    * keep pruning). Retired specs nothing pins anymore are garbage-
+    * collected from the history at the next evolution; ordinary
+    * maintenance (OPTIMIZE within a tuple, rewrites dropping tuples,
+    * vacuum) retires pins organically. Validated against the CURRENT
+    * logical schema, which requires a manifest-carried schema (CREATE
+    * TABLE tables have one; bare commit-API tables must evolve a schema
+    * in first). Identical spec is an idempotent no-op. */
+  def alterPartitionSpec(spark: SparkSession, base: String,
+      newSpec: Seq[PartitionSpec.PartField]): Int = {
+    var attempt = 0
+    while (attempt < 20) {
+      attempt += 1
+      val head = headVersion(spark, base)
+      require(head >= 1, s"no committed snapshot under $base")
+      val snap = manifest(spark, base, head)
+      if (newSpec == snap.partSpec) return head // idempotent
+      val schema = snap.schema.map(
+        org.apache.spark.sql.types.StructType.fromDDL).getOrElse(
+        throw new IllegalArgumentException(
+          "partition spec evolution needs a manifest-carried schema to " +
+            "validate the transforms against — this table has none"))
+      newSpec.foreach(PartitionSpec.validate(_, schema))
+      // pin every tuple-carrying dir not already pinned to the OUTGOING
+      // spec, archive that spec, then GC history entries nothing pins
+      val oldId = snap.partSpecId
+      val pins = snap.dirSpecIds ++ snap.partVals.keysIterator
+        .filterNot(snap.dirSpecIds.contains).map(_ -> oldId).toMap
+      val hist0 =
+        if (snap.partSpec.isEmpty) snap.partHist
+        else snap.partHist + (oldId -> snap.partSpec)
+      val liveIds = pins.valuesIterator.toSet
+      val next = snap.copy(
+        partSpec = newSpec,
+        partSpecId = (Seq(oldId) ++ snap.partHist.keys).max + 1,
+        partHist = hist0.filter { case (id, _) => liveIds.contains(id) },
+        dirSpecIds = pins)
+      try {
+        commit(spark, base, head + 1, next)
+        return head + 1
+      } catch {
+        case e: IllegalArgumentException
+            if attempt < 20 && e.getMessage != null && e.getMessage
+              .contains("already committed with different content") => ()
+        case _: java.nio.file.FileAlreadyExistsException
+            if attempt < 20 => ()
+      }
+    }
+    throw new IllegalStateException(
+      s"alterPartitionSpec lost the commit race 20 times under $base")
   }
 
   /** Project `df` to exactly `target`: columns the frame lacks read as

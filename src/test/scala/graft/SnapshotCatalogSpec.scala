@@ -1301,6 +1301,156 @@ class SnapshotCatalogSpec extends SparkTestBase {
       e2.getMessage)
   }
 
+  test("partition spec evolution: alter_partition_spec pins existing " +
+      "dirs to the spec that rendered their tuples — both eras keep " +
+      "pruning, tuples never read under the wrong spec, no data moves") {
+    val root = Files.createTempDirectory("snapcat").toString
+    setupCatalog("snapev", root)
+    val base = s"$root/t"
+    spark.sql("CREATE TABLE snapev.t (k BIGINT, g BIGINT) " +
+      "PARTITIONED BY (identity(g))")
+    spark.sql("INSERT INTO snapev.t SELECT id, id % 2 FROM range(10)")
+    val preHead = ST.headVersion(spark, base)
+    val pre = ST.manifest(spark, base, preHead)
+    val oldDirs = pre.dataDirs.filter(pre.partVals.contains)
+    assert(oldDirs.size == 2 && pre.partSpecId == 0 &&
+      pre.partHist.isEmpty && pre.dirSpecIds.isEmpty)
+    // evolve to a SAME-ARITY spec over a different column — the shape
+    // where a tuple read under the wrong spec prunes wrong, not loud
+    val ev = spark.sql(
+      "CALL snapev.system.alter_partition_spec('t', 'bucket(4, k)')")
+      .head.getInt(0)
+    assert(ev == preHead + 1)
+    val post = ST.manifest(spark, base, ev)
+    assert(post.partSpec == Seq(
+      graft.sources.PartitionSpec.PartField("bucket", 4, "k")))
+    assert(post.partSpecId == 1 &&
+      post.partHist == Map(0 -> Seq(
+        graft.sources.PartitionSpec.PartField("identity", 0, "g"))))
+    assert(oldDirs.forall(d => post.dirSpecIds.get(d).contains(0)) &&
+      oldDirs.forall(d => ST.specFor(post, d) ==
+        pre.partSpec), post.dirSpecIds.toString)
+    // idempotent re-CALL: same spec, no new version
+    assert(spark.sql(
+      "CALL snapev.system.alter_partition_spec('t', 'bucket(4, k)')")
+      .head.getInt(0) == ev)
+    // new writes route under the NEW spec, unpinned
+    spark.sql("INSERT INTO snapev.t SELECT id + 100, 7 FROM range(10)")
+    val head2 = ST.headVersion(spark, base)
+    val snap2 = ST.manifest(spark, base, head2)
+    val newDirs = snap2.dataDirs.filter(snap2.partVals.contains)
+      .filterNot(oldDirs.contains)
+    assert(newDirs.size >= 2 && newDirs.forall(d =>
+      !snap2.dirSpecIds.contains(d)), snap2.partVals.toString)
+    // predicate on the OLD spec's source column: pre-evolution dirs
+    // prune structurally, new-era dirs are kept (their spec carries no
+    // g transform) — answers stay exact across both eras
+    graft.plans.SnapshotDmlRule.lastPrune.remove(base)
+    val rg = spark.sql("SELECT COUNT(*) AS n, CAST(SUM(k) AS BIGINT) " +
+      "AS s FROM snapev.t WHERE g = 0").head
+    val (kg, tg) = graft.plans.SnapshotDmlRule.lastPrune.get(base)
+    assert(kg < tg, s"old-spec predicate must still prune ($kg/$tg)")
+    assert(rg.toSeq == Seq(5L, Seq(0L, 2L, 4L, 6L, 8L).sum))
+    // predicate on the NEW spec's source column: new dirs prune via
+    // bucket, pinned dirs are kept — and EVERY old-era key answers (a
+    // tuple misread under the bucket spec would silently drop rows)
+    graft.plans.SnapshotDmlRule.lastPrune.remove(base)
+    val rk = spark.sql(
+      "SELECT g FROM snapev.t WHERE k = 103").collect()
+    val (kk, tk) = graft.plans.SnapshotDmlRule.lastPrune.get(base)
+    assert(kk < tk, s"new-spec point predicate must prune ($kk/$tk)")
+    assert(rk.map(_.getLong(0)).toSeq == Seq(7L))
+    for (k <- 0L until 10L)
+      assert(spark.sql(s"SELECT COUNT(*) AS n FROM snapev.t " +
+        s"WHERE k = $k").head.getLong(0) == 1L,
+        s"pre-evolution key $k lost under the evolved spec")
+    // time travel reads the pre-evolution version under ITS spec
+    assert(spark.sql("SELECT COUNT(*) AS n FROM snapev.t " +
+      s"VERSION AS OF $preHead WHERE g = 1").head.getLong(0) == 5L)
+    // the partitions roster names each dir's OWN spec
+    val pm = spark.sql("SELECT tuple, spec FROM snapev.t.partitions " +
+      "WHERE tuple IS NOT NULL").collect()
+    assert(pm.map(_.getString(1)).toSet ==
+      Set("identity(g)", "bucket(4, k)"), pm.mkString(";"))
+    // evolve to UNPARTITIONED: routing stops, pinned dirs keep pruning
+    spark.sql("CALL snapev.system.alter_partition_spec('t', '')")
+    spark.sql("INSERT INTO snapev.t VALUES (999, 9)")
+    val snap3 = ST.manifest(spark, base, ST.headVersion(spark, base))
+    assert(snap3.partSpec.isEmpty && snap3.partHist.size == 2)
+    graft.plans.SnapshotDmlRule.lastPrune.remove(base)
+    val rg2 = spark.sql(
+      "SELECT COUNT(*) AS n FROM snapev.t WHERE g = 0").head
+    val (kg2, tg2) = graft.plans.SnapshotDmlRule.lastPrune.get(base)
+    assert(kg2 < tg2 && rg2.getLong(0) == 5L,
+      s"pinned dirs must keep pruning after evolving to unpartitioned " +
+        s"($kg2/$tg2)")
+    assert(spark.sql("SELECT COUNT(*) AS n FROM snapev.t")
+      .head.getLong(0) == 21L)
+  }
+
+  test("partition spec evolution guards: widen refuses on a pinned " +
+      "bucket source, OPTIMIZE never packs byte-equal tuples across " +
+      "specs, manifests reject pins onto missing specs") {
+    val root = Files.createTempDirectory("snapcat").toString
+    setupCatalog("snapeg", root)
+    // widen guard: bucket hashed at INT; evolving the spec away does
+    // NOT unlock the widen while pinned dirs remain
+    spark.sql("CREATE TABLE snapeg.w (k INT, g BIGINT) " +
+      "PARTITIONED BY (bucket(4, k))")
+    spark.sql("INSERT INTO snapeg.w VALUES (1, 10), (2, 20)")
+    val wbase = s"$root/w"
+    ST.alterPartitionSpec(spark, wbase, Seq(
+      graft.sources.PartitionSpec.PartField("identity", 0, "g")))
+    val ew = intercept[Exception] {
+      ST.evolveWidenColumnType(spark, wbase, "k",
+        org.apache.spark.sql.types.LongType) }
+    assert(ew.getMessage.contains("bucket-partition source"),
+      ew.getMessage)
+    // ...and a CURRENT-spec source still refuses rename, but a column
+    // only a RETIRED spec references may rename (pruning on its pinned
+    // dirs disengages — wide, never wrong)
+    intercept[Exception] {
+      spark.sql("ALTER TABLE snapeg.w RENAME COLUMN g TO g2") }
+    spark.sql("ALTER TABLE snapeg.w RENAME COLUMN k TO k0")
+    assert(spark.sql("SELECT COUNT(*) AS n FROM snapeg.w WHERE k0 = 1")
+      .head.getLong(0) == 1L)
+    // OPTIMIZE cross-spec guard: identity(g) then identity(k) render
+    // byte-equal tuples ("0"/"1") under different specs — small dirs
+    // must pack only within (spec, tuple)
+    spark.sql("CREATE TABLE snapeg.o (k BIGINT, g BIGINT) " +
+      "PARTITIONED BY (identity(g))")
+    spark.sql("INSERT INTO snapeg.o SELECT id, id % 2 FROM range(4)")
+    spark.sql("INSERT INTO snapeg.o SELECT id + 4, id % 2 FROM range(4)")
+    val obase = s"$root/o"
+    ST.alterPartitionSpec(spark, obase, Seq(
+      graft.sources.PartitionSpec.PartField("identity", 0, "k")))
+    spark.sql("INSERT INTO snapeg.o VALUES (0, 50), (1, 60)")
+    spark.sql("INSERT INTO snapeg.o VALUES (0, 70), (1, 80)")
+    val rep = ST.optimizeSmallDirs(spark, obase, 1L << 30)
+    val osnap = ST.manifest(spark, obase, rep.version)
+    // 4 packed dirs: tuples "0"/"1" × two specs, never merged across
+    val packed = osnap.dataDirs.filter(_.contains("_optimize"))
+    assert(packed.size == 4, osnap.dataDirs.toString)
+    val byKey = packed.groupBy(d => (osnap.partVals(d),
+      osnap.dirSpecIds.getOrElse(d, osnap.partSpecId)))
+    assert(byKey.size == 4 && byKey.keys.map(_._2).toSet.size == 2,
+      byKey.toString)
+    // both eras still prune and answer exactly after the pack
+    graft.plans.SnapshotDmlRule.lastPrune.remove(obase)
+    assert(spark.sql("SELECT COUNT(*) AS n FROM snapeg.o WHERE g = 0")
+      .head.getLong(0) == 4L)
+    val (ko, to) = graft.plans.SnapshotDmlRule.lastPrune.get(obase)
+    assert(ko < to, s"old-spec pruning died after OPTIMIZE ($ko/$to)")
+    assert(spark.sql("SELECT CAST(SUM(g) AS BIGINT) AS s FROM snapeg.o " +
+      "WHERE k = 0").head.getLong(0) == 120L)
+    // a manifest pinning a dir onto a spec id it does not carry refuses
+    val bogus = osnap.copy(dirSpecIds =
+      osnap.dirSpecIds + (packed.head -> 99))
+    val eb = intercept[IllegalArgumentException] {
+      ST.commit(spark, obase, rep.version + 1, bogus) }
+    assert(eb.getMessage.contains("pins partition spec"), eb.getMessage)
+  }
+
   test("DELETE with uncorrelated IN/EXISTS subqueries decorrelates to " +
       "semi joins / run-time booleans; correlated, NOT IN, and scalar " +
       "shapes refuse loudly") {
