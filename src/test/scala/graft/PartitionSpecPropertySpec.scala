@@ -128,4 +128,29 @@ class PartitionSpecPropertySpec extends SparkTestBase {
       case _ => true
     }, "truncate is not order-preserving on sorted inputs")
   }
+
+  test("parse round-trips the user-facing textual form (the CALL " +
+      "alter_partition_spec input) and refuses junk loudly") {
+    val fns = Seq("identity" -> 0, "years" -> 0, "months" -> 0,
+      "days" -> 0, "hours" -> 0, "bucket" -> 1, "truncate" -> 1)
+    for (_ <- 1 to 60) {
+      val spec = Seq.fill(1 + rnd.nextInt(3)) {
+        val (fn, hasN) = fns(rnd.nextInt(fns.size))
+        PartField(fn, if (hasN == 1) 1 + rnd.nextInt(64) else 0,
+          "c" + rnd.alphanumeric.take(1 + rnd.nextInt(6)).mkString)
+      }
+      val text = spec.map(_.toString).mkString(", ")
+      assert(PartitionSpec.parse(text) == spec, text)
+      // whitespace-insensitive: the form users actually type
+      assert(PartitionSpec.parse(
+        text.replace(", ", ",").replace("(", "( ")) == spec, text)
+    }
+    assert(PartitionSpec.parse("") == Nil &&
+      PartitionSpec.parse("   ") == Nil)
+    for (bad <- Seq("days", "days()", "bucket(k, 4)", "days(a b)",
+        "days(ts)) ", "days(ts) bucket(4, k)"))
+      assert(intercept[IllegalArgumentException] {
+        PartitionSpec.parse(bad) }.getMessage
+        .contains("unparseable partition transform"), bad)
+  }
 }
