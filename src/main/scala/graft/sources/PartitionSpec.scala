@@ -76,6 +76,16 @@ object PartitionSpec {
     * unknown column, unsupported (fn, type) pairing, and bad widths all
     * refuse before the table exists. */
   def validate(f: PartField, schema: StructType): Unit = {
+    // the manifest serializes encode(f) under ','/'|'/';'/':' separators
+    // and one line per key — a (backtick-legal) source column NAME
+    // carrying any of those would commit a manifest decode() can no
+    // longer parse, bricking the table AFTER a successful commit (r19
+    // advice). Refuse at declaration time, the only safe place.
+    require(!f.col.exists(ch => ch == ',' || ch == '|' || ch == ';' ||
+      ch == ':' || ch == '\n' || ch == '\r' || ch == '='),
+      s"partition source column name '${f.col}' contains a manifest " +
+        "delimiter (one of , | ; : = or a newline) — rename the column " +
+        "or partition on a different one")
     val field = schema.fields.find(_.name == f.col).getOrElse(
       throw new IllegalArgumentException(
         s"partition transform ${f} references unknown column ${f.col}"))
@@ -100,18 +110,32 @@ object PartitionSpec {
         })
       case "truncate" =>
         require(f.n > 0, s"truncate() needs a positive width, got ${f.n}")
-        ok(dt == StringType)
+        ok(dt match {
+          case StringType | ByteType | ShortType | IntegerType |
+              LongType => true
+          case _ => false
+        })
       case other => throw new IllegalArgumentException(
         s"unsupported partition transform '$other' — supported: " +
           "identity, years, months, days, hours, bucket(n), truncate(n)")
     }
   }
 
+  /** Exact floor-division of a BIGINT SQL expression by `d` — NEVER
+    * double math: bigint→double rounds past 2^53, and a far-future
+    * timestamp (legal up to +9999 in Spark) written through a rounded
+    * index lands in a dir the driver-side exact [[render]] then prunes
+    * away (r19 advice: silent wrong answers at the precision edge).
+    * `m - pmod(m, d)` is divisible by d and equals floor(m/d)·d, with
+    * every intermediate far inside BIGINT under ANSI mode. */
+  private def floorDivSql(m: String, d: Long): String =
+    s"(($m - pmod($m, ${d}L)) DIV ${d}L)"
+
   /** The UTC day index of a timestamp column, as SQL — floor, not
     * truncate-toward-zero, so pre-epoch values land on the right day.
     * Session-timezone-free by construction (unix_micros is absolute). */
   private def dayIdxSql(c: String): String =
-    s"CAST(FLOOR(unix_micros($c) / ${MicrosPerDay}.0) AS INT)"
+    s"CAST(${floorDivSql(s"unix_micros($c)", MicrosPerDay)} AS INT)"
 
   /** Executor-side value expression over the LOGICAL column name —
     * must render exactly what [[render]] renders for the same value. */
@@ -137,10 +161,21 @@ object PartitionSpec {
         // fixed-width "yyyy-MM-dd-HH", UTC hour floor — lexical order
         // equals time order, and unix_micros is session-TZ-free
         s"concat(CAST(date_from_unix_date(${dayIdxSql(c)}) AS STRING), " +
-          s"'-', lpad(CAST(pmod(CAST(FLOOR(unix_micros($c) / " +
-          s"3600000000.0) AS BIGINT), 24) AS STRING), 2, '0'))"
+          s"'-', lpad(CAST(pmod(${floorDivSql(s"unix_micros($c)",
+            3600000000L)}, 24) AS STRING), 2, '0'))"
       case "bucket" => s"CAST(pmod(hash($c), ${f.n}) AS STRING)"
-      case "truncate" => s"substring($c, 1, ${f.n})"
+      case "truncate" => dt match {
+        case StringType => s"substring($c, 1, ${f.n})"
+        // Iceberg integral truncate: v - (v mod w) with FLOOR semantics
+        // (pmod keeps the remainder non-negative, so negatives round
+        // toward -inf, keeping the transform monotone). Sub-long types
+        // widen first so the extreme (e.g. Int.MinValue) never trips
+        // ANSI overflow; a LongType value within w of Long.MinValue
+        // refuses loudly at write, never wraps.
+        case _ =>
+          val cb = if (dt == LongType) c else s"CAST($c AS BIGINT)"
+          s"CAST($cb - pmod($cb, ${f.n}) AS STRING)"
+      }
       case other => throw new IllegalArgumentException(
         s"unsupported partition transform '$other'")
     }
@@ -206,6 +241,14 @@ object PartitionSpec {
         // String.take (UTF-16 code units)
         case StringType => Some(org.apache.spark.unsafe.types.UTF8String
           .fromString(v.toString).substringSQL(1, f.n).toString)
+        case ByteType | ShortType | IntegerType | LongType =>
+          val l = v.asInstanceOf[Number].longValue
+          // the one unreachable edge (within w of Long.MinValue) maps
+          // to None = no pruning edge, wide-never-wrong — the write
+          // side refused it under ANSI, so no dir can carry the tuple
+          try Some(Math.subtractExact(l,
+            Math.floorMod(l, f.n.toLong)).toString)
+          catch { case _: ArithmeticException => None }
         case _ => None
       }
       case _ => None
@@ -223,7 +266,8 @@ object PartitionSpec {
     * string comparisons use. */
   def compare(f: PartField, dt: DataType, a: String, b: String): Int =
     (f.fn, dt) match {
-      case ("identity", ByteType | ShortType | IntegerType | LongType) =>
+      case ("identity" | "truncate",
+          ByteType | ShortType | IntegerType | LongType) =>
         java.lang.Long.compare(a.toLong, b.toLong)
       case _ => SnapshotTable.utf8Compare(a, b)
     }

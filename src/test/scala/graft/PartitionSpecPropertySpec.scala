@@ -103,6 +103,33 @@ class PartitionSpecPropertySpec extends SparkTestBase {
     }
   }
 
+  test("truncate over integral types renders v - (v mod w) with FLOOR " +
+      "semantics on both sides (Iceberg parity), including the int " +
+      "extremes, and compares numerically") {
+    for (w <- Seq(1, 7, 10, 64)) {
+      check(PartField("truncate", w, "c"), LongType,
+        Seq.fill(40)(rnd.nextLong() % 1000000L) ++
+          Seq(-1L, 0L, 1L, -100L, Long.MaxValue))
+      check(PartField("truncate", w, "c"), IntegerType,
+        Seq.fill(40)(rnd.nextInt()) ++
+          Seq(Int.MinValue, Int.MaxValue, -1, 0))
+    }
+    val f = PartField("truncate", 10, "c")
+    // floor, not toward-zero: truncate(10, -7) = -10, never 0
+    assert(PartitionSpec.render(f, LongType, -7L).contains("-10"))
+    assert(PartitionSpec.render(f, LongType, 7L).contains("0"))
+    // monotone under the comparator (range pruning's license) — and the
+    // comparator is NUMERIC ("100" sorts above "5", unlike UTF-8 order)
+    val vals = Seq.fill(60)(rnd.nextLong() % 100000L).sorted
+    val rendered = vals.map(v =>
+      PartitionSpec.render(f, LongType, v).get)
+    assert(rendered.sliding(2).forall {
+      case Seq(a, b) => PartitionSpec.compare(f, LongType, a, b) <= 0
+      case _ => true
+    }, "integral truncate is not order-preserving on sorted inputs")
+    assert(PartitionSpec.compare(f, LongType, "100", "50") > 0)
+  }
+
   test("monotone transforms ARE monotone under the field comparator " +
       "(the property range pruning relies on)") {
     val dates = Seq.fill(80)(java.time.LocalDate.ofEpochDay(
@@ -127,6 +154,48 @@ class PartitionSpecPropertySpec extends SparkTestBase {
       case Seq(a, b) => PartitionSpec.compare(ft, StringType, a, b) <= 0
       case _ => true
     }, "truncate is not order-preserving on sorted inputs")
+  }
+
+  test("days/hours/months/years render exactly across the FULL Spark " +
+      "timestamp range (±9999) — bigint→double rounding past 2^53 wrote " +
+      "tuples the driver-side exact render then pruned (r19 advice)") {
+    import scala.jdk.CollectionConverters._
+    val minUs = -62135596800000000L // 0001-01-01T00:00:00Z
+    val maxUs = 253402300799999999L // 9999-12-31T23:59:59.999999Z
+    val span = maxUs - minUs
+    // the random sweep plus the exact counterexample from the advice
+    // (9999-12-31 23:59:59.999999: FLOOR(us/86400000000.0) rounded UP
+    // to day 2932897 = +10000-01-01) and both range endpoints
+    val us = Seq.fill(120)(minUs + Math.floorMod(rnd.nextLong(), span)) ++
+      Seq(minUs, maxUs, maxUs - 1, 0L, -1L, 253402300799999999L)
+    val df = spark.createDataFrame(
+      us.map(v => org.apache.spark.sql.Row(v)).asJava,
+      StructType(Seq(StructField("us", LongType))))
+      .select(expr("timestamp_micros(us)").as("c"))
+    for (fn <- Seq("years", "months", "days", "hours")) {
+      val f = PartField(fn, 0, "c")
+      val sqlSide = df.select(expr(PartitionSpec.exprSql(f, TimestampType))
+        .cast("string").as("v")).collect().map(_.getString(0)).toSeq
+      val renderSide = us.map(v =>
+        PartitionSpec.render(f, TimestampType, v).getOrElse(
+          fail(s"render refused a legal timestamp: $v")))
+      val diff = sqlSide.zip(renderSide).zip(us).filter {
+        case ((a, b), _) => a != b }
+      assert(diff.isEmpty,
+        s"$fn diverges at ${diff.take(3)} — write-side tuple and " +
+          "driver-side render MUST agree or pruning drops live dirs")
+    }
+  }
+
+  test("validate refuses delimiter-bearing source column names (a '|' " +
+      "in a backtick-legal name would commit an unparseable manifest)") {
+    val schema = StructType(Seq("a|b", "a,b", "a;b", "a:b", "a=b", "ok")
+      .map(StructField(_, StringType)))
+    for (bad <- Seq("a|b", "a,b", "a;b", "a:b", "a=b"))
+      assert(intercept[IllegalArgumentException] {
+        PartitionSpec.validate(PartField("identity", 0, bad), schema)
+      }.getMessage.contains("delimiter"), bad)
+    PartitionSpec.validate(PartField("identity", 0, "ok"), schema)
   }
 
   test("parse round-trips the user-facing textual form (the CALL " +
