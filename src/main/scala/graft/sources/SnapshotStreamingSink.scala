@@ -47,6 +47,9 @@ final class SnapshotStreamingWrite(base: String, queryId: String,
   private[sources] def epochPrefix(epochId: Long) =
     s"$base/_streamepoch_${qid}_e$epochId"
 
+  private def isEpochDir(d: String, prefix: String): Boolean =
+    SnapshotStreamingWrite.isEpochDir(d, prefix)
+
   // fail at QUERY START, not first row: the Group-API writer covers the
   // flat primitive surface snapshot schemas use; anything else refuses
   SnapshotParquetOut.messageType(schema, renames): Unit
@@ -82,7 +85,7 @@ final class SnapshotStreamingWrite(base: String, queryId: String,
     require(head0 >= 1,
       s"no committed snapshot under $base — CREATE TABLE first")
     if (SnapshotTable.manifest(spark, base, head0).dataDirs
-        .exists(_.startsWith(prefix))) {
+        .exists(isEpochDir(_, prefix))) {
       sweepStaging() // replayed epoch: already committed, change nothing
       return
     }
@@ -112,15 +115,25 @@ final class SnapshotStreamingWrite(base: String, queryId: String,
     val landed = byTuple.map { case (tuple, ms) =>
       val dir = prefix + tupleSuffix(tuple)
       val dp = new Path(dir)
-      if (f.exists(dp)) f.delete(dp, true)
-      f.mkdirs(dp)
-      for (m <- ms) {
-        val src = new Path(m.path)
-        require(f.rename(src, new Path(dp, src.getName)),
-          s"epoch finalize rename failed: ${m.path} -> $dir")
+      if (f.exists(new Path(dp, "_SUCCESS"))) {
+        // a concurrent winner already finalized this epoch dir
+        // (deterministic path): leave its attested bytes alone — a
+        // delete/re-create here opens a missing-dir window for readers
+        // of an already-committed manifest (r19 advice). The row count
+        // is epoch-content-determined, so this attempt's own tally is
+        // the same number the winner folded.
+        (dir, tuple, ms.map(_.rows).sum)
+      } else {
+        if (f.exists(dp)) f.delete(dp, true) // died mid-finalize: rebuild
+        f.mkdirs(dp)
+        for (m <- ms) {
+          val src = new Path(m.path)
+          require(f.rename(src, new Path(dp, src.getName)),
+            s"epoch finalize rename failed: ${m.path} -> $dir")
+        }
+        f.create(new Path(dp, "_SUCCESS"), true).close()
+        (dir, tuple, ms.map(_.rows).sum)
       }
-      f.create(new Path(dp, "_SUCCESS"), true).close()
-      (dir, tuple, ms.map(_.rows).sum)
     }
     sweepStaging()
     // fold through the OCC loop, re-validating CHECKs against the
@@ -132,7 +145,7 @@ final class SnapshotStreamingWrite(base: String, queryId: String,
       attempt += 1
       val head = SnapshotTable.headVersion(spark, base)
       val prior = SnapshotTable.manifest(spark, base, head)
-      if (prior.dataDirs.exists(_.startsWith(prefix))) return
+      if (prior.dataDirs.exists(isEpochDir(_, prefix))) return
       require(prior.renames == renames,
         s"schema evolution landed while streaming query $qid was " +
           "writing — restart the query against the current table state")
@@ -181,6 +194,16 @@ final case class SnapshotEpochFileMsg(path: String, rows: Long,
 
 final case class SnapshotEpochFilesMsg(files: Seq[SnapshotEpochFileMsg])
     extends WriterCommitMessage
+
+object SnapshotStreamingWrite {
+  /** Is `d` one of epoch `prefix`'s final dirs? Exact match
+    * (unpartitioned) or the tuple-suffixed form `prefix_p<hex>` —
+    * NEVER a bare startsWith, which would let epoch 1's prefix claim
+    * epoch 12's dirs and treat an uncommitted epoch as committed
+    * under out-of-order replay (r19 advice). */
+  private[sources] def isEpochDir(d: String, prefix: String): Boolean =
+    d == prefix || d.startsWith(prefix + "_p")
+}
 
 final class SnapshotEpochWriterFactory(stagingPrefix: String,
     schema: StructType, renames: Map[String, String],
