@@ -30,7 +30,8 @@ object Bench {
     "q_snapshot_evolve3", "q_snapshot_wap", "q_stream_ann",
     "q_snapshot_sql_merge3", "q_snapshot_wap2", "q_snapshot_colstats",
     "q_snapshot_agg_meta", "q_snapshot_check", "q_snapshot_copyinto",
-    "q_snapshot_partition", "q_snapshot_sql_dml2")
+    "q_snapshot_partition", "q_snapshot_sql_dml2",
+    "q_snapshot_partition_evolve", "q_snapshot_write_order")
 
   /** Cheap queries the adjudication child executes fully-but-untimed before
     * its one measurement: a few seconds of real query execution across the

@@ -470,6 +470,72 @@ case class SnapshotDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
+  /** Decorrelate a subquery-carrying MERGE clause condition, mirroring
+    * [[splitSubqueryCondition]]'s shape rules: top-level-conjunct
+    * uncorrelated `attr IN (subquery)` becomes a semi MARKER (the
+    * engine left-joins the DISTINCT values onto the attr's side and the
+    * condition tests `coalesce(marker, false)` — IN's three-valued
+    * logic exactly), uncorrelated EXISTS becomes a run-time boolean the
+    * command folds in, and everything else — correlated shapes, NOT IN,
+    * scalar subqueries, casts on the IN attr — refuses loudly.
+    * `ctx` names the frame the condition evaluates over: "matched"
+    * (t./s. aliases), "insert" (bare source columns, so target-side IN
+    * refuses per SQL scoping), "bysource" (bare target columns). */
+  private def splitMergeClauseCond(cond: Expression, what: String,
+      tOut: org.apache.spark.sql.catalyst.expressions.AttributeSet,
+      sOut: org.apache.spark.sql.catalyst.expressions.AttributeSet,
+      ctx: String, nextId: () => Int)
+      : (Option[Expression], MergeSubqueries) = {
+    import org.apache.spark.sql.catalyst.expressions.{Coalesce, Exists, InSubquery, ListQuery, Literal}
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    def refuse(shape: String): Nothing =
+      throw new IllegalArgumentException(
+        s"snapshot MERGE $what supports uncorrelated IN/EXISTS " +
+          s"subqueries only — $shape is refused; materialize the " +
+          "subquery first or use the SnapshotTable API")
+    val plain = scala.collection.mutable.ArrayBuffer.empty[Expression]
+    val semis = scala.collection.mutable
+      .ArrayBuffer.empty[(String, Boolean, String, LogicalPlan)]
+    val exists = scala.collection.mutable.ArrayBuffer.empty[LogicalPlan]
+    conjuncts(cond).foreach {
+      case InSubquery(Seq(v), l: ListQuery) =>
+        if (l.outerAttrs.nonEmpty || l.plan.exists(_.expressions.exists(
+            _.exists(_.isInstanceOf[PlanExpression[_]]))))
+          refuse("a correlated/nested IN subquery")
+        v match {
+          case a: AttributeReference =>
+            val targetSide = tOut.contains(a)
+            if (!targetSide && !sOut.contains(a))
+              refuse(s"IN over an unbound column (${a.name})")
+            if (ctx == "insert" && targetSide)
+              refuse("a target-column IN in a NOT MATCHED condition")
+            if (ctx == "bysource" && !targetSide)
+              refuse("a source-column IN in a NOT MATCHED BY SOURCE " +
+                "condition")
+            val mk = s"_graft_merge_sq_${nextId()}"
+            semis += ((mk, targetSide, a.name, maskReads(l.plan)))
+            val ref = ctx match {
+              case "matched" => UnresolvedAttribute(
+                Seq(if (targetSide) "t" else "s", mk))
+              case _ => UnresolvedAttribute(Seq(mk))
+            }
+            plain += Coalesce(Seq(ref, Literal(false)))
+          case other =>
+            refuse(s"IN over a computed value (${other.sql})")
+        }
+      case e: Exists =>
+        if (e.outerAttrs.nonEmpty) refuse("a correlated EXISTS")
+        exists += maskReads(e.plan)
+      case e if e.exists(_.isInstanceOf[PlanExpression[_]]) =>
+        refuse(s"this subquery shape (${e.sql})")
+      case e => plain += e
+    }
+    (plain.reduceOption(And), MergeSubqueries(semis.toSeq, exists.toSeq))
+  }
+
   private def rewriteMerge(h: SnapshotTableHandle,
       m: MergeIntoTable): LogicalPlan = {
     val key = h.keyCol.getOrElse(throw new UnsupportedOperationException(
@@ -500,6 +566,10 @@ case class SnapshotDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
     require(keyEq, "snapshot MERGE condition must be exactly " +
       s"target.$key = source.$key (the declared key column), got " +
       m.mergeCondition.sql)
+    val sqId = new java.util.concurrent.atomic.AtomicInteger(0)
+    val nextId = () => sqId.incrementAndGet()
+    def hasSub(e: Expression): Boolean =
+      e.exists(_.isInstanceOf[PlanExpression[_]])
     // value = the same-name SOURCE column (the star/aligned-star shape);
     // alignment wraps narrower source columns in widening casts — strip
     def stripCast(e: Expression): Expression = e match {
@@ -541,8 +611,22 @@ case class SnapshotDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
         "snapshot MERGE NOT MATCHED condition may reference source " +
           "columns only, got " + c.sql)
     val insertUnmatched = insertClauses.nonEmpty
+    // subquery-carrying INSERT conditions decorrelate PER CLAUSE (each
+    // clause's EXISTS bit must stay inside its own conjunct under the
+    // OR collapse, which the command rebuilds at run time); an
+    // unconditional clause makes the whole OR true, so any subqueries
+    // elsewhere legitimately drop with the conditions
+    val insertSubbed: Seq[(Option[Column], MergeSubqueries)] =
+      if (!insertUnmatched || insertClauses.exists(_.isEmpty) ||
+          !insertClauses.flatten.exists(hasSub)) Nil
+      else insertClauses.map { c =>
+        val (pe, subs) = splitMergeClauseCond(c.get, "NOT MATCHED",
+          tOut, sOut, "insert", nextId)
+        (pe.map(toCol(_, "MERGE NOT MATCHED")), subs)
+      }
     val insertCond: Option[Column] =
-      if (!insertUnmatched || insertClauses.exists(_.isEmpty)) None
+      if (!insertUnmatched || insertClauses.exists(_.isEmpty) ||
+          insertSubbed.nonEmpty) None
       else Some(insertClauses.flatten
         .map(e => org.apache.spark.sql.functions.coalesce(
           toCol(e, "MERGE NOT MATCHED"),
@@ -573,21 +657,35 @@ case class SnapshotDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
             Some(name -> toCol(a.value, "MERGE NOT MATCHED BY SOURCE SET"))
         }
       }
-    val bySource: Seq[(Option[Column], SnapshotTable.MatchedAction)] =
+    def bySourceCond(c: Option[Expression])
+        : (Option[Column], MergeSubqueries) = c match {
+      case Some(e) if hasSub(e) =>
+        val (pe, subs) = splitMergeClauseCond(e,
+          "NOT MATCHED BY SOURCE", tOut, sOut, "bysource", nextId)
+        (pe.map(toCol(_, "MERGE NOT MATCHED BY SOURCE")), subs)
+      case _ => (c.map(toCol(_, "MERGE NOT MATCHED BY SOURCE")),
+        MergeSubqueries.empty)
+    }
+    val bySourceSplit: Seq[(Option[Column], SnapshotTable.MatchedAction,
+        MergeSubqueries)] =
       m.notMatchedBySourceActions.map {
         case DeleteAction(c) =>
           c.foreach(requireTargetOnly(_, "condition"))
-          (c.map(toCol(_, "MERGE NOT MATCHED BY SOURCE")),
-            SnapshotTable.MatchedDelete: SnapshotTable.MatchedAction)
+          val (cc, subs) = bySourceCond(c)
+          (cc, SnapshotTable.MatchedDelete: SnapshotTable.MatchedAction,
+            subs)
         case UpdateAction(c, as, _) =>
           c.foreach(requireTargetOnly(_, "condition"))
-          (c.map(toCol(_, "MERGE NOT MATCHED BY SOURCE")),
-            SnapshotTable.MatchedUpdate(bareSets(as))
-              : SnapshotTable.MatchedAction)
+          val (cc, subs) = bySourceCond(c)
+          (cc, SnapshotTable.MatchedUpdate(bareSets(as))
+            : SnapshotTable.MatchedAction, subs)
         case other => throw new UnsupportedOperationException(
           "snapshot MERGE NOT MATCHED BY SOURCE supports UPDATE and " +
             s"DELETE actions only, got ${other.getClass.getSimpleName}")
       }
+    val bySource: Seq[(Option[Column], SnapshotTable.MatchedAction)] =
+      bySourceSplit.map(x => (x._1, x._2))
+    val bySourceSubs0 = bySourceSplit.map(_._3)
     // per-column sets of a matched UPDATE: assignments may be arbitrary
     // expressions over both sides — rebound onto the engine op's t./s.
     // join aliases. Alignment may have expanded unassigned columns to
@@ -611,45 +709,69 @@ case class SnapshotDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
       // the pre-existing upsert fast paths — unconditional single
       // matched UPDATE plus unconditional INSERT *, routed to the
       // specialized ops (a conditional insert takes the actions path)
+      // insertSubbed.isEmpty guards the fast paths: a decorrelated
+      // INSERT condition leaves insertCond None at plan time, and the
+      // upsert fast path would silently insert EVERY unmatched row
       case (Seq(UpdateStarAction(None)), Nil)
-          if insertUnmatched && insertCond.isEmpty =>
+          if insertUnmatched && insertCond.isEmpty &&
+            insertSubbed.isEmpty =>
         SnapshotMergeCommand(h.base, key, maskReads(m.sourceTable))
       case (Seq(UpdateAction(None, as, _)), Nil)
           if insertUnmatched && insertCond.isEmpty &&
-            as.forall(srcIdentity) =>
+            insertSubbed.isEmpty && as.forall(srcIdentity) =>
         SnapshotMergeCommand(h.base, key, maskReads(m.sourceTable))
       case (Seq(UpdateAction(None, as, _)), Nil)
-          if insertUnmatched && insertCond.isEmpty =>
+          if insertUnmatched && insertCond.isEmpty &&
+            insertSubbed.isEmpty =>
         SnapshotMergeWithCommand(h.base, key, maskReads(m.sourceTable),
           updateSets(as))
       // GENERALIZED CDC surface — ordered conditional matched clauses
       // (UPDATE/DELETE, first-match), optional INSERT *, optional NOT
       // MATCHED BY SOURCE DELETE: SnapshotTable.mergeIntoActions
       case (actions, _) =>
-        val matched = actions.map {
+        def matchedCond(c: Option[Expression])
+            : (Option[Column], MergeSubqueries) = c match {
+          case Some(e) if hasSub(e) =>
+            val (pe, subs) = splitMergeClauseCond(e, "MATCHED",
+              tOut, sOut, "matched", nextId)
+            (pe.map(toMergeCol(_, tOut, sOut)), subs)
+          case _ =>
+            (c.map(toMergeCol(_, tOut, sOut)), MergeSubqueries.empty)
+        }
+        val matchedSplit = actions.map {
           case UpdateStarAction(c) =>
             // SET * = every non-key column from the same-name source
             val sets = h.schema().fieldNames.toSeq.filterNot(_ == key)
               .map(n => n ->
                 org.apache.spark.sql.functions.col(s"s.`$n`"))
-            (c.map(toMergeCol(_, tOut, sOut)),
-              SnapshotTable.MatchedUpdate(sets)
-                : SnapshotTable.MatchedAction)
+            val (cc, subs) = matchedCond(c)
+            (cc, SnapshotTable.MatchedUpdate(sets)
+              : SnapshotTable.MatchedAction, subs)
           case UpdateAction(c, as, _) =>
-            (c.map(toMergeCol(_, tOut, sOut)),
-              SnapshotTable.MatchedUpdate(updateSets(as))
-                : SnapshotTable.MatchedAction)
+            val (cc, subs) = matchedCond(c)
+            (cc, SnapshotTable.MatchedUpdate(updateSets(as))
+              : SnapshotTable.MatchedAction, subs)
           case DeleteAction(c) =>
-            (c.map(toMergeCol(_, tOut, sOut)),
-              SnapshotTable.MatchedDelete: SnapshotTable.MatchedAction)
+            val (cc, subs) = matchedCond(c)
+            (cc, SnapshotTable.MatchedDelete
+              : SnapshotTable.MatchedAction, subs)
           case other => throw new UnsupportedOperationException(
             "snapshot MERGE matched clauses support UPDATE and DELETE " +
               s"only, got ${other.getClass.getSimpleName}")
         }
+        val matched = matchedSplit.map(x => (x._1, x._2))
+        val matchedSubs0 = matchedSplit.map(_._3)
         require(matched.nonEmpty || insertUnmatched || bySource.nonEmpty,
           "snapshot MERGE needs at least one clause")
         SnapshotMergeActionsCommand(h.base, key, maskReads(m.sourceTable),
-          matched, insertUnmatched, bySource, insertCond)
+          matched, insertUnmatched, bySource, insertCond,
+          matchedSubs =
+            if (matchedSubs0.exists(_ != MergeSubqueries.empty))
+              matchedSubs0 else Nil,
+          bySourceSubs =
+            if (bySourceSubs0.exists(_ != MergeSubqueries.empty))
+              bySourceSubs0 else Nil,
+          insertClausesSub = insertSubbed)
     }
   }
 
@@ -779,17 +901,70 @@ case class SnapshotMergeWithCommand(base: String, key: String,
   * MATCHED BY SOURCE [AND cond] THEN UPDATE/DELETE` × N in order) —
   * [[SnapshotTable.mergeIntoActions]]: first-match clause semantics,
   * copy-on-write of only the in-scope dirs. */
+/** Decorrelated subqueries of ONE MERGE clause condition: `semis` =
+  * (marker, targetSide, attr, subplan) per uncorrelated `attr IN
+  * (subquery)` conjunct — the engine left-joins the DISTINCT values and
+  * the condition (already rewritten at plan time) tests the marker —
+  * and `exists` = uncorrelated EXISTS plans the command evaluates once
+  * as booleans at run time (row-independent by definition). */
+final case class MergeSubqueries(
+    semis: Seq[(String, Boolean, String, LogicalPlan)],
+    exists: Seq[LogicalPlan])
+object MergeSubqueries {
+  val empty: MergeSubqueries = MergeSubqueries(Nil, Nil)
+}
+
+/** The generalized MERGE clause surface with per-clause decorrelated
+  * subqueries. `matchedSubs`/`bySourceSubs` align by index with
+  * `matched`/`bySource` when non-empty; `insertClausesSub` replaces
+  * `insertCond` when non-empty (per-clause conditions re-collapse to
+  * the OR at run time so each clause's EXISTS bit stays inside its own
+  * conjunct). Subquery plans re-analyze inside ofRows, so
+  * delete-carrying / rename-evolved snapshot SOURCES read masked. */
 case class SnapshotMergeActionsCommand(base: String, key: String,
     source: LogicalPlan,
     matched: Seq[(Option[Column], SnapshotTable.MatchedAction)],
     insertUnmatched: Boolean,
     bySource: Seq[(Option[Column], SnapshotTable.MatchedAction)],
-    insertCond: Option[Column] = None)
+    insertCond: Option[Column] = None,
+    matchedSubs: Seq[MergeSubqueries] = Nil,
+    bySourceSubs: Seq[MergeSubqueries] = Nil,
+    insertClausesSub: Seq[(Option[Column], MergeSubqueries)] = Nil)
     extends LeafRunnableCommand {
   override def run(sparkSession: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.{coalesce, lit}
+    val mkBuf = scala.collection.mutable
+      .ArrayBuffer.empty[SnapshotTable.MergeSemiMarker]
+    def finish(c: Option[Column], s: MergeSubqueries): Option[Column] = {
+      mkBuf ++= s.semis.map { case (mk, ts, attr, p) =>
+        SnapshotTable.MergeSemiMarker(mk, ts, attr,
+          DatasetBridge.ofRows(sparkSession, p)) }
+      if (s.exists.isEmpty) c
+      else {
+        val b = s.exists.forall(p =>
+          !DatasetBridge.ofRows(sparkSession, p).isEmpty)
+        Some(c.getOrElse(lit(true)) && lit(b))
+      }
+    }
+    val m2 =
+      if (matchedSubs.isEmpty) matched
+      else matched.zip(matchedSubs).map { case ((c, a), s) =>
+        (finish(c, s), a) }
+    val bs2 =
+      if (bySourceSubs.isEmpty) bySource
+      else bySource.zip(bySourceSubs).map { case ((c, a), s) =>
+        (finish(c, s), a) }
+    val ic2 =
+      if (insertClausesSub.isEmpty) insertCond
+      else {
+        val cs = insertClausesSub.map { case (c, s) => finish(c, s) }
+        if (cs.exists(_.isEmpty)) None
+        else Some(cs.flatten.map(c => coalesce(c, lit(false)))
+          .reduce(_ || _))
+      }
     SnapshotTable.mergeIntoActions(sparkSession, base, key,
-      DatasetBridge.ofRows(sparkSession, source), matched,
-      insertUnmatched, bySource, insertCond): Unit
+      DatasetBridge.ofRows(sparkSession, source), m2,
+      insertUnmatched, bs2, ic2, mkBuf.toSeq): Unit
     Seq.empty
   }
 }

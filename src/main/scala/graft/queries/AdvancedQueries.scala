@@ -4071,6 +4071,232 @@ object AdvancedQueries {
            |ORDER BY phase, pri""".stripMargin)
     },
 
+    // PARTITION SPEC EVOLUTION end-to-end (CALL alter_partition_spec):
+    // three write eras under three different hidden-partitioning specs —
+    // days(ts)+identity(pri), then hours(ts)+truncate(1000, k), then
+    // years(ts)+bucket(8, k) — covering every transform the engine
+    // supports. Evolution is METADATA-ONLY: no era is rewritten; each
+    // tuple-carrying dir stays pinned to the spec that RENDERED it
+    // (dirSpecIds), and every probe must prune under each era's OWN spec
+    // (two specs can share arity — days(ts) vs bucket(8, k) — so "arity
+    // matches" is never "spec matches"). At 100 TB this is the only
+    // viable re-partitioning story: changing the layout of a petabyte
+    // table is a manifest commit, and old data keeps its old pruning.
+    // The hash gate replays all three eras relationally — a dir pruned
+    // under the wrong spec (missing rows) or a double-landed era fails.
+    "q_snapshot_partition_evolve" -> { (s, dir) =>
+      import graft.sources.{SnapshotTable => ST}
+      val sfN = new java.io.File(dir).getName
+      val fp = java.security.MessageDigest.getInstance("MD5")
+        .digest(graft.sources.Sinks.fingerprint(s, s"$dir/orders.parquet")
+          .getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString.take(10)
+      val root = s"/root/repo/target/tmp/snpevo-$sfN-$fp"
+      val tbl = "orders_evo"
+      val base = s"$root/$tbl"
+      val cat = s"gpevo${sfN.replace(".", "")}$fp"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.SnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      val t = s"$cat.`$tbl`"
+      // write-once source slice: a KEY slice (constant ~1.5k rows at
+      // every SF, so the per-era dir population is dense even at
+      // sf0.001 where a date slice would be ~7 rows) with a synthetic
+      // UTC timestamp derived from k — 12 days × 3 hours, deterministic
+      // on both engine and oracle sides, session-TZ-free by
+      // construction (788918400 = 1995-01-01T00:00:00Z epoch seconds)
+      graft.sources.Sinks.ensureDir(s, s"$root/src", "v1:pevo_src",
+        inputs = Seq(s"$dir/orders.parquet")) {
+        Tables(s, dir, "orders")
+          .where(col("o_orderkey") < lit(6000L))
+          .select(col("o_orderkey").as("k"),
+            expr("timestamp_micros(788918400000000 + " +
+              "((o_orderkey DIV 3) % 12) * 86400000000 + " +
+              "(o_orderkey % 3) * 3600000000)").as("ts"),
+            col("o_orderpriority").as("pri"),
+            cents(col("o_totalprice")).as("cents"))
+          .write.mode("overwrite").parquet(s"$root/src")
+      }
+      def head = ST.headVersion(s, base)
+      def await(v: Int): Unit = {
+        var i = 0
+        while (head < v && i < 600) { Thread.sleep(100); i += 1 }
+        require(head >= v, s"snapshot $base stuck below v$v")
+      }
+      def step(at: Int)(op: => Unit): Unit = {
+        if (head == at) {
+          try op catch { case e: Exception if head > at => () }
+        }
+        await(at + 1)
+      }
+      step(0) { s.sql(s"CREATE TABLE $t (k BIGINT, ts TIMESTAMP, " +
+        "pri STRING, cents BIGINT) " +
+        "PARTITIONED BY (days(ts), identity(pri))").collect(): Unit }
+      step(1) { s.sql(s"INSERT INTO $t SELECT k, ts, pri, cents " +
+        s"FROM parquet.`$root/src` " +
+        "WHERE ts < TIMESTAMP '1995-01-05 00:00:00'").collect(): Unit }
+      step(2) { s.sql(s"CALL $cat.system.alter_partition_spec(" +
+        s"'$tbl', 'hours(ts), truncate(1000, k)')").collect(): Unit }
+      step(3) { s.sql(s"INSERT INTO $t SELECT k, ts, pri, cents " +
+        s"FROM parquet.`$root/src` " +
+        "WHERE ts >= TIMESTAMP '1995-01-05 00:00:00' " +
+        "AND ts < TIMESTAMP '1995-01-09 00:00:00'").collect(): Unit }
+      step(4) { s.sql(s"CALL $cat.system.alter_partition_spec(" +
+        s"'$tbl', 'years(ts), bucket(8, k)')").collect(): Unit }
+      step(5) { s.sql(s"INSERT INTO $t SELECT k, ts, pri, cents " +
+        s"FROM parquet.`$root/src` " +
+        "WHERE ts >= TIMESTAMP '1995-01-09 00:00:00'").collect(): Unit }
+      val snap = ST.manifest(s, base, head)
+      require(snap.bounds.isEmpty,
+        "fixture must prune structurally — no bounds were ever analyzed")
+      require(snap.partSpecId == 2 && snap.partHist.keySet == Set(0, 1),
+        s"expected two retired specs, got id=${snap.partSpecId} " +
+          s"hist=${snap.partHist.keySet}")
+      // every tuple-carrying dir is pinned to the spec that rendered it;
+      // the current era's dirs are unpinned (= current spec)
+      val pinned = snap.partVals.keySet.map(d =>
+        snap.dirSpecIds.getOrElse(d, snap.partSpecId))
+      require(pinned == Set(0, 1, 2),
+        s"expected live tuples under all three specs, got $pinned")
+      def pruneOf(where: String): (Int, Int) = {
+        graft.plans.SnapshotDmlRule.lastPrune.remove(base)
+        s.sql(s"SELECT COUNT(*) AS n FROM $t WHERE $where").collect()
+        graft.plans.SnapshotDmlRule.lastPrune.get(base)
+      }
+      // a day-range probe prunes era-1 day dirs AND era-2 hour dirs
+      // (both monotone in ts); era-3 year dirs legitimately stay
+      val (dk, dt2) = pruneOf("ts >= TIMESTAMP '1995-01-02 00:00:00' " +
+        "AND ts < TIMESTAMP '1995-01-04 00:00:00'")
+      require(dk < dt2, s"day-range probe must prune dirs ($dk/$dt2)")
+      // an hour probe prunes era-2 dirs to one hour tuple
+      val (hk, ht) = pruneOf("ts >= TIMESTAMP '1995-01-06 01:00:00' " +
+        "AND ts < TIMESTAMP '1995-01-06 02:00:00'")
+      require(hk < ht, s"hour probe must prune dirs ($hk/$ht)")
+      // an identity(pri) probe prunes era-1 dirs to one priority
+      val (pk, pt) = pruneOf("pri = '1-URGENT'")
+      require(pk < pt, s"identity probe must prune dirs ($pk/$pt)")
+      // a key IN probe prunes era-3 bucket dirs (point edges; the
+      // truncate era prunes too once its width spans multiple tuples)
+      val (bk, bt) = pruneOf("k IN (7, 1189, 4000)")
+      require(bk < bt, s"bucket IN probe must prune dirs ($bk/$bt)")
+      s.sql(
+        s"""WITH u AS (SELECT DISTINCT k, ts, pri, cents FROM $t)
+           |SELECT CAST(1 AS BIGINT) AS phase, pri, COUNT(*) AS n,
+           |  CAST(SUM(cents) AS BIGINT) AS cents
+           |FROM u WHERE ts >= TIMESTAMP '1995-01-02 00:00:00'
+           |  AND ts < TIMESTAMP '1995-01-04 00:00:00' GROUP BY pri
+           |UNION ALL
+           |SELECT CAST(2 AS BIGINT), pri, COUNT(*),
+           |  CAST(SUM(cents) AS BIGINT)
+           |FROM u WHERE ts >= TIMESTAMP '1995-01-06 01:00:00'
+           |  AND ts < TIMESTAMP '1995-01-06 02:00:00' GROUP BY pri
+           |UNION ALL
+           |SELECT CAST(3 AS BIGINT), pri, COUNT(*),
+           |  CAST(SUM(cents) AS BIGINT)
+           |FROM u WHERE k IN (7, 1189, 4000) GROUP BY pri
+           |UNION ALL
+           |SELECT CAST(4 AS BIGINT), pri, COUNT(*),
+           |  CAST(SUM(cents) AS BIGINT)
+           |FROM u GROUP BY pri
+           |ORDER BY phase, pri""".stripMargin)
+    },
+
+    // WRITE ORDERED BY (CALL set_write_order → ordered INSERT landing):
+    // the table DECLARES a sort order once; every later INSERT
+    // range-slices its batch on the order columns into n sorted dirs
+    // and records per-dir bounds in the same commit — so a range probe
+    // prunes structurally with NO maintenance CALL ever run (zorder
+    // exists for re-layout; this keeps freshly ingested data pruned
+    // from the moment it lands). At 100 TB this is the difference
+    // between "ANALYZE nightly and hope" and ingest that is born
+    // skippable: each ingest pays one extra range shuffle and a
+    // dir-count-sized bounds job. Two eras land under the order; probes
+    // into each era must keep < total dirs, and the hash gate replays
+    // both eras relationally so a mis-sliced or double-landed era fails.
+    "q_snapshot_write_order" -> { (s, dir) =>
+      import graft.sources.{SnapshotTable => ST}
+      val sfN = new java.io.File(dir).getName
+      val fp = java.security.MessageDigest.getInstance("MD5")
+        .digest(graft.sources.Sinks.fingerprint(s, s"$dir/orders.parquet")
+          .getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString.take(10)
+      val root = s"/root/repo/target/tmp/snword-$sfN-$fp"
+      val tbl = "orders_w"
+      val base = s"$root/$tbl"
+      val cat = s"gword${sfN.replace(".", "")}$fp"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.SnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      val t = s"$cat.`$tbl`"
+      graft.sources.Sinks.ensureDir(s, s"$root/src", "v1:word_src",
+        inputs = Seq(s"$dir/orders.parquet")) {
+        Tables(s, dir, "orders")
+          .where(col("o_orderdate") >= lit("1995-01-01") &&
+            col("o_orderdate") < lit("1995-07-01"))
+          .select(col("o_orderkey").as("k"), col("o_orderdate").as("d"),
+            col("o_orderpriority").as("pri"),
+            cents(col("o_totalprice")).as("cents"))
+          .write.mode("overwrite").parquet(s"$root/src")
+      }
+      def head = ST.headVersion(s, base)
+      def await(v: Int): Unit = {
+        var i = 0
+        while (head < v && i < 600) { Thread.sleep(100); i += 1 }
+        require(head >= v, s"snapshot $base stuck below v$v")
+      }
+      def step(at: Int)(op: => Unit): Unit = {
+        if (head == at) {
+          try op catch { case e: Exception if head > at => () }
+        }
+        await(at + 1)
+      }
+      step(0) { s.sql(s"CREATE TABLE $t (k BIGINT, d DATE, " +
+        "pri STRING, cents BIGINT)").collect(): Unit }
+      step(1) { s.sql(s"CALL $cat.system.set_write_order(" +
+        s"'$tbl', 'd', 6)").collect(): Unit }
+      step(2) { s.sql(s"INSERT INTO $t SELECT k, d, pri, cents " +
+        s"FROM parquet.`$root/src` " +
+        "WHERE d < DATE '1995-04-01'").collect(): Unit }
+      step(3) { s.sql(s"INSERT INTO $t SELECT k, d, pri, cents " +
+        s"FROM parquet.`$root/src` " +
+        "WHERE d >= DATE '1995-04-01'").collect(): Unit }
+      val snap = ST.manifest(s, base, head)
+      require(snap.writeOrder == Seq("d") && snap.writeOrderSlices == 6,
+        s"declared order lost: ${snap.writeOrder}")
+      require(snap.bounds.count(_.col == "d") >= 8,
+        s"ordered inserts must land bounds-carrying slices, got " +
+          s"${snap.bounds.size}")
+      val det = s.sql(s"SELECT write_order FROM $cat.`$tbl`.detail")
+        .head.getString(0)
+      require(det == "d [6 slices]",
+        s"detail must report the declared order, got '$det'")
+      def pruneOf(where: String): (Int, Int) = {
+        graft.plans.SnapshotDmlRule.lastPrune.remove(base)
+        s.sql(s"SELECT COUNT(*) AS n FROM $t WHERE $where").collect()
+        graft.plans.SnapshotDmlRule.lastPrune.get(base)
+      }
+      val (k1, t1) = pruneOf(
+        "d >= DATE '1995-02-01' AND d < DATE '1995-02-15'")
+      require(k1 < t1, s"era-1 range probe must prune dirs ($k1/$t1)")
+      val (k2, t2) = pruneOf(
+        "d >= DATE '1995-05-10' AND d < DATE '1995-06-01'")
+      require(k2 < t2, s"era-2 range probe must prune dirs ($k2/$t2)")
+      s.sql(
+        s"""WITH u AS (SELECT DISTINCT k, d, pri, cents FROM $t)
+           |SELECT CAST(1 AS BIGINT) AS phase, pri, COUNT(*) AS n,
+           |  CAST(SUM(cents) AS BIGINT) AS cents
+           |FROM u WHERE d >= DATE '1995-02-01' AND d < DATE '1995-02-15'
+           |GROUP BY pri
+           |UNION ALL
+           |SELECT CAST(2 AS BIGINT), pri, COUNT(*),
+           |  CAST(SUM(cents) AS BIGINT)
+           |FROM u WHERE d >= DATE '1995-05-10' AND d < DATE '1995-06-01'
+           |GROUP BY pri
+           |UNION ALL
+           |SELECT CAST(3 AS BIGINT), pri, COUNT(*),
+           |  CAST(SUM(cents) AS BIGINT)
+           |FROM u GROUP BY pri
+           |ORDER BY phase, pri""".stripMargin)
+    },
+
     // COPY INTO (CALL ingest_files → ledger-deduped landing-zone load):
     // the batch half of the ingestion story — a glob of landing files
     // loads EXACTLY ONCE however many times the loader fires, because
@@ -4586,6 +4812,123 @@ object AdvancedQueries {
            |WHEN NOT MATCHED AND src.pri IN ('3-MEDIUM', '2-HIGH')
            |THEN INSERT *""".stripMargin)
       require(head == 4, s"merge chain must land at v4, got v$head")
+      s.sql(s"SELECT pri, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS " +
+        s"cents FROM $t GROUP BY pri ORDER BY pri")
+    },
+
+    // SUBQUERY MERGE CONDITIONS (the last SnapshotDml refusal lifted):
+    // uncorrelated `attr IN (subquery)` decorrelates into a semi MARKER
+    // — the DISTINCT subquery values left-join onto the attr's side and
+    // the clause tests coalesce(marker, false), IN's three-valued logic
+    // exactly — and uncorrelated EXISTS evaluates once as a run-time
+    // boolean folded into its own clause's conjunct. All three clause
+    // contexts gate here: a matched DELETE on a TARGET-column IN, a
+    // matched UPDATE on a SOURCE-column IN, ordered NOT MATCHED INSERTs
+    // where a false EXISTS must kill ONLY its clause under the OR
+    // collapse, and a NOT MATCHED BY SOURCE DELETE on a target IN.
+    // Correlated shapes, NOT IN, and scalar subqueries in SET still
+    // refuse loudly (pinned below). Scale: the IN value sets stay
+    // distributed plans end to end (never collected/inlined), and the
+    // by-source scope probe carries the markers so dir granularity is
+    // unchanged. The oracle replays all three merges relationally — a
+    // marker joined to the wrong side, a NULL-membership row treated as
+    // TRUE, or a false EXISTS leaking its clause all hash-fail.
+    "q_snapshot_sql_merge4" -> { (s, dir) =>
+      import graft.sources.{SnapshotTable => ST}
+      val sfN = new java.io.File(dir).getName
+      val fp = java.security.MessageDigest.getInstance("MD5")
+        .digest(graft.sources.Sinks.fingerprint(s, s"$dir/orders.parquet")
+          .getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString.take(10)
+      val root = s"/root/repo/target/tmp/sqlmrg4-$sfN-$fp"
+      val tbl = "orders_t"
+      val base = s"$root/$tbl"
+      val cat = s"gmrg4${sfN.replace(".", "")}$fp"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.SnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
+      s.conf.set(s"spark.sql.catalog.$cat.key.$tbl", "k")
+      val t = s"$cat.`$tbl`"
+      val bv = s"sqlmrg4_base_${sfN.replace(".", "")}"
+      Tables(s, dir, "orders")
+        .select(col("o_orderkey").as("k"), col("o_orderpriority").as("pri"),
+          cents(col("o_totalprice")).as("cents"))
+        .createOrReplaceTempView(bv)
+      def head = ST.headVersion(s, base)
+      def awaitHead(v: Int): Unit = {
+        var i = 0
+        while (head < v && i < 600) { Thread.sleep(100); i += 1 }
+        require(head >= v, s"snapshot $base stuck below v$v")
+      }
+      def step(at: Int, sql: String): Unit = {
+        if (head == at) {
+          try s.sql(sql).collect(): Unit
+          catch { // concurrent constructor won the claim — defer
+            case e: Exception if head > at => ()
+          }
+        }
+        awaitHead(at + 1)
+      }
+      step(0, s"CREATE TABLE $t (k BIGINT, pri STRING, cents BIGINT)")
+      step(1, s"INSERT INTO $t SELECT k, pri, cents FROM $bv")
+      // matched first-match chain: DELETE gated by a TARGET-column IN,
+      // UPDATE gated by a SOURCE-column IN
+      step(2,
+        s"""MERGE INTO $t AS tgt USING (
+           |  SELECT k, pri, cents * 2 AS cents FROM $bv WHERE k % 10 = 1
+           |) AS src ON tgt.k = src.k
+           |WHEN MATCHED AND tgt.cents IN
+           |  (SELECT cents FROM $bv WHERE pri = '1-URGENT') THEN DELETE
+           |WHEN MATCHED AND src.k IN
+           |  (SELECT k FROM $bv WHERE k % 20 = 1)
+           |THEN UPDATE SET cents = tgt.cents + src.cents"""
+          .stripMargin)
+      // ordered conditional INSERTs: the false EXISTS kills ONLY its
+      // clause; the source-column IN admits the second clause's rows
+      step(3,
+        s"""MERGE INTO $t AS tgt USING (
+           |  SELECT k + 6000000000 AS k, pri, cents FROM $bv
+           |  WHERE k % 10 = 4
+           |) AS src ON tgt.k = src.k
+           |WHEN NOT MATCHED AND EXISTS
+           |  (SELECT 1 FROM $bv WHERE pri = 'NO-SUCH-PRI') THEN INSERT *
+           |WHEN NOT MATCHED AND src.cents IN
+           |  (SELECT cents FROM $bv WHERE pri = '5-LOW') THEN INSERT *
+           |WHEN NOT MATCHED AND src.pri = '2-HIGH' THEN INSERT *"""
+          .stripMargin)
+      // by-source DELETE gated by a target-column IN (plus a plain
+      // target conjunct) — key-absent rows only
+      step(4,
+        s"""MERGE INTO $t AS tgt USING (
+           |  SELECT k FROM $bv WHERE k % 10 IN (1, 4)
+           |) AS src ON tgt.k = src.k
+           |WHEN NOT MATCHED BY SOURCE AND cents IN
+           |  (SELECT cents FROM $bv WHERE pri = '4-NOT SPECIFIED')
+           |  AND pri = '4-NOT SPECIFIED' THEN DELETE""".stripMargin)
+      require(head == 5, s"merge chain must land at v5, got v$head")
+      // the refusal surface STAYS loud (these plan-fail, committing
+      // nothing, so they re-pin on every construction)
+      def mustRefuse(sql: String): Unit = {
+        val refused = try { s.sql(sql).collect(); false }
+          catch { case _: Exception => true }
+        require(refused, s"expected a loud refusal for: $sql")
+      }
+      mustRefuse( // correlated IN
+        s"""MERGE INTO $t AS tgt USING (SELECT k FROM $bv WHERE k % 10 = 1)
+           |AS src ON tgt.k = src.k
+           |WHEN MATCHED AND tgt.cents IN
+           |  (SELECT b.cents FROM $bv b WHERE b.k = tgt.k) THEN DELETE"""
+          .stripMargin)
+      mustRefuse( // NOT IN (the three-valued NULL trap)
+        s"""MERGE INTO $t AS tgt USING (SELECT k FROM $bv WHERE k % 10 = 1)
+           |AS src ON tgt.k = src.k
+           |WHEN MATCHED AND tgt.cents NOT IN
+           |  (SELECT cents FROM $bv WHERE pri = '1-URGENT') THEN DELETE"""
+          .stripMargin)
+      mustRefuse( // scalar subquery in SET
+        s"""MERGE INTO $t AS tgt USING (SELECT k, pri, cents FROM $bv
+           |WHERE k % 10 = 1) AS src ON tgt.k = src.k
+           |WHEN MATCHED THEN UPDATE SET cents =
+           |  (SELECT MAX(cents) FROM $bv)""".stripMargin)
       s.sql(s"SELECT pri, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS " +
         s"cents FROM $t GROUP BY pri ORDER BY pri")
     },
@@ -5393,6 +5736,33 @@ object AdvancedQueries {
          |SELECT pri, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS cents
          |FROM v4 GROUP BY pri ORDER BY pri""".stripMargin,
 
+    // replays the three subquery-conditioned merges relationally: the
+    // target-IN delete, the source-IN first-match update, the ordered
+    // conditional inserts (the false EXISTS contributes nothing), and
+    // the by-source target-IN delete
+    "q_snapshot_sql_merge4" ->
+      s"""WITH base AS (SELECT o_orderkey AS k, o_orderpriority AS pri,
+         |    ${CENTS("o_totalprice")} AS cents FROM orders),
+         |uc AS (SELECT cents FROM base WHERE pri = '1-URGENT'),
+         |m1 AS (SELECT k, pri,
+         |    CASE WHEN k % 10 = 1 AND k % 20 = 1
+         |      THEN cents * 3 ELSE cents END AS cents
+         |  FROM base
+         |  WHERE NOT (k % 10 = 1 AND cents IN (SELECT cents FROM uc))),
+         |m2 AS (SELECT k, pri, cents FROM m1
+         |  UNION ALL
+         |  SELECT k + 6000000000 AS k, pri, cents FROM base
+         |  WHERE k % 10 = 4
+         |    AND (cents IN (SELECT cents FROM base WHERE pri = '5-LOW')
+         |      OR pri = '2-HIGH')),
+         |m3 AS (SELECT k, pri, cents FROM m2
+         |  WHERE NOT (k NOT IN (SELECT k FROM base WHERE k % 10 IN (1, 4))
+         |    AND pri = '4-NOT SPECIFIED'
+         |    AND cents IN (SELECT cents FROM base
+         |      WHERE pri = '4-NOT SPECIFIED')))
+         |SELECT pri, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS cents
+         |FROM m3 GROUP BY pri ORDER BY pri""".stripMargin,
+
     // v3 = the two appended quarters, v4 = the overwrite's quarter only
     "q_snapshot_sql_insert" ->
       s"""SELECT CAST(3 AS BIGINT) AS version, COUNT(*) AS n,
@@ -5463,6 +5833,60 @@ object AdvancedQueries {
          |SELECT CAST(2 AS BIGINT), pri, COUNT(*),
          |  CAST(SUM(cents) AS BIGINT)
          |FROM src WHERE k IN (32, 100, 2021) GROUP BY pri
+         |ORDER BY phase, pri""".stripMargin,
+
+    // the engine reads two ordered-insert eras through the bounds the
+    // landing itself recorded; the oracle replays the same slices
+    // relationally — a slice pruned despite holding probe rows
+    // (missing rows) or a double-landed era (doubled counts) hash-fails
+    "q_snapshot_write_order" ->
+      s"""WITH src AS (SELECT o_orderkey AS k, o_orderdate AS d,
+         |    o_orderpriority AS pri, ${CENTS("o_totalprice")} AS cents
+         |  FROM orders
+         |  WHERE o_orderdate >= DATE '1995-01-01'
+         |    AND o_orderdate < DATE '1995-07-01')
+         |SELECT CAST(1 AS BIGINT) AS phase, pri, COUNT(*) AS n,
+         |  CAST(SUM(cents) AS BIGINT) AS cents
+         |FROM src WHERE d >= DATE '1995-02-01' AND d < DATE '1995-02-15'
+         |GROUP BY pri
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT), pri, COUNT(*),
+         |  CAST(SUM(cents) AS BIGINT)
+         |FROM src WHERE d >= DATE '1995-05-10' AND d < DATE '1995-06-01'
+         |GROUP BY pri
+         |UNION ALL
+         |SELECT CAST(3 AS BIGINT), pri, COUNT(*),
+         |  CAST(SUM(cents) AS BIGINT)
+         |FROM src GROUP BY pri
+         |ORDER BY phase, pri""".stripMargin,
+
+    // the engine reads three eras written under three SPECS (days+
+    // identity → hours+truncate → years+bucket, via alter_partition_spec)
+    // through per-dir spec-pinned pruning; the oracle replays the same
+    // synthetic-timestamp slices relationally (di = day index, hi = hour
+    // — the exact integer arithmetic the engine derived ts from). A dir
+    // pruned under the WRONG spec (two eras share arity) drops rows and
+    // hash-fails; a double-landed era doubles counts and hash-fails.
+    "q_snapshot_partition_evolve" ->
+      s"""WITH src AS (SELECT o_orderkey AS k,
+         |    ((o_orderkey // 3) % 12) AS di, (o_orderkey % 3) AS hi,
+         |    o_orderpriority AS pri, ${CENTS("o_totalprice")} AS cents
+         |  FROM orders WHERE o_orderkey < 6000)
+         |SELECT CAST(1 AS BIGINT) AS phase, pri, COUNT(*) AS n,
+         |  CAST(SUM(cents) AS BIGINT) AS cents
+         |FROM src WHERE di IN (1, 2) GROUP BY pri
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT), pri, COUNT(*),
+         |  CAST(SUM(cents) AS BIGINT)
+         |FROM src WHERE di = 5 AND hi = 1 GROUP BY pri
+         |UNION ALL
+         |SELECT CAST(3 AS BIGINT), pri, COUNT(*),
+         |  CAST(SUM(cents) AS BIGINT)
+         |FROM src WHERE k IN (7, 1189, 4000) GROUP BY pri
+         |UNION ALL
+         |SELECT CAST(4 AS BIGINT), pri, COUNT(*),
+         |  CAST(SUM(cents) AS BIGINT)
+         |FROM src GROUP BY pri
          |ORDER BY phase, pri""".stripMargin,
 
     "q_snapshot_copyinto" ->

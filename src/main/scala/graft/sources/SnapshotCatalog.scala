@@ -206,7 +206,7 @@ class SnapshotCatalog extends TableCatalog with ProcedureCatalog {
           StructType.fromDDL("`version` INT, `n_data_dirs` INT, " +
             "`n_delete_dirs` INT, `n_rows` BIGINT, `n_bounds` INT, " +
             "`n_colstats` INT, `n_checks` INT, `n_ingested` INT, " +
-            "`evolved` BOOLEAN"),
+            "`evolved` BOOLEAN, `write_order` STRING"),
           Seq(Seq[Any](v, snap.dataDirs.size, snap.deleteDirs.size,
             SnapshotTable.manifestRowCount(snap)
               .filter(_ => snap.deleteDirs.isEmpty)
@@ -214,7 +214,12 @@ class SnapshotCatalog extends TableCatalog with ProcedureCatalog {
             snap.bounds.size, snap.colStats.size, snap.checks.size,
             snap.ingested.size,
             snap.schema.isDefined || snap.renames.nonEmpty ||
-              snap.dropped.nonEmpty))))
+              snap.dropped.nonEmpty,
+            // ordered-ness is OPERATOR-facing metadata: maintenance
+            // reads the declared order before deciding a re-layout
+            if (snap.writeOrder.isEmpty) null
+            else s"${snap.writeOrder.mkString(", ")} " +
+              s"[${snap.writeOrderSlices} slices]"))))
       case "partitions" =>
         // the hidden-partitioning roster (the Iceberg `partitions`
         // metadata table at dir granularity): one row per routed dir —
@@ -721,6 +726,60 @@ object SnapshotTableHandle {
     (dirs, vals, counts)
   }
 
+  /** WRITE ORDERED BY landing: range-slice the batch on the declared
+    * order columns into `writeOrderSlices` dirs, sort within each, and
+    * compute per-dir BOUNDS on the order columns — so the very next
+    * range probe prunes structurally with no maintenance CALL. One
+    * executor-parallel job lands the bytes (repartitionByRange + a
+    * partition-id-constant staging column written via partitionBy:
+    * every task holds ONE slice id, so partitionBy adds no shuffle);
+    * per-dir counts come from parquet footers like the partitioned
+    * path. Empty result = empty batch (caller falls back to one empty
+    * plain dir). alterWriteOrder refused rename-evolved tables, so the
+    * order columns' physical names equal their logical ones and
+    * computeBounds/pruning agree on naming. */
+  private def landOrdered(spark: SparkSession,
+      snapFor: SnapshotTable.Snapshot, batch: DataFrame, parent: String)
+      : (Seq[String], Map[String, Seq[String]], Map[String, Long],
+        Seq[SnapshotTable.DirBounds]) = {
+    import org.apache.spark.sql.functions.{col, spark_partition_id}
+    val cols = snapFor.writeOrder
+    val n = snapFor.writeOrderSlices
+    graft.operators.Markers.requireFree(batch, "ordered insert batch",
+      "_gslice")
+    val sorted = batch
+      .repartitionByRange(n, cols.map(col): _*)
+      .sortWithinPartitions(cols.map(col): _*)
+    // toPhysical is a projection — it preserves both the range
+    // partitioning and the intra-partition order
+    SnapshotTable.toPhysical(snapFor, sorted)
+      .withColumn("_gslice", spark_partition_id())
+      .write.partitionBy("_gslice").mode("overwrite").parquet(parent)
+    val pp = new org.apache.hadoop.fs.Path(parent)
+    val fs = pp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val leaves = fs.listStatus(pp).toSeq.filter(_.isDirectory)
+      .map(_.getPath)
+      .filter(_.getName.startsWith("_gslice="))
+      .sortBy(p => p.getName.stripPrefix("_gslice=").toInt)
+    if (leaves.isEmpty) return (Nil, Map.empty, Map.empty, Nil)
+    for (leaf <- leaves)
+      fs.create(new org.apache.hadoop.fs.Path(leaf, "_SUCCESS"), true)
+        .close()
+    def footerRows(leaf: org.apache.hadoop.fs.Path): Long =
+      fs.listStatus(leaf).filter(st => st.isFile &&
+        st.getPath.getName.endsWith(".parquet")).map { st =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(st.getPath, spark.sparkContext.hadoopConfiguration)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      }.sum
+    val dirs = leaves.map(_.toString)
+    val counts = leaves.map(p => p.toString -> footerRows(p)).toMap
+    val bounds = cols.flatMap(c =>
+      SnapshotTable.computeBounds(spark, dirs, c))
+    (dirs, Map.empty, counts, bounds)
+  }
+
   /** One SQL write = one committed version (see
     * [[SnapshotTableHandle.newWriteBuilder]]). The analyzer already
     * reconciled the query's columns to the table schema, so alignment
@@ -755,22 +814,32 @@ object SnapshotTableHandle {
     // transform tuple, a plain table one dir; an all-empty routed batch
     // falls back to one empty plain dir (always kept, zero rows)
     def land(snapFor: SnapshotTable.Snapshot)
-        : (Seq[String], Map[String, Seq[String]], Map[String, Long]) =
-      if (snapFor.partSpec.isEmpty) {
-        SnapshotTable.toPhysical(snapFor, checked)
-          .write.mode("overwrite").parquet(dir)
-        (Seq(dir), Map.empty, Map(dir -> spark.read.parquet(dir).count()))
-      } else {
-        val routed = landPartitioned(spark, snapFor, target, checked,
-          snapFor.partSpec, dir)
-        if (routed._1.nonEmpty) routed
+        : (Seq[String], Map[String, Seq[String]], Map[String, Long],
+          Seq[SnapshotTable.DirBounds]) =
+      if (snapFor.writeOrder.nonEmpty) {
+        val ordered = landOrdered(spark, snapFor, checked, dir)
+        if (ordered._1.nonEmpty) ordered
         else {
           SnapshotTable.toPhysical(snapFor, checked)
             .write.mode("overwrite").parquet(dir)
-          (Seq(dir), Map.empty, Map(dir -> 0L))
+          (Seq(dir), Map.empty, Map(dir -> 0L), Nil)
+        }
+      } else if (snapFor.partSpec.isEmpty) {
+        SnapshotTable.toPhysical(snapFor, checked)
+          .write.mode("overwrite").parquet(dir)
+        (Seq(dir), Map.empty,
+          Map(dir -> spark.read.parquet(dir).count()), Nil)
+      } else {
+        val routed = landPartitioned(spark, snapFor, target, checked,
+          snapFor.partSpec, dir)
+        if (routed._1.nonEmpty) (routed._1, routed._2, routed._3, Nil)
+        else {
+          SnapshotTable.toPhysical(snapFor, checked)
+            .write.mode("overwrite").parquet(dir)
+          (Seq(dir), Map.empty, Map(dir -> 0L), Nil)
         }
       }
-    var (newDirs, newVals, newCounts) = land(snap0)
+    var (newDirs, newVals, newCounts, newBounds) = land(snap0)
     // the rename map the dir was WRITTEN under — if a racer evolves the
     // map (rename evolution) or clears it (optimizeZorder's full-rewrite
     // normalization) between the write above and the commit below, the
@@ -785,6 +854,10 @@ object SnapshotTableHandle {
     // even share arity (days(ts) vs bucket(8, k)), so this would prune
     // WRONG, not just fail the commit — re-land under the winner's spec
     var dirSpec = snap0.partSpec
+    // the write order the dirs were SLICED under — a racing
+    // alterWriteOrder between the write and the commit would record
+    // bounds/slicing from the old declaration; re-land like spec drift
+    var dirOrder = (snap0.writeOrder, snap0.writeOrderSlices)
     var attempt = 0
     while (attempt < 20) {
       attempt += 1
@@ -799,10 +872,13 @@ object SnapshotTableHandle {
         SnapshotTable.enforceChecks(spark, prior, checked, "INSERT"): Unit
         checkedChecks = prior.checks
       }
-      if (prior.partSpec != dirSpec) {
+      if (prior.partSpec != dirSpec ||
+          (prior.writeOrder, prior.writeOrderSlices) != dirOrder) {
         val r = land(prior)
         newDirs = r._1; newVals = r._2; newCounts = r._3
+        newBounds = r._4
         dirSpec = prior.partSpec
+        dirOrder = (prior.writeOrder, prior.writeOrderSlices)
         dirRenames = prior.renames
       }
       if (prior.renames != dirRenames) {
@@ -818,13 +894,16 @@ object SnapshotTableHandle {
         // WINNER's map so the manifest can read it back
         val r = land(prior)
         newDirs = r._1; newVals = r._2; newCounts = r._3
+        newBounds = r._4
         dirRenames = prior.renames
       }
       val next =
         if (overwrite)
-          prior.copy(dataDirs = newDirs, deleteDirs = Nil, bounds = Nil,
-            rowCounts = newCounts, partVals = newVals)
+          prior.copy(dataDirs = newDirs, deleteDirs = Nil,
+            bounds = newBounds, rowCounts = newCounts,
+            partVals = newVals)
         else prior.copy(dataDirs = prior.dataDirs ++ newDirs,
+          bounds = prior.bounds ++ newBounds,
           rowCounts = prior.rowCounts ++ newCounts,
           partVals = prior.partVals ++ newVals)
       try {

@@ -171,6 +171,17 @@ private[sources] object SnapshotProcedures {
       (root, in) => Seq(SnapshotTable.addCheck(spark,
         s"$root/${str(in, 0)}", str(in, 1), str(in, 2))),
     ),
+    Proc("set_write_order",
+      "declare WRITE ORDERED BY (metadata-only): later INSERTs " +
+        "range-slice on the comma-joined columns into n_slices sorted " +
+        "dirs with recorded bounds ('' + 0 clears)",
+      Seq("tbl" -> StringType, "cols" -> StringType,
+        "n_slices" -> IntegerType),
+      StructType.fromDDL("`version` INT"),
+      (root, in) => Seq(SnapshotTable.alterWriteOrder(spark,
+        s"$root/${str(in, 0)}",
+        str(in, 1).split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+        in.getInt(2)))),
     Proc("alter_partition_spec",
       "evolve the hidden-partitioning spec (metadata-only): new writes " +
         "route under the comma-joined transforms (e.g. 'days(d), " +

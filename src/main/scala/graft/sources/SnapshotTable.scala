@@ -111,7 +111,9 @@ object SnapshotTable {
       partVals: Map[String, Seq[String]] = Map.empty,
       partSpecId: Int = 0,
       partHist: Map[Int, Seq[PartitionSpec.PartField]] = Map.empty,
-      dirSpecIds: Map[String, Int] = Map.empty)
+      dirSpecIds: Map[String, Int] = Map.empty,
+      writeOrder: Seq[String] = Nil,
+      writeOrderSlices: Int = 0)
 
   /** The partition spec that rendered `d`'s tuple: its pinned retired
     * spec when evolution moved the table past it, else the current one.
@@ -211,20 +213,28 @@ object SnapshotTable {
       require(!f.exists(c => c == '|' || c == ',' || c == '\n'),
         s"bounds field '$f' holds a manifest delimiter — refuse rather " +
           "than write an unparseable manifest")
-    val boundsLine =
-      if (snap.bounds.isEmpty) "" // pre-bounds manifests stay byte-identical
-      else "bounds=" + snap.bounds
-        .map(b => s"${b.dir}|${b.col}|${b.typ}|${b.min}|${b.max}")
-        .mkString(",") + "\n"
+    // EVERY per-dir line goes through the sidecar seam: below the
+    // threshold it stays inline (pre-sidecar manifests byte-identical —
+    // the standing format-compat rule); past it the entries spill to
+    // content-addressed chunks written BEFORE the manifest references
+    // them. Without this, a one-dir append to a 10⁵-dir table rewrites
+    // every bounds/rows/partvals entry into the new manifest — the
+    // commit payload must stay O(delta dirs), not O(dirs) (r19 verdict).
+    def spillLine(key: String, entries: Seq[String]): String =
+      if (entries.isEmpty) "" // absent line: byte-identical to pre-format
+      else if (entries.size <= sidecarSpillThreshold)
+        s"$key=" + entries.mkString(",") + "\n"
+      else s"${key}_refs=" + chunkEntries(entries)
+        .map(ensureSidecar(spark, base, _)).mkString(",") + "\n"
+    val boundsLine = spillLine("bounds", snap.bounds
+      .map(b => s"${b.dir}|${b.col}|${b.typ}|${b.min}|${b.max}"))
     // row counts: absence keeps the manifest byte-identical to the
     // pre-counts format (see the normalization at entry)
     for ((d, n) <- snap.rowCounts)
       require(n >= 0, s"negative row count $n for $d")
     val counted = snap.dataDirs.filter(snap.rowCounts.contains)
-    val rowsLine =
-      if (counted.isEmpty) ""
-      else "rows=" + counted
-        .map(d => s"$d|${snap.rowCounts(d)}").mkString(",") + "\n"
+    val rowsLine = spillLine("rows",
+      counted.map(d => s"$d|${snap.rowCounts(d)}"))
     // column stats: absent line keeps pre-colstats manifests
     // byte-identical (the standing format-compat rule); duplicate
     // (dir, col) entries would make manifestColumnStats double-count
@@ -246,16 +256,9 @@ object SnapshotTable {
     // past the threshold the entries spill to content-addressed sidecar
     // chunks written BEFORE the manifest references them (the crash
     // order that can strand orphans but never dangle a reference)
-    val colStatsLine = {
-      val entries = snap.colStats
-        .map(cs => s"${cs.dir}|${cs.col}|${cs.ndv}|${cs.nulls}" +
-          cs.sketch.map("|" + _).getOrElse(""))
-      if (entries.isEmpty) ""
-      else if (entries.size <= sidecarSpillThreshold)
-        "colstats=" + entries.mkString(",") + "\n"
-      else "colstats_refs=" + chunkEntries(entries)
-        .map(ensureSidecar(spark, base, _)).mkString(",") + "\n"
-    }
+    val colStatsLine = spillLine("colstats", snap.colStats
+      .map(cs => s"${cs.dir}|${cs.col}|${cs.ndv}|${cs.nulls}" +
+        cs.sketch.map("|" + _).getOrElse("")))
     // checks: names stay SQL-identifier-shaped; the EXPRESSION is
     // base64url-encoded (expressions legitimately contain every manifest
     // delimiter), so the line parses under the same split rules as the
@@ -283,15 +286,8 @@ object SnapshotTable {
     require(snap.ingested.map(_.path).distinct.size ==
       snap.ingested.size,
       s"snapshot v$v carries duplicate ingested-file ledger paths")
-    val ingestedLine = {
-      val entries = snap.ingested
-        .map(f => s"${f.path}|${f.len}|${f.mtime}")
-      if (entries.isEmpty) ""
-      else if (entries.size <= sidecarSpillThreshold)
-        "ingested=" + entries.mkString(",") + "\n"
-      else "ingested_refs=" + chunkEntries(entries)
-        .map(ensureSidecar(spark, base, _)).mkString(",") + "\n"
-    }
+    val ingestedLine = spillLine("ingested",
+      snap.ingested.map(f => s"${f.path}|${f.len}|${f.mtime}"))
     val schemaLine = snap.schema.map { ddl =>
       require(!ddl.exists(c => c == '\n' || c == '\r'),
         "schema DDL may not contain a newline — it is one manifest line")
@@ -325,14 +321,23 @@ object SnapshotTable {
     require(!snap.partHist.contains(snap.partSpecId),
       s"snapshot v$v carries the current partition spec id " +
         s"${snap.partSpecId} in its retired-spec history")
+    // encode(f) = fn|n|col with '|' as ITS separator, so the delimiter
+    // check must range over the col COMPONENT (a col name holding '|'
+    // decodes to >3 parts — table bricked after a successful commit),
+    // plus every manifest-level separator. Mirrored for the CURRENT
+    // spec's partition= line, which had no write-site guard (r19 advice).
+    def specDelimSafe(f: PartitionSpec.PartField, what: String): Unit =
+      require(!f.col.exists(c => c == ',' || c == ';' || c == ':' ||
+        c == '|' || c == '\n' || c == '\r' || c == '='),
+        s"$what entry '${PartitionSpec.encode(f)}' holds a manifest " +
+          "delimiter — refuse rather than write an unparseable manifest")
+    for (f <- snap.partSpec)
+      specDelimSafe(f, s"partition spec (v$v)")
     for ((id, fields) <- snap.partHist) {
       require(id >= 0 && fields.nonEmpty,
         s"snapshot v$v carries an empty retired partition spec $id")
-      for (f <- fields; enc = PartitionSpec.encode(f))
-        require(!enc.exists(c => c == ',' || c == ';' || c == ':' ||
-          c == '\n'),
-          s"retired partition spec entry '$enc' holds a manifest " +
-            "delimiter — refuse rather than write an unparseable manifest")
+      for (f <- fields)
+        specDelimSafe(f, s"retired partition spec $id")
     }
     for ((d, id) <- snap.dirSpecIds)
       require(snap.partHist.contains(id),
@@ -354,11 +359,9 @@ object SnapshotTable {
       if (snap.partSpec.isEmpty) ""
       else "partition=" + snap.partSpec.map(PartitionSpec.encode)
         .mkString(",") + "\n"
-    val partValsLine =
-      if (snap.partVals.isEmpty) ""
-      else "partvals=" + snap.dataDirs.filter(snap.partVals.contains)
-        .map(d => (d +: snap.partVals(d)).mkString("|")).mkString(",") +
-        "\n"
+    val partValsLine = spillLine("partvals",
+      snap.dataDirs.filter(snap.partVals.contains)
+        .map(d => (d +: snap.partVals(d)).mkString("|")))
     // spec-evolution state: all three lines absent on never-evolved
     // tables (the standing format-compat rule). ':' and ';' are safe
     // sub-delimiters here — encode() charset is validated above.
@@ -370,15 +373,34 @@ object SnapshotTable {
         .map { case (id, fs) =>
           s"$id:" + fs.map(PartitionSpec.encode).mkString(";")
         }.mkString(",") + "\n"
-    val dirSpecLine =
-      if (snap.dirSpecIds.isEmpty) ""
-      else "partdirspec=" + snap.dataDirs.filter(snap.dirSpecIds.contains)
-        .map(d => s"$d|${snap.dirSpecIds(d)}").mkString(",") + "\n"
+    val dirSpecLine = spillLine("partdirspec",
+      snap.dataDirs.filter(snap.dirSpecIds.contains)
+        .map(d => s"$d|${snap.dirSpecIds(d)}"))
+    // declared write order (WRITE ORDERED BY): absent line keeps
+    // pre-order manifests byte-identical. Hidden partitioning and a
+    // write order both claim the INSERT landing layout — a manifest
+    // carrying both is contradictory and refuses.
+    require(snap.writeOrder.nonEmpty || snap.writeOrderSlices == 0,
+      s"snapshot v$v carries write-order slices without order columns")
+    require(snap.writeOrder.isEmpty || snap.writeOrderSlices >= 1,
+      s"snapshot v$v carries write-order columns without a slice count")
+    require(snap.writeOrder.isEmpty || snap.partSpec.isEmpty,
+      s"snapshot v$v declares both a partition spec and a write order " +
+        "— the two landing layouts are mutually exclusive")
+    for (c <- snap.writeOrder)
+      require(c.nonEmpty && !c.exists(ch => ch == ',' || ch == '|' ||
+        ch == ';' || ch == ':' || ch == '\n' || ch == '\r' || ch == '='),
+        s"write-order column '$c' holds a manifest delimiter — refuse " +
+          "rather than write an unparseable manifest")
+    val writeOrderLine =
+      if (snap.writeOrder.isEmpty) ""
+      else s"writeorder=${snap.writeOrderSlices}|" +
+        snap.writeOrder.mkString(";") + "\n"
     val core = s"data=${snap.dataDirs.mkString(",")}\n" +
       s"delete=${snap.deleteDirs.mkString(",")}\n" + boundsLine +
       rowsLine + colStatsLine + schemaLine + renamesLine + droppedLine +
       checksLine + ingestedLine + partLine + partValsLine +
-      partSpecIdLine + partHistLine + dirSpecLine
+      partSpecIdLine + partHistLine + dirSpecLine + writeOrderLine
     val body = core + f"crc=${crc32(core)}%08x\n"
     val dst = manifestPath(base, v)
     val fs = fsFor(spark, dst)
@@ -551,11 +573,14 @@ object SnapshotTable {
       .map(_.split("=", 2)).map(a => a(0) -> a.lift(1).getOrElse(""))
       .toMap
     def dirs(k: String) = kv.getOrElse(k, "").split(",").filter(_.nonEmpty)
-    val refs: Seq[String] = (dirs("colstats_refs") ++
-      dirs("ingested_refs")).toSeq
+    // every per-dir line may spill (the write-side spillLine contract)
+    val spillableKeys = Seq("colstats", "ingested", "bounds", "rows",
+      "partvals", "partdirspec")
+    val refs: Seq[String] =
+      spillableKeys.flatMap(k => dirs(s"${k}_refs"))
     // a line present both inline and spilled would double-parse — the
     // writer never emits that, so a manifest carrying it is damaged
-    for (k <- Seq("colstats", "ingested"))
+    for (k <- spillableKeys)
       if (kv.get(k).exists(_.nonEmpty) &&
           kv.get(s"${k}_refs").exists(_.nonEmpty))
         throw new IllegalArgumentException(
@@ -567,7 +592,7 @@ object SnapshotTable {
       else dirs(s"${k}_refs").toSeq
         .flatMap(n => resolve(n).split(",").filter(_.nonEmpty))
     }
-    val bounds = dirs("bounds").toSeq.map { entry =>
+    val bounds = spillable("bounds").map { entry =>
       entry.split("\\|", -1) match {
         case Array(d, c, t, mn, mx) => DirBounds(d, c, t, mn, mx)
         case _ => throw new IllegalArgumentException(
@@ -575,7 +600,7 @@ object SnapshotTable {
             "written by a newer format")
       }
     }
-    val rows = dirs("rows").toSeq.map { entry =>
+    val rows = spillable("rows").map { entry =>
       entry.split("\\|", -1) match {
         case Array(d, n) if n.forall(_.isDigit) && n.nonEmpty => d -> n.toLong
         case _ => throw new IllegalArgumentException(
@@ -651,7 +676,7 @@ object SnapshotTable {
             "written by a newer format")
       }
     }.toMap
-    val dirSpecIds = dirs("partdirspec").toSeq.map { entry =>
+    val dirSpecIds = spillable("partdirspec").map { entry =>
       entry.split("\\|", -1) match {
         case Array(d, id)
             if d.nonEmpty && id.nonEmpty && id.forall(_.isDigit) =>
@@ -661,7 +686,7 @@ object SnapshotTable {
             "or written by a newer format")
       }
     }.toMap
-    val partVals = dirs("partvals").toSeq.map { entry =>
+    val partVals = spillable("partvals").map { entry =>
       val parts = entry.split("\\|", -1)
       // a tuple's arity is governed by the spec that RENDERED it — the
       // dir's pinned retired spec when evolution moved past it
@@ -678,10 +703,22 @@ object SnapshotTable {
             "written by a newer format")
       parts(0) -> parts.drop(1).toSeq
     }.toMap
+    val (writeOrder, writeOrderSlices) =
+      kv.get("writeorder").filter(_.nonEmpty).map { s =>
+        s.split("\\|", -1) match {
+          case Array(n, cs)
+              if n.nonEmpty && n.forall(_.isDigit) && cs.nonEmpty =>
+            (cs.split(";").filter(_.nonEmpty).toSeq, n.toInt)
+          case _ => throw new IllegalArgumentException(
+            s"unparseable writeorder line '$s' — manifest damaged or " +
+              "written by a newer format")
+        }
+      }.getOrElse((Nil, 0))
     (Snapshot(dirs("data").toSeq, dirs("delete").toSeq, bounds,
       kv.get("schema").filter(_.nonEmpty), rows, renames,
       dirs("dropped").toSeq, colStats, checks, ingested, partSpec,
-      partVals, partSpecId, partHist, dirSpecIds),
+      partVals, partSpecId, partHist, dirSpecIds, writeOrder,
+      writeOrderSlices),
       crcLines.headOption.map(_.stripPrefix("crc=")),
       coreLines.mkString("", "\n", "\n"), refs)
   }
@@ -2339,6 +2376,16 @@ object SnapshotTable {
       sets: Seq[(String, org.apache.spark.sql.Column)]) extends MatchedAction
   case object MatchedDelete extends MatchedAction
 
+  /** An uncorrelated `attr IN (subquery)` decorrelated out of a MERGE
+    * clause condition (plans/SnapshotDml): the engine left-joins the
+    * DISTINCT subquery values onto the named side (target dirs or the
+    * merge source — the erase set stays a distributed plan end to end,
+    * never an inlined literal list) and the rewritten condition
+    * references `marker`: TRUE on membership, NULL→false, which is
+    * exactly IN's three-valued "only TRUE applies" semantics. */
+  final case class MergeSemiMarker(marker: String, targetSide: Boolean,
+      attr: String, values: DataFrame)
+
   /** GENERALIZED MERGE — the full Delta/Iceberg CDC clause surface over
     * this table's dir-level copy-on-write mechanics:
     *
@@ -2383,7 +2430,8 @@ object SnapshotTable {
       insertUnmatched: Boolean,
       bySource: Seq[(Option[org.apache.spark.sql.Column], MatchedAction)] =
         Nil,
-      insertCond: Option[org.apache.spark.sql.Column] = None)
+      insertCond: Option[org.apache.spark.sql.Column] = None,
+      markers: Seq[MergeSemiMarker] = Nil)
       : RewriteReport = {
     val head = headVersion(spark, base)
     require(head >= 1, s"no committed snapshot under $base to merge into")
@@ -2428,6 +2476,30 @@ object SnapshotTable {
       s"merge source holds duplicate $keyCol values — which copy wins " +
         "would be arbitrary; dedupe the source first")
     val srcKeys = aligned.select(col(keyCol)).distinct()
+    // decorrelated-IN markers: DISTINCT subquery values left-join onto
+    // the named side (distinct ⇒ multiplicity-preserving), marker names
+    // must be free on both frames (the KvSink collision rule)
+    require(markers.map(_.marker).distinct.size == markers.size,
+      "duplicate merge marker names")
+    for (m <- markers) {
+      require(m.values.columns.length == 1,
+        s"merge IN subquery for ${m.attr} must produce exactly one " +
+          s"column, got ${m.values.columns.toSeq}")
+      graft.operators.Markers.requireFree(source, "merge source",
+        m.marker)
+      require(!stored.contains(m.marker),
+        s"merge marker ${m.marker} collides with a stored column")
+      if (m.targetSide) require(stored.contains(m.attr),
+        s"merge IN references unknown target column ${m.attr}")
+      else require(source.columns.contains(m.attr),
+        s"merge IN references unknown source column ${m.attr}")
+    }
+    val (tgtMk, srcMk) = markers.partition(_.targetSide)
+    def attachMk(df: DataFrame, ms: Seq[MergeSemiMarker]): DataFrame =
+      ms.foldLeft(df)((d, m) =>
+        d.join(m.values.toDF(m.attr).distinct()
+          .withColumn(m.marker, lit(true)), Seq(m.attr), "left"))
+    val alignedM = attachMk(aligned, srcMk)
     // scope probes: matched clauses (and the INSERT anti-join) need the
     // dirs holding a source key; a by-source delete needs the dirs
     // holding a key-absent row satisfying its condition
@@ -2447,7 +2519,8 @@ object SnapshotTable {
             .map(e => coalesce(e, lit(false))).reduce(_ || _))
         probeHitDirs(spark, snap, head, df =>
           anyCond.foldLeft(
-            df.join(broadcast(srcKeys), Seq(keyCol), "left_anti"))(
+            attachMk(df, tgtMk)
+              .join(broadcast(srcKeys), Seq(keyCol), "left_anti"))(
             _ where _))
       }
     val rewrite = (if (matched.nonEmpty) hitMatched else Set.empty[String]) ++
@@ -2465,10 +2538,12 @@ object SnapshotTable {
     val rewritten: Option[DataFrame] =
       if (rewrite.isEmpty) None
       else {
-        val t = readData(spark, snap, rewrite.toSeq.sorted)
-        graft.operators.Markers.requireFree(t, "merge target",
-          "_graft_merge_matched", "_graft_merge_matched_keep")
-        val joined = t.alias("t").join(broadcast(aligned.alias("s")),
+        val t0 = readData(spark, snap, rewrite.toSeq.sorted)
+        graft.operators.Markers.requireFree(t0, "merge target",
+          ("_graft_merge_matched" +: "_graft_merge_matched_keep" +:
+            markers.map(_.marker)): _*)
+        val t = attachMk(t0, tgtMk)
+        val joined = t.alias("t").join(broadcast(alignedM.alias("s")),
           col(s"t.$keyCol") === col(s"s.$keyCol"), "left")
         val matchedF = col(s"s.$keyCol").isNotNull
         // first-match clause guards: applied(i) = matched, no earlier
@@ -2489,8 +2564,12 @@ object SnapshotTable {
               case MatchedDelete => alt
             }
           }.as(c)
-        } :+ (!deleteApplied).as("_graft_merge_matched_keep")
-          :+ matchedF.as("_graft_merge_matched"): _*)
+        } ++ Seq((!deleteApplied).as("_graft_merge_matched_keep"),
+          matchedF.as("_graft_merge_matched"))
+          // by-source conditions evaluate over this projected frame —
+          // target-side IN markers ride along (dropped by the final
+          // stored-columns select like the guard columns)
+          ++ tgtMk.map(m => col(s"t.${m.marker}").as(m.marker)): _*)
         // by-source clauses over the projected frame: an unmatched row's
         // projected values ARE its original stored values, so the bare
         // target-only conditions and SET expressions evaluate against
@@ -2521,11 +2600,12 @@ object SnapshotTable {
     // conditional insert: filter the SOURCE side before the anti-join
     // (cheaper — the probe against stored keys sees fewer rows, and the
     // condition references source columns only, so order is free)
-    val insertSrc = insertCond.foldLeft(aligned)((df, c) =>
+    val insertSrc = insertCond.foldLeft(alignedM)((df, c) =>
       df.where(coalesce(c, lit(false))))
     val inserts: Option[DataFrame] =
       if (!insertUnmatched) None
-      else if (hitMatched.isEmpty) Some(insertSrc)
+      else if (hitMatched.isEmpty)
+        Some(insertSrc.select(stored.toIndexedSeq.map(col): _*))
       else Some(insertSrc.join(
         readData(spark, snap, hitMatched.toSeq.sorted)
           .select(col(keyCol)).distinct(),
@@ -3148,9 +3228,19 @@ object SnapshotTable {
       .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     // a FULL rewrite: every output dir carries the current logical names,
-    // so rename/drop evolution debt (and its ghost-name locks) clears here
+    // so rename/drop evolution debt (and its ghost-name locks) clears
+    // here, and colStats go stale by construction. Everything else —
+    // CHECK constraints, the COPY INTO exactly-once ledger, the partition
+    // spec and its evolution history — is TABLE state, not layout state,
+    // and must survive a re-layout (r19 advice: the bare-Snapshot commit
+    // silently un-partitioned tables and re-armed double-loads). The
+    // zb-slice dirs legitimately carry no partition tuple (wide: always
+    // kept by pruning), so partVals/dirSpecIds clear while the spec
+    // itself rides on for future routed INSERTs.
     commit(spark, base, v,
-      Snapshot(newDirs, Nil, bounds, snap.schema, counts))
+      snap.copy(dataDirs = newDirs, deleteDirs = Nil, bounds = bounds,
+        rowCounts = counts, renames = Map.empty, dropped = Nil,
+        colStats = Nil, partVals = Map.empty, dirSpecIds = Map.empty))
     ZorderReport(v, snap.dataDirs.size, newDirs.size)
   }
 
@@ -3259,6 +3349,10 @@ object SnapshotTable {
       s"column $from is a partition-transform source " +
         s"(${snap.partSpec.filter(_.col == from).mkString(", ")}) — " +
         "renaming it would orphan the table's partition spec")
+    require(!snap.writeOrder.contains(from),
+      s"column $from is a declared write-order column — renaming it " +
+        "would orphan the table's WRITE ORDERED BY; clear the order " +
+        "first")
     require(to.nonEmpty && !to.exists(c => c == '|' || c == ',' ||
       c == '\n'), s"column name '$to' holds a manifest delimiter")
     val physical = snap.renames.getOrElse(from, from)
@@ -3308,6 +3402,10 @@ object SnapshotTable {
       s"column $name is a partition-transform source " +
         s"(${snap.partSpec.filter(_.col == name).mkString(", ")}) — " +
         "dropping it would orphan the table's partition spec")
+    require(!snap.writeOrder.contains(name),
+      s"column $name is a declared write-order column — dropping it " +
+        "would orphan the table's WRITE ORDERED BY; clear the order " +
+        "first")
     val physical = snap.renames.getOrElse(name, name)
     val narrowed = org.apache.spark.sql.types.StructType(
       cur.filterNot(_.name == name))
@@ -3411,6 +3509,9 @@ object SnapshotTable {
           "partition spec evolution needs a manifest-carried schema to " +
             "validate the transforms against — this table has none"))
       newSpec.foreach(PartitionSpec.validate(_, schema))
+      require(newSpec.isEmpty || snap.writeOrder.isEmpty,
+        "PARTITIONED BY on a WRITE ORDERED table is refused — the " +
+          "write order already owns the landing layout; clear it first")
       // pin every tuple-carrying dir not already pinned to the OUTGOING
       // spec, archive that spec, then GC history entries nothing pins
       val oldId = snap.partSpecId
@@ -3438,6 +3539,72 @@ object SnapshotTable {
     }
     throw new IllegalStateException(
       s"alterPartitionSpec lost the commit race 20 times under $base")
+  }
+
+  /** WRITE ORDERED BY — declare (or clear, with `cols = Nil`) the
+    * table's landing sort order, METADATA-ONLY (one manifest commit,
+    * existing dirs unchanged — they carry no new bounds and stay
+    * wide-never-wrong). Every later INSERT range-slices its batch on
+    * the order columns into `slices` dirs, sorts within each, and
+    * records per-dir bounds — so a range probe prunes structurally
+    * with NO maintenance CALL ever run, and maintenance can read the
+    * declared order from `.detail` before deciding a re-layout is
+    * needed. Mutually exclusive with hidden partitioning (both claim
+    * the landing layout); refused on rename-evolved tables (bounds
+    * record LOGICAL names, landed files carry PHYSICAL ones — equal
+    * only while no rename mapping exists; zorder's full rewrite clears
+    * the mapping). */
+  def alterWriteOrder(spark: SparkSession, base: String,
+      cols: Seq[String], slices: Int): Int = {
+    require(cols.nonEmpty || slices == 0,
+      "clearing the write order takes zero slices")
+    require(cols.distinct.size == cols.size,
+      s"duplicate write-order columns: $cols")
+    var attempt = 0
+    while (attempt < 20) {
+      attempt += 1
+      val head = headVersion(spark, base)
+      require(head >= 1, s"no committed snapshot under $base")
+      val snap = manifest(spark, base, head)
+      if (snap.writeOrder == cols && snap.writeOrderSlices == slices)
+        return head // idempotent
+      if (cols.nonEmpty) {
+        require(slices >= 1 && slices <= 4096,
+          s"write-order slice count must be in [1, 4096], got $slices")
+        require(snap.partSpec.isEmpty,
+          "WRITE ORDERED BY on a PARTITIONED BY table is refused — " +
+            "the partition spec already owns the landing layout")
+        require(snap.renames.isEmpty,
+          "WRITE ORDERED BY on a rename-evolved table is refused — " +
+            "bounds record logical names but landed files carry " +
+            "physical ones; zorder (a full rewrite) clears the mapping")
+        val schema = snap.schema.map(
+          org.apache.spark.sql.types.StructType.fromDDL).getOrElse(
+          throw new IllegalArgumentException(
+            "WRITE ORDERED BY needs a manifest-carried schema to " +
+              "validate the order columns against — this table has none"))
+        for (c <- cols) {
+          val f = schema.fields.find(_.name == c).getOrElse(
+            throw new IllegalArgumentException(
+              s"write-order column $c is not in the table schema " +
+                schema.fieldNames.toSeq))
+          boundsTyp(f.dataType): Unit // unorderable types refuse loudly
+        }
+      }
+      try {
+        commit(spark, base, head + 1, snap.copy(writeOrder = cols,
+          writeOrderSlices = if (cols.isEmpty) 0 else slices))
+        return head + 1
+      } catch {
+        case e: IllegalArgumentException
+            if attempt < 20 && e.getMessage != null && e.getMessage
+              .contains("already committed with different content") => ()
+        case _: java.nio.file.FileAlreadyExistsException
+            if attempt < 20 => ()
+      }
+    }
+    throw new IllegalStateException(
+      s"alterWriteOrder lost the commit race 20 times under $base")
   }
 
   /** Project `df` to exactly `target`: columns the frame lacks read as

@@ -1607,4 +1607,213 @@ class SnapshotCatalogSpec extends SparkTestBase {
       s"repeat ANALYZE of an absent column ran ${jobs.length} Spark " +
         "job(s) — the forever-uncoverable dir was re-scanned")
   }
+
+  test("optimizeZorder is a LAYOUT rewrite, not a table reset: checks, " +
+      "the COPY INTO ledger, and the partition spec survive the commit " +
+      "(r19 advice: the bare-Snapshot commit silently dropped all three)") {
+    val root = Files.createTempDirectory("snapcat").toString
+    setupCatalog("snapzm", root)
+    val base = s"$root/t"
+    spark.sql("CREATE TABLE snapzm.t (k BIGINT, x BIGINT, y BIGINT) " +
+      "PARTITIONED BY (bucket(4, k))")
+    spark.sql("INSERT INTO snapzm.t " +
+      "SELECT id, id % 16, id DIV 16 FROM range(256)")
+    ST.addCheck(spark, base, "x_nonneg", "x >= 0"): Unit
+    val land = s"$root/_landing"
+    spark.range(256, 288).selectExpr("id AS k", "id % 16 AS x",
+      "id DIV 16 AS y").coalesce(1).write.parquet(land)
+    val r1 = ST.ingestFiles(spark, base, s"$land/*.parquet")
+    assert(r1.filesAdded >= 1, r1.toString)
+    val before = ST.manifest(spark, base, ST.headVersion(spark, base))
+    assert(before.checks.nonEmpty && before.ingested.nonEmpty &&
+      before.partSpec.nonEmpty && before.partVals.nonEmpty)
+    spark.sql("CALL snapzm.system.zorder('t', 'k', 'x,y', 4)").collect()
+    val after = ST.manifest(spark, base, ST.headVersion(spark, base))
+    // TABLE state survives the full rewrite ...
+    assert(after.checks == before.checks,
+      "CHECK constraints must survive a zorder rewrite")
+    assert(after.ingested == before.ingested,
+      "the COPY INTO exactly-once ledger must survive a zorder rewrite")
+    assert(after.partSpec == before.partSpec &&
+      after.partSpecId == before.partSpecId &&
+      after.partHist == before.partHist,
+      "the partition spec (and its evolution history) must survive")
+    // ... while LAYOUT state legitimately resets: zb slices carry no
+    // tuples (wide: always kept) and stats/evolution debt clears
+    assert(after.partVals.isEmpty && after.dirSpecIds.isEmpty &&
+      after.renames.isEmpty && after.dropped.isEmpty &&
+      after.colStats.isEmpty && after.deleteDirs.isEmpty)
+    assert(spark.sql("SELECT COUNT(*) AS n FROM snapzm.t")
+      .head.getLong(0) == 288L)
+    // (a) the constraint still ENFORCES, by name
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO snapzm.t VALUES (999, -1, 0)").collect() }
+    assert(e.getMessage != null && e.getMessage.contains("x_nonneg"),
+      e.getMessage)
+    // (b) the same glob re-fires and double-loads NOTHING
+    val r2 = ST.ingestFiles(spark, base, s"$land/*.parquet")
+    assert(r2.filesAdded == 0 && r2.filesSkipped >= 1, r2.toString)
+    assert(spark.sql("SELECT COUNT(*) AS n FROM snapzm.t")
+      .head.getLong(0) == 288L)
+    // (c) routed INSERTs after the rewrite still route and prune
+    spark.sql("INSERT INTO snapzm.t " +
+      "SELECT id, 1, 1 FROM range(300, 340)")
+    val h = ST.manifest(spark, base, ST.headVersion(spark, base))
+    assert(h.partVals.nonEmpty,
+      "a post-rewrite INSERT must still route to per-tuple dirs")
+    graft.plans.SnapshotDmlRule.lastPrune.remove(base)
+    assert(spark.sql("SELECT COUNT(*) AS n FROM snapzm.t WHERE k = 310")
+      .head.getLong(0) == 1L)
+    val (kept, total) = graft.plans.SnapshotDmlRule.lastPrune.get(base)
+    assert(kept < total,
+      s"bucket predicate must prune post-rewrite dirs ($kept/$total)")
+  }
+
+  test("MERGE subquery conditions decorrelate: target/source IN become " +
+      "semi markers, uncorrelated EXISTS folds per clause, correlated " +
+      "and NOT IN still refuse") {
+    val root = Files.createTempDirectory("snapcat").toString
+    setupCatalog("snapmsq", root, "t" -> "k")
+    val base = s"$root/t"
+    spark.sql("CREATE TABLE snapmsq.t (k BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO snapmsq.t SELECT id AS k, id * 10 AS v " +
+      "FROM range(10)")
+    spark.range(0, 20).selectExpr("id AS k", "id * 100 AS v")
+      .createOrReplaceTempView("msq_src")
+    spark.range(0, 3).selectExpr("id * 2 AS kk") // {0, 2, 4}
+      .createOrReplaceTempView("msq_even")
+    // matched DELETE gated by a TARGET-column IN (v in {0,20,40} →
+    // k 0,2,4 delete); matched UPDATE gated by a SOURCE-column IN
+    // (src.k in {0,2,4} — already consumed by clause 1 for 0,2,4, so
+    // nothing; then k<10 matched rows not in either set stay)
+    spark.sql(
+      """MERGE INTO snapmsq.t AS tgt USING (
+        |  SELECT k, v FROM msq_src WHERE k < 10
+        |) AS src ON tgt.k = src.k
+        |WHEN MATCHED AND tgt.v IN (SELECT kk * 10 FROM msq_even)
+        |  THEN DELETE
+        |WHEN MATCHED AND src.k IN (SELECT kk + 1 FROM msq_even)
+        |  THEN UPDATE SET v = src.v""".stripMargin)
+    // k 0,2,4 deleted; k 1,3,5 updated to 100,300,500; k 6..9 unchanged
+    val after1 = spark.sql("SELECT k, v FROM snapmsq.t ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(after1 == Seq((1L, 100L), (3L, 300L), (5L, 500L), (6L, 60L),
+      (7L, 70L), (8L, 80L), (9L, 90L)), after1.toString)
+    // ordered conditional INSERTs: the FALSE EXISTS kills only its
+    // clause; the TRUE EXISTS admits its clause's rows; the IN clause
+    // admits k=14 (kk*7 = {0,14,28})
+    spark.sql(
+      """MERGE INTO snapmsq.t AS tgt USING (
+        |  SELECT k, v FROM msq_src WHERE k >= 12 AND k < 16
+        |) AS src ON tgt.k = src.k
+        |WHEN NOT MATCHED AND EXISTS
+        |  (SELECT 1 FROM msq_even WHERE kk > 99) THEN INSERT *
+        |WHEN NOT MATCHED AND src.k IN (SELECT kk * 7 FROM msq_even)
+        |  THEN INSERT *
+        |WHEN NOT MATCHED AND src.k = 15 AND EXISTS
+        |  (SELECT 1 FROM msq_even WHERE kk = 4) THEN INSERT *"""
+        .stripMargin)
+    val after2 = spark.sql(
+      "SELECT k FROM snapmsq.t WHERE k >= 12 ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq
+    assert(after2 == Seq(14L, 15L), after2.toString)
+    // by-source DELETE gated by a target IN: key-absent rows (k not in
+    // src) whose v is in {100, 300} drop — k 1 and 3, never 14/15
+    spark.sql(
+      """MERGE INTO snapmsq.t AS tgt USING (
+        |  SELECT k FROM msq_src WHERE k >= 5 AND k < 16
+        |) AS src ON tgt.k = src.k
+        |WHEN NOT MATCHED BY SOURCE AND v IN
+        |  (SELECT kk * 50 + 100 FROM msq_even WHERE kk <= 4)
+        |  THEN DELETE""".stripMargin)
+    val after3 = spark.sql("SELECT k FROM snapmsq.t ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq
+    assert(after3 == Seq(5L, 6L, 7L, 8L, 9L, 14L, 15L), after3.toString)
+    // refusals stay loud
+    for (bad <- Seq(
+      // correlated IN
+      """MERGE INTO snapmsq.t AS tgt USING (SELECT k FROM msq_src)
+        |AS src ON tgt.k = src.k
+        |WHEN MATCHED AND tgt.v IN
+        |  (SELECT v FROM msq_src m WHERE m.k = tgt.k) THEN DELETE"""
+        .stripMargin,
+      // NOT IN
+      """MERGE INTO snapmsq.t AS tgt USING (SELECT k FROM msq_src)
+        |AS src ON tgt.k = src.k
+        |WHEN MATCHED AND tgt.v NOT IN (SELECT kk FROM msq_even)
+        |  THEN DELETE""".stripMargin,
+      // scalar subquery in SET
+      """MERGE INTO snapmsq.t AS tgt USING (SELECT k, v FROM msq_src)
+        |AS src ON tgt.k = src.k
+        |WHEN MATCHED THEN UPDATE SET v = (SELECT MAX(kk) FROM msq_even)"""
+        .stripMargin))
+      intercept[Exception] { spark.sql(bad).collect() }
+    // untouched by the refused statements
+    assert(spark.sql("SELECT COUNT(*) FROM snapmsq.t").head.getLong(0)
+      == 7L)
+  }
+
+  test("WRITE ORDERED BY: ordered INSERTs land range-disjoint sorted " +
+      "slices with bounds (range probes prune with no CALL), detail " +
+      "reports the order, and the guard matrix refuses") {
+    val root = Files.createTempDirectory("snapcat").toString
+    setupCatalog("snapwo", root)
+    val base = s"$root/t"
+    spark.sql("CREATE TABLE snapwo.t (k BIGINT, v BIGINT)")
+    assert(ST.alterWriteOrder(spark, base, Seq("v"), 4) == 2)
+    // idempotent re-declare
+    assert(ST.alterWriteOrder(spark, base, Seq("v"), 4) == 2)
+    spark.sql("INSERT INTO snapwo.t " +
+      "SELECT id AS k, (id * 37) % 1000 AS v FROM range(1000)")
+    val snap = ST.manifest(spark, base, 3)
+    val sliced = snap.bounds.filter(_.col == "v")
+    assert(sliced.size == 4,
+      s"expected 4 bounds-carrying slices, got ${sliced.size}")
+    // range slicing ⇒ NON-OVERLAPPING value ranges across slices
+    val ranges = sliced.map(b => (b.min.toLong, b.max.toLong))
+      .sortBy(_._1)
+    assert(ranges.sliding(2).forall {
+      case Seq(a, b) => a._2 < b._1
+      case _ => true
+    }, s"slices overlap: $ranges")
+    // counts came from footers; total preserved
+    assert(spark.sql("SELECT COUNT(*) FROM snapwo.t").head.getLong(0)
+      == 1000L)
+    // a range probe prunes structurally — no ANALYZE, no CALL, ever
+    graft.plans.SnapshotDmlRule.lastPrune.remove(base)
+    val r = spark.sql(
+      "SELECT COUNT(*) AS n FROM snapwo.t WHERE v >= 10 AND v < 50")
+      .head.getLong(0)
+    assert(r == 40L) // (id*37)%1000 is a bijection on 0..999
+    val (kept, total) = graft.plans.SnapshotDmlRule.lastPrune.get(base)
+    assert(kept < total, s"range probe must prune dirs ($kept/$total)")
+    assert(spark.sql("SELECT write_order FROM snapwo.t.detail")
+      .head.getString(0) == "v [4 slices]")
+    // guard matrix
+    intercept[Exception] { // rename of an order column refuses
+      ST.evolveRenameColumn(spark, base, "v", "v2") }
+    intercept[Exception] { // drop of an order column refuses
+      ST.evolveDropColumn(spark, base, "v") }
+    intercept[Exception] { // partition spec on an ordered table refuses
+      ST.alterPartitionSpec(spark, base,
+        graft.sources.PartitionSpec.parse("bucket(4, k)")) }
+    intercept[Exception] { // unknown order column refuses
+      ST.alterWriteOrder(spark, base, Seq("nope"), 4) }
+    intercept[Exception] { // zero slices with columns refuses
+      ST.alterWriteOrder(spark, base, Seq("v"), 0) }
+    // ...and the reverse exclusion: ordering a PARTITIONED table refuses
+    spark.sql("CREATE TABLE snapwo.p (k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (bucket(2, k))")
+    intercept[Exception] {
+      ST.alterWriteOrder(spark, s"$root/p", Seq("v"), 4) }
+    // clearing restores plain single-dir landing (no new bounds)
+    val vClear = ST.alterWriteOrder(spark, base, Nil, 0)
+    spark.sql("INSERT INTO snapwo.t VALUES (5000, 5000)")
+    val after = ST.manifest(spark, base, vClear + 1)
+    assert(after.writeOrder.isEmpty && after.writeOrderSlices == 0)
+    assert(after.bounds.size == snap.bounds.size,
+      "a cleared order must stop recording bounds")
+    assert(spark.sql("SELECT COUNT(*) FROM snapwo.t").head.getLong(0)
+      == 1001L)
+  }
 }

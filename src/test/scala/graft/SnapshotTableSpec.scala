@@ -1491,4 +1491,74 @@ class SnapshotTableSpec extends SparkTestBase {
         "the sweep must keep referenced sidecars")
     } finally SnapshotTable.sidecarSpillThreshold = prev
   }
+
+  test("per-dir manifest lines (bounds/rows/partvals/partdirspec) spill " +
+      "through the sidecar seam: a one-dir append to a bounds-carrying " +
+      "partitioned table commits O(delta), and the snapshot round-trips") {
+    val base = freshBase()
+    val nd = 14
+    for (i <- 0 to nd) writeNums(s"$base/d$i", i * 10, i * 10 + 10)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def manifestLen(v: Int): Long = fs.getFileStatus(
+      new org.apache.hadoop.fs.Path(s"$base/_MANIFEST_v$v")).getLen
+    def sidecars(): Set[String] = fs.listStatus(
+      new org.apache.hadoop.fs.Path(base)).toSeq
+      .map(_.getPath.getName).filter(_.startsWith("_SIDECAR_")).toSet
+    def dirsOf(n: Int): Seq[String] = (0 until n).map(i => s"$base/d$i")
+    def stateOf(ds: Seq[String]): Snapshot = Snapshot(ds, Nil,
+      bounds = ds.zipWithIndex.map { case (d, i) =>
+        SnapshotTable.DirBounds(d, "k", "int",
+          (i * 10).toString, (i * 10 + 9).toString) },
+      rowCounts = ds.map(_ -> 10L).toMap,
+      schema = Some("k INT"),
+      partSpec = Seq(graft.sources.PartitionSpec
+        .PartField("bucket", 4, "k")),
+      partVals = ds.zipWithIndex
+        .map { case (d, i) => d -> Seq((i % 4).toString) }.toMap,
+      partSpecId = 1,
+      partHist = Map(0 -> Seq(graft.sources.PartitionSpec
+        .PartField("identity", 0, "k"))),
+      dirSpecIds = ds.zipWithIndex.collect {
+        case (d, i) if i % 2 == 0 => d -> 0 }.toMap)
+    val prev = SnapshotTable.sidecarSpillThreshold
+    SnapshotTable.sidecarSpillThreshold = 6
+    try {
+      val s1 = stateOf(dirsOf(nd))
+      SnapshotTable.commit(spark, base, 1, s1)
+      assert(sidecars().nonEmpty, "per-dir lines must have spilled")
+      val m1 = SnapshotTable.manifest(spark, base, 1)
+      // full round-trip: every per-dir structure survives the spill.
+      // dirSpecIds normalize at commit (pins kept only for partVals-
+      // carrying dirs off the current spec — all of these qualify)
+      assert(m1.bounds.sortBy(_.dir) == s1.bounds.sortBy(_.dir))
+      assert(m1.rowCounts == s1.rowCounts)
+      assert(m1.partVals == s1.partVals)
+      assert(m1.dirSpecIds == s1.dirSpecIds)
+      assert(m1.partSpec == s1.partSpec && m1.partHist == s1.partHist)
+      // one-dir append: manifest growth and new-chunk count are
+      // delta-sized, never a re-inline of every per-dir entry
+      val before = sidecars()
+      SnapshotTable.commit(spark, base, 2, stateOf(dirsOf(nd + 1)))
+      val added = sidecars() -- before
+      assert(added.size <= 8,
+        s"a one-dir append wrote ${added.size} new sidecar chunks — " +
+          "chunking is not content-defined across the four lines")
+      assert(manifestLen(2) - manifestLen(1) < 500,
+        s"manifest grew ${manifestLen(2) - manifestLen(1)} bytes for a " +
+          "one-dir delta — commit payload is not O(delta dirs)")
+      val m2 = SnapshotTable.manifest(spark, base, 2)
+      assert(m2.dataDirs.size == nd + 1 &&
+        m2.bounds.size == nd + 1 && m2.partVals.size == nd + 1)
+      // pruning still works off the spilled structures: a bucket point
+      // edge keeps only matching-tuple dirs (wide dirs: none here)
+      val keyHash = org.apache.spark.sql.catalyst.expressions.Murmur3Hash(
+        Seq(org.apache.spark.sql.catalyst.expressions.Literal
+          .create(5, org.apache.spark.sql.types.IntegerType)), 42)
+        .eval(null).asInstanceOf[Int]
+      val want = (((keyHash % 4) + 4) % 4).toString
+      assert(m2.partVals.values.count(_ == Seq(want)) <
+        m2.dataDirs.size, "fixture must have prunable tuples")
+    } finally SnapshotTable.sidecarSpillThreshold = prev
+  }
 }
