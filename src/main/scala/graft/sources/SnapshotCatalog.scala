@@ -742,42 +742,9 @@ object SnapshotTableHandle {
       snapFor: SnapshotTable.Snapshot, batch: DataFrame, parent: String)
       : (Seq[String], Map[String, Seq[String]], Map[String, Long],
         Seq[SnapshotTable.DirBounds]) = {
-    import org.apache.spark.sql.functions.{col, spark_partition_id}
-    val cols = snapFor.writeOrder
-    val n = snapFor.writeOrderSlices
-    graft.operators.Markers.requireFree(batch, "ordered insert batch",
-      "_gslice")
-    val sorted = batch
-      .repartitionByRange(n, cols.map(col): _*)
-      .sortWithinPartitions(cols.map(col): _*)
-    // toPhysical is a projection — it preserves both the range
-    // partitioning and the intra-partition order
-    SnapshotTable.toPhysical(snapFor, sorted)
-      .withColumn("_gslice", spark_partition_id())
-      .write.partitionBy("_gslice").mode("overwrite").parquet(parent)
-    val pp = new org.apache.hadoop.fs.Path(parent)
-    val fs = pp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val leaves = fs.listStatus(pp).toSeq.filter(_.isDirectory)
-      .map(_.getPath)
-      .filter(_.getName.startsWith("_gslice="))
-      .sortBy(p => p.getName.stripPrefix("_gslice=").toInt)
-    if (leaves.isEmpty) return (Nil, Map.empty, Map.empty, Nil)
-    for (leaf <- leaves)
-      fs.create(new org.apache.hadoop.fs.Path(leaf, "_SUCCESS"), true)
-        .close()
-    def footerRows(leaf: org.apache.hadoop.fs.Path): Long =
-      fs.listStatus(leaf).filter(st => st.isFile &&
-        st.getPath.getName.endsWith(".parquet")).map { st =>
-        val in = org.apache.parquet.hadoop.util.HadoopInputFile
-          .fromPath(st.getPath, spark.sparkContext.hadoopConfiguration)
-        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        try r.getRecordCount finally r.close()
-      }.sum
-    val dirs = leaves.map(_.toString)
-    val counts = leaves.map(p => p.toString -> footerRows(p)).toMap
-    val bounds = cols.flatMap(c =>
-      SnapshotTable.computeBounds(spark, dirs, c))
-    (dirs, Map.empty, counts, bounds)
+    val (ds, cs, bs) =
+      SnapshotTable.landOrderedDirs(spark, snapFor, batch, parent)
+    (ds, Map.empty, cs, bs)
   }
 
   /** One SQL write = one committed version (see

@@ -2839,14 +2839,18 @@ object SnapshotTable {
     // staged state carried across OCC retries; re-staged only when the
     // fresh set (a racer ingested some of our files) or the rename map
     // (a racer evolved/normalized names) drifted
-    var stagedKey: (Seq[IngestedFile], Map[String, String]) = null
-    var stagedDir: String = null
-    var stagedRows = 0L
+    var stagedKey: (Seq[IngestedFile], Map[String, String],
+      (Seq[String], Int)) = null
+    var stagedDir: String = null // staging parent (ordered slices nest)
+    var stagedDirs: Seq[String] = Nil
+    var stagedCounts: Map[String, Long] = Map.empty
+    var stagedBounds: Seq[DirBounds] = Nil
     var validatedChecks: Seq[(String, String)] = null
     def dropStaged(): Unit = if (stagedDir != null) {
       val p = new Path(stagedDir)
       fsFor(spark, p).delete(p, true): Unit
       stagedDir = null; stagedKey = null
+      stagedDirs = Nil; stagedCounts = Map.empty; stagedBounds = Nil
     }
     var attempt = 0
     while (attempt < 20) {
@@ -2867,7 +2871,8 @@ object SnapshotTable {
         dropStaged() // a racer ingested everything we staged
         return IngestFilesReport(head, 0, listed.size)
       }
-      if (stagedKey != ((fresh, snap.renames))) {
+      if (stagedKey !=
+          ((fresh, snap.renames, (snap.writeOrder, snap.writeOrderSlices)))) {
         dropStaged()
         stagedDir = s"$base/_copyin_v${head + 1}-" +
           java.util.UUID.randomUUID().toString.take(8)
@@ -2879,21 +2884,38 @@ object SnapshotTable {
             .map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
         val alnChecked = enforceChecks(spark, snap, aligned, "COPY INTO")
         validatedChecks = snap.checks
-        toPhysical(snap, alnChecked).write.mode("overwrite")
-          .parquet(stagedDir)
-        stagedRows = spark.read.parquet(stagedDir).count()
-        stagedKey = (fresh, snap.renames)
+        // a declared write order applies to the BULK path too: the load
+        // lands range-sorted bounded slices, so ingested data is born
+        // prunable exactly like routed INSERTs
+        val ordered =
+          if (snap.writeOrder.isEmpty) (Nil, Map.empty[String, Long], Nil)
+          else landOrderedDirs(spark, snap, alnChecked, stagedDir)
+        if (ordered._1.nonEmpty) {
+          stagedDirs = ordered._1
+          stagedCounts = ordered._2
+          stagedBounds = ordered._3
+        } else {
+          toPhysical(snap, alnChecked).write.mode("overwrite")
+            .parquet(stagedDir)
+          stagedDirs = Seq(stagedDir)
+          stagedCounts =
+            Map(stagedDir -> spark.read.parquet(stagedDir).count())
+          stagedBounds = Nil
+        }
+        stagedKey =
+          (fresh, snap.renames, (snap.writeOrder, snap.writeOrderSlices))
       } else if (snap.checks != validatedChecks) {
         // a concurrent ADD CHECK landed since staging — re-validate the
         // staged rows before they can commit (the ingestBatch drift rule)
-        enforceChecks(spark, snap, spark.read.parquet(stagedDir),
+        enforceChecks(spark, snap, spark.read.parquet(stagedDirs: _*),
           "COPY INTO")
         validatedChecks = snap.checks
       }
       try {
         commit(spark, base, head + 1, snap.copy(
-          dataDirs = snap.dataDirs :+ stagedDir,
-          rowCounts = snap.rowCounts + (stagedDir -> stagedRows),
+          dataDirs = snap.dataDirs ++ stagedDirs,
+          bounds = snap.bounds ++ stagedBounds,
+          rowCounts = snap.rowCounts ++ stagedCounts,
           ingested = snap.ingested ++ fresh))
         return IngestFilesReport(head + 1, fresh.size,
           listed.size - fresh.size)
@@ -3720,6 +3742,58 @@ object SnapshotTable {
     * [[probeHitDirs]]). A dir whose column is entirely null gets NO entry:
     * a range predicate can never match null, but "no entry = always kept"
     * is the direction that can only err wide. */
+  /** The WRITE ORDERED BY landing core (shared by SQL INSERT —
+    * SnapshotCatalog.landOrdered — and COPY INTO): land `df` as up to
+    * `snap.writeOrderSlices` range-sorted slice dirs under `parent`,
+    * each stamped `_SUCCESS`, with footer-exact row counts and per-dir
+    * BOUNDS on the order columns computed in the same call — freshly
+    * landed data is born range-prunable. One executor-parallel job
+    * lands the bytes: repartitionByRange + a partition-id staging
+    * column written via partitionBy (the id is task-constant, so
+    * partitionBy adds no second shuffle; toPhysical is a projection and
+    * preserves both the partitioning and the intra-partition sort).
+    * Empty result = empty batch (callers fall back to one plain dir).
+    * [[alterWriteOrder]] refused rename/drop of order columns, so their
+    * physical names equal their logical ones and computeBounds/pruning
+    * agree on naming. */
+  def landOrderedDirs(spark: SparkSession, snap: Snapshot,
+      df: DataFrame, parent: String)
+      : (Seq[String], Map[String, Long], Seq[DirBounds]) = {
+    import org.apache.spark.sql.functions.spark_partition_id
+    val cols = snap.writeOrder
+    require(cols.nonEmpty && snap.writeOrderSlices >= 1,
+      "landOrderedDirs needs a declared write order")
+    graft.operators.Markers.requireFree(df, "ordered landing batch",
+      "_gslice")
+    val sorted = df
+      .repartitionByRange(snap.writeOrderSlices, cols.map(col): _*)
+      .sortWithinPartitions(cols.map(col): _*)
+    toPhysical(snap, sorted)
+      .withColumn("_gslice", spark_partition_id())
+      .write.partitionBy("_gslice").mode("overwrite").parquet(parent)
+    val pp = new Path(parent)
+    val fs = fsFor(spark, pp)
+    val leaves = fs.listStatus(pp).toSeq.filter(_.isDirectory)
+      .map(_.getPath)
+      .filter(_.getName.startsWith("_gslice="))
+      .sortBy(p => p.getName.stripPrefix("_gslice=").toInt)
+    if (leaves.isEmpty) return (Nil, Map.empty, Nil)
+    for (leaf <- leaves)
+      fs.create(new Path(leaf, "_SUCCESS"), true).close()
+    def footerRows(leaf: Path): Long =
+      fs.listStatus(leaf).filter(st => st.isFile &&
+        st.getPath.getName.endsWith(".parquet")).map { st =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(st.getPath, spark.sparkContext.hadoopConfiguration)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      }.sum
+    val dirs = leaves.map(_.toString)
+    val counts = leaves.map(p => p.toString -> footerRows(p)).toMap
+    val bounds = cols.flatMap(c => computeBounds(spark, dirs, c))
+    (dirs, counts, bounds)
+  }
+
   def computeBounds(spark: SparkSession, dataDirs: Seq[String],
       statsCol: String): Seq[DirBounds] = {
     import org.apache.spark.sql.functions.{max => fmax, min => fmin}

@@ -1806,14 +1806,40 @@ class SnapshotCatalogSpec extends SparkTestBase {
       "PARTITIONED BY (bucket(2, k))")
     intercept[Exception] {
       ST.alterWriteOrder(spark, s"$root/p", Seq("v"), 4) }
+    // COPY INTO honors the order too: the bulk load lands range-sorted
+    // bounded slices, and the exactly-once ledger still dedups
+    val land = s"${Files.createTempDirectory("snapwoland")}/lz"
+    spark.range(2000, 2400)
+      .selectExpr("id AS k", "id - 1000 AS v") // v 1000..1399, disjoint
+      .coalesce(1).write.parquet(land)
+    val boundsBefore = ST.manifest(spark, base,
+      ST.headVersion(spark, base)).bounds.size
+    val ri = ST.ingestFiles(spark, base, s"$land/*.parquet")
+    assert(ri.filesAdded == 1, ri.toString)
+    val mi = ST.manifest(spark, base, ST.headVersion(spark, base))
+    val ingBounds = mi.bounds.size - boundsBefore
+    assert(ingBounds >= 2,
+      s"ordered COPY INTO must land bounds-carrying slices ($ingBounds)")
+    assert(spark.sql("SELECT COUNT(*) FROM snapwo.t").head.getLong(0)
+      == 1400L)
+    // the new slices prune alongside the INSERT-landed ones
+    graft.plans.SnapshotDmlRule.lastPrune.remove(base)
+    assert(spark.sql(
+      "SELECT COUNT(*) AS n FROM snapwo.t WHERE v >= 1200 AND v < 1250")
+      .head.getLong(0) == 50L)
+    val (ik, it) = graft.plans.SnapshotDmlRule.lastPrune.get(base)
+    assert(ik < it, s"ingested-slice range probe must prune ($ik/$it)")
+    val ri2 = ST.ingestFiles(spark, base, s"$land/*.parquet")
+    assert(ri2.filesAdded == 0 && ri2.filesSkipped == 1, ri2.toString)
     // clearing restores plain single-dir landing (no new bounds)
     val vClear = ST.alterWriteOrder(spark, base, Nil, 0)
+    val boundsAtClear = ST.manifest(spark, base, vClear).bounds.size
     spark.sql("INSERT INTO snapwo.t VALUES (5000, 5000)")
     val after = ST.manifest(spark, base, vClear + 1)
     assert(after.writeOrder.isEmpty && after.writeOrderSlices == 0)
-    assert(after.bounds.size == snap.bounds.size,
+    assert(after.bounds.size == boundsAtClear,
       "a cleared order must stop recording bounds")
     assert(spark.sql("SELECT COUNT(*) FROM snapwo.t").head.getLong(0)
-      == 1001L)
+      == 1401L)
   }
 }

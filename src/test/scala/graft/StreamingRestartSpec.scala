@@ -719,8 +719,17 @@ class StreamingRestartSpec extends SparkTestBase {
     }
     try {
       q.processAllAvailable()
+      // land b2 ATOMICALLY (write outside the watched glob, then one
+      // directory rename): the stream triggers continuously between the
+      // processAllAvailable calls, and a trigger listing mid-write sees
+      // a PARTIAL part-file set — the remainder lands as a third epoch
+      // and the two-epochs assertion below flakes under parallel-suite
+      // load (exactly-once per FILE still held; only the batch split
+      // moved)
       (20L until 30L).map(i => (i, i % 3, i * 10)).toDF("k", "g", "v")
-        .write.parquet(s"$tmp/in/b2.parquet")
+        .write.parquet(s"$tmp/stage-b2")
+      Files.move(java.nio.file.Paths.get(s"$tmp/stage-b2"),
+        java.nio.file.Paths.get(s"$tmp/in/b2.parquet"))
       q.processAllAvailable()
     } finally q.stop()
     import graft.sources.{SnapshotTable => ST}
