@@ -425,6 +425,19 @@ class SnapshotCatalog extends TableCatalog with ProcedureCatalog {
     require(spec.map(f => (f.fn, f.n, f.col)).distinct.size == spec.size,
       s"duplicate partition transforms in ${spec.mkString(", ")}")
     spec.foreach(graft.sources.PartitionSpec.validate(_, schema))
+    // WRITE ORDERED BY at CREATE time (TBLPROPERTIES 'write.order' =
+    // comma-joined columns, 'write.order.slices' = n, default 8): same
+    // contract as CALL set_write_order, declared before the first row
+    // lands; the commit refuses the PARTITIONED BY combination
+    val woCols = Option(properties.get("write.order"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+    val woSlices = Option(properties.get("write.order.slices"))
+      .map(_.trim.toInt).getOrElse(if (woCols.nonEmpty) 8 else 0)
+    require(woCols.nonEmpty || woSlices == 0,
+      "'write.order.slices' without 'write.order' — declare the columns")
+    if (woCols.nonEmpty)
+      SnapshotTable.validateWriteOrder(woCols, woSlices, schema)
     val base = basePath(ident)
     if (SnapshotTable.headVersion(spark, base) > 0)
       throw new TableAlreadyExistsException(
@@ -436,7 +449,8 @@ class SnapshotCatalog extends TableCatalog with ProcedureCatalog {
       .write.mode("overwrite").parquet(dir)
     SnapshotTable.commit(spark, base, 1,
       SnapshotTable.Snapshot(Seq(dir), Nil, schema = Some(schema.toDDL),
-        rowCounts = Map(dir -> 0L), partSpec = spec))
+        rowCounts = Map(dir -> 0L), partSpec = spec,
+        writeOrder = woCols, writeOrderSlices = woSlices))
     loadTable(ident)
   }
 

@@ -3576,6 +3576,24 @@ object SnapshotTable {
     * record LOGICAL names, landed files carry PHYSICAL ones — equal
     * only while no rename mapping exists; zorder's full rewrite clears
     * the mapping). */
+  /** Shared declaration-time validation (CALL set_write_order and the
+    * CREATE-time TBLPROPERTIES path): distinct bounds-orderable columns
+    * from the schema, a sane slice count. */
+  private[sources] def validateWriteOrder(cols: Seq[String], slices: Int,
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    require(cols.distinct.size == cols.size,
+      s"duplicate write-order columns: $cols")
+    require(slices >= 1 && slices <= 4096,
+      s"write-order slice count must be in [1, 4096], got $slices")
+    for (c <- cols) {
+      val f = schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"write-order column $c is not in the table schema " +
+            schema.fieldNames.toSeq))
+      boundsTyp(f.dataType): Unit // unorderable types refuse loudly
+    }
+  }
+
   def alterWriteOrder(spark: SparkSession, base: String,
       cols: Seq[String], slices: Int): Int = {
     require(cols.nonEmpty || slices == 0,
@@ -3591,8 +3609,6 @@ object SnapshotTable {
       if (snap.writeOrder == cols && snap.writeOrderSlices == slices)
         return head // idempotent
       if (cols.nonEmpty) {
-        require(slices >= 1 && slices <= 4096,
-          s"write-order slice count must be in [1, 4096], got $slices")
         require(snap.partSpec.isEmpty,
           "WRITE ORDERED BY on a PARTITIONED BY table is refused — " +
             "the partition spec already owns the landing layout")
@@ -3605,13 +3621,7 @@ object SnapshotTable {
           throw new IllegalArgumentException(
             "WRITE ORDERED BY needs a manifest-carried schema to " +
               "validate the order columns against — this table has none"))
-        for (c <- cols) {
-          val f = schema.fields.find(_.name == c).getOrElse(
-            throw new IllegalArgumentException(
-              s"write-order column $c is not in the table schema " +
-                schema.fieldNames.toSeq))
-          boundsTyp(f.dataType): Unit // unorderable types refuse loudly
-        }
+        validateWriteOrder(cols, slices, schema)
       }
       try {
         commit(spark, base, head + 1, snap.copy(writeOrder = cols,

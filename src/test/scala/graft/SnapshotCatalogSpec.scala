@@ -1842,4 +1842,41 @@ class SnapshotCatalogSpec extends SparkTestBase {
     assert(spark.sql("SELECT COUNT(*) FROM snapwo.t").head.getLong(0)
       == 1401L)
   }
+
+  test("WRITE ORDERED BY declared at CREATE via TBLPROPERTIES: first " +
+      "INSERT already lands bounded slices; bad declarations refuse " +
+      "before the table exists") {
+    val root = Files.createTempDirectory("snapcat").toString
+    setupCatalog("snapwoc", root)
+    spark.sql("CREATE TABLE snapwoc.t (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('write.order' = 'v', 'write.order.slices' = '3')")
+    val base = s"$root/t"
+    val m1 = ST.manifest(spark, base, 1)
+    assert(m1.writeOrder == Seq("v") && m1.writeOrderSlices == 3)
+    spark.sql("INSERT INTO snapwoc.t " +
+      "SELECT id AS k, (id * 7) % 300 AS v FROM range(300)")
+    val m2 = ST.manifest(spark, base, 2)
+    assert(m2.bounds.count(_.col == "v") == 3,
+      s"the FIRST insert must land bounded slices: ${m2.bounds.size}")
+    graft.plans.SnapshotDmlRule.lastPrune.remove(base)
+    assert(spark.sql(
+      "SELECT COUNT(*) AS n FROM snapwoc.t WHERE v < 40")
+      .head.getLong(0) == 40L)
+    val (kept, total) = graft.plans.SnapshotDmlRule.lastPrune.get(base)
+    assert(kept < total, s"range probe must prune ($kept/$total)")
+    // declaration-time refusals, all BEFORE any table exists
+    intercept[Exception] { // unknown column
+      spark.sql("CREATE TABLE snapwoc.bad1 (k BIGINT) " +
+        "TBLPROPERTIES ('write.order' = 'nope')") }
+    intercept[Exception] { // slices without columns
+      spark.sql("CREATE TABLE snapwoc.bad2 (k BIGINT) " +
+        "TBLPROPERTIES ('write.order.slices' = '4')") }
+    intercept[Exception] { // order + partition spec both claim landing
+      spark.sql("CREATE TABLE snapwoc.bad3 (k BIGINT, v BIGINT) " +
+        "PARTITIONED BY (bucket(2, k)) " +
+        "TBLPROPERTIES ('write.order' = 'v')") }
+    for (b <- Seq("bad1", "bad2", "bad3"))
+      assert(ST.headVersion(spark, s"$root/$b") == 0,
+        s"$b must not exist after a refused CREATE")
+  }
 }
