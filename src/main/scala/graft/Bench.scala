@@ -31,7 +31,13 @@ object Bench {
     "q_snapshot_sql_merge3", "q_snapshot_wap2", "q_snapshot_colstats",
     "q_snapshot_agg_meta", "q_snapshot_check", "q_snapshot_copyinto",
     "q_snapshot_partition", "q_snapshot_sql_dml2",
-    "q_snapshot_partition_evolve", "q_snapshot_write_order")
+    "q_snapshot_partition_evolve", "q_snapshot_write_order",
+    // merge4 runs no Sinks.ensure* (it is a step()/write-once SQL chain,
+    // like merge3) so the source sweep can't see it — but on a clean
+    // target/tmp its CREATE+INSERT+MERGE chain executes inside the timed
+    // query (r21 before-capture: 5.24 s vs 0.34 s base, re_sec 0.76 once
+    // built — the r9 failure mode, flagged in r20 ADVICE)
+    "q_snapshot_sql_merge4")
 
   /** Cheap queries the adjudication child executes fully-but-untimed before
     * its one measurement: a few seconds of real query execution across the
@@ -173,6 +179,16 @@ object Bench {
         "(partition by n_regionkey order by n_nationkey) as w")
       .orderBy("w")
       .write.format("noop").mode("overwrite").save()
+    // iterative/checkpoint-path warm (delta-CC, CheckpointBridge, AQE-off
+    // materialization) — the same burn the adjudication child's WARM set
+    // does: with q_pagerank/q_ppr front-loaded to positions 4-5 (below),
+    // the path's first-use JIT bill (~1-3 s) must not land on them — in
+    // map order it landed on dedup_cluster_star at position ~54, AFTER
+    // the front-loaded slots. Skipped under SPARK_GRAFT_ONLY (isolated
+    // runs carry their own SPARK_GRAFT_WARM set).
+    if (only.isEmpty)
+      for (fn <- SparkEntry.queries.get("dedup_cluster"))
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
     // SPARK_GRAFT_WARM: extra queries executed FULLY but untimed before the
     // timed loop — the adjudication subprocess (below) uses this to burn the
     // isolated-JVM JIT horizon (~30-40s of query execution, r11 finding)
@@ -221,9 +237,14 @@ object Bench {
     // t0≈130-250 s band across r17-r19 and been exonerated on isolation
     // every time (host-load signature, never code). Move them to the
     // FRONT of the timed loop so the recurring stall window stops
-    // costing an adjudication round (r19 verdict item 2). Everything
-    // else keeps map order.
-    val frontLoaded = Seq("q_snapshot_cdf", "q_snapshot_wap", "q_profile")
+    // costing an adjudication round (r19 verdict item 2). q_pagerank and
+    // q_ppr joined the list in r21: both sat in the same t0≈100-320 s
+    // band in r19 AND r20 (q_pagerank norm 2.28/2.60 with dirty child
+    // evidence both times — r20 verdict item 1) and both exonerated at
+    // ≤1.10× base on a quiet machine at position ≥3 (r20 adjudication
+    // postscript). Everything else keeps map order.
+    val frontLoaded = Seq("q_snapshot_cdf", "q_snapshot_wap", "q_profile",
+      "q_pagerank", "q_ppr")
     val ordered: Seq[(String, (org.apache.spark.sql.SparkSession,
         String) => org.apache.spark.sql.DataFrame)] =
       frontLoaded.flatMap(n => selected.get(n).map(n -> _)) ++

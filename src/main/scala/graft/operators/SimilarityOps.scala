@@ -80,27 +80,52 @@ object SimilarityOps {
   /** Driver-side Lloyd fit over a deterministic sample, for broadcast.
     *
     * Deliberately a driver loop: the sample is metadata-sized (1/sampleMod
-    * of the corpus here; at larger scale raise sampleMod so the sampled
-    * count stays bounded — the mechanism is unchanged), while the
-    * per-vector ASSIGNMENT of the full corpus stays distributed. Seeds are
-    * the sampled ids below seedBound (cid = id/sampleMod); ties (equal l2)
-    * keep the smaller cid; means are floored doubles; empty cells keep the
-    * previous centroid. Fully replayable in SQL — see the sim_ann_ivf
-    * oracle's CTE chain. */
+    * of the corpus, HARD-CAPPED at ~[[maxSampleRows]] by a deterministic
+    * stride — see [[collectSample]]), while the per-vector ASSIGNMENT of
+    * the full corpus stays distributed. Seeds are the sampled ids below
+    * seedBound (cid = id/sampleMod); ties (equal l2) keep the smaller cid;
+    * means are floored doubles; empty cells keep the previous centroid.
+    * Fully replayable in SQL — see the sim_ann_ivf oracle's CTE chain. */
   def trainCentroids(encoded: DataFrame, sampleMod: Int, seedBound: Int,
       iters: Int): Seq[(Int, Seq[Long])] =
-    lloydFit(collectSample(encoded, sampleMod), sampleMod, seedBound, iters)
+    lloydFit(collectSample(encoded, sampleMod, seedBound), sampleMod,
+      seedBound, iters)
+
+  /** Hard ceiling on the driver-side training sample (rows). A proportional
+    * 1/sampleMod sample grows with the corpus — at 100× data the collect
+    * grows 100× (r20 verdict item 2); past this ceiling [[collectSample]]
+    * widens the effective modulus deterministically instead. `var` so a
+    * spec can lower it to pin the bound (repo threshold-var pattern);
+    * queries never touch it. */
+  private[graft] var maxSampleRows: Long = 1L << 18
 
   /** One deterministic sample pass, shared by [[trainCentroids]] and
     * [[trainPqCodebooks]] (the PQ fit slices this ONE collected sample per
-    * subspace instead of re-scanning the corpus nSub times). */
-  private def collectSample(encoded: DataFrame,
-      sampleMod: Int): Array[(Long, Array[Long])] =
-    encoded.where(pmod(col("vec_id"), lit(sampleMod)) === 0)
+    * subspace instead of re-scanning the corpus nSub times).
+    *
+    * Self-bounding (guide §5: the driver does no data work): one
+    * column-pruned count sizes the candidate set; when it exceeds
+    * [[maxSampleRows]] the modulus widens to sampleMod·stride with
+    * stride = ceil(n/cap) — still a pure function of vec_id
+    * (`vec_id % (sampleMod·stride) = 0`, seeds below seedBound always
+    * kept), so the sample stays SQL-replayable and partitioning-invariant.
+    * At every oracle-checked SF the candidate count is far below the
+    * ceiling, so stride = 1 and the sample is bit-identical to the
+    * uncapped form the oracles replay. */
+  private[graft] def collectSample(encoded: DataFrame, sampleMod: Int,
+      seedBound: Int): Array[(Long, Array[Long])] = {
+    val cand = encoded.where(pmod(col("vec_id"), lit(sampleMod)) === 0)
       .select(col("vec_id"), col("iv"))
-      .collect()
+    val n = cand.select(col("vec_id")).count()
+    val stride = ((n + maxSampleRows - 1) / maxSampleRows).max(1L)
+    val bounded =
+      if (stride <= 1L) cand
+      else cand.where(col("vec_id") < seedBound ||
+        pmod(col("vec_id"), lit(sampleMod.toLong * stride)) === 0)
+    bounded.collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
       .sortBy(_._1)
+  }
 
   private def lloydFit(sample: Array[(Long, Array[Long])], sampleMod: Int,
       seedBound: Int, iters: Int): Seq[(Int, Seq[Long])] = {
@@ -446,7 +471,7 @@ object SimilarityOps {
     * [0, |book|). */
   def trainPqCodebooks(encoded: DataFrame, nSub: Int, sampleMod: Int,
       seedBound: Int, iters: Int): Seq[Seq[Seq[Long]]] = {
-    val sample = collectSample(encoded, sampleMod)
+    val sample = collectSample(encoded, sampleMod, seedBound)
     require(sample.nonEmpty,
       s"trainPqCodebooks: deterministic sample is empty — corpus too small " +
         s"for sampleMod=$sampleMod")

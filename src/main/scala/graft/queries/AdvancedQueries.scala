@@ -4083,7 +4083,11 @@ object AdvancedQueries {
     // viable re-partitioning story: changing the layout of a petabyte
     // table is a manifest commit, and old data keeps its old pruning.
     // The hash gate replays all three eras relationally — a dir pruned
-    // under the wrong spec (missing rows) or a double-landed era fails.
+    // under the wrong spec loses rows and fails. (The replay reads
+    // through SELECT DISTINCT over key-unique rows, so an exactly
+    // double-landed era would collapse to the same set — duplication is
+    // NOT what this gate pins; the write-once step()/await chain is what
+    // prevents double landing.)
     "q_snapshot_partition_evolve" -> { (s, dir) =>
       import graft.sources.{SnapshotTable => ST}
       val sfN = new java.io.File(dir).getName
@@ -4211,7 +4215,11 @@ object AdvancedQueries {
     // skippable: each ingest pays one extra range shuffle and a
     // dir-count-sized bounds job. Two eras land under the order; probes
     // into each era must keep < total dirs, and the hash gate replays
-    // both eras relationally so a mis-sliced or double-landed era fails.
+    // both eras relationally so a mis-sliced era fails. (The replay
+    // reads through SELECT DISTINCT over key-unique rows, so an exactly
+    // double-landed era would collapse to the same set — duplication is
+    // NOT what this gate pins; the write-once step()/await chain is what
+    // prevents double landing.)
     "q_snapshot_write_order" -> { (s, dir) =>
       import graft.sources.{SnapshotTable => ST}
       val sfN = new java.io.File(dir).getName

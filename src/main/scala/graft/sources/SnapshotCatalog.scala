@@ -436,8 +436,15 @@ class SnapshotCatalog extends TableCatalog with ProcedureCatalog {
       .map(_.trim.toInt).getOrElse(if (woCols.nonEmpty) 8 else 0)
     require(woCols.nonEmpty || woSlices == 0,
       "'write.order.slices' without 'write.order' — declare the columns")
-    if (woCols.nonEmpty)
+    if (woCols.nonEmpty) {
       SnapshotTable.validateWriteOrder(woCols, woSlices, schema)
+      // refuse the contradictory declaration BEFORE any bytes land:
+      // commit-time validation would only reject it after the empty v1
+      // data dir is written (orphan dir + a less-direct error)
+      require(spec.isEmpty,
+        "WRITE ORDERED BY on a PARTITIONED BY table is refused — " +
+          "declare one layout, not both")
+    }
     val base = basePath(ident)
     if (SnapshotTable.headVersion(spark, base) > 0)
       throw new TableAlreadyExistsException(

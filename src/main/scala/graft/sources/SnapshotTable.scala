@@ -3775,11 +3775,19 @@ object SnapshotTable {
       "landOrderedDirs needs a declared write order")
     graft.operators.Markers.requireFree(df, "ordered landing batch",
       "_gslice")
-    val sorted = df
+    val ranged = df
       .repartitionByRange(snap.writeOrderSlices, cols.map(col): _*)
-      .sortWithinPartitions(cols.map(col): _*)
-    toPhysical(snap, sorted)
+    // sort by (_gslice +: order cols), not the order cols alone:
+    // FileFormatWriter requires ordering on the partitionBy column, and a
+    // child ordered only by the order columns makes it plan its OWN
+    // SortExec above this one — were that sort unstable, the intra-slice
+    // order in the files would be lost (bounds/pruning stay correct; only
+    // row-group locality degrades). _gslice is task-constant, so the
+    // prefixed sort is the same local sort AND already satisfies the
+    // writer's required ordering — no second sort is planned.
+    toPhysical(snap, ranged)
       .withColumn("_gslice", spark_partition_id())
+      .sortWithinPartitions(col("_gslice") +: cols.map(col): _*)
       .write.partitionBy("_gslice").mode("overwrite").parquet(parent)
     val pp = new Path(parent)
     val fs = fsFor(spark, pp)
