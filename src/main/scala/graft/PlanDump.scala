@@ -22,6 +22,15 @@ object PlanDump {
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the streaming gates advance watermarks with explicit far-future
+      // sentinel DATA batches (the recipe guarantees every emission happens
+      // on a data batch), so the extra no-data micro-batch Spark plans after
+      // every watermark advance is pure per-gate overhead: disabling it
+      // halved every measured gate in isolation (r21: tumbling 6.12->3.03 s,
+      // sessions 5.76->3.03, topk 8.06->4.30) with bit-identical results
+      // (oracle 261/261 under this conf). Production latency trade-offs
+      // do not apply to bounded gated replays.
+      .config("spark.sql.streaming.noDataMicroBatches.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -607,10 +607,16 @@ object EventQueries {
           q.processAllAvailable()
           ev.where(col("ts") > median).write.parquet(s"$tmp/b2.parquet")
           q.processAllAvailable()
-          sentinel(-1L, maxTs + 3600L * 1000 * 1000 * 1000)
+          // sentinel offsets must clear (watermark delay 1h + window reach
+          // 1h) from sentinel1 ALONE: every real window must flush during
+          // sentinel2's DATA batch — the engine sessions disable no-data
+          // micro-batches (r21), so no trailing batch runs after b4. At the
+          // old +1h/+2h, b4's watermark (= sentinel1 − delay = maxTs) sat
+          // below the last window's end and its rows never emitted.
+          sentinel(-1L, maxTs + 3 * 3600L * 1000 * 1000 * 1000)
             .write.parquet(s"$tmp/b3.parquet")
           q.processAllAvailable()
-          sentinel(-2L, maxTs + 7200L * 1000 * 1000 * 1000)
+          sentinel(-2L, maxTs + 6 * 3600L * 1000 * 1000 * 1000)
             .write.parquet(s"$tmp/b4.parquet")
           q.processAllAvailable()
         } finally q.stop()
@@ -660,10 +666,16 @@ object EventQueries {
           q.processAllAvailable()
           ev.where(col("ts") > median).write.parquet(s"$tmp/b2.parquet")
           q.processAllAvailable()
-          sentinel(-1L, maxTs + 3600L * 1000 * 1000 * 1000)
+          // sentinel offsets must clear (watermark delay 1h + window reach
+          // 1h) from sentinel1 ALONE: every real window must flush during
+          // sentinel2's DATA batch — the engine sessions disable no-data
+          // micro-batches (r21), so no trailing batch runs after b4. At the
+          // old +1h/+2h, b4's watermark (= sentinel1 − delay = maxTs) sat
+          // below the last window's end and its rows never emitted.
+          sentinel(-1L, maxTs + 3 * 3600L * 1000 * 1000 * 1000)
             .write.parquet(s"$tmp/b3.parquet")
           q.processAllAvailable()
-          sentinel(-2L, maxTs + 7200L * 1000 * 1000 * 1000)
+          sentinel(-2L, maxTs + 6 * 3600L * 1000 * 1000 * 1000)
             .write.parquet(s"$tmp/b4.parquet")
           q.processAllAvailable()
         } finally q.stop()
