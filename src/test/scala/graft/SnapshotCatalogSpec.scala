@@ -1843,6 +1843,50 @@ class SnapshotCatalogSpec extends SparkTestBase {
       == 1401L)
   }
 
+  test("WRITE ORDERED BY landing plans exactly ONE sort (r21: the slice " +
+      "sort is prefixed with _gslice, so the writer's required ordering " +
+      "on the partition column is already satisfied)") {
+    val root = Files.createTempDirectory("snapwoplan").toString
+    setupCatalog("snapwop", root)
+    spark.sql("CREATE TABLE snapwop.t (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('write.order' = 'v', 'write.order.slices' = '3')")
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]
+    val l = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        plans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(l)
+    try {
+      spark.sql("INSERT INTO snapwop.t " +
+        "SELECT id AS k, (id * 13) % 97 AS v FROM range(500)")
+      // QueryExecutionListener delivery is async — poll for the landing
+      // write's plan (the one that writes the _gslice staging column)
+      def landing(): Option[String] = {
+        import scala.jdk.CollectionConverters._
+        plans.asScala.find(p => p.contains("_gslice") &&
+          p.contains("WriteFiles"))
+      }
+      var i = 0
+      while (landing().isEmpty && i < 100) { Thread.sleep(50); i += 1 }
+      val p = landing().getOrElse(fail("no landing write plan captured"))
+      // final section only (an AQE toString repeats the tree under
+      // '== Initial Plan ==' — CLAUDE.md)
+      val fin = p.split("== Initial Plan ==")(0)
+      val sorts = "\\bSort \\[".r.findAllIn(fin).size
+      assert(sorts == 1,
+        s"landing write must plan exactly one sort (the prefixed " +
+          s"sortWithinPartitions), got $sorts:\n$fin")
+      // and the one sort leads with the staging column, order cols after
+      assert(fin.contains("Sort [_gslice"),
+        s"the slice sort must lead with _gslice:\n$fin")
+    } finally spark.listenerManager.unregister(l)
+  }
+
   test("WRITE ORDERED BY declared at CREATE via TBLPROPERTIES: first " +
       "INSERT already lands bounded slices; bad declarations refuse " +
       "before the table exists") {
