@@ -51,7 +51,14 @@ object Bench {
       // warms never touch — without it a flagged graph kernel's child
       // measurement still carries that path's first-use JIT bill (r15:
       // the adjudicator "confirmed" regressions it existed to debunk)
-      "dedup_cluster"
+      "dedup_cluster," +
+      // q_ppr exercises the PageRank sweep shape (bucketed scan → SHJ →
+      // partial/final sum → per-sweep localCheckpoint) whose first-use
+      // codegen is the single biggest JIT bill left: measured 1.4 s quiet
+      // and 2-11 s under a 4-core cfs quota (r22 driver-regime repro) —
+      // exactly the environment where q_pagerank children measured
+      // re_sec 20-26 s for three rounds. Warm the shape, measure the query.
+      "q_ppr"
 
   /** Run ONE query in a brand-new JVM (same classpath/JVM flags as this
     * one — sbt forks Bench, so java.class.path is the real classpath) and
@@ -195,9 +202,27 @@ object Bench {
     // map order it landed on dedup_cluster_star at position ~54, AFTER
     // the front-loaded slots. Skipped under SPARK_GRAFT_ONLY (isolated
     // runs carry their own SPARK_GRAFT_WARM set).
-    if (only.isEmpty)
+    if (only.isEmpty) {
       for (fn <- SparkEntry.queries.get("dedup_cluster"))
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      // burn the PageRank sweep shape's one-shot codegen (SHJ probe +
+      // partial/final integer sum + per-sweep checkpoint) on a tiny
+      // synthetic degree-annotated table: with q_pagerank front-loaded to
+      // position 4, its first sweep otherwise pays the compile bill that
+      // under the driver's CPU-constrained regime measured 2-11 s (r22
+      // quota repro) — infrastructure JIT, not query work, same rationale
+      // as the window-exec/global-sort warm above.
+      import org.apache.spark.sql.functions.col
+      val tiny = spark.range(0, 256)
+        .selectExpr("id % 37 AS u", "id % 53 AS v", "1 + id % 7 AS d")
+        .repartition(col("u"))
+      graft.operators.GraphOps.pageRankOn(tiny, iters = 1)
+        .write.format("noop").mode("overwrite").save()
+      // the personalized variant's CASE teleport changes the generated
+      // sweep source, so it compiles separately — burn both shapes
+      graft.operators.GraphOps.personalizedPageRankOn(tiny, iters = 1)
+        .write.format("noop").mode("overwrite").save()
+    }
     // SPARK_GRAFT_WARM: extra queries executed FULLY but untimed before the
     // timed loop — the adjudication subprocess (below) uses this to burn the
     // isolated-JVM JIT horizon (~30-40s of query execution, r11 finding)

@@ -36,6 +36,46 @@ object QBench {
       }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_PROF=1: per-stage metrics, streaming per-batch duration
+    // breakdown, and iterative-kernel per-round seconds on stdout. Dev-only
+    // measurement plumbing (guide §1/§7) — the driver never sets it.
+    if (sys.env.contains("SPARK_GRAFT_PROF")) {
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              sc: org.apache.spark.scheduler.SparkListenerStageCompleted)
+              : Unit = {
+            val si = sc.stageInfo
+            val dur = (for (s <- si.submissionTime; c <- si.completionTime)
+              yield c - s).getOrElse(-1L)
+            def acc(n: String): Long = si.accumulables.values
+              .find(_.name.contains(n)).flatMap(_.value)
+              .map(_.toString.toLong).getOrElse(0L)
+            println(f"PROF stage=${si.stageId}%4d dur=${dur}%6dms " +
+              f"tasks=${si.numTasks}%4d " +
+              f"shufR=${acc("shuffle.read.remoteBytesRead") +
+                acc("shuffle.read.localBytesRead")}%10d " +
+              f"shufW=${acc("shuffle.write.bytesWritten")}%10d " +
+              f"spill=${acc("memoryBytesSpilled")}%8d " +
+              f"gc=${acc("jvmGCTime")}%5d  ${si.name.take(90)}")
+          }
+        })
+      spark.streams.addListener(
+        new org.apache.spark.sql.streaming.StreamingQueryListener {
+          import org.apache.spark.sql.streaming.StreamingQueryListener._
+          override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+          override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+          override def onQueryProgress(e: QueryProgressEvent): Unit = {
+            val p = e.progress
+            println(s"PROF batch=${p.batchId} rows=${p.numInputRows} " +
+              s"durationMs=${p.durationMs} state=${p.stateOperators.map(o =>
+                s"(commitMs=${o.commitTimeMs} mem=${o.memoryUsedBytes})")
+                .mkString(",")}")
+          }
+        })
+      graft.operators.GraphOps.roundProbe = (k, r, s) =>
+        println(f"PROF kernel=$k round=$r $s%.3f s")
+    }
     graft.Tables(spark, sfDir, "region").count()
     args.foreach { name =>
       val fn = SparkEntry.queries(name)

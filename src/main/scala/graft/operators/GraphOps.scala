@@ -13,6 +13,19 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps {
 
+  /** Dev/telemetry seam (the Sinks.onRebuild pattern): invoked after every
+    * iterative-kernel round with (kernel, round, seconds). Default no-op;
+    * QBench arms it under SPARK_GRAFT_PROF so a flagged kernel's per-round
+    * cost can be read directly instead of inferred from whole-query time. */
+  @volatile var roundProbe: (String, Int, Double) => Unit = (_, _, _) => ()
+
+  private def probed[T](kernel: String, round: Int)(body: => T): T = {
+    val t0 = System.nanoTime()
+    val r = body
+    roundProbe(kernel, round, (System.nanoTime() - t0) / 1e9)
+    r
+  }
+
   /** Connected components by min-label flooding.
     *
     * `edges` = (src, dst) undirected pairs (any column names; first two
@@ -516,20 +529,22 @@ object GraphOps {
     var cnt = e.count()
     var it = 0
     while (cnt != prevCnt && it < maxIter) {
-      val deg = e.select(col("u").as("x")).union(e.select(col("v").as("x")))
-        .groupBy(col("x")).agg(count(lit(1)).as("d"))
-      val bad = deg.where(col("d") < k).select(col("x"))
-        .localCheckpoint() // peel set fans into both anti joins
-      // one materialization per round serves BOTH loop needs: the
-      // convergence count and the lineage cut (checkpointExact measures
-      // the count while writing the blocks) — the previous shape paid a
-      // separate count JOB per round plus an every-2nd-round checkpoint,
-      // i.e. ~1.5 jobs of the same anti-join plan where this pays 1
-      val (e2, c2) = org.apache.spark.sql.graftbridge.CheckpointBridge
-        .checkpointExact(
-          e.join(bad.select(col("x").as("u")), Seq("u"), "left_anti")
-            .join(bad.select(col("x").as("v")), Seq("v"), "left_anti")
-            .select(col("u"), col("v")), 16L)
+      val (e2, c2) = probed("kcore", it) {
+        val deg = e.select(col("u").as("x")).union(e.select(col("v").as("x")))
+          .groupBy(col("x")).agg(count(lit(1)).as("d"))
+        val bad = deg.where(col("d") < k).select(col("x"))
+          .localCheckpoint() // peel set fans into both anti joins
+        // one materialization per round serves BOTH loop needs: the
+        // convergence count and the lineage cut (checkpointExact measures
+        // the count while writing the blocks) — the previous shape paid a
+        // separate count JOB per round plus an every-2nd-round checkpoint,
+        // i.e. ~1.5 jobs of the same anti-join plan where this pays 1
+        org.apache.spark.sql.graftbridge.CheckpointBridge
+          .checkpointExact(
+            e.join(bad.select(col("x").as("u")), Seq("u"), "left_anti")
+              .join(bad.select(col("x").as("v")), Seq("v"), "left_anti")
+              .select(col("u"), col("v")), 16L)
+      }
       e = e2
       prevCnt = cnt
       cnt = c2
@@ -673,22 +688,48 @@ object GraphOps {
     * plain PageRank, a seed-predicate CASE for the personalized form. ONE
     * loop so the sweep discipline (SHUFFLE_HASH build side, integer DIV
     * ladder, per-sweep checkpoint) cannot drift between the two. */
-  private def prSweeps(ed: DataFrame, iters: Int,
+  private def prSweeps(ed0: DataFrame, iters: Int,
       init: Column => Column, teleport: Column => Column): DataFrame = {
+    // Materialize the prepared edge table ONCE per ranking run: the sweep
+    // loop reads it every iteration, and a bucketed parquet scan pays file
+    // opens + columnar decode per sweep (measured 0.33 s of the 0.5 s sweep
+    // at sf0.1 — the loop was scan-bound, guide §5 "cache when reused").
+    // Block-manager reads amortize that to one scan per run; the checkpoint
+    // happens with AQE OFF so it keeps the source's hash(u) partitioning
+    // (AdaptiveSparkPlanExec is a propagation leaf — same discipline as
+    // pageRank's own materialization) and the sweeps stay exchange-free on
+    // the edge side. Inputs that are already checkpoint-backed (LogicalRDD,
+    // e.g. from [[pageRank]]) are used as-is — re-checkpointing would copy
+    // every block for nothing.
+    val ed = ed0.queryExecution.analyzed match {
+      case _: org.apache.spark.sql.execution.LogicalRDD => ed0
+      case _ =>
+        val ss = ed0.sparkSession
+        val aqeKey = "spark.sql.adaptive.enabled"
+        val aqePrev = ss.conf.get(aqeKey)
+        try {
+          ss.conf.set(aqeKey, "false")
+          probed("pagerank", -2)(ed0.localCheckpoint())
+        } finally ss.conf.set(aqeKey, aqePrev)
+    }
     // every node appears on the u side (the prepared table holds both
     // orientations), and distinct-over-u folds WITHOUT an exchange when the
     // source is hash(u)-distributed
-    var r = ed.select(col("u")).distinct()
-      .select(col("u").as("node"), init(col("u")).as("rnk"))
+    var r = probed("pagerank", -1) {
+      ed.select(col("u")).distinct()
+        .select(col("u").as("node"), init(col("u")).as("rnk"))
+    }
     var it = 0
     while (it < iters) {
-      r = ed.join(r.hint("SHUFFLE_HASH"), ed("u") === r("node"))
-        .select(ed("v").as("v"), expr("rnk DIV d").as("c"))
-        .groupBy(col("v"))
-        .agg(sum(col("c")).as("s"))
-        .select(col("v").as("node"),
-          (teleport(col("v")) + expr("(85 * s) DIV 100")).as("rnk"))
-        .localCheckpoint()
+      r = probed("pagerank", it) {
+        ed.join(r.hint("SHUFFLE_HASH"), ed("u") === r("node"))
+          .select(ed("v").as("v"), expr("rnk DIV d").as("c"))
+          .groupBy(col("v"))
+          .agg(sum(col("c")).as("s"))
+          .select(col("v").as("node"),
+            (teleport(col("v")) + expr("(85 * s) DIV 100")).as("rnk"))
+          .localCheckpoint()
+      }
       // per-sweep checkpoint (iteration rule) — and deliberately NOT a lazy
       // sweep chain: chaining k sweeps into one plan makes k structurally
       // distinct stages that each pay whole-stage-codegen compilation,

@@ -150,7 +150,14 @@ object Sinks {
     val specFile = new Path(loc, "_GRAFT_BUCKET_SPEC")
     val schemaDdl = df.schema.toDDL
     val fp = if (inputs.isEmpty) "" else s";src=${fingerprint(spark, inputs: _*)}"
-    val spec = s"key=$key;n=$nBuckets;schema=$schemaDdl$fp"
+    // layout=1f: exactly one file per bucket (the repartition below). The
+    // marker is part of the spec so tables written by the old layout —
+    // one file per (writer task × bucket), e.g. 256 files for the 32-bucket
+    // sf0.1 edge table — rebuild once instead of being reused: every scan
+    // of such a table paid ~250 file opens (guide §6 small-files tax,
+    // measured 0.45 s/scan vs 0.11 s after; the PageRank sweep loop scans
+    // it every sweep).
+    val spec = s"key=$key;n=$nBuckets;layout=1f;schema=$schemaDdl$fp"
     val specOk = readSidecar(fs, specFile).contains(spec)
     if (spark.catalog.tableExists(table)) {
       // A live catalog entry is not proof of freshness: an input regenerated
@@ -172,8 +179,28 @@ object Sinks {
       onRebuild(table)
       spark.sql(s"DROP TABLE IF EXISTS $table")
       fs.delete(loc, true)
-      df.write.bucketBy(nBuckets, key).sortBy(key)
-        .mode("overwrite").saveAsTable(table)
+      // repartition on the bucket key with nBuckets partitions: Spark's
+      // bucket assignment is the same HashPartitioning, so each writer task
+      // holds exactly one bucket's rows and writes exactly one file —
+      // without it every upstream partition opens a writer per bucket and
+      // the table shatters into task×bucket small files whose per-scan
+      // open cost dominates downstream reads (guide §6).
+      // AQE must be OFF for this one write job: when the defining plan
+      // contains a join keyed on `key`, EnsureRequirements merges this
+      // repartition with the join's own exchange, AQE then converts that
+      // exchange to a LOCAL shuffle read after flipping the join to
+      // broadcast — and a local read hands the writer the MAP-side
+      // partitioning (measured: 16 tasks × 32 buckets = 512 files instead
+      // of 32). V1 bucketed writes declare no required distribution, so
+      // only a static plan guarantees the one-file-per-bucket layout.
+      val aqeKey = "spark.sql.adaptive.enabled"
+      val aqePrev = spark.conf.get(aqeKey)
+      try {
+        spark.conf.set(aqeKey, "false")
+        df.repartition(nBuckets, org.apache.spark.sql.functions.col(key))
+          .write.bucketBy(nBuckets, key).sortBy(key)
+          .mode("overwrite").saveAsTable(table)
+      } finally spark.conf.set(aqeKey, aqePrev)
       writeSidecar(fs, specFile, spec)
     }
   }
