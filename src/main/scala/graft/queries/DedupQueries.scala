@@ -182,7 +182,21 @@ object DedupQueries {
       .select(col("doc_id"), col("ng"), (col("pos") + 1).as("pos"),
         col("col").as("gid"))
     val minOverlap = ceil((col("a.ng") + col("b.ng")) * lit(t / (1.0 + t)))
-    val matches = prefix.as("a").join(prefix.as("b"),
+    // The candidate join's OUTPUT explodes (5.9 M pairs from a 6 MB prefix
+    // table at sf0.1) — knowledge the optimizer does not have: sized by
+    // INPUT bytes, it broadcast-joined the prefix table and the streamed
+    // side kept the encoded checkpoint's partition count, so ONE task
+    // generated every candidate pair (measured: a single 3.5 s stage, the
+    // query's biggest). Repartition both sides on the join key at the
+    // session's shuffle parallelism (REPARTITION_BY_NUM — AQE may not
+    // coalesce it back down) so the pair generation + partial distinct run
+    // wide under EITHER join strategy; the exchange is one narrow pass of
+    // the prefix rows and is required at 100 TB anyway (an inverted index
+    // does not broadcast). Self-join of the same frame: the two sides
+    // reuse ONE exchange (ReusedExchange).
+    val pp = prefix.repartition(
+      prefix.sparkSession.sessionState.conf.numShufflePartitions, col("gid"))
+    val matches = pp.as("a").join(pp.as("b"),
         col("a.gid") === col("b.gid") && col("a.doc_id") < col("b.doc_id")
           && col("a.ng") <= (col("b.ng") / t).cast("long")
           && col("b.ng") <= (col("a.ng") / t).cast("long")
@@ -269,7 +283,13 @@ object DedupQueries {
       .select(col("doc_id"), col("ng"), (col("pos") + 1).as("pos"),
         col("col").as("gid"))
     val minCommon = ceil(col("a.ng") * lit(t))
-    val cand = probe.as("a").join(full.as("b"),
+    // Same explosive-output repartition as jaccardJoin's candidate join:
+    // spread the pair generation on a pinned-width gid exchange instead of
+    // single-tasking it on a broadcast's streamed side (see the note there).
+    val parts = ids.sparkSession.sessionState.conf.numShufflePartitions
+    val probeW = probe.repartition(parts, col("gid"))
+    val fullW = full.repartition(parts, col("gid"))
+    val cand = probeW.as("a").join(fullW.as("b"),
         col("a.gid") === col("b.gid")
           && (col("a.ng") < col("b.ng")
             || (col("a.ng") === col("b.ng")
@@ -642,11 +662,28 @@ object DedupQueries {
       .select(col("doc_id"), col("lang"),
         col("g.gid").as("gid"), col("g.pos").as("pos"))
       .localCheckpoint() // self-joined below: one dict join, not two
-    val cand = pref.as("a").join(pref.as("b"),
+    // pinned-width gid exchange before the candidate join — the same
+    // explosive-output repartition as jaccardJoin's (the checkpointed pref
+    // table is bytes-tiny, so left alone the pair generation AND the
+    // 48-char levenshtein verification downstream inherit ONE partition:
+    // measured as two single-task ~2 s stages, the query's whole cost)
+    val pw = pref.repartition(
+      pref.sparkSession.sessionState.conf.numShufflePartitions, col("gid"))
+    val cand = pw.as("a").join(pw.as("b"),
         col("a.gid") === col("b.gid") && col("a.lang") === col("b.lang")
           && col("a.doc_id") < col("b.doc_id")
           && abs(col("a.pos") - col("b.pos")) <= d)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      // pinned-width pair exchange: the pair stream is BYTES-tiny (16 B/row)
+      // so AQE coalesces the distinct's exchange to one partition — and the
+      // levenshtein verification downstream (O(prefixLen²) PER PAIR, the
+      // expensive half of Ed-Join) inherits it: measured as two single-task
+      // ~2 s stages. The explicit pair-key repartition satisfies the
+      // distinct's clustering (no extra exchange) and keeps verification
+      // wide; per-pair verify cost is exactly the optimizer-invisible
+      // knowledge that licenses it.
+      .repartition(pref.sparkSession.sessionState.conf.numShufflePartitions,
+        col("doc_a"), col("doc_b"))
       .distinct()
     cand
       .join(base.select(col("doc_id").as("doc_a"), col("lang"),
