@@ -50,6 +50,14 @@ object Sinks {
     * A missing input path is a caller bug (typo'd / renamed fixture), not
     * an empty contribution — it fails loudly instead of yielding a stable
     * fingerprint that silently no-ops the protection. */
+  // NOTE (r22): a per-JVM tail-CRC memo keyed on (path, len, mtime) was
+  // prototyped here (the listing stays as the staleness witness, only the
+  // 64-byte ranged read is skipped — worth ~9-17 ms/call × ~300 calls per
+  // bench run). Rejected: SinksSpec pins the tail CRC as an ABSOLUTE
+  // content witness (a back-dated same-length in-place rewrite must be
+  // caught on the very next call), and any metadata-keyed memo reintroduces
+  // exactly the stale-reuse class the r10 review flagged. ~1% of bench
+  // total was not worth weakening that pin.
   def fingerprint(spark: SparkSession, paths: String*): String = {
     val conf = spark.sparkContext.hadoopConfiguration
     val crc = new java.util.zip.CRC32
